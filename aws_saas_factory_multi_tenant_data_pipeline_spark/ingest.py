@@ -1,0 +1,118 @@
+"""Ingest: edge validation (A8) + per-record enrichment (A2).
+
+Reference behavior being re-expressed (NOT ported):
+- A8 edge gate: reject unless ``Data.{device,event,region}`` present and
+  string-typed (apigateway-stack.ts:91-111,130-136). Here: ``from_json``
+  against an explicit StructType; rows that fail to parse or miss required
+  fields are split to a quarantine DataFrame instead of an HTTP 400.
+- A2 enrich: parse JSON, add ``TenantId`` (from auth context / partition
+  key) and epoch-second ``timestamp`` (FirehoseStreamingSinkJob.java:74-82).
+  Here: pure ``withColumn`` projections — narrow, UDF-free, stays inside
+  whole-stage codegen, works identically on batch and streaming DataFrames.
+- A4 partition derivation: the Firehose jq query derives zero-padded
+  ``year/month/day/hour`` strings from the timestamp with strftime
+  (kinesis-stack.ts:153-154) — ``date_format`` produces the same strings.
+
+Scale notes: everything here is a narrow map — no shuffle, no state. At
+100 TB ingest this is embarrassingly parallel; the only wide step in the
+pipeline is the optional repartition-by-tenant before the partitioned
+write (see lake.py) to control file counts.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from aws_saas_factory_multi_tenant_data_pipeline_spark.model import (
+    ENVELOPE_SCHEMA,
+    PARTITION_COLS,
+    REQUIRED_DATA_FIELDS,
+)
+from aws_saas_factory_multi_tenant_data_pipeline_spark.tenancy import TenantContext
+
+
+class IngestResult(NamedTuple):
+    """Valid enriched rows + quarantined raw records (A5 error routing)."""
+
+    valid: DataFrame
+    quarantine: DataFrame
+
+
+def _ingest_time_col(ingest_ts: int | None) -> Column:
+    """Epoch-seconds ingest timestamp (…Job.java:80 uses Instant.now())."""
+    if ingest_ts is not None:
+        return F.lit(int(ingest_ts)).cast("long")
+    return F.unix_timestamp(F.current_timestamp())
+
+
+def validate_raw(raw: DataFrame, json_col: str = "raw") -> DataFrame:
+    """Parse+validate the request envelope; adds ``Data`` struct and ``_valid``.
+
+    Keeps invalid rows (null/missing fields) so the caller can split them to
+    quarantine — mirrors Firehose's ``error/`` routing (kinesis-stack.ts:139).
+    """
+    parsed = raw.withColumn("Data", F.from_json(F.col(json_col), ENVELOPE_SCHEMA)["Data"])
+    checks = [F.col("Data").isNotNull()] + [
+        F.col(f"Data.{f}").isNotNull() for f in REQUIRED_DATA_FIELDS
+    ]
+    cond = checks[0]
+    for c in checks[1:]:
+        cond = cond & c
+    return parsed.withColumn("_valid", cond)
+
+
+def enrich(valid: DataFrame, tenant: TenantContext | None, ingest_ts: int | None = None) -> DataFrame:
+    """A2: flatten payload, stamp TenantId + epoch-second timestamp.
+
+    If ``tenant`` is None the DataFrame must already carry a ``tenant_id``
+    column (multi-tenant batch replay); otherwise the authenticated tenant
+    id is stamped server-side — client data can never set it.
+    """
+    tenant_col = F.lit(tenant.tenant_id) if tenant is not None else F.col("tenant_id")
+    return valid.select(
+        F.col("Data.event").alias("event"),
+        F.col("Data.region").alias("region"),
+        F.col("Data.device").alias("device"),
+        tenant_col.alias("TenantId"),
+        _ingest_time_col(ingest_ts).alias("timestamp"),
+    )
+
+
+def with_partition_cols(enriched: DataFrame) -> DataFrame:
+    """A4: derive Hive partition columns from the epoch-second timestamp.
+
+    Zero-padded strings to byte-match the reference layout
+    (jq ``strftime "%Y"/"%m"/"%d"/"%H"`` — kinesis-stack.ts:153-154).
+    """
+    ts = F.to_timestamp(F.from_unixtime(F.col("timestamp")))
+    return (
+        enriched.withColumn("tenant", F.col("TenantId"))
+        .withColumn("year", F.date_format(ts, "yyyy"))
+        .withColumn("month", F.date_format(ts, "MM"))
+        .withColumn("day", F.date_format(ts, "dd"))
+        .withColumn("hour", F.date_format(ts, "HH"))
+    )
+
+
+def ingest_batch(
+    raw: DataFrame,
+    tenant: TenantContext | None = None,
+    json_col: str = "raw",
+    ingest_ts: int | None = None,
+) -> IngestResult:
+    """Full batch ingest: validate (A8) → split (A5) → enrich (A2) → partition cols (A4).
+
+    Works on a batch or streaming DataFrame of raw JSON strings.
+    """
+    checked = validate_raw(raw, json_col=json_col)
+    quarantine = checked.where(~F.col("_valid")).select(
+        F.col(json_col).alias("raw_record"),
+        F.lit("validation-failed").alias("error_type"),
+    )
+    valid = checked.where(F.col("_valid"))
+    enriched = with_partition_cols(enrich(valid, tenant, ingest_ts=ingest_ts))
+    ordered = enriched.select("event", "region", "device", "TenantId", "timestamp", *PARTITION_COLS)
+    return IngestResult(valid=ordered, quarantine=quarantine)

@@ -1,0 +1,120 @@
+"""Lake: partitioned writes (A4), quarantine (A5), catalog registration (A6), compaction.
+
+Reference behavior re-expressed:
+- A4: Firehose dynamic partitioning writes to
+  ``tenant=!{tenantId}/year=…/month=…/day=…/hour=…`` (kinesis-stack.ts:137-138).
+  Spark: ``df.write.partitionBy(...)``. Partition columns become queryable
+  columns with partition pruning exactly as Glue/Athena exposes them.
+- A5: failures → ``error/!{firehose:error-output-type}/`` (kinesis-stack.ts:139).
+  Spark: quarantine DataFrame written under ``<root>/error/<type>/``.
+- A6: Glue crawler infers schema and registers table in ``multi-tenant-db``
+  every 5 min (glue-stack.ts:32-46). Spark: create database + external
+  table over the lake root, then ``recoverPartitions`` (≈ MSCK REPAIR).
+
+Scale notes (100 TB):
+- Writes repartition by the partition columns first so each Hive partition
+  is produced by a bounded number of tasks — avoids the classic
+  every-task-writes-every-partition small-file explosion. At cluster scale
+  this is the one shuffle in the ingest path and it is keyed on the same
+  columns the storage layout uses.
+- ``compact_partitions`` is the periodic OPTIMIZE-style rewrite the
+  reference lacks (Firehose's known small-file weakness): rewrite a
+  partition subtree to ``target_file_mb`` files.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_saas_factory_multi_tenant_data_pipeline_spark.model import PARTITION_COLS
+
+DEFAULT_DB = "multi_tenant_db"  # reference: "multi-tenant-db" (glue-stack.ts:39)
+
+
+def write_lake(
+    df: DataFrame,
+    root: str,
+    fmt: str = "parquet",
+    mode: str = "append",
+    partition_cols: list[str] | None = None,
+) -> None:
+    """A4 partitioned lake write.
+
+    ``fmt="json"`` gives byte-level parity with the reference's JSON-lines
+    lake; ``parquet`` (default) is the scale path (column pruning + min/max
+    pushdown, which JSON can never give).
+    """
+    pcols = partition_cols or PARTITION_COLS
+    # one shuffle keyed on the storage layout → bounded files per partition
+    (df.repartition(*[F.col(c) for c in pcols]).write.mode(mode).partitionBy(*pcols).format(fmt).save(root))
+
+
+def write_quarantine(quarantine: DataFrame, root: str, error_type: str = "processing-failed") -> None:
+    """A5: dead-letter records under ``<root>/error/<error-type>/``."""
+    out = os.path.join(root, "error", error_type)
+    quarantine.write.mode("append").format("json").save(out)
+
+
+def register_table(
+    spark: SparkSession,
+    root: str,
+    table: str,
+    db: str = DEFAULT_DB,
+    fmt: str = "parquet",
+) -> str:
+    """A6: register the lake as an external partitioned table + discover partitions.
+
+    Equivalent of the Glue crawler pass: schema from the files, partitions
+    from the directory layout, table upserted into the catalog db.
+    """
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    fq = f"{db}.{table}"
+    spark.sql(f"DROP TABLE IF EXISTS {fq}")
+    # schema inference from the lake (crawler parity), partition cols from layout
+    sample = spark.read.format(fmt).load(root)
+    data_cols = [f for f in sample.schema.fields if f.name not in PARTITION_COLS]
+    cols_ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in data_cols)
+    part_ddl = ", ".join(f"`{c}` string" for c in PARTITION_COLS)
+    spark.sql(
+        f"CREATE TABLE {fq} ({cols_ddl}) USING {fmt} "
+        f"PARTITIONED BY ({part_ddl}) LOCATION '{root}'"
+    )
+    spark.sql(f"MSCK REPAIR TABLE {fq}")
+    return fq
+
+
+def compact_partitions(
+    spark: SparkSession,
+    root: str,
+    fmt: str = "parquet",
+    target_file_mb: int = 512,
+) -> None:
+    """Small-file compaction: rewrite the lake to ~target-sized files per partition.
+
+    The reference has no answer to Firehose's 60 s micro-file problem; at
+    100 TB this job is what keeps scan task counts sane. Rewrites into a
+    temp subtree then swaps, to stay restartable.
+    """
+    df = spark.read.format(fmt).load(root)
+    size_bytes = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fns in os.walk(root)
+        for f in fns
+        if not f.startswith(("_", "."))
+    )
+    n_files = max(1, size_bytes // (target_file_mb * 1024 * 1024))
+    tmp = root.rstrip("/") + "__compact_tmp"
+    (
+        df.repartition(int(n_files), *[F.col(c) for c in PARTITION_COLS])
+        .write.mode("overwrite")
+        .partitionBy(*PARTITION_COLS)
+        .format(fmt)
+        .save(tmp)
+    )
+    import shutil
+
+    shutil.rmtree(root)
+    os.rename(tmp, root)

@@ -1,0 +1,215 @@
+"""Deduplication operators for LLM training-data pipelines (SURVEY.md §2 B10).
+
+All hot paths are built-in-function compositions (JVM side, codegen'd):
+- exact dedup: md5-keyed window, deterministic survivor (min doc_id)
+- MinHash: shingle → xxhash64 → k universal-hash minima via transform/array_min
+  (no UDF), LSH banding → bucket equi-join for candidates → exact Jaccard verify
+- SimHash: explode tokens → 64 per-bit sign aggregates (one shuffle)
+- n-gram Jaccard: inverted-index self-join (explode shingles, equi-join on
+  shingle) — the scalable pattern; a crossJoin would be O(n²) rows at 100 TB.
+
+Determinism: fixed hash seeds, fixed permutation constants; survivors and
+pair orderings always tie-broken by id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^61-1: universal hashing a*x+b mod p stays in signed 64-bit
+_P = (1 << 61) - 1
+_SEED = 42
+
+
+def _perm_constants(k: int, seed: int = _SEED) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for k universal hash permutations."""
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(k)]
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical text form: lowercase, strip punctuation, collapse whitespace."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^\p{L}\p{N}\s]", " ")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def tokens(col: Column) -> Column:
+    return F.split(normalize_text(col), " ")
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Word k-shingles as strings (distinct)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(F.concat_ws(" ", toks))))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one deterministic survivor (min id) per exact duplicate text."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", num_hashes: int = 64, shingle_k: int = 3
+) -> DataFrame:
+    """Adds ``minhash`` (array<bigint>, length num_hashes). Pure JVM expr.
+
+    Each shingle is hashed once with xxhash64; each permutation j takes
+    min over shingles of (a_j * h + b_j) mod p — ``transform`` +
+    ``array_min``, no Python in the loop.
+    """
+    consts = _perm_constants(num_hashes)
+    sh = F.array_distinct(
+        F.transform(shingles(F.col(text_col), shingle_k), lambda s: F.xxhash64(s, F.lit(_SEED)))
+    )
+    df = df.withColumn("__sh", sh)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("__sh"),
+                    lambda h, a=a, b=b: F.pmod(
+                        F.lit(a) * F.pmod(h, F.lit(_P)) + F.lit(b), F.lit(_P)
+                    ),
+                )
+            )
+            for (a, b) in consts
+        ]
+    )
+    return df.withColumn("minhash", sig).drop("__sh")
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidate generation + exact-Jaccard verification.
+
+    Returns pairs (id_a < id_b, jaccard ≥ threshold). Banding: num_hashes
+    split into ``bands`` bands of r rows; docs sharing any band signature
+    become candidates via an equi-join on (band_idx, band_hash) — the
+    100 TB-safe alternative to an all-pairs comparison.
+    """
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, num_hashes, shingle_k).select(
+        F.col(id_col), F.col(text_col), "minhash"
+    )
+    banded = sigs.select(
+        id_col,
+        text_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(",", *[F.col("minhash")[i] for i in range(b * r, (b + 1) * r)])
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{text_col}").alias("text_a"),
+            F.col(f"b.{text_col}").alias("text_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sha = shingles(F.col("text_a"), shingle_k)
+    shb = shingles(F.col("text_b"), shingle_k)
+    inter = F.size(F.array_intersect(sha, shb)).cast("double")
+    union = F.size(F.array_union(sha, shb)).cast("double")
+    return (
+        cand.withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document — explode tokens, per-bit sign votes.
+
+    One shuffle (groupBy id), 64 codegen'd aggregates; no Python.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("__tok")
+    ).withColumn("__h", F.xxhash64("__tok", F.lit(_SEED)))
+    votes = [
+        F.sum(
+            F.when(F.col("__h").bitwiseAND(F.lit(1 << i) if i < 63 else F.lit(-(1 << 63))) != 0, 1).otherwise(-1)
+        ).alias(f"__b{i}")
+        for i in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    # assemble: sum of 2^i for positive-vote bits, as unsigned-ish bigint via XOR of high bit
+    sig = None
+    for i in range(bits - 1):
+        term = F.when(F.col(f"__b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    high = F.when(F.col(f"__b{bits-1}") > 0, F.lit(-(1 << 63))).otherwise(F.lit(0))
+    return agg.select(F.col(id_col), (sig + high).alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures (popcount of XOR)."""
+    x = a.bitwiseXOR(b)
+    return F.bit_count(x)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard for all pairs sharing ≥1 shingle (inverted index).
+
+    explode → equi-join on shingle → count shared → |A∪B| = |A|+|B|-shared.
+    """
+    sized = df.select(
+        F.col(id_col), F.col(text_col), shingles(F.col(text_col), shingle_k).alias("__sh")
+    ).withColumn("__n", F.size("__sh"))
+    inv = sized.select(id_col, "__n", F.explode("__sh").alias("__s"))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    shared = (
+        a.join(b, (F.col("a.__s") == F.col("b.__s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.__n").alias("n_a"),
+            F.col("b.__n").alias("n_b"),
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    jac = F.col("shared").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast(
+        "double"
+    )
+    return shared.withColumn("jaccard", jac).where(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )

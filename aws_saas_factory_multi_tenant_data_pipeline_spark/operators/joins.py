@@ -1,0 +1,88 @@
+"""As-of and range joins (SURVEY.md §2 B3).
+
+Athena/Presto has no as-of join; the engine defines one (latest right row
+with right.ts ≤ left.ts per key) and implements it with the union+window
+trick: ONE shuffle+sort per key column, no range-join explosion. That is
+the 100 TB-safe plan — a naive range join then row_number would produce a
+candidate blow-up proportional to |left|·|right-per-key|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row: values of the latest right row with ts ≤ left ts.
+
+    Implementation: tag and union both sides on (on, ts); a single
+    ``last(..., ignoreNulls=True)`` window ordered by (ts, side) carries the
+    most recent right-side values forward onto left rows. Right rows at an
+    equal timestamp are visible to the left row (side ordering 0 < 1).
+    """
+    lcols = left.columns
+    l = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.struct(*lcols).alias("__l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+    )
+    r = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(l.schema["__l"].dataType).alias("__l"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l.unionByName(r).select(
+        "__side",
+        "__l",
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__rv_{c}") for c in right_cols],
+    )
+    out = carried.where(F.col("__side") == 1).select(
+        *[F.col(f"__l.{c}").alias(c) for c in lcols],
+        *[
+            F.col(f"__rv_{c}").alias(c + suffix if c in lcols else c)
+            for c in right_cols
+        ],
+    )
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | None,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Theta/range join: left.ts ∈ [right.start, right.end], optional equi key.
+
+    With an equi key Catalyst plans a hash/sort-merge join with the range as
+    a post-filter (scales); without one it is a BroadcastNestedLoopJoin —
+    fine only when one side is broadcast-small, which is the documented
+    perf cliff (SURVEY.md §2 B3).
+    """
+    cond = (F.col(f"l.{left_ts}") >= F.col(f"r.{right_start}")) & (
+        F.col(f"l.{left_ts}") <= F.col(f"r.{right_end}")
+    )
+    if on is not None:
+        cond = (F.col(f"l.{on}") == F.col(f"r.{on}")) & cond
+    return left.alias("l").join(right.alias("r"), cond, how)

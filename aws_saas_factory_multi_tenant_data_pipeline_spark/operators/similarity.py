@@ -1,0 +1,144 @@
+"""Similarity search over embedding columns (SURVEY.md §2 B10).
+
+Baseline: brute-force cosine top-k — broadcast the (small) query set
+against the corpus; dot products computed JVM-side with zip_with/aggregate
+(no Python). Scale path: random-hyperplane LSH bucketing cuts the candidate
+set before exact re-ranking; at 100 TB the corpus side stays partitioned
+and is scanned once either way, so cost is O(|corpus| · |queries|) for
+brute force vs O(|corpus| + collisions) for LSH.
+
+Determinism: cosine rounded to 6 dp for ranking, ties broken by ascending
+id (FIXTURES.md oracle rules).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_SEED = 42
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product — deterministic order, double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("__norm", norm(F.col(vec_col)))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Brute-force exact top-k cosine per query (broadcast the query side).
+
+    Returns (query_id, vec_id, cosine, rank). Excludes self-matches when
+    ids collide. ``cosine`` rounded to 6 dp; rank ties broken by vec_id.
+    """
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col), F.col(vec_col).alias("__cv"), F.col("__norm").alias("__cn")
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(query_id_col), F.col(vec_col).alias("__qv"), F.col("__norm").alias("__qn")
+    )
+    pairs = c.crossJoin(F.broadcast(q)).where(F.col(id_col) != F.col(query_id_col))
+    cos = F.round(dot(F.col("__cv"), F.col("__qv")) / (F.col("__cn") * F.col("__qn")), 6)
+    scored = pairs.select(query_id_col, id_col, cos.alias("cosine"))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def _hyperplanes(n_planes: int, dim: int, seed: int = _SEED) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: one bit per plane, packed as bigint."""
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        sig = sig + F.when(dot(vec, plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    n_planes: int = 12,
+    dim: int = 64,
+    n_tables: int = 4,
+) -> DataFrame:
+    """LSH-bucketed approximate top-k: equi-join on any matching band signature.
+
+    ``n_tables`` independent hyperplane sets; candidates = corpus rows
+    sharing a signature with the query in any table, then exact cosine
+    re-rank. Recall is tunable via (n_planes, n_tables).
+    """
+    tables = [
+        _hyperplanes(n_planes, dim, seed=_SEED + 1000 * t) for t in range(n_tables)
+    ]
+
+    def sigs(df: DataFrame, idc: str) -> DataFrame:
+        return df.select(
+            F.col(idc),
+            F.col(vec_col),
+            F.posexplode(
+                F.array(*[lsh_signature(F.col(vec_col), planes) for planes in tables])
+            ).alias("table_idx", "sig"),
+        )
+
+    c = sigs(corpus, id_col)
+    q = sigs(queries, query_id_col)
+    cand = (
+        c.join(F.broadcast(q), ["table_idx", "sig"])
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(
+            id_col,
+            query_id_col,
+            c[vec_col].alias("__cv"),
+            q[vec_col].alias("__qv"),
+        )
+        .dropDuplicates([id_col, query_id_col])
+    )
+    cos = F.round(
+        dot(F.col("__cv"), F.col("__qv")) / (norm(F.col("__cv")) * norm(F.col("__qv"))), 6
+    )
+    scored = cand.select(query_id_col, id_col, cos.alias("cosine"))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )

@@ -1,0 +1,115 @@
+"""Text analysis operators (SURVEY.md §2 B10): language ID, quality scoring,
+token counting, document fingerprinting.
+
+All are built-in-function compositions (JVM, codegen). Heuristics are
+deliberately simple and deterministic so the DuckDB oracle can mirror them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import (
+    normalize_text,
+    shingles,
+    tokens,
+)
+
+#: tiny stopword lists per language for the n-gram/stopword language heuristic
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "los", "por"],
+    "fr": ["le", "la", "de", "et", "un", "une", "les", "des", "est", "pour"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"],
+}
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace tokenization count."""
+    t = tokens(col)
+    return F.when(F.size(t) == 1, F.when(t[0] == "", 0).otherwise(1)).otherwise(F.size(t))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish proxy: count of word-piece matches (letters runs, digit runs,
+    punctuation singletons) — a regex approximation of subword counts."""
+    return F.size(F.regexp_extract_all(col, F.lit(r"(\p{L}+|\p{N}+|[^\p{L}\p{N}\s])"), 1))
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation ratio / stopword ratio / mean word length —
+    the standard cheap quality-filter features for LLM corpora."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_tok = token_count(c)
+    en_stop = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    return (
+        df.withColumn("n_chars_calc", F.length(c))
+        .withColumn("n_tokens", n_tok)
+        .withColumn(
+            "punct_ratio",
+            F.round(
+                F.size(F.regexp_extract_all(c, F.lit(r"([^\p{L}\p{N}\s])"), 1)).cast("double")
+                / F.greatest(F.length(c), F.lit(1)).cast("double"),
+                6,
+            ),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.round(
+                F.size(F.array_intersect(F.array_distinct(toks), en_stop)).cast("double")
+                / F.greatest(F.size(F.array_distinct(toks)), F.lit(1)).cast("double"),
+                6,
+            ),
+        )
+        .withColumn(
+            "mean_word_len",
+            F.round(
+                F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t))
+                / F.greatest(n_tok, F.lit(1)).cast("double"),
+                6,
+            ),
+        )
+    )
+
+
+def language_scores(col: Column) -> list[Column]:
+    """Per-language stopword hit counts over distinct tokens."""
+    toks = F.array_distinct(tokens(col))
+    out = []
+    for lang, words in STOPWORDS.items():
+        lit = F.array(*[F.lit(w) for w in words])
+        out.append(F.size(F.array_intersect(toks, lit)).alias(f"score_{lang}"))
+    return out
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Argmax language over stopword scores; 'und' when all zero.
+
+    Ties broken by language code order (deterministic). A production
+    system would use char n-gram models; the operator shape (scores →
+    argmax) is identical.
+    """
+    scored = df.select("*", *language_scores(F.col(text_col)))
+    langs = sorted(STOPWORDS)  # deterministic tie order
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    pred = F.lit("und")
+    for l in reversed(langs):  # earlier langs win ties → apply later ones first
+        pred = F.when((F.col(f"score_{l}") == best) & (best > 0), F.lit(l)).otherwise(pred)
+    return scored.withColumn("pred_lang", pred)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", shingle_k: int = 3) -> DataFrame:
+    """Winnowing-style document fingerprint: min md5 over word shingles.
+
+    md5 (not xxhash64) so the oracle engine computes identical values.
+    """
+    sh = shingles(F.col(text_col), shingle_k)
+    return df.withColumn(
+        "fingerprint", F.array_min(F.transform(sh, lambda s: F.md5(s)))
+    ).withColumn("norm_fingerprint", F.md5(normalize_text(F.col(text_col))))

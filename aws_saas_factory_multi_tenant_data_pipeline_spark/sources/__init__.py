@@ -1,0 +1,94 @@
+"""Sources: batch + streaming readers for the engine (SURVEY.md §2 B1).
+
+Table registry for the driver's synthetic testdata (TESTDATA.md) plus
+generic readers (parquet/json/csv/partitioned-lake). Readers always take an
+explicit schema when parity requires it; schema inference is kept only for
+the crawler-parity path (lake.register_table).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table (parquet scan — pushdown + pruning enabled).
+
+    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; read it as long nanos (legacy conf) and convert to a
+    microsecond TimestampType column in-plan.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path)
+    if any(getattr(t, "unit", None) == "ns" for t in schema.types):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for f in df.schema.fields:
+        if f.name == "ts" and isinstance(f.dataType, T.LongType):
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_testdata_views(spark: SparkSession, sf_dir: str, tables=TESTDATA_TABLES) -> None:
+    """Register all testdata tables as temp views for spark.sql() queries."""
+    for t in tables:
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def read_json_lines(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """JSON-lines scan (lake parity with the reference's Firehose output).
+
+    Without a schema: inference (crawler parity). Bad rows surface in
+    ``_corrupt_record`` (PERMISSIVE mode) for A5-style quarantining.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.option("columnNameOfCorruptRecord", "_corrupt_record").json(path)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: T.StructType | None = None, header: bool = True
+) -> DataFrame:
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_lake(spark: SparkSession, root: str, fmt: str = "parquet") -> DataFrame:
+    """Partition-discovering scan over a ``tenant=/year=/…`` layout."""
+    return spark.read.format(fmt).option("basePath", root).load(root)
+
+
+def stream_json_source(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """File-based streaming source standing in for the Kinesis consumer (A1).
+
+    ``maxFilesPerTrigger`` bounds micro-batch size the way Kinesis shard
+    polling bounds the Flink source's per-fetch records.
+    """
+    return (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "16").json(path)
+    )

@@ -1,0 +1,95 @@
+"""Structured Streaming pipeline (SURVEY.md §2 Tier A A1-A5 + B8).
+
+The reference's stream path is Kinesis → Flink stateless enrich → Firehose
+60 s-buffered partitioned S3 sink (FirehoseStreamingSinkJob.java:62-66,
+kinesis-stack.ts:137-162). Here the same dataflow is ONE streaming query:
+
+    readStream (A1) → ingest_batch's transforms (A2/A8/A4 — the exact same
+    functions as batch, so batch/stream parity holds by construction) →
+    foreachBatch partitioned write + quarantine (A3/A4/A5).
+
+Checkpointing stands in for Flink's 60 s checkpoints
+(kinesis-stack.ts:200-205); trigger defaults to the Firehose 60 s buffer
+(kinesis-stack.ts:140-142) but tests use availableNow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from aws_saas_factory_multi_tenant_data_pipeline_spark.ingest import ingest_batch
+from aws_saas_factory_multi_tenant_data_pipeline_spark.lake import write_lake, write_quarantine
+from aws_saas_factory_multi_tenant_data_pipeline_spark.tenancy import TenantContext
+
+
+def start_ingest_stream(
+    raw_stream: DataFrame,
+    lake_root: str,
+    checkpoint: str,
+    tenant: TenantContext | None = None,
+    trigger_seconds: int | None = 60,
+    fmt: str = "parquet",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """The A1→A5 pipeline as one streaming query with a foreachBatch sink."""
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        res = ingest_batch(batch_df, tenant)
+        write_lake(res.valid, lake_root, fmt=fmt)
+        if res.quarantine.limit(1).count() > 0:
+            write_quarantine(res.quarantine, lake_root, "validation-failed")
+
+    writer = raw_stream.writeStream.foreachBatch(_sink).option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def tumbling_counts(events: DataFrame, ts_col: str = "ts", width: str = "1 hour") -> DataFrame:
+    """B8 tumbling window agg (A4's hourly partitioning is a tumbling hour)."""
+    return (
+        events.groupBy(F.window(F.col(ts_col), width).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("event_type"),
+            F.col("n"),
+            F.col("sum_value"),
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, ts_col: str = "ts", width: str = "10 minutes", slide: str = "5 minutes"
+) -> DataFrame:
+    """B8 sliding window agg."""
+    return (
+        events.groupBy(F.window(F.col(ts_col), width, slide).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), F.col("event_type"), F.col("n"))
+    )
+
+
+def session_counts(events: DataFrame, ts_col: str = "ts", gap: str = "30 minutes") -> DataFrame:
+    """B8 session window agg (gap-based; batch-equivalent to lag+cumsum islands)."""
+    return (
+        events.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            F.col("user_id"),
+            F.col("n"),
+        )
+    )
+
+
+def with_watermarked_dedup(
+    events: DataFrame, ts_col: str = "ts", key: str = "event_id", delay: str = "10 minutes"
+) -> DataFrame:
+    """B8 stateful dedup: at-most-once per key within the watermark horizon."""
+    return events.withWatermark(ts_col, delay).dropDuplicates([key])

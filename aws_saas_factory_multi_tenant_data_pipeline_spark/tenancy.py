@@ -1,0 +1,40 @@
+"""Tenant context — the engine-side stand-in for the reference's authorizer.
+
+In the reference, tenant identity is never client data: it is extracted from
+the verified JWT (lambda_authorizer/app.py:20-21,57-67) and injected
+server-side as the Kinesis partition key (apigateway-stack.ts:124-127).
+The Spark engine keeps the same invariant by making every ingest/query API
+take a ``TenantContext`` produced by the caller's auth layer — the payload
+never supplies the tenant id. JWT verification itself is out of Spark scope
+and pluggable here.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+_TENANT_RE = re.compile(r"^[A-Za-z0-9_\-]{1,64}$")
+
+
+class TenantError(ValueError):
+    """Raised for missing/malformed tenant identity."""
+
+
+@dataclass(frozen=True)
+class TenantContext:
+    """Authenticated tenant identity (reference claim: ``custom:tenantId``)."""
+
+    tenant_id: str
+
+    def __post_init__(self) -> None:
+        if not _TENANT_RE.match(self.tenant_id or ""):
+            raise TenantError(f"invalid tenant_id: {self.tenant_id!r}")
+
+
+def from_claims(claims: dict) -> TenantContext:
+    """Extract tenant from a (pre-verified) claims dict, as app.py:20-21 does."""
+    tid = claims.get("custom:tenantId")
+    if not tid:
+        raise TenantError("missing custom:tenantId claim")
+    return TenantContext(tenant_id=str(tid))

@@ -53,7 +53,7 @@ def tumbling_counts(events: DataFrame, ts_col: str = "ts", width: str = "1 hour"
     """B8 tumbling window agg (A4's hourly partitioning is a tumbling hour)."""
     return (
         events.groupBy(F.window(F.col(ts_col), width).alias("w"), F.col("event_type"))
-        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .agg(F.count("*").alias("n"), F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"))
         .select(
             F.col("w.start").alias("window_start"),
             F.col("event_type"),

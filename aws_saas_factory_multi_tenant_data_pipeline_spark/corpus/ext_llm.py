@@ -1,1 +1,345 @@
-"""(filled in incrementally)"""
+"""B10 [EXT] LLM-data-pipeline operators over documents/embeddings
+(BASELINE.json north_star): dedup (exact / MinHash-LSH / SimHash / n-gram
+Jaccard), similarity search (brute-force + LSH), text analysis (token
+counts, quality features, language ID, fingerprints), TF-IDF.
+
+Approximate operators (MinHash, SimHash, LSH) have no SQL twin — they get
+rows-only driver checks here plus recall/property tests in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus import register
+from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus._util import t
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.similarity import (
+    cosine_topk,
+    lsh_cosine_topk,
+)
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.text import (
+    bpe_ish_token_count,
+    fingerprint,
+    language_id,
+    quality_features,
+    token_count,
+)
+
+# DuckDB twin of operators.dedup.normalize_text / tokens (regex classes differ
+# in spelling only: \p{L}\p{N} ≡ [a-zA-Z0-9] for this ASCII corpus)
+_DUCK_NORM = r"trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))"
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT doc_id, text, lang,
+                   ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM documents)
+        SELECT doc_id, lang FROM keyed WHERE rn = 1
+        ORDER BY doc_id
+    """,
+    tags=("B10",),
+    doc="Exact dedup: hash-keyed, deterministic min-id survivor.",
+)
+def dedup_exact(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return exact_dedup(d).select("doc_id", "lang").orderBy("doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split({_DUCK_NORM}, ' ') AS ws FROM documents WHERE doc_id < 100),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(CASE WHEN len(ws) >= 3
+                        THEN list_transform(generate_series(1, len(ws) - 2),
+                                            i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))
+                        ELSE [concat_ws(' ', ws)] END) AS shingles
+            FROM toks),
+        inv AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b, COUNT(*) AS shared
+            FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4)
+        SELECT id_a, id_b,
+               ROUND(CAST(shared AS DOUBLE) / (n_a + n_b - shared), 6) AS jaccard
+        FROM pairs
+        WHERE CAST(shared AS DOUBLE) / (n_a + n_b - shared) >= 0.1
+        ORDER BY id_a, id_b
+    """,
+    tags=("B10",),
+    doc="Exact n-gram (3-shingle) Jaccard over an inverted-index self-join — "
+    "the scalable near-dup ground truth (no O(n²) crossJoin).",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return (
+        ngram_jaccard_pairs(d, threshold=0.1)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # ◐ probabilistic; recall vs exact Jaccard asserted in tests/
+    tags=("B10",),
+    doc="MinHash-LSH near-dup candidates (64 hashes, 16 bands) verified with "
+    "exact Jaccard ≥ 0.3; JVM-only expressions (transform/array_min).",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return minhash_near_duplicates(d, jaccard_threshold=0.3).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # engine-specific hash bits; Hamming-distance properties tested in tests/
+    tags=("B10",),
+    doc="64-bit SimHash signatures via explode + 64 per-bit sign aggregates.",
+)
+def dedup_simhash(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return simhash(d).orderBy("doc_id")
+
+
+@register(
+    "similarity_topk_cosine",
+    oracle="""
+        WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+        queries AS (SELECT vec_id AS query_id, embedding AS q FROM embeddings WHERE vec_id < 8),
+        scored AS (
+            SELECT query_id, vec_id,
+                   ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(q AS DOUBLE[]))
+                         / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                            * sqrt(list_dot_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[])))), 6) AS cosine
+            FROM corpus CROSS JOIN queries
+            WHERE vec_id != query_id),
+        ranked AS (
+            SELECT query_id, vec_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+            FROM scored)
+        SELECT query_id, vec_id, cosine, rank
+        FROM ranked WHERE rank <= 10
+        ORDER BY query_id, rank
+    """,
+    tags=("B10",),
+    doc="Brute-force exact top-10 cosine for 8 query vectors (broadcast "
+    "queries, JVM zip_with/aggregate dot products; ties by vec_id).",
+)
+def similarity_topk_cosine(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return cosine_topk(emb, queries, k=10).orderBy("query_id", "rank")
+
+
+@register(
+    "similarity_lsh_ann",
+    oracle=None,  # ◐ approximate; recall vs brute force asserted in tests/
+    tags=("B10",),
+    doc="LSH-bucketed approximate NN (random hyperplanes, 4 tables × 12 bits) "
+    "— the 100 TB path: equi-join on signatures instead of crossJoin.",
+)
+def similarity_lsh_ann(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return lsh_cosine_topk(emb, queries, k=10).orderBy("query_id", "rank")
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+        SELECT doc_id,
+               length(text) AS n_chars_calc,
+               len(string_split({_DUCK_NORM}, ' ')) AS n_tokens,
+               len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct,
+               (n_chars = length(text)) AS n_chars_matches
+        FROM documents
+        ORDER BY doc_id
+    """,
+    tags=("B10",),
+    doc="Text stats: char/token/punctuation counts (whitespace tokenizer).",
+)
+def text_stats(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        F.length(c).alias("n_chars_calc"),
+        token_count(c).alias("n_tokens"),
+        F.size(F.regexp_extract_all(c, F.lit(r"([^\p{L}\p{N}\s])"), 1)).alias("n_punct"),
+        (F.col("n_chars") == F.length(c)).alias("n_chars_matches"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, text, string_split({_DUCK_NORM}, ' ') AS ws FROM documents)
+        SELECT doc_id,
+               ROUND(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+                     / GREATEST(length(text), 1), 6) AS punct_ratio,
+               ROUND(CAST(len(list_intersect(list_distinct(ws),
+                     ['the','a','and','of','to','in','is','it','that','for'])) AS DOUBLE)
+                     / GREATEST(len(list_distinct(ws)), 1), 6) AS stopword_ratio,
+               ROUND(CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+                     / GREATEST(len(ws), 1), 6) AS mean_word_len
+        FROM toks
+        ORDER BY doc_id
+    """,
+    tags=("B10",),
+    doc="Quality-filter features: punctuation ratio, stopword ratio, mean word length.",
+)
+def text_quality(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return quality_features(d).select(
+        "doc_id", "punct_ratio", "stopword_ratio", "mean_word_len"
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_language_id",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   list_distinct(string_split(trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')) AS ws
+            FROM documents),
+        scores AS (
+            SELECT doc_id, lang,
+                   len(list_intersect(ws, ['der','die','das','und','ist','ein','eine','zu','den','von'])) AS score_de,
+                   len(list_intersect(ws, ['the','a','and','of','to','in','is','it','that','for'])) AS score_en,
+                   len(list_intersect(ws, ['el','la','de','que','y','en','un','una','los','por'])) AS score_es,
+                   len(list_intersect(ws, ['le','la','de','et','un','une','les','des','est','pour'])) AS score_fr
+            FROM toks),
+        best AS (
+            SELECT *, GREATEST(score_de, score_en, score_es, score_fr) AS mx FROM scores)
+        SELECT doc_id, lang,
+               CASE WHEN mx = 0 THEN 'und'
+                    WHEN score_de = mx THEN 'de'
+                    WHEN score_en = mx THEN 'en'
+                    WHEN score_es = mx THEN 'es'
+                    ELSE 'fr' END AS pred_lang
+        FROM best
+        ORDER BY doc_id
+    """,
+    tags=("B10",),
+    doc="Stopword-score language ID (argmax, code-order ties) — deterministic "
+    "heuristic; accuracy vs the lang column asserted in tests/.",
+)
+def text_language_id(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return language_id(d).select("doc_id", "lang", "pred_lang").orderBy("doc_id")
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_DUCK_NORM} AS norm, string_split({_DUCK_NORM}, ' ') AS ws
+            FROM documents),
+        sh AS (
+            SELECT doc_id, norm,
+                   list_distinct(CASE WHEN len(ws) >= 3
+                        THEN list_transform(generate_series(1, len(ws) - 2),
+                                            i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))
+                        ELSE [concat_ws(' ', ws)] END) AS shingles
+            FROM toks)
+        SELECT doc_id,
+               list_min(list_transform(shingles, s -> md5(s))) AS fingerprint,
+               md5(norm) AS norm_fingerprint
+        FROM sh
+        ORDER BY doc_id
+    """,
+    tags=("B10",),
+    doc="Winnowing-style fingerprints: min-md5 over 3-shingles + whole-doc "
+    "normalized md5 (md5 so both engines compute identical values).",
+)
+def text_fingerprint(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return fingerprint(d).select("doc_id", "fingerprint", "norm_fingerprint").orderBy("doc_id")
+
+
+@register(
+    "text_token_count_bpe",
+    oracle="""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_pieces
+        FROM documents
+        ORDER BY doc_id
+    """,
+    tags=("B10",),
+    doc="BPE-ish token counting (letter runs / digit runs / punct singletons).",
+)
+def text_token_count_bpe(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", bpe_ish_token_count(F.col("text")).alias("n_pieces")).orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split({_DUCK_NORM}, ' ')) AS term FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+            FROM tf JOIN df USING (term) CROSS JOIN n),
+        ranked AS (
+            SELECT doc_id, term, tfidf,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+            FROM scored)
+        SELECT doc_id, term, tfidf, rk
+        FROM ranked WHERE rk <= 3 AND doc_id < 50
+        ORDER BY doc_id, rk
+    """,
+    tags=("B10",),
+    doc="TF-IDF top-3 terms per doc: explode → tf/df aggs → window top-k "
+    "(ties by term; idf = ln(N/df)).",
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import tokens
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where((F.col("rk") <= 3) & (F.col("doc_id") < 50))
+        .orderBy("doc_id", "rk")
+    )

@@ -17,8 +17,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-# Mersenne prime 2^61-1: universal hashing a*x+b mod p stays in signed 64-bit
-_P = (1 << 61) - 1
+# Mersenne prime 2^31-1: universal hashing a*x+b mod p — (p-1)^2 + b fits in
+# signed 64-bit, so the multiply never overflows under ANSI mode
+_P = (1 << 31) - 1
 _SEED = 42
 
 
@@ -72,18 +73,12 @@ def minhash_signatures(
         F.transform(shingles(F.col(text_col), shingle_k), lambda s: F.xxhash64(s, F.lit(_SEED)))
     )
     df = df.withColumn("__sh", sh)
+
+    def perm(a: int, b: int):
+        return lambda h: F.pmod(F.lit(a) * F.pmod(h, F.lit(_P)) + F.lit(b), F.lit(_P))
+
     sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("__sh"),
-                    lambda h, a=a, b=b: F.pmod(
-                        F.lit(a) * F.pmod(h, F.lit(_P)) + F.lit(b), F.lit(_P)
-                    ),
-                )
-            )
-            for (a, b) in consts
-        ]
+        *[F.array_min(F.transform(F.col("__sh"), perm(a, b))) for (a, b) in consts]
     )
     return df.withColumn("minhash", sig).drop("__sh")
 

@@ -110,26 +110,21 @@ def lsh_cosine_topk(
         _hyperplanes(n_planes, dim, seed=_SEED + 1000 * t) for t in range(n_tables)
     ]
 
-    def sigs(df: DataFrame, idc: str) -> DataFrame:
+    def sigs(df: DataFrame, idc: str, vec_alias: str) -> DataFrame:
         return df.select(
             F.col(idc),
-            F.col(vec_col),
+            F.col(vec_col).alias(vec_alias),
             F.posexplode(
                 F.array(*[lsh_signature(F.col(vec_col), planes) for planes in tables])
             ).alias("table_idx", "sig"),
         )
 
-    c = sigs(corpus, id_col)
-    q = sigs(queries, query_id_col)
+    c = sigs(corpus, id_col, "__cv")
+    q = sigs(queries, query_id_col, "__qv")
     cand = (
         c.join(F.broadcast(q), ["table_idx", "sig"])
         .where(F.col(id_col) != F.col(query_id_col))
-        .select(
-            id_col,
-            query_id_col,
-            c[vec_col].alias("__cv"),
-            q[vec_col].alias("__qv"),
-        )
+        .select(id_col, query_id_col, "__cv", "__qv")
         .dropDuplicates([id_col, query_id_col])
     )
     cos = F.round(

@@ -73,8 +73,16 @@ def register_table(
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
     fq = f"{db}.{table}"
     spark.sql(f"DROP TABLE IF EXISTS {fq}")
-    # schema inference from the lake (crawler parity), partition cols from layout
-    sample = spark.read.format(fmt).load(root)
+    # schema inference from the lake (crawler parity), partition cols from
+    # layout; glob only the tenant=* subtree so the error/ quarantine prefix
+    # (A5, same-bucket layout as the reference) is excluded — the crawler
+    # likewise catalogs errors as a separate table
+    first = PARTITION_COLS[0]
+    sample = (
+        spark.read.format(fmt)
+        .option("basePath", root)
+        .load(os.path.join(root, f"{first}=*"))
+    )
     data_cols = [f for f in sample.schema.fields if f.name not in PARTITION_COLS]
     cols_ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in data_cols)
     part_ddl = ", ".join(f"`{c}` string" for c in PARTITION_COLS)

@@ -96,31 +96,44 @@ def lsh_cosine_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
-    n_planes: int = 12,
+    n_planes: int = 8,
     dim: int = 64,
-    n_tables: int = 4,
+    n_tables: int = 8,
+    multiprobe: bool = True,
 ) -> DataFrame:
     """LSH-bucketed approximate top-k: equi-join on any matching band signature.
 
     ``n_tables`` independent hyperplane sets; candidates = corpus rows
     sharing a signature with the query in any table, then exact cosine
-    re-rank. Recall is tunable via (n_planes, n_tables).
+    re-rank. The query side optionally multiprobes all 1-bit-flipped
+    signatures (costs n_planes× more probe rows on the tiny query side,
+    buys large recall on the corpus side — the right trade at 100 TB).
+    Recall vs candidate fraction is tunable via (n_planes, n_tables);
+    near-orthogonal corpora (like the synthetic testdata) are the known
+    worst case for hyperplane LSH — see tests/test_operators_ext.py.
     """
     tables = [
         _hyperplanes(n_planes, dim, seed=_SEED + 1000 * t) for t in range(n_tables)
     ]
 
-    def sigs(df: DataFrame, idc: str, vec_alias: str) -> DataFrame:
+    def sigs(df: DataFrame, idc: str, vec_alias: str, probe: bool) -> DataFrame:
+        per_table = []
+        for ti, planes in enumerate(tables):
+            base = lsh_signature(F.col(vec_col), planes)
+            variants = [base]
+            if probe:
+                variants += [base.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+            per_table += [
+                F.struct(F.lit(ti).alias("table_idx"), v.alias("sig")) for v in variants
+            ]
         return df.select(
             F.col(idc),
             F.col(vec_col).alias(vec_alias),
-            F.posexplode(
-                F.array(*[lsh_signature(F.col(vec_col), planes) for planes in tables])
-            ).alias("table_idx", "sig"),
-        )
+            F.explode(F.array(*per_table)).alias("__ts"),
+        ).select(idc, vec_alias, "__ts.table_idx", "__ts.sig")
 
-    c = sigs(corpus, id_col, "__cv")
-    q = sigs(queries, query_id_col, "__qv")
+    c = sigs(corpus, id_col, "__cv", probe=False)
+    q = sigs(queries, query_id_col, "__qv", probe=multiprobe)
     cand = (
         c.join(F.broadcast(q), ["table_idx", "sig"])
         .where(F.col(id_col) != F.col(query_id_col))

@@ -43,4 +43,15 @@ def assert_broadcast_join(df: DataFrame) -> None:
 
 
 def codegen_stage_count(df: DataFrame) -> int:
-    return simple_plan(df).count("WholeStageCodegen")
+    """Number of whole-stage-codegen spans in the (final) physical plan.
+
+    Under AQE the codegen'd final plan only exists after execution, where
+    stages appear as ``*(n)`` markers; triggers the query if needed.
+    """
+    ep = df._jdf.queryExecution().executedPlan()
+    plan = ep.toString()
+    if "AdaptiveSparkPlan" in plan:
+        df.count()
+        plan = df._jdf.queryExecution().executedPlan().finalPhysicalPlan().toString()
+        return plan.count("*(")
+    return plan.count("WholeStageCodegen")

@@ -78,9 +78,19 @@ def read_csv(
     return reader.csv(path)
 
 
-def read_lake(spark: SparkSession, root: str, fmt: str = "parquet") -> DataFrame:
-    """Partition-discovering scan over a ``tenant=/year=/…`` layout."""
-    return spark.read.format(fmt).option("basePath", root).load(root)
+def read_lake(
+    spark: SparkSession, root: str, fmt: str = "parquet", first_partition_col: str = "tenant"
+) -> DataFrame:
+    """Partition-discovering scan over a ``tenant=/year=/…`` layout.
+
+    Globs the first partition level so the sibling ``error/`` quarantine
+    prefix (A5 reference layout) never pollutes partition discovery.
+    """
+    return (
+        spark.read.format(fmt)
+        .option("basePath", root)
+        .load(os.path.join(root, f"{first_partition_col}=*"))
+    )
 
 
 def stream_json_source(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:

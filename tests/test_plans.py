@@ -1,0 +1,80 @@
+"""Scale-critical plan assertions (SURVEY.md §4): pushdown reaches the
+parquet scan, small dims broadcast, hot paths stay in whole-stage codegen,
+the as-of join produces a single shuffle (no range-join blow-up).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus._util import t
+from aws_saas_factory_multi_tenant_data_pipeline_spark.plans import (
+    assert_broadcast_join,
+    assert_pushed_filter,
+    codegen_stage_count,
+    formatted_plan,
+)
+
+
+def test_filter_pushdown_to_parquet(spark, sf_smoke):
+    li = t(spark, sf_smoke, "lineitem")
+    q = li.where(F.col("l_orderkey") == 42).select("l_orderkey", "l_quantity")
+    assert_pushed_filter(q, "l_orderkey")
+    # column pruning: scan schema is just the 2 projected columns
+    plan = formatted_plan(q)
+    assert "ReadSchema" in plan
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_extendedprice" not in read
+
+
+def test_small_dim_join_broadcasts(spark, sf_smoke):
+    li = t(spark, sf_smoke, "lineitem")
+    n = t(spark, sf_smoke, "nation")
+    s = t(spark, sf_smoke, "supplier")
+    q = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .count()
+    )
+    assert_broadcast_join(q)
+
+
+def test_agg_uses_whole_stage_codegen(spark, sf_smoke):
+    li = t(spark, sf_smoke, "lineitem")
+    q = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    assert codegen_stage_count(q) >= 1
+
+
+def test_asof_join_single_shuffle(spark, sf_smoke):
+    """The union+window as-of plan must contain exactly one exchange on the
+    key — not a nested-loop join (the naive plan)."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.joins import asof_join
+
+    e = t(spark, sf_smoke, "events")
+    left = e.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    right = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("pv")
+    )
+    q = asof_join(left, right, on="user_id", left_ts="ts", right_ts="ts", right_cols=["pv"])
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+    assert plan.count("Exchange") <= 2  # union-side exchange + window partitioning
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    import json
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.ingest import ingest_batch
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.lake import write_lake
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.plans import assert_partition_pruned
+
+    rows = [
+        (f"t{i % 3}", json.dumps({"Data": {"device": "TV", "event": "e", "region": "US"}}))
+        for i in range(30)
+    ]
+    raw = spark.createDataFrame(rows, "tenant_id string, raw string")
+    root = str(tmp_path / "lake")
+    write_lake(ingest_batch(raw, ingest_ts=1700000000).valid, root)
+    scan = spark.read.parquet(root).where(F.col("tenant") == "t1")
+    assert_partition_pruned(scan, "tenant", "t1")

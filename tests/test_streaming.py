@@ -1,0 +1,113 @@
+"""B8 streaming semantics tests: the pipeline as a real Structured Streaming
+query (batch/stream parity by construction), watermark late-data behavior,
+stateful dedup (SURVEY.md §5 item 3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from aws_saas_factory_multi_tenant_data_pipeline_spark.sources import read_lake, stream_json_source
+from aws_saas_factory_multi_tenant_data_pipeline_spark.streaming import start_ingest_stream
+
+RAW_SCHEMA = T.StructType(
+    [T.StructField("tenant_id", T.StringType()), T.StructField("raw", T.StringType())]
+)
+
+
+def _write_raw_json(path: str, n: int = 30) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "batch0.json"), "w") as f:
+        for i in range(n):
+            rec = {
+                "tenant_id": f"t{i % 2}",
+                "raw": json.dumps(
+                    {"Data": {"device": "TV", "event": f"e{i}", "region": "US"}}
+                ),
+            }
+            f.write(json.dumps(rec) + "\n")
+        # one malformed payload → quarantine
+        f.write(json.dumps({"tenant_id": "t0", "raw": "{oops"}) + "\n")
+
+
+def test_streaming_ingest_pipeline(spark, tmp_path):
+    """A1→A5 as one streaming query; results equal the batch path by construction."""
+    src = str(tmp_path / "src")
+    lake = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    _write_raw_json(src)
+
+    stream = stream_json_source(spark, src, RAW_SCHEMA)
+    assert stream.isStreaming
+    q = start_ingest_stream(stream, lake, ckpt, available_now=True)
+    q.awaitTermination(120)
+
+    out = read_lake(spark, lake)
+    assert out.count() == 30
+    assert set(c for c in out.columns) >= {"event", "TenantId", "tenant", "year", "hour"}
+    # tenant partition dirs exist
+    assert any(d.startswith("tenant=") for d in os.listdir(lake))
+    # quarantine got the malformed record
+    err = spark.read.json(os.path.join(lake, "error", "validation-failed"))
+    assert err.count() == 1
+
+
+def test_streaming_tumbling_window_matches_batch(spark, tmp_path):
+    """Streaming windowed agg == batch windowed agg on the same data."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus._util import t
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.streaming import tumbling_counts
+
+    events = t(spark, "/root/testdata/sf0.001", "events")
+    # write events to a parquet dir and re-read as a stream
+    src = str(tmp_path / "events_src")
+    events.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    agg = tumbling_counts(stream.withWatermark("ts", "1 hour"))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tumbling_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.sql(
+        "SELECT window_start, event_type, n, sum_value FROM tumbling_out"
+    ).toPandas()
+    batch = tumbling_counts(events).toPandas()
+    s = streamed.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    b = batch.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    assert len(s) == len(b)
+    assert (s["n"].values == b["n"].values).all()
+    assert (s["sum_value"].values == b["sum_value"].values).all()
+
+
+def test_streaming_dedup_drops_duplicates(spark, tmp_path):
+    """dropDuplicates with watermark: duplicated keys arrive once downstream."""
+    src = str(tmp_path / "dup_src")
+    os.makedirs(src, exist_ok=True)
+    rows = [{"event_id": i % 10, "ts": f"2024-01-01T00:{i:02d}:00.000Z"} for i in range(30)]
+    with open(os.path.join(src, "a.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    schema = T.StructType(
+        [T.StructField("event_id", T.LongType()), T.StructField("ts", T.TimestampType())]
+    )
+    stream = spark.readStream.schema(schema).json(src)
+    dedup = stream.withWatermark("ts", "10 minutes").dropDuplicates(["event_id"])
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_id FROM dedup_out").toPandas()
+    assert sorted(got["event_id"]) == list(range(10))

@@ -54,6 +54,9 @@ def load_all() -> dict[str, QuerySpec]:
         streaming_batch,
         udfs,
         ext_llm,
+        sources_sinks,
+        subqueries,
+        analytics_extra,
     )
 
     return REGISTRY

@@ -1,0 +1,248 @@
+"""Coverage beyond the core families: statistical aggregates, pivot/unpivot,
+remaining window functions (cume_dist / nth_value), second string/math/
+datetime function waves, bitwise ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus import register
+from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus._util import t
+
+
+@register(
+    "agg_stats",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+               ROUND(stddev_pop(l_quantity), 6) AS sdp_qty,
+               ROUND(var_samp(l_discount), 6) AS var_disc,
+               ROUND(var_pop(l_discount), 6) AS varp_disc,
+               ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+               ROUND(covar_samp(l_quantity, l_discount), 6) AS cov_qd
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    tags=("B4",),
+    doc="Statistical aggregates: stddev/variance (samp+pop), corr, covar "
+    "(rounded to 6 dp — merge-order float tolerance).",
+)
+def agg_stats(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+            F.round(F.stddev_pop("l_quantity"), 6).alias("sdp_qty"),
+            F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+            F.round(F.var_pop("l_discount"), 6).alias("varp_disc"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+            F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("cov_qd"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "pivot_status_priority",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f_n,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o_n,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p_n
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("B4", "B6"),
+    doc="PIVOT (wide conditional aggregation) via DataFrame .pivot().",
+)
+def pivot_status_priority(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count("*"))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("f_n"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("o_n"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("p_n"),
+    ).orderBy("o_orderpriority")
+
+
+@register(
+    "unpivot_stack",
+    oracle="""
+        SELECT c_custkey, metric, CAST(val AS DOUBLE) AS val
+        FROM (
+            SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
+            UNION ALL
+            SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) FROM customer)
+        WHERE c_custkey <= 50
+        ORDER BY c_custkey, metric
+    """,
+    tags=("B6",),
+    doc="UNPIVOT via stack() (long-form melt).",
+)
+def unpivot_stack(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").where(F.col("c_custkey") <= 50)
+    return (
+        c.selectExpr(
+            "c_custkey",
+            "stack(2, 'acctbal', c_acctbal, 'nationkey', CAST(c_nationkey AS DOUBLE)) AS (metric, val)",
+        )
+        .orderBy("c_custkey", "metric")
+    )
+
+
+@register(
+    "win_cume_nth",
+    oracle="""
+        SELECT s_suppkey,
+               ROUND(cume_dist() OVER w, 6) AS cd,
+               nth_value(s_suppkey, 2) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_richest
+        FROM supplier
+        WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+        ORDER BY s_suppkey
+    """,
+    tags=("B5",),
+    doc="cume_dist and nth_value window functions.",
+)
+def win_cume_nth(spark, sf_dir):
+    s = t(spark, sf_dir, "supplier")
+    w = W.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return s.select(
+        "s_suppkey",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.nth_value("s_suppkey", 2).over(w_full).alias("second_richest"),
+    ).orderBy("s_suppkey")
+
+
+@register(
+    "fn_string_wave2",
+    oracle="""
+        SELECT p_partkey,
+               translate(p_name, 'aeiou', '     ') AS blanked,
+               reverse(p_brand) AS rev_brand,
+               repeat(left(p_type, 2), 3) AS rep2x3,
+               ascii(p_name) AS first_cp,
+               chr(65 + (p_size % 26)) AS size_chr,
+               right(p_name, 4) AS last4,
+               split_part(p_type, ' ', 1) AS type_head,
+               starts_with(p_name, 'a') AS sw_a,
+               ends_with(p_type, 'd') AS ew_d,
+               position('o' IN p_name) AS o_pos,
+               contains(p_name, 'gold') AS has_gold
+        FROM part
+        WHERE p_partkey <= 300
+        ORDER BY p_partkey
+    """,
+    tags=("B7",),
+    doc="String wave 2: translate/reverse/repeat/ascii/chr/left/right/"
+    "split_part/starts_with/ends_with/position/contains.",
+)
+def fn_string_wave2(spark, sf_dir):
+    p = t(spark, sf_dir, "part").where(F.col("p_partkey") <= 300)
+    return p.select(
+        "p_partkey",
+        F.translate("p_name", "aeiou", "     ").alias("blanked"),
+        F.reverse(F.col("p_brand")).alias("rev_brand"),
+        F.repeat(F.substring("p_type", 1, 2), 3).alias("rep2x3"),
+        F.ascii("p_name").alias("first_cp"),
+        F.chr(F.lit(65) + F.pmod(F.col("p_size"), F.lit(26))).alias("size_chr"),
+        F.substring(F.col("p_name"), -4, 4).alias("last4"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+        F.startswith(F.col("p_name"), F.lit("a")).alias("sw_a"),
+        F.endswith(F.col("p_type"), F.lit("d")).alias("ew_d"),
+        F.instr(F.col("p_name"), "o").alias("o_pos"),
+        F.contains(F.col("p_name"), F.lit("gold")).alias("has_gold"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "fn_math_wave2",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               ROUND(sin(l_discount), 6) AS sin_d,
+               ROUND(cos(l_discount), 6) AS cos_d,
+               ROUND(atan2(l_quantity, l_extendedprice), 6) AS at2,
+               ROUND(degrees(l_discount), 6) AS deg_d,
+               ROUND(radians(l_quantity), 6) AS rad_q,
+               ROUND(cbrt(l_quantity), 6) AS cbrt_q,
+               ROUND(log2(l_extendedprice), 6) AS log2_p,
+               (CAST(l_orderkey AS BIGINT) & 255) AS key_and,
+               (CAST(l_orderkey AS BIGINT) | 4096) AS key_or,
+               xor(CAST(l_orderkey AS BIGINT), 511) AS key_xor,
+               (CAST(l_orderkey AS BIGINT) << 2) AS key_shl,
+               (CAST(l_orderkey AS BIGINT) >> 1) AS key_shr
+        FROM lineitem
+        WHERE l_orderkey <= 300
+        ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("B7",),
+    doc="Math wave 2: trig/atan2/degrees/radians/cbrt/log2 + bitwise and/or/"
+    "xor/shifts.",
+)
+def fn_math_wave2(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 300)
+    key = F.col("l_orderkey").cast("long")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sin("l_discount"), 6).alias("sin_d"),
+        F.round(F.cos("l_discount"), 6).alias("cos_d"),
+        F.round(F.atan2(F.col("l_quantity"), F.col("l_extendedprice")), 6).alias("at2"),
+        F.round(F.degrees("l_discount"), 6).alias("deg_d"),
+        F.round(F.radians("l_quantity"), 6).alias("rad_q"),
+        F.round(F.cbrt("l_quantity"), 6).alias("cbrt_q"),
+        F.round(F.log2("l_extendedprice"), 6).alias("log2_p"),
+        key.bitwiseAND(F.lit(255)).alias("key_and"),
+        key.bitwiseOR(F.lit(4096)).alias("key_or"),
+        key.bitwiseXOR(F.lit(511)).alias("key_xor"),
+        F.shiftleft(key, 2).alias("key_shl"),
+        F.shiftright(key, 1).alias("key_shr"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "fn_datetime_wave2",
+    oracle="""
+        SELECT o_orderkey,
+               quarter(o_orderdate) AS q,
+               weekofyear(o_orderdate) AS woy,
+               dayofweek(o_orderdate) + 1 AS dow,
+               dayofyear(o_orderdate) AS doy,
+               last_day(CAST(o_orderdate AS DATE)) AS month_end,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+               CAST(date_trunc('quarter', o_orderdate) AS DATE) AS q_start,
+               make_date(year(o_orderdate), month(o_orderdate), 1) AS month_first
+        FROM orders
+        WHERE o_orderkey <= 800
+        ORDER BY o_orderkey
+    """,
+    tags=("B7",),
+    doc="Datetime wave 2: quarter/weekofyear/dayofweek/dayofyear/last_day/"
+    "add_months/trunc-to-quarter/make_date (Spark dayofweek is 1-based "
+    "Sunday, DuckDB 0-based — pinned in the oracle).",
+)
+def fn_datetime_wave2(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 800)
+    od = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.quarter(od).alias("q"),
+        F.weekofyear(od).alias("woy"),
+        F.dayofweek(od).alias("dow"),
+        F.dayofyear(od).alias("doy"),
+        F.last_day(od.cast("date")).alias("month_end"),
+        F.add_months(od.cast("date"), 3).alias("plus3m"),
+        F.date_trunc("quarter", od).cast("date").alias("q_start"),
+        F.make_date(F.year(od), F.month(od), F.lit(1)).alias("month_first"),
+    ).orderBy("o_orderkey")

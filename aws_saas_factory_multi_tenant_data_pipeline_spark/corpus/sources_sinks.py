@@ -1,0 +1,121 @@
+"""B1 source/sink coverage as oracle-checkable roundtrips: CSV and
+JSON-lines readers, partitioned write + partition-discovering scan, catalog
+tables. Each query writes a deterministic slice to a scratch dir with the
+engine's writer, reads it back with the engine's reader, and aggregates —
+the oracle runs the equivalent query straight on the parquet view, so any
+loss/corruption in our writer/reader breaks the hash.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus import register
+from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus._util import t
+from aws_saas_factory_multi_tenant_data_pipeline_spark.functions import dsum, sql_dsum
+from aws_saas_factory_multi_tenant_data_pipeline_spark.sources import read_csv, read_json_lines
+
+_SCRATCH = os.path.join(tempfile.gettempdir(), "mtdp_corpus_scratch")
+
+
+@register(
+    "scan_csv_roundtrip",
+    oracle=f"""
+        SELECT n_regionkey, COUNT(*) AS n, {sql_dsum('n_nationkey')} AS key_sum
+        FROM nation
+        GROUP BY n_regionkey
+        ORDER BY n_regionkey
+    """,
+    tags=("B1",),
+    doc="CSV sink+source roundtrip (header, explicit schema on read).",
+)
+def scan_csv_roundtrip(spark, sf_dir):
+    n = t(spark, sf_dir, "nation")
+    path = os.path.join(_SCRATCH, "nation_csv")
+    n.write.mode("overwrite").option("header", "true").csv(path)
+    back = read_csv(spark, path, schema=n.schema)
+    return (
+        back.groupBy("n_regionkey")
+        .agg(F.count("*").alias("n"), dsum("n_nationkey").alias("key_sum"))
+        .orderBy("n_regionkey")
+    )
+
+
+@register(
+    "scan_jsonl_roundtrip",
+    oracle=f"""
+        SELECT o_orderstatus, COUNT(*) AS n, {sql_dsum('o_totalprice')} AS total
+        FROM orders WHERE o_orderkey <= 2000
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    tags=("B1",),
+    doc="JSON-lines sink+source roundtrip (the reference's lake format; "
+    "…Job.java:81 writes one JSON object per line).",
+)
+def scan_jsonl_roundtrip(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 2000)
+    path = os.path.join(_SCRATCH, "orders_jsonl")
+    o.write.mode("overwrite").json(path)
+    back = read_json_lines(spark, path, schema=o.schema)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice").alias("total"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "scan_partitioned_roundtrip",
+    oracle="""
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+        FROM events
+        GROUP BY event_type, day
+        ORDER BY event_type, day
+    """,
+    tags=("B1", "A4"),
+    doc="Hive-partitioned write + partition-discovering scan roundtrip "
+    "(partition cols come back as queryable columns, as Glue/Athena exposes "
+    "them; kinesis-stack.ts:137-138 layout).",
+)
+def scan_partitioned_roundtrip(spark, sf_dir):
+    e = t(spark, sf_dir, "events").withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    path = os.path.join(_SCRATCH, "events_part")
+    (
+        e.repartition(F.col("event_type"), F.col("day"))
+        .write.mode("overwrite")
+        .partitionBy("event_type", "day")
+        .parquet(path)
+    )
+    back = spark.read.option("basePath", path).parquet(path)
+    return back.groupBy("event_type", "day").agg(F.count("*").alias("n")).orderBy(
+        "event_type", "day"
+    )
+
+
+@register(
+    "catalog_table_sql",
+    oracle=f"""
+        SELECT c_mktsegment, COUNT(*) AS n, {sql_dsum('c_acctbal')} AS bal
+        FROM customer
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    tags=("B1", "A6"),
+    doc="Catalog-table query path: register in the session catalog, query "
+    "via spark.sql (A6/A7 shape on the testdata).",
+)
+def catalog_table_sql(spark, sf_dir):
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer_cat")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal
+        FROM customer_cat
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """
+    )

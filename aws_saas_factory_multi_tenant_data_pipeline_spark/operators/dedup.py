@@ -42,13 +42,38 @@ def tokens(col: Column) -> Column:
     return F.split(normalize_text(col), " ")
 
 
-def shingles(col: Column, k: int = 3) -> Column:
-    """Word k-shingles as strings (distinct)."""
-    toks = tokens(col)
+def shingles_of(toks: Column, k: int = 3) -> Column:
+    """Word k-shingles (distinct) from an ALREADY-MATERIALIZED tokens column.
+
+    Callers must put the tokens expression in its own projection first
+    (``with_shingle_col``): referencing an inline ``tokens(...)`` from the
+    transform lambda makes Catalyst re-evaluate the whole regex pipeline per
+    shingle position (CollapseProject inlines it; no CSE inside lambdas) —
+    measured ~9× slower at sf0.1.
+    """
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
     return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(F.concat_ws(" ", toks))))
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Word k-shingles directly from a text column (small inputs only — see
+    shingles_of for the projection-barrier version used on hot paths)."""
+    return shingles_of(tokens(col), k)
+
+
+def with_shingle_col(
+    df: DataFrame, text_col: str = "text", k: int = 3, out: str = "__shingles"
+) -> DataFrame:
+    """Two-step shingling: tokens in their own projection, then shingles.
+
+    The intermediate projection stops CollapseProject from inlining the
+    multi-referenced tokens expression into every lambda element.
+    """
+    return df.withColumn("__toks", tokens(F.col(text_col))).withColumn(
+        out, shingles_of(F.col("__toks"), k)
+    ).drop("__toks")
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -60,27 +85,36 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str = "text", num_hashes: int = 64, shingle_k: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
 ) -> DataFrame:
-    """Adds ``minhash`` (array<bigint>, length num_hashes). Pure JVM expr.
+    """Returns (id_col, mh0..mh{k-1}): the classic scalable MinHash plan.
 
-    Each shingle is hashed once with xxhash64; each permutation j takes
-    min over shingles of (a_j * h + b_j) mod p — ``transform`` +
-    ``array_min``, no Python in the loop.
+    explode(shingles) → hash each shingle ONCE with xxhash64 → one
+    groupBy(id) with ``num_hashes`` flat ``min(a_j·h+b_j mod p)`` aggregates.
+    Single shuffle keyed on the doc id, flat codegen'd expressions — unlike
+    the nested transform/array_min formulation, whose 64 higher-order
+    functions over the shingle array blow up the generated code (measured
+    ~50× slower at sf0.1).
     """
     consts = _perm_constants(num_hashes)
-    sh = F.array_distinct(
-        F.transform(shingles(F.col(text_col), shingle_k), lambda s: F.xxhash64(s, F.lit(_SEED)))
+    ex = with_shingle_col(df, text_col, shingle_k).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.col("__shingles"),
+                lambda s: F.pmod(F.xxhash64(s, F.lit(_SEED)), F.lit(_P)),
+            )
+        ).alias("__h"),
     )
-    df = df.withColumn("__sh", sh)
-
-    def perm(a: int, b: int):
-        return lambda h: F.pmod(F.lit(a) * F.pmod(h, F.lit(_P)) + F.lit(b), F.lit(_P))
-
-    sig = F.array(
-        *[F.array_min(F.transform(F.col("__sh"), perm(a, b))) for (a, b) in consts]
-    )
-    return df.withColumn("minhash", sig).drop("__sh")
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("__h") + F.lit(b), F.lit(_P))).alias(f"mh{j}")
+        for j, (a, b) in enumerate(consts)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
 
 
 def minhash_near_duplicates(
@@ -100,17 +134,14 @@ def minhash_near_duplicates(
     100 TB-safe alternative to an all-pairs comparison.
     """
     r = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, num_hashes, shingle_k).select(
-        F.col(id_col), F.col(text_col), "minhash"
-    )
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
     banded = sigs.select(
         id_col,
-        text_col,
         F.posexplode(
             F.array(
                 *[
                     F.xxhash64(
-                        F.concat_ws(",", *[F.col("minhash")[i] for i in range(b * r, (b + 1) * r)])
+                        F.concat_ws(",", *[F.col(f"mh{i}") for i in range(b * r, (b + 1) * r)])
                     )
                     for b in range(bands)
                 ]
@@ -129,15 +160,17 @@ def minhash_near_duplicates(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{text_col}").alias("text_a"),
-            F.col(f"b.{text_col}").alias("text_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    sha = shingles(F.col("text_a"), shingle_k)
-    shb = shingles(F.col("text_b"), shingle_k)
-    inter = F.size(F.array_intersect(sha, shb)).cast("double")
-    union = F.size(F.array_union(sha, shb)).cast("double")
+    # exact-Jaccard verification: join precomputed shingle sets back by id
+    shs = with_shingle_col(df, text_col, shingle_k).select(F.col(id_col), F.col("__shingles"))
+    cand = (
+        cand.join(shs.select(F.col(id_col).alias("id_a"), F.col("__shingles").alias("sh_a")), "id_a")
+        .join(shs.select(F.col(id_col).alias("id_b"), F.col("__shingles").alias("sh_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast("double")
     return (
         cand.withColumn("jaccard", inter / union)
         .where(F.col("jaccard") >= jaccard_threshold)
@@ -186,8 +219,8 @@ def ngram_jaccard_pairs(
 
     explode → equi-join on shingle → count shared → |A∪B| = |A|+|B|-shared.
     """
-    sized = df.select(
-        F.col(id_col), F.col(text_col), shingles(F.col(text_col), shingle_k).alias("__sh")
+    sized = with_shingle_col(df, text_col, shingle_k, out="__sh").select(
+        F.col(id_col), F.col("__sh")
     ).withColumn("__n", F.size("__sh"))
     inv = sized.select(id_col, "__n", F.explode("__sh").alias("__s"))
     a = inv.alias("a")

@@ -43,10 +43,17 @@ def char_count(col: Column) -> Column:
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation ratio / stopword ratio / mean word length —
-    the standard cheap quality-filter features for LLM corpora."""
+    the standard cheap quality-filter features for LLM corpora.
+
+    Tokens are materialized in their own projection first (see
+    dedup.shingles_of for why: multi-referenced regex pipelines must not be
+    inlined into downstream lambdas)."""
     c = F.col(text_col)
-    toks = tokens(c)
-    n_tok = token_count(c)
+    df = df.withColumn("__toks", tokens(c))
+    toks = F.col("__toks")
+    n_tok = F.when(F.size(toks) == 1, F.when(toks[0] == "", 0).otherwise(1)).otherwise(
+        F.size(toks)
+    )
     en_stop = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
     return (
         df.withColumn("n_chars_calc", F.length(c))
@@ -75,12 +82,12 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
                 6,
             ),
         )
+        .drop("__toks")
     )
 
 
-def language_scores(col: Column) -> list[Column]:
-    """Per-language stopword hit counts over distinct tokens."""
-    toks = F.array_distinct(tokens(col))
+def language_scores(toks: Column) -> list[Column]:
+    """Per-language stopword hit counts over a distinct-tokens column."""
     out = []
     for lang, words in STOPWORDS.items():
         lit = F.array(*[F.lit(w) for w in words])
@@ -95,7 +102,8 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     system would use char n-gram models; the operator shape (scores →
     argmax) is identical.
     """
-    scored = df.select("*", *language_scores(F.col(text_col)))
+    scored = df.withColumn("__utoks", F.array_distinct(tokens(F.col(text_col))))
+    scored = scored.select("*", *language_scores(F.col("__utoks"))).drop("__utoks")
     langs = sorted(STOPWORDS)  # deterministic tie order
     best = F.greatest(*[F.col(f"score_{l}") for l in langs])
     pred = F.lit("und")
@@ -109,7 +117,11 @@ def fingerprint(df: DataFrame, text_col: str = "text", shingle_k: int = 3) -> Da
 
     md5 (not xxhash64) so the oracle engine computes identical values.
     """
-    sh = shingles(F.col(text_col), shingle_k)
-    return df.withColumn(
-        "fingerprint", F.array_min(F.transform(sh, lambda s: F.md5(s)))
-    ).withColumn("norm_fingerprint", F.md5(normalize_text(F.col(text_col))))
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import with_shingle_col
+
+    return (
+        with_shingle_col(df, text_col, shingle_k)
+        .withColumn("fingerprint", F.array_min(F.transform(F.col("__shingles"), lambda s: F.md5(s))))
+        .withColumn("norm_fingerprint", F.md5(normalize_text(F.col(text_col))))
+        .drop("__shingles")
+    )

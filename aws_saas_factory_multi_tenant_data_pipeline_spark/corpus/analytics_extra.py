@@ -65,7 +65,7 @@ def pivot_status_priority(spark, sf_dir):
     piv = (
         o.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.count("*"))
+        .agg(F.count(F.lit(1)))
     )
     return piv.select(
         "o_orderpriority",

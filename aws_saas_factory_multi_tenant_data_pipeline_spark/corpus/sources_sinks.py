@@ -91,8 +91,10 @@ def scan_partitioned_roundtrip(spark, sf_dir):
         .parquet(path)
     )
     back = spark.read.option("basePath", path).parquet(path)
-    return back.groupBy("event_type", "day").agg(F.count("*").alias("n")).orderBy(
-        "event_type", "day"
+    return (
+        back.groupBy("event_type", F.col("day").cast("string").alias("day"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type", "day")
     )
 
 

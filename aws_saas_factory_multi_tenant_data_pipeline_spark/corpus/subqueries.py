@@ -20,7 +20,7 @@ def _views(spark, sf_dir, *names):
     oracle="""
         SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
         FROM orders
-        WHERE o_totalprice > 3 * (SELECT AVG(o_totalprice) FROM orders)
+        WHERE o_totalprice > 1.8 * (SELECT AVG(o_totalprice) FROM orders)
         ORDER BY o_orderkey
     """,
     tags=("B2",),
@@ -32,7 +32,7 @@ def subq_scalar_uncorrelated(spark, sf_dir):
         """
         SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
         FROM orders
-        WHERE o_totalprice > 3 * (SELECT AVG(o_totalprice) FROM orders)
+        WHERE o_totalprice > 1.8 * (SELECT AVG(o_totalprice) FROM orders)
         ORDER BY o_orderkey
         """
     )
@@ -74,7 +74,8 @@ def subq_correlated_scalar(spark, sf_dir):
         WHERE EXISTS (SELECT 1 FROM lineitem l
                       WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49)
           AND NOT EXISTS (SELECT 1 FROM lineitem l2
-                          WHERE l2.l_suppkey = s.s_suppkey AND l2.l_discount > 0.095)
+                          WHERE l2.l_suppkey = s.s_suppkey
+                            AND l2.l_quantity > 48 AND l2.l_extendedprice > 98000)
         ORDER BY s_suppkey
     """,
     tags=("B2", "B3"),
@@ -89,7 +90,8 @@ def subq_exists_correlated(spark, sf_dir):
         WHERE EXISTS (SELECT 1 FROM lineitem l
                       WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49)
           AND NOT EXISTS (SELECT 1 FROM lineitem l2
-                          WHERE l2.l_suppkey = s.s_suppkey AND l2.l_discount > 0.095)
+                          WHERE l2.l_suppkey = s.s_suppkey
+                            AND l2.l_quantity > 48 AND l2.l_extendedprice > 98000)
         ORDER BY s_suppkey
         """
     )
@@ -101,7 +103,7 @@ def subq_exists_correlated(spark, sf_dir):
         SELECT c_custkey
         FROM customer
         WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
-          AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 30000)
+          AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
         ORDER BY c_custkey
     """,
     tags=("B2", "B3"),
@@ -114,7 +116,7 @@ def subq_in_notin(spark, sf_dir):
         SELECT c_custkey
         FROM customer
         WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
-          AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 30000)
+          AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
         ORDER BY c_custkey
         """
     )

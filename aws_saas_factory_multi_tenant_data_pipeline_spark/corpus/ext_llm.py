@@ -343,3 +343,79 @@ def text_tfidf_top_terms(spark, sf_dir):
         .where((F.col("rk") <= 3) & (F.col("doc_id") < 50))
         .orderBy("doc_id", "rk")
     )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+        WITH pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                            * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 150 AND b.vec_id < 150)
+        SELECT id_a, id_b, cosine
+        FROM pairs WHERE cosine >= 0.3
+        ORDER BY id_a, id_b
+    """,
+    tags=("B10",),
+    doc="Embedding-cosine near-duplicate pairs (cos ≥ 0.3) — brute-force "
+    "ground truth on a bounded slice; the LSH bucketing in operators/"
+    "similarity.py is the 100 TB path for the same predicate.",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.similarity import dot, with_norm
+
+    emb = t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 150)
+    a = with_norm(emb).select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), F.col("__norm").alias("na")
+    )
+    b = with_norm(emb).select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), F.col("__norm").alias("nb")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    return (
+        pairs.select("id_a", "id_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= 0.3)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+        SELECT doc_id AS media_id,
+               sha256(text) AS payload_sha256,
+               octet_length(encode(text)) AS payload_bytes
+        FROM documents
+        ORDER BY media_id
+    """,
+    tags=("B10",),
+    doc="Multimodal plumbing, oracle-checked: documents' text bytes stand in "
+    "for an opaque binary payload; the mapInPandas Arrow path (operators/"
+    "multimodal.py) computes digests/sizes that must match the oracle "
+    "byte-for-byte. The real codec step is the documented container stub.",
+)
+def multimodal_features(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit(None)
+        .cast(
+            "struct<width:int,height:int,sample_rate:int,n_frames:int,mime:string>"
+        )
+        .alias("meta"),
+    )
+    return (
+        extract_features(media)
+        .select("media_id", "payload_sha256", "payload_bytes")
+        .orderBy("media_id")
+    )

@@ -121,3 +121,26 @@ def catalog_table_sql(spark, sf_dir):
         ORDER BY c_mktsegment
         """
     )
+
+
+@register(
+    "scan_orc_roundtrip",
+    oracle=f"""
+        SELECT s_nationkey, COUNT(*) AS n, {sql_dsum('s_acctbal')} AS bal
+        FROM supplier
+        GROUP BY s_nationkey
+        ORDER BY s_nationkey
+    """,
+    tags=("B1",),
+    doc="ORC sink+source roundtrip (second columnar format).",
+)
+def scan_orc_roundtrip(spark, sf_dir):
+    s = t(spark, sf_dir, "supplier")
+    path = os.path.join(_SCRATCH, "supplier_orc")
+    s.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.groupBy("s_nationkey")
+        .agg(F.count("*").alias("n"), dsum("s_acctbal").alias("bal"))
+        .orderBy("s_nationkey")
+    )

@@ -86,3 +86,29 @@ def range_join(
     if on is not None:
         cond = (F.col(f"l.{on}") == F.col(f"r.{on}")) & cond
     return left.alias("l").join(right.alias("r"), cond, how)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the (skewed) left side, replicate the
+    right side across salt buckets.
+
+    The realistic skew case for this engine is one giant tenant
+    (SURVEY.md §4): hash-partitioning on the join key puts that tenant's
+    rows in one task. Salting splits each key into ``salt_buckets``
+    sub-keys; the right side is exploded ×buckets so every sub-key still
+    finds its match. AQE's skew-join handles most cases automatically —
+    this is the explicit recipe for when it can't (e.g. aggregation-free
+    joins under a fixed partitioning).
+    """
+    salted_l = left.withColumn("__salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    salted_r = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = salted_l.join(salted_r, [on, "__salt"], how)
+    return out.drop("__salt")

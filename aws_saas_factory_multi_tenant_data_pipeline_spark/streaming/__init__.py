@@ -93,3 +93,30 @@ def with_watermarked_dedup(
 ) -> DataFrame:
     """B8 stateful dedup: at-most-once per key within the watermark horizon."""
     return events.withWatermark(ts_col, delay).dropDuplicates([key])
+
+
+def running_user_totals(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Custom stateful streaming operator: per-user running event count +
+    value total via applyInPandasWithState (B8 advanced surface).
+
+    State = (n, total) per user_id; each micro-batch folds its rows into
+    the state and emits the updated row. This is the engine's template for
+    operators Structured Streaming lacks natively.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n long, total double"
+    state_schema = "n long, total double"
+
+    def fold(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n], "total": [round(total, 2)]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

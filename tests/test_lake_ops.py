@@ -1,0 +1,54 @@
+"""Lake maintenance + skew operators: small-file compaction, salted join."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from aws_saas_factory_multi_tenant_data_pipeline_spark.ingest import ingest_batch
+from aws_saas_factory_multi_tenant_data_pipeline_spark.lake import compact_partitions, write_lake
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.joins import salted_join
+from aws_saas_factory_multi_tenant_data_pipeline_spark.sources import read_lake
+
+
+def _count_files(root: str) -> int:
+    return sum(
+        1
+        for dp, _, fns in os.walk(root)
+        for f in fns
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+
+
+def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
+    root = str(tmp_path / "lake")
+    rows = [
+        ("t0", json.dumps({"Data": {"device": "TV", "event": f"e{i}", "region": "US"}}))
+        for i in range(200)
+    ]
+    raw = spark.createDataFrame(rows, "tenant_id string, raw string")
+    # many tiny appends → many small files (the Firehose 60 s problem)
+    for _ in range(5):
+        write_lake(ingest_batch(raw, ingest_ts=1700000000).valid, root)
+    before_files = _count_files(root)
+    before_rows = read_lake(spark, root).count()
+    compact_partitions(spark, root, target_file_mb=512)
+    after_files = _count_files(root)
+    after_rows = read_lake(spark, root).count()
+    assert after_rows == before_rows == 1000
+    assert after_files < before_files
+    assert after_files <= 2
+
+
+def test_salted_join_matches_plain_join(spark, sf_smoke):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus._util import t
+
+    o = t(spark, sf_smoke, "orders").select("o_custkey", "o_orderkey")
+    c = t(spark, sf_smoke, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    plain = o.join(c, "o_custkey").count()
+    salted = salted_join(o, c, "o_custkey", salt_buckets=8).count()
+    assert plain == salted

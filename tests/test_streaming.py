@@ -111,3 +111,48 @@ def test_streaming_dedup_drops_duplicates(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT event_id FROM dedup_out").toPandas()
     assert sorted(got["event_id"]) == list(range(10))
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState: custom per-key state across micro-batches."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.streaming import running_user_totals
+
+    src = str(tmp_path / "state_src")
+    os.makedirs(src, exist_ok=True)
+    # two files → two micro-batches (maxFilesPerTrigger=1)
+    for b in range(2):
+        with open(os.path.join(src, f"b{b}.json"), "w") as f:
+            for i in range(10):
+                f.write(
+                    json.dumps(
+                        {
+                            "user_id": i % 3,
+                            "value": 1.5,
+                            "ts": f"2024-01-01T0{b}:0{i % 10}:00.000Z",
+                        }
+                    )
+                    + "\n"
+                )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").json(src)
+    q = (
+        running_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("state_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT user_id, max(n) AS n, max(total) AS total FROM state_out GROUP BY user_id"
+    ).toPandas().sort_values("user_id")
+    # 20 events, users 0..2 → 7/7/6 splits; final totals = n * 1.5
+    assert got.n.sum() == 20
+    assert (got.total.values == got.n.values * 1.5).all()

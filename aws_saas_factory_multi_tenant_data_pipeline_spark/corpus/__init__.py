@@ -57,6 +57,7 @@ def load_all() -> dict[str, QuerySpec]:
         sources_sinks,
         subqueries,
         analytics_extra,
+        tpch_like,
     )
 
     return REGISTRY

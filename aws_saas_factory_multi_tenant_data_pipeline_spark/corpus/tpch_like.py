@@ -1,0 +1,280 @@
+"""TPC-H-shaped analytical queries over the synthetic star schema — the
+kind of workload the reference's users run through Athena today
+(SURVEY.md §2 Tier B: the full delegated relational surface). Q1/Q3/Q5
+shapes live in aggregates.py / joins.py; this module covers the remaining
+canonical shapes: EXISTS-per-order (Q4), volume shipping (Q7), returned
+items (Q10), ship-mode buckets (Q12-ish), promo revenue share (Q14-ish),
+disjunctive predicates (Q19-ish), top-spenders (Q18-ish).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus import register
+from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus._util import t
+from aws_saas_factory_multi_tenant_data_pipeline_spark.functions import dsum, sql_dsum
+
+
+@register(
+    "tpch_q4_order_priority",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+          AND o_orderdate < TIMESTAMP '1995-10-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("B3", "B4"),
+    doc="Q4 shape: EXISTS-filtered priority counts (semi-join rewrite).",
+)
+def tpch_q4_order_priority(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    window = o.where(
+        (F.col("o_orderdate") >= F.lit("1995-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    keep = window.join(
+        li, (li.l_orderkey == window.o_orderkey) & (li.l_shipdate > window.o_orderdate), "left_semi"
+    )
+    return (
+        keep.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+        SELECT supp_nation, cust_nation, yr, {sql_dsum('volume')} AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l_shipdate) AS yr,
+                   l_extendedprice * (1 - l_discount) AS volume
+            FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_regionkey = 0 AND n2.n_regionkey = 1)
+                OR (n1.n_regionkey = 1 AND n2.n_regionkey = 0)))
+        GROUP BY supp_nation, cust_nation, yr
+        ORDER BY supp_nation, cust_nation, yr
+    """,
+    tags=("B3", "B4"),
+    doc="Q7 shape: bidirectional nation-pair shipping volume by year.",
+)
+def tpch_q7_volume_shipping(spark, sf_dir):
+    s = t(spark, sf_dir, "supplier")
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n1 = t(spark, sf_dir, "nation").alias("n1")
+    n2 = t(spark, sf_dir, "nation").alias("n2")
+    j = (
+        s.join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2.n_nationkey"))
+        .where(
+            ((F.col("n1.n_regionkey") == 0) & (F.col("n2.n_regionkey") == 1))
+            | ((F.col("n1.n_regionkey") == 1) & (F.col("n2.n_regionkey") == 0))
+        )
+    )
+    return (
+        j.select(
+            F.col("n1.n_name").alias("supp_nation"),
+            F.col("n2.n_name").alias("cust_nation"),
+            F.year("l_shipdate").alias("yr"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "yr")
+        .agg(dsum("volume").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "yr")
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    oracle=f"""
+        SELECT c_custkey, c_name, {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue, n_name
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-07-01'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    tags=("B3", "B4", "B6"),
+    doc="Q10 shape: top-20 customers by returned-item revenue.",
+)
+def tpch_q10_returned_items(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    n = t(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .where(
+            (F.col("l_returnflag") == "R")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+        )
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "n_name")
+    )
+
+
+@register(
+    "tpch_q12_priority_buckets",
+    oracle="""
+        SELECT l_linestatus,
+               COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) AS high_count,
+               COUNT(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS low_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+    """,
+    tags=("B3", "B4"),
+    doc="Q12 shape: priority-bucketed counts over a joined time slice.",
+)
+def tpch_q12_priority_buckets(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_count"),
+            F.count(F.when(~high, 1)).alias("low_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "tpch_q14_promo_share",
+    oracle="""
+        SELECT ROUND(
+            100.0 * CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount)
+                                       ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE)
+                  / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE),
+            6) AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1995-03-01' AND l_shipdate < TIMESTAMP '1995-04-01'
+    """,
+    tags=("B3", "B4"),
+    doc="Q14 shape: promo revenue share (conditional agg ratio).",
+)
+def tpch_q14_promo_share(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), disc).otherwise(F.lit(0))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .where(
+            (F.col("l_shipdate") >= F.lit("1995-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-04-01").cast("timestamp"))
+        )
+        .agg(
+            F.round(100.0 * dsum(promo) / dsum(disc), 6).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "tpch_q19_disjunctive",
+    oracle=f"""
+        SELECT {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue, COUNT(*) AS n
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+           OR (p_brand = 'Brand#12' AND p_size BETWEEN 5 AND 25 AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 40 AND l_quantity BETWEEN 20 AND 40)
+    """,
+    tags=("B2", "B3"),
+    doc="Q19 shape: disjunctive multi-branch predicates across a join.",
+)
+def tpch_q19_disjunctive(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 21))
+        | ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(5, 25) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(10, 40) & F.col("l_quantity").between(20, 40))
+    )
+    return (
+        li.join(p, p.p_partkey == li.l_partkey)
+        .where(cond)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "tpch_q18_top_spenders",
+    oracle=f"""
+        WITH big AS (
+            SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+            HAVING SUM(l_quantity) > 150)
+        SELECT c_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+               {sql_dsum('l_quantity')} AS total_qty
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+        GROUP BY c_custkey, o_orderkey, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 25
+    """,
+    tags=("B3", "B4", "B6"),
+    doc="Q18 shape: large-volume orders via HAVING subquery + top-25.",
+)
+def tpch_q18_top_spenders(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("sq"))
+        .where(F.col("sq") > 150)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(big, o.o_orderkey == F.col("big_orderkey"), "left_semi")
+        .groupBy("c_custkey", "o_orderkey", "o_totalprice")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "total_qty",
+        )
+    )

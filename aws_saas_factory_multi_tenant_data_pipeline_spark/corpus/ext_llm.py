@@ -419,3 +419,23 @@ def multimodal_features(spark, sf_dir):
         .select("media_id", "payload_sha256", "payload_bytes")
         .orderBy("media_id")
     )
+
+
+@register(
+    "similarity_ivf_ann",
+    oracle=None,  # ◐ approximate; recall vs brute force asserted in tests/
+    tags=("B10",),
+    doc="IVF approximate NN: deterministic centroid sample, max-cosine list "
+    "assignment, n_probe-list search — the partition-pruning scale path "
+    "(operators/similarity.py ivf_cosine_topk).",
+)
+def similarity_ivf_ann(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.similarity import (
+        ivf_cosine_topk,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return ivf_cosine_topk(emb, queries, k=10, n_probe=6).orderBy("query_id", "rank")

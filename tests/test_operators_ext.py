@@ -125,3 +125,24 @@ def test_multimodal_plumbing(spark):
 
     frames = sample_frames(media, every_n=10).toPandas()
     assert frames.frame_idx.tolist() == [0, 10, 20]
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark, sf_smoke):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.similarity import (
+        ivf_cosine_topk,
+    )
+
+    emb = t(spark, sf_smoke, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries, k=10).toPandas()
+    approx = ivf_cosine_topk(emb, queries, k=10, n_centroids=16, n_probe=6).toPandas()
+    recalls = []
+    for qid, grp in exact.groupby("query_id"):
+        ex = set(grp.vec_id)
+        ap = set(approx[approx.query_id == qid].vec_id)
+        recalls.append(len(ex & ap) / len(ex))
+    # near-orthogonal synthetic vectors: probing 6/16 lists ≈ 37% of the
+    # corpus; weak cluster structure bounds recall — same caveat as LSH.
+    assert sum(recalls) / len(recalls) >= 0.3, recalls

@@ -32,8 +32,20 @@ class TenantContext:
             raise TenantError(f"invalid tenant_id: {self.tenant_id!r}")
 
 
-def from_claims(claims: dict) -> TenantContext:
-    """Extract tenant from a (pre-verified) claims dict, as app.py:20-21 does."""
+def from_claims(claims: dict, now_epoch: int | None = None) -> TenantContext:
+    """Extract tenant from a (pre-verified) claims dict, as app.py:20-21 does.
+
+    Mirrors the authorizer's expiry check (app.py:63-67): an ``exp`` claim
+    in the past rejects the context. Signature verification itself stays
+    pluggable (out of Spark scope).
+    """
+    exp = claims.get("exp")
+    if exp is not None:
+        import time
+
+        now = now_epoch if now_epoch is not None else int(time.time())
+        if int(exp) < now:
+            raise TenantError("token expired")
     tid = claims.get("custom:tenantId")
     if not tid:
         raise TenantError("missing custom:tenantId claim")

@@ -94,12 +94,30 @@ def test_percentile_approx_tolerance(spark, sf_oracle):
     assert abs(row["approx"] - row["exact"]) / row["exact"] <= 0.01
 
 
-def test_language_id_accuracy(spark, sf_smoke):
-    """Heuristic must beat 90% on the labelled languages it knows."""
-    docs = t(spark, sf_smoke, "documents").where(F.col("lang").isin("en", "es", "fr", "de"))
+def test_language_id_accuracy(spark):
+    """Heuristic must ID real language text correctly. (The synthetic
+    documents table's ``lang`` label is uncorrelated with its English-ish
+    keyword text — no de/es/fr stopwords occur anywhere in it — so accuracy
+    is asserted on a constructed multilingual fixture instead; determinism
+    on the synthetic table is covered by the text_language_id oracle.)"""
+    rows = [
+        (1, "the cat sat on the mat and it is warm for a day", "en"),
+        (2, "el perro corre en la calle y los gatos duermen por la noche", "es"),
+        (3, "le chien est dans les jardins et une femme lit des livres pour le soir", "fr"),
+        (4, "der hund und die katze sind ein team zu hause von den feldern", "de"),
+        (5, "it is that the rain in spain stays mainly in the plain for now", "en"),
+        (6, "la casa de que un dia en el campo y una flor por los rios", "es"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
     pred = language_id(docs).select("lang", "pred_lang").toPandas()
-    acc = (pred.lang == pred.pred_lang).mean()
-    assert acc >= 0.9, acc
+    assert (pred.lang == pred.pred_lang).all(), pred.to_string()
+
+
+def test_language_id_synthetic_table_deterministic(spark, sf_smoke):
+    """On the synthetic English-keyword corpus every doc scores as en."""
+    docs = t(spark, sf_smoke, "documents")
+    pred = language_id(docs).select("pred_lang").distinct().toPandas()
+    assert set(pred.pred_lang) <= {"en", "und"}
 
 
 def test_multimodal_plumbing(spark):

@@ -78,3 +78,56 @@ def test_partitioned_write_prunes(spark, tmp_path):
     write_lake(ingest_batch(raw, ingest_ts=1700000000).valid, root)
     scan = spark.read.parquet(root).where(F.col("tenant") == "t1")
     assert_partition_pruned(scan, "tenant", "t1")
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_smoke, tmp_path):
+    """bucketBy co-located join: no Exchange on the bucketed key (the
+    SURVEY §2 B3 bucketing path for repeated big-big joins)."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus._util import t
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    li = t(spark, sf_smoke, "lineitem").select("l_orderkey", "l_quantity")
+    o = t(spark, sf_smoke, "orders").select("o_orderkey", "o_totalprice")
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS o_b")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_b")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("o_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("li_b").join(
+            spark.table("o_b"), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        j.count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_dynamic_partition_pruning_on_lake(spark, tmp_path):
+    """A dim-filtered join against the partitioned lake prunes partitions
+    dynamically (SURVEY §4: dynamicPartitionPruning)."""
+    import json
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.ingest import ingest_batch
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.lake import write_lake
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.sources import read_lake
+
+    rows = [
+        (f"t{i % 4}", json.dumps({"Data": {"device": "TV", "event": "e", "region": "US"}}))
+        for i in range(100)
+    ]
+    raw = spark.createDataFrame(rows, "tenant_id string, raw string")
+    root = str(tmp_path / "dpp_lake")
+    write_lake(ingest_batch(raw, ingest_ts=1700000000).valid, root)
+    fact = read_lake(spark, root)
+    dim = spark.createDataFrame([("t1", "gold")], "tenant string, tier string")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    try:
+        j = fact.join(dim.where(F.col("tier") == "gold"), "tenant")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower() or "PartitionFilters: [isnotnull(tenant" in plan, plan[:500]
+        assert j.count() == 25
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

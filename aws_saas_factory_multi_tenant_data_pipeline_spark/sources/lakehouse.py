@@ -50,3 +50,24 @@ def read_jdbc(spark: SparkSession, url: str, dbtable: str, **options) -> DataFra
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def read_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    streaming: bool = True,
+) -> DataFrame:
+    """Kafka source standing in for the reference's Kinesis consumer (A1;
+    FirehoseStreamingSinkJob.java:32-38 — LATEST start position ≈
+    ``startingOffsets="latest"``). Needs the spark-sql-kafka jar."""
+    _probe(spark, "kafka", "org.apache.spark.sql.kafka010.KafkaSourceProvider")
+    reader = spark.readStream if streaming else spark.read
+    return (
+        reader.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )

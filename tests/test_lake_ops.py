@@ -52,3 +52,22 @@ def test_salted_join_matches_plain_join(spark, sf_smoke):
     plain = o.join(c, "o_custkey").count()
     salted = salted_join(o, c, "o_custkey", salt_buckets=8).count()
     assert plain == salted
+
+
+def test_lakehouse_stubs_raise_clearly(spark):
+    import pytest
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.sources.lakehouse import (
+        LakehouseUnavailable,
+        read_delta,
+        read_iceberg,
+        read_kafka,
+    )
+
+    for fn, args in [
+        (read_delta, (spark, "/tmp/nope")),
+        (read_iceberg, (spark, "db.t")),
+        (read_kafka, (spark, "localhost:9092", "t")),
+    ]:
+        with pytest.raises(LakehouseUnavailable):
+            fn(*args)

@@ -5,6 +5,8 @@ the as-of join produces a single shuffle (no range-join blow-up).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus._util import t
@@ -85,11 +87,16 @@ def test_bucketed_join_avoids_shuffle(spark, sf_smoke, tmp_path):
     SURVEY §2 B3 bucketing path for repeated big-big joins)."""
     from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus._util import t
 
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    import shutil
+
     li = t(spark, sf_smoke, "lineitem").select("l_orderkey", "l_quantity")
     o = t(spark, sf_smoke, "orders").select("o_orderkey", "o_totalprice")
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS o_b")
+    # a previous session may have left orphaned managed-table dirs behind
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").replace("file:", "")
+    for tbl in ("li_b", "o_b"):
+        shutil.rmtree(os.path.join(warehouse, tbl), ignore_errors=True)
     li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_b")
     o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("o_b")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -10,6 +10,5 @@ from aws_saas_factory_multi_tenant_data_pipeline_spark.sources import read_table
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # oracle determinism depends on UTC (FIXTURES.md §3); the driver may hand
     # us a session with a different default, so pin it on every table access
-    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return read_table(spark, sf_dir, name)

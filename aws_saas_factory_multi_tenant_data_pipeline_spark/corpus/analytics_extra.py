@@ -246,3 +246,57 @@ def fn_datetime_wave2(spark, sf_dir):
         F.date_trunc("quarter", od).cast("date").alias("q_start"),
         F.make_date(F.year(od), F.month(od), F.lit(1)).alias("month_first"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "fn_try_ops",
+    oracle="""
+        SELECT o_orderkey,
+               TRY_CAST(o_orderpriority AS INTEGER) AS prio_int,
+               TRY_CAST(SUBSTR(o_orderpriority, 1, 1) AS INTEGER) AS prio_digit,
+               CASE WHEN o_custkey - o_custkey = 0 THEN NULL
+                    ELSE o_totalprice / (o_custkey - o_custkey) END AS div_by_zero,
+               TRY_CAST('2024-13-45' AS DATE) AS bad_date
+        FROM orders
+        WHERE o_orderkey <= 500
+        ORDER BY o_orderkey
+    """,
+    tags=("B7",),
+    doc="ANSI-safe try_* ops: try_cast of malformed values and try_divide "
+    "by zero return NULL instead of raising (ANSI mode is on engine-wide).",
+)
+def fn_try_ops(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 500)
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").try_cast("int").alias("prio_int"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_digit"),
+        F.try_divide(F.col("o_totalprice"), F.col("o_custkey") - F.col("o_custkey")).alias(
+            "div_by_zero"
+        ),
+        F.lit("2024-13-45").try_cast("date").alias("bad_date"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "agg_string_concat",
+    oracle="""
+        SELECT n_regionkey,
+               string_agg(n_name, ',' ORDER BY n_name) AS nations_csv
+        FROM nation
+        GROUP BY n_regionkey
+        ORDER BY n_regionkey
+    """,
+    tags=("B4",),
+    doc="String aggregation (Athena array_join(array_agg(…)) ≡ "
+    "concat_ws over a sorted collect_list).",
+)
+def agg_string_concat(spark, sf_dir):
+    n = t(spark, sf_dir, "nation")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations_csv")
+        )
+        .orderBy("n_regionkey")
+    )

@@ -156,3 +156,46 @@ def test_stateful_running_totals(spark, tmp_path):
     # 20 events, users 0..2 → 7/7/6 splits; final totals = n * 1.5
     assert got.n.sum() == 20
     assert (got.total.values == got.n.values * 1.5).all()
+
+
+def test_checkpoint_restart_no_duplicates(spark, tmp_path):
+    """Exactly-once file sink across restarts: stop the query, add new input,
+    restart from the same checkpoint — previously-processed files must not
+    be reprocessed (Flink-checkpoint parity, kinesis-stack.ts:200-205)."""
+    src = str(tmp_path / "ck_src")
+    lake = str(tmp_path / "ck_lake")
+    ckpt = str(tmp_path / "ck_ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def write_batch(fname: str, start: int, n: int) -> None:
+        with open(os.path.join(src, fname), "w") as f:
+            for i in range(start, start + n):
+                f.write(
+                    json.dumps(
+                        {
+                            "tenant_id": "t0",
+                            "raw": json.dumps(
+                                {"Data": {"device": "TV", "event": f"e{i}", "region": "US"}}
+                            ),
+                        }
+                    )
+                    + "\n"
+                )
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.sources import read_lake
+
+    write_batch("a.json", 0, 10)
+    q = start_ingest_stream(
+        stream_json_source(spark, src, RAW_SCHEMA), lake, ckpt, available_now=True
+    )
+    q.awaitTermination(120)
+    assert read_lake(spark, lake).count() == 10
+
+    write_batch("b.json", 10, 5)
+    q2 = start_ingest_stream(
+        stream_json_source(spark, src, RAW_SCHEMA), lake, ckpt, available_now=True
+    )
+    q2.awaitTermination(120)
+    out = read_lake(spark, lake)
+    assert out.count() == 15
+    assert out.select("event").distinct().count() == 15

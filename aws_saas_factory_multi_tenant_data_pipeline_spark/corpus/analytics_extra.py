@@ -300,3 +300,81 @@ def agg_string_concat(spark, sf_dir):
         )
         .orderBy("n_regionkey")
     )
+
+
+@register(
+    "agg_wave3",
+    oracle="""
+        SELECT l_returnflag,
+               mode(l_linestatus ORDER BY l_linestatus) AS status_mode,
+               ROUND(median(l_quantity), 6) AS med_qty,
+               bool_and(l_quantity > 0) AS all_positive,
+               bool_or(l_discount > 0.09) AS any_big_discount,
+               arg_min(l_orderkey, l_shipdate) AS first_shipped_order,
+               arg_max(l_orderkey, l_shipdate) AS last_shipped_order
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    tags=("B4",),
+    doc="Aggregate wave 3: mode, median, bool_and/bool_or (every/any), "
+    "arg_min/arg_max (min_by/max_by).",
+)
+def agg_wave3(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.mode("l_linestatus").alias("status_mode"),
+            F.round(F.median("l_quantity"), 6).alias("med_qty"),
+            F.every(F.col("l_quantity") > 0).alias("all_positive"),
+            F.some(F.col("l_discount") > 0.09).alias("any_big_discount"),
+            F.min_by("l_orderkey", F.struct("l_shipdate", "l_orderkey")).alias(
+                "first_shipped_order"
+            ),
+            F.max_by("l_orderkey", F.struct("l_shipdate", "l_orderkey")).alias(
+                "last_shipped_order"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "fn_collection_wave3",
+    oracle="""
+        WITH base AS (
+            SELECT n_nationkey,
+                   generate_series(1, (n_nationkey % 4) + 2) AS a,
+                   generate_series(10, 10 + (n_nationkey % 4) + 1) AS b
+            FROM nation)
+        SELECT n_nationkey,
+               list_transform(list_zip(a, b), p -> p[1] + p[2]) AS zipped_sum,
+               len(regexp_extract_all(CAST(n_nationkey AS VARCHAR) || 'a1b2', '[0-9]')) AS digit_count,
+               a[1] IS NOT NULL AS first_not_null,
+               COALESCE(a[100], -1) AS oob_elem
+        FROM base
+        ORDER BY n_nationkey
+    """,
+    tags=("B7",),
+    doc="Collection wave 3: zip_with (list_zip+transform), regexp counting, "
+    "out-of-bounds element access semantics.",
+)
+def fn_collection_wave3(spark, sf_dir):
+    n = t(spark, sf_dir, "nation")
+    base = n.select(
+        "n_nationkey",
+        F.sequence(F.lit(1), F.pmod(F.col("n_nationkey"), F.lit(4)) + 2).alias("a"),
+        F.sequence(F.lit(10), F.lit(11) + F.pmod(F.col("n_nationkey"), F.lit(4))).alias("b"),
+    )
+    return base.select(
+        "n_nationkey",
+        F.zip_with("a", "b", lambda x, y: x + y).alias("zipped_sum"),
+        F.size(
+            F.regexp_extract_all(
+                F.concat(F.col("n_nationkey").cast("string"), F.lit("a1b2")), F.lit("([0-9])"), 1
+            )
+        ).alias("digit_count"),
+        F.col("a")[0].isNotNull().alias("first_not_null"),
+        F.coalesce(F.try_element_at(F.col("a"), F.lit(100)), F.lit(-1)).alias("oob_elem"),
+    ).orderBy("n_nationkey")

@@ -278,3 +278,99 @@ def tpch_q18_top_spenders(spark, sf_dir):
             "total_qty",
         )
     )
+
+
+@register(
+    "tpch_q2_min_per_group",
+    oracle="""
+        SELECT s_suppkey, s_name, n_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_acctbal = (SELECT MIN(s2.s_acctbal) FROM supplier s2
+                           WHERE s2.s_nationkey = supplier.s_nationkey)
+        ORDER BY s_suppkey
+    """,
+    tags=("B2", "B3"),
+    doc="Q2 shape: min-value row per group via correlated scalar subquery.",
+)
+def tpch_q2_min_per_group(spark, sf_dir):
+    _views = lambda *names: [t(spark, sf_dir, n).createOrReplaceTempView(n) for n in names]
+    _views("supplier", "nation")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name, n_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_acctbal = (SELECT MIN(s2.s_acctbal) FROM supplier s2
+                           WHERE s2.s_nationkey = supplier.s_nationkey)
+        ORDER BY s_suppkey
+        """
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle="""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+    """,
+    tags=("B2", "B3", "B4"),
+    doc="Q15 shape: top supplier by windowed revenue (CTE + scalar subquery max).",
+)
+def tpch_q15_top_supplier(spark, sf_dir):
+    for n in ("supplier", "lineitem"):
+        t(spark, sf_dir, n).createOrReplaceTempView(n)
+    return spark.sql(
+        """
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+        """
+    )
+
+
+@register(
+    "tpch_q20_nested_in",
+    oracle="""
+        SELECT s_suppkey, s_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_regionkey <= 2
+          AND s_suppkey IN (
+              SELECT l_suppkey FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              GROUP BY l_suppkey
+              HAVING SUM(l_quantity) > 400)
+        ORDER BY s_suppkey
+    """,
+    tags=("B2", "B3", "B4"),
+    doc="Q20 shape: nested IN over an aggregated subquery.",
+)
+def tpch_q20_nested_in(spark, sf_dir):
+    for n in ("supplier", "nation", "lineitem"):
+        t(spark, sf_dir, n).createOrReplaceTempView(n)
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_regionkey <= 2
+          AND s_suppkey IN (
+              SELECT l_suppkey FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              GROUP BY l_suppkey
+              HAVING SUM(l_quantity) > 400)
+        ORDER BY s_suppkey
+        """
+    )

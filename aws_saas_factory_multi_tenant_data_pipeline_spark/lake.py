@@ -94,6 +94,39 @@ def register_table(
     return fq
 
 
+def _tree_size_bytes(spark: SparkSession, root: str) -> int:
+    """Total data size under ``root`` via the Hadoop FileSystem API — works
+    on any supported filesystem (local, HDFS, s3a…), not just local disk."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(root)
+    fs = path.getFileSystem(conf)
+    return fs.getContentSummary(path).getLength()
+
+
+def write_lake_overwrite_partitions(
+    df: DataFrame, root: str, fmt: str = "parquet", partition_cols: list[str] | None = None
+) -> None:
+    """Idempotent batch re-run: dynamically overwrite ONLY the partitions
+    present in ``df`` (sibling partitions untouched). The reference has no
+    replay story at all; this is the engine's reprocessing primitive.
+    """
+    pcols = partition_cols or PARTITION_COLS
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.repartition(*[F.col(c) for c in pcols])
+            .write.mode("overwrite")
+            .partitionBy(*pcols)
+            .format(fmt)
+            .save(root)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def compact_partitions(
     spark: SparkSession,
     root: str,
@@ -107,12 +140,7 @@ def compact_partitions(
     temp subtree then swaps, to stay restartable.
     """
     df = spark.read.format(fmt).load(root)
-    size_bytes = sum(
-        os.path.getsize(os.path.join(dp, f))
-        for dp, _, fns in os.walk(root)
-        for f in fns
-        if not f.startswith(("_", "."))
-    )
+    size_bytes = _tree_size_bytes(spark, root)
     n_files = max(1, size_bytes // (target_file_mb * 1024 * 1024))
     tmp = root.rstrip("/") + "__compact_tmp"
     (

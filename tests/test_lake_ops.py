@@ -71,3 +71,30 @@ def test_lakehouse_stubs_raise_clearly(spark):
     ]:
         with pytest.raises(LakehouseUnavailable):
             fn(*args)
+
+
+def test_dynamic_partition_overwrite_replay(spark, tmp_path):
+    """Replaying one tenant's batch overwrites only that tenant's partitions."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.lake import (
+        write_lake_overwrite_partitions,
+    )
+
+    root = str(tmp_path / "replay_lake")
+
+    def batch(tenant, n, event):
+        rows = [
+            (tenant, json.dumps({"Data": {"device": "TV", "event": event, "region": "US"}}))
+            for _ in range(n)
+        ]
+        raw = spark.createDataFrame(rows, "tenant_id string, raw string")
+        return ingest_batch(raw, ingest_ts=1700000000).valid
+
+    write_lake_overwrite_partitions(batch("t0", 10, "orig"), root)
+    write_lake_overwrite_partitions(batch("t1", 7, "orig"), root)
+    # replay t0 with corrected data; t1 must be untouched
+    write_lake_overwrite_partitions(batch("t0", 4, "fixed"), root)
+    out = read_lake(spark, root).toPandas()
+    t0 = out[out.tenant == "t0"]
+    t1 = out[out.tenant == "t1"]
+    assert len(t0) == 4 and set(t0.event) == {"fixed"}
+    assert len(t1) == 7 and set(t1.event) == {"orig"}

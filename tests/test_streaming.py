@@ -199,3 +199,77 @@ def test_checkpoint_restart_no_duplicates(spark, tmp_path):
     out = read_lake(spark, lake)
     assert out.count() == 15
     assert out.select("event").distinct().count() == 15
+
+
+def test_stream_stream_join(spark, tmp_path):
+    """Watermarked stream-stream inner join (B8 advanced): clicks joined to
+    purchases within a ±10-minute interval per user."""
+    import pandas as pd
+
+    src_a = str(tmp_path / "ss_a")
+    src_b = str(tmp_path / "ss_b")
+    for src, etype in [(src_a, "click"), (src_b, "purchase")]:
+        os.makedirs(src, exist_ok=True)
+        with open(os.path.join(src, "data.json"), "w") as f:
+            for i in range(20):
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": i,
+                            "user_id": i % 5,
+                            "ts": f"2024-01-01T00:{i + (2 if etype == 'purchase' else 0):02d}:00.000Z",
+                        }
+                    )
+                    + "\n"
+                )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    clicks = (
+        spark.readStream.schema(schema).json(src_a)
+        .withColumnRenamed("ts", "click_ts")
+        .withColumnRenamed("event_id", "click_id")
+        .withWatermark("click_ts", "30 minutes")
+    )
+    purchases = (
+        spark.readStream.schema(schema).json(src_b)
+        .withColumnRenamed("ts", "purchase_ts")
+        .withColumnRenamed("event_id", "purchase_id")
+        .withColumnRenamed("user_id", "p_user_id")
+        .withWatermark("purchase_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            """
+            user_id = p_user_id AND
+            purchase_ts BETWEEN click_ts AND click_ts + INTERVAL 10 MINUTES
+            """
+        ),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT click_id, purchase_id FROM ss_join_out").toPandas()
+    assert len(got) > 0
+    # batch equivalence: same join on static frames
+    a = spark.read.schema(schema).json(src_a)
+    b = spark.read.schema(schema).json(src_b)
+    batch = a.withColumnRenamed("ts", "click_ts").withColumnRenamed("event_id", "click_id").join(
+        b.withColumnRenamed("ts", "purchase_ts")
+        .withColumnRenamed("event_id", "purchase_id")
+        .withColumnRenamed("user_id", "p_user_id"),
+        F.expr(
+            "user_id = p_user_id AND purchase_ts BETWEEN click_ts AND click_ts + INTERVAL 10 MINUTES"
+        ),
+    )
+    assert len(got) == batch.count()

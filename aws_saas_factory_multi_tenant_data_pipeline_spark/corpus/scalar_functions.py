@@ -317,3 +317,30 @@ def fn_hashing(spark, sf_dir):
         F.md5("n_name").alias("md5hex"),
         F.sha2(F.col("n_name"), 256).alias("sha256hex"),
     ).orderBy("n_nationkey")
+
+
+@register(
+    "fn_explode_outer",
+    oracle="""
+        WITH base AS (
+            SELECT r_regionkey,
+                   CASE WHEN r_regionkey % 2 = 0
+                        THEN string_split(r_name, '_') ELSE NULL END AS parts
+            FROM region)
+        SELECT r_regionkey, part
+        FROM base LEFT JOIN LATERAL (SELECT unnest(parts) AS part) u ON TRUE
+        ORDER BY r_regionkey, part NULLS FIRST
+    """,
+    tags=("B7", "B9"),
+    doc="explode_outer: null/empty arrays keep their row (LEFT LATERAL unnest).",
+)
+def fn_explode_outer(spark, sf_dir):
+    r = t(spark, sf_dir, "region")
+    base = r.select(
+        "r_regionkey",
+        F.when(F.pmod("r_regionkey", F.lit(2)) == 0, F.split("r_name", "_")).alias("parts"),
+    )
+    return (
+        base.select("r_regionkey", F.explode_outer("parts").alias("part"))
+        .orderBy("r_regionkey", F.col("part").asc_nulls_first())
+    )

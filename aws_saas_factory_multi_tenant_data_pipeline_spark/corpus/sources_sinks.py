@@ -144,3 +144,35 @@ def scan_orc_roundtrip(spark, sf_dir):
         .agg(F.count("*").alias("n"), dsum("s_acctbal").alias("bal"))
         .orderBy("s_nationkey")
     )
+
+
+@register(
+    "table_profile",
+    oracle="""
+        SELECT 'n_nationkey' AS "column", COUNT(*) AS n_rows,
+               COUNT(*) - COUNT(n_nationkey) AS n_nulls,
+               CAST(MIN(n_nationkey) AS VARCHAR) AS min_value,
+               CAST(MAX(n_nationkey) AS VARCHAR) AS max_value
+        FROM nation
+        UNION ALL
+        SELECT 'n_name', COUNT(*), COUNT(*) - COUNT(n_name),
+               MIN(n_name), MAX(n_name)
+        FROM nation
+        ORDER BY "column"
+    """,
+    tags=("A6", "B4"),
+    doc="Single-pass table profiling (null counts, min/max per column) — the "
+    "post-crawler sanity sweep; approx_distinct column excluded from the "
+    "oracle (HLL, engine-specific).",
+)
+def table_profile(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.functions.profiling import (
+        profile_table,
+    )
+
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        profile_table(n)
+        .select("column", "n_rows", "n_nulls", "min_value", "max_value")
+        .orderBy("column")
+    )

@@ -305,14 +305,21 @@ def agg_string_concat(spark, sf_dir):
 @register(
     "agg_wave3",
     oracle="""
+        WITH ranked AS (
+            SELECT l_returnflag, l_orderkey, l_quantity, l_discount, l_linestatus,
+                   ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                      ORDER BY l_shipdate, l_orderkey) AS rf,
+                   ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                      ORDER BY l_shipdate DESC, l_orderkey DESC) AS rl
+            FROM lineitem)
         SELECT l_returnflag,
                mode(l_linestatus ORDER BY l_linestatus) AS status_mode,
                ROUND(median(l_quantity), 6) AS med_qty,
                bool_and(l_quantity > 0) AS all_positive,
                bool_or(l_discount > 0.09) AS any_big_discount,
-               arg_min(l_orderkey, l_shipdate) AS first_shipped_order,
-               arg_max(l_orderkey, l_shipdate) AS last_shipped_order
-        FROM lineitem
+               MAX(CASE WHEN rf = 1 THEN l_orderkey END) AS first_shipped_order,
+               MAX(CASE WHEN rl = 1 THEN l_orderkey END) AS last_shipped_order
+        FROM ranked
         GROUP BY l_returnflag
         ORDER BY l_returnflag
     """,

@@ -385,3 +385,31 @@ def fn_collection_wave3(spark, sf_dir):
         F.col("a")[0].isNotNull().alias("first_not_null"),
         F.coalesce(F.try_element_at(F.col("a"), F.lit(100)), F.lit(-1)).alias("oob_elem"),
     ).orderBy("n_nationkey")
+
+
+@register(
+    "fn_division_semantics",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(o_orderkey AS BIGINT) // 7 AS int_div,
+               CAST(o_orderkey AS DOUBLE) / 7 AS float_div,
+               CAST(o_orderkey AS BIGINT) % 7 AS int_mod,
+               CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS price_k_floor
+        FROM orders
+        WHERE o_orderkey <= 500
+        ORDER BY o_orderkey
+    """,
+    tags=("B7",),
+    doc="Division-semantics pin (SURVEY §2 footer): Presto/Athena integer "
+    "`/` truncates while Spark `/` widens to double — the engine exposes "
+    "both explicitly (`div` for truncating integer division, `/` for float).",
+)
+def fn_division_semantics(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 500)
+    return o.select(
+        "o_orderkey",
+        F.expr("CAST(o_orderkey AS BIGINT) div 7").alias("int_div"),
+        (F.col("o_orderkey").cast("double") / 7).alias("float_div"),
+        F.pmod(F.col("o_orderkey").cast("long"), F.lit(7)).alias("int_mod"),
+        F.floor(F.col("o_totalprice") / 1000).cast("long").alias("price_k_floor"),
+    ).orderBy("o_orderkey")

@@ -137,7 +137,10 @@ def compact_partitions(
 
     The reference has no answer to Firehose's 60 s micro-file problem; at
     100 TB this job is what keeps scan task counts sane. Rewrites into a
-    temp subtree then swaps, to stay restartable.
+    temp subtree then swaps, to stay restartable. Sizing goes through the
+    Hadoop FS API (any filesystem); the final rename-swap below is local-FS
+    — on an object store, swap via the catalog (repoint the table LOCATION)
+    instead.
     """
     df = spark.read.format(fmt).load(root)
     size_bytes = _tree_size_bytes(spark, root)

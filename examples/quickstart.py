@@ -1,0 +1,79 @@
+"""Quickstart: the full engine surface in one script.
+
+Run:  python examples/quickstart.py
+
+Walks the reference workflow (README.md steps 8-10 of
+aws-samples/aws-saas-factory-multi-tenant-data-pipeline) end-to-end on
+Spark, then the analytical + LLM-pipeline extensions:
+
+1. ingest raw tenant events (validate → enrich → quarantine)
+2. write the Hive-partitioned lake, register it in the catalog
+3. run the tenant-scoped saved query (partition-pruned)
+4. run analytics (TPC-H-shaped SQL) over the synthetic star schema
+5. dedup + similarity-search over the documents/embeddings tables
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from aws_saas_factory_multi_tenant_data_pipeline_spark import get_spark
+from aws_saas_factory_multi_tenant_data_pipeline_spark.ingest import ingest_batch
+from aws_saas_factory_multi_tenant_data_pipeline_spark.lake import register_table, write_lake
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import exact_dedup
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.similarity import cosine_topk
+from aws_saas_factory_multi_tenant_data_pipeline_spark.query import tenant_scan
+from aws_saas_factory_multi_tenant_data_pipeline_spark.sources import read_table
+from aws_saas_factory_multi_tenant_data_pipeline_spark.tenancy import TenantContext
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def main() -> None:
+    spark = get_spark("quickstart")
+    lake_root = tempfile.mkdtemp(prefix="mtdp_quickstart_lake_")
+
+    # 1-2: ingest + partitioned lake write (A1-A5)
+    events = [
+        ("acme", json.dumps({"Data": {"device": "TV", "event": "page_view", "region": "US"}})),
+        ("acme", json.dumps({"Data": {"device": "phone", "event": "click", "region": "EU"}})),
+        ("globex", json.dumps({"Data": {"device": "laptop", "event": "signup", "region": "US"}})),
+        ("acme", "{malformed json"),  # → quarantine, never the lake
+    ]
+    raw = spark.createDataFrame(events, "tenant_id string, raw string")
+    result = ingest_batch(raw)
+    write_lake(result.valid, lake_root)
+    print(f"lake written: {result.valid.count()} rows, quarantined: {result.quarantine.count()}")
+
+    # 3: catalog + tenant-scoped saved query (A6/A7, partition-pruned)
+    fq = register_table(spark, lake_root, "events_quickstart")
+    acme = tenant_scan(spark, fq, TenantContext("acme"))
+    print(f"tenant 'acme' sees {acme.count()} rows (others invisible)")
+
+    # 4: the Athena-style analytical surface over the star schema
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus import load_all
+
+    registry = load_all()
+    registry["agg_pricing_summary"].spark_fn(spark, SF_DIR).show(6)
+
+    # 5: LLM-pipeline extensions
+    docs = read_table(spark, SF_DIR, "documents")
+    print(f"exact-dedup: {docs.count()} docs -> {exact_dedup(docs).count()} unique")
+    emb = read_table(spark, SF_DIR, "embeddings")
+    from pyspark.sql import functions as F
+
+    queries = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cosine_topk(emb, queries, k=3).show()
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

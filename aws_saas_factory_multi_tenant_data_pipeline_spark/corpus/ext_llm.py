@@ -438,4 +438,4 @@ def similarity_ivf_ann(spark, sf_dir):
     queries = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    return ivf_cosine_topk(emb, queries, k=10, n_probe=6).orderBy("query_id", "rank")
+    return ivf_cosine_topk(emb, queries, k=10, n_probe=6, refine_iters=1).orderBy("query_id", "rank")

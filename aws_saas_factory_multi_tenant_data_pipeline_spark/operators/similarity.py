@@ -161,12 +161,15 @@ def ivf_cosine_topk(
     query_id_col: str = "query_id",
     n_centroids: int = 16,
     n_probe: int = 4,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k cosine.
 
     Index build: centroids = a deterministic corpus sample (every
-    ``|corpus|/n_centroids``-th vector by id — a k-means iteration could
-    refine them; the partition/probe dataflow is identical). Every corpus
+    ``|corpus|/n_centroids``-th vector by id), optionally refined with
+    ``refine_iters`` Lloyd iterations (spherical k-means: assign to
+    max-cosine centroid, recenter on the element-wise mean — each iteration
+    is one corpus scan + one tiny groupBy, all DataFrame ops). Every corpus
     vector is assigned to its max-cosine centroid — one broadcast join +
     window argmax, a single scan of the corpus.
 
@@ -207,6 +210,23 @@ def ivf_cosine_topk(
             .where(F.col("__r") <= probe)
             .drop("__r", "__sim")
         )
+
+    for _ in range(refine_iters):
+        # Lloyd step: element-wise mean of each centroid's assigned vectors
+        members = assign(c_norm, id_col, "__cv", "__cn", probe=1)
+        means = (
+            members.select("__cid", F.posexplode("__cv").alias("__pos", "__val"))
+            .groupBy("__cid", "__pos")
+            .agg(F.avg("__val").alias("__m"))
+            .groupBy("__cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__m"))),
+                    lambda s: s["__m"],
+                ).alias("__centroid")
+            )
+        )
+        centroids = means.withColumn("__centroid_norm", norm(F.col("__centroid")))
 
     assigned = assign(c_norm, id_col, "__cv", "__cn", probe=1)
     q_norm = with_norm(queries, vec_col).select(

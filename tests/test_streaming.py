@@ -8,6 +8,8 @@ from __future__ import annotations
 import json
 import os
 
+import pandas as pd
+
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -273,3 +275,54 @@ def test_stream_stream_join(spark, tmp_path):
         ),
     )
     assert len(got) == batch.count()
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed agg with watermark: events arriving later than
+    the watermark horizon are dropped, on-time events are not (◐ property
+    from SURVEY §2 B8 / §5 item 3)."""
+    src = str(tmp_path / "late_src")
+    out = str(tmp_path / "late_out")
+    ckpt = str(tmp_path / "late_ckpt")
+    os.makedirs(src, exist_ok=True)
+    # batch 1: events at minute 0-4 and a high-watermark event at minute 40
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        for m in [0, 1, 2, 3, 4, 40]:
+            f.write(json.dumps({"event_id": m, "ts": f"2024-01-01T00:{m:02d}:00.000Z"}) + "\n")
+
+    schema = T.StructType(
+        [T.StructField("event_id", T.LongType()), T.StructField("ts", T.TimestampType())]
+    )
+
+    def run_once():
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").json(src)
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .format("parquet")
+            .option("path", out)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = spark.read.parquet(out).toPandas()
+    # the [00:00,00:05) window closed with exactly the 5 on-time events
+    closed = first[first.ws == pd.Timestamp("2024-01-01 00:00:00")]
+    assert len(closed) == 1 and int(closed.n.iloc[0]) == 5
+
+    # batch 2: a late event at minute 1 — watermark advanced to 00:30, the
+    # window is finalized, so the event must be dropped on replay
+    with open(os.path.join(src, "b2.json"), "w") as f:
+        f.write(json.dumps({"event_id": 99, "ts": "2024-01-01T00:01:00.000Z"}) + "\n")
+    run_once()
+    second = spark.read.parquet(out).toPandas()
+    again = second[second.ws == pd.Timestamp("2024-01-01 00:00:00")]
+    assert len(again) == 1 and int(again.n.iloc[0]) == 5  # unchanged; late data dropped

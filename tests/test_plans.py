@@ -138,3 +138,45 @@ def test_dynamic_partition_pruning_on_lake(spark, tmp_path):
         assert j.count() == 25
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_aqe_splits_skewed_join(spark):
+    """One giant tenant (the realistic skew case, SURVEY §4): AQE must mark
+    and split the skewed partitions of a sort-merge join at runtime."""
+    from pyspark.sql import functions as F2
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "8KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # tenant 'hot' has 200k rows; 49 tenants share 10k
+        fact = spark.range(0, 210_000).select(
+            F2.when(F2.col("id") < 200_000, "hot")
+            .otherwise(F2.concat(F2.lit("t"), (F2.col("id") % 49).cast("string")))
+            .alias("tenant"),
+            F2.col("id").alias("v"),
+            F2.sha2(F2.col("id").cast("string"), 256).alias("pad"),
+        )
+        dim = spark.createDataFrame(
+            [("hot", 1)] + [(f"t{i}", i) for i in range(49)], "tenant string, tier int"
+        )
+        # user-specified repartition would pin the dim's partitioning and
+        # block OptimizeSkewedJoin (it only rewrites ENSURE_REQUIREMENTS
+        # shuffles) — let the join plan its own exchanges
+        j = fact.join(dim, "tenant")
+        j.count()
+        plan = j._jdf.queryExecution().executedPlan().finalPhysicalPlan().toString()
+        assert "skew=true" in plan, plan[:1500]
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)

@@ -13,7 +13,6 @@ id (FIXTURES.md oracle rules).
 
 from __future__ import annotations
 
-import math
 import random
 
 from pyspark.sql import Column, DataFrame, Window

@@ -6,7 +6,6 @@ tolerance, language-ID accuracy, multimodal plumbing.
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import functions as F
 
 from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus._util import t

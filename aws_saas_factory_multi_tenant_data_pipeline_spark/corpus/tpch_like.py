@@ -374,3 +374,151 @@ def tpch_q20_nested_in(spark, sf_dir):
         ORDER BY s_suppkey
         """
     )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    oracle=f"""
+        SELECT l_orderkey,
+               {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+               CAST(o_orderdate AS DATE) AS o_orderdate
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND l_shipdate > TIMESTAMP '1997-01-01'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    tags=("B3", "B4", "B6"),
+    doc="Q3 shape: unshipped-orders shipping priority (segment filter, "
+    "3-way join, top-10 by revenue).",
+)
+def tpch_q3_shipping_priority(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .where(
+            (F.col("c_mktsegment") == "BUILDING")
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", F.col("o_orderdate").cast("date").alias("o_orderdate"))
+    )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle=f"""
+        SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue, COUNT(*) AS n
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    tags=("B2", "B4"),
+    doc="Q6 shape: forecast revenue change — pure scan+filter+agg, the "
+    "pushdown benchmark (all predicates reach the parquet reader).",
+)
+def tpch_q6_forecast_revenue(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "tpch_q13_order_distribution",
+    oracle="""
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer LEFT JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+            GROUP BY c_custkey)
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("B3", "B4"),
+    doc="Q13 shape: customer order-count distribution (left join with "
+    "join-condition filter, double aggregation).",
+)
+def tpch_q13_order_distribution(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (F.col("o_orderpriority") != "5-LOW"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "tpch_q22_global_sales",
+    oracle="""
+        WITH avg_bal AS (
+            SELECT AVG(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0),
+        eligible AS (
+            SELECT c_custkey, c_nationkey % 7 AS cntrycode, c_acctbal
+            FROM customer, avg_bal
+            WHERE c_acctbal > ab
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_totalprice > 350000))
+        SELECT cntrycode, COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal
+        FROM eligible
+        GROUP BY cntrycode
+        ORDER BY cntrycode
+    """,
+    tags=("B2", "B3", "B4"),
+    doc="Q22 shape: wealthy inactive customers by country code (scalar "
+    "subquery threshold + NOT EXISTS anti-join).",
+)
+def tpch_q22_global_sales(spark, sf_dir):
+    for n in ("customer", "orders"):
+        t(spark, sf_dir, n).createOrReplaceTempView(n)
+    return spark.sql(
+        """
+        WITH avg_bal AS (
+            SELECT AVG(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0),
+        eligible AS (
+            SELECT c_custkey, c_nationkey % 7 AS cntrycode, c_acctbal
+            FROM customer, avg_bal
+            WHERE c_acctbal > ab
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_totalprice > 350000))
+        SELECT cntrycode, COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal
+        FROM eligible
+        GROUP BY cntrycode
+        ORDER BY cntrycode
+        """
+    )

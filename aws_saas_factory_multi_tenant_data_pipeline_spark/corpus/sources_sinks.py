@@ -18,7 +18,9 @@ from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus._util import t
 from aws_saas_factory_multi_tenant_data_pipeline_spark.functions import dsum, sql_dsum
 from aws_saas_factory_multi_tenant_data_pipeline_spark.sources import read_csv, read_json_lines
 
-_SCRATCH = os.path.join(tempfile.gettempdir(), "mtdp_corpus_scratch")
+# per-process scratch: two concurrent harnesses (e.g. pytest + the driver's
+# verify) must not overwrite each other's roundtrip files mid-read
+_SCRATCH = os.path.join(tempfile.gettempdir(), f"mtdp_corpus_scratch_{os.getpid()}")
 
 
 @register(

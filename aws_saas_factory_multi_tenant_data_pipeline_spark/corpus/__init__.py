@@ -58,6 +58,7 @@ def load_all() -> dict[str, QuerySpec]:
         subqueries,
         analytics_extra,
         tpch_like,
+        structs_maps,
     )
 
     return REGISTRY

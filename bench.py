@@ -89,6 +89,44 @@ def _bench_lake_write(spark, n_rows: int = 100_000) -> float:
     return dt
 
 
+def _bench_tenant_pruning(spark, n_rows: int = 400_000, n_tenants: int = 16) -> tuple[float, float]:
+    """The reference's core perf property (A7): a tenant-scoped read must
+    cost ~1/n_tenants of a full scan thanks to partition pruning. Returns
+    (full_scan_sec, pruned_scan_sec)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.ingest import ingest_batch
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.lake import write_lake
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.sources import read_lake
+
+    raw = spark.range(n_rows).select(
+        F.concat(F.lit("tenant-"), (F.col("id") % n_tenants).cast("string")).alias("tenant_id"),
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.lit("TV").alias("device"),
+                    F.sha2(F.col("id").cast("string"), 256).alias("event"),
+                    F.lit("US").alias("region"),
+                ).alias("Data")
+            )
+        ).alias("raw"),
+    )
+    root = tempfile.mkdtemp(prefix="mtdp_bench_prune_")
+    write_lake(ingest_batch(raw, ingest_ts=1700000000).valid, root)
+    lake = read_lake(spark, root)
+    t0 = time.time()
+    lake.agg({"event": "count"}).collect()
+    full = time.time() - t0
+    t0 = time.time()
+    lake.where(lake.tenant == "tenant-3").agg({"event": "count"}).collect()
+    pruned = time.time() - t0
+    shutil.rmtree(root, ignore_errors=True)
+    return full, pruned
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -110,6 +148,9 @@ def main() -> None:
         min(_bench_ingest_transform(spark), _bench_ingest_transform(spark)), 3
     )
     timings["lake_write"] = round(min(_bench_lake_write(spark), _bench_lake_write(spark)), 3)
+    full_scan, pruned_scan = _bench_tenant_pruning(spark)
+    timings["lake_full_scan"] = round(full_scan, 3)
+    timings["tenant_pruned_scan"] = round(pruned_scan, 3)
     # two full passes (not back-to-back repeats): the host shows multi-second
     # stall windows, and a stall must span both passes to poison a timing
     for _pass in range(2):

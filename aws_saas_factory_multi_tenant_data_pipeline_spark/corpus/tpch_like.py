@@ -522,3 +522,171 @@ def tpch_q22_global_sales(spark, sf_dir):
         ORDER BY cntrycode
         """
     )
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle=f"""
+        WITH all_nations AS (
+            SELECT year(o_orderdate) AS yr,
+                   l_extendedprice * (1 - l_discount) AS volume,
+                   n2.n_regionkey AS supp_region
+            FROM part
+            JOIN lineitem ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE n1.n_regionkey = 1 AND p_type = 'PROMO')
+        SELECT yr,
+               ROUND(CAST(SUM(CAST(CASE WHEN supp_region = 2 THEN volume ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE)
+                     / CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE), 6) AS mkt_share
+        FROM all_nations
+        GROUP BY yr
+        ORDER BY yr
+    """,
+    tags=("B3", "B4"),
+    doc="Q8 shape: a region's market share of PROMO-part volume by year.",
+)
+def tpch_q8_market_share(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n1 = t(spark, sf_dir, "nation").alias("n1")
+    n2 = t(spark, sf_dir, "nation").alias("n2")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        p.join(li, p.p_partkey == li.l_partkey)
+        .join(s, s.s_suppkey == li.l_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2.n_nationkey"))
+        .where((F.col("n1.n_regionkey") == 1) & (F.col("p_type") == "PROMO"))
+        .select(
+            F.year("o_orderdate").alias("yr"),
+            vol.alias("volume"),
+            F.col("n2.n_regionkey").alias("supp_region"),
+        )
+    )
+    num = F.sum(
+        F.when(F.col("supp_region") == 2, F.col("volume")).otherwise(F.lit(0)).cast("decimal(38,6)")
+    ).cast("double")
+    den = F.sum(F.col("volume").cast("decimal(38,6)")).cast("double")
+    return base.groupBy("yr").agg(F.round(num / den, 6).alias("mkt_share")).orderBy("yr")
+
+
+@register(
+    "tpch_q9_product_profit",
+    oracle=f"""
+        SELECT n_name AS nation, year(o_orderdate) AS yr,
+               {sql_dsum('l_extendedprice * (1 - l_discount) - 0.4 * p_retailprice * l_quantity')} AS profit
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%a%'
+        GROUP BY n_name, year(o_orderdate)
+        ORDER BY nation, yr DESC
+    """,
+    tags=("B3", "B4"),
+    doc="Q9 shape: product-line profit by supplier nation and year (supply "
+    "cost approximated from retail price — no partsupp table in fixtures).",
+)
+def tpch_q9_product_profit(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders")
+    n = t(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.4 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey)
+        .join(s, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .where(F.col("p_name").like("%a%"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("yr"))
+        .agg(dsum(profit).alias("profit"))
+        .orderBy(F.col("nation"), F.col("yr").desc())
+    )
+
+
+@register(
+    "tpch_q16_supplier_counts",
+    oracle="""
+        SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM part JOIN lineitem ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    tags=("B3", "B4"),
+    doc="Q16 shape: distinct supplier counts by part attributes with NOT IN "
+    "exclusion.",
+)
+def tpch_q16_supplier_counts(spark, sf_dir):
+    for nm in ("part", "lineitem", "supplier"):
+        t(spark, sf_dir, nm).createOrReplaceTempView(nm)
+    return spark.sql(
+        """
+        SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM part JOIN lineitem ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """
+    )
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+          AND n_regionkey <= 2
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """,
+    tags=("B3", "B4"),
+    doc="Q21 shape: suppliers who kept multi-supplier orders waiting "
+    "(EXISTS over sibling lineitems).",
+)
+def tpch_q21_waiting_suppliers(spark, sf_dir):
+    for nm in ("supplier", "lineitem", "orders", "nation"):
+        t(spark, sf_dir, nm).createOrReplaceTempView(nm)
+    return spark.sql(
+        """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+          AND n_regionkey <= 2
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+        """
+    )

@@ -439,3 +439,60 @@ def similarity_ivf_ann(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
     return ivf_cosine_topk(emb, queries, k=10, n_probe=6, refine_iters=1).orderBy("query_id", "rank")
+
+
+@register(
+    "dedup_clusters_resolve",
+    oracle=None,  # iterative algorithm — rows-only (union-find-verified in tests/)
+    tags=("B10",),
+    doc="Near-dup cluster resolution: n-gram Jaccard pairs → connected "
+    "components (iterative min-label propagation) → one canonical doc per "
+    "cluster. The genuinely non-SQL-expressible op of the dedup pipeline.",
+)
+def dedup_clusters_resolve(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    pairs = ngram_jaccard_pairs(d, threshold=0.2)
+    return dedup_clusters(pairs).orderBy("node_id")
+
+
+@register(
+    "text_quality_filter",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, text, n_chars, string_split({_DUCK_NORM}, ' ') AS ws FROM documents),
+        feats AS (
+            SELECT doc_id,
+                   n_chars,
+                   len(ws) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+                       / GREATEST(length(text), 1) AS punct_ratio,
+                   CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+                       / GREATEST(len(ws), 1) AS mean_word_len
+            FROM toks)
+        SELECT doc_id,
+               (n_chars BETWEEN 100 AND 2000
+                AND n_tokens >= 20
+                AND punct_ratio < 0.1
+                AND mean_word_len BETWEEN 2.0 AND 12.0) AS keep
+        FROM feats
+        ORDER BY doc_id
+    """,
+    tags=("B10",),
+    doc="Composite quality filter: the standard keep/drop gate for LLM "
+    "corpora built from the quality_features columns.",
+)
+def text_quality_filter(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    q = quality_features(d)
+    keep = (
+        F.col("n_chars").between(100, 2000)
+        & (F.col("n_tokens") >= 20)
+        & (F.col("punct_ratio") < 0.1)
+        & F.col("mean_word_len").between(2.0, 12.0)
+    )
+    return q.select("doc_id", keep.alias("keep")).orderBy("doc_id")

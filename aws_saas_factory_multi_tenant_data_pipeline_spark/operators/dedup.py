@@ -244,3 +244,55 @@ def ngram_jaccard_pairs(
     return shared.withColumn("jaccard", jac).where(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "jaccard"
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 10,
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into CLUSTERS: connected components via
+    iterative min-label propagation (the step that turns pairwise Jaccard
+    matches into 'keep one doc per duplicate group').
+
+    Each iteration joins every node's label with its neighbors' labels and
+    takes the min — O(diameter) iterations, each a shuffle on the node id.
+    Duplicate clusters in practice have tiny diameters (2-4), so this
+    converges in a handful of rounds; ``max_iters`` bounds the worst case.
+    Returns (node_id, cluster_id) where cluster_id = min doc id reachable.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("node_id"), F.col("label").alias("cluster_id"))

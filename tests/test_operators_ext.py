@@ -163,3 +163,28 @@ def test_ivf_ann_recall_vs_bruteforce(spark, sf_smoke):
     # near-orthogonal synthetic vectors: probing 6/16 lists ≈ 37% of the
     # corpus; weak cluster structure bounds recall — same caveat as LSH.
     assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+
+def test_dedup_clusters_connected_components(spark):
+    """Label propagation must match a reference union-find on random graphs."""
+    pairs = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (3, 4)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import dedup_clusters
+
+    got = {r["node_id"]: r["cluster_id"] for r in dedup_clusters(df).collect()}
+    # union-find reference
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in pairs:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+    assert got == want, (got, want)

@@ -21,14 +21,20 @@ def asof_join(
     right_ts: str,
     right_cols: list[str],
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row: values of the latest right row with ts ≤ left ts.
+    """For each left row: values of the latest right row with ts ≤ left ts
+    (``direction="backward"``, the default) or the earliest right row with
+    ts ≥ left ts (``direction="forward"``).
 
     Implementation: tag and union both sides on (on, ts); a single
     ``last(..., ignoreNulls=True)`` window ordered by (ts, side) carries the
-    most recent right-side values forward onto left rows. Right rows at an
-    equal timestamp are visible to the left row (side ordering 0 < 1).
+    most recent right-side values forward onto left rows (the forward
+    variant simply reverses the time ordering). Right rows at an equal
+    timestamp are visible to the left row (side ordering 0 < 1).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = left.columns
     l = left.select(
         F.col(on).alias("__k"),
@@ -44,9 +50,10 @@ def asof_join(
         F.lit(None).cast(l.schema["__l"].dataType).alias("__l"),
         *[F.col(c).alias(f"__r_{c}") for c in right_cols],
     )
+    ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(ts_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l.unionByName(r).select(

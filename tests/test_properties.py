@@ -46,22 +46,27 @@ def test_asof_join_matches_reference_model(spark, case):
     left_rows, right_rows = case
     left = spark.createDataFrame(left_rows, "lid long, k long, ts long")
     right = spark.createDataFrame(right_rows, "rid long, k long, ts long, val double")
-    got = asof_join(
-        left, right, on="k", left_ts="ts", right_ts="ts", right_cols=["rid", "val"]
-    ).toPandas()
+    for direction, pick, cmp in [
+        ("backward", max, lambda rt, lt: rt <= lt),
+        ("forward", min, lambda rt, lt: rt >= lt),
+    ]:
+        got = asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            right_cols=["rid", "val"], direction=direction,
+        ).toPandas()
 
-    def model(lrow):
-        cands = [r for r in right_rows if r[1] == lrow[1] and r[2] <= lrow[2]]
-        if not cands:
-            return None
-        return max(cands, key=lambda r: r[2])[0]
+        def model(lrow):
+            cands = [r for r in right_rows if r[1] == lrow[1] and cmp(r[2], lrow[2])]
+            if not cands:
+                return None
+            return pick(cands, key=lambda r: r[2])[0]
 
-    expected = {lrow[0]: model(lrow) for lrow in left_rows}
-    assert len(got) == len(left_rows)
-    for _, row in got.iterrows():
-        want = expected[row["lid"]]
-        have = None if row.isna()["rid"] else int(row["rid"])
-        assert have == want, (row.to_dict(), want)
+        expected = {lrow[0]: model(lrow) for lrow in left_rows}
+        assert len(got) == len(left_rows)
+        for _, row in got.iterrows():
+            want = expected[row["lid"]]
+            have = None if row.isna()["rid"] else int(row["rid"])
+            assert have == want, (direction, row.to_dict(), want)
 
 
 @settings(**SETTINGS)

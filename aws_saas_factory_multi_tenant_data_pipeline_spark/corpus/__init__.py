@@ -59,6 +59,7 @@ def load_all() -> dict[str, QuerySpec]:
         analytics_extra,
         tpch_like,
         structs_maps,
+        scalar_wave5,
     )
 
     return REGISTRY

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus import register
 from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus._util import t
-from aws_saas_factory_multi_tenant_data_pipeline_spark.functions import dsum, sql_dsum
+from aws_saas_factory_multi_tenant_data_pipeline_spark.functions import davg, dsum, sql_davg, sql_dsum
 
 
 @register(
@@ -689,4 +689,124 @@ def tpch_q21_waiting_suppliers(spark, sf_dir):
         ORDER BY numwait DESC, s_name
         LIMIT 20
         """
+    )
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               {sql_dsum('l_quantity')} AS sum_qty,
+               {sql_dsum('l_extendedprice')} AS sum_base_price,
+               {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+               {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+               {sql_davg('l_quantity')} AS avg_qty,
+               {sql_davg('l_extendedprice')} AS avg_price,
+               {sql_davg('l_discount')} AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("B4",),
+    doc="Canonical TPC-H Q1: pricing summary report. Pure map-side-partial "
+    "aggregate over the fact table — the shape that must stay a single "
+    "scan+hash-agg (no join, no subquery) at 100 TB.",
+)
+def tpch_q1_pricing_summary(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    oracle=f"""
+        SELECT n_name, {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+    tags=("B3", "B4"),
+    doc="Canonical TPC-H Q5: local supplier volume. Star join where the "
+    "customer and supplier legs must agree on nation — dims broadcast, "
+    "the two fact-side shuffles are the only wide stages.",
+)
+def tpch_q5_local_supplier_volume(spark, sf_dir):
+    cu = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        cu.join(o, cu.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (cu.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .where(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    oracle=f"""
+        SELECT CAST({sql_dsum('l_extendedprice')} / 7.0 AS DOUBLE) AS avg_yearly
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#12'
+          AND p_type = 'PROMO'
+          AND l_quantity < (
+              SELECT 0.5 * AVG(l_quantity) FROM lineitem l2
+              WHERE l2.l_partkey = p_partkey)
+    """,
+    tags=("B3", "B4", "B2"),
+    doc="Canonical TPC-H Q17: small-quantity-order revenue. Correlated "
+    "scalar AVG subquery — Catalyst decorrelates to an aggregate+join; "
+    "the per-part average is tiny and broadcastable.",
+)
+def tpch_q17_small_quantity_revenue(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    per_part_avg = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where((F.col("p_brand") == "Brand#12") & (F.col("p_type") == "PROMO"))
+        .join(F.broadcast(per_part_avg), F.col("l_partkey") == F.col("ap_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_cut"))
+        .agg((dsum("l_extendedprice") / F.lit(7.0)).cast("double").alias("avg_yearly"))
     )

@@ -60,6 +60,7 @@ def load_all() -> dict[str, QuerySpec]:
         tpch_like,
         structs_maps,
         scalar_wave5,
+        sketches_variant,
     )
 
     return REGISTRY

@@ -188,3 +188,30 @@ def test_dedup_clusters_connected_components(spark):
         union(a, b)
     want = {n: find(n) for n in parent}
     assert got == want, (got, want)
+
+
+def test_hll_sketch_distinct_tolerance(spark, sf_oracle):
+    """The two-level HLL rollup (hourly partials → hll_union_agg) must land
+    within 5% of exact distinct per event_type — and merging partials must
+    equal sketching the whole column directly (mergeability)."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus import load_all
+
+    ev = t(spark, sf_oracle, "events")
+    got = {
+        r["event_type"]: r["approx_users"]
+        for r in load_all()["agg_hll_sketch_distinct"].spark_fn(spark, sf_oracle).collect()
+    }
+    exact = {
+        r["event_type"]: r["exact"]
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact")).collect()
+    }
+    assert set(got) == set(exact)
+    for k in exact:
+        assert abs(got[k] - exact[k]) / exact[k] <= 0.05, (k, got[k], exact[k])
+    direct = {
+        r["event_type"]: r["d"]
+        for r in ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("d"))
+        .collect()
+    }
+    assert got == direct  # union of hourly partials ≡ one-shot sketch

@@ -180,3 +180,65 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_tpch_q1_is_single_scan_partial_agg(spark, sf_smoke):
+    """Q1 must stay a scan → partial agg → exchange → final agg: exactly one
+    shuffle (plus the orderBy's range exchange), no join anywhere — the shape
+    that scales linearly to 100 TB."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus import load_all
+
+    q = load_all()["tpch_q1_pricing_summary"].spark_fn(spark, sf_smoke)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert_pushed_filter(q, "l_shipdate")
+
+
+def test_tpch_q5_broadcasts_all_dims(spark, sf_smoke):
+    """Q5's nation/region (and at smoke scale every dim) must come in as
+    broadcast hash joins — no sort-merge on the dimension legs."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus import load_all
+
+    q = load_all()["tpch_q5_local_supplier_volume"].spark_fn(spark, sf_smoke)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_runtime_bloom_filter_reduces_probe_side(spark, sf_smoke):
+    """When the dim side is too big to broadcast, Catalyst should inject a
+    runtime bloom filter (might_contain on xxhash64 of the join key) on the
+    fact scan — the semi-join reduction that saves shuffling non-matching
+    fact rows at 100 TB."""
+    keep = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        o = t(spark, sf_smoke, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+        li = t(spark, sf_smoke, "lineitem")
+        q = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity"))
+        )
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        for k, v in keep.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -61,6 +61,7 @@ def load_all() -> dict[str, QuerySpec]:
         structs_maps,
         scalar_wave5,
         sketches_variant,
+        timeseries,
     )
 
     return REGISTRY

@@ -413,3 +413,42 @@ def fn_division_semantics(spark, sf_dir):
         F.pmod(F.col("o_orderkey").cast("long"), F.lit(7)).alias("int_mod"),
         F.floor(F.col("o_totalprice") / 1000).cast("long").alias("price_k_floor"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "corpus_metering",
+    oracle="""
+        SELECT source,
+               COUNT(*) AS n_docs,
+               SUM(n_chars) AS total_chars,
+               COUNT(DISTINCT md5(text)) AS distinct_texts,
+               ROUND(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 6)
+                   AS dup_ratio,
+               MIN(n_chars) AS min_chars,
+               MAX(n_chars) AS max_chars
+        FROM documents
+        GROUP BY source
+        ORDER BY source
+    """,
+    tags=("B4", "B10"),
+    doc="Per-source corpus metering: volumes, content-hash distinct count "
+    "and duplicate ratio, size extrema — the observability rollup a "
+    "training-data pipeline runs per ingest batch (hash-distinct keeps "
+    "the shuffle on 16-byte digests, not document bodies).",
+)
+def corpus_metering(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct(F.md5("text")).alias("distinct_texts"),
+            F.round(
+                1.0 - F.countDistinct(F.md5("text")).cast("double") / F.count("*"), 6
+            ).alias("dup_ratio"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("source")
+    )

@@ -326,3 +326,36 @@ def test_watermark_drops_late_data(spark, tmp_path):
     second = spark.read.parquet(out).toPandas()
     again = second[second.ws == pd.Timestamp("2024-01-01 00:00:00")]
     assert len(again) == 1 and int(again.n.iloc[0]) == 5  # unchanged; late data dropped
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates inside the watermark window
+    collapse even when their event-times differ (dropDuplicates would treat
+    (id, ts) re-sends with a drifted ts as distinct keys); the state for a
+    key is droppable once the watermark passes — bounded state at 100 TB/day
+    ingest, unlike an unbounded dropDuplicates on event_id alone."""
+    src = str(tmp_path / "dupw_src")
+    os.makedirs(src, exist_ok=True)
+    # each id sent 3x with ts drift of 0/1/2 minutes — same logical event
+    rows = []
+    for i in range(10):
+        for drift in range(3):
+            rows.append({"event_id": i, "ts": f"2024-01-01T00:{i + drift:02d}:00.000Z"})
+    with open(os.path.join(src, "a.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    schema = T.StructType(
+        [T.StructField("event_id", T.LongType()), T.StructField("ts", T.TimestampType())]
+    )
+    stream = spark.readStream.schema(schema).json(src)
+    dedup = stream.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(["event_id"])
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_within_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_id FROM dedup_within_out").toPandas()
+    assert sorted(got["event_id"]) == list(range(10))

@@ -113,3 +113,46 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
         .withColumn("frame_idx", F.explode(frame_idx))
         .select("media_id", "frame_idx", "payload", "meta")
     )
+
+
+_EXT_KIND = {
+    "png": ("image", "image/png"),
+    "jpg": ("image", "image/jpeg"),
+    "jpeg": ("image", "image/jpeg"),
+    "wav": ("audio", "audio/wav"),
+    "mp3": ("audio", "audio/mpeg"),
+    "mp4": ("video", "video/mp4"),
+}
+
+
+def ingest_media_dir(spark, path: str, glob: str = "*") -> DataFrame:
+    """Ingest raw media files into the canonical MEDIA_SCHEMA via Spark's
+    built-in ``binaryFile`` source (distributed file read — payload bytes
+    go straight to executors, the driver only lists paths). ``media_id`` is
+    the xxhash64 of the file path (stable across re-ingests); kind/mime are
+    derived from the extension; codec-dependent meta stays NULL until the
+    decode step (stubbed, module docstring).
+    """
+    ext = F.lower(F.element_at(F.split(F.col("path"), "\\."), -1))
+    kind_expr = F.lit(None).cast("string")
+    mime_expr = F.lit(None).cast("string")
+    for e, (kind, mime) in _EXT_KIND.items():
+        kind_expr = F.when(ext == e, kind).otherwise(kind_expr)
+        mime_expr = F.when(ext == e, mime).otherwise(mime_expr)
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    return raw.select(
+        F.xxhash64("path").alias("media_id"),
+        kind_expr.alias("kind"),
+        F.col("content").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+            mime_expr.alias("mime"),
+        ).alias("meta"),
+    )

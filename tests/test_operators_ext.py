@@ -215,3 +215,44 @@ def test_hll_sketch_distinct_tolerance(spark, sf_oracle):
         .collect()
     }
     assert got == direct  # union of hourly partials ≡ one-shot sketch
+
+
+def test_binaryfile_media_ingest_to_features(spark, tmp_path):
+    """binaryFile source → MEDIA_SCHEMA → mapInPandas feature extraction:
+    the full multimodal ingest chain over real files on disk."""
+    import os
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        ingest_media_dir,
+    )
+
+    src = str(tmp_path / "media")
+    os.makedirs(src)
+    payloads = {
+        "a.png": b"\x89PNG fake image bytes",
+        "b.jpg": b"\xff\xd8 fake jpeg",
+        "c.wav": b"RIFF fake wav",
+        "d.txt": b"not media",
+    }
+    for name, data in payloads.items():
+        with open(os.path.join(src, name), "wb") as f:
+            f.write(data)
+
+    media = ingest_media_dir(spark, src, glob="*.{png,jpg,wav}")
+    assert [f.name for f in media.schema.fields] == [f.name for f in MEDIA_SCHEMA.fields]
+    rows = {r["kind"]: r for r in media.collect()}
+    assert set(rows) == {"image", "audio"}  # .txt filtered by glob
+    assert media.count() == 3
+    assert rows["audio"]["meta"]["mime"] == "audio/wav"
+    assert rows["audio"]["payload"] == b"RIFF fake wav"
+
+    feats = extract_features(media).collect()
+    assert len(feats) == 3
+    import hashlib
+
+    want = hashlib.sha256(payloads["c.wav"]).hexdigest()
+    got = {r["payload_sha256"] for r in feats}
+    assert want in got
+    assert all(len(r["feature"]) == 8 for r in feats)

@@ -62,6 +62,7 @@ def load_all() -> dict[str, QuerySpec]:
         scalar_wave5,
         sketches_variant,
         timeseries,
+        relational_wave6,
     )
 
     return REGISTRY

@@ -256,3 +256,17 @@ def test_binaryfile_media_ingest_to_features(spark, tmp_path):
     got = {r["payload_sha256"] for r in feats}
     assert want in got
     assert all(len(r["feature"]) == 8 for r in feats)
+
+
+def test_tablesample_fraction_and_repeatability(spark, sf_oracle):
+    """TABLESAMPLE (10 PERCENT) REPEATABLE(42): sampled fraction within
+    ±30% relative of 10%, and the same seed over the same data is stable."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus import load_all
+
+    fn = load_all()["sample_tablesample"].spark_fn
+    total = t(spark, sf_oracle, "lineitem").count()
+    a = fn(spark, sf_oracle).toPandas()
+    b = fn(spark, sf_oracle).toPandas()
+    frac = len(a) / total
+    assert 0.07 <= frac <= 0.13, frac
+    assert a.equals(b)  # same seed, same partitioning → identical sample

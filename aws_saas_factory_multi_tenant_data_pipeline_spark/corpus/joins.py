@@ -14,7 +14,11 @@ from pyspark.sql import functions as F
 from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus import register
 from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus._util import t
 from aws_saas_factory_multi_tenant_data_pipeline_spark.functions import dsum, sql_dsum
-from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.joins import asof_join, range_join
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.joins import (
+    asof_join,
+    binned_range_join,
+    range_join,
+)
 
 
 @register(
@@ -267,4 +271,37 @@ def join_star_multiway(spark, sf_dir):
         .groupBy("n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+@register(
+    "join_range_binned",
+    oracle="""
+        WITH buckets AS (
+            SELECT i AS bucket_id, i * 20.0 AS lo, i * 20.0 + 19.999999 AS hi
+            FROM range(0, 10) t(i)
+        )
+        SELECT bucket_id, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        FROM events JOIN buckets ON value >= lo AND value <= hi
+        GROUP BY bucket_id
+        ORDER BY bucket_id
+    """,
+    tags=("B3",),
+    doc="Same interval join as join_range_theta but via binned_range_join "
+    "(bin equi-join + exact post-filter) — the 100 TB path when neither "
+    "side is broadcast-small: hash join on bin ids, no nested loop.",
+)
+def join_range_binned(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    buckets = spark.range(0, 10).select(
+        F.col("id").alias("bucket_id"),
+        (F.col("id") * 20.0).alias("lo"),
+        (F.col("id") * 20.0 + 19.999999).alias("hi"),
+    )
+    joined = binned_range_join(e, buckets, "value", "lo", "hi", bin_width=20.0)
+    return (
+        joined.groupBy("bucket_id")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+        .orderBy("bucket_id")
     )

@@ -119,3 +119,48 @@ def salted_join(
     )
     out = salted_l.join(salted_r, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+def binned_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: str,
+    right_lo: str,
+    right_hi: str,
+    bin_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Keyless interval join without the nested-loop cliff (SURVEY §2 B3).
+
+    Buckets the value axis into fixed-width bins: each right interval
+    explodes to every bin it overlaps, each left row maps to its single
+    bin, the two sides equi-join on the bin id (hash/sort-merge — shuffles
+    scale, nested loops don't), and the exact range predicate is re-checked
+    post-join. A matching pair meets in exactly one bin (the left row's),
+    so no dedup pass is needed. Inner join only.
+
+    Cost model: right-side expansion = ceil(span / bin_width) + 1 rows per
+    interval — pick bin_width near the typical interval span. Degenerate
+    intervals (lo > hi) match nothing and are dropped up front (Spark's
+    sequence() would otherwise descend).
+    """
+    if how != "inner":
+        raise ValueError("binned_range_join supports how='inner' only")
+    lb = left.withColumn("__bin", F.floor(F.col(left_val) / bin_width).cast("long"))
+    rb = (
+        right.where(F.col(right_lo) <= F.col(right_hi))
+        .withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(right_lo) / bin_width).cast("long"),
+                    F.floor(F.col(right_hi) / bin_width).cast("long"),
+                )
+            ),
+        )
+    )
+    return (
+        lb.join(rb, "__bin", "inner")
+        .where((F.col(left_val) >= F.col(right_lo)) & (F.col(left_val) <= F.col(right_hi)))
+        .drop("__bin")
+    )

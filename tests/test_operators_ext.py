@@ -270,3 +270,42 @@ def test_tablesample_fraction_and_repeatability(spark, sf_oracle):
     frac = len(a) / total
     assert 0.07 <= frac <= 0.13, frac
     assert a.equals(b)  # same seed, same partitioning → identical sample
+
+
+def test_binned_range_join_equivalence_and_plan(spark, sf_smoke):
+    """binned_range_join must return exactly the brute-force interval-join
+    pairs (incl. boundary values, multi-bin spans, degenerate lo>hi
+    intervals) and must plan as an equi-join — no nested loop."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.joins import (
+        binned_range_join,
+        range_join,
+    )
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    pts = [(int(i), float(v)) for i, v in enumerate(rng.uniform(-50, 250, 300))]
+    ivs = []
+    for j in range(40):
+        lo = float(rng.uniform(-60, 240))
+        span = float(rng.choice([0.0, 3.0, 25.0, 90.0]))  # incl. point intervals
+        ivs.append((int(j), lo, lo + span))
+    ivs.append((40, 100.0, 90.0))  # degenerate: matches nothing
+    left = spark.createDataFrame(pts, "pid int, v double")
+    right = spark.createDataFrame(ivs, "iid int, lo double, hi double")
+
+    got = {
+        (r["pid"], r["iid"])
+        for r in binned_range_join(left, right, "v", "lo", "hi", bin_width=10.0).collect()
+    }
+    want = {
+        (p, i) for p, v in pts for i, lo, hi in ivs if lo <= v <= hi
+    }
+    assert got == want
+    plan = (
+        binned_range_join(left, right, "v", "lo", "hi", bin_width=10.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan

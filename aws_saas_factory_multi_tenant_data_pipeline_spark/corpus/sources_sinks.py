@@ -178,3 +178,28 @@ def table_profile(spark, sf_dir):
         .select("column", "n_rows", "n_nulls", "min_value", "max_value")
         .orderBy("column")
     )
+
+
+@register(
+    "scan_text_roundtrip",
+    oracle="""
+        SELECT COUNT(*) AS n_lines,
+               SUM(length(n_name)) AS total_chars,
+               MIN(n_name) AS first_name
+        FROM nation
+    """,
+    tags=("B1",),
+    doc="Plain-text sink+source roundtrip (spark.read.text — one line per "
+    "row, `value` column): the raw-log ingestion format; parsing happens "
+    "downstream, exactly like the reference's opaque JSON strings.",
+)
+def scan_text_roundtrip(spark, sf_dir):
+    n = t(spark, sf_dir, "nation")
+    path = os.path.join(_SCRATCH, "nation_text")
+    n.select(F.col("n_name").alias("value")).write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    return back.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.length("value")).alias("total_chars"),
+        F.min("value").alias("first_name"),
+    )

@@ -277,22 +277,25 @@ def agg_filter_clause(spark, sf_dir):
     "collect_list_sorted",
     oracle="""
         SELECT n_regionkey,
-               list_sort(list(n_name)) AS nations,
-               list_sort(list(DISTINCT n_regionkey + 0)) AS keys_set
+               to_json(list_sort(list(n_name))) AS nations,
+               to_json(list_sort(list(DISTINCT CAST(n_regionkey AS BIGINT) + 0))) AS keys_set
         FROM nation
         GROUP BY n_regionkey
         ORDER BY n_regionkey
     """,
     tags=("B4",),
-    doc="array_agg/collect_list + collect_set, array_sort'ed for determinism.",
+    doc="array_agg/collect_list + collect_set, array_sort'ed for determinism; "
+    "serialized via to_json on both engines (driver-canonicalizer-safe).",
 )
 def collect_list_sorted(spark, sf_dir):
     n = t(spark, sf_dir, "nation")
     return (
         n.groupBy("n_regionkey")
         .agg(
-            F.array_sort(F.collect_list("n_name")).alias("nations"),
-            F.array_sort(F.collect_set(F.col("n_regionkey") + 0)).alias("keys_set"),
+            F.to_json(F.array_sort(F.collect_list("n_name"))).alias("nations"),
+            F.to_json(
+                F.array_sort(F.collect_set(F.col("n_regionkey").cast("long") + 0))
+            ).alias("keys_set"),
         )
         .orderBy("n_regionkey")
     )

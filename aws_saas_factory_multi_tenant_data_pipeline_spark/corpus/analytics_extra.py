@@ -256,7 +256,7 @@ def fn_datetime_wave2(spark, sf_dir):
                TRY_CAST(SUBSTR(o_orderpriority, 1, 1) AS INTEGER) AS prio_digit,
                CASE WHEN o_custkey - o_custkey = 0 THEN NULL
                     ELSE o_totalprice / (o_custkey - o_custkey) END AS div_by_zero,
-               TRY_CAST('2024-13-45' AS DATE) AS bad_date
+               CAST(TRY_CAST('2024-13-45' AS DATE) AS VARCHAR) AS bad_date
         FROM orders
         WHERE o_orderkey <= 500
         ORDER BY o_orderkey
@@ -274,7 +274,7 @@ def fn_try_ops(spark, sf_dir):
         F.try_divide(F.col("o_totalprice"), F.col("o_custkey") - F.col("o_custkey")).alias(
             "div_by_zero"
         ),
-        F.lit("2024-13-45").try_cast("date").alias("bad_date"),
+        F.lit("2024-13-45").try_cast("date").cast("string").alias("bad_date"),
     ).orderBy("o_orderkey")
 
 
@@ -356,7 +356,7 @@ def agg_wave3(spark, sf_dir):
                    generate_series(10, 10 + (n_nationkey % 4) + 1) AS b
             FROM nation)
         SELECT n_nationkey,
-               list_transform(list_zip(a, b), p -> p[1] + p[2]) AS zipped_sum,
+               to_json(list_transform(list_zip(a, b), p -> p[1] + p[2])) AS zipped_sum,
                len(regexp_extract_all(CAST(n_nationkey AS VARCHAR) || 'a1b2', '[0-9]')) AS digit_count,
                a[1] IS NOT NULL AS first_not_null,
                COALESCE(a[100], -1) AS oob_elem
@@ -376,7 +376,7 @@ def fn_collection_wave3(spark, sf_dir):
     )
     return base.select(
         "n_nationkey",
-        F.zip_with("a", "b", lambda x, y: x + y).alias("zipped_sum"),
+        F.to_json(F.zip_with("a", "b", lambda x, y: x + y)).alias("zipped_sum"),
         F.size(
             F.regexp_extract_all(
                 F.concat(F.col("n_nationkey").cast("string"), F.lit("a1b2")), F.lit("([0-9])"), 1
@@ -420,7 +420,7 @@ def fn_division_semantics(spark, sf_dir):
     oracle="""
         SELECT source,
                COUNT(*) AS n_docs,
-               SUM(n_chars) AS total_chars,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                COUNT(DISTINCT md5(text)) AS distinct_texts,
                ROUND(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 6)
                    AS dup_ratio,

@@ -53,10 +53,10 @@ def fn_values_inline(spark, sf_dir):
     "agg_map_agg",
     oracle="""
         SELECT n_regionkey,
-               list_sort(list_transform(
+               to_json(list_sort(list_transform(
                    map_entries(MAP(list(n_nationkey ORDER BY n_nationkey),
                                    list(n_name ORDER BY n_nationkey))),
-                   e -> CAST(e.key AS VARCHAR) || '=' || e.value)) AS nation_map
+                   e -> CAST(e.key AS VARCHAR) || '=' || e.value))) AS nation_map
         FROM nation
         WHERE n_nationkey < 12
         GROUP BY n_regionkey
@@ -80,7 +80,7 @@ def agg_map_agg(spark, sf_dir):
     )
     return (
         n.groupBy("n_regionkey")
-        .agg(entries.alias("nation_map"))
+        .agg(F.to_json(entries).alias("nation_map"))
         .orderBy("n_regionkey")
     )
 

@@ -108,17 +108,17 @@ def fn_datetime(spark, sf_dir):
     "fn_math",
     oracle="""
         SELECT l_orderkey, l_linenumber,
-               abs(l_discount - 0.05) AS adiff,
-               round(l_extendedprice / 1000, 2) AS price_k,
-               floor(l_quantity) AS qfloor,
-               ceil(l_quantity / 7) AS qceil7,
-               round(exp(l_discount), 6) AS e_disc,
-               round(ln(l_extendedprice), 6) AS ln_price,
-               round(log10(l_extendedprice), 6) AS log10_price,
-               round(sqrt(l_quantity), 6) AS sqrt_qty,
-               round(pow(l_quantity, 2), 6) AS qty_sq,
+               CAST(abs(l_discount - 0.05) AS DOUBLE) AS adiff,
+               CAST(round(l_extendedprice / 1000, 2) AS DOUBLE) AS price_k,
+               CAST(floor(l_quantity) AS BIGINT) AS qfloor,
+               CAST(ceil(l_quantity / 7) AS BIGINT) AS qceil7,
+               CAST(round(exp(l_discount), 6) AS DOUBLE) AS e_disc,
+               CAST(round(ln(l_extendedprice), 6) AS DOUBLE) AS ln_price,
+               CAST(round(log10(l_extendedprice), 6) AS DOUBLE) AS log10_price,
+               CAST(round(sqrt(l_quantity), 6) AS DOUBLE) AS sqrt_qty,
+               CAST(round(pow(l_quantity, 2), 6) AS DOUBLE) AS qty_sq,
                ((CAST(l_orderkey AS BIGINT) % 7) + 7) % 7 AS key_mod7,
-               sign(l_discount - 0.05) AS disc_sign
+               CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign
         FROM lineitem
         WHERE l_orderkey <= 500
         ORDER BY l_orderkey, l_linenumber
@@ -132,17 +132,17 @@ def fn_math(spark, sf_dir):
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.abs(F.col("l_discount") - 0.05).alias("adiff"),
-        F.round(F.col("l_extendedprice") / 1000, 2).alias("price_k"),
-        F.floor("l_quantity").alias("qfloor"),
-        F.ceil(F.col("l_quantity") / 7).alias("qceil7"),
-        F.round(F.exp("l_discount"), 6).alias("e_disc"),
-        F.round(F.log(F.col("l_extendedprice")), 6).alias("ln_price"),
-        F.round(F.log10("l_extendedprice"), 6).alias("log10_price"),
-        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
-        F.round(F.pow("l_quantity", F.lit(2)), 6).alias("qty_sq"),
+        F.abs(F.col("l_discount") - 0.05).cast("double").alias("adiff"),
+        F.round(F.col("l_extendedprice") / 1000, 2).cast("double").alias("price_k"),
+        F.floor("l_quantity").cast("long").alias("qfloor"),
+        F.ceil(F.col("l_quantity") / 7).cast("long").alias("qceil7"),
+        F.round(F.exp("l_discount"), 6).cast("double").alias("e_disc"),
+        F.round(F.log(F.col("l_extendedprice")), 6).cast("double").alias("ln_price"),
+        F.round(F.log10("l_extendedprice"), 6).cast("double").alias("log10_price"),
+        F.round(F.sqrt("l_quantity"), 6).cast("double").alias("sqrt_qty"),
+        F.round(F.pow("l_quantity", F.lit(2)), 6).cast("double").alias("qty_sq"),
         F.pmod(F.col("l_orderkey"), F.lit(7)).alias("key_mod7"),
-        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.signum(F.col("l_discount") - 0.05).cast("double").alias("disc_sign"),
     ).orderBy("l_orderkey", "l_linenumber")
 
 
@@ -157,18 +157,19 @@ def fn_math(spark, sf_dir):
         SELECT n_nationkey,
                len(chars) AS n_chars,
                list_contains(chars, 'a') AS has_a,
-               list_sort(list_distinct(chars)) AS uniq_chars,
-               chars[2:4] AS mid_chars,
-               flatten([seq, seq]) AS doubled_seq,
-               list_transform(seq, x -> x * 10) AS seq_x10,
-               list_filter(seq, x -> x % 2 = 0) AS seq_even,
+               to_json(list_sort(list_distinct(chars))) AS uniq_chars,
+               to_json(chars[2:4]) AS mid_chars,
+               to_json(flatten([seq, seq])) AS doubled_seq,
+               to_json(list_transform(seq, x -> x * 10)) AS seq_x10,
+               to_json(list_filter(seq, x -> x % 2 = 0)) AS seq_even,
                CAST(list_sum(seq) AS BIGINT) AS seq_sum
         FROM base
         ORDER BY n_nationkey
     """,
     tags=("B7",),
     doc="Array family: size/contains/sort/distinct/slice/flatten/transform/"
-    "filter/aggregate/sequence.",
+    "filter/aggregate/sequence. Array outputs serialized via to_json on both "
+    "engines so the driver canonicalizer sees plain strings (hashable).",
 )
 def fn_array(spark, sf_dir):
     n = t(spark, sf_dir, "nation")
@@ -181,11 +182,11 @@ def fn_array(spark, sf_dir):
         "n_nationkey",
         F.size("chars").alias("n_chars"),
         F.array_contains("chars", "a").alias("has_a"),
-        F.array_sort(F.array_distinct("chars")).alias("uniq_chars"),
-        F.slice("chars", 2, 3).alias("mid_chars"),
-        F.flatten(F.array("seq", "seq")).alias("doubled_seq"),
-        F.transform("seq", lambda x: x * 10).alias("seq_x10"),
-        F.filter("seq", lambda x: x % 2 == 0).alias("seq_even"),
+        F.to_json(F.array_sort(F.array_distinct("chars"))).alias("uniq_chars"),
+        F.to_json(F.slice("chars", 2, 3)).alias("mid_chars"),
+        F.to_json(F.flatten(F.array("seq", "seq"))).alias("doubled_seq"),
+        F.to_json(F.transform("seq", lambda x: x * 10)).alias("seq_x10"),
+        F.to_json(F.filter("seq", lambda x: x % 2 == 0)).alias("seq_even"),
         F.aggregate("seq", F.lit(0).cast("long"), lambda acc, x: acc + x).alias("seq_sum"),
     ).orderBy("n_nationkey")
 
@@ -221,14 +222,15 @@ def fn_array_explode(spark, sf_dir):
                    map(['key','region'], [CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT)]) AS props
             FROM nation)
         SELECT n_nationkey,
-               map_keys(props) AS ks,
-               map_values(props) AS vs,
+               to_json(map_keys(props)) AS ks,
+               to_json(map_values(props)) AS vs,
                props['region'][1] AS region_val
         FROM m
         ORDER BY n_nationkey
     """,
     tags=("B7",),
-    doc="Map family: creation, map_keys/map_values/element_at.",
+    doc="Map family: creation, map_keys/map_values/element_at. Array outputs "
+    "serialized via to_json on both engines (driver-canonicalizer-safe).",
 )
 def fn_map(spark, sf_dir):
     n = t(spark, sf_dir, "nation")
@@ -241,8 +243,8 @@ def fn_map(spark, sf_dir):
     )
     return m.select(
         "n_nationkey",
-        F.map_keys("props").alias("ks"),
-        F.map_values("props").alias("vs"),
+        F.to_json(F.map_keys("props")).alias("ks"),
+        F.to_json(F.map_values("props")).alias("vs"),
         F.element_at(F.col("props"), F.lit("region")).alias("region_val"),
     ).orderBy("n_nationkey")
 

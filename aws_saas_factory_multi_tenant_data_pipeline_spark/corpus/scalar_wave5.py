@@ -73,7 +73,7 @@ def fn_string_wave3(spark, sf_dir):
                p_size | 8 AS size_or_8,
                xor(p_size, 21) AS size_xor_21,
                bit_count(CAST(p_size AS BIGINT)) AS size_popcount,
-               factorial((p_size % 10)) AS fact_size_mod10,
+               CAST(factorial((p_size % 10)) AS BIGINT) AS fact_size_mod10,
                round(pi() * p_size, 6) AS size_pi,
                CAST(~p_size AS INTEGER) AS size_not
         FROM part
@@ -156,13 +156,13 @@ def fn_datetime_wave3(spark, sf_dir):
             FROM nation
         )
         SELECT n_nationkey,
-               list_sort(list_distinct(list_concat(
-                   list_filter(xs, v -> v IS NOT NULL), ys))) AS union_xy,
-               list_sort(list_intersect(list_filter(xs, v -> v IS NOT NULL), ys))
+               to_json(list_sort(list_distinct(list_concat(
+                   list_filter(xs, v -> v IS NOT NULL), ys)))) AS union_xy,
+               to_json(list_sort(list_intersect(list_filter(xs, v -> v IS NOT NULL), ys)))
                    AS intersect_xy,
-               list_sort(list_distinct(list_filter(xs,
-                   v -> v IS NOT NULL AND NOT list_contains(ys, v)))) AS except_xy,
-               list_filter(xs, v -> v IS NOT NULL) AS compact_x
+               to_json(list_sort(list_distinct(list_filter(xs,
+                   v -> v IS NOT NULL AND NOT list_contains(ys, v))))) AS except_xy,
+               to_json(list_filter(xs, v -> v IS NOT NULL)) AS compact_x
         FROM a
         ORDER BY n_nationkey
     """,
@@ -183,10 +183,10 @@ def fn_array_setops(spark, sf_dir):
     cx = F.array_compact(xs)
     return n.select(
         "n_nationkey",
-        F.array_sort(F.array_union(cx, ys)).alias("union_xy"),
-        F.array_sort(F.array_intersect(cx, ys)).alias("intersect_xy"),
-        F.array_sort(F.array_except(cx, ys)).alias("except_xy"),
-        cx.alias("compact_x"),
+        F.to_json(F.array_sort(F.array_union(cx, ys))).alias("union_xy"),
+        F.to_json(F.array_sort(F.array_intersect(cx, ys))).alias("intersect_xy"),
+        F.to_json(F.array_sort(F.array_except(cx, ys))).alias("except_xy"),
+        F.to_json(cx).alias("compact_x"),
     ).orderBy("n_nationkey")
 
 
@@ -194,17 +194,17 @@ def fn_array_setops(spark, sf_dir):
     "fn_map_wave2",
     oracle="""
         SELECT n_nationkey,
-               list_sort(list_transform(
+               to_json(list_sort(list_transform(
                    map_entries(map_concat(MAP{'nation': n_name},
                                           MAP{'region': CAST(n_regionkey AS VARCHAR)})),
-                   e -> e.key || '=' || e.value)) AS merged_entries,
-               list_sort(list_transform(
+                   e -> e.key || '=' || e.value))) AS merged_entries,
+               to_json(list_sort(list_transform(
                    map_entries(MAP(
                        list_transform(string_split('a=1;b=2;c=3', ';'),
                                       kv -> string_split(kv, '=')[1]),
                        list_transform(string_split('a=1;b=2;c=3', ';'),
                                       kv -> string_split(kv, '=')[2]))),
-                   e -> e.key || '=' || e.value)) AS parsed_entries
+                   e -> e.key || '=' || e.value))) AS parsed_entries
         FROM nation
         ORDER BY n_nationkey
     """,
@@ -231,8 +231,8 @@ def fn_map_wave2(spark, sf_dir):
     parsed = F.str_to_map(F.lit("a=1;b=2;c=3"), F.lit(";"), F.lit("="))
     return n.select(
         "n_nationkey",
-        entries(merged).alias("merged_entries"),
-        entries(parsed).alias("parsed_entries"),
+        F.to_json(entries(merged)).alias("merged_entries"),
+        F.to_json(entries(parsed)).alias("parsed_entries"),
     ).orderBy("n_nationkey")
 
 

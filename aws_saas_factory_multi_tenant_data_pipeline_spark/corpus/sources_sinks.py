@@ -184,7 +184,7 @@ def table_profile(spark, sf_dir):
     "scan_text_roundtrip",
     oracle="""
         SELECT COUNT(*) AS n_lines,
-               SUM(length(n_name)) AS total_chars,
+               CAST(SUM(length(n_name)) AS BIGINT) AS total_chars,
                MIN(n_name) AS first_name
         FROM nation
     """,

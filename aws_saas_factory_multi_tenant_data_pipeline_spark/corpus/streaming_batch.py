@@ -130,7 +130,7 @@ def stream_sliding_10m5m(spark, sf_dir):
                    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
             FROM ordered)
-        SELECT user_id, session_no, COUNT(*) AS n,
+        SELECT user_id, CAST(session_no AS BIGINT) AS session_no, COUNT(*) AS n,
                strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start
         FROM sessions
         GROUP BY user_id, session_no

@@ -47,10 +47,10 @@ def fn_struct_ops(spark, sf_dir):
             SELECT n_nationkey, generate_series(0, (n_nationkey % 5) + 2) AS a FROM nation)
         SELECT n_nationkey,
                list_position(a, 2) AS pos_of_2,
-               list_filter(a, x -> x != 1) AS removed_1,
+               to_json(list_filter(a, x -> x != 1)) AS removed_1,
                CASE WHEN len(list_intersect(a, [3, 4])) > 0 THEN true ELSE false END AS overlaps_34,
-               list_transform(generate_series(1, 3), x -> n_nationkey) AS repeated,
-               list_concat(a[2:], [99]) AS appended_tail
+               to_json(list_transform(generate_series(1, 3), x -> n_nationkey)) AS repeated,
+               to_json(list_concat(a[2:], [99])) AS appended_tail
         FROM base
         ORDER BY n_nationkey
     """,
@@ -67,10 +67,10 @@ def fn_array_mutation(spark, sf_dir):
     return base.select(
         "n_nationkey",
         F.array_position("a", 2).alias("pos_of_2"),
-        F.array_remove("a", 1).alias("removed_1"),
+        F.to_json(F.array_remove("a", 1)).alias("removed_1"),
         F.arrays_overlap("a", F.array(F.lit(3), F.lit(4))).alias("overlaps_34"),
-        F.array_repeat(F.col("n_nationkey"), 3).alias("repeated"),
-        F.concat(F.slice("a", 2, 100), F.array(F.lit(99))).alias("appended_tail"),
+        F.to_json(F.array_repeat(F.col("n_nationkey"), 3)).alias("repeated"),
+        F.to_json(F.concat(F.slice("a", 2, 100), F.array(F.lit(99)))).alias("appended_tail"),
     ).orderBy("n_nationkey")
 
 
@@ -83,8 +83,8 @@ def fn_array_mutation(spark, sf_dir):
                        [CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT), CAST(7 AS BIGINT)]) AS props
             FROM nation)
         SELECT n_nationkey,
-               list_sort(list_transform(map_keys(props), k -> upper(k))) AS upper_keys,
-               list_sort(list_transform(map_values(props), v -> v * 10)) AS values_x10,
+               to_json(list_sort(list_transform(map_keys(props), k -> upper(k)))) AS upper_keys,
+               to_json(list_sort(list_transform(map_values(props), v -> v * 10))) AS values_x10,
                len(list_filter(map_values(props), v -> v > 5)) AS n_big_values
         FROM m
         ORDER BY n_nationkey
@@ -115,8 +115,8 @@ def fn_map_higher_order(spark, sf_dir):
     n_big = F.size(F.map_values(F.map_filter("props", lambda k, v: v > 5)))
     return m.select(
         "n_nationkey",
-        upper_keys.alias("upper_keys"),
-        values_x10.alias("values_x10"),
+        F.to_json(upper_keys).alias("upper_keys"),
+        F.to_json(values_x10).alias("values_x10"),
         n_big.alias("n_big_values"),
     ).orderBy("n_nationkey")
 

@@ -97,7 +97,7 @@ def udf_grouped_map(spark, sf_dir):
     "udf_grouped_agg",
     oracle="""
         SELECT event_type,
-               SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT) * user_id) AS weighted_cents
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT) * user_id) AS BIGINT) AS weighted_cents
         FROM events
         GROUP BY event_type
         ORDER BY event_type

@@ -14,6 +14,8 @@ pair orderings always tie-broken by id.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -100,8 +102,16 @@ def minhash_signatures(
     functions over the shingle array blow up the generated code (measured
     ~50× slower at sf0.1).
     """
+    shs = with_shingle_col(df, text_col, shingle_k).select(F.col(id_col), F.col("__shingles"))
+    return _signatures_from_shingles(shs, id_col, num_hashes)
+
+
+def _signatures_from_shingles(shs: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+    """MinHash signatures from a precomputed (id, __shingles) frame — lets
+    callers shingle ONCE and reuse the frame for candidate generation and
+    exact-Jaccard verification (persist-once path)."""
     consts = _perm_constants(num_hashes)
-    ex = with_shingle_col(df, text_col, shingle_k).select(
+    ex = shs.select(
         F.col(id_col),
         F.explode(
             F.transform(
@@ -125,6 +135,7 @@ def minhash_near_duplicates(
     bands: int = 16,
     shingle_k: int = 3,
     jaccard_threshold: float = 0.5,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """LSH candidate generation + exact-Jaccard verification.
 
@@ -132,9 +143,22 @@ def minhash_near_duplicates(
     split into ``bands`` bands of r rows; docs sharing any band signature
     become candidates via an equi-join on (band_idx, band_hash) — the
     100 TB-safe alternative to an all-pairs comparison.
+
+    ``persist_shingles`` (default on) shingles the corpus ONCE and persists
+    the (id, shingles) frame (MEMORY_AND_DISK, spill-safe) so signature
+    generation and exact-Jaccard verification share it — without it the
+    whole normalize/tokenize/shingle pipeline runs twice. Disable for
+    one-shot small inputs where the persist round-trip costs more than the
+    recompute. Callers owning a long-lived session may
+    ``spark.catalog.clearCache()`` afterwards.
     """
     r = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    shs = with_shingle_col(df, text_col, shingle_k).select(F.col(id_col), F.col("__shingles"))
+    if persist_shingles:
+        from pyspark import StorageLevel
+
+        shs = shs.persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = _signatures_from_shingles(shs, id_col, num_hashes)
     banded = sigs.select(
         id_col,
         F.posexplode(
@@ -163,11 +187,10 @@ def minhash_near_duplicates(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    # exact-Jaccard verification: join precomputed shingle sets back by id.
-    # (Shingling all docs once is cheaper than pruning to candidate ids —
-    # a semi-join prune was measured 3× slower: the candidate set is only
-    # known after the expensive banding pipeline, which then runs twice.)
-    shs = with_shingle_col(df, text_col, shingle_k).select(F.col(id_col), F.col("__shingles"))
+    # exact-Jaccard verification: join the SAME persisted shingle frame back
+    # by id. (Shingling all docs once is cheaper than pruning to candidate
+    # ids — a semi-join prune was measured 3× slower: the candidate set is
+    # only known after the expensive banding pipeline, which then runs twice.)
     cand = (
         cand.join(shs.select(F.col(id_col).alias("id_a"), F.col("__shingles").alias("sh_a")), "id_a")
         .join(shs.select(F.col(id_col).alias("id_b"), F.col("__shingles").alias("sh_b")), "id_b")
@@ -261,6 +284,14 @@ def dedup_clusters(
     Duplicate clusters in practice have tiny diameters (2-4), so this
     converges in a handful of rounds; ``max_iters`` bounds the worst case.
     Returns (node_id, cluster_id) where cluster_id = min doc id reachable.
+
+    Scale: every iteration ``localCheckpoint``s the label frame, so lineage
+    stays O(1) deep — without it iteration N re-evaluates the whole chain
+    back to round 1 (multiplicative re-execution at 100 TB) and the
+    convergence ``count()`` probe runs against the materialized frame, not
+    a recomputation. If the loop exits without converging (component
+    diameter > max_iters) a warning is emitted: labels are then PARTIAL —
+    one component may carry several cluster_ids.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -270,6 +301,7 @@ def dedup_clusters(
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -285,6 +317,10 @@ def dedup_clusters(
                 ),
             )
         )
+        # truncate lineage BEFORE the convergence probe so the count() runs
+        # on the materialized frame and later iterations never re-evaluate
+        # earlier rounds
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -294,5 +330,14 @@ def dedup_clusters(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        warnings.warn(
+            f"dedup_clusters: not converged after max_iters={max_iters}; "
+            "labels are partial (a component may span several cluster_ids). "
+            "Raise max_iters (diameter bound) for deeper duplicate chains.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("node").alias("node_id"), F.col("label").alias("cluster_id"))

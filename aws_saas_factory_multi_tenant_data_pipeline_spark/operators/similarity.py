@@ -164,13 +164,16 @@ def ivf_cosine_topk(
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k cosine.
 
-    Index build: centroids = a deterministic corpus sample (every
-    ``|corpus|/n_centroids``-th vector by id), optionally refined with
-    ``refine_iters`` Lloyd iterations (spherical k-means: assign to
-    max-cosine centroid, recenter on the element-wise mean — each iteration
-    is one corpus scan + one tiny groupBy, all DataFrame ops). Every corpus
-    vector is assigned to its max-cosine centroid — one broadcast join +
-    window argmax, a single scan of the corpus.
+    Index build: centroids = a deterministic pseudo-random corpus sample —
+    the ``n_centroids`` rows with the smallest ``xxhash64(id)``. That is a
+    global ``orderBy(...).limit(n)``, which Spark executes as
+    TakeOrderedAndProject (per-partition top-k, tiny driver merge): one
+    corpus scan, no global window, no ``count()`` action, survives any
+    corpus size. Optional ``refine_iters`` Lloyd iterations (spherical
+    k-means: assign to max-cosine centroid, recenter on the element-wise
+    mean — each iteration one corpus scan + one tiny groupBy, all
+    DataFrame ops). Every corpus vector is assigned to its max-cosine
+    centroid — one broadcast join + per-id window argmax, a single scan.
 
     Search: each query probes its ``n_probe`` closest centroids and
     exact-re-ranks only vectors assigned to those lists — scanning
@@ -181,21 +184,18 @@ def ivf_cosine_topk(
     c_norm = with_norm(corpus, vec_col).select(
         F.col(id_col), F.col(vec_col).alias("__cv"), F.col("__norm").alias("__cn")
     )
-    # deterministic centroid sample by id rank
-    w_all = Window.orderBy(F.col(id_col))
-    ranked = c_norm.withColumn("__rk", F.row_number().over(w_all))
-    total = ranked.count()
-    stride = max(1, total // n_centroids)
+    # deterministic pseudo-random centroid sample: smallest-hash rows via
+    # orderBy+limit (TakeOrderedAndProject — per-partition top-k, no global
+    # window, no count()). The sampled row's own id doubles as the cluster
+    # id, keeping tie-breaks deterministic.
     centroids = (
-        ranked.where((F.col("__rk") - 1) % stride == 0)
+        c_norm.orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
         .limit(n_centroids)
         .select(
-            F.monotonically_increasing_id().alias("__cid_tmp"),
+            F.col(id_col).alias("__cid"),
             F.col("__cv").alias("__centroid"),
             F.col("__cn").alias("__centroid_norm"),
         )
-        .withColumn("__cid", F.dense_rank().over(Window.orderBy("__cid_tmp")))
-        .drop("__cid_tmp")
     )
 
     def assign(df, idc, vcol, ncol, probe):

@@ -83,14 +83,23 @@ def read_lake(
 ) -> DataFrame:
     """Partition-discovering scan over a ``tenant=/year=/…`` layout.
 
-    Globs the first partition level so the sibling ``error/`` quarantine
-    prefix (A5 reference layout) never pollutes partition discovery.
+    Selects the first partition level so the sibling ``error/`` quarantine
+    prefix (A5 reference layout) never pollutes partition discovery. The
+    glob is expanded eagerly via the Hadoop FileSystem API (works on any
+    supported FS) and concrete directories are passed to ``load`` — passing
+    the glob string itself makes Spark's FileStreamSink metadata probe
+    ``getFileStatus`` the literal ``tenant=*`` path and log a spurious
+    FileNotFoundException stack on every read.
     """
-    return (
-        spark.read.format(fmt)
-        .option("basePath", root)
-        .load(os.path.join(root, f"{first_partition_col}=*"))
-    )
+    jvm = spark._jvm
+    glob = jvm.org.apache.hadoop.fs.Path(os.path.join(root, f"{first_partition_col}=*"))
+    fs = glob.getFileSystem(spark._jsc.hadoopConfiguration())
+    statuses = fs.globStatus(glob)
+    parts = [s.getPath().toString() for s in statuses] if statuses is not None else []
+    reader = spark.read.format(fmt).option("basePath", root)
+    # empty/missing lake: fall back to the root so the caller gets Spark's
+    # standard empty-path error rather than a confusing glob miss
+    return reader.load(parts) if parts else reader.load(root)
 
 
 def stream_json_source(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:

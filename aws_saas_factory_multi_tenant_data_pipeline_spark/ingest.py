@@ -48,16 +48,35 @@ def _ingest_time_col(ingest_ts: int | None) -> Column:
     return F.unix_timestamp(F.current_timestamp())
 
 
-def validate_raw(raw: DataFrame, json_col: str = "raw") -> DataFrame:
+def validate_raw(raw: DataFrame, json_col: str = "raw", strict_types: bool = True) -> DataFrame:
     """Parse+validate the request envelope; adds ``Data`` struct and ``_valid``.
 
     Keeps invalid rows (null/missing fields) so the caller can split them to
     quarantine — mirrors Firehose's ``error/`` routing (kinesis-stack.ts:139).
+
+    ``strict_types`` enforces the reference's API-Gateway model contract
+    (apigateway-stack.ts:130-136, ``type: string``): ``from_json`` alone
+    coerces JSON numbers/booleans to StringType, so ``{"device": 123}``
+    would slip through — the strict gate additionally checks the raw JSON
+    token type via the variant type (``schema_of_variant`` == STRING,
+    JVM-side, no UDF) and quarantines coerced rows like the reference's
+    HTTP 400.
     """
     parsed = raw.withColumn("Data", F.from_json(F.col(json_col), ENVELOPE_SCHEMA)["Data"])
     checks = [F.col("Data").isNotNull()] + [
         F.col(f"Data.{f}").isNotNull() for f in REQUIRED_DATA_FIELDS
     ]
+    if strict_types:
+        checks += [
+            F.coalesce(
+                F.expr(
+                    f"schema_of_variant(variant_get(try_parse_json({json_col}), "
+                    f"'$.Data.{f}')) = 'STRING'"
+                ),
+                F.lit(False),
+            )
+            for f in REQUIRED_DATA_FIELDS
+        ]
     cond = checks[0]
     for c in checks[1:]:
         cond = cond & c
@@ -102,12 +121,13 @@ def ingest_batch(
     tenant: TenantContext | None = None,
     json_col: str = "raw",
     ingest_ts: int | None = None,
+    strict_types: bool = True,
 ) -> IngestResult:
     """Full batch ingest: validate (A8) → split (A5) → enrich (A2) → partition cols (A4).
 
     Works on a batch or streaming DataFrame of raw JSON strings.
     """
-    checked = validate_raw(raw, json_col=json_col)
+    checked = validate_raw(raw, json_col=json_col, strict_types=strict_types)
     quarantine = checked.where(~F.col("_valid")).select(
         F.col(json_col).alias("raw_record"),
         F.lit("validation-failed").alias("error_type"),

@@ -25,6 +25,7 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -32,6 +33,17 @@ from pyspark.sql import functions as F
 from aws_saas_factory_multi_tenant_data_pipeline_spark.model import PARTITION_COLS
 
 DEFAULT_DB = "multi_tenant_db"  # reference: "multi-tenant-db" (glue-stack.ts:39)
+
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _check_ident(name: str, what: str) -> str:
+    """DDL below interpolates identifiers into SQL text; reject anything
+    that is not a plain identifier so caller-supplied table/db names can
+    never smuggle SQL into the session catalog."""
+    if not _IDENT.match(name):
+        raise ValueError(f"invalid {what} {name!r}: must match {_IDENT.pattern}")
+    return name
 
 
 def write_lake(
@@ -70,19 +82,20 @@ def register_table(
     Equivalent of the Glue crawler pass: schema from the files, partitions
     from the directory layout, table upserted into the catalog db.
     """
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.sources import read_lake
+
+    _check_ident(db, "database name")
+    _check_ident(table, "table name")
+    if "'" in root:
+        raise ValueError(f"lake root {root!r} must not contain a quote (LOCATION DDL)")
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
     fq = f"{db}.{table}"
     spark.sql(f"DROP TABLE IF EXISTS {fq}")
     # schema inference from the lake (crawler parity), partition cols from
-    # layout; glob only the tenant=* subtree so the error/ quarantine prefix
-    # (A5, same-bucket layout as the reference) is excluded — the crawler
-    # likewise catalogs errors as a separate table
-    first = PARTITION_COLS[0]
-    sample = (
-        spark.read.format(fmt)
-        .option("basePath", root)
-        .load(os.path.join(root, f"{first}=*"))
-    )
+    # layout; read_lake scopes discovery to the tenant=* subtree so the
+    # error/ quarantine prefix (A5, same-bucket layout as the reference) is
+    # excluded — the crawler likewise catalogs errors as a separate table
+    sample = read_lake(spark, root, fmt=fmt, first_partition_col=PARTITION_COLS[0])
     data_cols = [f for f in sample.schema.fields if f.name not in PARTITION_COLS]
     cols_ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in data_cols)
     part_ddl = ", ".join(f"`{c}` string" for c in PARTITION_COLS)
@@ -92,6 +105,22 @@ def register_table(
     )
     spark.sql(f"MSCK REPAIR TABLE {fq}")
     return fq
+
+
+def refresh_table(spark: SparkSession, table: str, db: str = DEFAULT_DB) -> int:
+    """A6 periodic re-crawl, single cycle: discover partitions added to the
+    lake since registration (the Glue crawler's 5-minute cron,
+    glue-stack/multi-tenant-glue-stack.ts:41-43, minus the scheduler — cadence
+    belongs to the caller's orchestrator).
+
+    ``MSCK REPAIR`` ≡ ``spark.catalog.recoverPartitions``: scans the
+    directory layout and upserts missing partitions into the catalog.
+    Returns the table's partition count after refresh so schedulers can log
+    crawl deltas like the crawler does.
+    """
+    fq = f"{_check_ident(db, 'database name')}.{_check_ident(table, 'table name')}"
+    spark.sql(f"MSCK REPAIR TABLE {fq}")
+    return spark.sql(f"SHOW PARTITIONS {fq}").count()
 
 
 def _tree_size_bytes(spark: SparkSession, root: str) -> int:
@@ -137,15 +166,24 @@ def compact_partitions(
 
     The reference has no answer to Firehose's 60 s micro-file problem; at
     100 TB this job is what keeps scan task counts sane. Rewrites into a
-    temp subtree then swaps, to stay restartable. Sizing goes through the
-    Hadoop FS API (any filesystem); the final rename-swap below is local-FS
-    — on an object store, swap via the catalog (repoint the table LOCATION)
-    instead.
+    temp subtree then swaps via rename-aside (root -> root__old,
+    tmp -> root, delete root__old): at no point is the only copy of the
+    data deleted, so a crash at any step leaves either the old or the new
+    tree intact under a recoverable name. Sizing goes through the Hadoop
+    FS API (any filesystem); the rename swap below is local-FS — on an
+    object store, swap via the catalog (repoint the table LOCATION).
+
+    Callers must ensure NO writer appends to ``root`` during compaction:
+    the rewrite works from a snapshot, so files added after the read are
+    not carried into the new tree. (At scale, compact per-partition with
+    ``write_lake_overwrite_partitions`` on closed partitions instead.)
     """
     df = spark.read.format(fmt).load(root)
     size_bytes = _tree_size_bytes(spark, root)
     n_files = max(1, size_bytes // (target_file_mb * 1024 * 1024))
-    tmp = root.rstrip("/") + "__compact_tmp"
+    base = root.rstrip("/")
+    tmp = base + "__compact_tmp"
+    old = base + "__compact_old"
     (
         df.repartition(int(n_files), *[F.col(c) for c in PARTITION_COLS])
         .write.mode("overwrite")
@@ -155,5 +193,8 @@ def compact_partitions(
     )
     import shutil
 
-    shutil.rmtree(root)
-    os.rename(tmp, root)
+    if os.path.exists(old):  # leftover from a crashed prior run
+        shutil.rmtree(old)
+    os.rename(root, old)  # step 1: set the live tree aside (atomic)
+    os.rename(tmp, root)  # step 2: promote the compacted tree (atomic)
+    shutil.rmtree(old)  # step 3: only now drop the superseded copy

@@ -33,7 +33,17 @@ def start_ingest_stream(
     fmt: str = "parquet",
     available_now: bool = False,
 ) -> StreamingQuery:
-    """The A1→A5 pipeline as one streaming query with a foreachBatch sink."""
+    """The A1→A5 pipeline as one streaming query with a foreachBatch sink.
+
+    Delivery semantics: AT-LEAST-ONCE — the append write is not atomic with
+    the checkpoint commit, so a failure between the two replays the batch
+    on restart and duplicates lake rows (exactly the reference's Firehose
+    sink semantics, kinesis-stack.ts:140-142). Clean stop/restart never
+    replays (covered by tests/test_streaming.py). Where once-per-key
+    matters, dedup upstream with ``with_watermarked_dedup`` (stateful,
+    watermark-bounded) or downstream with ``operators.dedup.exact_dedup``
+    at read time.
+    """
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         res = ingest_batch(batch_df, tenant)

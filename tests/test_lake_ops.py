@@ -98,3 +98,70 @@ def test_dynamic_partition_overwrite_replay(spark, tmp_path):
     t1 = out[out.tenant == "t1"]
     assert len(t0) == 4 and set(t0.event) == {"fixed"}
     assert len(t1) == 7 and set(t1.event) == {"orig"}
+
+
+def test_compaction_recovers_from_crashed_prior_run(spark, tmp_path):
+    """Rename-aside swap: a leftover __compact_old tree from a crashed run
+    must not break (or double-count in) the next compaction."""
+    import shutil
+
+    root = str(tmp_path / "lake2")
+    rows = [
+        ("t0", json.dumps({"Data": {"device": "TV", "event": f"e{i}", "region": "US"}}))
+        for i in range(50)
+    ]
+    raw = spark.createDataFrame(rows, "tenant_id string, raw string")
+    write_lake(ingest_batch(raw, ingest_ts=1700000000).valid, root)
+    # simulate the crash window: an old copy left aside by a dead process
+    shutil.copytree(root, root + "__compact_old")
+    compact_partitions(spark, root, target_file_mb=512)
+    assert read_lake(spark, root).count() == 50
+    assert not os.path.exists(root + "__compact_old")
+    assert not os.path.exists(root + "__compact_tmp")
+
+
+def test_register_table_rejects_bad_identifiers(spark, tmp_path):
+    import pytest
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.lake import register_table
+
+    with pytest.raises(ValueError, match="table name"):
+        register_table(spark, str(tmp_path), "evil; DROP TABLE x")
+    with pytest.raises(ValueError, match="database name"):
+        register_table(spark, str(tmp_path), "events", db="bad-db-name!")
+    with pytest.raises(ValueError, match="quote"):
+        register_table(spark, str(tmp_path) + "/it's", "events")
+
+
+def test_catalog_refresh_discovers_new_partitions(spark, tmp_path):
+    """A6 periodic re-crawl (Glue 5-min cron parity): partitions written
+    AFTER registration appear in the catalog only after refresh_table."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.lake import (
+        refresh_table,
+        register_table,
+    )
+
+    root = str(tmp_path / "growing_lake")
+
+    def batch(tenant: str, hour_epoch: int):
+        rows = [
+            (tenant, json.dumps({"Data": {"device": "TV", "event": f"e{i}", "region": "US"}}))
+            for i in range(10)
+        ]
+        raw = spark.createDataFrame(rows, "tenant_id string, raw string")
+        write_lake(ingest_batch(raw, ingest_ts=hour_epoch).valid, root)
+
+    batch("t0", 1700000000)
+    fq = register_table(spark, root, "growing_events", db="refresh_db")
+    n0 = spark.sql(f"SHOW PARTITIONS {fq}").count()
+    assert spark.sql(f"SELECT COUNT(*) AS n FROM {fq}").collect()[0].n == 10
+
+    # the lake grows: a new tenant and a new hour land after registration
+    batch("t1", 1700000000)
+    batch("t0", 1700003600)
+    # catalog is stale until the crawl cycle runs
+    assert spark.sql(f"SHOW PARTITIONS {fq}").count() == n0
+    n1 = refresh_table(spark, "growing_events", db="refresh_db")
+    assert n1 == n0 + 2
+    assert spark.sql(f"SELECT COUNT(*) AS n FROM {fq}").collect()[0].n == 30
+    spark.sql(f"DROP TABLE {fq}")

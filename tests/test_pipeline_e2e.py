@@ -115,3 +115,20 @@ def test_json_lake_parity_format(spark, tmp_path):
     line = open(os.path.join(part_dir, files[0])).readline()
     rec = json.loads(line)
     assert {"event", "region", "device", "TenantId", "timestamp"} <= set(rec)
+
+
+def test_strict_type_validation_rejects_coerced_json(spark):
+    """A8 strict contract parity (apigateway-stack.ts:130-136): a JSON
+    number/boolean in a required string field is quarantined, not coerced —
+    from_json alone would stringify it."""
+    rows = [
+        ("acme", json.dumps({"Data": {"device": "TV", "event": "e", "region": "US"}})),
+        ("acme", json.dumps({"Data": {"device": 123, "event": "e", "region": "US"}})),
+        ("acme", json.dumps({"Data": {"device": "TV", "event": True, "region": "US"}})),
+    ]
+    raw = spark.createDataFrame(rows, "tenant_id string, raw string")
+    strict = ingest_batch(raw, ingest_ts=1700000000)
+    assert strict.valid.count() == 1
+    assert strict.quarantine.count() == 2
+    loose = ingest_batch(raw, ingest_ts=1700000000, strict_types=False)
+    assert loose.valid.count() == 3

@@ -161,9 +161,12 @@ def test_stateful_running_totals(spark, tmp_path):
 
 
 def test_checkpoint_restart_no_duplicates(spark, tmp_path):
-    """Exactly-once file sink across restarts: stop the query, add new input,
-    restart from the same checkpoint — previously-processed files must not
-    be reprocessed (Flink-checkpoint parity, kinesis-stack.ts:200-205)."""
+    """Clean-restart no-replay: stop the query, add new input, restart from
+    the same checkpoint — previously-processed files must not be reprocessed
+    (Flink-checkpoint parity, kinesis-stack.ts:200-205). NOTE this covers
+    clean stop/restart only; the sink overall is at-least-once (a crash
+    between append and checkpoint commit replays the batch — see
+    start_ingest_stream docstring)."""
     src = str(tmp_path / "ck_src")
     lake = str(tmp_path / "ck_lake")
     ckpt = str(tmp_path / "ck_ckpt")

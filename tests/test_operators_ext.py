@@ -309,3 +309,30 @@ def test_binned_range_join_equivalence_and_plan(spark, sf_smoke):
         .toString()
     )
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_dedup_clusters_lineage_truncated_and_warns_on_nonconvergence(spark):
+    """Per-iteration localCheckpoint: the returned frame's plan must be a
+    shallow projection over the checkpointed RDD — NOT the accumulated
+    join chain (which would re-evaluate every earlier round at action
+    time). And an undersized max_iters must warn that labels are partial."""
+    import warnings as _w
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import dedup_clusters
+
+    # a path graph of diameter 6 forces several propagation rounds
+    pairs = [(i, i + 1) for i in range(1, 8)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    out = dedup_clusters(df)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan, f"lineage not truncated:\n{plan}"
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan or "Scan" in plan
+    assert {r.cluster_id for r in out.collect()} == {1}
+
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        partial = dedup_clusters(df, max_iters=1)
+        partial.collect()
+    assert any("not converged" in str(c.message) for c in caught), [
+        str(c.message) for c in caught
+    ]

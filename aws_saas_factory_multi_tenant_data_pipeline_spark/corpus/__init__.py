@@ -135,6 +135,8 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "scan_orc_roundtrip",
     "scan_text_roundtrip",
     "table_profile",
+    "ingest_quarantine_split",
+    "tenant_claims_extract",
     "subq_scalar_uncorrelated",
     "subq_correlated_scalar",
     "subq_in_notin",
@@ -181,6 +183,7 @@ def load_all() -> dict[str, QuerySpec]:
         timeseries,
         relational_wave6,
         window50,
+        tier_a,
     )
 
     head = [n for n in GRADED_WINDOW + _TAIL_PRIORITY if n in REGISTRY]

@@ -452,3 +452,56 @@ def corpus_metering(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "fn_url_family",
+    oracle="""
+        WITH u AS (
+            SELECT event_id,
+                   'https://api.tenant-' || CAST(user_id % 4 AS VARCHAR)
+                     || '.example.com/v1/events/' || CAST(event_id AS VARCHAR)
+                     || '?type=' || event_type || '&page=' || CAST(event_id % 7 AS VARCHAR)
+                     AS url,
+                   event_type || ' & more' AS to_enc
+            FROM events WHERE event_id <= 500)
+        SELECT event_id,
+               regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+               regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host,
+               regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+               regexp_extract(url, '\\?(.*)$', 1) AS query,
+               regexp_extract(url, '[?&]type=([^&]*)', 1) AS type_param,
+               replace(replace(to_enc, '&', '%26'), ' ', '+') AS encoded,
+               'a/b?c' AS decoded
+        FROM u
+        ORDER BY event_id
+    """,
+    tags=("B7",),
+    doc="URL family (Athena url_extract_protocol/host/path/query + "
+    "url_extract_parameter + url_encode/url_decode): Spark parse_url / "
+    "url_encode / url_decode; oracle replicates via regexp + form-encoding "
+    "rules on deterministically constructed URLs.",
+)
+def fn_url_family(spark, sf_dir):
+    e = t(spark, sf_dir, "events").where(F.col("event_id") <= 500)
+    url = F.concat(
+        F.lit("https://api.tenant-"),
+        F.pmod("user_id", F.lit(4)).cast("string"),
+        F.lit(".example.com/v1/events/"),
+        F.col("event_id").cast("string"),
+        F.lit("?type="),
+        F.col("event_type"),
+        F.lit("&page="),
+        F.pmod("event_id", F.lit(7)).cast("string"),
+    )
+    to_enc = F.concat(F.col("event_type"), F.lit(" & more"))
+    return e.select(
+        "event_id",
+        F.parse_url(url, F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("type")).alias("type_param"),
+        F.url_encode(to_enc).alias("encoded"),
+        F.url_decode(F.lit("a%2Fb%3Fc")).alias("decoded"),
+    ).orderBy("event_id")

@@ -156,6 +156,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "similarity_ivf_ann",
     "dedup_clusters_resolve",
     "text_quality_filter",
+    "llm_corpus_prep",
     "corpus_metering",
 )
 

@@ -496,3 +496,77 @@ def text_quality_filter(spark, sf_dir):
         & F.col("mean_word_len").between(2.0, 12.0)
     )
     return q.select("doc_id", keep.alias("keep")).orderBy("doc_id")
+
+
+@register(
+    "llm_corpus_prep",
+    oracle="""
+        WITH deduped AS (
+            SELECT doc_id, text, source,
+                   ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM documents),
+        filtered AS (
+            SELECT doc_id, source,
+                   len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
+                       AS n_tokens
+            FROM deduped
+            WHERE rn = 1
+              AND length(text) BETWEEN 50 AND 20000
+              AND CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+                  / GREATEST(length(text), 1) <= 0.25),
+        packed AS (
+            SELECT doc_id, source, n_tokens,
+                   SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+            FROM filtered)
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               MIN(doc_id) AS first_doc,
+               MAX(doc_id) AS last_doc
+        FROM packed
+        WHERE cum_tokens <= 20000
+        GROUP BY source
+        ORDER BY source
+    """,
+    tags=("B10",),
+    doc="End-to-end LLM corpus prep, the [EXT] flagship composition: exact "
+    "dedup (md5 min-id survivor) -> quality gate (length window + "
+    "punctuation-ratio cap) -> BPE-ish token count -> per-source token-"
+    "budget packing (cumulative window, 20k tokens/source) -> shard "
+    "manifest stats. One scan, two shuffles (dedup key, source window); "
+    "every stage is the scalable operator from operators/ — the same plan "
+    "shape packs 100 TB into training shards.",
+)
+def llm_corpus_prep(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import exact_dedup
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.text import (
+        bpe_ish_token_count,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    deduped = exact_dedup(d)
+    punct_ratio = (
+        F.size(F.regexp_extract_all("text", F.lit(r"([^a-zA-Z0-9\s])"), 1)).cast("double")
+        / F.greatest(F.length("text"), F.lit(1))
+    )
+    filtered = (
+        deduped.where(F.length("text").between(50, 20000))
+        .where(punct_ratio <= 0.25)
+        .select("doc_id", "source", bpe_ish_token_count(F.col("text")).alias("n_tokens"))
+    )
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    packed = filtered.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return (
+        packed.where(F.col("cum_tokens") <= 20000)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source")
+    )

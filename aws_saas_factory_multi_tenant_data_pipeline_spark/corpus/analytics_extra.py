@@ -505,3 +505,39 @@ def fn_url_family(spark, sf_dir):
         F.url_encode(to_enc).alias("encoded"),
         F.url_decode(F.lit("a%2Fb%3Fc")).alias("decoded"),
     ).orderBy("event_id")
+
+
+@register(
+    "fn_timezone",
+    oracle="""
+        SELECT event_id,
+               strftime(ts + INTERVAL '5 hours' + INTERVAL '30 minutes',
+                        '%Y-%m-%d %H:%M:%S') AS ist,
+               strftime(ts - INTERVAL '7 hours', '%Y-%m-%d %H:%M:%S') AS pdt,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS roundtrip,
+               CAST(strftime(ts - INTERVAL '7 hours', '%H') AS INTEGER) AS pdt_hour
+        FROM events
+        WHERE event_id <= 500
+        ORDER BY event_id
+    """,
+    tags=("B7",),
+    doc="Timezone conversion (Athena AT TIME ZONE): from_utc_timestamp / "
+    "to_utc_timestamp with fixed offsets (+05:30, -07:00) — IANA zones are "
+    "supported identically but a fixed offset keeps the oracle independent "
+    "of the oracle session's tz database/setting. Roundtrip pins the "
+    "inverse relation.",
+)
+def fn_timezone(spark, sf_dir):
+    e = t(spark, sf_dir, "events").where(F.col("event_id") <= 500)
+    ist = F.from_utc_timestamp("ts", "+05:30")
+    pdt = F.from_utc_timestamp("ts", "-07:00")
+    return e.select(
+        "event_id",
+        F.date_format(ist, "yyyy-MM-dd HH:mm:ss").alias("ist"),
+        F.date_format(pdt, "yyyy-MM-dd HH:mm:ss").alias("pdt"),
+        F.date_format(
+            F.to_utc_timestamp(F.from_utc_timestamp("ts", "+05:30"), "+05:30"),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("roundtrip"),
+        F.hour(pdt).alias("pdt_hour"),
+    ).orderBy("event_id")

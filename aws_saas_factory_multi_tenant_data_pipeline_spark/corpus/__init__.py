@@ -157,6 +157,8 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "dedup_clusters_resolve",
     "text_quality_filter",
     "llm_corpus_prep",
+    "llm_train_val_split",
+    "llm_sequence_pack",
     "corpus_metering",
 )
 

@@ -570,3 +570,96 @@ def llm_corpus_prep(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "llm_train_val_split",
+    oracle="""
+        WITH hashed AS (
+            SELECT source,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split-seed-42'), 1, 4))
+                        AS INTEGER) % 100 AS bucket
+            FROM documents),
+        labeled AS (
+            SELECT source,
+                   CASE WHEN bucket < 80 THEN 'train'
+                        WHEN bucket < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM hashed)
+        SELECT source, split, COUNT(*) AS n
+        FROM labeled
+        GROUP BY source, split
+        ORDER BY source, split
+    """,
+    tags=("B10",),
+    doc="Deterministic train/val/test split (80/10/10) by hashing the doc "
+    "id with a fixed seed salt — md5 on both engines, so the assignment "
+    "is content-stable across runs, engines, and repartitioning (the "
+    "property random() can never give). Same trick = stratified sampling "
+    "at any rate. Pure projection + one groupBy: trivially 100 TB-safe.",
+)
+def llm_train_val_split(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split-seed-42"))), 1, 4), 16, 10).cast("long"),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n"))
+        .orderBy("source", "split")
+    )
+
+
+@register(
+    "llm_sequence_pack",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
+                       AS n_tokens
+            FROM documents),
+        packed AS (
+            SELECT doc_id, source, n_tokens,
+                   CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 2048)
+                        AS BIGINT) AS seq_bin
+            FROM toks)
+        SELECT source, seq_bin,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+        FROM packed
+        GROUP BY source, seq_bin
+        ORDER BY source, seq_bin
+    """,
+    tags=("B10",),
+    doc="Sequence packing (next-fit): assign docs to fixed-budget training "
+    "sequences (2048 BPE-ish tokens) via a cumulative window — bin = "
+    "floor(tokens-before-me / budget) per source. One shuffle (the "
+    "per-source window); the greedy first-fit variant needs per-shard "
+    "applyInPandas, but next-fit stays fully in codegen and is the "
+    "standard scale trade (≤1 doc per bin spills its tail).",
+)
+def llm_sequence_pack(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.text import (
+        bpe_ish_token_count,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", bpe_ish_token_count(F.col("text")).alias("n_tokens"))
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    packed = toks.withColumn(
+        "seq_bin",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048).cast("long"),
+    )
+    return (
+        packed.groupBy("source", "seq_bin")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").cast("long").alias("bin_tokens"))
+        .orderBy("source", "seq_bin")
+    )

@@ -165,9 +165,12 @@ def main() -> None:
     full_scan, pruned_scan = _bench_tenant_pruning(spark)
     timings["lake_full_scan"] = round(full_scan, 3)
     timings["tenant_pruned_scan"] = round(pruned_scan, 3)
-    # two full passes (not back-to-back repeats): the host shows multi-second
-    # stall windows, and a stall must span both passes to poison a timing
-    for _pass in range(2):
+    # three full passes (not back-to-back repeats): the host shows
+    # multi-second co-tenant stall windows, and with min-of-N a stall must
+    # span every pass to poison a timing; pass 1 also absorbs the one-time
+    # codegen compile of the heavier plans (the 64-aggregate MinHash plan
+    # compiles for ~10 s on first execution, then runs in ~3 s)
+    for _pass in range(int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))):
         for name in HEADLINE:
             fn = registry[name].spark_fn
             t0 = time.time()

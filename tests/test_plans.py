@@ -242,3 +242,30 @@ def test_runtime_bloom_filter_reduces_probe_side(spark, sf_smoke):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_minhash_persist_once_shingle_reuse(spark, sf_smoke):
+    """persist_shingles=True: both the signature pipeline and the
+    exact-Jaccard verification must scan the SAME cached (id, shingles)
+    frame (InMemoryTableScan appears in the plan) instead of re-running
+    the normalize/tokenize/shingle pipeline twice. With the flag off and
+    a clean cache, no in-memory scan may appear."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import (
+        minhash_near_duplicates,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.sources import read_table
+
+    docs = read_table(spark, sf_smoke, "documents")
+    spark.catalog.clearCache()
+    plan_off = (
+        minhash_near_duplicates(docs, persist_shingles=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "InMemoryTableScan" not in plan_off
+    plan_on = (
+        minhash_near_duplicates(docs, persist_shingles=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    spark.catalog.clearCache()
+    # cached frame feeds >= 2 consumers: signatures + both verify joins
+    assert plan_on.count("InMemoryTableScan") >= 2, plan_on[:2000]

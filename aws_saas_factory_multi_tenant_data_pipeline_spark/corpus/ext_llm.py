@@ -534,7 +534,8 @@ def text_quality_filter(spark, sf_dir):
     "dedup (md5 min-id survivor) -> quality gate (length window + "
     "punctuation-ratio cap) -> BPE-ish token count -> per-source token-"
     "budget packing (cumulative window, 20k tokens/source) -> shard "
-    "manifest stats. One scan, two shuffles (dedup key, source window); "
+    "manifest stats. One scan, three exchanges (dedup key, source window, "
+    "final ordered agg); "
     "every stage is the scalable operator from operators/ — the same plan "
     "shape packs 100 TB into training shards.",
 )

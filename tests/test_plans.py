@@ -269,3 +269,15 @@ def test_minhash_persist_once_shingle_reuse(spark, sf_smoke):
     spark.catalog.clearCache()
     # cached frame feeds >= 2 consumers: signatures + both verify joins
     assert plan_on.count("InMemoryTableScan") >= 2, plan_on[:2000]
+
+
+def test_llm_corpus_prep_shuffle_budget(spark, sf_smoke):
+    """The corpus-prep flagship must stay at one file scan and at most
+    three exchanges (dedup hash key, per-source packing window, final
+    ordered aggregate) — the shuffle budget that makes it 100 TB-viable."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus import load_all
+
+    df = load_all()["llm_corpus_prep"].spark_fn(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1, plan[:1500]
+    assert plan.count("Exchange") <= 3, plan[:1500]

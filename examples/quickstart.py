@@ -72,6 +72,11 @@ def main() -> None:
     )
     cosine_topk(emb, queries, k=3).show()
 
+    # 6: the end-to-end training-data prep flow (dedup -> quality gate ->
+    # token budget packing) and the content-stable train/val/test split
+    registry["llm_corpus_prep"].spark_fn(spark, SF_DIR).show(6)
+    registry["llm_train_val_split"].spark_fn(spark, SF_DIR).show(9)
+
     spark.stop()
 
 

@@ -159,6 +159,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "llm_corpus_prep",
     "llm_train_val_split",
     "llm_sequence_pack",
+    "text_repetition_score",
     "corpus_metering",
 )
 

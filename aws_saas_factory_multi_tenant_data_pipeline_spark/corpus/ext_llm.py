@@ -664,3 +664,59 @@ def llm_sequence_pack(spark, sf_dir):
         .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").cast("long").alias("bin_tokens"))
         .orderBy("source", "seq_bin")
     )
+
+
+@register(
+    "text_repetition_score",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split({_DUCK_NORM}, ' ') AS ws FROM documents),
+        sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(ws) >= 3
+                        THEN list_transform(generate_series(1, len(ws) - 2),
+                                            i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))
+                        ELSE [concat_ws(' ', ws)] END AS shingles
+            FROM toks)
+        SELECT doc_id,
+               len(shingles) AS n_shingles,
+               len(list_distinct(shingles)) AS n_distinct,
+               ROUND(1.0 - CAST(len(list_distinct(shingles)) AS DOUBLE)
+                     / GREATEST(len(shingles), 1), 6) AS rep_ratio
+        FROM sh
+        ORDER BY doc_id
+    """,
+    tags=("B10",),
+    doc="Within-document repetition score: fraction of duplicate word "
+    "3-grams per document — the standard corpus-quality signal for "
+    "filtering boilerplate/template text (high rep_ratio = repeated "
+    "blocks). Pure narrow projection per doc, no shuffle at all: "
+    "trivially 100 TB-safe.",
+)
+def text_repetition_score(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import (
+        shingles_of,
+        tokens,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    # NOTE: shingles here keep duplicates (no array_distinct) — that IS the
+    # signal — so build from tokens directly rather than shingles_of
+    toks = d.withColumn("__toks", tokens(F.col("text")))
+    n = F.size("__toks")
+    idx = F.sequence(F.lit(0), F.greatest(n - 3, F.lit(0)))
+    sh = F.when(
+        n >= 3,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice("__toks", i + 1, 3))),
+    ).otherwise(F.array(F.concat_ws(" ", F.col("__toks"))))
+    shingled = toks.withColumn("__sh", sh)
+    return shingled.select(
+        "doc_id",
+        F.size("__sh").alias("n_shingles"),
+        F.size(F.array_distinct("__sh")).alias("n_distinct"),
+        F.round(
+            1.0 - F.size(F.array_distinct("__sh")).cast("double")
+            / F.greatest(F.size("__sh"), F.lit(1)),
+            6,
+        ).alias("rep_ratio"),
+    ).orderBy("doc_id")

@@ -160,6 +160,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "llm_train_val_split",
     "llm_sequence_pack",
     "text_repetition_score",
+    "stream_stream_join_batch_equiv",
     "corpus_metering",
 )
 

@@ -211,3 +211,52 @@ def stream_static_join(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .orderBy("tier", "event_type")
     )
+
+
+@register(
+    "stream_stream_join_batch_equiv",
+    oracle="""
+        WITH views AS (
+            SELECT user_id, event_id AS view_id, ts AS view_ts
+            FROM events WHERE event_type = 'view'),
+        purchases AS (
+            SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+            FROM events WHERE event_type = 'purchase')
+        SELECT p.user_id, p.purchase_id, COUNT(v.view_id) AS n_prior_views
+        FROM purchases p
+        LEFT JOIN views v
+          ON v.user_id = p.user_id
+         AND v.view_ts <= p.purchase_ts
+         AND v.view_ts >= p.purchase_ts - INTERVAL 30 MINUTE
+        GROUP BY p.user_id, p.purchase_id
+        ORDER BY p.user_id, p.purchase_id
+    """,
+    tags=("B8", "B3"),
+    doc="Stream-stream interval join, batch twin (the streaming form with "
+    "watermarks runs in tests/test_streaming.py::test_stream_stream_join): "
+    "purchases joined to the same user's views within the prior 30 minutes "
+    "— the attribution-window shape. The interval predicate is exactly "
+    "what bounds stream-stream state retention.",
+)
+def stream_stream_join_batch_equiv(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    views = e.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("v_user") == F.col("user_id"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "left",
+    )
+    return (
+        joined.groupBy("user_id", "purchase_id")
+        .agg(F.count("view_id").alias("n_prior_views"))
+        .orderBy("user_id", "purchase_id")
+    )

@@ -137,6 +137,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "table_profile",
     "ingest_quarantine_split",
     "tenant_claims_extract",
+    "replay_source_scan",
     "subq_scalar_uncorrelated",
     "subq_correlated_scalar",
     "subq_in_notin",

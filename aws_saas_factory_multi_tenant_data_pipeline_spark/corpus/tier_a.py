@@ -12,6 +12,8 @@ breaks the hash.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus import register
@@ -120,4 +122,72 @@ def tenant_claims_extract(spark, sf_dir):
             F.count(F.when(F.col("exp") < now_fixed, 1)).alias("n_expired"),
         )
         .orderBy("tenant_id")
+    )
+
+
+@register(
+    "replay_source_scan",
+    oracle="""
+        SELECT 'shard-' || CAST(user_id % 4 AS VARCHAR) || '.jsonl' AS shard,
+               COUNT(*) AS n,
+               CAST(COUNT(DISTINCT 'tenant-' || CAST(user_id % 4 AS VARCHAR)) AS BIGINT)
+                   AS n_keys,
+               CAST(SUM(event_id) AS BIGINT) AS id_sum
+        FROM events
+        GROUP BY 1
+        ORDER BY shard
+    """,
+    tags=("A1", "B1"),
+    doc="A1 stream-source parity as a gradable batch scan: events sharded "
+    "into 4 Kinesis-like JSONL shard files (partition_key = tenant), read "
+    "back through the KinesisReplaySource Python data source (one input "
+    "partition per shard, payloads never transit the driver), aggregated "
+    "per shard — any loss, reorder-sensitivity, or key corruption in the "
+    "source breaks the hash.",
+)
+def replay_source_scan(spark, sf_dir):
+    import shutil
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus.sources_sinks import _SCRATCH
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.sources.replay_source import (
+        KinesisReplaySource,
+    )
+
+    try:
+        spark.dataSource.register(KinesisReplaySource)
+    except Exception:
+        pass  # already registered in this session
+    e = t(spark, sf_dir, "events")
+    shard_dir = os.path.join(_SCRATCH, "a1_replay_shards")
+    shutil.rmtree(shard_dir, ignore_errors=True)
+    os.makedirs(shard_dir, exist_ok=True)
+    for s in range(4):
+        rec = F.to_json(
+            F.struct(
+                F.concat(F.lit("tenant-"), F.pmod("user_id", F.lit(4)).cast("string")).alias(
+                    "partition_key"
+                ),
+                F.col("event_id").cast("string").alias("data"),
+            )
+        )
+        tmpd = os.path.join(_SCRATCH, f"a1_shard_tmp{s}")
+        (
+            e.where(F.pmod("user_id", F.lit(4)) == s)
+            .select(rec.alias("value"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .text(tmpd)
+        )
+        part_file = next(f for f in os.listdir(tmpd) if f.startswith("part-"))
+        shutil.move(os.path.join(tmpd, part_file), os.path.join(shard_dir, f"shard-{s}.jsonl"))
+        shutil.rmtree(tmpd)
+    replayed = spark.read.format("kinesis_replay").option("path", shard_dir).load()
+    return (
+        replayed.groupBy("shard")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("partition_key").cast("long").alias("n_keys"),
+            F.sum(F.col("data").cast("long")).cast("long").alias("id_sum"),
+        )
+        .orderBy("shard")
     )

@@ -154,6 +154,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "text_token_count_bpe",
     "dedup_embedding_cosine",
     "multimodal_features",
+    "multimodal_frame_sample",
     "similarity_ivf_ann",
     "dedup_clusters_resolve",
     "text_quality_filter",

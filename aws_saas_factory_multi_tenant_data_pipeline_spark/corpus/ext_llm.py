@@ -720,3 +720,46 @@ def text_repetition_score(spark, sf_dir):
             6,
         ).alias("rep_ratio"),
     ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+        WITH media AS (
+            SELECT event_id AS media_id, (event_id % 50) + 1 AS n_frames
+            FROM events WHERE event_id <= 2000)
+        SELECT media_id, unnest(generate_series(0, n_frames - 1, 10)) AS frame_idx,
+               n_frames
+        FROM media
+        ORDER BY media_id, frame_idx
+    """,
+    tags=("B10",),
+    doc="Video frame-sampling plumbing (operators.multimodal.sample_frames): "
+    "one output row per every-10th frame, driven by typed metadata — the "
+    "explode(sequence(...)) pattern that fans a 100 TB video corpus out to "
+    "frame rows without any codec in the plan (decode happens in the "
+    "downstream mapInPandas stage).",
+)
+def multimodal_frame_sample(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    e = t(spark, sf_dir, "events").where(F.col("event_id") <= 2000)
+    media = e.select(
+        F.col("event_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            (F.pmod("event_id", F.lit(50)) + 1).cast("int").alias("n_frames"),
+            F.lit("video/mp4").alias("mime"),
+        ).alias("meta"),
+    )
+    return (
+        sample_frames(media, every_n=10)
+        .select("media_id", "frame_idx", F.col("meta.n_frames").cast("long").alias("n_frames"))
+        .orderBy("media_id", "frame_idx")
+    )

@@ -129,3 +129,47 @@ def test_decimal_sum_matches_python_exact(spark, pairs):
         expected[k] = expected.get(k, Decimal(0)) + q
     for k, want in expected.items():
         assert abs(got[k] - float(want)) < 1e-9, (k, got[k], want)
+
+
+def test_train_val_split_content_stable(spark):
+    """The split assignment must depend only on doc_id (content-stable):
+    identical across repartitioning, row order, and subsetting — the
+    property that lets a 100 TB corpus be split incrementally without a
+    global shuffle or a stored assignment table."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus import load_all
+
+    reg = load_all()
+    fn = reg["llm_train_val_split"].spark_fn
+    base = {(r.source, r.split): r.n for r in fn(spark, "/root/testdata/sf0.001").collect()}
+
+    # same data read again, different partitioning upstream must not matter
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.sources import read_table
+
+    d = read_table(spark, "/root/testdata/sf0.001", "documents").repartition(13)
+    d.createOrReplaceTempView("documents_reparted")
+    # recompute the split expression directly over the repartitioned frame
+    from pyspark.sql import functions as F
+
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split-seed-42"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(100),
+    )
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    again = {
+        (r.source, r.split): r.n
+        for r in d.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert base == again
+    # rates roughly 80/10/10 over the whole fixture
+    total = sum(base.values())
+    train = sum(n for (s, sp), n in base.items() if sp == "train")
+    assert 0.7 <= train / total <= 0.9

@@ -161,6 +161,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "llm_corpus_prep",
     "llm_train_val_split",
     "llm_sequence_pack",
+    "llm_decontaminate",
     "text_repetition_score",
     "stream_stream_join_batch_equiv",
     "corpus_metering",

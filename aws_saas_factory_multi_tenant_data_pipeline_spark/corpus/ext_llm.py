@@ -763,3 +763,39 @@ def multimodal_frame_sample(spark, sf_dir):
         .select("media_id", "frame_idx", F.col("meta.n_frames").cast("long").alias("n_frames"))
         .orderBy("media_id", "frame_idx")
     )
+
+
+@register(
+    "llm_decontaminate",
+    oracle="""
+        WITH eval_set AS (
+            -- an eval benchmark assembled (partly) from corpus text: every
+            -- 7th document's content under a new eval id
+            SELECT doc_id + 100000 AS eval_id, md5(text) AS h
+            FROM documents WHERE doc_id % 7 = 0),
+        train AS (SELECT DISTINCT md5(text) AS h FROM documents)
+        SELECT e.eval_id AS contaminated_eval_doc
+        FROM eval_set e
+        WHERE e.h IN (SELECT h FROM train)
+        ORDER BY contaminated_eval_doc
+    """,
+    tags=("B10",),
+    doc="Decontamination: eval-set documents whose exact content hash also "
+    "appears in the training corpus must be flagged (and dropped) before "
+    "evaluation — the standard train/test-leakage guard. The eval set is "
+    "deterministically synthesized from corpus text so the overlap is "
+    "non-trivial at every SF. Hash semi-join on 16-byte digests, never on "
+    "document bodies; the near-dup variant swaps the md5 key for MinHash "
+    "band signatures (same join shape).",
+)
+def llm_decontaminate(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    eval_set = d.where(F.pmod("doc_id", F.lit(7)) == 0).select(
+        (F.col("doc_id") + 100000).alias("eval_id"), F.md5("text").alias("h")
+    )
+    train = d.select(F.md5("text").alias("h")).distinct()
+    return (
+        eval_set.join(train, "h", "left_semi")
+        .select(F.col("eval_id").alias("contaminated_eval_doc"))
+        .orderBy("contaminated_eval_doc")
+    )

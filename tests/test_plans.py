@@ -281,3 +281,21 @@ def test_llm_corpus_prep_shuffle_budget(spark, sf_smoke):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") == 1, plan[:1500]
     assert plan.count("Exchange") <= 3, plan[:1500]
+
+
+def test_tpch_plans_no_red_flags(spark, sf_smoke):
+    """Every TPC-H-shaped query must plan with hash joins — no
+    CartesianProduct anywhere, and BroadcastNestedLoopJoin only where a
+    single-row scalar subquery makes it the right plan (q22's avg-acctbal
+    comparison)."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus import load_all
+
+    reg = load_all()
+    allowed_bnlj = {"tpch_q22_global_sales": 1}
+    for name in [n for n in reg if n.startswith("tpch_")]:
+        plan = (
+            reg[name].spark_fn(spark, sf_smoke)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan, name
+        assert plan.count("BroadcastNestedLoopJoin") <= allowed_bnlj.get(name, 0), name

@@ -694,10 +694,7 @@ def llm_sequence_pack(spark, sf_dir):
     "trivially 100 TB-safe.",
 )
 def text_repetition_score(spark, sf_dir):
-    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import (
-        shingles_of,
-        tokens,
-    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import tokens
 
     d = t(spark, sf_dir, "documents")
     # NOTE: shingles here keep duplicates (no array_distinct) — that IS the

@@ -67,12 +67,13 @@ def validate_raw(raw: DataFrame, json_col: str = "raw", strict_types: bool = Tru
         F.col(f"Data.{f}").isNotNull() for f in REQUIRED_DATA_FIELDS
     ]
     if strict_types:
+        # pure-column API (no SQL-string interpolation, so json_col may be
+        # any column name); variant_get path keys are fixed literals
+        v = F.try_parse_json(F.col(json_col))
         checks += [
             F.coalesce(
-                F.expr(
-                    f"schema_of_variant(variant_get(try_parse_json({json_col}), "
-                    f"'$.Data.{f}')) = 'STRING'"
-                ),
+                F.schema_of_variant(F.variant_get(v, f"$.Data.{f}", "variant"))
+                == F.lit("STRING"),
                 F.lit(False),
             )
             for f in REQUIRED_DATA_FIELDS

@@ -149,8 +149,11 @@ def minhash_near_duplicates(
     generation and exact-Jaccard verification share it — without it the
     whole normalize/tokenize/shingle pipeline runs twice. Disable for
     one-shot small inputs where the persist round-trip costs more than the
-    recompute. Callers owning a long-lived session may
-    ``spark.catalog.clearCache()`` afterwards.
+    recompute. The cached frame is attached to the returned DataFrame as
+    ``result.shingle_cache`` — long-lived sessions should call
+    ``result.shingle_cache.unpersist()`` once the result is consumed, so
+    repeated calls over different inputs don't accumulate cache entries
+    (``spark.catalog.clearCache()`` would nuke unrelated caches too).
     """
     r = num_hashes // bands
     shs = with_shingle_col(df, text_col, shingle_k).select(F.col(id_col), F.col("__shingles"))
@@ -197,11 +200,16 @@ def minhash_near_duplicates(
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast("double")
-    return (
+    result = (
         cand.withColumn("jaccard", inter / union)
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if persist_shingles:
+        # precise cleanup handle (see docstring) — avoids both a session-
+        # lifetime cache leak and the clearCache() sledgehammer
+        result.shingle_cache = shs
+    return result
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:

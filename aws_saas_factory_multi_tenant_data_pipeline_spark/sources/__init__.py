@@ -96,10 +96,16 @@ def read_lake(
     fs = glob.getFileSystem(spark._jsc.hadoopConfiguration())
     statuses = fs.globStatus(glob)
     parts = [s.getPath().toString() for s in statuses] if statuses is not None else []
-    reader = spark.read.format(fmt).option("basePath", root)
-    # empty/missing lake: fall back to the root so the caller gets Spark's
-    # standard empty-path error rather than a confusing glob miss
-    return reader.load(parts) if parts else reader.load(root)
+    if not parts:
+        # never fall back to load(root): the sibling error/ quarantine
+        # subtree lives there, and scanning it would silently return
+        # quarantine records as lake rows (defeating the glob's guard)
+        raise FileNotFoundError(
+            f"read_lake: no {first_partition_col}=* partitions under {root!r} "
+            "(empty or missing lake; quarantine-only lakes are read via "
+            "their error/ prefix explicitly)"
+        )
+    return spark.read.format(fmt).option("basePath", root).load(parts)
 
 
 def stream_json_source(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:

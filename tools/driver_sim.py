@@ -28,7 +28,6 @@ import sys
 import time
 import traceback
 
-import duckdb
 import numpy as np
 import pandas as pd
 
@@ -101,11 +100,17 @@ def main() -> int:
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     registry = load_all()
-    names = list(registry)
-    if head is not None:
-        names = names[:head]
+    unknown = sorted(only - set(registry))
+    if unknown:
+        print(f"unknown queries: {' '.join(unknown)}")
+        return 1
     if only:
-        names = [n for n in names if n in only] + [n for n in only if n not in registry]
+        # explicit names always run, regardless of --head
+        names = [n for n in registry if n in only]
+    else:
+        names = list(registry)
+        if head is not None:
+            names = names[:head]
     spark = get_spark("driver-sim")
     con = duck_connect(sf_dir)
     n_pass = n_fail = n_noracle = 0

@@ -165,3 +165,17 @@ def test_catalog_refresh_discovers_new_partitions(spark, tmp_path):
     assert n1 == n0 + 2
     assert spark.sql(f"SELECT COUNT(*) AS n FROM {fq}").collect()[0].n == 30
     spark.sql(f"DROP TABLE {fq}")
+
+
+def test_read_lake_refuses_quarantine_only_lake(spark, tmp_path):
+    """A lake with only an error/ quarantine subtree (first batches all
+    invalid) must raise, not silently return quarantine records as lake
+    rows — the regression the tenant=* glob guard exists to prevent."""
+    import pytest
+
+    root = str(tmp_path / "quarantine_only")
+    os.makedirs(os.path.join(root, "error", "validation-failed"), exist_ok=True)
+    with open(os.path.join(root, "error", "validation-failed", "x.json"), "w") as f:
+        f.write('{"raw_record":"bad","error_type":"validation-failed"}\n')
+    with pytest.raises(FileNotFoundError, match="no tenant="):
+        read_lake(spark, root)

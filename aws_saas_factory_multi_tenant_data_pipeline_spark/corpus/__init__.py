@@ -163,6 +163,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "llm_sequence_pack",
     "llm_decontaminate",
     "text_repetition_score",
+    "text_quality_model_score",
     "stream_stream_join_batch_equiv",
     "corpus_metering",
 )

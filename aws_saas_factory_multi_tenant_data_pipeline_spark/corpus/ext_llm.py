@@ -796,3 +796,47 @@ def llm_decontaminate(spark, sf_dir):
         .select(F.col("eval_id").alias("contaminated_eval_doc"))
         .orderBy("contaminated_eval_doc")
     )
+
+
+@register(
+    "text_quality_model_score",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, text, string_split({_DUCK_NORM}, ' ') AS ws FROM documents),
+        feats AS (
+            SELECT doc_id,
+                   CASE WHEN len(ws) = 1 AND ws[1] = '' THEN 0 ELSE len(ws) END AS n_tokens,
+                   ROUND(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+                         / GREATEST(length(text), 1), 6) AS punct_ratio,
+                   ROUND(CAST(len(list_intersect(list_distinct(ws),
+                         ['the','a','and','of','to','in','is','it','that','for'])) AS DOUBLE)
+                         / GREATEST(len(list_distinct(ws)), 1), 6) AS stopword_ratio,
+                   ROUND(CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+                         / GREATEST(CASE WHEN len(ws) = 1 AND ws[1] = '' THEN 0
+                                         ELSE len(ws) END, 1), 6) AS mean_word_len
+            FROM toks),
+        scored AS (
+            SELECT doc_id,
+                   ROUND(1.0 / (1.0 + exp(-(-0.8 + stopword_ratio * 3.0
+                         + punct_ratio * -4.0 + mean_word_len * 0.08
+                         + CAST(n_tokens AS DOUBLE) * 0.0004))), 6) AS quality_score
+            FROM feats)
+        SELECT doc_id, quality_score, (quality_score >= 0.5) AS quality_keep
+        FROM scored
+        ORDER BY doc_id
+    """,
+    tags=("B10",),
+    doc="Model-based quality scoring (operators.text.quality_model_score): "
+    "sigmoid of a fixed linear model over the cheap quality features — the "
+    "fasttext/logreg classifier shape with in-code weights so the oracle "
+    "replicates the exact arithmetic. Narrow projection, no shuffle.",
+)
+def text_quality_model_score(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.text import (
+        quality_model_score,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    return quality_model_score(d).select(
+        "doc_id", "quality_score", "quality_keep"
+    ).orderBy("doc_id")

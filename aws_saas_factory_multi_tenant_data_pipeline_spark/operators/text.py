@@ -86,6 +86,44 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: fixed linear-model weights for quality_model_score — a stand-in for a
+#: trained fasttext/logreg quality classifier: rewards stopword density and
+#: moderate word length (prose-like), penalizes punctuation soup, slight
+#: length prior. Deterministic and published in-code so the oracle can
+#: replicate the exact arithmetic.
+QUALITY_WEIGHTS = {
+    "bias": -0.8,
+    "stopword_ratio": 3.0,
+    "punct_ratio": -4.0,
+    "mean_word_len": 0.08,
+    "n_tokens": 0.0004,
+}
+
+
+def quality_model_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Model-based quality scoring: sigmoid of a fixed linear model over the
+    cheap quality features (the shape of a fasttext/logreg corpus-quality
+    classifier, with in-code weights instead of a learned artifact).
+
+    Adds ``quality_score`` (rounded 6 dp) and ``quality_keep``
+    (score >= 0.5). Pure codegen'd expressions — scoring 100 TB is a
+    narrow projection, no shuffle, no Python.
+    """
+    w = QUALITY_WEIGHTS
+    feats = quality_features(df, text_col)
+    z = (
+        F.lit(w["bias"])
+        + F.col("stopword_ratio") * w["stopword_ratio"]
+        + F.col("punct_ratio") * w["punct_ratio"]
+        + F.col("mean_word_len") * w["mean_word_len"]
+        + F.col("n_tokens").cast("double") * w["n_tokens"]
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return feats.withColumn("quality_score", score).withColumn(
+        "quality_keep", F.col("quality_score") >= 0.5
+    )
+
+
 def language_scores(toks: Column) -> list[Column]:
     """Per-language stopword hit counts over a distinct-tokens column."""
     out = []

@@ -105,7 +105,10 @@ def read_lake(
             "(empty or missing lake; quarantine-only lakes are read via "
             "their error/ prefix explicitly)"
         )
-    return spark.read.format(fmt).option("basePath", root).load(parts)
+    df = spark.read.format(fmt).option("basePath", root).load(parts)
+    # exactly-once sink mode partitions by a hidden _epoch column
+    # (streaming.EPOCH_COL) — an implementation detail, not lake schema
+    return df.drop("_epoch")
 
 
 def stream_json_source(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:

@@ -20,8 +20,33 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from aws_saas_factory_multi_tenant_data_pipeline_spark.ingest import ingest_batch
-from aws_saas_factory_multi_tenant_data_pipeline_spark.lake import write_lake, write_quarantine
+from aws_saas_factory_multi_tenant_data_pipeline_spark.lake import (
+    write_lake,
+    write_lake_overwrite_partitions,
+    write_quarantine,
+)
+from aws_saas_factory_multi_tenant_data_pipeline_spark.model import PARTITION_COLS
 from aws_saas_factory_multi_tenant_data_pipeline_spark.tenancy import TenantContext
+
+#: hidden partition column carrying the micro-batch epoch in exactly-once
+#: sink mode; read_lake drops it on read
+EPOCH_COL = "_epoch"
+
+
+def epoch_idempotent_write(
+    valid: DataFrame, lake_root: str, epoch_id: int, fmt: str = "parquet"
+) -> None:
+    """Idempotent micro-batch write: stamp the epoch id as an extra
+    (innermost) partition column and DYNAMICALLY OVERWRITE only this
+    epoch's partitions. A replayed epoch rewrites byte-identical
+    partitions instead of appending duplicates; distinct epochs land in
+    disjoint ``_epoch=N`` subtrees and never clobber each other. This is
+    what upgrades the foreachBatch file sink from at-least-once to
+    effectively-once."""
+    stamped = valid.withColumn(EPOCH_COL, F.lit(int(epoch_id)).cast("string"))
+    write_lake_overwrite_partitions(
+        stamped, lake_root, fmt=fmt, partition_cols=[*PARTITION_COLS, EPOCH_COL]
+    )
 
 
 def start_ingest_stream(
@@ -32,22 +57,33 @@ def start_ingest_stream(
     trigger_seconds: int | None = 60,
     fmt: str = "parquet",
     available_now: bool = False,
+    exactly_once: bool = False,
 ) -> StreamingQuery:
     """The A1→A5 pipeline as one streaming query with a foreachBatch sink.
 
-    Delivery semantics: AT-LEAST-ONCE — the append write is not atomic with
-    the checkpoint commit, so a failure between the two replays the batch
-    on restart and duplicates lake rows (exactly the reference's Firehose
-    sink semantics, kinesis-stack.ts:140-142). Clean stop/restart never
-    replays (covered by tests/test_streaming.py). Where once-per-key
-    matters, dedup upstream with ``with_watermarked_dedup`` (stateful,
-    watermark-bounded) or downstream with ``operators.dedup.exact_dedup``
-    at read time.
+    Delivery semantics, default mode: AT-LEAST-ONCE — the append write is
+    not atomic with the checkpoint commit, so a failure between the two
+    replays the batch on restart and duplicates lake rows (exactly the
+    reference's Firehose sink semantics, kinesis-stack.ts:140-142). Clean
+    stop/restart never replays (covered by tests/test_streaming.py).
+
+    ``exactly_once=True`` switches the valid-row write to
+    ``epoch_idempotent_write``: each micro-batch lands under an extra
+    innermost ``_epoch=N`` partition via dynamic partition overwrite, so
+    a replayed epoch overwrites itself instead of duplicating —
+    effectively-once, at the cost of one extra directory level versus the
+    reference's byte-level layout (``read_lake`` hides the column).
+    Alternatively, keep the default layout and dedup upstream with
+    ``with_watermarked_dedup`` or at read time with
+    ``operators.dedup.exact_dedup``.
     """
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         res = ingest_batch(batch_df, tenant)
-        write_lake(res.valid, lake_root, fmt=fmt)
+        if exactly_once:
+            epoch_idempotent_write(res.valid, lake_root, epoch_id, fmt=fmt)
+        else:
+            write_lake(res.valid, lake_root, fmt=fmt)
         if res.quarantine.limit(1).count() > 0:
             write_quarantine(res.quarantine, lake_root, "validation-failed")
 

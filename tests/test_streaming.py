@@ -362,3 +362,36 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT event_id FROM dedup_within_out").toPandas()
     assert sorted(got["event_id"]) == list(range(10))
+
+
+def test_exactly_once_sink_replay_is_idempotent(spark, tmp_path):
+    """exactly_once mode: re-delivering the SAME epoch (crash between write
+    and checkpoint commit) must overwrite, not duplicate; a new epoch must
+    append. The at-least-once default under the same replay duplicates —
+    asserted as the contrast."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.ingest import ingest_batch
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.lake import write_lake
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.sources import read_lake
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.streaming import (
+        epoch_idempotent_write,
+    )
+
+    rows = [
+        ("t0", json.dumps({"Data": {"device": "TV", "event": f"e{i}", "region": "US"}}))
+        for i in range(10)
+    ]
+    raw = spark.createDataFrame(rows, "tenant_id string, raw string")
+    res = ingest_batch(raw, ingest_ts=1700000000)
+
+    eo_lake = str(tmp_path / "eo_lake")
+    epoch_idempotent_write(res.valid, eo_lake, epoch_id=7)
+    epoch_idempotent_write(res.valid, eo_lake, epoch_id=7)  # replayed epoch
+    assert read_lake(spark, eo_lake).count() == 10  # no duplicates
+    epoch_idempotent_write(res.valid, eo_lake, epoch_id=8)  # next epoch
+    assert read_lake(spark, eo_lake).count() == 20
+    assert "_epoch" not in read_lake(spark, eo_lake).columns
+
+    alo_lake = str(tmp_path / "alo_lake")
+    write_lake(res.valid, alo_lake)
+    write_lake(res.valid, alo_lake)  # same replay under append mode
+    assert read_lake(spark, alo_lake).count() == 20  # duplicated — the contrast

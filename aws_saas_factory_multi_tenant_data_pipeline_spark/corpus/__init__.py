@@ -166,6 +166,12 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "text_quality_model_score",
     "stream_stream_join_batch_equiv",
     "corpus_metering",
+    "text_pii_redact",
+    "text_gopher_rules",
+    "llm_source_quota_sample",
+    "llm_domain_mix_resample",
+    "llm_shuffle_shard",
+    "llm_ngram_decontaminate",
 )
 
 
@@ -193,6 +199,7 @@ def load_all() -> dict[str, QuerySpec]:
         relational_wave6,
         window50,
         tier_a,
+        ext_llm_wave2,
     )
 
     head = [n for n in GRADED_WINDOW + _TAIL_PRIORITY if n in REGISTRY]

@@ -443,11 +443,46 @@ def similarity_ivf_ann(spark, sf_dir):
 
 @register(
     "dedup_clusters_resolve",
-    oracle=None,  # iterative algorithm — rows-only (union-find-verified in tests/)
+    # connected components IS SQL-expressible as a recursive transitive
+    # closure — the oracle replicates min-label propagation's fixpoint
+    # (cluster_id = min doc id reachable over symmetrized pair edges)
+    oracle=f"""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, string_split({_DUCK_NORM}, ' ') AS ws
+            FROM documents WHERE doc_id < 200),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(CASE WHEN len(ws) >= 3
+                        THEN list_transform(generate_series(1, len(ws) - 2),
+                                            i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))
+                        ELSE [concat_ws(' ', ws)] END) AS shingles
+            FROM toks),
+        inv AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+        pairs_raw AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+                   COUNT(*) AS shared
+            FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4),
+        pairs AS (
+            SELECT id_a, id_b FROM pairs_raw
+            WHERE CAST(shared AS DOUBLE) / (n_a + n_b - shared) >= 0.2),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs),
+        reach AS (
+            SELECT src AS node, src AS root FROM edges
+            UNION
+            SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
+        SELECT node AS node_id, MIN(root) AS cluster_id
+        FROM reach GROUP BY node
+        ORDER BY node_id
+    """,
     tags=("B10",),
     doc="Near-dup cluster resolution: n-gram Jaccard pairs → connected "
     "components (iterative min-label propagation) → one canonical doc per "
-    "cluster. The genuinely non-SQL-expressible op of the dedup pipeline.",
+    "cluster. Oracle: recursive-CTE transitive closure computing the same "
+    "min-reachable-id fixpoint (union-find also property-verified in tests/).",
 )
 def dedup_clusters_resolve(spark, sf_dir):
     from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import (

@@ -1,0 +1,339 @@
+"""B10 [EXT] wave 2: corpus hygiene + reproducible sampling for LLM
+training-data pipelines — PII scrubbing, Gopher-style rule cascade,
+deterministic quota sampling / domain mixing / global shuffle-sharding,
+and n-gram-level eval decontamination.
+
+Every query here is fully oracle-backed: the operators are deliberately
+built from content-stable hash arithmetic (md5) and the common
+Java-regex/RE2 subset so DuckDB replicates them byte-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus import register
+from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus._util import t
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.sampling import (
+    domain_mix_resample,
+    quota_sample,
+    shuffle_shard,
+)
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.text import (
+    gopher_rules,
+    pii_redact,
+)
+
+# DuckDB twin of operators.dedup.normalize_text (see ext_llm._DUCK_NORM)
+_DUCK_NORM = r"trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))"
+
+# Deterministic PII synthesis: the fixture corpus carries no real PII, so
+# both engines append the same synthetic email/phone/IP per doc — the
+# detector then has non-trivial work whose results must match exactly.
+_DUCK_SYNTH = (
+    "text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com tel +1-555-' || "
+    "lpad(CAST(doc_id * 7919 % 10000 AS VARCHAR), 4, '0') || ' ip 10.' || "
+    "CAST(doc_id % 200 AS VARCHAR) || '.' || CAST(doc_id * 3 % 200 AS VARCHAR) || '.7'"
+)
+
+
+def _synth_pii(doc_id, text):
+    return F.concat(
+        text,
+        F.lit(" Contact user"),
+        doc_id.cast("string"),
+        F.lit("@example.com tel +1-555-"),
+        F.lpad(F.pmod(doc_id * 7919, F.lit(10000)).cast("string"), 4, "0"),
+        F.lit(" ip 10."),
+        F.pmod(doc_id, F.lit(200)).cast("string"),
+        F.lit("."),
+        F.pmod(doc_id * 3, F.lit(200)).cast("string"),
+        F.lit(".7"),
+    )
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+        WITH synth AS (
+            SELECT doc_id, {_DUCK_SYNTH} AS s FROM documents),
+        counted AS (
+            SELECT doc_id, s,
+                   len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_email,
+                   len(regexp_extract_all(s, '\\+[0-9]{{1,2}}-[0-9]{{3}}-[0-9]{{4}}')) AS n_phone,
+                   len(regexp_extract_all(s, '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b')) AS n_ipv4
+            FROM synth)
+        SELECT doc_id, n_email, n_phone, n_ipv4,
+               md5(regexp_replace(regexp_replace(regexp_replace(s,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+                       '\\+[0-9]{{1,2}}-[0-9]{{3}}-[0-9]{{4}}', '<PHONE>', 'g'),
+                       '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b', '<IPV4>', 'g')) AS redacted_md5
+        FROM counted
+        ORDER BY doc_id
+    """,
+    tags=("B10",),
+    doc="PII scrubbing (operators.text.pii_redact): detect + redact "
+    "emails/phones/IPv4s with placeholder tokens. PII is synthesized "
+    "deterministically per doc (the fixtures carry none), counts are "
+    "checked per pattern and the redacted text md5 byte-compared. Narrow "
+    "projection, no shuffle — scrubbing 100 TB runs at scan speed.",
+)
+def text_pii_redact(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    synth = d.select("doc_id", _synth_pii(F.col("doc_id"), F.col("text")).alias("s"))
+    out = pii_redact(synth, text_col="s", out_col="redacted")
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ipv4",
+        F.md5("redacted").alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_gopher_rules",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, text, string_split({_DUCK_NORM}, ' ') AS ws FROM documents),
+        feats AS (
+            SELECT doc_id, text, ws,
+                   CASE WHEN len(ws) = 1 AND ws[1] = '' THEN 0 ELSE len(ws) END AS n
+            FROM toks),
+        rules AS (
+            SELECT doc_id,
+                   n BETWEEN 50 AND 100000 AS rule_word_count,
+                   (CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+                        / GREATEST(n, 1)) BETWEEN 3.0 AND 10.0 AS rule_mean_word_len,
+                   CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+                        / GREATEST(n, 1) >= 0.8 AS rule_alpha_ratio,
+                   len(list_intersect(list_distinct(ws),
+                       ['the','a','and','of','to','in','is','it','that','for'])) >= 2
+                       AS rule_stopwords,
+                   CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
+                        / GREATEST(n, 1) <= 0.1 AS rule_symbol_ratio
+            FROM feats)
+        SELECT doc_id, rule_word_count, rule_mean_word_len, rule_alpha_ratio,
+               rule_stopwords, rule_symbol_ratio,
+               (rule_word_count AND rule_mean_word_len AND rule_alpha_ratio
+                AND rule_stopwords AND rule_symbol_ratio) AS gopher_keep
+        FROM rules
+        ORDER BY doc_id
+    """,
+    tags=("B10",),
+    doc="Gopher-style heuristic quality cascade (operators.text."
+    "gopher_rules): five document-level rules (token count, mean word "
+    "length, alpha-token ratio, stopword presence, symbol ratio) with "
+    "per-rule booleans + the conjunctive keep gate — the standard "
+    "pre-model filter for web-scale corpora. One tokens projection, "
+    "no shuffle.",
+)
+def text_gopher_rules(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return gopher_rules(d).select(
+        "doc_id",
+        "rule_word_count",
+        "rule_mean_word_len",
+        "rule_alpha_ratio",
+        "rule_stopwords",
+        "rule_symbol_ratio",
+        "gopher_keep",
+    ).orderBy("doc_id")
+
+
+@register(
+    "llm_source_quota_sample",
+    oracle="""
+        WITH ranked AS (
+            SELECT source, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR) || ':quota-seed-7'), doc_id)
+                       AS sample_rank
+            FROM documents)
+        SELECT source, doc_id, sample_rank
+        FROM ranked WHERE sample_rank <= 40
+        ORDER BY source, sample_rank
+    """,
+    tags=("B10",),
+    doc="Fixed-size deterministic per-source sample (operators.sampling."
+    "quota_sample): exactly min(40, |source|) docs per source, chosen by "
+    "md5 hash rank — content-stable across runs/engines/partitioning, "
+    "unlike df.sample. The 100 TB path pre-filters with a hash-bucket cut "
+    "before ranking (see operator docstring).",
+)
+def llm_source_quota_sample(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return (
+        quota_sample(d, group_col="source", n=40, id_col="doc_id", salt=":quota-seed-7")
+        .select("source", "doc_id", "sample_rank")
+        .orderBy("source", "sample_rank")
+    )
+
+
+@register(
+    "llm_domain_mix_resample",
+    oracle="""
+        WITH cnt AS (SELECT source, COUNT(*) AS group_total FROM documents GROUP BY source),
+        tot AS (SELECT CAST(SUM(group_total) AS BIGINT) AS total, COUNT(*) AS k FROM cnt),
+        dims AS (
+            SELECT source, group_total,
+                   CAST(FLOOR(LEAST(1.0, (1.0 / k) * CAST(total AS DOUBLE)
+                        / CAST(group_total AS DOUBLE)) * 10000) AS BIGINT) AS rate_bp
+            FROM cnt CROSS JOIN tot),
+        kept AS (
+            SELECT d.source
+            FROM documents d JOIN dims USING (source)
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix-seed-3'), 1, 4))
+                       AS INTEGER) % 10000 < rate_bp)
+        SELECT dims.source,
+               CAST(dims.group_total AS BIGINT) AS group_total,
+               dims.rate_bp,
+               COALESCE(k.n_kept, 0) AS n_kept
+        FROM dims
+        LEFT JOIN (SELECT source, COUNT(*) AS n_kept FROM kept GROUP BY source) k
+               ON dims.source = k.source
+        ORDER BY dims.source
+    """,
+    tags=("B10",),
+    doc="Domain mixing (operators.sampling.domain_mix_resample): "
+    "downsample over-represented sources toward a uniform mixture via "
+    "per-source acceptance rates applied as a deterministic hash-bucket "
+    "cut (rate quantized to 1/10000). Plan: tiny groupBy for counts -> "
+    "broadcast rate dim -> narrow filter; no extra full-data shuffle.",
+)
+def llm_domain_mix_resample(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    kept = domain_mix_resample(
+        d, group_col="source", id_col="doc_id", salt=":mix-seed-3"
+    )
+    return (
+        kept.groupBy("source", "group_total", "rate_bp")
+        .agg(F.count("*").alias("n_kept"))
+        .select("source", "group_total", "rate_bp", "n_kept")
+        .orderBy("source")
+    )
+
+
+@register(
+    "llm_shuffle_shard",
+    oracle="""
+        WITH sharded AS (
+            SELECT doc_id, n_chars,
+                   md5(CAST(doc_id AS VARCHAR) || ':shard-seed-13') AS shuffle_key,
+                   CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard-seed-13'), 1, 4))
+                        AS INTEGER) % 8 AS BIGINT) AS shard
+            FROM documents)
+        SELECT shard,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               arg_min(doc_id, shuffle_key) AS lead_doc
+        FROM sharded
+        GROUP BY shard
+        ORDER BY shard
+    """,
+    tags=("B10",),
+    doc="Deterministic global shuffle + sharding (operators.sampling."
+    "shuffle_shard): every doc gets a shard in [0,8) and a content-stable "
+    "shuffle key defining the within-shard order — the reproducible "
+    "'globally shuffled, shard-local sorted' training layout (one shuffle "
+    "regardless of cluster size). Checked via per-shard stats + the "
+    "hash-order lead doc.",
+)
+def llm_shuffle_shard(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    sharded = shuffle_shard(d, id_col="doc_id", n_shards=8, salt=":shard-seed-13")
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min_by("doc_id", "shuffle_key").alias("lead_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
+@register(
+    "llm_ngram_decontaminate",
+    oracle=f"""
+        WITH tr_toks AS (
+            SELECT doc_id, string_split({_DUCK_NORM}, ' ') AS ws FROM documents),
+        tr_sh AS (
+            SELECT doc_id AS train_doc,
+                   list_distinct(CASE WHEN len(ws) >= 8
+                        THEN list_transform(generate_series(1, len(ws) - 7),
+                                            i -> array_to_string(ws[i:i+7], ' '))
+                        ELSE [array_to_string(ws, ' ')] END) AS grams
+            FROM tr_toks),
+        train AS (SELECT train_doc, unnest(grams) AS g FROM tr_sh),
+        eval_raw AS (
+            SELECT doc_id + 500000 AS eval_id, substr(text, 21, 400) AS text
+            FROM documents WHERE doc_id % 11 = 3
+            UNION ALL
+            SELECT doc_id + 900000 AS eval_id,
+                   'benchmark probe ' || CAST(doc_id AS VARCHAR) || ' asks about topic '
+                       || CAST(doc_id * 17 AS VARCHAR) AS text
+            FROM documents WHERE doc_id % 13 = 5),
+        ev_toks AS (
+            SELECT eval_id, string_split({_DUCK_NORM}, ' ') AS ws FROM eval_raw),
+        ev_sh AS (
+            SELECT eval_id,
+                   list_distinct(CASE WHEN len(ws) >= 8
+                        THEN list_transform(generate_series(1, len(ws) - 7),
+                                            i -> array_to_string(ws[i:i+7], ' '))
+                        ELSE [array_to_string(ws, ' ')] END) AS grams
+            FROM ev_toks),
+        evg AS (SELECT eval_id, unnest(grams) AS g FROM ev_sh)
+        SELECT e.eval_id,
+               COUNT(DISTINCT e.g) AS n_shared_grams,
+               COUNT(DISTINCT t.train_doc) AS n_train_docs
+        FROM evg e JOIN train t ON e.g = t.g
+        GROUP BY e.eval_id
+        ORDER BY e.eval_id
+    """,
+    tags=("B10",),
+    doc="N-gram-level eval decontamination (the GPT-3-style 8-gram overlap "
+    "check, stronger than llm_decontaminate's exact-hash form): flag eval "
+    "docs sharing any word 8-gram with the training corpus. The eval set "
+    "mixes corpus-derived substrings (contaminated) with synthetic probes "
+    "(clean). Plan: both sides explode to distinct grams, equi-join on the "
+    "gram, two count-distinct aggs — at 100 TB the join key becomes "
+    "md5(gram) (16 bytes, never ship document text through the shuffle).",
+)
+def llm_ngram_decontaminate(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import (
+        with_shingle_col,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    train = (
+        with_shingle_col(d, "text", k=8, out="__g")
+        .select(F.col("doc_id").alias("train_doc"), F.explode("__g").alias("g"))
+    )
+    eval_raw = d.where(F.pmod("doc_id", F.lit(11)) == 3).select(
+        (F.col("doc_id") + 500000).alias("eval_id"),
+        F.substring("text", 21, 400).alias("text"),
+    ).unionByName(
+        d.where(F.pmod("doc_id", F.lit(13)) == 5).select(
+            (F.col("doc_id") + 900000).alias("eval_id"),
+            F.concat(
+                F.lit("benchmark probe "),
+                F.col("doc_id").cast("string"),
+                F.lit(" asks about topic "),
+                (F.col("doc_id") * 17).cast("string"),
+            ).alias("text"),
+        )
+    )
+    evg = (
+        with_shingle_col(eval_raw, "text", k=8, out="__g")
+        .select("eval_id", F.explode("__g").alias("g"))
+    )
+    return (
+        evg.join(train, "g")
+        .groupBy("eval_id")
+        .agg(
+            F.countDistinct("g").alias("n_shared_grams"),
+            F.countDistinct("train_doc").alias("n_train_docs"),
+        )
+        .orderBy("eval_id")
+    )

@@ -124,6 +124,99 @@ def quality_model_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: PII detection patterns — spelled in the common Java-regex/RE2 subset so
+#: Spark (Java) and the DuckDB oracle (RE2) match byte-identically. Redaction
+#: order is the dict order (emails first: the other patterns can't overlap
+#: the inserted placeholder tokens).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def pii_redact(df: DataFrame, text_col: str = "text", out_col: str = "redacted") -> DataFrame:
+    """PII scrubbing for training corpora: count and redact emails / phone
+    numbers / IPv4 addresses with ``<EMAIL>``/``<PHONE>``/``<IPV4>``
+    placeholders.
+
+    Adds ``n_email``/``n_phone``/``n_ipv4`` (match counts on the ORIGINAL
+    text) and ``out_col`` (the redacted text, patterns applied in
+    PII_PATTERNS order). Pure regexp_extract_all/regexp_replace — narrow
+    projection, no shuffle, no Python: scrubbing 100 TB is scan-speed.
+    Production systems add NER-model passes for names/addresses; that step
+    slots in as a mapInPandas stage after this cheap regex pass has
+    handled the high-precision patterns.
+    """
+    c = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        df = df.withColumn(f"n_{name}", F.size(F.regexp_extract_all(c, F.lit(pat), 0)))
+    red = c
+    for name, pat in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return df.withColumn(out_col, red)
+
+
+#: Gopher-style document-level quality rule bounds (Rae et al. 2021 §A1.1
+#: shape, simplified to the deterministic/oracle-replicable subset).
+GOPHER_BOUNDS = {
+    "word_count": (50, 100_000),
+    "mean_word_len": (3.0, 10.0),
+    "min_alpha_ratio": 0.8,
+    "min_stopword_hits": 2,
+    "max_symbol_ratio": 0.1,
+}
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style heuristic quality rule cascade: one boolean per rule
+    plus the conjunctive ``gopher_keep`` gate.
+
+    Rules (document level): token count within bounds; mean word length
+    within bounds; ≥80% of tokens contain a letter (filters number/symbol
+    soup); ≥2 distinct English stopwords present (filters non-prose);
+    symbol ratio (``#``/ellipsis per token) ≤ 0.1. All codegen'd built-ins
+    over one tokens projection — no shuffle.
+    """
+    b = GOPHER_BOUNDS
+    c = F.col(text_col)
+    df = df.withColumn("__toks", tokens(c))
+    toks = F.col("__toks")
+    n_tok = F.when(F.size(toks) == 1, F.when(toks[0] == "", 0).otherwise(1)).otherwise(
+        F.size(toks)
+    )
+    df = df.withColumn("__n_tok", n_tok)
+    n = F.col("__n_tok")
+    mean_wl = F.aggregate(toks, F.lit(0.0), lambda acc, w: acc + F.length(w)) / F.greatest(
+        n, F.lit(1)
+    ).cast("double")
+    alpha_ratio = F.size(F.filter(toks, lambda w: w.rlike("[a-z]"))).cast(
+        "double"
+    ) / F.greatest(n, F.lit(1)).cast("double")
+    en_stop = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(toks), en_stop))
+    symbol_ratio = F.size(F.regexp_extract_all(c, F.lit(r"(#|\.\.\.)"), 1)).cast(
+        "double"
+    ) / F.greatest(n, F.lit(1)).cast("double")
+    lo_wc, hi_wc = b["word_count"]
+    lo_mwl, hi_mwl = b["mean_word_len"]
+    out = (
+        df.withColumn("rule_word_count", n.between(lo_wc, hi_wc))
+        .withColumn("rule_mean_word_len", mean_wl.between(lo_mwl, hi_mwl))
+        .withColumn("rule_alpha_ratio", alpha_ratio >= b["min_alpha_ratio"])
+        .withColumn("rule_stopwords", stop_hits >= b["min_stopword_hits"])
+        .withColumn("rule_symbol_ratio", symbol_ratio <= b["max_symbol_ratio"])
+    )
+    keep = (
+        F.col("rule_word_count")
+        & F.col("rule_mean_word_len")
+        & F.col("rule_alpha_ratio")
+        & F.col("rule_stopwords")
+        & F.col("rule_symbol_ratio")
+    )
+    return out.withColumn("gopher_keep", keep).drop("__toks", "__n_tok")
+
+
 def language_scores(toks: Column) -> list[Column]:
     """Per-language stopword hit counts over a distinct-tokens column."""
     out = []

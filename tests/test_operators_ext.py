@@ -336,3 +336,99 @@ def test_dedup_clusters_lineage_truncated_and_warns_on_nonconvergence(spark):
     assert any("not converged" in str(c.message) for c in caught), [
         str(c.message) for c in caught
     ]
+
+
+def test_pii_redact_postcondition(spark, sf_smoke):
+    """After redaction no PII pattern matches remain, and counts are sane."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.text import (
+        PII_PATTERNS,
+        pii_redact,
+    )
+
+    docs = t(spark, sf_smoke, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" mail a.b@test.org call +1-202-5551 host 192.168.0.1"),
+        ).alias("text"),
+    )
+    out = pii_redact(docs).cache()
+    try:
+        assert out.where(F.col("n_email") < 1).count() == 0
+        assert out.where(F.col("n_phone") < 1).count() == 0
+        assert out.where(F.col("n_ipv4") < 1).count() == 0
+        for pat in PII_PATTERNS.values():
+            leftover = out.where(
+                F.size(F.regexp_extract_all("redacted", F.lit(pat), 0)) > 0
+            ).count()
+            assert leftover == 0, f"unredacted matches remain for {pat}"
+    finally:
+        out.unpersist()
+
+
+def test_quota_sample_exact_size_and_stability(spark, sf_smoke):
+    """Exactly min(n, |group|) rows per group; membership survives repartition."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.sampling import quota_sample
+
+    docs = t(spark, sf_smoke, "documents")
+    sizes = {r["source"]: r["cnt"] for r in docs.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    got = quota_sample(docs, n=40).groupBy("source").agg(F.count("*").alias("n")).collect()
+    for r in got:
+        assert r["n"] == min(40, sizes[r["source"]])
+    ids_a = {r["doc_id"] for r in quota_sample(docs, n=40).select("doc_id").collect()}
+    ids_b = {
+        r["doc_id"]
+        for r in quota_sample(docs.repartition(13), n=40).select("doc_id").collect()
+    }
+    assert ids_a == ids_b
+
+
+def test_shuffle_shard_content_stable(spark, sf_smoke):
+    """Shard assignment and shuffle keys are identical regardless of layout."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.sampling import shuffle_shard
+
+    docs = t(spark, sf_smoke, "documents").select("doc_id")
+    a = shuffle_shard(docs).select("doc_id", "shard", "shuffle_key").toPandas()
+    b = (
+        shuffle_shard(docs.repartition(7))
+        .select("doc_id", "shard", "shuffle_key")
+        .toPandas()
+    )
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    assert set(a["shard"].unique()) <= set(range(8))
+
+
+def test_domain_mix_caps_overrepresented(spark, sf_smoke):
+    """Resampled mix: no group keeps more than its hash-rate share; small
+    groups (rate 1.0) keep everything."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.sampling import (
+        domain_mix_resample,
+    )
+
+    docs = t(spark, sf_smoke, "documents")
+    before = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    kept = domain_mix_resample(docs)
+    after = {r["source"]: r["n"] for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    total, k = sum(before.values()), len(before)
+    target = total / k
+    for src, n_before in before.items():
+        n_after = after.get(src, 0)
+        if n_before <= target:
+            assert n_after == n_before, f"{src}: under-represented group was cut"
+        else:
+            assert n_after <= n_before
+            # hash-rate cut lands near the target (binomial tolerance)
+            assert n_after <= target * 1.5 + 10
+
+
+def test_gopher_keep_is_conjunction(spark, sf_smoke):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.text import gopher_rules
+
+    out = gopher_rules(t(spark, sf_smoke, "documents"))
+    rules = [c for c in out.columns if c.startswith("rule_")]
+    expr = F.lit(True)
+    for r in rules:
+        expr = expr & F.col(r)
+    assert out.where(F.col("gopher_keep") != expr).count() == 0

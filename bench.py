@@ -161,7 +161,10 @@ def main() -> None:
     timings["ingest_transform"] = round(
         min(_bench_ingest_transform(spark) for _ in range(3)), 3
     )
-    timings["lake_write"] = round(min(_bench_lake_write(spark), _bench_lake_write(spark)), 3)
+    # best-of-3 for the same reason: the partitioned-write commit path has
+    # its own one-time codegen, and host I/O stalls are long enough that
+    # two back-to-back runs can both land inside one stall window
+    timings["lake_write"] = round(min(_bench_lake_write(spark) for _ in range(3)), 3)
     full_scan, pruned_scan = _bench_tenant_pruning(spark)
     timings["lake_full_scan"] = round(full_scan, 3)
     timings["tenant_pruned_scan"] = round(pruned_scan, 3)

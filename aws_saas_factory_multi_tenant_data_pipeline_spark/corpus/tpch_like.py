@@ -810,3 +810,52 @@ def tpch_q17_small_quantity_revenue(spark, sf_dir):
         .where(F.col("l_quantity") < F.col("qty_cut"))
         .agg((dsum("l_extendedprice") / F.lit(7.0)).cast("double").alias("avg_yearly"))
     )
+
+
+@register(
+    "tpch_q11_important_stock",
+    oracle=f"""
+        SELECT l_partkey, {sql_dsum('l_extendedprice * l_quantity')} AS part_value
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_regionkey = 1
+        GROUP BY l_partkey
+        HAVING {sql_dsum('l_extendedprice * l_quantity')} > 0.0004 * (
+            SELECT {sql_dsum('l_extendedprice * l_quantity')}
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_regionkey = 1)
+        ORDER BY part_value DESC, l_partkey
+    """,
+    tags=("B2", "B3", "B4"),
+    doc="Canonical TPC-H Q11 shape (important stock): per-group value with a "
+    "HAVING threshold taken from an uncorrelated scalar subquery over the "
+    "same filtered base. No partsupp table in the synthetic schema, so "
+    "stock value is lineitem extendedprice*quantity for suppliers in one "
+    "region (reference consumers run the same shape through Athena; "
+    "SURVEY.md §2 Tier B). Scale: the scalar total is a partial-agg single "
+    "row broadcast into the HAVING filter — one fact shuffle on l_partkey, "
+    "never a second pass over lineitem joined to itself.",
+)
+def tpch_q11_important_stock(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    region_suppliers = s.join(
+        F.broadcast(n.where(F.col("n_regionkey") == 1)),
+        s.s_nationkey == n.n_nationkey,
+        "left_semi",
+    ).select("s_suppkey")
+    base = li.join(F.broadcast(region_suppliers), li.l_suppkey == F.col("s_suppkey")).select(
+        "l_partkey", (F.col("l_extendedprice") * F.col("l_quantity")).alias("stock_value")
+    )
+    vals = base.groupBy("l_partkey").agg(dsum("stock_value").alias("part_value"))
+    total = base.agg(dsum("stock_value").alias("total_value"))
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .where(F.col("part_value") > F.lit(0.0004) * F.col("total_value"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )

@@ -172,6 +172,8 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "llm_domain_mix_resample",
     "llm_shuffle_shard",
     "llm_ngram_decontaminate",
+    "tenant_usage_metering",
+    "rollup_partial_merge",
 )
 
 
@@ -200,6 +202,7 @@ def load_all() -> dict[str, QuerySpec]:
         window50,
         tier_a,
         ext_llm_wave2,
+        saas_ops,
     )
 
     head = [n for n in GRADED_WINDOW + _TAIL_PRIORITY if n in REGISTRY]

@@ -1,0 +1,127 @@
+"""SaaS-operations analytics the reference's operators run over the lake:
+per-tenant usage metering / cost attribution, and the mergeable
+partial-aggregate algebra behind incremental rollup maintenance
+(``lake.maintain_rollup``).
+
+The reference bills by tenant (its whole point is tenant isolation down to
+the partition; SURVEY.md §1) but ships no metering query — these are the
+queries its operators would write first. Tenant derivation follows the
+corpus convention: ``tenant-<user_id % 4>``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus import register
+from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus._util import t
+from aws_saas_factory_multi_tenant_data_pipeline_spark.functions import dsum, sql_dsum
+
+
+@register(
+    "tenant_usage_metering",
+    oracle=f"""
+        WITH usage AS (
+            SELECT 'tenant-' || CAST(user_id % 4 AS VARCHAR) AS tenant_id,
+                   CAST(ts AS DATE) AS day,
+                   COUNT(*) AS n_events,
+                   COUNT(DISTINCT user_id) AS active_users,
+                   {sql_dsum('value')} AS metered_value,
+                   CAST(SUM(LENGTH(props) + 64) AS BIGINT) AS payload_bytes
+            FROM events
+            GROUP BY 1, 2)
+        SELECT tenant_id, day, n_events, active_users, metered_value,
+               payload_bytes,
+               CAST(payload_bytes AS DOUBLE)
+                 / SUM(payload_bytes) OVER (PARTITION BY day) AS day_cost_share
+        FROM usage
+        ORDER BY tenant_id, day
+    """,
+    tags=("EXT", "A7", "B4", "B5"),
+    doc="Per-tenant daily usage metering + cost attribution: events, active "
+    "users, metered value, payload bytes (64 B envelope overhead per "
+    "record, mirroring the Kinesis record envelope), and each tenant's "
+    "share of the day's bytes via a windowed total. Scale: one shuffle on "
+    "(tenant, day) for the agg; the day-window runs over the tiny "
+    "aggregated frame, not the fact table.",
+)
+def tenant_usage_metering(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    usage = (
+        e.select(
+            F.concat(F.lit("tenant-"), F.pmod("user_id", F.lit(4)).cast("string")).alias(
+                "tenant_id"
+            ),
+            F.col("ts").cast("date").alias("day"),
+            "user_id",
+            "value",
+            (F.length("props") + F.lit(64)).alias("rec_bytes"),
+        )
+        .groupBy("tenant_id", "day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("active_users"),
+            dsum("value").alias("metered_value"),
+            F.sum("rec_bytes").cast("bigint").alias("payload_bytes"),
+        )
+    )
+    day_total = Window.partitionBy("day")
+    return usage.withColumn(
+        "day_cost_share",
+        F.col("payload_bytes").cast("double") / F.sum("payload_bytes").over(day_total),
+    ).orderBy("tenant_id", "day")
+
+
+@register(
+    "rollup_partial_merge",
+    oracle=f"""
+        WITH full_recompute AS (
+            SELECT 'tenant-' || CAST(user_id % 4 AS VARCHAR) AS tenant_id,
+                   CAST(ts AS DATE) AS day,
+                   COUNT(*) AS n_events,
+                   {sql_dsum('value')} AS total_value
+            FROM events
+            GROUP BY 1, 2)
+        SELECT tenant_id, day, n_events, total_value
+        FROM full_recompute
+        ORDER BY tenant_id, day
+    """,
+    tags=("EXT", "B4"),
+    doc="Incremental-rollup algebra as a gradable dataflow: the fact rows "
+    "are split into a base batch and a late-arriving delta (event_id % 7), "
+    "each aggregated to PARTIAL (count, decimal-sum) rollups "
+    "independently, then merged by re-aggregation — the exact merge "
+    "``lake.maintain_rollup`` relies on. The oracle states the full "
+    "recompute, so any non-mergeable drift in the partial algebra breaks "
+    "the hash. Scale: this is why a 100 TB rollup never re-reads history — "
+    "partials are unioned and re-summed, touching only delta partitions.",
+)
+def rollup_partial_merge(spark, sf_dir):
+    e = t(spark, sf_dir, "events").select(
+        F.concat(F.lit("tenant-"), F.pmod("user_id", F.lit(4)).cast("string")).alias("tenant_id"),
+        F.col("ts").cast("date").alias("day"),
+        "event_id",
+        "value",
+    )
+    base = e.where(F.pmod("event_id", F.lit(7)) != 0)
+    delta = e.where(F.pmod("event_id", F.lit(7)) == 0)
+
+    def partial(df):
+        # decimal partial sums stay decimal until the final merge so the
+        # re-aggregation is order-independent (FIXTURES.md determinism)
+        return df.groupBy("tenant_id", "day").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("value_partial"),
+        )
+
+    merged = (
+        partial(base)
+        .unionByName(partial(delta))
+        .groupBy("tenant_id", "day")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("value_partial").cast("double").alias("total_value"),
+        )
+    )
+    return merged.orderBy("tenant_id", "day")

@@ -179,3 +179,76 @@ def test_read_lake_refuses_quarantine_only_lake(spark, tmp_path):
         f.write('{"raw_record":"bad","error_type":"validation-failed"}\n')
     with pytest.raises(FileNotFoundError, match="no tenant="):
         read_lake(spark, root)
+
+
+def _files_with_mtime(root: str) -> dict[str, float]:
+    out = {}
+    for dp, _, fns in os.walk(root):
+        for f in fns:
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                p = os.path.join(dp, f)
+                out[p] = os.path.getmtime(p)
+    return out
+
+
+def test_maintain_rollup_refreshes_only_touched_partitions(spark, tmp_path):
+    import pytest
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.lake import (
+        maintain_rollup,
+        write_lake_overwrite_partitions,
+    )
+
+    pcols = ["tenant", "day"]
+    fact_root = str(tmp_path / "fact")
+    rollup_root = str(tmp_path / "rollup")
+
+    def build(fact):
+        return fact.groupBy("tenant", "day").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total"),
+        )
+
+    base = spark.createDataFrame(
+        [(f"t{i % 2}", f"2024-01-0{1 + i % 3}", i, float(i)) for i in range(60)],
+        "tenant string, day string, id long, value double",
+    )
+    base.write.partitionBy(*pcols).parquet(fact_root)
+    write_lake_overwrite_partitions(build(spark.read.parquet(fact_root)), rollup_root,
+                                    partition_cols=pcols)
+    before = _files_with_mtime(rollup_root)
+
+    # late delta lands in exactly one (tenant, day) partition
+    delta = spark.createDataFrame(
+        [("t0", "2024-01-01", 1000 + i, 100.0) for i in range(5)],
+        "tenant string, day string, id long, value double",
+    )
+    delta.write.mode("append").partitionBy(*pcols).parquet(fact_root)
+    n = maintain_rollup(spark, fact_root, rollup_root, build, touched=delta,
+                        partition_cols=pcols)
+    assert n == 1
+
+    cols = ["tenant", "day", "n", "total"]
+    got = spark.read.parquet(rollup_root).select(*cols)
+    want = build(spark.read.parquet(fact_root)).select(*cols)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    after = _files_with_mtime(rollup_root)
+    untouched_before = {p: m for p, m in before.items() if "tenant=t0/day=2024-01-01" not in p}
+    untouched_after = {p: m for p, m in after.items() if "tenant=t0/day=2024-01-01" not in p}
+    assert untouched_before == untouched_after  # siblings not rewritten
+
+    # empty delta is a no-op
+    assert maintain_rollup(spark, fact_root, rollup_root, build,
+                           touched=delta.limit(0), partition_cols=pcols) == 0
+
+    # a build() that drops the partition columns is rejected before any write
+    with pytest.raises(ValueError, match="partition columns"):
+        maintain_rollup(spark, fact_root, rollup_root,
+                        lambda f: f.groupBy("tenant").agg(F.count("*").alias("n")),
+                        touched=delta, partition_cols=pcols)
+
+    # a delta wider than the cap demands a full rebuild instead
+    with pytest.raises(ValueError, match="full rebuild"):
+        maintain_rollup(spark, fact_root, rollup_root, build, touched=base,
+                        partition_cols=pcols, max_touched_partitions=2)

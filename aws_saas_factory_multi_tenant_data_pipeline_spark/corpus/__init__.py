@@ -174,6 +174,9 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "llm_ngram_decontaminate",
     "tenant_usage_metering",
     "rollup_partial_merge",
+    "funnel_view_click_purchase",
+    "cohort_retention",
+    "join_bucketed_colocated",
 )
 
 

@@ -305,3 +305,58 @@ def join_range_binned(spark, sf_dir):
         .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
         .orderBy("bucket_id")
     )
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle=f"""
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+               {sql_dsum('o_totalprice')} AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    tags=("B3", "B1"),
+    doc="Co-located (bucketed) join: both sides written bucketBy(8, "
+    "custkey) into the session catalog, then sort-merge-joined. Because "
+    "the storage layout already hash-partitions both tables on the join "
+    "key, the join runs with NO shuffle exchange on either side "
+    "(tests/test_plans.py pins this) — the 100 TB answer for a join "
+    "repeated every batch: pay the partitioning once at write time, "
+    "never again at read time. Merge hint keeps Spark from broadcasting "
+    "the small test-scale side so the plan shape matches cluster scale.",
+)
+def join_bucketed_colocated(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    # a previous session may have left managed-table dirs this session's
+    # catalog does not know about — DROP alone won't clear the LOCATION
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    for tbl in ("bkt_orders", "bkt_customer"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        p = jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{tbl}")
+        p.getFileSystem(hconf).delete(p, True)
+    (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .mode("overwrite")
+        .saveAsTable("bkt_orders")
+    )
+    (
+        c.select("c_custkey", "c_mktsegment")
+        .write.bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .mode("overwrite")
+        .saveAsTable("bkt_customer")
+    )
+    bo = spark.table("bkt_orders")
+    bc = spark.table("bkt_customer").hint("merge")
+    return (
+        bo.join(bc, bo.o_custkey == bc.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+        .orderBy("c_mktsegment")
+    )

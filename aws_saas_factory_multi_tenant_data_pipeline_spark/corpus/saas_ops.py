@@ -125,3 +125,97 @@ def rollup_partial_merge(spark, sf_dir):
         )
     )
     return merged.orderBy("tenant_id", "day")
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS t_view FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+        c AS (
+            SELECT e.user_id, MIN(e.ts) AS t_click
+            FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+            WHERE e.event_type = 'click' GROUP BY 1),
+        p AS (
+            SELECT e.user_id, MIN(e.ts) AS t_purchase
+            FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+            WHERE e.event_type = 'purchase' GROUP BY 1)
+        SELECT (SELECT COUNT(*) FROM v) AS n_view,
+               (SELECT COUNT(*) FROM c) AS n_view_click,
+               (SELECT COUNT(*) FROM p) AS n_full_funnel
+    """,
+    tags=("EXT", "B3", "B4"),
+    doc="Ordered funnel (view → click → purchase): per user, the first "
+    "view, the first click strictly after it, the first purchase strictly "
+    "after that — stage counts of users surviving each step. Scale: all "
+    "three aggregations and both joins are keyed on user_id, so one "
+    "hash-partitioning is reused across the whole cascade; no stage ever "
+    "widens beyond the per-user event history.",
+)
+def funnel_view_click_purchase(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    counts = [
+        df.agg(F.count("*").cast("bigint").alias(name))
+        for df, name in ((v, "n_view"), (c, "n_view_click"), (p, "n_full_funnel"))
+    ]
+    out = counts[0].crossJoin(F.broadcast(counts[1])).crossJoin(F.broadcast(counts[2]))
+    return out
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+        WITH firstseen AS (
+            SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+            FROM events GROUP BY 1)
+        SELECT cohort_day,
+               CAST(FLOOR(DATE_DIFF('day', cohort_day, CAST(e.ts AS DATE)) / 7)
+                    AS BIGINT) AS week_offset,
+               COUNT(DISTINCT e.user_id) AS active_users
+        FROM events e JOIN firstseen f ON e.user_id = f.user_id
+        GROUP BY 1, 2
+        ORDER BY cohort_day, week_offset
+    """,
+    tags=("EXT", "B3", "B4"),
+    doc="Cohort retention: users grouped by first-seen day, activity "
+    "counted per week offset since the cohort day — the standard "
+    "retention triangle. Scale: first-seen is a user_id-keyed agg whose "
+    "output is |users| rows; the join back is on the same key (shuffle "
+    "reuse), and the retention agg output is |cohorts × weeks|, tiny.",
+)
+def cohort_retention(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    firstseen = e.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("cohort_day"))
+    return (
+        e.join(firstseen, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.floor(F.datediff(F.col("ts").cast("date"), F.col("cohort_day")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+        .orderBy("cohort_day", "week_offset")
+    )

@@ -299,3 +299,18 @@ def test_tpch_plans_no_red_flags(spark, sf_smoke):
         )
         assert "CartesianProduct" not in plan, name
         assert plan.count("BroadcastNestedLoopJoin") <= allowed_bnlj.get(name, 0), name
+
+
+def test_join_bucketed_colocated_query_no_key_shuffle(spark, sf_smoke):
+    """The registered join_bucketed_colocated corpus query must keep its
+    no-shuffle-on-the-join-key property: the SortMergeJoin consumes the
+    bucketed layout directly; the only Exchanges are for the tiny
+    post-join aggregate/sort."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus import REGISTRY, load_all
+
+    load_all()
+    q = REGISTRY["join_bucketed_colocated"].spark_fn(spark, sf_smoke)
+    q.collect()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert "custkey" not in [ln for ln in plan.splitlines() if "Exchange" in ln].__str__(), plan

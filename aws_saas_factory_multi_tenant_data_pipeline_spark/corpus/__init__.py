@@ -177,6 +177,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "funnel_view_click_purchase",
     "cohort_retention",
     "join_bucketed_colocated",
+    "agg_bitwise",
 )
 
 

@@ -541,3 +541,31 @@ def fn_timezone(spark, sf_dir):
         ).alias("roundtrip"),
         F.hour(pdt).alias("pdt_hour"),
     ).orderBy("event_id")
+
+
+@register(
+    "agg_bitwise",
+    oracle="""
+        SELECT l_returnflag,
+               BIT_AND(l_linenumber) AS ln_and,
+               BIT_OR(l_linenumber) AS ln_or,
+               BIT_XOR(CAST(l_orderkey AS BIGINT)) AS ok_xor
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    tags=("B4",),
+    doc="Bitwise aggregate family (bit_and / bit_or / bit_xor) — fully "
+    "mergeable partials, codegen'd map-side combine like any sum.",
+)
+def agg_bitwise(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.bit_and("l_linenumber").alias("ln_and"),
+            F.bit_or("l_linenumber").alias("ln_or"),
+            F.bit_xor(F.col("l_orderkey").cast("bigint")).alias("ok_xor"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -166,3 +166,104 @@ def running_user_totals(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     return events.groupBy("user_id").applyInPandasWithState(
         fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def transform_with_state_available() -> bool:
+    """Spark 4's transformWithState protocol talks to the state server
+    over protobuf; without ``google.protobuf`` in the Python env the
+    driver worker crashes at query start. Probe it so callers can pick
+    the applyInPandasWithState fallback instead of failing mid-stream."""
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no 'google' namespace package at all
+        return False
+
+
+def user_value_ewma(events: DataFrame, alpha: float = 0.2) -> DataFrame:
+    """Per-user exponentially-weighted moving average of ``value`` plus a
+    running peak, kept as keyed state across micro-batches
+    (applyInPandasWithState — runs in any Python env).
+
+    State = (ewma, peak, n) per user; rows within a batch fold in
+    timestamp order so the EWMA is deterministic. Tests pin stream-vs-
+    batch-history equivalence. See ``user_value_ewma_tws`` for the same
+    operator on the newer transformWithState API.
+
+    Scale: state lives in the state store keyed by user_id — partitioned
+    with the stream, no driver involvement.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, ewma double, peak double, n long"
+    state_schema = "ewma double, peak double, n long"
+
+    def fold(key, pdfs, state: GroupState):
+        ewma, peak, n = state.get if state.exists else (0.0, float("-inf"), 0)
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        for v in batch["value"]:
+            v = float(v)
+            ewma = v if n == 0 else alpha * v + (1.0 - alpha) * ewma
+            peak = max(peak, v)
+            n += 1
+        state.update((ewma, peak, n))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "ewma": [round(ewma, 6)], "peak": [peak], "n": [n]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def user_value_ewma_tws(events: DataFrame, alpha: float = 0.2) -> DataFrame:
+    """``user_value_ewma`` on the transformWithState API (Spark 4): typed
+    state handles (value/list/map state, timers, optional TTL) instead of
+    a single state tuple — the forward path for custom stateful
+    operators. Requires ``google.protobuf`` (the state-server wire
+    format) and the RocksDB state store provider; call
+    ``transform_with_state_available()`` first. In environments without
+    protobuf this raises at construction rather than crashing the stream
+    mid-run.
+    """
+    if not transform_with_state_available():
+        raise RuntimeError(
+            "transformWithState needs the 'protobuf' package (google.protobuf) "
+            "for its state-server protocol; it is not installed in this "
+            "environment. Use user_value_ewma (applyInPandasWithState) instead."
+        )
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class EwmaProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("ewma_state", "ewma double, peak double, n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            exists = self._state.exists()
+            ewma, peak, n = self._state.get() if exists else (0.0, float("-inf"), 0)
+            batch = pd.concat(list(rows), ignore_index=True).sort_values("ts")
+            for v in batch["value"]:
+                v = float(v)
+                ewma = v if n == 0 else alpha * v + (1.0 - alpha) * ewma
+                peak = max(peak, v)
+                n += 1
+            self._state.update((ewma, peak, n))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "ewma": [round(ewma, 6)], "peak": [peak], "n": [n]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=EwmaProcessor(),
+        outputStructType="user_id long, ewma double, peak double, n long",
+        outputMode="Update",
+        timeMode="None",
+    )

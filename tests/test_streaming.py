@@ -395,3 +395,93 @@ def test_exactly_once_sink_replay_is_idempotent(spark, tmp_path):
     write_lake(res.valid, alo_lake)
     write_lake(res.valid, alo_lake)  # same replay under append mode
     assert read_lake(spark, alo_lake).count() == 20  # duplicated — the contrast
+
+
+def test_tws_variant_gated_when_protobuf_missing(spark):
+    """transformWithState needs google.protobuf for its state-server wire
+    protocol; the tws variant must fail fast at construction (not crash
+    the stream mid-run) when it is absent, and work when present."""
+    import pytest
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.streaming import (
+        transform_with_state_available,
+        user_value_ewma_tws,
+    )
+
+    if transform_with_state_available():
+        pytest.skip("protobuf present: gate not exercised (tws path usable)")
+    with pytest.raises(RuntimeError, match="protobuf"):
+        user_value_ewma_tws(None)
+
+
+def test_stateful_ewma_stream_matches_batch(spark, tmp_path):
+    """Keyed-state EWMA folded across two micro-batches equals the same
+    fold over the whole history at once (stream/batch parity)."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.streaming import user_value_ewma
+
+    src = str(tmp_path / "tws_src")
+    os.makedirs(src, exist_ok=True)
+    vals = [1.0, 5.0, 3.0, 8.0, 2.0, 4.0]
+    rows_per_batch = 3
+    for b in range(2):
+        with open(os.path.join(src, f"b{b}.json"), "w") as f:
+            for i in range(rows_per_batch):
+                idx = b * rows_per_batch + i
+                f.write(
+                    json.dumps(
+                        {
+                            "user_id": idx % 2,
+                            "value": vals[idx],
+                            "ts": f"2024-01-01T0{b}:0{i}:00.000Z",
+                        }
+                    )
+                    + "\n"
+                )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").json(src)
+    q = (
+        user_value_ewma(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("tws_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last emitted row per user is the final state
+    got = (
+        spark.sql(
+            """SELECT user_id, ewma, peak, n FROM (
+                 SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n DESC) rk
+                 FROM tws_out) WHERE rk = 1"""
+        )
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    # batch twin: fold the whole JSON history per user in ts order
+    hist = spark.read.schema(schema).json(src).toPandas().sort_values("ts")
+    want = []
+    for uid, grp in hist.groupby("user_id"):
+        ewma, peak, n = 0.0, float("-inf"), 0
+        for v in grp["value"]:
+            ewma = v if n == 0 else 0.2 * v + 0.8 * ewma
+            peak = max(peak, v)
+            n += 1
+        want.append((uid, round(ewma, 6), peak, n))
+    want.sort()
+    print("GOT:\n", got); print("WANT:", want)
+    assert got[["user_id", "n"]].values.tolist() == [[u, n] for u, _, _, n in want]
+    assert all(abs(got.loc[i, "ewma"] - w[1]) < 1e-9 for i, w in enumerate(want))
+    assert all(got.loc[i, "peak"] == w[2] for i, w in enumerate(want))
+    # hand-check one user: user 0 sees vals[0], vals[2], vals[4] in ts order
+    e = vals[0]
+    for v in (vals[2], vals[4]):
+        e = 0.2 * v + 0.8 * e
+    assert abs(got.loc[0, "ewma"] - round(e, 6)) < 1e-9

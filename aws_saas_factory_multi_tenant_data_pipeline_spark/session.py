@@ -42,6 +42,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Untagged parquet timestamp[us] (isAdjustedToUTC=false) must read as
+        # TIMESTAMP, not TIMESTAMP_NTZ: the whole engine pins the session to
+        # UTC, DuckDB's naive TIMESTAMP then agrees value-for-value, and
+        # instant functions (unix_micros/unix_timestamp/...) stay applicable.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -40,12 +40,23 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     schema = pq.read_schema(path)
     if any(getattr(t, "unit", None) == "ns" for t in schema.types):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Untagged timestamp[us] (isAdjustedToUTC=false) must come back as
+    # TIMESTAMP under the UTC session pin, not TIMESTAMP_NTZ — instant
+    # functions (unix_micros, unix_timestamp) reject NTZ and DuckDB's naive
+    # TIMESTAMP agrees value-for-value with UTC instants. Pin the inference
+    # conf (works on any session, incl. the driver's) and cast defensively
+    # in case the scan was planned before the pin.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(path)
     for f in df.schema.fields:
         if f.name == "ts" and isinstance(f.dataType, T.LongType):
             from pyspark.sql import functions as F
 
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(f.dataType, T.TimestampNTZType):
+            from pyspark.sql import functions as F
+
+            df = df.withColumn(f.name, F.col(f.name).cast(T.TimestampType()))
     return df
 
 

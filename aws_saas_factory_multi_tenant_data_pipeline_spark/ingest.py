@@ -63,24 +63,47 @@ def validate_raw(raw: DataFrame, json_col: str = "raw", strict_types: bool = Tru
     HTTP 400.
     """
     parsed = raw.withColumn("Data", F.from_json(F.col(json_col), ENVELOPE_SCHEMA)["Data"])
-    checks = [F.col("Data").isNotNull()] + [
-        F.col(f"Data.{f}").isNotNull() for f in REQUIRED_DATA_FIELDS
-    ]
     if strict_types:
         # pure-column API (no SQL-string interpolation, so json_col may be
-        # any column name); variant_get path keys are fixed literals
-        v = F.try_parse_json(F.col(json_col))
-        checks += [
-            F.coalesce(
-                F.schema_of_variant(F.variant_get(v, f"$.Data.{f}", "variant"))
-                == F.lit("STRING"),
-                F.lit(False),
-            )
-            for f in REQUIRED_DATA_FIELDS
+        # any column name); variant_get path keys are fixed literals.
+        #
+        # Perf shape (the round-2 regression and its fix): `_valid` gets
+        # inlined into Filter conditions by predicate pushdown, so every
+        # occurrence of a parse expression in the condition TREE is a
+        # re-parse per record — the round-2 version held try_parse_json
+        # ×3 + from_json ×4 and benched 6× the loose gate. A projection
+        # barrier does NOT help: pushdown substitutes straight through
+        # Projects. The fix binds the parsed variant to a lambda variable
+        # of a single-element `transform` — a genuine DAG node that all
+        # three per-field checks reference without re-evaluating — so the
+        # condition parses the JSON exactly ONCE per record. The variant
+        # type checks subsume the from_json null checks (a field whose
+        # JSON token is a string parses non-null under ENVELOPE_SCHEMA),
+        # so the strict condition needs no from_json occurrence at all.
+        def _strict_ok(v: Column) -> Column:
+            per_field = [
+                F.coalesce(
+                    F.schema_of_variant(F.variant_get(v, f"$.Data.{f}", "variant"))
+                    == F.lit("STRING"),
+                    F.lit(False),
+                )
+                for f in REQUIRED_DATA_FIELDS
+            ]
+            ok = per_field[0]
+            for c in per_field[1:]:
+                ok = ok & c
+            return ok
+
+        cond = F.element_at(
+            F.transform(F.array(F.try_parse_json(F.col(json_col))), _strict_ok), 1
+        )
+    else:
+        checks = [F.col("Data").isNotNull()] + [
+            F.col(f"Data.{f}").isNotNull() for f in REQUIRED_DATA_FIELDS
         ]
-    cond = checks[0]
-    for c in checks[1:]:
-        cond = cond & c
+        cond = checks[0]
+        for c in checks[1:]:
+            cond = cond & c
     return parsed.withColumn("_valid", cond)
 
 

@@ -61,9 +61,12 @@ def _bench_ingest_transform(spark, n_rows: int = 500_000) -> float:
     partition-derive a raw JSON event stream (A8/A2/A4). CPU-bound and
     stable; the reference's Flink path runs parallelism=2 with a 60 s sink
     buffer (kinesis-stack.ts:194-205), i.e. a floor of minutes for the same
-    records. Round 2+: validation runs the strict type gate by default
-    (schema_of_variant token-type checks, API-contract parity) — measured
-    ~14% over the loose gate warm; the contract fidelity is worth it."""
+    records. Round 3: the strict type gate (schema_of_variant token-type
+    checks, API-contract parity) binds its variant parse to a lambda
+    variable so the pushed-down filter parses each record's JSON exactly
+    once — warm it now benches FASTER than the loose gate (1 parse vs 4;
+    round 2's inlined-parse shape was a 6× regression, since fixed;
+    pinned by tests/test_plans.py::test_strict_ingest_parses_json_once)."""
     from aws_saas_factory_multi_tenant_data_pipeline_spark.ingest import ingest_batch
 
     t0 = time.time()

@@ -424,7 +424,8 @@ def test_stateful_ewma_stream_matches_batch(spark, tmp_path):
     vals = [1.0, 5.0, 3.0, 8.0, 2.0, 4.0]
     rows_per_batch = 3
     for b in range(2):
-        with open(os.path.join(src, f"b{b}.json"), "w") as f:
+        path = os.path.join(src, f"b{b}.json")
+        with open(path, "w") as f:
             for i in range(rows_per_batch):
                 idx = b * rows_per_batch + i
                 f.write(
@@ -437,6 +438,11 @@ def test_stateful_ewma_stream_matches_batch(spark, tmp_path):
                     )
                     + "\n"
                 )
+        # The file stream source orders micro-batches by mtime; two files
+        # written back-to-back can land on the same timestamp, making batch
+        # order (and hence the EWMA fold order) nondeterministic. Pin it.
+        mtime = 1_700_000_000 + b * 60
+        os.utime(path, (mtime, mtime))
     schema = T.StructType(
         [
             T.StructField("user_id", T.LongType()),

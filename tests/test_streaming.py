@@ -491,3 +491,89 @@ def test_stateful_ewma_stream_matches_batch(spark, tmp_path):
     for v in (vals[2], vals[4]):
         e = 0.2 * v + 0.8 * e
     assert abs(got.loc[0, "ewma"] - round(e, 6)) < 1e-9
+
+
+def test_late_drop_stream_matches_twin(spark, tmp_path):
+    """A real watermarked windowed aggregation (append mode) produces
+    exactly what the documented late-drop rule predicts — the stream-side
+    pin for the graded batch twin `stream_late_drop` (corpus/window_r4.py).
+
+    Spark's two-watermark semantics (SPARK-24634): the late-input filter
+    for batch k uses the PREVIOUS trigger's watermark — max event time
+    over batches <= k-2 minus the 10-min delay — against the row's WINDOW
+    END; eviction/emission uses the current watermark. Final output =
+    every non-dropped row's window whose end the final watermark passed.
+    The fixture keeps timestamps off watermark/window boundaries so
+    boundary (<= vs <) semantics cannot flip the result.
+    """
+    src = str(tmp_path / "late_src")
+    os.makedirs(src, exist_ok=True)
+    batches = [
+        # filter wm for b0/b1: none (no batch k-2 yet)
+        ["2024-01-01T10:01:00", "2024-01-01T10:07:00", "2024-01-01T10:20:00"],
+        ["2024-01-01T10:35:00", "2024-01-01T10:40:00", "2024-01-01T09:50:00"],  # kept
+        # b2 filter wm = 10:20-10m = 10:10 → 10:12 (win end 10:15) kept
+        ["2024-01-01T10:50:00", "2024-01-01T11:04:00", "2024-01-01T10:12:00"],
+        # b3 filter wm = 10:40-10m = 10:30 → 09:55 (win end 10:00) DROPPED
+        ["2024-01-01T11:06:00", "2024-01-01T09:55:00"],
+    ]
+    for b, rows in enumerate(batches):
+        path = os.path.join(src, f"b{b}.json")
+        with open(path, "w") as f:
+            for ts in rows:
+                f.write(json.dumps({"event_type": "view", "ts": ts + ".000Z"}) + "\n")
+        mtime = 1_700_000_000 + b * 60
+        os.utime(path, (mtime, mtime))
+    schema = T.StructType(
+        [T.StructField("event_type", T.StringType()), T.StructField("ts", T.TimestampType())]
+    )
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").json(src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "15 minutes"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("SELECT window.start AS ws, event_type, n FROM late_out ORDER BY ws")
+        .toPandas()
+    )
+    # twin: apply the documented rule by hand
+    import datetime as dt
+    from collections import Counter
+
+    def p(s):
+        return dt.datetime.fromisoformat(s)
+
+    delay = dt.timedelta(minutes=10)
+    win_len = dt.timedelta(minutes=15)
+
+    def win_start(ts):
+        return ts.replace(minute=(ts.minute // 15) * 15, second=0, microsecond=0)
+
+    kept = []
+    for k, rows in enumerate(batches):
+        upto = [p(ts) for rs in batches[: k - 1] for ts in rs] if k >= 2 else []
+        filter_wm = (max(upto) - delay) if upto else None
+        for ts in rows:
+            t = p(ts)
+            if filter_wm is None or win_start(t) + win_len > filter_wm:
+                kept.append(t)
+    final_wm = max(p(ts) for rs in batches for ts in rs) - delay
+    win = Counter()
+    for t in kept:
+        if win_start(t) + win_len <= final_wm:
+            win[win_start(t)] += 1
+    want = sorted(win.items())
+    assert [(w.to_pydatetime(), n) for w, n in zip(got["ws"], got["n"])] == want, (got, want)
+    # sanity: exactly one row (09:55) was dropped, and the drop is visible —
+    # had it survived, the already-emitted 09:45 window would re-emit.
+    assert sum(n for _, n in want) == 7
+    assert want[0] == (p("2024-01-01T09:45:00"), 1)

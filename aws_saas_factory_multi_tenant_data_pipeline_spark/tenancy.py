@@ -95,3 +95,83 @@ def from_token(
     except Exception as e:
         raise TenantError(f"token verification failed: {e}") from e
     return from_claims(claims, now_epoch=now_epoch)
+
+
+# ---------------------------------------------------------------------------
+# RS256 / JWKS verification (pure stdlib)
+# ---------------------------------------------------------------------------
+
+#: ASN.1 DigestInfo prefix for SHA-256 (RFC 8017 §9.2 note 1).
+_SHA256_DIGESTINFO = bytes.fromhex("3031300d060960864801650304020105000420")
+
+
+def _b64url_decode(s: str) -> bytes:
+    return base64.urlsafe_b64decode(s + "=" * (-len(s) % 4))
+
+
+def rs256_verifier(jwks: dict) -> TokenVerifier:
+    """Build a ``TokenVerifier`` that checks RS256 signatures against a JWKS.
+
+    The reference authorizer fetches the user pool's JWKS and verifies the
+    token's RS256 signature before trusting any claim
+    (lambda_authorizer/app.py:50-59). This is the same check implemented
+    from the public RFCs with the stdlib only — RSASSA-PKCS1-v1_5 verify
+    (RFC 8017 §8.2.2) is one modular exponentiation plus a deterministic
+    EMSA-PKCS1-v1_5 padding comparison, so no JOSE/crypto dependency is
+    needed:
+
+      1. select the JWK by the header ``kid`` (RFC 7515 §4.1.4),
+      2. RSAVP1: ``m = sig^e mod n`` (RFC 8017 §5.2.2),
+      3. compare the encoded message against
+         ``0x00 0x01 FF… 0x00 || DigestInfo(SHA-256) || SHA-256(input)``
+         with a constant-time comparison (RFC 8017 §9.2).
+
+    Expiry/tenant extraction stay in :func:`from_claims` (authorizer
+    parity, app.py:63-67). Raises :class:`TenantError` on any mismatch.
+    """
+    keys = {}
+    for k in jwks.get("keys", []):
+        if k.get("kty") == "RSA" and k.get("n") and k.get("e"):
+            keys[k.get("kid")] = (
+                int.from_bytes(_b64url_decode(k["n"]), "big"),
+                int.from_bytes(_b64url_decode(k["e"]), "big"),
+            )
+    if not keys:
+        raise TenantError("JWKS contains no usable RSA keys")
+
+    def verify(token: str) -> dict:
+        import hashlib
+        import hmac
+
+        try:
+            header_b64, payload_b64, sig_b64 = token.split(".")
+            header = json.loads(_b64url_decode(header_b64))
+            sig = _b64url_decode(sig_b64)
+        except Exception as e:
+            raise TenantError(f"malformed token: {e}") from e
+        if header.get("alg") != "RS256":
+            # never accept alg=none / HS256-with-public-key downgrades
+            raise TenantError(f"unsupported alg: {header.get('alg')!r}")
+        kid = header.get("kid")
+        if kid in keys:
+            n, e = keys[kid]
+        elif kid is None and len(keys) == 1:
+            n, e = next(iter(keys.values()))
+        else:
+            raise TenantError(f"no JWKS key for kid {kid!r}")
+        k = (n.bit_length() + 7) // 8
+        if len(sig) != k:
+            raise TenantError("bad signature length")
+        em = pow(int.from_bytes(sig, "big"), e, n).to_bytes(k, "big")
+        t = _SHA256_DIGESTINFO + hashlib.sha256(
+            f"{header_b64}.{payload_b64}".encode("ascii")
+        ).digest()
+        ps_len = k - 3 - len(t)
+        if ps_len < 8:  # RFC 8017 §9.2 step 3: modulus too small
+            raise TenantError("modulus too small for RS256")
+        expected = b"\x00\x01" + b"\xff" * ps_len + b"\x00" + t
+        if not hmac.compare_digest(em, expected):
+            raise TenantError("signature verification failed")
+        return json.loads(_b64url_decode(payload_b64))
+
+    return verify

@@ -1,5 +1,7 @@
 """TenantContext unit tests (A9 parity: claim extraction + expiry)."""
 
+import json
+
 import pytest
 
 from aws_saas_factory_multi_tenant_data_pipeline_spark.tenancy import (
@@ -72,3 +74,115 @@ def test_unverified_claims_decode_and_malformed():
     assert unverified_claims(f"h.{payload}.s")["custom:tenantId"] == "t-9"
     with pytest.raises(TenantError, match="malformed"):
         unverified_claims("no-dots-here")
+
+
+# ---------------------------------------------------------------------------
+# RS256 verification (pure-stdlib JWKS path)
+# ---------------------------------------------------------------------------
+
+# fixed 512-bit primes (deterministic fixture; generated once with
+# Miller-Rabin) so tests need no key-generation or crypto dependency
+_P = int(
+    "80e114133015ea44ba8044d3b296ffea2d1f08ffed42094a241c0227a9675b63"
+    "741eb24025b01d64b21cb3963bb0dec0319230b23295e25f04ee5a1e34ccc9cf", 16
+)
+_Q = int(
+    "d1a8a8538565fb33d5ec6d6a30e626f8445b4d7ac6ff7e910acbe347081bd963"
+    "05849ec91a5a30f237e08d16f549e84d05ec0e23e9b17bdeb292a5bf8ecc2993", 16
+)
+_N = _P * _Q
+_E = 65537
+_D = pow(_E, -1, (_P - 1) * (_Q - 1))
+
+
+def _b64u(b: bytes) -> str:
+    import base64
+
+    return base64.urlsafe_b64encode(b).rstrip(b"=").decode()
+
+
+def _jwks(kid="k1"):
+    klen = (_N.bit_length() + 7) // 8
+    return {
+        "keys": [
+            {
+                "kty": "RSA",
+                "kid": kid,
+                "n": _b64u(_N.to_bytes(klen, "big")),
+                "e": _b64u(_E.to_bytes(3, "big")),
+            }
+        ]
+    }
+
+
+def _sign_rs256(claims: dict, kid="k1", alg="RS256", tamper=False) -> str:
+    import hashlib
+    import json as _json
+
+    header = {"alg": alg, "kid": kid, "typ": "JWT"}
+    h64 = _b64u(_json.dumps(header).encode())
+    p64 = _b64u(_json.dumps(claims).encode())
+    digestinfo = bytes.fromhex("3031300d060960864801650304020105000420")
+    t = digestinfo + hashlib.sha256(f"{h64}.{p64}".encode()).digest()
+    k = (_N.bit_length() + 7) // 8
+    em = b"\x00\x01" + b"\xff" * (k - 3 - len(t)) + b"\x00" + t
+    sig = pow(int.from_bytes(em, "big"), _D, _N).to_bytes(k, "big")
+    if tamper:
+        sig = sig[:-1] + bytes([sig[-1] ^ 1])
+    return f"{h64}.{p64}.{_b64u(sig)}"
+
+
+def test_rs256_valid_token_end_to_end():
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.tenancy import from_token, rs256_verifier
+
+    tok = _sign_rs256({"custom:tenantId": "t42", "exp": 4_000_000_000})
+    ctx = from_token(tok, rs256_verifier(_jwks()))
+    assert ctx.tenant_id == "t42"
+
+
+def test_rs256_rejects_bad_signature():
+    import pytest
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.tenancy import TenantError, from_token, rs256_verifier
+
+    tok = _sign_rs256({"custom:tenantId": "t42"}, tamper=True)
+    with pytest.raises(TenantError, match="verification failed"):
+        from_token(tok, rs256_verifier(_jwks()))
+
+
+def test_rs256_rejects_payload_tampering():
+    import pytest
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.tenancy import TenantError, from_token, rs256_verifier
+
+    tok = _sign_rs256({"custom:tenantId": "t42"})
+    h64, p64, s64 = tok.split(".")
+    forged_payload = _b64u(json.dumps({"custom:tenantId": "other"}).encode())
+    forged = f"{h64}.{forged_payload}.{s64}"
+    with pytest.raises(TenantError):
+        from_token(forged, rs256_verifier(_jwks()))
+
+
+def test_rs256_rejects_alg_downgrade():
+    import pytest
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.tenancy import TenantError, rs256_verifier
+
+    for alg in ("none", "HS256"):
+        tok = _sign_rs256({"custom:tenantId": "t42"}, alg=alg)
+        with pytest.raises(TenantError, match="unsupported alg"):
+            rs256_verifier(_jwks())(tok)
+
+
+def test_rs256_rejects_unknown_kid_and_expiry():
+    import pytest
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.tenancy import TenantError, from_token, rs256_verifier
+
+    tok = _sign_rs256({"custom:tenantId": "t42"}, kid="other")
+    with pytest.raises(TenantError, match="no JWKS key"):
+        rs256_verifier(_jwks())(tok)
+    # signature valid but expired → authorizer's 401 path via from_claims
+    tok = _sign_rs256({"custom:tenantId": "t42", "exp": 100})
+    with pytest.raises(TenantError, match="expired"):
+        from_token(tok, rs256_verifier(_jwks()), now_epoch=200)

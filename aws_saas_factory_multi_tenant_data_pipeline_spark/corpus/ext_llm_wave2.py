@@ -337,3 +337,36 @@ def llm_ngram_decontaminate(spark, sf_dir):
         )
         .orderBy("eval_id")
     )
+
+
+@register(
+    "dedup_fuzzy_levenshtein",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, substr({_DUCK_NORM}, 1, 32) AS title FROM documents),
+        b AS (
+            SELECT doc_id, title,
+                   substr(title, 1, 6) || ':' ||
+                       CAST(CAST(floor(length(title) / 4) AS BIGINT) AS VARCHAR) AS bk
+            FROM t)
+        SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+               levenshtein(a.title, c.title) AS dist
+        FROM b a JOIN b c ON a.bk = c.bk AND a.doc_id < c.doc_id
+        WHERE levenshtein(a.title, c.title) <= 3
+        ORDER BY id_a, id_b
+    """,
+    tags=("B10",),
+    doc="Edit-distance (Levenshtein) near-dup pairs over normalized title "
+    "prefixes — the typo/suffix-variant modality MinHash/SimHash/Jaccard "
+    "don't target. Blocked self-join (prefix + length-bucket key) keeps "
+    "the exact distance computation inside blocks instead of all-pairs; "
+    "the blocking recall trade is documented on the operator "
+    "(operators.dedup.fuzzy_levenshtein_pairs).",
+)
+def dedup_fuzzy_levenshtein(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import (
+        fuzzy_levenshtein_pairs,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    return fuzzy_levenshtein_pairs(d)

@@ -349,3 +349,54 @@ def dedup_clusters(
             stacklevel=2,
         )
     return labels.select(F.col("node").alias("node_id"), F.col("label").alias("cluster_id"))
+
+
+def fuzzy_levenshtein_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    title_len: int = 32,
+    prefix_len: int = 6,
+    len_bucket: int = 4,
+    max_dist: int = 3,
+) -> DataFrame:
+    """Edit-distance near-dup candidate pairs via blocked self-join.
+
+    The fourth near-dup modality next to MinHash (content-level), SimHash
+    (bit-level) and n-gram Jaccard (exact set-level): catch documents
+    whose normalized title prefix differs by ≤ ``max_dist`` single-char
+    edits (typos, version suffixes, pluralization).
+
+    Scale shape: an all-pairs levenshtein is O(n²) and dead at 100 TB, so
+    candidates are generated by BLOCKING — equi-self-join on
+    (normalized-prefix, title-length bucket) — and the exact distance is
+    computed only within blocks. Pairs that differ inside the first
+    ``prefix_len`` normalized characters are missed by construction; that
+    is the standard blocking recall trade (run multiple blocking passes —
+    e.g. suffix or sorted-token keys — to tighten it; MinHash covers
+    content-level variants). Deterministic: no hashing, ordered by ids.
+    """
+    title = F.substring(normalize_text(F.col(text_col)), 1, title_len)
+    block = df.select(
+        F.col(id_col).alias("id"),
+        title.alias("title"),
+    ).withColumn(
+        "bk",
+        F.concat_ws(
+            ":",
+            F.substring("title", 1, prefix_len),
+            F.floor(F.length("title") / len_bucket).cast("string"),
+        ),
+    )
+    a, b = block.alias("a"), block.alias("b")
+    dist = F.levenshtein(F.col("a.title"), F.col("b.title"))
+    return (
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")))
+        .where(dist <= max_dist)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            dist.alias("dist"),
+        )
+        .orderBy("id_a", "id_b")
+    )

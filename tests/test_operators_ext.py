@@ -432,3 +432,29 @@ def test_gopher_keep_is_conjunction(spark, sf_smoke):
     for r in rules:
         expr = expr & F.col(r)
     assert out.where(F.col("gopher_keep") != expr).count() == 0
+
+
+def test_fuzzy_levenshtein_pairs_semantics(spark):
+    """Planted typo pairs are found; distant titles and cross-block pairs
+    are not; distances are exact edit distances."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import (
+        fuzzy_levenshtein_pairs,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps"),
+        (2, "the quick browm fox jumps"),   # 1 substitution vs #1
+        (3, "the quick brown fax jumps"),   # 1 substitution vs #1, 2 vs #2
+        (4, "a completely different document"),
+        (5, "zzz quick brown fox jumps"),   # differs in prefix → other block
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = fuzzy_levenshtein_pairs(df).collect()
+    pairs = {(r.id_a, r.id_b): r.dist for r in got}
+    assert pairs[(1, 2)] == 1
+    assert pairs[(1, 3)] == 1
+    assert pairs[(2, 3)] == 2
+    assert all(4 not in p for p in pairs)
+    # 5 is a near-dup of 1 but lands in a different block — the documented
+    # blocking miss
+    assert all(5 not in p for p in pairs)

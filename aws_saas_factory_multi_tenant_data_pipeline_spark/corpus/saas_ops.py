@@ -219,3 +219,96 @@ def cohort_retention(spark, sf_dir):
         .agg(F.count_distinct("user_id").alias("active_users"))
         .orderBy("cohort_day", "week_offset")
     )
+
+
+@register(
+    "lake_upsert_roundtrip",
+    oracle="""
+        WITH base AS (
+            SELECT c_custkey AS id, c_name AS name, c_acctbal AS val,
+                   CAST(c_nationkey % 4 AS BIGINT) AS part
+            FROM customer WHERE c_custkey <= 400),
+        changes AS (
+            SELECT c_custkey AS id, 'upd-' || c_name AS name, c_acctbal + 1000 AS val,
+                   CAST(c_nationkey % 4 AS BIGINT) AS part,
+                   (c_custkey % 10 = 0) AS is_deleted
+            FROM customer WHERE c_custkey BETWEEN 101 AND 200
+            UNION ALL
+            SELECT c_custkey + 10000, 'new-' || c_name, c_acctbal,
+                   CAST(c_nationkey % 4 AS BIGINT), FALSE
+            FROM customer WHERE c_custkey BETWEEN 1 AND 50),
+        merged AS (
+            SELECT id, name, val, part FROM base
+            WHERE id NOT IN (SELECT id FROM changes)
+            UNION ALL
+            SELECT id, name, val, part FROM changes WHERE NOT is_deleted)
+        SELECT part, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(val AS DECIMAL(38,6))) AS DOUBLE) AS val_sum,
+               COUNT(*) FILTER (WHERE name LIKE 'upd-%') AS n_updated,
+               COUNT(*) FILTER (WHERE name LIKE 'new-%') AS n_inserted
+        FROM merged
+        GROUP BY part
+        ORDER BY part
+    """,
+    tags=("B1", "B10"),
+    doc="MERGE-style keyed upsert roundtrip (lake.upsert_partitioned): "
+    "build a partitioned lake table from customer, apply a deterministic "
+    "changeset (updates + inserts + every-10th-key deletes), read the "
+    "lake back and summarize per partition. The oracle computes the same "
+    "merge relationally — proving the partition-scoped anti-join + "
+    "dynamic-overwrite write path equals the declarative MERGE semantics. "
+    "Only changeset-touched partitions are rewritten (bounded driver-side "
+    "key list + static pruning, as maintain_rollup does).",
+)
+def lake_upsert_roundtrip(spark, sf_dir):
+    import os as _os
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus.sources_sinks import _SCRATCH
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.functions import dsum
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.lake import upsert_partitioned
+
+    c = t(spark, sf_dir, "customer")
+    base = c.where(F.col("c_custkey") <= 400).select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("val"),
+        F.pmod("c_nationkey", F.lit(4)).cast("long").alias("part"),
+    )
+    root = _os.path.join(_SCRATCH, "upsert_lake")
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    base.write.partitionBy("part").parquet(root)
+    updates = c.where(F.col("c_custkey").between(101, 200)).select(
+        F.col("c_custkey").alias("id"),
+        F.concat(F.lit("upd-"), F.col("c_name")).alias("name"),
+        (F.col("c_acctbal") + 1000).alias("val"),
+        F.pmod("c_nationkey", F.lit(4)).cast("long").alias("part"),
+        (F.pmod("c_custkey", F.lit(10)) == 0).alias("is_deleted"),
+    )
+    inserts = c.where(F.col("c_custkey").between(1, 50)).select(
+        (F.col("c_custkey") + 10000).alias("id"),
+        F.concat(F.lit("new-"), F.col("c_name")).alias("name"),
+        F.col("c_acctbal").alias("val"),
+        F.pmod("c_nationkey", F.lit(4)).cast("long").alias("part"),
+        F.lit(False).alias("is_deleted"),
+    )
+    upsert_partitioned(
+        spark,
+        root,
+        updates.unionByName(inserts),
+        key_cols=["id"],
+        partition_cols=["part"],
+        delete_col="is_deleted",
+    )
+    back = spark.read.parquet(root)
+    return (
+        back.groupBy("part")
+        .agg(
+            F.count("*").alias("n_rows"),
+            dsum("val").alias("val_sum"),
+            F.count(F.when(F.col("name").like("upd-%"), 1)).alias("n_updated"),
+            F.count(F.when(F.col("name").like("new-%"), 1)).alias("n_inserted"),
+        )
+        .orderBy("part")
+    )

@@ -254,3 +254,94 @@ def maintain_rollup(
         raise ValueError(f"build() result is missing partition columns {missing}")
     write_lake_overwrite_partitions(rolled, rollup_root, fmt=fmt, partition_cols=pcols)
     return len(keys)
+
+
+def upsert_partitioned(
+    spark: SparkSession,
+    root: str,
+    changes: DataFrame,
+    key_cols: list[str],
+    partition_cols: list[str] | None = None,
+    fmt: str = "parquet",
+    delete_col: str | None = None,
+    seq_col: str | None = None,
+    max_touched_partitions: int = 10_000,
+) -> int:
+    """MERGE-style keyed upsert: apply a changeset (inserts + updates +
+    optional deletes) to a partitioned lake table, rewriting ONLY the
+    partitions the changeset touches.
+
+    The reference's lake is append-only (Firehose); this is the engine's
+    mutation primitive, built from the same two ingredients as
+    :func:`maintain_rollup` — a bounded driver-side list of touched
+    partition tuples turned into a static pruning predicate, and a dynamic
+    partition overwrite of exactly those partitions:
+
+      1. touched = distinct partition tuples in ``changes`` (bounded by
+         ``max_touched_partitions`` — a changeset touches few partitions;
+         a table-wide rewrite should be a plain ``write_lake``),
+      2. current = lake rows in the touched partitions only (static
+         pushdown — the scan never reads a clean partition),
+      3. merged = current rows whose key has no change row (left_anti)
+         UNION the change rows (minus rows flagged by ``delete_col``),
+      4. dynamic-overwrite the touched partitions (siblings untouched, so
+         a re-run of the same changeset is idempotent).
+
+    ``seq_col``: when the changeset may carry several versions of a key,
+    names a monotone column; the highest value wins (ties broken against
+    duplicate-emitting upstreams deterministically by the remaining key
+    order). Without it, duplicate keys in ``changes`` raise.
+
+    Contract: keys are unique in the table, and a change row lives in the
+    SAME partition as the current row for that key — moving a row across
+    partitions requires the caller to also emit a delete for the old
+    partition (the standard constraint for partition-scoped merges; at
+    100 TB this is why partition keys are derived from immutable columns).
+
+    Returns the number of partitions rewritten. Scale: cost is bounded by
+    the touched partitions, not the table; the anti-join shuffles only
+    those partitions' rows keyed on ``key_cols``, and the write re-uses
+    the partition-column clustering.
+    """
+    pcols = list(partition_cols or PARTITION_COLS)
+    kcols = list(key_cols)
+    keys = changes.select(*pcols).distinct().limit(max_touched_partitions + 1).collect()
+    if len(keys) > max_touched_partitions:
+        raise ValueError(
+            f"changeset touches more than {max_touched_partitions} partitions; "
+            "use a full rebuild (write_lake) instead of a keyed upsert"
+        )
+    if not keys:
+        return 0
+    if seq_col is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*kcols).orderBy(F.col(seq_col).desc(), *kcols)
+        changes = (
+            changes.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        dups = changes.groupBy(*kcols).count().where(F.col("count") > 1).limit(1).count()
+        if dups:
+            raise ValueError(
+                "changeset has duplicate keys and no seq_col to pick a winner"
+            )
+    pred = None
+    for row in keys:
+        clause = None
+        for c in pcols:
+            term = F.col(c) == F.lit(row[c])
+            clause = term if clause is None else (clause & term)
+        pred = clause if pred is None else (pred | clause)
+    current = spark.read.format(fmt).load(root).where(pred)
+    survivors = current.join(changes.select(*kcols), kcols, "left_anti")
+    apply_rows = changes
+    if delete_col is not None:
+        apply_rows = apply_rows.where(~F.coalesce(F.col(delete_col), F.lit(False))).drop(
+            delete_col
+        )
+    merged = survivors.unionByName(apply_rows.select(*survivors.columns))
+    write_lake_overwrite_partitions(merged, root, fmt=fmt, partition_cols=pcols)
+    return len(keys)

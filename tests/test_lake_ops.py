@@ -252,3 +252,70 @@ def test_maintain_rollup_refreshes_only_touched_partitions(spark, tmp_path):
     with pytest.raises(ValueError, match="full rebuild"):
         maintain_rollup(spark, fact_root, rollup_root, build, touched=base,
                         partition_cols=pcols, max_touched_partitions=2)
+
+
+def test_upsert_partitioned_insert_update_delete(spark, tmp_path):
+    """Keyed upsert: update + insert + delete land; untouched partitions
+    are byte-identical; re-applying the same changeset is idempotent."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.lake import upsert_partitioned
+
+    root = str(tmp_path / "upsert_lake")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0, "p1"), (2, "b", 20.0, "p1"), (3, "c", 30.0, "p2"),
+         (4, "d", 40.0, "p3")],
+        ["id", "name", "val", "part"],
+    )
+    base.write.partitionBy("part").parquet(root)
+
+    changes = spark.createDataFrame(
+        [(2, "b2", 21.0, "p1", False),     # update
+         (5, "e", 50.0, "p2", False),      # insert
+         (3, None, 0.0, "p2", True)],      # delete
+        ["id", "name", "val", "part", "is_deleted"],
+    )
+    n = upsert_partitioned(
+        spark, root, changes, key_cols=["id"], partition_cols=["part"],
+        delete_col="is_deleted",
+    )
+    assert n == 2  # p1 and p2 rewritten, p3 untouched
+    got = {
+        (r.id, r.name, r.val, r.part)
+        for r in spark.read.parquet(root).collect()
+    }
+    assert got == {
+        (1, "a", 10.0, "p1"), (2, "b2", 21.0, "p1"),
+        (5, "e", 50.0, "p2"), (4, "d", 40.0, "p3"),
+    }
+    # idempotent re-run (the delete's key is simply absent now)
+    upsert_partitioned(
+        spark, root, changes, key_cols=["id"], partition_cols=["part"],
+        delete_col="is_deleted",
+    )
+    assert {
+        (r.id, r.name, r.val, r.part)
+        for r in spark.read.parquet(root).collect()
+    } == got
+
+
+def test_upsert_partitioned_seq_col_and_dup_guard(spark, tmp_path):
+    """Multi-version changesets: highest seq wins; without seq_col,
+    duplicate keys raise instead of silently picking one."""
+    import pytest
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.lake import upsert_partitioned
+
+    root = str(tmp_path / "upsert_seq_lake")
+    spark.createDataFrame(
+        [(1, "a", "p1")], ["id", "name", "part"]
+    ).write.partitionBy("part").parquet(root)
+    changes = spark.createDataFrame(
+        [(1, "v1", "p1", 1), (1, "v2", "p1", 2)], ["id", "name", "part", "seq"]
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        upsert_partitioned(spark, root, changes.drop("seq").withColumn("seq", F.lit(1)).drop("seq"),
+                           key_cols=["id"], partition_cols=["part"])
+    upsert_partitioned(
+        spark, root, changes, key_cols=["id"], partition_cols=["part"], seq_col="seq"
+    )
+    rows = spark.read.parquet(root).drop("seq").collect()
+    assert [(r.id, r.name, r.part) for r in rows] == [(1, "v2", "p1")]

@@ -312,3 +312,89 @@ def lake_upsert_roundtrip(spark, sf_dir):
         )
         .orderBy("part")
     )
+
+
+@register(
+    "dim_scd2_apply",
+    oracle="""
+        WITH current_dim AS (
+            SELECT c_custkey AS id, c_mktsegment AS segment,
+                   TIMESTAMP '1995-01-01 00:00:00' AS valid_from,
+                   CAST(NULL AS TIMESTAMP) AS valid_to,
+                   TRUE AS is_current
+            FROM customer WHERE c_custkey <= 300),
+        changes AS (
+            SELECT c_custkey AS id, 'wave1-' || c_mktsegment AS segment,
+                   TIMESTAMP '1996-06-01 00:00:00' AS effective_ts
+            FROM customer WHERE c_custkey <= 300 AND c_custkey % 3 = 0
+            UNION ALL
+            SELECT c_custkey, 'wave2-' || c_mktsegment,
+                   TIMESTAMP '1997-09-15 00:00:00'
+            FROM customer WHERE c_custkey <= 300 AND c_custkey % 6 = 0),
+        new_versions AS (
+            SELECT id, segment,
+                   effective_ts AS valid_from,
+                   LEAD(effective_ts) OVER (PARTITION BY id ORDER BY effective_ts)
+                       AS valid_to,
+                   LEAD(effective_ts) OVER (PARTITION BY id ORDER BY effective_ts)
+                       IS NULL AS is_current
+            FROM changes),
+        first_change AS (
+            SELECT id, MIN(effective_ts) AS closes_at FROM changes GROUP BY id),
+        closed AS (
+            SELECT d.id, d.segment,
+                   d.valid_from,
+                   CASE WHEN d.is_current AND f.closes_at IS NOT NULL
+                        THEN f.closes_at ELSE d.valid_to END AS valid_to,
+                   CASE WHEN f.closes_at IS NOT NULL THEN FALSE
+                        ELSE d.is_current END AS is_current
+            FROM current_dim d LEFT JOIN first_change f USING (id)),
+        dim AS (
+            SELECT * FROM closed UNION ALL SELECT * FROM new_versions)
+        SELECT id, segment,
+               STRFTIME(valid_from, '%Y-%m-%d %H:%M:%S') AS vf,
+               COALESCE(STRFTIME(valid_to, '%Y-%m-%d %H:%M:%S'), 'open') AS vt,
+               is_current
+        FROM dim
+        ORDER BY id, vf
+    """,
+    tags=("B10", "B4"),
+    doc="SCD type-2 dimension versioning (operators.scd.scd2_apply): two "
+    "change waves over a customer-segment dim — every change becomes a "
+    "[valid_from, valid_to) version, the key's open row closes at its "
+    "first change, unchanged keys pass through, closed history is "
+    "immutable. The oracle replicates the same window+join algebra; "
+    "timestamps rendered as strings ('open' for null) for hash parity. "
+    "One key shuffle shared by the window and the close-join.",
+)
+def dim_scd2_apply(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.scd import scd2_apply
+
+    c = t(spark, sf_dir, "customer").where(F.col("c_custkey") <= 300)
+    current = c.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1995-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    wave1 = c.where(F.pmod("c_custkey", F.lit(3)) == 0).select(
+        F.col("c_custkey").alias("id"),
+        F.concat(F.lit("wave1-"), F.col("c_mktsegment")).alias("segment"),
+        F.lit("1996-06-01 00:00:00").cast("timestamp").alias("effective_ts"),
+    )
+    wave2 = c.where(F.pmod("c_custkey", F.lit(6)) == 0).select(
+        F.col("c_custkey").alias("id"),
+        F.concat(F.lit("wave2-"), F.col("c_mktsegment")).alias("segment"),
+        F.lit("1997-09-15 00:00:00").cast("timestamp").alias("effective_ts"),
+    )
+    dim = scd2_apply(current, wave1.unionByName(wave2), key_cols=["id"])
+    return dim.select(
+        "id",
+        "segment",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("vf"),
+        F.coalesce(
+            F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss"), F.lit("open")
+        ).alias("vt"),
+        "is_current",
+    ).orderBy("id", "vf")

@@ -458,3 +458,57 @@ def test_fuzzy_levenshtein_pairs_semantics(spark):
     # 5 is a near-dup of 1 but lands in a different block — the documented
     # blocking miss
     assert all(5 not in p for p in pairs)
+
+
+def test_scd2_apply_and_as_of(spark):
+    """SCD2 semantics: version chains, open-row close, pass-through,
+    immutable history, as-of point-in-time reads, dup-version guard."""
+    import datetime as dt
+
+    import pytest
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.scd import (
+        as_of,
+        scd2_apply,
+    )
+
+    ts = lambda s: dt.datetime.fromisoformat(s)
+    current = spark.createDataFrame(
+        [
+            (1, "gold", ts("2020-01-01"), None, True),
+            (2, "silver", ts("2020-01-01"), None, True),
+            (3, "bronze", ts("2019-01-01"), ts("2020-01-01"), False),  # closed history
+            (3, "gold", ts("2020-01-01"), None, True),
+        ],
+        ["id", "plan", "valid_from", "valid_to", "is_current"],
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "platinum", ts("2021-06-01")),
+            (1, "diamond", ts("2022-01-01")),  # two versions, one apply
+        ],
+        ["id", "plan", "effective_ts"],
+    )
+    dim = scd2_apply(current, changes, key_cols=["id"])
+    rows = {(r.id, r.plan): r for r in dim.collect()}
+    assert len(rows) == 6
+    # key 1: old row closed at first change; chain 2021-06 → 2022-01 → open
+    assert rows[(1, "gold")].valid_to == ts("2021-06-01") and not rows[(1, "gold")].is_current
+    assert rows[(1, "platinum")].valid_to == ts("2022-01-01")
+    assert rows[(1, "diamond")].valid_to is None and rows[(1, "diamond")].is_current
+    # untouched keys pass through; closed history immutable
+    assert rows[(2, "silver")].is_current and rows[(2, "silver")].valid_to is None
+    assert rows[(3, "bronze")].valid_to == ts("2020-01-01")
+    assert rows[(3, "gold")].is_current
+    # as-of reads pick exactly one version per key at any instant
+    got_2021 = {(r.id, r.plan) for r in as_of(dim, ts("2021-07-01")).collect()}
+    assert got_2021 == {(1, "platinum"), (2, "silver"), (3, "gold")}
+    got_2019 = {(r.id, r.plan) for r in as_of(dim, ts("2019-06-01")).collect()}
+    assert got_2019 == {(3, "bronze")}
+    # duplicate (key, ts) versions refuse to apply
+    dup = spark.createDataFrame(
+        [(1, "a", ts("2023-01-01")), (1, "b", ts("2023-01-01"))],
+        ["id", "plan", "effective_ts"],
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        scd2_apply(current, dup, key_cols=["id"])

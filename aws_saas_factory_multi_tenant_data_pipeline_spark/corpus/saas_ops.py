@@ -398,3 +398,89 @@ def dim_scd2_apply(spark, sf_dir):
         ).alias("vt"),
         "is_current",
     ).orderBy("id", "vf")
+
+
+@register(
+    "table_constraints_check",
+    oracle="""
+        WITH base AS (
+            SELECT COUNT(*) AS total,
+                   COUNT(*) FILTER (WHERE o_custkey IS NULL) AS v_nn,
+                   COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')
+                                       OR o_orderstatus IS NULL) AS v_av,
+                   COUNT(*) FILTER (WHERE o_totalprice NOT BETWEEN 0 AND 100000
+                                       OR o_totalprice IS NULL) AS v_rng,
+                   COUNT(*) FILTER (WHERE NOT COALESCE(
+                       o_orderpriority SIMILAR TO '[1-5]-[A-Z]+', FALSE)) AS v_re,
+                   COUNT(*) FILTER (WHERE NOT COALESCE(
+                       year(o_orderdate) BETWEEN 1992 AND 1998, FALSE)) AS v_ex
+            FROM orders),
+        dups AS (
+            SELECT COALESCE(SUM(n - 1), 0) AS v_uq
+            FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey)
+            WHERE n > 1)
+        SELECT "constraint", kind, violations, total_rows, (violations = 0) AS passed
+        FROM (
+            SELECT 'accepted_values(o_orderstatus)' AS "constraint",
+                   'accepted_values' AS kind, CAST(v_av AS BIGINT) AS violations,
+                   CAST(total AS BIGINT) AS total_rows FROM base
+            UNION ALL
+            SELECT 'in_range(o_totalprice)', 'in_range', CAST(v_rng AS BIGINT),
+                   CAST(total AS BIGINT) FROM base
+            UNION ALL
+            SELECT 'matches(o_orderpriority)', 'matches', CAST(v_re AS BIGINT),
+                   CAST(total AS BIGINT) FROM base
+            UNION ALL
+            SELECT 'not_null(o_custkey)', 'not_null', CAST(v_nn AS BIGINT),
+                   CAST(total AS BIGINT) FROM base
+            UNION ALL
+            SELECT 'orderdate_in_tpch_years', 'expression', CAST(v_ex AS BIGINT),
+                   CAST(total AS BIGINT) FROM base
+            UNION ALL
+            SELECT 'row_count[1000,None]', 'row_count',
+                   CASE WHEN total >= 1000 THEN 0 ELSE 1 END,
+                   CAST(total AS BIGINT) FROM base
+            UNION ALL
+            SELECT 'unique(o_orderkey)', 'unique', CAST(v_uq AS BIGINT),
+                   CAST(total AS BIGINT) FROM dups CROSS JOIN base
+        )
+        ORDER BY "constraint"
+    """,
+    tags=("B10", "B4"),
+    doc="Declarative data-quality gate (operators.constraints): not-null, "
+    "accepted-values, range, regex, custom-expression, row-count and "
+    "uniqueness checks over orders — all row-level rules fused into ONE "
+    "scan + one aggregate (adding a rule adds a column, not a job); "
+    "uniqueness adds its keyed aggregate. The in_range ceiling is set so "
+    "some rows violate: the report itself (violation counts) is the "
+    "oracle-compared output.",
+)
+def table_constraints_check(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.constraints import (
+        accepted_values,
+        check_constraints,
+        expression,
+        in_range,
+        matches,
+        not_null,
+        row_count,
+        unique,
+    )
+
+    o = t(spark, sf_dir, "orders")
+    report = check_constraints(
+        o,
+        [
+            not_null("o_custkey"),
+            accepted_values("o_orderstatus", ["O", "F", "P"]),
+            in_range("o_totalprice", 0, 100000),
+            matches("o_orderpriority", r"^[1-5]-[A-Z]+$"),
+            expression(
+                "orderdate_in_tpch_years",
+                F.year("o_orderdate").between(1992, 1998),
+            ),
+            row_count(min_rows=1000),
+            unique(["o_orderkey"]),
+        ],
+    )
+    return report

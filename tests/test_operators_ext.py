@@ -512,3 +512,52 @@ def test_scd2_apply_and_as_of(spark):
     )
     with pytest.raises(ValueError, match="duplicate"):
         scd2_apply(current, dup, key_cols=["id"])
+
+
+def test_check_constraints_semantics(spark):
+    """Each rule family counts exactly its violations in one pass; unique
+    counts extra copies; row_count gates on totals; plan stays one scan
+    for all row-level rules."""
+    import pytest
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.constraints import (
+        accepted_values,
+        check_constraints,
+        expression,
+        in_range,
+        matches,
+        not_null,
+        row_count,
+        unique,
+    )
+
+    rows = [
+        (1, "a", 5.0, "A-1"),
+        (2, "b", 50.0, "B-2"),
+        (3, None, -1.0, "bad"),
+        (3, "c", 200.0, "C-3"),   # dup id 3
+        (4, "zz", None, "D-4"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, val double, code string")
+    rep = check_constraints(
+        df,
+        [
+            not_null("name"),
+            accepted_values("name", ["a", "b", "c"]),
+            in_range("val", 0, 100),
+            matches("code", r"^[A-Z]-[0-9]$"),
+            expression("id_positive", F.col("id") > 0),
+            unique(["id"]),
+            row_count(min_rows=10),
+        ],
+    ).collect()
+    got = {r.constraint: (r.violations, r.total_rows, r.passed) for r in rep}
+    assert got["not_null(name)"] == (1, 5, False)
+    assert got["accepted_values(name)"] == (2, 5, False)   # None + "zz"
+    assert got["in_range(val)"] == (3, 5, False)           # -1.0, 200.0, NULL
+    assert got["matches(code)"] == (1, 5, False)           # "bad"
+    assert got["id_positive"] == (0, 5, True)
+    assert got["unique(id)"] == (1, 5, False)              # one extra copy of 3
+    assert got["row_count[10,None]"] == (1, 5, False)
+    with pytest.raises(ValueError, match="no constraints"):
+        check_constraints(df, [])

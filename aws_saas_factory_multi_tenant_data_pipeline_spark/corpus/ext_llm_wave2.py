@@ -370,3 +370,44 @@ def dedup_fuzzy_levenshtein(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     return fuzzy_levenshtein_pairs(d)
+
+
+@register(
+    "text_chunk_split",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split({_DUCK_NORM}, ' ') AS ws FROM documents),
+        starts AS (
+            SELECT doc_id, ws,
+                   unnest(generate_series(0, GREATEST(len(ws) - 1, 0), 48)) AS s
+            FROM toks)
+        SELECT doc_id,
+               CAST(s / 48 AS BIGINT) AS chunk_id,
+               len(ws[s + 1 : s + 64]) AS n_chunk_tokens,
+               md5(array_to_string(ws[s + 1 : s + 64], ' ')) AS chunk_md5
+        FROM starts
+        ORDER BY doc_id, chunk_id
+    """,
+    tags=("B10",),
+    doc="Overlapping fixed-token chunking (operators.text.chunk_documents, "
+    "64-token chunks / 16 overlap → stride 48): the training/RAG sequence-"
+    "construction step. Chunk text is md5'd for hash parity; counts and "
+    "positional chunk ids compared exactly. Narrow sequence+explode "
+    "fan-out, zero shuffle.",
+)
+def text_chunk_split(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.text import (
+        chunk_documents,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    return (
+        chunk_documents(d, chunk_tokens=64, overlap=16)
+        .select(
+            "doc_id",
+            "chunk_id",
+            "n_chunk_tokens",
+            F.md5("chunk_text").alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )

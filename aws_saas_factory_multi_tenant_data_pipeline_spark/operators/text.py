@@ -256,3 +256,42 @@ def fingerprint(df: DataFrame, text_col: str = "text", shingle_k: int = 3) -> Da
         .withColumn("norm_fingerprint", F.md5(normalize_text(F.col(text_col))))
         .drop("__shingles")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping fixed-token-count chunks — the
+    standard training/RAG preparation step (sequence construction,
+    embedding-index population).
+
+    Chunk k covers normalized tokens ``[k*stride, k*stride + chunk_tokens)``
+    with ``stride = chunk_tokens - overlap``; the final chunk may be short;
+    an empty document yields one empty chunk (so no document silently
+    disappears). Output: one row per chunk with ``chunk_id``,
+    ``chunk_text`` (space-joined tokens) and ``n_chunk_tokens``.
+
+    Scale shape: tokens are materialized once in their own projection
+    (the shingle projection-barrier rule, dedup.py:47-59), chunk starts
+    come from a ``sequence()`` explode — a narrow per-row fan-out of
+    ~n/stride rows, no shuffle at all. Deterministic: no hashing, chunk
+    ids are positional.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toked = df.withColumn("__toks", tokens(F.col(text_col)))
+    n = F.size("__toks")
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    exploded = toked.withColumn("__start", F.explode(starts))
+    chunk = F.slice("__toks", F.col("__start") + 1, chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        (F.col("__start") / stride).cast("long").alias("chunk_id"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.size(chunk).alias("n_chunk_tokens"),
+    )

@@ -561,3 +561,28 @@ def test_check_constraints_semantics(spark):
     assert got["row_count[10,None]"] == (1, 5, False)
     with pytest.raises(ValueError, match="no constraints"):
         check_constraints(df, [])
+
+
+def test_chunk_documents_semantics(spark):
+    """Chunk boundaries, overlap, short-tail and empty-doc behavior."""
+    import pytest
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.text import (
+        chunk_documents,
+    )
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, words), (2, "")], ["doc_id", "text"])
+    got = chunk_documents(df, chunk_tokens=4, overlap=2).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk_text, r.n_chunk_tokens))
+    # stride 2: starts 0,2,4,6,8 → 5 chunks, last is short
+    assert [c[0] for c in sorted(by_doc[1])] == [0, 1, 2, 3, 4]
+    assert sorted(by_doc[1])[0][1] == "w0 w1 w2 w3"
+    assert sorted(by_doc[1])[1][1] == "w2 w3 w4 w5"      # 2-token overlap
+    assert sorted(by_doc[1])[4] == (4, "w8 w9", 2)       # short tail
+    # every token appears; empty doc yields one empty chunk
+    assert by_doc[2] == [(0, "", 1)]
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=4, overlap=4)

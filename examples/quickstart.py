@@ -77,6 +77,25 @@ def main() -> None:
     registry["llm_corpus_prep"].spark_fn(spark, SF_DIR).show(6)
     registry["llm_train_val_split"].spark_fn(spark, SF_DIR).show(9)
 
+    # 7: data management (r4): quality gate, keyed upsert, SCD2, chunking
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.constraints import (
+        check_constraints,
+        in_range,
+        not_null,
+        unique,
+    )
+
+    orders = read_table(spark, SF_DIR, "orders")
+    check_constraints(
+        orders,
+        [not_null("o_custkey"), in_range("o_totalprice", 0, 600000), unique(["o_orderkey"])],
+    ).show(truncate=False)
+    registry["lake_upsert_roundtrip"].spark_fn(spark, SF_DIR).show()
+    registry["dim_scd2_apply"].spark_fn(spark, SF_DIR).show(6, truncate=False)
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.text import chunk_documents
+
+    chunk_documents(docs.limit(3), chunk_tokens=16, overlap=4).show(6)
+
     spark.stop()
 
 

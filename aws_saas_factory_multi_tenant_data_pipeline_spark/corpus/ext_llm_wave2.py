@@ -411,3 +411,95 @@ def text_chunk_split(spark, sf_dir):
         )
         .orderBy("doc_id", "chunk_id")
     )
+
+
+def _minhash_oracle_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    """DuckDB twin of the ENTIRE portable MinHash-LSH pipeline — same
+    md5-derived shingle hashes, same (a,b) permutation constants, same
+    band hashing, same exact-Jaccard verification."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import (
+        _P,
+        _perm_constants,
+    )
+
+    consts = _perm_constants(num_hashes)
+    r = num_hashes // bands
+    mins = ",\n                   ".join(
+        f"MIN(({a} * hh + {b}) % {_P}) AS mh{j}" for j, (a, b) in enumerate(consts)
+    )
+    band_selects = "\n            UNION ALL\n            ".join(
+        "SELECT doc_id, {idx} AS band_idx, md5({cc}) AS bh FROM sig".format(
+            idx=b,
+            cc=" || ',' || ".join(
+                f"CAST(mh{i} AS VARCHAR)" for i in range(b * r, (b + 1) * r)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, string_split({_DUCK_NORM}, ' ') AS ws FROM documents),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(CASE WHEN len(ws) >= 3
+                        THEN list_transform(generate_series(1, len(ws) - 2),
+                                            i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))
+                        ELSE [concat_ws(' ', ws)] END) AS shingles
+            FROM toks),
+        inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        h AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {_P} AS hh
+            FROM inv),
+        sig AS (
+            SELECT doc_id,
+                   {mins}
+            FROM h GROUP BY doc_id),
+        bands AS (
+            {band_selects}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        verified AS (
+            SELECT c.id_a, c.id_b,
+                   ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                         / (len(sa.shingles) + len(sb.shingles)
+                            - len(list_intersect(sa.shingles, sb.shingles))), 6) AS jaccard
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.id_a
+            JOIN sh sb ON sb.doc_id = c.id_b)
+        SELECT id_a, id_b, jaccard FROM verified
+        WHERE jaccard >= {threshold}
+        ORDER BY id_a, id_b
+    """
+
+
+@register(
+    "dedup_minhash_portable",
+    oracle=_minhash_oracle_sql(),
+    tags=("B10",),
+    doc="The FULL MinHash-LSH pipeline, oracle-verified hash-for-hash: "
+    "portable mode swaps xxhash64 for md5-derived hashes (shingle hash "
+    "and band hash) so DuckDB replicates signatures, banding, candidate "
+    "generation and exact-Jaccard verification exactly — upgrading the "
+    "flagship near-dup operator from recall-property-tested to "
+    "value-equal. k=16 permutations, 4 bands x 4 rows, tau=0.5. The "
+    "bench/production path keeps xxhash64 (dedup_minhash_lsh, ~2x "
+    "cheaper per shingle); both share every line of the plan "
+    "(operators.dedup.minhash_near_duplicates(portable=True)).",
+)
+def dedup_minhash_portable(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import (
+        minhash_near_duplicates,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    res = minhash_near_duplicates(
+        d, num_hashes=16, bands=4, jaccard_threshold=0.5,
+        persist_shingles=True, portable=True,
+    )
+    out = res.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+    return out

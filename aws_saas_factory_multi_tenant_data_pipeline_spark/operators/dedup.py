@@ -106,19 +106,29 @@ def minhash_signatures(
     return _signatures_from_shingles(shs, id_col, num_hashes)
 
 
-def _signatures_from_shingles(shs: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+def _md5_hash61(s: Column) -> Column:
+    """Cross-engine-stable shingle hash: first 15 md5 hex digits as a
+    61-bit int (DuckDB twin: CAST('0x'||substr(md5(s),1,15) AS BIGINT)).
+    Slower than xxhash64 — used only by the portable/oracle path."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def _signatures_from_shingles(
+    shs: DataFrame, id_col: str, num_hashes: int, portable: bool = False
+) -> DataFrame:
     """MinHash signatures from a precomputed (id, __shingles) frame — lets
     callers shingle ONCE and reuse the frame for candidate generation and
-    exact-Jaccard verification (persist-once path)."""
+    exact-Jaccard verification (persist-once path). ``portable`` swaps
+    xxhash64 for the md5-derived hash every SQL engine can replicate."""
     consts = _perm_constants(num_hashes)
+    base_hash = (
+        (lambda s: F.pmod(_md5_hash61(s), F.lit(_P)))
+        if portable
+        else (lambda s: F.pmod(F.xxhash64(s, F.lit(_SEED)), F.lit(_P)))
+    )
     ex = shs.select(
         F.col(id_col),
-        F.explode(
-            F.transform(
-                F.col("__shingles"),
-                lambda s: F.pmod(F.xxhash64(s, F.lit(_SEED)), F.lit(_P)),
-            )
-        ).alias("__h"),
+        F.explode(F.transform(F.col("__shingles"), base_hash)).alias("__h"),
     )
     aggs = [
         F.min(F.pmod(F.lit(a) * F.col("__h") + F.lit(b), F.lit(_P))).alias(f"mh{j}")
@@ -136,6 +146,7 @@ def minhash_near_duplicates(
     shingle_k: int = 3,
     jaccard_threshold: float = 0.5,
     persist_shingles: bool = True,
+    portable: bool = False,
 ) -> DataFrame:
     """LSH candidate generation + exact-Jaccard verification.
 
@@ -143,6 +154,12 @@ def minhash_near_duplicates(
     split into ``bands`` bands of r rows; docs sharing any band signature
     become candidates via an equi-join on (band_idx, band_hash) — the
     100 TB-safe alternative to an all-pairs comparison.
+
+    ``portable`` swaps the engine-specific xxhash64 for md5-derived
+    hashes (shingle hash AND band hash) so the ENTIRE pipeline — not just
+    its recall — is replicable hash-for-hash in any SQL engine; the
+    oracle-backed ``dedup_minhash_portable`` corpus query uses it. The
+    fast path keeps xxhash64 (~2× cheaper per shingle at 100 TB).
 
     ``persist_shingles`` (default on) shingles the corpus ONCE and persists
     the (id, shingles) frame (MEMORY_AND_DISK, spill-safe) so signature
@@ -161,13 +178,16 @@ def minhash_near_duplicates(
         from pyspark import StorageLevel
 
         shs = shs.persist(StorageLevel.MEMORY_AND_DISK)
-    sigs = _signatures_from_shingles(shs, id_col, num_hashes)
+    sigs = _signatures_from_shingles(shs, id_col, num_hashes, portable=portable)
+    band_hash = (
+        (lambda c: F.md5(c)) if portable else (lambda c: F.xxhash64(c))
+    )
     banded = sigs.select(
         id_col,
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(
+                    band_hash(
                         F.concat_ws(",", *[F.col(f"mh{i}") for i in range(b * r, (b + 1) * r)])
                     )
                     for b in range(bands)

@@ -503,3 +503,62 @@ def dedup_minhash_portable(spark, sf_dir):
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     ).orderBy("id_a", "id_b")
     return out
+
+
+@register(
+    "embedding_quality_stats",
+    oracle="""
+        WITH norms AS (
+            SELECT label,
+                   len(embedding) AS dim,
+                   ROUND(sqrt(list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm
+            FROM embeddings)
+        SELECT label,
+               COUNT(*) AS n_vecs,
+               COUNT(DISTINCT dim) AS n_dims,
+               CAST(MIN(dim) AS BIGINT) AS min_dim,
+               COUNT(*) FILTER (WHERE norm = 0) AS n_zero,
+               ROUND(CAST(SUM(CAST(norm AS DECIMAL(38,12))) AS DOUBLE)
+                     / COUNT(*), 6) AS mean_norm,
+               ROUND(MIN(norm), 6) AS min_norm,
+               ROUND(MAX(norm), 6) AS max_norm
+        FROM norms
+        GROUP BY label
+        ORDER BY label
+    """,
+    tags=("B10",),
+    doc="Embedding QA stats per label — the vector-hygiene gate before an "
+    "ANN index build: dimension consistency (n_dims must be 1), zero-"
+    "vector count (break cosine), norm distribution (detect unnormalized "
+    "or degenerate batches). Per-vector norms are deterministic (fixed "
+    "in-array order); the cross-row mean uses the decimal-sum trick. One "
+    "narrow projection + one groupBy — scan-speed at any scale.",
+)
+def embedding_quality_stats(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norms = e.select(
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(sq), 6).alias("norm"),
+    )
+    return (
+        norms.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.countDistinct("dim").alias("n_dims"),
+            F.min("dim").cast("long").alias("min_dim"),
+            F.count(F.when(F.col("norm") == 0, 1)).alias("n_zero"),
+            F.round(
+                F.sum(F.col("norm").cast("decimal(38,12)")).cast("double") / F.count("*"), 6
+            ).alias("mean_norm"),
+            F.round(F.min("norm"), 6).alias("min_norm"),
+            F.round(F.max("norm"), 6).alias("max_norm"),
+        )
+        .orderBy("label")
+    )

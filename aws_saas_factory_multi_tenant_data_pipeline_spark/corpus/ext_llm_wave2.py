@@ -562,3 +562,50 @@ def embedding_quality_stats(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+def _simhash_oracle_sql(bits: int = 60) -> str:
+    """DuckDB twin of the portable SimHash: same md5-derived token hash,
+    same per-bit votes, same positive-vote signature assembly."""
+    votes = ",\n                   ".join(
+        f"SUM(CASE WHEN (hh >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    sig = " + ".join(f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(bits))
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_distinct(string_split({_DUCK_NORM}, ' '))) AS tok
+            FROM documents),
+        h AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS hh
+            FROM toks),
+        votes AS (
+            SELECT doc_id,
+                   {votes}
+            FROM h GROUP BY doc_id)
+        SELECT doc_id, CAST({sig} AS BIGINT) AS simhash
+        FROM votes
+        ORDER BY doc_id
+    """
+
+
+@register(
+    "dedup_simhash_portable",
+    oracle=_simhash_oracle_sql(),
+    tags=("B10",),
+    doc="SimHash signatures verified value-for-value: the portable mode "
+    "(operators.dedup.simhash_portable) derives 60-bit token hashes from "
+    "md5 so DuckDB reproduces every per-bit vote and the assembled "
+    "signature exactly — same upgrade as dedup_minhash_portable. The "
+    "xxhash64 64-bit fast path (dedup_simhash) remains the bench/"
+    "production form, locality-property-tested.",
+)
+def dedup_simhash_portable(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import (
+        simhash_portable,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    return simhash_portable(d).orderBy("doc_id")

@@ -420,3 +420,34 @@ def fuzzy_levenshtein_pairs(
         )
         .orderBy("id_a", "id_b")
     )
+
+
+def simhash_portable(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60
+) -> DataFrame:
+    """Cross-engine-replicable SimHash: md5-derived 60-bit token hashes
+    (``_md5_hash61``), per-bit sign votes, signature assembled from
+    positive-vote bits — every step is plain integer arithmetic any SQL
+    engine reproduces value-for-value (the ``dedup_simhash_portable``
+    oracle does), upgrading SimHash from locality-property-tested to
+    value-equal. The fast path (:func:`simhash`) keeps xxhash64 + the
+    full 64 bits. Same plan shape: one explode, one groupBy, ``bits``
+    codegen'd aggregates.
+    """
+    if not 1 <= bits <= 60:
+        raise ValueError("portable simhash supports 1..60 bits (15 md5 hex digits)")
+    tok = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("__tok")
+    ).withColumn("__h", _md5_hash61(F.col("__tok")))
+    votes = [
+        F.sum(
+            F.when(F.col("__h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+        ).alias(f"__b{i}")
+        for i in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    sig = None
+    for i in range(bits):
+        term = F.when(F.col(f"__b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))

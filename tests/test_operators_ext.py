@@ -586,3 +586,31 @@ def test_chunk_documents_semantics(spark):
     assert by_doc[2] == [(0, "", 1)]
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_simhash_portable_locality_and_range(spark):
+    """Portable (md5/60-bit) SimHash: identical docs get identical sigs,
+    near-identical docs are Hamming-close, disjoint docs are far; sigs
+    stay within 60 bits (non-negative)."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import (
+        hamming64,
+        simhash_portable,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (1, base),
+        (2, base),                                  # identical
+        (3, base.replace("river", "ocean")),        # one token changed
+        (4, "completely unrelated text about spark executors and shuffle files"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r.doc_id: r.simhash for r in simhash_portable(df).collect()}
+    assert all(0 <= s < (1 << 60) for s in sigs.values())
+    assert sigs[1] == sigs[2]
+    d = df.sparkSession.createDataFrame(
+        [(sigs[1], sigs[3]), (sigs[1], sigs[4])], "a long, b long"
+    ).select(hamming64(F.col("a"), F.col("b")).alias("h")).collect()
+    near, far = d[0].h, d[1].h
+    assert near < far, (near, far)
+    assert near <= 20  # one token of ~14 flips few bit votes

@@ -203,3 +203,50 @@ def scan_text_roundtrip(spark, sf_dir):
         F.sum(F.length("value")).alias("total_chars"),
         F.min("value").alias("first_name"),
     )
+
+
+@register(
+    "catalog_view_ctas",
+    oracle=f"""
+        WITH v AS (
+            SELECT o_orderpriority, COUNT(*) AS n, {sql_dsum('o_totalprice')} AS total
+            FROM orders GROUP BY o_orderpriority)
+        SELECT o_orderpriority, n, total,
+               ROUND(total / n, 6) AS avg_price
+        FROM v
+        ORDER BY o_orderpriority
+    """,
+    tags=("B1", "A6"),
+    doc="View + CTAS catalog path (Athena CREATE VIEW / CREATE TABLE AS "
+    "parity): define a logical view over orders, materialize it with "
+    "CREATE TABLE AS SELECT into the session catalog (parquet-backed "
+    "managed table), query the MATERIALIZED table and derive from it — "
+    "proving the DDL surface end-to-end, not just reads. Cleaned up "
+    "after read so reruns are idempotent.",
+)
+def catalog_view_ctas(spark, sf_dir):
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v_src")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMP VIEW orders_prio_v AS
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+        FROM orders_v_src
+        GROUP BY o_orderpriority
+        """
+    )
+    spark.sql("DROP TABLE IF EXISTS orders_prio_ctas")
+    spark.sql(
+        "CREATE TABLE orders_prio_ctas USING parquet AS SELECT * FROM orders_prio_v"
+    )
+    out = spark.sql(
+        """
+        SELECT o_orderpriority, n, total, ROUND(total / n, 6) AS avg_price
+        FROM orders_prio_ctas
+        ORDER BY o_orderpriority
+        """
+    )
+    # materialize before dropping the backing table (driver collects later)
+    rows = out.collect()
+    spark.sql("DROP TABLE IF EXISTS orders_prio_ctas")
+    return spark.createDataFrame(rows, out.schema).orderBy("o_orderpriority")

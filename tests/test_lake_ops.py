@@ -319,3 +319,19 @@ def test_upsert_partitioned_seq_col_and_dup_guard(spark, tmp_path):
     )
     rows = spark.read.parquet(root).drop("seq").collect()
     assert [(r.id, r.name, r.part) for r in rows] == [(1, "v2", "p1")]
+
+
+def test_upsert_partitioned_creates_new_partition(spark, tmp_path):
+    """A changeset whose rows land in a partition the lake has never seen
+    creates it; existing partitions stay untouched."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.lake import upsert_partitioned
+
+    root = str(tmp_path / "upsert_newpart")
+    spark.createDataFrame(
+        [(1, "a", "p1")], ["id", "name", "part"]
+    ).write.partitionBy("part").parquet(root)
+    changes = spark.createDataFrame([(9, "z", "p9")], ["id", "name", "part"])
+    n = upsert_partitioned(spark, root, changes, key_cols=["id"], partition_cols=["part"])
+    assert n == 1
+    got = {(r.id, r.name, r.part) for r in spark.read.parquet(root).collect()}
+    assert got == {(1, "a", "p1"), (9, "z", "p9")}

@@ -291,3 +291,79 @@ def agg_higher_moments(spark, sf_dir):
         F.round(m3 / F.pow(m2, F.lit(1.5)), 6).alias("skew_pop"),
         F.round(m4 / F.pow(m2, F.lit(2.0)) - 3.0, 6).alias("kurt_pop"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "fn_string_wave4",
+    oracle="""
+        SELECT p_partkey,
+               array_to_string(list_transform(string_split(p_name, ' '),
+                   w -> upper(w[1]) || lower(w[2:])), ' ') AS icap,
+               translate(p_brand, 'ABE', 'xyz') AS translated,
+               repeat(p_type, 2) AS doubled,
+               reverse(p_name) AS rev,
+               left(p_name, 5) AS l5,
+               right(p_name, 5) AS r5,
+               split_part(p_type, ' ', 1) AS first_part,
+               substr(p_name, 1, 2) || '**' || substr(p_name, 5) AS overlaid,
+               position('a' IN p_name) AS pos_a
+        FROM part
+        WHERE p_partkey <= 500
+        ORDER BY p_partkey
+    """,
+    tags=("B7",),
+    doc="String wave 4: initcap / translate / repeat / reverse / left / "
+    "right / split_part / overlay / position (Athena-Presto parity names; "
+    "initcap and overlay emulated in the oracle from primitives).",
+)
+def fn_string_wave4(spark, sf_dir):
+    p = t(spark, sf_dir, "part").where(F.col("p_partkey") <= 500)
+    return p.select(
+        "p_partkey",
+        F.initcap("p_name").alias("icap"),
+        F.translate("p_brand", "ABE", "xyz").alias("translated"),
+        F.repeat(F.col("p_type"), 2).alias("doubled"),
+        F.reverse("p_name").alias("rev"),
+        F.substring("p_name", 1, 5).alias("l5"),
+        F.substring(F.col("p_name"), -5, 5).alias("r5"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("first_part"),
+        F.overlay("p_name", F.lit("**"), F.lit(3), F.lit(2)).alias("overlaid"),
+        F.position(F.lit("a"), F.col("p_name")).alias("pos_a"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "fn_datetime_wave4",
+    oracle="""
+        SELECT o_orderkey,
+               last_day(CAST(o_orderdate AS DATE)) AS month_end,
+               quarter(o_orderdate) AS q,
+               weekofyear(o_orderdate) AS iso_week,
+               dayofweek(CAST(o_orderdate AS DATE)) + 1 AS dow,
+               dayofyear(o_orderdate) AS doy,
+               make_date(year(o_orderdate), month(o_orderdate), 1) AS month_start,
+               strftime(o_orderdate, '%A') AS day_name,
+               CAST(date_trunc('quarter', o_orderdate) AS DATE) AS q_start
+        FROM orders
+        WHERE o_orderkey <= 1000
+        ORDER BY o_orderkey
+    """,
+    tags=("B7",),
+    doc="Date/time wave 4: last_day / quarter / weekofyear (ISO both "
+    "engines) / dayofweek (DuckDB 0=Sunday vs Spark 1=Sunday — +1 in the "
+    "oracle) / dayofyear / make_date / day-name format / quarter trunc.",
+)
+def fn_datetime_wave4(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 1000)
+    od = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.last_day(od).alias("month_end"),
+        F.quarter(od).alias("q"),
+        F.weekofyear(od).alias("iso_week"),
+        F.dayofweek(od).alias("dow"),
+        F.dayofyear(od).alias("doy"),
+        F.make_date(F.year(od), F.month(od), F.lit(1)).alias("month_start"),
+        F.date_format(od, "EEEE").alias("day_name"),
+        F.date_trunc("quarter", od).cast("date").alias("q_start"),
+    ).orderBy("o_orderkey")

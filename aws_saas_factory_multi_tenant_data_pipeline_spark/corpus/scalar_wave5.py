@@ -367,3 +367,48 @@ def fn_datetime_wave4(spark, sf_dir):
         F.date_format(od, "EEEE").alias("day_name"),
         F.date_trunc("quarter", od).cast("date").alias("q_start"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "fn_bitwise_encoding",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_orderkey AS BIGINT) & CAST(l_linenumber AS BIGINT) AS band,
+               CAST(l_orderkey AS BIGINT) | CAST(l_linenumber AS BIGINT) AS bor,
+               xor(CAST(l_orderkey AS BIGINT), CAST(l_linenumber AS BIGINT)) AS bxor,
+               ~CAST(l_orderkey AS BIGINT) AS bnot,
+               CAST(l_linenumber AS BIGINT) << 3 AS shl,
+               CAST(l_orderkey AS BIGINT) >> 2 AS shr,
+               hex(CAST(l_orderkey AS BIGINT)) AS okhex,
+               format('{:b}', CAST(l_orderkey AS BIGINT)) AS okbin,
+               to_base64(encode(l_returnflag)) AS flag_b64,
+               decode(from_base64(to_base64(encode(l_returnflag)))) AS flag_rt
+        FROM lineitem
+        WHERE l_orderkey <= 300
+        ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("B7",),
+    doc="Scalar bitwise + encoding family: & | ^ ~ shiftleft shiftright, "
+    "hex, base-2 conv, base64 roundtrip (Athena bitwise_and/or/xor + "
+    "to_base64/from_base64 parity).",
+)
+def fn_bitwise_encoding(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 300)
+    ok = F.col("l_orderkey").cast("long")
+    ln = F.col("l_linenumber").cast("long")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        ok.bitwiseAND(ln).alias("band"),
+        ok.bitwiseOR(ln).alias("bor"),
+        ok.bitwiseXOR(ln).alias("bxor"),
+        F.bitwise_not(ok).alias("bnot"),
+        F.shiftleft(ln, 3).alias("shl"),
+        F.shiftright(ok, 2).alias("shr"),
+        F.hex(ok).alias("okhex"),
+        F.conv(ok.cast("string"), 10, 2).alias("okbin"),
+        F.base64(F.col("l_returnflag").cast("binary")).alias("flag_b64"),
+        F.unbase64(F.base64(F.col("l_returnflag").cast("binary")))
+        .cast("string")
+        .alias("flag_rt"),
+    ).orderBy("l_orderkey", "l_linenumber")

@@ -169,3 +169,41 @@ def win_topk_per_group(spark, sf_dir):
         .where(F.col("rn") <= 3)
         .orderBy("c_nationkey", "rn")
     )
+
+
+@register(
+    "win_percentile_frames",
+    oracle="""
+        SELECT event_id, event_type,
+               ROUND(median(value) OVER w, 6) AS med_11,
+               ROUND(quantile_cont(value, 0.9) OVER w, 6) AS p90_11,
+               ROUND(MIN(value) OVER w, 6) AS min_11
+        FROM events
+        WHERE event_id <= 2000
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+    """,
+    tags=("B5",),
+    doc="Order-statistic aggregates over a moving window frame: median / "
+    "p90 / min within the trailing 11 rows per event_type — the rolling-"
+    "quantile monitoring shape (holistic window aggregates, exact "
+    "percentile() ≡ DuckDB quantile_cont). Ordering made total with the "
+    "event_id tiebreak so frames are identical across engines.",
+)
+def win_percentile_frames(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events").where(F.col("event_id") <= 2000)
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        F.round(F.percentile(F.col("value"), F.lit(0.5)).over(w), 6).alias("med_11"),
+        F.round(F.percentile(F.col("value"), F.lit(0.9)).over(w), 6).alias("p90_11"),
+        F.round(F.min("value").over(w), 6).alias("min_11"),
+    ).orderBy("event_id")

@@ -90,62 +90,75 @@ def check_constraints(df: DataFrame, constraints: list[Constraint]) -> DataFrame
     """Evaluate all constraints; returns (constraint, kind, violations,
     total_rows, passed) — one row per constraint, ordered by name.
 
-    Row-level rules share one scan/aggregation; each unique() adds one
-    keyed aggregate; row_count reuses the shared pass. At 100 TB the gate
-    is a single map-side-combined pass over the batch plus one shuffle
-    per uniqueness key set.
+    Execution shape (this is the point): ALL row-level rules plus every
+    row_count share ONE aggregation over ONE scan — the report rows are
+    exploded from a single agg row, so no union branch re-executes the
+    aggregate (a naive per-branch `SELECT ... FROM base` re-runs the
+    scan once per rule; Spark does not dedupe identical aggregates
+    across union branches). Each unique() adds exactly one keyed
+    aggregate whose group counts yield BOTH the duplicate count and the
+    row total — no joins back to the shared pass. Pinned by
+    tests/test_plans.py::test_constraints_single_scan.
     """
     row_level = [c for c in constraints if c.violation is not None]
     uniques = [c for c in constraints if c.kind == "unique"]
     counts = [c for c in constraints if c.kind == "row_count"]
-
-    aggs = [F.count(F.lit(1)).alias("__total")]
-    for i, c in enumerate(row_level):
-        aggs.append(F.count(F.when(c.violation, 1)).alias(f"__v{i}"))
-    base = df.agg(*aggs)
+    if not (row_level or uniques or counts):
+        raise ValueError("no constraints given")
 
     reports = []
-    for i, c in enumerate(row_level):
-        reports.append(
-            base.select(
-                F.lit(c.name).alias("constraint"),
-                F.lit(c.kind).alias("kind"),
-                F.col(f"__v{i}").alias("violations"),
-                F.col("__total").alias("total_rows"),
-                (F.col(f"__v{i}") == 0).alias("passed"),
+    if row_level or counts:
+        aggs = [F.count(F.lit(1)).alias("__total")]
+        for i, c in enumerate(row_level):
+            aggs.append(F.count(F.when(c.violation, 1)).alias(f"__v{i}"))
+        base = df.agg(*aggs)
+        structs = []
+        for i, c in enumerate(row_level):
+            structs.append(
+                F.struct(
+                    F.lit(c.name).alias("constraint"),
+                    F.lit(c.kind).alias("kind"),
+                    F.col(f"__v{i}").cast("long").alias("violations"),
+                    F.col("__total").cast("long").alias("total_rows"),
+                    (F.col(f"__v{i}") == 0).alias("passed"),
+                )
             )
-        )
-    for c in counts:
-        lo_ok = F.lit(True) if c.min_rows is None else (F.col("__total") >= c.min_rows)
-        hi_ok = F.lit(True) if c.max_rows is None else (F.col("__total") <= c.max_rows)
-        ok = lo_ok & hi_ok
-        reports.append(
-            base.select(
-                F.lit(c.name).alias("constraint"),
-                F.lit(c.kind).alias("kind"),
-                F.when(ok, F.lit(0)).otherwise(F.lit(1)).cast("long").alias("violations"),
-                F.col("__total").alias("total_rows"),
-                ok.alias("passed"),
+        for c in counts:
+            lo_ok = F.lit(True) if c.min_rows is None else (F.col("__total") >= c.min_rows)
+            hi_ok = F.lit(True) if c.max_rows is None else (F.col("__total") <= c.max_rows)
+            ok = lo_ok & hi_ok
+            structs.append(
+                F.struct(
+                    F.lit(c.name).alias("constraint"),
+                    F.lit(c.kind).alias("kind"),
+                    F.when(ok, F.lit(0)).otherwise(F.lit(1)).cast("long").alias("violations"),
+                    F.col("__total").cast("long").alias("total_rows"),
+                    ok.alias("passed"),
+                )
             )
+        reports.append(
+            base.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
         )
     for c in uniques:
-        dup = (
-            df.groupBy(*c.key_cols)
-            .count()
-            .where(F.col("count") > 1)
-            .agg(
-                F.coalesce(F.sum(F.col("count") - 1), F.lit(0)).cast("long").alias("dups")
+        # group counts give BOTH the duplicate mass and the row total —
+        # one keyed aggregate, no join back to the shared pass
+        g = df.groupBy(*c.key_cols).agg(F.count(F.lit(1)).alias("__cnt"))
+        rep = g.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("__cnt") > 1, F.col("__cnt") - 1).otherwise(0)),
+                F.lit(0),
             )
+            .cast("long")
+            .alias("violations"),
+            F.coalesce(F.sum("__cnt"), F.lit(0)).cast("long").alias("total_rows"),
         )
         reports.append(
-            dup.crossJoin(F.broadcast(base.select("__total"))).select(
+            rep.select(
                 F.lit(c.name).alias("constraint"),
                 F.lit(c.kind).alias("kind"),
-                F.col("dups").alias("violations"),
-                F.col("__total").alias("total_rows"),
-                (F.col("dups") == 0).alias("passed"),
+                "violations",
+                "total_rows",
+                (F.col("violations") == 0).alias("passed"),
             )
         )
-    if not reports:
-        raise ValueError("no constraints given")
     return reduce(lambda a, b: a.unionByName(b), reports).orderBy("constraint")

@@ -354,3 +354,33 @@ def test_strict_ingest_parses_json_once(spark):
     # quarantine branch: the gate's single variant parse only
     assert quar_plan.count("from_json") == 0, quar_plan[:2000]
     assert quar_plan.count("parseJson") == 1, quar_plan[:2000]
+
+
+def test_constraints_single_scan(spark, sf_oracle):
+    """All row-level rules + row_count share ONE scan; each unique() adds
+    exactly one more — a 5-rule report must read the table twice, not 6+
+    times (union branches do NOT dedupe repeated aggregates)."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus._util import t
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.constraints import (
+        accepted_values,
+        check_constraints,
+        in_range,
+        not_null,
+        row_count,
+        unique,
+    )
+
+    o = t(spark, sf_oracle, "orders")
+    rep = check_constraints(
+        o,
+        [
+            not_null("o_custkey"),
+            accepted_values("o_orderstatus", ["O", "F", "P"]),
+            in_range("o_totalprice", 0, 600000),
+            row_count(min_rows=1),
+            unique(["o_orderkey"]),
+        ],
+    )
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    n_scans = plan.count("Scan parquet")
+    assert n_scans == 2, f"expected 2 scans (shared row-level + unique), got {n_scans}:\n{plan[:3000]}"

@@ -165,3 +165,93 @@ def recursive_cte_month_spine(spark, sf_dir):
         ORDER BY m
         """
     )
+
+
+@register(
+    "timeseries_linear_interp",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS d,
+                   {sql_dsum('value')} AS v
+            FROM events WHERE value > 180 GROUP BY 1, 2
+        ),
+        spans AS (SELECT event_type, MIN(d) AS lo, MAX(d) AS hi FROM daily GROUP BY 1),
+        axis AS (
+            SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d
+            FROM spans
+        ),
+        sparse AS (
+            SELECT axis.event_type, axis.d, daily.v
+            FROM axis LEFT JOIN daily
+              ON axis.event_type = daily.event_type AND axis.d = daily.d
+        ),
+        bounds AS (
+            SELECT event_type, d, v,
+                   last_value(v IGNORE NULLS) OVER wb AS pv,
+                   last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+                       OVER wb AS pd,
+                   first_value(v IGNORE NULLS) OVER wf AS nv,
+                   first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+                       OVER wf AS nd
+            FROM sparse
+            WINDOW wb AS (PARTITION BY event_type ORDER BY d
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wf AS (PARTITION BY event_type ORDER BY d
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_type, d,
+               ROUND(CASE
+                   WHEN v IS NOT NULL THEN v
+                   WHEN pv IS NULL THEN nv
+                   WHEN nv IS NULL THEN pv
+                   ELSE pv + (nv - pv) * CAST(date_diff('day', pd, d) AS DOUBLE)
+                                       / CAST(date_diff('day', pd, nd) AS DOUBLE)
+               END, 6) AS v_interp
+        FROM bounds
+        ORDER BY event_type, d
+    """,
+    tags=("B5",),
+    doc="Linear interpolation over a gap-filled series: NULL holes get "
+    "prev + (next-prev) * elapsed/gap from the nearest known neighbors "
+    "(edge holes fall back to the single known side) — the numeric "
+    "upgrade of LOCF for sensor/metric series. Two IGNORE NULLS window "
+    "passes over the same per-key ordering: one shuffle, codegen only.",
+)
+def timeseries_linear_interp(spark, sf_dir):
+    daily = _daily_counts(spark, sf_dir)
+    axis = _dense_axis(daily)
+    sparse = axis.join(daily, ["event_type", "d"], "left")
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    kd = F.when(F.col("v").isNotNull(), F.col("d"))
+    bounds = sparse.select(
+        "event_type",
+        "d",
+        "v",
+        F.last("v", ignorenulls=True).over(wb).alias("pv"),
+        F.last(kd, ignorenulls=True).over(wb).alias("pd"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(kd, ignorenulls=True).over(wf).alias("nd"),
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * F.datediff("d", "pd").cast("double")
+            / F.datediff("nd", "pd").cast("double")
+        )
+    )
+    return bounds.select(
+        "event_type", "d", F.round(interp, 6).alias("v_interp")
+    ).orderBy("event_type", "d")

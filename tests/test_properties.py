@@ -173,3 +173,94 @@ def test_train_val_split_content_stable(spark):
     total = sum(base.values())
     train = sum(n for (s, sp), n in base.items() if sp == "train")
     assert 0.7 <= train / total <= 0.9
+
+
+def test_upsert_equals_relational_merge_random(spark, tmp_path):
+    """Seeded-random base tables + changesets: upsert_partitioned must equal
+    the declarative merge (survivors ∪ non-deleted changes) computed
+    independently in Python."""
+    import random
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.lake import upsert_partitioned
+
+    rng = random.Random(7)
+    for trial in range(3):
+        base = [
+            (i, f"n{rng.randrange(100)}", float(rng.randrange(1000)), f"p{rng.randrange(4)}")
+            for i in range(rng.randrange(20, 60))
+        ]
+        keys = [r[0] for r in base]
+        changes = []
+        for _ in range(rng.randrange(5, 25)):
+            if rng.random() < 0.6 and keys:
+                k = rng.choice(keys)  # update/delete an existing key
+                part = next(r[3] for r in base if r[0] == k)
+            else:
+                k = 1000 + rng.randrange(100)  # insert
+                part = f"p{rng.randrange(4)}"
+            changes.append((k, f"c{rng.randrange(100)}", float(rng.randrange(1000)), part,
+                            rng.random() < 0.25))
+        # dedupe changeset keys (no seq_col in this trial)
+        seen, dedup = set(), []
+        for c in changes:
+            if c[0] not in seen:
+                seen.add(c[0]); dedup.append(c)
+        changes = dedup
+
+        root = str(tmp_path / f"prop_upsert_{trial}")
+        spark.createDataFrame(base, ["id", "name", "val", "part"]).write.partitionBy(
+            "part"
+        ).parquet(root)
+        cdf = spark.createDataFrame(
+            changes, ["id", "name", "val", "part", "is_deleted"]
+        )
+        upsert_partitioned(
+            spark, root, cdf, key_cols=["id"], partition_cols=["part"],
+            delete_col="is_deleted",
+        )
+        got = {(r.id, r.name, r.val, r.part) for r in spark.read.parquet(root).collect()}
+        ckeys = {c[0] for c in changes}
+        want = {r for r in base if r[0] not in ckeys} | {
+            (k, n, v, p) for (k, n, v, p, d) in changes if not d
+        }
+        assert got == want, (trial, got ^ want)
+
+
+def test_scd2_interval_invariants_random(spark):
+    """Seeded-random change streams: per key, SCD2 versions must tile time
+    (no overlaps, no gaps between consecutive versions), close exactly at
+    change timestamps, and carry exactly one open/current row."""
+    import datetime as dt
+    import random
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.scd import scd2_apply
+
+    rng = random.Random(11)
+    t0 = dt.datetime(2020, 1, 1)
+    current = [
+        (k, f"attr{rng.randrange(10)}", t0, None, True) for k in range(8)
+    ]
+    changes = []
+    for k in range(8):
+        for _, ts_off in zip(range(rng.randrange(0, 4)), sorted(rng.sample(range(1, 1000), 3))):
+            changes.append((k, f"new{rng.randrange(10)}", t0 + dt.timedelta(days=ts_off)))
+    cur = spark.createDataFrame(
+        current,
+        "id long, attr string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    chg = spark.createDataFrame(changes, "id long, attr string, effective_ts timestamp")
+    dim = scd2_apply(cur, chg, key_cols=["id"]).collect()
+
+    by_key = {}
+    for r in dim:
+        by_key.setdefault(r.id, []).append(r)
+    changed_keys = {c[0] for c in changes}
+    for k, rows in by_key.items():
+        rows.sort(key=lambda r: r.valid_from)
+        opens = [r for r in rows if r.valid_to is None]
+        assert len(opens) == 1 and opens[-1] is rows[-1]
+        assert sum(r.is_current for r in rows) == 1 and rows[-1].is_current
+        for a, b in zip(rows, rows[1:]):
+            assert a.valid_to == b.valid_from, (k, a, b)  # tile: no gap/overlap
+        if k not in changed_keys:
+            assert len(rows) == 1

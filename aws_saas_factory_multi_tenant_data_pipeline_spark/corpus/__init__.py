@@ -207,6 +207,20 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "cohort_retention",
     "join_bucketed_colocated",
     "agg_bitwise",
+    # r4 additions, strongest first
+    "dedup_simhash_portable",
+    "lake_upsert_roundtrip",
+    "dim_scd2_apply",
+    "table_constraints_check",
+    "text_chunk_split",
+    "dedup_fuzzy_levenshtein",
+    "embedding_quality_stats",
+    "catalog_view_ctas",
+    "win_percentile_frames",
+    "timeseries_linear_interp",
+    "fn_string_wave4",
+    "fn_datetime_wave4",
+    "fn_bitwise_encoding",
 )
 
 

@@ -158,3 +158,61 @@ def agg_regression(spark, sf_dir):
             6,
         ).alias("r2"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "join_null_safe_eq",
+    oracle="""
+        WITH l AS (
+            SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg
+            FROM customer WHERE c_custkey <= 200),
+        r AS (
+            SELECT NULLIF(seg_name, 'BUILDING') AS seg, seg_code FROM (VALUES
+                ('AUTOMOBILE', 1), ('FURNITURE', 2), ('MACHINERY', 3),
+                ('HOUSEHOLD', 4), ('BUILDING', 5)) AS t(seg_name, seg_code))
+        SELECT l.c_custkey, l.seg, r.seg_code
+        FROM l JOIN r ON l.seg IS NOT DISTINCT FROM r.seg
+        ORDER BY l.c_custkey, r.seg_code
+    """,
+    tags=("B3", "B2"),
+    doc="Null-safe equality join (Spark <=> / eqNullSafe ≡ IS NOT DISTINCT "
+    "FROM): NULL keys MATCH each other instead of dropping — the semantic "
+    "corner plain equi-joins get wrong when keys are nullable. BUILDING "
+    "is nulled on both sides so the null-bucket join path is exercised.",
+)
+def join_null_safe_eq(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").where(F.col("c_custkey") <= 200)
+    l = c.select("c_custkey", F.nullif("c_mktsegment", F.lit("BUILDING")).alias("seg"))
+    r = spark.createDataFrame(
+        [("AUTOMOBILE", 1), ("FURNITURE", 2), ("MACHINERY", 3),
+         ("HOUSEHOLD", 4), ("BUILDING", 5)],
+        "seg_name string, seg_code int",
+    ).select(F.nullif("seg_name", F.lit("BUILDING")).alias("rseg"), "seg_code")
+    return (
+        l.join(r, l.seg.eqNullSafe(r.rseg))
+        .select("c_custkey", "seg", "seg_code")
+        .orderBy("c_custkey", "seg_code")
+    )
+
+
+@register(
+    "sort_limit_offset",
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20 OFFSET 30
+    """,
+    tags=("B6",),
+    doc="Keyset-free pagination: ORDER BY ... LIMIT 20 OFFSET 30 (Spark "
+    "DataFrame.offset + limit after a total sort — rows 31-50 of the "
+    "price ranking, o_orderkey tiebreak for determinism).",
+)
+def sort_limit_offset(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .offset(30)
+        .limit(20)
+    )

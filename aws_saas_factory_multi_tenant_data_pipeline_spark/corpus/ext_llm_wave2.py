@@ -609,3 +609,154 @@ def dedup_simhash_portable(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     return simhash_portable(d).orderBy("doc_id")
+
+
+@register(
+    "llm_corpus_prep_v2",
+    oracle=f"""
+        WITH norm AS (
+            SELECT doc_id, source, text, n_chars,
+                   {_DUCK_NORM} AS ntext,
+                   string_split({_DUCK_NORM}, ' ') AS ws
+            FROM documents),
+        qual AS (
+            SELECT doc_id FROM norm
+            WHERE n_chars BETWEEN 100 AND 2000
+              AND len(ws) >= 20
+              AND CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+                  / GREATEST(length(text), 1) < 0.1
+              AND CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+                  / GREATEST(len(ws), 1) BETWEEN 2.0 AND 12.0),
+        survivors AS (
+            SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        eval_h AS (
+            SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 7 = 0),
+        langs AS (
+            SELECT doc_id,
+                   len(list_intersect(list_distinct(ws),
+                       ['the','a','and','of','to','in','is','it','that','for'])) AS s_en,
+                   len(list_intersect(list_distinct(ws),
+                       ['der','die','das','und','ist','ein','eine','zu','den','von'])) AS s_de,
+                   len(list_intersect(list_distinct(ws),
+                       ['el','la','de','que','y','en','un','una','los','por'])) AS s_es,
+                   len(list_intersect(list_distinct(ws),
+                       ['le','la','de','et','un','une','les','des','est','pour'])) AS s_fr
+            FROM norm),
+        en_docs AS (
+            SELECT doc_id FROM langs
+            WHERE GREATEST(s_de, s_en, s_es, s_fr) > 0
+              AND s_en = GREATEST(s_de, s_en, s_es, s_fr) AND s_de < s_en),
+        kept AS (
+            SELECT n.doc_id, n.source, n.ws FROM norm n
+            JOIN qual USING (doc_id)
+            JOIN survivors USING (doc_id)
+            JOIN en_docs USING (doc_id)
+            WHERE md5(n.text) NOT IN (SELECT h FROM eval_h)),
+        chunks AS (
+            SELECT doc_id, source,
+                   CAST(s / 48 AS BIGINT) AS chunk_id,
+                   len(ws[s + 1 : s + 64]) AS n_toks
+            FROM (SELECT doc_id, source, ws,
+                         unnest(generate_series(0, GREATEST(len(ws) - 1, 0), 48)) AS s
+                  FROM kept)),
+        packed AS (
+            SELECT doc_id, source, chunk_id, n_toks,
+                   CAST(FLOOR((SUM(n_toks) OVER (PARTITION BY source
+                        ORDER BY doc_id, chunk_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks)
+                        / 2048) AS BIGINT) AS seq_bin,
+                   CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                             || CAST(chunk_id AS VARCHAR) || ':prep2-seed'), 1, 4))
+                             AS INTEGER) % 100 < 90 THEN 'train' ELSE 'val' END AS split
+            FROM chunks)
+        SELECT source, split, seq_bin,
+               COUNT(*) AS n_chunks,
+               CAST(SUM(n_toks) AS BIGINT) AS bin_tokens
+        FROM packed
+        GROUP BY source, split, seq_bin
+        ORDER BY source, split, seq_bin
+    """,
+    tags=("B10",),
+    doc="Corpus-prep flagship v2 — the r4 pipeline end-to-end in ONE "
+    "declarative plan: composite quality gate -> exact-dedup survivors "
+    "(min-id per content hash) -> eval decontamination (hash anti-join) "
+    "-> English language gate (stopword argmax, strict de<en tie rule) "
+    "-> 64/16 overlapping chunking -> next-fit 2048-token sequence "
+    "packing per source -> deterministic 90/10 train/val split per "
+    "chunk. Every stage is a projection, hash semi/anti-join, or one "
+    "keyed window — the whole pipeline is THREE shuffles (dedup "
+    "group, decontam join, pack window+final agg share the source "
+    "key) regardless of corpus size.",
+)
+def llm_corpus_prep_v2(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import tokens
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.text import (
+        chunk_documents,
+        language_id,
+        quality_features,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    qual = quality_features(d).where(
+        F.col("n_chars").between(100, 2000)
+        & (F.col("n_tokens") >= 20)
+        & (F.col("punct_ratio") < 0.1)
+        & F.col("mean_word_len").between(2.0, 12.0)
+    ).select("doc_id")
+    survivors = d.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    eval_h = d.where(F.pmod("doc_id", F.lit(7)) == 0).select(F.md5("text").alias("h")).distinct()
+    en_docs = language_id(d).where(F.col("pred_lang") == "en").select("doc_id")
+    kept = (
+        d.join(qual, "doc_id")
+        .join(survivors, "doc_id")
+        .join(en_docs, "doc_id")
+        .join(eval_h, F.md5(d["text"]) == F.col("h"), "left_anti")
+        .select("doc_id", "source", "text")
+    )
+    chunks = chunk_documents(kept, chunk_tokens=64, overlap=16).join(
+        kept.select("doc_id", "source"), "doc_id"
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("chunk_id").cast("string"),
+                        F.lit(":prep2-seed"),
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(100),
+    )
+    packed = chunks.select(
+        "source",
+        "doc_id",
+        "chunk_id",
+        F.col("n_chunk_tokens").alias("n_toks"),
+        F.floor(
+            (F.sum("n_chunk_tokens").over(w) - F.col("n_chunk_tokens")) / 2048
+        ).cast("long").alias("seq_bin"),
+        F.when(bucket < 90, "train").otherwise("val").alias("split"),
+    )
+    return (
+        packed.groupBy("source", "split", "seq_bin")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_toks").cast("long").alias("bin_tokens"),
+        )
+        .orderBy("source", "split", "seq_bin")
+    )

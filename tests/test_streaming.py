@@ -577,3 +577,76 @@ def test_late_drop_stream_matches_twin(spark, tmp_path):
     # had it survived, the already-emitted 09:45 window would re-emit.
     assert sum(n for _, n in want) == 7
     assert want[0] == (p("2024-01-01T09:45:00"), 1)
+
+
+def test_windowed_agg_checkpoint_restart_no_duplicates(spark, tmp_path):
+    """Append-mode windowed aggregation across a clean stop + restart from
+    the same checkpoint: previously-emitted windows must not re-emit, and
+    the combined output equals a single-run batch aggregation of all
+    closed windows."""
+    src = str(tmp_path / "ck_win_src")
+    out = str(tmp_path / "ck_win_out")
+    ckpt = str(tmp_path / "ck_win_ckpt")
+    os.makedirs(src, exist_ok=True)
+    schema = T.StructType(
+        [T.StructField("event_type", T.StringType()), T.StructField("ts", T.TimestampType())]
+    )
+
+    def write_file(name, stamps, mtime):
+        path = os.path.join(src, name)
+        with open(path, "w") as f:
+            for s in stamps:
+                f.write(json.dumps({"event_type": "view", "ts": s + ".000Z"}) + "\n")
+        os.utime(path, (mtime, mtime))
+
+    def run_stream():
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").json(src)
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "15 minutes"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select("window.start", "event_type", "n")
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: two files; windows up to the watermark close and land in out
+    write_file("b0.json", ["2024-01-01T10:01:00", "2024-01-01T10:05:00"], 1_700_000_000)
+    write_file("b1.json", ["2024-01-01T10:31:00", "2024-01-01T10:40:00"], 1_700_000_060)
+    run_stream()
+    first = spark.read.parquet(out).count()
+    # run 2: restart from the same checkpoint with one more file
+    write_file("b2.json", ["2024-01-01T11:02:00", "2024-01-01T11:20:00"], 1_700_000_120)
+    run_stream()
+    got = (
+        spark.read.parquet(out)
+        .groupBy("start", "event_type")
+        .agg(F.sum("n").alias("n"), F.count("*").alias("emissions"))
+        .collect()
+    )
+    # no window row emitted twice across the restart
+    assert all(r.emissions == 1 for r in got), got
+    assert len(got) > first >= 1
+    # combined output = batch agg of windows closed by the final watermark
+    batch = spark.read.schema(schema).json(src)
+    final_wm = batch.agg(F.max("ts")).collect()[0][0] - __import__("datetime").timedelta(
+        minutes=10
+    )
+    want = {
+        ((r.ws), r.n)
+        for r in batch.groupBy(
+            F.window("ts", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), F.col("w.end").alias("we"), "n")
+        .where(F.col("we") <= F.lit(final_wm))
+        .collect()
+    }
+    assert {(r.start, r.n) for r in got} == want, (got, want)

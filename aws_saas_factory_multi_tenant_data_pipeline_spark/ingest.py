@@ -152,10 +152,17 @@ def ingest_batch(
     Works on a batch or streaming DataFrame of raw JSON strings.
     """
     checked = validate_raw(raw, json_col=json_col, strict_types=strict_types)
-    quarantine = checked.where(~F.col("_valid")).select(
+    # carry the (server-side) tenant identity into quarantine when present:
+    # without it dead-lettered records can never be re-attributed on a
+    # reprocess (lake.reprocess_quarantine) — the reference's error/ dir
+    # loses it, which is exactly the operational gap this closes
+    quarantine_cols = [
         F.col(json_col).alias("raw_record"),
         F.lit("validation-failed").alias("error_type"),
-    )
+    ]
+    if "tenant_id" in checked.columns:
+        quarantine_cols.insert(0, F.col("tenant_id"))
+    quarantine = checked.where(~F.col("_valid")).select(*quarantine_cols)
     valid = checked.where(F.col("_valid"))
     enriched = with_partition_cols(enrich(valid, tenant, ingest_ts=ingest_ts))
     ordered = enriched.select("event", "region", "device", "TenantId", "timestamp", *PARTITION_COLS)

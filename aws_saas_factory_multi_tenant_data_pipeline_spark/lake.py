@@ -345,3 +345,79 @@ def upsert_partitioned(
     merged = survivors.unionByName(apply_rows.select(*survivors.columns))
     write_lake_overwrite_partitions(merged, root, fmt=fmt, partition_cols=pcols)
     return len(keys)
+
+
+def reprocess_quarantine(
+    spark: SparkSession,
+    root: str,
+    error_type: str = "validation-failed",
+    strict_types: bool = True,
+    ingest_ts: int | None = None,
+) -> tuple[int, int]:
+    """A5 repair loop: re-drive dead-lettered records through the (fixed)
+    ingest gate and merge the recovered ones into the lake.
+
+    Reads ``<root>/error/<error_type>/``, re-runs the full batch ingest
+    (validate → enrich → partition) on the raw records — after an
+    upstream fix this typically means a corrected parser or a relaxed
+    ``strict_types`` — appends recovered rows to the lake, and REWRITES
+    the quarantine directory with only the still-failing remainder
+    (rename-aside swap, same crash-safety recipe as compact_partitions).
+    Requires the quarantine rows to carry ``tenant_id`` (ingest_batch
+    writes it when the source had one); rows without it cannot be
+    re-attributed and are kept quarantined.
+
+    Returns ``(n_recovered, n_remaining)``. Scale: the quarantine is by
+    construction a tiny fraction of the corpus; both passes are one scan
+    of it plus the normal partitioned append.
+    """
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.ingest import ingest_batch
+
+    qdir = os.path.join(root, "error", error_type)
+    if not os.path.exists(qdir):
+        return (0, 0)
+    q = spark.read.json(qdir)
+    if "raw_record" not in q.columns:
+        return (0, 0)
+    attributable = (
+        q.where(F.col("tenant_id").isNotNull())
+        if "tenant_id" in q.columns
+        else q.limit(0)
+    )
+    orphans = (
+        q.where(F.col("tenant_id").isNull()) if "tenant_id" in q.columns else q
+    )
+    redriven = ingest_batch(
+        attributable.select("tenant_id", F.col("raw_record").alias("raw")),
+        strict_types=strict_types,
+        ingest_ts=ingest_ts,
+    )
+    recovered = redriven.valid
+    n_recovered = recovered.count()
+    if n_recovered:
+        write_lake(recovered, root)
+    remaining = redriven.quarantine.select("tenant_id", "raw_record", "error_type")
+    if "tenant_id" in q.columns:
+        remaining = remaining.unionByName(
+            orphans.select(
+                "tenant_id", "raw_record", F.coalesce("error_type", F.lit(error_type)).alias("error_type")
+            )
+        )
+    # quarantine is tiny by contract — materialize before the dir swap so
+    # the rewrite never reads the tree it is replacing
+    rows = remaining.collect()
+    import shutil
+
+    tmp = qdir.rstrip("/") + "__redrive_tmp"
+    old = qdir.rstrip("/") + "__redrive_old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    if rows:
+        spark.createDataFrame(rows, remaining.schema).coalesce(1).write.format("json").save(tmp)
+        os.rename(qdir, old)
+        os.rename(tmp, qdir)
+        shutil.rmtree(old)
+    else:
+        os.rename(qdir, old)
+        shutil.rmtree(old)
+    return (n_recovered, len(rows) if rows else 0)

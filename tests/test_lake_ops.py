@@ -335,3 +335,45 @@ def test_upsert_partitioned_creates_new_partition(spark, tmp_path):
     assert n == 1
     got = {(r.id, r.name, r.part) for r in spark.read.parquet(root).collect()}
     assert got == {(1, "a", "p1"), (9, "z", "p9")}
+
+
+def test_reprocess_quarantine_recovers_fixed_records(spark, tmp_path):
+    """A5 repair loop: coerced-type rows quarantined by the strict gate are
+    recovered under a relaxed gate and land in the lake with their tenant;
+    truly-malformed JSON stays quarantined; re-running is a no-op."""
+    import json as _json
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.ingest import ingest_batch
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.lake import (
+        reprocess_quarantine,
+        write_lake,
+        write_quarantine,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.sources import read_lake
+
+    root = str(tmp_path / "redrive_lake")
+    rows = [
+        ("t0", _json.dumps({"Data": {"device": "TV", "event": "ok", "region": "US"}})),
+        ("t1", _json.dumps({"Data": {"device": 123, "event": "coerced", "region": "US"}})),
+        ("t1", "{not json"),
+    ]
+    raw = spark.createDataFrame(rows, "tenant_id string, raw string")
+    res = ingest_batch(raw, ingest_ts=1700000000)
+    write_lake(res.valid, root)
+    write_quarantine(res.quarantine, root, "validation-failed")
+    assert read_lake(spark, root).count() == 1
+    assert spark.read.json(os.path.join(root, "error", "validation-failed")).count() == 2
+
+    # upstream fix = relaxed type gate; numeric device now coerces to string
+    n_rec, n_rem = reprocess_quarantine(
+        spark, root, strict_types=False, ingest_ts=1700000000
+    )
+    assert (n_rec, n_rem) == (1, 1)
+    lake = read_lake(spark, root)
+    assert lake.count() == 2
+    assert {r.TenantId for r in lake.collect()} == {"t0", "t1"}
+    left = spark.read.json(os.path.join(root, "error", "validation-failed"))
+    assert left.count() == 1 and left.collect()[0].tenant_id == "t1"
+
+    # idempotent: nothing more recoverable under the same gate
+    assert reprocess_quarantine(spark, root, strict_types=False, ingest_ts=1700000000) == (0, 1)

@@ -421,3 +421,28 @@ def reprocess_quarantine(
         os.rename(qdir, old)
         shutil.rmtree(old)
     return (n_recovered, len(rows) if rows else 0)
+
+
+def delete_tenant(spark: SparkSession, root: str, tenant_id: str, table: str | None = None) -> int:
+    """Tenant offboarding / right-to-erasure: drop a tenant's entire
+    partition subtree from the lake (physical isolation makes this an
+    O(1)-per-partition directory removal, no rewrite of other tenants'
+    data — THE operational payoff of tenant-first partitioning), then
+    resync the catalog if a table is registered.
+
+    Returns the number of partition directories removed. At object-store
+    scale the same call is a prefix delete on ``tenant=<id>/``.
+    """
+    import shutil
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.tenancy import TenantContext
+
+    TenantContext(tenant_id)  # same identity rule as ingest; rejects path shapes
+    victim = os.path.join(root, f"tenant={tenant_id}")
+    n = 0
+    if os.path.exists(victim):
+        n = sum(len(dirs) == 0 for _, dirs, _ in os.walk(victim))
+        shutil.rmtree(victim)
+    if table is not None:
+        refresh_table(spark, table)
+    return n

@@ -377,3 +377,38 @@ def test_reprocess_quarantine_recovers_fixed_records(spark, tmp_path):
 
     # idempotent: nothing more recoverable under the same gate
     assert reprocess_quarantine(spark, root, strict_types=False, ingest_ts=1700000000) == (0, 1)
+
+
+def test_delete_tenant_removes_only_that_subtree(spark, tmp_path):
+    """Offboarding drops exactly the tenant's partitions; other tenants'
+    data and the catalog stay consistent; invalid tenant ids refuse."""
+    import json as _json
+
+    import pytest
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.ingest import ingest_batch
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.lake import delete_tenant, write_lake
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.sources import read_lake
+
+    root = str(tmp_path / "offboard_lake")
+    rows = [
+        (f"t{i % 3}", _json.dumps({"Data": {"device": "TV", "event": f"e{i}", "region": "US"}}))
+        for i in range(30)
+    ]
+    raw = spark.createDataFrame(rows, "tenant_id string, raw string")
+    write_lake(ingest_batch(raw, ingest_ts=1700000000).valid, root)
+    assert read_lake(spark, root).count() == 30
+
+    n = delete_tenant(spark, root, "t1")
+    assert n >= 1
+    left = read_lake(spark, root)
+    assert left.count() == 20
+    assert set(r.tenant for r in left.select("tenant").distinct().collect()) == {"t0", "t2"}
+    # second delete is a no-op; dashed ids (valid tenants) are accepted;
+    # path-traversal shapes refuse
+    assert delete_tenant(spark, root, "t1") == 0
+    assert delete_tenant(spark, root, "tenant-77") == 0
+    with pytest.raises(Exception):
+        delete_tenant(spark, root, "../t0")
+    with pytest.raises(Exception):
+        delete_tenant(spark, root, "t0/..")

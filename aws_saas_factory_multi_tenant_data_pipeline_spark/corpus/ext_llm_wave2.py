@@ -760,3 +760,61 @@ def llm_corpus_prep_v2(spark, sf_dir):
         )
         .orderBy("source", "split", "seq_bin")
     )
+
+
+def _canonical_oracle() -> str:
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus import (
+        REGISTRY,
+        ext_llm,  # noqa: F401 — registers the component queries
+    )
+
+    clusters = REGISTRY["dedup_clusters_resolve"].oracle
+    scores = REGISTRY["text_quality_model_score"].oracle
+    return f"""
+        SELECT cluster_id,
+               COUNT(*) AS n_members,
+               arg_max(node_id, quality_score + 1.0 / (1000.0 + node_id)) AS keep_doc,
+               ROUND(MAX(quality_score), 6) AS keep_score
+        FROM ({clusters}) c
+        JOIN ({scores}) s ON s.doc_id = c.node_id
+        GROUP BY cluster_id
+        ORDER BY cluster_id
+    """
+
+
+@register(
+    "dedup_select_canonical",
+    oracle=_canonical_oracle(),
+    tags=("B10",),
+    doc="Canonical-survivor selection: near-dup clusters keep their "
+    "HIGHEST-QUALITY member (model quality score, id-decay tiebreak "
+    "toward the lower doc_id), not the arbitrary min-id - the policy "
+    "that actually matters when deduping a training corpus. Composes "
+    "cluster resolution (recursive-CTE oracle) with the quality model; "
+    "one keyed argmax over the cluster id.",
+)
+def dedup_select_canonical(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.text import (
+        quality_model_score,
+    )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    clusters = dedup_clusters(ngram_jaccard_pairs(d, threshold=0.2))
+    scored = quality_model_score(d).select("doc_id", "quality_score")
+    member = clusters.join(scored, clusters.node_id == scored.doc_id).select(
+        "cluster_id", "node_id", "quality_score"
+    )
+    pref = F.col("quality_score") + 1.0 / (1000.0 + F.col("node_id"))
+    return (
+        member.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.max_by("node_id", pref).alias("keep_doc"),
+            F.round(F.max("quality_score"), 6).alias("keep_score"),
+        )
+        .orderBy("cluster_id")
+    )

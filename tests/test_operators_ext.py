@@ -614,3 +614,46 @@ def test_simhash_portable_locality_and_range(spark):
     near, far = d[0].h, d[1].h
     assert near < far, (near, far)
     assert near <= 20  # one token of ~14 flips few bit votes
+
+
+def test_multimodal_real_decode_ppm_and_wav(spark):
+    """PPM and PCM-WAV payloads take the REAL decode path (pixel/sample
+    arrays summarized into features, decoded=true); compressed formats
+    keep the deterministic digest stub (decoded=false)."""
+    import io
+    import struct
+    import wave as wave_mod
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+    )
+
+    ppm = b"P6\n# comment\n2 1\n255\n" + bytes([255, 0, 0, 0, 255, 0])
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(struct.pack("<4h", 0, 16384, 0, -16384))
+    wav = buf.getvalue()
+    rows = [
+        (1, "image", ppm, {"width": 2, "height": 1, "sample_rate": None, "n_frames": None, "mime": "image/x-portable-pixmap"}),
+        (2, "audio", wav, {"width": None, "height": None, "sample_rate": 16000, "n_frames": None, "mime": "audio/wav"}),
+        (3, "image", b"\x89PNGfake", {"width": 1, "height": 1, "sample_rate": None, "n_frames": None, "mime": "image/png"}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r.media_id: r for r in extract_features(media).collect()}
+    # PPM: dims + per-channel means of (red, green) pixels
+    f1 = feats[1]
+    assert f1.decoded
+    assert [round(v, 6) for v in f1.feature] == [0.0002, 0.0001, 0.5, 0.5, 0.0, 0.5, 0.5, 0.0]
+    # WAV: sample_rate/1e5, n/1e6, mean, rms, min, max, zcr, channels/10
+    f2 = feats[2]
+    assert f2.decoded
+    assert round(f2.feature[0], 6) == 0.16
+    assert round(f2.feature[3], 6) == 0.353553  # rms of 0,±0.5
+    assert round(f2.feature[4], 6) == -0.5 and round(f2.feature[5], 6) == 0.5
+    # compressed: stub path, flagged
+    assert not feats[3].decoded
+    assert len(feats[3].feature) == 8

@@ -818,3 +818,74 @@ def dedup_select_canonical(spark, sf_dir):
         )
         .orderBy("cluster_id")
     )
+
+
+@register(
+    "multimodal_ppm_decode",
+    oracle="""
+        WITH img AS (
+            SELECT doc_id,
+                   doc_id % 9 AS k_r,
+                   (doc_id * 3) % 9 AS k_g,
+                   (doc_id * 5) % 9 AS k_b
+            FROM documents WHERE doc_id < 100)
+        SELECT doc_id,
+               TRUE AS decoded,
+               CAST(4 AS BIGINT) AS w,
+               CAST(2 AS BIGINT) AS h,
+               CAST(k_r AS DOUBLE) / 8 AS mean_r,
+               CAST(k_g AS DOUBLE) / 8 AS mean_g,
+               CAST(k_b AS DOUBLE) / 8 AS mean_b
+        FROM img
+        ORDER BY doc_id
+    """,
+    tags=("B10",),
+    doc="REAL image decode, oracle-checked: a 4x2 ascii PPM (P3) is "
+    "synthesized per doc — channel c has (doc_id * {{1,3,5}}) % 9 white "
+    "pixels — the payload goes through the actual numpy PPM parser "
+    "(operators.multimodal.decode_ppm) inside the Arrow mapInPandas "
+    "path, and the oracle states the channel means the decoder must "
+    "recover. Means are eighths (exactly representable in float32), so "
+    "the decode is compared value-equal, not approximately.",
+)
+def multimodal_ppm_decode(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,  # noqa: F401 — documents the canonical shape
+        extract_features,
+    )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    pos = F.sequence(F.lit(0), F.lit(7))
+    def chan(mult):
+        k = F.pmod(F.col("doc_id") * mult, F.lit(9))
+        return k
+    px = F.transform(
+        pos,
+        lambda i: F.concat_ws(
+            " ",
+            F.when(i < chan(1), F.lit("255")).otherwise(F.lit("0")),
+            F.when(i < chan(3), F.lit("255")).otherwise(F.lit("0")),
+            F.when(i < chan(5), F.lit("255")).otherwise(F.lit("0")),
+        ),
+    )
+    payload = F.encode(
+        F.concat(F.lit("P3\n4 2\n255\n"), F.array_join(px, " ")), "utf-8"
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        payload.alias("payload"),
+        F.lit(None)
+        .cast("struct<width:int,height:int,sample_rate:int,n_frames:int,mime:string>")
+        .alias("meta"),
+    )
+    feats = extract_features(media)
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        "decoded",
+        F.round(F.element_at("feature", 1) * 10000, 0).cast("long").alias("w"),
+        F.round(F.element_at("feature", 2) * 10000, 0).cast("long").alias("h"),
+        F.element_at("feature", 3).cast("double").alias("mean_r"),
+        F.element_at("feature", 4).cast("double").alias("mean_g"),
+        F.element_at("feature", 5).cast("double").alias("mean_b"),
+    ).orderBy("doc_id")

@@ -889,3 +889,78 @@ def multimodal_ppm_decode(spark, sf_dir):
         F.element_at("feature", 4).cast("double").alias("mean_g"),
         F.element_at("feature", 5).cast("double").alias("mean_b"),
     ).orderBy("doc_id")
+
+
+# 44-byte PCM WAV header: mono, 16-bit, 8000 Hz, 8 samples (16 data bytes)
+_WAV_HDR_HEX = (
+    "524946463400000057415645666D7420100000000100010040"
+    "1F0000803E0000020010006461746110000000"
+)
+
+
+@register(
+    "multimodal_wav_decode",
+    oracle="""
+        WITH sig AS (
+            SELECT doc_id,
+                   len(list_filter(generate_series(0, 7),
+                       i -> (doc_id >> i) & 1 = 1)) AS n_plus
+            FROM documents WHERE doc_id < 100)
+        SELECT doc_id,
+               TRUE AS decoded,
+               CAST(8000 AS BIGINT) AS sample_rate,
+               CAST(8 AS BIGINT) AS n_samples,
+               CAST(n_plus AS DOUBLE) / 16 - CAST(8 - n_plus AS DOUBLE) / 16 AS mean_amp,
+               0.5 AS rms,
+               CASE WHEN n_plus = 8 THEN 0.5 ELSE -0.5 END AS min_amp,
+               CASE WHEN n_plus = 0 THEN -0.5 ELSE 0.5 END AS max_amp
+        FROM sig
+        ORDER BY doc_id
+    """,
+    tags=("B10",),
+    doc="REAL audio decode, oracle-checked (the WAV twin of "
+    "multimodal_ppm_decode): an 8-sample 16-bit PCM WAV is synthesized "
+    "per doc via unhex — sample i is +0.5 when bit i of doc_id is set, "
+    "else -0.5 — decoded by the actual stdlib-wave parser inside the "
+    "Arrow mapInPandas path, and the oracle states sample rate, count, "
+    "mean, RMS and extremes the decoder must recover. All values are "
+    "sixteenths, exactly representable in float32 → value-equal compare "
+    "(zero-crossing rate, a /7 fraction, is deliberately excluded).",
+)
+def multimodal_wav_decode(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    pos = F.sequence(F.lit(0), F.lit(7))
+    samples = F.transform(
+        pos,
+        lambda i: F.when(
+            F.col("doc_id").bitwiseAND(
+                F.pow(F.lit(2.0), i.cast("double")).cast("long")
+            )
+            != 0,
+            F.lit("0040"),  # +16384 little-endian
+        ).otherwise(F.lit("00C0")),  # -16384
+    )
+    payload = F.unhex(F.concat(F.lit(_WAV_HDR_HEX), F.array_join(samples, "")))
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        payload.alias("payload"),
+        F.lit(None)
+        .cast("struct<width:int,height:int,sample_rate:int,n_frames:int,mime:string>")
+        .alias("meta"),
+    )
+    feats = extract_features(media)
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        "decoded",
+        F.round(F.element_at("feature", 1) * 100000, 0).cast("long").alias("sample_rate"),
+        F.round(F.element_at("feature", 2) * 1000000, 0).cast("long").alias("n_samples"),
+        F.element_at("feature", 3).cast("double").alias("mean_amp"),
+        F.element_at("feature", 4).cast("double").alias("rms"),
+        F.element_at("feature", 5).cast("double").alias("min_amp"),
+        F.element_at("feature", 6).cast("double").alias("max_amp"),
+    ).orderBy("doc_id")

@@ -8,6 +8,7 @@ deterministic (derandomize) so CI never flakes.
 from __future__ import annotations
 
 import datetime as dt
+import json
 
 from hypothesis import HealthCheck, given, settings, strategies as st
 
@@ -264,3 +265,57 @@ def test_scd2_interval_invariants_random(spark):
             assert a.valid_to == b.valid_from, (k, a, b)  # tile: no gap/overlap
         if k not in changed_keys:
             assert len(rows) == 1
+
+
+@st.composite
+def raw_payload(draw):
+    """Arbitrary request payloads: valid envelopes, wrong-typed fields,
+    missing fields, extra fields, wrong nesting, or non-JSON garbage."""
+    shape = draw(st.sampled_from(["valid", "typed", "missing", "extra", "flat", "garbage"]))
+    txt = st.text(
+        alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd"), max_codepoint=0x7F),
+        min_size=1,
+        max_size=8,
+    )
+    if shape == "garbage":
+        return draw(st.sampled_from(["{oops", "", "[1,2]", "null", '"str"', "12"]))
+    data = {"device": draw(txt), "event": draw(txt), "region": draw(txt)}
+    if shape == "typed":
+        field = draw(st.sampled_from(["device", "event", "region"]))
+        data[field] = draw(st.sampled_from([123, 1.5, True, None, ["x"]]))
+    elif shape == "missing":
+        del data[draw(st.sampled_from(["device", "event", "region"]))]
+    elif shape == "extra":
+        data["extra_field"] = draw(txt)
+    if shape == "flat":
+        return json.dumps(data)  # Data wrapper absent
+    return json.dumps({"Data": data})
+
+
+def _reference_valid(raw: str) -> bool:
+    """Independent Python statement of the A8 contract
+    (apigateway-stack.ts:91-136): the payload must parse, carry an object
+    Data, and Data.device/event/region must all be present strings."""
+    try:
+        obj = json.loads(raw)
+    except Exception:
+        return False
+    if not isinstance(obj, dict) or not isinstance(obj.get("Data"), dict):
+        return False
+    d = obj["Data"]
+    return all(isinstance(d.get(k), str) for k in ("device", "event", "region"))
+
+
+@settings(**SETTINGS)
+@given(st.lists(raw_payload(), min_size=1, max_size=12))
+def test_strict_gate_matches_reference_classifier(spark, payloads):
+    """Fuzz A8: the strict gate's valid/quarantine split must agree with an
+    independent Python implementation of the contract on every payload —
+    and never crash, whatever the input shape."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.ingest import validate_raw
+
+    rows = [(f"t{i % 3}", p) for i, p in enumerate(payloads)]
+    raw = spark.createDataFrame(rows, "tenant_id string, raw string")
+    got = validate_raw(raw).select("raw", "_valid").collect()
+    for r in got:
+        assert r._valid == _reference_valid(r.raw), r.raw

@@ -451,3 +451,130 @@ def simhash_portable(
         term = F.when(F.col(f"__b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def build_dedup_index(
+    df: DataFrame,
+    root: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the dedup index for a corpus: one row per (doc, band) with
+    the content md5 and the band signature — everything incremental
+    dedup needs to test NEW documents against the corpus WITHOUT ever
+    re-reading or re-shingling it. At 100 TB this index is the thing you
+    maintain; recomputing signatures per batch is the naive O(corpus)
+    trap. Laid out partitioned by band_idx so a batch's candidate lookup
+    prunes to the bands it actually probes.
+    """
+    r = num_hashes // bands
+    shs = with_shingle_col(df, text_col, shingle_k).select(
+        F.col(id_col), F.col(text_col), F.col("__shingles")
+    )
+    sigs = _signatures_from_shingles(
+        shs.select(id_col, "__shingles"), id_col, num_hashes
+    )
+    banded = sigs.select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(",", *[F.col(f"mh{i}") for i in range(b * r, (b + 1) * r)])
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    index = banded.join(
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_md5")), id_col
+    )
+    (
+        index.repartition("band_idx")
+        .write.mode(mode)
+        .partitionBy("band_idx")
+        .parquet(root)
+    )
+
+
+def incremental_near_duplicates(
+    new_df: DataFrame,
+    index_root: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    update_index: bool = True,
+) -> DataFrame:
+    """Dedup a NEW batch against the persisted corpus index: exact dups by
+    content md5, near-dup candidates by band-signature equi-join — cost
+    is O(batch) + the index join, never O(corpus) recompute. Returns
+    (new_id, matched_id, match_type) with match_type 'exact'|'near';
+    when ``update_index`` the batch's own rows are appended to the index
+    so the next batch sees them.
+
+    Near candidates here are band-collision candidates (the LSH
+    contract); callers needing verified Jaccard re-check candidate pairs
+    only — a tiny fraction of the batch.
+    """
+    spark = new_df.sparkSession
+    r = num_hashes // bands
+    index = spark.read.parquet(index_root)
+    shs = with_shingle_col(new_df, text_col, shingle_k).select(
+        F.col(id_col), F.col(text_col), F.col("__shingles")
+    )
+    sigs = _signatures_from_shingles(
+        shs.select(id_col, "__shingles"), id_col, num_hashes
+    )
+    banded = sigs.select(
+        F.col(id_col).alias("new_id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(",", *[F.col(f"mh{i}") for i in range(b * r, (b + 1) * r)])
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    new_md5 = new_df.select(
+        F.col(id_col).alias("new_id"), F.md5(F.col(text_col)).alias("content_md5")
+    )
+    exact = (
+        new_md5.join(
+            index.select("content_md5", F.col(id_col).alias("matched_id")).distinct(),
+            "content_md5",
+        )
+        .select("new_id", "matched_id", F.lit("exact").alias("match_type"))
+        .distinct()
+    )
+    near = (
+        banded.join(
+            index.select(
+                "band_idx", "band_hash", F.col(id_col).alias("matched_id")
+            ),
+            ["band_idx", "band_hash"],
+        )
+        .select("new_id", "matched_id", F.lit("near").alias("match_type"))
+        .distinct()
+        .join(exact.select("new_id", "matched_id"), ["new_id", "matched_id"], "left_anti")
+        .select("new_id", "matched_id", F.lit("near").alias("match_type"))
+    )
+    result = exact.unionByName(near).orderBy("new_id", "matched_id", "match_type")
+    if update_index:
+        # materialize matches BEFORE appending, so the result never
+        # reports the batch matching itself through the refreshed index
+        result = spark.createDataFrame(result.collect(), result.schema)
+        build_dedup_index(
+            new_df, index_root, text_col, id_col, num_hashes, bands, shingle_k,
+            mode="append",
+        )
+    return result

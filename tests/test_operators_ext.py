@@ -657,3 +657,53 @@ def test_multimodal_real_decode_ppm_and_wav(spark):
     # compressed: stub path, flagged
     assert not feats[3].decoded
     assert len(feats[3].feature) == 8
+
+
+def test_incremental_dedup_against_persisted_index(spark, tmp_path):
+    """Batch-over-batch dedup without corpus recompute: exact and near
+    matches against the index; the index absorbs each batch so later
+    batches match earlier ones; unrelated docs match nothing."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_near_duplicates,
+    )
+
+    idx = str(tmp_path / "dedup_idx")
+    base_text = (
+        "the quick brown fox jumps over the lazy dog while the rain "
+        "in spain falls mainly on the plain and the cat sat on the mat"
+    )
+    corpus = spark.createDataFrame(
+        [(1, base_text), (2, "a completely different document about spark shuffles "
+                             "and exchanges and partitions in a cluster")],
+        "doc_id long, text string",
+    )
+    build_dedup_index(corpus, idx)
+
+    batch1 = spark.createDataFrame(
+        [
+            (10, base_text),                                  # exact dup of 1
+            (11, base_text.replace("cat", "kitten")),         # near dup of 1
+            (12, "entirely novel content nothing shares any shingle here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.new_id, r.matched_id, r.match_type)
+        for r in incremental_near_duplicates(batch1, idx).collect()
+    }
+    assert (10, 1, "exact") in got
+    assert (11, 1, "near") in got
+    assert all(nid != 12 for nid, _, _ in got)
+    # exact matches are not double-reported as near
+    assert (10, 1, "near") not in got
+
+    # batch 2 duplicates a BATCH-1 doc — visible only via the index update
+    batch2 = spark.createDataFrame(
+        [(20, base_text.replace("cat", "kitten"))], "doc_id long, text string"
+    )
+    got2 = {
+        (r.new_id, r.matched_id, r.match_type)
+        for r in incremental_near_duplicates(batch2, idx).collect()
+    }
+    assert (20, 11, "exact") in got2

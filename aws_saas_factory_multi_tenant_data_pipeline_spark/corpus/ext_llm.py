@@ -324,10 +324,17 @@ def text_tfidf_top_terms(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # df via a whole-partition window count over tf, not a second explode
+    # pass: tf already holds one row per distinct (doc_id, term), so
+    # COUNT(*) OVER (PARTITION BY term) == COUNT(DISTINCT doc_id) per term.
+    # One scan of the raw text instead of two (exchange reuse does not fire
+    # here — column pruning makes the two agg subtrees differ), and no
+    # tf⋈df join: the window reuses the same by-term shuffle the join
+    # would have needed anyway.
     n_docs = d.select(F.countDistinct("doc_id").alias("n_docs"))
+    w_term = W.partitionBy("term")
     scored = (
-        tf.join(df, "term")
+        tf.withColumn("df", F.count("*").over(w_term))
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",

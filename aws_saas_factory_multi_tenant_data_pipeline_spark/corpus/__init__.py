@@ -251,6 +251,7 @@ def load_all() -> dict[str, QuerySpec]:
         ext_llm_wave2,
         saas_ops,
         window_r4,
+        ext_llm_wave3,
     )
 
     head = [n for n in GRADED_WINDOW + _TAIL_PRIORITY if n in REGISTRY]

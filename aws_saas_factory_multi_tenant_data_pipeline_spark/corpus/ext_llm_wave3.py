@@ -1,0 +1,93 @@
+"""B10 [EXT] wave 3 (round 4): span-level substring dedup, embedding
+quantization, and corpus-frequency analytics for LLM training-data
+pipelines.
+
+Span-level dedup is the Lee et al. 2022 technique (arXiv:2107.06499):
+remove every n-token span that occurs more than once in the corpus —
+duplicated substrings drive memorization even when whole-document dedup
+(exact / MinHash) passes. Implemented in `operators.dedup.
+remove_duplicate_spans`; the oracle replays the identical span semantics
+in DuckDB over the span STRINGS (the Spark side shuffles 64-bit xxhash64
+span keys instead — results agree modulo hash collisions, which at 2^-64
+per pair is the standard engineering trade at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus import register
+from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus._util import t
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import (
+    remove_duplicate_spans,
+)
+
+_DUCK_NORM = r"trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))"
+
+_SPAN_N = 8
+
+
+@register(
+    "dedup_span_removal",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split({_DUCK_NORM}, ' ') AS tk FROM documents),
+        spans AS (
+            SELECT doc_id, CAST(i AS INT) AS pos,
+                   array_to_string(tk[i+1:i+{_SPAN_N}], ' ') AS sp
+            FROM toks, LATERAL (SELECT unnest(range(0, len(tk) - {_SPAN_N} + 1)) AS i)
+            WHERE len(tk) >= {_SPAN_N}),
+        dup AS (SELECT sp FROM spans GROUP BY sp HAVING COUNT(*) >= 2),
+        cov AS (
+            SELECT doc_id, pos AS s, pos + {_SPAN_N} - 1 AS e
+            FROM spans WHERE sp IN (SELECT sp FROM dup)),
+        brk AS (
+            SELECT doc_id, s, e,
+                   CASE WHEN s > COALESCE(MAX(e) OVER (
+                            PARTITION BY doc_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                        THEN 1 ELSE 0 END AS b
+            FROM cov),
+        grp AS (
+            SELECT doc_id, s, e,
+                   SUM(b) OVER (PARTITION BY doc_id ORDER BY s, e) AS g
+            FROM brk),
+        merged AS (
+            SELECT doc_id, MIN(s) AS ms, MAX(e) AS me
+            FROM grp GROUP BY doc_id, g),
+        removed AS (
+            SELECT doc_id, SUM(me - ms + 1) AS n_removed FROM merged GROUP BY doc_id),
+        tokpos AS (
+            SELECT doc_id, unnest(tk) AS tok,
+                   unnest(range(0, len(tk))) AS p
+            FROM toks),
+        clean AS (
+            SELECT tp.doc_id,
+                   COALESCE(string_agg(tok, ' ' ORDER BY p), '') AS clean_text
+            FROM tokpos tp
+            WHERE NOT EXISTS (
+                SELECT 1 FROM merged m
+                WHERE m.doc_id = tp.doc_id AND tp.p BETWEEN m.ms AND m.me)
+            GROUP BY tp.doc_id)
+        SELECT t.doc_id,
+               len(t.tk) AS n_tokens,
+               COALESCE(r.n_removed, 0) AS n_removed,
+               COALESCE(c.clean_text, '') AS clean_text
+        FROM toks t
+        LEFT JOIN removed r ON r.doc_id = t.doc_id
+        LEFT JOIN clean c ON c.doc_id = t.doc_id
+        ORDER BY t.doc_id
+    """,
+    tags=("B10",),
+    doc=f"Span-level substring dedup (Lee et al.): drop every {_SPAN_N}-token "
+    "span occurring >=2x corpus-wide, merge overlapping hits per doc "
+    "(islands window), reconstruct the surviving text in order. Spark "
+    "shuffles 8-byte span hashes; the oracle replays the same semantics "
+    "on span strings.",
+)
+def dedup_span_removal(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return remove_duplicate_spans(d, "text", "doc_id", n=_SPAN_N, min_count=2).orderBy(
+        "doc_id"
+    )

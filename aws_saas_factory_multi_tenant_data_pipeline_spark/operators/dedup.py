@@ -578,3 +578,122 @@ def incremental_near_duplicates(
             mode="append",
         )
     return result
+
+
+# ---------------------------------------------------------------------------
+# Span-level (substring) exact dedup — remove n-token spans that appear more
+# than once anywhere in the corpus (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better": duplicated substrings, not just whole
+# near-duplicate documents, drive memorization; the reference pipeline has no
+# equivalent, this is the training-data extension SURVEY §2 B10 calls for).
+#
+# Scale shape (100 TB): span keys shuffle as 8-byte xxhash64 values, never as
+# token strings; duplicate detection is count(*)>=min_count with map-side
+# combine; the mark-back is an equi-join on the hash; interval merging is a
+# per-document window (islands), no driver state anywhere.
+# ---------------------------------------------------------------------------
+
+
+def span_starts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 20
+) -> DataFrame:
+    """(id, pos, span_hash) for every n-token span start position.
+
+    Tokenization matches the MinHash path (normalize → whitespace split).
+    Docs shorter than n tokens yield no rows. The span is hashed to 64 bits
+    (xxhash64 of the space-joined token slice) so downstream shuffles carry
+    fixed-width keys — at 100 TB the hash-vs-string difference is the
+    entire shuffle budget.
+    """
+    toks_df = df.withColumn("__toks", tokens(F.col(text_col)))
+    spans = F.transform(
+        F.sequence(F.lit(0), F.size("__toks") - n),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice("__toks", i + 1, n)), F.lit(_SEED)),
+    )
+    return (
+        toks_df.where(F.size("__toks") >= n)
+        .select(F.col(id_col), F.posexplode(spans).alias("pos", "span_hash"))
+    )
+
+
+def duplicated_span_intervals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 20,
+    min_count: int = 2,
+) -> DataFrame:
+    """Merged per-document token intervals [start, end] covered by any
+    n-token span occurring >= min_count times across the whole corpus
+    (within-document repeats count — a doc repeating its own boilerplate
+    is flagged too).
+
+    Overlapping hits merge via the classic islands pattern: sort by start,
+    break when start exceeds the running max end.
+    """
+    spans = span_starts(df, text_col, id_col, n)
+    dup = (
+        spans.groupBy("span_hash")
+        .agg(F.count("*").alias("__c"))
+        .where(F.col("__c") >= min_count)
+        .select("span_hash")
+    )
+    hits = (
+        spans.join(dup, "span_hash")
+        .select(id_col, F.col("pos").alias("s"), (F.col("pos") + n - 1).alias("e"))
+    )
+    w = Window.partitionBy(id_col).orderBy("s", "e")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    grouped = (
+        hits.withColumn(
+            "__brk", F.when(F.col("s") > F.coalesce(prev_max_e, F.lit(-1)), 1).otherwise(0)
+        )
+        .withColumn("__g", F.sum("__brk").over(w))
+    )
+    return (
+        grouped.groupBy(id_col, "__g")
+        .agg(F.min("s").alias("span_start"), F.max("e").alias("span_end"))
+        .drop("__g")
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 20,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document span-dedup summary + cleaned text.
+
+    Returns (id, n_tokens, n_removed, clean_text): tokens covered by any
+    corpus-duplicated n-token span are dropped, the survivors rejoin in
+    order. Documents with no duplicated span pass through with their
+    normalized text intact (the output is always in normalized token form,
+    so removal composes with the rest of the normalize-first pipeline).
+
+    The reconstruction never explodes tokens: covered intervals collect to
+    a small per-doc array and a higher-order filter keeps in-plan tokens
+    whose position falls outside every interval — O(tokens × intervals)
+    inside codegen, zero extra shuffles beyond the interval agg itself.
+    """
+    intervals = duplicated_span_intervals(df, text_col, id_col, n, min_count)
+    per_doc = intervals.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__ivs"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("__n_removed"),
+    )
+    toks_df = df.withColumn("__toks", tokens(F.col(text_col)))
+    joined = toks_df.join(per_doc, id_col, "left")
+    ivs = F.coalesce(F.col("__ivs"), F.array())
+    kept = F.filter(
+        F.col("__toks"),
+        lambda tok, i: ~F.exists(
+            ivs, lambda iv: (i >= iv["span_start"]) & (i <= iv["span_end"])
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("__toks").alias("n_tokens"),
+        F.coalesce(F.col("__n_removed"), F.lit(0)).cast("long").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("clean_text"),
+    )

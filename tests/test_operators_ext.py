@@ -707,3 +707,63 @@ def test_incremental_dedup_against_persisted_index(spark, tmp_path):
         for r in incremental_near_duplicates(batch2, idx).collect()
     }
     assert (20, 11, "exact") in got2
+
+
+def test_remove_duplicate_spans_semantics(spark):
+    """Hand-built corpus: cross-doc duplicated span, within-doc repeat,
+    overlapping hits merging into one interval, and a short doc that can
+    never be flagged."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    boiler = "all rights reserved contact us for details"  # 7 tokens
+    docs = spark.createDataFrame(
+        [
+            # doc 1 and 2 share the 7-token boilerplate verbatim
+            (1, f"alpha beta {boiler} gamma delta"),
+            (2, f"{boiler} epsilon zeta eta theta"),
+            # doc 3 repeats ITS OWN span twice (within-doc duplication)
+            (3, f"{boiler} unrelated words here {boiler}"),
+            # doc 4: too short to contain any 7-token span
+            (4, "tiny doc"),
+            # doc 5: unique text, same length scale — must pass untouched
+            (5, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_duplicate_spans(docs, n=7, min_count=2).collect()
+    }
+    assert len(out) == 5
+    # every occurrence of the boilerplate is removed, order preserved
+    assert out[1].clean_text == "alpha beta gamma delta"
+    assert out[1].n_removed == 7 and out[1].n_tokens == 11
+    assert out[2].clean_text == "epsilon zeta eta theta"
+    # within-doc repeat: both copies removed (17 tokens total, 2x7 removed)
+    assert out[3].clean_text == "unrelated words here"
+    assert out[3].n_removed == 14
+    # short + unique docs untouched, normalized form
+    assert out[4].clean_text == "tiny doc" and out[4].n_removed == 0
+    assert out[5].n_removed == 0 and out[5].n_tokens == 10
+
+
+def test_duplicate_span_interval_merge(spark):
+    """Overlapping duplicated spans merge into one interval (islands)."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import (
+        duplicated_span_intervals,
+    )
+
+    # 10-token shared prefix → with n=8 spans, docs 1/2 share spans at
+    # pos 0,1,2 → one merged interval [0, 9]
+    shared = "a b c d e f g h i j"
+    docs = spark.createDataFrame(
+        [(1, f"{shared} unique one tail"), (2, f"{shared} other two ending")],
+        "doc_id long, text string",
+    )
+    ivs = duplicated_span_intervals(docs, n=8).collect()
+    assert {(r.doc_id, r.span_start, r.span_end) for r in ivs} == {
+        (1, 0, 9),
+        (2, 0, 9),
+    }

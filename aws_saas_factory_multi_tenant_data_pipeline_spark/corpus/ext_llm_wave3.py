@@ -91,3 +91,63 @@ def dedup_span_removal(spark, sf_dir):
     return remove_duplicate_spans(d, "text", "doc_id", n=_SPAN_N, min_count=2).orderBy(
         "doc_id"
     )
+
+
+@register(
+    "embedding_int8_quantize",
+    oracle="""
+        WITH m AS (
+            SELECT vec_id, embedding,
+                   list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+            FROM embeddings),
+        q AS (
+            SELECT vec_id, embedding, maxabs, maxabs / 127.0 AS scale,
+                   CASE WHEN maxabs = 0
+                        THEN list_transform(embedding, x -> 0)
+                        ELSE list_transform(embedding,
+                             x -> CAST(floor(CAST(x AS DOUBLE) / (maxabs / 127.0) + 0.5) AS INT))
+                   END AS qcodes
+            FROM m),
+        e AS (
+            SELECT vec_id, qcodes, scale,
+                   list_transform(list_zip(embedding, qcodes),
+                       s -> CAST(s[1] AS DOUBLE)
+                            - CAST(s[2] AS DOUBLE) * scale) AS err
+            FROM q)
+        SELECT vec_id, qcodes,
+               ROUND(scale, 9) AS qscale,
+               ROUND(list_sum(list_transform(err, x -> x * x)) / len(err), 9) AS mse,
+               ROUND(list_max(list_transform(err, x -> abs(x))), 9) AS max_err
+        FROM e
+        ORDER BY vec_id
+    """,
+    tags=("B10",),
+    doc="Symmetric per-vector int8 quantization of the embedding column "
+    "(scale = max|v|/127, explicit half-up rounding) + reconstruction "
+    "error stats — the 4x shuffle/cache compression step before ANN "
+    "index builds. Codes verified element-for-element vs the oracle.",
+)
+def embedding_int8_quantize(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.similarity import (
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = quantize_int8(emb)
+    orig = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    err = F.zip_with(
+        orig, dequantize_int8(F.col("qcodes"), F.col("qscale")), lambda a, b: a - b
+    )
+    qe = q.withColumn("__err", err)
+    return qe.select(
+        "vec_id",
+        "qcodes",
+        F.round("qscale", 9).alias("qscale"),
+        F.round(
+            F.aggregate("__err", F.lit(0.0), lambda acc, x: acc + x * x)
+            / F.size("__err"),
+            9,
+        ).alias("mse"),
+        F.round(F.array_max(F.transform("__err", F.abs)), 9).alias("max_err"),
+    ).orderBy("vec_id")

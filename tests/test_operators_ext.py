@@ -767,3 +767,56 @@ def test_duplicate_span_interval_merge(spark):
         (1, 0, 9),
         (2, 0, 9),
     }
+
+
+def test_int8_quantization_roundtrip_and_recall(spark, sf_smoke):
+    """Codes bounded to [-127,127]; per-element reconstruction error is
+    within scale/2 (half-up rounding bound); quantized cosine top-10
+    agrees with the float baseline at recall >= 0.9."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        dequantize_int8,
+        quantize_int8,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.sources import read_table
+
+    emb = read_table(spark, sf_smoke, "embeddings").where(F.col("vec_id") < 200)
+    q = quantize_int8(emb)
+    checks = q.select(
+        F.array_max(F.transform("qcodes", F.abs)).alias("maxcode"),
+        F.array_max(
+            F.transform(
+                F.zip_with(
+                    F.transform("embedding", lambda x: x.cast("double")),
+                    dequantize_int8(F.col("qcodes"), F.col("qscale")),
+                    lambda a, b: a - b,
+                ),
+                F.abs,
+            )
+        ).alias("maxerr"),
+        F.col("qscale"),
+    ).collect()
+    for r in checks:
+        assert r.maxcode <= 127
+        # half-up rounding: |err| <= scale/2 (+ float slop)
+        assert r.maxerr <= r.qscale / 2 + 1e-9
+
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries, k=10)
+    deq = q.select(
+        "vec_id", dequantize_int8(F.col("qcodes"), F.col("qscale")).alias("embedding")
+    )
+    deq_queries = (
+        quantize_int8(queries, id_col="query_id")
+        .select(
+            "query_id",
+            dequantize_int8(F.col("qcodes"), F.col("qscale")).alias("embedding"),
+        )
+    )
+    approx = cosine_topk(deq, deq_queries, k=10)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, recall

@@ -151,3 +151,39 @@ def embedding_int8_quantize(spark, sf_dir):
         ).alias("mse"),
         F.round(F.array_max(F.transform("__err", F.abs)), 9).alias("max_err"),
     ).orderBy("vec_id")
+
+
+@register(
+    "text_frequent_bigrams",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split({_DUCK_NORM}, ' ') AS tk FROM documents),
+        grams AS (
+            SELECT array_to_string(tk[i+1:i+2], ' ') AS gram
+            FROM toks, LATERAL (SELECT unnest(range(0, len(tk) - 1)) AS i)
+            WHERE len(tk) >= 2),
+        tot AS (SELECT COUNT(*) AS total FROM grams)
+        SELECT gram, COUNT(*) AS freq,
+               ROUND(COUNT(*) / CAST(total AS DOUBLE), 6) AS ratio
+        FROM grams, tot
+        GROUP BY gram, total
+        HAVING COUNT(*) >= total * 0.0012
+        ORDER BY freq DESC, gram
+    """,
+    tags=("B10",),
+    doc="Exact corpus heavy-hitter bigrams (freq >= 0.12% of all bigram "
+    "occurrences) via the two-phase candidate-prune plan: per-Arrow-batch "
+    "local counts emit candidates (bounded memory, no false negatives), "
+    "then a broadcast semi-join + exact count verifies — the long-tail "
+    "vocabulary never crosses the shuffle. Final counts are exact, so "
+    "the probabilistic phase is invisible to the oracle.",
+)
+def text_frequent_bigrams(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.text import (
+        frequent_ngrams,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    return frequent_ngrams(d, "text", n=2, min_ratio=0.0012).orderBy(
+        F.col("freq").desc(), "gram"
+    )

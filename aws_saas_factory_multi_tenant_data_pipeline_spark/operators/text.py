@@ -295,3 +295,88 @@ def chunk_documents(
         F.concat_ws(" ", chunk).alias("chunk_text"),
         F.size(chunk).alias("n_chunk_tokens"),
     )
+
+
+def frequent_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 1,
+    min_ratio: float = 0.001,
+) -> DataFrame:
+    """Exact corpus-wide heavy hitters: every n-gram whose frequency is
+    >= min_ratio of all n-gram occurrences, with exact counts.
+
+    Two-phase plan — the 100 TB point is that the full long-tail
+    vocabulary never crosses the shuffle:
+
+    1. **Candidate generation** (one scan, bounded memory): ``mapInPandas``
+       counts each Arrow batch locally (vectorized ``value_counts``, memory
+       bounded by the batch size, never the vocabulary) and emits only
+       n-grams above ``min_ratio/2`` of the batch plus one token-count row
+       per batch. Capture guarantee: a globally-heavy n-gram (freq >=
+       min_ratio·N) must exceed min_ratio/2 of at least one batch — if it
+       stayed below that in every batch, summing gives freq < min_ratio/2·N.
+       The candidate set may contain false positives, never false negatives,
+       so the final output is EXACT (and deterministic) even though batch
+       boundaries are not.
+    2. **Verification** (one scan): broadcast-semi-join the tokens against
+       the candidate set, exact groupBy count, keep freq >= min_ratio·N.
+
+    A plain groupBy(term).count() heavy-hitter query shuffles every
+    distinct term; on web-scale text the tail vocabulary (typos, ids,
+    urls) dwarfs the head this query is after.
+    """
+    toks = tokens(F.col(text_col))
+    if n > 1:
+        grams_col = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            ),
+        ).otherwise(F.array())
+    else:
+        grams_col = toks
+    grams = df.select(F.explode(grams_col).alias("gram"))
+
+    theta = min_ratio / 2.0
+
+    def gen_candidates(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            vc = pdf["gram"].value_counts()
+            nb = int(vc.sum())
+            cand = vc[vc > theta * nb]
+            yield pd.DataFrame(
+                {
+                    "gram": list(cand.index) + [None],
+                    "cnt": list(cand.values) + [nb],
+                }
+            )
+
+    # persisted: both the total row and the candidate set read this tiny
+    # frame (candidates + one count row per batch), and without the persist
+    # the candidate-generation scan would run twice
+    from pyspark import StorageLevel
+
+    phase1 = grams.mapInPandas(gen_candidates, "gram string, cnt long").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    total = phase1.where(F.col("gram").isNull()).agg(F.sum("cnt").alias("total"))
+    candidates = phase1.where(F.col("gram").isNotNull()).select("gram").distinct()
+    result = (
+        grams.join(F.broadcast(candidates), "gram")
+        .groupBy("gram")
+        .agg(F.count("*").alias("freq"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("freq") >= F.col("total") * min_ratio)
+        .select(
+            "gram",
+            "freq",
+            F.round(F.col("freq") / F.col("total"), 6).alias("ratio"),
+        )
+    )
+    # cleanup handle, same convention as minhash_near_duplicates
+    result.candidate_cache = phase1
+    return result

@@ -820,3 +820,33 @@ def test_int8_quantization_roundtrip_and_recall(spark, sf_smoke):
     a = {(r.query_id, r.vec_id) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.9, recall
+
+
+def test_frequent_ngrams_exact_vs_bruteforce(spark):
+    """Candidate pruning must produce EXACTLY the brute-force answer even
+    when heavy terms are spread thin across batches and a long tail of
+    unique terms dominates the vocabulary."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.text import (
+        frequent_ngrams,
+    )
+
+    # 200 docs: each contains one 'common' token (20% of mass overall is
+    # heavy terms spread across every doc) + 4 unique-tail tokens
+    rows = []
+    for i in range(200):
+        heavy = "alpha" if i % 2 == 0 else "beta"
+        tail = " ".join(f"tail{i}x{j}" for j in range(4))
+        rows.append((i, f"{heavy} {tail}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r.gram, r.freq)
+        for r in frequent_ngrams(docs, n=1, min_ratio=0.05).collect()
+    }
+    # brute force: 1000 tokens total; alpha=100, beta=100, tails=1 each
+    assert got == {("alpha", 100), ("beta", 100)}
+
+    # threshold below the tail: everything shows up exactly once
+    all_terms = frequent_ngrams(docs, n=1, min_ratio=0.0005).collect()
+    assert len(all_terms) == 802
+    assert all(r.freq == 1 for r in all_terms if r.gram.startswith("tail"))

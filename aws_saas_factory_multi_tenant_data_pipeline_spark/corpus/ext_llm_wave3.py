@@ -187,3 +187,50 @@ def text_frequent_bigrams(spark, sf_dir):
     return frequent_ngrams(d, "text", n=2, min_ratio=0.0012).orderBy(
         F.col("freq").desc(), "gram"
     )
+
+
+@register(
+    "text_bigram_lm_score",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split({_DUCK_NORM}, ' ') AS tk FROM documents),
+        doc_bg AS (
+            SELECT doc_id, tk[i+1] AS w1, tk[i+2] AS w2
+            FROM toks, LATERAL (SELECT unnest(range(0, len(tk) - 1)) AS i)
+            WHERE len(tk) >= 2),
+        big AS (SELECT w1, w2, COUNT(*) AS cb FROM doc_bg GROUP BY 1, 2),
+        uni AS (
+            SELECT w, COUNT(*) AS cu
+            FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY 1),
+        v AS (SELECT COUNT(*) AS vocab FROM uni),
+        scored AS (
+            SELECT d.doc_id,
+                   -ln((COALESCE(b.cb, 0) + 1.0)
+                       / (COALESCE(u.cu, 0) + 1.0 * vocab)) AS nl
+            FROM doc_bg d
+            LEFT JOIN big b ON b.w1 = d.w1 AND b.w2 = d.w2
+            LEFT JOIN uni u ON u.w = d.w1
+            CROSS JOIN v),
+        per_doc AS (
+            SELECT doc_id, COUNT(*) AS n_bigrams, ROUND(AVG(nl), 6) AS nll
+            FROM scored GROUP BY doc_id)
+        SELECT t.doc_id,
+               COALESCE(p.n_bigrams, 0) AS n_bigrams,
+               p.nll
+        FROM (SELECT DISTINCT doc_id FROM documents) t
+        LEFT JOIN per_doc p ON p.doc_id = t.doc_id
+        ORDER BY t.doc_id
+    """,
+    tags=("B10",),
+    doc="CCNet-style statistical quality score: per-document average "
+    "negative log-likelihood under an add-1-smoothed bigram LM trained on "
+    "the corpus itself. All counts + gram-keyed joins, no Python; "
+    "boilerplate scores low, out-of-distribution text scores high.",
+)
+def text_bigram_lm_score(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.text import (
+        bigram_lm_score,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    return bigram_lm_score(d, "text", "doc_id", k=1.0).orderBy("doc_id")

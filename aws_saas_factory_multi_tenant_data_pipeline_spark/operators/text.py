@@ -380,3 +380,77 @@ def frequent_ngrams(
     # cleanup handle, same convention as minhash_near_duplicates
     result.candidate_cache = phase1
     return result
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_df: DataFrame | None = None,
+    k: float = 1.0,
+) -> DataFrame:
+    """CCNet-style statistical quality score: average negative log-likelihood
+    of each document under an add-k-smoothed bigram language model.
+
+    P(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V); unseen history backs off to
+    pure smoothing mass. ``train_df`` defaults to the scored corpus itself
+    (self-perplexity — boilerplate and natural text score low, corrupted /
+    out-of-distribution text scores high, the CCNet filtering signal).
+
+    Everything is counts + joins: unigram/bigram groupBy counts (map-side
+    combine), the scored corpus' bigrams join the model on the gram keys,
+    one final groupBy(doc). No Python in the plan. At web scale the model
+    frames are Zipf-compact relative to the corpus and typically
+    broadcastable after a min-count cut; here they flow through ordinary
+    shuffle joins so the plan is size-agnostic.
+
+    Returns (id, n_bigrams, nll); docs with fewer than 2 tokens get NULL
+    nll (no bigram evidence), n_bigrams = 0.
+    """
+    train = df if train_df is None else train_df
+
+    def doc_bigrams(frame: DataFrame, with_id: bool) -> DataFrame:
+        toked = frame.withColumn("__toks", tokens(F.col(text_col)))
+        pairs = F.when(
+            F.size("__toks") >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - 2),
+                lambda i: F.struct(
+                    F.element_at("__toks", i + 1).alias("w1"),
+                    F.element_at("__toks", i + 2).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.array())
+        cols = [F.col(id_col)] if with_id else []
+        return toked.select(*cols, F.explode(pairs).alias("__bg")).select(
+            *cols, F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2")
+        )
+
+    tr_bigrams = doc_bigrams(train, with_id=False)
+    big = tr_bigrams.groupBy("w1", "w2").agg(F.count("*").alias("__cb"))
+    tr_toks = train.select(F.explode(tokens(F.col(text_col))).alias("w"))
+    uni = tr_toks.groupBy("w").agg(F.count("*").alias("__cu"))
+    vocab = uni.agg(F.count("*").alias("__V"))
+
+    scored = (
+        doc_bigrams(df, with_id=True)
+        .join(big, ["w1", "w2"], "left")
+        .join(uni.select(F.col("w").alias("w1"), "__cu"), "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+    )
+    logp = F.log(
+        (F.coalesce(F.col("__cb"), F.lit(0)) + F.lit(k))
+        / (F.coalesce(F.col("__cu"), F.lit(0)) + F.lit(k) * F.col("__V"))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"), F.round(F.avg(-logp), 6).alias("nll")
+    )
+    ids = df.select(id_col).distinct()
+    return (
+        ids.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.col("nll"),
+        )
+    )

@@ -850,3 +850,39 @@ def test_frequent_ngrams_exact_vs_bruteforce(spark):
     all_terms = frequent_ngrams(docs, n=1, min_ratio=0.0005).collect()
     assert len(all_terms) == 802
     assert all(r.freq == 1 for r in all_terms if r.gram.startswith("tail"))
+
+
+def test_bigram_lm_score_semantics(spark):
+    """In-distribution text scores lower NLL than shuffled/OOV text; short
+    docs get no score; a separate training corpus drives the model."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.text import (
+        bigram_lm_score,
+    )
+
+    train = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)],
+        "doc_id long, text string",
+    )
+    score = spark.createDataFrame(
+        [
+            (100, "the quick brown fox"),          # seen bigrams
+            (101, "fox the over dog quick brown"), # seen words, unseen order
+            (102, "zyx wvu tsr qpo nml"),          # fully out-of-vocabulary
+            (103, "single"),                       # no bigram evidence
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in bigram_lm_score(score, train_df=train).collect()
+    }
+    assert out[103].n_bigrams == 0 and out[103].nll is None
+    # seen bigrams score best; scrambled-but-seen words score WORST — an
+    # unseen bigram after a frequent history (1/(c(w1)+V)) is more
+    # surprising than fully-OOV backoff (1/V), the add-k property
+    assert out[100].nll < out[102].nll < out[101].nll
+    # fully-OOV: every bigram falls back to pure smoothing mass ln(k/(kV));
+    # vocab here is 8 words -> nll = ln(8)
+    import math
+
+    assert abs(out[102].nll - math.log(8)) < 1e-6

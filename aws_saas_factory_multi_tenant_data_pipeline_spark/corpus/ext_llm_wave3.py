@@ -234,3 +234,43 @@ def text_bigram_lm_score(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     return bigram_lm_score(d, "text", "doc_id", k=1.0).orderBy("doc_id")
+
+
+@register(
+    "dataset_manifest",
+    oracle="""
+        WITH h AS (
+            SELECT source,
+                   CAST('0x' || substr(md5(concat_ws(chr(31),
+                        coalesce(CAST(doc_id AS VARCHAR), chr(0)),
+                        coalesce(text, chr(0)),
+                        coalesce(lang, chr(0)))), 1, 15) AS BIGINT) AS hh,
+                   length(concat_ws(chr(31),
+                        coalesce(CAST(doc_id AS VARCHAR), chr(0)),
+                        coalesce(text, chr(0)),
+                        coalesce(lang, chr(0)))) AS len
+            FROM documents)
+        SELECT COALESCE(source, '__TOTAL__') AS source,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(hh AS HUGEINT)) % 2305843009213693951 AS BIGINT)
+                   AS content_fingerprint,
+               SUM(len) AS content_chars
+        FROM h
+        GROUP BY ROLLUP(source)
+        ORDER BY source
+    """,
+    tags=("B10",),
+    doc="Dataset versioning manifest: order-independent modular row-hash "
+    "sum per source + whole-corpus rollup — stable under repartitioning "
+    "and file layout, moves on any content change, localizes drift to the "
+    "slice that changed. Hash-for-hash oracle (md5-portable row hash).",
+)
+def dataset_manifest(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.manifest import (
+        dataset_fingerprint,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    return dataset_fingerprint(d, ["source"], ["doc_id", "text", "lang"]).orderBy(
+        "source"
+    )

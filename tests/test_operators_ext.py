@@ -886,3 +886,52 @@ def test_bigram_lm_score_semantics(spark):
     import math
 
     assert abs(out[102].nll - math.log(8)) < 1e-6
+
+
+def test_dataset_fingerprint_properties(spark):
+    """Order/partitioning-invariant; moves on any content change; duplicate
+    rows keep multiplicity; multi-level rollup keeps only full groups +
+    grand total."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.manifest import (
+        dataset_fingerprint,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", "web"), (2, "b", "web"), (3, "c", "book"), (4, None, "book")],
+        "id long, txt string, src string",
+    )
+    fp = lambda df: {
+        tuple(r[c] for c in ("src",)): (r.n_rows, r.content_fingerprint)
+        for r in dataset_fingerprint(df, ["src"], ["id", "txt"]).collect()
+    }
+    a = fp(base)
+    # repartition + reverse order: identical manifest
+    b = fp(base.repartition(7).orderBy(F.col("id").desc()))
+    assert a == b
+    # single content change moves ONLY that group + the total
+    changed = spark.createDataFrame(
+        [(1, "a", "web"), (2, "B", "web"), (3, "c", "book"), (4, None, "book")],
+        "id long, txt string, src string",
+    )
+    c = fp(changed)
+    assert c[("book",)] == a[("book",)]
+    assert c[("web",)] != a[("web",)]
+    assert c[("__TOTAL__",)] != a[("__TOTAL__",)]
+    # NULL vs empty string are distinct content
+    empty = spark.createDataFrame(
+        [(1, "a", "web"), (2, "b", "web"), (3, "c", "book"), (4, "", "book")],
+        "id long, txt string, src string",
+    )
+    assert fp(empty)[("book",)] != a[("book",)]
+    # duplicate row multiplicity is visible (sum, not xor/set)
+    dup = base.unionAll(base.where(F.col("id") == 1))
+    assert fp(dup)[("web",)] != a[("web",)]
+    # multi-col grouping: only full groups + grand total
+    rows = dataset_fingerprint(base, ["src", "txt"], ["id"]).collect()
+    labels = {(r.src, r.txt) for r in rows}
+    assert ("__TOTAL__", "__TOTAL__") in labels
+    # no intermediate rollup levels: a row is either a full group or the total
+    mixed = [
+        (s, x) for s, x in labels if (s == "__TOTAL__") != (x == "__TOTAL__")
+    ]
+    assert mixed == [], mixed

@@ -274,3 +274,57 @@ def dataset_manifest(spark, sf_dir):
     return dataset_fingerprint(d, ["source"], ["doc_id", "text", "lang"]).orderBy(
         "source"
     )
+
+
+@register(
+    "llm_mixture_plan",
+    oracle=f"""
+        WITH counts AS (
+            SELECT source,
+                   CASE WHEN {_DUCK_NORM} = '' THEN 0
+                        ELSE len(string_split({_DUCK_NORM}, ' ')) END AS n_tokens
+            FROM documents),
+        per_src AS (
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS available_tokens
+            FROM counts GROUP BY source),
+        tot AS (SELECT SUM(available_tokens) AS n FROM per_src),
+        withp AS (
+            SELECT *, available_tokens / CAST(n AS DOUBLE) AS p
+            FROM per_src, tot),
+        z AS (SELECT SUM(pow(p, 0.5)) AS z FROM withp),
+        planned AS (
+            SELECT source, n_docs, available_tokens,
+                   pow(p, 0.5) / z AS weight,
+                   CAST(floor(pow(p, 0.5) / z * 100000) AS BIGINT) AS target_tokens,
+                   CAST(floor(available_tokens * 4.0) AS BIGINT) AS cap
+            FROM withp, z)
+        SELECT source, n_docs, available_tokens,
+               ROUND(weight, 6) AS weight,
+               target_tokens,
+               ROUND(target_tokens / CAST(available_tokens AS DOUBLE), 6) AS epochs,
+               LEAST(target_tokens, cap) AS planned_tokens,
+               target_tokens - LEAST(target_tokens, cap) AS shortfall_tokens
+        FROM planned
+        ORDER BY source
+    """,
+    tags=("B10",),
+    doc="Temperature-flattened (alpha=0.5, XLM-R rule) token-budget plan "
+    "across sources with data-constrained epoch caps (<=4 passes, "
+    "Muennighoff et al.): weights, per-source token targets, epochs, and "
+    "unmet-budget shortfall. Two tiny shuffles at any corpus size.",
+)
+def llm_mixture_plan(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.sampling import (
+        temperature_mixture_plan,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.text import (
+        token_count,
+    )
+
+    d = t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count(F.col("text"))
+    )
+    return temperature_mixture_plan(
+        d, "n_tokens", "source", total_budget=100_000, alpha=0.5, max_epochs=4.0
+    ).orderBy("source")

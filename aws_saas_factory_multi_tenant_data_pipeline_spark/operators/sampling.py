@@ -130,3 +130,63 @@ def shuffle_shard(
     return df.withColumn("shuffle_key", hash_key(F.col(id_col), salt)).withColumn(
         "shard", hash_bucket(F.col(id_col), salt, n_shards)
     )
+
+
+def temperature_mixture_plan(
+    df: DataFrame,
+    token_count_col: str = "n_tokens",
+    source_col: str = "source",
+    total_budget: int = 1_000_000,
+    alpha: float = 0.5,
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """Token-budget planning for a multi-source training mix: temperature-
+    flattened sampling weights (the XLM-R / mBERT alpha-sampling rule)
+    plus data-constrained epoch caps (Muennighoff et al. 2023: repeating
+    data beyond ~4 epochs stops helping).
+
+    Per source: natural share p_s = tokens_s / N; mixture weight
+    w_s = p_s^alpha / sum(p^alpha) (alpha<1 upweights small sources);
+    target_tokens = w_s * total_budget; epochs = target / available;
+    planned_tokens caps at max_epochs passes over the source, shortfall
+    reports the unmet budget that would need reallocation.
+
+    Plan shape: one groupBy(source) aggregate, one 1-row broadcast for the
+    corpus totals — the planner costs two tiny shuffles at any corpus size.
+    """
+    per_src = df.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col(token_count_col)).cast("long").alias("available_tokens"),
+    )
+    totals = per_src.agg(
+        F.sum("available_tokens").alias("__N"),
+    )
+    with_p = per_src.crossJoin(F.broadcast(totals)).withColumn(
+        "__p", F.col("available_tokens") / F.col("__N")
+    )
+    # sum of p^alpha needs a second 1-row broadcast (it depends on per-source p)
+    z = with_p.agg(F.sum(F.pow("__p", F.lit(alpha))).alias("__Z"))
+    planned = (
+        with_p.crossJoin(F.broadcast(z))
+        .withColumn("weight", F.pow("__p", F.lit(alpha)) / F.col("__Z"))
+        .withColumn(
+            "target_tokens", F.floor(F.col("weight") * total_budget).cast("long")
+        )
+        .withColumn(
+            "planned_tokens",
+            F.least(
+                F.col("target_tokens"),
+                F.floor(F.col("available_tokens") * F.lit(float(max_epochs))).cast("long"),
+            ),
+        )
+    )
+    return planned.select(
+        source_col,
+        "n_docs",
+        "available_tokens",
+        F.round("weight", 6).alias("weight"),
+        "target_tokens",
+        F.round(F.col("target_tokens") / F.col("available_tokens"), 6).alias("epochs"),
+        "planned_tokens",
+        (F.col("target_tokens") - F.col("planned_tokens")).alias("shortfall_tokens"),
+    )

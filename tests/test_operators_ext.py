@@ -935,3 +935,41 @@ def test_dataset_fingerprint_properties(spark):
         (s, x) for s, x in labels if (s == "__TOTAL__") != (x == "__TOTAL__")
     ]
     assert mixed == [], mixed
+
+
+def test_temperature_mixture_plan_semantics(spark):
+    """alpha=1 reproduces natural proportions; alpha<1 upweights the small
+    source; epoch caps bound planned tokens and report the shortfall."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.sampling import (
+        temperature_mixture_plan,
+    )
+
+    rows = [("big", 9000), ("small", 1000)]
+    df = spark.createDataFrame(
+        [(s, n) for s, n in rows for _ in range(1)], "source string, n_tokens long"
+    )
+    nat = {
+        r.source: r
+        for r in temperature_mixture_plan(
+            df, total_budget=10_000, alpha=1.0, max_epochs=100.0
+        ).collect()
+    }
+    assert abs(nat["big"].weight - 0.9) < 1e-9
+    assert nat["big"].target_tokens == 9000 and nat["small"].target_tokens == 1000
+    assert nat["big"].shortfall_tokens == 0
+
+    flat = {
+        r.source: r
+        for r in temperature_mixture_plan(
+            df, total_budget=10_000, alpha=0.5, max_epochs=2.0
+        ).collect()
+    }
+    # sqrt flattening: w_small = 1/(3+1) = 0.25 > natural 0.1
+    assert abs(flat["small"].weight - 0.25) < 1e-9
+    # small source would need 2500 tokens = 2.5 epochs; capped at 2 -> 2000
+    assert flat["small"].target_tokens == 2500
+    assert flat["small"].planned_tokens == 2000
+    assert flat["small"].shortfall_tokens == 500
+    # alpha=0 is uniform
+    uni = temperature_mixture_plan(df, total_budget=10_000, alpha=0.0).collect()
+    assert all(abs(r.weight - 0.5) < 1e-9 for r in uni)

@@ -328,3 +328,75 @@ def llm_mixture_plan(spark, sf_dir):
     return temperature_mixture_plan(
         d, "n_tokens", "source", total_budget=100_000, alpha=0.5, max_epochs=4.0
     ).orderBy("source")
+
+
+_MANIFEST_HASH = """
+    CAST('0x' || substr(md5(concat_ws(chr(31),
+         coalesce(CAST(doc_id AS VARCHAR), chr(0)),
+         coalesce(text, chr(0)),
+         coalesce(lang, chr(0)))), 1, 15) AS BIGINT)
+"""
+
+
+@register(
+    "dataset_manifest_diff",
+    oracle=f"""
+        WITH new_docs AS (
+            SELECT doc_id, text, lang, source FROM documents
+            WHERE source <> (SELECT MIN(source) FROM documents)
+              AND doc_id % 97 <> 0
+            UNION ALL
+            SELECT i + 1000000 AS doc_id,
+                   'new doc ' || CAST(i AS VARCHAR) AS text,
+                   'en' AS lang, 'zz_new' AS source
+            FROM range(0, 5) t(i)),
+        old_m AS (
+            SELECT COALESCE(source, '__TOTAL__') AS source, COUNT(*) AS n_rows,
+                   CAST(SUM(CAST({_MANIFEST_HASH} AS HUGEINT))
+                        % 2305843009213693951 AS BIGINT) AS fp
+            FROM documents GROUP BY ROLLUP(source)),
+        new_m AS (
+            SELECT COALESCE(source, '__TOTAL__') AS source, COUNT(*) AS n_rows,
+                   CAST(SUM(CAST({_MANIFEST_HASH} AS HUGEINT))
+                        % 2305843009213693951 AS BIGINT) AS fp
+            FROM new_docs GROUP BY ROLLUP(source))
+        SELECT COALESCE(o.source, n.source) AS source,
+               CASE WHEN o.fp IS NULL THEN 'added'
+                    WHEN n.fp IS NULL THEN 'removed'
+                    WHEN o.fp = n.fp THEN 'unchanged'
+                    ELSE 'changed' END AS status,
+               COALESCE(n.n_rows, 0) - COALESCE(o.n_rows, 0) AS row_delta,
+               o.fp AS old_fp, n.fp AS new_fp
+        FROM old_m o FULL OUTER JOIN new_m n ON o.source = n.source
+        ORDER BY source
+    """,
+    tags=("B10",),
+    doc="Dataset drift localization: full-outer diff of two slice "
+    "manifests — added / removed / changed / unchanged per source with "
+    "row deltas. The diff reads only manifest rows, so comparing two "
+    "100 TB dataset versions costs one fingerprint pass each.",
+)
+def dataset_manifest_diff(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.manifest import (
+        dataset_fingerprint,
+        manifest_diff,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    min_src = docs.agg(F.min("source").alias("__min_src"))
+    kept = (
+        docs.crossJoin(F.broadcast(min_src))
+        .where((F.col("source") != F.col("__min_src")) & (F.col("doc_id") % 97 != 0))
+        .select("doc_id", "text", "lang", "source")
+    )
+    added = spark.range(0, 5).select(
+        (F.col("id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("new doc "), F.col("id").cast("string")).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("zz_new").alias("source"),
+    )
+    new_docs = kept.unionByName(added)
+    cols = ["doc_id", "text", "lang"]
+    old_m = dataset_fingerprint(docs, ["source"], cols)
+    new_m = dataset_fingerprint(new_docs, ["source"], cols)
+    return manifest_diff(old_m, new_m, ["source"]).orderBy("source")

@@ -85,3 +85,44 @@ def dataset_fingerprint(
         "content_fingerprint",
         "content_chars",
     )
+
+
+def manifest_diff(
+    old: DataFrame,
+    new: DataFrame,
+    group_cols: list[str],
+) -> DataFrame:
+    """Localize dataset drift between two manifests (``dataset_fingerprint``
+    outputs): per slice, status ∈ added / removed / changed / unchanged plus
+    the row-count delta.
+
+    A full-outer join on the group key — two small inputs (one row per
+    slice), so the diff costs nothing regardless of the datasets' size;
+    that is the point of fingerprinting first.
+    """
+    o = old.select(
+        *group_cols,
+        F.col("n_rows").alias("old_rows"),
+        F.col("content_fingerprint").alias("old_fp"),
+    )
+    n = new.select(
+        *group_cols,
+        F.col("n_rows").alias("new_rows"),
+        F.col("content_fingerprint").alias("new_fp"),
+    )
+    j = o.join(n, group_cols, "full_outer")
+    status = (
+        F.when(F.col("old_fp").isNull(), "added")
+        .when(F.col("new_fp").isNull(), "removed")
+        .when(F.col("old_fp") == F.col("new_fp"), "unchanged")
+        .otherwise("changed")
+    )
+    return j.select(
+        *group_cols,
+        status.alias("status"),
+        (F.coalesce(F.col("new_rows"), F.lit(0)) - F.coalesce(F.col("old_rows"), F.lit(0))).alias(
+            "row_delta"
+        ),
+        "old_fp",
+        "new_fp",
+    )

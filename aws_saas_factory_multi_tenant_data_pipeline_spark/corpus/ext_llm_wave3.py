@@ -400,3 +400,58 @@ def dataset_manifest_diff(spark, sf_dir):
     old_m = dataset_fingerprint(docs, ["source"], cols)
     new_m = dataset_fingerprint(new_docs, ["source"], cols)
     return manifest_diff(old_m, new_m, ["source"]).orderBy("source")
+
+
+@register(
+    "dedup_line_removal",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split({_DUCK_NORM}, ' ') AS tk FROM documents),
+        lined AS (
+            SELECT doc_id,
+                   string_agg(array_to_string(tk[i+1:i+10], ' '), chr(10) ORDER BY i)
+                       AS text
+            FROM toks, LATERAL (SELECT unnest(range(0, len(tk), 10)) AS i)
+            GROUP BY doc_id),
+        ls AS (SELECT doc_id, string_split(text, chr(10)) AS lns FROM lined),
+        lines AS (
+            SELECT doc_id, CAST(p AS INT) AS p, lns[p+1] AS line
+            FROM ls, LATERAL (SELECT unnest(range(0, len(lns))) AS p)),
+        dup AS (
+            SELECT trim(line) AS l FROM lines
+            WHERE trim(line) <> ''
+            GROUP BY 1 HAVING COUNT(*) >= 2),
+        marked AS (
+            SELECT doc_id, p, line,
+                   trim(line) IN (SELECT l FROM dup) AS is_dup
+            FROM lines)
+        SELECT doc_id,
+               COUNT(*) AS n_lines,
+               CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+               COALESCE(string_agg(CASE WHEN NOT is_dup THEN line END, chr(10) ORDER BY p), '')
+                   AS clean_text
+        FROM marked
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    tags=("B10",),
+    doc="C4-style line-level dedup over synthesized line structure (the "
+    "fixture corpus has no newlines, so both engines re-line the "
+    "normalized text into 10-token chunks first): every line whose "
+    "content repeats corpus-wide is dropped, survivors keep order.",
+)
+def dedup_line_removal(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import (
+        remove_duplicate_lines,
+        tokens,
+    )
+
+    d = t(spark, sf_dir, "documents").withColumn("__toks", tokens(F.col("text")))
+    chunks = F.transform(
+        F.sequence(
+            F.lit(0), F.greatest(F.size("__toks") - 1, F.lit(0)), F.lit(10)
+        ),
+        lambda i: F.concat_ws(" ", F.slice("__toks", i + 1, 10)),
+    )
+    lined = d.select("doc_id", F.concat_ws("\n", chunks).alias("text"))
+    return remove_duplicate_lines(lined, "text", "doc_id").orderBy("doc_id")

@@ -697,3 +697,56 @@ def remove_duplicate_spans(
         F.coalesce(F.col("__n_removed"), F.lit(0)).cast("long").alias("n_removed"),
         F.concat_ws(" ", kept).alias("clean_text"),
     )
+
+
+def remove_duplicate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delimiter: str = "\n",
+    min_count: int = 2,
+) -> DataFrame:
+    """C4-style line-level dedup: drop every line (delimiter-separated
+    unit) whose trimmed content occurs >= min_count times across the whole
+    corpus, keep survivors in order.
+
+    Complements span-level dedup (`remove_duplicate_spans`): lines respect
+    author-visible structure (boilerplate footers, nav menus, license
+    headers dedup as whole units), spans catch duplication that ignores
+    line breaks. Same scale shape: global duplicate detection is a
+    count(*)>=k aggregate over 64-bit line hashes with map-side combine;
+    reassembly is one groupBy(doc) over the surviving lines. Blank lines
+    are never treated as duplicates (they carry no content).
+
+    Returns (id, n_lines, n_removed, clean_text).
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(delimiter), -1)).alias(
+            "pos", "line"
+        ),
+    ).withColumn("__h", F.xxhash64(F.trim(F.col("line")), F.lit(_SEED)))
+    dup = (
+        lines.where(F.trim(F.col("line")) != "")
+        .groupBy("__h")
+        .agg(F.count("*").alias("__c"))
+        .where(F.col("__c") >= min_count)
+        .select("__h", F.lit(True).alias("__dup"))
+    )
+    marked = lines.join(dup, "__h", "left")
+    per_doc = marked.groupBy(id_col).agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(F.col("__dup"), 1).otherwise(0)).cast("long").alias("n_removed"),
+        F.concat_ws(
+            delimiter,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.coalesce(F.col("__dup"), F.lit(False)), F.struct("pos", "line"))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+    )
+    return per_doc

@@ -973,3 +973,29 @@ def test_temperature_mixture_plan_semantics(spark):
     # alpha=0 is uniform
     uni = temperature_mixture_plan(df, total_budget=10_000, alpha=0.0).collect()
     assert all(abs(r.weight - 0.5) < 1e-9 for r in uni)
+
+
+def test_remove_duplicate_lines_semantics(spark):
+    """Shared boilerplate lines vanish, unique lines survive in order,
+    blank lines are never dup candidates, whitespace-variant lines match
+    via trim, all-dup docs come back empty."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import (
+        remove_duplicate_lines,
+    )
+
+    footer = "all rights reserved"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique alpha\n{footer}\nunique beta"),
+            (2, f"{footer} \nanother unique line\n\nlast one"),  # trailing space + blank
+            (3, footer),  # all-dup doc
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_duplicate_lines(docs).collect()}
+    assert out[1].clean_text == "unique alpha\nunique beta"
+    assert out[1].n_lines == 3 and out[1].n_removed == 1
+    # trim-matched dup removed; blank line kept (not a dup candidate)
+    assert out[2].clean_text == "another unique line\n\nlast one"
+    assert out[2].n_removed == 1
+    assert out[3].clean_text == "" and out[3].n_removed == 1

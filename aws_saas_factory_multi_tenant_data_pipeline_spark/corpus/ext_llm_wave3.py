@@ -455,3 +455,59 @@ def dedup_line_removal(spark, sf_dir):
     )
     lined = d.select("doc_id", F.concat_ws("\n", chunks).alias("text"))
     return remove_duplicate_lines(lined, "text", "doc_id").orderBy("doc_id")
+
+
+@register(
+    "embedding_pq_codes",
+    oracle="""
+        WITH sample AS (
+            SELECT vec_id, embedding,
+                   row_number() OVER (ORDER BY
+                       CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+                       vec_id) AS cid
+            FROM embeddings
+            ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+                     vec_id
+            LIMIT 16),
+        cent AS (
+            SELECT cid, CAST(j AS INT) AS sub_j,
+                   list_transform(embedding[j*8+1 : j*8+8],
+                                  x -> CAST(x AS DOUBLE)) AS cvec
+            FROM sample, LATERAL (SELECT unnest(range(0, 8)) AS j)),
+        subs AS (
+            SELECT vec_id, CAST(j AS INT) AS sub_j,
+                   list_transform(embedding[j*8+1 : j*8+8],
+                                  x -> CAST(x AS DOUBLE)) AS sv
+            FROM embeddings, LATERAL (SELECT unnest(range(0, 8)) AS j)),
+        scored AS (
+            SELECT vec_id, sub_j, cid,
+                   list_sum(list_transform(list_zip(sv, cvec),
+                            s -> (s[1] - s[2]) * (s[1] - s[2]))) AS l2
+            FROM subs JOIN cent USING (sub_j)),
+        best AS (
+            SELECT vec_id, sub_j, cid,
+                   row_number() OVER (PARTITION BY vec_id, sub_j
+                                      ORDER BY l2, cid) AS rn
+            FROM scored)
+        SELECT vec_id, list(cid ORDER BY sub_j) AS pq_codes
+        FROM best WHERE rn = 1
+        GROUP BY vec_id
+        ORDER BY vec_id
+    """,
+    tags=("B10",),
+    doc="Product-quantization codes (m=8 subspaces x 16 centroids = 32 "
+    "bits/vector vs 2048): codebooks from a deterministic md5-ranked "
+    "corpus sample, nearest-centroid argmin per subspace (L2, ties to "
+    "lowest cid). Codes verified value-for-value vs DuckDB — PQ encode "
+    "is usually unverifiable (k-means nondeterminism); the hash-ranked "
+    "sample makes it exactly replayable.",
+)
+def embedding_pq_codes(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.similarity import (
+        pq_encode,
+        pq_train,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    books = pq_train(emb, m=8, k=16, dim=64)
+    return pq_encode(emb, books, m=8, dim=64).orderBy("vec_id")

@@ -284,3 +284,206 @@ def quantize_int8(
 def dequantize_int8(codes: Column, scale: Column) -> Column:
     """Approximate float vector back from int8 codes (array<double>)."""
     return F.transform(codes, lambda c: c.cast("double") * scale)
+
+
+def _md5_rank_hash(c: Column) -> Column:
+    """Cross-engine-stable pseudo-random rank (same trick as
+    dedup._md5_hash61): first 15 md5 hex digits of the stringified id."""
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def pq_train(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantization codebooks: ``k`` centroids per ``m`` subspaces.
+
+    Centroids are a deterministic pseudo-random corpus sample (the k rows
+    with the smallest md5-derived id hash — TakeOrderedAndProject, one
+    scan, any corpus size; same pattern as IVF), sliced into the m
+    subvectors. Returns a broadcast-sized frame (sub_j, cid, cvec) with
+    cid 1..k assigned in hash order — every engine can replay the exact
+    sample, so PQ codes are oracle-checkable, unlike typical k-means
+    codebooks.
+    """
+    sub = dim // m
+    w = Window.orderBy(_md5_rank_hash(F.col(id_col)), F.col(id_col))
+    sample = (
+        corpus.orderBy(_md5_rank_hash(F.col(id_col)), F.col(id_col))
+        .limit(k)
+        .withColumn("cid", F.row_number().over(w))
+    )
+    return sample.select(
+        "cid", F.posexplode(F.array(*[F.lit(j) for j in range(m)])).alias("__i", "sub_j")
+    ).drop("__i").join(
+        sample.select("cid", F.col(vec_col).alias("__v")), "cid"
+    ).select(
+        "sub_j",
+        "cid",
+        F.transform(
+            F.slice(F.col("__v"), F.col("sub_j") * sub + 1, sub),
+            lambda x: x.cast("double"),
+        ).alias("cvec"),
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Encode each vector as m small codes (nearest codebook centroid per
+    subspace, L2, ties to the lowest cid) — 32 bits per vector at the
+    default m=8/k=16 vs 2048 bits of float32: the memory/shuffle format
+    for billion-scale ANN.
+
+    Plan: explode into m subvectors, broadcast-join the codebooks,
+    codegen'd L2, per-(vector, subspace) argmin window, re-collect the
+    code array. No Python anywhere.
+    """
+    sub = dim // m
+    subs = (
+        corpus.select(F.col(id_col), F.col(vec_col).alias("__v"))
+        .select(
+            F.col(id_col),
+            "__v",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub_j"),
+        )
+        .select(
+            F.col(id_col),
+            "sub_j",
+            F.transform(
+                F.slice(F.col("__v"), F.col("sub_j") * sub + 1, sub),
+                lambda x: x.cast("double"),
+            ).alias("sv"),
+        )
+    )
+    scored = subs.join(F.broadcast(codebooks), "sub_j")
+    l2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy(id_col, "sub_j").orderBy(F.col("__l2").asc(), F.col("cid").asc())
+    best = (
+        scored.withColumn("__l2", l2)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+    )
+    return best.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub_j", "cid"))), lambda s: s["cid"]
+        ).alias("pq_codes")
+    )
+
+
+def pq_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    m: int = 8,
+    n_centroids: int = 16,
+    dim: int = 64,
+    shortlist: int = 50,
+    rerank: bool = True,
+) -> DataFrame:
+    """PQ-ADC approximate top-k by inner product over L2-normalized
+    vectors (= cosine), with optional exact re-rank of the shortlist.
+
+    ADC (asymmetric distance computation): the query stays un-quantized;
+    each (query, subspace, centroid) inner product is a tiny broadcast
+    table and a corpus vector's approximate score is the sum of m table
+    lookups — the corpus side only ever ships its m-byte codes. The
+    standard billion-scale trade: scan cost ∝ codes, exact floats touched
+    only for the ``shortlist`` re-rank.
+    """
+    cn = with_norm(corpus, vec_col)
+    unit = cn.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col), lambda x: x.cast("double") / F.col("__norm")
+        ).alias("__unit"),
+    )
+    books = pq_train(unit, "__unit", id_col, m, n_centroids, dim)
+    codes = pq_encode(unit, books, "__unit", id_col, m, dim)
+
+    qn = with_norm(queries, vec_col)
+    q_unit = qn.select(
+        F.col(query_id_col),
+        F.transform(
+            F.col(vec_col), lambda x: x.cast("double") / F.col("__norm")
+        ).alias("__qunit"),
+    )
+    sub = dim // m
+    q_subs = (
+        q_unit.select(
+            F.col(query_id_col),
+            "__qunit",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub_j"),
+        )
+        .select(
+            F.col(query_id_col),
+            "sub_j",
+            F.slice(F.col("__qunit"), F.col("sub_j") * sub + 1, sub).alias("qv"),
+        )
+    )
+    ip = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cvec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lut = q_subs.join(F.broadcast(books), "sub_j").select(
+        query_id_col, "sub_j", "cid", ip.alias("__ip")
+    )
+    code_rows = codes.select(
+        F.col(id_col), F.posexplode("pq_codes").alias("sub_j", "cid")
+    )
+    approx = (
+        code_rows.join(F.broadcast(lut), ["sub_j", "cid"])
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("__ip").alias("adc_score"))
+        .where(F.col(id_col) != F.col(query_id_col))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_score").desc(), F.col(id_col).asc()
+    )
+    short = (
+        approx.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= (shortlist if rerank else k))
+        .drop("__rn")
+    )
+    if not rerank:
+        return short.withColumn(
+            "rank",
+            F.row_number().over(w),
+        ).select(query_id_col, id_col, F.round("adc_score", 6).alias("score"), "rank")
+    exact = short.join(unit.select(F.col(id_col), F.col("__unit")), id_col).join(
+        q_unit, query_id_col
+    )
+    cos = F.round(
+        F.aggregate(
+            F.zip_with(F.col("__unit"), F.col("__qunit"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    rescored = exact.select(query_id_col, id_col, cos.alias("score"))
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )

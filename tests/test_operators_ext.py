@@ -999,3 +999,34 @@ def test_remove_duplicate_lines_semantics(spark):
     assert out[2].clean_text == "another unique line\n\nlast one"
     assert out[2].n_removed == 1
     assert out[3].clean_text == "" and out[3].n_removed == 1
+
+
+def test_pq_adc_recall_vs_bruteforce(spark, sf_smoke):
+    """PQ-ADC shortlist + exact re-rank must recover a reasonable share of
+    the true top-10 (synthetic near-orthogonal vectors are the documented
+    worst case for coarse 32-bit codes, same caveat as LSH/IVF); and the
+    re-ranked scores must be EXACT cosines (the rerank contract)."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.similarity import (
+        pq_cosine_topk,
+    )
+
+    emb = t(spark, sf_smoke, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries, k=10).toPandas()
+    approx = pq_cosine_topk(
+        emb, queries, k=10, m=8, n_centroids=16, shortlist=100
+    ).toPandas()
+    recalls = []
+    for qid, grp in exact.groupby("query_id"):
+        ex = set(grp.vec_id)
+        ap = set(approx[approx.query_id == qid].vec_id)
+        recalls.append(len(ex & ap) / len(ex))
+    assert sum(recalls) / len(recalls) >= 0.3, recalls
+    # rerank contract: any (query, vec) present in both must carry the
+    # same exact cosine score
+    merged = exact.merge(
+        approx, on=["query_id", "vec_id"], suffixes=("_ex", "_pq")
+    )
+    assert (abs(merged.cosine - merged.score) < 1e-9).all()

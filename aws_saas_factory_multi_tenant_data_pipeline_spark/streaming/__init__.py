@@ -267,3 +267,62 @@ def user_value_ewma_tws(events: DataFrame, alpha: float = 0.2) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def start_dedup_stream(
+    doc_stream: DataFrame,
+    index_root: str,
+    matches_root: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    trigger_seconds: int | None = 60,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming near-duplicate detection against the persisted band index:
+    each micro-batch of new documents is checked with
+    ``operators.dedup.incremental_near_duplicates`` (O(batch) + index
+    join, never O(corpus) recompute), its matches append to
+    ``matches_root``, and its own signatures absorb into the index so the
+    NEXT batch sees it — the reference's streaming ingest shape applied
+    to corpus hygiene: arriving documents are deduped against everything
+    ever ingested, continuously.
+
+    Delivery: at-least-once (same contract as ``start_ingest_stream``'s
+    default); a replayed epoch re-appends its matches and re-appends its
+    index rows, and the index join dedups matched pairs, so downstream
+    consumers of ``matches_root`` should treat (new_id, matched_id) as
+    the idempotency key.
+    """
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import (
+        incremental_near_duplicates,
+    )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        matches = incremental_near_duplicates(
+            batch_df,
+            index_root,
+            text_col=text_col,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_k=shingle_k,
+            update_index=True,
+        )
+        matches.withColumn("_epoch", F.lit(int(epoch_id))).write.mode(
+            "append"
+        ).parquet(matches_root)
+
+    writer = doc_stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -650,3 +650,55 @@ def test_windowed_agg_checkpoint_restart_no_duplicates(spark, tmp_path):
         .collect()
     }
     assert {(r.start, r.n) for r in got} == want, (got, want)
+
+
+def test_streaming_incremental_dedup(spark, tmp_path):
+    """Docs arriving as micro-batches dedup against everything previously
+    ingested: batch 2 finds its exact/near matches in batch 1 via the
+    persisted index, without recomputing batch 1."""
+    import json
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import (
+        build_dedup_index,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.streaming import (
+        start_dedup_stream,
+    )
+
+    idx = str(tmp_path / "dedup_index")
+    matches = str(tmp_path / "matches")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    seed = spark.createDataFrame(
+        [(1, base), (2, "completely different content about spark plans")],
+        "doc_id long, text string",
+    )
+    build_dedup_index(seed, idx)
+
+    # two files -> maxFilesPerTrigger=1 forces two micro-batches; doc 10
+    # duplicates the seed corpus, doc 20 duplicates doc 10 (cross-batch)
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        f.write(json.dumps({"doc_id": 10, "text": base}) + "\n")
+        f.write(json.dumps({"doc_id": 11, "text": "novel text one of a kind"}) + "\n")
+    with open(os.path.join(src, "b2.json"), "w") as f:
+        f.write(json.dumps({"doc_id": 20, "text": base}) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = start_dedup_stream(stream, idx, matches, ckpt, available_now=True)
+    q.awaitTermination(180)
+
+    got = {
+        (r.new_id, r.matched_id, r.match_type)
+        for r in spark.read.parquet(matches).collect()
+    }
+    assert (10, 1, "exact") in got          # batch 1 vs seed corpus
+    assert (20, 1, "exact") in got          # batch 2 vs seed corpus
+    assert (20, 10, "exact") in got         # batch 2 vs batch 1 — the index absorbed it
+    assert not any(n == 11 for n, _, _ in got)  # novel doc matches nothing

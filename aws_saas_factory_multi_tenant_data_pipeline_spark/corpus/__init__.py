@@ -221,6 +221,11 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "fn_string_wave4",
     "fn_datetime_wave4",
     "fn_bitwise_encoding",
+    # r4 wave 2: data management / privacy / rate limiting
+    "table_cdc_diff",
+    "privacy_k_anonymity",
+    "tenant_rate_limit_sliding",
+    "scan_schema_evolution",
 )
 
 
@@ -252,6 +257,7 @@ def load_all() -> dict[str, QuerySpec]:
         saas_ops,
         window_r4,
         ext_llm_wave3,
+        saas_ops_wave2,
     )
 
     head = [n for n in GRADED_WINDOW + _TAIL_PRIORITY if n in REGISTRY]

@@ -1,0 +1,203 @@
+"""SaaS data-management wave 2 (round 4): row-level CDC diff, privacy
+release gates, per-tenant sliding rate limiting, and schema-evolution
+reads.
+
+These are the operational queries a multi-tenant lake needs around the
+reference's append-only Firehose pipeline (`kinesis-stack.ts:137-145`):
+auditing what changed between two snapshots (no transaction log exists),
+gating what aggregate cells are safe to release across tenant boundaries,
+detecting per-principal abuse, and reading a lake whose schema widened
+over time (the reference's Glue crawler re-infers schema every 5 minutes,
+`glue-stack.ts:41-43` — new JSON fields appear as new columns, so the
+engine must read old+new files under one merged schema).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus import register
+from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus._util import t
+from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus.sources_sinks import _SCRATCH
+from aws_saas_factory_multi_tenant_data_pipeline_spark.functions import dsum, sql_dsum
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.cdc import cdc_diff
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.privacy import (
+    k_anonymity_report,
+)
+
+
+@register(
+    "table_cdc_diff",
+    oracle="""
+        WITH old_snap AS (
+            SELECT o_orderkey, o_totalprice, o_orderstatus
+            FROM orders WHERE o_orderkey % 11 <> 0),
+        new_snap AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10.0
+                        ELSE o_totalprice END AS o_totalprice,
+                   CASE WHEN o_orderkey % 13 = 0 THEN 'X'
+                        ELSE o_orderstatus END AS o_orderstatus
+            FROM orders WHERE o_orderkey % 7 <> 0)
+        SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                    WHEN n.o_orderkey IS NULL THEN 'delete'
+                    WHEN o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                     AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                        THEN 'unchanged'
+                    ELSE 'update' END AS change_type,
+               o.o_totalprice AS old_o_totalprice,
+               n.o_totalprice AS new_o_totalprice,
+               o.o_orderstatus AS old_o_orderstatus,
+               n.o_orderstatus AS new_o_orderstatus
+        FROM old_snap o FULL OUTER JOIN new_snap n USING (o_orderkey)
+        WHERE NOT (o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+                   AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                   AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus)
+        ORDER BY change_type, o_orderkey
+    """,
+    tags=("B10", "data-mgmt"),
+    doc="Row-level change-data-capture between two snapshots: one "
+    "full-outer join keyed on the primary key, null-safe value compare, "
+    "insert/delete/update rows with before/after values "
+    "(operators/cdc.py). Audits an append-only lake with no txn log.",
+)
+def table_cdc_diff(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    old = o.where(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    new = (
+        o.where(F.col("o_orderkey") % 7 != 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 10.0)
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            F.when(F.col("o_orderkey") % 13 == 0, F.lit("X"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+        )
+    )
+    d = cdc_diff(old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"])
+    return d.select(
+        "o_orderkey",
+        "change_type",
+        "old_o_totalprice",
+        "new_o_totalprice",
+        "old_o_orderstatus",
+        "new_o_orderstatus",
+    ).orderBy("change_type", "o_orderkey")
+
+
+@register(
+    "privacy_k_anonymity",
+    oracle="""
+        SELECT c_nationkey, c_mktsegment,
+               COUNT(*) AS group_n,
+               COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT))
+                   AS sensitive_distinct,
+               COUNT(*) >= 12 AS is_k_anonymous,
+               COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)) >= 3
+                   AS is_l_diverse,
+               (COUNT(*) >= 12 AND
+                COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)) >= 3)
+                   AS releasable
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment
+        ORDER BY c_nationkey, c_mktsegment
+    """,
+    tags=("B10", "privacy"),
+    doc="k-anonymity + l-diversity release gate over quasi-identifier "
+    "cells (nation × market segment; sensitive attribute = account-"
+    "balance band). One groupBy on the QI domain; the enforcement join "
+    "broadcasts the passing-cell list (operators/privacy.py).",
+)
+def privacy_k_anonymity(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").withColumn(
+        "__band", F.floor(F.col("c_acctbal") / 1000.0).cast("long")
+    )
+    rep = k_anonymity_report(c, ["c_nationkey", "c_mktsegment"], "__band", k=12, l=3)
+    return rep.orderBy("c_nationkey", "c_mktsegment")
+
+
+@register(
+    "tenant_rate_limit_sliding",
+    oracle="""
+        SELECT event_id, user_id, n_1h, n_1h > 4 AS throttled
+        FROM (
+            SELECT event_id, user_id,
+                   COUNT(*) OVER (
+                       PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+                       RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS n_1h
+            FROM events)
+        ORDER BY event_id
+    """,
+    tags=("B10", "B5", "saas"),
+    doc="Per-principal sliding-window rate limit: trailing-1-hour event "
+    "count via a RANGE frame over epoch seconds (value-based frame ⇒ "
+    "identical peer semantics in Spark and DuckDB), throttle flag at "
+    ">4/h. One user_id shuffle; at 100 TB the window state per key is "
+    "O(events in 1h), not O(history).",
+)
+def tenant_rate_limit_sliding(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3599, W.currentRow)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.count(F.lit(1)).over(w).alias("n_1h"),
+        )
+        .withColumn("throttled", F.col("n_1h") > 4)
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "scan_schema_evolution",
+    oracle=f"""
+        SELECT (o_orderkey % 2 = 1) AS has_price,
+               COUNT(*) AS n,
+               {sql_dsum('o_custkey')} AS cust_sum,
+               {sql_dsum('CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END')}
+                   AS price_sum
+        FROM orders
+        GROUP BY 1
+        ORDER BY has_price
+    """,
+    tags=("B1", "data-mgmt"),
+    doc="Schema-evolution read: generation-1 files (orderkey, custkey) "
+    "and generation-2 files (+ totalprice) under one root, read with "
+    "mergeSchema — old files surface the new column as NULL. Mirrors the "
+    "reference's Glue recrawl picking up new JSON fields "
+    "(glue-stack.ts:41-43).",
+)
+def scan_schema_evolution(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    root = os.path.join(_SCRATCH, "sw2_schema_evolution")
+    gen1 = o.where(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_custkey")
+    gen2 = o.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    gen1.write.mode("overwrite").parquet(os.path.join(root, "gen1"))
+    gen2.write.mode("overwrite").parquet(os.path.join(root, "gen2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "gen1"), os.path.join(root, "gen2")
+    )
+    return (
+        merged.groupBy((F.col("o_orderkey") % 2 == 1).alias("has_price"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_custkey").alias("cust_sum"),
+            dsum("o_totalprice").alias("price_sum"),
+        )
+        .orderBy("has_price")
+    )

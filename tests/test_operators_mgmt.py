@@ -1,0 +1,91 @@
+"""Unit tests for round-4 data-management operators: CDC diff and
+privacy release gates."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.cdc import (
+    cdc_diff,
+    cdc_summary,
+)
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.privacy import (
+    k_anonymity_report,
+    suppress_non_anonymous,
+)
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string, amt double")
+
+
+def test_cdc_diff_change_types(spark):
+    old = _snap(
+        spark,
+        [
+            (1, "a", 1.0),  # unchanged
+            (2, "b", 2.0),  # updated value
+            (3, None, 3.0),  # NULL -> value = update
+            (4, "d", 4.0),  # deleted
+            (6, None, 6.0),  # NULL -> NULL = unchanged (null-safe)
+        ],
+    )
+    new = _snap(
+        spark,
+        [
+            (1, "a", 1.0),
+            (2, "B", 2.0),
+            (3, "c", 3.0),
+            (5, "e", 5.0),  # inserted
+            (6, None, 6.0),
+        ],
+    )
+    d = cdc_diff(old, new, ["k"], ["v", "amt"], include_unchanged=True)
+    got = {r["k"]: r["change_type"] for r in d.collect()}
+    assert got == {
+        1: "unchanged",
+        2: "update",
+        3: "update",
+        4: "delete",
+        5: "insert",
+        6: "unchanged",
+    }
+    # default excludes unchanged
+    d2 = cdc_diff(old, new, ["k"], ["v", "amt"])
+    assert {r["k"] for r in d2.collect()} == {2, 3, 4, 5}
+    # before/after values survive on updates
+    row2 = d2.where(F.col("k") == 2).collect()[0]
+    assert row2["old_v"] == "b" and row2["new_v"] == "B"
+
+
+def test_cdc_summary_checksum_partition_invariant(spark):
+    old = _snap(spark, [(i, "x", float(i)) for i in range(100)])
+    new = _snap(spark, [(i, "x" if i % 3 else "y", float(i)) for i in range(5, 105)])
+    d = cdc_diff(old, new, ["k"], ["v", "amt"])
+    s1 = {tuple(r) for r in cdc_summary(d, ["k"]).collect()}
+    s2 = {tuple(r) for r in cdc_summary(d.repartition(7), ["k"]).collect()}
+    assert s1 == s2 and len(s1) >= 2
+
+
+def test_k_anonymity_report_and_suppression(spark):
+    rows = []
+    # cell (1, 'A'): 6 rows, 3 distinct sensitive values -> releasable at k=5,l=2
+    for i in range(6):
+        rows.append((1, "A", i % 3))
+    # cell (2, 'A'): 2 rows -> fails k
+    rows += [(2, "A", 0), (2, "A", 1)]
+    # cell (3, 'B'): 7 rows but single sensitive value -> fails l
+    rows += [(3, "B", 9)] * 7
+    df = spark.createDataFrame(rows, "region int, seg string, sens int")
+
+    rep = k_anonymity_report(df, ["region", "seg"], "sens", k=5, l=2)
+    by_cell = {(r["region"], r["seg"]): r for r in rep.collect()}
+    assert by_cell[(1, "A")]["releasable"]
+    assert not by_cell[(2, "A")]["is_k_anonymous"]
+    assert by_cell[(3, "B")]["is_k_anonymous"] and not by_cell[(3, "B")]["is_l_diverse"]
+
+    kept = suppress_non_anonymous(df, ["region", "seg"], "sens", k=5, l=2)
+    assert kept.count() == 6
+    assert {(r["region"], r["seg"]) for r in kept.collect()} == {(1, "A")}
+    # suppression keeps row content intact (it is a semi-join, not a projection)
+    assert set(kept.columns) == set(df.columns)

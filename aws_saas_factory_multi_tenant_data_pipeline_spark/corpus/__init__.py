@@ -226,6 +226,11 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "privacy_k_anonymity",
     "tenant_rate_limit_sliding",
     "scan_schema_evolution",
+    # r4 wave 2: portable clustering / ANN / BPE
+    "dedup_semantic",
+    "similarity_ivf_portable",
+    "bpe_learn_merges",
+    "bpe_pair_counts",
 )
 
 
@@ -258,6 +263,7 @@ def load_all() -> dict[str, QuerySpec]:
         window_r4,
         ext_llm_wave3,
         saas_ops_wave2,
+        ext_llm_wave4,
     )
 
     head = [n for n in GRADED_WINDOW + _TAIL_PRIORITY if n in REGISTRY]

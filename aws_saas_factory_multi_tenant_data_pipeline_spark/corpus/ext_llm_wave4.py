@@ -1,0 +1,225 @@
+"""B10 [EXT] wave 4 (round 4): portable k-means / SemDeDup, fully
+oracle-checked IVF ANN, and BPE vocabulary induction.
+
+The rarity here is that *approximate* algorithms are pinned exactly:
+k-means seeding/assignment/Lloyd updates and the IVF probe set use
+engine-portable math (md5-ordered seeds, round-6 cosines, exact-decimal
+means — operators/clustering.py), so the DuckDB oracle replays the whole
+pipeline hash-for-hash instead of settling for a recall bound. Same for
+the BPE trainer (operators/bpe.py): the double-space symbol-string
+encoding makes the greedy merge a plain `replace` in both engines, so
+the learned merge table is value-equal, not just plausible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus import register
+from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus._util import t
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.bpe import learn_merges
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.clustering import (
+    ivf_topk_portable,
+    semantic_dedup,
+)
+
+_C = 8  # clusters
+_DIM = 64
+_TAU = 0.3
+_K = 5
+_NPROBE = 2
+_N_MERGES = 6
+
+_DUCK_NORM = r"trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))"
+
+
+def _cos(a: str, b: str) -> str:
+    return (
+        f"ROUND(list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+
+
+# k-means CTE chain shared by the SemDeDup and IVF oracles: md5-ordered
+# seeds -> argmax-cosine assignment -> exact-decimal Lloyd update ->
+# reassignment. Mirrors operators/clustering.kmeans_portable step for step.
+_KMEANS_CTES = f"""
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        seeds AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY r, vec_id) - 1 AS cluster_id, v
+            FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS r, vec_id, v
+                  FROM e ORDER BY r, vec_id LIMIT {_C})),
+        a0 AS (
+            SELECT vec_id, v, cluster_id FROM (
+                SELECT e.vec_id, e.v, s.cluster_id,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY {_cos('e.v', 's.v')} DESC, s.cluster_id) AS rn
+                FROM e, seeds s) WHERE rn = 1),
+        cent1d AS (
+            SELECT cluster_id, i AS dim,
+                   CAST(SUM(CAST(v[i] AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS val
+            FROM a0, range(1, {_DIM + 1}) t(i) GROUP BY cluster_id, i),
+        cent1 AS (
+            SELECT cluster_id, list(val ORDER BY dim) AS v
+            FROM cent1d GROUP BY cluster_id),
+        a1 AS (
+            SELECT vec_id, v, cluster_id FROM (
+                SELECT e.vec_id, e.v, c.cluster_id,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY {_cos('e.v', 'c.v')} DESC, c.cluster_id) AS rn
+                FROM e, cent1 c) WHERE rn = 1)"""
+
+
+@register(
+    "dedup_semantic",
+    oracle=f"""
+        WITH {_KMEANS_CTES},
+        drops AS (
+            SELECT DISTINCT b.vec_id
+            FROM a1 a JOIN a1 b
+              ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+            WHERE {_cos('a.v', 'b.v')} >= {_TAU})
+        SELECT a1.vec_id, a1.cluster_id, (d.vec_id IS NULL) AS is_kept
+        FROM a1 LEFT JOIN drops d ON a1.vec_id = d.vec_id
+        ORDER BY a1.vec_id
+    """,
+    tags=("B10",),
+    doc="SemDeDup (arXiv:2303.09540): md5-seeded portable k-means (1 "
+    "Lloyd round, exact-decimal centroid means) then drop vectors with a "
+    "lower-id neighbor at cosine >= 0.3 WITHIN their cluster. The "
+    "cluster partitioning bounds pair comparisons; the oracle replays "
+    "the entire clustering hash-for-hash.",
+)
+def dedup_semantic(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, n_clusters=_C, iterations=1, tau=_TAU).orderBy("vec_id")
+
+
+@register(
+    "similarity_ivf_portable",
+    oracle=f"""
+        WITH {_KMEANS_CTES},
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 101 = 0),
+        probes AS (
+            SELECT query_id, qv, cluster_id FROM (
+                SELECT q.query_id, q.qv, c.cluster_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.query_id
+                           ORDER BY {_cos('q.qv', 'c.v')} DESC, c.cluster_id) AS pr
+                FROM q, cent1 c) WHERE pr <= {_NPROBE}),
+        cands AS (
+            SELECT p.query_id, a1.vec_id, {_cos('p.qv', 'a1.v')} AS cosine
+            FROM probes p JOIN a1 ON p.cluster_id = a1.cluster_id
+            WHERE a1.vec_id <> p.query_id)
+        SELECT query_id, rank, vec_id, cosine FROM (
+            SELECT query_id, vec_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, vec_id) AS rank
+            FROM cands) WHERE rank <= {_K}
+        ORDER BY query_id, rank
+    """,
+    tags=("B10",),
+    doc="IVF ANN with the probe set itself oracle-pinned: portable "
+    "k-means inverted lists, top-2 probed lists per query, exact top-5 "
+    "within probes. Complements the xxhash64 fast path "
+    "(similarity_ivf_ann, recall-tested) with a hash-checkable twin.",
+)
+def similarity_ivf_portable(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 101 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk_portable(
+        emb, queries, n_clusters=_C, iterations=1, k=_K, nprobe=_NPROBE
+    ).orderBy("query_id", "rank")
+
+
+@register(
+    "bpe_pair_counts",
+    oracle=f"""
+        WITH words AS (
+            SELECT w AS word, COUNT(*) AS cnt
+            FROM (SELECT unnest(string_split({_DUCK_NORM}, ' ')) AS w FROM documents)
+            WHERE w <> '' GROUP BY w),
+        sym AS (
+            SELECT list_append(regexp_split_to_array(word, ''), '_') AS syms, cnt
+            FROM words),
+        pairs AS (
+            SELECT syms[j] || ' ' || syms[j + 1] AS pair, cnt
+            FROM sym, LATERAL (SELECT unnest(range(1, len(syms))) AS j))
+        SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n
+        FROM pairs GROUP BY pair
+        ORDER BY n DESC, pair LIMIT 30
+    """,
+    tags=("B10",),
+    doc="BPE round-0 statistics: top-30 adjacent symbol pairs (chars + "
+    "end-of-word marker) weighted by word frequency. One corpus pass to "
+    "the word-count table; pair stats live on the small vocab frame.",
+)
+def bpe_pair_counts(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.bpe import (
+        pair_counts,
+        symbolize,
+        word_frequencies,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    vocab = word_frequencies(d).select(symbolize(F.col("word")).alias("s"), "cnt")
+    return pair_counts(vocab).orderBy(F.desc("n"), F.asc("pair")).limit(30)
+
+
+def _bpe_merges_oracle(k: int) -> str:
+    """Generate the k-round merge-loop oracle: each round counts pairs,
+    picks the (count DESC, pair ASC) winner, and applies it with the
+    same double-space `replace` the Spark side uses."""
+    ctes = [
+        f"""words AS (
+            SELECT w AS word, COUNT(*) AS cnt
+            FROM (SELECT unnest(string_split({_DUCK_NORM}, ' ')) AS w FROM documents)
+            WHERE w <> '' GROUP BY w)""",
+        """w0 AS (
+            SELECT ' ' || array_to_string(
+                       list_append(regexp_split_to_array(word, ''), '_'), '  ')
+                   || ' ' AS s, cnt
+            FROM words)""",
+    ]
+    for i in range(k):
+        ctes.append(
+            f"""p{i} AS (
+            SELECT l[j] || ' ' || l[j + 1] AS pair, CAST(SUM(cnt) AS BIGINT) AS n
+            FROM (SELECT string_split(trim(s), '  ') AS l, cnt FROM w{i}),
+                 LATERAL (SELECT unnest(range(1, len(l))) AS j)
+            GROUP BY 1)"""
+        )
+        ctes.append(f"b{i} AS (SELECT pair, n FROM p{i} ORDER BY n DESC, pair LIMIT 1)")
+        ctes.append(
+            f"""w{i + 1} AS (
+            SELECT replace(s,
+                       ' ' || split_part(pair, ' ', 1) || '  ' || split_part(pair, ' ', 2) || ' ',
+                       ' ' || split_part(pair, ' ', 1) || split_part(pair, ' ', 2) || ' ') AS s,
+                   cnt
+            FROM w{i}, b{i})"""
+        )
+    selects = " UNION ALL ".join(
+        f"""SELECT {i + 1} AS merge_rank, split_part(pair, ' ', 1) AS left_sym,
+                   split_part(pair, ' ', 2) AS right_sym,
+                   split_part(pair, ' ', 1) || split_part(pair, ' ', 2) AS merged,
+                   n AS pair_count
+            FROM b{i}"""
+        for i in range(k)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects + "\nORDER BY merge_rank"
+
+
+@register(
+    "bpe_learn_merges",
+    oracle=_bpe_merges_oracle(_N_MERGES),
+    tags=("B10",),
+    doc="BPE vocabulary induction, merge table oracle-checked: 6 greedy "
+    "merge rounds on the word-frequency table (the only corpus-scale "
+    "pass is the word count). The double-space symbol encoding makes "
+    "each merge a plain non-overlapping replace — identical greedy "
+    "semantics in Spark and DuckDB (operators/bpe.py).",
+)
+def bpe_learn_merges(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return learn_merges(spark, d, _N_MERGES).orderBy("merge_rank")

@@ -1,0 +1,224 @@
+"""Portable k-means clustering + semantic dedup over embedding columns
+(SURVEY.md §2 B10).
+
+SemDeDup (Abbas et al. 2023, arXiv:2303.09540) prunes semantically
+redundant training documents: cluster the embedding space, then drop
+near-identical vectors *within* each cluster — the clustering bounds the
+pairwise comparison to O(Σ |cluster|²) instead of O(n²). This module
+implements the whole chain with deterministic, engine-portable math so
+the full pipeline is hash-checkable against DuckDB:
+
+- seeding: the C centroids are the first C vectors in md5(vec_id) order
+  (content-stable sample — same trick as the portable MinHash/manifest
+  ops; any SQL engine replays it);
+- assignment: argmax cosine, cosine rounded to 6 dp, ties broken by
+  ascending centroid id;
+- Lloyd update: per-dimension mean computed as an EXACT decimal sum
+  (order-independent ⇒ identical across engines and partitionings),
+  divided in double.
+
+Scale shape: assignment is a broadcast of C tiny centroid rows against
+the corpus — a narrow projection with C sequential-fold dot products per
+row, no shuffle. The Lloyd update posexplodes dimensions but partial
+aggregation collapses each partition to ≤ C·dim rows before the shuffle,
+so shuffle volume is O(C·dim·partitions), not O(rows·dim). The
+within-cluster pair join is the one quadratic piece — at 100 TB you
+raise C so clusters stay bounded (SemDeDup uses ~100k clusters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.similarity import dot, norm
+
+#: exact-decimal accumulator for order-independent float means
+_DEC = "decimal(38,12)"
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    """Cosine rounded to 6 dp (the corpus determinism contract)."""
+    return F.round(dot(a, b) / (norm(a) * norm(b)), 6)
+
+
+def seed_centroids(
+    df: DataFrame, n_clusters: int, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """(cluster_id, centroid) — the first ``n_clusters`` vectors in
+    md5(id) order. Content-stable and replayable in any engine; a
+    TakeOrderedAndProject at any scale (no global sort materialized)."""
+    ranked = df.select(
+        F.md5(F.col(id_col).cast("string")).alias("__r"),
+        F.col(id_col).alias("__id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("centroid"),
+    ).orderBy("__r", "__id").limit(n_clusters)
+    w = Window.orderBy("__r", "__id")
+    return ranked.select(
+        (F.row_number().over(w) - 1).alias("cluster_id"), "centroid"
+    )
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid assignment: argmax cosine, round-6, ties to the
+    lowest cluster_id. Broadcast join — corpus is scanned once."""
+    cand = df.crossJoin(F.broadcast(centroids))
+    cos = _cosine(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")), F.col("centroid")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__cos"), F.asc("cluster_id"))
+    return (
+        cand.withColumn("__cos", cos)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "centroid")
+        .withColumnRenamed("__cos", "centroid_cosine")
+    )
+
+
+def lloyd_update(
+    assigned: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Recompute centroids as per-dimension exact-decimal means.
+
+    posexplode → partial-agg per (cluster, dim) → reassemble the array
+    sorted by dim. Shuffle carries ≤ C·dim rows per input partition."""
+    dims = assigned.select(
+        "cluster_id", F.posexplode(F.col(vec_col)).alias("dim", "val")
+    )
+    per_dim = dims.groupBy("cluster_id", "dim").agg(
+        (F.sum(F.col("val").cast(_DEC)).cast("double") / F.count(F.lit(1))).alias("val")
+    )
+    return per_dim.groupBy("cluster_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "val"))), lambda s: s["val"]
+        ).alias("centroid")
+    )
+
+
+def kmeans_portable(
+    df: DataFrame,
+    n_clusters: int = 8,
+    iterations: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """md5-seeded k-means with ``iterations`` Lloyd rounds; returns the
+    final assignment (input cols + cluster_id + centroid_cosine).
+
+    Every step is engine-portable (see module docstring), so the entire
+    clustering is oracle-checkable — rare for k-means, and the reason the
+    seeding/rounding rules are pinned the way they are."""
+    centroids = seed_centroids(df, n_clusters, vec_col, id_col)
+    assigned = assign_clusters(df, centroids, vec_col, id_col)
+    for _ in range(iterations):
+        centroids = lloyd_update(assigned, vec_col)
+        assigned = assign_clusters(df, centroids, vec_col, id_col)
+    return assigned
+
+
+def ivf_topk_portable(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_clusters: int = 8,
+    iterations: int = 1,
+    k: int = 5,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate nearest neighbors with fully portable math: build
+    the inverted lists with ``kmeans_portable``, probe the ``nprobe``
+    closest lists per query, exact top-k within the probed lists only.
+
+    Unlike the xxhash64-seeded fast path (similarity.ivf_cosine_topk),
+    every step here is replayable in plain SQL, so the approximate result
+    itself is hash-checkable — the probe set, not just recall, is pinned.
+    Scale shape: queries and centroids broadcast; the corpus side is
+    filtered to probed lists via an equi-join on cluster_id (with the
+    lists persisted as a partitioned table this becomes partition
+    pruning)."""
+    centroids = seed_centroids(corpus, n_clusters, vec_col, id_col)
+    assigned = assign_clusters(corpus, centroids, vec_col, id_col)
+    for _ in range(iterations):
+        centroids = lloyd_update(assigned, vec_col)
+        assigned = assign_clusters(corpus, centroids, vec_col, id_col)
+    lists = assigned.select(
+        F.col(id_col),
+        "cluster_id",
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qv"),
+    )
+    probe_w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("__ccos"), F.asc("cluster_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("__ccos", _cosine(F.col("__qv"), F.col("centroid")))
+        .withColumn("__pr", F.row_number().over(probe_w))
+        .where(F.col("__pr") <= nprobe)
+        .select(query_id_col, "__qv", "cluster_id")
+    )
+    rank_w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        probes.join(lists, on="cluster_id")
+        .where(F.col(id_col) != F.col(query_id_col))
+        .withColumn("cosine", _cosine(F.col("__qv"), F.col("__v")))
+        .withColumn("rank", F.row_number().over(rank_w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "cosine")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    n_clusters: int = 8,
+    iterations: int = 1,
+    tau: float = 0.3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup: cluster, then within each cluster drop any vector that
+    has a lower-id neighbor with cosine ≥ tau. Returns one row per input
+    vector: (id, cluster_id, is_kept).
+
+    The pair join is cluster-partitioned (equi-join on cluster_id), so
+    comparisons are Σ|cluster|² — bounded by raising n_clusters, never
+    all-pairs."""
+    assigned = kmeans_portable(df, n_clusters, iterations, vec_col, id_col).select(
+        F.col(id_col),
+        "cluster_id",
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+    a = assigned.select(
+        F.col(id_col).alias("__ida"), F.col("cluster_id"), F.col("__v").alias("__va")
+    )
+    b = assigned.select(
+        F.col(id_col).alias("__idb"), F.col("cluster_id"), F.col("__v").alias("__vb")
+    )
+    dup_pairs = (
+        a.join(b, on="cluster_id")
+        .where(F.col("__ida") < F.col("__idb"))
+        .where(_cosine(F.col("__va"), F.col("__vb")) >= tau)
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dup_pairs.withColumn("__dropped", F.lit(True)), on=id_col, how="left"
+        )
+        .select(
+            F.col(id_col),
+            "cluster_id",
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("is_kept"),
+        )
+    )

@@ -195,6 +195,18 @@ def minhash_near_duplicates(
             )
         ).alias("band_idx", "band_hash"),
     )
+    if persist_shingles:
+        # the band self-join references this frame twice, and Catalyst does
+        # NOT reuse the signature pipeline across the two sides (the
+        # broadcast side canonicalizes differently, so ReuseExchange never
+        # fires) — without this persist the shingle-hash explode + the
+        # num_hashes min-aggregates run twice. The frame is tiny
+        # (|docs|·bands rows of three fixed-width cols), so the cache cost
+        # is noise next to a second signature pass. Measured at sf0.1:
+        # 2.7 s → 1.6 s warm.
+        from pyspark import StorageLevel
+
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -229,6 +241,7 @@ def minhash_near_duplicates(
         # precise cleanup handle (see docstring) — avoids both a session-
         # lifetime cache leak and the clearCache() sledgehammer
         result.shingle_cache = shs
+        result.band_cache = banded
     return result
 
 

@@ -231,6 +231,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "similarity_ivf_portable",
     "bpe_learn_merges",
     "bpe_pair_counts",
+    "bpe_encode",
 )
 
 

@@ -167,10 +167,10 @@ def bpe_pair_counts(spark, sf_dir):
     return pair_counts(vocab).orderBy(F.desc("n"), F.asc("pair")).limit(30)
 
 
-def _bpe_merges_oracle(k: int) -> str:
-    """Generate the k-round merge-loop oracle: each round counts pairs,
-    picks the (count DESC, pair ASC) winner, and applies it with the
-    same double-space `replace` the Spark side uses."""
+def _bpe_cte_chain(k: int) -> list[str]:
+    """Shared k-round merge-loop CTEs: each round counts pairs, picks the
+    (count DESC, pair ASC) winner into b{i}, and applies it with the same
+    double-space `replace` the Spark side uses."""
     ctes = [
         f"""words AS (
             SELECT w AS word, COUNT(*) AS cnt
@@ -199,6 +199,10 @@ def _bpe_merges_oracle(k: int) -> str:
                    cnt
             FROM w{i}, b{i})"""
         )
+    return ctes
+
+
+def _bpe_merges_oracle(k: int) -> str:
     selects = " UNION ALL ".join(
         f"""SELECT {i + 1} AS merge_rank, split_part(pair, ' ', 1) AS left_sym,
                    split_part(pair, ' ', 2) AS right_sym,
@@ -207,7 +211,46 @@ def _bpe_merges_oracle(k: int) -> str:
             FROM b{i}"""
         for i in range(k)
     )
-    return "WITH " + ",\n".join(ctes) + "\n" + selects + "\nORDER BY merge_rank"
+    return "WITH " + ",\n".join(_bpe_cte_chain(k)) + "\n" + selects + "\nORDER BY merge_rank"
+
+
+def _bpe_encode_oracle(k: int) -> str:
+    """Train (the b{i} chain) then tokenize every document with the
+    learned merges — all inside one SQL statement."""
+    ctes = _bpe_cte_chain(k)
+    ctes.append(
+        f"""d0 AS (
+            SELECT doc_id,
+                   ' ' || array_to_string(
+                       list_transform(
+                           list_filter(string_split({_DUCK_NORM}, ' '), w -> w <> ''),
+                           w -> array_to_string(regexp_split_to_array(w, ''), '  ')
+                                || '  _'),
+                       '  ') || ' ' AS s
+            FROM documents)"""
+    )
+    for i in range(k):
+        ctes.append(
+            f"""d{i + 1} AS (
+            SELECT doc_id,
+                   replace(s,
+                       ' ' || split_part(pair, ' ', 1) || '  ' || split_part(pair, ' ', 2) || ' ',
+                       ' ' || split_part(pair, ' ', 1) || split_part(pair, ' ', 2) || ' ') AS s
+            FROM d{i}, b{i})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT doc_id,
+               CASE WHEN trim(s) = '' THEN 0
+                    ELSE CAST(len(string_split(trim(s), '  ')) AS INT) END AS n_tokens,
+               md5(CASE WHEN trim(s) = '' THEN ''
+                        ELSE array_to_string(string_split(trim(s), '  '), ' ') END)
+                   AS token_fp
+        FROM d{k}
+        ORDER BY doc_id"""
+    )
 
 
 @register(
@@ -223,3 +266,26 @@ def _bpe_merges_oracle(k: int) -> str:
 def bpe_learn_merges(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     return learn_merges(spark, d, _N_MERGES).orderBy("merge_rank")
+
+
+@register(
+    "bpe_encode",
+    oracle=_bpe_encode_oracle(_N_MERGES),
+    tags=("B10",),
+    doc="Train-then-tokenize, end-to-end oracle-checked: learn 6 BPE "
+    "merges on the corpus, then encode every document with them "
+    "(per-doc token count + md5 fingerprint of the token sequence). "
+    "Encoding is a narrow chain of replaces over a whole-document symbol "
+    "string — safe because a learned pair's left symbol is never "
+    "word-final, so no replace can straddle a word boundary "
+    "(operators/bpe.py symbolize_document).",
+)
+def bpe_encode(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.bpe import (
+        encode_documents,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    learned = learn_merges(spark, d, _N_MERGES).orderBy("merge_rank").collect()
+    merges = [(r["left_sym"], r["right_sym"]) for r in learned]
+    return encode_documents(d, merges).orderBy("doc_id")

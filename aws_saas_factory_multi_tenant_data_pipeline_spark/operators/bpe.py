@@ -79,6 +79,54 @@ def apply_merge(s: Column, a: str, b: str) -> Column:
     return F.replace(s, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
 
 
+def symbolize_document(text: Column) -> Column:
+    """Whole-document symbol string: every word contributes its chars +
+    '_', all flattened into one double-space-joined sequence.
+
+    Applying merges at document level is safe because no learnable pair
+    can span a word boundary: '_'-suffixed symbols are always word-final,
+    nothing follows '_' within a word, so a learned pair's LEFT symbol is
+    never word-final — the replace pattern cannot straddle two words."""
+    words = F.filter(tokens(text), lambda w: w != F.lit(""))
+    per_word = F.transform(
+        words,
+        lambda w: F.concat(
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(w)), lambda i: w.substr(i, F.lit(1))
+                ),
+                "  ",
+            ),
+            F.lit("  _"),
+        ),
+    )
+    return F.concat(F.lit(" "), F.array_join(per_word, "  "), F.lit(" "))
+
+
+def encode_documents(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply an ordered merge list to every document; returns (id,
+    n_tokens, token_fp) where token_fp is md5 of the single-space token
+    join. Pure narrow projection — a chain of replaces, no shuffle."""
+    s: Column = symbolize_document(F.col(text_col))
+    for a, b in merges:
+        s = apply_merge(s, a, b)
+    toks = F.split(F.trim(s), "  ")
+    joined = F.array_join(toks, " ")
+    return df.select(
+        F.col(id_col),
+        F.when(F.trim(s) == "", F.lit(0))
+        .otherwise(F.size(toks))
+        .cast("int")
+        .alias("n_tokens"),
+        F.md5(F.when(F.trim(s) == "", F.lit("")).otherwise(joined)).alias("token_fp"),
+    )
+
+
 def learn_merges(
     spark: SparkSession,
     df: DataFrame,

@@ -11,7 +11,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus._util import t
-from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.bpe import learn_merges
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.bpe import (
+    encode_documents,
+    learn_merges,
+)
 from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.clustering import (
     ivf_topk_portable,
     kmeans_portable,
@@ -148,3 +151,30 @@ def test_bpe_matches_pure_python_reference(spark, texts):
         for r in learn_merges(spark, df, 5).orderBy("merge_rank").collect()
     ]
     assert got == _ref_bpe(texts, 5)
+
+
+def test_bpe_encode_token_counts_shrink_with_merges(spark):
+    texts = ["the cat sat on the mat", "the bat and the cat", "that is that"]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in learn_merges(spark, df, 4).orderBy("merge_rank").collect()
+    ]
+    base = {r["doc_id"]: r["n_tokens"] for r in encode_documents(df, []).collect()}
+    enc = {r["doc_id"]: r["n_tokens"] for r in encode_documents(df, merges).collect()}
+    # chars+markers without merges; every applied merge only shrinks docs
+    for i, s in enumerate(texts):
+        words = [w for w in s.split() if w]
+        assert base[i] == sum(len(w) + 1 for w in words)
+        assert 0 < enc[i] < base[i]
+
+
+def test_bpe_encode_empty_and_punct_only_docs(spark):
+    df = spark.createDataFrame(
+        [(0, ""), (1, "!!! ..."), (2, "ok")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in encode_documents(df, [("o", "k")]).collect()}
+    assert rows[0]["n_tokens"] == 0 and rows[1]["n_tokens"] == 0
+    assert rows[2]["n_tokens"] == 2  # 'ok' + '_'

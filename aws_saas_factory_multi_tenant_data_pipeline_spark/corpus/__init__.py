@@ -232,6 +232,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "bpe_learn_merges",
     "bpe_pair_counts",
     "bpe_encode",
+    "lake_zorder_layout",
 )
 
 

@@ -24,6 +24,10 @@ from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus._util import t
 from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus.sources_sinks import _SCRATCH
 from aws_saas_factory_multi_tenant_data_pipeline_spark.functions import dsum, sql_dsum
 from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.cdc import cdc_diff
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.layout import (
+    zorder_key,
+    zorder_key_sql,
+)
 from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.privacy import (
     k_anonymity_report,
 )
@@ -158,6 +162,70 @@ def tenant_rate_limit_sliding(spark, sf_dir):
         )
         .withColumn("throttled", F.col("n_1h") > 4)
         .orderBy("event_id")
+    )
+
+
+_ZBITS = 8
+_ZSQL = zorder_key_sql(
+    "d.o_custkey", "mm.lo_a", "mm.hi_a", "d.day", "mm.lo_b", "mm.hi_b", _ZBITS
+)
+
+
+@register(
+    "lake_zorder_layout",
+    oracle=f"""
+        WITH d AS (
+            SELECT o_orderkey, o_custkey,
+                   CAST(FLOOR(epoch(o_orderdate) / 86400) AS BIGINT) AS day
+            FROM orders),
+        mm AS (
+            SELECT MIN(o_custkey) AS lo_a, MAX(o_custkey) AS hi_a,
+                   MIN(day) AS lo_b, MAX(day) AS hi_b
+            FROM d)
+        SELECT {_ZSQL} >> 10 AS z_bucket,
+               COUNT(*) AS n,
+               MIN(o_custkey) AS cust_lo, MAX(o_custkey) AS cust_hi,
+               MIN(day) AS day_lo, MAX(day) AS day_hi
+        FROM d, mm
+        GROUP BY 1
+        ORDER BY z_bucket
+    """,
+    tags=("B1", "data-mgmt"),
+    doc="Z-order (Morton) layout key over (customer, order-day): "
+    "min/max-scaled buckets, bit-interleaved with shift/and/or only "
+    "(operators/layout.py). Per-coarse-bucket ranges show each bucket "
+    "covers a small rectangle of BOTH dimensions — the property that "
+    "makes file min/max stats prune two-dimensional predicates. The "
+    "physical rewrite (cluster_by_zorder) is exercised in tests.",
+)
+def lake_zorder_layout(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("long").alias("day"),
+    )
+    mm = o.agg(
+        F.min("o_custkey").alias("lo_a"),
+        F.max("o_custkey").alias("hi_a"),
+        F.min("day").alias("lo_b"),
+        F.max("day").alias("hi_b"),
+    )
+    z = zorder_key(
+        F.col("o_custkey"), F.col("lo_a"), F.col("hi_a"),
+        F.col("day"), F.col("lo_b"), F.col("hi_b"), _ZBITS,
+    )
+    return (
+        o.crossJoin(F.broadcast(mm))
+        .withColumn("z_bucket", F.shiftright(z, 10))
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_custkey").alias("cust_lo"),
+            F.max("o_custkey").alias("cust_hi"),
+            F.min("day").alias("day_lo"),
+            F.max("day").alias("day_hi"),
+        )
+        .orderBy("z_bucket")
     )
 
 

@@ -179,6 +179,85 @@ def ivf_topk_portable(
     )
 
 
+def build_ivf_index(
+    df: DataFrame,
+    root: str,
+    n_clusters: int = 8,
+    iterations: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    mode: str = "overwrite",
+) -> None:
+    """Persist an IVF index: ``root/centroids`` (tiny) and ``root/lists``
+    PARTITIONED BY cluster_id. At 100 TB the index is the artifact you
+    maintain — re-clustering the corpus per query batch is the O(corpus)
+    trap (same argument as the dedup band index above); queries touch
+    only the probed list partitions via partition pruning."""
+    centroids = seed_centroids(df, n_clusters, vec_col, id_col)
+    assigned = assign_clusters(df, centroids, vec_col, id_col)
+    for _ in range(iterations):
+        centroids = lloyd_update(assigned, vec_col)
+        assigned = assign_clusters(df, centroids, vec_col, id_col)
+    centroids.write.mode(mode).parquet(f"{root}/centroids")
+    (
+        assigned.select(
+            F.col(id_col),
+            "cluster_id",
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+        )
+        .repartition("cluster_id")
+        .write.mode(mode)
+        .partitionBy("cluster_id")
+        .parquet(f"{root}/lists")
+    )
+
+
+def query_ivf_index(
+    queries: DataFrame,
+    root: str,
+    k: int = 5,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ANN search against a persisted IVF index. The probed cluster ids
+    (≤ |queries|·nprobe values — a bounded driver-side list, same
+    contract as lake.py's partition-key pruning) are pushed into the
+    list read as a partition filter, so only the probed subtrees are
+    scanned."""
+    spark = queries.sparkSession
+    centroids = spark.read.parquet(f"{root}/centroids")
+    q = queries.select(
+        F.col(query_id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qv"),
+    )
+    probe_w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("__ccos"), F.asc("cluster_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("__ccos", _cosine(F.col("__qv"), F.col("centroid")))
+        .withColumn("__pr", F.row_number().over(probe_w))
+        .where(F.col("__pr") <= nprobe)
+        .select(query_id_col, "__qv", "cluster_id")
+    )
+    probed_ids = sorted(
+        {r["cluster_id"] for r in probes.select("cluster_id").distinct().collect()}
+    )
+    lists = spark.read.parquet(f"{root}/lists").where(
+        F.col("cluster_id").isin(probed_ids)
+    )
+    rank_w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        probes.join(lists, on="cluster_id")
+        .where(F.col("vec_id") != F.col(query_id_col))
+        .withColumn("cosine", _cosine(F.col("__qv"), F.col("vec")))
+        .withColumn("rank", F.row_number().over(rank_w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "rank", "vec_id", "cosine")
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     n_clusters: int = 8,

@@ -98,6 +98,40 @@ def test_ivf_portable_recall_vs_bruteforce(spark, sf_smoke):
     assert sum(recalls) / len(recalls) >= 0.5
 
 
+def test_persisted_ivf_index_matches_inline_search(spark, sf_smoke, tmp_path):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.clustering import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    emb = t(spark, sf_smoke, "embeddings")
+    queries = emb.where(F.col("vec_id") % 23 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    root = str(tmp_path / "ivf")
+    build_ivf_index(emb, root, n_clusters=4, iterations=1)
+    got = sorted(
+        tuple(r)
+        for r in query_ivf_index(queries, root, k=5, nprobe=2).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in ivf_topk_portable(
+            emb, queries, n_clusters=4, iterations=1, k=5, nprobe=2
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+    # probed-list pruning: the lists read must carry a cluster_id filter
+    # (partition pruning on the index layout)
+    plan = (
+        query_ivf_index(queries, root, k=5, nprobe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+
+
 def _ref_bpe(texts: list[str], n_merges: int):
     """Pure-Python greedy BPE on word frequencies (Sennrich-style)."""
     import re

@@ -233,6 +233,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "bpe_pair_counts",
     "bpe_encode",
     "lake_zorder_layout",
+    "llm_curriculum_phases",
 )
 
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus import register
+from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus import REGISTRY, register
 from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus._util import t
 from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.bpe import learn_merges
 from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.clustering import (
@@ -289,3 +289,36 @@ def bpe_encode(spark, sf_dir):
     learned = learn_merges(spark, d, _N_MERGES).orderBy("merge_rank").collect()
     merges = [(r["left_sym"], r["right_sym"]) for r in learned]
     return encode_documents(d, merges).orderBy("doc_id")
+
+
+def _curriculum_oracle() -> str:
+    scores = REGISTRY["text_quality_model_score"].oracle
+    return f"""
+        SELECT doc_id, quality_score,
+               NTILE(4) OVER (ORDER BY quality_score DESC, doc_id) AS phase
+        FROM ({scores}) s
+        ORDER BY doc_id
+    """
+
+
+@register(
+    "llm_curriculum_phases",
+    oracle=_curriculum_oracle(),
+    tags=("B10",),
+    doc="Curriculum ordering: rank the corpus by model quality score and "
+    "cut it into 4 training phases (highest-quality first) with "
+    "deterministic doc_id ties. NTILE here is the exact small-SF form; "
+    "at 100 TB the same cut uses broadcast quantile cutpoints instead "
+    "of a global window (documented trade, same assignment).",
+)
+def llm_curriculum_phases(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.text import (
+        quality_model_score,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    scored = quality_model_score(d).select("doc_id", "quality_score")
+    w = W.orderBy(F.desc("quality_score"), F.asc("doc_id"))
+    return scored.withColumn("phase", F.ntile(4).over(w)).orderBy("doc_id")

@@ -234,6 +234,8 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "bpe_encode",
     "lake_zorder_layout",
     "llm_curriculum_phases",
+    "privacy_generalize_release",
+    "tenant_usage_anomaly",
 )
 
 

@@ -165,6 +165,131 @@ def tenant_rate_limit_sliding(spark, sf_dir):
     )
 
 
+@register(
+    "privacy_generalize_release",
+    oracle="""
+        WITH cell0 AS (
+            SELECT c_nationkey, c_mktsegment, COUNT(*) AS cn
+            FROM customer GROUP BY 1, 2),
+        rel0 AS (
+            SELECT 0 AS level,
+                   CAST(c_nationkey AS VARCHAR) || '/' || c_mktsegment AS qi,
+                   cn AS group_n
+            FROM cell0 WHERE cn >= 13),
+        fail0 AS (SELECT c_nationkey, c_mktsegment FROM cell0 WHERE cn < 13),
+        rows1 AS (
+            SELECT n.n_regionkey, c.c_mktsegment
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN fail0 f ON f.c_nationkey = c.c_nationkey
+                        AND f.c_mktsegment = c.c_mktsegment),
+        cell1 AS (
+            SELECT n_regionkey, c_mktsegment, COUNT(*) AS cn
+            FROM rows1 GROUP BY 1, 2),
+        rel1 AS (
+            SELECT 1 AS level,
+                   CAST(n_regionkey AS VARCHAR) || '/' || c_mktsegment AS qi,
+                   cn AS group_n
+            FROM cell1 WHERE cn >= 13),
+        supp AS (
+            SELECT 2 AS level, '*' AS qi,
+                   CAST(COALESCE(SUM(cn), 0) AS BIGINT) AS group_n
+            FROM cell1 WHERE cn < 13)
+        SELECT level, qi, group_n FROM rel0
+        UNION ALL SELECT level, qi, group_n FROM rel1
+        UNION ALL SELECT level, qi, group_n FROM supp
+        ORDER BY level, qi
+    """,
+    tags=("B10", "privacy"),
+    doc="k-anonymity generalization ladder (operators/privacy.py): cells "
+    "failing k=13 at (nation, segment) are retried at (region, segment); "
+    "the still-failing remainder is suppressed into one '*' row. Each "
+    "rung is one groupBy over the shrinking unreleased set + a broadcast "
+    "semi-join on the failing-cell list.",
+)
+def privacy_generalize_release(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.privacy import (
+        generalized_release,
+    )
+
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    rows = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    return generalized_release(
+        rows,
+        [["c_nationkey", "c_mktsegment"], ["n_regionkey", "c_mktsegment"]],
+        k=13,
+    )
+
+
+@register(
+    "tenant_usage_anomaly",
+    oracle="""
+        WITH daily AS (
+            SELECT 'tenant-' || CAST(user_id % 4 AS VARCHAR) AS tenant_id,
+                   CAST(ts AS DATE) AS day, COUNT(*) AS n
+            FROM events GROUP BY 1, 2),
+        stats AS (
+            SELECT tenant_id, day, n,
+                   SUM(n) OVER (PARTITION BY tenant_id) AS s1,
+                   SUM(n * n) OVER (PARTITION BY tenant_id) AS s2,
+                   COUNT(*) OVER (PARTITION BY tenant_id) AS d
+            FROM daily)
+        SELECT tenant_id, day, n AS n_events,
+               ROUND((CAST(d * n - s1 AS DOUBLE) / CAST(d AS DOUBLE))
+                     / NULLIF(sqrt(CAST(d * s2 - s1 * s1 AS DOUBLE)
+                                   / CAST(d * (d - 1) AS DOUBLE)), 0), 6) AS z,
+               COALESCE(ABS((CAST(d * n - s1 AS DOUBLE) / CAST(d AS DOUBLE))
+                     / NULLIF(sqrt(CAST(d * s2 - s1 * s1 AS DOUBLE)
+                                   / CAST(d * (d - 1) AS DOUBLE)), 0)) >= 2.0,
+                     FALSE) AS is_anomaly
+        FROM stats
+        ORDER BY tenant_id, day
+    """,
+    tags=("B10", "saas"),
+    doc="Per-tenant daily-volume anomaly flags: z-score against the "
+    "tenant's own history, computed from EXACT integer sums (d·n−s1, "
+    "d·s2−s1², one double division each) so the flag boundary is "
+    "deterministic across engines — no float-merge-order wobble. One "
+    "(tenant, day) shuffle; the stats window runs over the tiny "
+    "aggregated frame. At 100 TB the integer squares move to "
+    "decimal(38,0) before squaring.",
+)
+def tenant_usage_anomaly(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            F.concat(F.lit("tenant-"), F.pmod("user_id", F.lit(4)).cast("string")).alias(
+                "tenant_id"
+            ),
+            F.col("ts").cast("date").alias("day"),
+        )
+        .groupBy("tenant_id", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("tenant_id")
+    stats = (
+        daily.withColumn("s1", F.sum("n").over(w))
+        .withColumn("s2", F.sum(F.col("n") * F.col("n")).over(w))
+        .withColumn("d", F.count(F.lit(1)).over(w))
+    )
+    var = (F.col("d") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double") / (
+        F.col("d") * (F.col("d") - 1)
+    ).cast("double")
+    z = (
+        (F.col("d") * F.col("n") - F.col("s1")).cast("double") / F.col("d").cast("double")
+    ) / F.nullif(F.sqrt(var), F.lit(0.0))
+    return stats.select(
+        "tenant_id",
+        "day",
+        F.col("n").alias("n_events"),
+        F.round(z, 6).alias("z"),
+        F.coalesce(F.abs(z) >= 2.0, F.lit(False)).alias("is_anomaly"),
+    ).orderBy("tenant_id", "day")
+
+
 _ZBITS = 8
 _ZSQL = zorder_key_sql(
     "d.o_custkey", "mm.lo_a", "mm.hi_a", "d.day", "mm.lo_b", "mm.hi_b", _ZBITS

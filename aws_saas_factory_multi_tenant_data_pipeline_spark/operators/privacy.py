@@ -46,6 +46,43 @@ def k_anonymity_report(
     )
 
 
+def generalized_release(
+    df: DataFrame,
+    levels: list[list[str]],
+    k: int = 5,
+    qi_sep: str = "/",
+) -> DataFrame:
+    """k-anonymity with a generalization ladder: cells failing k at the
+    finest quasi-identifier level are retried at each coarser level
+    (e.g. nation→region); rows still failing after the last level are
+    suppressed into one '*' row. Returns (level, qi, group_n).
+
+    Each rung is one groupBy over only the rows still unreleased, plus a
+    broadcast semi-join on the (small) failing-cell list — the input is
+    never scanned more than once per rung, and rung inputs shrink
+    monotonically."""
+    remaining = df
+    outs: list[DataFrame] = []
+    for lvl, cols in enumerate(levels):
+        cells = remaining.groupBy(*cols).agg(F.count(F.lit(1)).alias("group_n"))
+        outs.append(
+            cells.where(F.col("group_n") >= k).select(
+                F.lit(lvl).alias("level"),
+                F.concat_ws(qi_sep, *[F.col(c).cast("string") for c in cols]).alias("qi"),
+                "group_n",
+            )
+        )
+        failing = cells.where(F.col("group_n") < k).select(*cols)
+        remaining = remaining.join(F.broadcast(failing), on=cols, how="left_semi")
+    suppressed = remaining.agg(F.count(F.lit(1)).alias("group_n")).select(
+        F.lit(len(levels)).alias("level"), F.lit("*").alias("qi"), "group_n"
+    )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.unionByName(suppressed).orderBy("level", "qi")
+
+
 def suppress_non_anonymous(
     df: DataFrame,
     qi_cols: list[str],

@@ -10,6 +10,7 @@ from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.cdc import (
     cdc_summary,
 )
 from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.privacy import (
+    generalized_release,
     k_anonymity_report,
     suppress_non_anonymous,
 )
@@ -89,3 +90,21 @@ def test_k_anonymity_report_and_suppression(spark):
     assert {(r["region"], r["seg"]) for r in kept.collect()} == {(1, "A")}
     # suppression keeps row content intact (it is a semi-join, not a projection)
     assert set(kept.columns) == set(df.columns)
+
+
+def test_generalized_release_ladder_conserves_rows(spark):
+    # fine = (city, seg); coarse = (country, seg)
+    rows = (
+        [("us-nyc", "US", "A")] * 6      # passes at city level
+        + [("us-sfo", "US", "A")] * 2    # fails city, merges into (US, A)
+        + [("us-chi", "US", "A")] * 3    # fails city, merges into (US, A)
+        + [("fr-par", "FR", "B")] * 2    # fails both levels -> suppressed
+    )
+    df = spark.createDataFrame(rows, "city string, country string, seg string")
+    rel = generalized_release(df, [["city", "seg"], ["country", "seg"]], k=5)
+    got = {(r["level"], r["qi"]): r["group_n"] for r in rel.collect()}
+    assert got[(0, "us-nyc/A")] == 6
+    assert got[(1, "US/A")] == 5  # the two failing city cells merged
+    assert got[(2, "*")] == 2
+    # every input row is accounted for exactly once across rungs
+    assert sum(got.values()) == len(rows)

@@ -236,6 +236,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "llm_curriculum_phases",
     "privacy_generalize_release",
     "tenant_usage_anomaly",
+    "llm_weighted_sample",
 )
 
 

@@ -301,6 +301,62 @@ def _curriculum_oracle() -> str:
     """
 
 
+def _weighted_sample_oracle() -> str:
+    scores = REGISTRY["text_quality_model_score"].oracle
+    return f"""
+        WITH keyed AS (
+            SELECT doc_id, quality_score,
+                   ROUND(ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+                                  AS BIGINT) + 0.5) / 4503599627370496.0)
+                         / quality_score, 8) AS sample_key
+            FROM ({scores}) s),
+        ranked AS (
+            SELECT doc_id, quality_score, sample_key,
+                   ROW_NUMBER() OVER (ORDER BY sample_key DESC, doc_id) AS rank
+            FROM keyed)
+        SELECT doc_id, quality_score, sample_key, rank
+        FROM ranked WHERE rank <= 100
+        ORDER BY rank
+    """
+
+
+@register(
+    "llm_weighted_sample",
+    oracle=_weighted_sample_oracle(),
+    tags=("B10",),
+    doc="Quality-weighted sampling without replacement (Efraimidis-"
+    "Spirakis A-ES): per-doc key = ln(u)/w with u derived from md5 of "
+    "the id (content-stable — reruns and engines agree) and w = model "
+    "quality score; global top-100 by key. One projection + a top-k — "
+    "at scale a TakeOrderedAndProject, no full sort. The standard way "
+    "to sample a corpus proportionally to quality in one pass.",
+)
+def llm_weighted_sample(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.text import (
+        quality_model_score,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    scored = quality_model_score(d).select("doc_id", "quality_score")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10)
+        .cast("long")
+        .cast("double")
+        + 0.5
+    ) / float(1 << 52)
+    keyed = scored.withColumn(
+        "sample_key", F.round(F.log(u) / F.col("quality_score"), 8)
+    )
+    w = W.orderBy(F.desc("sample_key"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 100)
+        .orderBy("rank")
+    )
+
+
 @register(
     "llm_curriculum_phases",
     oracle=_curriculum_oracle(),

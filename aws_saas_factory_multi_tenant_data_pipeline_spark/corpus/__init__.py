@@ -113,8 +113,12 @@ GRADED_WINDOW: tuple[str, ...] = (
     "llm_sampling_pack",
     "llm_pipeline_pack",
     "llm_text_pack",
-    # TPC-H / subqueries
-    "tpch_q1_pricing_summary",
+    # TPC-H-shaped subqueries + the r4 data-management pack.
+    # tpch_q1_pricing_summary was swapped to the tail head in r4: its Q1
+    # shape is already graded via agg_pricing_summary (identical plan) and
+    # the flagship entry(); the freed slot gives four r4 §2 rows (CDC,
+    # privacy ladder, rate limit, Z-order) a hard driver verdict.
+    "r4_mgmt_pack",
     "subq_exists_correlated",
 )
 
@@ -123,6 +127,9 @@ GRADED_WINDOW: tuple[str, ...] = (
 # single-family originals first, then the rest of TPC-H / subqueries /
 # B10, then everything else in module order.
 _TAIL_PRIORITY: tuple[str, ...] = (
+    # swapped out of the r4 window (duplicate of agg_pricing_summary's
+    # graded Q1 shape) — still first in line if the window is time-bound
+    "tpch_q1_pricing_summary",
     # demoted from the r3 window in favor of family packs / Tier-A rows —
     # all still oracle-backed and graded first if the window is time-bound
     "conditional_exprs",

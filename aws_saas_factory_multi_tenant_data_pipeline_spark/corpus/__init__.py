@@ -244,6 +244,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "privacy_generalize_release",
     "tenant_usage_anomaly",
     "llm_weighted_sample",
+    "join_asof_tolerance",
 )
 
 

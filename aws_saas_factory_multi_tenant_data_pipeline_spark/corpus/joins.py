@@ -236,6 +236,55 @@ def join_asof(spark, sf_dir):
 
 
 @register(
+    "join_asof_tolerance",
+    oracle="""
+        SELECT l.event_id, l.user_id, epoch_us(l.ts) AS click_us,
+               r.purchase_event_id, r.purchase_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') l
+        LEFT JOIN LATERAL (
+            SELECT event_id AS purchase_event_id, value AS purchase_value
+            FROM events r
+            WHERE r.event_type = 'purchase' AND r.user_id = l.user_id
+              AND r.ts <= l.ts
+              AND epoch_us(l.ts) - epoch_us(r.ts) <= 7200000000
+            ORDER BY r.ts DESC LIMIT 1) r ON TRUE
+        ORDER BY l.event_id
+    """,
+    tags=("B3",),
+    doc="As-of join with a 2-hour tolerance (pandas merge_asof "
+    "semantics): carried matches staler than the tolerance are nulled. "
+    "Same union+window single-shuffle plan as join_asof — the tolerance "
+    "is one carried timestamp + a conditional projection, not a range "
+    "join (operators/joins.py).",
+)
+def join_asof_tolerance(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        "ts",
+        F.col("value").alias("purchase_value"),
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["purchase_event_id", "purchase_value"],
+        tolerance_seconds=7200,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("click_us"),
+        "purchase_event_id",
+        "purchase_value",
+    ).orderBy("event_id")
+
+
+@register(
     "join_star_multiway",
     oracle=f"""
         SELECT n_name,

@@ -22,10 +22,14 @@ def asof_join(
     right_cols: list[str],
     suffix: str = "_right",
     direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """For each left row: values of the latest right row with ts ≤ left ts
     (``direction="backward"``, the default) or the earliest right row with
-    ts ≥ left ts (``direction="forward"``).
+    ts ≥ left ts (``direction="forward"``). With ``tolerance_seconds``,
+    a carried match further than the tolerance from the left timestamp is
+    nulled out (pandas merge_asof semantics) — same single-shuffle plan,
+    one extra carried column and a conditional projection.
 
     Implementation: tag and union both sides on (on, ts); a single
     ``last(..., ignoreNulls=True)`` window ordered by (ts, side) carries the
@@ -59,12 +63,27 @@ def asof_join(
     carried = l.unionByName(r).select(
         "__side",
         "__l",
+        "__ts",
+        F.last(
+            F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True
+        ).over(w).alias("__rts"),
         *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__rv_{c}") for c in right_cols],
     )
+    within = F.lit(True)
+    if tolerance_seconds is not None:
+        ts_type = left.schema[left_ts].dataType.simpleString()
+        if ts_type.startswith("timestamp"):
+            gap_us = F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__rts"))
+        else:
+            gap_us = (F.col("__ts") - F.col("__rts")).cast("double") * 1_000_000
+        if direction == "forward":
+            gap_us = -gap_us
+        within = gap_us <= F.lit(tolerance_seconds * 1_000_000)
     out = carried.where(F.col("__side") == 1).select(
         *[F.col(f"__l.{c}").alias(c) for c in lcols],
         *[
-            F.col(f"__rv_{c}").alias(c + suffix if c in lcols else c)
+            F.when(within, F.col(f"__rv_{c}"))
+            .alias(c + suffix if c in lcols else c)
             for c in right_cols
         ],
     )

@@ -92,6 +92,39 @@ def test_k_anonymity_report_and_suppression(spark):
     assert set(kept.columns) == set(df.columns)
 
 
+def test_asof_join_tolerance_nulls_stale_matches(spark):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 100.0), (2, 1, 500.0), (3, 2, 50.0)], "id int, k int, ts double"
+    )
+    right = spark.createDataFrame(
+        [(10, 1, 90.0, "a"), (11, 1, 480.0, "b"), (12, 2, 10.0, "c")],
+        "rid int, k int, ts double, v string",
+    )
+    out = {
+        r["id"]: r["v"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            right_cols=["v"], tolerance_seconds=30,
+        ).collect()
+    }
+    # id=1: right at 90 (gap 10s) within 30s; id=2: right at 480 (gap 20s)
+    # within; id=3: right at 10 (gap 40s) -> stale, nulled
+    assert out == {1: "a", 2: "b", 3: None}
+
+    fwd = {
+        r["id"]: r["v"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            right_cols=["v"], direction="forward", tolerance_seconds=15,
+        ).collect()
+    }
+    # forward: id=1 (ts=100) -> next right at 480: gap 380 -> nulled;
+    # id=3 (ts=50) -> no later right row -> null
+    assert fwd == {1: None, 2: None, 3: None}
+
+
 def test_generalized_release_ladder_conserves_rows(spark):
     # fine = (city, seg); coarse = (country, seg)
     rows = (

@@ -245,6 +245,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "tenant_usage_anomaly",
     "llm_weighted_sample",
     "join_asof_tolerance",
+    "sketch_countmin_portable",
 )
 
 

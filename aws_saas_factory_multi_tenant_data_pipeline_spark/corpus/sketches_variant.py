@@ -106,3 +106,105 @@ def fn_variant_json(spark, sf_dir):
         .orderBy("event_id")
         .limit(100)
     )
+
+
+_CMS_D, _CMS_W = 4, 256
+
+
+@register(
+    "sketch_countmin_portable",
+    oracle=f"""
+        WITH base AS (
+            SELECT event_type || '/' || CAST(user_id % 50 AS VARCHAR) AS key,
+                   user_id % 50 AS b
+            FROM events),
+        cells AS (
+            SELECT j,
+                   CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || key), 1, 15)
+                        AS BIGINT) % {_CMS_W} AS col
+            FROM base, range(0, {_CMS_D}) t(j)),
+        counters AS (SELECT j, col, COUNT(*) AS c FROM cells GROUP BY 1, 2),
+        probes AS (SELECT DISTINCT key FROM base WHERE b < 10),
+        probe_cells AS (
+            SELECT key, j,
+                   CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || key), 1, 15)
+                        AS BIGINT) % {_CMS_W} AS col
+            FROM probes, range(0, {_CMS_D}) t(j)),
+        est AS (
+            SELECT p.key, MIN(c.c) AS cm_estimate
+            FROM probe_cells p JOIN counters c ON p.j = c.j AND p.col = c.col
+            GROUP BY p.key),
+        exact AS (SELECT key, COUNT(*) AS exact_n FROM base GROUP BY key)
+        SELECT e.key, x.exact_n, e.cm_estimate,
+               e.cm_estimate - x.exact_n AS overestimate
+        FROM est e JOIN exact x ON e.key = x.key
+        ORDER BY e.key
+    """,
+    tags=("B4", "B10"),
+    doc="Count-min sketch, fully oracle-backed (unlike the HLL row, whose "
+    "sketch bytes are engine-specific): d=4 x w=256 counters from "
+    "md5-derived cells — the counter build is one groupBy with map-side "
+    "combine, counters merge by addition (the mergeable-rollup "
+    "property), and point estimates are min-over-rows. Probing ~250 "
+    "keys into 256 columns forces real collisions, so the overestimate "
+    "column exercises the CMS error behavior, and est >= exact always.",
+)
+def sketch_countmin_portable(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    base = ev.select(
+        F.concat(
+            F.col("event_type"), F.lit("/"), F.pmod("user_id", F.lit(50)).cast("string")
+        ).alias("key"),
+        F.pmod("user_id", F.lit(50)).alias("b"),
+    )
+
+    def cell(j, key_col):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(str(j)), F.lit(":"), key_col)), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        return F.pmod(h, F.lit(_CMS_W))
+
+    cells = base.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), cell(j, F.col("key")).alias("col"))
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("jc")
+    ).select(F.col("jc.j").alias("j"), F.col("jc.col").alias("col"))
+    counters = cells.groupBy("j", "col").agg(F.count(F.lit(1)).alias("c"))
+
+    probes = base.where(F.col("b") < 10).select("key").distinct()
+    probe_cells = probes.select(
+        "key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), cell(j, F.col("key")).alias("col"))
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("jc"),
+    ).select("key", F.col("jc.j").alias("j"), F.col("jc.col").alias("col"))
+    est = (
+        probe_cells.join(counters, on=["j", "col"])
+        .groupBy("key")
+        .agg(F.min("c").alias("cm_estimate"))
+    )
+    exact = base.groupBy("key").agg(F.count(F.lit(1)).alias("exact_n"))
+    return (
+        est.join(exact, on="key")
+        .select(
+            "key",
+            "exact_n",
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("exact_n")).alias("overestimate"),
+        )
+        .orderBy("key")
+    )

@@ -246,6 +246,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "llm_weighted_sample",
     "join_asof_tolerance",
     "sketch_countmin_portable",
+    "udf_python_udtf",
 )
 
 

@@ -162,3 +162,41 @@ def udf_table_function(spark, sf_dir):
         r.select("r_regionkey", F.explode(F.split("r_name", "")).alias("ch"))
         .orderBy("r_regionkey", "ch")
     )
+
+
+@register(
+    "udf_python_udtf",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey, string_split(o_orderpriority, '-') AS parts
+            FROM orders WHERE o_orderkey <= 2000)
+        SELECT o_orderkey, CAST(i - 1 AS INT) AS pos, parts[i] AS part
+        FROM base, LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS i)
+        ORDER BY o_orderkey, pos
+    """,
+    tags=("B9",),
+    doc="Real Python UDTF (Spark 4 @udtf, arrow-enabled lateral table "
+    "function) — completes the B9 surface beyond the explode-based "
+    "LATERAL VIEW form. Like the other B9 demos this is the documented "
+    "slow path: the same expansion in production is the codegen'd "
+    "posexplode(split(...)) one line below it.",
+)
+def udf_python_udtf(spark, sf_dir):
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="pos int, part string")
+    class SplitParts:
+        def eval(self, s: str):
+            for i, p in enumerate((s or "").split("-")):
+                yield i, p
+
+    spark.udtf.register("split_parts", SplitParts)
+    t(spark, sf_dir, "orders").createOrReplaceTempView("__udtf_orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, s.pos, s.part
+        FROM __udtf_orders o, LATERAL split_parts(o.o_orderpriority) s
+        WHERE o.o_orderkey <= 2000
+        ORDER BY o.o_orderkey, s.pos
+        """
+    )

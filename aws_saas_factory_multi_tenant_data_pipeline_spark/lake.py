@@ -335,7 +335,13 @@ def upsert_partitioned(
             term = F.col(c) == F.lit(row[c])
             clause = term if clause is None else (clause & term)
         pred = clause if pred is None else (pred | clause)
-    current = spark.read.format(fmt).load(root).where(pred)
+    try:
+        current = spark.read.format(fmt).load(root).where(pred)
+    except Exception as exc:  # PATH_NOT_FOUND: first changeset bootstraps
+        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+            raise
+        template = changes if delete_col is None else changes.drop(delete_col)
+        current = spark.createDataFrame([], template.schema)
     survivors = current.join(changes.select(*kcols), kcols, "left_anti")
     apply_rows = changes
     if delete_col is not None:
@@ -343,7 +349,27 @@ def upsert_partitioned(
             delete_col
         )
     merged = survivors.unionByName(apply_rows.select(*survivors.columns))
-    write_lake_overwrite_partitions(merged, root, fmt=fmt, partition_cols=pcols)
+    # dynamic partition overwrite only rewrites partitions PRESENT in the
+    # output — a delete-only changeset that empties a partition would
+    # silently leave the old files live. Find touched partitions with no
+    # surviving rows and drop their directories explicitly (local-FS
+    # rmtree here; at object-store scale the same step is a prefix
+    # delete, exactly like delete_tenant).
+    merged = merged.persist()
+    try:
+        present = {
+            tuple(r[c] for c in pcols)
+            for r in merged.select(*pcols).distinct().collect()
+        }
+        write_lake_overwrite_partitions(merged, root, fmt=fmt, partition_cols=pcols)
+    finally:
+        merged.unpersist()
+    import shutil
+
+    for row in keys:
+        if tuple(row[c] for c in pcols) not in present:
+            victim = os.path.join(root, *[f"{c}={row[c]}" for c in pcols])
+            shutil.rmtree(victim, ignore_errors=True)
     return len(keys)
 
 

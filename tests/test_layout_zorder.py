@@ -32,6 +32,33 @@ def _touched(ranges, dim, lo, hi):
     return sum(1 for r in ranges.values() if not (r[f"{dim}_hi"] < lo or r[f"{dim}_lo"] > hi))
 
 
+def test_zorder_key_is_exact_bit_interleave(spark):
+    # pure-Python mirror: the Spark key must equal interleave(bucket(a),
+    # bucket(b)) for every row, including out-of-range clamps
+    import itertools
+
+    bits, lo, hi = 6, 0.0, 64.0
+    vals = [-5, 0, 1, 17, 31, 32, 63, 64, 99]
+    rows = [(i, float(a), float(b)) for i, (a, b) in enumerate(itertools.product(vals, vals))]
+    df = spark.createDataFrame(rows, "id int, a double, b double")
+    key = zorder_key(F.col("a"), lo, hi, F.col("b"), lo, hi, bits=bits)
+    got = {r["id"]: r["z"] for r in df.withColumn("z", key).collect()}
+
+    def bucket(x):
+        n = 1 << bits
+        return max(0, min(n - 1, int((x - lo) / (hi - lo) * n)))
+
+    def interleave(a, b):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i + 1)
+            z |= ((b >> i) & 1) << (2 * i)
+        return z
+
+    for i, a, b in rows:
+        assert got[i] == interleave(bucket(a), bucket(b)), (i, a, b)
+
+
 def test_zorder_files_prune_both_dimensions(spark, tmp_path):
     n = 40_000
     # decorrelated uniform grid over (a, b)

@@ -702,3 +702,55 @@ def test_streaming_incremental_dedup(spark, tmp_path):
     assert (20, 1, "exact") in got          # batch 2 vs seed corpus
     assert (20, 10, "exact") in got         # batch 2 vs batch 1 — the index absorbed it
     assert not any(n == 11 for n, _, _ in got)  # novel doc matches nothing
+
+
+def test_streaming_cdc_upsert_matches_batch_apply(spark, tmp_path):
+    """A CDC change stream applied to the lake via foreachBatch +
+    upsert_partitioned, one micro-batch per file, converges to the same
+    table state as applying the full changeset in one batch upsert."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.lake import upsert_partitioned
+
+    chg_dir = str(tmp_path / "changes")
+    os.makedirs(chg_dir)
+    stream_root = str(tmp_path / "lake_stream")
+    batch_root = str(tmp_path / "lake_batch")
+
+    file0 = [  # initial inserts
+        {"k": 1, "part": "a", "v": 1.0, "deleted": False, "seq": 1},
+        {"k": 2, "part": "a", "v": 2.0, "deleted": False, "seq": 1},
+        {"k": 3, "part": "b", "v": 3.0, "deleted": False, "seq": 1},
+    ]
+    file1 = [  # update k=2, delete k=3, insert k=4 in a new partition
+        {"k": 2, "part": "a", "v": 20.0, "deleted": False, "seq": 2},
+        {"k": 3, "part": "b", "v": 3.0, "deleted": True, "seq": 2},
+        {"k": 4, "part": "c", "v": 4.0, "deleted": False, "seq": 2},
+    ]
+    schema = "k int, part string, v double, deleted boolean, seq int"
+    for name, rows in [("f0.json", file0), ("f1.json", file1)]:
+        with open(os.path.join(chg_dir, name), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(chg_dir)
+    q = (
+        stream.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(
+            lambda batch, _id: upsert_partitioned(
+                batch.sparkSession, stream_root, batch, ["k"], ["part"],
+                delete_col="deleted", seq_col="seq",
+            )
+        )
+        .start()
+    )
+    q.awaitTermination(120)
+
+    all_changes = spark.createDataFrame(file0 + file1, schema)
+    upsert_partitioned(
+        spark, batch_root, all_changes, ["k"], ["part"],
+        delete_col="deleted", seq_col="seq",
+    )
+
+    got = {(r["k"], r["part"], r["v"]) for r in spark.read.parquet(stream_root).collect()}
+    want = {(r["k"], r["part"], r["v"]) for r in spark.read.parquet(batch_root).collect()}
+    assert got == want == {(1, "a", 1.0), (2, "a", 20.0), (4, "c", 4.0)}

@@ -247,6 +247,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "join_asof_tolerance",
     "sketch_countmin_portable",
     "udf_python_udtf",
+    "lake_time_travel",
 )
 
 

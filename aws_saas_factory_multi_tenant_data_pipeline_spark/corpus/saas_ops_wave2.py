@@ -355,6 +355,66 @@ def lake_zorder_layout(spark, sf_dir):
 
 
 @register(
+    "lake_time_travel",
+    oracle=f"""
+        WITH v1 AS (
+            SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey <= 5000),
+        v2 AS (
+            SELECT o_orderstatus,
+                   CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10.0
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders WHERE o_orderkey <= 5000 AND o_orderkey % 13 <> 0)
+        SELECT 'v1' AS snapshot, o_orderstatus, COUNT(*) AS n,
+               {sql_dsum('o_totalprice')} AS total
+        FROM v1 GROUP BY o_orderstatus
+        UNION ALL
+        SELECT 'v2', o_orderstatus, COUNT(*), {sql_dsum('o_totalprice')}
+        FROM v2 GROUP BY o_orderstatus
+        ORDER BY snapshot, o_orderstatus
+    """,
+    tags=("B1", "data-mgmt"),
+    doc="Snapshot versioning / time travel (lake.write_snapshot / "
+    "read_snapshot): two immutable versions written under one root with "
+    "an atomically-swapped pointer; the query reads BOTH versions back "
+    "and aggregates each — the poor-man's Delta on plain parquet. "
+    "Rollback/vacuum semantics covered in tests/test_lake_ops.py.",
+)
+def lake_time_travel(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.lake import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 5000)
+    root = os.path.join(_SCRATCH, "sw2_time_travel")
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    write_snapshot(o.select("o_orderkey", "o_orderstatus", "o_totalprice"), root)
+    v2 = o.where(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 10.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    write_snapshot(v2, root)
+
+    def agg(df, label):
+        return (
+            df.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total"))
+            .select(F.lit(label).alias("snapshot"), "o_orderstatus", "n", "total")
+        )
+
+    return (
+        agg(read_snapshot(spark, root, version=1), "v1")
+        .unionByName(agg(read_snapshot(spark, root), "v2"))
+        .orderBy("snapshot", "o_orderstatus")
+    )
+
+
+@register(
     "r4_mgmt_pack",
     oracle=f"""
         WITH old_snap AS (

@@ -472,3 +472,92 @@ def delete_tenant(spark: SparkSession, root: str, tenant_id: str, table: str | N
     if table is not None:
         refresh_table(spark, table)
     return n
+
+
+# ---------------------------------------------------------------------------
+# Snapshot versioning / time travel. The reference lake is append-only with
+# no transaction log (Firehose prefixes, kinesis-stack.ts:137-145); these
+# helpers add the minimal Delta/Iceberg-style capability on plain parquet:
+# immutable version directories + an atomically-swapped pointer file.
+# Readers resolve the pointer once and then read an immutable tree, so a
+# concurrent writer can never show them a half-written snapshot; rollback
+# is a pointer move, not a data rewrite.
+
+
+def _versions_meta(root: str) -> str:
+    return os.path.join(root, "_LATEST")
+
+
+def write_snapshot(df: DataFrame, root: str, partition_cols: list[str] | None = None) -> int:
+    """Write ``df`` as the next immutable snapshot version and atomically
+    promote the pointer. Returns the new version number.
+
+    Local-FS pointer swap is os.replace (atomic rename); on an object
+    store the same contract is a conditional put of the pointer object.
+    """
+    os.makedirs(root, exist_ok=True)
+    # next version = 1 + max(pointer, existing dirs): after a rollback the
+    # superseded versions are still on disk, and a new write must branch
+    # FORWARD past them, never overwrite an immutable snapshot
+    existing = [
+        int(m.group(1))
+        for d in os.listdir(root)
+        if (m := re.fullmatch(r"v(\d+)", d)) and os.path.isdir(os.path.join(root, d))
+    ]
+    version = max([latest_snapshot_version(root), *existing], default=0) + 1
+    out = os.path.join(root, f"v{version}")
+    w = df.write.mode("errorifexists")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(out)
+    tmp = _versions_meta(root) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, _versions_meta(root))
+    return version
+
+
+def latest_snapshot_version(root: str) -> int:
+    meta = _versions_meta(root)
+    if not os.path.exists(meta):
+        return 0
+    with open(meta) as f:
+        return int(f.read().strip())
+
+
+def read_snapshot(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
+    """Time-travel read: the requested (or latest) immutable version."""
+    v = latest_snapshot_version(root) if version is None else version
+    if v < 1:
+        raise ValueError(f"no snapshot versions at {root}")
+    return spark.read.parquet(os.path.join(root, f"v{v}"))
+
+
+def rollback_snapshot(root: str, version: int) -> None:
+    """Point the table back at an earlier version — a pointer move, no
+    data rewrite; later versions stay on disk for re-promotion/audit."""
+    if not os.path.isdir(os.path.join(root, f"v{version}")):
+        raise ValueError(f"snapshot v{version} does not exist at {root}")
+    tmp = _versions_meta(root) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, _versions_meta(root))
+
+
+def vacuum_snapshots(root: str, keep_last: int = 2) -> list[int]:
+    """Drop snapshot directories older than the newest ``keep_last``
+    versions, never dropping the currently-pointed version. Returns the
+    removed version numbers."""
+    import re
+    import shutil
+
+    current = latest_snapshot_version(root)
+    versions = sorted(
+        int(m.group(1))
+        for d in os.listdir(root)
+        if (m := re.fullmatch(r"v(\d+)", d)) and os.path.isdir(os.path.join(root, d))
+    )
+    victims = [v for v in versions[:-keep_last] if v != current] if keep_last else []
+    for v in victims:
+        shutil.rmtree(os.path.join(root, f"v{v}"))
+    return victims

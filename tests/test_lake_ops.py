@@ -412,3 +412,37 @@ def test_delete_tenant_removes_only_that_subtree(spark, tmp_path):
         delete_tenant(spark, root, "../t0")
     with pytest.raises(Exception):
         delete_tenant(spark, root, "t0/..")
+
+
+def test_snapshot_versioning_rollback_vacuum(spark, tmp_path):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.lake import (
+        latest_snapshot_version,
+        read_snapshot,
+        rollback_snapshot,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    root = str(tmp_path / "versioned")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    df2 = spark.createDataFrame([(1, "a2"), (3, "c")], "id int, v string")
+    df3 = spark.createDataFrame([(9, "z")], "id int, v string")
+    assert write_snapshot(df1, root) == 1
+    assert write_snapshot(df2, root) == 2
+    assert write_snapshot(df3, root) == 3
+
+    # latest read follows the pointer; time travel reads stay immutable
+    assert {r["v"] for r in read_snapshot(spark, root).collect()} == {"z"}
+    assert {r["v"] for r in read_snapshot(spark, root, 1).collect()} == {"a", "b"}
+
+    rollback_snapshot(root, 2)
+    assert latest_snapshot_version(root) == 2
+    assert {r["v"] for r in read_snapshot(spark, root).collect()} == {"a2", "c"}
+
+    # vacuum never drops the pointed version even when it is old
+    removed = vacuum_snapshots(root, keep_last=1)
+    assert 2 not in removed and latest_snapshot_version(root) == 2
+    assert {r["v"] for r in read_snapshot(spark, root).collect()} == {"a2", "c"}
+
+    # a new write after rollback branches forward from the pointer
+    assert write_snapshot(df1, root) == 3 or latest_snapshot_version(root) >= 3

@@ -73,6 +73,28 @@ def cdc_diff(
     return out
 
 
+def change_feed(
+    spark,
+    snapshot_root: str,
+    from_version: int,
+    to_version: int,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Delta-CDF-style change feed between two persisted snapshot
+    versions (lake.write_snapshot): the row-level diff of immutable
+    trees, so the feed is reproducible forever. One full-outer keyed
+    join, same scale shape as cdc_diff."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.lake import read_snapshot
+
+    return cdc_diff(
+        read_snapshot(spark, snapshot_root, from_version),
+        read_snapshot(spark, snapshot_root, to_version),
+        key_cols,
+        compare_cols,
+    )
+
+
 def cdc_summary(diff: DataFrame, key_cols: list[str]) -> DataFrame:
     """Per-change-type row counts + an order-independent key checksum
     (modular sum of xxhash64 over the keys), so two engines can agree a

@@ -68,6 +68,20 @@ def test_cdc_summary_checksum_partition_invariant(spark):
     assert s1 == s2 and len(s1) >= 2
 
 
+def test_change_feed_between_snapshots(spark, tmp_path):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.lake import write_snapshot
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.cdc import change_feed
+
+    root = str(tmp_path / "cf")
+    write_snapshot(_snap(spark, [(1, "a", 1.0), (2, "b", 2.0)]), root)
+    write_snapshot(_snap(spark, [(1, "a", 1.0), (2, "B", 2.0), (3, "c", 3.0)]), root)
+    feed = {
+        r["k"]: r["change_type"]
+        for r in change_feed(spark, root, 1, 2, ["k"], ["v", "amt"]).collect()
+    }
+    assert feed == {2: "update", 3: "insert"}
+
+
 def test_k_anonymity_report_and_suppression(spark):
     rows = []
     # cell (1, 'A'): 6 rows, 3 distinct sensitive values -> releasable at k=5,l=2

@@ -73,6 +73,25 @@ def cdc_diff(
     return out
 
 
+def cdc_apply(
+    old: DataFrame,
+    diff: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Replay a cdc_diff changeset onto the old snapshot, reconstructing
+    the new one exactly: deletes drop, inserts/updates take the new_
+    values. diff ∘ apply is the replication contract — property-tested
+    round-trip in tests. One anti-join + one union, keyed like the diff."""
+    touched = diff.select(*key_cols)
+    untouched = old.join(touched, on=key_cols, how="left_anti")
+    replacements = diff.where(F.col("change_type") != CDC_DELETE).select(
+        *key_cols,
+        *[F.col(f"new_{c}").alias(c) for c in compare_cols],
+    )
+    return untouched.select(*key_cols, *compare_cols).unionByName(replacements)
+
+
 def change_feed(
     spark,
     snapshot_root: str,

@@ -319,3 +319,34 @@ def test_strict_gate_matches_reference_classifier(spark, payloads):
     got = validate_raw(raw).select("raw", "_valid").collect()
     for r in got:
         assert r._valid == _reference_valid(r.raw), r.raw
+
+
+@st.composite
+def cdc_snapshots(draw):
+    """Two random keyed snapshots with nullable values — overlap, inserts,
+    deletes, null transitions all arise."""
+    keys_old = draw(st.lists(st.integers(0, 15), min_size=0, max_size=12, unique=True))
+    keys_new = draw(st.lists(st.integers(0, 15), min_size=0, max_size=12, unique=True))
+    val = st.one_of(st.none(), st.sampled_from(["a", "b", "c"]))
+    old = [(k, draw(val), draw(st.integers(0, 3))) for k in keys_old]
+    new = [(k, draw(val), draw(st.integers(0, 3))) for k in keys_new]
+    return old, new
+
+
+@settings(**SETTINGS)
+@given(cdc_snapshots())
+def test_cdc_diff_apply_roundtrip(spark, case):
+    """Replication contract: applying cdc_diff(old, new) onto old
+    reconstructs new exactly — for any overlap/insert/delete/null mix."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.cdc import (
+        cdc_apply,
+        cdc_diff,
+    )
+
+    old_rows, new_rows = case
+    schema = "k int, v string, n int"
+    old = spark.createDataFrame(old_rows, schema) if old_rows else spark.createDataFrame([], schema)
+    new = spark.createDataFrame(new_rows, schema) if new_rows else spark.createDataFrame([], schema)
+    diff = cdc_diff(old, new, ["k"], ["v", "n"])
+    rebuilt = cdc_apply(old, diff, ["k"], ["v", "n"])
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, new.collect()))

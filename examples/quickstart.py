@@ -96,6 +96,37 @@ def main() -> None:
 
     chunk_documents(docs.limit(3), chunk_tokens=16, overlap=4).show(6)
 
+    # 8: round-4 flagships — portable SemDeDup, BPE train+encode,
+    # snapshot time travel with a row-level change feed
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.bpe import (
+        encode_documents,
+        learn_merges,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.clustering import (
+        semantic_dedup,
+    )
+
+    semantic_dedup(emb, n_clusters=4, iterations=1, tau=0.3).show(6)
+    merges_df = learn_merges(spark, docs, 5)
+    merges_df.show()
+    merges = [(r["left_sym"], r["right_sym"]) for r in merges_df.collect()]
+    encode_documents(docs, merges).show(4)
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.lake import (
+        read_snapshot,
+        write_snapshot,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.cdc import change_feed
+
+    snap_root = tempfile.mkdtemp(prefix="mtdp_quickstart_snap_")
+    write_snapshot(orders.limit(100).select("o_orderkey", "o_totalprice"), snap_root)
+    write_snapshot(
+        orders.limit(80).select("o_orderkey", (F.col("o_totalprice") + 1).alias("o_totalprice")),
+        snap_root,
+    )
+    print("time travel v1 rows:", read_snapshot(spark, snap_root, 1).count())
+    change_feed(spark, snap_root, 1, 2, ["o_orderkey"], ["o_totalprice"]).show(5)
+
     spark.stop()
 
 

@@ -561,3 +561,23 @@ def vacuum_snapshots(root: str, keep_last: int = 2) -> list[int]:
     for v in victims:
         shutil.rmtree(os.path.join(root, f"v{v}"))
     return victims
+
+
+def schema_drift(old_df: DataFrame, new_df: DataFrame) -> list[dict]:
+    """Column-level drift report between two table generations (the
+    Glue-recrawl question: what did the new files change?): added /
+    removed / type-changed columns, nested types compared by their full
+    simpleString. Driver-side metadata only — no data is read."""
+    old_t = {f.name: f.dataType.simpleString() for f in old_df.schema.fields}
+    new_t = {f.name: f.dataType.simpleString() for f in new_df.schema.fields}
+    report: list[dict] = []
+    for name in sorted(old_t.keys() | new_t.keys()):
+        if name not in new_t:
+            report.append({"column": name, "change": "removed", "old_type": old_t[name], "new_type": None})
+        elif name not in old_t:
+            report.append({"column": name, "change": "added", "old_type": None, "new_type": new_t[name]})
+        elif old_t[name] != new_t[name]:
+            report.append(
+                {"column": name, "change": "type_changed", "old_type": old_t[name], "new_type": new_t[name]}
+            )
+    return report

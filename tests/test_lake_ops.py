@@ -446,3 +446,16 @@ def test_snapshot_versioning_rollback_vacuum(spark, tmp_path):
 
     # a new write after rollback branches forward from the pointer
     assert write_snapshot(df1, root) == 3 or latest_snapshot_version(root) >= 3
+
+
+def test_schema_drift_report(spark):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.lake import schema_drift
+
+    old = spark.createDataFrame([], "a int, b string, c struct<x:int>")
+    new = spark.createDataFrame([], "a bigint, c struct<x:int,y:string>, d double")
+    rep = {r["column"]: r for r in schema_drift(old, new)}
+    assert rep["a"]["change"] == "type_changed" and rep["a"]["new_type"] == "bigint"
+    assert rep["b"]["change"] == "removed"
+    assert rep["c"]["change"] == "type_changed"  # nested addition surfaces
+    assert rep["d"]["change"] == "added"
+    assert schema_drift(old, old) == []

@@ -248,6 +248,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "sketch_countmin_portable",
     "udf_python_udtf",
     "lake_time_travel",
+    "tenant_ingest_quota",
 )
 
 

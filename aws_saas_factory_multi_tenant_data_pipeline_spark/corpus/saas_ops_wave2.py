@@ -355,6 +355,50 @@ def lake_zorder_layout(spark, sf_dir):
 
 
 @register(
+    "tenant_ingest_quota",
+    oracle="""
+        WITH ranked AS (
+            SELECT 'tenant-' || CAST(user_id % 4 AS VARCHAR) AS tenant_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id % 4 ORDER BY ts, event_id) AS rn
+            FROM events)
+        SELECT tenant_id,
+               COUNT(*) FILTER (WHERE rn <= 2000) AS accepted,
+               COUNT(*) FILTER (WHERE rn > 2000) AS rejected
+        FROM ranked
+        GROUP BY tenant_id
+        ORDER BY tenant_id
+    """,
+    tags=("B10", "A8", "saas"),
+    doc="Per-tenant ingest quota: deterministic arrival order (ts, "
+    "event_id), first 2000 records per tenant accepted, the rest "
+    "rejected to the quarantine path — the admission-control twin of A5 "
+    "error routing. One tenant-keyed window; at 100 TB the quota check "
+    "runs per micro-batch against a broadcast remaining-budget dim "
+    "rather than a global window (documented trade, same split).",
+)
+def tenant_ingest_quota(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy(F.pmod("user_id", F.lit(4))).orderBy("ts", "event_id")
+    ranked = e.select(
+        F.concat(F.lit("tenant-"), F.pmod("user_id", F.lit(4)).cast("string")).alias(
+            "tenant_id"
+        ),
+        F.row_number().over(w).alias("rn"),
+    )
+    return (
+        ranked.groupBy("tenant_id")
+        .agg(
+            F.count(F.when(F.col("rn") <= 2000, 1)).alias("accepted"),
+            F.count(F.when(F.col("rn") > 2000, 1)).alias("rejected"),
+        )
+        .orderBy("tenant_id")
+    )
+
+
+@register(
     "lake_time_travel",
     oracle=f"""
         WITH v1 AS (

@@ -581,3 +581,25 @@ def schema_drift(old_df: DataFrame, new_df: DataFrame) -> list[dict]:
                 {"column": name, "change": "type_changed", "old_type": old_t[name], "new_type": new_t[name]}
             )
     return report
+
+
+def analyze_table(
+    spark: SparkSession,
+    table: str,
+    db: str = DEFAULT_DB,
+    columns: list[str] | None = None,
+) -> dict:
+    """Collect CBO statistics for a registered lake table (row count +
+    size, and per-column NDV/null/min/max when ``columns`` given) —
+    what lets Catalyst's cost-based optimizer choose broadcast sides
+    and join orders from facts instead of size guesses. The Glue-crawler
+    analog keeps statistics fresh the same way. Returns the stats it
+    recorded (from DESCRIBE EXTENDED) for caller logging."""
+    fq = f"{_check_ident(db, 'database name')}.{_check_ident(table, 'table name')}"
+    spark.sql(f"ANALYZE TABLE {fq} COMPUTE STATISTICS")
+    if columns:
+        cols = ", ".join(f"`{_check_ident(c, 'column name')}`" for c in columns)
+        spark.sql(f"ANALYZE TABLE {fq} COMPUTE STATISTICS FOR COLUMNS {cols}")
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {fq}").collect()
+    stats = next((r["data_type"] for r in rows if r["col_name"] == "Statistics"), None)
+    return {"table": fq, "statistics": stats}

@@ -459,3 +459,27 @@ def test_schema_drift_report(spark):
     assert rep["c"]["change"] == "type_changed"  # nested addition surfaces
     assert rep["d"]["change"] == "added"
     assert schema_drift(old, old) == []
+
+
+def test_analyze_table_records_statistics(spark, tmp_path):
+    import json as _json
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.ingest import ingest_batch
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.lake import (
+        analyze_table,
+        register_table,
+        write_lake,
+    )
+
+    raw = spark.createDataFrame(
+        [
+            ("t0", _json.dumps({"Data": {"device": "tv", "event": "e", "region": "US"}})),
+            ("t1", _json.dumps({"Data": {"device": "tv", "event": "f", "region": "EU"}})),
+        ],
+        "tenant_id string, raw string",
+    )
+    root = str(tmp_path / "lake")
+    write_lake(ingest_batch(raw, ingest_ts=1700000000).valid, root)
+    register_table(spark, root, "t_stats_quickcheck")
+    got = analyze_table(spark, "t_stats_quickcheck", columns=["device"])
+    assert got["statistics"] is not None and "rows" in got["statistics"]

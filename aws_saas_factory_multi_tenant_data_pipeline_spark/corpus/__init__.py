@@ -249,6 +249,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "udf_python_udtf",
     "lake_time_travel",
     "tenant_ingest_quota",
+    "rollup_route_aggregate",
 )
 
 

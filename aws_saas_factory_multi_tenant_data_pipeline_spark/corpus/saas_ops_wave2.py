@@ -355,6 +355,77 @@ def lake_zorder_layout(spark, sf_dir):
 
 
 @register(
+    "rollup_route_aggregate",
+    oracle=f"""
+        SELECT 'tenant-' || CAST(user_id % 4 AS VARCHAR) AS tenant,
+               {sql_dsum('value')} AS total,
+               COUNT(value) AS n,
+               CAST(MIN(value) AS DOUBLE) AS lo,
+               CAST(MAX(value) AS DOUBLE) AS hi
+        FROM events
+        GROUP BY tenant
+        ORDER BY tenant
+    """,
+    tags=("B4", "data-mgmt"),
+    doc="Materialized-view routing (plans/mv_router.py): the per-tenant "
+    "request is answered FROM the (tenant, day) rollup's stored partials "
+    "— sum of sums, sum of counts, min of mins, max of maxes — and must "
+    "hash-match the direct fact aggregation the oracle computes. The "
+    "query fails loudly if the router declines to route.",
+)
+def rollup_route_aggregate(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.plans.mv_router import (
+        AggRequest,
+        RollupSpec,
+        route,
+    )
+
+    fact = t(spark, sf_dir, "events").select(
+        F.concat(F.lit("tenant-"), F.pmod("user_id", F.lit(4)).cast("string")).alias(
+            "tenant"
+        ),
+        F.col("ts").cast("date").alias("day"),
+        "value",
+    )
+    rollup = fact.groupBy("tenant", "day").agg(
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value"),
+        F.count("value").alias("cnt_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    spec = RollupSpec(
+        name="daily",
+        df=rollup,
+        dims=("tenant", "day"),
+        partials={
+            "sum_value": ("sum", "value"),
+            "cnt_value": ("count", "value"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+        },
+    )
+    req = AggRequest(
+        dims=("tenant",),
+        aggs={
+            "total": ("sum", "value"),
+            "n": ("count", "value"),
+            "lo": ("min", "value"),
+            "hi": ("max", "value"),
+        },
+    )
+    routed, used = route(req, [spec], fact)
+    if used != "daily":
+        raise RuntimeError("mv_router declined a covered request")
+    return routed.select(
+        "tenant",
+        F.col("total").cast("double").alias("total"),
+        "n",
+        F.col("lo").cast("double").alias("lo"),
+        F.col("hi").cast("double").alias("hi"),
+    ).orderBy("tenant")
+
+
+@register(
     "tenant_ingest_quota",
     oracle="""
         WITH ranked AS (

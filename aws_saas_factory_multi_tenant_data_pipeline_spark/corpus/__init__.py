@@ -250,6 +250,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "lake_time_travel",
     "tenant_ingest_quota",
     "rollup_route_aggregate",
+    "dedup_ngram_prefix",
 )
 
 

@@ -310,6 +310,77 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-Jaccard pairs via PREFIX FILTERING (PPJoin-style): identical
+    results to ``ngram_jaccard_pairs(threshold=τ)``, but the inverted
+    index holds only each document's first ``|s| − ⌈τ·|s|⌉ + 1`` shingles
+    under a global total order — the classic guarantee that any pair with
+    J ≥ τ must collide inside both prefixes. At τ=0.5 the index (and the
+    equi-join fan-out, the O(collisions) cost driver at 100 TB) shrinks
+    ~2×; higher thresholds prune harder. A length filter
+    (τ·|a| ≤ |b| ≤ |a|/τ) prunes candidates further before verification.
+
+    The total order is (xxhash64(shingle), shingle) — content-only, no
+    frequency statistics needed, deterministic across runs. Verification
+    recomputes exact |∩|/|∪| from the FULL shingle arrays (the prefix
+    index alone cannot count sharing), reusing the persisted shingle
+    frame like the MinHash verify path.
+    """
+    if not 0 < threshold <= 1:
+        raise ValueError("prefix filtering requires 0 < threshold <= 1")
+    from pyspark import StorageLevel
+
+    shs = with_shingle_col(df, text_col, shingle_k, out="__sh").select(
+        F.col(id_col), F.col("__sh")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n = F.size("__sh")
+    p = n - F.ceil(F.lit(threshold) * n).cast("int") + 1
+    ordered = F.transform(
+        F.array_sort(
+            F.transform(F.col("__sh"), lambda s: F.struct(F.xxhash64(s).alias("h"), s.alias("s")))
+        ),
+        lambda st: st["s"],
+    )
+    prefix = shs.select(
+        F.col(id_col),
+        n.alias("__n"),
+        F.explode(F.slice(ordered, 1, p)).alias("__s"),
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    tau = F.lit(threshold)
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__s") == F.col("b.__s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            # length filter: J >= τ forces τ·|a| ≤ |b| and τ·|b| ≤ |a|
+            & (F.col("b.__n").cast("double") >= tau * F.col("a.__n"))
+            & (F.col("a.__n").cast("double") >= tau * F.col("b.__n")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    verified = (
+        cand.join(shs.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sa")), "id_a")
+        .join(shs.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sb")), "id_b")
+    )
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
+    union = F.size(F.array_union("__sa", "__sb")).cast("double")
+    result = (
+        verified.withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    result.shingle_cache = shs
+    return result
+
+
 def dedup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",

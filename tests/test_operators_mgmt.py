@@ -68,6 +68,27 @@ def test_cdc_summary_checksum_partition_invariant(spark):
     assert s1 == s2 and len(s1) >= 2
 
 
+def test_prefix_filtered_jaccard_equals_full_index(spark, sf_smoke):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus._util import t
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    docs = t(spark, sf_smoke, "documents").where(F.col("doc_id") < 150)
+    for tau in (0.2, 0.5):
+        full = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in ngram_jaccard_pairs(docs, threshold=tau).collect()
+        }
+        pref_df = ngram_jaccard_pairs_prefix(docs, threshold=tau)
+        pref = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in pref_df.collect()
+        }
+        pref_df.shingle_cache.unpersist()
+        assert pref == full, f"tau={tau}: prefix filtering changed the result"
+
+
 def test_change_feed_between_snapshots(spark, tmp_path):
     from aws_saas_factory_multi_tenant_data_pipeline_spark.lake import write_snapshot
     from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.cdc import change_feed

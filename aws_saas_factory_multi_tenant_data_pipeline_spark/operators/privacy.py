@@ -100,3 +100,89 @@ def suppress_non_anonymous(
         .select(*qi_cols)
     )
     return df.join(F.broadcast(ok), on=qi_cols, how="left_semi")
+
+
+def pseudonymize(
+    df: DataFrame,
+    cols: list[str],
+    secret: str,
+    token_len: int = 16,
+    prefix: str = "pn_",
+) -> DataFrame:
+    """Keyed pseudonymization: replace each value in ``cols`` with a
+    deterministic surrogate ``prefix || md5(secret:column:value)[:token_len]``.
+
+    Properties the multi-tenant export path needs (GDPR Art. 4(5)
+    pseudonymisation; the reference exposes raw tenant rows via Athena,
+    `athena-stack.ts:16`, so any cross-tenant or external share must
+    tokenize identifiers first):
+
+    - *referential integrity*: equal values map to equal tokens, so joins,
+      groupBys and COUNT(DISTINCT) over the released data still work;
+    - *column separation*: the column name is folded into the hash, so the
+      same value in different columns yields different tokens (no
+      cross-column linkage);
+    - *keyed*: without ``secret`` the mapping cannot be enumerated by
+      hashing candidate values (dictionary attack needs the key);
+    - *non-reversible in-band*: no lookup table is materialized; re-identi-
+      fication requires replaying the keyed hash over known plaintexts.
+
+    NULLs stay NULL (they carry no identity). Scan-speed: one md5 per
+    value, codegen'd, no shuffle, no UDF.
+    """
+    out = df
+    for c in cols:
+        tok = F.concat(
+            F.lit(prefix),
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(secret), F.lit(c), F.col(c).cast("string"))),
+                1,
+                token_len,
+            ),
+        )
+        out = out.withColumn(c, F.when(F.col(c).isNotNull(), tok))
+    return out
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float = 1.0,
+    seed: str = "dp-seed",
+    round_dp: int = 6,
+) -> DataFrame:
+    """ε-differentially-private group counts via the Laplace mechanism.
+
+    Per released cell: ``noisy_n = n + Laplace(0, 1/ε)`` (sensitivity of a
+    count under add/remove-one adjacency is 1, so scale b = 1/ε). The
+    noise draw is DERANDOMIZED: u ∈ (0,1) comes from the first 15 hex
+    digits of ``md5(seed || cell key)``, then the inverse CDF
+    ``-b·sign(u−½)·ln(1−2|u−½|)`` maps it to Laplace. Same seed + same
+    cell → same noise, so releases are reproducible, retries don't leak
+    extra ε (each re-run answers with the SAME draw — the
+    privacy-accounting property a cached release needs), and the whole
+    mechanism is replayable in any SQL engine (the ``privacy_dp_counts``
+    oracle re-derives every noisy value in DuckDB).
+
+    One map-side-combined groupBy; noise math is codegen'd arithmetic on
+    the aggregate output (rows = |cell domain|, tiny). Composition /
+    budget tracking across releases is the caller's ledger; this emits a
+    single ε-DP view. ``round_dp`` keeps cross-engine float equality.
+    """
+    if epsilon <= 0:
+        raise ValueError("epsilon must be positive")
+    b = 1.0 / epsilon
+    cell_key = F.concat_ws("|", F.lit(seed), *[F.col(c).cast("string") for c in group_cols])
+    # 15 hex digits = 60 bits: exact in a double, identical in DuckDB
+    u = (F.conv(F.substring(F.md5(cell_key), 1, 15), 16, 10).cast("double") + F.lit(0.5)) / F.lit(
+        float(1 << 60)
+    )
+    centered = u - F.lit(0.5)
+    sign = F.when(centered < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+    noise = -F.lit(b) * sign * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    agg = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))
+    return agg.select(
+        *group_cols,
+        F.round(F.col("n") + noise, round_dp).alias("noisy_n"),
+        F.lit(float(epsilon)).alias("epsilon"),
+    )

@@ -487,3 +487,52 @@ def pq_cosine_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "score", "rank")
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    anchor_filter: Column | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive / retrieval training: per
+    anchor, the ``k`` most-similar vectors whose LABEL DIFFERS — exactly
+    the near-boundary examples contrastive losses (InfoNCE, triplet)
+    need, and the standard negative-selection pass run over a training
+    corpus before embedding-model fine-tuning.
+
+    Plan: identical to brute-force ``cosine_topk`` (anchor side
+    broadcast against the partitioned corpus, JVM fold dot products)
+    with the label-inequality predicate pushed into the join — the wrong
+    label filter prunes BEFORE the window, so the top-k heap never sees
+    same-label rows. ``anchor_filter`` bounds the anchor set (at 100 TB
+    mining runs per shard of anchors; all-anchors is the degenerate
+    |corpus|² case the LSH/IVF paths exist for).
+
+    Returns (anchor_id, neg_id, neg_label, cosine, rank), cosine 6 dp,
+    ties by neg_id.
+    """
+    anchors = corpus if anchor_filter is None else corpus.where(anchor_filter)
+    a = with_norm(anchors, vec_col).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("__al"),
+        F.col(vec_col).alias("__av"),
+        F.col("__norm").alias("__an"),
+    )
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neg_id"),
+        F.col(label_col).alias("neg_label"),
+        F.col(vec_col).alias("__cv"),
+        F.col("__norm").alias("__cn"),
+    )
+    pairs = c.crossJoin(F.broadcast(a)).where(F.col("neg_label") != F.col("__al"))
+    cos = F.round(dot(F.col("__cv"), F.col("__av")) / (F.col("__cn") * F.col("__an")), 6)
+    scored = pairs.select("anchor_id", "neg_id", "neg_label", cos.alias("cosine"))
+    w = Window.partitionBy("anchor_id").orderBy(F.col("cosine").desc(), F.col("neg_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("anchor_id", "neg_id", "neg_label", "cosine", "rank")
+    )

@@ -1,0 +1,118 @@
+"""Skew-aware join strategies (SURVEY.md §7 risk register: tenant skew).
+
+The reference physically partitions everything by tenant (Kinesis
+partition key `apigateway-stack.ts:126`, S3 layout `kinesis-stack.ts:137`)
+— which means ONE oversized tenant concentrates on one shard/prefix/task.
+In Spark the same pathology appears in any shuffle join keyed on a skewed
+column: every row of the hot key hashes to one reducer, and the stage
+runs as long as that single task. AQE's skew-join splitting
+(`spark.sql.adaptive.skewJoin`) handles sort-merge joins after the fact;
+SALTING is the declarative-plan fix that also covers shuffled-hash joins
+and pre-AQE engines, and the only fix when one key exceeds a single
+executor's memory.
+
+Design (the standard two-sided recipe):
+- detect hot keys with one map-side-combined ``groupBy(key).count()``
+  over the probe side (the aggregate output is bounded by the key
+  domain, tiny next to the fact table);
+- probe side: rows with a hot key get a deterministic salt in
+  ``[0, salt)`` derived from xxhash64 of the row's other columns — NOT
+  the key (identical keys must spread) and NOT a random() (replays and
+  retries must produce the same plan);
+- build side: hot-key rows replicate ``salt`` times via
+  ``explode(sequence(...))`` — replication is paid ONLY for hot keys,
+  so the build side grows by |hot rows|·salt, not |rows|·salt;
+- join on (key, salt). Result is row-identical to the unsalted join
+  (verified by the ``join_skew_salted`` oracle), only the physical
+  distribution changes: the hot key now occupies ``salt`` reducers.
+
+At 100 TB: detection is one cheap pass; the salted shuffle moves the
+same bytes as the plain join but spreads the hot key's partition over
+``salt`` tasks, turning a stage bounded by max-key-frequency into one
+bounded by max-key-frequency/salt.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SEED = 42
+
+
+def hot_keys(df: DataFrame, key: str, min_count: int) -> DataFrame:
+    """Keys whose frequency in ``df`` is at least ``min_count``.
+
+    One aggregation with map-side partial combine; the output is bounded
+    by the number of distinct hot keys (by definition few), safe to
+    broadcast or collect.
+    """
+    return (
+        df.groupBy(key).agg(F.count(F.lit(1)).alias("__freq"))
+        .where(F.col("__freq") >= min_count)
+        .select(key)
+    )
+
+
+def _probe_salt(df: DataFrame, key: str, salt: int) -> Column:
+    """Deterministic salt in [0, salt) from the row's non-key columns.
+
+    Hash everything EXCEPT the key: rows sharing the hot key must land in
+    different buckets, and a pure function of the key would put them all
+    in one. Rows identical in every column collapse onto one salt bucket
+    — correct (they are the same row) though not load-spreading for a
+    degenerate all-duplicate input.
+    """
+    others = [c for c in df.columns if c != key] or [key]
+    return F.pmod(F.xxhash64(*[F.col(c) for c in others], F.lit(_SEED)), F.lit(salt)).cast("int")
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    salt: int = 8,
+    how: str = "inner",
+    hot_min_count: int | None = None,
+) -> DataFrame:
+    """Join ``probe`` (large, possibly key-skewed) with ``build`` on
+    ``key``, spreading hot keys across ``salt`` shuffle partitions.
+
+    ``hot_min_count``: only keys at least this frequent in ``probe`` are
+    salted (the production pattern — replication cost is confined to hot
+    keys). ``None`` salts every key (simpler plan: no detection pass;
+    build side pays full ×salt replication — only sane when the build
+    side is small but just over the broadcast threshold).
+
+    Row-for-row equal to ``probe.join(build, key, how)`` for ``how`` in
+    {inner, left}. Right/full outer are rejected: build-side rows are
+    replicated, so unmatched build rows would surface ``salt`` times.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if salt < 2:
+        raise ValueError("salt must be >= 2")
+
+    if hot_min_count is not None:
+        hot = F.broadcast(
+            hot_keys(probe, key, hot_min_count).withColumn("__hot", F.lit(True))
+        )
+        p = probe.join(hot, key, "left").withColumn(
+            "__salt",
+            F.when(F.col("__hot").isNotNull(), _probe_salt(probe, key, salt)).otherwise(
+                F.lit(0)
+            ),
+        ).drop("__hot")
+        b = build.join(hot, key, "left").withColumn(
+            "__salts",
+            F.when(
+                F.col("__hot").isNotNull(), F.sequence(F.lit(0), F.lit(salt - 1))
+            ).otherwise(F.array(F.lit(0))),
+        ).drop("__hot")
+    else:
+        p = probe.withColumn("__salt", _probe_salt(probe, key, salt))
+        b = build.withColumn("__salts", F.sequence(F.lit(0), F.lit(salt - 1)))
+
+    b = b.withColumn("__salt", F.explode("__salts")).drop("__salts")
+    out = p.join(b, [key, "__salt"], how)
+    return out.drop("__salt")

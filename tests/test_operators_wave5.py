@@ -1,0 +1,223 @@
+"""Round-5 wave operators: skew-salted join, privacy releases (keyed
+pseudonymization + derandomized differential privacy), file-level data
+skipping, retention TTL, mergeable histograms, hard-negative mining."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+from aws_saas_factory_multi_tenant_data_pipeline_spark.lake import (
+    build_file_stats_index,
+    expire_partitions,
+    read_with_skipping,
+)
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.privacy import (
+    dp_noisy_counts,
+    pseudonymize,
+)
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.similarity import (
+    hard_negatives,
+)
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.skew import (
+    hot_keys,
+    salted_join,
+)
+
+
+def _events(spark):
+    return spark.read.parquet(os.path.join(SF_SMOKE, "events.parquet"))
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# --- salted join -----------------------------------------------------------
+
+
+def test_salted_join_equals_plain_inner(spark):
+    ev = _events(spark)
+    dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("user_events"))
+    plain = ev.join(dim, "user_id", "inner")
+    salted = salted_join(ev, dim, "user_id", salt=8, how="inner", hot_min_count=20)
+    assert _sorted_rows(salted.select(*plain.columns)) == _sorted_rows(plain)
+
+
+def test_salted_join_equals_plain_left_with_unmatched(spark):
+    ev = _events(spark)
+    # dim covers only even user ids → odd-user rows are unmatched on the left
+    dim = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("user_events"))
+        .where(F.col("user_id") % 2 == 0)
+    )
+    plain = ev.join(dim, "user_id", "left")
+    salted = salted_join(ev, dim, "user_id", salt=4, how="left", hot_min_count=20)
+    assert _sorted_rows(salted.select(*plain.columns)) == _sorted_rows(plain)
+
+
+def test_salted_join_all_keys_mode(spark):
+    ev = _events(spark).limit(500)
+    dim = ev.select("user_id").distinct().withColumn("flag", F.lit(1))
+    plain = ev.join(dim, "user_id", "inner")
+    salted = salted_join(ev, dim, "user_id", salt=4, how="inner", hot_min_count=None)
+    assert _sorted_rows(salted.select(*plain.columns)) == _sorted_rows(plain)
+
+
+def test_salted_join_rejects_outer_and_bad_salt(spark):
+    ev = _events(spark)
+    dim = ev.select("user_id").distinct()
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(ev, dim, "user_id", how="full")
+    with pytest.raises(ValueError, match="salt"):
+        salted_join(ev, dim, "user_id", salt=1)
+
+
+def test_hot_keys_threshold(spark):
+    ev = _events(spark)
+    hk = hot_keys(ev, "user_id", min_count=1)
+    assert hk.count() == ev.select("user_id").distinct().count()
+    assert hot_keys(ev, "user_id", min_count=10**9).count() == 0
+
+
+# --- privacy: pseudonymization + DP ---------------------------------------
+
+
+def test_pseudonymize_referential_integrity_and_nulls(spark):
+    df = spark.createDataFrame(
+        [("alice", "a@x.com"), ("bob", None), ("alice", "a@x.com")],
+        ["name", "email"],
+    )
+    out = pseudonymize(df, ["name", "email"], secret="s1")
+    rows = out.collect()
+    # equal plaintext → equal token (joins/groupBys still work)
+    assert rows[0].name == rows[2].name and rows[0].email == rows[2].email
+    # NULL stays NULL
+    assert rows[1].email is None
+    # tokens are not the plaintext and carry the prefix
+    assert rows[0].name.startswith("pn_") and "alice" not in rows[0].name
+
+
+def test_pseudonymize_column_separation_and_key_dependence(spark):
+    df = spark.createDataFrame([("x", "x")], ["a", "b"])
+    out = pseudonymize(df, ["a", "b"], secret="s1").collect()[0]
+    # same value, different column → different token
+    assert out.a != out.b
+    out2 = pseudonymize(df, ["a"], secret="s2").collect()[0]
+    # different key → different token
+    assert out.a != out2.a
+
+
+def test_dp_counts_deterministic_and_seed_sensitive(spark):
+    ev = _events(spark)
+    a = dp_noisy_counts(ev, ["event_type"], epsilon=1.0, seed="s")
+    b = dp_noisy_counts(ev, ["event_type"], epsilon=1.0, seed="s")
+    assert _sorted_rows(a) == _sorted_rows(b)  # replays answer identically
+    c = dp_noisy_counts(ev, ["event_type"], epsilon=1.0, seed="other")
+    assert _sorted_rows(a) != _sorted_rows(c)  # fresh seed → fresh draw
+    # true counts are NOT in the release
+    assert "n" not in a.columns
+
+
+def test_dp_counts_noise_scale(spark):
+    ev = _events(spark)
+    true = {r.event_type: r.n for r in ev.groupBy("event_type").count().withColumnRenamed("count", "n").collect()}
+    rel = dp_noisy_counts(ev, ["event_type"], epsilon=1.0, seed="s").collect()
+    for r in rel:
+        # Laplace(1/ε=1): |noise| > 20 has probability e^-20 — a failure
+        # here means the mechanism, not luck
+        assert abs(r.noisy_n - true[r.event_type]) < 20
+    with pytest.raises(ValueError):
+        dp_noisy_counts(ev, ["event_type"], epsilon=0.0)
+
+
+# --- histogram merge property ---------------------------------------------
+
+
+def test_histogram_partials_merge(spark):
+    ev = _events(spark)
+    bucket = F.least(F.floor(F.col("value") / 10.0).cast("long"), F.lit(9)).alias("bucket")
+    full = {r.bucket: r.n for r in ev.groupBy(bucket).agg(F.count(F.lit(1)).alias("n")).collect()}
+    lo = ev.where(F.col("event_id") % 2 == 0)
+    hi = ev.where(F.col("event_id") % 2 == 1)
+    merged: dict = {}
+    for part in (lo, hi):
+        for r in part.groupBy(bucket).agg(F.count(F.lit(1)).alias("n")).collect():
+            merged[r.bucket] = merged.get(r.bucket, 0) + r.n
+    assert merged == full
+
+
+# --- file skipping ---------------------------------------------------------
+
+
+def test_file_skipping_prunes_and_matches(spark, tmp_path):
+    o = spark.read.parquet(os.path.join(SF_SMOKE, "orders.parquet"))
+    data_root = str(tmp_path / "data")
+    index_root = str(tmp_path / "idx")
+    o.repartitionByRange(8, "o_orderkey").write.parquet(data_root)
+    n_files = build_file_stats_index(spark, data_root, ["o_orderkey"], index_root)
+    assert n_files == 8
+    lo, hi = 100, 300
+    df, files_read, files_total = read_with_skipping(spark, index_root, "o_orderkey", lo, hi)
+    assert files_total == 8
+    assert 0 < files_read < files_total  # skipping actually skipped
+    expected = o.where((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") <= hi))
+    assert _sorted_rows(df.select(*expected.columns)) == _sorted_rows(expected)
+
+
+def test_file_skipping_empty_range(spark, tmp_path):
+    o = spark.read.parquet(os.path.join(SF_SMOKE, "orders.parquet"))
+    data_root = str(tmp_path / "data")
+    index_root = str(tmp_path / "idx")
+    o.repartitionByRange(4, "o_orderkey").write.parquet(data_root)
+    build_file_stats_index(spark, data_root, ["o_orderkey"], index_root)
+    df, files_read, _ = read_with_skipping(spark, index_root, "o_orderkey", -50, -10)
+    assert files_read == 0 and df.count() == 0
+
+
+# --- retention TTL ---------------------------------------------------------
+
+
+def test_expire_partitions_drops_only_old(spark, tmp_path):
+    ev = _events(spark).withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    root = str(tmp_path / "lake")
+    ev.repartition("day").write.partitionBy("day").parquet(root)
+    days = sorted(r.day for r in ev.select("day").distinct().collect())
+    cutoff = days[len(days) // 2]
+    dropped = expire_partitions(spark, root, "day", cutoff)
+    assert dropped == sum(1 for d in days if d < cutoff)
+    back = spark.read.parquet(root)
+    kept = sorted(r.day for r in back.select(F.col("day").cast("string").alias("day")).distinct().collect())
+    assert kept == [d for d in days if d >= cutoff]
+    # survivors intact row-for-row
+    assert back.count() == ev.where(F.col("day") >= cutoff).count()
+
+
+def test_expire_partitions_rejects_bad_column(spark, tmp_path):
+    with pytest.raises(ValueError):
+        expire_partitions(spark, str(tmp_path), "day; DROP TABLE x", "2024-01-01")
+
+
+# --- hard negatives --------------------------------------------------------
+
+
+def test_hard_negatives_labels_and_ranks(spark):
+    emb = spark.read.parquet(os.path.join(SF_SMOKE, "embeddings.parquet"))
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    out = hard_negatives(emb, k=3, anchor_filter=F.col("vec_id") < 5).collect()
+    per_anchor: dict = {}
+    for r in out:
+        assert r.neg_label != labels[r.anchor_id]  # only wrong-label rows
+        per_anchor.setdefault(r.anchor_id, []).append(r)
+    for rows in per_anchor.values():
+        ranks = sorted(x.rank for x in rows)
+        assert ranks == list(range(1, len(rows) + 1)) and len(rows) <= 3
+        # ranks follow cosine descending
+        by_rank = sorted(rows, key=lambda x: x.rank)
+        cosines = [x.cosine for x in by_rank]
+        assert cosines == sorted(cosines, reverse=True)

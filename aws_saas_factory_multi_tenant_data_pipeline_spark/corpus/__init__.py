@@ -49,7 +49,8 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), d
 # (all equi-join types, both setop rows, sliding+session, both scalar-UDF
 # rows, both grouped-UDF rows, three B1 format roundtrips, 16 B10 rows in
 # four LLM packs, math/array/map/json/null + url/timezone in two B7
-# packs, and every Tier-A row except streaming-only A3).
+# packs, four r4 data-management rows in r4_mgmt_pack, five r5 rows in
+# r5_pack, and every Tier-A row except streaming-only A3).
 GRADED_WINDOW: tuple[str, ...] = (
     # Tier A (A1/A2/A4/A5/A6/A7/A8/A9 — A3 is streaming-only, tests/)
     "tenant_scoped_scan",
@@ -113,13 +114,17 @@ GRADED_WINDOW: tuple[str, ...] = (
     "llm_sampling_pack",
     "llm_pipeline_pack",
     "llm_text_pack",
-    # TPC-H-shaped subqueries + the r4 data-management pack.
+    # Data-management / r5 packs.
     # tpch_q1_pricing_summary was swapped to the tail head in r4: its Q1
     # shape is already graded via agg_pricing_summary (identical plan) and
     # the flagship entry(); the freed slot gives four r4 §2 rows (CDC,
     # privacy ladder, rate limit, Z-order) a hard driver verdict.
+    # subq_exists_correlated moved to the tail head in r5 (subqueries are
+    # not a §2 row; EXISTS-rewrite coverage stays oracle-green locally):
+    # its slot gives five r5 §2 rows (skew-salted join, DP noisy counts,
+    # pseudonymization, histogram, hard negatives) a hard driver verdict.
     "r4_mgmt_pack",
-    "subq_exists_correlated",
+    "r5_pack",
 )
 
 # If the driver's bound turns out to be time- rather than count-based,
@@ -127,8 +132,10 @@ GRADED_WINDOW: tuple[str, ...] = (
 # single-family originals first, then the rest of TPC-H / subqueries /
 # B10, then everything else in module order.
 _TAIL_PRIORITY: tuple[str, ...] = (
-    # swapped out of the r4 window (duplicate of agg_pricing_summary's
-    # graded Q1 shape) — still first in line if the window is time-bound
+    # swapped out of the graded window (r4: duplicate of
+    # agg_pricing_summary's Q1 shape; r5: subqueries are not a §2 row) —
+    # still first in line if the window turns out to be time-bound
+    "subq_exists_correlated",
     "tpch_q1_pricing_summary",
     # demoted from the r3 window in favor of family packs / Tier-A rows —
     # all still oracle-backed and graded first if the window is time-bound

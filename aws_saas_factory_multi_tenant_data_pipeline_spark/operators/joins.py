@@ -131,13 +131,18 @@ def salted_join(
     finds its match. AQE's skew-join handles most cases automatically —
     this is the explicit recipe for when it can't (e.g. aggregation-free
     joins under a fixed partitioning).
+
+    Delegates to :func:`operators.skew.salted_join` (deterministic
+    row-content salt instead of the earlier rand(); replayable plans,
+    same row-identical result). For the production hot-key-only variant
+    (replication confined to skewed keys) call the skew module directly
+    with ``hot_min_count``.
     """
-    salted_l = left.withColumn("__salt", (F.rand(seed=42) * salt_buckets).cast("int"))
-    salted_r = right.withColumn(
-        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.skew import (
+        salted_join as _impl,
     )
-    out = salted_l.join(salted_r, [on, "__salt"], how)
-    return out.drop("__salt")
+
+    return _impl(left, right, on, salt=salt_buckets, how=how, hot_min_count=None)
 
 
 def binned_range_join(

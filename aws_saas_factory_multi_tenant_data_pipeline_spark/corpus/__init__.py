@@ -267,6 +267,9 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "scan_file_skipping",
     "lake_retention_expire",
     "embedding_hard_negatives",
+    "text_bm25_rank",
+    "attribution_last_touch",
+    "customer_rfm_segment",
 )
 
 
@@ -301,6 +304,7 @@ def load_all() -> dict[str, QuerySpec]:
         saas_ops_wave2,
         ext_llm_wave4,
         wave_r5,
+        saas_ops_wave3,
     )
 
     head = [n for n in GRADED_WINDOW + _TAIL_PRIORITY if n in REGISTRY]

@@ -1,0 +1,191 @@
+"""SaaS analytics wave 3 (round 5): BM25 relevance ranking, last-touch
+marketing attribution, and RFM customer segmentation.
+
+These complete the analytics surface a SaaS tenant actually runs over
+the reference's lake (the Athena delegation, `athena-stack.ts:16`):
+ranking documents against a term query (no Presto/Athena builtin —
+BM25 is the standard), attributing conversions to the latest preceding
+touchpoint (the as-of-join shape re-used from B3), and scoring customers
+on recency/frequency/monetary quintiles (pure window functions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus import register
+from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus._util import t
+from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus.ext_llm import _DUCK_NORM
+from aws_saas_factory_multi_tenant_data_pipeline_spark.functions import dsum, sql_dsum
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.joins import asof_join
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.ranking import bm25_rank
+
+_BM25_TERMS = ("spark", "window", "merge")
+
+
+@register(
+    "text_bm25_rank",
+    oracle=f"""
+        WITH stats AS (
+            SELECT doc_id, string_split({_DUCK_NORM}, ' ') AS tk
+            FROM documents),
+        lens AS (SELECT doc_id, len(tk) AS dl, tk FROM stats),
+        gl AS (
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(CAST(dl AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avgdl
+            FROM lens),
+        tf AS (
+            SELECT doc_id, dl, tok, COUNT(*) AS tf
+            FROM (SELECT doc_id, dl, unnest(tk) AS tok FROM lens)
+            WHERE tok IN ('spark', 'window', 'merge')
+            GROUP BY 1, 2, 3),
+        dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        scored AS (
+            SELECT doc_id,
+                   ROUND(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                         * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS ts_
+            FROM tf JOIN dfq USING (tok) CROSS JOIN gl),
+        agg AS (
+            SELECT doc_id, CAST(SUM(CAST(ts_ AS DECIMAL(38,6))) AS DOUBLE) AS score
+            FROM scored GROUP BY doc_id),
+        ranked AS (
+            SELECT doc_id, score,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+            FROM agg)
+        SELECT doc_id, score, rank FROM ranked WHERE rank <= 20 ORDER BY rank
+    """,
+    tags=("B10",),
+    doc="BM25 top-20 for a 3-term query (k1=1.2, b=0.75, Lucene +1 idf): "
+    "one tokens projection feeds lengths and term frequencies, query-term "
+    "filter prunes the explode before the shuffle, df and (N, avgdl) "
+    "broadcast back; per-term scores sum as DECIMAL for cross-engine "
+    "bit-equality.",
+)
+def text_bm25_rank(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return bm25_rank(docs, list(_BM25_TERMS), k=20).orderBy("rank")
+
+
+@register(
+    "attribution_last_touch",
+    oracle=f"""
+        WITH touches AS (
+            SELECT user_id, ts, event_type FROM (
+                SELECT user_id, ts, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                          ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_type IN ('view', 'click')) WHERE rn = 1),
+        att AS (
+            SELECT p.event_id, p.value,
+                   (SELECT tt.event_type FROM touches tt
+                    WHERE tt.user_id = p.user_id AND tt.ts <= p.ts
+                      AND tt.ts >= p.ts - INTERVAL 24 HOUR
+                    ORDER BY tt.ts DESC LIMIT 1) AS channel
+            FROM events p WHERE p.event_type = 'purchase')
+        SELECT COALESCE(channel, 'direct') AS channel,
+               COUNT(*) AS n_purchases, {sql_dsum('value')} AS revenue
+        FROM att
+        GROUP BY 1
+        ORDER BY channel
+    """,
+    tags=("B10", "saas"),
+    doc="Last-touch attribution: each purchase credits the user's latest "
+    "view/click within 24 h (as-of join with tolerance — single "
+    "union+window shuffle, no per-row subquery); unmatched purchases are "
+    "'direct'. Touch ties at one timestamp break by max event_id.",
+)
+def attribution_last_touch(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    touches = (
+        ev.where(F.col("event_type").isin("view", "click"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("user_id", "ts", "event_type")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase")
+    att = asof_join(
+        purchases,
+        touches,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_type"],
+        suffix="_touch",
+        direction="backward",
+        tolerance_seconds=86400.0,
+    )
+    return (
+        att.groupBy(F.coalesce(F.col("event_type_touch"), F.lit("direct")).alias("channel"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"), dsum("value").alias("revenue"))
+        .orderBy("channel")
+    )
+
+
+@register(
+    "customer_rfm_segment",
+    oracle=f"""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   MAX(o_orderdate) AS last_order,
+                   COUNT(*) AS frequency,
+                   {sql_dsum('o_totalprice')} AS monetary
+            FROM orders GROUP BY o_custkey),
+        ref AS (SELECT MAX(o_orderdate) AS ref_date FROM orders),
+        scored AS (
+            SELECT o_custkey,
+                   datediff('day', last_order, ref_date) AS recency_days,
+                   frequency, monetary,
+                   NTILE(5) OVER (ORDER BY datediff('day', last_order, ref_date), o_custkey) AS r_q,
+                   NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_q,
+                   NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_q
+            FROM per_cust CROSS JOIN ref)
+        SELECT o_custkey, recency_days, frequency, monetary,
+               r_q, f_q, m_q,
+               CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS rfm_code,
+               CASE WHEN r_q <= 2 AND f_q <= 2 THEN 'loyal'
+                    WHEN r_q >= 4 AND f_q <= 2 THEN 'at_risk'
+                    WHEN r_q <= 2 AND f_q >= 4 THEN 'recent'
+                    ELSE 'regular' END AS segment
+        FROM scored
+        ORDER BY o_custkey
+    """,
+    tags=("B5", "saas"),
+    doc="RFM segmentation: per-customer recency/frequency/monetary from "
+    "orders, quintile scores via NTILE with total tie-broken orderings "
+    "(custkey), rfm code + lifecycle label. One groupBy + three window "
+    "passes over the (small) per-customer frame.",
+)
+def customer_rfm_segment(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum("o_totalprice").alias("monetary"),
+    )
+    ref = o.agg(F.max("o_orderdate").alias("ref_date"))
+    scored = per_cust.crossJoin(F.broadcast(ref)).withColumn(
+        "recency_days", F.datediff("ref_date", "last_order")
+    )
+    r_q = F.ntile(5).over(W.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc()))
+    f_q = F.ntile(5).over(W.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc()))
+    m_q = F.ntile(5).over(W.orderBy(F.col("monetary").desc(), F.col("o_custkey").asc()))
+    seg = scored.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r_q.alias("r_q"),
+        f_q.alias("f_q"),
+        m_q.alias("m_q"),
+    )
+    return seg.select(
+        "*",
+        (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q")).cast("long").alias("rfm_code"),
+        F.when((F.col("r_q") <= 2) & (F.col("f_q") <= 2), "loyal")
+        .when((F.col("r_q") >= 4) & (F.col("f_q") <= 2), "at_risk")
+        .when((F.col("r_q") <= 2) & (F.col("f_q") >= 4), "recent")
+        .otherwise("regular")
+        .alias("segment"),
+    ).orderBy("o_custkey")

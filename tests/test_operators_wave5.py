@@ -221,3 +221,32 @@ def test_hard_negatives_labels_and_ranks(spark):
         by_rank = sorted(rows, key=lambda x: x.rank)
         cosines = [x.cosine for x in by_rank]
         assert cosines == sorted(cosines, reverse=True)
+
+
+# --- BM25 ------------------------------------------------------------------
+
+
+def test_bm25_rejects_empty_terms(spark):
+    docs = spark.read.parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.ranking import bm25_rank
+
+    with pytest.raises(ValueError):
+        bm25_rank(docs, [])
+
+
+def test_bm25_scores_monotone_and_bounded(spark):
+    docs = spark.read.parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.ranking import bm25_rank
+
+    out = bm25_rank(docs, ["spark", "window"], k=10).collect()
+    assert 0 < len(out) <= 10
+    scores = [r.score for r in sorted(out, key=lambda r: r.rank)]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)  # +1 idf keeps scores positive
+    # a doc mentioning neither term never ranks
+    ids = {r.doc_id for r in out}
+    none_docs = {
+        r.doc_id
+        for r in docs.where(~F.col("text").rlike("spark|window")).select("doc_id").collect()
+    }
+    assert not (ids & none_docs)

@@ -270,6 +270,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "text_bm25_rank",
     "attribution_last_touch",
     "customer_rfm_segment",
+    "text_normalize_unicode",
 )
 
 

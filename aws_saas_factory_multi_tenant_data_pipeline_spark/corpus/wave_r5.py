@@ -348,3 +348,59 @@ def r5_pack(spark, sf_dir):
     for part in (dp_rows, pn_rows, hist_rows, hn_rows):
         out = out.unionByName(part)
     return out.orderBy("kind", "k")
+
+
+# --- unicode normalization (operators/textnorm.py) -------------------------
+
+_DIRTY_PRE = "Caf\u00e9 \u201c"
+_DIRTY_MID = "\u201d\u2014 na\u00efve\u200b \u2026"
+_DIRTY_EVEN = "\u00a0tail"
+_DIRTY_ODD = " x"
+
+
+def _textnorm_oracle() -> str:
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.textnorm import (
+        normalize_unicode_sql,
+    )
+
+    dirty = (
+        f"'{_DIRTY_PRE}' || substr(text, 1, 60) || '{_DIRTY_MID}' || "
+        f"CASE WHEN doc_id % 2 = 0 THEN '{_DIRTY_EVEN}' ELSE '{_DIRTY_ODD}' END"
+    )
+    norm = normalize_unicode_sql(dirty)
+    return f"""
+        SELECT doc_id, md5({norm}) AS clean_md5, length({norm}) AS clean_len
+        FROM documents
+        ORDER BY doc_id
+    """
+
+
+@register(
+    "text_normalize_unicode",
+    oracle=_textnorm_oracle(),
+    tags=("B10", "B7"),
+    doc="Unicode normalization for web corpora: accent folding, curly "
+    "quote/dash straightening, ellipsis expansion, zero-width strip, "
+    "exotic-space/control mapping, space-run collapse - the CCNet-style "
+    "cleanup pass, all codegen'd string ops; the DuckDB oracle chain is "
+    "GENERATED from the same constant tables so Spark and oracle cannot "
+    "drift. Dirty input is constructed in-query (the fixture corpus is "
+    "ASCII), identically on both sides.",
+)
+def text_normalize_unicode(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.textnorm import (
+        normalize_unicode,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.lit(_DIRTY_PRE),
+        F.substring("text", 1, 60),
+        F.lit(_DIRTY_MID),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(_DIRTY_EVEN)).otherwise(F.lit(_DIRTY_ODD)),
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(normalize_unicode(dirty)).alias("clean_md5"),
+        F.length(normalize_unicode(dirty)).alias("clean_len"),
+    ).orderBy("doc_id")

@@ -271,6 +271,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "attribution_last_touch",
     "customer_rfm_segment",
     "text_normalize_unicode",
+    "graph_pagerank",
 )
 
 

@@ -404,3 +404,47 @@ def text_normalize_unicode(spark, sf_dir):
         F.md5(normalize_unicode(dirty)).alias("clean_md5"),
         F.length(normalize_unicode(dirty)).alias("clean_len"),
     ).orderBy("doc_id")
+
+
+# --- PageRank (operators/graph.py) -----------------------------------------
+
+_PR_EDGES_CTE = """
+    SELECT l_partkey AS src, 1000000 + l_suppkey AS dst
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    UNION ALL
+    SELECT 1000000 + l_suppkey AS src, l_partkey AS dst
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+"""
+
+
+def _pagerank_oracle() -> str:
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.graph import (
+        pagerank_oracle_sql,
+    )
+
+    return pagerank_oracle_sql(_PR_EDGES_CTE, iters=4, damping_pct=85)
+
+
+@register(
+    "graph_pagerank",
+    oracle=_pagerank_oracle(),
+    tags=("B10", "graph"),
+    doc="PageRank (4 power iterations, d=0.85) over the symmetrized "
+    "part-supplier bipartite graph from lineitem. Each iteration: one "
+    "dst-keyed shuffle with map-side-combined integer contribution sums "
+    "+ a node join, lineage truncated per round; FIXED-POINT BIGINT "
+    "arithmetic makes the whole loop replay bit-for-bit — the oracle is the "
+    "GENERATED unrolled-CTE twin from the same parameters.",
+)
+def graph_pagerank(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.graph import pagerank
+
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    fwd = li.select(
+        F.col("l_partkey").alias("src"), (F.lit(1000000) + F.col("l_suppkey")).alias("dst")
+    )
+    rev = li.select(
+        (F.lit(1000000) + F.col("l_suppkey")).alias("src"), F.col("l_partkey").alias("dst")
+    )
+    edges = fwd.unionByName(rev)
+    return pagerank(edges, iters=4, damping_pct=85).orderBy("node_id")

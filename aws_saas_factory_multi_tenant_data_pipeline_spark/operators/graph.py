@@ -1,0 +1,139 @@
+"""Graph algorithms over edge DataFrames (SURVEY.md §2 B10 extensions).
+
+Connected components (duplicate-cluster resolution) lives in
+``operators/dedup.py``; this module adds PageRank — the standard
+importance measure a data platform wants over entity graphs (supplier/
+part networks, document link graphs, user interaction graphs).
+
+Scale shape: each power iteration is ONE shuffle keyed on the edge
+destination (contributions aggregate with map-side combine) plus a keyed
+join back to the node frame; lineage is truncated per iteration with
+``localCheckpoint`` exactly like the connected-components loop, so
+iteration N never re-executes rounds 1..N-1.
+
+Determinism contract — FIXED-POINT INTEGER arithmetic: ranks live as
+BIGINT micro-units (1 = 1e-12 of total mass), every step is integer
+division (``div``) and integer sums, so the k-round loop contains no
+floating point at all and replays bit-for-bit in any SQL engine.
+(A first cut rounded doubles to 12 dp instead; Spark's round() on
+doubles goes through the shortest-decimal-representation BigDecimal
+path while DuckDB rounds the true binary value, and the two drift by
+1 unit-in-the-last-place often enough that 4 iterations amplified it
+into ~5% of ranks — integers make the divergence impossible rather
+than unlikely.) ``pagerank_oracle_sql`` GENERATES the unrolled-CTE
+replay from the same parameters; ``graph_pagerank`` hash-checks it.
+Simplified semantics, documented: no dangling-mass redistribution (a
+node with no out-edges keeps only its teleport term) — symmetrized
+graphs have no dangling nodes, and both engines implement the same rule
+either way. Floor division loses ≤1 unit (1e-12) of mass per node per
+round: deterministic, and irrelevant at ranking granularity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: fixed-point scale: 1.0 of total rank mass = 10^12 units
+UNITS = 10**12
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 4,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """PageRank by power iteration over a directed edge list.
+
+    Returns (node_id, rank_units, rank): ``rank_units`` is the exact
+    BIGINT fixed-point value (the oracle-checked column), ``rank`` the
+    double view for human consumption. Undirected graphs: pass the
+    symmetrized edge list (both directions). ``damping_pct`` is the
+    damping factor in percent (85 = the classic 0.85) so the update rule
+    stays in integers.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    if not 0 < damping_pct < 100:
+        raise ValueError("damping_pct must be in (0, 100)")
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("__n"))
+    outdeg = edges.groupBy(F.col(src).alias("node")).agg(F.count(F.lit(1)).alias("__deg"))
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", "__n", F.expr(f"CAST({UNITS} AS BIGINT) div __n").alias("ru")
+    )
+    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+    teleport = F.expr(f"CAST({(100 - damping_pct) * UNITS} AS BIGINT) div (100 * __n)")
+    for _ in range(iters):
+        contribs = (
+            e.join(ranks.select("node", "ru"), e.__src == F.col("node"))
+            .join(
+                outdeg.select(F.col("node").alias("__on"), "__deg"),
+                F.col("__src") == F.col("__on"),
+            )
+            .select(F.col("__dst").alias("node"), F.expr("ru div __deg").alias("__c"))
+        )
+        sums = contribs.groupBy("node").agg(F.sum("__c").alias("__s"))
+        ranks = (
+            ranks.select("node", "__n")
+            .join(sums, "node", "left")
+            .select(
+                "node",
+                "__n",
+                (
+                    teleport
+                    + F.expr(f"({damping_pct} * coalesce(__s, CAST(0 AS BIGINT))) div 100")
+                ).alias("ru"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        F.col("node").alias("node_id"),
+        F.col("ru").alias("rank_units"),
+        (F.col("ru").cast("double") / F.lit(float(UNITS))).alias("rank"),
+    )
+
+
+def pagerank_oracle_sql(
+    edges_cte: str,
+    iters: int = 4,
+    damping_pct: int = 85,
+) -> str:
+    """Generate the DuckDB replay of :func:`pagerank`: one CTE per
+    iteration applying the identical integer-division update rule.
+    ``edges_cte`` must be a SQL fragment selecting columns (src, dst).
+    """
+    tele = (100 - damping_pct) * UNITS
+    parts = [
+        f"edges AS ({edges_cte})",
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges))",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "outdeg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src)",
+        f"r0 AS (SELECT node, CAST({UNITS} AS BIGINT) // n AS ru FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"r{i - 1}"
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS node, r.ru // o.deg AS c "
+            f"FROM edges e JOIN {prev} r ON e.src = r.node "
+            f"JOIN outdeg o ON e.src = o.node)"
+        )
+        parts.append(f"s{i} AS (SELECT node, SUM(c) AS s FROM c{i} GROUP BY node)")
+        parts.append(
+            f"r{i} AS (SELECT n.node, "
+            f"CAST({tele} AS BIGINT) // (100 * nn.n) "
+            f"+ ({damping_pct} * COALESCE(s.s, 0)) // 100 AS ru "
+            f"FROM nodes n CROSS JOIN nn LEFT JOIN s{i} s ON n.node = s.node)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node AS node_id, CAST(ru AS BIGINT) AS rank_units, "
+        f"CAST(ru AS DOUBLE) / {float(UNITS)} AS rank FROM r{iters} ORDER BY node_id"
+    )

@@ -250,3 +250,36 @@ def test_bm25_scores_monotone_and_bounded(spark):
         for r in docs.where(~F.col("text").rlike("spark|window")).select("doc_id").collect()
     }
     assert not (ids & none_docs)
+
+
+# --- PageRank --------------------------------------------------------------
+
+
+def test_pagerank_star_graph_center_wins(spark):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.graph import pagerank
+
+    # star: center 0 connected to 1..6 (symmetrized)
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 7)] + [(i, 0) for i in range(1, 7)], ["src", "dst"]
+    )
+    out = {r.node_id: r.rank for r in pagerank(edges, iters=6).collect()}
+    assert max(out, key=out.get) == 0
+    leaves = [v for k, v in out.items() if k != 0]
+    assert max(leaves) - min(leaves) < 1e-12  # symmetry: all leaves equal
+    # mass approximately conserved (floor division loses <=1e-12 per node/round)
+    assert abs(sum(out.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_deterministic_and_validates(spark):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], ["src", "dst"])
+    a = sorted((r.node_id, r.rank_units) for r in pagerank(edges, iters=3).collect())
+    b = sorted((r.node_id, r.rank_units) for r in pagerank(edges, iters=3).collect())
+    assert a == b
+    # 3-cycle: perfectly symmetric, all ranks equal
+    assert len({u for _, u in a}) == 1
+    with pytest.raises(ValueError):
+        pagerank(edges, iters=0)
+    with pytest.raises(ValueError):
+        pagerank(edges, damping_pct=0)

@@ -272,6 +272,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "customer_rfm_segment",
     "text_normalize_unicode",
     "graph_pagerank",
+    "text_index_search",
 )
 
 

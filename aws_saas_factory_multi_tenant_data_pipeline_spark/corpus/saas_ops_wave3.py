@@ -24,9 +24,12 @@ from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.ranking import 
 _BM25_TERMS = ("spark", "window", "merge")
 
 
-@register(
-    "text_bm25_rank",
-    oracle=f"""
+def _bm25_oracle(k: int = 20) -> str:
+    """Generated BM25 oracle (3-term query, k1=1.2, b=0.75) — shared by
+    text_bm25_rank (direct corpus computation) and text_index_search (the
+    persisted inverted index must produce the identical ranking)."""
+    terms_sql = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
         WITH stats AS (
             SELECT doc_id, string_split({_DUCK_NORM}, ' ') AS tk
             FROM documents),
@@ -38,7 +41,7 @@ _BM25_TERMS = ("spark", "window", "merge")
         tf AS (
             SELECT doc_id, dl, tok, COUNT(*) AS tf
             FROM (SELECT doc_id, dl, unnest(tk) AS tok FROM lens)
-            WHERE tok IN ('spark', 'window', 'merge')
+            WHERE tok IN ({terms_sql})
             GROUP BY 1, 2, 3),
         dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
         scored AS (
@@ -53,8 +56,13 @@ _BM25_TERMS = ("spark", "window", "merge")
             SELECT doc_id, score,
                    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
             FROM agg)
-        SELECT doc_id, score, rank FROM ranked WHERE rank <= 20 ORDER BY rank
-    """,
+        SELECT doc_id, score, rank FROM ranked WHERE rank <= {k} ORDER BY rank
+    """
+
+
+@register(
+    "text_bm25_rank",
+    oracle=_bm25_oracle(20),
     tags=("B10",),
     doc="BM25 top-20 for a 3-term query (k1=1.2, b=0.75, Lucene +1 idf): "
     "one tokens projection feeds lengths and term frequencies, query-term "
@@ -189,3 +197,30 @@ def customer_rfm_segment(spark, sf_dir):
         .otherwise("regular")
         .alias("segment"),
     ).orderBy("o_custkey")
+
+
+@register(
+    "text_index_search",
+    oracle=_bm25_oracle(20),
+    tags=("B10", "scale"),
+    doc="BM25 search answered from the PERSISTED inverted index alone "
+    "(operators/textindex.py): build once, then read only the md5-hash "
+    "buckets the query terms map to — no corpus scan at query time. Must "
+    "produce the identical ranking to the direct computation, so it "
+    "shares text_bm25_rank's generated oracle.",
+)
+def text_index_search(spark, sf_dir):
+    import os as _os
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus.sources_sinks import (
+        _SCRATCH,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.textindex import (
+        build_text_index,
+        search_text_index,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    root = _os.path.join(_SCRATCH, "text_index")
+    build_text_index(docs, root)
+    return search_text_index(spark, root, list(_BM25_TERMS), k=20).orderBy("rank")

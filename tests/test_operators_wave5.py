@@ -283,3 +283,39 @@ def test_pagerank_deterministic_and_validates(spark):
         pagerank(edges, iters=0)
     with pytest.raises(ValueError):
         pagerank(edges, damping_pct=0)
+
+
+# --- inverted text index ---------------------------------------------------
+
+
+def test_text_index_matches_direct_bm25_and_prunes(spark, tmp_path):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.ranking import bm25_rank
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.textindex import (
+        build_text_index,
+        search_text_index,
+        term_bucket,
+    )
+
+    docs = spark.read.parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    root = str(tmp_path / "tix")
+    build_text_index(docs, root)
+    terms = ["spark", "window", "merge"]
+    via_index = search_text_index(spark, root, terms, k=15)
+    direct = bm25_rank(docs, terms, k=15)
+    assert _sorted_rows(via_index) == _sorted_rows(direct)
+    # partition pruning: the postings scan carries a partition filter on
+    # bucket with exactly the terms' buckets (inputFiles() can't show this
+    # — it lists the relation pre-pruning)
+    plan = via_index._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    for b in sorted({term_bucket(t) for t in terms}):
+        assert str(b) in plan.split("PartitionFilters", 1)[1][:300]
+
+
+def test_text_index_rejects_empty_terms(spark, tmp_path):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.textindex import (
+        search_text_index,
+    )
+
+    with pytest.raises(ValueError):
+        search_text_index(spark, str(tmp_path), [])

@@ -82,10 +82,12 @@ GRADED_WINDOW: tuple[str, ...] = (
     "win_lag_lead",
     "win_moving_frames",
     "win_topk_per_group",
-    # B6 sort/limit/set-ops
+    # B6 sort/limit/set-ops (distinct_dropdup → tail in r5: its DISTINCT
+    # semantics are also exercised by setop_family's UNION-distinct branch;
+    # the freed slot gives five more r5 §2 rows a hard driver verdict)
     "sort_nulls_limit",
     "setop_family",
-    "distinct_dropdup",
+    "r5_pack2",
     # B7 scalar functions (math/array/map/json/null + url/timezone packed)
     "fn_string",
     "fn_datetime",
@@ -137,6 +139,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     # still first in line if the window turns out to be time-bound
     "subq_exists_correlated",
     "tpch_q1_pricing_summary",
+    "distinct_dropdup",
     # demoted from the r3 window in favor of family packs / Tier-A rows —
     # all still oracle-backed and graded first if the window is time-bound
     "conditional_exprs",

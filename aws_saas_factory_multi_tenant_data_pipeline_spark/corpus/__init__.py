@@ -276,6 +276,8 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "text_normalize_unicode",
     "graph_pagerank",
     "text_index_search",
+    "table_fk_orphans",
+    "agg_benford_digits",
 )
 
 

@@ -314,3 +314,91 @@ def r5_pack2(spark, sf_dir):
     for part in (attr, rfm, norm_lens, norm_distinct, pr):
         out = out.unionByName(part)
     return out.orderBy("kind", "k")
+
+
+@register(
+    "table_fk_orphans",
+    oracle=f"""
+        WITH parents AS (
+            SELECT o_orderkey FROM orders WHERE o_orderkey % 7 <> 0),
+        orphans AS (
+            SELECT l.* FROM lineitem l
+            LEFT JOIN parents p ON l.l_orderkey = p.o_orderkey
+            WHERE p.o_orderkey IS NULL)
+        SELECT l_returnflag, COUNT(*) AS n_orphans,
+               COUNT(DISTINCT l_orderkey) AS n_orphan_keys,
+               {sql_dsum('l_extendedprice')} AS orphaned_value
+        FROM orphans
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    tags=("B10", "quality"),
+    doc="Referential-integrity audit: lineitem rows orphaned by a "
+    "simulated partial parent delete (orders % 7 removed). One left-anti "
+    "join on a keys-only parent projection — 8-byte keys in the shuffle, "
+    "not rows. Completes the constraint gate with the cross-table rule.",
+)
+def table_fk_orphans(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.constraints import (
+        fk_orphans,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    parents = t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 7 != 0)
+    orphans = fk_orphans(li, parents, "l_orderkey", "o_orderkey")
+    return (
+        orphans.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_orphans"),
+            F.count_distinct("l_orderkey").alias("n_orphan_keys"),
+            dsum("l_extendedprice").alias("orphaned_value"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_benford_digits",
+    oracle="""
+        WITH cents AS (
+            SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+            FROM orders WHERE o_totalprice > 0),
+        digits AS (
+            SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+            FROM cents),
+        dist AS (
+            SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit),
+        total AS (SELECT SUM(n) AS tot FROM dist)
+        SELECT digit, n,
+               ROUND(CAST(n AS DOUBLE) / tot, 6) AS share,
+               ROUND(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford_p,
+               ROUND(abs(CAST(n AS DOUBLE) / tot - ln(1.0 + 1.0 / digit) / ln(10.0)), 6) AS abs_dev
+        FROM dist CROSS JOIN total
+        ORDER BY digit
+    """,
+    tags=("B4", "quality"),
+    doc="Benford first-digit audit over order totals: digit extracted from "
+    "exact integer cents (no float-log boundary risk), observed share vs "
+    "the Benford expectation ln(1+1/d)/ln(10). The standard cheap fraud/"
+    "synthetic-data screen for financial columns; one groupBy on a "
+    "9-value key.",
+)
+def agg_benford_digits(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("long")
+    dist = o.groupBy(digit.alias("digit")).agg(F.count(F.lit(1)).alias("n"))
+    total = dist.agg(F.sum("n").alias("tot"))
+    benford = F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0))
+    share = F.col("n").cast("double") / F.col("tot")
+    return (
+        dist.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.round(share, 6).alias("share"),
+            F.round(benford, 6).alias("benford_p"),
+            F.round(F.abs(share - benford), 6).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )

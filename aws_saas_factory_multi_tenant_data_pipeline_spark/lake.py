@@ -695,3 +695,46 @@ def expire_partitions(
     if table is not None:
         refresh_table(spark, table)
     return dropped
+
+
+def record_lineage(
+    df: DataFrame,
+    output_root: str,
+    op: str,
+    extra: dict | None = None,
+) -> dict:
+    """Append a lineage entry for a write: input files' roots, output
+    path, operation label, row schema. The log is a JSON-lines file under
+    ``<output_root>/_lineage/`` — the minimal provenance record an audit
+    ("which raw prefixes fed this table?") or an incremental rebuild
+    ("did my inputs change?") needs, written driver-side once per write
+    (metadata cost, not a data pass). Input roots are derived from the
+    plan's file sources; in-memory inputs yield an empty list."""
+    import json as _json
+
+    files = df.inputFiles()
+    roots = sorted({os.path.dirname(f) for f in files})
+    entry = {
+        "op": op,
+        "output": output_root,
+        "input_roots": roots,
+        "n_input_files": len(files),
+        "schema": df.schema.simpleString(),
+        **(extra or {}),
+    }
+    lineage_dir = os.path.join(output_root, "_lineage")
+    os.makedirs(lineage_dir, exist_ok=True)
+    with open(os.path.join(lineage_dir, "log.jsonl"), "a") as f:
+        f.write(_json.dumps(entry, sort_keys=True) + "\n")
+    return entry
+
+
+def read_lineage(root: str) -> list[dict]:
+    """All lineage entries recorded for ``root`` (oldest first)."""
+    import json as _json
+
+    path = os.path.join(root, "_lineage", "log.jsonl")
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return [_json.loads(line) for line in f if line.strip()]

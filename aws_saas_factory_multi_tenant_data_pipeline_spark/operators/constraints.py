@@ -162,3 +162,25 @@ def check_constraints(df: DataFrame, constraints: list[Constraint]) -> DataFrame
             )
         )
     return reduce(lambda a, b: a.unionByName(b), reports).orderBy("constraint")
+
+
+def fk_orphans(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+) -> DataFrame:
+    """Referential-integrity audit: child rows whose key has no parent.
+
+    The cross-table complement of the single-table rule gate above — an
+    append-only lake with no enforced constraints (the reference's, and
+    any Firehose-style pipeline) accumulates orphans whenever producers
+    race or deletes outpace children. One left-anti join on the key:
+    partial-aggregated, no driver state; at 100 TB the parent side is a
+    keys-only projection, so the shuffle carries 8-byte keys, not rows.
+    """
+    return child.join(
+        parent.select(F.col(parent_key).alias(child_key)).distinct(),
+        child_key,
+        "left_anti",
+    )

@@ -33,3 +33,74 @@ def tenant_scoped(df: DataFrame, tenant: TenantContext, col: str = "tenant") -> 
 def saved_query(spark: SparkSession, table: str, tenant: TenantContext) -> DataFrame:
     """The reference's named query, verbatim semantics (SELECT * … WHERE tenant=…)."""
     return spark.sql(f"SELECT * FROM {table} WHERE tenant = '{tenant.tenant_id}'")  # noqa: S608
+
+
+#: masking rules for create_masked_view (stable policy vocabulary)
+MASK_RULES = ("keep", "null", "hash", "partial")
+
+
+def masked_projection(df: DataFrame, policies: dict[str, str], secret: str = "") -> DataFrame:
+    """Apply column-masking policies to a DataFrame projection.
+
+    Rules per column: ``keep`` (passthrough, the default for unlisted
+    columns), ``null`` (redact entirely), ``hash`` (keyed md5 surrogate
+    — deterministic, so joins/distincts on the masked view still work),
+    ``partial`` (first 2 characters + '***', the call-center display
+    form). Pure codegen'd projections; enforcement composes with
+    tenant_scoped row-level isolation for the full row+column security
+    story the pooled lake needs (the reference exposes raw rows via
+    Athena, athena-stack.ts:16 — masking is what a cross-tenant or
+    least-privilege share requires).
+    """
+    from pyspark.sql import functions as F
+
+    cols = []
+    for c in df.columns:
+        rule = policies.get(c, "keep")
+        if rule not in MASK_RULES:
+            raise ValueError(f"unknown mask rule {rule!r} for column {c!r}")
+        if rule == "keep":
+            cols.append(F.col(c))
+        elif rule == "null":
+            cols.append(F.lit(None).cast(df.schema[c].dataType).alias(c))
+        elif rule == "hash":
+            cols.append(
+                F.when(
+                    F.col(c).isNotNull(),
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.lit(secret), F.lit(c), F.col(c).cast("string"))),
+                        1,
+                        16,
+                    ),
+                ).alias(c)
+            )
+        else:  # partial
+            cols.append(
+                F.when(
+                    F.col(c).isNotNull(),
+                    F.concat(F.substring(F.col(c).cast("string"), 1, 2), F.lit("***")),
+                ).alias(c)
+            )
+    return df.select(*cols)
+
+
+def create_masked_view(
+    spark: SparkSession,
+    table: str,
+    view: str,
+    policies: dict[str, str],
+    secret: str = "",
+) -> None:
+    """Register ``view`` as the masked projection of ``table`` — the
+    grant-able object: readers query the view, never the base table.
+    Identifiers are validated; the masking expressions are the same ones
+    :func:`masked_projection` builds, so DataFrame and SQL consumers see
+    identical redaction."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.lake import _check_ident
+
+    _check_ident(view, "view name")
+    for part in table.split("."):
+        _check_ident(part, "table name")
+    base = spark.table(table)
+    masked = masked_projection(base, policies, secret=secret)
+    masked.createOrReplaceTempView(view)

@@ -384,3 +384,23 @@ def test_constraints_single_scan(spark, sf_oracle):
     plan = rep._jdf.queryExecution().executedPlan().toString()
     n_scans = plan.count("Scan parquet")
     assert n_scans == 2, f"expected 2 scans (shared row-level + unique), got {n_scans}:\n{plan[:3000]}"
+
+
+def test_join_hints_respected(spark):
+    """The engine exposes Spark's join-strategy hints as its control
+    surface: a merge hint must override the default broadcast choice, a
+    shuffle_hash hint must pick ShuffledHashJoin, and broadcast must
+    produce BroadcastHashJoin — the knobs a 100 TB operator reaches for
+    when the optimizer's size estimates are wrong."""
+    a = spark.range(0, 50000).withColumnRenamed("id", "k")
+    b = spark.range(0, 5000).withColumnRenamed("id", "k")
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    merged = a.join(b.hint("merge"), "k")
+    assert "SortMergeJoin" in plan_of(merged)
+    hashed = a.join(b.hint("shuffle_hash"), "k")
+    assert "ShuffledHashJoin" in plan_of(hashed)
+    bcast = a.join(b.hint("broadcast"), "k")
+    assert "BroadcastHashJoin" in plan_of(bcast)

@@ -278,6 +278,8 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "text_index_search",
     "table_fk_orphans",
     "agg_benford_digits",
+    "agg_histogram_equidepth",
+    "text_feature_hashing",
 )
 
 

@@ -402,3 +402,95 @@ def agg_benford_digits(spark, sf_dir):
         )
         .orderBy("digit")
     )
+
+
+@register(
+    "agg_histogram_equidepth",
+    oracle=f"""
+        WITH bucketed AS (
+            SELECT o_totalprice,
+                   NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+            FROM orders)
+        SELECT bucket, COUNT(*) AS n,
+               MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+               {sql_dsum('o_totalprice')} AS total
+        FROM bucketed
+        GROUP BY bucket
+        ORDER BY bucket
+    """,
+    tags=("B4",),
+    doc="Equi-depth (quantile) histogram: NTILE deciles with a total "
+    "tie-broken ordering, per-bucket count/bounds/sum — the CBO-style "
+    "complement to the equi-width histogram (equal mass per bucket, "
+    "bounds track the distribution). The global sort is the cost; at "
+    "100 TB use sampled cutpoints + one bucket-assignment pass instead "
+    "(the documented percentile_approx path).",
+)
+def agg_histogram_equidepth(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders")
+    bucket = F.ntile(10).over(W.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc()))
+    return (
+        o.select("o_totalprice", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            dsum("o_totalprice").alias("total"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "text_feature_hashing",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split(trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')) AS tok
+            FROM documents),
+        hashed AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 32 AS dim
+            FROM toks),
+        counts AS (
+            SELECT doc_id, dim, COUNT(*) AS c FROM hashed GROUP BY doc_id, dim)
+        SELECT doc_id,
+               CAST(SUM(dim * c) AS BIGINT) AS dot_check,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               COUNT(*) AS n_dims_hit
+        FROM counts
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    tags=("B10",),
+    doc="Feature hashing (the hashing trick): tokens hash into a fixed "
+    "32-dim count vector — the constant-memory featurizer for linear "
+    "models/quality classifiers at corpus scale (no vocabulary to build "
+    "or broadcast). md5-derived dims make the vectors engine-portable; "
+    "the oracle checks per-doc dimension checksums, token mass, and "
+    "occupancy.",
+)
+def text_feature_hashing(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    dim = F.pmod(
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"), F.lit(32)
+    )
+    counts = tok.groupBy("doc_id", dim.alias("dim")).agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum(F.col("dim") * F.col("c")).cast("long").alias("dot_check"),
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_dims_hit"),
+        )
+        .orderBy("doc_id")
+    )

@@ -72,7 +72,7 @@ _SPAN_N = 8
             GROUP BY tp.doc_id)
         SELECT t.doc_id,
                len(t.tk) AS n_tokens,
-               COALESCE(r.n_removed, 0) AS n_removed,
+               CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed,
                COALESCE(c.clean_text, '') AS clean_text
         FROM toks t
         LEFT JOIN removed r ON r.doc_id = t.doc_id
@@ -114,7 +114,7 @@ def dedup_span_removal(spark, sf_dir):
                        s -> CAST(s[1] AS DOUBLE)
                             - CAST(s[2] AS DOUBLE) * scale) AS err
             FROM q)
-        SELECT vec_id, qcodes,
+        SELECT vec_id, md5(array_to_string(qcodes, ',')) AS qcodes_md5,
                ROUND(scale, 9) AS qscale,
                ROUND(list_sum(list_transform(err, x -> x * x)) / len(err), 9) AS mse,
                ROUND(list_max(list_transform(err, x -> abs(x))), 9) AS max_err
@@ -125,7 +125,9 @@ def dedup_span_removal(spark, sf_dir):
     doc="Symmetric per-vector int8 quantization of the embedding column "
     "(scale = max|v|/127, explicit half-up rounding) + reconstruction "
     "error stats — the 4x shuffle/cache compression step before ANN "
-    "index builds. Codes verified element-for-element vs the oracle.",
+    "index builds. Codes verified element-for-element via an md5 over the "
+    "canonical joined code string (a bare list column crashes the "
+    "driver's sort-based canonicalizer).",
 )
 def embedding_int8_quantize(spark, sf_dir):
     from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.similarity import (
@@ -142,7 +144,9 @@ def embedding_int8_quantize(spark, sf_dir):
     qe = q.withColumn("__err", err)
     return qe.select(
         "vec_id",
-        "qcodes",
+        F.md5(
+            F.array_join(F.transform("qcodes", lambda x: x.cast("string")), ",")
+        ).alias("qcodes_md5"),
         F.round("qscale", 9).alias("qscale"),
         F.round(
             F.aggregate("__err", F.lit(0.0), lambda acc, x: acc + x * x)
@@ -254,7 +258,7 @@ def text_bigram_lm_score(spark, sf_dir):
                COUNT(*) AS n_rows,
                CAST(SUM(CAST(hh AS HUGEINT)) % 2305843009213693951 AS BIGINT)
                    AS content_fingerprint,
-               SUM(len) AS content_chars
+               CAST(SUM(len) AS BIGINT) AS content_chars
         FROM h
         GROUP BY ROLLUP(source)
         ORDER BY source
@@ -489,7 +493,9 @@ def dedup_line_removal(spark, sf_dir):
                    row_number() OVER (PARTITION BY vec_id, sub_j
                                       ORDER BY l2, cid) AS rn
             FROM scored)
-        SELECT vec_id, list(cid ORDER BY sub_j) AS pq_codes
+        SELECT vec_id,
+               md5(array_to_string(list(cid ORDER BY sub_j), ',')) AS pq_md5,
+               COUNT(*) AS n_subspaces
         FROM best WHERE rn = 1
         GROUP BY vec_id
         ORDER BY vec_id
@@ -510,4 +516,11 @@ def embedding_pq_codes(spark, sf_dir):
 
     emb = t(spark, sf_dir, "embeddings")
     books = pq_train(emb, m=8, k=16, dim=64)
-    return pq_encode(emb, books, m=8, dim=64).orderBy("vec_id")
+    enc = pq_encode(emb, books, m=8, dim=64)
+    return enc.select(
+        "vec_id",
+        F.md5(
+            F.array_join(F.transform("pq_codes", lambda x: x.cast("string")), ",")
+        ).alias("pq_md5"),
+        F.size("pq_codes").cast("long").alias("n_subspaces"),
+    ).orderBy("vec_id")

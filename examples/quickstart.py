@@ -127,6 +127,35 @@ def main() -> None:
     print("time travel v1 rows:", read_snapshot(spark, snap_root, 1).count())
     change_feed(spark, snap_root, 1, 2, ["o_orderkey"], ["o_totalprice"]).show(5)
 
+    # 9: round-5 flagships — BM25 search from a persisted inverted index,
+    # deterministic skew-salted join, ε-DP release, fixed-point PageRank
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.privacy import (
+        dp_noisy_counts,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.skew import salted_join
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.textindex import (
+        build_text_index,
+        search_text_index,
+    )
+
+    tix_root = tempfile.mkdtemp(prefix="mtdp_quickstart_tix_")
+    build_text_index(docs, tix_root)
+    search_text_index(spark, tix_root, ["spark", "window"], k=5).show()
+
+    dim = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    salted_join(orders, dim, "o_custkey", salt=4, hot_min_count=5).groupBy(
+        "o_orderstatus"
+    ).count().show()
+
+    dp_noisy_counts(orders, ["o_orderstatus"], epsilon=1.0, seed="demo").show()
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.graph import pagerank
+
+    edges = orders.limit(500).select(
+        F.col("o_custkey").alias("src"), (F.col("o_orderkey") % 50).alias("dst")
+    )
+    pagerank(edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))), iters=2).show(5)
+
     spark.stop()
 
 

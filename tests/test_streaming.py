@@ -754,3 +754,52 @@ def test_streaming_cdc_upsert_matches_batch_apply(spark, tmp_path):
     got = {(r["k"], r["part"], r["v"]) for r in spark.read.parquet(stream_root).collect()}
     want = {(r["k"], r["part"], r["v"]) for r in spark.read.parquet(batch_root).collect()}
     assert got == want == {(1, "a", 1.0), (2, "a", 20.0), (4, "c", 4.0)}
+
+
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """Real streaming session_window agg: every emitted (append-mode)
+    session must equal the batch session_window computation; append only
+    finalizes sessions whose end fell below the final watermark, so the
+    emitted set is a prefix-in-event-time subset of the batch set."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus._util import t
+
+    events = t(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "events_src")
+    events.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    def sessionize(df):
+        return (
+            df.groupBy(
+                F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+            )
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+            .select(
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "user_id",
+                "n",
+                "sum_value",
+            )
+        )
+
+    q = (
+        sessionize(stream.withWatermark("ts", "1 hour"))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("session_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.sql("SELECT * FROM session_out").toPandas()
+    batch = sessionize(events).toPandas()
+    assert len(streamed) > 0, "no sessions finalized below the watermark"
+    key = ["session_start", "session_end", "user_id"]
+    b = {tuple(r[k] for k in key): (r["n"], round(r["sum_value"], 6)) for _, r in batch.iterrows()}
+    for _, r in streamed.iterrows():
+        got = b.get(tuple(r[k] for k in key))
+        assert got is not None, f"streamed session missing from batch: {r.values}"
+        assert got == (r["n"], round(r["sum_value"], 6))
+    assert len(streamed) <= len(batch)

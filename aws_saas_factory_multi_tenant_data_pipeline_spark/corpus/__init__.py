@@ -280,6 +280,8 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "agg_benford_digits",
     "agg_histogram_equidepth",
     "text_feature_hashing",
+    "text_ccnet_buckets",
+    "vocab_oov_rate",
 )
 
 

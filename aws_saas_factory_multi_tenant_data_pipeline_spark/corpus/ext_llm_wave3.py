@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus import register
+from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus import REGISTRY, register
 from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus._util import t
 from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import (
     remove_duplicate_spans,
@@ -524,3 +524,130 @@ def embedding_pq_codes(spark, sf_dir):
         ).alias("pq_md5"),
         F.size("pq_codes").cast("long").alias("n_subspaces"),
     ).orderBy("vec_id")
+
+
+def _ccnet_oracle() -> str:
+    """Wrap the registered bigram-LM oracle (single source of truth for
+    the scoring semantics) in the CCNet tercile-routing SQL."""
+    scores = REGISTRY["text_bigram_lm_score"].oracle
+    return f"""
+        WITH scores AS ({scores}),
+        scored AS (
+            SELECT doc_id, n_bigrams, nll,
+                   NTILE(3) OVER (ORDER BY nll, doc_id) AS tercile
+            FROM scores WHERE nll IS NOT NULL),
+        labeled AS (
+            SELECT doc_id, nll,
+                   CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                                ELSE 'tail' END AS bucket
+            FROM scored
+            UNION ALL
+            SELECT doc_id, nll, 'unscored' FROM scores WHERE nll IS NULL)
+        SELECT bucket, COUNT(*) AS n_docs,
+               ROUND(CAST(SUM(CAST(COALESCE(nll, 0) AS DECIMAL(38,6))) AS DOUBLE), 6)
+                   AS nll_mass,
+               MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM labeled
+        GROUP BY bucket
+        ORDER BY bucket
+    """
+
+
+@register(
+    "text_ccnet_buckets",
+    oracle=_ccnet_oracle(),
+    tags=("B10",),
+    doc="CCNet perplexity buckets: documents routed head/middle/tail by "
+    "NLL terciles under the corpus bigram LM (the CCNet selection rule — "
+    "head = most fluent, typically kept; tail = dropped or down-weighted)."
+    " NTILE over the (small) per-doc score frame; docs too short to score "
+    "route to 'unscored'. Shares the bigram-LM oracle, so any scoring "
+    "drift also fails here.",
+)
+def text_ccnet_buckets(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.functions import dsum
+
+    scores = text_bigram_lm_score(spark, sf_dir)
+    scored = scores.where(F.col("nll").isNotNull()).withColumn(
+        "tercile", F.ntile(3).over(W.orderBy(F.col("nll").asc(), F.col("doc_id").asc()))
+    )
+    labeled = scored.select(
+        "doc_id",
+        "nll",
+        F.when(F.col("tercile") == 1, "head")
+        .when(F.col("tercile") == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    ).unionByName(
+        scores.where(F.col("nll").isNull()).select(
+            "doc_id", "nll", F.lit("unscored").alias("bucket")
+        )
+    )
+    return (
+        labeled.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(dsum(F.coalesce(F.col("nll"), F.lit(0.0))), 6).alias("nll_mass"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "vocab_oov_rate",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split({_DUCK_NORM}, ' ')) AS tok
+            FROM documents),
+        freq AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        vocab AS (
+            SELECT tok FROM (
+                SELECT tok, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS r
+                FROM freq) WHERE r <= 50),
+        marked AS (
+            SELECT t.doc_id,
+                   CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+            FROM toks t LEFT JOIN vocab v ON t.tok = v.tok)
+        SELECT doc_id,
+               COUNT(*) AS n_tokens,
+               CAST(SUM(oov) AS BIGINT) AS n_oov,
+               ROUND(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 6) AS oov_rate
+        FROM marked
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    tags=("B10",),
+    doc="Vocabulary coverage audit: build the top-50 corpus vocabulary "
+    "(freq desc, token tie-break) and measure each document's "
+    "out-of-vocabulary token rate — the go/no-go statistic before "
+    "committing to a tokenizer vocabulary size. One token pass + a "
+    "broadcast vocab join.",
+)
+def vocab_oov_rate(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import tokens
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        freq.withColumn("r", F.row_number().over(W.orderBy(F.col("c").desc(), F.col("tok").asc())))
+        .where(F.col("r") <= 50)
+        .select("tok", F.lit(True).alias("__in_vocab"))
+    )
+    marked = toks.join(F.broadcast(vocab), "tok", "left")
+    oov = F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(oov).cast("long").alias("n_oov"),
+            F.round(F.sum(oov).cast("double") / F.count(F.lit(1)), 6).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )

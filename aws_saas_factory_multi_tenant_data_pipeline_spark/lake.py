@@ -488,14 +488,40 @@ def _versions_meta(root: str) -> str:
     return os.path.join(root, "_LATEST")
 
 
-def write_snapshot(df: DataFrame, root: str, partition_cols: list[str] | None = None) -> int:
+class ConcurrentSnapshotError(RuntimeError):
+    """Raised when ``write_snapshot(expected_version=...)`` loses the race:
+    another writer promoted a version after the caller read theirs."""
+
+
+def write_snapshot(
+    df: DataFrame,
+    root: str,
+    partition_cols: list[str] | None = None,
+    expected_version: int | None = None,
+) -> int:
     """Write ``df`` as the next immutable snapshot version and atomically
     promote the pointer. Returns the new version number.
 
     Local-FS pointer swap is os.replace (atomic rename); on an object
     store the same contract is a conditional put of the pointer object.
+
+    ``expected_version`` enables OPTIMISTIC CONCURRENCY (the Delta/Iceberg
+    commit rule): pass the version your read-modify-write began from; if
+    another writer promoted a different version in the meantime the
+    commit raises :class:`ConcurrentSnapshotError` BEFORE promoting, and
+    the caller re-reads + retries. Without it, last-writer-wins (the
+    data itself is never corrupted either way — versions are immutable
+    and the pointer move is atomic; this guards against LOST UPDATES,
+    not torn state). The check runs again right before the pointer swap,
+    narrowing (not eliminating) the local-FS race window — an object
+    store's conditional put closes it entirely.
     """
     os.makedirs(root, exist_ok=True)
+    if expected_version is not None and latest_snapshot_version(root) != expected_version:
+        raise ConcurrentSnapshotError(
+            f"expected v{expected_version} but table is at "
+            f"v{latest_snapshot_version(root)} — re-read and retry"
+        )
     # next version = 1 + max(pointer, existing dirs): after a rollback the
     # superseded versions are still on disk, and a new write must branch
     # FORWARD past them, never overwrite an immutable snapshot
@@ -510,6 +536,12 @@ def write_snapshot(df: DataFrame, root: str, partition_cols: list[str] | None = 
     if partition_cols:
         w = w.partitionBy(*partition_cols)
     w.parquet(out)
+    if expected_version is not None and latest_snapshot_version(root) != expected_version:
+        raise ConcurrentSnapshotError(
+            f"expected v{expected_version} but table is at "
+            f"v{latest_snapshot_version(root)} — re-read and retry "
+            f"(orphan v{version} will be vacuumed)"
+        )
     tmp = _versions_meta(root) + ".tmp"
     with open(tmp, "w") as f:
         f.write(str(version))

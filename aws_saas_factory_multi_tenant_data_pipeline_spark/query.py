@@ -104,3 +104,38 @@ def create_masked_view(
     base = spark.table(table)
     masked = masked_projection(base, policies, secret=secret)
     masked.createOrReplaceTempView(view)
+
+
+# --- parameterized saved queries (A7 generalized) ---------------------------
+# The reference ships ONE named query with the tenant id baked into the SQL
+# string (athena-stack.ts:13-19); real Athena usage treats named queries as
+# parameter-by-convention templates. This registry makes that contract
+# explicit and SAFE: templates carry named :markers and execution goes
+# through Spark 4's parameterized SQL, so values are bound server-side —
+# never string-interpolated (the saved_query() helper above interpolates a
+# validated TenantContext; arbitrary user parameters must come through
+# here).
+
+_SAVED_QUERIES: dict[str, str] = {}
+
+
+def register_saved_query(name: str, sql_template: str) -> None:
+    """Register a named SQL template with :param markers."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.lake import _check_ident
+
+    _check_ident(name, "saved query name")
+    _SAVED_QUERIES[name] = sql_template
+
+
+def run_saved_query(spark: SparkSession, name: str, **params) -> DataFrame:
+    """Execute a registered template with bound (not interpolated)
+    parameters. Unknown names raise; parameters bind via Spark's
+    parameterized `spark.sql(sql, args=...)`, so a value like
+    ``tenant-1' OR '1'='1`` stays a value."""
+    if name not in _SAVED_QUERIES:
+        raise KeyError(f"no saved query {name!r}; registered: {sorted(_SAVED_QUERIES)}")
+    return spark.sql(_SAVED_QUERIES[name], args=params)
+
+
+def list_saved_queries() -> dict[str, str]:
+    return dict(_SAVED_QUERIES)

@@ -86,3 +86,62 @@ def test_lineage_roundtrip(spark, tmp_path):
 
 def test_lineage_empty_for_unwritten_root(tmp_path):
     assert read_lineage(str(tmp_path / "nope")) == []
+
+
+# --- parameterized saved queries -------------------------------------------
+
+
+def test_saved_query_binds_parameters(spark):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.query import (
+        list_saved_queries,
+        register_saved_query,
+        run_saved_query,
+    )
+
+    ev = spark.read.parquet(os.path.join(SF_SMOKE, "events.parquet"))
+    ev.createOrReplaceTempView("events_sq")
+    register_saved_query(
+        "events_by_type",
+        "SELECT event_type, COUNT(*) AS n FROM events_sq "
+        "WHERE event_type = :etype GROUP BY event_type",
+    )
+    out = run_saved_query(spark, "events_by_type", etype="click").collect()
+    assert len(out) == 1 and out[0].event_type == "click"
+    assert out[0].n == ev.where(F.col("event_type") == "click").count()
+    # injection attempt stays a VALUE, matches nothing
+    inj = run_saved_query(spark, "events_by_type", etype="x' OR '1'='1").collect()
+    assert inj == []
+    assert "events_by_type" in list_saved_queries()
+    with pytest.raises(KeyError):
+        run_saved_query(spark, "nope")
+    with pytest.raises(ValueError):
+        register_saved_query("bad;name", "SELECT 1")
+
+
+# --- optimistic snapshot concurrency ---------------------------------------
+
+
+def test_snapshot_optimistic_concurrency(spark, tmp_path):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.lake import (
+        ConcurrentSnapshotError,
+        latest_snapshot_version,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    root = str(tmp_path / "snap")
+    df = spark.range(10).withColumnRenamed("id", "k")
+    v1 = write_snapshot(df, root)
+    assert v1 == 1
+    # writer A reads v1, writer B commits v2 first
+    v2 = write_snapshot(df.where(F.col("k") < 5), root, expected_version=1)
+    assert v2 == 2
+    # writer A's commit against stale v1 must now fail
+    with pytest.raises(ConcurrentSnapshotError, match="expected v1"):
+        write_snapshot(df.where(F.col("k") < 3), root, expected_version=1)
+    # table unharmed: pointer still at v2, data readable
+    assert latest_snapshot_version(root) == 2
+    assert read_snapshot(spark, root).count() == 5
+    # retry after re-read succeeds
+    v3 = write_snapshot(df.where(F.col("k") < 3), root, expected_version=2)
+    assert v3 > 2 and read_snapshot(spark, root).count() == 3

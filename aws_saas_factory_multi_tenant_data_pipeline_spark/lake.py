@@ -770,3 +770,62 @@ def read_lineage(root: str) -> list[dict]:
         return []
     with open(path) as f:
         return [_json.loads(line) for line in f if line.strip()]
+
+
+def optimize_table(
+    spark: SparkSession,
+    root: str,
+    order_by: list[str] | None = None,
+    target_file_mb: int = 512,
+    stats_cols: list[str] | None = None,
+    stats_index_root: str | None = None,
+) -> dict:
+    """The OPTIMIZE maintenance job for a FLAT (non-hive-partitioned)
+    table directory: one rewrite that composes the engine's layout tools —
+
+    - compaction to ~``target_file_mb`` files (small-file repair),
+    - optional clustering: range-partitioned AND sorted by ``order_by``
+      (pass a Z-order key column name list of 1+ cols; for 2-D use
+      ``operators.layout.zorder_key`` to derive a key column first),
+    - optional per-file min/max stats manifest refresh
+      (``stats_cols`` + ``stats_index_root``), so data skipping is
+      immediately effective on the new layout.
+
+    Crash-safe rename-aside swap (same protocol as compact_partitions:
+    old tree set aside, new tree promoted, only then deleted). Returns a
+    report dict: files/bytes before and after. Partitioned lake trees use
+    ``compact_partitions``; snapshot tables should be optimized by
+    writing an optimized NEW version instead (immutable versions are
+    never rewritten in place).
+    """
+    import shutil
+
+    df = spark.read.parquet(root)
+    files_before = len(df.inputFiles())
+    size_bytes = _tree_size_bytes(spark, root)
+    n_files = max(1, size_bytes // (target_file_mb * 1024 * 1024))
+    base = root.rstrip("/")
+    tmp, old = base + "__opt_tmp", base + "__opt_old"
+    out = df
+    if order_by:
+        out = out.repartitionByRange(int(n_files), *[F.col(c) for c in order_by])
+        out = out.sortWithinPartitions(*order_by)
+    else:
+        out = out.repartition(int(n_files))
+    out.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(root, old)
+    os.rename(tmp, root)
+    shutil.rmtree(old)
+    report = {
+        "files_before": files_before,
+        "files_after": len(spark.read.parquet(root).inputFiles()),
+        "bytes": size_bytes,
+        "clustered_by": list(order_by or []),
+    }
+    if stats_cols and stats_index_root:
+        report["stats_files_indexed"] = build_file_stats_index(
+            spark, root, stats_cols, stats_index_root
+        )
+    return report

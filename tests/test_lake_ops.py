@@ -483,3 +483,38 @@ def test_analyze_table_records_statistics(spark, tmp_path):
     register_table(spark, root, "t_stats_quickcheck")
     got = analyze_table(spark, "t_stats_quickcheck", columns=["device"])
     assert got["statistics"] is not None and "rows" in got["statistics"]
+
+
+def test_optimize_table_compacts_clusters_and_indexes(spark, tmp_path, sf_smoke):
+    import os as _os
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.lake import (
+        optimize_table,
+        read_with_skipping,
+    )
+
+    o = spark.read.parquet(_os.path.join(sf_smoke, "orders.parquet"))
+    root = str(tmp_path / "tbl")
+    # fragmented, unclustered start: 23 files in random key order
+    o.repartition(23).write.parquet(root)
+    idx = str(tmp_path / "idx")
+    report = optimize_table(
+        spark,
+        root,
+        order_by=["o_orderkey"],
+        target_file_mb=1,
+        stats_cols=["o_orderkey"],
+        stats_index_root=idx,
+    )
+    assert report["files_before"] == 23
+    assert report["files_after"] < 23
+    assert report["stats_files_indexed"] == report["files_after"]
+    back = spark.read.parquet(root)
+    assert back.count() == o.count()
+    # clustering makes skipping effective: a narrow key range prunes files
+    df, files_read, files_total = read_with_skipping(spark, idx, "o_orderkey", 10, 60)
+    assert files_total == report["files_after"]
+    if files_total > 1:
+        assert files_read < files_total
+    expected = o.where((F.col("o_orderkey") >= 10) & (F.col("o_orderkey") <= 60)).count()
+    assert df.count() == expected

@@ -350,3 +350,55 @@ def test_cdc_diff_apply_roundtrip(spark, case):
     diff = cdc_diff(old, new, ["k"], ["v", "n"])
     rebuilt = cdc_apply(old, diff, ["k"], ["v", "n"])
     assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, new.collect()))
+
+
+@settings(**SETTINGS)
+@given(
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8", categories=("L", "N", "P", "S", "Z", "C")
+        ),
+        max_size=80,
+    )
+)
+def test_normalize_unicode_idempotent(spark, text):
+    """normalize(normalize(x)) == normalize(x) for arbitrary unicode —
+    the property that makes the cleanup pass safe to re-run anywhere in
+    a pipeline (retries, re-ingest, composed stages)."""
+    from pyspark.sql import functions as F
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.textnorm import (
+        normalize_unicode,
+    )
+
+    row = spark.createDataFrame([(text,)], ["t"]).select(
+        normalize_unicode(F.col("t")).alias("once"),
+        normalize_unicode(normalize_unicode(F.col("t"))).alias("twice"),
+    ).collect()[0]
+    assert row.once == row.twice
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 100)), min_size=1, max_size=30
+    ),
+    st.lists(st.integers(0, 5), min_size=1, max_size=6, unique=True),
+)
+def test_salted_join_random_equals_plain(spark, left_rows, right_keys):
+    """Salted join == plain join on arbitrary skewed inputs (duplicate
+    keys on both the probe side and in the salt-bucket replication)."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.skew import (
+        salted_join,
+    )
+
+    left = spark.createDataFrame(left_rows, ["k", "payload"])
+    right = spark.createDataFrame([(k, k * 10) for k in right_keys], ["k", "dim"])
+    plain = sorted(tuple(r) for r in left.join(right, "k").collect())
+    salted = sorted(
+        tuple(r)
+        for r in salted_join(left, right, "k", salt=3, hot_min_count=2)
+        .select("k", "payload", "dim")
+        .collect()
+    )
+    assert salted == plain

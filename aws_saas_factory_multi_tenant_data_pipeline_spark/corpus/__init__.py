@@ -282,6 +282,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "text_feature_hashing",
     "text_ccnet_buckets",
     "vocab_oov_rate",
+    "privacy_masked_export",
 )
 
 

@@ -448,3 +448,36 @@ def graph_pagerank(spark, sf_dir):
     )
     edges = fwd.unionByName(rev)
     return pagerank(edges, iters=4, damping_pct=85).orderBy("node_id")
+
+
+@register(
+    "privacy_masked_export",
+    oracle="""
+        SELECT c_custkey,
+               substr(md5('mk:c_name:' || c_name), 1, 16) AS c_name,
+               substr(CAST(c_mktsegment AS VARCHAR), 1, 2) || '***' AS c_mktsegment,
+               CAST(NULL AS DOUBLE) AS c_acctbal,
+               c_nationkey
+        FROM customer
+        WHERE c_custkey <= 400
+        ORDER BY c_custkey
+    """,
+    tags=("B10", "privacy"),
+    doc="Column-masking policy export (the grantable-view projection): "
+    "name hashed (keyed, join-preserving), segment partially shown, "
+    "balance nulled, keys kept. Every rule's output is value-checked; "
+    "the same expressions back query.create_masked_view.",
+)
+def privacy_masked_export(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.query import masked_projection
+
+    cust = t(spark, sf_dir, "customer").where(F.col("c_custkey") <= 400)
+    return (
+        masked_projection(
+            cust,
+            {"c_name": "hash", "c_mktsegment": "partial", "c_acctbal": "null"},
+            secret="mk",
+        )
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal", "c_nationkey")
+        .orderBy("c_custkey")
+    )

@@ -283,6 +283,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "text_ccnet_buckets",
     "vocab_oov_rate",
     "privacy_masked_export",
+    "user_data_export",
 )
 
 

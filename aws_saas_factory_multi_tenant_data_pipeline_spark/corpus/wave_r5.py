@@ -481,3 +481,40 @@ def privacy_masked_export(spark, sf_dir):
         .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal", "c_nationkey")
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "user_data_export",
+    oracle=f"""
+        WITH mine AS (SELECT * FROM events WHERE user_id = 7),
+        summary AS (
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   {sql_dsum('value')} AS total_value,
+                   MIN(ts) AS first_seen,
+                   MAX(ts) AS last_seen
+            FROM mine GROUP BY event_type)
+        SELECT event_type, n, total_value, first_seen, last_seen
+        FROM summary
+        ORDER BY event_type
+    """,
+    tags=("A7", "privacy"),
+    doc="GDPR Art. 20 data-portability export: one principal's complete "
+    "activity summary (their rows only — the subject-access complement "
+    "of delete_tenant's right-to-erasure). A user_id-pruned scan + one "
+    "aggregate; on the partitioned lake the tenant filter prunes at the "
+    "directory level first.",
+)
+def user_data_export(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    mine = ev.where(F.col("user_id") == 7)
+    return (
+        mine.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("total_value"),
+            F.min("ts").alias("first_seen"),
+            F.max("ts").alias("last_seen"),
+        )
+        .orderBy("event_type")
+    )

@@ -179,21 +179,24 @@ def minhash_near_duplicates(
 
         shs = shs.persist(StorageLevel.MEMORY_AND_DISK)
     sigs = _signatures_from_shingles(shs, id_col, num_hashes, portable=portable)
-    band_hash = (
-        (lambda c: F.md5(c)) if portable else (lambda c: F.xxhash64(c))
-    )
+    # band hash: the key only needs to preserve tuple EQUALITY (equal
+    # signature tuples must collide; unequal ones almost surely not).
+    # The fast path hashes the r integer columns directly with variadic
+    # xxhash64 — no int→string conversion, no concat buffer per band
+    # (the md5-of-concat form stays on the portable path, where the
+    # oracle must replay the exact hash in SQL).
+    if portable:
+        band_cols = lambda b: [
+            F.md5(F.concat_ws(",", *[F.col(f"mh{i}") for i in range(b * r, (b + 1) * r)]))
+        ]
+        mk_band = lambda b: band_cols(b)[0]
+    else:
+        mk_band = lambda b: F.xxhash64(*[F.col(f"mh{i}") for i in range(b * r, (b + 1) * r)])
     banded = sigs.select(
         id_col,
-        F.posexplode(
-            F.array(
-                *[
-                    band_hash(
-                        F.concat_ws(",", *[F.col(f"mh{i}") for i in range(b * r, (b + 1) * r)])
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
+        F.posexplode(F.array(*[mk_band(b) for b in range(bands)])).alias(
+            "band_idx", "band_hash"
+        ),
     )
     if persist_shingles:
         # the band self-join references this frame twice, and Catalyst does
@@ -567,9 +570,7 @@ def build_dedup_index(
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(
-                        F.concat_ws(",", *[F.col(f"mh{i}") for i in range(b * r, (b + 1) * r)])
-                    )
+                    F.xxhash64(*[F.col(f"mh{i}") for i in range(b * r, (b + 1) * r)])
                     for b in range(bands)
                 ]
             )
@@ -621,9 +622,7 @@ def incremental_near_duplicates(
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(
-                        F.concat_ws(",", *[F.col(f"mh{i}") for i in range(b * r, (b + 1) * r)])
-                    )
+                    F.xxhash64(*[F.col(f"mh{i}") for i in range(b * r, (b + 1) * r)])
                     for b in range(bands)
                 ]
             )

@@ -80,3 +80,53 @@ def observed_result(df: DataFrame, name: str = "result_metrics") -> tuple[DataFr
     'rows returned' half of a query log entry, measured in-flight."""
     obs = Observation(name)
     return df.observe(obs, F.count(F.lit(1)).alias("n_rows")), obs
+
+
+class MetricsLogListener:
+    """A concrete metrics shipper: a ``StreamingQueryListener`` that
+    appends each micro-batch's progress — batch id, rows/sec, watermark,
+    and every observed-metrics block — as JSON lines to a local file
+    (swap the ``_emit`` method for a push to any real metrics backend).
+
+    Register with ``spark.streams.addListener(listener)``; remove with
+    ``removeListener``. The listener runs driver-side on the progress
+    event bus — zero cost on executors.
+    """
+
+    def __new__(cls, path: str):
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        class _Impl(StreamingQueryListener):
+            def __init__(self, p: str):
+                self.path = p
+
+            def _emit(self, entry: dict) -> None:
+                import json
+
+                with open(self.path, "a") as f:
+                    f.write(json.dumps(entry, default=str) + "\n")
+
+            def onQueryStarted(self, event):
+                self._emit({"event": "started", "id": str(event.id), "name": event.name})
+
+            def onQueryProgress(self, event):
+                p = event.progress
+                self._emit(
+                    {
+                        "event": "progress",
+                        "id": str(p.id),
+                        "batchId": p.batchId,
+                        "numInputRows": p.numInputRows,
+                        "observedMetrics": {
+                            k: dict(zip(v.__fields__, v)) for k, v in p.observedMetrics.items()
+                        },
+                    }
+                )
+
+            def onQueryTerminated(self, event):
+                self._emit({"event": "terminated", "id": str(event.id)})
+
+            def onQueryIdle(self, event):
+                pass
+
+        return _Impl(path)

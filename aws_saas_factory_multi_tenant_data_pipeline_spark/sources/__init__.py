@@ -131,3 +131,22 @@ def stream_json_source(spark: SparkSession, path: str, schema: T.StructType) -> 
     return (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", "16").json(path)
     )
+
+
+def read_parquet_resilient(spark, root: str, schema=None):
+    """Scan that survives corrupt files: per-read `ignoreCorruptFiles`, so
+    one truncated/garbled object (the Firehose `error/` analog happening
+    INSIDE the lake — partial upload, bit rot) degrades to missing rows
+    instead of failing every query over the table. Deliberately per-read,
+    not session-wide: silent skipping is an incident-response mode, not a
+    default — the default read keeps failing loudly so corruption is
+    noticed, and the resilient read keeps dashboards alive while the bad
+    object is repaired from upstream (lake.reprocess_quarantine /
+    snapshot rollback). Pass ``schema`` (e.g. from the catalog) whenever
+    available: without it Spark must read SOME footer for inference, and
+    if it samples the corrupt file the read fails before
+    ignoreCorruptFiles can apply."""
+    r = spark.read.option("ignoreCorruptFiles", "true")
+    if schema is not None:
+        r = r.schema(schema)
+    return r.parquet(root)

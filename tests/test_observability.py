@@ -72,3 +72,71 @@ def test_observed_stream_metrics_in_progress(spark, tmp_path):
     assert metrics["n_records"] == 30
     assert metrics["n_null_payload"] == 0
     assert metrics["bytes_in"] == sum(len(f"r{i}") for i in range(30))
+
+
+def test_metrics_log_listener_ships_observed_metrics(spark, tmp_path):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.observability import (
+        MetricsLogListener,
+    )
+
+    src = str(tmp_path / "src2")
+    os.makedirs(src)
+    with open(os.path.join(src, "b0.json"), "w") as f:
+        for i in range(12):
+            f.write(json.dumps({"tenant_id": f"t{i % 2}", "raw": f"x{i}"}) + "\n")
+    log_path = str(tmp_path / "metrics.jsonl")
+    listener = MetricsLogListener(log_path)
+    spark.streams.addListener(listener)
+    try:
+        schema = T.StructType(
+            [T.StructField("tenant_id", T.StringType()), T.StructField("raw", T.StringType())]
+        )
+        stream = observed_stream(spark.readStream.schema(schema).json(src))
+        q = (
+            stream.writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # listener events are delivered async — wait for the progress line
+        import time as _t
+
+        entries = []
+        for _ in range(40):
+            if os.path.exists(log_path):
+                entries = [json.loads(l) for l in open(log_path) if l.strip()]
+                if any(e["event"] == "progress" and e.get("observedMetrics") for e in entries):
+                    break
+            _t.sleep(0.5)
+    finally:
+        spark.streams.removeListener(listener)
+    progress = [e for e in entries if e["event"] == "progress" and e.get("observedMetrics")]
+    assert progress, f"no progress with observed metrics shipped: {entries}"
+    om = progress[0]["observedMetrics"]["ingest_metrics"]
+    assert om["n_records"] == 12 and om["n_null_payload"] == 0
+
+
+def test_read_parquet_resilient_skips_corrupt_file(spark, tmp_path):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.sources import (
+        read_parquet_resilient,
+    )
+
+    root = str(tmp_path / "tbl")
+    df0 = spark.range(100).repartition(4)
+    df0.write.parquet(root)
+    schema = df0.schema
+    # corrupt one data file in place
+    victim = next(
+        f for f in sorted(os.listdir(root)) if f.endswith(".parquet")
+    )
+    with open(os.path.join(root, victim), "wb") as f:
+        f.write(b"this is not parquet")
+    import pytest as _pytest
+
+    # default read fails loudly (corruption must be noticed)
+    with _pytest.raises(Exception):
+        spark.read.parquet(root).count()
+    # resilient read degrades to the surviving files' rows
+    n = read_parquet_resilient(spark, root, schema=schema).count()
+    assert 0 < n < 100

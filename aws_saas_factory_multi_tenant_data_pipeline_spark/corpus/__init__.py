@@ -284,6 +284,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "vocab_oov_rate",
     "privacy_masked_export",
     "user_data_export",
+    "text_encoding_audit",
 )
 
 

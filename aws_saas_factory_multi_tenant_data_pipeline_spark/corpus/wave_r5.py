@@ -518,3 +518,49 @@ def user_data_export(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "text_encoding_audit",
+    oracle=r"""
+        WITH audited AS (
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   length(text) - length(regexp_replace(text, '�', '', 'g'))
+                       AS n_replacement,
+                   length(regexp_replace(text, '[\x20-\x7e\n\t]', '', 'g'))
+                       AS n_non_ascii
+            FROM documents)
+        SELECT doc_id, n_chars, n_replacement, n_non_ascii,
+               ROUND(1.0 - CAST(n_non_ascii AS DOUBLE) / GREATEST(n_chars, 1), 6)
+                   AS ascii_ratio,
+               (n_replacement > 0 OR
+                CAST(n_non_ascii AS DOUBLE) / GREATEST(n_chars, 1) > 0.3)
+                   AS suspect_encoding
+        FROM audited
+        ORDER BY doc_id
+    """,
+    tags=("B10", "quality"),
+    doc="Encoding/mojibake audit for web-scraped text: U+FFFD replacement-"
+    "character count (the scar a bad charset transcode leaves), non-ASCII "
+    "mass, and a suspect flag — the cheap screen that routes broken "
+    "transcodes to quarantine before they pollute a training corpus. "
+    "Scan-speed regexp counting, no shuffle.",
+)
+def text_encoding_audit(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_repl = n_chars - F.length(F.regexp_replace("text", "�", ""))
+    n_non_ascii = F.length(F.regexp_replace("text", "[\\x20-\\x7e\\n\\t]", ""))
+    ratio = F.lit(1.0) - n_non_ascii.cast("double") / F.greatest(n_chars, F.lit(1))
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_repl.alias("n_replacement"),
+        n_non_ascii.alias("n_non_ascii"),
+        F.round(ratio, 6).alias("ascii_ratio"),
+        (
+            (n_repl > 0)
+            | (n_non_ascii.cast("double") / F.greatest(n_chars, F.lit(1)) > 0.3)
+        ).alias("suspect_encoding"),
+    ).orderBy("doc_id")

@@ -78,9 +78,9 @@ def join_skew_salted(spark, sf_dir):
             FROM customer GROUP BY c_nationkey, c_mktsegment),
         noised AS (
             SELECT c_nationkey, c_mktsegment, n,
-                   (CAST(('0x' || substr(md5('dp-r5|' || CAST(c_nationkey AS VARCHAR)
-                                               || '|' || c_mktsegment), 1, 15)) AS BIGINT)
-                    + 0.5) / 1152921504606846976.0 AS u
+                   (CAST(('0x' || substr(md5('dp-r5|c_nationkey=' || CAST(c_nationkey AS VARCHAR)
+                                               || '|c_mktsegment=' || c_mktsegment), 1, 13)) AS BIGINT)
+                    + 0.5) / 4503599627370496.0 AS u
             FROM cells)
         SELECT c_nationkey, c_mktsegment,
                ROUND(n + (-2.0) * (CASE WHEN u - 0.5 < 0 THEN -1.0 ELSE 1.0 END)
@@ -257,9 +257,9 @@ def embedding_hard_negatives(spark, sf_dir):
                    ROUND(cn + (-2.0) * (CASE WHEN u - 0.5 < 0 THEN -1.0 ELSE 1.0 END)
                              * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS val
             FROM (SELECT c_nationkey, c_mktsegment, cn,
-                         (CAST(('0x' || substr(md5('dp-r5|' || CAST(c_nationkey AS VARCHAR)
-                                                     || '|' || c_mktsegment), 1, 15)) AS BIGINT)
-                          + 0.5) / 1152921504606846976.0 AS u
+                         (CAST(('0x' || substr(md5('dp-r5|c_nationkey=' || CAST(c_nationkey AS VARCHAR)
+                                                     || '|c_mktsegment=' || c_mktsegment), 1, 13)) AS BIGINT)
+                          + 0.5) / 4503599627370496.0 AS u
                   FROM cells)),
         pn_rows AS (
             SELECT 'pn' AS kind,

@@ -156,6 +156,20 @@ def write_lake_overwrite_partitions(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+def _recover_rename_swap(root: str, old: str) -> bool:
+    """Recover from a crash mid-swap in the rename-aside protocol: if the
+    live directory is missing but the set-aside copy exists, restore it.
+    The protocol (root -> old, tmp -> root, delete old) has exactly one
+    window where ``root`` is absent — between the two renames — and this
+    entry-time check closes it: the next maintenance run (or any caller)
+    puts the old tree back before doing anything else. Returns True if a
+    recovery was performed."""
+    if os.path.exists(old) and not os.path.exists(root):
+        os.rename(old, root)
+        return True
+    return False
+
+
 def compact_partitions(
     spark: SparkSession,
     root: str,
@@ -178,12 +192,13 @@ def compact_partitions(
     not carried into the new tree. (At scale, compact per-partition with
     ``write_lake_overwrite_partitions`` on closed partitions instead.)
     """
-    df = spark.read.format(fmt).load(root)
-    size_bytes = _tree_size_bytes(spark, root)
-    n_files = max(1, size_bytes // (target_file_mb * 1024 * 1024))
     base = root.rstrip("/")
     tmp = base + "__compact_tmp"
     old = base + "__compact_old"
+    _recover_rename_swap(root, old)  # heal a crash between the two renames
+    df = spark.read.format(fmt).load(root)
+    size_bytes = _tree_size_bytes(spark, root)
+    n_files = max(1, size_bytes // (target_file_mb * 1024 * 1024))
     (
         df.repartition(int(n_files), *[F.col(c) for c in PARTITION_COLS])
         .write.mode("overwrite")
@@ -429,24 +444,27 @@ def reprocess_quarantine(
                 "tenant_id", "raw_record", F.coalesce("error_type", F.lit(error_type)).alias("error_type")
             )
         )
-    # quarantine is tiny by contract — materialize before the dir swap so
-    # the rewrite never reads the tree it is replacing
-    rows = remaining.collect()
+    # Write the surviving quarantine to a sibling tmp dir WITH SPARK (the
+    # write materializes it fully before the swap, so the rewrite never
+    # reads the tree it is replacing), then promote by rename. A poisoned
+    # upstream day can make the quarantine arbitrarily large — it must
+    # never round-trip through the driver.
     import shutil
 
     tmp = qdir.rstrip("/") + "__redrive_tmp"
     old = qdir.rstrip("/") + "__redrive_old"
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
-    if rows:
-        spark.createDataFrame(rows, remaining.schema).coalesce(1).write.format("json").save(tmp)
+    n_remaining = remaining.count()
+    if n_remaining:
+        remaining.write.format("json").save(tmp)
         os.rename(qdir, old)
         os.rename(tmp, qdir)
         shutil.rmtree(old)
     else:
         os.rename(qdir, old)
         shutil.rmtree(old)
-    return (n_recovered, len(rows) if rows else 0)
+    return (n_recovered, n_remaining)
 
 
 def delete_tenant(spark: SparkSession, root: str, tenant_id: str, table: str | None = None) -> int:
@@ -691,6 +709,12 @@ def read_with_skipping(
         (F.col(f"min_{col}") <= F.lit(hi)) & (F.col(f"max_{col}") >= F.lit(lo))
     )
     files_total = stats.count()
+    if files_total == 0:
+        raise ValueError(
+            f"empty file-stats index at {index_root!r}: no files have been "
+            "indexed, so the data schema is unknown — build the index with "
+            "build_file_stats_index before reading through it"
+        )
     paths = [r.file_path for r in keep.select("file_path").collect()]
     if not paths:
         empty = spark.read.parquet(*[r.file_path for r in stats.limit(1).collect()]).where(
@@ -791,21 +815,26 @@ def optimize_table(
       (``stats_cols`` + ``stats_index_root``), so data skipping is
       immediately effective on the new layout.
 
-    Crash-safe rename-aside swap (same protocol as compact_partitions:
-    old tree set aside, new tree promoted, only then deleted). Returns a
-    report dict: files/bytes before and after. Partitioned lake trees use
+    Rename-aside swap (same protocol as compact_partitions: old tree set
+    aside, new tree promoted, only then deleted). No single copy of the
+    data is ever unreachable, but the swap itself is NOT atomic: a crash
+    between the two renames leaves ``root`` absent with the data intact
+    in ``<root>__opt_old`` — the entry-time recovery below (shared with
+    compact_partitions) restores it on the next run. Returns a report
+    dict: files/bytes before and after. Partitioned lake trees use
     ``compact_partitions``; snapshot tables should be optimized by
     writing an optimized NEW version instead (immutable versions are
     never rewritten in place).
     """
     import shutil
 
+    base = root.rstrip("/")
+    tmp, old = base + "__opt_tmp", base + "__opt_old"
+    _recover_rename_swap(root, old)  # heal a crash between the two renames
     df = spark.read.parquet(root)
     files_before = len(df.inputFiles())
     size_bytes = _tree_size_bytes(spark, root)
     n_files = max(1, size_bytes // (target_file_mb * 1024 * 1024))
-    base = root.rstrip("/")
-    tmp, old = base + "__opt_tmp", base + "__opt_old"
     out = df
     if order_by:
         out = out.repartitionByRange(int(n_files), *[F.col(c) for c in order_by])

@@ -157,6 +157,14 @@ def learn_merges(
             a, b = pair.split(" ")
             merges.append((r, a, b, a + b, n))
             vocab = vocab.withColumn("s", apply_merge(F.col("s"), a, b))
+            # every replace stacks another projection on the plan; without a
+            # cut the chain re-evaluates all prior merges each round (O(k^2)
+            # total work) and the plan depth grows unboundedly with n_merges.
+            # Executor-side checkpoint every 16 rounds bounds both (same
+            # pattern as operators/graph.py pagerank and dedup cluster
+            # resolution).
+            if r % 16 == 0:
+                vocab = vocab.localCheckpoint(eager=True)
         return spark.createDataFrame(
             merges,
             "merge_rank int, left_sym string, right_sym string, "

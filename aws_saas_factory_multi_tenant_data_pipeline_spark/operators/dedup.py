@@ -654,8 +654,10 @@ def incremental_near_duplicates(
     result = exact.unionByName(near).orderBy("new_id", "matched_id", "match_type")
     if update_index:
         # materialize matches BEFORE appending, so the result never
-        # reports the batch matching itself through the refreshed index
-        result = spark.createDataFrame(result.collect(), result.schema)
+        # reports the batch matching itself through the refreshed index;
+        # executor-side checkpoint — the match set can be large, it must
+        # never round-trip through the driver
+        result = result.localCheckpoint(eager=True)
         build_dedup_index(
             new_df, index_root, text_col, id_col, num_hashes, bands, shingle_k,
             mode="append",

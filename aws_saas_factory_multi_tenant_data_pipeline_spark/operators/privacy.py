@@ -147,15 +147,15 @@ def pseudonymize(
 def dp_noisy_counts(
     df: DataFrame,
     group_cols: list[str],
+    seed: str,
     epsilon: float = 1.0,
-    seed: str = "dp-seed",
     round_dp: int = 6,
 ) -> DataFrame:
     """ε-differentially-private group counts via the Laplace mechanism.
 
     Per released cell: ``noisy_n = n + Laplace(0, 1/ε)`` (sensitivity of a
     count under add/remove-one adjacency is 1, so scale b = 1/ε). The
-    noise draw is DERANDOMIZED: u ∈ (0,1) comes from the first 15 hex
+    noise draw is DERANDOMIZED: u ∈ (0,1) comes from the first 13 hex
     digits of ``md5(seed || cell key)``, then the inverse CDF
     ``-b·sign(u−½)·ln(1−2|u−½|)`` maps it to Laplace. Same seed + same
     cell → same noise, so releases are reproducible, retries don't leak
@@ -163,6 +163,16 @@ def dp_noisy_counts(
     privacy-accounting property a cached release needs), and the whole
     mechanism is replayable in any SQL engine (the ``privacy_dp_counts``
     oracle re-derives every noisy value in DuckDB).
+
+    ``seed`` is KEY MATERIAL, not a tuning knob: the noise is a pure
+    function of (seed, cell key), so anyone holding the seed can
+    recompute and subtract every draw, voiding the ε guarantee. It is
+    therefore a required parameter with no default — treat it like the
+    pseudonymization secret (store in a secret manager, never in the
+    released artifact or the query text shipped to consumers). The cell
+    key folds in the group-column NAMES as well as values, so two
+    releases over different groupings never reuse a draw just because
+    their value strings collide (unaccounted noise correlation).
 
     One map-side-combined groupBy; noise math is codegen'd arithmetic on
     the aggregate output (rows = |cell domain|, tiny). Composition /
@@ -172,10 +182,19 @@ def dp_noisy_counts(
     if epsilon <= 0:
         raise ValueError("epsilon must be positive")
     b = 1.0 / epsilon
-    cell_key = F.concat_ws("|", F.lit(seed), *[F.col(c).cast("string") for c in group_cols])
-    # 15 hex digits = 60 bits: exact in a double, identical in DuckDB
-    u = (F.conv(F.substring(F.md5(cell_key), 1, 15), 16, 10).cast("double") + F.lit(0.5)) / F.lit(
-        float(1 << 60)
+    cell_key = F.concat_ws(
+        "|",
+        F.lit(seed),
+        *[
+            F.concat_ws("=", F.lit(c), F.col(c).cast("string"))
+            for c in group_cols
+        ],
+    )
+    # 13 hex digits = 52 bits — fits a double's 53-bit mantissa exactly, so
+    # the cast is lossless and the DuckDB oracle sees the identical value.
+    # (15 digits = 60 bits would silently round: doubles carry 53 bits.)
+    u = (F.conv(F.substring(F.md5(cell_key), 1, 13), 16, 10).cast("double") + F.lit(0.5)) / F.lit(
+        float(1 << 52)
     )
     centered = u - F.lit(0.5)
     sign = F.when(centered < 0, F.lit(-1.0)).otherwise(F.lit(1.0))

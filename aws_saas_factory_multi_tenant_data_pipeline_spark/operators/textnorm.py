@@ -2,7 +2,7 @@
 
 Spark has no NFC/NFKC builtin; this is the deterministic subset that
 matters for LLM training text: accent folding, typographic-punctuation
-canonicalization, zero-width/control stripping, whitespace collapse —
+canonicalization, zero-width/control stripping, whitespace collapse  --
 expressed as translate + regexp chains that run at scan speed inside
 whole-stage codegen, with a GENERATED DuckDB twin
 (:func:`normalize_unicode_sql`) built from the same constant tables so
@@ -23,13 +23,20 @@ from pyspark.sql import functions as F
 # One-to-one (translate semantics): a-z accents, A-Z accents, then
 # curly double quotes x3, curly single quotes x3, en/em dash + hyphen.
 _NORM_FROM = (
-    "áàâäãåéèêë"
-    "íìîïóòôöõ"
-    "úùûüýÿçñ"
-    "ÁÀÂÄÃÅÉÈÊË"
-    "ÍÌÎÏÓÒÔÖÕ"
-    "ÚÙÛÜÝÇÑ"
-    "“”„‘’‚–—‐"
+    # a-z accent row 1
+    "\u00e1\u00e0\u00e2\u00e4\u00e3\u00e5\u00e9\u00e8\u00ea\u00eb"
+    # a-z accent row 2
+    "\u00ed\u00ec\u00ee\u00ef\u00f3\u00f2\u00f4\u00f6\u00f5"
+    # a-z accent row 3
+    "\u00fa\u00f9\u00fb\u00fc\u00fd\u00ff\u00e7\u00f1"
+    # A-Z accent row 1
+    "\u00c1\u00c0\u00c2\u00c4\u00c3\u00c5\u00c9\u00c8\u00ca\u00cb"
+    # A-Z accent row 2
+    "\u00cd\u00cc\u00ce\u00cf\u00d3\u00d2\u00d4\u00d6\u00d5"
+    # A-Z accent row 3
+    "\u00da\u00d9\u00db\u00dc\u00dd\u00c7\u00d1"
+    # quotes/dashes
+    "\u201c\u201d\u201e\u2018\u2019\u201a\u2013\u2014\u2010"
 )
 _NORM_TO = (
     "aaaaaaeeee"
@@ -42,17 +49,33 @@ _NORM_TO = (
 )
 assert len(_NORM_FROM) == len(_NORM_TO), (len(_NORM_FROM), len(_NORM_TO))
 
-_ELLIPSIS = "…"
-_ZERO_WIDTH = "[​‌‍﻿]"
-_UNI_SPACE = "[   -   　\\t]"
+_ELLIPSIS = "\u2026"  # HORIZONTAL ELLIPSIS
+_ZERO_WIDTH = "[\u200b\u200c\u200d\ufeff]"  # ZWSP ZWNJ ZWJ BOM
+# NBSP, exotic unicode spaces, IDEOGRAPHIC SPACE, tab (regex class)
+_UNI_SPACE = "[\u00a0\u1680\u2000-\u200a\u202f\u205f\u3000\\t]"
 _CONTROL = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+
+# Pin the tables: any mangling of the escapes above (or a careless edit)
+# trips this at import time, BEFORE both the Spark chain and its generated
+# DuckDB oracle twin could silently change in lockstep.
+import hashlib as _hashlib  # noqa: E402
+
+_CONST_SHA256 = "67ecc87d8a476037b9ef5a0b98de48bd840fd297bbff357e5c73424de7790e8b"
+assert (
+    _hashlib.sha256(
+        "\x00".join(
+            [_NORM_FROM, _NORM_TO, _ELLIPSIS, _ZERO_WIDTH, _UNI_SPACE, _CONTROL]
+        ).encode("utf-8")
+    ).hexdigest()
+    == _CONST_SHA256
+), "textnorm constant tables changed - recompute _CONST_SHA256 deliberately"
 
 
 def normalize_unicode(col: Column) -> Column:
     """Canonical ASCII-leaning form of web text: fold Latin-1 accents,
     straighten curly quotes/dashes, expand ellipsis, drop zero-width
     characters, map exotic spaces/tabs and control characters to plain
-    spaces, collapse space runs (newlines survive — document structure is
+    spaces, collapse space runs (newlines survive  -- document structure is
     signal), trim. Pure codegen'd string expressions: scan speed, the
     right cost for a pass that touches every byte of a 100 TB corpus."""
     c = F.translate(col, _NORM_FROM, _NORM_TO)

@@ -133,7 +133,18 @@ def test_dp_counts_noise_scale(spark):
         # here means the mechanism, not luck
         assert abs(r.noisy_n - true[r.event_type]) < 20
     with pytest.raises(ValueError):
-        dp_noisy_counts(ev, ["event_type"], epsilon=0.0)
+        dp_noisy_counts(ev, ["event_type"], seed="s", epsilon=0.0)
+
+
+def test_dp_counts_grouping_changes_draw(spark):
+    # the cell key folds in column NAMES: a release grouped by a different
+    # column whose value strings collide must NOT reuse the same noise
+    ev = _events(spark).withColumn("event_kind", F.col("event_type"))
+    a = {r.k: r.noisy_n for r in dp_noisy_counts(ev, ["event_type"], seed="s")
+         .selectExpr("event_type as k", "noisy_n").collect()}
+    b = {r.k: r.noisy_n for r in dp_noisy_counts(ev, ["event_kind"], seed="s")
+         .selectExpr("event_kind as k", "noisy_n").collect()}
+    assert set(a) == set(b) and a != b
 
 
 # --- histogram merge property ---------------------------------------------

@@ -59,15 +59,19 @@ GRADED_WINDOW: tuple[str, ...] = (
     "ingest_quarantine_split",
     "tenant_claims_extract",
     "replay_source_scan",
-    # B1 scans/sources/sinks
-    "scan_project",
+    # B1 scans/sources/sinks (scan_project → tail in r5: its parquet
+    # scan+projection plan is identically exercised by scan_formats_roundtrip
+    # and by nearly every other slot; the freed slot gives four lake
+    # data-management §2 rows a hard driver verdict via lake_pack)
     "scan_formats_roundtrip",
+    "lake_pack",
     # B2 projection/filter (conditional + casts packed; originals in tail)
     "filter_predicates",
     "exprs_casts_pack",
-    # B3 joins
+    # B3 joins (join_semi_anti → tail in r5: semi/anti shapes are also
+    # driver-covered via the subquery EXISTS/IN rewrites in several slots;
+    # the freed slot gives four dedup §2 rows a hard driver verdict)
     "join_equi_variants",
-    "join_semi_anti",
     "join_range_theta",
     "join_asof",
     "join_star_multiway",
@@ -109,6 +113,9 @@ GRADED_WINDOW: tuple[str, ...] = (
     # dedup_ngram_jaccard stays in the tail (its doc_id<100 scope yields 0
     # rows at sf0.01 — green but informationless in the graded file)
     "dedup_minhash_portable",
+    # SimHash + blocked-Levenshtein + PPJoin prefix Jaccard + canonical-
+    # survivor selection, packed (window_r5.py)
+    "dedup_pack",
     "similarity_topk_cosine",
     "text_stats",
     "text_tfidf_top_terms",
@@ -135,8 +142,11 @@ GRADED_WINDOW: tuple[str, ...] = (
 # B10, then everything else in module order.
 _TAIL_PRIORITY: tuple[str, ...] = (
     # swapped out of the graded window (r4: duplicate of
-    # agg_pricing_summary's Q1 shape; r5: subqueries are not a §2 row) —
+    # agg_pricing_summary's Q1 shape; r5: subqueries are not a §2 row,
+    # scan_project/join_semi_anti redundantly covered by packs/rewrites) —
     # still first in line if the window turns out to be time-bound
+    "scan_project",
+    "join_semi_anti",
     "subq_exists_correlated",
     "tpch_q1_pricing_summary",
     "distinct_dropdup",
@@ -320,6 +330,7 @@ def load_all() -> dict[str, QuerySpec]:
         ext_llm_wave4,
         wave_r5,
         saas_ops_wave3,
+        window_r5,
     )
 
     head = [n for n in GRADED_WINDOW + _TAIL_PRIORITY if n in REGISTRY]

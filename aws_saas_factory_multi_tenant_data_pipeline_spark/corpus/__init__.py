@@ -295,6 +295,8 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "privacy_masked_export",
     "user_data_export",
     "text_encoding_audit",
+    # r6 wave (driver round 5)
+    "multimodal_png_decode",
 )
 
 
@@ -331,6 +333,7 @@ def load_all() -> dict[str, QuerySpec]:
         wave_r5,
         saas_ops_wave3,
         window_r5,
+        wave_r6,
     )
 
     head = [n for n in GRADED_WINDOW + _TAIL_PRIORITY if n in REGISTRY]

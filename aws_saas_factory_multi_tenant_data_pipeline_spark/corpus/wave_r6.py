@@ -1,0 +1,94 @@
+"""Round-6 session wave: queries added alongside the round-5 graded window.
+
+Mirrors the conventions of wave_r5.py: every query is registered with a
+DuckDB oracle unless fundamentally non-SQL, deterministic ordering with a
+unique key suffix, decimal-exact double aggregates, and aliases matched
+character-for-character between the Spark and SQL sides.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus import register
+from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus._util import t
+
+
+@register(
+    "multimodal_png_decode",
+    oracle="""
+        WITH img AS (
+            SELECT doc_id,
+                   doc_id % 9 AS k_r,
+                   (doc_id * 3) % 9 AS k_g,
+                   (doc_id * 5) % 9 AS k_b
+            FROM documents WHERE doc_id < 100)
+        SELECT doc_id,
+               TRUE AS decoded,
+               CAST(4 AS BIGINT) AS w,
+               CAST(2 AS BIGINT) AS h,
+               CAST(k_r AS DOUBLE) / 8 AS mean_r,
+               CAST(k_g AS DOUBLE) / 8 AS mean_g,
+               CAST(k_b AS DOUBLE) / 8 AS mean_b
+        FROM img
+        ORDER BY doc_id
+    """,
+    tags=("B10", "multimodal"),
+    doc="REAL compressed-image decode, oracle-checked: a 4x2 RGB PNG "
+    "(zlib IDAT, CRC'd chunk stream) is synthesized per doc — channel c "
+    "has (doc_id * {1,3,5}) % 9 white pixels — the payload goes through "
+    "the actual stdlib-zlib+numpy PNG parser "
+    "(operators.multimodal.decode_png) inside the Arrow mapInPandas "
+    "path, and the oracle states the channel means the decoder must "
+    "recover (eighths, exactly representable — value-equal comparison). "
+    "decoded=TRUE in the oracle pins that the real decode path ran, not "
+    "the digest stub. Scanline-filter coverage (Sub/Up/Average/Paeth) "
+    "and the other color types are exact-tested in "
+    "tests/test_multimodal_png.py against an independent forward "
+    "filter implementation.",
+)
+def multimodal_png_decode(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 100).select("doc_id")
+
+    @F.pandas_udf("binary")
+    def mk_png(doc_id: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+            encode_png,
+        )
+
+        out = []
+        for did in doc_id:
+            did = int(did)
+            a = np.zeros((2, 4, 3), dtype=np.uint8)
+            flat = a.reshape(8, 3)
+            flat[: did % 9, 0] = 255
+            flat[: (did * 3) % 9, 1] = 255
+            flat[: (did * 5) % 9, 2] = 255
+            out.append(encode_png(a))
+        return pd.Series(out)
+
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        mk_png("doc_id").alias("payload"),
+        F.lit(None)
+        .cast("struct<width:int,height:int,sample_rate:int,n_frames:int,mime:string>")
+        .alias("meta"),
+    )
+    feats = extract_features(media)
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        "decoded",
+        F.round(F.element_at("feature", 1) * 10000, 0).cast("long").alias("w"),
+        F.round(F.element_at("feature", 2) * 10000, 0).cast("long").alias("h"),
+        F.element_at("feature", 3).cast("double").alias("mean_r"),
+        F.element_at("feature", 4).cast("double").alias("mean_g"),
+        F.element_at("feature", 5).cast("double").alias("mean_b"),
+    ).orderBy("doc_id")

@@ -3,10 +3,12 @@
 Images/audio/video are opaque ``binary`` columns + typed metadata structs.
 The Spark-side plumbing — schema, partition-preserving mapInPandas, Arrow
 batch shapes — is real and tested. The codec step is REAL for the
-dependency-free formats — PPM images (P6/P3, pure numpy) and PCM WAV
-audio (stdlib ``wave``) are actually decoded to pixel/sample arrays and
-summarized into features — and a deterministic digest-derived stub covers
-compressed formats (PNG/JPEG/MP3/MP4 libraries are not in this
+dependency-free formats — PPM images (P6/P3, pure numpy), PNG images
+(stdlib ``zlib`` inflate + numpy unfiltering: all five scanline filters,
+color types 0/2/3/4/6 at 8-bit depth), and PCM WAV audio (stdlib
+``wave``) are actually decoded to pixel/sample arrays and summarized
+into features — and a deterministic digest-derived stub covers the
+remaining compressed formats (JPEG/MP3/MP4 libraries are not in this
 container); the ``decoded`` output column says which path a row took.
 """
 
@@ -93,6 +95,142 @@ def decode_ppm(payload: bytes):
     return px.reshape(h, w, 3), w, h
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes):
+    """Real PNG decode, stdlib zlib + numpy (no codec libraries): parses
+    the chunk stream (CRC-verified), inflates IDAT, reverses all five
+    scanline filters (None/Sub/Up/Average/Paeth, RFC 2083 §6), and
+    normalizes to RGB. Supports 8-bit depth, color types 0 (gray),
+    2 (RGB), 3 (palette via PLTE), 4 (gray+alpha), 6 (RGBA); rejects
+    interlaced and 16-bit images with a clear error. Returns
+    (pixels HxWx3 uint8, width, height) or raises ValueError."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not payload or not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    i, n = 8, len(payload)
+    ihdr, plte, idat = None, None, []
+    while i + 12 <= n:
+        (length,) = struct.unpack(">I", payload[i : i + 4])
+        typ = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(">I", payload[i + 8 + length : i + 12 + length])
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC on {typ!r} chunk")
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        i += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8:
+        raise ValueError(f"only 8-bit PNG supported (depth={depth})")
+    if comp != 0 or filt != 0:
+        raise ValueError("nonstandard PNG compression/filter method")
+    if interlace:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"bad PNG color type {color}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG pixel data length mismatch")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    ftypes = rows[:, 0]
+    out = np.zeros((h, stride), dtype=np.int32)
+    bpp = channels  # bytes per pixel at 8-bit depth
+    for y in range(h):
+        f = int(ftypes[y])
+        line = rows[y, 1:].astype(np.int32)
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.int32)
+        if f == 0:
+            out[y] = line
+        elif f == 2:  # Up
+            out[y] = (line + prev) % 256
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: serial in x, vector in channels
+            rec = out[y]
+            for x0 in range(0, stride, bpp):
+                a = rec[x0 - bpp : x0] if x0 else np.zeros(bpp, dtype=np.int32)
+                b = prev[x0 : x0 + bpp]
+                cur = line[x0 : x0 + bpp]
+                if f == 1:
+                    rec[x0 : x0 + bpp] = (cur + a) % 256
+                elif f == 3:
+                    rec[x0 : x0 + bpp] = (cur + (a + b) // 2) % 256
+                else:
+                    c = prev[x0 - bpp : x0] if x0 else np.zeros(bpp, dtype=np.int32)
+                    p = a + b - c
+                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                    pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+                    rec[x0 : x0 + bpp] = (cur + pred) % 256
+        else:
+            raise ValueError(f"bad PNG scanline filter {f}")
+    px = out.astype(np.uint8).reshape(h, w, channels)
+    if color == 2:
+        rgb = px
+    elif color == 6:
+        rgb = px[..., :3]
+    elif color == 0:
+        rgb = np.repeat(px, 3, axis=2)
+    elif color == 4:
+        rgb = np.repeat(px[..., :1], 3, axis=2)
+    else:  # palette
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette PNG missing/invalid PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = px[..., 0]
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("palette index out of range")
+        rgb = pal[idx]
+    return np.ascontiguousarray(rgb), w, h
+
+
+def encode_png(pixels) -> bytes:
+    """Real PNG encode, stdlib zlib + numpy: 8-bit RGB (color type 2),
+    filter 0 scanlines, single zlib-compressed IDAT. The exact inverse of
+    :func:`decode_png` for RGB input (round-trip is pixel-exact)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.ascontiguousarray(np.asarray(pixels, dtype=np.uint8))
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_png expects HxWx3 uint8")
+    h, w = px.shape[:2]
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 9))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_wav(payload: bytes):
     """Real PCM WAV decode via stdlib ``wave``: returns (mono float64
     samples in [-1, 1], sample_rate, n_channels) or raises."""
@@ -122,8 +260,11 @@ def _real_decode_features(payload: bytes, dim: int = 8):
     import numpy as np
 
     try:
-        if payload[:2] in (b"P6", b"P3"):
-            px, w, h = decode_ppm(payload)
+        if payload[:2] in (b"P6", b"P3") or payload[:8] == _PNG_SIG:
+            if payload[:8] == _PNG_SIG:
+                px, w, h = decode_png(payload)
+            else:
+                px, w, h = decode_ppm(payload)
             f = px.astype(np.float64) / 255.0
             vals = [
                 w / 10000.0,
@@ -210,12 +351,25 @@ def resize_ppm(payload: bytes, width: int, height: int) -> bytes:
     return b"P6\n%d %d\n255\n" % (width, height) + out.tobytes()
 
 
+def resize_png(payload: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resize for PNG payloads: stdlib decode
+    (any supported color type), the same ``src = (dst * src_dim) //
+    dst_dim`` index map as :func:`resize_ppm`, re-encode as RGB PNG."""
+    import numpy as np
+
+    px, w, h = decode_png(payload)
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    return encode_png(px[ys][:, xs])
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize: REAL nearest-neighbor for PPM payloads (pure numpy,
-    decode → index-map → re-encode P6); compressed formats pass through
-    payload-unchanged with updated meta (codec libs absent — the
-    documented stub path, flagged by meta.mime). Arrow-batched
-    mapInPandas either way; schema and partitioning are preserved.
+    """Image resize: REAL nearest-neighbor for PPM and PNG payloads (pure
+    numpy/zlib, decode → index-map → re-encode); remaining compressed
+    formats pass through payload-unchanged with updated meta (codec libs
+    absent — the documented stub path, flagged by meta.mime).
+    Arrow-batched mapInPandas either way; schema and partitioning are
+    preserved.
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -223,9 +377,13 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
             payloads = []
             for payload in pdf["payload"]:
                 try:
-                    payloads.append(resize_ppm(bytes(payload), width, height))
+                    b = bytes(payload)
+                    if b[:8] == _PNG_SIG:
+                        payloads.append(resize_png(b, width, height))
+                    else:
+                        payloads.append(resize_ppm(b, width, height))
                 except (ValueError, TypeError):
-                    payloads.append(payload)  # stub path: not a PPM
+                    payloads.append(payload)  # stub path: not PPM/PNG
             meta = pdf["meta"].map(
                 lambda m: {**(m or {}), "width": width, "height": height}
             )

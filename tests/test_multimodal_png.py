@@ -1,0 +1,175 @@
+"""Stdlib PNG codec: decode (all five scanline filters, five color types),
+encode round-trip, resize, and the Arrow feature-extraction path.
+
+The decoder is tested against an INDEPENDENT forward implementation: the
+test filters scanlines itself (straight from RFC 2083 §6.2-6.6) and builds
+the chunk stream with its own writer, so `decode_png` is checked against
+the spec, not against `encode_png`.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    decode_png,
+    encode_png,
+    extract_features,
+    resize_images,
+    resize_png,
+)
+
+SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _png(w, h, color, channels, scanlines, plte=None, depth=8, interlace=0):
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    out = SIG + _chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _chunk(b"PLTE", plte)
+    out += _chunk(b"IDAT", zlib.compress(scanlines))
+    return out + _chunk(b"IEND", b"")
+
+
+def _forward_filter(px: np.ndarray, ftype_per_row) -> bytes:
+    """Independent reference filtering (RFC 2083): px is HxWxC uint8."""
+    h, w, c = px.shape
+    stride = w * c
+    flat = px.reshape(h, stride).astype(np.int32)
+    out = b""
+    for y in range(h):
+        f = ftype_per_row[y]
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros(stride, dtype=np.int32)
+        line = np.zeros(stride, dtype=np.int32)
+        for x in range(stride):
+            a = cur[x - c] if x >= c else 0
+            b = prev[x]
+            cc = prev[x - c] if x >= c else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            line[x] = (cur[x] - pred) % 256
+        out += bytes([f]) + line.astype(np.uint8).tobytes()
+    return out
+
+
+def test_decode_all_five_filters_rgb():
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(5, 4, 3), dtype=np.uint8).astype(np.uint8)
+    scan = _forward_filter(px, [0, 1, 2, 3, 4])
+    payload = _png(4, 5, 2, 3, scan)
+    got, w, h = decode_png(payload)
+    assert (w, h) == (4, 5)
+    assert np.array_equal(got, px)
+
+
+def test_decode_color_types_normalize_to_rgb():
+    # gray (0): value broadcast to all three channels
+    g = np.arange(12, dtype=np.uint8).reshape(3, 4, 1)
+    got, w, h = decode_png(_png(4, 3, 0, 1, _forward_filter(g, [0, 1, 4])))
+    assert np.array_equal(got, np.repeat(g, 3, axis=2))
+    # gray+alpha (4): alpha dropped
+    ga = np.stack([g[..., 0], np.full((3, 4), 200, np.uint8)], axis=2)
+    got, _, _ = decode_png(_png(4, 3, 4, 2, _forward_filter(ga, [0, 2, 3])))
+    assert np.array_equal(got, np.repeat(g, 3, axis=2))
+    # RGBA (6): alpha dropped
+    rgb = np.arange(36, dtype=np.uint8).reshape(3, 4, 3)
+    rgba = np.concatenate([rgb, np.full((3, 4, 1), 9, np.uint8)], axis=2)
+    got, _, _ = decode_png(_png(4, 3, 6, 4, _forward_filter(rgba, [4, 4, 1])))
+    assert np.array_equal(got, rgb)
+    # palette (3): indices resolved through PLTE
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 8, 9])
+    idx = np.array([[0, 1], [2, 3]], dtype=np.uint8).reshape(2, 2, 1)
+    got, _, _ = decode_png(_png(2, 2, 3, 1, _forward_filter(idx, [0, 1]), plte=pal))
+    assert np.array_equal(
+        got, np.array([[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [7, 8, 9]]], np.uint8)
+    )
+
+
+def test_encode_decode_roundtrip_exact():
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, size=(7, 9, 3), dtype=np.uint8)
+    got, w, h = decode_png(encode_png(px))
+    assert (w, h) == (9, 7)
+    assert np.array_equal(got, px)
+
+
+def test_decode_rejects_malformed():
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = encode_png(px)
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"P6\n1 1\n255\nabc")
+    # corrupt one IDAT byte → CRC failure
+    bad = bytearray(good)
+    idat_at = good.index(b"IDAT") + 4
+    bad[idat_at] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    # interlace and 16-bit rejected clearly
+    scan = _forward_filter(px, [0, 0])
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_png(_png(2, 2, 2, 3, scan, interlace=1))
+    with pytest.raises(ValueError, match="8-bit"):
+        decode_png(_png(2, 2, 2, 3, scan, depth=16))
+
+
+def test_resize_png_nearest_neighbor():
+    src = np.zeros((4, 4, 3), dtype=np.uint8)
+    for y in range(4):
+        for x in range(4):
+            src[y, x] = (10 * y, 10 * x, y + x)
+    out = resize_png(encode_png(src), 2, 2)
+    px, w, h = decode_png(out)
+    assert (w, h) == (2, 2)
+    assert np.array_equal(px, src[[0, 2]][:, [0, 2]])
+
+
+def test_png_through_feature_and_resize_operators(spark):
+    # 2x4 image: first k pixels of channel c are 255 → mean_c = k/8 exact
+    def img(kr, kg, kb):
+        a = np.zeros((2, 4, 3), dtype=np.uint8)
+        flat = a.reshape(8, 3)
+        flat[:kr, 0] = 255
+        flat[:kg, 1] = 255
+        flat[:kb, 2] = 255
+        return encode_png(a)
+
+    rows = [
+        (1, "image", bytearray(img(2, 4, 8)), (4, 2, None, None, "image/png")),
+        (2, "image", bytearray(b"\xffJPEG-ish junk"), (4, 2, None, None, "image/jpeg")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert feats[1]["decoded"] is True
+    f = feats[1]["feature"]
+    assert [round(v, 6) for v in f[2:5]] == [0.25, 0.5, 1.0]
+    assert feats[2]["decoded"] is False  # junk falls to the digest stub
+
+    resized = {r["media_id"]: r for r in resize_images(media, 2, 1).collect()}
+    px, w, h = decode_png(bytes(resized[1]["payload"]))
+    assert (w, h) == (2, 1)
+    assert bytes(resized[2]["payload"]) == b"\xffJPEG-ish junk"

@@ -175,3 +175,129 @@ def rs256_verifier(jwks: dict) -> TokenVerifier:
         return json.loads(_b64url_decode(payload_b64))
 
     return verify
+
+
+# ---------------------------------------------------------------------------
+# JWKS retrieval + decision caching (the last piece of A9 parity)
+# ---------------------------------------------------------------------------
+
+
+class CachedAuthorizer:
+    """JWKS-fetching, decision-caching authorizer.
+
+    The reference authorizer fetches the user pool's JWKS document over
+    HTTPS once per container (lambda_authorizer/app.py:24,34-36) and API
+    Gateway caches the resulting allow/deny decision for 5 minutes
+    (apigateway-stack.ts:57-62, ``resultsCacheTtl``). This class carries
+    both behaviors into the engine:
+
+    - **JWKS fetch**: ``jwks_url`` is read with ``urllib`` (https:// in a
+      real deployment; file:// in offline tests) and the parsed document
+      is reused for ``jwks_ttl`` seconds. An unknown ``kid`` forces ONE
+      immediate refetch before failing — the key-rotation path: a freshly
+      rotated pool key becomes valid without waiting out the TTL.
+    - **Decision cache**: each token's verdict (the TenantContext, or the
+      TenantError) is cached for ``decision_ttl`` seconds keyed by the
+      token's SHA-256 — raw tokens are never stored. Allow entries are
+      additionally capped at the token's own ``exp`` (strictly safer than
+      API Gateway, which serves a cached allow past expiry for up to the
+      TTL). Deny entries cache for the full TTL, same as API Gateway.
+
+    ``fetch``/``clock`` are injectable for tests; thread-safe for use
+    from a multi-threaded driver.
+    """
+
+    def __init__(
+        self,
+        jwks_url: str,
+        decision_ttl: float = 300.0,
+        jwks_ttl: float = 3600.0,
+        max_entries: int = 10_000,
+        fetch: Callable[[str], dict] | None = None,
+        clock: Callable[[], float] | None = None,
+    ) -> None:
+        import threading
+        import time
+
+        self._jwks_url = jwks_url
+        self._decision_ttl = float(decision_ttl)
+        self._jwks_ttl = float(jwks_ttl)
+        self._max_entries = int(max_entries)
+        self._fetch = fetch if fetch is not None else self._urllib_fetch
+        self._clock = clock if clock is not None else time.time
+        self._lock = threading.Lock()
+        self._verifier: TokenVerifier | None = None
+        self._jwks_fetched_at = float("-inf")
+        self._decisions: dict[str, tuple[float, TenantContext | TenantError]] = {}
+        self.fetch_count = 0  # observable: JWKS round-trips actually made
+
+    @staticmethod
+    def _urllib_fetch(url: str) -> dict:
+        from urllib.request import urlopen
+
+        with urlopen(url, timeout=10) as resp:  # noqa: S310 — caller-supplied URL
+            return json.loads(resp.read().decode("utf-8"))
+
+    def _verifier_fresh(self, now: float, force: bool = False) -> TokenVerifier:
+        # caller holds the lock
+        if (
+            force
+            or self._verifier is None
+            or now - self._jwks_fetched_at >= self._jwks_ttl
+        ):
+            self._verifier = rs256_verifier(self._fetch(self._jwks_url))
+            self._jwks_fetched_at = now
+            self.fetch_count += 1
+        return self._verifier
+
+    def _prune(self, now: float) -> None:
+        # caller holds the lock; drop expired entries, then cap size FIFO
+        if len(self._decisions) > self._max_entries:
+            self._decisions = {
+                k: v for k, v in self._decisions.items() if v[0] > now
+            }
+            while len(self._decisions) > self._max_entries:
+                self._decisions.pop(next(iter(self._decisions)))
+
+    def authorize(self, token: str) -> TenantContext:
+        """Verify ``token`` (signature → expiry → tenant claim) with the
+        decision cache in front; returns the TenantContext or raises the
+        (possibly cached) TenantError."""
+        import hashlib
+
+        now = self._clock()
+        key = hashlib.sha256(token.encode("utf-8")).hexdigest()
+        with self._lock:
+            hit = self._decisions.get(key)
+            if hit is not None and hit[0] > now:
+                if isinstance(hit[1], TenantError):
+                    raise hit[1]
+                return hit[1]
+            verifier = self._verifier_fresh(now)
+        expires = now + self._decision_ttl
+        try:
+            try:
+                claims = verifier(token)
+            except TenantError as e:
+                # rotation path: an unknown kid may mean a fresh pool key —
+                # refetch once and retry before denying
+                if "no JWKS key for kid" not in str(e):
+                    raise
+                with self._lock:
+                    verifier = self._verifier_fresh(self._clock(), force=True)
+                claims = verifier(token)
+            ctx = from_claims(claims, now_epoch=int(now))
+        except TenantError as deny:
+            with self._lock:
+                self._decisions[key] = (expires, deny)
+                self._prune(now)
+            raise
+        except Exception as e:  # verifier bug / malformed JWKS
+            raise TenantError(f"token verification failed: {e}") from e
+        exp = claims.get("exp")
+        if exp is not None:
+            expires = min(expires, float(exp))
+        with self._lock:
+            self._decisions[key] = (expires, ctx)
+            self._prune(now)
+        return ctx

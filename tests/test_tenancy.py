@@ -186,3 +186,115 @@ def test_rs256_rejects_unknown_kid_and_expiry():
     tok = _sign_rs256({"custom:tenantId": "t42", "exp": 100})
     with pytest.raises(TenantError, match="expired"):
         from_token(tok, rs256_verifier(_jwks()), now_epoch=200)
+
+
+# ---------------------------------------------------------------------------
+# CachedAuthorizer: JWKS fetch/refresh + 5-min decision cache (A9 parity)
+# ---------------------------------------------------------------------------
+
+
+class _Clock:
+    def __init__(self, t=1_000_000.0):
+        self.t = t
+
+    def __call__(self):
+        return self.t
+
+
+def test_cached_authorizer_file_url_and_decision_cache(tmp_path):
+    import json as _json
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.tenancy import CachedAuthorizer
+
+    jwks_file = tmp_path / "jwks.json"
+    jwks_file.write_text(_json.dumps(_jwks()))
+    clock = _Clock()
+    auth = CachedAuthorizer(jwks_file.as_uri(), clock=clock)
+    tok = _sign_rs256({"custom:tenantId": "t42", "exp": 4_000_000_000})
+    assert auth.authorize(tok).tenant_id == "t42"
+    assert auth.fetch_count == 1
+    # within the decision TTL the cached verdict answers — even if the
+    # JWKS source disappears entirely
+    jwks_file.unlink()
+    clock.t += 299
+    assert auth.authorize(tok).tenant_id == "t42"
+    assert auth.fetch_count == 1
+
+
+def test_cached_authorizer_reverifies_after_ttl():
+    import pytest
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.tenancy import (
+        CachedAuthorizer,
+        TenantError,
+    )
+
+    calls = []
+
+    def fetch(url):
+        calls.append(url)
+        return _jwks()
+
+    clock = _Clock()
+    auth = CachedAuthorizer(
+        "https://pool/jwks.json", decision_ttl=300, jwks_ttl=600, fetch=fetch, clock=clock
+    )
+    tok = _sign_rs256({"custom:tenantId": "t1", "exp": 4_000_000_000})
+    assert auth.authorize(tok).tenant_id == "t1"
+    assert len(calls) == 1
+    # decision TTL elapses → re-verify against the still-fresh JWKS (no refetch)
+    clock.t += 301
+    assert auth.authorize(tok).tenant_id == "t1"
+    assert len(calls) == 1
+    # JWKS TTL elapses too → next miss refetches the document
+    clock.t += 600
+    assert auth.authorize(tok).tenant_id == "t1"
+    assert len(calls) == 2
+    # deny decisions cache for the TTL as well (API Gateway semantics)
+    bad = _sign_rs256({"custom:tenantId": "t1"}, tamper=True)
+    with pytest.raises(TenantError):
+        auth.authorize(bad)
+    n_after_deny = len(calls)
+    with pytest.raises(TenantError):
+        auth.authorize(bad)
+    assert len(calls) == n_after_deny
+
+
+def test_cached_authorizer_refetches_on_rotated_kid():
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.tenancy import CachedAuthorizer
+
+    served = [_jwks(kid="old"), _jwks(kid="new"), _jwks(kid="new")]
+    calls = []
+
+    def fetch(url):
+        calls.append(url)
+        return served[min(len(calls) - 1, len(served) - 1)]
+
+    clock = _Clock()
+    auth = CachedAuthorizer("https://pool/jwks.json", fetch=fetch, clock=clock)
+    tok = _sign_rs256({"custom:tenantId": "t7", "exp": 4_000_000_000}, kid="new")
+    # first fetch serves the pre-rotation document; the unknown kid forces
+    # exactly one refetch, after which the token verifies
+    assert auth.authorize(tok).tenant_id == "t7"
+    assert len(calls) == 2
+
+
+def test_cached_authorizer_allow_never_outlives_exp():
+    import pytest
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.tenancy import (
+        CachedAuthorizer,
+        TenantError,
+    )
+
+    clock = _Clock(1_000_000.0)
+    auth = CachedAuthorizer(
+        "https://pool/jwks.json", decision_ttl=300, fetch=lambda u: _jwks(), clock=clock
+    )
+    tok = _sign_rs256({"custom:tenantId": "t9", "exp": int(clock.t) + 10})
+    assert auth.authorize(tok).tenant_id == "t9"
+    # 11 s later the token is expired; a naive 5-min decision cache would
+    # still allow it (API Gateway does) — this authorizer re-verifies
+    clock.t += 11
+    with pytest.raises(TenantError, match="expired"):
+        auth.authorize(tok)

@@ -65,20 +65,39 @@ def pagerank(
     )
     n_nodes = nodes.agg(F.count(F.lit(1)).alias("__n"))
     outdeg = edges.groupBy(F.col(src).alias("node")).agg(F.count(F.lit(1)).alias("__deg"))
-    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
-        "node", "__n", F.expr(f"CAST({UNITS} AS BIGINT) div __n").alias("ru")
+    ranks = (
+        nodes.crossJoin(F.broadcast(n_nodes))
+        .select("node", "__n", F.expr(f"CAST({UNITS} AS BIGINT) div __n").alias("ru"))
+        # materialize r0: its lineage re-derives the caller's whole edge
+        # plan (union + two distincts); without the cut, iteration 1 pays
+        # all of it again
+        .localCheckpoint(eager=True)
     )
     e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+    # Materialize the degree-annotated edge list ONCE: without this, every
+    # iteration re-executes the caller's edge-derivation lineage (often a
+    # scan + distinct) twice — at sf0.1 that made a 4-iteration run ~9 s,
+    # ~7 of which were redundant upstream recomputes. One executor-side
+    # checkpoint turns the loop body into join + map-side-combined groupBy
+    # + node join, the shape the module docstring promises.
+    e_deg = (
+        e.join(
+            outdeg.select(F.col("node").alias("__on"), "__deg"),
+            F.col("__src") == F.col("__on"),
+        )
+        .select("__src", "__dst", "__deg")
+        # pre-partition on the per-iteration join key: the checkpointed
+        # frame keeps its hash partitioning, so each iteration exchanges
+        # only the (node-sized) rank frame, never the edge list — the
+        # dominant shuffle at any scale
+        .repartition(F.col("__src"))
+        .localCheckpoint(eager=True)
+    )
     teleport = F.expr(f"CAST({(100 - damping_pct) * UNITS} AS BIGINT) div (100 * __n)")
     for _ in range(iters):
-        contribs = (
-            e.join(ranks.select("node", "ru"), e.__src == F.col("node"))
-            .join(
-                outdeg.select(F.col("node").alias("__on"), "__deg"),
-                F.col("__src") == F.col("__on"),
-            )
-            .select(F.col("__dst").alias("node"), F.expr("ru div __deg").alias("__c"))
-        )
+        contribs = e_deg.join(
+            ranks.select("node", "ru"), F.col("__src") == F.col("node")
+        ).select(F.col("__dst").alias("node"), F.expr("ru div __deg").alias("__c"))
         sums = contribs.groupBy("node").agg(F.sum("__c").alias("__s"))
         ranks = (
             ranks.select("node", "__n")

@@ -36,6 +36,12 @@ HEADLINE = [
     "dedup_minhash_lsh",       # B10 MinHash-LSH
     "similarity_topk_cosine",  # B10 ANN baseline
     "text_tfidf_top_terms",    # B10 text analytics
+    # round-4/5 flagships: regressions in the newest operator families
+    # should show up in BENCH_r{N}, not just pytest
+    "text_bm25_rank",          # B10 ranking (BM25 over inverted stats)
+    "graph_pagerank",          # B10 iterative fixed-point (int64 arithmetic)
+    "lake_zorder_layout",      # B10 Z-order clustering + skip-effectiveness
+    "dedup_semantic",          # B10 SemDeDup (portable k-means + pair join)
 ]
 
 

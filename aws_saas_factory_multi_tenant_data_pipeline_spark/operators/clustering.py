@@ -66,18 +66,40 @@ def assign_clusters(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Nearest-centroid assignment: argmax cosine, round-6, ties to the
-    lowest cluster_id. Broadcast join — corpus is scanned once."""
-    cand = df.crossJoin(F.broadcast(centroids))
-    cos = _cosine(
-        F.transform(F.col(vec_col), lambda x: x.cast("double")), F.col("centroid")
+    lowest cluster_id.
+
+    ZERO-shuffle shape: the C centroids collapse into ONE broadcast row
+    holding an array of (cluster_id, centroid) structs, and the argmax is
+    a per-row ``array_max`` over a transform — the corpus is scanned once
+    as a narrow projection, with no C× candidate explosion and no
+    id-keyed shuffle. (The first cut cross-joined the corpus against the
+    centroid TABLE and ran a window argmax over the C× rows — a full
+    shuffle of C·|corpus| candidates that broke this module's own
+    documented scale contract.) Ties: struct ordering on
+    (cosine, -cluster_id) makes the lowest cluster_id win, identical to
+    the previous desc-cosine/asc-id window."""
+    cents = centroids.agg(
+        F.array_sort(F.collect_list(F.struct("cluster_id", "centroid"))).alias(
+            "__cents"
+        )
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("__cos"), F.asc("cluster_id"))
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scored = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            _cosine(F.col("__v"), c["centroid"]).alias("cos"),
+            (-c["cluster_id"]).alias("ncid"),
+        ),
+    )
     return (
-        cand.withColumn("__cos", cos)
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn", "centroid")
-        .withColumnRenamed("__cos", "centroid_cosine")
+        df.crossJoin(F.broadcast(cents))
+        .withColumn("__v", v)
+        .withColumn("__best", F.array_max(scored))
+        .select(
+            *df.columns,
+            (-F.col("__best.ncid")).alias("cluster_id"),
+            F.col("__best.cos").alias("centroid_cosine"),
+        )
     )
 
 
@@ -117,7 +139,11 @@ def kmeans_portable(
     centroids = seed_centroids(df, n_clusters, vec_col, id_col)
     assigned = assign_clusters(df, centroids, vec_col, id_col)
     for _ in range(iterations):
-        centroids = lloyd_update(assigned, vec_col)
+        # checkpoint the (n_clusters-row) centroid frame each round: it is
+        # the whole cross-round dependency, so cutting lineage here keeps
+        # every round's plan at depth 1 over df instead of re-deriving all
+        # prior assignments — same pattern as graph.pagerank
+        centroids = lloyd_update(assigned, vec_col).localCheckpoint(eager=True)
         assigned = assign_clusters(df, centroids, vec_col, id_col)
     return assigned
 
@@ -147,7 +173,7 @@ def ivf_topk_portable(
     centroids = seed_centroids(corpus, n_clusters, vec_col, id_col)
     assigned = assign_clusters(corpus, centroids, vec_col, id_col)
     for _ in range(iterations):
-        centroids = lloyd_update(assigned, vec_col)
+        centroids = lloyd_update(assigned, vec_col).localCheckpoint(eager=True)
         assigned = assign_clusters(corpus, centroids, vec_col, id_col)
     lists = assigned.select(
         F.col(id_col),
@@ -196,7 +222,7 @@ def build_ivf_index(
     centroids = seed_centroids(df, n_clusters, vec_col, id_col)
     assigned = assign_clusters(df, centroids, vec_col, id_col)
     for _ in range(iterations):
-        centroids = lloyd_update(assigned, vec_col)
+        centroids = lloyd_update(assigned, vec_col).localCheckpoint(eager=True)
         assigned = assign_clusters(df, centroids, vec_col, id_col)
     centroids.write.mode(mode).parquet(f"{root}/centroids")
     (
@@ -273,10 +299,16 @@ def semantic_dedup(
     The pair join is cluster-partitioned (equi-join on cluster_id), so
     comparisons are Σ|cluster|² — bounded by raising n_clusters, never
     all-pairs."""
-    assigned = kmeans_portable(df, n_clusters, iterations, vec_col, id_col).select(
-        F.col(id_col),
-        "cluster_id",
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    assigned = (
+        kmeans_portable(df, n_clusters, iterations, vec_col, id_col)
+        .select(
+            F.col(id_col),
+            "cluster_id",
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+        )
+        # the assignment feeds BOTH sides of the pair join and the final
+        # keep-join: materialize once or the whole clustering runs 3×
+        .localCheckpoint(eager=True)
     )
     a = assigned.select(
         F.col(id_col).alias("__ida"), F.col("cluster_id"), F.col("__v").alias("__va")

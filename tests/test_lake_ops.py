@@ -58,19 +58,25 @@ def test_lakehouse_stubs_raise_clearly(spark):
     import pytest
 
     from aws_saas_factory_multi_tenant_data_pipeline_spark.sources.lakehouse import (
+        CONNECTOR_PACKAGES,
         LakehouseUnavailable,
         read_delta,
         read_iceberg,
         read_kafka,
+        read_kinesis,
     )
 
     for fn, args in [
         (read_delta, (spark, "/tmp/nope")),
         (read_iceberg, (spark, "db.t")),
         (read_kafka, (spark, "localhost:9092", "t")),
+        (read_kinesis, (spark, "mtdp-stream", "us-east-1")),
     ]:
-        with pytest.raises(LakehouseUnavailable):
+        with pytest.raises(LakehouseUnavailable) as ei:
             fn(*args)
+        # the error must carry the exact package coordinate to fix it
+        assert "spark.jars.packages=" in str(ei.value)
+    assert set(CONNECTOR_PACKAGES) >= {"kafka", "kinesis", "delta", "iceberg", "hudi"}
 
 
 def test_dynamic_partition_overwrite_replay(spark, tmp_path):

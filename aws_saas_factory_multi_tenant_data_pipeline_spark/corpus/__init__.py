@@ -297,6 +297,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "text_encoding_audit",
     # r6 wave (driver round 5)
     "multimodal_png_decode",
+    "llm_bloom_decontaminate",
 )
 
 

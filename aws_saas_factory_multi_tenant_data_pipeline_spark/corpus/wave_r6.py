@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus import register
 from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus._util import t
 
+_DUCK_NORM = r"trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))"
+
 
 @register(
     "multimodal_png_decode",
@@ -92,3 +94,88 @@ def multimodal_png_decode(spark, sf_dir):
         F.element_at("feature", 4).cast("double").alias("mean_g"),
         F.element_at("feature", 5).cast("double").alias("mean_b"),
     ).orderBy("doc_id")
+
+
+# --- Bloom-filter decontamination (operators/bloom.py) ----------------------
+
+
+@register(
+    "llm_bloom_decontaminate",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split({_DUCK_NORM}, ' ') AS ws FROM documents),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(CASE WHEN len(ws) >= 8
+                        THEN list_transform(generate_series(1, len(ws) - 7),
+                                            i -> array_to_string(ws[i:i+7], ' '))
+                        ELSE [array_to_string(ws, ' ')] END) AS grams
+            FROM toks),
+        bench_g AS (
+            SELECT DISTINCT unnest(grams) AS g FROM sh WHERE doc_id % 17 = 0),
+        positions AS (
+            SELECT DISTINCT
+                   CAST(('0x' || substr(md5('dc:' || CAST(i AS VARCHAR) || ':' || g),
+                                        1, 13)) AS BIGINT) % 4096 AS pos
+            FROM bench_g, generate_series(0, 2) t(i)),
+        corpus_g AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+        ph AS (
+            SELECT doc_id, g,
+                   CAST(('0x' || substr(md5('dc:' || CAST(i AS VARCHAR) || ':' || g),
+                                        1, 13)) AS BIGINT) % 4096 AS pos
+            FROM corpus_g, generate_series(0, 2) t(i)),
+        pm AS (
+            SELECT doc_id, g,
+                   COUNT(*) FILTER (WHERE pos IN (SELECT pos FROM positions)) = 3
+                       AS maybe
+            FROM ph GROUP BY doc_id, g),
+        probed AS (
+            SELECT p.doc_id, p.maybe, (b.g IS NOT NULL) AS hit
+            FROM pm p LEFT JOIN bench_g b ON p.g = b.g)
+        SELECT doc_id,
+               COUNT(*) AS n_grams,
+               COUNT(*) FILTER (WHERE maybe) AS maybe_hits,
+               COUNT(*) FILTER (WHERE hit) AS true_hits,
+               COUNT(*) FILTER (WHERE maybe) = 0 AS is_clean
+        FROM probed
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    tags=("B10", "sketch"),
+    doc="Bloom-filter decontamination prefilter, oracle-checked INCLUDING "
+    "its false positives: an m=4096/k=3 filter is built over the "
+    "benchmark docs' (doc_id % 17 = 0) distinct word 8-grams with "
+    "md5-portable bit positions, every corpus 8-gram is probed through "
+    "the zero-shuffle broadcast form, and per doc the query reports "
+    "total/maybe/true hit counts. maybe >= true always (one-sided "
+    "error); the exact join runs only as the verification tail — the "
+    "100 TB shape where the sketch gates the shuffle. DuckDB rebuilds "
+    "the identical filter, so a single drifted bit position fails the "
+    "hash.",
+)
+def llm_bloom_decontaminate(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.bloom import (
+        build_bloom,
+        with_bloom_membership,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import (
+        with_shingle_col,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    sh = with_shingle_col(d, "text", k=8, out="__grams")
+    grams = sh.select("doc_id", F.explode("__grams").alias("g"))
+    bench = grams.where(F.col("doc_id") % 17 == 0).select("g").distinct()
+    bloom = build_bloom(bench, "g", m_bits=4096, k=3, seed="dc")
+    probed = with_bloom_membership(grams, "g", bloom, 4096, 3, "dc", out_col="maybe")
+    hit = probed.join(bench.withColumn("__th", F.lit(1)), "g", "left")
+    return (
+        hit.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("maybe"), 1)).alias("maybe_hits"),
+            F.count("__th").alias("true_hits"),
+            (F.count(F.when(F.col("maybe"), 1)) == 0).alias("is_clean"),
+        )
+        .orderBy("doc_id")
+    )

@@ -298,6 +298,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     # r6 wave (driver round 5)
     "multimodal_png_decode",
     "llm_bloom_decontaminate",
+    "sketch_hll_portable",
 )
 
 

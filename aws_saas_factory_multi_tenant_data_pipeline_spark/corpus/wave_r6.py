@@ -179,3 +179,70 @@ def llm_bloom_decontaminate(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --- portable HyperLogLog (operators/hll.py) --------------------------------
+
+
+def _hll_oracle() -> str:
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.hll import (
+        hll_oracle_sql,
+    )
+
+    inner = hll_oracle_sql(
+        "SELECT event_type, user_id FROM events",
+        key_expr="user_id",
+        group_expr="event_type",
+        p=8,
+        seed="hll",
+    )
+    return f"""
+        WITH hll AS ({inner}),
+        exact AS (
+            SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+            FROM events GROUP BY event_type)
+        SELECT e.event_type, e.exact_distinct,
+               h.registers_md5, h.n_empty, h.sum_units, h.hll_estimate
+        FROM exact e JOIN hll h ON e.event_type = h.grp
+        ORDER BY e.event_type
+    """
+
+
+@register(
+    "sketch_hll_portable",
+    oracle=_hll_oracle(),
+    tags=("B4", "B10", "sketch"),
+    doc="HyperLogLog distinct-count sketch, fully oracle-backed — the "
+    "upgrade the count-min row's doc promised: md5-derived 52-bit "
+    "hashes, p=8 registers built by one map-side-combined max-groupBy, "
+    "the harmonic sum kept in exact integer units (order-independent), "
+    "and the raw estimate emitted as ONE unrounded IEEE division. The "
+    "oracle replays registers (md5 of the whole sketch), empty-bucket "
+    "count, integer sum, and the estimate bit-for-bit; exact distincts "
+    "ride along so the error is visible in the graded rows. Merge-by-max "
+    "and duplicate-insensitivity are property-tested.",
+)
+def sketch_hll_portable(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.hll import (
+        hll_registers,
+        hll_summary,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    regs = hll_registers(ev, "user_id", ["event_type"], p=8, seed="hll")
+    summ = hll_summary(regs, ["event_type"], p=8)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        exact.join(summ, "event_type")
+        .select(
+            "event_type",
+            "exact_distinct",
+            "registers_md5",
+            "n_empty",
+            "sum_units",
+            "hll_estimate",
+        )
+        .orderBy("event_type")
+    )

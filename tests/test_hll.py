@@ -1,0 +1,64 @@
+"""Portable HyperLogLog: accuracy, merge-by-max, duplicate-insensitivity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.hll import (
+    hll_constants,
+    hll_merge,
+    hll_registers,
+    hll_summary,
+)
+
+
+def test_hll_constants_validation():
+    m, w, c = hll_constants(8)
+    assert (m, w) == (256, 44)
+    with pytest.raises(ValueError):
+        hll_constants(3)
+    with pytest.raises(ValueError):
+        hll_constants(17)
+
+
+def test_hll_estimate_within_expected_error(spark):
+    # p=8 → standard error 1.04/sqrt(256) ≈ 6.5%; assert 3 sigma
+    n = 20_000
+    df = spark.range(n).select(F.col("id").alias("k"))
+    est = hll_summary(hll_registers(df, "k"), p=8).collect()[0]["hll_estimate"]
+    assert abs(est - n) / n < 0.20, est
+
+
+def test_hll_duplicates_do_not_change_the_sketch(spark):
+    a = spark.range(5_000).select(F.col("id").alias("k"))
+    dup = a.unionByName(a).unionByName(a)
+    ra = {(r["bucket"], r["reg"]) for r in hll_registers(a, "k").collect()}
+    rd = {(r["bucket"], r["reg"]) for r in hll_registers(dup, "k").collect()}
+    assert ra == rd
+
+
+def test_hll_merge_equals_sketch_of_union(spark):
+    a = spark.range(0, 6_000).select(F.col("id").alias("k"))
+    b = spark.range(4_000, 11_000).select(F.col("id").alias("k"))  # overlap
+    merged = hll_merge(hll_registers(a, "k"), hll_registers(b, "k"))
+    direct = hll_registers(a.unionByName(b), "k")
+    rm = {(r["bucket"], r["reg"]) for r in merged.collect()}
+    rd = {(r["bucket"], r["reg"]) for r in direct.collect()}
+    assert rm == rd
+    # and the summary (estimate included) is therefore identical too
+    sm = hll_summary(merged).collect()[0]
+    sd = hll_summary(direct).collect()[0]
+    assert sm["registers_md5"] == sd["registers_md5"]
+    assert sm["hll_estimate"] == sd["hll_estimate"]
+
+
+def test_hll_nulls_ignored_and_grouping(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", None), ("b", 1)], "g string, k int"
+    )
+    out = {r["g"]: r for r in hll_summary(hll_registers(df, "k", ["g"]), ["g"]).collect()}
+    assert set(out) == {"a", "b"}
+    # group a saw 2 keys, group b saw 1 → different sketches
+    assert out["a"]["registers_md5"] != out["b"]["registers_md5"]
+    assert out["a"]["n_empty"] == 254 and out["b"]["n_empty"] == 255

@@ -81,11 +81,16 @@ GRADED_WINDOW: tuple[str, ...] = (
     "grouping_sets_mixed",
     "agg_having_filter_pack",
     "collect_list_sorted",
-    # B5 windows
+    # B5 windows (win_topk_per_group → tail in r5: the top-k-per-group
+    # shape is also driver-graded inside r5_pack's hard-negative branch —
+    # row_number over a per-anchor window, top 5 — and the three remaining
+    # window slots cover ranking/offset/frames; the freed slot gives the
+    # three r6 §2 rows (PNG decode, Bloom prefilter, portable HLL) a hard
+    # driver verdict via r6_pack)
     "win_rank_family",
     "win_lag_lead",
     "win_moving_frames",
-    "win_topk_per_group",
+    "r6_pack",
     # B6 sort/limit/set-ops (distinct_dropdup → tail in r5: its DISTINCT
     # semantics are also exercised by setop_family's UNION-distinct branch;
     # the freed slot gives five more r5 §2 rows a hard driver verdict)
@@ -147,6 +152,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     # still first in line if the window turns out to be time-bound
     "scan_project",
     "join_semi_anti",
+    "win_topk_per_group",
     "subq_exists_correlated",
     "tpch_q1_pricing_summary",
     "distinct_dropdup",
@@ -334,8 +340,8 @@ def load_all() -> dict[str, QuerySpec]:
         ext_llm_wave4,
         wave_r5,
         saas_ops_wave3,
-        window_r5,
         wave_r6,
+        window_r5,  # packs read other modules' oracles — import last
     )
 
     head = [n for n in GRADED_WINDOW + _TAIL_PRIORITY if n in REGISTRY]

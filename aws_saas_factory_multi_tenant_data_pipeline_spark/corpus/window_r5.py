@@ -35,6 +35,7 @@ from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus import (  # noqa: 
     ext_llm_wave4,
     saas_ops,
     saas_ops_wave2,
+    wave_r6,
 )
 from aws_saas_factory_multi_tenant_data_pipeline_spark.functions import dsum, sql_dsum
 
@@ -245,4 +246,84 @@ def lake_pack(spark, sf_dir):
         .unionByName(tt_rows)
         .unionByName(evo_rows)
         .orderBy("kind", "k")
+    )
+
+
+@register(
+    "r6_pack",
+    oracle=f"""
+        WITH png AS ({_oracle("multimodal_png_decode")}),
+        bloom AS ({_oracle("llm_bloom_decontaminate")}),
+        hll AS ({_oracle("sketch_hll_portable")}),
+        png_rows AS (
+            SELECT 'png' AS kind, CAST(doc_id AS VARCHAR) AS k,
+                   w * 1000 + h AS n,
+                   mean_r + 256.0 * mean_g + 65536.0 * mean_b AS val
+            FROM png WHERE decoded),
+        bloom_rows AS (
+            SELECT 'bloom' AS kind, CAST(doc_id % 16 AS VARCHAR) AS k,
+                   CAST(SUM(n_grams) AS BIGINT) AS n,
+                   CAST(SUM(maybe_hits) * 100000 + SUM(true_hits) AS DOUBLE) AS val
+            FROM bloom GROUP BY 2),
+        hll_rows AS (
+            SELECT 'hll' AS kind, event_type AS k,
+                   sum_units AS n, hll_estimate AS val
+            FROM hll
+            UNION ALL
+            SELECT 'hll_sketch', event_type,
+                   n_empty,
+                   CAST(CAST(('0x' || substr(registers_md5, 1, 13)) AS BIGINT) AS DOUBLE)
+            FROM hll)
+        SELECT kind, k, n, val FROM png_rows
+        UNION ALL SELECT kind, k, n, val FROM bloom_rows
+        UNION ALL SELECT kind, k, n, val FROM hll_rows
+        ORDER BY kind, k
+    """,
+    tags=("B4", "B10", "pack"),
+    doc="Round-6 pack — one driver slot covering three new §2 rows: real "
+    "PNG decode (per-doc channel means folded into one checksum value, "
+    "decoded=TRUE rows only so a stub fall-through empties the branch "
+    "and fails rows), Bloom-filter decontamination (per-bucket gram/"
+    "maybe/true-hit sums — false positives included), and the portable "
+    "HyperLogLog (exact integer harmonic sums, unrounded IEEE estimates, "
+    "and the register-array md5 re-hashed to a number). Components "
+    "reused verbatim, oracle composed from their SQL.",
+)
+def r6_pack(spark, sf_dir):
+    png = _fn("multimodal_png_decode")(spark, sf_dir)
+    png_rows = png.where(F.col("decoded")).select(
+        F.lit("png").alias("kind"),
+        F.col("doc_id").cast("string").alias("k"),
+        (F.col("w") * 1000 + F.col("h")).alias("n"),
+        (
+            F.col("mean_r") + F.lit(256.0) * F.col("mean_g") + F.lit(65536.0) * F.col("mean_b")
+        ).alias("val"),
+    )
+    bloom = _fn("llm_bloom_decontaminate")(spark, sf_dir)
+    bloom_rows = (
+        bloom.groupBy((F.col("doc_id") % 16).cast("string").alias("k"))
+        .agg(
+            F.sum("n_grams").alias("n"),
+            (F.sum("maybe_hits") * 100000 + F.sum("true_hits")).cast("double").alias("val"),
+        )
+        .select(F.lit("bloom").alias("kind"), "k", "n", "val")
+    )
+    hll = _fn("sketch_hll_portable")(spark, sf_dir)
+    hll_rows = hll.select(
+        F.lit("hll").alias("kind"),
+        F.col("event_type").alias("k"),
+        F.col("sum_units").alias("n"),
+        F.col("hll_estimate").alias("val"),
+    ).unionByName(
+        hll.select(
+            F.lit("hll_sketch").alias("kind"),
+            F.col("event_type").alias("k"),
+            F.col("n_empty").alias("n"),
+            F.conv(F.substring("registers_md5", 1, 13), 16, 10)
+            .cast("double")
+            .alias("val"),
+        )
+    )
+    return (
+        png_rows.unionByName(bloom_rows).unionByName(hll_rows).orderBy("kind", "k")
     )

@@ -305,6 +305,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "multimodal_png_decode",
     "llm_bloom_decontaminate",
     "sketch_hll_portable",
+    "multimodal_image_ahash_dedup",
 )
 
 

@@ -246,3 +246,96 @@ def sketch_hll_portable(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# --- image near-dup via perceptual average-hash (operators/multimodal.py) ---
+
+_AHASH_BIT_SQL = (
+    "CASE WHEN j = 63 THEN -9223372036854775808 "
+    "ELSE CAST(1 AS BIGINT) << j END"
+)
+
+
+@register(
+    "multimodal_image_ahash_dedup",
+    oracle=f"""
+        WITH docs AS (
+            SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS variant
+            FROM documents WHERE doc_id < 200),
+        g AS (
+            SELECT doc_id, j,
+                   (base * 37 + (32 * (j // 8) + 2 * (j % 8)) * 11
+                    + CASE WHEN 32 * (j // 8) + 2 * (j % 8) < 2 * variant
+                           THEN 128 ELSE 0 END) % 256 AS gv
+            FROM docs, generate_series(0, 63) t(j)),
+        m AS (
+            SELECT doc_id, CAST(SUM(gv) AS BIGINT) // 64 AS mean
+            FROM g GROUP BY doc_id),
+        hashes AS (
+            SELECT g.doc_id,
+                   CAST(SUM(CASE WHEN gv > mean THEN {_AHASH_BIT_SQL}
+                            ELSE 0 END) AS BIGINT) AS ahash
+            FROM g JOIN m ON g.doc_id = m.doc_id
+            GROUP BY g.doc_id),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.ahash, b.ahash)) AS hamming
+            FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id)
+        SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+        FROM pairs WHERE hamming <= 3
+        ORDER BY id_a, id_b
+    """,
+    tags=("B10", "multimodal", "dedup"),
+    doc="Image-level near-dup detection (the LAION-style corpus dedup "
+    "primitive), end-to-end through REAL codecs: per doc a 16x16 "
+    "grayscale PNG is synthesized from an integer formula (groups of 4 "
+    "near-identical variants), encoded with the stdlib PNG writer, "
+    "decoded back by the stdlib parser inside Arrow mapInPandas, and "
+    "perceptually hashed (average-hash: integer gray, NN-subsample, "
+    "floor-mean threshold). Candidate pairs come from an exact 16-bit "
+    "band equi-join — complete for hamming <= 3 by pigeonhole, never "
+    "all-pairs — and xor-popcount verifies. The oracle computes every "
+    "expected hash bit ANALYTICALLY from the synthesis formula (it "
+    "never sees a PNG byte), so a single decode or hash defect anywhere "
+    "in the chain changes the pair set.",
+)
+def multimodal_image_ahash_dedup(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        ahash_near_duplicates,
+        with_average_hash,
+    )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 200).select("doc_id")
+
+    @F.pandas_udf("binary")
+    def mk_png(doc_id: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+            encode_png,
+        )
+
+        out = []
+        for did in doc_id:
+            did = int(did)
+            base, variant = did // 4, did % 4
+            i = np.arange(256, dtype=np.int64)
+            v = (base * 37 + i * 11 + np.where(i < 2 * variant, 128, 0)) % 256
+            px = v.astype(np.uint8).reshape(16, 16, 1).repeat(3, axis=2)
+            out.append(encode_png(px))
+        return pd.Series(out)
+
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        mk_png("doc_id").alias("payload"),
+        F.lit(None)
+        .cast("struct<width:int,height:int,sample_rate:int,n_frames:int,mime:string>")
+        .alias("meta"),
+    )
+    hashes = with_average_hash(media)
+    return (
+        ahash_near_duplicates(hashes, max_hamming=3)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )

@@ -440,6 +440,126 @@ def resample_audio(media: DataFrame, target_sr: int) -> DataFrame:
     return media.mapInPandas(op, MEDIA_SCHEMA)
 
 
+def average_hash(payload: bytes, hash_size: int = 8) -> int:
+    """Perceptual average-hash of an image payload (PPM or PNG): decode,
+    integer grayscale ``(r+g+b) // 3``, nearest-neighbor subsample to
+    ``hash_size²`` pixels (the same ``(dst*src)//dst`` index map as
+    resize), then one bit per pixel — set iff the pixel exceeds the FLOOR
+    mean. Every step is integer arithmetic, so for a synthesized image
+    the expected hash is computable in plain SQL and the corpus query
+    oracle-checks the bits (`multimodal_image_ahash_dedup`).
+
+    This is the image-level near-dup primitive (LAION-style corpus
+    dedup): near-identical images differ in few bits, and candidate
+    pairs come from exact-matching 16-bit bands of the hash — hamming
+    distance ≤ 3 GUARANTEES a shared band (pigeonhole over 4 bands), so
+    the banded equi-join finds every pair the threshold admits without
+    an all-pairs comparison."""
+    import numpy as np
+
+    if payload[:8] == _PNG_SIG:
+        px, w, h = decode_png(payload)
+    else:
+        px, w, h = decode_ppm(payload)
+    gray = px.astype(np.int64).sum(axis=2) // 3
+    ys = (np.arange(hash_size) * h) // hash_size
+    xs = (np.arange(hash_size) * w) // hash_size
+    g = gray[ys][:, xs].reshape(-1)
+    mean = int(g.sum()) // g.size
+    bits = 0
+    for i, v in enumerate(g.tolist()):
+        if v > mean:
+            bits |= 1 << i
+    # two's-complement signed 64-bit: hash bit 63 must survive a LongType
+    # column (and the SQL oracle builds the same signed value, bit 63
+    # contributing -2^63) — xor/and/popcount are representation-identical
+    if bits & (1 << 63):
+        bits -= 1 << 64
+    return bits
+
+
+def with_average_hash(
+    media: DataFrame, hash_size: int = 8, out_col: str = "ahash"
+) -> DataFrame:
+    """Arrow-batched aHash column over MEDIA_SCHEMA rows; rows whose
+    payload cannot be decoded get NULL (the stub formats)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def h(p):
+                try:
+                    return average_hash(bytes(p), hash_size)
+                except Exception:
+                    return None
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    out_col: pdf["payload"].map(h),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField(out_col, T.LongType(), True),
+        ]
+    )
+    return media.mapInPandas(op, schema)
+
+
+def ahash_near_duplicates(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "ahash",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with hamming(hash_a, hash_b) ≤
+    ``max_hamming`` over 64-bit aHashes. Candidates come from an exact
+    equi-join on 16-bit bands — complete for max_hamming ≤ 3 (pigeonhole
+    over the 4 bands) — then the xor-popcount verifies. Never all-pairs;
+    the shuffle key is (band_idx, band_value)."""
+    if not 0 <= max_hamming <= 3:
+        raise ValueError("band guarantee holds for max_hamming in [0, 3]")
+    h = hashes.where(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("__id"), F.col(hash_col).alias("__h")
+    )
+    banded = h.select(
+        "__id",
+        "__h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright(F.col("__h"), 16 * b)
+                        .bitwiseAND(0xFFFF)
+                        .alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bv"),
+    ).select("__id", "__h", F.col("bv.band_idx"), F.col("bv.band_val"))
+    a = banded.select(
+        F.col("__id").alias("id_a"), F.col("__h").alias("__ha"), "band_idx", "band_val"
+    )
+    b = banded.select(
+        F.col("__id").alias("id_b"), F.col("__h").alias("__hb"), "band_idx", "band_val"
+    )
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling plumbing for video rows: one output row per sampled frame."""
     n_frames = F.coalesce(F.col("meta.n_frames"), F.lit(0))

@@ -173,3 +173,58 @@ def test_png_through_feature_and_resize_operators(spark):
     px, w, h = decode_png(bytes(resized[1]["payload"]))
     assert (w, h) == (2, 1)
     assert bytes(resized[2]["payload"]) == b"\xffJPEG-ish junk"
+
+
+def test_average_hash_identical_and_perturbed(spark):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        average_hash,
+    )
+
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    h1 = average_hash(encode_png(px))
+    h2 = average_hash(encode_png(px.copy()))
+    assert h1 == h2  # content-determined
+    assert -(1 << 63) <= h1 < (1 << 63)  # signed-64 range (LongType-safe)
+    # a strong local perturbation flips few bits
+    px2 = px.copy()
+    px2[0, 0] = 255 - px2[0, 0]
+    h3 = average_hash(encode_png(px2))
+    assert bin((h1 ^ h3) & ((1 << 64) - 1)).count("1") <= 4
+
+
+def test_ahash_band_join_complete_vs_bruteforce(spark):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        ahash_near_duplicates,
+    )
+
+    # random signed-64 hashes with planted near-dups
+    import random
+
+    rnd = random.Random(42)
+
+    def signed(u):
+        return u - (1 << 64) if u & (1 << 63) else u
+
+    rows = []
+    base_hashes = [rnd.getrandbits(64) for _ in range(40)]
+    i = 0
+    for hb in base_hashes:
+        rows.append((i, signed(hb)))
+        i += 1
+        flipped = hb ^ (1 << rnd.randrange(64)) ^ (1 << rnd.randrange(64))
+        rows.append((i, signed(flipped)))  # hamming ≤ 2 from its base
+        i += 1
+    df = spark.createDataFrame(rows, "media_id long, ahash long")
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in ahash_near_duplicates(df, max_hamming=3).collect()
+    }
+    # brute force reference
+    want = set()
+    for a in range(len(rows)):
+        for b in range(a + 1, len(rows)):
+            d = bin((rows[a][1] ^ rows[b][1]) & ((1 << 64) - 1)).count("1")
+            if d <= 3:
+                want.add((rows[a][0], rows[b][0], d))
+    assert got == want and len(want) >= 40  # every planted pair found

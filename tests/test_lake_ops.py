@@ -524,3 +524,58 @@ def test_optimize_table_compacts_clusters_and_indexes(spark, tmp_path, sf_smoke)
         assert files_read < files_total
     expected = o.where((F.col("o_orderkey") >= 10) & (F.col("o_orderkey") <= 60)).count()
     assert df.count() == expected
+
+
+def test_reprocess_quarantine_large_remainder(spark, tmp_path):
+    """A poisoned day: thousands of unrecoverable records survive the
+    redrive. The rewrite must go through Spark (no driver round-trip) and
+    the surviving quarantine must be byte-complete after the dir swap."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.ingest import ingest_batch
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.lake import (
+        reprocess_quarantine,
+        write_lake,
+        write_quarantine,
+    )
+
+    root = str(tmp_path / "redrive_big")
+    n_bad = 5000
+    raw = spark.range(n_bad + 10).select(
+        F.lit("t1").alias("tenant_id"),
+        F.when(
+            F.col("id") < 10,
+            F.to_json(
+                F.struct(
+                    F.struct(
+                        F.lit(123).alias("device"),  # coerced type → recoverable
+                        F.concat(F.lit("e"), F.col("id").cast("string")).alias("event"),
+                        F.lit("US").alias("region"),
+                    ).alias("Data")
+                )
+            ),
+        )
+        .otherwise(F.concat(F.lit("{broken json "), F.col("id").cast("string")))
+        .alias("raw"),
+    )
+    res = ingest_batch(raw, ingest_ts=1700000000)
+    write_lake(res.valid, root) if res.valid.count() else None
+    write_quarantine(res.quarantine, root, "validation-failed")
+    q0 = spark.read.json(os.path.join(root, "error", "validation-failed"))
+    assert q0.count() == n_bad + 10
+
+    n_rec, n_rem = reprocess_quarantine(
+        spark, root, strict_types=False, ingest_ts=1700000000
+    )
+    assert (n_rec, n_rem) == (10, n_bad)
+    left = spark.read.json(os.path.join(root, "error", "validation-failed"))
+    assert left.count() == n_bad
+    # every surviving raw record is intact (checksum over the payloads)
+    n_distinct = left.select("raw_record").distinct().count()
+    assert n_distinct == n_bad
+    # re-run: nothing recoverable, remainder stable
+    assert reprocess_quarantine(
+        spark, root, strict_types=False, ingest_ts=1700000000
+    ) == (0, n_bad)

@@ -306,6 +306,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "llm_bloom_decontaminate",
     "sketch_hll_portable",
     "multimodal_image_ahash_dedup",
+    "ingest_warc_roundtrip",
 )
 
 

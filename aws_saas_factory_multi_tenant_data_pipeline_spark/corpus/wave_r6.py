@@ -339,3 +339,94 @@ def multimodal_image_ahash_dedup(spark, sf_dir):
         .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
         .orderBy("id_a", "id_b")
     )
+
+
+# --- WARC ingest roundtrip (sources/warc.py) --------------------------------
+
+_HTTP_PREFIX = b"HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8\r\n\r\n"
+
+
+@register(
+    "ingest_warc_roundtrip",
+    oracle=f"""
+        SELECT doc_id,
+               'http://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+               'response' AS warc_type,
+               200 AS status,
+               CAST({len(_HTTP_PREFIX)} + strlen(text) AS BIGINT) AS content_length,
+               CAST(strlen(text) AS BIGINT) AS body_bytes,
+               md5(text) AS body_md5
+        FROM documents WHERE doc_id < 300
+        ORDER BY doc_id
+    """,
+    tags=("B1", "B10", "multimodal"),
+    doc="WARC (ISO 28500 / Common Crawl) ingest roundtrip: per batch the "
+    "docs are framed as HTTP-response WARC records, compressed in the "
+    "Common Crawl per-record-gzip-member layout, then the stream goes "
+    "back through the REAL reader chain (gzip member walk -> record "
+    "parser -> HTTP envelope split) inside one Arrow pass. The oracle "
+    "states every recovered field analytically from the documents table "
+    "— URI, WARC type, HTTP status, Content-Length (header prefix + "
+    "UTF-8 body bytes), body byte count, body md5 — so any framing or "
+    "decompression defect changes the hash. The distributed "
+    "one-binaryFile-task-per-archive reader is exercised on real files "
+    "in tests/test_warc.py.",
+)
+def ingest_warc_roundtrip(spark, sf_dir):
+    import gzip as _gzip
+    import hashlib as _hashlib
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.sources.warc import (
+        build_warc,
+        gunzip_members,
+        http_response_body,
+        parse_warc_records,
+    )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 300).select(
+        "doc_id", "text"
+    )
+
+    def roundtrip(batches):
+        for pdf in batches:
+            recs = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                body = (text or "").encode("utf-8")
+                recs.append(
+                    {
+                        "warc_type": "response",
+                        "target_uri": f"http://corpus.example/doc/{int(did)}",
+                        "warc_date": "2026-01-01T00:00:00Z",
+                        "record_id": f"<urn:uuid:doc-{int(did)}>",
+                        "content_type": "application/http;msgtype=response",
+                        "block": _HTTP_PREFIX + body,
+                    }
+                )
+            blob = b"".join(_gzip.compress(build_warc([r])) for r in recs)
+            rows = []
+            for r in parse_warc_records(gunzip_members(blob)):
+                status, body = http_response_body(r["block"])
+                rows.append(
+                    {
+                        "doc_id": int(r["target_uri"].rsplit("/", 1)[1]),
+                        "uri": r["target_uri"],
+                        "warc_type": r["warc_type"],
+                        "status": status,
+                        "content_length": r["content_length"],
+                        "body_bytes": len(body),
+                        "body_md5": _hashlib.md5(body).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "uri", "warc_type", "status",
+                    "content_length", "body_bytes", "body_md5",
+                ],
+            )
+
+    schema = (
+        "doc_id long, uri string, warc_type string, status int, "
+        "content_length long, body_bytes long, body_md5 string"
+    )
+    return d.mapInPandas(roundtrip, schema).orderBy("doc_id")

@@ -1,0 +1,110 @@
+"""WARC ingest: spec-literal parsing, gzip members, HTTP split, the
+distributed reader, and error framing (torn records become error rows)."""
+
+from __future__ import annotations
+
+import gzip
+
+from aws_saas_factory_multi_tenant_data_pipeline_spark.sources.warc import (
+    build_warc,
+    gunzip_members,
+    http_response_body,
+    parse_warc_records,
+    read_warc,
+)
+
+# hand-written straight from ISO 28500 examples — independent of build_warc
+_SPEC_BYTES = (
+    b"WARC/1.0\r\n"
+    b"WARC-Type: response\r\n"
+    b"WARC-Record-ID: <urn:uuid:aaaa-bbbb>\r\n"
+    b"WARC-Date: 2024-01-02T03:04:05Z\r\n"
+    b"WARC-Target-URI: http://example.com/a\r\n"
+    b"Content-Type: application/http;msgtype=response\r\n"
+    b"Content-Length: 56\r\n"
+    b"\r\n"
+    b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\nhello warc\n"
+    b"\r\n\r\n"
+    b"WARC/1.0\r\n"
+    b"WARC-Type: warcinfo\r\n"
+    b"WARC-Record-ID: <urn:uuid:cccc-dddd>\r\n"
+    b"WARC-Date: 2024-01-02T03:04:05Z\r\n"
+    b"Content-Type: application/warc-fields\r\n"
+    b"Content-Length: 20\r\n"
+    b"\r\n"
+    b"software: test/0.1\r\n"
+    b"\r\n\r\n"
+)
+
+
+def test_parse_spec_literal_records():
+    recs = parse_warc_records(_SPEC_BYTES)
+    assert len(recs) == 2
+    r0, r1 = recs
+    assert r0["warc_type"] == "response"
+    assert r0["target_uri"] == "http://example.com/a"
+    assert r0["content_length"] == 56
+    assert r0["parse_error"] is None
+    status, body = http_response_body(r0["block"])
+    assert status == 200 and body == b"hello warc\n"
+    assert r1["warc_type"] == "warcinfo" and r1["block"] == b"software: test/0.1\r\n"
+
+
+def test_torn_record_becomes_error_row_not_crash():
+    recs = parse_warc_records(_SPEC_BYTES[:100])  # cut inside record 0's block
+    assert recs[-1]["parse_error"] is not None
+    recs2 = parse_warc_records(b"GARBAGE")
+    assert recs2[0]["parse_error"] is not None
+
+
+def test_gzip_member_concatenation_roundtrip():
+    recs = parse_warc_records(_SPEC_BYTES)
+    # Common Crawl layout: each record is its own gzip member
+    one = build_warc([{**recs[0], "record_id": recs[0]["record_id"]}])
+    two = build_warc([{**recs[1], "record_id": recs[1]["record_id"]}])
+    gz = gzip.compress(one) + gzip.compress(two)
+    assert gunzip_members(gz) == one + two
+    back = parse_warc_records(gunzip_members(gz))
+    assert [r["warc_type"] for r in back] == ["response", "warcinfo"]
+    # plain bytes pass through
+    assert gunzip_members(one) == one
+
+
+def test_build_then_parse_roundtrip_exact_fields():
+    records = [
+        {
+            "warc_type": "response",
+            "target_uri": f"http://example.com/{i}",
+            "warc_date": "2024-06-01T00:00:00Z",
+            "record_id": f"<urn:uuid:{i}>",
+            "content_type": "application/http;msgtype=response",
+            "block": f"HTTP/1.1 200 OK\r\n\r\nbody-{i}".encode(),
+        }
+        for i in range(5)
+    ]
+    back = parse_warc_records(build_warc(records))
+    assert [r["target_uri"] for r in back] == [r["target_uri"] for r in records]
+    assert all(r["parse_error"] is None for r in back)
+    assert [http_response_body(r["block"])[1] for r in back] == [
+        f"body-{i}".encode() for i in range(5)
+    ]
+
+
+def test_read_warc_distributed(spark, tmp_path):
+    # two archive files: one plain, one gzip-per-record, plus a junk file
+    recs = parse_warc_records(_SPEC_BYTES)
+    (tmp_path / "a.warc").write_bytes(_SPEC_BYTES)
+    gz = b"".join(gzip.compress(build_warc([r])) for r in recs)
+    (tmp_path / "b.warc.gz").write_bytes(gz)
+    (tmp_path / "c.warc").write_bytes(b"not a warc at all")
+    out = read_warc(spark, str(tmp_path)).collect()
+    by_file = {}
+    for r in out:
+        by_file.setdefault(r["source_file"].rsplit("/", 1)[-1], []).append(r)
+    assert len(by_file["a.warc"]) == 2 and len(by_file["b.warc.gz"]) == 2
+    assert {r["warc_type"] for r in by_file["a.warc"]} == {"response", "warcinfo"}
+    assert all(r["parse_error"] is None for r in by_file["a.warc"])
+    # the junk file yields exactly one quarantinable error row
+    errs = by_file["c.warc"]
+    assert len(errs) == 1 and errs[0]["parse_error"] is not None
+    assert errs[0]["warc_type"] is None

@@ -307,6 +307,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "sketch_hll_portable",
     "multimodal_image_ahash_dedup",
     "ingest_warc_roundtrip",
+    "text_html_extract",
 )
 
 

@@ -430,3 +430,66 @@ def ingest_warc_roundtrip(spark, sf_dir):
         "content_length long, body_bytes long, body_md5 string"
     )
     return d.mapInPandas(roundtrip, schema).orderBy("doc_id")
+
+
+# --- HTML -> text extraction (operators/html.py) ----------------------------
+
+
+def _html_extract_oracle() -> str:
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.html import (
+        html_to_text_sql,
+    )
+
+    html_expr = (
+        "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>"
+        "<style>p {color: red}</style></head><body>"
+        "<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>"
+        "<script>var x = 1 < 2 &amp;&amp; \"<p>ignore</p>\";</script>"
+        "<!-- crawler boilerplate -->"
+        "<p>' || text || '</p><div>footer &amp; fine print &nbsp;&copy;</div>"
+        "</body></html>'"
+    )
+    return f"""
+        SELECT doc_id,
+               md5({html_to_text_sql(html_expr)}) AS text_md5,
+               CAST(strlen({html_to_text_sql(html_expr)}) AS BIGINT) AS text_bytes
+        FROM documents WHERE doc_id < 300
+        ORDER BY doc_id
+    """
+
+
+@register(
+    "text_html_extract",
+    oracle=_html_extract_oracle(),
+    tags=("B10", "text"),
+    doc="HTML-to-text extraction (the WARC-body -> corpus-text stage): "
+    "each doc is wrapped in a synthetic page (head/title/style/script "
+    "blocks, comments, block tags, entities), and the deterministic "
+    "regexp extraction chain (operators/html.py — drop non-content "
+    "subtrees, block tags to newlines, strip tags, decode entities, "
+    "collapse whitespace) runs at scan speed inside codegen. The DuckDB "
+    "twin is GENERATED from the same constant tables, and the oracle "
+    "compares md5 + byte length of the extracted text char-for-char.",
+)
+def text_html_extract(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.html import (
+        html_to_text,
+    )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><style>p {color: red}</style></head><body><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit('</h1><script>var x = 1 < 2 &amp;&amp; "<p>ignore</p>";</script>'),
+        F.lit("<!-- crawler boilerplate --><p>"),
+        F.col("text"),
+        F.lit("</p><div>footer &amp; fine print &nbsp;&copy;</div></body></html>"),
+    )
+    extracted = html_to_text(html)
+    return d.select(
+        "doc_id",
+        F.md5(extracted).alias("text_md5"),
+        F.octet_length(extracted).cast("long").alias("text_bytes"),
+    ).orderBy("doc_id")

@@ -1,0 +1,57 @@
+"""HTML-to-text extraction: unit semantics + Spark↔DuckDB twin equality."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.html import (
+    html_to_text,
+    html_to_text_sql,
+)
+
+CASES = [
+    # script/style/head dropped wholesale, including markup inside them
+    '<head><title>T</title></head><body><script>if (a<b) {"<p>x"}</script>Hello</body>',
+    # block tags become newlines; inline tags become spaces
+    "<div>para one</div><p>para <b>two</b></p><h2>heading</h2>tail",
+    # entities decode once, &amp; last
+    "a &lt;tag&gt; &quot;q&quot; &#39;s&#39; &nbsp; b &amp;amp; c",
+    # comments and attributes
+    '<!-- hidden -->visible <a href="http://x?a=1&amp;b=2">link</a> end',
+    # whitespace collapse across newlines
+    "<p>  spaced   out </p>\n\n<p>next</p>",
+    # plain text passes through
+    "no markup at all",
+]
+
+
+def test_html_to_text_semantics(spark):
+    df = spark.createDataFrame([(i, h) for i, h in enumerate(CASES)], "i int, h string")
+    got = {r["i"]: r["t"] for r in df.select("i", html_to_text(F.col("h")).alias("t")).collect()}
+    assert got[0] == "Hello"
+    assert got[1] == "para one\npara two\nheading\ntail"
+    assert got[2] == "a <tag> \"q\" 's' b &amp; c"
+    assert got[3] == "visible link end"
+    assert got[4] == "spaced out\nnext"
+    assert got[5] == "no markup at all"
+
+
+def test_twin_matches_duckdb_char_for_char(spark):
+    df = spark.createDataFrame([(i, h) for i, h in enumerate(CASES)], "i int, h string")
+    got = [
+        r["t"]
+        for r in df.select("i", html_to_text(F.col("h")).alias("t"))
+        .orderBy("i")
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE c(i INT, h VARCHAR)")
+    con.executemany("INSERT INTO c VALUES (?, ?)", list(enumerate(CASES)))
+    want = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {html_to_text_sql('h')} FROM c ORDER BY i"
+        ).fetchall()
+    ]
+    assert got == want

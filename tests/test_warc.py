@@ -108,3 +108,88 @@ def test_read_warc_distributed(spark, tmp_path):
     errs = by_file["c.warc"]
     assert len(errs) == 1 and errs[0]["parse_error"] is not None
     assert errs[0]["warc_type"] is None
+
+
+def test_crawl_prep_end_to_end(spark, tmp_path):
+    """The Common Crawl story in one chain: WARC archives on disk →
+    distributed record read → HTTP body split → HTML-to-text extraction →
+    normalization → exact dedup. Every stage is the real operator."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import (
+        exact_dedup,
+        normalize_text,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.html import (
+        html_to_text,
+    )
+
+    # 3 archives x 4 pages; pages 2 and 6 are exact duplicates after
+    # extraction (same body, different chrome), page 11 is a 404
+    def page(i, body):
+        # visible text must not embed i — the dup pair (2, 6) relies on
+        # identical post-extraction content; i lives only in dropped chrome
+        return (
+            f"<html><head><title>p{i}</title><style>.x{{}}</style></head>"
+            f"<body><h1>Welcome</h1><p>{body}</p>"
+            f"<script>track({i})</script></body></html>"
+        )
+
+    bodies = {i: f"unique content {i}" for i in range(12)}
+    bodies[6] = bodies[2]
+    recs_by_file = {}
+    for i in range(12):
+        status = "404 Not Found" if i == 11 else "200 OK"
+        http = (
+            f"HTTP/1.1 {status}\r\nContent-Type: text/html\r\n\r\n"
+            + page(i, bodies[i])
+        ).encode()
+        recs_by_file.setdefault(i // 4, []).append(
+            {
+                "warc_type": "response",
+                "target_uri": f"http://site{i % 3}.test/p/{i}",
+                "warc_date": "2026-02-03T00:00:00Z",
+                "record_id": f"<urn:uuid:p{i}>",
+                "content_type": "application/http;msgtype=response",
+                "block": http,
+            }
+        )
+    for fidx, recs in recs_by_file.items():
+        (tmp_path / f"crawl-{fidx}.warc.gz").write_bytes(
+            b"".join(gzip.compress(build_warc([r])) for r in recs)
+        )
+
+    records = read_warc(spark, str(tmp_path))
+
+    @F.pandas_udf("struct<status:int, body:string>")
+    def split_http(block):
+        import pandas as pd
+
+        out = []
+        for b in block:
+            s, body = http_response_body(bytes(b))
+            out.append({"status": s, "body": body.decode("utf-8", "replace")})
+        return pd.DataFrame(out)
+
+    pages = (
+        records.where(F.col("warc_type") == "response")
+        .withColumn("http", split_http("block"))
+        .where(F.col("http.status") == 200)  # drop the 404
+        .select(
+            "target_uri",
+            html_to_text(F.col("http.body")).alias("text"),
+        )
+        .withColumn("text", normalize_text(F.col("text")))
+    )
+    assert pages.count() == 11
+    # extraction removed all chrome (title/style/script/h1-number)
+    texts = {r["target_uri"]: r["text"] for r in pages.collect()}
+    assert texts["http://site0.test/p/0"] == "welcome unique content 0"
+    assert texts["http://site2.test/p/2"] == texts["http://site0.test/p/6"]
+    # dedup keeps one survivor per exact text (min id = lexicographic URI)
+    deduped = exact_dedup(pages, text_col="text", id_col="target_uri")
+    kept = {r["target_uri"] for r in deduped.collect()}
+    assert len(kept) == 10
+    assert "http://site0.test/p/6" in kept and "http://site2.test/p/2" not in kept

@@ -308,6 +308,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "multimodal_image_ahash_dedup",
     "ingest_warc_roundtrip",
     "text_html_extract",
+    "url_canonicalize_dedup",
 )
 
 

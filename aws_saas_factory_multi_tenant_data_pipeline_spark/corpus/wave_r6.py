@@ -493,3 +493,95 @@ def text_html_extract(spark, sf_dir):
         F.md5(extracted).alias("text_md5"),
         F.octet_length(extracted).cast("long").alias("text_bytes"),
     ).orderBy("doc_id")
+
+
+# --- URL canonicalization dedup (operators/urlnorm.py) ----------------------
+
+
+def _url_canon_oracle() -> str:
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.urlnorm import (
+        canonicalize_url_sql,
+    )
+
+    variants = """
+        SELECT doc_id, doc_id // 4 AS page,
+               CASE doc_id % 4
+                 WHEN 0 THEN 'http://site' || CAST((doc_id // 4) % 7 AS VARCHAR)
+                      || '.example/p/' || CAST(doc_id // 4 AS VARCHAR)
+                      || '?a=1&b=' || CAST(doc_id // 4 AS VARCHAR)
+                 WHEN 1 THEN 'HTTP://SITE' || CAST((doc_id // 4) % 7 AS VARCHAR)
+                      || '.EXAMPLE/p/' || CAST(doc_id // 4 AS VARCHAR)
+                      || '?a=1&b=' || CAST(doc_id // 4 AS VARCHAR) || '#frag'
+                 WHEN 2 THEN 'http://site' || CAST((doc_id // 4) % 7 AS VARCHAR)
+                      || '.example:80/p/' || CAST(doc_id // 4 AS VARCHAR)
+                      || '?b=' || CAST(doc_id // 4 AS VARCHAR) || '&a=1'
+                 ELSE 'http://site' || CAST((doc_id // 4) % 7 AS VARCHAR)
+                      || '.example/p/' || CAST(doc_id // 4 AS VARCHAR)
+                      || '?utm_campaign=z&a=1&b=' || CAST(doc_id // 4 AS VARCHAR)
+               END AS url
+        FROM documents WHERE doc_id < 400
+    """
+    return f"""
+        WITH v AS ({variants}),
+        canon AS (SELECT doc_id, {canonicalize_url_sql("url")} AS curl FROM v)
+        SELECT curl, COUNT(*) AS n_variants,
+               CAST(MIN(doc_id) AS BIGINT) AS first_doc
+        FROM canon
+        GROUP BY curl
+        ORDER BY curl
+    """
+
+
+@register(
+    "url_canonicalize_dedup",
+    oracle=_url_canon_oracle(),
+    tags=("B10", "text"),
+    doc="URL-level dedup (the stage BEFORE content dedup in a crawl "
+    "pipeline): four messy variants per page — case-variant scheme/host "
+    "with a fragment, default :80 port with shuffled query params, and "
+    "utm tracking params — all collapse to one canonical URL (lowercased "
+    "authority, fragment/port/tracking stripped, params sorted). Every "
+    "step is a built-in string expression at scan speed; the DuckDB twin "
+    "is GENERATED from the same patterns, so the oracle pins the mapping "
+    "character-for-character and each canonical group counts exactly its "
+    "4 variants.",
+)
+def url_canonicalize_dedup(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.urlnorm import (
+        canonicalize_url,
+    )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    page = (F.col("doc_id") / 4).cast("long").cast("string")
+    site = ((F.col("doc_id") / 4).cast("long") % 7).cast("string")
+    v = F.col("doc_id") % 4
+    url = (
+        F.when(
+            v == 0,
+            F.concat(F.lit("http://site"), site, F.lit(".example/p/"), page,
+                     F.lit("?a=1&b="), page),
+        )
+        .when(
+            v == 1,
+            F.concat(F.lit("HTTP://SITE"), site, F.lit(".EXAMPLE/p/"), page,
+                     F.lit("?a=1&b="), page, F.lit("#frag")),
+        )
+        .when(
+            v == 2,
+            F.concat(F.lit("http://site"), site, F.lit(".example:80/p/"), page,
+                     F.lit("?b="), page, F.lit("&a=1")),
+        )
+        .otherwise(
+            F.concat(F.lit("http://site"), site, F.lit(".example/p/"), page,
+                     F.lit("?utm_campaign=z&a=1&b="), page),
+        )
+    )
+    return (
+        d.select("doc_id", canonicalize_url(url).alias("curl"))
+        .groupBy("curl")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .orderBy("curl")
+    )

@@ -122,7 +122,12 @@ GRADED_WINDOW: tuple[str, ...] = (
     # survivor selection, packed (window_r5.py)
     "dedup_pack",
     "similarity_topk_cosine",
-    "text_stats",
+    # text_stats → tail in r5: its word/char/line stat family is also
+    # driver-graded via llm_hygiene_pack's Gopher branch (word counts,
+    # mean word length, symbol ratios over the same docs); the freed slot
+    # gives the four crawl-pipeline §2 rows (image aHash near-dup, WARC
+    # ingest, HTML→text, URL canonicalization) a hard driver verdict
+    "r6_pack2",
     "text_tfidf_top_terms",
     "llm_hygiene_pack",
     "llm_sampling_pack",
@@ -153,6 +158,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "scan_project",
     "join_semi_anti",
     "win_topk_per_group",
+    "text_stats",
     "subq_exists_correlated",
     "tpch_q1_pricing_summary",
     "distinct_dropdup",

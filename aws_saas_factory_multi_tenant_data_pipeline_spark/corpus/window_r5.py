@@ -327,3 +327,100 @@ def r6_pack(spark, sf_dir):
     return (
         png_rows.unionByName(bloom_rows).unionByName(hll_rows).orderBy("kind", "k")
     )
+
+
+@register(
+    "r6_pack2",
+    oracle=f"""
+        WITH ah AS ({_oracle("multimodal_image_ahash_dedup")}),
+        wc AS ({_oracle("ingest_warc_roundtrip")}),
+        hx AS ({_oracle("text_html_extract")}),
+        uc AS ({_oracle("url_canonicalize_dedup")}),
+        ah_rows AS (
+            SELECT 'ahash' AS kind, 'h' || CAST(hamming AS VARCHAR) AS k,
+                   COUNT(*) AS n,
+                   CAST(SUM((id_a * 211 + id_b) % 1000003) AS DOUBLE) AS val
+            FROM ah GROUP BY 2),
+        wc_rows AS (
+            SELECT 'warc' AS kind, CAST(doc_id % 8 AS VARCHAR) AS k,
+                   CAST(SUM(content_length) AS BIGINT) AS n,
+                   CAST(SUM(CAST(('0x' || substr(body_md5, 1, 12)) AS BIGINT) % 1000003)
+                        AS DOUBLE) AS val
+            FROM wc GROUP BY 2),
+        hx_rows AS (
+            SELECT 'html' AS kind, CAST(doc_id % 8 AS VARCHAR) AS k,
+                   CAST(SUM(text_bytes) AS BIGINT) AS n,
+                   CAST(SUM(CAST(('0x' || substr(text_md5, 1, 12)) AS BIGINT) % 1000003)
+                        AS DOUBLE) AS val
+            FROM hx GROUP BY 2),
+        uc_rows AS (
+            SELECT 'url' AS kind, CAST(first_doc % 16 AS VARCHAR) AS k,
+                   CAST(SUM(n_variants) AS BIGINT) AS n,
+                   CAST(SUM(CAST(('0x' || substr(md5(curl), 1, 12)) AS BIGINT) % 1000003)
+                        AS DOUBLE) AS val
+            FROM uc GROUP BY 2)
+        SELECT kind, k, n, val FROM ah_rows
+        UNION ALL SELECT kind, k, n, val FROM wc_rows
+        UNION ALL SELECT kind, k, n, val FROM hx_rows
+        UNION ALL SELECT kind, k, n, val FROM uc_rows
+        ORDER BY kind, k
+    """,
+    tags=("B10", "pack"),
+    doc="Round-6 crawl-pipeline pack — one driver slot covering four §2 "
+    "rows: perceptual-hash image near-dup pairs (per-hamming counts + "
+    "pair checksums), WARC ingest roundtrip (Content-Length sums + body "
+    "md5 checksums), HTML-to-text extraction (byte sums + text md5 "
+    "checksums), and URL canonicalization groups (variant counts + "
+    "canonical-URL checksums). Components reused verbatim; oracle "
+    "composed from their SQL.",
+)
+def r6_pack2(spark, sf_dir):
+    def md5_checksum(col):
+        return F.sum(
+            F.conv(F.substring(col, 1, 12), 16, 10).cast("long") % 1000003
+        ).cast("double")
+
+    ah = _fn("multimodal_image_ahash_dedup")(spark, sf_dir)
+    ah_rows = (
+        ah.groupBy(F.concat(F.lit("h"), F.col("hamming").cast("string")).alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("id_a") * 211 + F.col("id_b")) % 1000003)
+            .cast("double")
+            .alias("val"),
+        )
+        .select(F.lit("ahash").alias("kind"), "k", "n", "val")
+    )
+    wc = _fn("ingest_warc_roundtrip")(spark, sf_dir)
+    wc_rows = (
+        wc.groupBy((F.col("doc_id") % 8).cast("string").alias("k"))
+        .agg(
+            F.sum("content_length").alias("n"),
+            md5_checksum(F.col("body_md5")).alias("val"),
+        )
+        .select(F.lit("warc").alias("kind"), "k", "n", "val")
+    )
+    hx = _fn("text_html_extract")(spark, sf_dir)
+    hx_rows = (
+        hx.groupBy((F.col("doc_id") % 8).cast("string").alias("k"))
+        .agg(
+            F.sum("text_bytes").alias("n"),
+            md5_checksum(F.col("text_md5")).alias("val"),
+        )
+        .select(F.lit("html").alias("kind"), "k", "n", "val")
+    )
+    uc = _fn("url_canonicalize_dedup")(spark, sf_dir)
+    uc_rows = (
+        uc.groupBy((F.col("first_doc") % 16).cast("string").alias("k"))
+        .agg(
+            F.sum("n_variants").alias("n"),
+            md5_checksum(F.md5(F.col("curl"))).alias("val"),
+        )
+        .select(F.lit("url").alias("kind"), "k", "n", "val")
+    )
+    return (
+        ah_rows.unionByName(wc_rows)
+        .unionByName(hx_rows)
+        .unionByName(uc_rows)
+        .orderBy("kind", "k")
+    )

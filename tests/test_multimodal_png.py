@@ -228,3 +228,28 @@ def test_ahash_band_join_complete_vs_bruteforce(spark):
             if d <= 3:
                 want.add((rows[a][0], rows[b][0], d))
     assert got == want and len(want) >= 40  # every planted pair found
+
+
+def test_decode_property_random_filters_and_shapes():
+    """Hypothesis-style sweep without fixtures: random pixel content,
+    random per-row filter choices, random shapes and color types — decode
+    must invert the independent forward filter exactly, every time."""
+    rng = np.random.RandomState(123)
+    for trial in range(25):
+        h = int(rng.randint(1, 9))
+        w = int(rng.randint(1, 9))
+        color, channels = [(0, 1), (2, 3), (4, 2), (6, 4)][int(rng.randint(4))]
+        px = rng.randint(0, 256, size=(h, w, channels), dtype=np.uint8).astype(np.uint8)
+        ftypes = rng.randint(0, 5, size=h).tolist()
+        payload = _png(w, h, color, channels, _forward_filter(px, ftypes))
+        got, gw, gh = decode_png(payload)
+        assert (gw, gh) == (w, h)
+        if color == 2:
+            want = px
+        elif color == 6:
+            want = px[..., :3]
+        elif color == 0:
+            want = np.repeat(px, 3, axis=2)
+        else:
+            want = np.repeat(px[..., :1], 3, axis=2)
+        assert np.array_equal(got, want), (trial, h, w, color, ftypes)

@@ -193,3 +193,110 @@ def test_crawl_prep_end_to_end(spark, tmp_path):
     kept = {r["target_uri"] for r in deduped.collect()}
     assert len(kept) == 10
     assert "http://site0.test/p/6" in kept and "http://site2.test/p/2" not in kept
+
+
+def test_streaming_warc_ingest(spark, tmp_path):
+    """Continuous crawl ingest: WARC archives land in a directory, a
+    binaryFile STREAM parses them per micro-batch through the same
+    operators, and extracted page text appends to a parquet sink —
+    batch/stream parity by construction (same parse functions)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    src = tmp_path / "incoming"
+    sink = tmp_path / "pages"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    def archive(fidx, n):
+        recs = []
+        for j in range(n):
+            i = fidx * 10 + j
+            http = f"HTTP/1.1 200 OK\r\n\r\n<p>page {i}</p>".encode()
+            recs.append(
+                {
+                    "warc_type": "response",
+                    "target_uri": f"http://s.test/{i}",
+                    "warc_date": "2026-03-01T00:00:00Z",
+                    "record_id": f"<urn:uuid:s{i}>",
+                    "content_type": "application/http;msgtype=response",
+                    "block": http,
+                }
+            )
+        (src / f"batch-{fidx}.warc.gz").write_bytes(
+            b"".join(gzip.compress(build_warc([r])) for r in recs)
+        )
+
+    archive(0, 3)
+    archive(1, 2)
+
+    schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(schema)
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(str(src))
+    )
+
+    def handle(batch_df, _bid):
+        import pandas as pd
+
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.html import (
+            html_to_text,
+        )
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.sources.warc import (
+            gunzip_members,
+            http_response_body,
+            parse_warc_records,
+        )
+
+        def op(batches):
+            for pdf in batches:
+                rows = []
+                for content in pdf["content"]:
+                    for r in parse_warc_records(gunzip_members(bytes(content))):
+                        if r["parse_error"] is None and r["warc_type"] == "response":
+                            _s, body = http_response_body(r["block"])
+                            rows.append(
+                                {
+                                    "uri": r["target_uri"],
+                                    "html": body.decode("utf-8", "replace"),
+                                }
+                            )
+                yield pd.DataFrame(rows, columns=["uri", "html"])
+
+        pages = batch_df.select("content").mapInPandas(op, "uri string, html string")
+        pages.select("uri", html_to_text(F.col("html")).alias("text")).write.mode(
+            "append"
+        ).parquet(str(sink))
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["uri"]: r["text"] for r in spark.read.parquet(str(sink)).collect()}
+    assert len(got) == 5
+    assert got["http://s.test/0"] == "page 0"
+    # a late-arriving archive is picked up by the next trigger (exactly-once
+    # per file via the checkpoint)
+    archive(2, 4)
+    q2 = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got2 = spark.read.parquet(str(sink))
+    assert got2.count() == 9  # no reprocessing of the first five
+    assert got2.select("uri").distinct().count() == 9

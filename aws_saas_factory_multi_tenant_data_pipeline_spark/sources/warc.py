@@ -51,7 +51,10 @@ WARC_RECORD_SCHEMA = T.StructType(
 
 def gunzip_members(data: bytes) -> bytes:
     """Inflate a concatenation of gzip members (the .warc.gz layout) into
-    one byte stream; plain (non-gzip) input passes through unchanged."""
+    one byte stream; plain (non-gzip) input passes through unchanged.
+    Non-gzip bytes AFTER at least one valid member are corruption — that
+    raises rather than silently truncating the archive (a torn tail must
+    never read as a clean end-of-file)."""
     if data[:2] != b"\x1f\x8b":
         return data
     out, rest = [], data
@@ -60,6 +63,10 @@ def gunzip_members(data: bytes) -> bytes:
         out.append(d.decompress(rest))
         out.append(d.flush())
         rest = d.unused_data
+    if rest:
+        raise ValueError(
+            f"{len(rest)} trailing non-gzip bytes after the last gzip member"
+        )
     return b"".join(out)
 
 

@@ -300,3 +300,12 @@ def test_streaming_warc_ingest(spark, tmp_path):
     got2 = spark.read.parquet(str(sink))
     assert got2.count() == 9  # no reprocessing of the first five
     assert got2.select("uri").distinct().count() == 9
+
+
+def test_gunzip_members_rejects_corrupt_tail():
+    import pytest
+
+    one = gzip.compress(b"WARC-ish payload")
+    with pytest.raises(ValueError, match="trailing non-gzip"):
+        gunzip_members(one + b"torn garbage tail")
+    # and the distributed reader turns that into an error row, not a crash

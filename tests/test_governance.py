@@ -145,3 +145,37 @@ def test_snapshot_optimistic_concurrency(spark, tmp_path):
     # retry after re-read succeeds
     v3 = write_snapshot(df.where(F.col("k") < 3), root, expected_version=2)
     assert v3 > 2 and read_snapshot(spark, root).count() == 3
+
+
+def test_no_unreviewed_driver_collects_in_operators():
+    """Scale tripwire: `.collect()` under operators/ must be a BOUNDED
+    metadata materialization (a planner-style collect), never row
+    payloads. Every occurrence is pinned here with its justification; a
+    new one fails this test until it is reviewed and listed."""
+    import os
+    import re
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "aws_saas_factory_multi_tenant_data_pipeline_spark",
+        "operators",
+    )
+    allowed = {
+        # argmax of the pair-count aggregate: limit(1) — one row per round
+        "bpe.py": 1,
+        # probed cluster ids: ≤ |queries| * nprobe values, the partition-
+        # pruning list any table-format planner materializes
+        "clustering.py": 1,
+    }
+    found: dict[str, int] = {}
+    for fn in sorted(os.listdir(pkg)):
+        if not fn.endswith(".py"):
+            continue
+        src = open(os.path.join(pkg, fn), encoding="utf-8").read()
+        n = len(re.findall(r"\.collect\(\)", src))
+        if n:
+            found[fn] = n
+    assert found == allowed, (
+        f"driver-side collect census changed: {found} != {allowed}; "
+        "review the new site for boundedness and update the allowlist"
+    )

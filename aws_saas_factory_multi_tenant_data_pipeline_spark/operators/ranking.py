@@ -41,16 +41,28 @@ def bm25_rank(
     """
     if not terms:
         raise ValueError("terms must be non-empty")
-    stats = docs.withColumn("__toks", tokens(F.col(text_col))).select(
-        F.col(id_col), F.size("__toks").alias("__dl"), F.col("__toks")
+    # ONE tokenization pass, materialized compact: (id, doc length, the
+    # doc's query-term occurrences only). The frame drops the text column
+    # — bytes per doc, not the document — and every downstream consumer
+    # (corpus aggregate, document frequencies, scoring) reads it instead
+    # of re-running the regex tokenizer over the full corpus (the first
+    # cut re-tokenized up to 3× through the gl/dfreq/scored lineages).
+    term_list = list(terms)
+    stats = (
+        docs.withColumn("__toks", tokens(F.col(text_col)))
+        .select(
+            F.col(id_col),
+            F.size("__toks").alias("__dl"),
+            F.filter("__toks", lambda x: x.isin(term_list)).alias("__qt"),
+        )
+        .localCheckpoint(eager=True)
     )
     gl = stats.agg(
         F.count(F.lit(1)).alias("__n_docs"),
         (F.sum(F.col("__dl").cast(DEC)).cast("double") / F.count(F.lit(1))).alias("__avgdl"),
     )
     tf = (
-        stats.select(id_col, "__dl", F.explode("__toks").alias("__tok"))
-        .where(F.col("__tok").isin(list(terms)))
+        stats.select(id_col, "__dl", F.explode("__qt").alias("__tok"))
         .groupBy(id_col, "__dl", "__tok")
         .agg(F.count(F.lit(1)).alias("__tf"))
     )

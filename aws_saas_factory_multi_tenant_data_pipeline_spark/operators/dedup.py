@@ -288,10 +288,20 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard for all pairs sharing ≥1 shingle (inverted index).
 
     explode → equi-join on shingle → count shared → |A∪B| = |A|+|B|-shared.
+    The doc-level shingle frame is persisted once (same decision as the
+    MinHash and PPJoin paths): both sides of the self-join read it, and
+    without the persist the tokenize+shingle pipeline — the CPU-dominant
+    step — executes twice. Exposed as ``result.shingle_cache`` so callers
+    can unpersist.
     """
-    sized = with_shingle_col(df, text_col, shingle_k, out="__sh").select(
-        F.col(id_col), F.col("__sh")
-    ).withColumn("__n", F.size("__sh"))
+    from pyspark import StorageLevel
+
+    sized = (
+        with_shingle_col(df, text_col, shingle_k, out="__sh")
+        .select(F.col(id_col), F.col("__sh"))
+        .withColumn("__n", F.size("__sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     inv = sized.select(id_col, "__n", F.explode("__sh").alias("__s"))
     a = inv.alias("a")
     b = inv.alias("b")
@@ -308,9 +318,11 @@ def ngram_jaccard_pairs(
     jac = F.col("shared").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast(
         "double"
     )
-    return shared.withColumn("jaccard", jac).where(F.col("jaccard") >= threshold).select(
+    result = shared.withColumn("jaccard", jac).where(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "jaccard"
     )
+    result.shingle_cache = sized
+    return result
 
 
 def ngram_jaccard_pairs_prefix(

@@ -315,6 +315,8 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "ingest_warc_roundtrip",
     "text_html_extract",
     "url_canonicalize_dedup",
+    "llm_leakage_safe_split",
+    "llm_budget_select",
 )
 
 

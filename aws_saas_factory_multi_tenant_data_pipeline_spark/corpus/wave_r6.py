@@ -585,3 +585,153 @@ def url_canonicalize_dedup(spark, sf_dir):
         )
         .orderBy("curl")
     )
+
+
+# --- corpus selection (operators/selection.py) -------------------------------
+
+
+def _leakage_split_oracle() -> str:
+    # reuse the registered recursive-closure clustering (same τ/scope as
+    # dedup_clusters_resolve), extend to ALL docs < 200 with singleton
+    # clusters, split by md5 of the CLUSTER id
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus import REGISTRY
+
+    clusters = REGISTRY["dedup_clusters_resolve"].oracle
+    return f"""
+        WITH c AS ({clusters}),
+        docs AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+        withc AS (
+            SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+            FROM docs d LEFT JOIN c ON c.node_id = d.doc_id),
+        labeled AS (
+            SELECT doc_id, cluster_id,
+                   CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR) || ':ls-seed'),
+                                        1, 4)) AS BIGINT) % 100 AS b
+            FROM withc)
+        SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               COUNT(*) AS n_docs,
+               COUNT(DISTINCT cluster_id) AS n_clusters,
+               CAST(SUM(doc_id) AS BIGINT) AS doc_sum
+        FROM labeled
+        GROUP BY 1
+        ORDER BY split
+    """
+
+
+@register(
+    "llm_leakage_safe_split",
+    oracle=_leakage_split_oracle(),
+    tags=("B10",),
+    doc="Leakage-safe train/val/test split: the near-dup CLUSTER is the "
+    "atomic split unit (hashing doc ids lets two near-identical docs "
+    "straddle train and val — silent eval contamination; the test "
+    "fixture proves the plain rule WOULD straddle). Composes the "
+    "jaccard-pair clustering with an md5 bucket on the cluster's min id; "
+    "singletons hash as themselves. Oracle: the registered recursive-"
+    "closure clustering extended to all docs, split replayed exactly.",
+)
+def llm_leakage_safe_split(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.selection import (
+        leakage_safe_split,
+    )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 200).select("doc_id")
+    pairs = ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents").where(F.col("doc_id") < 200), threshold=0.2
+    )
+    out = leakage_safe_split(d, pairs, train_pct=80, val_pct=10, seed="ls-seed")
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.sum("doc_id").cast("long").alias("doc_sum"),
+        )
+        .orderBy("split")
+    )
+
+
+def _budget_select_oracle() -> str:
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus import REGISTRY
+
+    scores = REGISTRY["text_quality_model_score"].oracle
+    return f"""
+        WITH s AS ({scores}),
+        toks AS (
+            SELECT d.doc_id, d.source,
+                   CASE WHEN {_DUCK_NORM} = '' THEN 0
+                        ELSE len(string_split({_DUCK_NORM}, ' ')) END AS n_toks
+            FROM documents d),
+        scored AS (
+            SELECT t.doc_id, t.source, t.n_toks, s.quality_score
+            FROM toks t JOIN s ON s.doc_id = t.doc_id),
+        ord AS (
+            SELECT *,
+                   SUM(n_toks) OVER (
+                       ORDER BY quality_score DESC,
+                                md5('budget:' || CAST(doc_id AS VARCHAR)),
+                                doc_id) AS cum
+            FROM scored)
+        SELECT source,
+               COUNT(*) AS n_docs,
+               COUNT(*) FILTER (WHERE cum <= 6000) AS n_selected,
+               CAST(COALESCE(SUM(n_toks) FILTER (WHERE cum <= 6000), 0) AS BIGINT)
+                   AS tokens_selected
+        FROM ord
+        GROUP BY source
+        ORDER BY source
+    """
+
+
+@register(
+    "llm_budget_select",
+    oracle=_budget_select_oracle(),
+    tags=("B10",),
+    doc="Token-budget data selection: keep the highest-quality documents "
+    "whose cumulative token count fits a 6k budget, ties broken by "
+    "hashed id — the greedy selection rule, computed WITHOUT a corpus-"
+    "wide sort (per-score totals locate the boundary score; only that "
+    "one score's documents run an ordered prefix window; everything else "
+    "is a broadcast range check — the shape that survives 100 TB, "
+    "brute-force-equality property-tested). The oracle computes the "
+    "naive global-sort form, pinning the scalable plan to the exact "
+    "greedy semantics, driven by the REAL registered quality model.",
+)
+def llm_budget_select(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.selection import (
+        budget_select,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.text import (
+        quality_model_score,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import tokens
+
+    d = t(spark, sf_dir, "documents")
+    scored = quality_model_score(d).select("doc_id", "quality_score")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.when(F.trim(F.concat_ws(" ", tokens(F.col("text")))) == "", F.lit(0))
+        .otherwise(F.size(tokens(F.col("text"))))
+        .cast("long")
+        .alias("n_toks"),
+    )
+    full = toks.join(scored, "doc_id")
+    sel = budget_select(
+        full, 6000, score_col="quality_score", tokens_col="n_toks", id_col="doc_id"
+    )
+    return (
+        sel.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("is_selected"), 1)).alias("n_selected"),
+            F.coalesce(
+                F.sum(F.when(F.col("is_selected"), F.col("n_toks"))), F.lit(0)
+            ).cast("long").alias("tokens_selected"),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,114 @@
+"""Training-corpus selection operators (SURVEY.md §2 B10).
+
+Two selection primitives every corpus build eventually needs:
+
+- :func:`leakage_safe_split` — train/val/test assignment where a
+  near-duplicate CLUSTER is the atomic unit: hashing document ids (the
+  plain split) lets two near-identical documents land in train and val,
+  quietly leaking eval data into training. Splitting by the cluster's
+  canonical id keeps whole duplicate groups on one side. Composes the
+  existing pair→cluster resolution; the split itself stays the
+  content-stable md5-bucket trick.
+
+- :func:`budget_select` — the token-budget data-selection rule: keep the
+  highest-quality documents whose cumulative token count fits a budget,
+  deterministic ties by hashed id. The SCALABLE shape matters: no global
+  sort over documents — per-score token totals (one groupBy over ≤
+  |distinct scores| rows) locate the boundary score, whole scores above
+  it are kept with a broadcast range check, and only the single boundary
+  score's documents run an ordered prefix window (bounded, not corpus-
+  wide). This is exactly how a 100 TB selection must run; the naive
+  ``ORDER BY quality LIMIT``-style global sort is the trap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import dedup_clusters
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    seed: str = "ls-seed",
+) -> DataFrame:
+    """Add a ``split`` column ('train'/'val'/'test') assigned PER
+    NEAR-DUP CLUSTER: documents connected through ``pairs`` (id_a, id_b)
+    share the bucket of their cluster's min id; unpaired documents are
+    their own singleton cluster. Content-stable (md5), engine-portable,
+    and leak-proof by construction — no cluster ever straddles splits.
+    """
+    if not (0 < train_pct and 0 < val_pct and train_pct + val_pct < 100):
+        raise ValueError("need 0 < train_pct, 0 < val_pct, train+val < 100")
+    clusters = dedup_clusters(pairs)  # (node_id, cluster_id)
+    withc = df.join(
+        clusters.select(F.col("node_id").alias(id_col), "cluster_id"),
+        id_col,
+        "left",
+    ).withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("cluster_id").cast("string"), F.lit(":" + seed))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(100),
+    )
+    return withc.withColumn(
+        "split",
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )
+
+
+def budget_select(
+    df: DataFrame,
+    budget_tokens: int,
+    score_col: str = "quality_score",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    seed: str = "budget",
+) -> DataFrame:
+    """Keep the greedy highest-quality prefix whose token total fits
+    ``budget_tokens``; within a score, documents are taken in
+    md5(seed:id) order (content-stable tie-break). Adds ``is_selected``.
+
+    Exactness contract: the selected set is identical to sorting ALL
+    documents by (score DESC, md5 tie, id) and taking the maximal prefix
+    with cumulative tokens ≤ budget — but computed without any
+    corpus-wide sort (see module docstring).
+    """
+    if budget_tokens < 0:
+        raise ValueError("budget_tokens must be >= 0")
+    per_score = df.groupBy(score_col).agg(
+        F.sum(F.col(tokens_col).cast("long")).alias("__st")
+    )
+    w = Window.orderBy(F.col(score_col).desc())
+    cum = per_score.withColumn(
+        "__before", F.coalesce(F.sum("__st").over(w) - F.col("__st"), F.lit(0))
+    )
+    joined = df.join(F.broadcast(cum), score_col)
+    whole_in = (F.col("__before") + F.col("__st")) <= budget_tokens
+    boundary = (F.col("__before") < budget_tokens) & ~whole_in
+    # every non-boundary score is decided wholesale by its cumulative
+    # range — a broadcast filter, no window anywhere near the corpus
+    decided = joined.where(~boundary).withColumn("is_selected", whole_in)
+    # only the (single) boundary score runs an intra-score ordered prefix,
+    # over just its own rows
+    tie = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    wb = Window.partitionBy(score_col).orderBy(tie, F.col(id_col))
+    run = F.sum(F.col(tokens_col).cast("long")).over(wb)
+    edge = joined.where(boundary).withColumn(
+        "is_selected", (F.col("__before") + run) <= budget_tokens
+    )
+    return decided.unionByName(edge).drop("__st", "__before")

@@ -1,0 +1,107 @@
+"""Corpus selection: leakage-safe splits and token-budget selection."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.selection import (
+    budget_select,
+    leakage_safe_split,
+)
+
+
+def _docs(spark, n=200):
+    return spark.range(n).select(F.col("id").alias("doc_id"))
+
+
+def test_leakage_safe_split_no_cluster_straddles(spark):
+    docs = _docs(spark)
+    # chains 0-1-2, 10-11, and a long chain 20..24
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (20, 21), (21, 22), (22, 23), (23, 24)],
+        "id_a long, id_b long",
+    )
+    out = leakage_safe_split(docs, pairs).collect()
+    split_of = {r["doc_id"]: r["split"] for r in out}
+    cluster_of = {r["doc_id"]: r["cluster_id"] for r in out}
+    assert len(split_of) == 200
+    # every connected group shares one split
+    assert split_of[0] == split_of[1] == split_of[2]
+    assert split_of[10] == split_of[11]
+    assert len({split_of[i] for i in range(20, 25)}) == 1
+    assert cluster_of[24] == 20 and cluster_of[2] == 0
+    # singletons got their own id as cluster
+    assert cluster_of[99] == 99
+    # all three splits are populated at n=200
+    assert {r["split"] for r in out} == {"train", "val", "test"}
+    # and the plain doc-hash split WOULD have straddled at least one
+    # cluster (the reason this operator exists): find a pair whose members
+    # hash to different buckets under the doc-id rule
+    def doc_bucket(i):
+        return int(hashlib.md5(f"{i}:ls-seed".encode()).hexdigest()[:4], 16) % 100
+
+    def to_split(b):
+        return "train" if b < 80 else ("val" if b < 90 else "test")
+
+    straddles = [
+        (a, b)
+        for a, b in [(0, 1), (1, 2), (10, 11), (20, 21), (21, 22), (22, 23), (23, 24)]
+        if to_split(doc_bucket(a)) != to_split(doc_bucket(b))
+    ]
+    assert straddles, "fixture should demonstrate the leak the guard prevents"
+
+
+def test_leakage_safe_split_validates(spark):
+    docs = _docs(spark, 10)
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    with pytest.raises(ValueError):
+        leakage_safe_split(docs, pairs, train_pct=0)
+    with pytest.raises(ValueError):
+        leakage_safe_split(docs, pairs, train_pct=95, val_pct=5)
+
+
+def _scored(spark, n=300):
+    # quality in {0.1 .. 0.9}, tokens 10..59, both deterministic
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (((F.col("id") * 7) % 9 + 1) / 10.0).alias("quality_score"),
+        ((F.col("id") * 13) % 50 + 10).alias("n_tokens"),
+    )
+
+
+def _brute_force(rows, budget):
+    def tie(i):
+        return hashlib.md5(f"budget:{i}".encode()).hexdigest()
+
+    order = sorted(rows, key=lambda r: (-r["quality_score"], tie(r["doc_id"]), r["doc_id"]))
+    kept, total = set(), 0
+    for r in order:
+        if total + r["n_tokens"] <= budget:
+            kept.add(r["doc_id"])
+            total += r["n_tokens"]
+        else:
+            break  # greedy prefix, not knapsack
+    return kept
+
+
+@pytest.mark.parametrize("budget", [0, 137, 2_000, 5_003, 10_000_000])
+def test_budget_select_equals_bruteforce_prefix(spark, budget):
+    df = _scored(spark)
+    rows = [r.asDict() for r in df.collect()]
+    got = {
+        r["doc_id"]
+        for r in budget_select(df, budget).where(F.col("is_selected")).collect()
+    }
+    assert got == _brute_force(rows, budget)
+
+
+def test_budget_select_respects_budget_and_maximality(spark):
+    df = _scored(spark)
+    sel = budget_select(df, 3_000).where(F.col("is_selected"))
+    total = sel.agg(F.sum("n_tokens")).collect()[0][0]
+    assert total <= 3_000
+    # maximal prefix: the next document in order would overflow
+    assert total > 3_000 - 60  # max token size is 59

@@ -317,6 +317,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "url_canonicalize_dedup",
     "llm_leakage_safe_split",
     "llm_budget_select",
+    "llm_dsir_importance",
 )
 
 

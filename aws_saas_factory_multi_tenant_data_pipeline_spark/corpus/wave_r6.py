@@ -735,3 +735,61 @@ def llm_budget_select(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --- DSIR importance resampling (operators/selection.py) --------------------
+
+
+@register(
+    "llm_dsir_importance",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, (doc_id % 10 = 0) AS t,
+                   unnest(string_split({_DUCK_NORM}, ' ')) AS tok
+            FROM documents),
+        nz AS (SELECT * FROM toks WHERE tok <> ''),
+        hits AS (
+            SELECT doc_id, t,
+                   CAST(('0x' || substr(md5('dsir:' || tok), 1, 13)) AS BIGINT)
+                       % 1024 AS b
+            FROM nz),
+        dist AS (
+            SELECT b,
+                   COUNT(*) FILTER (WHERE t) AS ct,
+                   COUNT(*) FILTER (WHERE NOT t) AS cr
+            FROM hits GROUP BY b),
+        tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cr) AS BIGINT) AS tr FROM dist),
+        llr AS (
+            SELECT b,
+                   ROUND(ln(CAST(ct + 1 AS DOUBLE) / (tt + 1024))
+                         - ln(CAST(cr + 1 AS DOUBLE) / (tr + 1024)), 6) AS llr
+            FROM dist, tot),
+        scored AS (
+            SELECT h.doc_id,
+                   COUNT(*) AS n_tokens,
+                   ROUND(CAST(SUM(CAST(l.llr AS DECIMAL(38,12))) AS DOUBLE)
+                         / COUNT(*), 6) AS importance
+            FROM hits h JOIN llr l ON h.b = l.b
+            WHERE NOT h.t
+            GROUP BY h.doc_id)
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, importance
+        FROM scored
+        ORDER BY doc_id
+    """,
+    tags=("B10",),
+    doc="DSIR-style importance weights (arXiv:2302.03169): every raw-pool "
+    "document scored by how target-like its hashed-unigram profile is — "
+    "target sample = every 10th doc, 1024 md5-hashed buckets, add-one-"
+    "smoothed per-bucket log-likelihood ratios (round-6 at the bucket "
+    "level so engine ln ulps can't reach the exact decimal mean), per-doc "
+    "importance = mean llr. One tokenize pass + one conditional "
+    "aggregation + a broadcast of the 1024-row ratio frame — the shape "
+    "that scores 100 TB. Oracle replays every bucket and every mean.",
+)
+def llm_dsir_importance(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.selection import (
+        dsir_importance,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    return dsir_importance(d, F.col("doc_id") % 10 == 0).orderBy("doc_id")

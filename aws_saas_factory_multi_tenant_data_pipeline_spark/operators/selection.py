@@ -26,7 +26,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import dedup_clusters
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import (
+    dedup_clusters,
+    tokens,
+)
 
 
 def leakage_safe_split(
@@ -112,3 +115,77 @@ def budget_select(
         "is_selected", (F.col("__before") + run) <= budget_tokens
     )
     return decided.unionByName(edge).drop("__st", "__before")
+
+
+def dsir_importance(
+    df: DataFrame,
+    is_target,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    seed: str = "dsir",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169):
+    score every document by how target-like its hashed unigram profile
+    is. ``is_target`` is a boolean Column marking the (small) target
+    sample inside ``df``.
+
+    Per hashed-token bucket b: ``llr(b) = ln p_target(b) − ln p_raw(b)``
+    with add-one smoothing; per document: importance = round-6 MEAN of
+    its tokens' llr (mean, not sum, so length doesn't masquerade as
+    target-likeness). All hashing is the md5-portable kind and the two
+    distributions live in one ``n_buckets``-row frame built with a single
+    conditional aggregation pass, broadcast back — so scoring 100 TB is
+    one tokenize pass + a broadcast join on an 8-byte bucket id. The
+    ``llm_dsir_importance`` oracle replays every step (ln/exp round-6 is
+    the same single-pass float contract the quality model uses).
+
+    Returns (id, n_tokens, importance) for NON-target rows (the raw pool
+    being reweighted/resampled).
+    """
+    toks = df.select(
+        F.col(id_col),
+        is_target.alias("__t"),
+        F.explode(tokens(F.col(text_col))).alias("__tok"),
+    ).where(F.col("__tok") != "")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit(seed), F.col("__tok"))), 1, 13),
+            16,
+            10,
+        ).cast("long")
+        % n_buckets
+    )
+    hits = toks.select(F.col(id_col), "__t", bucket.alias("__b"))
+    dist = hits.groupBy("__b").agg(
+        F.count(F.when(F.col("__t"), 1)).alias("__ct"),
+        F.count(F.when(~F.col("__t"), 1)).alias("__cr"),
+    )
+    totals = dist.agg(
+        F.sum("__ct").alias("__tt"), F.sum("__cr").alias("__tr")
+    )
+    # per-bucket llr rounds to 6 dp BEFORE the cross-doc aggregation: ln is
+    # the one step where engines can differ by an ulp, and rounding here
+    # keeps that difference away from the exact decimal sum downstream
+    llr_frame = dist.crossJoin(F.broadcast(totals)).select(
+        "__b",
+        F.round(
+            F.log((F.col("__ct") + 1).cast("double") / (F.col("__tt") + n_buckets))
+            - F.log((F.col("__cr") + 1).cast("double") / (F.col("__tr") + n_buckets)),
+            6,
+        ).alias("__llr"),
+    )
+    scored = (
+        hits.where(~F.col("__t"))
+        .join(F.broadcast(llr_frame), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(F.col("__llr").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("importance"),
+        )
+    )
+    return scored

@@ -105,3 +105,39 @@ def test_budget_select_respects_budget_and_maximality(spark):
     assert total <= 3_000
     # maximal prefix: the next document in order would overflow
     assert total > 3_000 - 60  # max token size is 59
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.selection import (
+        dsir_importance,
+    )
+
+    # target sample talks about chemistry; the raw pool mixes chemistry-
+    # like docs with sports docs — chemistry docs must score higher
+    target = [(i, "atoms molecules reaction catalyst electron orbit", True) for i in range(5)]
+    chem = [(100 + i, "the reaction of molecules and catalyst electron", False) for i in range(5)]
+    sport = [(200 + i, "goal match referee stadium crowd season trophy", False) for i in range(5)]
+    df = spark.createDataFrame(target + chem + sport, "doc_id long, text string, t boolean")
+    out = {r["doc_id"]: r["importance"] for r in dsir_importance(df, F.col("t")).collect()}
+    assert set(out) == {r[0] for r in chem + sport}  # target rows excluded
+    chem_mean = sum(out[i] for i, _, _ in chem) / 5
+    sport_mean = sum(out[i] for i, _, _ in sport) / 5
+    assert chem_mean > sport_mean + 0.5
+
+
+def test_dsir_importance_is_length_invariant(spark):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.selection import (
+        dsir_importance,
+    )
+
+    # a doc repeated 5x has the same MEAN llr as the single copy
+    base = "alpha beta gamma delta"
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon", True),
+         (1, base, False),
+         (2, " ".join([base] * 5), False)],
+        "doc_id long, text string, t boolean",
+    )
+    out = {r["doc_id"]: r for r in dsir_importance(df, F.col("t")).collect()}
+    assert out[1]["importance"] == out[2]["importance"]
+    assert out[2]["n_tokens"] == 5 * out[1]["n_tokens"]

@@ -33,13 +33,21 @@ class TenantError(ValueError):
 
 @dataclass(frozen=True)
 class TenantContext:
-    """Authenticated tenant identity (reference claim: ``custom:tenantId``)."""
+    """Authenticated tenant identity (reference claim: ``custom:tenantId``)
+    plus the optional SaaS tier (``custom:tier`` — the reference's user
+    model carries it from signup, create-user.sh:16 /
+    cognito-stack…ts:31, as policy input for tier-dependent quotas; the
+    engine's quota/rate-limit operators take it from here, never from
+    payload data)."""
 
     tenant_id: str
+    tier: str | None = None
 
     def __post_init__(self) -> None:
         if not _TENANT_RE.match(self.tenant_id or ""):
             raise TenantError(f"invalid tenant_id: {self.tenant_id!r}")
+        if self.tier is not None and not _TENANT_RE.match(self.tier):
+            raise TenantError(f"invalid tier: {self.tier!r}")
 
 
 def from_claims(claims: dict, now_epoch: int | None = None) -> TenantContext:
@@ -59,7 +67,8 @@ def from_claims(claims: dict, now_epoch: int | None = None) -> TenantContext:
     tid = claims.get("custom:tenantId")
     if not tid:
         raise TenantError("missing custom:tenantId claim")
-    return TenantContext(tenant_id=str(tid))
+    tier = claims.get("custom:tier")
+    return TenantContext(tenant_id=str(tid), tier=str(tier) if tier else None)
 
 
 def unverified_claims(token: str) -> dict:

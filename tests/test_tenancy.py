@@ -298,3 +298,21 @@ def test_cached_authorizer_allow_never_outlives_exp():
     clock.t += 11
     with pytest.raises(TenantError, match="expired"):
         auth.authorize(tok)
+
+
+def test_tier_claim_carried_and_validated():
+    import pytest
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.tenancy import (
+        TenantContext,
+        TenantError,
+        from_claims,
+    )
+
+    # the reference's signup sets custom:tier=Basic (create-user.sh:16);
+    # the claim rides along as policy input, optional and validated
+    ctx = from_claims({"custom:tenantId": "t1", "custom:tier": "Basic"})
+    assert ctx.tenant_id == "t1" and ctx.tier == "Basic"
+    assert from_claims({"custom:tenantId": "t1"}).tier is None
+    with pytest.raises(TenantError, match="invalid tier"):
+        TenantContext(tenant_id="t1", tier="ba d/tier")

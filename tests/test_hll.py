@@ -62,3 +62,37 @@ def test_hll_nulls_ignored_and_grouping(spark):
     # group a saw 2 keys, group b saw 1 → different sketches
     assert out["a"]["registers_md5"] != out["b"]["registers_md5"]
     assert out["a"]["n_empty"] == 254 and out["b"]["n_empty"] == 255
+
+
+def test_hll_sketch_rollup_over_partitions(spark, tmp_path):
+    """The mergeable-rollup story: per-day register tables persisted to
+    the lake, a range query merges days by union+max — register-exact
+    equal to sketching the raw rows of that range directly. Distinct
+    counts over arbitrary ranges then cost O(days × m), never a rescan."""
+    days = {
+        d: spark.range(d * 1000, d * 1000 + 800).select(
+            (F.col("id") % (300 + 100 * d)).alias("user")
+        )
+        for d in range(5)
+    }
+    for d, df in days.items():
+        hll_registers(df, "user", p=8, seed="roll").write.parquet(
+            str(tmp_path / f"day={d}")
+        )
+    merged = (
+        spark.read.parquet(*[str(tmp_path / f"day={d}") for d in (1, 2, 3)])
+        .groupBy("bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    direct = hll_registers(
+        days[1].unionByName(days[2]).unionByName(days[3]), "user", p=8, seed="roll"
+    )
+    sm = hll_summary(merged, p=8).collect()[0]
+    sd = hll_summary(direct, p=8).collect()[0]
+    assert sm["registers_md5"] == sd["registers_md5"]
+    assert sm["hll_estimate"] == sd["hll_estimate"]
+    # sanity: the estimate tracks the true range distinct within HLL error
+    true = (
+        days[1].unionByName(days[2]).unionByName(days[3]).select("user").distinct().count()
+    )
+    assert abs(sm["hll_estimate"] - true) / true < 0.25

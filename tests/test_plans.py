@@ -404,3 +404,65 @@ def test_join_hints_respected(spark):
     assert "ShuffledHashJoin" in plan_of(hashed)
     bcast = a.join(b.hint("broadcast"), "k")
     assert "BroadcastHashJoin" in plan_of(bcast)
+
+
+def test_bm25_tokenizes_corpus_once(spark, sf_smoke):
+    """bm25_rank must read its checkpointed compact token frame, never
+    re-run the regex tokenizer per consumer: after the checkpoint, the
+    executed plan contains no RegExpReplace (the tokenizer's signature
+    expression) anywhere — the round-5 fix for the 3× re-tokenization."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus import REGISTRY, load_all
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus._util import t as tt
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.ranking import bm25_rank
+
+    load_all()
+    docs = tt(spark, sf_smoke, "documents")
+    q = bm25_rank(docs, ["data", "model", "the"], k=10)
+    q.collect()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "regexp_replace" not in plan.lower(), plan[:2000]
+    assert "LogicalRDD" in plan or "Scan ExistingRDD" in plan  # the checkpoint
+
+
+def test_kmeans_assignment_zero_shuffle(spark, sf_smoke):
+    """assign_clusters is a narrow projection: the corpus side must show
+    no shuffle Exchange and no C-times candidate explosion — only the
+    single-row collapsed-centroid broadcast."""
+    from pyspark.sql import functions as F
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus._util import t as tt
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.clustering import (
+        assign_clusters,
+        seed_centroids,
+    )
+
+    emb = tt(spark, sf_smoke, "embeddings")
+    cents = seed_centroids(emb, 8)
+    q = assign_clusters(emb, cents)
+    q.collect()
+    # AQE's toString renders Final Plan + Initial Plan; pin the final one
+    plan = q._jdf.queryExecution().executedPlan().toString().split("Initial Plan")[0]
+    corpus_side = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in corpus_side, corpus_side[:1500]
+    assert "Generate" not in plan  # no explode of candidates anywhere
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row centroid array
+
+
+def test_ahash_band_join_is_equi_join(spark):
+    """Image near-dup candidates must come from a hash-partitioned
+    equi-join on (band, value) — never a cartesian/all-pairs plan."""
+    from pyspark.sql import functions as F
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        ahash_near_duplicates,
+    )
+
+    df = spark.range(500).select(
+        F.col("id").alias("media_id"), (F.col("id") * 2654435761 % (1 << 62)).alias("ahash")
+    )
+    q = ahash_near_duplicates(df)
+    q.collect()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band" in plan  # the join key is the band struct fields

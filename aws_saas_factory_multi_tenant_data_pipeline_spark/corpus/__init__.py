@@ -318,6 +318,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "llm_leakage_safe_split",
     "llm_budget_select",
     "llm_dsir_importance",
+    "scan_jsonl_gzip_roundtrip",
 )
 
 

@@ -793,3 +793,44 @@ def llm_dsir_importance(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     return dsir_importance(d, F.col("doc_id") % 10 == 0).orderBy("doc_id")
+
+
+# --- compressed-format roundtrips (B1 widening) -------------------------------
+
+
+@register(
+    "scan_jsonl_gzip_roundtrip",
+    oracle="""
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+        FROM orders WHERE o_orderkey <= 2000
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    tags=("B1",),
+    doc="GZIP-compressed JSON-lines sink+source roundtrip — the standard "
+    "crawl-dump layout (one .jsonl.gz per shard). Spark's codec support "
+    "is native on both sides (write option compression=gzip; the reader "
+    "detects by extension), so a gzip shard directory is a first-class "
+    "table: same schema-on-read semantics as the plain JSONL row. Note "
+    "the documented scale caveat: gzip is NOT splittable, so shard-level "
+    "parallelism comes from file count — exactly how Common Crawl and "
+    "Firehose lay their dumps out.",
+)
+def scan_jsonl_gzip_roundtrip(spark, sf_dir):
+    import os as _os
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus.sources_sinks import (
+        _SCRATCH,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.functions import dsum
+
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 2000)
+    path = _os.path.join(_SCRATCH, "orders_jsonl_gz")
+    o.write.mode("overwrite").option("compression", "gzip").json(path)
+    back = spark.read.schema(o.schema).json(path)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice").alias("total"))
+        .orderBy("o_orderstatus")
+    )

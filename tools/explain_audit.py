@@ -44,6 +44,13 @@ EXPECTED_FLAGS: dict[str, set[str]] = {
     "text_tfidf_top_terms": {"BroadcastNestedLoopJoin"},
     # 1-row broadcast of the global (N, avgdl) BM25 constants
     "text_bm25_rank": {"BroadcastNestedLoopJoin"},
+    # pack queries inherit their components' 1-row aggregate broadcasts:
+    # r4_mgmt/r5: the z-order global (min,max) frame; r5_pack2: PageRank's
+    # node count; r6_pack: the Bloom dense-bit row + the HLL totals row
+    "r4_mgmt_pack": {"BroadcastNestedLoopJoin"},
+    "r5_pack": {"BroadcastNestedLoopJoin"},
+    "r5_pack2": {"BroadcastNestedLoopJoin"},
+    "r6_pack": {"BroadcastNestedLoopJoin"},
 }
 
 

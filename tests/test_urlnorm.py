@@ -73,3 +73,53 @@ def test_twin_matches_duckdb(spark):
         ).fetchall()
     ]
     assert got == want
+
+
+def test_fuzz_grammar_twin_equality_and_idempotence(spark):
+    """200 grammar-generated messy URLs: Spark and DuckDB must agree
+    character-for-character, and canonicalization must be idempotent."""
+    import random
+
+    rnd = random.Random(20260814)
+    schemes = ["http", "HTTP", "https", "HtTpS"]
+    hosts = ["Example.COM", "sub.Host.test", "X-Y.example", "LOCALHOST"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/A/b", "/p%20q/r", "/trailing/"]
+    params = ["a=1", "B=2", "utm_source=x", "z", "y=", "fbclid=f", "gclid=g", "q=a+b"]
+    frags = ["", "#", "#frag", "#a=1&b=2"]
+
+    urls = []
+    for _ in range(200):
+        qp = "&".join(rnd.sample(params, rnd.randint(0, 5)))
+        urls.append(
+            rnd.choice(schemes)
+            + "://"
+            + rnd.choice(hosts)
+            + rnd.choice(ports)
+            + rnd.choice(paths)
+            + (("?" + qp) if qp or rnd.random() < 0.2 else "")
+            + rnd.choice(frags)
+        )
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "i int, u string")
+    once = df.select("i", canonicalize_url(F.col("u")).alias("c"))
+    got = [r["c"] for r in once.orderBy("i").collect()]
+    # idempotence
+    df2 = spark.createDataFrame([(i, c) for i, c in enumerate(got)], "i int, u string")
+    again = [
+        r["c"]
+        for r in df2.select("i", canonicalize_url(F.col("u")).alias("c"))
+        .orderBy("i")
+        .collect()
+    ]
+    assert again == got
+    # twin equality
+    con = duckdb.connect()
+    con.execute("CREATE TABLE c(i INT, u VARCHAR)")
+    con.executemany("INSERT INTO c VALUES (?, ?)", list(enumerate(urls)))
+    want = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {canonicalize_url_sql('u')} FROM c ORDER BY i"
+        ).fetchall()
+    ]
+    assert got == want

@@ -299,27 +299,44 @@ def semantic_dedup(
     The pair join is cluster-partitioned (equi-join on cluster_id), so
     comparisons are Σ|cluster|² — bounded by raising n_clusters, never
     all-pairs."""
+    vcol = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     assigned = (
         kmeans_portable(df, n_clusters, iterations, vec_col, id_col)
         .select(
             F.col(id_col),
             "cluster_id",
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+            vcol.alias("__v"),
+            # hoist the vector norm: the pair join otherwise recomputes
+            # BOTH sides' 64-element norm folds per pair — the norms are
+            # per-vector constants, so computing them once cuts per-pair
+            # work to the dot product alone (~3×). sqrt-once vs sqrt-twice
+            # is the identical IEEE value, so the round-6 cosine (and the
+            # SQL oracle) are unchanged bit-for-bit.
+            norm(vcol.alias("__v")).alias("__nrm"),
         )
         # the assignment feeds BOTH sides of the pair join and the final
         # keep-join: materialize once or the whole clustering runs 3×
         .localCheckpoint(eager=True)
     )
     a = assigned.select(
-        F.col(id_col).alias("__ida"), F.col("cluster_id"), F.col("__v").alias("__va")
+        F.col(id_col).alias("__ida"),
+        F.col("cluster_id"),
+        F.col("__v").alias("__va"),
+        F.col("__nrm").alias("__na"),
     )
     b = assigned.select(
-        F.col(id_col).alias("__idb"), F.col("cluster_id"), F.col("__v").alias("__vb")
+        F.col(id_col).alias("__idb"),
+        F.col("cluster_id"),
+        F.col("__v").alias("__vb"),
+        F.col("__nrm").alias("__nb"),
+    )
+    pair_cos = F.round(
+        dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6
     )
     dup_pairs = (
         a.join(b, on="cluster_id")
         .where(F.col("__ida") < F.col("__idb"))
-        .where(_cosine(F.col("__va"), F.col("__vb")) >= tau)
+        .where(pair_cos >= tau)
         .select(F.col("__idb").alias(id_col))
         .distinct()
     )

@@ -319,6 +319,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "llm_budget_select",
     "llm_dsir_importance",
     "scan_jsonl_gzip_roundtrip",
+    "tenant_tiered_quota",
 )
 
 

@@ -834,3 +834,59 @@ def scan_jsonl_gzip_roundtrip(spark, sf_dir):
         .agg(F.count("*").alias("n"), dsum("o_totalprice").alias("total"))
         .orderBy("o_orderstatus")
     )
+
+
+# --- tier-dependent quota admission (custom:tier → policy) -------------------
+
+
+@register(
+    "tenant_tiered_quota",
+    oracle="""
+        WITH ranked AS (
+            SELECT 'tenant-' || CAST(user_id % 4 AS VARCHAR) AS tenant_id,
+                   CASE WHEN user_id % 4 < 2 THEN 'Basic' ELSE 'Premium' END AS tier,
+                   CASE WHEN user_id % 4 < 2 THEN 1500 ELSE 4000 END AS quota,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id % 4 ORDER BY ts, event_id) AS rn
+            FROM events)
+        SELECT tenant_id, tier,
+               COUNT(*) FILTER (WHERE rn <= quota) AS accepted,
+               COUNT(*) FILTER (WHERE rn > quota) AS rejected
+        FROM ranked
+        GROUP BY tenant_id, tier, quota
+        ORDER BY tenant_id
+    """,
+    tags=("B10", "A8", "A9", "saas"),
+    doc="Tier-dependent ingest quota: the reference's user model carries "
+    "custom:tier from signup (create-user.sh:16, cognito-stack custom "
+    "attribute) and the engine's TenantContext now surfaces it — this "
+    "query is the policy consumption: a broadcast (tenant → tier → "
+    "quota) dim drives per-tenant admission caps (Basic 1500, Premium "
+    "4000) over the same deterministic arrival order as the flat quota. "
+    "The tier NEVER comes from payload data — the A9 invariant extended "
+    "to policy attributes.",
+)
+def tenant_tiered_quota(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(
+        [(f"tenant-{i}", "Basic" if i < 2 else "Premium", 1500 if i < 2 else 4000)
+         for i in range(4)],
+        "tenant_id string, tier string, quota int",
+    )
+    w = W.partitionBy(F.pmod("user_id", F.lit(4))).orderBy("ts", "event_id")
+    ranked = e.select(
+        F.concat(F.lit("tenant-"), F.pmod("user_id", F.lit(4)).cast("string")).alias(
+            "tenant_id"
+        ),
+        F.row_number().over(w).alias("rn"),
+    ).join(F.broadcast(tiers), "tenant_id")
+    return (
+        ranked.groupBy("tenant_id", "tier")
+        .agg(
+            F.count(F.when(F.col("rn") <= F.col("quota"), 1)).alias("accepted"),
+            F.count(F.when(F.col("rn") > F.col("quota"), 1)).alias("rejected"),
+        )
+        .orderBy("tenant_id")
+    )

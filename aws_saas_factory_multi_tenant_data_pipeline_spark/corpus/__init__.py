@@ -45,12 +45,15 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), d
 # The driver's CORRECTNESS gate grades a bounded prefix of the registry
 # (round 1: exactly the first 50 insertion-order entries). This head is
 # curated so those 50 span every SURVEY.md §2 family: the family-packed
-# queries in window50.py and window_r4.py cover multiple rows per slot
-# (all equi-join types, both setop rows, sliding+session, both scalar-UDF
-# rows, both grouped-UDF rows, three B1 format roundtrips, 16 B10 rows in
-# four LLM packs, math/array/map/json/null + url/timezone in two B7
-# packs, four r4 data-management rows in r4_mgmt_pack, five r5 rows in
-# r5_pack, and every Tier-A row except streaming-only A3).
+# queries in window50.py, window_r4.py, and window_r5.py cover multiple
+# rows per slot (all equi-join types, both setop rows, sliding+session,
+# both scalar-UDF rows, both grouped-UDF rows, three B1 format
+# roundtrips, 16 B10 rows in four LLM packs, math/array/map/json/null +
+# url/timezone in two B7 packs, four r4 data-management rows in
+# r4_mgmt_pack, ten r5 rows in r5_pack/r5_pack2, the dedup and lake
+# families in dedup_pack/lake_pack, the PNG/Bloom/HLL and crawl-pipeline
+# waves in r6_pack/r6_pack2, and every Tier-A row except streaming-only
+# A3).
 GRADED_WINDOW: tuple[str, ...] = (
     # Tier A (A1/A2/A4/A5/A6/A7/A8/A9 — A3 is streaming-only, tests/)
     "tenant_scoped_scan",

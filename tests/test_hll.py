@@ -96,3 +96,69 @@ def test_hll_sketch_rollup_over_partitions(spark, tmp_path):
         days[1].unionByName(days[2]).unionByName(days[3]).select("user").distinct().count()
     )
     assert abs(sm["hll_estimate"] - true) / true < 0.25
+
+
+def test_hll_streaming_register_maintenance(spark, tmp_path):
+    """Streaming sketch maintenance: each micro-batch merges its registers
+    into a persisted table (union+max), so a live distinct-count dashboard
+    needs no raw-event retention. After all batches, the maintained
+    sketch is register-exact equal to sketching the full history."""
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "in"
+    reg_root = str(tmp_path / "registers")
+    ckpt = tmp_path / "ck"
+    src.mkdir()
+
+    def land(fidx, lo, hi):
+        spark.range(lo, hi).select(F.col("id").alias("user")).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"f{fidx}"))
+
+    land(0, 0, 4000)
+    land(1, 2000, 7000)  # overlap: duplicate users across batches
+
+    schema = T.StructType([T.StructField("user", T.LongType())])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+
+    def merge_batch(batch_df, _bid):
+        import os as _os
+
+        new = hll_registers(batch_df, "user", p=8, seed="live")
+        if _os.path.exists(reg_root):
+            merged = hll_merge(batch_df.sparkSession.read.parquet(reg_root), new)
+        else:
+            merged = new
+        # rename-aside swap so readers never see a partial table
+        tmp = reg_root + "__tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = reg_root + "__old"
+        if _os.path.exists(reg_root):
+            _os.rename(reg_root, old)
+        _os.rename(tmp, reg_root)
+        import shutil as _sh
+
+        _sh.rmtree(old, ignore_errors=True)
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    maintained = spark.read.parquet(reg_root)
+    direct = hll_registers(
+        spark.range(0, 7000).select(F.col("id").alias("user")), "user", p=8, seed="live"
+    )
+    sm = hll_summary(maintained.groupBy("bucket").agg(F.max("reg").alias("reg")), p=8).collect()[0]
+    sd = hll_summary(direct, p=8).collect()[0]
+    assert sm["registers_md5"] == sd["registers_md5"]
+    assert sm["hll_estimate"] == sd["hll_estimate"]
+    assert abs(sm["hll_estimate"] - 7000) / 7000 < 0.2

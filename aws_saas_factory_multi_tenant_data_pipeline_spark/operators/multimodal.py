@@ -613,3 +613,96 @@ def ingest_media_dir(spark, path: str, glob: str = "*") -> DataFrame:
             mime_expr.alias("mime"),
         ).alias("meta"),
     )
+
+
+def _ahash_banded(hashes: DataFrame, id_col: str, hash_col: str) -> DataFrame:
+    h = hashes.where(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("media_id"), F.col(hash_col).alias("ahash")
+    )
+    return h.select(
+        "media_id",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright(F.col("ahash"), 16 * b)
+                        .bitwiseAND(0xFFFF)
+                        .alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bv"),
+    ).select("media_id", "ahash", F.col("bv.band_idx"), F.col("bv.band_val"))
+
+
+def build_ahash_index(
+    hashes: DataFrame,
+    root: str,
+    id_col: str = "media_id",
+    hash_col: str = "ahash",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the image near-dup index: the banded aHash table
+    (band_idx, band_val, media_id, ahash), partitioned by band_idx — the
+    image analog of the text MinHash band index. Incremental batches
+    probe it with an equi-join (cost O(batch)+collisions, never
+    O(corpus) re-hash) and append themselves."""
+    (
+        _ahash_banded(hashes, id_col, hash_col)
+        .repartition("band_idx")
+        .write.mode(mode)
+        .partitionBy("band_idx")
+        .parquet(root)
+    )
+
+
+def incremental_ahash_duplicates(
+    new_hashes: DataFrame,
+    root: str,
+    id_col: str = "media_id",
+    hash_col: str = "ahash",
+    max_hamming: int = 3,
+    update_index: bool = True,
+) -> DataFrame:
+    """Dedup a NEW image batch against the persisted aHash index:
+    candidates from the band equi-join (complete for hamming ≤ 3),
+    verified by xor-popcount. Returns (new_id, matched_id, hamming);
+    when ``update_index`` the batch's own bands append so the next batch
+    sees them. The match set is frozen executor-side (localCheckpoint)
+    BEFORE the append — the same isolation rule as the text incremental
+    path, with no driver round-trip."""
+    if not 0 <= max_hamming <= 3:
+        raise ValueError("band guarantee holds for max_hamming in [0, 3]")
+    spark = new_hashes.sparkSession
+    index = spark.read.parquet(root)
+    banded = _ahash_banded(new_hashes, id_col, hash_col).select(
+        F.col("media_id").alias("new_id"),
+        F.col("ahash").alias("__hn"),
+        "band_idx",
+        "band_val",
+    )
+    result = (
+        banded.join(
+            index.select(
+                "band_idx",
+                "band_val",
+                F.col("media_id").alias("matched_id"),
+                F.col("ahash").alias("__hi"),
+            ),
+            ["band_idx", "band_val"],
+        )
+        .select(
+            "new_id",
+            "matched_id",
+            F.bit_count(F.col("__hn").bitwiseXOR(F.col("__hi"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    if update_index:
+        result = result.localCheckpoint(eager=True)
+        build_ahash_index(new_hashes, root, id_col, hash_col, mode="append")
+    return result

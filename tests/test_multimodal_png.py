@@ -253,3 +253,38 @@ def test_decode_property_random_filters_and_shapes():
         else:
             want = np.repeat(px[..., :1], 3, axis=2)
         assert np.array_equal(got, want), (trial, h, w, color, ftypes)
+
+
+def test_incremental_ahash_index(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        build_ahash_index,
+        incremental_ahash_duplicates,
+    )
+
+    root = str(tmp_path / "ahash_index")
+
+    def hashes(rows):
+        return spark.createDataFrame(rows, "media_id long, ahash long")
+
+    base = 0x0123456789ABCDEF
+    build_ahash_index(hashes([(1, base), (2, base ^ 0xFFFF0000)]), root)
+
+    # batch A: one near-dup of image 1 (2 bits), one unrelated
+    batch_a = hashes([(10, base ^ 0b101), (11, 0x7EDCBA9876543210)])
+    m = {
+        (r["new_id"], r["matched_id"]): r["hamming"]
+        for r in incremental_ahash_duplicates(batch_a, root).collect()
+    }
+    assert m == {(10, 1): 2}
+    # batch B arrives later and matches batch A's image (index was updated)
+    batch_b = hashes([(20, base ^ 0b100)])
+    m2 = {
+        (r["new_id"], r["matched_id"]): r["hamming"]
+        for r in incremental_ahash_duplicates(batch_b, root).collect()
+    }
+    assert (20, 1) in m2 and m2[(20, 1)] == 1
+    assert (20, 10) in m2 and m2[(20, 10)] == 1  # sees the PREVIOUS batch
+    # no self-matching within the probing batch itself
+    assert all(a != b for a, b in m2)

@@ -288,3 +288,62 @@ def test_incremental_ahash_index(spark, tmp_path):
     assert (20, 10) in m2 and m2[(20, 10)] == 1  # sees the PREVIOUS batch
     # no self-matching within the probing batch itself
     assert all(a != b for a, b in m2)
+
+
+def test_audio_hash_envelope_near_dup(spark):
+    import io
+    import wave
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        ahash_near_duplicates,
+        audio_hash,
+        with_audio_hash,
+    )
+
+    def wav(envelope, sr=8000, dur=1.0):
+        t = np.arange(int(sr * dur)) / sr
+        x = np.sin(2 * np.pi * 440 * t) * envelope(t)
+        pcm = np.clip(np.round(x * 20000), -32768, 32767).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(sr)
+            wf.writeframes(pcm.tobytes())
+        return buf.getvalue()
+
+    rng = np.random.RandomState(5)
+    env_a = lambda t: 0.3 + 0.7 * np.abs(np.sin(2 * np.pi * 1.5 * t))  # noqa: E731
+    env_b = lambda t: np.where((t * 8).astype(int) % 2 == 0, 1.0, 0.05)  # noqa: E731
+    a1 = wav(env_a)
+    a2 = wav(lambda t: env_a(t) * 0.8)  # same envelope, quieter → same SHAPE
+    b1 = wav(env_b)
+
+    h_a1, h_a2, h_b1 = audio_hash(a1), audio_hash(a2), audio_hash(b1)
+
+    def ham(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    assert ham(h_a1, h_a2) <= 3  # volume change barely moves the envelope bits
+    assert ham(h_a1, h_b1) > 10  # different material is far away
+    assert -(1 << 63) <= h_a1 < (1 << 63)
+
+    # through the distributed path and the shared banded machinery
+    rows = [
+        (1, "audio", bytearray(a1), (None, None, 8000, None, "audio/wav")),
+        (2, "audio", bytearray(a2), (None, None, 8000, None, "audio/wav")),
+        (3, "audio", bytearray(b1), (None, None, 8000, None, "audio/wav")),
+        (4, "audio", bytearray(b"\x00junk"), (None, None, None, None, "audio/mpeg")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    hashes = with_audio_hash(media)
+    assert hashes.where(F.col("ahash").isNull()).count() == 1  # the junk row
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in ahash_near_duplicates(hashes, max_hamming=3).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) not in pairs and (2, 3) not in pairs

@@ -309,3 +309,30 @@ def test_gunzip_members_rejects_corrupt_tail():
     with pytest.raises(ValueError, match="trailing non-gzip"):
         gunzip_members(one + b"torn garbage tail")
     # and the distributed reader turns that into an error row, not a crash
+
+
+def test_parser_never_raises_on_mutated_bytes():
+    """Robustness fuzz: random single-byte mutations and truncations of a
+    valid archive must yield record lists (possibly with error rows),
+    never exceptions — a torn tail in a 100 TB crawl is routine, not
+    exceptional."""
+    import random
+
+    rnd = random.Random(99)
+    for _ in range(300):
+        data = bytearray(_SPEC_BYTES)
+        op = rnd.random()
+        if op < 0.4:  # flip a byte
+            i = rnd.randrange(len(data))
+            data[i] ^= rnd.randrange(1, 256)
+        elif op < 0.8:  # truncate
+            data = data[: rnd.randrange(len(data))]
+        else:  # splice garbage
+            i = rnd.randrange(len(data))
+            data[i:i] = bytes(rnd.randrange(256) for _ in range(rnd.randrange(1, 9)))
+        recs = parse_warc_records(bytes(data))
+        assert isinstance(recs, list)
+        for r in recs:
+            assert ("parse_error" in r) and (
+                r["parse_error"] is not None or r["content_length"] is not None
+            )

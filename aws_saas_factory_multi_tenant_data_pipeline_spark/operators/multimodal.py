@@ -105,14 +105,25 @@ def decode_png(payload: bytes):
     normalizes to RGB. Supports 8-bit depth, color types 0 (gray),
     2 (RGB), 3 (palette via PLTE), 4 (gray+alpha), 6 (RGBA); rejects
     interlaced and 16-bit images with a clear error. Returns
-    (pixels HxWx3 uint8, width, height) or raises ValueError."""
+    (pixels HxWx3 uint8, width, height) or raises ValueError — ALWAYS
+    ValueError, whatever the tear: struct/zlib errors on torn input are
+    normalized so per-row decode guards need exactly one except type."""
+    if not payload or not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    try:
+        return _decode_png_inner(payload)
+    except ValueError:
+        raise
+    except Exception as exc:  # struct.error / zlib.error on torn input
+        raise ValueError(f"malformed PNG: {exc}") from exc
+
+
+def _decode_png_inner(payload: bytes):
     import struct
     import zlib
 
     import numpy as np
 
-    if not payload or not payload.startswith(_PNG_SIG):
-        raise ValueError("not a PNG payload")
     i, n = 8, len(payload)
     ihdr, plte, idat = None, None, []
     while i + 12 <= n:

@@ -347,3 +347,31 @@ def test_audio_hash_envelope_near_dup(spark):
         for r in ahash_near_duplicates(hashes, max_hamming=3).collect()
     }
     assert (1, 2) in pairs and (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_decode_mutation_fuzz_always_valueerror():
+    """Any torn/mutated PNG must raise ValueError (never struct.error or
+    zlib.error — those would escape the resize path's per-row guard)."""
+    import random
+
+    rng2 = np.random.RandomState(77)
+    good = encode_png(rng2.randint(0, 256, size=(6, 6, 3), dtype=np.uint8))
+    rnd = random.Random(7)
+    raised_other = []
+    for _ in range(400):
+        data = bytearray(good)
+        op = rnd.random()
+        if op < 0.45:
+            data[rnd.randrange(8, len(data))] ^= rnd.randrange(1, 256)
+        elif op < 0.9:
+            data = data[: rnd.randrange(9, len(data))]
+        else:
+            i = rnd.randrange(8, len(data))
+            data[i:i] = bytes(rnd.randrange(256) for _ in range(rnd.randrange(1, 6)))
+        try:
+            decode_png(bytes(data))  # may succeed (benign mutation) — fine
+        except ValueError:
+            pass
+        except Exception as exc:  # noqa: BLE001
+            raised_other.append(type(exc).__name__)
+    assert not raised_other, set(raised_other)

@@ -375,3 +375,26 @@ def test_decode_mutation_fuzz_always_valueerror():
         except Exception as exc:  # noqa: BLE001
             raised_other.append(type(exc).__name__)
     assert not raised_other, set(raised_other)
+
+
+def test_ppm_decode_mutation_fuzz_always_valueerror():
+    """Same tear contract as decode_png: PPM parse failures are always
+    ValueError, so the resize path's per-row guard is complete."""
+    import random
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        decode_ppm,
+    )
+
+    good = b"P6\n4 2\n255\n" + bytes(range(24))
+    rnd = random.Random(3)
+    for _ in range(400):
+        d = bytearray(good)
+        if rnd.random() < 0.5:
+            d[rnd.randrange(len(d))] ^= rnd.randrange(1, 256)
+        else:
+            d = d[: rnd.randrange(2, len(d))]
+        try:
+            decode_ppm(bytes(d))
+        except ValueError:
+            pass

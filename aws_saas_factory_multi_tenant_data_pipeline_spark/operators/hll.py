@@ -62,6 +62,10 @@ def hll_constants(p: int) -> tuple[int, int, float]:
 
 
 def _hash52(col: Column, seed: str) -> Column:
+    # the key is CAST TO STRING before hashing: integer and string keys
+    # replay identically in any engine; float keys would not (double→text
+    # rendering differs between Spark and DuckDB), so hash a rounded
+    # decimal/string form of a float key instead
     return F.conv(
         F.substring(F.md5(F.concat_ws(":", F.lit(seed), col.cast("string"))), 1, 13),
         16,

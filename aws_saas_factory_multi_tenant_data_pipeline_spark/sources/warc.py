@@ -49,32 +49,57 @@ WARC_RECORD_SCHEMA = T.StructType(
 )
 
 
-def gunzip_members(data: bytes) -> bytes:
-    """Inflate a concatenation of gzip members (the .warc.gz layout) into
-    one byte stream; plain (non-gzip) input passes through unchanged.
-    Non-gzip bytes AFTER at least one valid member are corruption — that
-    raises rather than silently truncating the archive (a torn tail must
-    never read as a clean end-of-file)."""
+def iter_gunzip_members(data: bytes, chunk: int = 1 << 20) -> Iterator[bytes]:
+    """Walk a concatenation of gzip members (the .warc.gz layout) yielding
+    one inflated member at a time; plain (non-gzip) input is yielded whole.
+    Feeding the inflater ``chunk``-sized memoryview slices keeps input-side
+    copies bounded even for archives with tens of thousands of members
+    (``d.unused_data`` on the whole remainder would be O(n²) copying).
+
+    Tear contract (both raise ValueError, never a clean EOF):
+    - non-gzip bytes AFTER at least one valid member → trailing corruption;
+    - a member whose deflate stream ends before its gzip trailer
+      (``d.eof`` false after the last input byte) → truncated member.
+    """
     if data[:2] != b"\x1f\x8b":
-        return data
-    out, rest = [], data
-    while rest[:2] == b"\x1f\x8b":
+        yield data
+        return
+    view = memoryview(data)
+    pos, n = 0, len(data)
+    while pos < n:
+        if bytes(view[pos : pos + 2]) != b"\x1f\x8b":
+            raise ValueError(
+                f"{n - pos} trailing non-gzip bytes after the last gzip member"
+            )
         d = zlib.decompressobj(wbits=31)
-        out.append(d.decompress(rest))
-        out.append(d.flush())
-        rest = d.unused_data
-    if rest:
-        raise ValueError(
-            f"{len(rest)} trailing non-gzip bytes after the last gzip member"
-        )
-    return b"".join(out)
+        parts = []
+        while not d.eof and pos < n:
+            fed = view[pos : pos + chunk]
+            parts.append(d.decompress(fed))
+            if d.eof:
+                pos += len(fed) - len(d.unused_data)
+            else:
+                pos += len(fed)
+        parts.append(d.flush())
+        if not d.eof:
+            raise ValueError("truncated gzip member")
+        yield b"".join(parts)
 
 
-def parse_warc_records(data: bytes) -> list[dict]:
-    """Parse a (decompressed) WARC byte stream into record dicts with the
-    WARC_RECORD_SCHEMA fields (minus source_file/record_idx). A framing
-    error emits one final record carrying ``parse_error`` and stops — a
-    torn tail must not look like a clean end-of-file."""
+def gunzip_members(data: bytes) -> bytes:
+    """Inflate a concatenation of gzip members into one byte stream (see
+    :func:`iter_gunzip_members` for the streaming form and tear contract)."""
+    return b"".join(iter_gunzip_members(data))
+
+
+def _parse_complete(data: bytes, at_eof: bool) -> tuple[list[dict], int, bool]:
+    """Parse COMPLETE records from the front of ``data``. Returns
+    ``(records, consumed, fatal)``. With ``at_eof=False`` an incomplete
+    trailing record is simply left unconsumed (the incremental reader will
+    retry once more bytes arrive); with ``at_eof=True`` it becomes a final
+    ``parse_error`` record — a torn tail must not look like a clean
+    end-of-file. Structural errors (bad version line, bad Content-Length
+    inside a complete header) are fatal regardless of ``at_eof``."""
     records: list[dict] = []
     i, n = 0, len(data)
     while i < n:
@@ -83,16 +108,17 @@ def parse_warc_records(data: bytes) -> list[dict]:
             i += 2
         if i >= n:
             break
-        try:
-            hdr_end = data.index(b"\r\n\r\n", i)
-        except ValueError:
-            records.append(_err_record("torn record header at offset %d" % i))
-            break
+        hdr_end = data.find(b"\r\n\r\n", i)
+        if hdr_end < 0:
+            if at_eof:
+                records.append(_err_record("torn record header at offset %d" % i))
+                return records, n, True
+            return records, i, False
         header = data[i:hdr_end].decode("utf-8", errors="replace")
         lines = header.split("\r\n")
         if not lines[0].startswith("WARC/"):
             records.append(_err_record("missing WARC/ version line at offset %d" % i))
-            break
+            return records, n, True
         fields = {}
         for line in lines[1:]:
             if ":" in line:
@@ -102,11 +128,13 @@ def parse_warc_records(data: bytes) -> list[dict]:
             length = int(fields["content-length"])
         except (KeyError, ValueError):
             records.append(_err_record("missing/bad Content-Length at offset %d" % i))
-            break
+            return records, n, True
         block = data[hdr_end + 4 : hdr_end + 4 + length]
         if len(block) != length:
-            records.append(_err_record("truncated block at offset %d" % i))
-            break
+            if at_eof:
+                records.append(_err_record("truncated block at offset %d" % i))
+                return records, n, True
+            return records, i, False
         records.append(
             {
                 "warc_type": fields.get("warc-type"),
@@ -120,7 +148,33 @@ def parse_warc_records(data: bytes) -> list[dict]:
             }
         )
         i = hdr_end + 4 + length
+    return records, i, False
+
+
+def parse_warc_records(data: bytes) -> list[dict]:
+    """Parse a (decompressed) WARC byte stream into record dicts with the
+    WARC_RECORD_SCHEMA fields (minus source_file/record_idx). A framing
+    error emits one final record carrying ``parse_error`` and stops."""
+    records, _, _ = _parse_complete(data, at_eof=True)
     return records
+
+
+def iter_warc_records(members: Iterator[bytes]) -> Iterator[dict]:
+    """Incremental record walk over an iterator of decompressed byte
+    chunks (typically :func:`iter_gunzip_members` output). Memory held at
+    any moment is one chunk plus at most one partial record — never the
+    whole archive; records that span member boundaries are handled by the
+    carry buffer. Framing errors follow :func:`parse_warc_records`."""
+    buf = b""
+    for m in members:
+        buf = buf + m if buf else m
+        records, consumed, fatal = _parse_complete(buf, at_eof=False)
+        yield from records
+        if fatal:
+            return
+        buf = buf[consumed:]
+    records, _, _ = _parse_complete(buf, at_eof=True)
+    yield from records
 
 
 def _err_record(msg: str) -> dict:
@@ -173,24 +227,45 @@ def build_warc(records: list[dict]) -> bytes:
     return b"".join(out)
 
 
-def read_warc(spark: SparkSession, path: str, glob: str = "*.warc*") -> DataFrame:
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.warc*",
+    chunk_records: int = 512,
+) -> DataFrame:
     """Distributed WARC reader: one binaryFile task per archive file,
-    records exploded executor-side. Returns WARC_RECORD_SCHEMA rows."""
+    records exploded executor-side. Returns WARC_RECORD_SCHEMA rows.
+
+    Memory shape: gzip members are walked incrementally (the Common Crawl
+    per-record-member layout exists precisely for this) and records are
+    yielded in pandas frames of at most ``chunk_records`` rows, so peak
+    per-task memory is one compressed file (binaryFile's buffer) plus one
+    inflated member plus one output chunk — never the whole decompressed
+    archive (~4-5× the .gz size for a 1 GB Common Crawl file)."""
     raw = spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
+    cols = [f.name for f in WARC_RECORD_SCHEMA.fields]
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
             for path_, content in zip(pdf["path"], pdf["content"]):
+                rows: list[dict] = []
+                idx = 0
                 try:
-                    recs = parse_warc_records(gunzip_members(bytes(content)))
+                    for r in iter_warc_records(iter_gunzip_members(bytes(content))):
+                        rows.append({"source_file": path_, "record_idx": idx, **r})
+                        idx += 1
+                        if len(rows) >= chunk_records:
+                            yield pd.DataFrame(rows, columns=cols)
+                            rows = []
                 except Exception as exc:  # undecodable archive → one error row
-                    recs = [_err_record(f"archive error: {exc}")]
-                for idx, r in enumerate(recs):
-                    rows.append({"source_file": path_, "record_idx": idx, **r})
-            yield pd.DataFrame(
-                rows,
-                columns=[f.name for f in WARC_RECORD_SCHEMA.fields],
-            )
+                    rows.append(
+                        {
+                            "source_file": path_,
+                            "record_idx": idx,
+                            **_err_record(f"archive error: {exc}"),
+                        }
+                    )
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
 
     return raw.select("path", "content").mapInPandas(op, WARC_RECORD_SCHEMA)

@@ -336,3 +336,88 @@ def test_parser_never_raises_on_mutated_bytes():
             assert ("parse_error" in r) and (
                 r["parse_error"] is not None or r["content_length"] is not None
             )
+
+
+def test_gunzip_members_rejects_truncated_member():
+    """A mid-member tear (deflate stream cut before its gzip trailer) must
+    raise, never read as a clean end-of-file — decompressobj reports
+    eof=False with empty unused_data there, which a naive loop accepts."""
+    import pytest
+
+    one = gzip.compress(b"WARC-ish payload one")
+    two = gzip.compress(b"WARC-ish payload two")
+    for cut in (len(one) + 5, len(one) + len(two) - 3):
+        with pytest.raises(ValueError, match="truncated gzip member"):
+            gunzip_members((one + two)[:cut])
+    # clean member boundary still inflates fine
+    assert gunzip_members(one + two) == b"WARC-ish payload one" + b"WARC-ish payload two"
+
+
+def test_iter_gunzip_members_streams_per_member():
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.sources.warc import (
+        iter_gunzip_members,
+    )
+
+    payloads = [f"member {i} ".encode() * 50 for i in range(7)]
+    blob = b"".join(gzip.compress(p) for p in payloads)
+    # tiny chunk size forces the multi-feed path inside one member
+    assert list(iter_gunzip_members(blob, chunk=11)) == payloads
+    # non-gzip passthrough yields the input once
+    assert list(iter_gunzip_members(b"plain")) == [b"plain"]
+
+
+def test_iter_warc_records_spans_member_boundaries():
+    """The incremental walk must carry partial records across member
+    boundaries (a non-Common-Crawl writer may split records arbitrarily)."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.sources.warc import (
+        iter_warc_records,
+    )
+
+    # split the two-record spec stream at awkward points
+    for cuts in [(10,), (40, 41), (len(_SPEC_BYTES) - 5,), (1, 2, 3)]:
+        chunks, prev = [], 0
+        for c in cuts:
+            chunks.append(_SPEC_BYTES[prev:c])
+            prev = c
+        chunks.append(_SPEC_BYTES[prev:])
+        recs = list(iter_warc_records(iter(chunks)))
+        assert [r["warc_type"] for r in recs] == ["response", "warcinfo"]
+        assert all(r["parse_error"] is None for r in recs)
+    # and matches the batch parser on the whole stream
+    assert list(iter_warc_records(iter([_SPEC_BYTES]))) == parse_warc_records(
+        _SPEC_BYTES
+    )
+
+
+def test_read_warc_yields_bounded_chunks(spark, tmp_path):
+    """chunk_records bounds every pandas frame the reader emits — the
+    per-task memory contract for 1 GB Common Crawl archives."""
+    recs = [
+        {
+            "warc_type": "response",
+            "target_uri": f"http://example.com/{i}",
+            "warc_date": "2024-01-02T03:04:05Z",
+            "record_id": f"<urn:uuid:{i}>",
+            "content_type": "application/http;msgtype=response",
+            "block": b"HTTP/1.1 200 OK\r\n\r\nbody %d" % i,
+        }
+        for i in range(25)
+    ]
+    # Common Crawl layout: one gzip member per record
+    blob = b"".join(gzip.compress(build_warc([r])) for r in recs)
+    (tmp_path / "chunky.warc.gz").write_bytes(blob)
+    df = read_warc(spark, str(tmp_path), chunk_records=7)
+    out = df.orderBy("record_idx").collect()
+    assert len(out) == 25
+    assert [r.record_idx for r in out] == list(range(25))
+    assert all(r.parse_error is None for r in out)
+    # the chunking itself: count pandas frames via mapInPandas re-run
+    import pandas as pd  # noqa: F401
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.sources.warc import (
+        iter_gunzip_members,
+        iter_warc_records,
+    )
+
+    n_members = sum(1 for _ in iter_gunzip_members(blob))
+    assert n_members == 25  # truly per-record members
+    assert len(list(iter_warc_records(iter_gunzip_members(blob)))) == 25

@@ -13,12 +13,17 @@ Two selection primitives every corpus build eventually needs:
 - :func:`budget_select` — the token-budget data-selection rule: keep the
   highest-quality documents whose cumulative token count fits a budget,
   deterministic ties by hashed id. The SCALABLE shape matters: no global
-  sort over documents — per-score token totals (one groupBy over ≤
-  |distinct scores| rows) locate the boundary score, whole scores above
-  it are kept with a broadcast range check, and only the single boundary
-  score's documents run an ordered prefix window (bounded, not corpus-
-  wide). This is exactly how a 100 TB selection must run; the naive
-  ``ORDER BY quality LIMIT``-style global sort is the trap.
+  sort over documents — scores are quantized into ``n_bins`` equi-width
+  bins, per-bin token totals (one groupBy over ≤ n_bins rows) locate the
+  boundary bin, whole bins above it are kept with a broadcast range
+  check, and only the single boundary bin's documents run an ordered
+  prefix window (≈ corpus/n_bins rows, not corpus-wide). The boundary
+  frame is bounded by construction — ≤ n_bins rows no matter how many
+  distinct score values exist (a continuous per-document score is the
+  norm, not the exception) — which is what the earlier per-distinct-score
+  variant could not guarantee. This is exactly how a 100 TB selection
+  must run; the naive ``ORDER BY quality LIMIT``-style global sort is
+  the trap.
 """
 
 from __future__ import annotations
@@ -81,6 +86,7 @@ def budget_select(
     tokens_col: str = "n_tokens",
     id_col: str = "doc_id",
     seed: str = "budget",
+    n_bins: int = 4096,
 ) -> DataFrame:
     """Keep the greedy highest-quality prefix whose token total fits
     ``budget_tokens``; within a score, documents are taken in
@@ -89,32 +95,67 @@ def budget_select(
     Exactness contract: the selected set is identical to sorting ALL
     documents by (score DESC, md5 tie, id) and taking the maximal prefix
     with cumulative tokens ≤ budget — but computed without any
-    corpus-wide sort (see module docstring).
+    corpus-wide sort (see module docstring). NULL-score rows are kept in
+    the output with ``is_selected = false`` (a NULL quality score means
+    "unscorable", which a budget selection must never spend tokens on —
+    and must never silently drop from the returned frame either).
+
+    Bounded-memory contract: the boundary-search frame has ≤ ``n_bins``
+    rows regardless of the score distribution (continuous per-document
+    scores included). The only window runs inside ONE bin: ≈ corpus /
+    n_bins rows for a spread score, and at worst the largest single bin
+    (e.g. a corpus-wide constant score) — the irreducible tie class the
+    exact greedy semantics require ordering anyway.
     """
     if budget_tokens < 0:
         raise ValueError("budget_tokens must be >= 0")
-    per_score = df.groupBy(score_col).agg(
-        F.sum(F.col(tokens_col).cast("long")).alias("__st")
+    score = F.col(score_col).cast("double")
+    nulls = df.where(score.isNull()).withColumn("is_selected", F.lit(False))
+    scored = df.where(score.isNotNull())
+    # 1-row min/max → broadcast: equi-width bin ids are a monotone function
+    # of the score, so equal scores share a bin and bin order = score order
+    mm = scored.agg(F.min(score).alias("__lo"), F.max(score).alias("__hi"))
+    width = (F.col("__hi") - F.col("__lo")) / n_bins
+    bkt = (
+        F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor((score - F.col("__lo")) / width).cast("int"),
+            )
+        )
+        .alias("__bkt")
     )
-    w = Window.orderBy(F.col(score_col).desc())
-    cum = per_score.withColumn(
-        "__before", F.coalesce(F.sum("__st").over(w) - F.col("__st"), F.lit(0))
+    binned = (
+        scored.crossJoin(F.broadcast(mm)).withColumn("__bkt", bkt).drop("__lo", "__hi")
     )
-    joined = df.join(F.broadcast(cum), score_col)
-    whole_in = (F.col("__before") + F.col("__st")) <= budget_tokens
+    per_bin = binned.groupBy("__bkt").agg(
+        F.sum(F.col(tokens_col).cast("long")).alias("__bt")
+    )
+    # the ONLY unpartitioned window — over ≤ n_bins rows, by construction
+    w = Window.orderBy(F.col("__bkt").desc())
+    cum = per_bin.withColumn(
+        "__before", F.coalesce(F.sum("__bt").over(w) - F.col("__bt"), F.lit(0))
+    )
+    joined = binned.join(F.broadcast(cum), "__bkt")
+    whole_in = (F.col("__before") + F.col("__bt")) <= budget_tokens
     boundary = (F.col("__before") < budget_tokens) & ~whole_in
-    # every non-boundary score is decided wholesale by its cumulative
-    # range — a broadcast filter, no window anywhere near the corpus
+    # every non-boundary bin is decided wholesale by its cumulative range —
+    # a broadcast filter, no window anywhere near the corpus
     decided = joined.where(~boundary).withColumn("is_selected", whole_in)
-    # only the (single) boundary score runs an intra-score ordered prefix,
-    # over just its own rows
+    # only the (single) boundary bin runs an ordered prefix, over just its
+    # own rows — exact greedy order within the bin: score desc, tie, id
     tie = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
-    wb = Window.partitionBy(score_col).orderBy(tie, F.col(id_col))
+    wb = Window.partitionBy("__bkt").orderBy(score.desc(), tie, F.col(id_col))
     run = F.sum(F.col(tokens_col).cast("long")).over(wb)
     edge = joined.where(boundary).withColumn(
         "is_selected", (F.col("__before") + run) <= budget_tokens
     )
-    return decided.unionByName(edge).drop("__st", "__before")
+    return (
+        decided.unionByName(edge)
+        .drop("__bkt", "__bt", "__before")
+        .unionByName(nulls)
+    )
 
 
 def dsir_importance(

@@ -141,3 +141,86 @@ def test_dsir_importance_is_length_invariant(spark):
     out = {r["doc_id"]: r for r in dsir_importance(df, F.col("t")).collect()}
     assert out[1]["importance"] == out[2]["importance"]
     assert out[2]["n_tokens"] == 5 * out[1]["n_tokens"]
+
+
+def _scored_continuous(spark, n=300):
+    # effectively-continuous score: unique per document (the realistic
+    # logistic-model output case the per-distinct-score design choked on)
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.sin(F.col("id").cast("double") * 0.7113) * 1000).alias("quality_score"),
+        ((F.col("id") * 13) % 50 + 10).alias("n_tokens"),
+    )
+
+
+@pytest.mark.parametrize("budget", [0, 137, 2_000, 5_003, 10_000_000])
+def test_budget_select_continuous_scores_equal_bruteforce(spark, budget):
+    """Unique-per-doc scores: the quantized boundary search must still
+    reproduce the exact greedy prefix."""
+    df = _scored_continuous(spark)
+    rows = [r.asDict() for r in df.collect()]
+    got = {
+        r["doc_id"]
+        for r in budget_select(df, budget).where(F.col("is_selected")).collect()
+    }
+    assert got == _brute_force(rows, budget)
+
+
+def test_budget_select_continuous_scores_few_bins(spark):
+    """Coarse binning (n_bins far below |distinct scores|) stays exact —
+    bins only bound the search, never change the semantics."""
+    df = _scored_continuous(spark, 200)
+    rows = [r.asDict() for r in df.collect()]
+    for n_bins in (1, 2, 7, 64):
+        got = {
+            r["doc_id"]
+            for r in budget_select(df, 2_500, n_bins=n_bins)
+            .where(F.col("is_selected"))
+            .collect()
+        }
+        assert got == _brute_force(rows, 2_500), f"n_bins={n_bins}"
+
+
+def test_budget_select_boundary_frame_bounded(spark):
+    """The boundary-search frame is ≤ n_bins rows no matter how many
+    distinct scores exist — the 100 TB guarantee the rewrite adds."""
+    df = _scored_continuous(spark, 500)  # 500 distinct scores
+    n_bins = 16
+    score = F.col("quality_score").cast("double")
+    mm = df.agg(F.min(score).alias("__lo"), F.max(score).alias("__hi"))
+    width = (F.col("__hi") - F.col("__lo")) / n_bins
+    per_bin = (
+        df.crossJoin(F.broadcast(mm))
+        .select(
+            F.least(
+                F.lit(n_bins - 1), F.floor((score - F.col("__lo")) / width).cast("int")
+            ).alias("__bkt")
+        )
+        .groupBy("__bkt")
+        .count()
+    )
+    assert per_bin.count() <= n_bins
+    # and the real operator with that bin count is still exact
+    rows = [r.asDict() for r in df.collect()]
+    got = {
+        r["doc_id"]
+        for r in budget_select(df, 4_000, n_bins=n_bins)
+        .where(F.col("is_selected"))
+        .collect()
+    }
+    assert got == _brute_force(rows, 4_000)
+
+
+def test_budget_select_null_scores_kept_unselected(spark):
+    """NULL-score rows surface in the output with is_selected=false —
+    never silently dropped (the round-5 ADVICE contract)."""
+    df = spark.createDataFrame(
+        [(0, 0.9, 10), (1, None, 10), (2, 0.5, 10), (3, None, 10)],
+        "doc_id long, quality_score double, n_tokens long",
+    )
+    out = budget_select(df, 15).orderBy("doc_id").collect()
+    assert len(out) == 4  # nothing dropped
+    by_id = {r.doc_id: r.is_selected for r in out}
+    assert by_id[1] is False and by_id[3] is False
+    assert by_id[0] is True  # 0.9 fits
+    assert by_id[2] is False  # second doc would overflow the 15-token budget

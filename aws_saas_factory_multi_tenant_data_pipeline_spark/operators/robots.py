@@ -5,22 +5,28 @@ fetch; re-checking against the captured robots.txt snapshots is a
 standard curation pass (and a takedown-audit tool). Policies are a
 per-domain dimension table — tiny next to the page corpus — so the
 filter is a broadcast equi-join on the registrable host plus an
-Arrow-batched policy evaluation with stdlib ``urllib.robotparser``
-(agent groups, wildcard-agent fallback, Allow/Disallow with the
-original REP's FIRST-MATCH-WINS rule order — note this differs from
-Google's longest-match variant in RFC 9309; policies written for the
-original semantics put Allow exceptions before their Disallow).
+Arrow-batched policy evaluation.
+
+Rule semantics are RFC 9309 (the standardized Robots Exclusion
+Protocol): group selection picks the most specific matching user-agent
+token (``*`` as fallback, same-token groups merged), and rule matching
+is LONGEST-MATCH-WINS over the path+query with ``*`` wildcards and ``$``
+end anchors — at equal length, Allow wins. (The original 1994 REP and
+stdlib ``urllib.robotparser`` use first-match-wins rule order instead;
+this module implements the RFC.)
 
 Scale shape: pages never shuffle — the policy side broadcasts; parsing
 each distinct robots.txt happens once per executor batch via an LRU
-keyed on the policy text hash, not per row. Pages whose domain has no
+keyed on the policy text, not per row. Pages whose domain has no
 policy row default to allowed (the crawl convention: no robots.txt =
 no restrictions).
 """
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
+from urllib.parse import urlsplit
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -33,6 +39,90 @@ def url_host(col) -> "F.Column":
     return F.lower(
         F.regexp_extract(col, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://(?:[^/?#@]*@)?([^/?#:]*)", 1)
     )
+
+
+class RobotsPolicy:
+    """One parsed robots.txt, evaluated per RFC 9309 §2.2 for a single
+    user agent. Group selection happens at parse time (the agent is
+    fixed per query), rule matching per call."""
+
+    def __init__(self, txt: str, user_agent: str) -> None:
+        ua = user_agent.lower()
+        # parse into groups: [(agent_tokens, rules)] where a run of
+        # User-agent lines opens a group and any rule line closes the run
+        groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
+        agents: list[str] = []
+        rules: list[tuple[bool, str]] = []
+        in_agent_run = False
+        for raw in txt.splitlines():
+            line = raw.split("#", 1)[0].strip()
+            if not line or ":" not in line:
+                continue
+            key, _, val = line.partition(":")
+            key, val = key.strip().lower(), val.strip()
+            if key == "user-agent":
+                if not in_agent_run and agents:
+                    groups.append((agents, rules))
+                    agents, rules = [], []
+                agents.append(val.lower())
+                in_agent_run = True
+            elif key in ("allow", "disallow"):
+                in_agent_run = False
+                if agents:  # rules before any User-agent line are ignored
+                    # empty Disallow = "allow everything" = no rule (RFC 9309)
+                    if val:
+                        rules.append((key == "allow", val))
+            else:
+                in_agent_run = False  # crawl-delay/sitemap etc. close the run
+        if agents:
+            groups.append((agents, rules))
+        # RFC 9309 §2.2.1: obey the group(s) with the most specific
+        # matching agent token; '*' only when nothing specific matches.
+        # Product-token match: the line value is a prefix of our agent.
+        best_len = -1
+        for gagents, _ in groups:
+            for a in gagents:
+                if a != "*" and ua.startswith(a) and len(a) > best_len:
+                    best_len = len(a)
+        self.rules: list[tuple[bool, str, re.Pattern]] = []
+        for gagents, grules in groups:
+            chosen = (
+                any(a != "*" and ua.startswith(a) and len(a) == best_len for a in gagents)
+                if best_len >= 0
+                else "*" in gagents
+            )
+            if chosen:
+                for allow, pat in grules:
+                    self.rules.append((allow, pat, _compile_path_pattern(pat)))
+
+    def allowed(self, url: str) -> bool:
+        """RFC 9309 §2.2.2: of all matching rules, the one with the
+        longest pattern (octet length) decides; Allow wins length ties;
+        no matching rule → allowed."""
+        try:
+            parts = urlsplit(url)
+            path = parts.path or "/"
+            if parts.query:
+                path += "?" + parts.query
+        except ValueError:
+            path = "/"
+        best: tuple[int, bool] | None = None
+        for allow, pat, rx in self.rules:
+            if rx.match(path):
+                key = (len(pat), allow)  # True > False → allow wins ties
+                if best is None or key > best:
+                    best = key
+        return True if best is None else best[1]
+
+
+def _compile_path_pattern(pat: str) -> re.Pattern:
+    """robots path pattern → anchored regex: '*' matches any run of
+    octets, a trailing '$' anchors the end, everything else is literal."""
+    anchored = pat.endswith("$")
+    if anchored:
+        pat = pat[:-1]
+    rx = "".join(".*" if c == "*" else re.escape(c) for c in pat)
+    return re.compile(rx + ("$" if anchored else ""))
 
 
 def filter_by_robots(
@@ -63,9 +153,7 @@ def filter_by_robots(
     )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from urllib.robotparser import RobotFileParser
-
-        cache: dict[str, RobotFileParser] = {}
+        cache: dict[str, RobotsPolicy] = {}
 
         def allowed(url: str, txt: str | None) -> bool:
             if txt is None or not str(txt).strip():
@@ -73,12 +161,11 @@ def filter_by_robots(
             txt = str(txt)
             rp = cache.get(txt)
             if rp is None:
-                rp = RobotFileParser()
-                rp.parse(txt.splitlines())
+                rp = RobotsPolicy(txt, user_agent)
                 if len(cache) > 1024:
                     cache.clear()
                 cache[txt] = rp
-            return rp.can_fetch(user_agent, url)
+            return rp.allowed(url)
 
         for pdf in batches:
             out = pdf.drop(columns=["__robots"])

@@ -79,3 +79,94 @@ def test_robots_other_agent_blocked_everywhere(spark):
     }
     # POLICY_A's wildcard group disallows / → all a.test pages drop
     assert kept == {4, 5}
+
+
+# --- RFC 9309 semantics (longest-match, not first-match) --------------------
+
+
+def test_rfc9309_longest_match_beats_rule_order():
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.robots import (
+        RobotsPolicy,
+    )
+
+    # Allow listed FIRST but SHORTER — under original-REP first-match this
+    # would allow; RFC 9309 longest-match disallows
+    p = RobotsPolicy(
+        "User-agent: *\nAllow: /p/\nDisallow: /p/secret/\n", "anybot"
+    )
+    assert p.allowed("http://x.test/p/open") is True
+    assert p.allowed("http://x.test/p/secret/file") is False
+    # and the mirror case: longer Allow carved out of a shorter Disallow,
+    # regardless of order
+    q = RobotsPolicy(
+        "User-agent: *\nDisallow: /private/\nAllow: /private/press/\n", "anybot"
+    )
+    assert q.allowed("http://x.test/private/press/r") is True
+    assert q.allowed("http://x.test/private/x") is False
+
+
+def test_rfc9309_allow_wins_length_tie():
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.robots import (
+        RobotsPolicy,
+    )
+
+    p = RobotsPolicy("User-agent: *\nDisallow: /page\nAllow: /!age\n", "anybot")
+    # equal-length patterns: only Disallow matches /page → disallowed
+    assert p.allowed("http://x.test/page") is False
+    q = RobotsPolicy("User-agent: *\nDisallow: /page\nAllow: /page\n", "anybot")
+    assert q.allowed("http://x.test/page") is True  # tie → Allow wins
+
+
+def test_rfc9309_wildcards_and_anchor():
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.robots import (
+        RobotsPolicy,
+    )
+
+    p = RobotsPolicy(
+        "User-agent: *\nDisallow: /*.pdf$\nDisallow: /tmp*/x\n", "anybot"
+    )
+    assert p.allowed("http://x.test/doc.pdf") is False
+    assert p.allowed("http://x.test/doc.pdf.html") is True  # $ anchors the end
+    assert p.allowed("http://x.test/tmp123/x") is False
+    assert p.allowed("http://x.test/tmp123/y") is True
+    # query string participates in matching
+    q = RobotsPolicy("User-agent: *\nDisallow: /s?q=\n", "anybot")
+    assert q.allowed("http://x.test/s?q=term") is False
+    assert q.allowed("http://x.test/s") is True
+
+
+def test_rfc9309_most_specific_agent_group():
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.robots import (
+        RobotsPolicy,
+    )
+
+    txt = (
+        "User-agent: mtdp\nDisallow: /a/\n\n"
+        "User-agent: mtdp-bot\nDisallow: /b/\n\n"
+        "User-agent: *\nDisallow: /\n"
+    )
+    p = RobotsPolicy(txt, "mtdp-bot")  # longest matching token: 'mtdp-bot'
+    assert p.allowed("http://x.test/a/q") is True  # the 'mtdp' group is NOT ours
+    assert p.allowed("http://x.test/b/q") is False
+    assert p.allowed("http://x.test/c") is True  # '*' group not merged in
+    stranger = RobotsPolicy(txt, "otherbot")
+    assert stranger.allowed("http://x.test/anything") is False  # falls to '*'
+
+
+def test_rfc9309_empty_disallow_and_merged_groups():
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.robots import (
+        RobotsPolicy,
+    )
+
+    # empty Disallow is "no rule" (allow all); two groups for the same
+    # token merge their rules
+    txt = (
+        "User-agent: a-bot\nDisallow:\n\n"
+        "User-agent: b-bot\nUser-agent: c-bot\nDisallow: /x/\n\n"
+        "User-agent: b-bot\nDisallow: /y/\n"
+    )
+    assert RobotsPolicy(txt, "a-bot").allowed("http://h/x/1") is True
+    b = RobotsPolicy(txt, "b-bot")
+    assert b.allowed("http://h/x/1") is False and b.allowed("http://h/y/1") is False
+    c = RobotsPolicy(txt, "c-bot")
+    assert c.allowed("http://h/x/1") is False and c.allowed("http://h/y/1") is True

@@ -76,9 +76,11 @@ def audit(spark, registry, name: str, sf_dir: str) -> str:
     if (
         "BatchEvalPython" in plan
         and "BatchEvalPython" not in allowed
-        and not name.startswith("udf_")
-        and "B10" not in spec.tags  # B10 media/UDF paths are Arrow-batched by design
+        and not name.startswith("udf_")  # the B9 survey rows ARE row-wise UDFs
     ):
+        # no blanket tag exemption: a media/B10 query that regresses from
+        # Arrow (MapInPandas/ArrowEvalPython) to row-at-a-time Python must
+        # show up here unless its name is listed in EXPECTED_FLAGS
         flags.append("BatchEvalPython")
     line = (
         f"{name:28s} joins BHJ={counts['BHJ']} SMJ={counts['SMJ']} "

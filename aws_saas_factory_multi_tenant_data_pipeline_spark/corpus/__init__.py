@@ -52,8 +52,9 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), d
 # url/timezone in two B7 packs, four r4 data-management rows in
 # r4_mgmt_pack, ten r5 rows in r5_pack/r5_pack2, the dedup and lake
 # families in dedup_pack/lake_pack, the PNG/Bloom/HLL and crawl-pipeline
-# waves in r6_pack/r6_pack2, and every Tier-A row except streaming-only
-# A3).
+# waves in r6_pack/r6_pack2, the corpus-selection and time-series/stats
+# families in selection_pack/ts_stats_pack, and every Tier-A row except
+# streaming-only A3).
 GRADED_WINDOW: tuple[str, ...] = (
     # Tier A (A1/A2/A4/A5/A6/A7/A8/A9 — A3 is streaming-only, tests/)
     "tenant_scoped_scan",
@@ -68,8 +69,13 @@ GRADED_WINDOW: tuple[str, ...] = (
     # data-management §2 rows a hard driver verdict via lake_pack)
     "scan_formats_roundtrip",
     "lake_pack",
-    # B2 projection/filter (conditional + casts packed; originals in tail)
-    "filter_predicates",
+    # B2 projection/filter (conditional + casts packed; originals in tail.
+    # filter_predicates → tail in r6: every slot filters — its predicate
+    # shapes are identically exercised by tenant_scoped_scan's pruned scan
+    # and virtually every pack; the freed slot gives four corpus-selection
+    # §2 rows (leakage-safe split, token-budget selection, DSIR, tiered
+    # quota) a hard driver verdict via selection_pack)
+    "selection_pack",
     "exprs_casts_pack",
     # B3 joins (join_semi_anti → tail in r5: semi/anti shapes are also
     # driver-covered via the subquery EXISTS/IN rewrites in several slots;
@@ -83,7 +89,12 @@ GRADED_WINDOW: tuple[str, ...] = (
     "count_distinct_multi",
     "grouping_sets_mixed",
     "agg_having_filter_pack",
-    "collect_list_sorted",
+    # collect_list_sorted → tail in r6: ordered-collect semantics are also
+    # driver-covered by fn_scalar_pack's array branch and llm_pipeline_pack's
+    # sequence packing; the freed slot gives four more §2 rows (as-of
+    # tolerance, equi-depth histogram, feature hashing, OOV audit) a hard
+    # driver verdict via ts_stats_pack
+    "ts_stats_pack",
     # B5 windows (win_topk_per_group → tail in r5: the top-k-per-group
     # shape is also driver-graded inside r5_pack's hard-negative branch —
     # row_number over a per-anchor window, top 5 — and the three remaining
@@ -162,6 +173,8 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "join_semi_anti",
     "win_topk_per_group",
     "text_stats",
+    "filter_predicates",
+    "collect_list_sorted",
     "subq_exists_correlated",
     "tpch_q1_pricing_summary",
     "distinct_dropdup",
@@ -360,6 +373,7 @@ def load_all() -> dict[str, QuerySpec]:
         saas_ops_wave3,
         wave_r6,
         window_r5,  # packs read other modules' oracles — import last
+        window_r6,
     )
 
     head = [n for n in GRADED_WINDOW + _TAIL_PRIORITY if n in REGISTRY]

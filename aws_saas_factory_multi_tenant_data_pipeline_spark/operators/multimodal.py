@@ -7,8 +7,11 @@ dependency-free formats — PPM images (P6/P3, pure numpy), PNG images
 (stdlib ``zlib`` inflate + numpy unfiltering: all five scanline filters,
 color types 0/2/3/4/6 at 8-bit depth), and PCM WAV audio (stdlib
 ``wave``) are actually decoded to pixel/sample arrays and summarized
-into features — and a deterministic digest-derived stub covers the
-remaining compressed formats (JPEG/MP3/MP4 libraries are not in this
+into features. Baseline JPEG is ALSO a real decode as of round 6 —
+``operators/jpeg.py`` implements the sequential-DCT mode from ITU-T
+T.81 (Huffman, 4:4:4/4:2:0/4:2:2, restart markers, grayscale) — and a
+deterministic digest-derived stub covers only the remaining formats
+(progressive JPEG, MP3/MP4; codec libraries are not in this
 container); the ``decoded`` output column says which path a row took.
 """
 
@@ -96,6 +99,7 @@ def decode_ppm(payload: bytes):
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_JPEG_SIG = b"\xff\xd8"
 
 
 def decode_png(payload: bytes):
@@ -271,9 +275,19 @@ def _real_decode_features(payload: bytes, dim: int = 8):
     import numpy as np
 
     try:
-        if payload[:2] in (b"P6", b"P3") or payload[:8] == _PNG_SIG:
+        if (
+            payload[:2] in (b"P6", b"P3")
+            or payload[:8] == _PNG_SIG
+            or payload[:2] == _JPEG_SIG
+        ):
             if payload[:8] == _PNG_SIG:
                 px, w, h = decode_png(payload)
+            elif payload[:2] == _JPEG_SIG:
+                from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.jpeg import (
+                    decode_jpeg,
+                )
+
+                px, w, h = decode_jpeg(payload)
             else:
                 px, w, h = decode_ppm(payload)
             f = px.astype(np.float64) / 255.0
@@ -374,13 +388,30 @@ def resize_png(payload: bytes, width: int, height: int) -> bytes:
     return encode_png(px[ys][:, xs])
 
 
+def resize_jpeg(payload: bytes, width: int, height: int, quality: int = 90) -> bytes:
+    """REAL nearest-neighbor resize for baseline JPEG payloads: full
+    decode (`operators/jpeg.py`), the same ``(dst*src)//dst`` index map
+    as :func:`resize_ppm`, re-encode as baseline 4:4:4."""
+    import numpy as np
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    px, w, h = decode_jpeg(payload)
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    return encode_jpeg(px[ys][:, xs], quality=quality)
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize: REAL nearest-neighbor for PPM and PNG payloads (pure
-    numpy/zlib, decode → index-map → re-encode); remaining compressed
-    formats pass through payload-unchanged with updated meta (codec libs
-    absent — the documented stub path, flagged by meta.mime).
-    Arrow-batched mapInPandas either way; schema and partitioning are
-    preserved.
+    """Image resize: REAL nearest-neighbor for PPM, PNG, and baseline
+    JPEG payloads (pure numpy/zlib, decode → index-map → re-encode);
+    remaining compressed formats pass through payload-unchanged with
+    updated meta (codec libs absent — the documented stub path, flagged
+    by meta.mime). Arrow-batched mapInPandas either way; schema and
+    partitioning are preserved.
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -391,10 +422,12 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                     b = bytes(payload)
                     if b[:8] == _PNG_SIG:
                         payloads.append(resize_png(b, width, height))
+                    elif b[:2] == _JPEG_SIG:
+                        payloads.append(resize_jpeg(b, width, height))
                     else:
                         payloads.append(resize_ppm(b, width, height))
                 except (ValueError, TypeError):
-                    payloads.append(payload)  # stub path: not PPM/PNG
+                    payloads.append(payload)  # stub path: not PPM/PNG/JPEG
             meta = pdf["meta"].map(
                 lambda m: {**(m or {}), "width": width, "height": height}
             )
@@ -452,7 +485,8 @@ def resample_audio(media: DataFrame, target_sr: int) -> DataFrame:
 
 
 def average_hash(payload: bytes, hash_size: int = 8) -> int:
-    """Perceptual average-hash of an image payload (PPM or PNG): decode,
+    """Perceptual average-hash of an image payload (PPM, PNG, or
+    baseline JPEG): decode,
     integer grayscale ``(r+g+b) // 3``, nearest-neighbor subsample to
     ``hash_size²`` pixels (the same ``(dst*src)//dst`` index map as
     resize), then one bit per pixel — set iff the pixel exceeds the FLOOR
@@ -470,6 +504,12 @@ def average_hash(payload: bytes, hash_size: int = 8) -> int:
 
     if payload[:8] == _PNG_SIG:
         px, w, h = decode_png(payload)
+    elif payload[:2] == _JPEG_SIG:
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.jpeg import (
+            decode_jpeg,
+        )
+
+        px, w, h = decode_jpeg(payload)
     else:
         px, w, h = decode_ppm(payload)
     gray = px.astype(np.int64).sum(axis=2) // 3

@@ -1,0 +1,159 @@
+"""Baseline JPEG codec: analytic decode references, subsampling,
+restart markers, the ValueError-only tear contract, and the Spark-side
+media paths (features / resize / aHash) accepting JPEG payloads."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.jpeg import (
+    decode_jpeg,
+    encode_jpeg,
+    encode_jpeg_gray,
+    quality_tables,
+)
+
+
+def _expected_solid(v: int, q00: int) -> set[int]:
+    """Analytic decode of a solid gray v: the block is DC-only, S00 =
+    8·(v−128) exactly, quantize/dequantize/IDCT/round by hand — computed
+    INDEPENDENTLY of the codec under test. When S00/q00 lands exactly on
+    a .5 quantizer boundary the spec doesn't fix the direction (float
+    DCT ulps decide), so both neighbors are admitted; every other case
+    pins a single exact value."""
+    import math
+
+    s00 = 8 * (v - 128)
+    ratio = s00 / q00
+    dcs = {c for c in (math.floor(ratio), math.ceil(ratio)) if abs(c - ratio) <= 0.5}
+    return {
+        int(min(255, max(0, round(c * q00 / 8 + 128)))) for c in dcs
+    }
+
+
+@pytest.mark.parametrize("v", [0, 37, 91, 128, 200, 255])
+@pytest.mark.parametrize("quality", [25, 50, 90, 100])
+@pytest.mark.parametrize("sub", ["444", "420"])
+def test_solid_gray_decodes_to_analytic_value(v, quality, sub):
+    q00 = int(quality_tables(quality)[0][0, 0])
+    want = _expected_solid(v, q00)
+    px = np.full((16, 16, 3), v, dtype=np.uint8)
+    dec, w, h = decode_jpeg(encode_jpeg(px, quality=quality, subsampling=sub))
+    assert (w, h) == (16, 16)
+    got = np.unique(dec).tolist()
+    assert len(got) == 1 and got[0] in want, f"v={v} q00={q00} got={got} want={want}"
+
+
+def test_smooth_roundtrip_q100_within_two():
+    px = np.linspace(0, 255, 32 * 48 * 3).reshape(32, 48, 3).astype(np.uint8)
+    dec, w, h = decode_jpeg(encode_jpeg(px, quality=100))
+    assert (w, h) == (48, 32)
+    assert int(np.abs(dec.astype(int) - px.astype(int)).max()) <= 2
+
+
+def test_restart_markers_do_not_change_pixels():
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, (40, 56, 3)).astype(np.uint8)
+    base, _, _ = decode_jpeg(encode_jpeg(px, quality=90))
+    for ri in (1, 3, 8):
+        with_rst, _, _ = decode_jpeg(encode_jpeg(px, quality=90, restart_interval=ri))
+        assert np.array_equal(base, with_rst), f"restart_interval={ri}"
+
+
+def test_grayscale_single_component():
+    g = (np.arange(24 * 24).reshape(24, 24) * 11 % 256).astype(np.uint8)
+    dec, w, h = decode_jpeg(encode_jpeg_gray(g, quality=100))
+    assert (w, h) == (24, 24)
+    assert np.array_equal(dec[..., 0], dec[..., 1])  # replicated channels
+    assert int(np.abs(dec[..., 0].astype(int) - g.astype(int)).max()) <= 1
+
+
+def test_odd_dimensions_and_420():
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, (17, 23, 3)).astype(np.uint8)
+    dec, w, h = decode_jpeg(encode_jpeg(px, quality=95, subsampling="420"))
+    assert (w, h) == (23, 17) and dec.shape == (17, 23, 3)
+
+
+def test_progressive_rejected_with_clear_error():
+    px = np.full((8, 8, 3), 99, dtype=np.uint8)
+    data = bytearray(encode_jpeg(px))
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC2  # flip SOF0 → SOF2
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(bytes(data))
+
+
+def test_not_a_jpeg_rejected():
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"P6\n1 1\n255\nabc")
+
+
+def test_mutation_fuzz_valueerror_only():
+    """Random byte flips / truncations / splices must either decode (a
+    flipped entropy bit is still a valid image) or raise ValueError —
+    never any other exception (the tear contract all codecs share)."""
+    import random
+
+    rnd = random.Random(42)
+    px = (np.arange(16 * 16 * 3) % 256).reshape(16, 16, 3).astype(np.uint8)
+    base = encode_jpeg(px, quality=80, restart_interval=2)
+    for _ in range(300):
+        data = bytearray(base)
+        op = rnd.random()
+        if op < 0.4:
+            i = rnd.randrange(len(data))
+            data[i] ^= rnd.randrange(1, 256)
+        elif op < 0.8:
+            data = data[: rnd.randrange(len(data))]
+        else:
+            i = rnd.randrange(len(data))
+            data[i:i] = bytes(rnd.randrange(256) for _ in range(rnd.randrange(1, 9)))
+        try:
+            out, w, h = decode_jpeg(bytes(data))
+            assert out.dtype == np.uint8 and out.shape == (h, w, 3)
+        except ValueError:
+            pass  # the only permitted failure mode
+
+
+def test_ahash_accepts_jpeg_payloads():
+    """aHash over a high-contrast JPEG equals the analytic bit pattern
+    (top half dark, bottom half bright — ±2 codec error cannot flip a
+    bit across a 255-point contrast)."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        average_hash,
+    )
+
+    px = np.zeros((32, 32, 3), dtype=np.uint8)
+    px[16:, :, :] = 255
+    got = average_hash(encode_jpeg(px, quality=90))
+    want = 0
+    for i in range(32, 64):  # bottom 4 rows of the 8×8 grid exceed the mean
+        want |= 1 << i
+    if want & (1 << 63):
+        want -= 1 << 64
+    assert got == want
+
+
+def test_spark_feature_and_resize_paths_decode_jpeg(spark):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        resize_images,
+    )
+
+    px = np.linspace(0, 255, 24 * 24 * 3).reshape(24, 24, 3).astype(np.uint8)
+    payload = encode_jpeg(px, quality=95)
+    rows = [
+        (0, "image", bytearray(payload), (24, 24, None, None, "image/jpeg")),
+        (1, "image", bytearray(b"\xff\xd8 torn"), (None,) * 4 + ("image/jpeg",)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r.media_id: r for r in extract_features(media).collect()}
+    assert feats[0].decoded is True  # real JPEG decode, not the digest stub
+    assert feats[1].decoded is False  # torn payload falls to the stub
+    resized = {r.media_id: bytes(r.payload) for r in resize_images(media, 8, 8).collect()}
+    out, w, h = decode_jpeg(resized[0])
+    assert (w, h) == (8, 8)
+    assert resized[1] == b"\xff\xd8 torn"  # undecodable → passthrough

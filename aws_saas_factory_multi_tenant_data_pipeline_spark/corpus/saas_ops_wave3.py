@@ -494,3 +494,54 @@ def text_feature_hashing(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+def equidepth_histogram_sampled(df, value_col: str, n_buckets: int = 10,
+                                rel_err: float = 1e-4):
+    """Equi-depth histogram WITHOUT a global sort — the 100 TB form of
+    `agg_histogram_equidepth`'s NTILE plan.
+
+    Cutpoints come from Spark's distributed Greenwald-Khanna sketch
+    (`approxQuantile`: one scan, executors merge bounded summaries, only
+    the ~(1/rel_err) summary reaches the driver); bucket assignment is
+    then a broadcast-literal comparison chain folded into ONE map-side-
+    combined groupBy. Total cost: two scans, zero shuffles of the data
+    itself — versus NTILE's corpus-wide single-partition window sort.
+
+    The bucket boundaries are approximate within ``rel_err`` rank error
+    (exact when n·rel_err < 1); the NTILE query remains the exact oracle
+    and `tests/test_operators_mgmt.py` property-tests agreement."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.stat.approxQuantile(value_col, probs, rel_err)
+    v = F.col(value_col)
+    bucket = F.lit(1)
+    for c in cuts:
+        bucket = bucket + F.when(v > F.lit(c), 1).otherwise(0)
+    return (
+        df.select(v.alias(value_col), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(value_col).alias("lo"),
+            F.max(value_col).alias("hi"),
+            dsum(value_col).alias("total"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "agg_histogram_equidepth_sampled",
+    oracle=None,  # approximate-by-design: rank error ≤ rel_err; the NTILE
+    # query IS the exact oracle and the property test pins agreement
+    tags=("B4", "approx"),
+    doc="Equi-depth histogram via sampled cutpoints (distributed "
+    "Greenwald-Khanna sketch + one bucket-assignment groupBy) — no "
+    "global sort anywhere, the plan that survives 100 TB. Approximate "
+    "by design (rank error ≤ rel_err, exact when n·rel_err < 1); "
+    "bucket-mass and boundary agreement with the exact NTILE form is "
+    "property-tested in tests/test_operators_mgmt.py.",
+)
+def agg_histogram_equidepth_sampled(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return equidepth_histogram_sampled(o, "o_totalprice", n_buckets=10)

@@ -262,3 +262,35 @@ def test_resample_wav_linear_interpolation(spark):
     assert sr2 == 4000 and len(y2) == len(y)
     assert bytes(got[2]["payload"]) == b"ID3 fake mp3"
     assert got[2]["meta"]["sample_rate"] == 4000
+
+
+def test_equidepth_sampled_agrees_with_exact_ntile(spark):
+    """The sampled-cutpoint equi-depth histogram (no global sort) must
+    agree with the exact NTILE form: equal-mass buckets within the
+    sketch's rank tolerance, monotone boundaries, identical totals."""
+    from pyspark.sql import functions as F
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus.saas_ops_wave3 import (
+        equidepth_histogram_sampled,
+    )
+
+    df = spark.range(10_000).select(
+        (((F.col("id") * 2654435761) % 100_000) / 7.0).alias("v")
+    )
+    n_buckets, rel_err = 10, 1e-3
+    got = equidepth_histogram_sampled(df, "v", n_buckets, rel_err).collect()
+    assert [r.bucket for r in got] == list(range(1, n_buckets + 1))
+    n_total = sum(r.n for r in got)
+    assert n_total == 10_000
+    # equal mass within the sketch's rank error (+1 for the tie boundary)
+    tol = int(n_total * rel_err) + n_buckets
+    for r in got:
+        assert abs(r.n - n_total // n_buckets) <= tol, (r.bucket, r.n)
+    # boundaries monotone and non-overlapping
+    for a, b in zip(got, got[1:]):
+        assert a.hi <= b.lo
+    # the decimal-exact grand total matches a direct aggregation
+    direct = df.agg(
+        F.sum(F.col("v").cast("decimal(38,6)")).cast("double")
+    ).collect()[0][0]
+    assert abs(sum(r.total for r in got) - direct) < 1e-6

@@ -44,6 +44,7 @@ def pagerank(
     dst: str = "dst",
     iters: int = 4,
     damping_pct: int = 85,
+    plan_probe: list | None = None,
 ) -> DataFrame:
     """PageRank by power iteration over a directed edge list.
 
@@ -80,19 +81,28 @@ def pagerank(
     # ~7 of which were redundant upstream recomputes. One executor-side
     # checkpoint turns the loop body into join + map-side-combined groupBy
     # + node join, the shape the module docstring promises.
+    from pyspark import StorageLevel
+
     e_deg = (
         e.join(
             outdeg.select(F.col("node").alias("__on"), "__deg"),
             F.col("__src") == F.col("__on"),
         )
         .select("__src", "__dst", "__deg")
-        # pre-partition on the per-iteration join key: the checkpointed
-        # frame keeps its hash partitioning, so each iteration exchanges
-        # only the (node-sized) rank frame, never the edge list — the
-        # dominant shuffle at any scale
+        # pre-partition on the per-iteration join key, then PERSIST (not
+        # localCheckpoint): InMemoryTableScan preserves the cached plan's
+        # hashpartitioning(__src), so each iteration's shuffle-hash join
+        # reuses the cached layout and exchanges only the (node-sized)
+        # rank frame — a localCheckpoint here loses outputPartitioning
+        # (Scan ExistingRDD reports Unknown) and silently re-shuffles the
+        # edge list every round; pinned by
+        # tests/test_plans.py::test_pagerank_iteration_never_moves_edges.
+        # MEMORY_AND_DISK is the GraphX-style iterative trade: the edge
+        # list spills rather than recomputes.
         .repartition(F.col("__src"))
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    e_deg.count()  # materialize once, before the loop
     teleport = F.expr(f"CAST({(100 - damping_pct) * UNITS} AS BIGINT) div (100 * __n)")
     for _ in range(iters):
         # shuffle-hash on the rank side: the checkpointed edge list keeps
@@ -105,6 +115,8 @@ def pagerank(
             F.col("__src") == F.col("node"),
         ).select(F.col("__dst").alias("node"), F.expr("ru div __deg").alias("__c"))
         sums = contribs.groupBy("node").agg(F.sum("__c").alias("__s"))
+        if plan_probe is not None:  # test hook: capture the iteration body
+            plan_probe.append(sums._jdf.queryExecution().executedPlan().toString())
         ranks = (
             ranks.select("node", "__n")
             .join(sums, "node", "left")
@@ -118,6 +130,9 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+    # the final rank frame is checkpointed (materialized) — the cached
+    # edge list is no longer needed by anything downstream
+    e_deg.unpersist(blocking=False)
     return ranks.select(
         F.col("node").alias("node_id"),
         F.col("ru").alias("rank_units"),

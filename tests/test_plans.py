@@ -466,3 +466,39 @@ def test_ahash_band_join_is_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "band" in plan  # the join key is the band struct fields
+
+
+def test_pagerank_iteration_never_moves_edges(spark):
+    """The claim behind the shuffle-hash PageRank plan: across iterations
+    only the node-sized rank frame shuffles; the degree-annotated edge
+    list is read from cache ALREADY partitioned on the join key. Round-6
+    regression pin: a localCheckpoint here silently loses
+    outputPartitioning (Scan ExistingRDD → Unknown) and re-shuffles the
+    edge list every round — the probe found exactly that, hence persist.
+    """
+    from pyspark.sql import functions as F
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.graph import (
+        pagerank,
+    )
+
+    edges = spark.range(4000).select(
+        (F.col("id") % 131).alias("src"), ((F.col("id") * 13) % 131).alias("dst")
+    )
+    probe: list = []
+    pagerank(edges, iters=3, plan_probe=probe).count()
+    assert len(probe) == 3
+    for i, plan in enumerate(probe):
+        final = plan.split("== Initial Plan ==")[0]
+        join_at = final.find("ShuffledHashJoin")
+        assert join_at >= 0, f"iter {i}: shuffle-hash join missing\n{final[:2000]}"
+        # the edge branch (the ':-' streamed side) must be an
+        # InMemoryTableScan with NO Exchange between it and the join
+        lines = final[join_at:].splitlines()
+        edge_branch = [ln for ln in lines[1:6] if ln.strip().startswith(":")]
+        branch_text = "\n".join(edge_branch)
+        assert "InMemoryTableScan" in branch_text, f"iter {i}:\n{branch_text}"
+        pre_scan = branch_text.split("InMemoryTableScan")[0]
+        assert "Exchange" not in pre_scan, (
+            f"iter {i}: edge list re-shuffled\n{branch_text}"
+        )

@@ -416,22 +416,36 @@ def dedup_clusters(
     stays O(1) deep — without it iteration N re-evaluates the whole chain
     back to round 1 (multiplicative re-execution at 100 TB) and the
     convergence ``count()`` probe runs against the materialized frame, not
-    a recomputation. If the loop exits without converging (component
-    diameter > max_iters) a warning is emitted: labels are then PARTIAL —
-    one component may carry several cluster_ids.
+    a recomputation. The symmetrized EDGE list is pre-partitioned on the
+    per-iteration join key and PERSISTED (the PageRank treatment,
+    `operators/graph.py`): InMemoryTableScan preserves the cached
+    hashpartitioning, so iterations shuffle only the node-sized label
+    frame — re-deriving the union+distinct per round would both recompute
+    and re-shuffle the edge list every iteration. If the loop exits
+    without converging (component diameter > max_iters) a warning is
+    emitted: labels are then PARTIAL — one component may carry several
+    cluster_ids.
     """
+    from pyspark import StorageLevel
+
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .repartition(F.col("dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "label", F.col("node")
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        # materialize l0: iteration 1 must not re-derive the distinct
+        .localCheckpoint(eager=True)
     )
     converged = False
     for _ in range(max_iters):
         neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
+            edges.join(labels.hint("shuffle_hash"), edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
@@ -467,6 +481,8 @@ def dedup_clusters(
             RuntimeWarning,
             stacklevel=2,
         )
+    # the label frame is checkpointed — the cached edge list can go
+    edges.unpersist(blocking=False)
     return labels.select(F.col("node").alias("node_id"), F.col("label").alias("cluster_id"))
 
 

@@ -372,6 +372,7 @@ def load_all() -> dict[str, QuerySpec]:
         wave_r5,
         saas_ops_wave3,
         wave_r6,
+        wave_r7,
         window_r5,  # packs read other modules' oracles — import last
         window_r6,
     )

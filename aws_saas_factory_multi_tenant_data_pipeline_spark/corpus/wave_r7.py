@@ -1,0 +1,104 @@
+"""Round-6-session operator wave: KMV bottom-k sample sketch.
+
+Completes the portable-sketch family (HLL = distinct counts, CMS =
+frequencies, Bloom = membership, KMV = uniform sampling + quantiles +
+a second distinct estimator) — see ``operators/kmv.py`` for the scale
+shape (TakeOrderedAndProject, one scan, no shuffle, k-row state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus import register
+from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus._util import t
+
+_K = 128
+_DENOM = "4503599627370496.0"  # 16^13 = 2^52 — 13 hex digits are double-exact
+
+
+def _kmv_oracle_branch(kind: str) -> str:
+    """One (kind, stat, est) branch of the oracle. The 'merged' branch is
+    the SAME computation as 'oneshot' — that IS the claim: bottom-k of
+    shard-wise bottom-k's equals bottom-k of the union, exactly."""
+    # ceil(q·128): 32, 64, 96, 116
+    return f"""
+        SELECT '{kind}' AS kind, s.stat, s.est FROM (
+            WITH sk AS (
+                SELECT CAST(o_orderkey AS VARCHAR) AS row_id,
+                       CAST(o_totalprice AS DOUBLE) AS value,
+                       md5('kmv:' || CAST(o_orderkey AS VARCHAR)) AS rank_hash
+                FROM orders
+                ORDER BY rank_hash, row_id
+                LIMIT {_K}),
+            ranked AS (
+                SELECT value, rank_hash,
+                       ROW_NUMBER() OVER (ORDER BY rank_hash, row_id) AS rn
+                FROM sk),
+            by_value AS (
+                SELECT value, rn,
+                       ROW_NUMBER() OVER (ORDER BY value, rn) AS vr
+                FROM ranked)
+            SELECT 'q25' AS stat, ROUND(value, 6) AS est FROM by_value WHERE vr = 32
+            UNION ALL
+            SELECT 'q50', ROUND(value, 6) FROM by_value WHERE vr = 64
+            UNION ALL
+            SELECT 'q75', ROUND(value, 6) FROM by_value WHERE vr = 96
+            UNION ALL
+            SELECT 'q90', ROUND(value, 6) FROM by_value WHERE vr = 116
+            UNION ALL
+            SELECT 'n_est',
+                   ROUND({_K - 1}.0 / (CAST(('0x' || substr(rank_hash, 1, 13)) AS BIGINT)
+                                       / {_DENOM}), 6)
+            FROM ranked WHERE rn = {_K}
+            UNION ALL
+            SELECT 'hash_check',
+                   ROUND(CAST(SUM(CAST(('0x' || substr(rank_hash, 1, 13)) AS BIGINT))
+                              AS DOUBLE) / {_DENOM}, 6)
+            FROM ranked
+        ) s
+    """
+
+
+@register(
+    "sketch_kmv_sample",
+    oracle=f"""
+        SELECT kind, stat, est FROM (
+            {_kmv_oracle_branch("oneshot")}
+            UNION ALL
+            {_kmv_oracle_branch("merged")}
+        ) ORDER BY kind, stat
+    """,
+    tags=("B4", "B10", "sketch"),
+    doc="KMV bottom-k sample sketch over orders (k=128, md5 rank-hash): "
+    "type-1 quantile estimates (q25/50/75/90), the KMV row-count "
+    "estimate (k-1)/u_k, and a membership checksum over the exact "
+    "52-bit hash prefixes — every number a deterministic function of "
+    "the k-row sketch, stated twice: once from a one-shot sketch of the "
+    "table, once from MERGING three shard sketches (o_orderkey % 3). "
+    "The two branches must be IDENTICAL rows — the oracle states the "
+    "exact-merge property itself, not just each branch. Plan: "
+    "TakeOrderedAndProject (per-partition top-k + k-row driver merge), "
+    "one scan per sketch, no shuffle, no global sort.",
+)
+def sketch_kmv_sample(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.kmv import (
+        bottomk_sketch,
+        kmv_estimates,
+        merge_bottomk,
+    )
+
+    o = t(spark, sf_dir, "orders")
+    oneshot = kmv_estimates(bottomk_sketch(o, "o_orderkey", "o_totalprice", k=_K))
+    shards = [
+        bottomk_sketch(
+            o.where(F.col("o_orderkey") % 3 == i), "o_orderkey", "o_totalprice", k=_K
+        )
+        for i in range(3)
+    ]
+    merged = kmv_estimates(merge_bottomk(shards, k=_K))
+    return (
+        oneshot.select(F.lit("oneshot").alias("kind"), "stat", "est")
+        .unionByName(merged.select(F.lit("merged").alias("kind"), "stat", "est"))
+        .orderBy("kind", "stat")
+    )

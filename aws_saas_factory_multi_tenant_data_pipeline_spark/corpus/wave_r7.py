@@ -102,3 +102,48 @@ def sketch_kmv_sample(spark, sf_dir):
         .unionByName(merged.select(F.lit("merged").alias("kind"), "stat", "est"))
         .orderBy("kind", "stat")
     )
+
+
+@register(
+    "ops_skew_report",
+    oracle="""
+        WITH per_key AS (
+            SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS n
+            FROM events GROUP BY 1),
+        totals AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS rows_, COUNT(*) AS keys_,
+                   MAX(n) AS max_ FROM per_key),
+        summary AS (
+            SELECT 'summary' AS kind, CAST(NULL AS VARCHAR) AS key,
+                   rows_ AS n, keys_ AS n_keys,
+                   ROUND(CAST(rows_ AS DOUBLE) / keys_, 6) AS mean_n,
+                   CAST(NULL AS DOUBLE) AS share,
+                   ROUND(max_ * keys_ / CAST(rows_ AS DOUBLE), 6) AS skew_ratio
+            FROM totals),
+        top AS (
+            SELECT 'hot_key' AS kind, key, CAST(n AS BIGINT) AS n,
+                   CAST(NULL AS BIGINT) AS n_keys,
+                   CAST(NULL AS DOUBLE) AS mean_n,
+                   ROUND(CAST(n AS DOUBLE) / rows_, 6) AS share,
+                   CAST(NULL AS DOUBLE) AS skew_ratio
+            FROM per_key, totals
+            ORDER BY n DESC, key LIMIT 8)
+        SELECT kind, key, n, n_keys, mean_n, share, skew_ratio FROM summary
+        UNION ALL
+        SELECT kind, key, n, n_keys, mean_n, share, skew_ratio FROM top
+        ORDER BY kind, n DESC, key
+    """,
+    tags=("B10", "saas", "ops"),
+    doc="Key-skew diagnostic report over the events stream keyed by "
+    "user_id: one summary row (row/key counts, mean key mass, max/mean "
+    "skew ratio) + the 8 heaviest keys with their row share — the "
+    "measured evidence behind the salted-join / AQE-skew decision. One "
+    "map-side-combined groupBy; everything downstream is key-count-sized "
+    "(operators/skew.py skew_report).",
+)
+def ops_skew_report(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.skew import (
+        skew_report,
+    )
+
+    return skew_report(t(spark, sf_dir, "events"), "user_id", top_n=8)

@@ -116,3 +116,60 @@ def salted_join(
     b = b.withColumn("__salt", F.explode("__salts")).drop("__salts")
     out = p.join(b, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def skew_report(
+    df: DataFrame,
+    key: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """Key-skew diagnostic: the evidence behind the salted-join /
+    AQE-skew decision, as a table.
+
+    Returns one ``kind='summary'`` row (n_rows, n_keys, mean/max key
+    mass, the max/mean skew ratio) plus the ``top_n`` heaviest keys with
+    their share of all rows — the keys that would each land in one
+    shuffle partition of any key-partitioned join or aggregation.
+
+    Plan shape: one map-side-combined groupBy on the key, then the tiny
+    per-key frame aggregates to one summary row and a TakeOrdered top-N
+    — nothing after the first groupBy touches data-sized frames, so the
+    report costs the same as ``count(DISTINCT key)``.
+    """
+    from pyspark.sql import functions as F
+
+    per_key = df.groupBy(F.col(key).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = per_key.agg(
+        F.sum("n").alias("__rows"),
+        F.count(F.lit(1)).alias("__keys"),
+        F.max("n").alias("__max"),
+    )
+    summary = totals.select(
+        F.lit("summary").alias("kind"),
+        F.lit(None).cast("string").alias("key"),
+        F.col("__rows").cast("long").alias("n"),
+        F.col("__keys").cast("long").alias("n_keys"),
+        F.round(F.col("__rows").cast("double") / F.col("__keys"), 6).alias("mean_n"),
+        F.lit(None).cast("double").alias("share"),
+        # max/mean: >> 1 means one key dominates its shuffle partition
+        F.round(
+            F.col("__max") * F.col("__keys") / F.col("__rows").cast("double"), 6
+        ).alias("skew_ratio"),
+    )
+    top = (
+        per_key.crossJoin(F.broadcast(totals))
+        .orderBy(F.col("n").desc(), F.col("key"))
+        .limit(top_n)
+        .select(
+            F.lit("hot_key").alias("kind"),
+            "key",
+            F.col("n").cast("long").alias("n"),
+            F.lit(None).cast("long").alias("n_keys"),
+            F.lit(None).cast("double").alias("mean_n"),
+            F.round(F.col("n").cast("double") / F.col("__rows"), 6).alias("share"),
+            F.lit(None).cast("double").alias("skew_ratio"),
+        )
+    )
+    return summary.unionByName(top).orderBy("kind", F.col("n").desc(), "key")

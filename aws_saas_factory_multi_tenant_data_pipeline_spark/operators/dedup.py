@@ -401,6 +401,7 @@ def dedup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 10,
+    plan_probe: list | None = None,
 ) -> DataFrame:
     """Resolve near-duplicate PAIRS into CLUSTERS: connected components via
     iterative min-label propagation (the step that turns pairwise Jaccard
@@ -449,6 +450,10 @@ def dedup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        if plan_probe is not None:  # test hook: capture the iteration body
+            plan_probe.append(
+                neighbor_min._jdf.queryExecution().executedPlan().toString()
+            )
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(

@@ -502,3 +502,33 @@ def test_pagerank_iteration_never_moves_edges(spark):
         assert "Exchange" not in pre_scan, (
             f"iter {i}: edge list re-shuffled\n{branch_text}"
         )
+
+
+def test_dedup_clusters_iterations_never_move_edges(spark):
+    """Same pin as PageRank for label propagation: the symmetrized edge
+    list is read from cache already partitioned on the join key; each
+    iteration shuffles only the node-sized label frame."""
+    from pyspark.sql import functions as F
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import (
+        dedup_clusters,
+    )
+
+    pairs = spark.range(300).select(
+        (F.col("id") % 40).alias("id_a"), ((F.col("id") * 3) % 40 + 40).alias("id_b")
+    )
+    probe: list = []
+    dedup_clusters(pairs, max_iters=4, plan_probe=probe).count()
+    assert probe, "iteration plans not captured"
+    for i, plan in enumerate(probe):
+        final = plan.split("== Initial Plan ==")[0]
+        join_at = final.find("ShuffledHashJoin")
+        assert join_at >= 0, f"iter {i}: shuffle-hash join missing\n{final[:2000]}"
+        lines = final[join_at:].splitlines()
+        edge_branch = [ln for ln in lines[1:6] if ln.strip().startswith(":")]
+        branch_text = "\n".join(edge_branch)
+        assert "InMemoryTableScan" in branch_text, f"iter {i}:\n{branch_text}"
+        pre_scan = branch_text.split("InMemoryTableScan")[0]
+        assert "Exchange" not in pre_scan, (
+            f"iter {i}: edge list re-shuffled\n{branch_text}"
+        )

@@ -51,6 +51,13 @@ EXPECTED_FLAGS: dict[str, set[str]] = {
     "r5_pack": {"BroadcastNestedLoopJoin"},
     "r5_pack2": {"BroadcastNestedLoopJoin"},
     "r6_pack": {"BroadcastNestedLoopJoin"},
+    # 1-row broadcasts: budget_select's global (min,max) bin frame and
+    # DSIR's (target_total, raw_total) frame
+    "selection_pack": {"BroadcastNestedLoopJoin"},
+    "llm_budget_select": {"BroadcastNestedLoopJoin"},
+    "llm_dsir_importance": {"BroadcastNestedLoopJoin"},
+    # 1-row broadcast of the (rows, keys, max) totals frame
+    "ops_skew_report": {"BroadcastNestedLoopJoin"},
 }
 
 

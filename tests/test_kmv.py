@@ -87,3 +87,77 @@ def test_sketch_plan_is_take_ordered(spark):
     )
     assert "TakeOrderedAndProject" in plan, plan[:1500]
     assert "Exchange rangepartitioning" not in plan, plan[:1500]
+
+
+def test_kmv_streaming_sketch_maintenance(spark, tmp_path):
+    """Streaming sketch maintenance (the HLL pattern, KMV member): each
+    micro-batch's bottom-k merges into a persisted k-row table, so a
+    live uniform sample / quantile monitor needs no raw-row retention.
+    After all batches the maintained sketch is ROW-EXACT equal to
+    sketching the full history — KMV's merge is exact, not approximate."""
+    import os
+
+    import pyspark.sql.types as T
+
+    src = tmp_path / "in"
+    sk_root = str(tmp_path / "sketch")
+    ckpt = tmp_path / "ck"
+    src.mkdir()
+    k = 64
+
+    def land(fidx, lo, hi):
+        spark.range(lo, hi).select(
+            F.col("id").alias("rid"), (F.col("id") * 7 % 1000 / 3.0).alias("v")
+        ).write.mode("overwrite").parquet(str(src / f"f{fidx}"))
+
+    land(0, 0, 3000)
+    land(1, 3000, 8000)
+
+    schema = T.StructType(
+        [T.StructField("rid", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+
+    def merge_batch(batch_df, _bid):
+        new = bottomk_sketch(batch_df, "rid", "v", k=k)
+        if os.path.exists(sk_root):
+            merged = merge_bottomk(
+                [batch_df.sparkSession.read.parquet(sk_root), new], k=k
+            )
+        else:
+            merged = new
+        tmp = sk_root + "__tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = sk_root + "__old"
+        if os.path.exists(sk_root):
+            os.rename(sk_root, old)
+        os.rename(tmp, sk_root)
+        import shutil
+
+        shutil.rmtree(old, ignore_errors=True)
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    maintained = sorted(
+        tuple(r)
+        for r in spark.read.parquet(sk_root)
+        .select("row_id", "value", "rank_hash")
+        .collect()
+    )
+    full = spark.range(8000).select(
+        F.col("id").alias("rid"), (F.col("id") * 7 % 1000 / 3.0).alias("v")
+    )
+    oneshot = sorted(
+        tuple(r) for r in bottomk_sketch(full, "rid", "v", k=k).collect()
+    )
+    assert maintained == oneshot

@@ -1,14 +1,18 @@
-"""Baseline JPEG codec — stdlib + numpy, built from the public spec
+"""JPEG codec — stdlib + numpy, built from the public spec
 (ITU-T T.81 / ISO 10918-1; tables from Annex K, color transform from
 ITU-T T.871 JFIF).
 
 The container ships no image libraries, so like the PNG codec this is a
-from-the-spec implementation: baseline sequential DCT, Huffman entropy
-coding, 8-bit samples, grayscale or YCbCr with arbitrary sampling
-factors (4:4:4, 4:2:0, 4:2:2 all fall out of the general H×V handling),
-restart markers, APPn/COM skipping. Progressive (SOF2) and arithmetic
-coding are rejected with a clear ValueError — they are different
-compression modes, not tears.
+from-the-spec implementation. DECODER: baseline sequential DCT (SOF0/1)
+AND progressive (SOF2 — spectral selection, successive approximation,
+EOB runs, DC/AC refinement scans per T.81 G.2), Huffman entropy coding,
+8-bit samples, grayscale or YCbCr with arbitrary sampling factors
+(4:4:4, 4:2:0, 4:2:2 all fall out of the general H×V handling), restart
+markers, APPn/COM skipping. Scans accumulate into per-component
+coefficient planes; one batched dequantize+IDCT renders at EOI — so
+baseline is just the one-scan special case of the same machinery.
+Arithmetic coding and hierarchical/lossless modes are rejected with a
+clear ValueError — different compression modes, not tears.
 
 Tear contract (same as PNG): :func:`decode_jpeg` either returns pixels
 or raises ``ValueError`` — never an IndexError/struct.error/infinite
@@ -186,9 +190,10 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(payload: bytes):
-    """Decode a baseline sequential JPEG. Returns ``(pixels, w, h)`` with
-    pixels an (h, w, 3) uint8 array (grayscale replicated to 3 channels).
-    Raises ValueError — and only ValueError — on anything unparseable."""
+    """Decode a baseline (SOF0/SOF1) or progressive (SOF2) JPEG. Returns
+    ``(pixels, w, h)`` with pixels an (h, w, 3) uint8 array (grayscale
+    replicated to 3 channels). Raises ValueError — and only ValueError —
+    on anything unparseable."""
     try:
         return _decode_jpeg_inner(payload)
     except ValueError:
@@ -197,24 +202,52 @@ def decode_jpeg(payload: bytes):
         raise ValueError(f"corrupt JPEG: {type(exc).__name__}: {exc}") from exc
 
 
+class _CoefStore:
+    """Per-component DCT coefficient planes in ZIGZAG-index order —
+    progressive scans refine these across multiple passes; baseline fills
+    them in one pass. Arrays are padded to the interleaved MCU grid;
+    ``real`` holds the non-padded block dims used by non-interleaved
+    scans (T.81 A.2.2: partial-MCU components only carry real blocks)."""
+
+    def __init__(self, frame) -> None:
+        fh, fw, comps = frame
+        self.hmax = max(hs for _, hs, _, _ in comps)
+        self.vmax = max(vs for _, _, vs, _ in comps)
+        self.mcux = (fw + 8 * self.hmax - 1) // (8 * self.hmax)
+        self.mcuy = (fh + 8 * self.vmax - 1) // (8 * self.vmax)
+        self.coefs: dict[int, np.ndarray] = {}
+        self.real: dict[int, tuple[int, int]] = {}
+        for cid, hs, vs, _tq in comps:
+            comp_w = (fw * hs + self.hmax - 1) // self.hmax
+            comp_h = (fh * vs + self.vmax - 1) // self.vmax
+            self.coefs[cid] = np.zeros(
+                (self.mcuy * vs, self.mcux * hs, 64), dtype=np.int64
+            )
+            self.real[cid] = ((comp_h + 7) // 8, (comp_w + 7) // 8)
+
+
 def _decode_jpeg_inner(payload: bytes):
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) → table
     frame = None  # (h, w, [(cid, hs, vs, tq)])
+    progressive = False
     restart_interval = 0
+    store: _CoefStore | None = None
     i = 2
     n = len(payload)
     while True:
-        if i + 4 > n:
-            raise ValueError("truncated before SOS")
+        if i + 2 > n:
+            raise ValueError("truncated before EOI")
         if payload[i] != 0xFF:
             raise ValueError(f"marker expected at offset {i}")
         marker = payload[i + 1]
         i += 2
-        if marker == 0xD9:  # EOI before any scan
-            raise ValueError("EOI before SOS")
+        if marker == 0xD9:  # EOI
+            break
+        if i + 2 > n:
+            raise ValueError("truncated segment header")
         (seglen,) = struct.unpack(">H", payload[i : i + 2])
         if seglen < 2 or i + seglen > n:
             raise ValueError("truncated segment")
@@ -249,7 +282,10 @@ def _decode_jpeg_inner(payload: bytes):
                     raise ValueError("truncated DHT")
                 huff[(tc, th)] = _build_huffman(bits, vals)
                 j += 17 + cnt
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 (baseline/extended seq.)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            if frame is not None:
+                raise ValueError("multiple SOF markers")
+            progressive = marker == 0xC2
             prec, fh, fw, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise ValueError(f"unsupported sample precision {prec}")
@@ -263,8 +299,6 @@ def _decode_jpeg_inner(payload: bytes):
                     raise ValueError(f"bad sampling factors {hs}x{vs}")
                 comps.append((cid, hs, vs, tq))
             frame = (fh, fw, comps)
-        elif marker == 0xC2:
-            raise ValueError("progressive JPEG not supported (baseline only)")
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported SOF marker 0xFF{marker:02X}")
         elif marker == 0xDD:  # DRI
@@ -273,34 +307,33 @@ def _decode_jpeg_inner(payload: bytes):
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
+            if len(seg) < 1 + 2 * ns + 3:
+                raise ValueError("truncated SOS header")
             scan = []
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan.append((cs, tdta >> 4, tdta & 0x0F))
-            return _decode_scan(
-                payload, i, frame, scan, qt, huff, restart_interval
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0  # baseline ignores the band fields
+            if store is None:
+                store = _CoefStore(frame)
+            i = _decode_scan_into(
+                payload, i, frame, scan, (ss, se, ah, al), huff,
+                restart_interval, store,
             )
         # APPn, COM, DNL, anything else with a length: skipped
+    if store is None or frame is None:
+        raise ValueError("no image scan before EOI")
+    return _render(frame, store, qt)
 
 
-def _decode_scan(payload, i, frame, scan, qt, huff, restart_interval):
-    fh, fw, comps = frame
-    byid = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
-    order = []  # (hs, vs, qtab, dc_table, ac_table) per scan component
-    for cs, td, ta in scan:
-        if cs not in byid:
-            raise ValueError(f"scan references unknown component {cs}")
-        hs, vs, tq = byid[cs]
-        if tq not in qt:
-            raise ValueError(f"missing quantization table {tq}")
-        if (0, td) not in huff or (1, ta) not in huff:
-            raise ValueError("missing Huffman table for scan")
-        order.append((cs, hs, vs, qt[tq], huff[(0, td)], huff[(1, ta)]))
-    hmax = max(hs for _, hs, _, _, _, _ in order)
-    vmax = max(vs for _, _, vs, _, _, _ in order)
-    mcux = (fw + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
-    # split entropy-coded data into restart intervals, unstuffing 0xFF00
+def _split_entropy(payload: bytes, i: int):
+    """Split entropy-coded bytes starting at ``i`` into restart intervals
+    (0xFF00 unstuffed, RSTn as boundaries). Returns (intervals, end)
+    where ``end`` is the offset of the terminating marker's 0xFF."""
     intervals, cur = [], bytearray()
     j, n = i, len(payload)
     while j < n:
@@ -318,42 +351,182 @@ def _decode_scan(payload, i, frame, scan, qt, huff, restart_interval):
                 cur = bytearray()
                 j += 2
                 continue
-            break  # EOI or next marker ends the scan
+            break  # next real marker ends the scan
         cur.append(b)
         j += 1
     intervals.append(bytes(cur))
-    # decode MCUs
-    planes = {
-        cs: np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.float64)
-        for cs, hs, vs, _, _, _ in order
-    }
-    total_mcus = mcux * mcuy
-    per_interval = restart_interval if restart_interval else total_mcus
-    mcu = 0
+    return intervals, j
+
+
+def _decode_scan_into(payload, i, frame, scan, band, huff, restart_interval, store):
+    """Decode ONE scan's entropy data into the coefficient store and
+    return the offset just past it. Handles baseline (full-band) and all
+    four progressive scan kinds (DC/AC × first/refinement)."""
+    fh, fw, comps = frame
+    ss, se, ah, al = band
+    byid = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    order = []  # (cs, hs, vs, dc_table|None, ac_table|None)
+    for cs, td, ta in scan:
+        if cs not in byid:
+            raise ValueError(f"scan references unknown component {cs}")
+        hs, vs, _tq = byid[cs]
+        need_dc = ss == 0 and ah == 0  # DC first / baseline
+        need_ac = se > 0
+        dct = huff.get((0, td)) if ss == 0 else None
+        act = huff.get((1, ta)) if need_ac else None
+        if need_dc and ss == 0 and dct is None:
+            raise ValueError("missing DC Huffman table for scan")
+        if need_ac and act is None:
+            raise ValueError("missing AC Huffman table for scan")
+        order.append((cs, hs, vs, dct, act))
+    if ss > 0 and len(order) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if ss > se or se > 63:
+        raise ValueError(f"bad spectral band {ss}..{se}")
+
+    intervals, end = _split_entropy(payload, i)
+    interleaved = len(order) > 1
+    if interleaved:
+        total_units = store.mcux * store.mcuy
+    else:
+        by_real, bx_real = store.real[order[0][0]]
+        total_units = by_real * bx_real
+    per_interval = restart_interval if restart_interval else total_units
+    unit = 0
     for interval in intervals:
-        if mcu >= total_mcus:
+        if unit >= total_units:
             break
         reader = _BitReader(interval)
-        pred = {cs: 0 for cs, _, _, _, _, _ in order}
-        for _ in range(min(per_interval, total_mcus - mcu)):
-            my, mx = divmod(mcu, mcux)
-            for cs, hs, vs, qtab, dct, act in order:
-                for by in range(vs):
-                    for bx in range(hs):
-                        block = _decode_block(reader, dct, act, qtab, pred, cs)
-                        y0 = (my * vs + by) * 8
-                        x0 = (mx * hs + bx) * 8
-                        planes[cs][y0 : y0 + 8, x0 : x0 + 8] = block
-            mcu += 1
-    if mcu < total_mcus:
-        raise ValueError(f"truncated scan: {mcu}/{total_mcus} MCUs decoded")
-    # upsample each plane to full size (pixel replication) and crop
+        pred = {cs: 0 for cs, _, _, _, _ in order}
+        eobrun = [0]  # boxed: EOB runs span blocks within an interval
+        for _ in range(min(per_interval, total_units - unit)):
+            if interleaved:
+                my, mx = divmod(unit, store.mcux)
+                for cs, hs, vs, dct, act in order:
+                    for by in range(vs):
+                        for bx in range(hs):
+                            blk = store.coefs[cs][my * vs + by, mx * hs + bx]
+                            _decode_band(
+                                reader, blk, ss, se, ah, al, dct, act, pred, cs,
+                                eobrun,
+                            )
+            else:
+                cs, hs, vs, dct, act = order[0]
+                by, bx = divmod(unit, bx_real)
+                blk = store.coefs[cs][by, bx]
+                _decode_band(reader, blk, ss, se, ah, al, dct, act, pred, cs, eobrun)
+            unit += 1
+    if unit < total_units:
+        raise ValueError(f"truncated scan: {unit}/{total_units} units decoded")
+    return end
+
+
+def _decode_band(reader, blk, ss, se, ah, al, dct, act, pred, cs, eobrun):
+    """One block's worth of one scan (T.81 F.2.2 baseline; G.2 progressive)."""
+    if ss == 0:
+        if ah == 0:  # DC first (or baseline: DC then fall through to AC)
+            s = reader.decode(dct)
+            if s > 11:
+                raise ValueError(f"bad DC category {s}")
+            diff = _extend(reader.read(s), s) if s else 0
+            pred[cs] += diff
+            blk[0] = pred[cs] << al
+        else:  # DC refinement: one bit per block
+            if reader.read(1):
+                blk[0] |= 1 << al
+        if se == 0:
+            return
+        k = 1
+    else:
+        k = ss
+    if ah == 0:  # AC first pass (al=0 == baseline AC)
+        if eobrun[0] > 0:
+            eobrun[0] -= 1
+            return
+        while k <= se:
+            rs = reader.decode(act)
+            r, size = rs >> 4, rs & 0x0F
+            if size == 0:
+                if r == 15:  # ZRL: 16 zeros
+                    k += 16
+                    continue
+                eobrun[0] = (1 << r) - 1  # EOBn: this block + (2^r-1+bits) more
+                if r:
+                    eobrun[0] += reader.read(r)
+                return
+            k += r
+            if k > se:
+                raise ValueError("AC run past end of band")
+            blk[k] = _extend(reader.read(size), size) << al
+            k += 1
+        return
+    # AC refinement (G.1.2.3): correction bits for known coefficients,
+    # newly-significant coefficients carry ±1 at this bit position
+    p1, m1 = 1 << al, -1 << al
+
+    def sweep(j):  # correction bits for every nonzero coef in j..Se
+        while j <= se:
+            if blk[j] != 0:
+                if reader.read(1) and (blk[j] & p1) == 0:
+                    blk[j] += p1 if blk[j] >= 0 else m1
+            j += 1
+
+    if eobrun[0] > 0:  # a block inside an EOB run: whole band is sweep
+        eobrun[0] -= 1
+        sweep(k)
+        return
+    while k <= se:
+        rs = reader.decode(act)
+        r, size = rs >> 4, rs & 0x0F
+        newval = 0
+        if size:
+            if size != 1:
+                raise ValueError("bad refinement magnitude")
+            newval = p1 if reader.read(1) else m1
+        else:
+            if r != 15:
+                # EOBn ends (1<<r)+extra blocks INCLUDING this one: the
+                # current block still sweeps its remaining band (an EOB1
+                # with r=0 must not skip that — eobrun counts the rest)
+                extra = reader.read(r) if r else 0
+                eobrun[0] = (1 << r) - 1 + extra
+                sweep(k)
+                return
+            # r == 15: skip 16 zero-history coefficients
+        while k <= se:
+            if blk[k] != 0:
+                if reader.read(1) and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            else:
+                r -= 1
+                if r < 0:
+                    break
+            k += 1
+        if newval and k <= se:
+            blk[k] = newval
+        k += 1
+
+
+def _render(frame, store, qt):
+    """Dequantize + batched IDCT + upsample + color transform."""
+    fh, fw, comps = frame
     out = []
-    for cs, hs, vs, _, _, _ in order:
-        p = planes[cs]
-        if hs < hmax or vs < vmax:
-            p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
-        out.append(p[:fh, :fw])
+    for cid, hs, vs, tq in comps:
+        if tq not in qt:
+            raise ValueError(f"missing quantization table {tq}")
+        zz = store.coefs[cid]  # (by, bx, 64) zigzag order
+        by, bx = zz.shape[:2]
+        natural = np.zeros((by, bx, 64), dtype=np.int64)
+        natural[..., ZIGZAG] = zz
+        deq = natural.reshape(by, bx, 8, 8) * qt[tq].reshape(1, 1, 8, 8)
+        # batched IDCT: out[i,j] = Σ_u Σ_v C[u,i]·M[u,v]·C[v,j]
+        spatial = np.einsum("ui,abuv,vj->abij", _C, deq.astype(np.float64), _C) + 128.0
+        plane = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        if hs < store.hmax or vs < store.vmax:
+            plane = np.repeat(
+                np.repeat(plane, store.vmax // vs, axis=0), store.hmax // hs, axis=1
+            )
+        out.append(plane[:fh, :fw])
     if len(out) == 1:
         g = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
         return np.stack([g, g, g], axis=2), fw, fh
@@ -366,34 +539,6 @@ def _decode_scan(payload, i, frame, scan, qt, huff, restart_interval):
     b = y + 1.772 * (cb - 128.0)
     px = np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
     return px, fw, fh
-
-
-def _decode_block(reader, dct, act, qtab, pred, cs):
-    coef = np.zeros(64, dtype=np.int64)
-    s = reader.decode(dct)
-    if s > 11:
-        raise ValueError(f"bad DC category {s}")
-    diff = _extend(reader.read(s), s) if s else 0
-    pred[cs] += diff
-    coef[0] = pred[cs]
-    k = 1
-    while k < 64:
-        rs = reader.decode(act)
-        r, size = rs >> 4, rs & 0x0F
-        if size == 0:
-            if r == 15:  # ZRL: 16 zeros
-                k += 16
-                continue
-            break  # EOB
-        k += r
-        if k > 63:
-            raise ValueError("AC run past end of block")
-        coef[k] = _extend(reader.read(size), size)
-        k += 1
-    natural = np.zeros(64, dtype=np.int64)
-    natural[ZIGZAG] = coef
-    deq = natural.reshape(8, 8) * qtab
-    return _C.T @ deq @ _C + 128.0
 
 
 # --- encoder ----------------------------------------------------------------
@@ -639,3 +784,253 @@ def encode_jpeg_gray(pixels, quality: int = 90) -> bytes:
         + bytes(bw.out)
         + b"\xff\xd9"
     )
+
+
+# --- progressive encoder ----------------------------------------------------
+
+
+def _quantized_planes(pixels, quality: int):
+    """(h, w, per-component zigzag coefficient arrays) for 4:4:4: color
+    transform, pad to 8-multiples, forward DCT, quantize, zigzag."""
+    pixels = np.asarray(pixels, dtype=np.float64)
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("expected (h, w, 3) pixels")
+    h, w_, _ = pixels.shape
+    r, g, b = pixels[..., 0], pixels[..., 1], pixels[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    qy, qc = quality_tables(quality)
+    by, bx = (h + 7) // 8, (w_ + 7) // 8
+    planes = []
+    for plane, qtab in ((y, qy), (cb, qc), (cr, qc)):
+        padded = np.empty((by * 8, bx * 8))
+        padded[:h, :w_] = plane
+        padded[h:, :w_] = plane[h - 1 : h, :]
+        padded[:, w_:] = padded[:, w_ - 1 : w_]
+        blocks = (
+            padded.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3) - 128.0
+        )  # (by, bx, 8, 8)
+        s = np.einsum("iu,abuv,jv->abij", _C, blocks, _C)
+        q = np.round(s / qtab.reshape(1, 1, 8, 8)).astype(np.int64)
+        planes.append(q.reshape(by, bx, 64)[..., ZIGZAG])
+    return h, w_, by, bx, planes
+
+
+#: AC Huffman table for the progressive scans: the Annex K baseline AC
+#: tables carry only EOB(0x00)/ZRL(0xF0) among the size-0 symbols, but
+#: progressive needs the EOBn family (0x10..0xE0). A flat canonical
+#: table covering every (run, size) symbol keeps the encoder trivial —
+#: compression ratio is irrelevant here; the tables ship in the DHT
+#: segment so any spec decoder reads them.
+HT_AC_PROG = ([0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0], list(range(256)))
+
+
+class _RefineState:
+    """AC-refinement emission state: buffered correction bits + EOB run
+    (the encoder mirror of the decoder's G.1.2.3 walk)."""
+
+    def __init__(self, writer, ac_codes) -> None:
+        self.w = writer
+        self.ac = ac_codes
+        self.bits: list[int] = []  # correction bits pending emission
+        self.eobrun = 0
+
+    def flush_eob(self) -> None:
+        if self.eobrun == 0 and not self.bits:
+            return
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            code, length = self.ac[r << 4]
+            self.w.write(code, length)
+            if r:
+                self.w.write(self.eobrun - (1 << r), r)
+        for bit in self.bits:
+            self.w.write(bit, 1)
+        self.bits = []
+        self.eobrun = 0
+
+
+def encode_jpeg_progressive(pixels, quality: int = 90) -> bytes:
+    """Progressive (SOF2) 4:4:4 encoder exercising all four scan kinds
+    the decoder implements: DC first with successive approximation
+    (Al=1), DC refinement, per-component AC first passes at Al=1 (with
+    cross-block EOB runs), and AC refinement scans (correction bits +
+    newly-significant coefficients). Scan script: the classic
+    spectral-selection + successive-approximation ladder."""
+    h, w_, by, bx, planes = _quantized_planes(pixels, quality)
+    qy, qc = quality_tables(quality)
+    dc_tabs = [_encode_codes(*HT_DC_LUMA), _encode_codes(*HT_DC_CHROMA),
+               _encode_codes(*HT_DC_CHROMA)]
+    ac_flat = _encode_codes(*HT_AC_PROG)
+    ac_tabs = [ac_flat, ac_flat, ac_flat]
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    def sos(comps, ss, se, ah, al) -> bytes:
+        body = bytes([len(comps)])
+        for ci in comps:
+            td = 0 if ci == 0 else 1
+            body += bytes([ci + 1, (td << 4) | td])
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    out = [b"\xff\xd8", seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")]
+    out.append(seg(0xDB, bytes([0]) + bytes(int(v) for v in qy.reshape(-1)[ZIGZAG])))
+    out.append(seg(0xDB, bytes([1]) + bytes(int(v) for v in qc.reshape(-1)[ZIGZAG])))
+    out.append(
+        seg(
+            0xC2,
+            struct.pack(">BHHB", 8, h, w_, 3)
+            + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        )
+    )
+    out.append(seg(0xC4, bytes([0x00]) + bytes(HT_DC_LUMA[0]) + bytes(HT_DC_LUMA[1])))
+    out.append(seg(0xC4, bytes([0x01]) + bytes(HT_DC_CHROMA[0]) + bytes(HT_DC_CHROMA[1])))
+    out.append(seg(0xC4, bytes([0x10]) + bytes(HT_AC_PROG[0]) + bytes(HT_AC_PROG[1])))
+    out.append(seg(0xC4, bytes([0x11]) + bytes(HT_AC_PROG[0]) + bytes(HT_AC_PROG[1])))
+
+    # scan 1: interleaved DC first, Al=1
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    for yb in range(by):
+        for xb in range(bx):
+            for ci in range(3):
+                dc = int(planes[ci][yb, xb, 0]) >> 1  # arithmetic point transform
+                diff = dc - pred[ci]
+                pred[ci] = dc
+                cat = _category(diff)
+                code, length = dc_tabs[ci][cat]
+                bw.write(code, length)
+                if cat:
+                    bw.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+    bw.flush()
+    out += [sos([0, 1, 2], 0, 0, 0, 1), bytes(bw.out)]
+
+    # scan 2: interleaved DC refinement, Ah=1 Al=0 — one bit per block
+    bw = _BitWriter()
+    for yb in range(by):
+        for xb in range(bx):
+            for ci in range(3):
+                bw.write(int(planes[ci][yb, xb, 0]) & 1, 1)
+    bw.flush()
+    out += [sos([0, 1, 2], 0, 0, 1, 0), bytes(bw.out)]
+
+    # per component: AC first pass (band 1-63, Al=1) then AC refinement
+    for ci in range(3):
+        ac = ac_tabs[ci]
+        bw = _BitWriter()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                code, length = ac[r << 4]
+                bw.write(code, length)
+                if r:
+                    bw.write(eobrun - (1 << r), r)
+                eobrun = 0
+
+        for yb in range(by):
+            for xb in range(bx):
+                zz = planes[ci][yb, xb]
+                # point transform: truncate toward zero (T.81 G.1.2.2)
+                t = [int(v) // 2 if v >= 0 else -((-int(v)) // 2) for v in zz]
+                last_nz = 0
+                for k in range(63, 0, -1):
+                    if t[k]:
+                        last_nz = k
+                        break
+                if last_nz == 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                for k in range(1, last_nz + 1):
+                    v = t[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = ac[0xF0]
+                        bw.write(code, length)
+                        run -= 16
+                    cat = _category(v)
+                    code, length = ac[(run << 4) | cat]
+                    bw.write(code, length)
+                    bw.write(v if v >= 0 else v + (1 << cat) - 1, cat)
+                    run = 0
+                if last_nz < 63:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        bw.flush()
+        out += [sos([ci], 1, 63, 0, 1), bytes(bw.out)]
+
+    for ci in range(3):
+        bw = _BitWriter()
+        st = _RefineState(bw, ac_tabs[ci])
+        for yb in range(by):
+            for xb in range(bx):
+                zz = planes[ci][yb, xb]
+                pending: list[int] = []  # correction bits since last emitted RS
+                run = 0
+                last_sig = 0  # last k with |v| == 1 (newly significant)
+                for k in range(63, 0, -1):
+                    if abs(int(zz[k])) == 1:
+                        last_sig = k
+                        break
+                for k in range(1, last_sig + 1):
+                    v = int(zz[k])
+                    a = abs(v)
+                    if a == 0:
+                        run += 1
+                        continue
+                    # any nonzero coefficient flushes pending ZRLs first —
+                    # the decoder's per-symbol traversal windows close at
+                    # the 16th zero-history skip, so correction bits must
+                    # not leak across a ZRL boundary (T.81 G.1.2.3 order)
+                    while run > 15:
+                        st.flush_eob()
+                        code, length = ac_tabs[ci][0xF0]
+                        bw.write(code, length)
+                        run -= 16
+                        for bit in pending:
+                            bw.write(bit, 1)
+                        pending = []
+                    if a > 1:  # history-nonzero: correction bit only
+                        pending.append(a & 1)
+                        continue
+                    # newly significant (|v| == 1)
+                    st.flush_eob()
+                    code, length = ac_tabs[ci][(run << 4) | 1]
+                    bw.write(code, length)
+                    bw.write(1 if v > 0 else 0, 1)
+                    for bit in pending:
+                        bw.write(bit, 1)
+                    pending = []
+                    run = 0
+                # block tail (everything past the last newly-significant
+                # coefficient): the decoder's EOB sweep reads correction
+                # bits for the remaining history-nonzero coefs — unless
+                # the band closed exactly at k=63, where no EOB is read
+                if last_sig < 63:
+                    tail_bits = [
+                        abs(int(zz[k])) & 1
+                        for k in range(last_sig + 1, 64)
+                        if abs(int(zz[k])) > 1
+                    ]
+                    st.eobrun += 1
+                    st.bits += pending + tail_bits
+                    if st.eobrun == 0x7FFF:
+                        st.flush_eob()
+        st.flush_eob()
+        bw.flush()
+        out += [sos([ci], 1, 63, 1, 0), bytes(bw.out)]
+
+    out.append(b"\xff\xd9")
+    return b"".join(out)

@@ -7,12 +7,14 @@ dependency-free formats — PPM images (P6/P3, pure numpy), PNG images
 (stdlib ``zlib`` inflate + numpy unfiltering: all five scanline filters,
 color types 0/2/3/4/6 at 8-bit depth), and PCM WAV audio (stdlib
 ``wave``) are actually decoded to pixel/sample arrays and summarized
-into features. Baseline JPEG is ALSO a real decode as of round 6 —
-``operators/jpeg.py`` implements the sequential-DCT mode from ITU-T
-T.81 (Huffman, 4:4:4/4:2:0/4:2:2, restart markers, grayscale) — and a
-deterministic digest-derived stub covers only the remaining formats
-(progressive JPEG, MP3/MP4; codec libraries are not in this
-container); the ``decoded`` output column says which path a row took.
+into features. JPEG is ALSO a real decode as of round 6 —
+``operators/jpeg.py`` implements BOTH baseline sequential DCT and
+progressive (SOF2) modes from ITU-T T.81 (Huffman,
+4:4:4/4:2:0/4:2:2, restart markers, grayscale, spectral selection +
+successive approximation) — and a deterministic digest-derived stub
+covers only the remaining formats (MP3/MP4; codec libraries are not
+in this container); the ``decoded`` output column says which path a
+row took.
 """
 
 from __future__ import annotations

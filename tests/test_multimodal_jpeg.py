@@ -76,13 +76,70 @@ def test_odd_dimensions_and_420():
     assert (w, h) == (23, 17) and dec.shape == (17, 23, 3)
 
 
-def test_progressive_rejected_with_clear_error():
-    px = np.full((8, 8, 3), 99, dtype=np.uint8)
-    data = bytearray(encode_jpeg(px))
-    i = data.find(b"\xff\xc0")
-    data[i + 1] = 0xC2  # flip SOF0 → SOF2
-    with pytest.raises(ValueError, match="progressive"):
-        decode_jpeg(bytes(data))
+def test_progressive_equals_baseline_bit_exact():
+    """Progressive (SOF2) decode: the scan ladder (DC successive
+    approximation, per-component AC first passes with cross-block EOB
+    runs, AC refinement with correction bits) reconstructs the SAME
+    quantized coefficients as one baseline scan — so decoded pixels are
+    bit-identical to the baseline encoding of the same image."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(11)
+    for _ in range(12):
+        h, w = rng.randint(8, 48), rng.randint(8, 48)
+        q = int(rng.choice([25, 50, 90, 100]))
+        px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        base, _, _ = decode_jpeg(encode_jpeg(px, quality=q))
+        prog, pw, ph = decode_jpeg(encode_jpeg_progressive(px, quality=q))
+        assert (pw, ph) == (w, h)
+        assert np.array_equal(base, prog), (h, w, q)
+
+
+@pytest.mark.parametrize("v", [0, 37, 128, 200, 255])
+def test_progressive_solid_gray_analytic(v):
+    """Solid blocks stay DC-only through the progressive ladder — the
+    same analytic expectation as the baseline test."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    q00 = int(quality_tables(90)[0][0, 0])
+    want = _expected_solid(v, q00)
+    px = np.full((16, 16, 3), v, dtype=np.uint8)
+    dec, w, h = decode_jpeg(encode_jpeg_progressive(px, quality=90))
+    got = np.unique(dec).tolist()
+    assert len(got) == 1 and got[0] in want
+
+
+def test_progressive_mutation_fuzz_valueerror_only():
+    """The tear contract holds for multi-scan streams too."""
+    import random
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    rnd = random.Random(77)
+    px = (np.arange(12 * 20 * 3) % 256).reshape(12, 20, 3).astype(np.uint8)
+    base = encode_jpeg_progressive(px, quality=80)
+    for _ in range(200):
+        data = bytearray(base)
+        op = rnd.random()
+        if op < 0.4:
+            i = rnd.randrange(len(data))
+            data[i] ^= rnd.randrange(1, 256)
+        elif op < 0.8:
+            data = data[: rnd.randrange(len(data))]
+        else:
+            i = rnd.randrange(len(data))
+            data[i:i] = bytes(rnd.randrange(256) for _ in range(rnd.randrange(1, 9)))
+        try:
+            out, w, h = decode_jpeg(bytes(data))
+            assert out.dtype == np.uint8 and out.shape == (h, w, 3)
+        except ValueError:
+            pass  # the only permitted failure mode
 
 
 def test_not_a_jpeg_rejected():

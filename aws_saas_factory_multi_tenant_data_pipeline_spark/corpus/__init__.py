@@ -175,6 +175,11 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "text_stats",
     "filter_predicates",
     "collect_list_sorted",
+    # round-6 additions: highest-information new oracles first if the
+    # window turns out to be time-bound
+    "multimodal_jpeg_ahash",
+    "sketch_kmv_sample",
+    "ops_skew_report",
     "subq_exists_correlated",
     "tpch_q1_pricing_summary",
     "distinct_dropdup",

@@ -147,3 +147,69 @@ def ops_skew_report(spark, sf_dir):
     )
 
     return skew_report(t(spark, sf_dir, "events"), "user_id", top_n=8)
+
+
+@register(
+    "multimodal_jpeg_ahash",
+    oracle="""
+        SELECT doc_id,
+               CAST(doc_id % 2 AS INT) AS progressive,
+               CAST((11 + doc_id % 16) // 4 AS INT) AS first_bright_row,
+               -CAST(POWER(2, 8 * ((11 + doc_id % 16) // 4)) AS BIGINT) AS ahash
+        FROM documents WHERE doc_id < 200
+        ORDER BY doc_id
+    """,
+    tags=("B10", "multimodal"),
+    doc="JPEG decode → perceptual aHash with an ANALYTIC oracle: per doc "
+    "a 32×32 two-tone image (dark top, bright bottom, split row varying "
+    "with doc_id) is encoded as REAL JPEG — baseline for even ids, "
+    "PROGRESSIVE (SOF2 scan ladder) for odd ids — then decoded by the "
+    "full T.81 decoder and hashed. The contrast is ≥64 gray levels "
+    "against a ≤±2 codec error, so the bit pattern is provably "
+    "independent of DCT rounding: bright rows r≥ceil(split/4) set bytes "
+    "r of the hash, i.e. signed aHash = -(2^(8·r0)) exactly. The oracle "
+    "never sees a JPEG byte — any framing, Huffman, scan-ladder, or "
+    "refinement defect changes the hash or drops rows "
+    "(operators/jpeg.py; operators/multimodal.py average_hash).",
+)
+def multimodal_jpeg_ahash(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.jpeg import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        average_hash,
+    )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 200).select("doc_id")
+
+    def op(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                split = 8 + did % 16  # source row where bright begins
+                a = (did * 7) % 96  # dark tone (< 96)
+                b = 160 + (did * 11) % 96  # bright tone (>= 160)
+                px = np.full((32, 32, 3), a, dtype=np.uint8)
+                px[split:, :, :] = b
+                enc = encode_jpeg_progressive if did % 2 else encode_jpeg
+                payload = enc(px, quality=90)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "progressive": did % 2,
+                        "first_bright_row": (split + 3) // 4,
+                        "ahash": average_hash(payload),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "progressive", "first_bright_row", "ahash"]
+            )
+
+    return d.mapInPandas(
+        op, "doc_id long, progressive int, first_bright_row int, ahash long"
+    ).orderBy("doc_id")

@@ -11,10 +11,13 @@ into features. JPEG is ALSO a real decode as of round 6 —
 ``operators/jpeg.py`` implements BOTH baseline sequential DCT and
 progressive (SOF2) modes from ITU-T T.81 (Huffman,
 4:4:4/4:2:0/4:2:2, restart markers, grayscale, spectral selection +
-successive approximation) — and a deterministic digest-derived stub
-covers only the remaining formats (MP3/MP4; codec libraries are not
-in this container); the ``decoded`` output column says which path a
-row took.
+successive approximation), and FLAC audio is a real decode
+(``operators/flac.py``: fixed + LPC predictors, Rice residuals,
+stereo decorrelation, STREAMINFO md5 cross-check — the format speech
+corpora like LibriSpeech actually ship). A deterministic
+digest-derived stub covers only the remaining formats (MP3/MP4; codec
+libraries are not in this container); the ``decoded`` output column
+says which path a row took.
 """
 
 from __future__ import annotations
@@ -272,6 +275,25 @@ def decode_wav(payload: bytes):
     return x, sr, ch
 
 
+def decode_audio(payload: bytes):
+    """Decode a PCM WAV or FLAC payload to (mono float64 samples in
+    [-1, 1], sample_rate, n_channels) — the shared entry every audio
+    operator (features, envelope hash, dedup) dispatches through."""
+    if payload[:4] == b"fLaC":
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.flac import (
+            decode_flac,
+        )
+
+        samples, sr, ch, bps = decode_flac(payload)
+        x = samples.astype("float64") / float(1 << (bps - 1))
+        if ch > 1:
+            x = x.mean(axis=1)
+        else:
+            x = x[:, 0]
+        return x, sr, ch
+    return decode_wav(payload)
+
+
 def _real_decode_features(payload: bytes, dim: int = 8):
     """Decode-and-summarize for the real formats; None when not decodable."""
     import numpy as np
@@ -303,8 +325,10 @@ def _real_decode_features(payload: bytes, dim: int = 8):
                 f[..., 1].std(),
                 f[..., 2].std(),
             ]
-        elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-            x, sr, ch = decode_wav(payload)
+        elif (
+            payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+        ) or payload[:4] == b"fLaC":
+            x, sr, ch = decode_audio(payload)
             zc = float((x[:-1] * x[1:] < 0).mean()) if x.size > 1 else 0.0
             vals = [
                 sr / 100000.0,
@@ -630,6 +654,7 @@ _EXT_KIND = {
     "jpg": ("image", "image/jpeg"),
     "jpeg": ("image", "image/jpeg"),
     "wav": ("audio", "audio/wav"),
+    "flac": ("audio", "audio/flac"),
     "mp3": ("audio", "audio/mpeg"),
     "mp4": ("video", "video/mp4"),
 }
@@ -762,7 +787,8 @@ def incremental_ahash_duplicates(
 
 
 def audio_hash(payload: bytes, n_frames: int = 64) -> int:
-    """Perceptual audio hash over a PCM WAV payload: decode to mono,
+    """Perceptual audio hash over a PCM WAV or FLAC payload: decode to
+    mono,
     split into ``n_frames`` equal windows, one bit per window — set iff
     the window's RMS energy exceeds the overall mean RMS. The energy
     envelope survives volume-preserving edits (re-encoding, small
@@ -772,7 +798,7 @@ def audio_hash(payload: bytes, n_frames: int = 64) -> int:
     Signed-64 two's complement, LongType-safe."""
     import numpy as np
 
-    x, _sr, _ch = decode_wav(payload)
+    x, _sr, _ch = decode_audio(payload)
     if x.size < n_frames:
         raise ValueError(f"audio too short for {n_frames} frames")
     edges = (np.arange(n_frames + 1) * x.size) // n_frames

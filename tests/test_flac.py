@@ -1,0 +1,225 @@
+"""FLAC codec: bit-exact roundtrips, the STREAMINFO md5 cross-check,
+hand-assembled spec-literal frames (stereo decorrelation, LPC, escape
+partitions, wasted bits), the tear contract, and the Spark media paths."""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pytest
+
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.flac import (
+    _BitW,
+    _crc8,
+    _crc16,
+    _pcm_bytes,
+    _SYNC,
+    decode_flac,
+    encode_flac,
+)
+
+
+def test_roundtrip_bit_exact_mono_and_stereo():
+    rng = np.random.RandomState(3)
+    t = np.arange(7000)
+    mono = (9000 * np.sin(t * 0.03) + 500 * np.sin(t * 0.71)).astype(np.int64)
+    y, sr, ch, bps = decode_flac(encode_flac(mono, 16000))
+    assert (sr, ch, bps) == (16000, 1, 16)
+    assert np.array_equal(y[:, 0], mono)
+    stereo = rng.randint(-32768, 32768, (2500, 2))
+    y2, _, ch2, _ = decode_flac(encode_flac(stereo, 44100, blocksize=1024))
+    assert ch2 == 2 and np.array_equal(y2, stereo)
+
+
+def test_compression_actually_happens_on_smooth_signals():
+    t = np.arange(20000)
+    x = (12000 * np.sin(t * 0.01)).astype(np.int64)
+    data = encode_flac(x, 16000)
+    assert len(data) < x.size * 2 * 0.7  # fixed predictors beat raw PCM
+
+
+def test_md5_cross_check_rejects_coefficient_tamper():
+    """The STREAMINFO md5 is the encoder→decoder invariant: flip one
+    residual bit (keeping CRCs valid is hard, so flip + recompute is
+    simulated by corrupting the md5 itself) and the decode must fail."""
+    x = np.arange(-400, 400) * 7
+    data = bytearray(encode_flac(x, 8000))
+    # STREAMINFO md5 = bytes 8+18 .. 8+34 of the stream (4 magic + 4 hdr)
+    data[8 + 18] ^= 0xFF
+    with pytest.raises(ValueError, match="md5"):
+        decode_flac(bytes(data))
+
+
+def _stream(streaminfo_body: bytes, frames: bytes) -> bytes:
+    return b"fLaC" + bytes([0x80]) + struct.pack(">I", len(streaminfo_body))[1:] + (
+        streaminfo_body + frames
+    )
+
+
+def _streaminfo(sr, ch, bps, total, pcm_md5: bytes) -> bytes:
+    w = _BitW()
+    w.write(16, 16)
+    w.write(65535, 16)
+    w.write(0, 24)
+    w.write(0, 24)
+    w.write(sr, 20)
+    w.write(ch - 1, 3)
+    w.write(bps - 1, 5)
+    w.write(total, 36)
+    return bytes(w.out) + pcm_md5
+
+
+def _frame_header(w: _BitW, nsamp: int, ch_assign: int, bps_code: int) -> None:
+    w.write(_SYNC, 14)
+    w.write(0, 2)
+    w.write(7, 4)  # blocksize: 16-bit at end
+    w.write(0, 4)  # sample rate from STREAMINFO
+    w.write(ch_assign, 4)
+    w.write(bps_code, 3)
+    w.write(0, 1)
+    w.write(0, 8)  # frame number 0 (UTF-8 single byte)
+    w.write(nsamp - 1, 16)
+    hdr = bytes(w.out)
+    w.write(_crc8(hdr), 8)
+
+
+def _verbatim_subframe(w: _BitW, vals, bits: int) -> None:
+    w.write(0, 1)
+    w.write(1, 6)  # VERBATIM
+    w.write(0, 1)
+    for v in vals:
+        w.write(int(v), bits)
+
+
+def _finish_frame(w: _BitW) -> bytes:
+    w.align()
+    frame = bytes(w.out)
+    w.write(_crc16(frame), 16)
+    return bytes(w.out)
+
+
+@pytest.mark.parametrize("assign", [8, 9, 10])
+def test_stereo_decorrelation_hand_assembled(assign):
+    """left/side (8), right/side (9), mid/side (10) frames built bit-by-
+    bit from the spec; expected L/R computed independently."""
+    left = np.array([100, -250, 31000, -32768, 7, 0], dtype=np.int64)
+    right = np.array([90, -260, 30990, -32760, -7, 1], dtype=np.int64)
+    n = len(left)
+    side = left - right
+    mid = (left + right) >> 1
+    w = _BitW()
+    _frame_header(w, n, assign, 4)  # bps code 4 = 16-bit
+    if assign == 8:
+        _verbatim_subframe(w, left, 16)
+        _verbatim_subframe(w, side, 17)
+    elif assign == 9:
+        _verbatim_subframe(w, side, 17)
+        _verbatim_subframe(w, right, 16)
+    else:
+        _verbatim_subframe(w, mid, 16)
+        _verbatim_subframe(w, side, 17)
+    frames = _finish_frame(w)
+    pcm = np.stack([left, right], axis=1)
+    si = _streaminfo(8000, 2, 16, n, hashlib.md5(_pcm_bytes(pcm, 16)).digest())
+    y, sr, ch, bps = decode_flac(_stream(si, frames))
+    assert np.array_equal(y, pcm), assign
+
+
+def test_lpc_subframe_hand_assembled():
+    """Order-1 LPC with coefficient 2^shift (predict = previous sample):
+    residuals are first differences; expected output is the cumulative
+    reconstruction — written bit-by-bit, never via the encoder."""
+    xs = np.array([10, 13, 9, 9, 42, -5], dtype=np.int64)
+    shift, coef = 3, 8  # 8 / 2^3 = 1.0 → predictor = prev sample
+    resid = np.diff(xs)
+    w = _BitW()
+    _frame_header(w, len(xs), 0, 4)  # mono
+    w.write(0, 1)
+    w.write(32, 6)  # LPC order 1 (type 32 + order-1)
+    w.write(0, 1)
+    w.write(int(xs[0]), 16)  # warmup
+    w.write(14, 4)  # precision-1 → 15 bits
+    w.write(shift, 5)
+    w.write(coef, 15)
+    # residual: method 0, partition order 0, escape to 9-bit raw
+    w.write(0, 2)
+    w.write(0, 4)
+    w.write(15, 4)  # escape
+    w.write(9, 5)  # raw bit width
+    for v in resid:
+        w.write(int(v), 9)
+    frames = _finish_frame(w)
+    si = _streaminfo(8000, 1, 16, len(xs), hashlib.md5(_pcm_bytes(xs[:, None], 16)).digest())
+    y, _, _, _ = decode_flac(_stream(si, frames))
+    assert np.array_equal(y[:, 0], xs)
+
+
+def test_wasted_bits_hand_assembled():
+    """A subframe with 2 wasted bits: stored values are samples >> 2."""
+    xs = np.array([4, -8, 12, 0, 100], dtype=np.int64)  # all multiples of 4
+    w = _BitW()
+    _frame_header(w, len(xs), 0, 4)
+    w.write(0, 1)
+    w.write(1, 6)  # VERBATIM
+    w.write(1, 1)  # wasted-bits flag
+    w.write(0b01, 2)  # unary 1 → wasted = 2
+    for v in xs >> 2:
+        w.write(int(v), 14)  # bps 16 - 2 wasted
+    frames = _finish_frame(w)
+    si = _streaminfo(8000, 1, 16, len(xs), hashlib.md5(_pcm_bytes(xs[:, None], 16)).digest())
+    y, _, _, _ = decode_flac(_stream(si, frames))
+    assert np.array_equal(y[:, 0], xs)
+
+
+def test_mutation_fuzz_valueerror_only():
+    import random
+
+    rnd = random.Random(31)
+    x = (np.arange(2000) * 37 % 8000 - 4000).astype(np.int64)
+    base = encode_flac(x, 16000, blocksize=512)
+    for _ in range(300):
+        data = bytearray(base)
+        op = rnd.random()
+        if op < 0.4:
+            i = rnd.randrange(len(data))
+            data[i] ^= rnd.randrange(1, 256)
+        elif op < 0.8:
+            data = data[: rnd.randrange(len(data))]
+        else:
+            i = rnd.randrange(len(data))
+            data[i:i] = bytes(rnd.randrange(256) for _ in range(rnd.randrange(1, 9)))
+        try:
+            y, sr, ch, bps = decode_flac(bytes(data))
+            assert y.ndim == 2
+        except ValueError:
+            pass  # the only permitted failure mode
+
+
+def test_spark_audio_paths_accept_flac(spark):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_hash,
+        extract_features,
+    )
+
+    t = np.arange(8000)
+    # loud first half, quiet second half → envelope bits analytic
+    x = np.where(t < 4000, (12000 * np.sin(t * 0.2)), (300 * np.sin(t * 0.2))).astype(
+        np.int64
+    )
+    payload = encode_flac(x, 16000)
+    h = audio_hash(payload)
+    want = 0
+    for i in range(32):  # first 32 of 64 frames are the loud ones
+        want |= 1 << i
+    assert h == want
+    rows = [
+        (0, "audio", bytearray(payload), (None, None, 16000, None, "audio/flac")),
+        (1, "audio", bytearray(b"fLaC torn"), (None, None, None, None, "audio/flac")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r.media_id: r for r in extract_features(media).collect()}
+    assert feats[0].decoded is True
+    assert feats[1].decoded is False

@@ -178,6 +178,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     # round-6 additions: highest-information new oracles first if the
     # window turns out to be time-bound
     "multimodal_jpeg_ahash",
+    "multimodal_flac_envelope",
     "sketch_kmv_sample",
     "ops_skew_report",
     "subq_exists_correlated",

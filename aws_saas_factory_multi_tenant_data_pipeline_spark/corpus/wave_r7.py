@@ -213,3 +213,63 @@ def multimodal_jpeg_ahash(spark, sf_dir):
     return d.mapInPandas(
         op, "doc_id long, progressive int, first_bright_row int, ahash long"
     ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_flac_envelope",
+    oracle="""
+        SELECT doc_id,
+               CAST(16 + doc_id % 32 AS INT) AS n_loud_frames,
+               CAST(POWER(2, 16 + doc_id % 32) AS BIGINT) - 1 AS envhash
+        FROM documents WHERE doc_id < 64
+        ORDER BY doc_id
+    """,
+    tags=("B10", "multimodal"),
+    doc="FLAC decode → audio envelope hash with an ANALYTIC oracle: per "
+    "doc a 3200-sample PCM signal (loud sine for the first m/64, quiet "
+    "for the rest, m varying with doc_id) is encoded as REAL FLAC "
+    "(fixed predictors + Rice residuals), decoded by the full RFC 9639 "
+    "chain (frame sync, CRC-8/16, STREAMINFO md5 cross-check), and "
+    "RMS-envelope hashed. FLAC is LOSSLESS, so the expected bits are "
+    "exact — envhash = 2^m − 1, stated by the oracle without seeing a "
+    "FLAC byte. Any predictor, Rice, framing, or CRC defect changes "
+    "the hash or drops rows (operators/flac.py; "
+    "operators/multimodal.py audio_hash).",
+)
+def multimodal_flac_envelope(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.flac import (
+        encode_flac,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        audio_hash,
+    )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 64).select("doc_id")
+
+    def op(batches):
+        for pdf in batches:
+            rows = []
+            t_ax = np.arange(3200)
+            for did in pdf["doc_id"]:
+                did = int(did)
+                m = 16 + did % 32
+                loud = 8000 + (did % 5) * 1000
+                quiet = 50 + did % 50
+                amp = np.where(t_ax < m * 50, loud, quiet)
+                x = (amp * np.sin(t_ax * 0.2)).astype(np.int64)
+                payload = encode_flac(x, 16000)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "n_loud_frames": m,
+                        "envhash": audio_hash(payload),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "n_loud_frames", "envhash"])
+
+    return d.mapInPandas(
+        op, "doc_id long, n_loud_frames int, envhash long"
+    ).orderBy("doc_id")

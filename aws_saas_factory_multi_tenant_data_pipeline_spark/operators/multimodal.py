@@ -14,10 +14,13 @@ progressive (SOF2) modes from ITU-T T.81 (Huffman,
 successive approximation), and FLAC audio is a real decode
 (``operators/flac.py``: fixed + LPC predictors, Rice residuals,
 stereo decorrelation, STREAMINFO md5 cross-check — the format speech
-corpora like LibriSpeech actually ship). A deterministic
-digest-derived stub covers only the remaining formats (MP3/MP4; codec
-libraries are not in this container); the ``decoded`` output column
-says which path a row took.
+corpora like LibriSpeech actually ship). The MP4 CONTAINER layer is
+real too (``operators/mp4.py``: ISO-BMFF box walk, track metadata,
+sample tables, byte-exact frame extraction —
+:func:`sample_video_frames`); only the access-unit pixel/audio decode
+inside it (H.264, MP3) stays stubbed via the deterministic
+digest-derived fallback (codec libraries are not in this container);
+the ``decoded`` output column says which path a row took.
 """
 
 from __future__ import annotations
@@ -841,3 +844,84 @@ def with_audio_hash(
         ]
     )
     return media.mapInPandas(op, schema)
+
+
+VIDEO_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("is_keyframe", T.BooleanType(), True),
+        T.StructField("codec", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("frame_bytes", T.BinaryType(), True),
+        T.StructField("parse_error", T.StringType(), True),
+    ]
+)
+
+
+def sample_video_frames(
+    media: DataFrame, every_n: int = 10, keyframes_only: bool = False
+) -> DataFrame:
+    """REAL frame sampling for MP4 payloads: the ISO-BMFF container
+    parser (`operators/mp4.py`) reads the sample tables and extracts the
+    raw access-unit bytes of every ``every_n``-th sample (or sync
+    samples only) — byte-exact, no codec involved; decoding the
+    extracted units is the one step that stays stubbed (H.264 exceeds
+    stdlib reach). Non-MP4 / torn payloads become parse_error rows, the
+    A5 quarantine convention. Partition-preserving Arrow pass."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.mp4 import (
+        extract_samples,
+        probe_mp4,
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in VIDEO_SAMPLE_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                mid = int(mid)
+                try:
+                    data = bytes(payload)
+                    info = probe_mp4(data)
+                    vids = [
+                        t for t in info["tracks"] if t.get("handler") == "vide"
+                    ] or info["tracks"]
+                    tr = vids[0]
+                    kf = set(tr["keyframes"])
+                    if keyframes_only:
+                        idxs = sorted(k - 1 for k in kf)
+                    else:
+                        idxs = list(range(0, tr["n_samples"], every_n))
+                    frames = extract_samples(data, tr, idxs)
+                    for i, fb in zip(idxs, frames):
+                        rows.append(
+                            {
+                                "media_id": mid,
+                                "frame_idx": i,
+                                "is_keyframe": (i + 1) in kf,
+                                "codec": tr.get("codec"),
+                                "width": tr.get("width"),
+                                "height": tr.get("height"),
+                                "frame_bytes": fb,
+                                "parse_error": None,
+                            }
+                        )
+                except Exception as exc:
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": -1,
+                            "is_keyframe": None,
+                            "codec": None,
+                            "width": None,
+                            "height": None,
+                            "frame_bytes": None,
+                            "parse_error": str(exc),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.where(F.col("kind") == "video").select(
+        "media_id", "payload"
+    ).mapInPandas(op, VIDEO_SAMPLE_SCHEMA)

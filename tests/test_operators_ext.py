@@ -1030,3 +1030,75 @@ def test_pq_adc_recall_vs_bruteforce(spark, sf_smoke):
         approx, on=["query_id", "vec_id"], suffixes=("_ex", "_pq")
     )
     assert (abs(merged.cosine - merged.score) < 1e-9).all()
+
+
+def test_media_ingest_real_codecs_end_to_end(spark, tmp_path):
+    """Round-6 integration: a directory of REAL encoded media — PNG,
+    baseline JPEG, progressive JPEG, FLAC, WAV, MP4 — goes binaryFile →
+    MEDIA_SCHEMA → feature extraction with decoded=True for every image
+    and audio row (no digest stub anywhere), and the MP4 row yields
+    byte-exact sampled frames."""
+    import os
+
+    import numpy as np
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.flac import (
+        encode_flac,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.jpeg import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.mp4 import (
+        build_minimal_mp4,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        encode_png,
+        extract_features,
+        ingest_media_dir,
+        sample_video_frames,
+    )
+
+    src = str(tmp_path / "media")
+    os.makedirs(src)
+    px = np.linspace(0, 255, 16 * 16 * 3).reshape(16, 16, 3).astype(np.uint8)
+    pcm = (8000 * np.sin(np.arange(4000) * 0.1)).astype(np.int64)
+    mp4_samples = [bytes([i]) * 20 for i in range(6)]
+    files = {
+        "img.png": encode_png(px),
+        "img_base.jpg": encode_jpeg(px, quality=95),
+        "img_prog.jpeg": encode_jpeg_progressive(px, quality=95),
+        "speech.flac": encode_flac(pcm, 16000),
+        "clip.mp4": build_minimal_mp4(mp4_samples, width=64, height=48),
+    }
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(pcm.astype("<i2").tobytes())
+    files["speech.wav"] = buf.getvalue()
+    for name, data in files.items():
+        with open(os.path.join(src, name), "wb") as f:
+            f.write(data)
+
+    media = ingest_media_dir(spark, src, glob="*.{png,jpg,jpeg,flac,wav,mp4}")
+    assert media.count() == 6
+    feats = extract_features(media).collect()
+    by_kind = {}
+    for r in feats:
+        by_kind.setdefault(r.kind, []).append(r)
+    # every image and audio row took the REAL decode path
+    assert len(by_kind["image"]) == 3 and all(r.decoded for r in by_kind["image"])
+    assert len(by_kind["audio"]) == 2 and all(r.decoded for r in by_kind["audio"])
+    # the two JPEG variants and the PNG of the same pixels agree closely
+    img_feats = {tuple(r.feature[:2]) for r in by_kind["image"]}
+    assert len(img_feats) == 1  # identical (w, h) features
+    # video: container-real frame sampling
+    frames = sample_video_frames(media, every_n=2).collect()
+    assert [bytes(r.frame_bytes) for r in sorted(frames, key=lambda r: r.frame_idx)] == [
+        mp4_samples[i] for i in (0, 2, 4)
+    ]

@@ -1,0 +1,103 @@
+"""End-to-end multimodal corpus prep on synthetic data.
+
+Demonstrates the round-6 media surface — every codec is the REAL
+stdlib implementation (operators/jpeg.py, flac.py, mp4.py, png in
+multimodal.py), no image/audio libraries involved:
+
+    media directory → binaryFile ingest → feature extraction
+    (decoded=True across PNG / baseline+progressive JPEG / FLAC / WAV)
+    → perceptual aHash image dedup (banded, never all-pairs)
+    → audio envelope-hash near-dup
+    → MP4 container parse + keyframe sampling (byte-exact units)
+
+Run:  python examples/media_prep.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from aws_saas_factory_multi_tenant_data_pipeline_spark import get_spark
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.flac import encode_flac
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.jpeg import (
+    encode_jpeg,
+    encode_jpeg_progressive,
+)
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.mp4 import (
+    build_minimal_mp4,
+)
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+    ahash_near_duplicates,
+    encode_png,
+    extract_features,
+    ingest_media_dir,
+    sample_video_frames,
+    with_audio_hash,
+    with_average_hash,
+)
+
+
+def synthesize(src: str) -> None:
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 256, (64, 64, 3)).astype(np.uint8)
+    near = base.copy()
+    near[0, 0] ^= 3  # near-duplicate: one pixel nudged
+    far = rng.randint(0, 256, (64, 64, 3)).astype(np.uint8)
+    with open(os.path.join(src, "a_base.png"), "wb") as f:
+        f.write(encode_png(base))
+    with open(os.path.join(src, "a_near.jpg"), "wb") as f:
+        f.write(encode_jpeg(near, quality=100))  # cross-FORMAT near-dup
+    with open(os.path.join(src, "b_prog.jpeg"), "wb") as f:
+        f.write(encode_jpeg_progressive(far, quality=95))
+    t = np.arange(16000)
+    tone = (9000 * np.sin(t * 0.05) * (t < 8000)).astype(np.int64)
+    with open(os.path.join(src, "speech.flac"), "wb") as f:
+        f.write(encode_flac(tone, 16000))
+    with open(os.path.join(src, "speech_louder.flac"), "wb") as f:
+        f.write(encode_flac((tone * 1.5).astype(np.int64), 16000))  # volume edit
+    frames = [bytes([i]) * 64 for i in range(12)]
+    with open(os.path.join(src, "clip.mp4"), "wb") as f:
+        f.write(build_minimal_mp4(frames, width=64, height=48, keyframes=[1, 7]))
+
+
+def main() -> None:
+    spark = get_spark("media-prep", cpus=4, shuffle_partitions=4)
+    src = tempfile.mkdtemp(prefix="media_prep_")
+    synthesize(src)
+
+    media = ingest_media_dir(spark, src, glob="*.{png,jpg,jpeg,flac,mp4}")
+    print(f"ingested {media.count()} media files")
+
+    feats = extract_features(media)
+    decoded = feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.col("decoded").cast("int")).alias("real")
+    )
+    print("real-decode coverage (decoded=True means no stub):")
+    decoded.show()
+
+    images = media.where(F.col("kind") == "image")
+    pairs = ahash_near_duplicates(with_average_hash(images), max_hamming=3)
+    print("image near-duplicates across formats (PNG vs JPEG of ~same pixels):")
+    pairs.show()
+
+    audio = media.where(F.col("kind") == "audio")
+    apairs = ahash_near_duplicates(with_audio_hash(audio), max_hamming=3)
+    print("audio near-duplicates (volume-edited FLAC pair):")
+    apairs.show()
+
+    kf = sample_video_frames(media, keyframes_only=True)
+    print("MP4 keyframe samples (byte-exact container extraction):")
+    kf.select("media_id", "frame_idx", "is_keyframe", "codec", "width", "height").show()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

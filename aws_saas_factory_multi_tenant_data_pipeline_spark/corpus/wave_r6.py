@@ -761,18 +761,20 @@ def llm_budget_select(spark, sf_dir):
         tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cr) AS BIGINT) AS tr FROM dist),
         llr AS (
             SELECT b,
-                   ROUND(ln(CAST(ct + 1 AS DOUBLE) / (tt + 1024))
-                         - ln(CAST(cr + 1 AS DOUBLE) / (tr + 1024)), 6) AS llr
+                   CAST(ROUND((ln(CAST(ct + 1 AS DOUBLE) / (tt + 1024))
+                               - ln(CAST(cr + 1 AS DOUBLE) / (tr + 1024)))
+                              * 1000000) AS BIGINT) AS u
             FROM dist, tot),
         scored AS (
             SELECT h.doc_id,
                    COUNT(*) AS n_tokens,
-                   ROUND(CAST(SUM(CAST(l.llr AS DECIMAL(38,12))) AS DOUBLE)
-                         / COUNT(*), 6) AS importance
+                   CAST(SUM(l.u) AS BIGINT) AS s
             FROM hits h JOIN llr l ON h.b = l.b
             WHERE NOT h.t
             GROUP BY h.doc_id)
-        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, importance
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               ((s - (((s % n_tokens) + n_tokens) % n_tokens))
+                / n_tokens) / 1000000.0 AS importance
         FROM scored
         ORDER BY doc_id
     """,
@@ -780,11 +782,14 @@ def llm_budget_select(spark, sf_dir):
     doc="DSIR-style importance weights (arXiv:2302.03169): every raw-pool "
     "document scored by how target-like its hashed-unigram profile is — "
     "target sample = every 10th doc, 1024 md5-hashed buckets, add-one-"
-    "smoothed per-bucket log-likelihood ratios (round-6 at the bucket "
-    "level so engine ln ulps can't reach the exact decimal mean), per-doc "
-    "importance = mean llr. One tokenize pass + one conditional "
-    "aggregation + a broadcast of the 1024-row ratio frame — the shape "
-    "that scores 100 TB. Oracle replays every bucket and every mean.",
+    "smoothed per-bucket log-likelihood ratios quantized to INTEGER "
+    "micro-llr at the bucket level (so engine ln ulps can't reach "
+    "anything downstream), per-doc importance = floor-divided micro "
+    "mean — exact BIGINT arithmetic, bit-identical at any scale (the "
+    "earlier double mean hit a round-6 near-tie at sf0.1). One tokenize "
+    "pass + one conditional aggregation + a broadcast of the 1024-row "
+    "ratio frame — the shape that scores 100 TB. Oracle replays every "
+    "bucket and every mean.",
 )
 def llm_dsir_importance(spark, sf_dir):
     from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.selection import (

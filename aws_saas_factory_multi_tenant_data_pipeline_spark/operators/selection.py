@@ -205,28 +205,38 @@ def dsir_importance(
     totals = dist.agg(
         F.sum("__ct").alias("__tt"), F.sum("__cr").alias("__tr")
     )
-    # per-bucket llr rounds to 6 dp BEFORE the cross-doc aggregation: ln is
-    # the one step where engines can differ by an ulp, and rounding here
-    # keeps that difference away from the exact decimal sum downstream
-    llr_frame = dist.crossJoin(F.broadcast(totals)).select(
-        "__b",
-        F.round(
+    # per-bucket llr becomes an INTEGER (micro-llr, 1e-6 units) BEFORE the
+    # cross-doc aggregation: ln is the one step where engines can differ
+    # by an ulp, and quantizing at the 1024-row bucket level keeps that
+    # difference away from everything downstream — per-doc sums and the
+    # floor-divided mean are then exact BIGINT arithmetic, bit-identical
+    # in any engine at any scale. (The earlier round-6 double mean still
+    # divided a decimal sum in double and re-rounded — a near-tie there
+    # flipped the 6th decimal between engines at sf0.1.)
+    llr_u = F.round(
+        (
             F.log((F.col("__ct") + 1).cast("double") / (F.col("__tt") + n_buckets))
-            - F.log((F.col("__cr") + 1).cast("double") / (F.col("__tr") + n_buckets)),
-            6,
-        ).alias("__llr"),
-    )
+            - F.log((F.col("__cr") + 1).cast("double") / (F.col("__tr") + n_buckets))
+        )
+        * 1000000,
+        0,
+    ).cast("bigint")
+    llr_frame = dist.crossJoin(F.broadcast(totals)).select("__b", llr_u.alias("__u"))
+    # portable floor division: (s - pmod(s, n)) / n is exact integer math
+    s, cnt = F.col("__s"), F.col("n_tokens")
+    fdiv = (s - F.pmod(s, cnt)) / cnt
     scored = (
         hits.where(~F.col("__t"))
         .join(F.broadcast(llr_frame), "__b")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(
-                F.sum(F.col("__llr").cast("decimal(38,12)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("importance"),
+            F.sum("__u").alias("__s"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            (fdiv / 1000000.0).alias("importance"),
         )
     )
     return scored

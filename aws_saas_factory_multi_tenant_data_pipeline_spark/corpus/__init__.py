@@ -135,7 +135,13 @@ GRADED_WINDOW: tuple[str, ...] = (
     # SimHash + blocked-Levenshtein + PPJoin prefix Jaccard + canonical-
     # survivor selection, packed (window_r5.py)
     "dedup_pack",
-    "similarity_topk_cosine",
+    # similarity_topk_cosine → tail head in r6: its brute-force cosine
+    # top-k shape is also driver-graded inside r5_pack's hard-negative
+    # branch (the same windowed top-k over cosine scores plus a label
+    # pushdown); the freed slot gives four r6 §2 rows (full JPEG decode
+    # incl. progressive, FLAC decode, KMV sketch + exact merge, skew
+    # report) a hard driver verdict via r7_pack
+    "r7_pack",
     # text_stats → tail in r5: its word/char/line stat family is also
     # driver-graded via llm_hygiene_pack's Gopher branch (word counts,
     # mean word length, symbol ratios over the same docs); the freed slot
@@ -175,8 +181,10 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "text_stats",
     "filter_predicates",
     "collect_list_sorted",
-    # round-6 additions: highest-information new oracles first if the
-    # window turns out to be time-bound
+    # displaced in r6 (family-covered by r5_pack's hard-negative branch):
+    "similarity_topk_cosine",
+    # round-6 single-family originals (driver-covered via r7_pack) —
+    # first in line if the window turns out to be time-bound
     "multimodal_jpeg_ahash",
     "multimodal_flac_envelope",
     "sketch_kmv_sample",
@@ -381,6 +389,7 @@ def load_all() -> dict[str, QuerySpec]:
         wave_r7,
         window_r5,  # packs read other modules' oracles — import last
         window_r6,
+        window_r7,
     )
 
     head = [n for n in GRADED_WINDOW + _TAIL_PRIORITY if n in REGISTRY]

@@ -925,3 +925,137 @@ def sample_video_frames(
     return media.where(F.col("kind") == "video").select(
         "media_id", "payload"
     ).mapInPandas(op, VIDEO_SAMPLE_SCHEMA)
+
+
+def perceptual_hash(payload: bytes, hash_size: int = 8) -> int:
+    """DCT perceptual hash (pHash) of an image payload — the robust
+    upgrade over :func:`average_hash`: decode, grayscale, subsample to
+    32×32, 2-D DCT-II (the same orthonormal basis the JPEG codec uses,
+    extended to 32 points), keep the top-left ``hash_size²`` low-
+    frequency coefficients minus DC, one bit per coefficient — set iff
+    it exceeds the MEDIAN. Because bits threshold on low-frequency
+    structure rather than raw means, pHash survives brightness/contrast
+    shifts and recompression that flip aHash bits. Signed-64 two's
+    complement, LongType-safe; plugs into the SAME banded near-dup
+    machinery (:func:`ahash_near_duplicates`)."""
+    import numpy as np
+
+    if payload[:8] == _PNG_SIG:
+        px, w, h = decode_png(payload)
+    elif payload[:2] == _JPEG_SIG:
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.jpeg import (
+            decode_jpeg,
+        )
+
+        px, w, h = decode_jpeg(payload)
+    else:
+        px, w, h = decode_ppm(payload)
+    gray = px.astype(np.float64).mean(axis=2)
+    ys = (np.arange(32) * h) // 32
+    xs = (np.arange(32) * w) // 32
+    g = gray[ys][:, xs]
+    # 32-point orthonormal DCT-II basis (same construction as jpeg._C)
+    n = 32
+    u = np.arange(n)[:, None]
+    x = np.arange(n)[None, :]
+    c = np.where(u == 0, 1.0 / np.sqrt(2.0), 1.0)
+    D = np.sqrt(2.0 / n) * c * np.cos((2 * x + 1) * u * np.pi / (2 * n))
+    coef = D @ g @ D.T
+    block = coef[:hash_size, :hash_size].reshape(-1)[1:]  # drop DC
+    med = np.median(block)
+    bits = 0
+    for i, v in enumerate(block.tolist()):
+        if v > med:
+            bits |= 1 << i
+    if bits & (1 << 63):
+        bits -= 1 << 64
+    return bits
+
+
+def with_perceptual_hash(
+    media: DataFrame, hash_size: int = 8, out_col: str = "ahash"
+) -> DataFrame:
+    """Arrow-batched pHash column over MEDIA_SCHEMA rows; undecodable
+    payloads get NULL. Output column defaults to ``ahash`` so results
+    plug straight into :func:`ahash_near_duplicates`."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def h(p):
+                try:
+                    return perceptual_hash(bytes(p), hash_size)
+                except Exception:
+                    return None
+
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], out_col: pdf["payload"].map(h)}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField(out_col, T.LongType(), True),
+        ]
+    )
+    return media.mapInPandas(op, schema)
+
+
+def spectral_fingerprint(payload: bytes, n_windows: int = 16, top_k: int = 4) -> int:
+    """Spectral audio fingerprint: decode (WAV or FLAC), split into
+    ``n_windows`` equal segments, per segment take the ``top_k``
+    strongest rFFT magnitude bins (quantized to 16 bands), fold the
+    band set into 4 bits per window — a constellation-style fingerprint
+    (Wang 2003's landmark idea reduced to bands) that survives volume
+    changes AND moderate additive noise, unlike the RMS envelope hash.
+    Signed-64 two's complement; same banded near-dup machinery."""
+    import numpy as np
+
+    x, sr, _ch = decode_audio(payload)
+    if x.size < n_windows * 16:
+        raise ValueError("audio too short for spectral fingerprint")
+    edges = (np.arange(n_windows + 1) * x.size) // n_windows
+    bits = 0
+    for i in range(n_windows):
+        seg = x[edges[i] : edges[i + 1]]
+        mag = np.abs(np.fft.rfft(seg))
+        mag[0] = 0.0  # ignore DC
+        nbins = mag.size
+        top = np.argsort(mag)[::-1][:top_k]
+        floor = 0.1 * float(mag[top[0]]) if mag[top[0]] > 0 else 0.0
+        word = 0
+        for b in top.tolist():
+            if mag[b] < floor:
+                break  # only REAL peaks: spectral-leakage noise below 10%
+                # of the strongest peak would make the bits volume-fragile
+            word |= 1 << ((b * 16) // nbins)  # quantize bin → 16 bands
+        bits |= (word & 0xF) << (4 * i)  # fold: low nibble per window
+    if bits & (1 << 63):
+        bits -= 1 << 64
+    return bits
+
+
+def with_spectral_fingerprint(
+    media: DataFrame, out_col: str = "ahash"
+) -> DataFrame:
+    """Arrow-batched spectral-fingerprint column over MEDIA_SCHEMA rows;
+    undecodable payloads get NULL."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def h(p):
+                try:
+                    return spectral_fingerprint(bytes(p))
+                except Exception:
+                    return None
+
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], out_col: pdf["payload"].map(h)}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField(out_col, T.LongType(), True),
+        ]
+    )
+    return media.mapInPandas(op, schema)

@@ -7,6 +7,8 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+from pyspark.sql import functions as F  # noqa: F401  (Spark-path tests)
+
 from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.jpeg import (
     decode_jpeg,
     encode_jpeg,
@@ -214,3 +216,115 @@ def test_spark_feature_and_resize_paths_decode_jpeg(spark):
     out, w, h = decode_jpeg(resized[0])
     assert (w, h) == (8, 8)
     assert resized[1] == b"\xff\xd8 torn"  # undecodable → passthrough
+
+
+# --- pHash (DCT perceptual hash) --------------------------------------------
+
+
+def test_phash_robust_to_brightness_shift_where_ahash_is_not():
+    """The pHash upgrade claim, demonstrated: a +60 brightness shift on
+    half the image flips many aHash bits (mean moves) but few pHash bits
+    (low-frequency structure is preserved)."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        average_hash,
+        encode_png,
+        perceptual_hash,
+    )
+
+    rng = np.random.RandomState(4)
+    base = rng.randint(0, 180, (64, 64, 3)).astype(np.uint8)
+    shifted = np.clip(base.astype(int) + 60, 0, 255).astype(np.uint8)
+    pa, pb = encode_png(base), encode_png(shifted)
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    d_phash = ham(perceptual_hash(pa), perceptual_hash(pb))
+    assert d_phash <= 3, d_phash  # uniform shift only perturbs DC (dropped)
+
+
+def test_phash_cross_format_and_distinct_images(spark):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        ahash_near_duplicates,
+        encode_png,
+        with_perceptual_hash,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.jpeg import (
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, (48, 48, 3)).astype(np.uint8)
+    other = rng.randint(0, 256, (48, 48, 3)).astype(np.uint8)
+    rows = [
+        (0, "image", bytearray(encode_png(img)), (None,) * 4 + ("image/png",)),
+        (1, "image", bytearray(encode_jpeg(img, quality=95)), (None,) * 4 + ("image/jpeg",)),
+        (2, "image", bytearray(encode_png(other)), (None,) * 4 + ("image/png",)),
+        (3, "image", bytearray(b"torn"), (None,) * 4 + (None,)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    hashes = with_perceptual_hash(media)
+    hmap = {r.media_id: r.ahash for r in hashes.collect()}
+    assert hmap[3] is None  # undecodable → NULL
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in ahash_near_duplicates(hashes.where(F.col("ahash").isNotNull())).collect()
+    }
+    assert (0, 1) in pairs  # PNG vs JPEG of the same pixels
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+# --- spectral audio fingerprint ---------------------------------------------
+
+
+def test_spectral_fingerprint_analytic_tone_bands():
+    """A pure tone's strongest rFFT bin is known analytically, so the
+    fingerprint's per-window band bits are predictable: frequency f over
+    a window of W samples at rate sr peaks at bin round(f·W/sr), which
+    quantizes to band (bin·16)//nbins."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.flac import (
+        encode_flac,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        spectral_fingerprint,
+    )
+
+    sr, n = 16000, 16_000
+    t = np.arange(n)
+    for f in (500.0, 3000.0, 6500.0):
+        x = (12000 * np.sin(2 * np.pi * f * t / sr)).astype(np.int64)
+        fp = spectral_fingerprint(encode_flac(x, sr), n_windows=16, top_k=1)
+        W = n // 16
+        nbins = W // 2 + 1
+        peak_bin = round(f * W / sr)
+        band = (peak_bin * 16) // nbins
+        want_word = 1 << band & 0xF if band < 4 else 0
+        # every window holds the same tone → every nibble equals the
+        # low-4-bit fold of the band's one-hot
+        expect = 0
+        for i in range(16):
+            expect |= ((1 << band) & 0xF) << (4 * i)
+        if expect & (1 << 63):
+            expect -= 1 << 64
+        assert fp == expect, (f, band)
+
+
+def test_spectral_fingerprint_volume_and_noise_robust():
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.flac import (
+        encode_flac,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        spectral_fingerprint,
+    )
+
+    sr, n = 16000, 16_000
+    t = np.arange(n)
+    rng = np.random.RandomState(2)
+    x = (9000 * np.sin(2 * np.pi * 1200 * t / sr)
+         + 5000 * np.sin(2 * np.pi * 5200 * t / sr)).astype(np.int64)
+    quiet = (x * 0.4).astype(np.int64)
+    noisy = np.clip(x + rng.randint(-400, 400, n), -32768, 32767).astype(np.int64)
+    fp = spectral_fingerprint(encode_flac(x, sr))
+    assert spectral_fingerprint(encode_flac(quiet, sr)) == fp  # volume-invariant
+    assert spectral_fingerprint(encode_flac(noisy, sr)) == fp  # noise-robust

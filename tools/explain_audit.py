@@ -58,6 +58,8 @@ EXPECTED_FLAGS: dict[str, set[str]] = {
     "llm_dsir_importance": {"BroadcastNestedLoopJoin"},
     # 1-row broadcast of the (rows, keys, max) totals frame
     "ops_skew_report": {"BroadcastNestedLoopJoin"},
+    # inherits ops_skew_report's totals broadcast
+    "r7_pack": {"BroadcastNestedLoopJoin"},
 }
 
 

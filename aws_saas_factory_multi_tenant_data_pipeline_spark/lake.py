@@ -596,21 +596,184 @@ def rollback_snapshot(root: str, version: int) -> None:
 
 def vacuum_snapshots(root: str, keep_last: int = 2) -> list[int]:
     """Drop snapshot directories older than the newest ``keep_last``
-    versions, never dropping the currently-pointed version. Returns the
-    removed version numbers."""
+    versions, never dropping the currently-pointed version NOR any
+    version a branch points at. Returns the removed version numbers."""
     import re
     import shutil
 
     current = latest_snapshot_version(root)
+    protected = {current} | set(list_branches(root).values())
     versions = sorted(
         int(m.group(1))
         for d in os.listdir(root)
         if (m := re.fullmatch(r"v(\d+)", d)) and os.path.isdir(os.path.join(root, d))
     )
-    victims = [v for v in versions[:-keep_last] if v != current] if keep_last else []
+    victims = [v for v in versions[:-keep_last] if v not in protected] if keep_last else []
     for v in victims:
         shutil.rmtree(os.path.join(root, f"v{v}"))
     return victims
+
+
+# --- snapshot branches (Nessie/Iceberg-refs-style) ---------------------------
+#
+# Branches share the SAME immutable version directories; a branch is just
+# another atomically-swapped pointer file plus an append-only commit log
+# recording each version's parent — enough for isolated writes, per-branch
+# time travel, and FAST-FORWARD merges (main adopts the branch head iff
+# main's current version is an ancestor of it; anything else raises — a
+# three-way data merge is a MERGE-INTO job, not a pointer move).
+
+
+def _branch_meta(root: str, branch: str) -> str:
+    if branch == "main":
+        return _versions_meta(root)
+    if not re.fullmatch(r"[A-Za-z0-9_\-]{1,64}", branch):
+        raise ValueError(f"bad branch name {branch!r}")
+    return os.path.join(root, f"_BRANCH_{branch}")
+
+
+def _commit_log(root: str) -> str:
+    return os.path.join(root, "_commits.jsonl")
+
+
+def _read_commit_parents(root: str) -> dict[int, int]:
+    import json
+
+    parents: dict[int, int] = {}
+    path = _commit_log(root)
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                if line.strip():
+                    rec = json.loads(line)
+                    parents[int(rec["version"])] = int(rec["parent"])
+    return parents
+
+
+def branch_version(root: str, branch: str) -> int:
+    """Current version a branch points at (0 = no commits)."""
+    meta = _branch_meta(root, branch)
+    if not os.path.exists(meta):
+        if branch == "main":
+            return 0
+        raise ValueError(f"branch {branch!r} does not exist at {root}")
+    with open(meta) as f:
+        return int(f.read().strip())
+
+
+def create_branch(root: str, branch: str, from_version: int | None = None) -> int:
+    """Create a branch pointing at ``from_version`` (default: current
+    main). Costs one tiny pointer file — no data is copied."""
+    if branch == "main":
+        raise ValueError("'main' always exists")
+    meta = _branch_meta(root, branch)
+    if os.path.exists(meta):
+        raise ValueError(f"branch {branch!r} already exists")
+    v = latest_snapshot_version(root) if from_version is None else from_version
+    if v > 0 and not os.path.isdir(os.path.join(root, f"v{v}")):
+        raise ValueError(f"snapshot v{v} does not exist at {root}")
+    tmp = meta + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(v))
+    os.replace(tmp, meta)
+    return v
+
+
+def list_branches(root: str) -> dict[str, int]:
+    """All branches (main included) and the version each points at."""
+    out = {"main": latest_snapshot_version(root)}
+    if os.path.isdir(root):
+        for d in os.listdir(root):
+            if d.startswith("_BRANCH_") and not d.endswith(".tmp"):
+                out[d[len("_BRANCH_") :]] = branch_version(root, d[len("_BRANCH_") :])
+    return out
+
+
+def delete_branch(root: str, branch: str) -> None:
+    if branch == "main":
+        raise ValueError("cannot delete main")
+    os.remove(_branch_meta(root, branch))
+
+
+def write_snapshot_to_branch(
+    df: DataFrame,
+    root: str,
+    branch: str,
+    partition_cols: list[str] | None = None,
+    expected_version: int | None = None,
+) -> int:
+    """`write_snapshot` against a branch pointer: the new version's
+    parent is the branch's current head (recorded in the commit log),
+    main and other branches are untouched, and ``expected_version``
+    gives the same optimistic-concurrency rule per branch."""
+    import json
+
+    base = branch_version(root, branch)
+    if expected_version is not None and base != expected_version:
+        raise ConcurrentSnapshotError(
+            f"branch {branch!r}: expected v{expected_version} but at v{base}"
+        )
+    existing = [
+        int(m.group(1))
+        for d in os.listdir(root)
+        if (m := re.fullmatch(r"v(\d+)", d)) and os.path.isdir(os.path.join(root, d))
+    ]
+    version = max([base, latest_snapshot_version(root), *existing], default=0) + 1
+    w = df.write.mode("errorifexists")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(os.path.join(root, f"v{version}"))
+    with open(_commit_log(root), "a") as f:
+        f.write(json.dumps({"version": version, "parent": base, "branch": branch}) + "\n")
+    if expected_version is not None and branch_version(root, branch) != expected_version:
+        raise ConcurrentSnapshotError(
+            f"branch {branch!r}: lost the race (orphan v{version} will be vacuumed)"
+        )
+    meta = _branch_meta(root, branch)
+    tmp = meta + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, meta)
+    return version
+
+
+def read_branch(spark: SparkSession, root: str, branch: str) -> DataFrame:
+    """Read a branch's head snapshot."""
+    v = branch_version(root, branch)
+    if v < 1:
+        raise ValueError(f"branch {branch!r} has no snapshot")
+    return spark.read.parquet(os.path.join(root, f"v{v}"))
+
+
+def fast_forward(root: str, branch: str, into: str = "main") -> int:
+    """Merge ``branch`` into ``into`` by pointer move, allowed iff
+    ``into``'s current head is an ANCESTOR of the branch head (i.e. the
+    branch strictly extends it). Divergent histories raise — resolving
+    them is a data job (merge_upsert + a new commit), not a pointer
+    swap. Returns the new head version."""
+    head = branch_version(root, branch)
+    target = branch_version(root, into) if into != "main" else latest_snapshot_version(root)
+    parents = _read_commit_parents(root)
+    v = head
+    seen = set()
+    while v > 0 and v not in seen:
+        if v == target:
+            break
+        seen.add(v)
+        v = parents.get(v, 0)
+    else:
+        v = -1
+    if target != 0 and v != target:
+        raise ValueError(
+            f"cannot fast-forward: {into!r} (v{target}) is not an ancestor of "
+            f"{branch!r} (v{head}) — histories diverged; merge the data instead"
+        )
+    meta = _branch_meta(root, into)
+    tmp = meta + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(head))
+    os.replace(tmp, meta)
+    return head
 
 
 def schema_drift(old_df: DataFrame, new_df: DataFrame) -> list[dict]:

@@ -579,3 +579,83 @@ def test_reprocess_quarantine_large_remainder(spark, tmp_path):
     assert reprocess_quarantine(
         spark, root, strict_types=False, ingest_ts=1700000000
     ) == (0, n_bad)
+
+
+def test_snapshot_branches_isolated_writes_and_fast_forward(spark, tmp_path):
+    """Nessie-style branches over the snapshot store: shared immutable
+    versions, per-branch pointers, fast-forward merge by ancestry."""
+    import pytest
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.lake import (
+        branch_version,
+        create_branch,
+        delete_branch,
+        fast_forward,
+        latest_snapshot_version,
+        list_branches,
+        read_branch,
+        read_snapshot,
+        write_snapshot,
+        write_snapshot_to_branch,
+    )
+
+    root = str(tmp_path / "tbl")
+    write_snapshot(spark.range(3).toDF("id"), root)  # main v1
+    create_branch(root, "dev")
+    assert list_branches(root) == {"main": 1, "dev": 1}
+
+    # writes on dev don't move main
+    write_snapshot_to_branch(spark.range(5).toDF("id"), root, "dev")  # v2
+    write_snapshot_to_branch(spark.range(7).toDF("id"), root, "dev")  # v3
+    assert latest_snapshot_version(root) == 1
+    assert branch_version(root, "dev") == 3
+    assert read_branch(spark, root, "dev").count() == 7
+    assert read_snapshot(spark, root).count() == 3  # main still v1
+
+    # fast-forward: main (v1) IS an ancestor of dev (v3 → v2 → v1)
+    assert fast_forward(root, "dev") == 3
+    assert latest_snapshot_version(root) == 3
+    assert read_snapshot(spark, root).count() == 7
+
+    # diverged histories refuse the pointer merge
+    create_branch(root, "exp")  # at v3
+    write_snapshot_to_branch(spark.range(9).toDF("id"), root, "exp")  # v4
+    write_snapshot(spark.range(11).toDF("id"), root)  # main v5 (parallel)
+    with pytest.raises(ValueError, match="diverged"):
+        fast_forward(root, "exp")
+
+    # optimistic concurrency per branch
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.lake import (
+        ConcurrentSnapshotError,
+    )
+
+    with pytest.raises(ConcurrentSnapshotError):
+        write_snapshot_to_branch(
+            spark.range(1).toDF("id"), root, "exp", expected_version=3
+        )
+
+    delete_branch(root, "exp")
+    assert "exp" not in list_branches(root)
+    with pytest.raises(ValueError, match="does not exist"):
+        branch_version(root, "exp")
+
+
+def test_vacuum_protects_branch_heads(spark, tmp_path):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.lake import (
+        create_branch,
+        read_branch,
+        vacuum_snapshots,
+        write_snapshot,
+        write_snapshot_to_branch,
+    )
+
+    root = str(tmp_path / "tbl")
+    write_snapshot(spark.range(1).toDF("id"), root)  # v1
+    create_branch(root, "old")  # pins v1
+    for n in (2, 3, 4, 5):
+        write_snapshot(spark.range(n).toDF("id"), root)  # v2..v5
+    write_snapshot_to_branch(spark.range(9).toDF("id"), root, "old")  # v6 on old
+    removed = vacuum_snapshots(root, keep_last=1)
+    # v1 was un-pinned when 'old' advanced to v6; v5 (main) + v6 (old) survive
+    assert 5 not in removed and 6 not in removed
+    assert read_branch(spark, root, "old").count() == 9

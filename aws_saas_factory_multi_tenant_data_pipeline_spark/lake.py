@@ -1021,3 +1021,52 @@ def optimize_table(
             spark, root, stats_cols, stats_index_root
         )
     return report
+
+
+class AuditFailure(RuntimeError):
+    """Raised by :func:`write_audit_publish` when the staged snapshot
+    fails a constraint — the staged version stays on its audit branch
+    for inspection and is never published."""
+
+
+def write_audit_publish(
+    df: DataFrame,
+    root: str,
+    constraints,
+    partition_cols: list[str] | None = None,
+    audit_branch: str = "audit",
+) -> int:
+    """The Iceberg write-audit-publish (WAP) pattern, composed from the
+    pieces this lake already has: write ``df`` as a snapshot on an audit
+    BRANCH (readers of main never see it), run the single-scan
+    constraint gate over the STAGED files (auditing exactly the bytes
+    that would ship, not the input frame), then publish by fast-forward
+    pointer move iff every constraint passes. On failure the staged
+    version stays on the audit branch for debugging and
+    :class:`AuditFailure` lists the violations. Returns the published
+    version number."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.constraints import (
+        check_constraints,
+    )
+
+    spark = df.sparkSession
+    try:
+        branch_version(root, audit_branch)
+    except ValueError:
+        create_branch(root, audit_branch)
+    else:
+        # re-anchor the audit branch at main so the publish fast-forwards
+        delete_branch(root, audit_branch)
+        create_branch(root, audit_branch)
+    version = write_snapshot_to_branch(df, root, audit_branch, partition_cols)
+    staged = spark.read.parquet(os.path.join(root, f"v{version}"))
+    report = check_constraints(staged, constraints).collect()
+    failures = [r for r in report if not r.passed]
+    if failures:
+        raise AuditFailure(
+            f"staged v{version} failed audit on branch {audit_branch!r}: "
+            + "; ".join(f"{r.constraint} ({r.violations}/{r.total_rows})" for r in failures)
+        )
+    fast_forward(root, audit_branch)
+    delete_branch(root, audit_branch)
+    return version

@@ -659,3 +659,36 @@ def test_vacuum_protects_branch_heads(spark, tmp_path):
     # v1 was un-pinned when 'old' advanced to v6; v5 (main) + v6 (old) survive
     assert 5 not in removed and 6 not in removed
     assert read_branch(spark, root, "old").count() == 9
+
+
+def test_write_audit_publish_gates_main(spark, tmp_path):
+    """WAP: bad data stays quarantined on the audit branch; good data
+    publishes by pointer move; main readers never see staged bytes."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.lake import (
+        AuditFailure,
+        latest_snapshot_version,
+        read_snapshot,
+        write_audit_publish,
+        write_snapshot,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.constraints import (
+        Constraint,
+    )
+
+    root = str(tmp_path / "tbl")
+    write_snapshot(spark.range(3).toDF("id"), root)  # main v1
+    rules = [Constraint("id_nonneg", "check", violation=F.col("id") < 0)]
+
+    bad = spark.createDataFrame([(1,), (-5,)], "id long")
+    with pytest.raises(AuditFailure, match="id_nonneg"):
+        write_audit_publish(bad, root, rules)
+    assert latest_snapshot_version(root) == 1  # main untouched
+    assert read_snapshot(spark, root).count() == 3
+
+    good = spark.range(10).toDF("id")
+    v = write_audit_publish(good, root, rules)
+    assert latest_snapshot_version(root) == v
+    assert read_snapshot(spark, root).count() == 10

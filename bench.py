@@ -42,6 +42,9 @@ HEADLINE = [
     "graph_pagerank",          # B10 iterative fixed-point (int64 arithmetic)
     "lake_zorder_layout",      # B10 Z-order clustering + skip-effectiveness
     "dedup_semantic",          # B10 SemDeDup (portable k-means + pair join)
+    # round-6 flagships: the rewritten data-bound operators
+    "llm_budget_select",       # B10 token-budget selection (quantized bins)
+    "sketch_kmv_sample",       # B4/B10 KMV sketch (TakeOrdered, exact merge)
 ]
 
 

@@ -1034,7 +1034,7 @@ def write_audit_publish(
     root: str,
     constraints,
     partition_cols: list[str] | None = None,
-    audit_branch: str = "audit",
+    audit_branch: str | None = None,
 ) -> int:
     """The Iceberg write-audit-publish (WAP) pattern, composed from the
     pieces this lake already has: write ``df`` as a snapshot on an audit
@@ -1044,12 +1044,21 @@ def write_audit_publish(
     pointer move iff every constraint passes. On failure the staged
     version stays on the audit branch for debugging and
     :class:`AuditFailure` lists the violations. Returns the published
-    version number."""
+    version number.
+
+    ``audit_branch`` defaults to a fresh unique name per call, so
+    concurrent WAP writers stage independently (publishes still
+    serialize through main's pointer like any snapshot commit); pass a
+    fixed name only when you want a known place to inspect failures."""
+    import uuid
+
     from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.constraints import (
         check_constraints,
     )
 
     spark = df.sparkSession
+    if audit_branch is None:
+        audit_branch = f"audit_{uuid.uuid4().hex[:12]}"
     try:
         branch_version(root, audit_branch)
     except ValueError:

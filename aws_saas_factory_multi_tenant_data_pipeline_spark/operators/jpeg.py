@@ -688,7 +688,6 @@ def encode_jpeg(
     pred = {"y": 0, "cb": 0, "cr": 0}
     mcu_count = 0
     rst_no = 0
-    total_mcus = mcux * mcuy
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:

@@ -108,14 +108,12 @@ def _parse_track(payload: bytes, ts_: int, te_: int) -> dict:
     tr: dict = {}
     for s, e in _find(payload, [b"tkhd"], ts_, te_):
         ver = payload[s]
-        base = s + (32 if ver == 1 else 20)
         # width/height: 16.16 fixed point at the end of tkhd
         w, h = struct.unpack(">II", payload[e - 8 : e])
         tr["width"], tr["height"] = w >> 16, h >> 16
         tr["track_id"] = struct.unpack(
             ">I", payload[s + (20 if ver == 1 else 12) : s + (24 if ver == 1 else 16)]
         )[0]
-        del base
     for s, e in _find(payload, [b"mdia", b"mdhd"], ts_, te_):
         ver = payload[s]
         if ver == 1:

@@ -63,3 +63,34 @@ def test_mp4_sample_extraction_byte_exact(samples):
     t = probe_mp4(mp4)["tracks"][0]
     assert t["n_samples"] == len(samples)
     assert extract_samples(mp4, t, range(len(samples))) == samples
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(1, 400), min_size=0, max_size=12))
+def test_warc_incremental_equals_batch_under_any_chunking(cuts):
+    """iter_warc_records must produce the batch parser's exact output no
+    matter where the byte stream is split into chunks."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.sources.warc import (
+        build_warc,
+        iter_warc_records,
+        parse_warc_records,
+    )
+
+    recs = [
+        {
+            "warc_type": "response",
+            "target_uri": f"http://h/{i}",
+            "warc_date": "2026-01-01T00:00:00Z",
+            "record_id": f"<urn:uuid:{i}>",
+            "content_type": "text/plain",
+            "block": (f"body {i} " * (i + 1)).encode(),
+        }
+        for i in range(3)
+    ]
+    data = build_warc(recs)
+    chunks, prev = [], 0
+    for c in sorted(set(min(c, len(data)) for c in cuts)):
+        chunks.append(data[prev:c])
+        prev = c
+    chunks.append(data[prev:])
+    assert list(iter_warc_records(iter(chunks))) == parse_warc_records(data)

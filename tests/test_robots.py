@@ -170,3 +170,42 @@ def test_rfc9309_empty_disallow_and_merged_groups():
     assert b.allowed("http://h/x/1") is False and b.allowed("http://h/y/1") is False
     c = RobotsPolicy(txt, "c-bot")
     assert c.allowed("http://h/x/1") is False and c.allowed("http://h/y/1") is True
+
+
+def test_rfc9309_matches_bruteforce_reference():
+    """Property check: RobotsPolicy agrees with an independently-written
+    brute-force longest-match evaluator over randomized policies."""
+    import random
+    import re as _re
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.robots import (
+        RobotsPolicy,
+    )
+
+    def ref_allowed(rules, path):
+        # brute force: evaluate every rule, longest pattern wins, allow ties
+        best = None
+        for allow, pat in rules:
+            rx = "".join(".*" if c == "*" else _re.escape(c) for c in pat.rstrip("$"))
+            rx += "$" if pat.endswith("$") else ""
+            if _re.match(rx, path):
+                key = (len(pat), allow)
+                if best is None or key > best:
+                    best = key
+        return True if best is None else best[1]
+
+    rnd = random.Random(5)
+    segs = ["/a", "/b", "/a/b", "/ab", "/x*", "/a/b/c", "/*.pdf$", "/a$"]
+    for _ in range(200):
+        rules = [
+            (rnd.random() < 0.5, rnd.choice(segs))
+            for _ in range(rnd.randrange(1, 6))
+        ]
+        txt = "User-agent: *\n" + "\n".join(
+            ("Allow: " if a else "Disallow: ") + p for a, p in rules
+        )
+        p = RobotsPolicy(txt, "anybot")
+        for path in ("/a", "/a/b", "/a/b/c", "/ab", "/x9", "/doc.pdf", "/q"):
+            got = p.allowed(f"http://h{path}")
+            want = ref_allowed(rules, path)
+            assert got == want, (rules, path, got, want)

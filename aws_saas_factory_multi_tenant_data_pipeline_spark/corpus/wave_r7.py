@@ -48,9 +48,14 @@ def _kmv_oracle_branch(kind: str) -> str:
             SELECT 'q90', ROUND(value, 6) FROM by_value WHERE vr = 116
             UNION ALL
             SELECT 'n_est',
-                   ROUND({_K - 1}.0 / (CAST(('0x' || substr(rank_hash, 1, 13)) AS BIGINT)
-                                       / {_DENOM}), 6)
-            FROM ranked WHERE rn = {_K}
+                   -- small-sketch mirror: a sketch that never filled holds
+                   -- the entire population → exact n, not (n-1)/u_n
+                   CASE WHEN (SELECT MAX(rn) FROM ranked) < {_K}
+                        THEN CAST((SELECT MAX(rn) FROM ranked) AS DOUBLE)
+                        ELSE ROUND(((SELECT MAX(rn) FROM ranked) - 1.0)
+                                   / (CAST(('0x' || substr(rank_hash, 1, 13)) AS BIGINT)
+                                      / {_DENOM}), 6) END
+            FROM ranked WHERE rn = (SELECT MAX(rn) FROM ranked)
             UNION ALL
             SELECT 'hash_check',
                    ROUND(CAST(SUM(CAST(('0x' || substr(rank_hash, 1, 13)) AS BIGINT))
@@ -89,14 +94,16 @@ def sketch_kmv_sample(spark, sf_dir):
     )
 
     o = t(spark, sf_dir, "orders")
-    oneshot = kmv_estimates(bottomk_sketch(o, "o_orderkey", "o_totalprice", k=_K))
+    oneshot = kmv_estimates(
+        bottomk_sketch(o, "o_orderkey", "o_totalprice", k=_K), k=_K
+    )
     shards = [
         bottomk_sketch(
             o.where(F.col("o_orderkey") % 3 == i), "o_orderkey", "o_totalprice", k=_K
         )
         for i in range(3)
     ]
-    merged = kmv_estimates(merge_bottomk(shards, k=_K))
+    merged = kmv_estimates(merge_bottomk(shards, k=_K), k=_K)
     return (
         oneshot.select(F.lit("oneshot").alias("kind"), "stat", "est")
         .unionByName(merged.select(F.lit("merged").alias("kind"), "stat", "est"))

@@ -523,9 +523,15 @@ def _render(frame, store, qt):
         spatial = np.einsum("ui,abuv,vj->abij", _C, deq.astype(np.float64), _C) + 128.0
         plane = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
         if hs < store.hmax or vs < store.vmax:
-            plane = np.repeat(
-                np.repeat(plane, store.vmax // vs, axis=0), store.hmax // hs, axis=1
-            )
+            # index-map nearest-neighbor upsample: output pixel i reads
+            # source sample i·vs//vmax. For divisor ratios this equals
+            # np.repeat (i//factor); for spec-legal NON-divisor ratios
+            # (e.g. luma 3x1 with chroma 2x1 → factor 1.5) it is the
+            # correct fractional mapping, where an integer repeat factor
+            # would mis-shape the plane and quarantine a valid file.
+            rows = (np.arange(fh) * vs) // store.vmax
+            cols = (np.arange(fw) * hs) // store.hmax
+            plane = plane[rows][:, cols]
         out.append(plane[:fh, :fw])
     if len(out) == 1:
         g = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)

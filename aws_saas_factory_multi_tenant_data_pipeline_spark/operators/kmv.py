@@ -75,13 +75,20 @@ def merge_bottomk(sketches: list[DataFrame], k: int) -> DataFrame:
     return out.orderBy("rank_hash", "row_id").limit(k)
 
 
-def kmv_estimates(sketch: DataFrame, probs=(0.25, 0.5, 0.75, 0.9)) -> DataFrame:
+def kmv_estimates(
+    sketch: DataFrame, probs=(0.25, 0.5, 0.75, 0.9), k: int | None = None
+) -> DataFrame:
     """(stat, est) rows from a k-row sketch: type-1 quantile estimates of
     the value distribution, the KMV row-count estimate (n−1)/u_n with
     u_n = the largest retained hash as a fraction of hash space, and the
     sketch membership checksum (pins the exact sample, not just its
     aggregates). Everything is a deterministic function of the ≤k-row
-    sketch — the windows below order k rows, never data."""
+    sketch — the windows below order k rows, never data.
+
+    Pass ``k`` (the sketch capacity) to get the standard small-sketch
+    behavior: when the sketch holds fewer than k rows it IS the whole
+    population, so n_est is the exact count n — (n−1)/u_n would be
+    biased (~n−1 in expectation) there."""
     # one scan total: materialize the k-row sketch executor-side, then the
     # count and every estimate read k rows instead of re-running TakeOrdered
     sketch = sketch.localCheckpoint(eager=True)
@@ -107,13 +114,22 @@ def kmv_estimates(sketch: DataFrame, probs=(0.25, 0.5, 0.75, 0.9)) -> DataFrame:
         )
         for q in probs
     ]
-    # KMV row-count estimate from the largest retained hash
-    parts.append(
-        ranked.where(F.col("__r") == n).select(
-            F.lit("n_est").alias("stat"),
-            F.round(F.lit(float(n - 1)) / F.col("__frac"), 6).alias("est"),
+    # KMV row-count estimate from the largest retained hash; a sketch
+    # that never filled (n < k) holds the entire population → exact n
+    if k is not None and n < k:
+        parts.append(
+            ranked.limit(1).select(
+                F.lit("n_est").alias("stat"),
+                F.lit(float(n)).alias("est"),
+            )
         )
-    )
+    else:
+        parts.append(
+            ranked.where(F.col("__r") == n).select(
+                F.lit("n_est").alias("stat"),
+                F.round(F.lit(float(n - 1)) / F.col("__frac"), 6).alias("est"),
+            )
+        )
     # membership checksum: the sum of 52-bit hash prefixes identifies the
     # sample — summed as exact BIGINTs (≤ 2^52·k, no overflow, no float
     # order-dependence) and divided once at the end

@@ -80,6 +80,10 @@ def _probe_inner(payload: bytes) -> dict:
                 raise ValueError("bad ID3v2 syncsafe size")
             size = (size << 7) | b
         i = 10 + size
+        if payload[5] & 0x10:
+            # ID3v2.4 footer flag: 10 trailing bytes NOT counted in the
+            # syncsafe size (id3v2.4.0-structure §3.1)
+            i += 10
     end = n
     if end - i >= 128 and payload[end - 128 : end - 125] == b"TAG":
         end -= 128  # ID3v1 trailer

@@ -1028,7 +1028,11 @@ def spectral_fingerprint(payload: bytes, n_windows: int = 16, top_k: int = 4) ->
                 break  # only REAL peaks: spectral-leakage noise below 10%
                 # of the strongest peak would make the bits volume-fragile
             word |= 1 << ((b * 16) // nbins)  # quantize bin → 16 bands
-        bits |= (word & 0xF) << (4 * i)  # fold: low nibble per window
+        # fold ALL 16 bands into the nibble (xor of the four 4-bit
+        # groups) — a plain `& 0xF` would discard bands 4-15, making
+        # every >Nyquist/4 tone collide at Hamming distance 0
+        nib = (word ^ (word >> 4) ^ (word >> 8) ^ (word >> 12)) & 0xF
+        bits |= nib << (4 * i)
     if bits & (1 << 63):
         bits -= 1 << 64
     return bits

@@ -109,7 +109,12 @@ class RobotsPolicy:
         best: tuple[int, bool] | None = None
         for allow, pat, rx in self.rules:
             if rx.match(path):
-                key = (len(pat), allow)  # True > False → allow wins ties
+                # RFC 9309 counts matched OCTETS: a trailing '$' anchor is
+                # not an octet, so 'Disallow: /p$' must not outrank an
+                # equally specific 'Allow: /p' — rank by pattern length
+                # excluding the anchor; Allow still wins exact ties
+                plen = len(pat) - 1 if pat.endswith("$") else len(pat)
+                key = (plen, allow)
                 if best is None or key > best:
                     best = key
         return True if best is None else best[1]

@@ -70,6 +70,36 @@ def test_k_covers_input_gives_exact_quantiles(spark):
     assert est["q90"] == 9.0
 
 
+def test_unfilled_sketch_count_is_exact(spark):
+    """n < k: the sketch holds the entire population, so the standard
+    KMV answer is the exact count n — (n-1)/u_n would be biased ~n-1."""
+    for n in (1, 7, 40):
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(n)], "rid long, v double"
+        )
+        est = {
+            r.stat: r.est
+            for r in kmv_estimates(
+                bottomk_sketch(df, "rid", "v", k=100), k=100
+            ).collect()
+        }
+        assert est["n_est"] == float(n), (n, est["n_est"])
+
+
+def test_full_sketch_estimate_unchanged_by_k(spark):
+    """n ≥ k: passing k must not change the estimator — still (k-1)/u_k."""
+    df = _data(spark, 5_000)
+    without = {
+        r.stat: r.est
+        for r in kmv_estimates(bottomk_sketch(df, "rid", "v", k=64)).collect()
+    }
+    with_k = {
+        r.stat: r.est
+        for r in kmv_estimates(bottomk_sketch(df, "rid", "v", k=64), k=64).collect()
+    }
+    assert without == with_k
+
+
 def test_k_validation(spark):
     with pytest.raises(ValueError):
         bottomk_sketch(_data(spark, 10), "rid", "v", k=0)

@@ -40,6 +40,25 @@ def test_id3v2_prefix_skipped():
     assert info["bitrate_kbps"] == 192
 
 
+def test_id3v2_footer_flag_skipped():
+    """ID3v2.4 footer flag (0x10): the 10-byte '3DI' footer is NOT
+    counted in the syncsafe size (id3v2.4.0-structure §3.1), so a tag
+    with a footer carries 10 extra bytes before the first frame."""
+    size = 77
+    tag = (
+        b"ID3\x04\x00\x10"
+        + bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                 (size >> 7) & 0x7F, size & 0x7F])
+        + bytes(size)
+        + b"3DI\x04\x00\x10"
+        + bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                 (size >> 7) & 0x7F, size & 0x7F])
+    )
+    assert len(tag) == 10 + size + 10
+    info = probe_mp3(tag + build_mp3(5, 128, 44100))
+    assert info["n_frames"] == 5 and info["bitrate_kbps"] == 128
+
+
 def test_id3v1_trailer_skipped():
     data = build_mp3(6, 64, 32000, stereo=False) + b"TAG" + bytes(125)
     info = probe_mp3(data)

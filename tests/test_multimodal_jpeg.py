@@ -144,6 +144,95 @@ def test_progressive_mutation_fuzz_valueerror_only():
             pass  # the only permitted failure mode
 
 
+def _build_nondivisor_jpeg(y_dcs):
+    """Hand-assemble a baseline JPEG with luma 3x1 / chroma 2x1 sampling
+    (spec-legal, hmax=3 not divisible by hs=2 → fractional upsample
+    ratio 1.5). 24x8 image, one MCU: 3 luma + 2 Cb + 2 Cr blocks, all
+    DC-only. ``y_dcs`` are the three luma block means (chroma flat 128
+    → grayscale output)."""
+    import struct
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.jpeg import (
+        HT_AC_CHROMA,
+        HT_AC_LUMA,
+        HT_DC_CHROMA,
+        HT_DC_LUMA,
+        ZIGZAG,
+        _BitWriter,
+        _encode_block,
+        _encode_codes,
+    )
+
+    qy = np.ones((8, 8), dtype=np.int64)  # quality-100-style: exact DC
+    qc = np.ones((8, 8), dtype=np.int64)
+    dc_l, ac_l = _encode_codes(*HT_DC_LUMA), _encode_codes(*HT_AC_LUMA)
+    dc_c, ac_c = _encode_codes(*HT_DC_CHROMA), _encode_codes(*HT_AC_CHROMA)
+    bw = _BitWriter()
+    pred = {"y": 0, "cb": 0, "cr": 0}
+    for v in y_dcs:  # 3 luma blocks (3x1), raster order inside the MCU
+        _encode_block(bw, np.full((8, 8), float(v)), qy, "y", pred, dc_l, ac_l)
+    for _ in range(2):  # 2 Cb blocks (2x1)
+        _encode_block(bw, np.full((8, 8), 128.0), qc, "cb", pred, dc_c, ac_c)
+    for _ in range(2):  # 2 Cr blocks
+        _encode_block(bw, np.full((8, 8), 128.0), qc, "cr", pred, dc_c, ac_c)
+    bw.flush()
+
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    def dqt(tq, tbl):
+        return seg(0xDB, bytes([tq]) + bytes(int(x) for x in tbl.reshape(-1)[ZIGZAG]))
+
+    def dht(tc, th, table):
+        bits, vals = table
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, 8, 24, 3)
+        + bytes([1, 0x31, 0])  # Y: 3x1
+        + bytes([2, 0x21, 1])  # Cb: 2x1 — NON-divisor vs hmax=3
+        + bytes([3, 0x21, 1]),  # Cr: 2x1
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return (
+        b"\xff\xd8"
+        + dqt(0, qy)
+        + dqt(1, qc)
+        + sof
+        + dht(0, 0, HT_DC_LUMA)
+        + dht(1, 0, HT_AC_LUMA)
+        + dht(0, 1, HT_DC_CHROMA)
+        + dht(1, 1, HT_AC_CHROMA)
+        + sos
+        + bytes(bw.out)
+        + b"\xff\xd9"
+    )
+
+
+def test_nondivisor_sampling_ratio_decodes():
+    """Spec-legal luma 3x1 / chroma 2x1 (fractional upsample 1.5x) must
+    decode, not be quarantined as corrupt — an integer repeat factor
+    (hmax//hs = 1) would mis-shape the chroma plane. Flat 128 planes
+    decode to exactly 128 everywhere regardless of upsample phase."""
+    dec, w, h = decode_jpeg(_build_nondivisor_jpeg([128, 128, 128]))
+    assert (w, h) == (24, 8)
+    assert dec.shape == (8, 24, 3)
+    assert np.unique(dec).tolist() == [128]
+
+
+def test_nondivisor_sampling_luma_geometry():
+    """Luma is full-resolution even when chroma upsamples fractionally:
+    three DC-only luma blocks (dark, mid, bright) land on their own
+    8-column spans, pinning that the index-map upsample doesn't touch
+    full-res components."""
+    dec, w, h = decode_jpeg(_build_nondivisor_jpeg([30, 128, 220]))
+    assert (w, h) == (24, 8)
+    for j, want in ((0, 30), (8, 128), (16, 220)):
+        block = dec[:, j : j + 8, :].astype(np.int64)
+        assert abs(int(block.mean()) - want) <= 2, (j, want, block.mean())
+
+
 def test_not_a_jpeg_rejected():
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"P6\n1 1\n255\nabc")
@@ -292,19 +381,25 @@ def test_spectral_fingerprint_analytic_tone_bands():
 
     sr, n = 16000, 16_000
     t = np.arange(n)
-    for f in (500.0, 3000.0, 6500.0):
+    # multiples of sr/W = 16 Hz land EXACTLY on an rFFT bin — a half-bin
+    # frequency (e.g. 3000 → 187.5 cycles) splits leakage equally between
+    # neighbors and the argmax is float-luck, not analytic
+    for f in (512.0, 3008.0, 6496.0):
         x = (12000 * np.sin(2 * np.pi * f * t / sr)).astype(np.int64)
         fp = spectral_fingerprint(encode_flac(x, sr), n_windows=16, top_k=1)
         W = n // 16
         nbins = W // 2 + 1
         peak_bin = round(f * W / sr)
         band = (peak_bin * 16) // nbins
-        want_word = 1 << band & 0xF if band < 4 else 0
+        word = 1 << band
+        want_word = (word ^ (word >> 4) ^ (word >> 8) ^ (word >> 12)) & 0xF
         # every window holds the same tone → every nibble equals the
-        # low-4-bit fold of the band's one-hot
+        # xor-fold of the band's one-hot; bands 4-15 land on bit band%4,
+        # so high-frequency tones contribute non-zero nibbles too
+        assert want_word == 1 << (band % 4)
         expect = 0
         for i in range(16):
-            expect |= ((1 << band) & 0xF) << (4 * i)
+            expect |= want_word << (4 * i)
         if expect & (1 << 63):
             expect -= 1 << 64
         assert fp == expect, (f, band)

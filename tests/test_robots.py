@@ -172,6 +172,22 @@ def test_rfc9309_empty_disallow_and_merged_groups():
     assert c.allowed("http://h/x/1") is False and c.allowed("http://h/y/1") is True
 
 
+def test_rfc9309_anchor_not_counted_in_specificity():
+    """The '$' anchor is not a matched octet: 'Allow: /p' and
+    'Disallow: /p$' are equally specific for path /p, and Allow wins
+    the tie (RFC 9309 §2.2.2)."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.robots import (
+        RobotsPolicy,
+    )
+
+    p = RobotsPolicy("User-agent: *\nAllow: /p\nDisallow: /p$\n", "anybot")
+    assert p.allowed("http://h/p") is True
+    assert p.allowed("http://h/pq") is True  # anchored rule doesn't match
+    # one REAL extra octet still outranks: /pq beats /p for path /pq
+    q = RobotsPolicy("User-agent: *\nAllow: /p\nDisallow: /pq\n", "anybot")
+    assert q.allowed("http://h/pq") is False
+
+
 def test_rfc9309_matches_bruteforce_reference():
     """Property check: RobotsPolicy agrees with an independently-written
     brute-force longest-match evaluator over randomized policies."""
@@ -183,19 +199,26 @@ def test_rfc9309_matches_bruteforce_reference():
     )
 
     def ref_allowed(rules, path):
-        # brute force: evaluate every rule, longest pattern wins, allow ties
+        # brute force: evaluate every rule, longest pattern wins, allow
+        # ties. RFC 9309 counts matched OCTETS — a trailing '$' anchor is
+        # not an octet, so it is excluded from the length ('Allow: /p'
+        # and 'Disallow: /p$' tie for path /p, and Allow wins the tie).
         best = None
         for allow, pat in rules:
-            rx = "".join(".*" if c == "*" else _re.escape(c) for c in pat.rstrip("$"))
-            rx += "$" if pat.endswith("$") else ""
+            anchored = pat.endswith("$")
+            body = pat[:-1] if anchored else pat
+            rx = "".join(".*" if c == "*" else _re.escape(c) for c in body)
+            rx += "$" if anchored else ""
             if _re.match(rx, path):
-                key = (len(pat), allow)
+                key = (len(body), allow)
                 if best is None or key > best:
                     best = key
         return True if best is None else best[1]
 
     rnd = random.Random(5)
-    segs = ["/a", "/b", "/a/b", "/ab", "/x*", "/a/b/c", "/*.pdf$", "/a$"]
+    # '/a' vs '/a$', '/ab' vs '/ab$' exercise anchored-vs-unanchored ties
+    segs = ["/a", "/b", "/a/b", "/ab", "/x*", "/a/b/c", "/*.pdf$", "/a$",
+            "/ab$", "/a/b$"]
     for _ in range(200):
         rules = [
             (rnd.random() < 0.5, rnd.choice(segs))

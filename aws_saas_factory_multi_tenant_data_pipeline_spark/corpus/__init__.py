@@ -120,14 +120,26 @@ GRADED_WINDOW: tuple[str, ...] = (
     "stream_tumbling_hour",
     "stream_sliding_session",
     "stream_dedup_batch_equiv",
-    "stream_static_join",
+    # stream_static_join → tail in r7: its batch twin is a broadcast
+    # equi-join + groupBy — the exact plan shape join_equi_variants grades —
+    # and its real streaming form stays pinned in tests/test_streaming.py;
+    # the freed slot gives five §2 rows (portable count-min sketch, exact
+    # bitmap distinct, Benford audit, CCNet buckets, curriculum phases) a
+    # hard driver verdict via sketch_pack2
+    "sketch_pack2",
     "stream_late_drop",
     # B9 UDF surface
     "udf_scalar_py_pandas",
     "udf_grouped_map_agg",
     "udf_table_function",
-    # B10 LLM-pipeline (packs cover 16 additional §2 rows)
-    "dedup_exact",
+    # B10 LLM-pipeline (packs cover 16 additional §2 rows).
+    # dedup_exact → tail in r7: its hash-groupBy exact-dedup shape stays
+    # driver-exercised through stream_dedup_batch_equiv's dropDuplicates
+    # batch-equivalence slot and dedup_pack's canonical-survivor branch;
+    # the freed slot gives four SaaS-ops analytics §2 rows (ordered funnel,
+    # cohort retention, tenant metering, usage-anomaly z-scores) a hard
+    # driver verdict via ops_pack
+    "ops_pack",
     # full MinHash-LSH pipeline, hash-for-hash oracle (md5-portable mode);
     # dedup_ngram_jaccard stays in the tail (its doc_id<100 scope yields 0
     # rows at sf0.01 — green but informationless in the graded file)
@@ -183,6 +195,11 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "collect_list_sorted",
     # displaced in r6 (family-covered by r5_pack's hard-negative branch):
     "similarity_topk_cosine",
+    # displaced in r7 (family-covered: exact-dedup shape via
+    # stream_dedup_batch_equiv + dedup_pack; broadcast-join shape via
+    # join_equi_variants, real streaming form in tests/test_streaming.py):
+    "dedup_exact",
+    "stream_static_join",
     # round-6 single-family originals (driver-covered via r7_pack) —
     # first in line if the window turns out to be time-bound
     "multimodal_jpeg_ahash",
@@ -390,6 +407,7 @@ def load_all() -> dict[str, QuerySpec]:
         window_r5,  # packs read other modules' oracles — import last
         window_r6,
         window_r7,
+        window_r8,
     )
 
     head = [n for n in GRADED_WINDOW + _TAIL_PRIORITY if n in REGISTRY]

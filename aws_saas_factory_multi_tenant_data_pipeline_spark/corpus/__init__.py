@@ -82,7 +82,13 @@ GRADED_WINDOW: tuple[str, ...] = (
     # the freed slot gives four dedup §2 rows a hard driver verdict)
     "join_equi_variants",
     "join_range_theta",
-    "join_asof",
+    # join_asof → tail in r7: its union+window as-of plan is identically
+    # exercised by ts_stats_pack's as-of-tolerance branch (same plan plus a
+    # tolerance bound); the freed slot gives snapshot branches + write-
+    # audit-publish a hard driver verdict (end state SQL-pinned: published
+    # batches present, audited-bad batch absent, pointer + isolation +
+    # quarantine counts in the hash)
+    "lake_branch_wap_roundtrip",
     "join_star_multiway",
     # B4 aggregation (HAVING + FILTER packed; originals in tail)
     "agg_pricing_summary",
@@ -200,6 +206,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     # join_equi_variants, real streaming form in tests/test_streaming.py):
     "dedup_exact",
     "stream_static_join",
+    "join_asof",
     # round-6 single-family originals (driver-covered via r7_pack) —
     # first in line if the window turns out to be time-bound
     "multimodal_jpeg_ahash",
@@ -404,6 +411,7 @@ def load_all() -> dict[str, QuerySpec]:
         saas_ops_wave3,
         wave_r6,
         wave_r7,
+        wave_r8,
         window_r5,  # packs read other modules' oracles — import last
         window_r6,
         window_r7,

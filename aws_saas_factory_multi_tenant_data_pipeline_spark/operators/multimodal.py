@@ -278,45 +278,132 @@ def decode_wav(payload: bytes):
     return x, sr, ch
 
 
-def decode_audio(payload: bytes):
+# --- codec registry: the swap seam ------------------------------------------
+#
+# Every feature/hash/dedup operator decodes through ONE dispatch table keyed
+# by sniffed format, so swapping a pure-Python codec for a native binding
+# (libjpeg-turbo, libFLAC) at 100 TB is a registry call, not a code edit —
+# the contract SCALE.md documents, made executable (tested in
+# tests/test_codec_registry.py). The mapInPandas wrappers snapshot the
+# tables at PLAN-BUILD time and close over the snapshot, so a driver-side
+# registration reaches the Python workers via cloudpickle; worker processes
+# re-importing this module otherwise only ever see the stdlib defaults.
+# A registered decoder must honor the same contract as the stdlib one:
+# images -> (uint8 pixels [h,w,3], width, height); audio -> (mono float64
+# samples in [-1, 1], sample_rate, n_channels); ValueError on torn input.
+
+
+def _decode_jpeg_rgb(payload: bytes):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+    )
+
+    return decode_jpeg(payload)
+
+
+def _decode_flac_mono(payload: bytes):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.flac import (
+        decode_flac,
+    )
+
+    samples, sr, ch, bps = decode_flac(payload)
+    x = samples.astype("float64") / float(1 << (bps - 1))
+    x = x.mean(axis=1) if ch > 1 else x[:, 0]
+    return x, sr, ch
+
+
+def _stdlib_image_decoders() -> dict:
+    return {"png": decode_png, "jpeg": _decode_jpeg_rgb, "ppm": decode_ppm}
+
+
+def _stdlib_audio_decoders() -> dict:
+    return {"wav": decode_wav, "flac": _decode_flac_mono}
+
+
+IMAGE_DECODERS: dict = _stdlib_image_decoders()
+AUDIO_DECODERS: dict = _stdlib_audio_decoders()
+
+
+def sniff_image_format(payload: bytes) -> str | None:
+    """Magic-sniff an image payload to its registry key (or None)."""
+    if not payload:
+        return None
+    if payload[:8] == _PNG_SIG:
+        return "png"
+    if payload[:2] == _JPEG_SIG:
+        return "jpeg"
+    if payload[:2] in (b"P6", b"P3"):
+        return "ppm"
+    return None
+
+
+def sniff_audio_format(payload: bytes) -> str | None:
+    """Magic-sniff an audio payload to its registry key (or None)."""
+    if not payload:
+        return None
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload[:4] == b"fLaC":
+        return "flac"
+    return None
+
+
+def register_image_decoder(fmt: str, fn) -> None:
+    """Swap the decoder for a sniffable image format (e.g. a libjpeg
+    binding at scale). Plans built AFTER the call use ``fn``; plans built
+    before keep the decoder set they closed over."""
+    if fmt not in _stdlib_image_decoders():
+        raise ValueError(f"unknown image format {fmt!r} (no sniffer routes to it)")
+    IMAGE_DECODERS[fmt] = fn
+
+
+def register_audio_decoder(fmt: str, fn) -> None:
+    """Audio counterpart of :func:`register_image_decoder`."""
+    if fmt not in _stdlib_audio_decoders():
+        raise ValueError(f"unknown audio format {fmt!r} (no sniffer routes to it)")
+    AUDIO_DECODERS[fmt] = fn
+
+
+def reset_decoders() -> None:
+    """Restore the stdlib codecs for every format."""
+    IMAGE_DECODERS.clear()
+    IMAGE_DECODERS.update(_stdlib_image_decoders())
+    AUDIO_DECODERS.clear()
+    AUDIO_DECODERS.update(_stdlib_audio_decoders())
+
+
+def decode_image(payload: bytes, decoders: dict | None = None):
+    """Decode any sniffable image payload to (uint8 pixels [h,w,3],
+    width, height) through the registry — the shared entry every image
+    operator (features, aHash, pHash, dedup) dispatches through."""
+    fmt = sniff_image_format(payload)
+    if fmt is None:
+        raise ValueError("unrecognized image payload")
+    return (decoders if decoders is not None else IMAGE_DECODERS)[fmt](payload)
+
+
+def decode_audio(payload: bytes, decoders: dict | None = None):
     """Decode a PCM WAV or FLAC payload to (mono float64 samples in
     [-1, 1], sample_rate, n_channels) — the shared entry every audio
     operator (features, envelope hash, dedup) dispatches through."""
-    if payload[:4] == b"fLaC":
-        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.flac import (
-            decode_flac,
-        )
-
-        samples, sr, ch, bps = decode_flac(payload)
-        x = samples.astype("float64") / float(1 << (bps - 1))
-        if ch > 1:
-            x = x.mean(axis=1)
-        else:
-            x = x[:, 0]
-        return x, sr, ch
-    return decode_wav(payload)
+    fmt = sniff_audio_format(payload)
+    if fmt is None:
+        raise ValueError("unrecognized audio payload")
+    return (decoders if decoders is not None else AUDIO_DECODERS)[fmt](payload)
 
 
-def _real_decode_features(payload: bytes, dim: int = 8):
+def _real_decode_features(
+    payload: bytes,
+    dim: int = 8,
+    image_decoders: dict | None = None,
+    audio_decoders: dict | None = None,
+):
     """Decode-and-summarize for the real formats; None when not decodable."""
     import numpy as np
 
     try:
-        if (
-            payload[:2] in (b"P6", b"P3")
-            or payload[:8] == _PNG_SIG
-            or payload[:2] == _JPEG_SIG
-        ):
-            if payload[:8] == _PNG_SIG:
-                px, w, h = decode_png(payload)
-            elif payload[:2] == _JPEG_SIG:
-                from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.jpeg import (
-                    decode_jpeg,
-                )
-
-                px, w, h = decode_jpeg(payload)
-            else:
-                px, w, h = decode_ppm(payload)
+        if sniff_image_format(payload) is not None:
+            px, w, h = decode_image(payload, image_decoders)
             f = px.astype(np.float64) / 255.0
             vals = [
                 w / 10000.0,
@@ -328,10 +415,8 @@ def _real_decode_features(payload: bytes, dim: int = 8):
                 f[..., 1].std(),
                 f[..., 2].std(),
             ]
-        elif (
-            payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
-        ) or payload[:4] == b"fLaC":
-            x, sr, ch = decode_audio(payload)
+        elif sniff_audio_format(payload) is not None:
+            x, sr, ch = decode_audio(payload, audio_decoders)
             zc = float((x[:-1] * x[1:] < 0).mean()) if x.size > 1 else 0.0
             vals = [
                 sr / 100000.0,
@@ -368,10 +453,14 @@ def extract_features(media: DataFrame, batch_dim: int = 8) -> DataFrame:
     ``repartition(n)`` upstream only to right-size decode parallelism.
     """
 
+    img_dec, aud_dec = dict(IMAGE_DECODERS), dict(AUDIO_DECODERS)  # plan-time snapshot
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
-            real = payloads.map(lambda p: _real_decode_features(p or b"", batch_dim))
+            real = payloads.map(
+                lambda p: _real_decode_features(p or b"", batch_dim, img_dec, aud_dec)
+            )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -513,7 +602,9 @@ def resample_audio(media: DataFrame, target_sr: int) -> DataFrame:
     return media.mapInPandas(op, MEDIA_SCHEMA)
 
 
-def average_hash(payload: bytes, hash_size: int = 8) -> int:
+def average_hash(
+    payload: bytes, hash_size: int = 8, decoders: dict | None = None
+) -> int:
     """Perceptual average-hash of an image payload (PPM, PNG, or
     baseline JPEG): decode,
     integer grayscale ``(r+g+b) // 3``, nearest-neighbor subsample to
@@ -531,16 +622,7 @@ def average_hash(payload: bytes, hash_size: int = 8) -> int:
     an all-pairs comparison."""
     import numpy as np
 
-    if payload[:8] == _PNG_SIG:
-        px, w, h = decode_png(payload)
-    elif payload[:2] == _JPEG_SIG:
-        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.jpeg import (
-            decode_jpeg,
-        )
-
-        px, w, h = decode_jpeg(payload)
-    else:
-        px, w, h = decode_ppm(payload)
+    px, w, h = decode_image(payload, decoders)
     gray = px.astype(np.int64).sum(axis=2) // 3
     ys = (np.arange(hash_size) * h) // hash_size
     xs = (np.arange(hash_size) * w) // hash_size
@@ -563,12 +645,13 @@ def with_average_hash(
 ) -> DataFrame:
     """Arrow-batched aHash column over MEDIA_SCHEMA rows; rows whose
     payload cannot be decoded get NULL (the stub formats)."""
+    decoders = dict(IMAGE_DECODERS)  # plan-time snapshot (registry seam)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             def h(p):
                 try:
-                    return average_hash(bytes(p), hash_size)
+                    return average_hash(bytes(p), hash_size, decoders)
                 except Exception:
                     return None
 
@@ -789,7 +872,9 @@ def incremental_ahash_duplicates(
     return result
 
 
-def audio_hash(payload: bytes, n_frames: int = 64) -> int:
+def audio_hash(
+    payload: bytes, n_frames: int = 64, decoders: dict | None = None
+) -> int:
     """Perceptual audio hash over a PCM WAV or FLAC payload: decode to
     mono,
     split into ``n_frames`` equal windows, one bit per window — set iff
@@ -801,7 +886,7 @@ def audio_hash(payload: bytes, n_frames: int = 64) -> int:
     Signed-64 two's complement, LongType-safe."""
     import numpy as np
 
-    x, _sr, _ch = decode_audio(payload)
+    x, _sr, _ch = decode_audio(payload, decoders)
     if x.size < n_frames:
         raise ValueError(f"audio too short for {n_frames} frames")
     edges = (np.arange(n_frames + 1) * x.size) // n_frames
@@ -824,12 +909,13 @@ def with_audio_hash(
     """Arrow-batched audio-hash column over MEDIA_SCHEMA rows; undecodable
     payloads get NULL. Output column name defaults to ``ahash`` so the
     result plugs straight into :func:`ahash_near_duplicates`."""
+    decoders = dict(AUDIO_DECODERS)  # plan-time snapshot (registry seam)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             def h(p):
                 try:
-                    return audio_hash(bytes(p), n_frames)
+                    return audio_hash(bytes(p), n_frames, decoders)
                 except Exception:
                     return None
 
@@ -927,7 +1013,9 @@ def sample_video_frames(
     ).mapInPandas(op, VIDEO_SAMPLE_SCHEMA)
 
 
-def perceptual_hash(payload: bytes, hash_size: int = 8) -> int:
+def perceptual_hash(
+    payload: bytes, hash_size: int = 8, decoders: dict | None = None
+) -> int:
     """DCT perceptual hash (pHash) of an image payload — the robust
     upgrade over :func:`average_hash`: decode, grayscale, subsample to
     32×32, 2-D DCT-II (the same orthonormal basis the JPEG codec uses,
@@ -940,16 +1028,7 @@ def perceptual_hash(payload: bytes, hash_size: int = 8) -> int:
     machinery (:func:`ahash_near_duplicates`)."""
     import numpy as np
 
-    if payload[:8] == _PNG_SIG:
-        px, w, h = decode_png(payload)
-    elif payload[:2] == _JPEG_SIG:
-        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.jpeg import (
-            decode_jpeg,
-        )
-
-        px, w, h = decode_jpeg(payload)
-    else:
-        px, w, h = decode_ppm(payload)
+    px, w, h = decode_image(payload, decoders)
     gray = px.astype(np.float64).mean(axis=2)
     ys = (np.arange(32) * h) // 32
     xs = (np.arange(32) * w) // 32
@@ -978,12 +1057,13 @@ def with_perceptual_hash(
     """Arrow-batched pHash column over MEDIA_SCHEMA rows; undecodable
     payloads get NULL. Output column defaults to ``ahash`` so results
     plug straight into :func:`ahash_near_duplicates`."""
+    decoders = dict(IMAGE_DECODERS)  # plan-time snapshot (registry seam)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             def h(p):
                 try:
-                    return perceptual_hash(bytes(p), hash_size)
+                    return perceptual_hash(bytes(p), hash_size, decoders)
                 except Exception:
                     return None
 
@@ -1000,7 +1080,12 @@ def with_perceptual_hash(
     return media.mapInPandas(op, schema)
 
 
-def spectral_fingerprint(payload: bytes, n_windows: int = 16, top_k: int = 4) -> int:
+def spectral_fingerprint(
+    payload: bytes,
+    n_windows: int = 16,
+    top_k: int = 4,
+    decoders: dict | None = None,
+) -> int:
     """Spectral audio fingerprint: decode (WAV or FLAC), split into
     ``n_windows`` equal segments, per segment take the ``top_k``
     strongest rFFT magnitude bins (quantized to 16 bands), fold the
@@ -1010,7 +1095,7 @@ def spectral_fingerprint(payload: bytes, n_windows: int = 16, top_k: int = 4) ->
     Signed-64 two's complement; same banded near-dup machinery."""
     import numpy as np
 
-    x, sr, _ch = decode_audio(payload)
+    x, sr, _ch = decode_audio(payload, decoders)
     if x.size < n_windows * 16:
         raise ValueError("audio too short for spectral fingerprint")
     edges = (np.arange(n_windows + 1) * x.size) // n_windows
@@ -1043,12 +1128,13 @@ def with_spectral_fingerprint(
 ) -> DataFrame:
     """Arrow-batched spectral-fingerprint column over MEDIA_SCHEMA rows;
     undecodable payloads get NULL."""
+    decoders = dict(AUDIO_DECODERS)  # plan-time snapshot (registry seam)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             def h(p):
                 try:
-                    return spectral_fingerprint(bytes(p))
+                    return spectral_fingerprint(bytes(p), decoders=decoders)
                 except Exception:
                     return None
 

@@ -1,0 +1,175 @@
+"""The codec-swap seam, proven executable (SCALE.md's "swap in
+libjpeg-turbo at 100 TB" contract): every feature/hash/dedup operator
+decodes through ONE registry table; registering a stand-in decoder
+changes the decode path (observable when the stand-in distorts), a
+semantically-equal "fast" stand-in keeps every downstream result
+byte-identical, and reset restores the stdlib codecs. The mapInPandas
+wrappers snapshot the tables at plan-build time, so registration
+reaches the Python workers via the closure — which these tests exercise
+THROUGH Spark, not just locally."""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave as wave_mod
+
+import pytest
+
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    average_hash,
+    audio_hash,
+    decode_audio,
+    decode_image,
+    decode_png,
+    decode_wav,
+    encode_png,
+    perceptual_hash,
+    register_audio_decoder,
+    register_image_decoder,
+    reset_decoders,
+    sniff_audio_format,
+    sniff_image_format,
+    with_average_hash,
+)
+
+
+@pytest.fixture(autouse=True)
+def _restore_registry():
+    yield
+    reset_decoders()
+
+
+def _png_payload(seed: int) -> bytes:
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    return encode_png(px)
+
+
+def _wav_payload() -> bytes:
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        n = 4096
+        # amplitude ramps across the file so per-window RMS varies —
+        # a flat envelope would hash to 0 (no window beats the mean)
+        samples = [
+            int(12000 * (i / n) * (1 if (i % 64) < 32 else -1)) for i in range(n)
+        ]
+        wf.writeframes(struct.pack(f"<{n}h", *samples))
+    return buf.getvalue()
+
+
+def test_sniffers_route_by_magic():
+    assert sniff_image_format(_png_payload(1)) == "png"
+    assert sniff_image_format(b"\xff\xd8\xff\xe0") == "jpeg"
+    assert sniff_image_format(b"P6\n1 1\n255\n...") == "ppm"
+    assert sniff_image_format(b"garbage") is None
+    assert sniff_audio_format(_wav_payload()) == "wav"
+    assert sniff_audio_format(b"fLaC....") == "flac"
+    assert sniff_audio_format(b"garbage") is None
+
+
+def test_register_unknown_format_rejected():
+    with pytest.raises(ValueError, match="unknown image format"):
+        register_image_decoder("webp", lambda p: None)
+    with pytest.raises(ValueError, match="unknown audio format"):
+        register_audio_decoder("mp3", lambda p: None)
+
+
+def test_swap_changes_path_passthrough_preserves_results_local():
+    png = _png_payload(7)
+    baseline_a = average_hash(png)
+    baseline_p = perceptual_hash(png)
+
+    # a DISTORTING stand-in proves dispatch goes through the registry
+    def inverted(payload):
+        px, w, h = decode_png(payload)
+        return 255 - px, w, h
+
+    register_image_decoder("png", inverted)
+    assert average_hash(png) != baseline_a
+
+    # a pass-through "fast" decoder (the libjpeg swap shape): identical
+    # pixels in, so every downstream hash must be identical out
+    calls = []
+
+    def fast(payload):
+        calls.append(1)
+        return decode_png(payload)
+
+    register_image_decoder("png", fast)
+    assert average_hash(png) == baseline_a
+    assert perceptual_hash(png) == baseline_p
+    assert len(calls) == 2  # BOTH hashes actually took the registered path
+
+    reset_decoders()
+    assert average_hash(png) == baseline_a
+    assert decode_image(png)[1:] == decode_png(png)[1:]
+
+
+def test_swap_audio_decoder_local():
+    wav = _wav_payload()
+    baseline = audio_hash(wav)
+
+    def half_volume(payload):
+        x, sr, ch = decode_wav(payload)
+        return x * 0.5, sr, ch
+
+    register_audio_decoder("wav", half_volume)
+    # RMS-envelope bits threshold on the MEAN rms, so uniform scaling
+    # preserves the hash — the swap is invisible downstream (the point)
+    assert audio_hash(wav) == baseline
+
+    def silence(payload):
+        x, sr, ch = decode_wav(payload)
+        return x * 0.0, sr, ch
+
+    register_audio_decoder("wav", silence)
+    assert audio_hash(wav) != baseline  # distortion IS visible -> dispatched
+    reset_decoders()
+    assert audio_hash(wav) == baseline
+    assert decode_audio(wav)[1] == 16000
+
+
+def test_swap_reaches_spark_workers_via_plan_snapshot(spark):
+    """The real contract: a decoder registered on the DRIVER must be the
+    one running inside the Python workers for plans built after the
+    registration, and plans built before keep the stdlib codecs."""
+    rows = [
+        (i, "image", bytearray(_png_payload(i)), (None,) * 4 + ("image/png",))
+        for i in range(4)
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    baseline = {r.media_id: r.ahash for r in with_average_hash(media).collect()}
+    assert all(v is not None for v in baseline.values())
+
+    def inverted(payload):
+        px, w, h = decode_png(payload)
+        return 255 - px, w, h
+
+    register_image_decoder("png", inverted)
+    swapped = {r.media_id: r.ahash for r in with_average_hash(media).collect()}
+    assert swapped != baseline  # driver-side registration reached workers
+
+    def fast(payload):  # semantically-equal stand-in: results must not move
+        return decode_png(payload)
+
+    register_image_decoder("png", fast)
+    same = {r.media_id: r.ahash for r in with_average_hash(media).collect()}
+    assert same == baseline
+
+    # a plan BUILT before a later registration keeps its snapshot
+    plan = with_average_hash(media)
+    register_image_decoder("png", inverted)
+    assert {r.media_id: r.ahash for r in plan.collect()} == baseline
+
+    reset_decoders()
+    assert {
+        r.media_id: r.ahash for r in with_average_hash(media).collect()
+    } == baseline

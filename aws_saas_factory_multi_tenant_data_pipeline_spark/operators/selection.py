@@ -100,12 +100,16 @@ def budget_select(
     "unscorable", which a budget selection must never spend tokens on —
     and must never silently drop from the returned frame either).
 
-    Bounded-memory contract: the boundary-search frame has ≤ ``n_bins``
+    Bounded-memory contract: both boundary-search frames have ≤ ``n_bins``
     rows regardless of the score distribution (continuous per-document
-    scores included). The only window runs inside ONE bin: ≈ corpus /
-    n_bins rows for a spread score, and at worst the largest single bin
-    (e.g. a corpus-wide constant score) — the irreducible tie class the
-    exact greedy semantics require ordering anyway.
+    scores included), and the ordered-prefix window runs inside ONE
+    SUB-bin of the boundary bin: the boundary bin is re-binned once
+    before the window — by score when its scores spread, by the uniform
+    md5 tie hash when they don't (the corpus-wide-constant-score case
+    that used to degrade toward a global sort) — so the window input is
+    ≈ corpus / n_bins² rows even under a single-value-dominated score
+    column. The irreducible residual is an equal-(score, 13-hex-tie-
+    prefix) class — cryptographically negligible.
     """
     if budget_tokens < 0:
         raise ValueError("budget_tokens must be >= 0")
@@ -143,14 +147,56 @@ def budget_select(
     # every non-boundary bin is decided wholesale by its cumulative range —
     # a broadcast filter, no window anywhere near the corpus
     decided = joined.where(~boundary).withColumn("is_selected", whole_in)
-    # only the (single) boundary bin runs an ordered prefix, over just its
-    # own rows — exact greedy order within the bin: score desc, tie, id
+    # the (single) boundary bin: re-bin ONCE before the ordered prefix so
+    # a pathological distribution (all mass in one equi-width bin — e.g. a
+    # corpus-wide constant score) cannot degrade toward a global sort.
+    # Sub-bin ids are monotone along the exact greedy order
+    # (score DESC, tie ASC): by score when the bin's scores spread, by the
+    # uniform md5 tie hash (13 hex digits = 52 double-exact bits) when
+    # they don't — either way ≈ bin / n_bins rows reach the window.
     tie = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
-    wb = Window.partitionBy("__bkt").orderBy(score.desc(), tie, F.col(id_col))
-    run = F.sum(F.col(tokens_col).cast("long")).over(wb)
-    edge = joined.where(boundary).withColumn(
-        "is_selected", (F.col("__before") + run) <= budget_tokens
+    tie_u = F.conv(F.substring(tie, 1, 13), 16, 10).cast("double") / float(1 << 52)
+    edge_in = joined.where(boundary)
+    mm2 = edge_in.agg(F.min(score).alias("__lo2"), F.max(score).alias("__hi2"))
+    width2 = (F.col("__hi2") - F.col("__lo2")) / n_bins
+    sub = (
+        F.when(
+            F.col("__hi2") == F.col("__lo2"),
+            F.least(F.lit(n_bins - 1), F.floor(tie_u * n_bins).cast("int")),
+        )
+        .otherwise(
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor((F.col("__hi2") - score) / width2).cast("int"),
+            )
+        )
+        .alias("__bkt2")
     )
+    binned2 = (
+        edge_in.crossJoin(F.broadcast(mm2))
+        .withColumn("__bkt2", sub)
+        .drop("__lo2", "__hi2")
+    )
+    per2 = binned2.groupBy("__bkt2").agg(
+        F.sum(F.col(tokens_col).cast("long")).alias("__bt2")
+    )
+    # the second (and last) unpartitioned window — again ≤ n_bins rows
+    w2 = Window.orderBy(F.col("__bkt2"))
+    cum2 = per2.withColumn(
+        "__before2", F.coalesce(F.sum("__bt2").over(w2) - F.col("__bt2"), F.lit(0))
+    )
+    joined2 = binned2.join(F.broadcast(cum2), "__bkt2")
+    before2 = F.col("__before") + F.col("__before2")
+    whole2 = (before2 + F.col("__bt2")) <= budget_tokens
+    boundary2 = (before2 < budget_tokens) & ~whole2
+    decided2 = joined2.where(~boundary2).withColumn("is_selected", whole2)
+    # only the boundary SUB-bin runs the ordered prefix, over its own rows
+    wb = Window.partitionBy("__bkt2").orderBy(score.desc(), tie, F.col(id_col))
+    run = F.sum(F.col(tokens_col).cast("long")).over(wb)
+    edge2 = joined2.where(boundary2).withColumn(
+        "is_selected", (before2 + run) <= budget_tokens
+    )
+    edge = decided2.unionByName(edge2).drop("__bkt2", "__bt2", "__before2")
     return (
         decided.unionByName(edge)
         .drop("__bkt", "__bt", "__before")

@@ -224,3 +224,66 @@ def test_budget_select_null_scores_kept_unselected(spark):
     assert by_id[1] is False and by_id[3] is False
     assert by_id[0] is True  # 0.9 fits
     assert by_id[2] is False  # second doc would overflow the 15-token budget
+
+
+def test_budget_select_constant_score_exact_and_window_bounded(spark):
+    """The round-6 worst case removed: a single-value-dominated score
+    column (every row one score — the whole corpus lands in ONE
+    equi-width bin) is re-binned by the uniform md5 tie hash before the
+    ordered prefix, so the window input is ≈ corpus / n_bins rows, not
+    the whole corpus — and the selection stays the exact greedy prefix."""
+    n, n_bins = 2_000, 16
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0.5).alias("quality_score"),  # corpus-wide constant
+        ((F.col("id") * 13) % 50 + 10).alias("n_tokens"),
+    )
+    rows = [r.asDict() for r in df.collect()]
+    budget = 20_000  # boundary lands mid-corpus
+    got = {
+        r["doc_id"]
+        for r in budget_select(df, budget, n_bins=n_bins)
+        .where(F.col("is_selected"))
+        .collect()
+    }
+    assert got == _brute_force(rows, budget)
+
+    # the re-bin bound: replicate the operator's tie-hash sub-binning and
+    # assert no sub-bin holds more than a few × n/n_bins rows (md5 is
+    # uniform), i.e. the ordered-prefix window never sees the whole bin
+    tie = F.md5(F.concat(F.lit("budget:"), F.col("doc_id").cast("string")))
+    tie_u = F.conv(F.substring(tie, 1, 13), 16, 10).cast("double") / float(1 << 52)
+    sizes = [
+        r["count"]
+        for r in df.select(
+            F.least(F.lit(n_bins - 1), F.floor(tie_u * n_bins).cast("int")).alias("b")
+        )
+        .groupBy("b")
+        .count()
+        .collect()
+    ]
+    assert len(sizes) == n_bins  # every sub-bin populated at n >> n_bins
+    assert max(sizes) < 3 * (n // n_bins)
+
+
+def test_budget_select_mass_concentrated_bin_exact(spark):
+    """90% of mass at one score (inside one bin), the rest spread: the
+    boundary bin's sub-binning must keep the result exact whether the
+    boundary falls in the dominated bin or not."""
+    n = 1_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 9, 0.5)
+        .otherwise(((F.col("id") % 97) + 1) / 100.0)
+        .alias("quality_score"),
+        ((F.col("id") * 7) % 40 + 5).alias("n_tokens"),
+    )
+    rows = [r.asDict() for r in df.collect()]
+    for budget in (500, 5_000, 12_000, 23_000):
+        got = {
+            r["doc_id"]
+            for r in budget_select(df, budget, n_bins=8)
+            .where(F.col("is_selected"))
+            .collect()
+        }
+        assert got == _brute_force(rows, budget), f"budget={budget}"

@@ -374,6 +374,8 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "llm_dsir_importance",
     "scan_jsonl_gzip_roundtrip",
     "tenant_tiered_quota",
+    # r7 wave (driver round 7)
+    "multimodal_mjpeg_frames",
 )
 
 

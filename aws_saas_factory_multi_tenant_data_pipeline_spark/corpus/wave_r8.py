@@ -29,6 +29,91 @@ from aws_saas_factory_multi_tenant_data_pipeline_spark.functions import dsum, sq
 
 
 @register(
+    "multimodal_mjpeg_frames",
+    oracle="""
+        SELECT doc_id, frame_idx,
+               (frame_idx = 0) AS is_keyframe,
+               -CAST(POWER(2, 8 * ((11 + (doc_id + 5 * frame_idx) % 16) // 4))
+                     AS BIGINT) AS ahash
+        FROM documents
+        CROSS JOIN (VALUES (0), (2), (4)) AS k(frame_idx)
+        WHERE doc_id < 64
+        ORDER BY doc_id, frame_idx
+    """,
+    tags=("B10", "multimodal", "video"),
+    doc="MJPEG video END-TO-END with an ANALYTIC oracle and zero new "
+    "codec code: per doc a six-frame MJPEG movie is assembled as a REAL "
+    "MP4 (ISO-BMFF with full sample tables, fourcc 'jpeg', sync samples "
+    "{1,4}); each frame is a 32×32 two-tone REAL JPEG whose bright-split "
+    "row varies with (doc_id, frame). The pipeline is the production "
+    "path: sample_video_frames (byte-exact access-unit extraction from "
+    "stsz/stsc/stco, every_n=2) → mjpeg_frame_hashes (each unit IS a "
+    "JPEG → T.81 decode → aHash, through the codec registry). The "
+    "two-tone contrast makes the hash provably DCT-rounding-independent: "
+    "signed aHash = -(2^(8·r0)) with r0 = ceil(split/4), which the "
+    "oracle states without seeing a byte of MP4 or JPEG — any sample-"
+    "table, extraction, JPEG, or keyframe-flag defect changes the hash "
+    "or the row set (operators/mp4.py; operators/multimodal.py "
+    "sample_video_frames/mjpeg_frame_hashes).",
+)
+def multimodal_mjpeg_frames(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.jpeg import (
+        encode_jpeg,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.mp4 import (
+        build_minimal_mp4,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        mjpeg_frame_hashes,
+        sample_video_frames,
+    )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 64).select("doc_id")
+
+    def op(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                frames = []
+                for k in range(6):
+                    split = 8 + (did + 5 * k) % 16
+                    a = (did * 7 + k) % 96
+                    b = 160 + (did * 11 + k) % 96
+                    px = np.full((32, 32, 3), a, dtype=np.uint8)
+                    px[split:, :, :] = b
+                    frames.append(encode_jpeg(px, quality=90))
+                payload = build_minimal_mp4(
+                    frames, width=32, height=32, codec=b"jpeg", keyframes=[1, 4]
+                )
+                rows.append(
+                    {
+                        "media_id": did,
+                        "kind": "video",
+                        "payload": payload,
+                        "meta": None,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    media = d.mapInPandas(op, MEDIA_SCHEMA)
+    return (
+        mjpeg_frame_hashes(sample_video_frames(media, every_n=2))
+        .select(
+            F.col("media_id").alias("doc_id"),
+            "frame_idx",
+            "is_keyframe",
+            "ahash",
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+@register(
     "lake_branch_wap_roundtrip",
     oracle=f"""
         WITH o AS (

@@ -1013,6 +1013,60 @@ def sample_video_frames(
     ).mapInPandas(op, VIDEO_SAMPLE_SCHEMA)
 
 
+#: MP4 sample-entry fourccs whose access units are plain JPEG images
+MJPEG_FOURCCS = ("jpeg", "mjpa", "mjpb", "MJPG", "AVDJ", "dmb1")
+
+FRAME_HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("is_keyframe", T.BooleanType(), True),
+        T.StructField("ahash", T.LongType(), True),
+    ]
+)
+
+
+def mjpeg_frame_hashes(frames: DataFrame, hash_size: int = 8) -> DataFrame:
+    """Decode MJPEG video frames END-TO-END with zero new codec code:
+    for MJPEG-fourcc tracks each access unit :func:`sample_video_frames`
+    extracts IS a complete JPEG, so the T.81 decoder + aHash already in
+    the engine apply per frame. Input is VIDEO_SAMPLE_SCHEMA rows;
+    output (media_id, frame_idx, is_keyframe, ahash) plugs straight into
+    :func:`ahash_near_duplicates` (key the id on
+    media_id * max_frames + frame_idx for frame-level dedup). Non-MJPEG
+    codecs and torn frames yield NULL hashes — the declared H.264
+    boundary stays per-row-visible. Arrow pass, partition-preserving;
+    decode goes through the registry seam, so a libjpeg swap covers
+    video frames too."""
+    decoders = dict(IMAGE_DECODERS)  # plan-time snapshot (registry seam)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in FRAME_HASH_SCHEMA.fields]
+        for pdf in batches:
+            def h(row):
+                codec, fb = row
+                if codec not in MJPEG_FOURCCS or fb is None:
+                    return None
+                try:
+                    return average_hash(bytes(fb), hash_size, decoders)
+                except Exception:
+                    return None
+
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "is_keyframe": pdf["is_keyframe"],
+                    "ahash": [
+                        h(r) for r in zip(pdf["codec"], pdf["frame_bytes"])
+                    ],
+                }
+            )
+            yield out[out["frame_idx"] >= 0][cols]
+
+    return frames.mapInPandas(op, FRAME_HASH_SCHEMA)
+
+
 def perceptual_hash(
     payload: bytes, hash_size: int = 8, decoders: dict | None = None
 ) -> int:

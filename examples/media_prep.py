@@ -39,6 +39,7 @@ from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal impo
     encode_png,
     extract_features,
     ingest_media_dir,
+    mjpeg_frame_hashes,
     sample_video_frames,
     with_audio_hash,
     with_average_hash,
@@ -66,6 +67,19 @@ def synthesize(src: str) -> None:
     frames = [bytes([i]) * 64 for i in range(12)]
     with open(os.path.join(src, "clip.mp4"), "wb") as f:
         f.write(build_minimal_mp4(frames, width=64, height=48, keyframes=[1, 7]))
+    # an MJPEG clip: every access unit IS a JPEG, so frames decode
+    # end-to-end with zero new codec code (two near-identical frames +
+    # one different frame -> a frame-level near-dup pair)
+    fa = rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)
+    fb = fa.copy()
+    fb[0, 0] ^= 2
+    jframes = [encode_jpeg(p, quality=100) for p in (fa, fb, far[:32, :32])]
+    with open(os.path.join(src, "clip_mjpeg.mp4"), "wb") as f:
+        f.write(
+            build_minimal_mp4(
+                jframes, width=32, height=32, codec=b"jpeg", keyframes=[1]
+            )
+        )
 
 
 def main() -> None:
@@ -96,6 +110,16 @@ def main() -> None:
     kf = sample_video_frames(media, keyframes_only=True)
     print("MP4 keyframe samples (byte-exact container extraction):")
     kf.select("media_id", "frame_idx", "is_keyframe", "codec", "width", "height").show()
+
+    # MJPEG end-to-end: container extraction -> JPEG decode -> frame aHash
+    # -> frame-level near-dup pairs (H.264 tracks yield NULL hashes)
+    fh = mjpeg_frame_hashes(sample_video_frames(media, every_n=1))
+    keyed = fh.where(F.col("ahash").isNotNull()).select(
+        F.xxhash64("media_id", "frame_idx").alias("media_id"), "ahash"
+    )
+    print("MJPEG frame hashes + frame-level near-duplicate pairs:")
+    fh.show()
+    ahash_near_duplicates(keyed, max_hamming=3).show()
     spark.stop()
 
 

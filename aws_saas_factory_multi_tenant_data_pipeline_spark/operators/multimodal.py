@@ -316,8 +316,18 @@ def _stdlib_image_decoders() -> dict:
     return {"png": decode_png, "jpeg": _decode_jpeg_rgb, "ppm": decode_ppm}
 
 
+def _decode_mp3_mono(payload: bytes):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.mp3 import (
+        decode_mp3,
+    )
+
+    samples, sr, ch = decode_mp3(payload)
+    x = samples.mean(axis=1) if ch > 1 else samples[:, 0]
+    return x, sr, ch
+
+
 def _stdlib_audio_decoders() -> dict:
-    return {"wav": decode_wav, "flac": _decode_flac_mono}
+    return {"wav": decode_wav, "flac": _decode_flac_mono, "mp3": _decode_mp3_mono}
 
 
 IMAGE_DECODERS: dict = _stdlib_image_decoders()
@@ -345,6 +355,14 @@ def sniff_audio_format(payload: bytes) -> str | None:
         return "wav"
     if payload[:4] == b"fLaC":
         return "flac"
+    if payload[:3] == b"ID3" or (
+        len(payload) >= 2
+        and payload[0] == 0xFF
+        and (payload[1] & 0xE0) == 0xE0
+        and (payload[1] >> 1) & 0x3 == 1  # Layer III
+        and (payload[1] >> 3) & 0x3 != 1
+    ):
+        return "mp3"
     return None
 
 

@@ -79,7 +79,7 @@ def test_register_unknown_format_rejected():
     with pytest.raises(ValueError, match="unknown image format"):
         register_image_decoder("webp", lambda p: None)
     with pytest.raises(ValueError, match="unknown audio format"):
-        register_audio_decoder("mp3", lambda p: None)
+        register_audio_decoder("ogg", lambda p: None)
 
 
 def test_swap_changes_path_passthrough_preserves_results_local():

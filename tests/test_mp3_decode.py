@@ -1,0 +1,224 @@
+"""MP3 Layer III PCM decode — the verification ladder for a codec with
+no reference decoder in the container (SURVEY §5 conventions):
+
+1. STRUCTURAL: every shipped Huffman table is a complete prefix code
+   (Kraft sum exactly 1 + prefix-freeness, enforced at import); the
+   validator itself is proven to catch single-entry corruptions.
+2. CLOSED-FORM SPECTRAL: hand-assembled spec-literal frames decode to
+   exactly the chosen quantized values, and requantization matches
+   sign(v)*|v|^(4/3)*2^((gg-210)/4) to 1e-12 — side info, scalefactors,
+   Huffman, and bit accounting pinned without circularity (the expected
+   spectrum never touches the decoder).
+3. FILTERBANK MATH: IMDCT windows satisfy their mirror/overlap
+   identities; a single-subband excitation synthesizes to a tone whose
+   FFT peak sits in that subband's frequency range with bounded
+   leakage (validates the cosine modulation structure + near-PR
+   prototype, which is computed and DECLARED approximate).
+4. INTEROP: the one real-world MP3 in the container (a silent MPEG-2
+   LSF stream) decodes end-to-end to exact digital silence with the
+   right geometry.
+5. BOUNDARIES + TEAR: unavailable Huffman tables and intensity stereo
+   raise declared ValueErrors; 300-case mutation fuzz never escapes
+   ValueError.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators import mp3 as M
+
+REAL_MP3 = "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/test_data/test.mp3"
+
+
+# --- 1. structural ---------------------------------------------------------
+
+def test_shipped_tables_are_complete_prefix_codes():
+    # import already ran the validator; assert the shipped inventory
+    assert sorted(M.HUFFMAN_BIG) == [1, 2, 3, 5, 6, 7, 8, 9, 10]
+    for name, tab in [("count1A", M.HUFFMAN_COUNT1A), ("count1B", M.HUFFMAN_COUNT1B)]:
+        assert abs(sum(2.0 ** -ln for _c, ln in tab.values()) - 1.0) < 1e-12, name
+
+
+@pytest.mark.parametrize("mutation", ["len", "code"])
+def test_validator_catches_single_entry_corruption(mutation):
+    tab = dict(M.HUFFMAN_BIG[7])
+    key = (2, 3)
+    code, ln = tab[key]
+    tab[key] = (code, ln + 1) if mutation == "len" else (code ^ 1, ln)
+    with pytest.raises(AssertionError):
+        M._validate_huffman("corrupted", tab)
+
+
+# --- 2. closed-form spectral ----------------------------------------------
+
+@pytest.mark.parametrize("gg", [204, 210, 214])
+def test_spectral_stage_is_closed_form_exact(gg):
+    ix0 = [4, -3, 2, 7, 0, 1, -1, 0, 1, 1, 0, 0, -1, 0, 0, 1] + [0] * 560
+    ix1 = [0, 1, -1, 1] + [0] * 572
+    frame = M.build_mp3_frame_l3([ix0, ix1], global_gain=gg)
+    info = M._probe_inner(frame)
+    off, fb = info["frames"][0]
+    mdb, grans, sb, _scfsi = M._parse_side_info(frame[off + 4 : off + 36], False, 1)
+    assert mdb == 0
+    bits = M._Bits(frame[off + 4 + sb : off + fb], 0)
+    for gi, ix_exp in enumerate([ix0, ix1]):
+        g = grans[gi][0]
+        end_bit = bits.p + g.part2_3_length
+        sf_l, sf_s = M._read_scalefactors_v1(bits, g, None, None)
+        assert sf_l == [0] * 21
+        ix, _nz = M._huffman_spectrum(bits, g, 44100, end_bit)
+        assert ix == ix_exp
+        assert bits.p == end_bit  # bit-exact part2_3_length accounting
+        xr = M._requantize(ix, g, 44100, sf_l, sf_s)
+        exp = (
+            np.sign(ix_exp)
+            * np.abs(np.asarray(ix_exp, float)) ** (4.0 / 3.0)
+            * 2.0 ** ((gg - 210) / 4.0)
+        )
+        assert np.allclose(xr, exp, rtol=0, atol=1e-12)
+
+
+def test_all_shipped_tables_roundtrip_through_the_builder():
+    """Force each shipped table via its value range; decode must return
+    the exact quantized values (table content self-consistency at the
+    bitstream level, including sign bits)."""
+    for maxv, tid in [(1, 1), (2, 3), (3, 5), (5, 7), (7, 10)]:
+        rng = np.random.RandomState(tid)
+        ix = [int(v) for v in rng.randint(-maxv, maxv + 1, 30)]
+        ix[0] = maxv  # pin the extreme entry
+        frame = M.build_mp3_frame_l3([ix + [0] * 546, [0] * 576])
+        info = M._probe_inner(frame)
+        off, fb = info["frames"][0]
+        _mdb, grans, sb, _ = M._parse_side_info(frame[off + 4 : off + 36], False, 1)
+        assert grans[0][0].table_select[0] == tid
+        bits = M._Bits(frame[off + 4 + sb : off + fb], 0)
+        g = grans[0][0]
+        M._read_scalefactors_v1(bits, g, None, None)
+        got, _ = M._huffman_spectrum(bits, g, 44100, g.part2_3_length)
+        assert got[:30] == ix
+
+
+# --- 3. filterbank math ----------------------------------------------------
+
+def test_imdct_window_identities():
+    w0, w1, w3 = M._IMDCT_WIN[0], M._IMDCT_WIN[1], M._IMDCT_WIN[3]
+    assert np.allclose(w0, w0[::-1])  # long window symmetric
+    assert np.allclose(w1, w3[::-1])  # start is time-reversed stop
+    # princen-bradley overlap condition for the long window halves
+    assert np.allclose(w0[:18] ** 2 + w0[18:] ** 2, 1.0)
+
+
+def test_single_subband_tone_lands_in_its_band():
+    """Excite subband k only; synthesis output must concentrate its
+    spectrum inside band k's range [k, k+1]*(sr/64) — the modulation
+    structure check; leakage bound documents the computed prototype."""
+    for k in (0, 3, 11):
+        bank = M._SynthBank()
+        # constant-envelope alternating excitation keeps subband k busy
+        out = []
+        for _ in range(8):
+            s = np.zeros((32, 18))
+            s[k] = np.cos(np.arange(18) * np.pi / 2)
+            out.append(bank.process(s))
+        x = np.concatenate(out)[576:]  # drop warmup
+        spec = np.abs(np.fft.rfft(x * np.hanning(x.size)))
+        # band edges in FFT bins: band k covers [k/64, (k+1)/64] of fs
+        n = x.size
+        lo, hi = int(n * k / 64) - 8, int(n * (k + 1) / 64) + 8
+        inband = spec[max(lo, 0) : hi].sum()
+        total = spec.sum()
+        assert inband / total > 0.95, (k, inband / total)
+
+
+def test_decode_energy_tracks_spectral_energy():
+    """End-to-end sanity: more spectral energy in, more PCM energy out
+    (monotone), and silence in -> exact silence out."""
+    quiet = M.build_mp3_frame_l3([[1, 1, 0, 0] + [0] * 572, [0] * 576])
+    loud = M.build_mp3_frame_l3([[7, -7, 7, -7] * 8 + [0] * 544, [0] * 576])
+    silent = M.build_mp3_frame_l3([[0] * 576, [0] * 576])
+    rms = {}
+    for name, f in [("quiet", quiet), ("loud", loud), ("silent", silent)]:
+        pcm, sr, ch = M.decode_mp3(f)
+        assert pcm.shape == (1152, 1) and sr == 44100 and ch == 1
+        rms[name] = float(np.sqrt((pcm ** 2).mean()))
+    assert rms["silent"] == 0.0
+    assert rms["loud"] > rms["quiet"] > 0.0
+
+
+# --- 4. interop ------------------------------------------------------------
+
+@pytest.mark.skipif(not os.path.exists(REAL_MP3), reason="no real mp3 on host")
+def test_real_world_file_decodes_to_exact_silence():
+    data = open(REAL_MP3, "rb").read()
+    pcm, sr, ch = M.decode_mp3(data)
+    assert (sr, ch) == (22050, 1)
+    assert pcm.shape == (45 * 576, 1)  # MPEG-2 LSF: one granule per frame
+    assert float(np.abs(pcm).max()) == 0.0  # digital silence, exactly
+
+
+def test_audio_registry_accepts_mp3():
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        decode_audio,
+        sniff_audio_format,
+    )
+
+    frame = M.build_mp3_frame_l3([[4, 4, -4, 4] * 4 + [0] * 560, [0] * 576])
+    assert sniff_audio_format(frame) == "mp3"
+    x, sr, ch = decode_audio(frame)
+    assert sr == 44100 and ch == 1 and x.shape == (1152,)
+    assert float(np.abs(x).max()) > 0.0
+
+
+# --- 5. declared boundaries + tear contract -------------------------------
+
+def _frame_with_table(tid: int) -> bytes:
+    """A syntactically-valid frame whose granule 0 selects ``tid``."""
+    base = bytearray(M.build_mp3_frame_l3([[2, 2] + [0] * 574, [0] * 576]))
+    # table_select[0] of granule 0 sits at side-info bit 18+12+9+8+4+1 = 52
+    # (after the 4-byte header): rewrite 5 bits at bit offset 52
+    off = 4 * 8 + 52
+    for i in range(5):
+        bit = (tid >> (4 - i)) & 1
+        byte, sh = (off + i) >> 3, 7 - ((off + i) & 7)
+        base[byte] = (base[byte] & ~(1 << sh)) | (bit << sh)
+    return bytes(base)
+
+
+def test_unavailable_huffman_table_raises_declared_error():
+    with pytest.raises(ValueError, match="huffman table 16 unavailable"):
+        M.decode_mp3(_frame_with_table(16))
+    with pytest.raises(ValueError, match="huffman table 13 unavailable"):
+        M.decode_mp3(_frame_with_table(13))
+    with pytest.raises(ValueError, match="reserved"):
+        M.decode_mp3(_frame_with_table(4))
+
+
+def test_intensity_stereo_raises_declared_error():
+    frame = bytearray(M.build_mp3_frame_l3([[0] * 576, [0] * 576]))
+    frame[3] = (1 << 6) | (1 << 4)  # joint stereo, intensity bit set
+    with pytest.raises(ValueError, match="intensity stereo"):
+        M.decode_mp3(bytes(frame))
+
+
+def test_tear_contract_mutation_fuzz():
+    base = M.build_mp3_frame_l3(
+        [[3, -2, 1, 1, 0, -1] + [0] * 570, [1, 1, -1, 1] + [0] * 572]
+    )
+    rng = np.random.RandomState(42)
+    outcomes = {"ok": 0, "valueerror": 0}
+    for _ in range(300):
+        b = bytearray(base)
+        for _k in range(rng.randint(1, 4)):
+            b[rng.randint(len(b))] ^= 1 << rng.randint(8)
+        try:
+            pcm, _sr, _ch = M.decode_mp3(bytes(b))
+            assert np.isfinite(pcm).all()
+            outcomes["ok"] += 1
+        except ValueError:
+            outcomes["valueerror"] += 1
+        # anything else escapes and fails the test
+    assert outcomes["valueerror"] > 0  # the fuzz actually bites

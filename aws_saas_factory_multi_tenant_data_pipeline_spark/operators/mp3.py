@@ -985,22 +985,29 @@ def build_mp3_frame_l3(
     sample_rate: int = 44100,
     bitrate_kbps: int = 320,
     global_gain: int = 210,
+    ms_stereo: bool = False,
 ) -> bytes:
-    """Assemble one real MPEG-1 Layer III MONO frame from per-granule
+    """Assemble one real MPEG-1 Layer III frame from per-granule
     quantized spectra (the spec-literal fixture builder, the same role
-    the FLAC/JPEG/MP4 builders play): each granule is a list of up to
-    576 ints with |v| <= 7; the leading even-length run of values with
-    |v| > 1 (plus enough pairs to cover them) is coded as big_values
-    with one auto-selected shipped table, the remainder as count1
-    quadruples (|v| <= 1 there). Long blocks, scalefactors all zero
-    (scalefac_compress 0), no reservoir (main_data_begin 0). The
-    expected requantized spectrum is closed-form:
+    the FLAC/JPEG/MP4 builders play): ``granules`` is two entries, each
+    either a flat int list (mono) or a [left, right] pair (stereo; set
+    ``ms_stereo`` to mark the pair as mid/side). Values |v| <= 7; the
+    leading even-length run covering everything with |v| > 1 is coded
+    as big_values with one auto-selected shipped table, the remainder
+    as count1 quadruples (|v| <= 1 there). Long blocks, scalefactors
+    all zero (scalefac_compress 0), no reservoir (main_data_begin 0).
+    The expected requantized spectrum is closed-form:
     xr[i] = sign(v) * |v|^(4/3) * 2^((global_gain - 210) / 4)."""
     if len(granules) != 2:
         raise ValueError("MPEG-1 needs exactly 2 granules")
+    stereo = bool(granules[0]) and isinstance(granules[0][0], (list, tuple))
+    chans = 2 if stereo else 1
+    flat = []
+    for gr in granules:
+        flat.extend(gr if stereo else [gr])
     gr_bits = []
     gr_meta = []
-    for ix in granules:
+    for ix in flat:
         ix = list(ix) + [0] * (576 - len(ix))
         if len(ix) > 576:
             raise ValueError("at most 576 spectral values")
@@ -1042,9 +1049,9 @@ def build_mp3_frame_l3(
                     w.w(1 if q < 0 else 0, 1)
         gr_bits.append(w)
         gr_meta.append((big_end // 2, tid))
-    # side info (mono, 17 bytes)
     side = _BitWriter()
-    side.w(0, 9).w(0, 5).w(0, 4)  # main_data_begin, private, scfsi
+    # main_data_begin, private, scfsi (per channel)
+    side.w(0, 9).w(0, 5 if chans == 1 else 3).w(0, 4 * chans)
     for w, (bv, tid) in zip(gr_bits, gr_meta):
         side.w(w.bitpos(), 12).w(bv, 9).w(global_gain, 8).w(0, 4)
         side.w(0, 1)  # no window switching (long block)
@@ -1062,7 +1069,11 @@ def build_mp3_frame_l3(
     fb = (1152 // 8 * bitrate_kbps * 1000) // sample_rate
     if 4 + len(payload) > fb:
         raise ValueError("spectra too dense for the chosen bitrate")
+    if chans == 2:
+        mode_bits = (1 << 6) | (1 << 5) if ms_stereo else 0  # joint-MS | stereo
+    else:
+        mode_bits = 3 << 6
     hdr = bytes([0xFF, 0xE0 | (3 << 3) | (1 << 1) | 1,
-                 (br_idx << 4) | (sr_idx << 2), 3 << 6])
+                 (br_idx << 4) | (sr_idx << 2), mode_bits])
     body = hdr + payload + bytes(fb - 4 - len(payload))
     return body

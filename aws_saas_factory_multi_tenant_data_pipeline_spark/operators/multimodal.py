@@ -17,10 +17,14 @@ stereo decorrelation, STREAMINFO md5 cross-check — the format speech
 corpora like LibriSpeech actually ship). The MP4 CONTAINER layer is
 real too (``operators/mp4.py``: ISO-BMFF box walk, track metadata,
 sample tables, byte-exact frame extraction —
-:func:`sample_video_frames`); only the access-unit pixel/audio decode
-inside it (H.264, MP3) stays stubbed via the deterministic
-digest-derived fallback (codec libraries are not in this container);
-the ``decoded`` output column says which path a row took.
+:func:`sample_video_frames`), and MJPEG tracks decode END-TO-END
+(each access unit is a JPEG — :func:`mjpeg_frame_hashes`). MP3 has a
+REAL scoped Layer III decode as of round 7 (``operators/mp3.py``:
+full chain with three declared ValueError boundaries — Huffman tables
+11-31, intensity stereo, computed synthesis prototype); only H.264
+access-unit decode stays stubbed via the deterministic digest-derived
+fallback (it genuinely exceeds stdlib reach); the ``decoded`` output
+column says which path a row took.
 """
 
 from __future__ import annotations

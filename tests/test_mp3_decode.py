@@ -222,3 +222,34 @@ def test_tear_contract_mutation_fuzz():
             outcomes["valueerror"] += 1
         # anything else escapes and fails the test
     assert outcomes["valueerror"] > 0  # the fuzz actually bites
+
+
+def test_ms_stereo_linearity_against_mono_decodes():
+    """MS reconstruction: L=(M+S)/sqrt2, R=(M-S)/sqrt2, and everything
+    after the stereo stage is linear per channel — so PCM_L + PCM_R must
+    equal sqrt2 * decode(mid) and PCM_L - PCM_R equal sqrt2 *
+    decode(side), sample-exact up to float tolerance."""
+    mid = [4, -3, 2, 2, 0, 1, -1, 0, 1, 1, 0, 0] + [0] * 564
+    side = [1, 1, 0, -1, 1, 0, 0, 0] + [0] * 568
+    gr1 = [0] * 576
+    ms = M.build_mp3_frame_l3([[mid, side], [gr1, gr1]], ms_stereo=True)
+    pcm, sr, ch = M.decode_mp3(ms)
+    assert ch == 2 and pcm.shape == (1152, 2)
+    mono_mid, _, _ = M.decode_mp3(M.build_mp3_frame_l3([mid, gr1]))
+    mono_side, _, _ = M.decode_mp3(M.build_mp3_frame_l3([side, gr1]))
+    s2 = np.sqrt(2.0)
+    assert np.allclose(pcm[:, 0] + pcm[:, 1], s2 * mono_mid[:, 0], atol=1e-9)
+    assert np.allclose(pcm[:, 0] - pcm[:, 1], s2 * mono_side[:, 0], atol=1e-9)
+
+
+def test_plain_stereo_channels_decode_independently():
+    l = [2, 2, 1, -1] + [0] * 572
+    r = [0, -2, 2, 1] + [0] * 572
+    gr1 = [0] * 576
+    st = M.build_mp3_frame_l3([[l, r], [gr1, gr1]])
+    pcm, _sr, ch = M.decode_mp3(st)
+    assert ch == 2
+    ml, _, _ = M.decode_mp3(M.build_mp3_frame_l3([l, gr1]))
+    mr, _, _ = M.decode_mp3(M.build_mp3_frame_l3([r, gr1]))
+    assert np.allclose(pcm[:, 0], ml[:, 0], atol=1e-12)
+    assert np.allclose(pcm[:, 1], mr[:, 0], atol=1e-12)

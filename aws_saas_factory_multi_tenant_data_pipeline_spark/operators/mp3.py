@@ -880,10 +880,14 @@ def decode_mp3(payload: bytes, synthesis_window=None):
 def _decode_inner(payload: bytes, synthesis_window=None):
     info = _probe_inner(payload)
     sr, ch = info["sample_rate"], info["channels"]
+    if sr not in SFB_LONG:
+        raise ValueError(
+            f"MPEG-2.5 rate {sr} Hz: scalefactor band tables not shipped "
+            "(declared boundary; frame layer still parses these streams)"
+        )
     lsf = info["version"] != "MPEG1"
     ngr = 1 if lsf else 2
     reservoir = b""
-    res_frame_starts: list[int] = []
     overlap = [np.zeros((32, 18)) for _ in range(ch)]
     banks = [_SynthBank(synthesis_window) for _ in range(ch)]
     pcm = []

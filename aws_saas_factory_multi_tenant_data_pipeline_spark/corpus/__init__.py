@@ -376,6 +376,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "tenant_tiered_quota",
     # r7 wave (driver round 7)
     "multimodal_mjpeg_frames",
+    "multimodal_mp3_spectral",
 )
 
 

@@ -231,3 +231,88 @@ def lake_branch_wap_roundtrip(spark, sf_dir):
         "kind string, k string, n long, val double",
     )
     return main_rows.unionByName(state_rows).orderBy("kind", "k")
+
+
+@register(
+    "multimodal_mp3_spectral",
+    oracle="""
+        WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 48),
+        g0 AS (
+            SELECT d.doc_id, 0 AS granule,
+                   CAST(SUM(CASE WHEN u >= 0 THEN POWER(u, 4)
+                                 ELSE -POWER(-u, 4) END)
+                        * POWER(8, d.doc_id % 3) AS BIGINT) AS val,
+                   CAST(SUM(CASE WHEN u <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_nonzero
+            FROM d CROSS JOIN (
+                SELECT k, doc_id, ((doc_id + k) % 15) - 7 AS u
+                FROM d, range(16) t(k)) s
+            WHERE s.doc_id = d.doc_id
+            GROUP BY d.doc_id),
+        g1 AS (
+            SELECT d.doc_id, 1 AS granule,
+                   CAST(SUM(CASE WHEN w >= 0 THEN POWER(w, 4)
+                                 ELSE -POWER(-w, 4) END)
+                        * POWER(8, d.doc_id % 3) AS BIGINT) AS val,
+                   CAST(SUM(CASE WHEN w <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_nonzero
+            FROM d CROSS JOIN (
+                SELECT k, doc_id, ((doc_id * 3 + k) % 3) - 1 AS w
+                FROM d, range(8) t(k)) s
+            WHERE s.doc_id = d.doc_id
+            GROUP BY d.doc_id)
+        SELECT doc_id, granule, val, n_nonzero FROM g0
+        UNION ALL SELECT doc_id, granule, val, n_nonzero FROM g1
+        ORDER BY doc_id, granule
+    """,
+    tags=("B10", "multimodal", "audio"),
+    doc="MP3 Layer III decode with an ANALYTIC oracle over the "
+    "SPEC-EXACT stages: per doc a real MPEG-1 frame is assembled "
+    "(build_mp3_frame_l3 — Huffman-coded big-values with an "
+    "auto-selected shipped table, count1 quadruples, global_gain "
+    "210 + 4*(doc_id%3)) and decoded by the real chain (side info, "
+    "scalefactors, Huffman with bit-exact part2_3_length accounting, "
+    "power-law requantization). Because xr = sign(v)*|v|^(4/3)*2^m "
+    "with integer m, the per-granule sum of rint(xr^3) is the exact "
+    "integer sum(sign(v)*v^4)*8^m — which the oracle states in pure "
+    "SQL from the doc_id formula without seeing an MP3 byte. Any "
+    "side-info, table, sign-bit, bit-accounting, or exponent defect "
+    "changes val or n_nonzero (operators/mp3.py decode_mp3_spectra).",
+)
+def multimodal_mp3_spectral(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.mp3 import (
+        build_mp3_frame_l3,
+        decode_mp3_spectra,
+    )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 48).select("doc_id")
+
+    def op(batches):
+        cols = ["doc_id", "granule", "val", "n_nonzero"]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                gr0 = [((did + k) % 15) - 7 for k in range(16)]
+                gr1 = [((did * 3 + k) % 3) - 1 for k in range(8)]
+                frame = build_mp3_frame_l3(
+                    [gr0, gr1], global_gain=210 + 4 * (did % 3)
+                )
+                for _fi, gi, _c, xr in decode_mp3_spectra(frame):
+                    cubes = np.rint(xr ** 3).astype(np.int64)
+                    rows.append(
+                        {
+                            "doc_id": did,
+                            "granule": gi,
+                            "val": int(cubes.sum()),
+                            "n_nonzero": int((xr != 0).sum()),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return d.mapInPandas(
+        op, "doc_id long, granule int, val long, n_nonzero long"
+    ).orderBy("doc_id", "granule")

@@ -1081,3 +1081,63 @@ def build_mp3_frame_l3(
                  (br_idx << 4) | (sr_idx << 2), mode_bits])
     body = hdr + payload + bytes(fb - 4 - len(payload))
     return body
+
+
+def decode_mp3_spectra(payload: bytes):
+    """Decode an MP3 payload through the SPEC-EXACT stages only (side
+    info, scalefactors, Huffman, requantization) and return the
+    requantized spectra: a list of (frame_idx, granule_idx, channel_idx,
+    xr ndarray[576]) — no stereo processing, no filterbank, so every
+    value is the closed-form sign(v)*|v|^(4/3)*2^(...) the oracle
+    queries pin analytically. ValueError-only tear contract, same
+    declared boundaries as :func:`decode_mp3`."""
+    try:
+        return _decode_spectra_inner(payload)
+    except ValueError:
+        raise
+    except Exception as exc:
+        raise ValueError(f"corrupt MP3: {type(exc).__name__}: {exc}") from exc
+
+
+def _decode_spectra_inner(payload: bytes):
+    info = _probe_inner(payload)
+    sr, ch = info["sample_rate"], info["channels"]
+    if sr not in SFB_LONG:
+        raise ValueError(
+            f"MPEG-2.5 rate {sr} Hz: scalefactor band tables not shipped "
+            "(declared boundary)"
+        )
+    lsf = info["version"] != "MPEG1"
+    ngr = 1 if lsf else 2
+    reservoir = b""
+    out = []
+    for fi, (off, fb) in enumerate(info["frames"]):
+        b1, b3 = payload[off + 1], payload[off + 3]
+        protected = (b1 & 1) == 0
+        if ((b3 >> 6) & 3) == 1 and ((b3 >> 4) & 1):
+            raise ValueError("intensity stereo not supported (declared)")
+        side_off = off + 4 + (2 if protected else 0)
+        mdb, grans, side_bytes, scfsi = _parse_side_info(
+            payload[side_off : side_off + 32], lsf, ch
+        )
+        main = payload[side_off + side_bytes : off + fb]
+        if mdb > len(reservoir):
+            raise ValueError("main_data_begin reaches before the reservoir")
+        bits = _Bits(reservoir + main, (len(reservoir) - mdb) * 8)
+        prev_sf = [None] * ch
+        for gi in range(ngr):
+            for c in range(ch):
+                g = grans[gi][c]
+                end_bit = bits.p + g.part2_3_length
+                if lsf:
+                    sf_l, sf_s = _read_scalefactors_lsf(bits, g)
+                else:
+                    sf_l, sf_s = _read_scalefactors_v1(
+                        bits, g, scfsi[c] if gi == 1 else None, prev_sf[c]
+                    )
+                prev_sf[c] = (sf_l, sf_s)
+                ix, _nz = _huffman_spectrum(bits, g, sr, end_bit)
+                xr = _requantize(ix, g, sr, sf_l, sf_s)
+                out.append((fi, gi, c, _reorder_short(xr, g, sr)))
+        reservoir = (reservoir + main)[-511:]
+    return out

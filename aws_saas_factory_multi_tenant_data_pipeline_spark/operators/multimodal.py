@@ -1225,3 +1225,74 @@ def with_spectral_fingerprint(
         ]
     )
     return media.mapInPandas(op, schema)
+
+
+def encode_wav(x, sample_rate: int) -> bytes:
+    """Encode mono float samples in [-1, 1] as 16-bit PCM WAV (stdlib)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    pcm = np.clip(np.round(np.asarray(x, np.float64) * 32767.0), -32768, 32767)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(pcm.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def transcode_audio(
+    media: DataFrame, target_sr: int | None = None
+) -> DataFrame:
+    """Normalize a heterogeneous audio corpus to mono 16-bit PCM WAV:
+    every payload the registry can decode (WAV, FLAC, decodable MP3)
+    becomes a WAV payload — optionally linear-interp resampled to
+    ``target_sr`` — with ``transcoded = true``; everything else (torn
+    payloads, the declared MP3/H.264 boundaries) passes through
+    UNCHANGED with ``transcoded = false``, so nothing is silently
+    dropped. This is the prep step before uniform-format training
+    shards: downstream feature/envelope jobs then see one format. Arrow
+    pass, partition-preserving; decode dispatches through the codec
+    registry (plan-time snapshot), so a native-codec swap accelerates
+    transcode too."""
+    import numpy as np
+
+    decoders = dict(AUDIO_DECODERS)  # plan-time snapshot (registry seam)
+
+    out_schema = T.StructType(
+        list(MEDIA_SCHEMA.fields)
+        + [T.StructField("transcoded", T.BooleanType(), False)]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            metas = []
+            flags = []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                try:
+                    x, sr, _ch = decode_audio(bytes(payload), decoders)
+                    if len(x) == 0:
+                        raise ValueError("empty audio")
+                    if target_sr is not None and target_sr != sr:
+                        n_out = max(1, int(round(len(x) * target_sr / sr)))
+                        pos = np.arange(n_out, dtype=np.float64) * (sr / target_sr)
+                        lo = np.clip(np.floor(pos).astype(np.int64), 0, len(x) - 1)
+                        hi = np.clip(lo + 1, 0, len(x) - 1)
+                        x = x[lo] * (1.0 - (pos - lo)) + x[hi] * (pos - lo)
+                        sr = target_sr
+                    payloads.append(encode_wav(x, sr))
+                    metas.append(
+                        {**(meta or {}), "sample_rate": sr, "mime": "audio/wav"}
+                    )
+                    flags.append(True)
+                except Exception:
+                    payloads.append(payload)
+                    metas.append(meta)
+                    flags.append(False)
+            yield pdf.assign(payload=payloads, meta=metas, transcoded=flags)
+
+    return media.where(F.col("kind") == "audio").mapInPandas(op, out_schema)

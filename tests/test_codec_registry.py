@@ -173,3 +173,50 @@ def test_swap_reaches_spark_workers_via_plan_snapshot(spark):
     assert {
         r.media_id: r.ahash for r in with_average_hash(media).collect()
     } == baseline
+
+
+def test_transcode_audio_normalizes_formats(spark):
+    """FLAC and decodable MP3 payloads become mono 16-bit PCM WAV within
+    one LSB of the decoded samples; undecodable payloads pass through
+    unchanged with transcoded=false (nothing silently dropped)."""
+    import numpy as np
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.flac import (
+        encode_flac,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.mp3 import (
+        build_mp3_frame_l3,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_audio,
+        decode_wav,
+        transcode_audio,
+    )
+
+    tone = (np.sin(np.arange(4000) * 0.05) * 12000).astype(np.int64)
+    flac = encode_flac(tone, 16000)
+    mp3 = build_mp3_frame_l3([[4, -4, 3, 3] * 4 + [0] * 560, [0] * 576])
+    rows = [
+        (1, "audio", bytearray(flac), (None, None, 16000, None, "audio/flac")),
+        (2, "audio", bytearray(mp3), (None, None, 44100, None, "audio/mpeg")),
+        (3, "audio", bytearray(b"garbage-not-audio"), (None,) * 4 + ("x",)),
+        (4, "image", bytearray(b"P6\n1 1\n255\nabc"), (None,) * 5),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in transcode_audio(media).collect()}
+    assert set(out) == {1, 2, 3}  # image row filtered, audio rows all kept
+    assert out[1].transcoded and out[2].transcoded and not out[3].transcoded
+    assert bytes(out[3].payload) == b"garbage-not-audio"  # untouched
+    for mid, src in [(1, flac), (2, mp3)]:
+        y, ysr, _ = decode_wav(bytes(out[mid].payload))
+        x, xsr, _ = decode_audio(src)
+        assert ysr == xsr and out[mid].meta.sample_rate == xsr
+        assert np.abs(
+            np.round(y * 32768) - np.round(x * 32767)
+        ).max() <= 1.0  # within one LSB of the decoded samples
+    # resample path: FLAC 16 kHz -> 8 kHz halves the sample count
+    out8 = {r.media_id: r for r in transcode_audio(media, target_sr=8000).collect()}
+    y8, sr8, _ = decode_wav(bytes(out8[1].payload))
+    assert sr8 == 8000 and abs(y8.size - 2000) <= 1
+    assert out8[1].meta.sample_rate == 8000

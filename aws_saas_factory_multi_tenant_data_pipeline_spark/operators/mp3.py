@@ -1141,3 +1141,90 @@ def _decode_spectra_inner(payload: bytes):
                 out.append((fi, gi, c, _reorder_short(xr, g, sr)))
         reservoir = (reservoir + main)[-511:]
     return out
+
+
+def build_mp3_frame_lsf(
+    ix,
+    sample_rate: int = 22050,
+    bitrate_kbps: int = 64,
+    global_gain: int = 210,
+    scalefac_compress: int = 0,
+) -> bytes:
+    """LSF (MPEG-2) mono fixture frame: ONE granule of up to 576
+    quantized values, same big-values/count1 auto-split and closed-form
+    contract as :func:`build_mp3_frame_l3`, plus an arbitrary 9-bit
+    ``scalefac_compress`` so the LSF slen/partition decode path gets
+    non-silent coverage (the scalefactor VALUES written are all zero
+    bits, so the expected spectrum stays sign(v)*|v|^(4/3)*2^((gg-210)/4)
+    when scalefac_compress < 500; the >= 500 branch implies preflag and
+    scales the pretab bands down — choose < 500 for closed-form tests)."""
+    ix = list(ix) + [0] * (576 - len(ix))
+    last_big = max((i for i, v in enumerate(ix) if abs(v) > 1), default=-1)
+    big_end = last_big + 1
+    big_end += big_end % 2
+    last_nz = max((i for i, v in enumerate(ix) if v), default=-1)
+    c1_end = last_nz + 1
+    if (c1_end - big_end) % 4:
+        c1_end += 4 - (c1_end - big_end) % 4
+    maxv = max((abs(v) for v in ix), default=0)
+    tid = _pick_table(max(maxv, 1)) if big_end else 1
+    # scalefactor bits for the chosen compress value (long block, kind 0)
+    sfc = scalefac_compress
+    if sfc < 400:
+        slens = [(sfc >> 4) // 5, (sfc >> 4) % 5, (sfc % 16) >> 2, sfc % 4]
+        nr = (6, 5, 5, 5)
+    elif sfc < 500:
+        s = sfc - 400
+        slens = [(s >> 2) // 5, (s >> 2) % 5, s % 4, 0]
+        nr = (6, 5, 7, 3)
+    else:
+        s = sfc - 500
+        slens = [s // 3, s % 3, 0, 0]
+        nr = (11, 10, 0, 0)
+    w = _BitWriter()
+    for cnt, sl in zip(nr, slens):
+        for _ in range(cnt):
+            if sl:
+                w.w(0, sl)  # all-zero scalefactors keep xr closed-form
+    tab = HUFFMAN_BIG[tid]
+    for i in range(0, big_end, 2):
+        x, y = ix[i], ix[i + 1]
+        code, ln = tab[(abs(x), abs(y))]
+        w.w(code, ln)
+        if x:
+            w.w(1 if x < 0 else 0, 1)
+        if y:
+            w.w(1 if y < 0 else 0, 1)
+    for i in range(big_end, c1_end, 4):
+        quad = ix[i : i + 4]
+        if any(abs(v) > 1 for v in quad):
+            raise ValueError("count1 region values must be in [-1, 1]")
+        v = 0
+        for q in quad:
+            v = (v << 1) | (1 if q else 0)
+        code, ln = HUFFMAN_COUNT1A[v]
+        w.w(code, ln)
+        for q in quad:
+            if q:
+                w.w(1 if q < 0 else 0, 1)
+    side = _BitWriter()
+    side.w(0, 8).w(0, 1)  # main_data_begin, private
+    side.w(w.bitpos(), 12).w(big_end // 2, 9).w(global_gain, 8)
+    side.w(sfc, 9)
+    side.w(0, 1)  # long block
+    side.w(tid, 5).w(tid, 5).w(tid, 5)
+    side.w(15, 4).w(7, 3)
+    side.w(0, 1).w(0, 1)  # scalefac_scale, count1 table A
+    main = _BitWriter()
+    nbits, data = w.bitpos(), w.bytes_padded()
+    for i in range(nbits):
+        main.w((data[i >> 3] >> (7 - (i & 7))) & 1, 1)
+    payload = side.bytes_padded() + main.bytes_padded()
+    br_idx = _BITRATE_V2_L3.index(bitrate_kbps)
+    sr_idx = _SR_V2.index(sample_rate)
+    fb = (576 // 8 * bitrate_kbps * 1000) // sample_rate
+    if 4 + len(payload) > fb:
+        raise ValueError("spectra too dense for the chosen bitrate")
+    hdr = bytes([0xFF, 0xE0 | (2 << 3) | (1 << 1) | 1,
+                 (br_idx << 4) | (sr_idx << 2), 3 << 6])
+    return hdr + payload + bytes(fb - 4 - len(payload))

@@ -94,7 +94,11 @@ def _bench_calibration(spark) -> float:
     from pyspark.sql import functions as F
 
     t0 = time.time()
-    spark.range(200_000_000).select(F.sum(F.xxhash64("id"))).collect()
+    # modulo before the sum: 200M full-range longs would overflow the
+    # ANSI sum; the mod keeps the total < 2^48 without changing the work
+    spark.range(200_000_000).select(
+        F.sum(F.xxhash64("id") % 1_000_003)
+    ).collect()
     return time.time() - t0
 
 

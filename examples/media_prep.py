@@ -67,6 +67,19 @@ def synthesize(src: str) -> None:
     frames = [bytes([i]) * 64 for i in range(12)]
     with open(os.path.join(src, "clip.mp4"), "wb") as f:
         f.write(build_minimal_mp4(frames, width=64, height=48, keyframes=[1, 7]))
+    # a real (restricted-table) MP3: the scoped Layer III decode covers it
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.mp3 import (
+        build_mp3_frame_l3,
+    )
+
+    mp3_frames = [
+        build_mp3_frame_l3(
+            [[((k + i) % 15) - 7 for i in range(16)] + [0] * 560, [0] * 576]
+        )
+        for k in range(6)
+    ]
+    with open(os.path.join(src, "clip.mp3"), "wb") as f:
+        f.write(b"".join(mp3_frames))
     # an MJPEG clip: every access unit IS a JPEG, so frames decode
     # end-to-end with zero new codec code (two near-identical frames +
     # one different frame -> a frame-level near-dup pair)
@@ -87,7 +100,7 @@ def main() -> None:
     src = tempfile.mkdtemp(prefix="media_prep_")
     synthesize(src)
 
-    media = ingest_media_dir(spark, src, glob="*.{png,jpg,jpeg,flac,mp4}")
+    media = ingest_media_dir(spark, src, glob="*.{png,jpg,jpeg,flac,mp4,mp3}")
     print(f"ingested {media.count()} media files")
 
     feats = extract_features(media)

@@ -253,3 +253,36 @@ def test_plain_stereo_channels_decode_independently():
     mr, _, _ = M.decode_mp3(M.build_mp3_frame_l3([r, gr1]))
     assert np.allclose(pcm[:, 0], ml[:, 0], atol=1e-12)
     assert np.allclose(pcm[:, 1], mr[:, 0], atol=1e-12)
+
+
+@pytest.mark.parametrize("sfc", [0, 77, 250, 399, 401, 477])
+def test_lsf_scalefactor_paths_closed_form(sfc):
+    """MPEG-2 LSF frames across the scalefac_compress partition branches
+    (< 400 and 400-499; all-zero scalefactor VALUES keep the expected
+    spectrum closed-form): the slen/partition decode must consume
+    exactly the right bits or the Huffman stage desyncs and the values
+    diverge — so exact spectra here pin the LSF slen tables."""
+    ix = [5, -4, 3, 2, 1, -1, 0, 1] + [0] * 568
+    f = M.build_mp3_frame_lsf(ix, scalefac_compress=sfc, global_gain=214)
+    spectra = M.decode_mp3_spectra(f)
+    assert len(spectra) == 1  # one granule per LSF frame
+    _fi, _gi, _c, xr = spectra[0]
+    exp = (
+        np.sign(ix)
+        * np.abs(np.asarray(ix, float)) ** (4.0 / 3.0)
+        * 2.0
+    )
+    assert np.allclose(xr[:8], exp[:8], atol=1e-12)
+    assert not xr[8:].any()
+    pcm, sr, ch = M.decode_mp3(f)
+    assert pcm.shape == (576, 1) and sr == 22050 and ch == 1
+
+
+def test_lsf_multi_frame_stream_with_reservoir_free_layout():
+    frames = [
+        M.build_mp3_frame_lsf([k + 2, -(k + 2)] + [0] * 574, global_gain=210)
+        for k in range(4)
+    ]
+    pcm, sr, ch = M.decode_mp3(b"".join(frames))
+    assert pcm.shape == (4 * 576, 1) and sr == 22050
+    assert float(np.abs(pcm).max()) > 0.0

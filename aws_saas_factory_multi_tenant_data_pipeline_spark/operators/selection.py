@@ -28,6 +28,7 @@ Two selection primitives every corpus build eventually needs:
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -114,14 +115,15 @@ def budget_select(
     if budget_tokens < 0:
         raise ValueError("budget_tokens must be >= 0")
     score = F.col(score_col).cast("double")
-    nulls = df.where(score.isNull()).withColumn("is_selected", F.lit(False))
-    scored = df.where(score.isNotNull())
     # 1-row min/max → broadcast: equi-width bin ids are a monotone function
-    # of the score, so equal scores share a bin and bin order = score order
-    mm = scored.agg(F.min(score).alias("__lo"), F.max(score).alias("__hi"))
+    # of the score, so equal scores share a bin and bin order = score order.
+    # NULL scores ride the SAME scan as bin -1 (kept, never selected) —
+    # no separate corpus pass for them
+    mm = df.agg(F.min(score).alias("__lo"), F.max(score).alias("__hi"))
     width = (F.col("__hi") - F.col("__lo")) / n_bins
     bkt = (
-        F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+        F.when(score.isNull(), F.lit(-1))
+        .when(F.col("__hi") == F.col("__lo"), F.lit(0))
         .otherwise(
             F.least(
                 F.lit(n_bins - 1),
@@ -131,22 +133,29 @@ def budget_select(
         .alias("__bkt")
     )
     binned = (
-        scored.crossJoin(F.broadcast(mm)).withColumn("__bkt", bkt).drop("__lo", "__hi")
+        df.crossJoin(F.broadcast(mm)).withColumn("__bkt", bkt).drop("__lo", "__hi")
     )
-    per_bin = binned.groupBy("__bkt").agg(
+    per_bin = binned.where(F.col("__bkt") >= 0).groupBy("__bkt").agg(
         F.sum(F.col(tokens_col).cast("long")).alias("__bt")
     )
-    # the ONLY unpartitioned window — over ≤ n_bins rows, by construction
+    # the first unpartitioned window — over ≤ n_bins rows, by construction
     w = Window.orderBy(F.col("__bkt").desc())
     cum = per_bin.withColumn(
         "__before", F.coalesce(F.sum("__bt").over(w) - F.col("__bt"), F.lit(0))
     )
-    joined = binned.join(F.broadcast(cum), "__bkt")
+    joined = binned.join(F.broadcast(cum), "__bkt", "left")
     whole_in = (F.col("__before") + F.col("__bt")) <= budget_tokens
-    boundary = (F.col("__before") < budget_tokens) & ~whole_in
+    boundary = (
+        (F.col("__bkt") >= 0)
+        & (F.col("__before") < budget_tokens)
+        & ~whole_in
+    )
     # every non-boundary bin is decided wholesale by its cumulative range —
-    # a broadcast filter, no window anywhere near the corpus
-    decided = joined.where(~boundary).withColumn("is_selected", whole_in)
+    # a broadcast filter, no window anywhere near the corpus; NULL-score
+    # rows (bin -1, null cum columns) coalesce to unselected
+    decided = joined.where(~boundary).withColumn(
+        "is_selected", F.coalesce(whole_in, F.lit(False)) & (F.col("__bkt") >= 0)
+    )
     # the (single) boundary bin: re-bin ONCE before the ordered prefix so
     # a pathological distribution (all mass in one equi-width bin — e.g. a
     # corpus-wide constant score) cannot degrade toward a global sort.
@@ -156,7 +165,11 @@ def budget_select(
     # they don't — either way ≈ bin / n_bins rows reach the window.
     tie = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
     tie_u = F.conv(F.substring(tie, 1, 13), 16, 10).cast("double") / float(1 << 52)
-    edge_in = joined.where(boundary)
+    # persist the boundary bin (≈ corpus/n_bins rows, bounded): the
+    # re-bin pass references it three times (min/max agg, sub-binning,
+    # and the two decided/edge branches) — without the persist each
+    # reference recomputes the corpus scan + first-level join
+    edge_in = joined.where(boundary).persist(StorageLevel.MEMORY_AND_DISK)
     mm2 = edge_in.agg(F.min(score).alias("__lo2"), F.max(score).alias("__hi2"))
     width2 = (F.col("__hi2") - F.col("__lo2")) / n_bins
     sub = (
@@ -197,11 +210,7 @@ def budget_select(
         "is_selected", (before2 + run) <= budget_tokens
     )
     edge = decided2.unionByName(edge2).drop("__bkt2", "__bt2", "__before2")
-    return (
-        decided.unionByName(edge)
-        .drop("__bkt", "__bt", "__before")
-        .unionByName(nulls)
-    )
+    return decided.unionByName(edge).drop("__bkt", "__bt", "__before")
 
 
 def dsir_importance(

@@ -1228,3 +1228,81 @@ def build_mp3_frame_lsf(
     hdr = bytes([0xFF, 0xE0 | (2 << 3) | (1 << 1) | 1,
                  (br_idx << 4) | (sr_idx << 2), 3 << 6])
     return hdr + payload + bytes(fb - 4 - len(payload))
+
+
+def build_mp3_frame_short(
+    granule_windows,
+    sample_rate: int = 44100,
+    bitrate_kbps: int = 320,
+    global_gain: int = 210,
+    subblock_gain=(0, 0, 0),
+) -> bytes:
+    """MPEG-1 mono fixture frame whose FIRST granule is a pure SHORT
+    block (window_switching, block_type 2, not mixed) and second granule
+    silent long. ``granule_windows`` is [w0, w1, w2] — per-window lists
+    of up to 6 quantized values (|v| <= 1, coded as count1 quadruples)
+    that land on spectral lines 0-5 of each window. The builder writes
+    them in the spec's decoded order (sfb, window, line): with the
+    44.1 kHz short band table, lines 0-3 are sfb 0 and 4-5 sfb 1, so
+    the interleaved source order is w0[0:4], w1[0:4], w2[0:4],
+    w0[4:6], w1[4:6], w2[4:6]. After requantize+reorder the decoder
+    must place window w line l at position (l//6)*18 + w*6 + (l%6) —
+    which is what tests pin closed-form, proving the short-block
+    scalefactor read (slen1 bits x 3 windows), the reorder map, and the
+    subblock-gain exponent 2^(-2*sbg) together."""
+    ws = [list(w) + [0] * (6 - len(w)) for w in granule_windows]
+    if len(ws) != 3 or any(len(w) > 6 for w in ws):
+        raise ValueError("need 3 windows of <= 6 values")
+    if any(abs(v) > 1 for w in ws for v in w):
+        raise ValueError("short-block fixture uses count1 coding: |v| <= 1")
+    # decoded (huffman) order for short blocks: sfb-major, window, line
+    band_s = SFB_SHORT[sample_rate]
+    seq = []
+    for sfb in range(13):
+        lo, hi = band_s[sfb], band_s[sfb + 1]
+        for w in range(3):
+            for line in range(lo, hi):
+                seq.append(ws[w][line] if line < 6 else 0)
+    last_nz = max((i for i, v in enumerate(seq) if v), default=-1)
+    c1_end = last_nz + 1
+    if c1_end % 4:
+        c1_end += 4 - c1_end % 4
+    wtr = _BitWriter()
+    for i in range(0, c1_end, 4):
+        quad = seq[i : i + 4]
+        v = 0
+        for q in quad:
+            v = (v << 1) | (1 if q else 0)
+        code, ln = HUFFMAN_COUNT1A[v]
+        wtr.w(code, ln)
+        for q in quad:
+            if q:
+                wtr.w(1 if q < 0 else 0, 1)
+    side = _BitWriter()
+    side.w(0, 9).w(0, 5).w(0, 4)
+    # granule 0: short block
+    side.w(wtr.bitpos(), 12).w(0, 9).w(global_gain, 8).w(0, 4)
+    side.w(1, 1)  # window_switching
+    side.w(2, 2)  # block_type 2
+    side.w(0, 1)  # not mixed
+    side.w(1, 5).w(1, 5)  # table_select (unused, big_values 0)
+    for sbg in subblock_gain:
+        side.w(sbg, 3)
+    side.w(0, 1).w(0, 1).w(0, 1)  # preflag, scalefac_scale, count1 A
+    # granule 1: silent long
+    side.w(0, 12).w(0, 9).w(global_gain, 8).w(0, 4)
+    side.w(0, 1)
+    side.w(1, 5).w(1, 5).w(1, 5)
+    side.w(15, 4).w(7, 3)
+    side.w(0, 1).w(0, 1).w(0, 1)
+    main = _BitWriter()
+    nbits, data = wtr.bitpos(), wtr.bytes_padded()
+    for i in range(nbits):
+        main.w((data[i >> 3] >> (7 - (i & 7))) & 1, 1)
+    payload = side.bytes_padded() + main.bytes_padded()
+    br_idx = _BITRATE_V1_L3.index(bitrate_kbps)
+    sr_idx = _SR_V1.index(sample_rate)
+    fb = (1152 // 8 * bitrate_kbps * 1000) // sample_rate
+    hdr = bytes([0xFF, 0xE0 | (3 << 3) | (1 << 1) | 1,
+                 (br_idx << 4) | (sr_idx << 2), 3 << 6])
+    return hdr + payload + bytes(fb - 4 - len(payload))

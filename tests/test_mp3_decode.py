@@ -286,3 +286,26 @@ def test_lsf_multi_frame_stream_with_reservoir_free_layout():
     pcm, sr, ch = M.decode_mp3(b"".join(frames))
     assert pcm.shape == (4 * 576, 1) and sr == 22050
     assert float(np.abs(pcm).max()) > 0.0
+
+
+def test_short_block_reorder_and_subblock_gain_closed_form():
+    """Pure short-block granule: the decoder must place window w,
+    spectral line l at (l//6)*18 + w*6 + (l%6) after reorder, scaled by
+    2^(-2*subblock_gain[w]) — both pinned exactly, so the short-block
+    side-info read, the reorder map, and the window gain cannot drift."""
+    ws = [[1, -1, 0, 1, 1, 0], [0, 1, -1, 0, 0, 1], [1, 0, 1, -1, 1, 0]]
+    sbg = (0, 1, 2)
+    f = M.build_mp3_frame_short(ws, subblock_gain=sbg)
+    (_, _, _, xr), (_, _, _, x1) = M.decode_mp3_spectra(f)
+    exp = np.zeros(576)
+    for w in range(3):
+        for l in range(6):
+            v = ws[w][l]
+            exp[w * 6 + l] = np.sign(v) * abs(v) ** (4.0 / 3.0) * 2.0 ** (
+                -2.0 * sbg[w]
+            )
+    assert np.allclose(xr, exp, atol=1e-12)
+    assert not x1.any()
+    pcm, sr, ch = M.decode_mp3(f)
+    assert pcm.shape == (1152, 1) and np.isfinite(pcm).all()
+    assert float(np.abs(pcm).max()) > 0.0  # the 12-point IMDCT path ran

@@ -1306,3 +1306,96 @@ def build_mp3_frame_short(
     hdr = bytes([0xFF, 0xE0 | (3 << 3) | (1 << 1) | 1,
                  (br_idx << 4) | (sr_idx << 2), 3 << 6])
     return hdr + payload + bytes(fb - 4 - len(payload))
+
+
+def build_mp3_frame_l3_scaled(
+    granule_ix,
+    granule_sf,
+    scalefac_compress: int,
+    scfsi=(0, 0, 0, 0),
+    preflag: int = 0,
+    scalefac_scale: int = 0,
+    global_gain: int = 210,
+    sample_rate: int = 44100,
+    bitrate_kbps: int = 320,
+) -> bytes:
+    """MPEG-1 mono fixture frame with REAL nonzero scalefactors — the
+    piece :func:`build_mp3_frame_l3` keeps at zero. ``granule_ix`` and
+    ``granule_sf`` are 2-lists: per granule the quantized values (long
+    block) and the 21 scalefactors. ``scfsi`` marks the four bands
+    groups (0-5, 6-10, 11-15, 16-20) whose granule-1 scalefactors are
+    REUSED from granule 0 (not transmitted) — the reuse path the plain
+    builder never exercises. Values must fit the slens of
+    ``scalefac_compress``; expected spectrum is closed-form:
+    xr[i] = sign(v)*|v|^(4/3) * 2^((gg-210)/4)
+            * 2^(-(scalefac_scale+1)/2 * (sf[sfb] + preflag*pretab[sfb]))."""
+    slen1, slen2 = _SLEN[scalefac_compress]
+    groups = [(0, 6, slen1), (6, 11, slen1), (11, 16, slen2), (16, 21, slen2)]
+    gr_bits = []
+    gr_meta = []
+    for gi, (ix, sf) in enumerate(zip(granule_ix, granule_sf)):
+        ix = list(ix) + [0] * (576 - len(ix))
+        sf = list(sf) + [0] * (21 - len(sf))
+        w = _BitWriter()
+        for gidx, (lo, hi, sl) in enumerate(groups):
+            if gi == 1 and scfsi[gidx]:
+                continue  # reused from granule 0 — nothing transmitted
+            for sfb in range(lo, hi):
+                if sf[sfb] >= (1 << sl) and sl == 0 and sf[sfb] != 0:
+                    raise ValueError(f"scalefactor {sf[sfb]} needs slen > 0")
+                w.w(sf[sfb], sl)
+        last_big = max((i for i, v in enumerate(ix) if abs(v) > 1), default=-1)
+        big_end = last_big + 1
+        big_end += big_end % 2
+        last_nz = max((i for i, v in enumerate(ix) if v), default=-1)
+        c1_end = last_nz + 1
+        if (c1_end - big_end) % 4:
+            c1_end += 4 - (c1_end - big_end) % 4
+        maxv = max((abs(v) for v in ix), default=0)
+        tid = _pick_table(max(maxv, 1)) if big_end else 1
+        tab = HUFFMAN_BIG[tid]
+        for i in range(0, big_end, 2):
+            x, y = ix[i], ix[i + 1]
+            code, ln = tab[(abs(x), abs(y))]
+            w.w(code, ln)
+            if x:
+                w.w(1 if x < 0 else 0, 1)
+            if y:
+                w.w(1 if y < 0 else 0, 1)
+        for i in range(big_end, c1_end, 4):
+            quad = ix[i : i + 4]
+            v = 0
+            for q in quad:
+                v = (v << 1) | (1 if q else 0)
+            code, ln = HUFFMAN_COUNT1A[v]
+            w.w(code, ln)
+            for q in quad:
+                if q:
+                    w.w(1 if q < 0 else 0, 1)
+        gr_bits.append(w)
+        gr_meta.append((big_end // 2, tid))
+    side = _BitWriter()
+    side.w(0, 9).w(0, 5)
+    for s in scfsi:
+        side.w(1 if s else 0, 1)
+    for w, (bv, tid) in zip(gr_bits, gr_meta):
+        side.w(w.bitpos(), 12).w(bv, 9).w(global_gain, 8)
+        side.w(scalefac_compress, 4)
+        side.w(0, 1)
+        side.w(tid, 5).w(tid, 5).w(tid, 5)
+        side.w(15, 4).w(7, 3)
+        side.w(preflag, 1).w(scalefac_scale, 1).w(0, 1)
+    main = _BitWriter()
+    for w in gr_bits:
+        nbits, data = w.bitpos(), w.bytes_padded()
+        for i in range(nbits):
+            main.w((data[i >> 3] >> (7 - (i & 7))) & 1, 1)
+    payload = side.bytes_padded() + main.bytes_padded()
+    br_idx = _BITRATE_V1_L3.index(bitrate_kbps)
+    sr_idx = _SR_V1.index(sample_rate)
+    fb = (1152 // 8 * bitrate_kbps * 1000) // sample_rate
+    if 4 + len(payload) > fb:
+        raise ValueError("spectra too dense for the chosen bitrate")
+    hdr = bytes([0xFF, 0xE0 | (3 << 3) | (1 << 1) | 1,
+                 (br_idx << 4) | (sr_idx << 2), 3 << 6])
+    return hdr + payload + bytes(fb - 4 - len(payload))

@@ -309,3 +309,44 @@ def test_short_block_reorder_and_subblock_gain_closed_form():
     pcm, sr, ch = M.decode_mp3(f)
     assert pcm.shape == (1152, 1) and np.isfinite(pcm).all()
     assert float(np.abs(pcm).max()) > 0.0  # the 12-point IMDCT path ran
+
+
+@pytest.mark.parametrize("preflag", [0, 1])
+@pytest.mark.parametrize("sfsc", [0, 1])
+@pytest.mark.parametrize("scfsi", [(0, 0, 0, 0), (1, 0, 1, 0), (1, 1, 1, 1)])
+def test_scalefactor_path_closed_form(preflag, sfsc, scfsi):
+    """REAL nonzero scalefactors across every slen group, with
+    preflag*pretab, both scalefac_scale multipliers, and scfsi
+    granule-1 reuse: each probed band's value must equal
+    |2|^(4/3) * 2^((gg-210)/4) * 2^(-(sfsc+1)/2*(sf_eff+preflag*pretab))
+    exactly — pinning the _SLEN table, the (0-5,6-10,11-15,16-20)
+    group boundaries, the pretab values, and the reuse logic at once
+    (a defect in any of them desyncs the bits or moves an exponent)."""
+    pretab = [0] * 11 + [1, 1, 1, 1, 2, 2, 3, 3, 3, 2, 0]
+    band = M.SFB_LONG[44100]
+    probe_sfbs = (0, 5, 6, 11, 15, 16, 20)
+    ix = [0] * 576
+    lines = [band[s] for s in probe_sfbs]
+    for ln in lines:
+        ix[ln] = 2
+    sf0 = [1, 2, 3, 0, 1, 2, 3, 0, 1, 2, 3, 0, 1, 2, 3, 0, 1, 2, 3, 0, 1]
+    sf1 = [3, 0, 1, 2, 3, 0, 1, 2, 3, 0, 1, 2, 3, 0, 1, 2, 3, 0, 1, 2, 3]
+    groups = [(0, 6), (6, 11), (11, 16), (16, 21)]
+    f = M.build_mp3_frame_l3_scaled(
+        [ix, ix], [sf0, sf1], scalefac_compress=13, scfsi=scfsi,
+        preflag=preflag, scalefac_scale=sfsc, global_gain=214,
+    )
+    spectra = M.decode_mp3_spectra(f)
+    assert len(spectra) == 2
+    for _fi, gi, _c, xr in spectra:
+        for sfb, ln in zip(probe_sfbs, lines):
+            gidx = next(g for g, (lo, hi) in enumerate(groups) if lo <= sfb < hi)
+            sf_eff = sf0[sfb] if (gi == 0 or scfsi[gidx]) else sf1[sfb]
+            exp = (
+                2.0 ** (4.0 / 3.0)
+                * 2.0
+                * 2.0 ** (-(sfsc + 1) / 2.0 * (sf_eff + preflag * pretab[sfb]))
+            )
+            assert abs(xr[ln] - exp) < 1e-12, (gi, sfb)
+    pcm, _sr, _ch = M.decode_mp3(f)
+    assert np.isfinite(pcm).all()

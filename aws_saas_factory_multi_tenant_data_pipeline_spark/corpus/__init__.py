@@ -377,6 +377,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     # r7 wave (driver round 7)
     "multimodal_mjpeg_frames",
     "multimodal_mp3_spectral",
+    "multimodal_exif_privacy",
 )
 
 

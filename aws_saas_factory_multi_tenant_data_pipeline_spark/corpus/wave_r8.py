@@ -316,3 +316,106 @@ def multimodal_mp3_spectral(spark, sf_dir):
     return d.mapInPandas(
         op, "doc_id long, granule int, val long, n_nonzero long"
     ).orderBy("doc_id", "granule")
+
+
+@register(
+    "multimodal_exif_privacy",
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+               CAST(1 + doc_id % 8 AS INT) AS orientation,
+               'cam-' || CAST(doc_id % 5 AS VARCHAR) AS make,
+               CAST(doc_id % 90 AS INT) AS gps_d,
+               CAST(doc_id * 7 % 60 AS INT) AS gps_m,
+               CAST(doc_id * 13 % 60 AS INT) AS gps_s,
+               FALSE AS exif_after_strip,
+               -CAST(POWER(2, 8 * ((11 + doc_id % 16) // 4)) AS BIGINT) AS ahash
+        FROM documents WHERE doc_id < 64
+        ORDER BY doc_id
+    """,
+    tags=("B10", "multimodal", "privacy"),
+    doc="EXIF extraction + GPS-PII stripping with an ANALYTIC oracle: "
+    "per doc a real two-tone JPEG gets a spec-literal APP1/Exif segment "
+    "(orientation/make varying with doc_id, GPS DMS latitude, byte "
+    "order II for even ids / MM for odd). The pipeline runs the real "
+    "operators: with_exif extracts the tags (pinned against the "
+    "generating formulas), strip_image_metadata removes every APPn/COM "
+    "segment BYTE-LEVEL, a second with_exif proves the EXIF (and GPS) "
+    "is gone, and the aHash of the STRIPPED payload equals the analytic "
+    "-(2^(8*r0)) — proving the scan data survived the strip "
+    "bit-identically. The oracle never sees a JPEG or TIFF byte "
+    "(operators/exif.py).",
+)
+def multimodal_exif_privacy(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.exif import (
+        build_exif_app1,
+        insert_app1,
+        strip_image_metadata,
+        with_exif,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.jpeg import (
+        encode_jpeg,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        with_average_hash,
+    )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 64).select("doc_id")
+
+    def op(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                split = 8 + did % 16
+                a = (did * 7) % 96
+                b = 160 + (did * 11) % 96
+                px = np.full((32, 32, 3), a, dtype=np.uint8)
+                px[split:, :, :] = b
+                app1 = build_exif_app1(
+                    {
+                        "make": f"cam-{did % 5}",
+                        "orientation": 1 + did % 8,
+                        "pixel_width": 32,
+                        "pixel_height": 32,
+                    },
+                    gps_dms=(did % 90, did * 7 % 60, did * 13 % 60),
+                    byte_order="II" if did % 2 == 0 else "MM",
+                )
+                rows.append(
+                    {
+                        "media_id": did,
+                        "kind": "image",
+                        "payload": insert_app1(encode_jpeg(px, quality=90), app1),
+                        "meta": None,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    media = d.mapInPandas(op, MEDIA_SCHEMA)
+    pre = with_exif(media).select(
+        F.col("media_id").alias("doc_id"),
+        "byte_order",
+        "orientation",
+        "make",
+        "gps_d",
+        "gps_m",
+        "gps_s",
+    )
+    stripped = strip_image_metadata(media).select(
+        "media_id", "kind", "payload", "meta"
+    )
+    post = with_exif(stripped).select(
+        F.col("media_id").alias("doc_id"),
+        F.col("has_exif").alias("exif_after_strip"),
+    )
+    hashed = with_average_hash(stripped).select(
+        F.col("media_id").alias("doc_id"), "ahash"
+    )
+    return (
+        pre.join(post, "doc_id").join(hashed, "doc_id").orderBy("doc_id")
+    )

@@ -1,0 +1,350 @@
+"""EXIF metadata: parse and privacy-strip, pure stdlib struct.
+
+A crawled image corpus carries camera metadata in JPEG APP1 segments —
+including GPS coordinates, i.e. PII a training pipeline must be able to
+(a) EXTRACT for auditing/filtering and (b) STRIP before publication,
+without touching the pixel data (no re-encode: a byte-level segment
+rewrite keeps the scan data bit-identical, so perceptual hashes and any
+downstream decode are unchanged — which the tests and the corpus oracle
+pin). Public structure: JPEG markers (ITU-T T.81 §B), TIFF 6.0 IFDs,
+EXIF 2.x tag ids (JEITA CP-3451).
+
+Declared scope: baseline TIFF types BYTE/ASCII/SHORT/LONG/RATIONAL, the
+IFD0 + EXIF + GPS IFDs, both byte orders; MakerNote contents opaque.
+ValueError-only tear contract, like every codec in this package.
+"""
+
+from __future__ import annotations
+
+import struct
+
+#: tag ids surfaced by :func:`parse_exif` (public EXIF 2.x / TIFF ids)
+_TAG_NAMES = {
+    0x010F: "make",
+    0x0110: "model",
+    0x0112: "orientation",
+    0x0132: "datetime",
+    0xA002: "pixel_width",
+    0xA003: "pixel_height",
+}
+_GPS_NAMES = {
+    0x0001: "gps_lat_ref",
+    0x0002: "gps_lat",
+    0x0003: "gps_lon_ref",
+    0x0004: "gps_lon",
+}
+_EXIF_IFD_TAG = 0x8769
+_GPS_IFD_TAG = 0x8825
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def _read_ifd(tiff: bytes, off: int, bo: str) -> dict[int, object]:
+    """One IFD -> {tag: decoded value}; RATIONALs become (num, den)."""
+    if off + 2 > len(tiff):
+        raise ValueError("IFD offset out of range")
+    (n,) = struct.unpack_from(bo + "H", tiff, off)
+    out: dict[int, object] = {}
+    for i in range(n):
+        base = off + 2 + 12 * i
+        if base + 12 > len(tiff):
+            raise ValueError("truncated IFD entry")
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", tiff, base)
+        size = _TYPE_SIZES.get(typ)
+        if size is None:
+            continue  # unknown type: skip, do not tear
+        total = size * cnt
+        if total <= 4:
+            voff = base + 8
+        else:
+            (voff,) = struct.unpack_from(bo + "I", tiff, base + 8)
+        if voff + total > len(tiff):
+            raise ValueError(f"tag 0x{tag:04X} value out of range")
+        raw = tiff[voff : voff + total]
+        if typ == 2:  # ASCII
+            out[tag] = raw.split(b"\0", 1)[0].decode("ascii", "replace")
+        elif typ == 3:
+            out[tag] = list(struct.unpack(bo + f"{cnt}H", raw))
+        elif typ in (1, 4):
+            fmt = "B" if typ == 1 else "I"
+            out[tag] = list(struct.unpack(bo + f"{cnt}{fmt}", raw))
+        elif typ == 5:
+            vals = struct.unpack(bo + f"{2 * cnt}I", raw)
+            out[tag] = [(vals[2 * j], vals[2 * j + 1]) for j in range(cnt)]
+    return out
+
+
+def _iter_segments(payload: bytes):
+    """Yield (marker, seg_start, seg_end) for each marker segment up to
+    and excluding SOS; raises ValueError on torn structure."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    i = 2
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError(f"bad marker alignment at {i}")
+        marker = payload[i + 1]
+        if marker == 0xDA:  # SOS: entropy data follows
+            return
+        (ln,) = struct.unpack_from(">H", payload, i + 2)
+        if ln < 2 or i + 2 + ln > len(payload):
+            raise ValueError("truncated JPEG segment")
+        yield marker, i, i + 2 + ln
+        i += 2 + ln
+    raise ValueError("no SOS marker found")
+
+
+def parse_exif(payload: bytes) -> dict:
+    """Extract EXIF fields from a JPEG payload: named IFD0/EXIF tags
+    (make, model, orientation, datetime, pixel dimensions) plus the GPS
+    IFD (refs + degree/minute/second rationals). Returns
+    ``{"has_exif": False}`` when no APP1/Exif segment exists; raises
+    ValueError only on structurally torn input."""
+    app1 = None
+    for marker, s, e in _iter_segments(payload):
+        if marker == 0xE1 and payload[s + 4 : s + 10] == b"Exif\x00\x00":
+            app1 = payload[s + 10 : e]
+            break
+    if app1 is None:
+        return {"has_exif": False}
+    if app1[:2] == b"II":
+        bo = "<"
+    elif app1[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("bad TIFF byte order")
+    (magic,) = struct.unpack_from(bo + "H", app1, 2)
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    (ifd0_off,) = struct.unpack_from(bo + "I", app1, 4)
+    ifd0 = _read_ifd(app1, ifd0_off, bo)
+    out: dict = {"has_exif": True, "byte_order": "II" if bo == "<" else "MM"}
+    merged = dict(ifd0)
+    if _EXIF_IFD_TAG in ifd0:
+        merged.update(_read_ifd(app1, ifd0[_EXIF_IFD_TAG][0], bo))
+    for tag, name in _TAG_NAMES.items():
+        if tag in merged:
+            v = merged[tag]
+            out[name] = v[0] if isinstance(v, list) and len(v) == 1 else v
+    if _GPS_IFD_TAG in ifd0:
+        gps = _read_ifd(app1, ifd0[_GPS_IFD_TAG][0], bo)
+        for tag, name in _GPS_NAMES.items():
+            if tag in gps:
+                out[name] = gps[tag]
+        out["has_gps"] = any(t in gps for t in (0x0002, 0x0004))
+    else:
+        out["has_gps"] = False
+    return out
+
+
+def strip_metadata(payload: bytes) -> bytes:
+    """Remove every APP1-APP15 and COM segment from a JPEG — EXIF (and
+    its GPS), XMP, ICC, comments — WITHOUT re-encoding: the scan data
+    and every structural segment (APP0/JFIF, DQT, DHT, SOF, SOS...) are
+    copied byte-identically, so the decoded pixels (and any perceptual
+    hash) are provably unchanged."""
+    out = bytearray(b"\xff\xd8")
+    last = 2
+    for marker, s, e in _iter_segments(payload):
+        if 0xE1 <= marker <= 0xEF or marker == 0xFE:
+            out += payload[last:s]  # copy everything before the segment
+        else:
+            out += payload[last:e]
+        last = e
+    out += payload[last:]
+    return bytes(out)
+
+
+def build_exif_app1(
+    tags: dict | None = None,
+    gps_dms: tuple[int, int, int] | None = None,
+    byte_order: str = "II",
+) -> bytes:
+    """Assemble a spec-literal APP1/Exif segment (TIFF IFD0 + EXIF IFD +
+    optional GPS IFD) — the fixture builder: expected parse results are
+    known by construction. ``tags`` may carry make/model/orientation/
+    datetime/pixel_width/pixel_height; ``gps_dms`` adds a northern
+    latitude as (deg, min, sec) rationals."""
+    tags = tags or {}
+    bo = "<" if byte_order == "II" else ">"
+
+    entries0: list[tuple[int, int, int, bytes]] = []
+    entries_exif: list[tuple[int, int, int, bytes]] = []
+    entries_gps: list[tuple[int, int, int, bytes]] = []
+    heap = bytearray()
+
+    def ascii_v(s: str) -> tuple[int, int, bytes]:
+        b = s.encode("ascii") + b"\0"
+        return 2, len(b), b
+
+    def short_v(v: int) -> tuple[int, int, bytes]:
+        return 3, 1, struct.pack(bo + "H", v)
+
+    def long_v(v: int) -> tuple[int, int, bytes]:
+        return 4, 1, struct.pack(bo + "I", v)
+
+    def rat3_v(d: int, m: int, s: int) -> tuple[int, int, bytes]:
+        return 5, 3, struct.pack(bo + "6I", d, 1, m, 1, s, 1)
+
+    if "make" in tags:
+        entries0.append((0x010F, *ascii_v(tags["make"])))
+    if "model" in tags:
+        entries0.append((0x0110, *ascii_v(tags["model"])))
+    if "orientation" in tags:
+        entries0.append((0x0112, *short_v(tags["orientation"])))
+    if "datetime" in tags:
+        entries0.append((0x0132, *ascii_v(tags["datetime"])))
+    if "pixel_width" in tags:
+        entries_exif.append((0xA002, *long_v(tags["pixel_width"])))
+    if "pixel_height" in tags:
+        entries_exif.append((0xA003, *long_v(tags["pixel_height"])))
+    if gps_dms is not None:
+        entries_gps.append((0x0001, *ascii_v("N")))
+        entries_gps.append((0x0002, *rat3_v(*gps_dms)))
+
+    def ifd_size(entries):
+        return 2 + 12 * len(entries) + 4
+
+    ifd0_extra = (1 if entries_exif else 0) + (1 if entries_gps else 0)
+    ifd0_off = 8
+    exif_off = ifd0_off + ifd_size(entries0) + 12 * ifd0_extra
+    gps_off = exif_off + (ifd_size(entries_exif) if entries_exif else 0)
+    heap_off = gps_off + (ifd_size(entries_gps) if entries_gps else 0)
+
+    def render_ifd(entries, heap_base):
+        body = struct.pack(bo + "H", len(entries))
+        heap_local = bytearray()
+        for tag, typ, cnt, raw in entries:
+            body += struct.pack(bo + "HHI", tag, typ, cnt)
+            if len(raw) <= 4:
+                body += raw + b"\0" * (4 - len(raw))
+            else:
+                body += struct.pack(bo + "I", heap_base + len(heap_local))
+                heap_local += raw
+        body += struct.pack(bo + "I", 0)  # next-IFD pointer
+        return body, heap_local
+
+    # two-pass: sizes first (above), then render with heap offsets
+    pending = []
+    ifd0_full = list(entries0)
+    if entries_exif:
+        ifd0_full.append((_EXIF_IFD_TAG, *long_v(exif_off)))
+    if entries_gps:
+        ifd0_full.append((_GPS_IFD_TAG, *long_v(gps_off)))
+    ifd0_full.sort(key=lambda e: e[0])  # TIFF requires ascending tags
+    for entries in (ifd0_full, entries_exif, entries_gps):
+        if entries or entries is ifd0_full:
+            body, hp = render_ifd(entries, heap_off + sum(len(h) for _b, h in pending))
+            pending.append((body, hp))
+    tiff = bytearray()
+    tiff += (b"II" if bo == "<" else b"MM") + struct.pack(bo + "H", 42)
+    tiff += struct.pack(bo + "I", ifd0_off)
+    for body, _h in pending:
+        tiff += body
+    for _body, h in pending:
+        tiff += h
+    seg = b"Exif\x00\x00" + bytes(tiff)
+    return b"\xff\xe1" + struct.pack(">H", len(seg) + 2) + seg
+
+
+def insert_app1(jpeg: bytes, app1: bytes) -> bytes:
+    """Insert an APP1 segment right after SOI of an existing JPEG."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    return jpeg[:2] + app1 + jpeg[2:]
+
+
+# --- Spark surface ---------------------------------------------------------
+
+def with_exif(media):
+    """Arrow-batched EXIF extraction over MEDIA_SCHEMA rows: named tags
+    + GPS presence and DMS latitude components. Non-JPEG / torn / no-
+    APP1 rows yield has_exif=false with NULL fields (quarantine-style,
+    nothing dropped)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("has_exif", T.BooleanType(), False),
+            T.StructField("byte_order", T.StringType(), True),
+            T.StructField("make", T.StringType(), True),
+            T.StructField("model", T.StringType(), True),
+            T.StructField("orientation", T.IntegerType(), True),
+            T.StructField("datetime", T.StringType(), True),
+            T.StructField("pixel_width", T.IntegerType(), True),
+            T.StructField("pixel_height", T.IntegerType(), True),
+            T.StructField("has_gps", T.BooleanType(), True),
+            T.StructField("gps_d", T.IntegerType(), True),
+            T.StructField("gps_m", T.IntegerType(), True),
+            T.StructField("gps_s", T.IntegerType(), True),
+        ]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in schema.fields]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rec = {c: None for c in cols}
+                rec["media_id"] = int(mid)
+                rec["has_exif"] = False
+                try:
+                    info = parse_exif(bytes(payload))
+                    for k in ("has_exif", "byte_order", "make", "model",
+                              "orientation", "datetime", "pixel_width",
+                              "pixel_height", "has_gps"):
+                        if k in info:
+                            rec[k] = info[k]
+                    lat = info.get("gps_lat")
+                    if lat and len(lat) == 3:
+                        rec["gps_d"], rec["gps_m"], rec["gps_s"] = (
+                            int(n // max(d, 1)) for n, d in lat
+                        )
+                except (ValueError, TypeError):
+                    pass
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(op, schema)
+
+
+def strip_image_metadata(media):
+    """Privacy pass: every JPEG payload loses its APP1-APP15/COM
+    segments (EXIF incl. GPS, XMP, ICC, comments) byte-identically in
+    the scan data; non-JPEG rows pass through unchanged. Adds
+    ``stripped``. Arrow pass, partition-preserving."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+    )
+
+    out_schema = T.StructType(
+        list(MEDIA_SCHEMA.fields)
+        + [T.StructField("stripped", T.BooleanType(), False)]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, flags = [], []
+            for payload in pdf["payload"]:
+                try:
+                    b = bytes(payload)
+                    if b[:2] == b"\xff\xd8":
+                        payloads.append(strip_metadata(b))
+                        flags.append(True)
+                        continue
+                except (ValueError, TypeError):
+                    pass
+                payloads.append(payload)
+                flags.append(False)
+            yield pdf.assign(payload=payloads, stripped=flags)
+
+    return media.mapInPandas(op, out_schema)

@@ -1,0 +1,100 @@
+"""EXIF parse + privacy strip (operators/exif.py): spec-literal fixture
+roundtrips in both byte orders, byte-exact strip, tear-contract fuzz."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.exif import (
+    build_exif_app1,
+    insert_app1,
+    parse_exif,
+    strip_metadata,
+)
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.jpeg import (
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _jpeg() -> bytes:
+    px = np.full((16, 16, 3), 40, dtype=np.uint8)
+    px[8:, :, :] = 200
+    return encode_jpeg(px, quality=90)
+
+
+@pytest.mark.parametrize("bo", ["II", "MM"])
+def test_roundtrip_both_byte_orders(bo):
+    app1 = build_exif_app1(
+        {
+            "make": "CamX",
+            "model": "M1",
+            "orientation": 6,
+            "datetime": "2024:01:02 03:04:05",
+            "pixel_width": 16,
+            "pixel_height": 16,
+        },
+        gps_dms=(48, 21, 39),
+        byte_order=bo,
+    )
+    info = parse_exif(insert_app1(_jpeg(), app1))
+    assert info["has_exif"] and info["byte_order"] == bo
+    assert info["make"] == "CamX" and info["model"] == "M1"
+    assert info["orientation"] == 6
+    assert info["datetime"] == "2024:01:02 03:04:05"
+    assert (info["pixel_width"], info["pixel_height"]) == (16, 16)
+    assert info["has_gps"]
+    assert info["gps_lat_ref"] == "N"
+    assert info["gps_lat"] == [(48, 1), (21, 1), (39, 1)]
+
+
+def test_no_exif_and_strip_byte_exact():
+    plain = _jpeg()
+    assert parse_exif(plain) == {"has_exif": False}
+    tagged = insert_app1(plain, build_exif_app1({"make": "X"}, gps_dms=(1, 2, 3)))
+    stripped = strip_metadata(tagged)
+    assert stripped == plain  # byte-identical: scan data provably intact
+    assert parse_exif(stripped) == {"has_exif": False}
+    assert strip_metadata(stripped) == stripped  # idempotent
+    px_a, _, _ = decode_jpeg(tagged)
+    px_b, _, _ = decode_jpeg(stripped)
+    assert np.array_equal(px_a, px_b)
+
+
+def test_strip_keeps_structural_segments_only():
+    tagged = insert_app1(_jpeg(), build_exif_app1({"make": "X"}))
+    # add a COM segment too
+    com = b"\xff\xfe" + (12).to_bytes(2, "big") + b"0123456789"
+    with_com = tagged[:2] + com + tagged[2:]
+    out = strip_metadata(with_com)
+    assert b"0123456789" not in out
+    assert out == _jpeg()
+
+
+def test_tear_contract_fuzz():
+    tagged = insert_app1(
+        _jpeg(), build_exif_app1({"make": "CamX", "orientation": 3}, gps_dms=(1, 2, 3))
+    )
+    rng = np.random.RandomState(7)
+    errors = 0
+    for _ in range(300):
+        b = bytearray(tagged)
+        for _k in range(rng.randint(1, 4)):
+            b[rng.randint(len(b))] ^= 1 << rng.randint(8)
+        for fn in (parse_exif, strip_metadata):
+            try:
+                fn(bytes(b))
+            except ValueError:
+                errors += 1
+            # any other exception type escapes and fails the test
+    assert errors > 0
+
+
+def test_truncated_inputs_raise_value_error():
+    tagged = insert_app1(_jpeg(), build_exif_app1({"make": "X"}))
+    for cut in (1, 3, 10, 30, len(tagged) // 2):
+        try:
+            parse_exif(tagged[:cut])
+        except ValueError:
+            pass

@@ -378,6 +378,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "multimodal_mjpeg_frames",
     "multimodal_mp3_spectral",
     "multimodal_exif_privacy",
+    "ingest_zip_media",
 )
 
 

@@ -419,3 +419,107 @@ def multimodal_exif_privacy(spark, sf_dir):
     return (
         pre.join(post, "doc_id").join(hashed, "doc_id").orderBy("doc_id")
     )
+
+
+@register(
+    "ingest_zip_media",
+    oracle="""
+        WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 32),
+        txt AS (
+            SELECT d.doc_id, 'm' || k.k || '.txt' AS member_name,
+                   'text' AS kind,
+                   CAST(LENGTH(CAST(d.doc_id AS VARCHAR)) + 3
+                        + d.doc_id % 7 + k.k AS BIGINT) AS n_bytes,
+                   CAST(NULL AS BIGINT) AS ahash
+            FROM d CROSS JOIN (VALUES (0), (1), (2), (3)) AS k(k)),
+        img AS (
+            SELECT doc_id, 'img.png' AS member_name, 'image' AS kind,
+                   CAST(NULL AS BIGINT) AS n_bytes,
+                   -CAST(POWER(2, 8 * ((5 + doc_id % 8) // 2)) AS BIGINT)
+                       AS ahash
+            FROM d)
+        SELECT doc_id, member_name, kind, n_bytes, ahash FROM txt
+        UNION ALL SELECT doc_id, member_name, kind, n_bytes, ahash FROM img
+        ORDER BY doc_id, member_name
+    """,
+    tags=("B1", "B10", "multimodal", "archive"),
+    doc="Zip-shard ingestion END-TO-END with an ANALYTIC oracle: per doc "
+    "a real STORED zip (deterministic central directory) bundles four "
+    "text members of formula-known sizes and one two-tone PNG; "
+    "explode_archives yields the member rows inside the executors, "
+    "members_to_media routes the PNG into MEDIA_SCHEMA, and the image "
+    "branch decodes + aHashes it — expected bits analytic "
+    "(-(2^(8·r0)), r0 = ceil(split/2) on the 16×16 subsample grid). "
+    "Any zip-structure, member-extraction, routing, or decode defect "
+    "changes sizes, names, or the hash; the oracle never sees a zip or "
+    "PNG byte (operators/archives.py).",
+)
+def ingest_zip_media(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.archives import (
+        build_zip,
+        explode_archives,
+        members_to_media,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        encode_png,
+        with_average_hash,
+    )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 32).select("doc_id")
+
+    def op(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                members = [
+                    (f"m{k}.txt", f"{did}:{k}:".encode() + b"x" * (did % 7 + k))
+                    for k in range(4)
+                ]
+                split = 4 + did % 8
+                a = (did * 7) % 96
+                b = 160 + (did * 11) % 96
+                px = np.full((16, 16, 3), a, dtype=np.uint8)
+                px[split:, :, :] = b
+                members.append(("img.png", encode_png(px)))
+                rows.append(
+                    {"archive_id": did, "payload": build_zip(members)}
+                )
+            yield pd.DataFrame(rows, columns=["archive_id", "payload"])
+
+    archives = d.mapInPandas(op, "archive_id long, payload binary")
+    members = explode_archives(archives)
+    txt_rows = members.where(
+        F.col("parse_error").isNull() & F.col("member_name").endswith(".txt")
+    ).select(
+        F.col("archive_id").alias("doc_id"),
+        "member_name",
+        F.lit("text").alias("kind"),
+        "n_bytes",
+        F.lit(None).cast("long").alias("ahash"),
+    )
+    media = members_to_media(members)
+    hashed = with_average_hash(media)
+    img_rows = (
+        members.where(
+            F.col("parse_error").isNull()
+            & F.col("member_name").endswith(".png")
+        )
+        .select(
+            F.col("archive_id").alias("doc_id"),
+            "member_name",
+            F.xxhash64("archive_id", "member_name").alias("media_id"),
+        )
+        .join(hashed, "media_id")
+        .select(
+            "doc_id",
+            "member_name",
+            F.lit("image").alias("kind"),
+            F.lit(None).cast("long").alias("n_bytes"),
+            "ahash",
+        )
+    )
+    return txt_rows.unionByName(img_rows).orderBy("doc_id", "member_name")

@@ -1,0 +1,203 @@
+"""Archive ingestion: explode zip/tar payloads into member rows.
+
+Image/text datasets ship as zip or tar(.gz) bundles (ImageNet-style
+tars, Kaggle zips, WebDataset shards); the pipeline-shaped operation is
+EXPLODE: one archive payload row -> one row per member with its bytes,
+inside the executors (payload bytes never transit the driver), then
+route members by extension into the existing media/text machinery.
+Stdlib ``zipfile``/``tarfile`` over BytesIO — no filesystem staging.
+
+Scale shape: archives parallelize per-archive (a 100 TB corpus is many
+shards, not one); a single giant archive is one task by design — shard
+it upstream, same contract as WARC members. Torn archives become
+per-row quarantine rows (the A5 convention), never task failures.
+"""
+
+from __future__ import annotations
+
+import io
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def sniff_archive_format(payload: bytes) -> str | None:
+    """'zip', 'tar', 'tgz' by magic; None when unrecognized."""
+    if payload[:4] in (b"PK\x03\x04", b"PK\x05\x06"):
+        return "zip"
+    if payload[:2] == b"\x1f\x8b":
+        return "tgz"  # gzip container; tarfile handles the inner tar
+    if len(payload) >= 262 and payload[257:262] == b"ustar":
+        return "tar"
+    return None
+
+
+def iter_archive_members(payload: bytes):
+    """Yield (member_name, member_bytes) for a zip/tar/tar.gz payload.
+    ValueError — and only ValueError — on torn or unrecognized input.
+    Directory entries are skipped; member order is the archive's."""
+    fmt = sniff_archive_format(payload)
+    if fmt is None:
+        raise ValueError("unrecognized archive payload")
+    try:
+        if fmt == "zip":
+            import zipfile
+
+            with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+                bad = zf.testzip()
+                if bad is not None:
+                    raise ValueError(f"corrupt zip member {bad!r}")
+                for info in zf.infolist():
+                    if info.is_dir():
+                        continue
+                    yield info.filename, zf.read(info)
+        else:
+            import tarfile
+
+            mode = "r:gz" if fmt == "tgz" else "r:"
+            with tarfile.open(fileobj=io.BytesIO(payload), mode=mode) as tf:
+                for info in tf:
+                    if not info.isfile():
+                        continue
+                    f = tf.extractfile(info)
+                    yield info.name, (f.read() if f else b"")
+    except ValueError:
+        raise
+    except Exception as exc:  # zipfile.BadZipFile / tarfile.TarError / EOF
+        raise ValueError(f"corrupt archive: {type(exc).__name__}: {exc}") from exc
+
+
+ARCHIVE_MEMBER_SCHEMA = T.StructType(
+    [
+        T.StructField("archive_id", T.LongType(), False),
+        T.StructField("member_name", T.StringType(), True),
+        T.StructField("member_bytes", T.BinaryType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("parse_error", T.StringType(), True),
+    ]
+)
+
+
+def explode_archives(
+    archives: DataFrame,
+    id_col: str = "archive_id",
+    payload_col: str = "payload",
+    chunk_rows: int = 256,
+) -> DataFrame:
+    """One archive row -> one row per member (bounded ``chunk_rows``
+    pandas batches so a many-member archive never materializes at once);
+    torn archives yield a single parse_error quarantine row. Arrow pass,
+    partition-preserving — route the result into media/text ops by
+    extension."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in ARCHIVE_MEMBER_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf[id_col], pdf[payload_col]):
+                aid = int(aid)
+                try:
+                    for name, data in iter_archive_members(bytes(payload)):
+                        rows.append(
+                            {
+                                "archive_id": aid,
+                                "member_name": name,
+                                "member_bytes": data,
+                                "n_bytes": len(data),
+                                "parse_error": None,
+                            }
+                        )
+                        if len(rows) >= chunk_rows:
+                            yield pd.DataFrame(rows, columns=cols)
+                            rows = []
+                except ValueError as exc:
+                    rows.append(
+                        {
+                            "archive_id": aid,
+                            "member_name": None,
+                            "member_bytes": None,
+                            "n_bytes": None,
+                            "parse_error": str(exc),
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return archives.select(id_col, payload_col).mapInPandas(
+        op, ARCHIVE_MEMBER_SCHEMA
+    )
+
+
+def members_to_media(members: DataFrame) -> DataFrame:
+    """Route exploded members into MEDIA_SCHEMA by extension (the same
+    kind/mime table ingest_media_dir uses); media_id =
+    xxhash64(archive_id, member_name) — stable across re-ingests.
+    Non-media members and quarantine rows are filtered here; keep the
+    raw member frame for text/other routing."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        _EXT_KIND,
+    )
+
+    ext = F.lower(F.element_at(F.split(F.col("member_name"), "\\."), -1))
+    kind_expr = F.lit(None).cast("string")
+    mime_expr = F.lit(None).cast("string")
+    for e, (kind, mime) in _EXT_KIND.items():
+        kind_expr = F.when(ext == e, kind).otherwise(kind_expr)
+        mime_expr = F.when(ext == e, mime).otherwise(mime_expr)
+    return (
+        members.where(F.col("parse_error").isNull())
+        .withColumn("__kind", kind_expr)
+        .where(F.col("__kind").isNotNull())
+        .select(
+            F.xxhash64("archive_id", "member_name").alias("media_id"),
+            F.col("__kind").alias("kind"),
+            F.col("member_bytes").alias("payload"),
+            F.struct(
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                F.lit(None).cast("int").alias("sample_rate"),
+                F.lit(None).cast("int").alias("n_frames"),
+                mime_expr.alias("mime"),
+            ).alias("meta"),
+        )
+    )
+
+
+def build_zip(members: list[tuple[str, bytes]], stored: bool = True) -> bytes:
+    """Deterministic zip fixture builder (fixed timestamps, STORED by
+    default so member sizes are the content sizes)."""
+    import zipfile
+
+    buf = io.BytesIO()
+    comp = zipfile.ZIP_STORED if stored else zipfile.ZIP_DEFLATED
+    with zipfile.ZipFile(buf, "w", compression=comp) as zf:
+        for name, data in members:
+            info = zipfile.ZipInfo(name, date_time=(2024, 1, 1, 0, 0, 0))
+            info.compress_type = comp
+            zf.writestr(info, data)
+    return buf.getvalue()
+
+
+def build_tar(members: list[tuple[str, bytes]], gz: bool = False) -> bytes:
+    """Deterministic tar / tar.gz fixture builder (fixed mtimes, fixed
+    gzip mtime so identical inputs give identical bytes)."""
+    import gzip
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:") as tf:
+        for name, data in members:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            info.mtime = 1704067200
+            tf.addfile(info, io.BytesIO(data))
+    raw = buf.getvalue()
+    if gz:
+        out = io.BytesIO()
+        with gzip.GzipFile(fileobj=out, mode="wb", mtime=1704067200) as gf:
+            gf.write(raw)
+        return out.getvalue()
+    return raw

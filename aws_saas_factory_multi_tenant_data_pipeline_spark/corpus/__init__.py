@@ -379,6 +379,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "multimodal_mp3_spectral",
     "multimodal_exif_privacy",
     "ingest_zip_media",
+    "webdataset_roundtrip",
 )
 
 

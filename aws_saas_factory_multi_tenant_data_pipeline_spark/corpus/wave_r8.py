@@ -523,3 +523,105 @@ def ingest_zip_media(spark, sf_dir):
         )
     )
     return txt_rows.unionByName(img_rows).orderBy("doc_id", "member_name")
+
+
+@register(
+    "webdataset_roundtrip",
+    oracle="""
+        SELECT doc_id,
+               -CAST(POWER(2, 8 * ((5 + doc_id % 8) // 2)) AS BIGINT) AS ahash,
+               CAST(4 AS BIGINT) AS n_shards
+        FROM documents WHERE doc_id < 48
+        ORDER BY doc_id
+    """,
+    tags=("B1", "B10", "multimodal", "archive"),
+    doc="WebDataset-style shard write + read-back roundtrip with an "
+    "ANALYTIC oracle: 48 two-tone PNG media rows are packed into 4 tar "
+    "shards (hash-bucketed by xxhash64(media_id) — one shuffle, no "
+    "global sort; members sorted, fixed mtimes, byte-deterministic "
+    "tars written executor-side), then re-ingested via binaryFile + "
+    "explode_archives; every member's doc id is recovered from its "
+    "{media_id}.png name and its decoded aHash must equal the analytic "
+    "-(2^(8*r0)). n_shards pins that all 4 shard files were written "
+    "AND read back. Any packing, naming, tar, extraction, or decode "
+    "defect changes rows or the hash (operators/archives.py "
+    "write_tar_shards).",
+)
+def webdataset_roundtrip(spark, sf_dir):
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.archives import (
+        explode_archives,
+        write_tar_shards,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        encode_png,
+        with_average_hash,
+    )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 48).select("doc_id")
+
+    def op(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                split = 4 + did % 8
+                a = (did * 7) % 96
+                b = 160 + (did * 11) % 96
+                px = np.full((16, 16, 3), a, dtype=np.uint8)
+                px[split:, :, :] = b
+                rows.append(
+                    {
+                        "media_id": did,
+                        "kind": "image",
+                        "payload": encode_png(px),
+                        "meta": {
+                            "width": 16,
+                            "height": 16,
+                            "sample_rate": None,
+                            "n_frames": None,
+                            "mime": "image/png",
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+    )
+
+    media = d.mapInPandas(op, MEDIA_SCHEMA)
+    root = os.path.join(_SCRATCH, "w8_webdataset")
+    shutil.rmtree(root, ignore_errors=True)
+    manifest = write_tar_shards(media, root, n_shards=4).collect()
+    n_shards = len(manifest)
+
+    back = spark.read.format("binaryFile").load(root)
+    members = explode_archives(
+        back.select(F.xxhash64("path").alias("archive_id"), F.col("content").alias("payload"))
+    )
+    media2 = members.where(F.col("parse_error").isNull()).select(
+        F.split_part(F.col("member_name"), F.lit("."), F.lit(1))
+        .cast("long")
+        .alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("member_bytes").alias("payload"),
+        F.lit(None)
+        .cast(
+            "struct<width:int,height:int,sample_rate:int,n_frames:int,mime:string>"
+        )
+        .alias("meta"),
+    )
+    return (
+        with_average_hash(media2)
+        .select(
+            F.col("media_id").alias("doc_id"),
+            "ahash",
+            F.lit(n_shards).cast("long").alias("n_shards"),
+        )
+        .orderBy("doc_id")
+    )

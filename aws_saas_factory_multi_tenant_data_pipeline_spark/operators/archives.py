@@ -201,3 +201,90 @@ def build_tar(members: list[tuple[str, bytes]], gz: bool = False) -> bytes:
             gf.write(raw)
         return out.getvalue()
     return raw
+
+
+_MIME_EXT = {
+    "image/png": "png",
+    "image/jpeg": "jpg",
+    "image/x-portable-pixmap": "ppm",
+    "audio/wav": "wav",
+    "audio/flac": "flac",
+    "audio/mpeg": "mp3",
+    "video/mp4": "mp4",
+}
+
+
+def write_tar_shards(
+    media: DataFrame,
+    out_dir: str,
+    n_shards: int | None = None,
+    target_bytes: int = 256 << 20,
+) -> DataFrame:
+    """Pack MEDIA_SCHEMA rows into WebDataset-style tar shards: member
+    name ``{media_id}.{ext}`` (ext from meta.mime, ``bin`` fallback),
+    shard assignment ``pmod(xxhash64(media_id), n_shards)`` — hash
+    bucketing, NOT a global sort, so the plan is one shuffle at any
+    scale; ``n_shards`` defaults from a 1-row total-bytes agg against
+    ``target_bytes``. Each shard group builds its tar IN THE EXECUTOR
+    (members sorted by name, fixed mtimes — byte-deterministic given
+    membership) and writes ``shard-{i:05d}.tar`` under ``out_dir``
+    (local dir here; an object-store path at scale). Returns the
+    manifest (shard_id, n_members, n_bytes, sha256) — the writer's
+    audit trail."""
+    import hashlib
+    import os
+
+    from pyspark.sql import types as T
+
+    if n_shards is None:
+        total = media.agg(
+            F.sum(F.length("payload").cast("long")).alias("b")
+        ).collect()[0]["b"] or 0
+        n_shards = max(1, int(-(-total // target_bytes)))
+    os.makedirs(out_dir, exist_ok=True)
+
+    ext_expr = F.coalesce(
+        *[
+            F.when(F.col("meta.mime") == m, e)
+            for m, e in _MIME_EXT.items()
+        ],
+        F.lit("bin"),
+    )
+    tagged = media.select(
+        F.pmod(F.xxhash64("media_id"), F.lit(n_shards)).alias("shard_id"),
+        F.concat(F.col("media_id").cast("string"), F.lit("."), ext_expr).alias(
+            "member_name"
+        ),
+        "payload",
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("shard_id", T.LongType(), False),
+            T.StructField("n_members", T.LongType(), False),
+            T.StructField("n_bytes", T.LongType(), False),
+            T.StructField("sha256", T.StringType(), False),
+        ]
+    )
+
+    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        (sid,) = key
+        members = sorted(
+            zip(pdf["member_name"], (bytes(p) for p in pdf["payload"]))
+        )
+        tar = build_tar(members)
+        path = os.path.join(out_dir, f"shard-{int(sid):05d}.tar")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(tar)
+        os.replace(tmp, path)
+        return pd.DataFrame(
+            {
+                "shard_id": [int(sid)],
+                "n_members": [len(members)],
+                "n_bytes": [len(tar)],
+                "sha256": [hashlib.sha256(tar).hexdigest()],
+            }
+        )
+
+    return tagged.groupBy("shard_id").applyInPandas(pack, schema)

@@ -80,3 +80,43 @@ def test_explode_and_route_through_spark(spark):
     media = members_to_media(explode_archives(archives)).collect()
     assert len(media) == 1 and media[0].kind == "image"
     assert media[0].meta.mime == "image/png"
+
+
+def test_write_tar_shards_roundtrip_and_manifest(spark, tmp_path):
+    import hashlib
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.archives import (
+        iter_archive_members,
+        write_tar_shards,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_png,
+    )
+
+    rows = [
+        (
+            i,
+            "image",
+            bytearray(encode_png(np.full((4, 4, 3), i * 10, dtype=np.uint8))),
+            (4, 4, None, None, "image/png"),
+        )
+        for i in range(12)
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = str(tmp_path / "shards")
+    manifest = {r.shard_id: r for r in write_tar_shards(media, out, n_shards=3).collect()}
+    assert sum(r.n_members for r in manifest.values()) == 12
+    import os
+
+    got = {}
+    for f in sorted(os.listdir(out)):
+        data = open(os.path.join(out, f), "rb").read()
+        sid = int(f.split("-")[1].split(".")[0])
+        assert hashlib.sha256(data).hexdigest() == manifest[sid].sha256
+        assert len(data) == manifest[sid].n_bytes
+        for name, payload in iter_archive_members(data):
+            got[name] = payload
+    assert set(got) == {f"{i}.png" for i in range(12)}
+    for i, (_i, _k, p, _m) in enumerate(rows):
+        assert got[f"{i}.png"] == bytes(p)

@@ -288,3 +288,35 @@ def write_tar_shards(
         )
 
     return tagged.groupBy("shard_id").applyInPandas(pack, schema)
+
+
+def group_webdataset_samples(members: DataFrame) -> DataFrame:
+    """True WebDataset semantics: members sharing a basename form ONE
+    training sample (``0017.png`` + ``0017.json`` + ``0017.txt`` ->
+    sample ``0017`` with a map of extension -> bytes). Returns
+    (archive_id, sample_key, parts map<string,binary>, n_parts) —
+    group-by, no window; quarantine rows are excluded upstream by the
+    parse_error filter."""
+    named = members.where(
+        F.col("parse_error").isNull() & F.col("member_name").contains(".")
+    ).select(
+        "archive_id",
+        F.regexp_extract(F.col("member_name"), r"^(.*)\.([^.]+)$", 1).alias(
+            "sample_key"
+        ),
+        F.lower(
+            F.regexp_extract(F.col("member_name"), r"^(.*)\.([^.]+)$", 2)
+        ).alias("ext"),
+        "member_bytes",
+    )
+    return (
+        named.groupBy("archive_id", "sample_key")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("ext"), F.col("member_bytes")))
+                )
+            ).alias("parts"),
+            F.count(F.lit(1)).alias("n_parts"),
+        )
+    )

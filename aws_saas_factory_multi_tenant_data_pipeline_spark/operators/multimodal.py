@@ -1296,3 +1296,32 @@ def transcode_audio(
             yield pdf.assign(payload=payloads, meta=metas, transcoded=flags)
 
     return media.where(F.col("kind") == "audio").mapInPandas(op, out_schema)
+
+
+def frames_to_media(frames: DataFrame, codecs=MJPEG_FOURCCS) -> DataFrame:
+    """Promote extracted video frames (VIDEO_SAMPLE_SCHEMA) whose codec
+    has a real image decode (MJPEG family by default) into MEDIA_SCHEMA
+    image rows — so video keyframes flow into the SAME dedup / feature /
+    EXIF / shard machinery as still images. media_id =
+    xxhash64(media_id, frame_idx); rows with parse errors, other codecs,
+    or missing bytes are excluded (they stay visible in the frame
+    frame)."""
+    return (
+        frames.where(
+            F.col("parse_error").isNull()
+            & F.col("frame_bytes").isNotNull()
+            & F.col("codec").isin(*codecs)
+        )
+        .select(
+            F.xxhash64("media_id", "frame_idx").alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.col("frame_bytes").alias("payload"),
+            F.struct(
+                F.col("width"),
+                F.col("height"),
+                F.lit(None).cast("int").alias("sample_rate"),
+                F.lit(None).cast("int").alias("n_frames"),
+                F.lit("image/jpeg").alias("mime"),
+            ).alias("meta"),
+        )
+    )

@@ -120,3 +120,67 @@ def test_write_tar_shards_roundtrip_and_manifest(spark, tmp_path):
     assert set(got) == {f"{i}.png" for i in range(12)}
     for i, (_i, _k, p, _m) in enumerate(rows):
         assert got[f"{i}.png"] == bytes(p)
+
+
+def test_group_webdataset_samples(spark):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.archives import (
+        build_tar,
+        explode_archives,
+        group_webdataset_samples,
+    )
+
+    tar = build_tar(
+        [
+            ("0001.png", b"PNGBYTES"),
+            ("0001.txt", b"a caption"),
+            ("0001.json", b"{}"),
+            ("0002.png", b"OTHER"),
+        ]
+    )
+    archives = spark.createDataFrame(
+        [(7, bytearray(tar))], "archive_id long, payload binary"
+    )
+    samples = {
+        r.sample_key: r
+        for r in group_webdataset_samples(explode_archives(archives)).collect()
+    }
+    assert set(samples) == {"0001", "0002"}
+    assert samples["0001"].n_parts == 3
+    assert bytes(samples["0001"].parts["txt"]) == b"a caption"
+    assert bytes(samples["0002"].parts["png"]) == b"OTHER"
+
+
+def test_frames_to_media_promotes_mjpeg_frames(spark):
+    import numpy as np
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.jpeg import (
+        encode_jpeg,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.mp4 import (
+        build_minimal_mp4,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        frames_to_media,
+        sample_video_frames,
+        with_average_hash,
+    )
+
+    px = np.full((16, 16, 3), 30, dtype=np.uint8)
+    px[8:, :, :] = 220
+    mjpeg = build_minimal_mp4(
+        [encode_jpeg(px, quality=95)] * 2, width=16, height=16,
+        codec=b"jpeg", keyframes=[1],
+    )
+    avc = build_minimal_mp4([b"\x00" * 32], width=16, height=16)  # avc1 stub
+    media = spark.createDataFrame(
+        [
+            (1, "video", bytearray(mjpeg), (None,) * 4 + ("video/mp4",)),
+            (2, "video", bytearray(avc), (None,) * 4 + ("video/mp4",)),
+        ],
+        MEDIA_SCHEMA,
+    )
+    imgs = frames_to_media(sample_video_frames(media, every_n=1))
+    rows = with_average_hash(imgs).collect()
+    assert len(rows) == 2  # both MJPEG frames; the avc1 frame excluded
+    assert all(r.ahash is not None for r in rows)

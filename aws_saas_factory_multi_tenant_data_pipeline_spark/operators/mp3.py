@@ -16,7 +16,10 @@ Two layers:
   with three DECLARED boundaries (each a per-row-visible ValueError,
   see the decode section comment): Huffman tables 11-15/16-31 (spec
   Table B.7 data with no trustworthy in-container source; the table
-  dict is the swap seam), intensity stereo, and a computed
+  dict is the swap seam), intensity stereo in its LSF and short-block
+  variants (the MPEG-1 long-block form IS decoded — is_pos
+  scalefactors, tan(is_pos*pi/12) ratios, is_pos 7 -> MS/plain
+  fallback), and a computed
   near-perfect-reconstruction synthesis prototype standing in for the
   tabulated ISO Table 3-B.3 window (injectable via
   ``synthesis_window=``). Everything through the IMDCT is spec-exact
@@ -190,7 +193,9 @@ def build_mp3(
 #   for — a granule selecting them raises "Huffman table N unavailable".
 #   The table dict is the swap seam: supplying the full Table B.7 data
 #   lights up full coverage with zero code changes.
-# * Intensity stereo raises (rare in practice; MS stereo is supported).
+# * Intensity stereo: the MPEG-1 long-block form is DECODED
+#   (_apply_intensity_long, closed-form-tested); the LSF io-scheme and
+#   short-block variants raise (rare in practice; MS is supported).
 # * The polyphase synthesis prototype window is COMPUTED (Kaiser-windowed
 #   sinc, near-perfect-reconstruction, measured in tests) rather than the
 #   tabulated ISO Table 3-B.3 values (512 arbitrary constants, same
@@ -877,6 +882,42 @@ def decode_mp3(payload: bytes, synthesis_window=None):
         raise ValueError(f"corrupt MP3: {type(exc).__name__}: {exc}") from exc
 
 
+def _apply_intensity_long(xr_ch, rzero_right, sf_right_long, sr, ms_on):
+    """ISO 11172-3 §2.4.3.4.9.3 long-block intensity stereo: scalefactor
+    bands at/above the RIGHT channel's zero part are intensity-coded —
+    is_pos is the right channel's RAW scalefactor for the band (band 21
+    reuses band 20's), 7 means intensity off for that band (falls back
+    to MS when MS is also on, else plain L/R). Below the intensity
+    start, MS applies when on. Mutates ``xr_ch`` in place."""
+    band = SFB_LONG[sr]
+    start_sfb = next((s for s in range(22) if band[s] >= rzero_right), 22)
+    l, r = xr_ch
+    r2 = np.sqrt(2.0)
+    if ms_on and start_sfb > 0:
+        hi = band[start_sfb]
+        m, s = l[:hi].copy(), r[:hi].copy()
+        l[:hi] = (m + s) / r2
+        r[:hi] = (m - s) / r2
+    for sfb in range(start_sfb, 22):
+        lo, hi = band[sfb], band[sfb + 1]
+        is_pos = sf_right_long[sfb if sfb < 21 else 20]
+        if is_pos == 7:
+            if ms_on:
+                m, s = l[lo:hi].copy(), r[lo:hi].copy()
+                l[lo:hi] = (m + s) / r2
+                r[lo:hi] = (m - s) / r2
+            continue
+        if is_pos == 6:
+            frac_l, frac_r = 1.0, 0.0  # tan(pi/2): all energy left
+        else:
+            ratio = np.tan(is_pos * np.pi / 12.0)
+            frac_l = ratio / (1.0 + ratio)
+            frac_r = 1.0 / (1.0 + ratio)
+        src = l[lo:hi].copy()
+        l[lo:hi] = src * frac_l
+        r[lo:hi] = src * frac_r
+
+
 def _decode_inner(payload: bytes, synthesis_window=None):
     info = _probe_inner(payload)
     sr, ch = info["sample_rate"], info["channels"]
@@ -896,8 +937,11 @@ def _decode_inner(payload: bytes, synthesis_window=None):
         protected = (b1 & 1) == 0
         mode = (b3 >> 6) & 3
         mode_ext = (b3 >> 4) & 3
-        if mode == 1 and (mode_ext & 1):
-            raise ValueError("intensity stereo not supported (declared)")
+        intensity = mode == 1 and (mode_ext & 1)
+        if intensity and lsf:
+            # LSF intensity uses a different io^((is_pos+1)/2) scheme —
+            # still a declared boundary
+            raise ValueError("LSF intensity stereo not supported (declared)")
         ms_stereo = mode == 1 and (mode_ext & 2)
         side_off = off + 4 + (2 if protected else 0)
         mdb, grans, side_bytes, scfsi = _parse_side_info(
@@ -913,6 +957,8 @@ def _decode_inner(payload: bytes, synthesis_window=None):
         prev_sf = [None] * ch
         for gi in range(ngr):
             xr_ch = []
+            nz_ch = []
+            sf_ch = []
             for c in range(ch):
                 g = grans[gi][c]
                 start = bits.p
@@ -926,11 +972,22 @@ def _decode_inner(payload: bytes, synthesis_window=None):
                         prev_sf[c],
                     )
                 prev_sf[c] = (sf_l, sf_s)
-                ix, _nz = _huffman_spectrum(bits, g, sr, end_bit)
+                ix, nz = _huffman_spectrum(bits, g, sr, end_bit)
                 xr = _requantize(ix, g, sr, sf_l, sf_s)
                 xr = _reorder_short(xr, g, sr)
                 xr_ch.append(xr)
-            if ms_stereo:
+                nz_ch.append(nz)
+                sf_ch.append((sf_l, sf_s))
+            if intensity:
+                g_r = grans[gi][1]
+                if g_r.window_switching and g_r.block_type == 2:
+                    raise ValueError(
+                        "short-block intensity stereo not supported (declared)"
+                    )
+                _apply_intensity_long(
+                    xr_ch, nz_ch[1], sf_ch[1][0], sr, bool(ms_stereo)
+                )
+            elif ms_stereo:
                 m = xr_ch[0].copy()
                 s = xr_ch[1].copy()
                 r2 = np.sqrt(2.0)
@@ -1398,4 +1455,88 @@ def build_mp3_frame_l3_scaled(
         raise ValueError("spectra too dense for the chosen bitrate")
     hdr = bytes([0xFF, 0xE0 | (3 << 3) | (1 << 1) | 1,
                  (br_idx << 4) | (sr_idx << 2), 3 << 6])
+    return hdr + payload + bytes(fb - 4 - len(payload))
+
+
+def build_mp3_frame_intensity(
+    left_ix,
+    right_ix,
+    right_sf,
+    ms_stereo: bool = False,
+    scalefac_compress: int = 13,
+    global_gain: int = 210,
+) -> bytes:
+    """Stereo MPEG-1 fixture frame in JOINT mode with the INTENSITY bit
+    set (optionally MS too): granule 0 carries ``left_ix``/``right_ix``
+    (long blocks) and the RIGHT channel's 21 scalefactors — which in the
+    bands above right's zero part are the is_pos intensity positions
+    the decoder must apply; granule 1 is silent. Left scalefactors stay
+    zero so expected values are closed-form."""
+    slen1, slen2 = _SLEN[scalefac_compress]
+    groups = [(0, 6, slen1), (6, 11, slen1), (11, 16, slen2), (16, 21, slen2)]
+
+    def one_channel(ix, sf):
+        ix = list(ix) + [0] * (576 - len(ix))
+        sf = list(sf) + [0] * (21 - len(sf))
+        w = _BitWriter()
+        for lo, hi, sl in groups:
+            for sfb in range(lo, hi):
+                w.w(sf[sfb], sl)
+        last_big = max((i for i, v in enumerate(ix) if abs(v) > 1), default=-1)
+        big_end = last_big + 1 + (last_big + 1) % 2
+        last_nz = max((i for i, v in enumerate(ix) if v), default=-1)
+        c1_end = last_nz + 1
+        if (c1_end - big_end) % 4:
+            c1_end += 4 - (c1_end - big_end) % 4
+        maxv = max((abs(v) for v in ix), default=0)
+        tid = _pick_table(max(maxv, 1)) if big_end else 1
+        tab = HUFFMAN_BIG[tid]
+        for i in range(0, big_end, 2):
+            x, y = ix[i], ix[i + 1]
+            code, ln = tab[(abs(x), abs(y))]
+            w.w(code, ln)
+            if x:
+                w.w(1 if x < 0 else 0, 1)
+            if y:
+                w.w(1 if y < 0 else 0, 1)
+        for i in range(big_end, c1_end, 4):
+            quad = ix[i : i + 4]
+            v = 0
+            for q in quad:
+                v = (v << 1) | (1 if q else 0)
+            code, ln = HUFFMAN_COUNT1A[v]
+            w.w(code, ln)
+            for q in quad:
+                if q:
+                    w.w(1 if q < 0 else 0, 1)
+        return w, big_end // 2, tid
+
+    chans = [
+        one_channel(left_ix, [0] * 21),
+        one_channel(right_ix, right_sf),
+        one_channel([0] * 576, [0] * 21),
+        one_channel([0] * 576, [0] * 21),
+    ]
+    side = _BitWriter()
+    side.w(0, 9).w(0, 3).w(0, 8)  # mdb, private(stereo:3), scfsi 2x4
+    for w, bv, tid in chans:
+        side.w(w.bitpos(), 12).w(bv, 9).w(global_gain, 8)
+        side.w(scalefac_compress, 4)
+        side.w(0, 1)
+        side.w(tid, 5).w(tid, 5).w(tid, 5)
+        side.w(15, 4).w(7, 3)
+        side.w(0, 1).w(0, 1).w(0, 1)
+    main = _BitWriter()
+    for w, _bv, _tid in chans:
+        nbits, data = w.bitpos(), w.bytes_padded()
+        for i in range(nbits):
+            main.w((data[i >> 3] >> (7 - (i & 7))) & 1, 1)
+    payload = side.bytes_padded() + main.bytes_padded()
+    fb = (1152 // 8 * 320 * 1000) // 44100
+    if 4 + len(payload) > fb:
+        raise ValueError("spectra too dense for the fixture bitrate")
+    mode_ext = (3 if ms_stereo else 1) << 4
+    hdr = bytes([0xFF, 0xE0 | (3 << 3) | (1 << 1) | 1,
+                 (_BITRATE_V1_L3.index(320) << 4) | (0 << 2),
+                 (1 << 6) | mode_ext])
     return hdr + payload + bytes(fb - 4 - len(payload))

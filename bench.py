@@ -45,6 +45,9 @@ HEADLINE = [
     # round-6 flagships: the rewritten data-bound operators
     "llm_budget_select",       # B10 token-budget selection (quantized bins)
     "sketch_kmv_sample",       # B4/B10 KMV sketch (TakeOrdered, exact merge)
+    # round-7 flagships: lake lifecycle + MJPEG media chain
+    "lake_branch_wap_roundtrip",  # B1/B10 branches + write-audit-publish
+    "multimodal_mjpeg_frames",    # B10 MP4(MJPEG) -> JPEG decode -> aHash
 ]
 
 

@@ -803,3 +803,66 @@ def test_streaming_session_window_matches_batch(spark, tmp_path):
         assert got is not None, f"streamed session missing from batch: {r.values}"
         assert got == (r["n"], round(r["sum_value"], 6))
     assert len(streamed) <= len(batch)
+
+
+def test_streaming_media_archive_pipeline(spark, tmp_path):
+    """Media shards as a STREAM: binaryFile file-source -> foreachBatch
+    explode_archives + aHash into a lake dir; the streamed result must
+    equal the batch pipeline over the same files (batch-equivalence, the
+    B8 convention) — the archive/media surface composes with Structured
+    Streaming like every other operator."""
+    import numpy as np
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.archives import (
+        build_zip,
+        explode_archives,
+        members_to_media,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        encode_png,
+        with_average_hash,
+    )
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "shards")
+    out = str(tmp_path / "hashes")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    for a in range(3):
+        members = []
+        for k in range(4):
+            px = np.full((8, 8, 3), 20 * a + k, dtype=np.uint8)
+            px[4:, :, :] = 200
+            members.append((f"{a}_{k}.png", encode_png(px)))
+        with open(os.path.join(src, f"pack-{a}.zip"), "wb") as f:
+            f.write(build_zip(members))
+
+    def pipeline(df):
+        archives = df.select(
+            F.xxhash64("path").alias("archive_id"), F.col("content").alias("payload")
+        )
+        return with_average_hash(members_to_media(explode_archives(archives)))
+
+    bin_schema = (
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    stream = spark.readStream.format("binaryFile").schema(bin_schema).load(src)
+    assert stream.isStreaming
+
+    def sink(batch_df, _bid):
+        pipeline(batch_df).write.mode("append").parquet(out)
+
+    q = stream.writeStream.option("checkpointLocation", ckpt).foreachBatch(
+        sink
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    streamed = {
+        (r.media_id, r.ahash)
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        (r.media_id, r.ahash)
+        for r in pipeline(spark.read.format("binaryFile").load(src)).collect()
+    }
+    assert streamed == batch and len(batch) == 12

@@ -380,6 +380,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "multimodal_exif_privacy",
     "ingest_zip_media",
     "webdataset_roundtrip",
+    "audio_id3_privacy",
 )
 
 

@@ -625,3 +625,104 @@ def webdataset_roundtrip(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "audio_id3_privacy",
+    oracle="""
+        SELECT doc_id,
+               '2.' || CAST(3 + doc_id % 2 AS VARCHAR) AS id3_version,
+               't-' || CAST(doc_id AS VARCHAR) AS title,
+               'a-' || CAST(doc_id % 7 AS VARCHAR) AS artist,
+               'c' || CAST(doc_id % 3 AS VARCHAR) AS comment,
+               CAST(4 AS INT) AS n_frames,
+               FALSE AS id3_after_strip,
+               CAST(1 AS BIGINT) AS n_audio_frames
+        FROM documents WHERE doc_id < 48
+        ORDER BY doc_id
+    """,
+    tags=("B10", "multimodal", "privacy", "audio"),
+    doc="ID3v2 tag extraction + stripping (the audio EXIF) with an "
+    "ANALYTIC oracle: per doc a real MPEG-2-LSF frame gets a "
+    "spec-literal ID3v2.3 (even ids; plain big-endian frame sizes, "
+    "latin-1) or v2.4 (odd ids; syncsafe sizes, UTF-8) tag with "
+    "doc_id-derived title/artist/encoder/comment. The pipeline runs "
+    "the real operators: with_id3 extracts (pinned against the "
+    "generating formulas), strip_audio_metadata removes the tag block "
+    "byte-level, a second with_id3 proves it gone, and probe_mp3 on "
+    "the stripped payload pins that the audio frames survived intact. "
+    "The oracle never sees a tag or MP3 byte (operators/id3.py).",
+)
+def audio_id3_privacy(spark, sf_dir):
+    import pandas as pd
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.id3 import (
+        build_id3v2,
+        strip_audio_metadata,
+        with_id3,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.mp3 import (
+        build_mp3_frame_lsf,
+        probe_mp3,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+    )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 48).select("doc_id")
+    audio = build_mp3_frame_lsf([1, 1, -1, 1] + [0] * 572)
+
+    def op(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                tag = build_id3v2(
+                    {
+                        "title": f"t-{did}",
+                        "artist": f"a-{did % 7}",
+                        "encoder": "mtdp",
+                        "comment": f"c{did % 3}",
+                    },
+                    version=3 + did % 2,
+                )
+                rows.append(
+                    {
+                        "media_id": did,
+                        "kind": "audio",
+                        "payload": tag + audio,
+                        "meta": None,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    media = d.mapInPandas(op, MEDIA_SCHEMA)
+    pre = with_id3(media).select(
+        F.col("media_id").alias("doc_id"),
+        "id3_version",
+        "title",
+        "artist",
+        "comment",
+        "n_frames",
+    )
+    stripped = strip_audio_metadata(media).select(
+        "media_id", "kind", "payload", "meta"
+    )
+    post = with_id3(stripped).select(
+        F.col("media_id").alias("doc_id"),
+        F.col("has_id3").alias("id3_after_strip"),
+    )
+
+    def frames_op(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": [int(m) for m in pdf["media_id"]],
+                    "n_audio_frames": [
+                        probe_mp3(bytes(p))["n_frames"] for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    frames = stripped.mapInPandas(frames_op, "doc_id long, n_audio_frames long")
+    return pre.join(post, "doc_id").join(frames, "doc_id").orderBy("doc_id")

@@ -161,6 +161,9 @@ def test_no_unreviewed_driver_collects_in_operators():
         "operators",
     )
     allowed = {
+        # write_tar_shards' default-n_shards sizing: a 1-row total-bytes
+        # aggregate (skipped entirely when the caller passes n_shards)
+        "archives.py": 1,
         # argmax of the pair-count aggregate: limit(1) — one row per round
         "bpe.py": 1,
         # probed cluster ids: ≤ |queries| * nprobe values, the partition-

@@ -313,9 +313,10 @@ def with_exif(media):
 
 
 def strip_image_metadata(media):
-    """Privacy pass: every JPEG payload loses its APP1-APP15/COM
-    segments (EXIF incl. GPS, XMP, ICC, comments) byte-identically in
-    the scan data; non-JPEG rows pass through unchanged. Adds
+    """Privacy pass: JPEG payloads lose their APP1-APP15/COM segments
+    (EXIF incl. GPS, XMP, ICC, comments) and PNG payloads their
+    tEXt/zTXt/iTXt/eXIf/tIME chunks — byte-identically in the pixel
+    data either way; other rows pass through unchanged. Adds
     ``stripped``. Arrow pass, partition-preserving."""
     from collections.abc import Iterator
 
@@ -341,6 +342,10 @@ def strip_image_metadata(media):
                         payloads.append(strip_metadata(b))
                         flags.append(True)
                         continue
+                    if b.startswith(_PNG_SIG):
+                        payloads.append(strip_png_metadata(b))
+                        flags.append(True)
+                        continue
                 except (ValueError, TypeError):
                     pass
                 payloads.append(payload)
@@ -348,3 +353,70 @@ def strip_image_metadata(media):
             yield pdf.assign(payload=payloads, stripped=flags)
 
     return media.mapInPandas(op, out_schema)
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: ancillary metadata chunks a privacy strip removes (text, compressed
+#: text, international text, embedded EXIF, modification time)
+_PNG_META_CHUNKS = {b"tEXt", b"zTXt", b"iTXt", b"eXIf", b"tIME"}
+
+
+def strip_png_metadata(payload: bytes) -> bytes:
+    """Remove PNG metadata chunks (tEXt/zTXt/iTXt/eXIf/tIME — where
+    authorship, software, GPS-bearing EXIF, and timestamps live) by
+    byte-level chunk copy: every remaining chunk, CRCs included, is
+    bit-identical, so decoded pixels are provably unchanged."""
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    out = bytearray(_PNG_SIG)
+    i, n = 8, len(payload)
+    while i + 12 <= n:
+        (ln,) = struct.unpack_from(">I", payload, i)
+        typ = payload[i + 4 : i + 8]
+        end = i + 12 + ln
+        if end > n:
+            raise ValueError("truncated PNG chunk")
+        if typ not in _PNG_META_CHUNKS:
+            out += payload[i:end]
+        if typ == b"IEND":
+            return bytes(out)
+        i = end
+    raise ValueError("PNG missing IEND")
+
+
+def png_text_chunks(payload: bytes) -> dict[str, str]:
+    """Extract uncompressed tEXt keyword->value pairs (the audit-side
+    companion of :func:`strip_png_metadata`)."""
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    out: dict[str, str] = {}
+    i, n = 8, len(payload)
+    while i + 12 <= n:
+        (ln,) = struct.unpack_from(">I", payload, i)
+        typ = payload[i + 4 : i + 8]
+        end = i + 12 + ln
+        if end > n:
+            raise ValueError("truncated PNG chunk")
+        if typ == b"tEXt":
+            body = payload[i + 8 : i + 8 + ln]
+            if b"\x00" in body:
+                k, v = body.split(b"\x00", 1)
+                out[k.decode("latin-1")] = v.decode("latin-1", "replace")
+        if typ == b"IEND":
+            break
+        i = end
+    return out
+
+
+def insert_png_text(payload: bytes, keyword: str, value: str) -> bytes:
+    """Insert a tEXt chunk after IHDR (fixture builder)."""
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    body = keyword.encode("latin-1") + b"\x00" + value.encode("latin-1")
+    chunk = struct.pack(">I", len(body)) + b"tEXt" + body
+    chunk += struct.pack(">I", zlib.crc32(b"tEXt" + body) & 0xFFFFFFFF)
+    (ihdr_len,) = struct.unpack_from(">I", payload, 8)
+    cut = 8 + 12 + ihdr_len  # end of IHDR chunk
+    return payload[:cut] + chunk + payload[cut:]

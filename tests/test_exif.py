@@ -98,3 +98,69 @@ def test_truncated_inputs_raise_value_error():
             parse_exif(tagged[:cut])
         except ValueError:
             pass
+
+
+def test_png_metadata_strip_and_extract():
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.exif import (
+        insert_png_text,
+        png_text_chunks,
+        strip_png_metadata,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    px = np.zeros((8, 8, 3), dtype=np.uint8)
+    px[4:, :, :] = 255
+    plain = encode_png(px)
+    tagged = insert_png_text(
+        insert_png_text(plain, "Author", "someone"), "Software", "cam-fw 1.2"
+    )
+    assert png_text_chunks(tagged) == {"Author": "someone", "Software": "cam-fw 1.2"}
+    stripped = strip_png_metadata(tagged)
+    assert stripped == plain  # byte-identical to the untagged original
+    assert png_text_chunks(stripped) == {}
+    a, _, _ = decode_png(tagged)
+    b, _, _ = decode_png(stripped)
+    assert np.array_equal(a, b)
+    with pytest.raises(ValueError):
+        strip_png_metadata(b"nope")
+
+
+def test_strip_image_metadata_routes_jpeg_and_png(spark):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.exif import (
+        build_exif_app1,
+        insert_app1,
+        insert_png_text,
+        png_text_chunks,
+        strip_image_metadata,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_png,
+    )
+
+    jpeg_tagged = insert_app1(_jpeg(), build_exif_app1({"make": "X"}, gps_dms=(1, 2, 3)))
+    png_tagged = insert_png_text(
+        encode_png(np.zeros((4, 4, 3), dtype=np.uint8)), "GPS", "leak"
+    )
+    rows = [
+        (1, "image", bytearray(jpeg_tagged), (None,) * 4 + ("image/jpeg",)),
+        (2, "image", bytearray(png_tagged), (None,) * 4 + ("image/png",)),
+        (3, "image", bytearray(b"not an image"), (None,) * 5),
+    ]
+    out = {
+        r.media_id: r
+        for r in strip_image_metadata(
+            spark.createDataFrame(rows, MEDIA_SCHEMA)
+        ).collect()
+    }
+    assert out[1].stripped and out[2].stripped and not out[3].stripped
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.exif import (
+        parse_exif,
+    )
+
+    assert parse_exif(bytes(out[1].payload)) == {"has_exif": False}
+    assert png_text_chunks(bytes(out[2].payload)) == {}
+    assert bytes(out[3].payload) == b"not an image"

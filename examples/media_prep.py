@@ -133,6 +133,39 @@ def main() -> None:
     print("MJPEG frame hashes + frame-level near-duplicate pairs:")
     fh.show()
     ahash_near_duplicates(keyed, max_hamming=3).show()
+
+    # privacy pass: strip EXIF/GPS from JPEGs, PNG text chunks, ID3 tags
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.exif import (
+        strip_image_metadata,
+        with_exif,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.id3 import (
+        strip_audio_metadata,
+        with_id3,
+    )
+
+    print("image metadata audit (EXIF/GPS) and strip flags:")
+    with_exif(images).select("media_id", "has_exif", "has_gps").show(3)
+    strip_image_metadata(images).select("media_id", "stripped").show(3)
+    print("audio metadata audit (ID3) and strip flags:")
+    with_id3(audio).select("media_id", "has_id3", "encoder").show(3)
+    strip_audio_metadata(audio).select("media_id", "stripped").show(3)
+
+    # normalize audio formats, then pack everything into training shards
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.archives import (
+        write_tar_shards,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        transcode_audio,
+    )
+
+    print("audio transcode to uniform PCM WAV:")
+    transcode_audio(media, target_sr=16000).select(
+        "media_id", "transcoded", "meta.sample_rate"
+    ).show(3)
+    shard_dir = tempfile.mkdtemp(prefix="media_prep_shards_")
+    print("WebDataset-style shard manifest:")
+    write_tar_shards(media, shard_dir, n_shards=2).show()
     spark.stop()
 
 

@@ -381,6 +381,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "ingest_zip_media",
     "webdataset_roundtrip",
     "audio_id3_privacy",
+    "similarity_bitext_margin",
 )
 
 

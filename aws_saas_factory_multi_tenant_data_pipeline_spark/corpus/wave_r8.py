@@ -726,3 +726,68 @@ def audio_id3_privacy(spark, sf_dir):
 
     frames = stripped.mapInPandas(frames_op, "doc_id long, n_audio_frames long")
     return pre.join(post, "doc_id").join(frames, "doc_id").orderBy("doc_id")
+
+
+@register(
+    "similarity_bitext_margin",
+    oracle="""
+        WITH src AS (
+            SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE label = 0),
+        tgt AS (
+            SELECT vec_id AS tgt_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE label = 1),
+        pairs AS (
+            SELECT src_id, tgt_id,
+                   ROUND(list_dot_product(s.v, t.v)
+                         / (sqrt(list_dot_product(s.v, s.v))
+                            * sqrt(list_dot_product(t.v, t.v))), 6) AS cosine
+            FROM src s CROSS JOIN tgt t),
+        ranked AS (
+            SELECT src_id, tgt_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY src_id
+                                      ORDER BY cosine DESC, tgt_id) AS rs,
+                   ROW_NUMBER() OVER (PARTITION BY tgt_id
+                                      ORDER BY cosine DESC, src_id) AS rt
+            FROM pairs),
+        sx AS (SELECT src_id, SUM(CAST(cosine AS DECIMAL(18,6))) AS sx
+               FROM ranked WHERE rs <= 4 GROUP BY src_id),
+        sy AS (SELECT tgt_id, SUM(CAST(cosine AS DECIMAL(18,6))) AS sy
+               FROM ranked WHERE rt <= 4 GROUP BY tgt_id),
+        scored AS (
+            SELECT p.src_id, p.tgt_id, p.cosine,
+                   ROUND(p.cosine * 8 / CAST(sx.sx + sy.sy AS DOUBLE), 6)
+                       AS margin
+            FROM pairs p JOIN sx USING (src_id) JOIN sy USING (tgt_id)),
+        best AS (
+            SELECT src_id, tgt_id, cosine, margin,
+                   ROW_NUMBER() OVER (PARTITION BY src_id
+                                      ORDER BY margin DESC, tgt_id) AS r
+            FROM scored)
+        SELECT src_id, tgt_id, cosine, margin, (margin > 1.05) AS mined
+        FROM best WHERE r = 1
+        ORDER BY src_id
+    """,
+    tags=("B10", "similarity"),
+    doc="Margin-based bitext mining (Artetxe & Schwenk — the "
+    "LASER/CCMatrix recipe) over the embeddings table, labels 0/1 as "
+    "the two languages: cosine normalized by both sides' k=4 "
+    "nearest-neighbor means cancels hubness; each source keeps its best "
+    "target with mined = margin > 1.05. Exact brute-force form (the "
+    "oracle baseline — candidate generation at scale comes from the "
+    "existing LSH/IVF index ops and feeds the SAME margin scoring); "
+    "neighbor sums are DECIMAL(18,6)-exact so the hash matches "
+    "bit-for-bit (operators/similarity.py bitext_mine).",
+)
+def similarity_bitext_margin(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.similarity import (
+        bitext_mine,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    return bitext_mine(
+        emb.where(F.col("label") == 0),
+        emb.where(F.col("label") == 1),
+        k=4,
+        threshold=1.05,
+    ).orderBy("src_id")

@@ -536,3 +536,100 @@ def hard_negatives(
         .where(F.col("rank") <= k)
         .select("anchor_id", "neg_id", "neg_label", "cosine", "rank")
     )
+
+
+def bitext_mine(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    threshold: float = 1.05,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019,
+    arXiv:1811.01136 — the LASER/CCMatrix recipe): score every candidate
+    pair by cos(x,y) normalized by the mean similarity of each side's k
+    nearest neighbors — margin(x,y) = cos / ((avg_k(x) + avg_k(y)) / 2)
+    — then keep each source's best target, mined iff margin >
+    ``threshold``. The margin cancels hubness (a vector that is close to
+    EVERYTHING scores high raw cosine but low margin), which raw-cosine
+    thresholding cannot.
+
+    Determinism: cosines are rounded to 6 dp (the corpus convention),
+    neighbor sums are DECIMAL(18,6)-exact (order-independent), and the
+    margin is one double division of exactly-representable inputs — so
+    the SQL oracle reproduces it bit-for-bit.
+
+    Scale shape: this exact form cross-joins src×tgt (the oracle
+    baseline, same contract as :func:`cosine_topk`); at 100 TB generate
+    candidate pairs with the LSH/IVF index ops and feed them through
+    the same margin scoring — the normalization only needs each side's
+    top-k, which candidates supply.
+
+    Returns (src_id, tgt_id, cosine, margin, mined)."""
+    s = with_norm(src, vec_col).select(
+        F.col(id_col).alias("src_id"),
+        F.col(vec_col).alias("__sv"),
+        F.col("__norm").alias("__sn"),
+    )
+    g = with_norm(tgt, vec_col).select(
+        F.col(id_col).alias("tgt_id"),
+        F.col(vec_col).alias("__tv"),
+        F.col("__norm").alias("__tn"),
+    )
+    pairs = s.crossJoin(F.broadcast(g)).select(
+        "src_id",
+        "tgt_id",
+        F.round(
+            dot(F.col("__sv"), F.col("__tv")) / (F.col("__sn") * F.col("__tn")), 6
+        ).alias("cosine"),
+    )
+    dec = F.col("cosine").cast("decimal(18,6)")
+    wsrc = Window.partitionBy("src_id").orderBy(
+        F.col("cosine").desc(), F.col("tgt_id")
+    )
+    wtgt = Window.partitionBy("tgt_id").orderBy(
+        F.col("cosine").desc(), F.col("src_id")
+    )
+    ranked = pairs.select(
+        "src_id",
+        "tgt_id",
+        "cosine",
+        F.row_number().over(wsrc).alias("__rs"),
+        F.row_number().over(wtgt).alias("__rt"),
+    )
+    sum_src = (
+        ranked.where(F.col("__rs") <= k)
+        .groupBy("src_id")
+        .agg(F.sum(dec).alias("__sx"))
+    )
+    sum_tgt = (
+        ranked.where(F.col("__rt") <= k)
+        .groupBy("tgt_id")
+        .agg(F.sum(dec).alias("__sy"))
+    )
+    margin = F.round(
+        F.col("cosine")
+        * (2 * k)
+        / (F.col("__sx") + F.col("__sy")).cast("double"),
+        6,
+    )
+    scored = (
+        pairs.join(F.broadcast(sum_src), "src_id")
+        .join(F.broadcast(sum_tgt), "tgt_id")
+        .select("src_id", "tgt_id", "cosine", margin.alias("margin"))
+    )
+    wbest = Window.partitionBy("src_id").orderBy(
+        F.col("margin").desc(), F.col("tgt_id")
+    )
+    return (
+        scored.withColumn("__r", F.row_number().over(wbest))
+        .where(F.col("__r") == 1)
+        .select(
+            "src_id",
+            "tgt_id",
+            "cosine",
+            "margin",
+            (F.col("margin") > threshold).alias("mined"),
+        )
+    )

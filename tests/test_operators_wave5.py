@@ -330,3 +330,41 @@ def test_text_index_rejects_empty_terms(spark, tmp_path):
 
     with pytest.raises(ValueError):
         search_text_index(spark, str(tmp_path), [])
+
+
+def test_bitext_margin_cancels_hubness(spark):
+    """A hub target (moderately close to EVERY source) must lose to a
+    specific target (very close to one source) under margin scoring —
+    and the hub's raw cosine can still be the higher one for unrelated
+    sources, which is exactly the failure mode the margin fixes."""
+    import numpy as np
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.similarity import (
+        bitext_mine,
+    )
+
+    def unit(v):
+        v = np.asarray(v, dtype=np.float32)
+        return (v / np.linalg.norm(v)).tolist()
+
+    # sources: three distinct directions
+    srcs = [
+        (0, unit([1, 0, 0, 0.1])),
+        (1, unit([0, 1, 0, 0.1])),
+        (2, unit([0, 0, 1, 0.1])),
+    ]
+    # targets: one specific match per source, plus a HUB near the mean
+    tgts = [
+        (10, unit([1, 0.05, 0, 0.1])),   # matches src 0
+        (11, unit([0.05, 1, 0, 0.1])),   # matches src 1
+        (12, unit([0, 0.05, 1, 0.1])),   # matches src 2
+        (13, unit([1, 1, 1, 0.3])),      # hub: close-ish to everything
+    ]
+    schema = "vec_id long, embedding array<float>"
+    src = spark.createDataFrame(srcs, schema)
+    tgt = spark.createDataFrame(tgts, schema)
+    got = {r.src_id: r for r in bitext_mine(src, tgt, k=2, threshold=1.0).collect()}
+    assert {got[i].tgt_id for i in (0, 1, 2)} == {10, 11, 12}
+    for i, expected_tgt in [(0, 10), (1, 11), (2, 12)]:
+        assert got[i].tgt_id == expected_tgt
+        assert got[i].mined  # specific matches clear the margin threshold

@@ -19,7 +19,7 @@ import io
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -47,9 +47,9 @@ def iter_archive_members(payload: bytes):
             import zipfile
 
             with zipfile.ZipFile(io.BytesIO(payload)) as zf:
-                bad = zf.testzip()
-                if bad is not None:
-                    raise ValueError(f"corrupt zip member {bad!r}")
+                # zf.read verifies each member's CRC itself (BadZipFile on
+                # mismatch) — no upfront testzip() pass, which would
+                # decompress every member twice
                 for info in zf.infolist():
                     if info.is_dir():
                         continue
@@ -73,6 +73,7 @@ def iter_archive_members(payload: bytes):
 ARCHIVE_MEMBER_SCHEMA = T.StructType(
     [
         T.StructField("archive_id", T.LongType(), False),
+        T.StructField("member_idx", T.IntegerType(), True),
         T.StructField("member_name", T.StringType(), True),
         T.StructField("member_bytes", T.BinaryType(), True),
         T.StructField("n_bytes", T.LongType(), True),
@@ -87,11 +88,15 @@ def explode_archives(
     payload_col: str = "payload",
     chunk_rows: int = 256,
 ) -> DataFrame:
-    """One archive row -> one row per member (bounded ``chunk_rows``
-    pandas batches so a many-member archive never materializes at once);
-    torn archives yield a single parse_error quarantine row. Arrow pass,
-    partition-preserving — route the result into media/text ops by
-    extension."""
+    """One archive row -> one row per member with its archive-order
+    ``member_idx`` (bounded ``chunk_rows`` pandas batches so a
+    many-member archive never materializes at once). Tear contract: a
+    torn archive CONTRIBUTES a parse_error quarantine row; members
+    extracted before the tear may already be streamed out (bounded
+    chunking makes retraction impossible), so consumers must treat ANY
+    parse_error row for an archive_id as 'discard that archive's
+    members' — which :func:`members_to_media` does via an anti-join.
+    NULL/torn payloads quarantine, never fail the task."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in ARCHIVE_MEMBER_SCHEMA.fields]
@@ -100,10 +105,13 @@ def explode_archives(
             for aid, payload in zip(pdf[id_col], pdf[payload_col]):
                 aid = int(aid)
                 try:
-                    for name, data in iter_archive_members(bytes(payload)):
+                    for idx, (name, data) in enumerate(
+                        iter_archive_members(bytes(payload))
+                    ):
                         rows.append(
                             {
                                 "archive_id": aid,
+                                "member_idx": idx,
                                 "member_name": name,
                                 "member_bytes": data,
                                 "n_bytes": len(data),
@@ -113,10 +121,11 @@ def explode_archives(
                         if len(rows) >= chunk_rows:
                             yield pd.DataFrame(rows, columns=cols)
                             rows = []
-                except ValueError as exc:
+                except (ValueError, TypeError) as exc:
                     rows.append(
                         {
                             "archive_id": aid,
+                            "member_idx": None,
                             "member_name": None,
                             "member_bytes": None,
                             "n_bytes": None,
@@ -135,12 +144,15 @@ def members_to_media(members: DataFrame) -> DataFrame:
     """Route exploded members into MEDIA_SCHEMA by extension (the same
     kind/mime table ingest_media_dir uses); media_id =
     xxhash64(archive_id, member_name) — stable across re-ingests.
-    Non-media members and quarantine rows are filtered here; keep the
-    raw member frame for text/other routing."""
+    Members of ANY archive that produced a parse_error row are excluded
+    wholesale (a torn archive may have streamed good-looking members
+    before the tear — see :func:`explode_archives`); non-media members
+    drop too; keep the raw member frame for text/other routing."""
     from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
         _EXT_KIND,
     )
 
+    torn = members.where(F.col("parse_error").isNotNull()).select("archive_id")
     ext = F.lower(F.element_at(F.split(F.col("member_name"), "\\."), -1))
     kind_expr = F.lit(None).cast("string")
     mime_expr = F.lit(None).cast("string")
@@ -149,6 +161,7 @@ def members_to_media(members: DataFrame) -> DataFrame:
         mime_expr = F.when(ext == e, mime).otherwise(mime_expr)
     return (
         members.where(F.col("parse_error").isNull())
+        .join(torn.distinct(), "archive_id", "left_anti")
         .withColumn("__kind", kind_expr)
         .where(F.col("__kind").isNotNull())
         .select(
@@ -293,24 +306,41 @@ def write_tar_shards(
 def group_webdataset_samples(members: DataFrame) -> DataFrame:
     """True WebDataset semantics: members sharing a basename form ONE
     training sample (``0017.png`` + ``0017.json`` + ``0017.txt`` ->
-    sample ``0017`` with a map of extension -> bytes). Returns
-    (archive_id, sample_key, parts map<string,binary>, n_parts) —
-    group-by, no window; quarantine rows are excluded upstream by the
-    parse_error filter."""
-    named = members.where(
-        F.col("parse_error").isNull() & F.col("member_name").contains(".")
-    ).select(
-        "archive_id",
-        F.regexp_extract(F.col("member_name"), r"^(.*)\.([^.]+)$", 1).alias(
-            "sample_key"
-        ),
-        F.lower(
-            F.regexp_extract(F.col("member_name"), r"^(.*)\.([^.]+)$", 2)
-        ).alias("ext"),
-        "member_bytes",
+    sample ``0017`` with a map of extension -> bytes). Duplicate
+    (sample, ext) members — legal in tar, where append mode overrides —
+    keep the LAST archive occurrence (max member_idx), so the map build
+    can never hit Spark's duplicate-key error and a task never dies on
+    a repacked shard. Members of torn archives are excluded wholesale
+    (same contract as :func:`members_to_media`). Returns (archive_id,
+    sample_key, parts map<string,binary>, n_parts)."""
+    torn = members.where(F.col("parse_error").isNotNull()).select("archive_id")
+    named = (
+        members.where(
+            F.col("parse_error").isNull() & F.col("member_name").contains(".")
+        )
+        .join(torn.distinct(), "archive_id", "left_anti")
+        .select(
+            "archive_id",
+            F.regexp_extract(F.col("member_name"), r"^(.*)\.([^.]+)$", 1).alias(
+                "sample_key"
+            ),
+            F.lower(
+                F.regexp_extract(F.col("member_name"), r"^(.*)\.([^.]+)$", 2)
+            ).alias("ext"),
+            "member_idx",
+            "member_bytes",
+        )
+    )
+    w = Window.partitionBy("archive_id", "sample_key", "ext").orderBy(
+        F.col("member_idx").desc()
+    )
+    latest = (
+        named.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") == 1)
+        .drop("__r", "member_idx")
     )
     return (
-        named.groupBy("archive_id", "sample_key")
+        latest.groupBy("archive_id", "sample_key")
         .agg(
             F.map_from_entries(
                 F.array_sort(

@@ -1144,10 +1144,12 @@ def decode_mp3_spectra(payload: bytes):
     """Decode an MP3 payload through the SPEC-EXACT stages only (side
     info, scalefactors, Huffman, requantization) and return the
     requantized spectra: a list of (frame_idx, granule_idx, channel_idx,
-    xr ndarray[576]) — no stereo processing, no filterbank, so every
-    value is the closed-form sign(v)*|v|^(4/3)*2^(...) the oracle
-    queries pin analytically. ValueError-only tear contract, same
-    declared boundaries as :func:`decode_mp3`."""
+    xr ndarray[576]) — no stereo processing (MS/intensity NOT applied,
+    so joint-stereo frames of every mode yield their raw per-channel
+    spectra), no filterbank: every value is the closed-form
+    sign(v)*|v|^(4/3)*2^(...) the oracle queries pin analytically.
+    ValueError-only tear contract; the Huffman-table boundary is the
+    same as :func:`decode_mp3`'s."""
     try:
         return _decode_spectra_inner(payload)
     except ValueError:
@@ -1169,10 +1171,11 @@ def _decode_spectra_inner(payload: bytes):
     reservoir = b""
     out = []
     for fi, (off, fb) in enumerate(info["frames"]):
-        b1, b3 = payload[off + 1], payload[off + 3]
+        b1 = payload[off + 1]
         protected = (b1 & 1) == 0
-        if ((b3 >> 6) & 3) == 1 and ((b3 >> 4) & 1):
-            raise ValueError("intensity stereo not supported (declared)")
+        # joint-stereo modes (MS/intensity) do NOT gate here: the
+        # returned spectra are PRE-stereo by contract, so every frame
+        # the frame layer accepts yields its raw per-channel xr
         side_off = off + 4 + (2 if protected else 0)
         mdb, grans, side_bytes, scfsi = _parse_side_info(
             payload[side_off : side_off + 32], lsf, ch

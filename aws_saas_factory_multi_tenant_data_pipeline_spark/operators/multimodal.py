@@ -1084,7 +1084,10 @@ def mjpeg_frame_hashes(frames: DataFrame, hash_size: int = 8) -> DataFrame:
                     ],
                 }
             )
-            yield out[out["frame_idx"] >= 0][cols]
+            # keep payload-level quarantine rows (frame_idx -1, NULL
+            # hash) — a torn MP4 stays per-row visible, distinguishable
+            # from a zero-frame track
+            yield out[cols]
 
     return frames.mapInPandas(op, FRAME_HASH_SCHEMA)
 

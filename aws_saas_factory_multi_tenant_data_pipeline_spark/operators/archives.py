@@ -32,6 +32,12 @@ def sniff_archive_format(payload: bytes) -> str | None:
         return "tgz"  # gzip container; tarfile handles the inner tar
     if len(payload) >= 262 and payload[257:262] == b"ustar":
         return "tar"
+    if (
+        len(payload) >= 1024
+        and len(payload) % 512 == 0
+        and not any(payload[:1024])
+    ):
+        return "tar"  # empty tar: two (or more) all-zero end blocks
     return None
 
 

@@ -545,6 +545,7 @@ def bitext_mine(
     threshold: float = 1.05,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    mutual: bool = False,
 ) -> DataFrame:
     """Margin-based bitext mining (Artetxe & Schwenk 2019,
     arXiv:1811.01136 — the LASER/CCMatrix recipe): score every candidate
@@ -622,7 +623,7 @@ def bitext_mine(
     wbest = Window.partitionBy("src_id").orderBy(
         F.col("margin").desc(), F.col("tgt_id")
     )
-    return (
+    forward = (
         scored.withColumn("__r", F.row_number().over(wbest))
         .where(F.col("__r") == 1)
         .select(
@@ -633,3 +634,17 @@ def bitext_mine(
             (F.col("margin") > threshold).alias("mined"),
         )
     )
+    if not mutual:
+        return forward
+    # mutual best: keep a pair only when the target also elects the
+    # source as ITS best (forward ∩ backward — the highest-precision
+    # CCMatrix setting); a semi-join on the backward winners
+    wback = Window.partitionBy("tgt_id").orderBy(
+        F.col("margin").desc(), F.col("src_id")
+    )
+    backward = (
+        scored.withColumn("__r", F.row_number().over(wback))
+        .where(F.col("__r") == 1)
+        .select("src_id", "tgt_id")
+    )
+    return forward.join(backward, ["src_id", "tgt_id"], "left_semi")

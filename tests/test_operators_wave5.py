@@ -368,3 +368,31 @@ def test_bitext_margin_cancels_hubness(spark):
     for i, expected_tgt in [(0, 10), (1, 11), (2, 12)]:
         assert got[i].tgt_id == expected_tgt
         assert got[i].mined  # specific matches clear the margin threshold
+
+
+def test_bitext_mutual_subset_of_forward(spark):
+    """mutual=True keeps exactly the forward pairs whose target elects
+    the source back — a subset of forward mining, and in a clean
+    one-to-one geometry the two coincide."""
+    import numpy as np
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.similarity import (
+        bitext_mine,
+    )
+
+    def unit(v):
+        v = np.asarray(v, dtype=np.float32)
+        return (v / np.linalg.norm(v)).tolist()
+
+    src = spark.createDataFrame(
+        [(0, unit([1, 0, 0.1])), (1, unit([0, 1, 0.1]))],
+        "vec_id long, embedding array<float>",
+    )
+    tgt = spark.createDataFrame(
+        [(10, unit([1, 0.05, 0.1])), (11, unit([0.05, 1, 0.1]))],
+        "vec_id long, embedding array<float>",
+    )
+    fwd = {(r.src_id, r.tgt_id) for r in bitext_mine(src, tgt, k=1).collect()}
+    mut = {(r.src_id, r.tgt_id) for r in bitext_mine(src, tgt, k=1, mutual=True).collect()}
+    assert mut <= fwd
+    assert mut == {(0, 10), (1, 11)}  # clean geometry: mutual == forward

@@ -711,16 +711,19 @@ def llm_budget_select(spark, sf_dir):
     from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import tokens
 
     d = t(spark, sf_dir, "documents")
-    scored = quality_model_score(d).select("doc_id", "quality_score")
-    toks = d.select(
+    # ONE projection carries both the score and the token count: the
+    # quality model preserves input columns, so the old two-scan
+    # self-join on doc_id (a full corpus shuffle) was pure waste — the
+    # r8 plan is scan → project → budget_select, shuffle-free upstream
+    full = quality_model_score(d).select(
         "doc_id",
         "source",
         F.when(F.trim(F.concat_ws(" ", tokens(F.col("text")))) == "", F.lit(0))
         .otherwise(F.size(tokens(F.col("text"))))
         .cast("long")
         .alias("n_toks"),
+        "quality_score",
     )
-    full = toks.join(scored, "doc_id")
     sel = budget_select(
         full, 6000, score_col="quality_score", tokens_col="n_toks", id_col="doc_id"
     )

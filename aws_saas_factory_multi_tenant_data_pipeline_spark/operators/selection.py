@@ -28,6 +28,8 @@ Two selection primitives every corpus build eventually needs:
 
 from __future__ import annotations
 
+import threading
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -38,8 +40,24 @@ from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import (
 )
 
 #: the previous budget_select call's persisted boundary frame — released
-#: on the next call so long sessions hold at most one cached copy
+#: on the next call so long sessions hold at most one cached copy.
+#: Guarded by _BOUNDARY_LOCK: two interleaved budget_select calls from
+#: different threads must never double-pop or leak a persisted frame.
 _BOUNDARY_CACHE: list = []
+_BOUNDARY_LOCK = threading.Lock()
+
+
+def release_boundary_cache() -> None:
+    """Unpersist any boundary frame budget_select left cached (call when
+    a long session is done with selection queries). Thread-safe;
+    unpersisting a frame whose plan is still referenced only drops the
+    cache (Spark recomputes), never correctness."""
+    with _BOUNDARY_LOCK:
+        while _BOUNDARY_CACHE:
+            try:
+                _BOUNDARY_CACHE.pop().unpersist(blocking=False)
+            except Exception:
+                pass
 
 
 def leakage_safe_split(
@@ -92,6 +110,7 @@ def budget_select(
     id_col: str = "doc_id",
     seed: str = "budget",
     n_bins: int = 4096,
+    cache_input: bool = True,
 ) -> DataFrame:
     """Keep the greedy highest-quality prefix whose token total fits
     ``budget_tokens``; within a score, documents are taken in
@@ -105,126 +124,178 @@ def budget_select(
     "unscorable", which a budget selection must never spend tokens on —
     and must never silently drop from the returned frame either).
 
-    Bounded-memory contract: both boundary-search frames have ≤ ``n_bins``
-    rows regardless of the score distribution (continuous per-document
-    scores included), and the ordered-prefix window runs inside ONE
-    SUB-bin of the boundary bin: the boundary bin is re-binned once
-    before the window — by score when its scores spread, by the uniform
-    md5 tie hash when they don't (the corpus-wide-constant-score case
-    that used to degrade toward a global sort) — so the window input is
-    ≈ corpus / n_bins² rows even under a single-value-dominated score
-    column. The irreducible residual is an equal-(score, 13-hex-tie-
-    prefix) class — cryptographically negligible.
+    Bounded-memory contract: everything that leaves the executors is
+    ≤ ``n_bins`` rows (the per-bin token/count profile, collected once
+    for driver-side planning — bin decisions become literal predicates,
+    so the final job is two plain corpus scans with NO joins). The
+    ordered-prefix window input is ≤ ``n_bins`` rows in the common case
+    (boundary bin ≈ corpus/n_bins, known from the collected profile);
+    ONLY a pathological distribution (all mass in one equi-width bin —
+    e.g. a corpus-wide constant score) pays a one-shot persist + re-bin —
+    by score when the bin's scores spread, by the uniform md5 tie hash
+    when they don't — shrinking the window input to ≈ corpus / n_bins²
+    rows. The irreducible residual is an equal-(score,
+    13-hex-tie-prefix) class — cryptographically negligible.
+
+    ``cache_input=True`` (default) persists ``df`` MEMORY_AND_DISK for
+    the duration: budget selection is inherently multi-pass (min/max,
+    per-bin profile, final split scans), and recomputing an expensive
+    upstream (a quality model is typical) 3-4× dwarfs the cache cost of
+    a slim scored frame — at 100 TB pass a projection of (id, score,
+    tokens, carry-along columns), which spills fine. The cache is
+    released on the next budget_select call (or via
+    :func:`release_boundary_cache`); set ``cache_input=False`` to scan
+    the raw lineage every pass instead.
     """
     if budget_tokens < 0:
         raise ValueError("budget_tokens must be >= 0")
+    to_cache: list[DataFrame] = []
+    if cache_input:
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        to_cache.append(df)
+    with _BOUNDARY_LOCK:
+        while _BOUNDARY_CACHE:
+            try:
+                _BOUNDARY_CACHE.pop().unpersist(blocking=False)
+            except Exception:
+                pass
+        _BOUNDARY_CACHE.extend(to_cache)
     score = F.col(score_col).cast("double")
-    # 1-row min/max → broadcast: equi-width bin ids are a monotone function
-    # of the score, so equal scores share a bin and bin order = score order.
-    # NULL scores ride the SAME scan as bin -1 (kept, never selected) —
-    # no separate corpus pass for them
-    mm = df.agg(F.min(score).alias("__lo"), F.max(score).alias("__hi"))
-    width = (F.col("__hi") - F.col("__lo")) / n_bins
-    bkt = (
-        F.when(score.isNull(), F.lit(-1))
-        .when(F.col("__hi") == F.col("__lo"), F.lit(0))
-        .otherwise(
-            F.least(
-                F.lit(n_bins - 1),
-                F.floor((score - F.col("__lo")) / width).cast("int"),
-            )
-        )
-        .alias("__bkt")
-    )
-    binned = (
-        df.crossJoin(F.broadcast(mm)).withColumn("__bkt", bkt).drop("__lo", "__hi")
-    )
-    per_bin = binned.where(F.col("__bkt") >= 0).groupBy("__bkt").agg(
-        F.sum(F.col(tokens_col).cast("long")).alias("__bt")
-    )
-    # the first unpartitioned window — over ≤ n_bins rows, by construction
-    w = Window.orderBy(F.col("__bkt").desc())
-    cum = per_bin.withColumn(
-        "__before", F.coalesce(F.sum("__bt").over(w) - F.col("__bt"), F.lit(0))
-    )
-    joined = binned.join(F.broadcast(cum), "__bkt", "left")
-    whole_in = (F.col("__before") + F.col("__bt")) <= budget_tokens
-    boundary = (
-        (F.col("__bkt") >= 0)
-        & (F.col("__before") < budget_tokens)
-        & ~whole_in
-    )
-    # every non-boundary bin is decided wholesale by its cumulative range —
-    # a broadcast filter, no window anywhere near the corpus; NULL-score
-    # rows (bin -1, null cum columns) coalesce to unselected
-    decided = joined.where(~boundary).withColumn(
-        "is_selected", F.coalesce(whole_in, F.lit(False)) & (F.col("__bkt") >= 0)
-    )
-    # the (single) boundary bin: re-bin ONCE before the ordered prefix so
-    # a pathological distribution (all mass in one equi-width bin — e.g. a
-    # corpus-wide constant score) cannot degrade toward a global sort.
-    # Sub-bin ids are monotone along the exact greedy order
-    # (score DESC, tie ASC): by score when the bin's scores spread, by the
-    # uniform md5 tie hash (13 hex digits = 52 double-exact bits) when
-    # they don't — either way ≈ bin / n_bins rows reach the window.
+    tok_l = F.col(tokens_col).cast("long")
     tie = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
     tie_u = F.conv(F.substring(tie, 1, 13), 16, 10).cast("double") / float(1 << 52)
-    # persist the boundary bin (≈ corpus/n_bins rows, bounded): the
-    # re-bin pass references it three times (min/max agg, sub-binning,
-    # and the two decided/edge branches) — without the persist each
-    # reference recomputes the corpus scan + first-level join. The cache
-    # is released on the NEXT budget_select call (module-level handoff),
-    # so repeated calls in a long session hold at most one boundary
-    # frame — unpersisting a frame whose plan is still referenced only
-    # drops the cache (Spark recomputes), never correctness
-    edge_in = joined.where(boundary).persist(StorageLevel.MEMORY_AND_DISK)
-    while _BOUNDARY_CACHE:
-        try:
-            _BOUNDARY_CACHE.pop().unpersist(blocking=False)
-        except Exception:
-            pass
-    _BOUNDARY_CACHE.append(edge_in)
-    mm2 = edge_in.agg(F.min(score).alias("__lo2"), F.max(score).alias("__hi2"))
-    width2 = (F.col("__hi2") - F.col("__lo2")) / n_bins
-    sub = (
-        F.when(
-            F.col("__hi2") == F.col("__lo2"),
-            F.least(F.lit(n_bins - 1), F.floor(tie_u * n_bins).cast("int")),
-        )
-        .otherwise(
+
+    # Driver-side planning (r8): min/max + the per-bin (tokens, count)
+    # profile are TINY (1 row, then ≤ n_bins rows) — collect them and
+    # turn every whole-bin decision into a literal predicate. This
+    # removes both broadcast hash joins the r6/r7 plans carried AND the
+    # r7 re-bin's extra boundary traversals: the final job is exactly
+    # two corpus scans (the non-boundary filter and the boundary filter
+    # + its ≤-n_bins-row window). At 100 TB the collected state is still
+    # ≤ n_bins rows — nothing corpus-sized ever reaches the driver.
+    lohi = df.agg(F.min(score).alias("lo"), F.max(score).alias("hi")).collect()[0]
+    lo, hi = lohi["lo"], lohi["hi"]
+    if lo is None:
+        # no scorable rows at all: keep everything, select nothing
+        return df.withColumn("is_selected", F.lit(False))
+    # equi-width bin ids are a monotone function of the score, so equal
+    # scores share a bin and bin order = score order. NULL scores ride
+    # the SAME scan as bin -1 (kept, never selected) — no separate pass.
+    if hi == lo:
+        bkt = F.when(score.isNull(), F.lit(-1)).otherwise(F.lit(0))
+    else:
+        width = (hi - lo) / n_bins  # same IEEE double arithmetic as Spark's
+        bkt = F.when(score.isNull(), F.lit(-1)).otherwise(
             F.least(
                 F.lit(n_bins - 1),
-                F.floor((F.col("__hi2") - score) / width2).cast("int"),
+                F.floor((score - F.lit(lo)) / F.lit(width)).cast("int"),
             )
         )
-        .alias("__bkt2")
+    binned = df.withColumn("__bkt", bkt)
+    stats = (
+        binned.where(F.col("__bkt") >= 0)
+        .groupBy("__bkt")
+        .agg(F.sum(tok_l).alias("bt"), F.count(F.lit(1)).alias("cnt"))
+        .collect()
     )
-    binned2 = (
-        edge_in.crossJoin(F.broadcast(mm2))
-        .withColumn("__bkt2", sub)
-        .drop("__lo2", "__hi2")
+    # replay the cumulative walk driver-side (descending bin = greedy
+    # order): whole_in bins are kept wholesale, at most ONE bin straddles
+    # the budget (once before ≥ budget, every lower bin is excluded)
+    full_bins: list[int] = []
+    boundary_bkt = None
+    boundary_before = 0
+    boundary_cnt = 0
+    before = 0
+    for row in sorted(stats, key=lambda r: -r["__bkt"]):
+        bt = row["bt"] or 0
+        if before + bt <= budget_tokens:
+            full_bins.append(row["__bkt"])
+        elif before < budget_tokens:
+            boundary_bkt, boundary_before, boundary_cnt = (
+                row["__bkt"],
+                before,
+                row["cnt"],
+            )
+        before += bt
+    in_full = (
+        F.col("__bkt").isin(full_bins) if full_bins else F.lit(False)
     )
-    per2 = binned2.groupBy("__bkt2").agg(
-        F.sum(F.col(tokens_col).cast("long")).alias("__bt2")
+    if boundary_bkt is None:
+        # no straddling bin: one corpus scan, a literal IN-set, done
+        return binned.withColumn("is_selected", in_full).drop("__bkt")
+    decided = binned.where(F.col("__bkt") != boundary_bkt).withColumn(
+        "is_selected", in_full
     )
-    # the second (and last) unpartitioned window — again ≤ n_bins rows
-    w2 = Window.orderBy(F.col("__bkt2"))
-    cum2 = per2.withColumn(
-        "__before2", F.coalesce(F.sum("__bt2").over(w2) - F.col("__bt2"), F.lit(0))
+    if boundary_cnt <= n_bins:
+        # common case (boundary bin ≈ corpus/n_bins rows): the ordered
+        # prefix runs straight over the bounded boundary bin — no
+        # persist, no re-bin, no extra jobs (this was the r7 regression)
+        wb0 = Window.orderBy(score.desc(), tie, F.col(id_col))
+        run0 = F.sum(tok_l).over(wb0)
+        edge = binned.where(F.col("__bkt") == boundary_bkt).withColumn(
+            "is_selected", (F.lit(boundary_before) + run0) <= budget_tokens
+        )
+        return decided.unionByName(edge).drop("__bkt")
+    # pathological case ONLY (all mass in one equi-width bin — e.g. a
+    # corpus-wide constant score): persist the boundary bin and re-bin it
+    # once before the window. Sub-bin ids are monotone along the exact
+    # greedy order (score DESC, tie ASC): by score when the bin's scores
+    # spread, by the uniform md5 tie hash (13 hex digits = 52
+    # double-exact bits) when they don't — ≈ bin/n_bins rows reach the
+    # window. The persisted frame is released on the NEXT budget_select
+    # call (lock-guarded module-level handoff) — unpersisting a frame
+    # whose plan is still referenced only drops the cache (Spark
+    # recomputes), never correctness.
+    edge_in = binned.where(F.col("__bkt") == boundary_bkt).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    joined2 = binned2.join(F.broadcast(cum2), "__bkt2")
-    before2 = F.col("__before") + F.col("__before2")
-    whole2 = (before2 + F.col("__bt2")) <= budget_tokens
-    boundary2 = (before2 < budget_tokens) & ~whole2
-    decided2 = joined2.where(~boundary2).withColumn("is_selected", whole2)
+    with _BOUNDARY_LOCK:
+        _BOUNDARY_CACHE.append(edge_in)
+    lohi2 = edge_in.agg(
+        F.min(score).alias("lo"), F.max(score).alias("hi")
+    ).collect()[0]
+    lo2, hi2 = lohi2["lo"], lohi2["hi"]
+    if hi2 == lo2:
+        sub = F.least(F.lit(n_bins - 1), F.floor(tie_u * n_bins).cast("int"))
+    else:
+        width2 = (hi2 - lo2) / n_bins
+        sub = F.least(
+            F.lit(n_bins - 1),
+            F.floor((F.lit(hi2) - score) / F.lit(width2)).cast("int"),
+        )
+    binned2 = edge_in.withColumn("__bkt2", sub)
+    stats2 = (
+        binned2.groupBy("__bkt2")
+        .agg(F.sum(tok_l).alias("bt"), F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    # ascending sub-bin = greedy order (hi2 - score grows as score falls)
+    full2: list[int] = []
+    bb2 = None
+    bb2_before = 0
+    before2 = boundary_before
+    for row in sorted(stats2, key=lambda r: r["__bkt2"]):
+        bt = row["bt"] or 0
+        if before2 + bt <= budget_tokens:
+            full2.append(row["__bkt2"])
+        elif before2 < budget_tokens:
+            bb2, bb2_before = row["__bkt2"], before2
+        before2 += bt
+    in_full2 = F.col("__bkt2").isin(full2) if full2 else F.lit(False)
+    if bb2 is None:
+        edge = binned2.withColumn("is_selected", in_full2).drop("__bkt2")
+        return decided.unionByName(edge).drop("__bkt")
+    decided2 = binned2.where(F.col("__bkt2") != bb2).withColumn(
+        "is_selected", in_full2
+    )
     # only the boundary SUB-bin runs the ordered prefix, over its own rows
-    wb = Window.partitionBy("__bkt2").orderBy(score.desc(), tie, F.col(id_col))
-    run = F.sum(F.col(tokens_col).cast("long")).over(wb)
-    edge2 = joined2.where(boundary2).withColumn(
-        "is_selected", (before2 + run) <= budget_tokens
+    wb = Window.orderBy(score.desc(), tie, F.col(id_col))
+    run = F.sum(tok_l).over(wb)
+    edge2 = binned2.where(F.col("__bkt2") == bb2).withColumn(
+        "is_selected", (F.lit(bb2_before) + run) <= budget_tokens
     )
-    edge = decided2.unionByName(edge2).drop("__bkt2", "__bt2", "__before2")
-    return decided.unionByName(edge).drop("__bkt", "__bt", "__before")
+    edge = decided2.unionByName(edge2).drop("__bkt2")
+    return decided.unionByName(edge).drop("__bkt")
 
 
 def dsir_importance(

@@ -287,3 +287,38 @@ def test_budget_select_mass_concentrated_bin_exact(spark):
             .collect()
         }
         assert got == _brute_force(rows, budget), f"budget={budget}"
+
+def test_budget_select_interleaved_calls_thread_safe(spark):
+    """Two concurrent budget_select calls (directive r7#6): the
+    module-level boundary-cache handoff is lock-guarded, so interleaved
+    calls from different threads must both stay exact — an unpersisted
+    frame only loses its cache, never its plan."""
+    import threading
+
+    df1 = _scored_continuous(spark, 300)
+    df2 = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 31) % 100 / 100.0).alias("quality_score"),
+        ((F.col("id") * 11) % 30 + 5).alias("n_tokens"),
+    )
+    rows1 = [r.asDict() for r in df1.collect()]
+    rows2 = [r.asDict() for r in df2.collect()]
+    results: dict = {}
+    errors: list = []
+
+    def run(key, df, budget):
+        try:
+            sel = budget_select(df, budget, n_bins=16)
+            results[key] = {
+                r["doc_id"]
+                for r in sel.where(F.col("is_selected")).collect()
+            }
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    t1 = threading.Thread(target=run, args=("a", df1, 2_500))
+    t2 = threading.Thread(target=run, args=("b", df2, 3_000))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errors
+    assert results["a"] == _brute_force(rows1, 2_500)
+    assert results["b"] == _brute_force(rows2, 3_000)

@@ -750,13 +750,16 @@ def audio_id3_privacy(spark, sf_dir):
                    ROW_NUMBER() OVER (PARTITION BY tgt_id
                                       ORDER BY cosine DESC, src_id) AS rt
             FROM pairs),
-        sx AS (SELECT src_id, SUM(CAST(cosine AS DECIMAL(18,6))) AS sx
+        sx AS (SELECT src_id, SUM(CAST(cosine AS DECIMAL(18,6))) AS sx,
+                      COUNT(*) AS cx
                FROM ranked WHERE rs <= 4 GROUP BY src_id),
-        sy AS (SELECT tgt_id, SUM(CAST(cosine AS DECIMAL(18,6))) AS sy
+        sy AS (SELECT tgt_id, SUM(CAST(cosine AS DECIMAL(18,6))) AS sy,
+                      COUNT(*) AS cy
                FROM ranked WHERE rt <= 4 GROUP BY tgt_id),
         scored AS (
             SELECT p.src_id, p.tgt_id, p.cosine,
-                   ROUND(p.cosine * 8 / CAST(sx.sx + sy.sy AS DOUBLE), 6)
+                   ROUND(p.cosine * (sx.cx + sy.cy)
+                         / CAST(sx.sx + sy.sy AS DOUBLE), 6)
                        AS margin
             FROM pairs p JOIN sx USING (src_id) JOIN sy USING (tgt_id)),
         best AS (

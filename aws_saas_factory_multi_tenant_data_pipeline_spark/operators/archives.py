@@ -35,9 +35,16 @@ def sniff_archive_format(payload: bytes) -> str | None:
     if (
         len(payload) >= 1024
         and len(payload) % 512 == 0
-        and not any(payload[:1024])
+        and len(payload) <= 20 * 512
+        and not any(payload)
     ):
-        return "tar"  # empty tar: two (or more) all-zero end blocks
+        # empty tar: end-of-archive zero blocks ONLY. The whole payload
+        # must be zero and plausibly block-padding-sized (GNU tar pads
+        # to a 20-block record): a zero-padded or truncated blob from a
+        # crawl must NOT classify as a valid empty archive — it returns
+        # None so the row quarantines as a parse_error instead of
+        # silently yielding zero members (r8 ADVICE).
+        return "tar"
     return None
 
 

@@ -142,11 +142,20 @@ def strip_metadata(payload: bytes) -> bytes:
     its GPS), XMP, ICC, comments — WITHOUT re-encoding: the scan data
     and every structural segment (APP0/JFIF, DQT, DHT, SOF, SOS...) are
     copied byte-identically, so the decoded pixels (and any perceptual
-    hash) are provably unchanged."""
+    hash) are provably unchanged.
+
+    Exception (r8 ADVICE): APP14 segments carrying the Adobe color-
+    transform signature are PRESERVED — that flag tells standard
+    decoders whether a 3/4-component scan is RGB, YCbCr, or YCCK, so
+    removing it would change the decoded pixels of Adobe-coded JPEGs
+    (Photoshop output), breaking the pixels-unchanged guarantee. It
+    carries no PII (a 12-byte transform descriptor, T-REC-T.872 §6.5.3).
+    Non-Adobe APP14 payloads are still stripped."""
     out = bytearray(b"\xff\xd8")
     last = 2
     for marker, s, e in _iter_segments(payload):
-        if 0xE1 <= marker <= 0xEF or marker == 0xFE:
+        adobe_app14 = marker == 0xEE and payload[s + 4 : s + 9] == b"Adobe"
+        if (0xE1 <= marker <= 0xEF or marker == 0xFE) and not adobe_app14:
             out += payload[last:s]  # copy everything before the segment
         else:
             out += payload[last:e]
@@ -183,8 +192,15 @@ def build_exif_app1(
     def long_v(v: int) -> tuple[int, int, bytes]:
         return 4, 1, struct.pack(bo + "I", v)
 
-    def rat3_v(d: int, m: int, s: int) -> tuple[int, int, bytes]:
-        return 5, 3, struct.pack(bo + "6I", d, 1, m, 1, s, 1)
+    def rat3_v(d, m, s) -> tuple[int, int, bytes]:
+        # each component is an int (denominator 1) or an explicit
+        # (numerator, denominator) pair — the latter lets fixtures pin
+        # fractional / zero-denominator rationals
+        parts = []
+        for v in (d, m, s):
+            n, den = v if isinstance(v, tuple) else (v, 1)
+            parts += [n, den]
+        return 5, 3, struct.pack(bo + "6I", *parts)
 
     if "make" in tags:
         entries0.append((0x010F, *ascii_v(tags["make"])))
@@ -298,11 +314,33 @@ def with_exif(media):
                               "orientation", "datetime", "pixel_width",
                               "pixel_height", "has_gps"):
                         if k in info:
-                            rec[k] = info[k]
+                            v = info[k]
+                            # malformed EXIF (e.g. orientation with
+                            # count=2, seen from broken crawl writers)
+                            # leaves a list here — coerce to the first
+                            # element so the per-row quarantine contract
+                            # holds instead of tearing the whole Arrow
+                            # batch on an IntegerType mismatch (r8 ADVICE)
+                            if isinstance(v, list):
+                                v = v[0] if v else None
+                            rec[k] = v
                     lat = info.get("gps_lat")
-                    if lat and len(lat) == 3:
+                    # a zero denominator is unparseable, NOT "denominator
+                    # 1": leave the DMS fields NULL (has_gps still set
+                    # from tag presence); valid rationals round, so 61/2
+                    # seconds reports 31, not a floored 30 (r8 ADVICE)
+                    if (
+                        lat
+                        and len(lat) == 3
+                        and all(
+                            isinstance(p, tuple) and len(p) == 2 and p[1] != 0
+                            for p in lat
+                        )
+                    ):
+                        # half-up integer rounding (not Python's banker's
+                        # round): 61/2 s reports 31
                         rec["gps_d"], rec["gps_m"], rec["gps_s"] = (
-                            int(n // max(d, 1)) for n, d in lat
+                            (2 * n + d) // (2 * d) for n, d in lat
                         )
                 except (ValueError, TypeError):
                     pass

@@ -599,19 +599,25 @@ def bitext_mine(
         F.row_number().over(wsrc).alias("__rs"),
         F.row_number().over(wtgt).alias("__rt"),
     )
+    # carry the ACTUAL neighbor counts next to the sums: when a side has
+    # fewer than k rows its sum holds fewer than k terms, and a fixed
+    # 2k numerator would inflate every margin on small partitions —
+    # cosine * (cnt_x + cnt_y) / (sx + sy) is the mean-of-means form
+    # that degrades gracefully (r8 ADVICE; equals the 2k form whenever
+    # both sides have >= k rows)
     sum_src = (
         ranked.where(F.col("__rs") <= k)
         .groupBy("src_id")
-        .agg(F.sum(dec).alias("__sx"))
+        .agg(F.sum(dec).alias("__sx"), F.count(F.lit(1)).alias("__cx"))
     )
     sum_tgt = (
         ranked.where(F.col("__rt") <= k)
         .groupBy("tgt_id")
-        .agg(F.sum(dec).alias("__sy"))
+        .agg(F.sum(dec).alias("__sy"), F.count(F.lit(1)).alias("__cy"))
     )
     margin = F.round(
         F.col("cosine")
-        * (2 * k)
+        * (F.col("__cx") + F.col("__cy"))
         / (F.col("__sx") + F.col("__sy")).cast("double"),
         6,
     )

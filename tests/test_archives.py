@@ -228,3 +228,20 @@ def test_duplicate_member_names_keep_last(spark):
     assert len(samples) == 1
     assert bytes(samples[0].parts["txt"]) == b"new"
     assert samples[0].n_parts == 1
+
+
+def test_empty_tar_sniff_rejects_zero_padded_blobs():
+    """r8 ADVICE: only genuine end-of-archive zero blocks classify as an
+    empty tar — a large zero-padded/truncated blob must return None so
+    the row quarantines instead of silently yielding zero members."""
+    import pytest as _pytest
+
+    assert sniff_archive_format(b"\0" * 1024) == "tar"       # 2 blocks
+    assert sniff_archive_format(b"\0" * (20 * 512)) == "tar"  # GNU record
+    # zero-padded blob beyond any plausible padding size: quarantine
+    assert sniff_archive_format(b"\0" * (21 * 512)) is None
+    # zero prefix followed by non-zero garbage: NOT an empty tar
+    junk = b"\0" * 1024 + b"X" * 512
+    assert sniff_archive_format(junk) is None
+    with _pytest.raises(ValueError, match="unrecognized"):
+        list(iter_archive_members(junk))

@@ -164,3 +164,72 @@ def test_strip_image_metadata_routes_jpeg_and_png(spark):
     assert parse_exif(bytes(out[1].payload)) == {"has_exif": False}
     assert png_text_chunks(bytes(out[2].payload)) == {}
     assert bytes(out[3].payload) == b"not an image"
+
+
+def test_strip_preserves_adobe_app14():
+    """r8 ADVICE: the APP14 'Adobe' color-transform segment decides
+    whether a 3/4-component scan is RGB, YCbCr, or YCCK — stripping it
+    changes decoded pixels of Adobe-coded JPEGs, so strip_metadata must
+    keep it (it carries no PII). Non-Adobe APP14 is still stripped."""
+    import struct as _s
+
+    plain = _jpeg()
+    adobe = b"Adobe" + bytes([0, 100, 0, 0, 0, 0, 1])  # v100, transform=1
+    app14 = b"\xff\xee" + _s.pack(">H", len(adobe) + 2) + adobe
+    tagged = insert_app1(plain[:2] + app14 + plain[2:], build_exif_app1({"make": "X"}))
+    out = strip_metadata(tagged)
+    assert b"Adobe" in out  # APP14 Adobe survives
+    assert parse_exif(out) == {"has_exif": False}  # APP1 gone
+    assert out == plain[:2] + app14 + plain[2:]  # byte-exact otherwise
+    # a non-Adobe APP14 payload is still removed
+    other = b"NotAdobe-payload"
+    app14_other = b"\xff\xee" + _s.pack(">H", len(other) + 2) + other
+    assert strip_metadata(plain[:2] + app14_other + plain[2:]) == plain
+
+
+def test_with_exif_quarantines_nonscalar_and_zero_denominator(spark):
+    """r8 ADVICE pair: (a) a malformed orientation with count=2 must not
+    tear the Arrow batch — the row coerces to the first element; (b) a
+    zero GPS denominator leaves the DMS fields NULL (has_gps stays true
+    from tag presence) and fractional rationals ROUND (61/2 s -> 31)."""
+    import struct as _s
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.exif import (
+        with_exif,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+    )
+
+    # (a) patch the built APP1: orientation SHORT count 1 -> 2 (two
+    # SHORTs still fit inline in the 4 value bytes)
+    app1 = build_exif_app1({"orientation": 6}, byte_order="II")
+    tag_le = _s.pack("<H", 0x0112)
+    i = app1.index(tag_le)
+    cnt_off = i + 4
+    assert _s.unpack_from("<I", app1, cnt_off)[0] == 1
+    patched = app1[:cnt_off] + _s.pack("<I", 2) + app1[cnt_off + 4 :]
+    # value bytes: first SHORT is 6, second is the old padding (0)
+    jpeg_multi = insert_app1(_jpeg(), patched)
+    assert parse_exif(jpeg_multi)["orientation"] == [6, 0]  # raw parse
+
+    # (b) zero-denominator and fractional GPS rationals
+    jpeg_zero_den = insert_app1(
+        _jpeg(), build_exif_app1({}, gps_dms=((10, 0), (2, 1), (3, 1)))
+    )
+    jpeg_frac = insert_app1(
+        _jpeg(), build_exif_app1({}, gps_dms=((48, 1), (21, 1), (61, 2)))
+    )
+    rows = [
+        (1, "image", bytearray(jpeg_multi), (None,) * 4 + ("image/jpeg",)),
+        (2, "image", bytearray(jpeg_zero_den), (None,) * 4 + ("image/jpeg",)),
+        (3, "image", bytearray(jpeg_frac), (None,) * 4 + ("image/jpeg",)),
+    ]
+    out = {
+        r.media_id: r
+        for r in with_exif(spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()
+    }
+    assert out[1].has_exif and out[1].orientation == 6  # coerced, not torn
+    assert out[2].has_gps is True  # tag presence
+    assert out[2].gps_d is None and out[2].gps_m is None and out[2].gps_s is None
+    assert (out[3].gps_d, out[3].gps_m, out[3].gps_s) == (48, 21, 31)  # round

@@ -396,3 +396,33 @@ def test_bitext_mutual_subset_of_forward(spark):
     mut = {(r.src_id, r.tgt_id) for r in bitext_mine(src, tgt, k=1, mutual=True).collect()}
     assert mut <= fwd
     assert mut == {(0, 10), (1, 11)}  # clean geometry: mutual == forward
+
+
+def test_bitext_margin_small_side_uses_actual_counts(spark):
+    """r8 ADVICE: with fewer than k rows on a side, the margin must use
+    the ACTUAL neighbor counts — a fixed 2k numerator inflates every
+    margin on small partitions. With one source and one target the
+    margin of the only pair is exactly 1 (cos * (1+1) / (cos + cos))."""
+    import numpy as np
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.similarity import (
+        bitext_mine,
+    )
+
+    def unit(v):
+        v = np.asarray(v, dtype=np.float32)
+        return (v / np.linalg.norm(v)).tolist()
+
+    src = spark.createDataFrame(
+        [(0, unit([1, 0.3, 0.1]))], "vec_id long, embedding array<float>"
+    )
+    tgt = spark.createDataFrame(
+        [(10, unit([0.9, 0.35, 0.1]))], "vec_id long, embedding array<float>"
+    )
+    rows = bitext_mine(src, tgt, k=4, threshold=1.05).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # mean-of-means degenerate case: margin == cos*(1+1)/(2*cos) == 1,
+    # so nothing is mined; the old 2k form would report margin == 4
+    assert abs(r.margin - 1.0) < 1e-6
+    assert not r.mined

@@ -183,8 +183,22 @@ def main() -> None:
     registry["join_cross"].spark_fn(spark, sf_dir).count()
 
     loadavg_before = [round(x, 2) for x in os.getloadavg()]
-    # calibration pass 1 (best-of-3, post-warmup): constant-work CPU probe
-    calib = [round(min(_bench_calibration(spark) for _ in range(3)), 3)]
+    # calibration pass 1 (best-of-3, post-warmup): constant-work CPU probe.
+    # Quiet-host gate (r7 verdict #2): if the probe reads >1.2× the best
+    # known quiet-host value, the host is under co-tenant load — wait and
+    # re-probe (up to 3 retries) so recorded numbers don't need forensic
+    # normalization. If it never quiets down, proceed but mark the run.
+    BEST_KNOWN_CALIBRATION = 0.111  # quietest observed (r7 rehearsal)
+    gate_attempts: list[float] = []
+    for attempt in range(4):
+        c = round(min(_bench_calibration(spark) for _ in range(3)), 3)
+        gate_attempts.append(c)
+        if c <= BEST_KNOWN_CALIBRATION * 1.2:
+            break
+        if attempt < 3:
+            time.sleep(20)  # let the co-tenant burst pass
+    calib = [min(gate_attempts)]
+    host_quiet = calib[0] <= BEST_KNOWN_CALIBRATION * 1.2
 
     # best-of-2 per query: the second run amortizes codegen/JIT compilation
     # and page-cache warmup, isolating steady-state engine speed from
@@ -236,6 +250,12 @@ def main() -> None:
         # contention; loadavg shows EXTERNAL load (this process pegs ~cpus)
         "calibration": min(calib),
         "calibration_passes": calib,
+        # quiet-host gate: attempts made before the headline passes and
+        # whether the probe ever reached <=1.2x the best known quiet
+        # value (0.111 s) — when false, treat cross-round comparisons as
+        # contaminated and normalize by the calibration ratio
+        "calibration_gate_attempts": gate_attempts,
+        "host_quiet": host_quiet,
         "loadavg_before": loadavg_before,
         "loadavg_after": loadavg_after,
     }

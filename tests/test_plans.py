@@ -532,3 +532,38 @@ def test_dedup_clusters_iterations_never_move_edges(spark):
         assert "Exchange" not in pre_scan, (
             f"iter {i}: edge list re-shuffled\n{branch_text}"
         )
+
+
+def test_tar_shard_writer_single_shuffle_no_sort(spark, tmp_path):
+    """write_tar_shards is hash bucketing, NOT a global sort: the plan
+    must contain exactly ONE exchange (hashpartitioning on shard_id for
+    the per-shard applyInPandas) and no Sort exchange — the shape that
+    keeps the writer one-shuffle at any corpus size (r7 verdict #5)."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.archives import (
+        write_tar_shards,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+    )
+
+    rows = [
+        (i, "image", bytearray(b"x" * 64), (None,) * 4 + ("image/png",))
+        for i in range(32)
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    manifest = write_tar_shards(media, str(tmp_path), n_shards=4)
+    plan = formatted_plan(manifest)
+    # formatted plans list each node twice (tree + numbered detail):
+    # count the numbered detail entries only
+    exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if ln.strip().startswith("(") and ") Exchange" in ln
+    ]
+    assert len(exchanges) == 1, exchanges
+    detail = plan[plan.index("Arguments") :] if "Arguments" in plan else plan
+    assert "hashpartitioning(shard_id" in detail or "hashpartitioning(shard_id" in plan
+    # no global ordering anywhere in the write path
+    assert "rangepartitioning" not in plan
+    sort_lines = [ln for ln in plan.splitlines() if ln.strip().startswith(("Sort", "* Sort"))]
+    assert not sort_lines, sort_lines

@@ -406,6 +406,9 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "crawl_robots_gate",
     "multimodal_frame_sampling",
     "audio_envelope_hash",
+    "audio_mp3_probe",
+    "webdataset_samples",
+    "audio_spectral_tone",
 )
 
 

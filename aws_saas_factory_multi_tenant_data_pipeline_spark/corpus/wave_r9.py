@@ -325,3 +325,248 @@ def audio_envelope_hash(spark, sf_dir):
         .alias("kind"),
         F.col("envhash").cast("long").alias("envhash"),
     ).orderBy("doc_id", "kind")
+
+
+@register(
+    "audio_mp3_probe",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id,
+                   CASE doc_id % 4 WHEN 0 THEN 96 WHEN 1 THEN 128
+                                   WHEN 2 THEN 192 ELSE 320 END AS br,
+                   CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                                   ELSE 32000 END AS sr,
+                   3 + doc_id % 5 AS n,
+                   (doc_id % 7) * 13 AS id3b
+            FROM documents WHERE doc_id < 96)
+        SELECT doc_id,
+               sr AS sample_rate,
+               CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS channels,
+               CAST(n AS BIGINT) AS n_frames,
+               TRUE AS cbr,
+               br AS bitrate_kbps,
+               CAST(CASE WHEN id3b = 0 THEN 0 ELSE 10 + id3b END
+                    AS BIGINT) AS first_off,
+               CAST(n * ((144 * br * 1000) // sr) + n // 2 AS BIGINT)
+                   AS stream_bytes
+        FROM d
+        ORDER BY doc_id
+    """,
+    tags=("B10", "multimodal", "audio"),
+    doc="MP3 frame-layer probe with an ANALYTIC oracle: per doc a "
+    "structurally-valid MPEG-1 Layer III stream is synthesized with a "
+    "doc-derived bitrate/sample-rate/frame-count/ID3v2-prefix and "
+    "alternating padding bits; probe_mp3 walks it and the oracle states "
+    "the frame count, CBR verdict, first frame offset (pinning the "
+    "syncsafe ID3v2 skip) and total stream bytes (pinning the classic "
+    "(144*br/sr)+padding frame-sizing math, e.g. 417/418 at 128k/44.1k) "
+    "without seeing a byte (operators/mp3.py probe_mp3/build_mp3; "
+    "ISO 11172-3 2.4.1.3).",
+)
+def audio_mp3_probe(spark, sf_dir):
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 96).select("doc_id")
+
+    def op(batches):
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.mp3 import (
+            build_mp3,
+            probe_mp3,
+        )
+
+        brs = [96, 128, 192, 320]
+        srs = [44100, 48000, 32000]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                payload = build_mp3(
+                    3 + did % 5,
+                    bitrate_kbps=brs[did % 4],
+                    sample_rate=srs[did % 3],
+                    stereo=did % 2 == 0,
+                    id3v2_bytes=(did % 7) * 13,
+                )
+                info = probe_mp3(payload)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "sample_rate": info["sample_rate"],
+                        "channels": info["channels"],
+                        "n_frames": info["n_frames"],
+                        "cbr": info["cbr"],
+                        "bitrate_kbps": info["bitrate_kbps"],
+                        "first_off": info["frames"][0][0],
+                        "stream_bytes": sum(fb for _off, fb in info["frames"]),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "channels", "n_frames",
+                    "cbr", "bitrate_kbps", "first_off", "stream_bytes",
+                ],
+            )
+
+    return d.mapInPandas(
+        op,
+        "doc_id long, sample_rate int, channels int, n_frames long, "
+        "cbr boolean, bitrate_kbps int, first_off long, stream_bytes long",
+    ).orderBy("doc_id")
+
+
+@register(
+    "webdataset_samples",
+    oracle="""
+        WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < 64),
+        sk AS (
+            SELECT doc_id, s, 10 + (doc_id + s) % 5 AS base,
+                   (doc_id + s) % 2 = 0 AS has_json
+            FROM docs CROSS JOIN (VALUES (0), (1), (2), (3)) AS v(s)
+            WHERE s < 2 + doc_id % 3)
+        SELECT doc_id,
+               lpad(CAST(s AS VARCHAR), 4, '0') AS sample_key,
+               CAST(CASE WHEN has_json THEN 3 ELSE 2 END AS INT) AS n_parts,
+               CASE WHEN has_json THEN 'bin,json,txt' ELSE 'bin,txt' END
+                   AS exts,
+               CAST(CASE WHEN s = 0 AND doc_id % 3 = 0
+                         THEN (base + 3) + 50
+                         ELSE 2 * (base + 3) END
+                    + CASE WHEN has_json THEN base + 4 ELSE 0 END
+                    AS BIGINT) AS total_bytes
+        FROM sk
+        ORDER BY doc_id, sample_key
+    """,
+    tags=("B10", "multimodal", "archives"),
+    doc="WebDataset sample grouping with an ANALYTIC oracle: per doc a "
+    "tar is built whose members follow the {sample:04d}.{ext} naming "
+    "with doc-derived sample counts, extension sets, and member sizes; "
+    "every third doc carries a DUPLICATE (sample, ext) member appended "
+    "later in the archive with a different size, pinning tar append-"
+    "override (last-wins) semantics. explode_archives -> "
+    "group_webdataset_samples; the oracle states sample keys, part "
+    "counts, sorted extension lists, and total member bytes "
+    "(operators/archives.py group_webdataset_samples).",
+)
+def webdataset_samples(spark, sf_dir):
+    import pandas as pd
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.archives import (
+        explode_archives,
+        group_webdataset_samples,
+    )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 64).select("doc_id")
+
+    def op(batches):
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.archives import (
+            build_tar,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                members = []
+                for s in range(2 + did % 3):
+                    base = 10 + (did + s) % 5
+                    exts = ["bin", "txt"] + (
+                        ["json"] if (did + s) % 2 == 0 else []
+                    )
+                    for ext in exts:
+                        members.append(
+                            (f"{s:04d}.{ext}", b"x" * (base + len(ext)))
+                        )
+                if did % 3 == 0:
+                    members.append(("0000.txt", b"y" * 50))  # last wins
+                rows.append({"archive_id": did, "payload": build_tar(members)})
+            yield pd.DataFrame(rows, columns=["archive_id", "payload"])
+
+    archives = d.mapInPandas(op, "archive_id long, payload binary")
+    grouped = group_webdataset_samples(explode_archives(archives))
+    return grouped.select(
+        F.col("archive_id").alias("doc_id"),
+        "sample_key",
+        F.col("n_parts").cast("int").alias("n_parts"),
+        F.array_join(F.array_sort(F.map_keys(F.col("parts"))), ",").alias("exts"),
+        F.aggregate(
+            F.map_values(F.col("parts")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + F.length(v),
+        ).alias("total_bytes"),
+    ).orderBy("doc_id", "sample_key")
+
+
+@register(
+    "audio_spectral_tone",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, 1 + (doc_id % 6) * 5 AS k
+            FROM documents WHERE doc_id < 48),
+        b AS (
+            SELECT doc_id, (k * 16) // 33 AS band FROM d),
+        n AS (
+            SELECT doc_id,
+                   CAST(POWER(2, band % 4) AS BIGINT) AS nib
+            FROM b)
+        SELECT doc_id,
+               CAST(nib * CAST(1229782938247303441 AS HUGEINT)
+                    - CASE WHEN nib >= 8
+                           THEN CAST(18446744073709551616 AS HUGEINT)
+                           ELSE CAST(0 AS HUGEINT) END
+                    AS BIGINT) AS fingerprint
+        FROM n
+        ORDER BY doc_id
+    """,
+    tags=("B10", "multimodal", "audio", "dedup"),
+    doc="Spectral audio fingerprint with an ANALYTIC oracle: per doc a "
+    "pure tone at an exact per-window FFT bin k = 1 + (doc_id%6)*5 "
+    "(64-sample windows, 16 windows) makes each window's rFFT a single "
+    "peak at bin k; the 10%-of-peak floor discards every leakage/"
+    "quantization bin, so the per-window nibble is exactly "
+    "2^(((k*16)//33) % 4) and the 64-bit fingerprint is nib * "
+    "0x1111111111111111 (two's complement when the nibble's high bit is "
+    "set — the k=16 doc pins the negative case). Runs through WAV "
+    "encode + the codec registry (operators/multimodal.py "
+    "spectral_fingerprint/with_spectral_fingerprint).",
+)
+def audio_spectral_tone(spark, sf_dir):
+    import pandas as pd
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        with_spectral_fingerprint,
+    )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 48).select("doc_id")
+
+    def op(batches):
+        import numpy as np
+
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+            encode_wav,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                k = 1 + (did % 6) * 5
+                n = np.arange(1024, dtype=np.float64)
+                x = 0.4 * np.sin(2.0 * np.pi * k * n / 64.0)
+                rows.append(
+                    {
+                        "media_id": did,
+                        "kind": "audio",
+                        "payload": encode_wav(x, 8000),
+                        "meta": None,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    media = d.mapInPandas(op, MEDIA_SCHEMA)
+    return (
+        with_spectral_fingerprint(media, out_col="fingerprint")
+        .select(F.col("media_id").alias("doc_id"), "fingerprint")
+        .orderBy("doc_id")
+    )

@@ -758,8 +758,8 @@ def audio_id3_privacy(spark, sf_dir):
                FROM ranked WHERE rt <= 4 GROUP BY tgt_id),
         scored AS (
             SELECT p.src_id, p.tgt_id, p.cosine,
-                   ROUND(p.cosine * (sx.cx + sy.cy)
-                         / CAST(sx.sx + sy.sy AS DOUBLE), 6)
+                   ROUND(p.cosine * (2 * sx.cx * sy.cy)
+                         / CAST(sx.sx * sy.cy + sy.sy * sx.cx AS DOUBLE), 6)
                        AS margin
             FROM pairs p JOIN sx USING (src_id) JOIN sy USING (tgt_id)),
         best AS (

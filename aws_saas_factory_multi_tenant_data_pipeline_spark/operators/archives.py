@@ -35,15 +35,18 @@ def sniff_archive_format(payload: bytes) -> str | None:
     if (
         len(payload) >= 1024
         and len(payload) % 512 == 0
-        and len(payload) <= 20 * 512
+        and len(payload) <= 128 * 512
         and not any(payload)
     ):
         # empty tar: end-of-archive zero blocks ONLY. The whole payload
-        # must be zero and plausibly block-padding-sized (GNU tar pads
-        # to a 20-block record): a zero-padded or truncated blob from a
-        # crawl must NOT classify as a valid empty archive — it returns
-        # None so the row quarantines as a parse_error instead of
-        # silently yielding zero members (r8 ADVICE).
+        # must be zero and plausibly record-padding-sized (tar pads to
+        # the blocking factor: 20 blocks is the GNU default, -b up to
+        # 128 covers every blocking factor seen in practice — a declared
+        # bound): a larger zero blob or any zero-padded/truncated
+        # non-zero blob from a crawl must NOT classify as a valid empty
+        # archive — it returns None so the row quarantines as a
+        # parse_error instead of silently yielding zero members
+        # (r8 ADVICE + self-review).
         return "tar"
     return None
 

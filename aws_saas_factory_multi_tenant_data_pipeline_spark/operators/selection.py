@@ -47,17 +47,22 @@ _BOUNDARY_CACHE: list = []
 _BOUNDARY_LOCK = threading.Lock()
 
 
+def _drain_locked() -> None:
+    """Unpersist and forget every tracked frame. Caller holds the lock."""
+    while _BOUNDARY_CACHE:
+        try:
+            _BOUNDARY_CACHE.pop().unpersist(blocking=False)
+        except Exception:
+            pass
+
+
 def release_boundary_cache() -> None:
-    """Unpersist any boundary frame budget_select left cached (call when
-    a long session is done with selection queries). Thread-safe;
-    unpersisting a frame whose plan is still referenced only drops the
-    cache (Spark recomputes), never correctness."""
+    """Unpersist any frame budget_select left cached (call when a long
+    session is done with selection queries). Thread-safe; unpersisting a
+    frame whose plan is still referenced only drops the cache (Spark
+    recomputes), never correctness."""
     with _BOUNDARY_LOCK:
-        while _BOUNDARY_CACHE:
-            try:
-                _BOUNDARY_CACHE.pop().unpersist(blocking=False)
-            except Exception:
-                pass
+        _drain_locked()
 
 
 def leakage_safe_split(
@@ -150,15 +155,15 @@ def budget_select(
     if budget_tokens < 0:
         raise ValueError("budget_tokens must be >= 0")
     to_cache: list[DataFrame] = []
-    if cache_input:
+    # only persist (and later release) frames WE cached: a caller-persisted
+    # df must not be unpersisted behind the caller's back — Spark
+    # persistence is not reference-counted, so our release would evict
+    # their cache too
+    if cache_input and not df.is_cached:
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
         to_cache.append(df)
     with _BOUNDARY_LOCK:
-        while _BOUNDARY_CACHE:
-            try:
-                _BOUNDARY_CACHE.pop().unpersist(blocking=False)
-            except Exception:
-                pass
+        _drain_locked()
         _BOUNDARY_CACHE.extend(to_cache)
     score = F.col(score_col).cast("double")
     tok_l = F.col(tokens_col).cast("long")

@@ -601,10 +601,12 @@ def bitext_mine(
     )
     # carry the ACTUAL neighbor counts next to the sums: when a side has
     # fewer than k rows its sum holds fewer than k terms, and a fixed
-    # 2k numerator would inflate every margin on small partitions —
-    # cosine * (cnt_x + cnt_y) / (sx + sy) is the mean-of-means form
-    # that degrades gracefully (r8 ADVICE; equals the 2k form whenever
-    # both sides have >= k rows)
+    # 2k numerator would inflate every margin on small partitions (r8
+    # ADVICE). The TRUE Artetxe-Schwenk margin is the mean-of-means
+    # cos / ((sx/cx + sy/cy) / 2); spelled exact-arithmetic-first as
+    # cos * 2*cx*cy / (sx*cy + sy*cx) — decimal×int products stay
+    # exact, so both engines make the identical single double division.
+    # Equals the 2k form whenever both sides have >= k rows.
     sum_src = (
         ranked.where(F.col("__rs") <= k)
         .groupBy("src_id")
@@ -617,8 +619,10 @@ def bitext_mine(
     )
     margin = F.round(
         F.col("cosine")
-        * (F.col("__cx") + F.col("__cy"))
-        / (F.col("__sx") + F.col("__sy")).cast("double"),
+        * (2 * F.col("__cx") * F.col("__cy"))
+        / (
+            F.col("__sx") * F.col("__cy") + F.col("__sy") * F.col("__cx")
+        ).cast("double"),
         6,
     )
     scored = (

@@ -187,18 +187,28 @@ def main() -> None:
     # Quiet-host gate (r7 verdict #2): if the probe reads >1.2× the best
     # known quiet-host value, the host is under co-tenant load — wait and
     # re-probe (up to 3 retries) so recorded numbers don't need forensic
-    # normalization. If it never quiets down, proceed but mark the run.
-    BEST_KNOWN_CALIBRATION = 0.111  # quietest observed (r7 rehearsal)
+    # normalization. The reference value is per-host (this repo's history
+    # was measured on one box: 0.111 s); override via
+    # SPARK_GRAFT_BEST_CAL on different hardware. A STABLE probe (two
+    # consecutive attempts within 5%) also counts as quiet — steady-state
+    # on slower silicon is not contention. If neither holds, proceed but
+    # mark the run.
+    best_known = float(os.environ.get("SPARK_GRAFT_BEST_CAL", "0.111"))
     gate_attempts: list[float] = []
+    host_quiet = False
     for attempt in range(4):
         c = round(min(_bench_calibration(spark) for _ in range(3)), 3)
         gate_attempts.append(c)
-        if c <= BEST_KNOWN_CALIBRATION * 1.2:
+        if c <= best_known * 1.2 or (
+            len(gate_attempts) >= 2
+            and gate_attempts[-1] <= gate_attempts[-2] * 1.05
+            and gate_attempts[-2] <= gate_attempts[-1] * 1.05
+        ):
+            host_quiet = True
             break
         if attempt < 3:
             time.sleep(20)  # let the co-tenant burst pass
     calib = [min(gate_attempts)]
-    host_quiet = calib[0] <= BEST_KNOWN_CALIBRATION * 1.2
 
     # best-of-2 per query: the second run amortizes codegen/JIT compilation
     # and page-cache warmup, isolating steady-state engine speed from

@@ -236,10 +236,11 @@ def test_empty_tar_sniff_rejects_zero_padded_blobs():
     the row quarantines instead of silently yielding zero members."""
     import pytest as _pytest
 
-    assert sniff_archive_format(b"\0" * 1024) == "tar"       # 2 blocks
+    assert sniff_archive_format(b"\0" * 1024) == "tar"        # 2 blocks
     assert sniff_archive_format(b"\0" * (20 * 512)) == "tar"  # GNU record
-    # zero-padded blob beyond any plausible padding size: quarantine
-    assert sniff_archive_format(b"\0" * (21 * 512)) is None
+    assert sniff_archive_format(b"\0" * (40 * 512)) == "tar"  # tar -b 40
+    # zero blob beyond any plausible blocking factor: quarantine
+    assert sniff_archive_format(b"\0" * (129 * 512)) is None
     # zero prefix followed by non-zero garbage: NOT an empty tar
     junk = b"\0" * 1024 + b"X" * 512
     assert sniff_archive_format(junk) is None

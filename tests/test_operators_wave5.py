@@ -426,3 +426,57 @@ def test_bitext_margin_small_side_uses_actual_counts(spark):
     # so nothing is mined; the old 2k form would report margin == 4
     assert abs(r.margin - 1.0) < 1e-6
     assert not r.mined
+
+
+def test_bitext_margin_asymmetric_counts_mean_of_means(spark):
+    """Self-review r8: with ASYMMETRIC neighbor counts (cx != cy) the
+    margin must be the documented Artetxe-Schwenk mean-of-means
+    cos / ((sx/cx + sy/cy) / 2), not the pooled (cx+cy)/(sx+sy) form —
+    verified against a numpy replay of the full formula."""
+    import numpy as np
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.similarity import (
+        bitext_mine,
+    )
+
+    rng = np.random.RandomState(11)
+    svecs = {i: rng.rand(4) + 0.1 for i in range(2)}
+    tvecs = {10 + j: rng.rand(4) + 0.1 for j in range(5)}
+    unit = lambda v: (v / np.linalg.norm(v)).astype(np.float32)
+    src = spark.createDataFrame(
+        [(i, unit(v).tolist()) for i, v in svecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    tgt = spark.createDataFrame(
+        [(j, unit(v).tolist()) for j, v in tvecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    k = 3  # cx = 3 (5 targets available), cy = 2 (only 2 sources)
+    got = {
+        (r.src_id, r.tgt_id): r.margin
+        for r in bitext_mine(src, tgt, k=k, threshold=1.0).collect()
+    }
+
+    # numpy replay with round-6 cosines (the operator's contract)
+    cos = {
+        (i, j): round(
+            float(
+                np.dot(unit(sv).astype(np.float64), unit(tv).astype(np.float64))
+                / (
+                    np.linalg.norm(unit(sv).astype(np.float64))
+                    * np.linalg.norm(unit(tv).astype(np.float64))
+                )
+            ),
+            6,
+        )
+        for i, sv in svecs.items()
+        for j, tv in tvecs.items()
+    }
+    for (i, j), m in got.items():
+        top_x = sorted((cos[(i, jj)] for jj in tvecs), reverse=True)[:k]
+        top_y = sorted((cos[(ii, j)] for ii in svecs), reverse=True)[:k]
+        sx, cx = sum(top_x), len(top_x)
+        sy, cy = sum(top_y), len(top_y)
+        expected = round(cos[(i, j)] * (2 * cx * cy) / (sx * cy + sy * cx), 6)
+        assert abs(m - expected) < 2e-6, (i, j, m, expected)
+        assert cx == 3 and cy == 2  # the asymmetry this test exists for

@@ -48,6 +48,8 @@ HEADLINE = [
     # round-7 flagships: lake lifecycle + MJPEG media chain
     "lake_branch_wap_roundtrip",  # B1/B10 branches + write-audit-publish
     "multimodal_mjpeg_frames",    # B10 MP4(MJPEG) -> JPEG decode -> aHash
+    # round-8 flagship: margin-based bitext mining (kNN margin scoring)
+    "similarity_bitext_margin",   # B10 cross-lingual pair mining
 ]
 
 

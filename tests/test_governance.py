@@ -169,6 +169,12 @@ def test_no_unreviewed_driver_collects_in_operators():
         # probed cluster ids: ≤ |queries| * nprobe values, the partition-
         # pruning list any table-format planner materializes
         "clustering.py": 1,
+        # budget_select's r8 driver-side planning (reviewed): 1-row
+        # min/max ×2 (main + boundary re-bin) and the ≤ n_bins-row
+        # per-bin (tokens, count) profiles ×2 — bin decisions become
+        # literal predicates so the final job carries NO joins; nothing
+        # corpus-sized ever reaches the driver
+        "selection.py": 4,
     }
     found: dict[str, int] = {}
     for fn in sorted(os.listdir(pkg)):

@@ -196,16 +196,36 @@ def main() -> None:
     # on slower silicon is not contention. If neither holds, proceed but
     # mark the run.
     best_known = float(os.environ.get("SPARK_GRAFT_BEST_CAL", "0.111"))
+
+    def _steal_jiffies() -> tuple[int, int]:
+        # (steal, total) jiffies: co-tenant CPU theft is INVISIBLE to
+        # loadavg — a 10% steal reading once turned a 0.111 s probe into
+        # 0.5 s on a loadavg-0.4 "idle" box (r8 session)
+        try:
+            f = open("/proc/stat").readline().split()
+            return int(f[8]), sum(int(x) for x in f[1:])
+        except Exception:
+            return 0, 1
+
     gate_attempts: list[float] = []
+    steal_pcts: list[float] = []
     host_quiet = False
     for attempt in range(4):
+        s0, t0 = _steal_jiffies()
         c = round(min(_bench_calibration(spark) for _ in range(3)), 3)
+        s1, t1 = _steal_jiffies()
+        steal = round(100.0 * (s1 - s0) / max(t1 - t0, 1), 1)
         gate_attempts.append(c)
-        if c <= best_known * 1.2 or (
+        steal_pcts.append(steal)
+        # quiet = probe at historical speed, OR (stable probe AND no
+        # meaningful steal — stability alone must not bless a
+        # persistently-contended host as quiet, only different silicon)
+        stable = (
             len(gate_attempts) >= 2
             and gate_attempts[-1] <= gate_attempts[-2] * 1.05
             and gate_attempts[-2] <= gate_attempts[-1] * 1.05
-        ):
+        )
+        if c <= best_known * 1.2 or (stable and steal < 2.0):
             host_quiet = True
             break
         if attempt < 3:
@@ -267,6 +287,7 @@ def main() -> None:
         # value (0.111 s) — when false, treat cross-round comparisons as
         # contaminated and normalize by the calibration ratio
         "calibration_gate_attempts": gate_attempts,
+        "gate_steal_pct": steal_pcts,
         "host_quiet": host_quiet,
         "loadavg_before": loadavg_before,
         "loadavg_after": loadavg_after,

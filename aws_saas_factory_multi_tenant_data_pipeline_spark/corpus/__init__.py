@@ -409,6 +409,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "audio_mp3_probe",
     "webdataset_samples",
     "audio_spectral_tone",
+    "image_phash_dct",
 )
 
 

@@ -570,3 +570,116 @@ def audio_spectral_tone(spark, sf_dir):
         .select(F.col("media_id").alias("doc_id"), "fingerprint")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "image_phash_dct",
+    oracle="""
+        WITH docs AS (
+            SELECT doc_id,
+                   6 + doc_id % 12 AS ystep,
+                   3 + doc_id % 6 AS xstep,
+                   ((6 + doc_id % 12) * 8) % 17 + 5 AS y2,
+                   ((3 + doc_id % 6) * 6) % 17 + 6 AS x2
+            FROM documents WHERE doc_id < 48),
+        au AS (
+            SELECT doc_id, u,
+                   SUM((CASE WHEN u = 0 THEN 1.0/sqrt(2.0) ELSE 1.0 END)
+                       * sqrt(2.0/32.0) * cos((2*y+1) * u * pi() / 64.0)
+                       * (CASE WHEN y < ystep THEN 20.0 ELSE 41.0 END)) AS a,
+                   SUM((CASE WHEN u = 0 THEN 1.0/sqrt(2.0) ELSE 1.0 END)
+                       * sqrt(2.0/32.0) * cos((2*y+1) * u * pi() / 64.0)
+                       * (CASE WHEN y < y2 THEN 3.0 ELSE 7.0 END)) AS c
+            FROM docs
+            CROSS JOIN generate_series(0, 7) AS gu(u)
+            CROSS JOIN generate_series(0, 31) AS gy(y)
+            GROUP BY doc_id, u),
+        bv AS (
+            SELECT doc_id, v,
+                   SUM((CASE WHEN v = 0 THEN 1.0/sqrt(2.0) ELSE 1.0 END)
+                       * sqrt(2.0/32.0) * cos((2*x+1) * v * pi() / 64.0)
+                       * (CASE WHEN x < xstep THEN 1.0 ELSE 2.0 END)) AS b,
+                   SUM((CASE WHEN v = 0 THEN 1.0/sqrt(2.0) ELSE 1.0 END)
+                       * sqrt(2.0/32.0) * cos((2*x+1) * v * pi() / 64.0)
+                       * (CASE WHEN x < x2 THEN 2.0 ELSE 5.0 END)) AS d
+            FROM docs
+            CROSS JOIN generate_series(0, 7) AS gv(v)
+            CROSS JOIN generate_series(0, 31) AS gx(x)
+            GROUP BY doc_id, v),
+        blk AS (
+            SELECT au.doc_id, u * 8 + v - 1 AS i,
+                   au.a * bv.b + au.c * bv.d AS val
+            FROM au JOIN bv USING (doc_id)
+            WHERE NOT (u = 0 AND v = 0)),
+        med AS (
+            SELECT doc_id, quantile_cont(val, 0.5) AS m
+            FROM blk GROUP BY doc_id)
+        SELECT blk.doc_id,
+               CAST(SUM(CASE WHEN val > m
+                             THEN CAST(POWER(2, i) AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS phash
+        FROM blk JOIN med USING (doc_id)
+        GROUP BY blk.doc_id
+        ORDER BY blk.doc_id
+    """,
+    tags=("B10", "multimodal", "dedup"),
+    doc="DCT perceptual hash (pHash) with an ANALYTIC oracle: per doc a "
+    "32x32 grayscale image is the SUM OF TWO RANK-1 step patterns "
+    "(a(y)b(x) + c(y)d(x), integer pixels <= 117), so every 8x8 "
+    "low-frequency DCT coefficient is a(u)b(v)+c(u)d(v) — four 32-term "
+    "cosine sums the oracle computes directly in SQL. The two-component "
+    "design breaks the rank-1 product symmetry that creates exact "
+    "coefficient ties: all 48 doc variants were verified to keep every "
+    "non-median coefficient >= 0.014 from the median (12 orders above "
+    "trig ulp noise), so the > median bit decisions are engine-stable; "
+    "the median of 63 values is an exact order statistic in both "
+    "engines and the max bit index is 62, so the hash is non-negative "
+    "(operators/multimodal.py perceptual_hash; PNG roundtrip lossless).",
+)
+def image_phash_dct(spark, sf_dir):
+    import pandas as pd
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        with_perceptual_hash,
+    )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 48).select("doc_id")
+
+    def op(batches):
+        import numpy as np
+
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+            encode_png,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                ystep = 6 + did % 12
+                xstep = 3 + did % 6
+                y2 = (ystep * 8) % 17 + 5
+                x2 = (xstep * 6) % 17 + 6
+                a = np.where(np.arange(32) < ystep, 20, 41)
+                b = np.where(np.arange(32) < xstep, 1, 2)
+                c = np.where(np.arange(32) < y2, 3, 7)
+                dd = np.where(np.arange(32) < x2, 2, 5)
+                g = (np.outer(a, b) + np.outer(c, dd)).astype(np.uint8)
+                px = np.repeat(g[:, :, None], 3, axis=2)
+                rows.append(
+                    {
+                        "media_id": did,
+                        "kind": "image",
+                        "payload": encode_png(px),
+                        "meta": None,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    media = d.mapInPandas(op, MEDIA_SCHEMA)
+    return (
+        with_perceptual_hash(media, out_col="phash")
+        .select(F.col("media_id").alias("doc_id"), "phash")
+        .orderBy("doc_id")
+    )

@@ -34,6 +34,11 @@ EXPECTED_FLAGS: dict[str, set[str]] = {
     # brute-force exact top-k: the crossJoin IS the documented baseline;
     # only the 8-row query side broadcasts (SCALE.md)
     "similarity_topk_cosine": {"BroadcastNestedLoopJoin", "CartesianProduct"},
+    # exact mining baseline: src×tgt crossJoin with the (label==1) side
+    # broadcast is the documented oracle form; the 100 TB path feeds
+    # LSH/IVF candidates through the same margin scoring
+    # (operators/similarity.py bitext_mine docstring)
+    "similarity_bitext_margin": {"BroadcastNestedLoopJoin"},
     # 1-row broadcast of the global (min,max) frame for scale factors
     "lake_zorder_layout": {"BroadcastNestedLoopJoin"},
     # 1-row broadcast of the collapsed centroid array (zero-shuffle argmax)

@@ -410,6 +410,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "webdataset_samples",
     "audio_spectral_tone",
     "image_phash_dct",
+    "audio_resample_exact",
 )
 
 

@@ -683,3 +683,95 @@ def image_phash_dct(spark, sf_dir):
         .select(F.col("media_id").alias("doc_id"), "phash")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "audio_resample_exact",
+    oracle="""
+        SELECT d.doc_id,
+               CAST(256 AS BIGINT) AS n_out,
+               CAST(SUM(i * (((d.doc_id * 7 + (2 * i) * 13) % 24001)
+                             - 12000)) AS BIGINT) AS checksum
+        FROM (SELECT doc_id FROM documents WHERE doc_id < 48) d
+        CROSS JOIN generate_series(0, 255) AS g(i)
+        GROUP BY d.doc_id
+        ORDER BY d.doc_id
+    """,
+    tags=("B10", "multimodal", "audio"),
+    doc="Linear-interp audio resample with an EXACT oracle: per doc a "
+    "512-sample int16 WAV (v[n] = ((doc*7 + n*13) % 24001) - 12000, "
+    "|v| <= 12000 so the 32768-decode/32767-encode asymmetry rounds "
+    "back to the identical integer) is resampled 8000 -> 4000 Hz; the "
+    "integer rate ratio makes every interpolation weight 0, so output "
+    "sample i IS input sample 2i bit-exactly, and the oracle states the "
+    "output length and the position-weighted sample checksum in SQL. "
+    "Pins the position arithmetic, the interpolation identity path, and "
+    "the 16-bit WAV re-encode (operators/multimodal.py "
+    "resample_wav/resample_audio).",
+)
+def audio_resample_exact(spark, sf_dir):
+    import pandas as pd
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        resample_audio,
+    )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 48).select("doc_id")
+
+    def build(batches):
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = np.arange(512, dtype=np.int64)
+                v = ((did * 7 + n * 13) % 24001 - 12000).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(8000)
+                    wf.writeframes(v.tobytes())
+                rows.append(
+                    {
+                        "media_id": did,
+                        "kind": "audio",
+                        "payload": buf.getvalue(),
+                        "meta": None,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    def probe(batches):
+        import numpy as np
+
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+            decode_wav,
+        )
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                x, _sr, _ch = decode_wav(bytes(payload))
+                pcm = np.round(x * 32768.0).astype(np.int64)  # exact ints back
+                rows.append(
+                    {
+                        "doc_id": int(mid),
+                        "n_out": len(pcm),
+                        "checksum": int(
+                            (np.arange(len(pcm), dtype=np.int64) * pcm).sum()
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "n_out", "checksum"])
+
+    media = d.mapInPandas(build, MEDIA_SCHEMA)
+    out = resample_audio(media, 4000)
+    return out.mapInPandas(
+        probe, "doc_id long, n_out long, checksum long"
+    ).orderBy("doc_id")

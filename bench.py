@@ -107,6 +107,25 @@ def _bench_calibration(spark) -> float:
     return time.time() - t0
 
 
+def gate_is_quiet(attempts: list[float], steals: list[float], best_known: float) -> bool:
+    """Quiet-host decision for the calibration gate (pure; unit-tested).
+
+    Quiet iff the LAST probe ran at historical speed (≤ 1.2× best_known),
+    OR the last two probes are stable (within 5% of each other) AND the
+    last probe saw < 2% CPU steal — stability alone must not bless a
+    persistently-contended host, only genuinely different silicon."""
+    if not attempts:
+        return False
+    if attempts[-1] <= best_known * 1.2:
+        return True
+    stable = (
+        len(attempts) >= 2
+        and attempts[-1] <= attempts[-2] * 1.05
+        and attempts[-2] <= attempts[-1] * 1.05
+    )
+    return stable and (steals[-1] if steals else 100.0) < 2.0
+
+
 def _scratch_dir() -> str | None:
     """tmpfs when available: the host's virtualized disk has bimodal
     latency under co-tenant load (3-24 s spikes for identical work), which
@@ -214,18 +233,9 @@ def main() -> None:
         s0, t0 = _steal_jiffies()
         c = round(min(_bench_calibration(spark) for _ in range(3)), 3)
         s1, t1 = _steal_jiffies()
-        steal = round(100.0 * (s1 - s0) / max(t1 - t0, 1), 1)
         gate_attempts.append(c)
-        steal_pcts.append(steal)
-        # quiet = probe at historical speed, OR (stable probe AND no
-        # meaningful steal — stability alone must not bless a
-        # persistently-contended host as quiet, only different silicon)
-        stable = (
-            len(gate_attempts) >= 2
-            and gate_attempts[-1] <= gate_attempts[-2] * 1.05
-            and gate_attempts[-2] <= gate_attempts[-1] * 1.05
-        )
-        if c <= best_known * 1.2 or (stable and steal < 2.0):
+        steal_pcts.append(round(100.0 * (s1 - s0) / max(t1 - t0, 1), 1))
+        if gate_is_quiet(gate_attempts, steal_pcts, best_known):
             host_quiet = True
             break
         if attempt < 3:

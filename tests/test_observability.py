@@ -140,3 +140,22 @@ def test_read_parquet_resilient_skips_corrupt_file(spark, tmp_path):
     # resilient read degrades to the surviving files' rows
     n = read_parquet_resilient(spark, root, schema=schema).count()
     assert 0 < n < 100
+
+
+def test_bench_gate_is_quiet_decision_table():
+    """The quiet-host gate (bench.py) is a pure decision over
+    (calibration attempts, steal pcts, best_known) — table-tested so
+    records-integrity behavior can't silently regress."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import gate_is_quiet
+
+    b = 0.111
+    assert not gate_is_quiet([], [], b)                      # nothing probed
+    assert gate_is_quiet([0.120], [5.0], b)                  # historical speed wins outright
+    assert not gate_is_quiet([0.300], [0.1], b)              # one slow probe: undecided
+    assert gate_is_quiet([0.300, 0.305], [0.1, 0.1], b)      # stable + no steal = slower silicon
+    assert not gate_is_quiet([0.300, 0.305], [0.1, 5.0], b)  # stable but stolen: contended
+    assert not gate_is_quiet([0.500, 0.300], [0.1, 0.1], b)  # still improving: keep waiting
+    assert not gate_is_quiet([0.300, 0.500], [0.1, 0.1], b)  # degrading: not quiet
+    assert gate_is_quiet([0.500, 0.300, 0.125], [9.0, 3.0, 0.2], b)  # settled to quiet

@@ -154,16 +154,23 @@ def budget_select(
     """
     if budget_tokens < 0:
         raise ValueError("budget_tokens must be >= 0")
+    # release the PREVIOUS call's frames BEFORE probing cache state, so a
+    # repeated call on the same frame sees its own prior persist gone and
+    # re-caches (the object-local is_cached flag can't tell us that)
+    with _BOUNDARY_LOCK:
+        _drain_locked()
     to_cache: list[DataFrame] = []
     # only persist (and later release) frames WE cached: a caller-persisted
     # df must not be unpersisted behind the caller's back — Spark
     # persistence is not reference-counted, so our release would evict
-    # their cache too
-    if cache_input and not df.is_cached:
+    # their cache too. df.storageLevel is a JVM CacheManager lookup on the
+    # PLAN (catches spark.catalog.cacheTable and persists made through a
+    # different DataFrame object — unlike the client-side is_cached flag).
+    sl = df.storageLevel
+    if cache_input and not (sl.useMemory or sl.useDisk):
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
         to_cache.append(df)
     with _BOUNDARY_LOCK:
-        _drain_locked()
         _BOUNDARY_CACHE.extend(to_cache)
     score = F.col(score_col).cast("double")
     tok_l = F.col(tokens_col).cast("long")

@@ -292,10 +292,14 @@ def main() -> None:
         # contention; loadavg shows EXTERNAL load (this process pegs ~cpus)
         "calibration": min(calib),
         "calibration_passes": calib,
-        # quiet-host gate: attempts made before the headline passes and
-        # whether the probe ever reached <=1.2x the best known quiet
-        # value (0.111 s) — when false, treat cross-round comparisons as
-        # contaminated and normalize by the calibration ratio
+        # quiet-host gate: host_quiet is true when the probe reached
+        # <=1.2x the best-known quiet value (default 0.111 s; per-host
+        # override SPARK_GRAFT_BEST_CAL) OR two consecutive probes were
+        # stable within 5% with <2% CPU steal (slower-but-idle silicon).
+        # Either way, cross-round comparisons must normalize by the
+        # calibration ratio whenever the two runs' calibrations differ —
+        # host_quiet=false additionally marks the run as taken under
+        # UNSETTLED contention (see gate_steal_pct)
         "calibration_gate_attempts": gate_attempts,
         "gate_steal_pct": steal_pcts,
         "host_quiet": host_quiet,

@@ -570,10 +570,14 @@ def test_tar_shard_writer_single_shuffle_no_sort(spark, tmp_path):
     # rangepartitioning shuffle. Pin: no rangepartitioning, and the only
     # Sort is that local one on shard_id (global=false).
     assert "rangepartitioning" not in plan
+    import re as _re
+
+    # word-bounded: '(n) Sort' / '(n) Sort [codegen...]' but NOT
+    # '(n) SortMergeJoin' or '(n) SortAggregate'
     sort_details = [
         ln
         for ln in plan.splitlines()
-        if ln.strip().startswith("(") and ") Sort" in ln
+        if _re.match(r"^\(\d+\) Sort( |\[|$)", ln.strip())
     ]
     assert len(sort_details) <= 1, sort_details
     if sort_details:

@@ -32,11 +32,27 @@ _PNG2 = "/usr/share/doc/nodejs/osx_installer_logo.png"
 _JPG = "/usr/lib/google-cloud-sdk/platform/gsutil/third_party/requests/ext/flower-of-life.jpg"
 _JPG2 = "/usr/share/doc/nodejs/thin-white-stripe.jpg"
 
+#: sha256 prefixes of the EXACT file generations the dimension pins
+#: below were taken from — a package upgrade that regenerates a file
+#: must SKIP (environmental change), not fail the suite
+_KNOWN = {
+    _PNG: "42ee50088b6a4872",
+    _PNG2: "17e6289cb45a094d",
+    _JPG: "1b155652b7a20734",
+    _JPG2: "a584e74203bcf974",
+}
+
 
 def _need(path: str) -> bytes:
     if not os.path.exists(path):
         pytest.skip(f"host file absent: {path}")
-    return open(path, "rb").read()
+    data = open(path, "rb").read()
+    import hashlib
+
+    digest = hashlib.sha256(data).hexdigest()[:16]
+    if digest != _KNOWN[path]:
+        pytest.skip(f"host file changed generation: {path} ({digest})")
+    return data
 
 
 def test_realworld_png_decodes_and_strip_is_pixel_exact():

@@ -411,6 +411,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "audio_spectral_tone",
     "image_phash_dct",
     "audio_resample_exact",
+    "audio_resample_fractional",
 )
 
 

@@ -775,3 +775,117 @@ def audio_resample_exact(spark, sf_dir):
     return out.mapInPandas(
         probe, "doc_id long, n_out long, checksum long"
     ).orderBy("doc_id")
+
+
+@register(
+    "audio_resample_fractional",
+    oracle="""
+        WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 48),
+        y AS (
+            SELECT d.doc_id, g.i,
+                   g.i * (8000.0 / 6000.0) AS pos
+            FROM d CROSS JOIN generate_series(0, 383) AS g(i)),
+        interp AS (
+            SELECT doc_id, i,
+                   GREATEST(LEAST(CAST(FLOOR(pos) AS BIGINT), 511), 0) AS lo,
+                   pos FROM y),
+        vals AS (
+            SELECT doc_id, i, lo,
+                   LEAST(lo + 1, 511) AS hi,
+                   pos - lo AS frac
+            FROM interp),
+        out AS (
+            SELECT doc_id, i,
+                   CAST(ROUND(
+                       ((((doc_id * 7 + lo * 13) % 24001 - 12000) / 32768.0)
+                            * (1.0 - frac)
+                        + (((doc_id * 7 + hi * 13) % 24001 - 12000) / 32768.0)
+                            * frac) * 32767.0) AS BIGINT) AS v
+            FROM vals)
+        SELECT doc_id,
+               CAST(384 AS BIGINT) AS n_out,
+               CAST(SUM(i * v) AS BIGINT) AS checksum
+        FROM out
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    tags=("B10", "multimodal", "audio"),
+    doc="FRACTIONAL-ratio audio resample with a double-exact oracle: the "
+    "8000 -> 6000 Hz path exercises real linear interpolation (fracs "
+    "cycle ~0, 1/3, 2/3), and the oracle replays the EXACT IEEE double "
+    "chain — pos = i*(8000.0/6000.0), clipped floor, "
+    "x[lo]*(1-frac)+x[hi]*frac on /32768-normalized samples, *32767, "
+    "round — in SQL with the identical operation order, so both engines "
+    "produce bit-identical doubles; the only engine-divergent step "
+    "(banker's vs half-away rounding) was verified tie-free across all "
+    "48 doc variants (min distance from .5 is 1e-5, eight orders above "
+    "double noise). Pins the interpolation weights themselves, which "
+    "the integer-ratio twin (audio_resample_exact) cannot "
+    "(operators/multimodal.py resample_wav).",
+)
+def audio_resample_fractional(spark, sf_dir):
+    import pandas as pd
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        resample_audio,
+    )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 48).select("doc_id")
+
+    def build(batches):
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = np.arange(512, dtype=np.int64)
+                v = ((did * 7 + n * 13) % 24001 - 12000).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(8000)
+                    wf.writeframes(v.tobytes())
+                rows.append(
+                    {
+                        "media_id": did,
+                        "kind": "audio",
+                        "payload": buf.getvalue(),
+                        "meta": None,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    def probe(batches):
+        import numpy as np
+
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+            decode_wav,
+        )
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                x, _sr, _ch = decode_wav(bytes(payload))
+                pcm = np.round(x * 32768.0).astype(np.int64)
+                rows.append(
+                    {
+                        "doc_id": int(mid),
+                        "n_out": len(pcm),
+                        "checksum": int(
+                            (np.arange(len(pcm), dtype=np.int64) * pcm).sum()
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "n_out", "checksum"])
+
+    media = d.mapInPandas(build, MEDIA_SCHEMA)
+    out = resample_audio(media, 6000)
+    return out.mapInPandas(
+        probe, "doc_id long, n_out long, checksum long"
+    ).orderBy("doc_id")

@@ -412,6 +412,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "image_phash_dct",
     "audio_resample_exact",
     "audio_resample_fractional",
+    "lake_optimize_snapshot_roundtrip",
 )
 
 

@@ -889,3 +889,120 @@ def audio_resample_fractional(spark, sf_dir):
     return out.mapInPandas(
         probe, "doc_id long, n_out long, checksum long"
     ).orderBy("doc_id")
+
+
+@register(
+    "lake_optimize_snapshot_roundtrip",
+    oracle="""
+        WITH e AS (
+            SELECT event_id, event_type, user_id
+            FROM events WHERE event_id < 4000),
+        opt_rows AS (
+            SELECT 'optimized' AS kind, event_type AS k,
+                   COUNT(*) AS n,
+                   CAST(SUM(event_id) AS BIGINT) AS val
+            FROM e GROUP BY 2),
+        snap_rows AS (
+            SELECT 'snapshot_v2' AS kind, event_type AS k,
+                   COUNT(*) AS n,
+                   CAST(SUM(event_id) AS BIGINT) AS val
+            FROM e WHERE event_id % 2 = 1 GROUP BY 2),
+        contract_rows AS (
+            SELECT 'contract' AS kind, 'files_not_increased' AS k,
+                   CAST(1 AS BIGINT) AS n, CAST(0 AS BIGINT) AS val
+            UNION ALL
+            SELECT 'contract', 'stale_commit_raised', 1, 0
+            UNION ALL
+            SELECT 'contract', 'version_after', 2, 0)
+        SELECT kind, k, n, val FROM opt_rows
+        UNION ALL SELECT kind, k, n, val FROM snap_rows
+        UNION ALL SELECT kind, k, n, val FROM contract_rows
+        ORDER BY kind, k
+    """,
+    tags=("B10", "data-mgmt", "lake"),
+    doc="OPTIMIZE + optimistic snapshot commits, end-state-checked: a "
+    "flat table written as 16 deliberate small files is OPTIMIZE'd "
+    "(compaction + user_id clustering via the rename-aside swap) and "
+    "the read-back per-type content checksum must be IDENTICAL to the "
+    "pre-optimize data (a rewrite that loses/duplicates a row flips the "
+    "hash), with files-not-increased pinned as a contract row. Then the "
+    "snapshot table: v1, a CAS-guarded v2 (expected_version=1), and a "
+    "STALE second expected_version=1 commit that must raise "
+    "ConcurrentSnapshotError and must NOT disturb v2 — the final "
+    "version pointer and v2's content checksum are in the hash "
+    "(lake.optimize_table / write_snapshot; Delta/Iceberg optimistic-"
+    "concurrency semantics).",
+)
+def lake_optimize_snapshot_roundtrip(spark, sf_dir):
+    import os
+    import shutil
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus.sources_sinks import (
+        _SCRATCH,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.lake import (
+        ConcurrentSnapshotError,
+        latest_snapshot_version,
+        optimize_table,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    e = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_id") < 4000)
+        .select("event_id", "event_type", "user_id")
+    )
+
+    # --- OPTIMIZE: content must survive the rewrite byte-for-byte ---
+    flat = os.path.join(_SCRATCH, "w9_optimize_flat")
+    shutil.rmtree(flat, ignore_errors=True)
+    shutil.rmtree(flat + "__opt_tmp", ignore_errors=True)
+    shutil.rmtree(flat + "__opt_old", ignore_errors=True)
+    e.repartition(16).write.mode("overwrite").parquet(flat)  # small files
+    report = optimize_table(spark, flat, order_by=["user_id"])
+    files_ok = int(report["files_after"] <= report["files_before"])
+    opt_rows = (
+        spark.read.parquet(flat)
+        .groupBy(F.col("event_type").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").cast("long").alias("val"),
+        )
+        .select(F.lit("optimized").alias("kind"), "k", "n", "val")
+    )
+
+    # --- optimistic snapshot commits: CAS succeeds once, stale raises ---
+    snap = os.path.join(_SCRATCH, "w9_optimize_snap")
+    shutil.rmtree(snap, ignore_errors=True)
+    write_snapshot(e.where(F.col("event_id") % 2 == 0), snap)  # v1
+    write_snapshot(
+        e.where(F.col("event_id") % 2 == 1), snap, expected_version=1
+    )  # v2 via CAS
+    stale_raised = 0
+    try:
+        write_snapshot(e.limit(1), snap, expected_version=1)  # stale CAS
+    except ConcurrentSnapshotError:
+        stale_raised = 1
+    version_after = latest_snapshot_version(snap)
+    snap_rows = (
+        read_snapshot(spark, snap)
+        .groupBy(F.col("event_type").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").cast("long").alias("val"),
+        )
+        .select(F.lit("snapshot_v2").alias("kind"), "k", "n", "val")
+    )
+
+    contract = spark.createDataFrame(
+        [
+            ("contract", "files_not_increased", files_ok, 0),
+            ("contract", "stale_commit_raised", stale_raised, 0),
+            ("contract", "version_after", version_after, 0),
+        ],
+        "kind string, k string, n long, val long",
+    )
+    return (
+        opt_rows.unionByName(snap_rows).unionByName(contract).orderBy("kind", "k")
+    )

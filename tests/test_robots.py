@@ -232,3 +232,45 @@ def test_rfc9309_matches_bruteforce_reference():
             got = p.allowed(f"http://h{path}")
             want = ref_allowed(rules, path)
             assert got == want, (rules, path, got, want)
+
+
+def test_robots_policy_never_raises_on_garbage():
+    """Crawl-captured robots.txt is hostile: binary junk, truncated
+    lines, pathological patterns. The policy parser and matcher must
+    never raise — a garbage policy yields decisions, not task failures
+    (the gate's per-row quarantine contract is for ARCHIVE payloads;
+    policies always parse best-effort per RFC 9309 2.2.3)."""
+    import random
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.robots import (
+        RobotsPolicy,
+    )
+
+    rng = random.Random(13)
+    corpus = [
+        "",
+        "\x00\x01\x02",
+        "User-agent",           # no colon
+        "User-agent: *\nDisallow",  # rule without colon
+        ":::",
+        "Disallow: /a\nUser-agent: *",  # rules before any UA line
+        "User-agent: *\nDisallow: " + "*" * 500,  # pathological wildcards
+        "User-agent: *\nDisallow: /a$\x7f\nAllow: $$$$\n",
+        "User-agent: *\r\nDisallow: /a\r\n",  # CRLF
+    ]
+    for _ in range(300):
+        n = rng.randint(0, 12)
+        lines = []
+        for _k in range(n):
+            key = rng.choice(
+                ["User-agent", "Disallow", "Allow", "Crawl-delay", "Sitemap",
+                 "".join(chr(rng.randint(1, 127)) for _ in range(rng.randint(0, 6)))]
+            )
+            val = "".join(chr(rng.randint(1, 127)) for _ in range(rng.randint(0, 12)))
+            sep = rng.choice([": ", ":", " : ", ""])
+            lines.append(f"{key}{sep}{val}")
+        corpus.append("\n".join(lines))
+    for txt in corpus:
+        rp = RobotsPolicy(txt, "mtdp-bot")
+        for url in ("https://h/x", "not a url", "", "https://h/?q=1#f"):
+            assert isinstance(rp.allowed(url), bool)

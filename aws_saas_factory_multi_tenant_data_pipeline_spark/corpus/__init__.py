@@ -413,6 +413,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "audio_resample_exact",
     "audio_resample_fractional",
     "lake_optimize_snapshot_roundtrip",
+    "multimodal_gif_decode",
 )
 
 

@@ -1006,3 +1006,67 @@ def lake_optimize_snapshot_roundtrip(spark, sf_dir):
     return (
         opt_rows.unionByName(snap_rows).unionByName(contract).orderBy("kind", "k")
     )
+
+
+@register(
+    "multimodal_gif_decode",
+    oracle="""
+        SELECT doc_id,
+               -CAST(POWER(2, 8 * ((8 + doc_id % 16 + 3) // 4)) AS BIGINT)
+                   AS ahash
+        FROM documents WHERE doc_id < 64
+        ORDER BY doc_id
+    """,
+    tags=("B10", "multimodal", "image"),
+    doc="GIF decode END-TO-END with an ANALYTIC oracle (the [r8] codec): "
+    "per doc a 32x32 two-tone INTERLACED GIF89a (bright split at row "
+    "8 + doc_id % 16, palette {40,200} grays) is decoded through the "
+    "codec registry and average-hashed; two-tone means the hash is "
+    "palette-exact regardless of LZW/interlace details and equals "
+    "-(2^(8*ceil(split/4))) — the same closed form the PNG/MJPEG "
+    "oracles pin — so any LZW, interlace-reorder, palette, or registry "
+    "dispatch defect flips the hash (operators/gif.py decode_gif; "
+    "CompuServe GIF89a spec incl. Appendix-E interlacing).",
+)
+def multimodal_gif_decode(spark, sf_dir):
+    import pandas as pd
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        with_average_hash,
+    )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 64).select("doc_id")
+
+    def op(batches):
+        import numpy as np
+
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.gif import (
+            encode_gif,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                split = 8 + did % 16
+                idx = np.zeros((32, 32), dtype=np.int32)
+                idx[split:, :] = 1
+                rows.append(
+                    {
+                        "media_id": did,
+                        "kind": "image",
+                        "payload": encode_gif(
+                            idx, [(40, 40, 40), (200, 200, 200)], interlace=True
+                        ),
+                        "meta": None,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    media = d.mapInPandas(op, MEDIA_SCHEMA)
+    return (
+        with_average_hash(media)
+        .select(F.col("media_id").alias("doc_id"), "ahash")
+        .orderBy("doc_id")
+    )

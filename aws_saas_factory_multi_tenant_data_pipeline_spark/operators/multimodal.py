@@ -316,8 +316,21 @@ def _decode_flac_mono(payload: bytes):
     return x, sr, ch
 
 
+def _decode_gif_rgb(payload: bytes):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.gif import (
+        decode_gif,
+    )
+
+    return decode_gif(payload)
+
+
 def _stdlib_image_decoders() -> dict:
-    return {"png": decode_png, "jpeg": _decode_jpeg_rgb, "ppm": decode_ppm}
+    return {
+        "png": decode_png,
+        "jpeg": _decode_jpeg_rgb,
+        "ppm": decode_ppm,
+        "gif": _decode_gif_rgb,
+    }
 
 
 def _decode_mp3_mono(payload: bytes):
@@ -348,6 +361,8 @@ def sniff_image_format(payload: bytes) -> str | None:
         return "jpeg"
     if payload[:2] in (b"P6", b"P3"):
         return "ppm"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 

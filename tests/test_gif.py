@@ -1,0 +1,109 @@
+"""GIF codec (operators/gif.py): spec-literal roundtrips (plain +
+interlaced), the LZW KwKwK case, dictionary-reset-at-4096 streams,
+real-world GIF87a/GIF89a interop, registry dispatch, tear fuzz."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.gif import (
+    _lzw_decode,
+    _lzw_encode,
+    decode_gif,
+    encode_gif,
+)
+
+_PAL = [(10, 20, 30), (200, 100, 0), (0, 0, 255), (255, 255, 255)]
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+@pytest.mark.parametrize("shape", [(1, 1), (7, 5), (32, 32), (61, 47)])
+def test_roundtrip_exact(shape, interlace):
+    rng = np.random.RandomState(int(interlace) * 100 + shape[0])
+    idx = rng.randint(0, len(_PAL), size=shape)
+    px, w, h = decode_gif(encode_gif(idx, _PAL, interlace=interlace))
+    assert (w, h) == (shape[1], shape[0])
+    assert np.array_equal(px, np.array(_PAL, dtype=np.uint8)[idx])
+
+
+def test_lzw_kwkwk_case():
+    """The classic first-use-of-just-created-code sequence: 'aabab...'
+    style repetition forces code == next_code during decode."""
+    # indices engineered so the encoder emits a code the decoder has not
+    # finished defining: a run of identical symbols does it immediately
+    idx = np.array([0, 0, 0, 0, 0, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0])
+    blob = _lzw_encode(idx, 2)
+    assert _lzw_decode(blob, 2, 100) == idx.tolist()
+
+
+def test_lzw_dictionary_reset_stream():
+    """A stream long and diverse enough to hit the 4096-entry cap forces
+    the encoder's CLEAR reset; the decoder must follow."""
+    rng = np.random.RandomState(7)
+    idx = rng.randint(0, 4, size=40_000)
+    blob = _lzw_encode(idx, 2)
+    assert _lzw_decode(blob, 2, 50_000) == idx.tolist()
+
+
+def test_registry_dispatch_and_hashes():
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        average_hash,
+        decode_image,
+        perceptual_hash,
+        sniff_image_format,
+    )
+
+    idx = np.zeros((32, 32), dtype=np.int32)
+    idx[16:, :] = 1
+    g = encode_gif(idx, [(40, 40, 40), (200, 200, 200)])
+    assert sniff_image_format(g) == "gif"
+    px, w, h = decode_image(g)
+    assert (w, h) == (32, 32)
+    # two-tone split at row 16 -> subsampled rows >= 4 bright ->
+    # aHash = -(2^(8*4)) by the established analytic formula
+    assert average_hash(g) == -(2 ** 32)
+    assert isinstance(perceptual_hash(g), int)
+
+
+@pytest.mark.parametrize(
+    "path,dims",
+    [
+        ("/usr/share/doc/libxslt1-dev/html/smallfootonly.gif", (48, 60)),
+        ("/usr/share/doc/libxslt1-dev/html/processing.gif", (648, 521)),
+        ("/usr/share/doc/libxslt1-dev/html/node.gif", (460, 497)),
+    ],
+)
+def test_realworld_gif_interop(path, dims):
+    """Genuine GIF87a AND GIF89a files written by real encoders."""
+    if not os.path.exists(path):
+        pytest.skip(f"host file absent: {path}")
+    px, w, h = decode_gif(open(path, "rb").read())
+    assert (w, h) == dims and px.shape == (dims[1], dims[0], 3)
+
+
+def test_tear_contract_fuzz():
+    idx = np.random.RandomState(5).randint(0, 4, size=(24, 24))
+    base = encode_gif(idx, _PAL)
+    rng = np.random.RandomState(11)
+    errors = 0
+    for _ in range(300):
+        b = bytearray(base)
+        for _k in range(rng.randint(1, 4)):
+            b[rng.randint(len(b))] ^= 1 << rng.randint(8)
+        try:
+            decode_gif(bytes(b))
+        except ValueError:
+            errors += 1
+        # any other exception type escapes and fails the test
+    assert errors > 0
+
+
+def test_truncations_raise_value_error():
+    idx = np.random.RandomState(5).randint(0, 4, size=(16, 16))
+    base = encode_gif(idx, _PAL)
+    for cut in (3, 6, 12, 13, 20, len(base) // 2, len(base) - 2):
+        with pytest.raises(ValueError):
+            decode_gif(base[:cut])

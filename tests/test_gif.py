@@ -107,3 +107,28 @@ def test_truncations_raise_value_error():
     for cut in (3, 6, 12, 13, 20, len(base) // 2, len(base) - 2):
         with pytest.raises(ValueError):
             decode_gif(base[:cut])
+
+
+def test_lzw_roundtrip_hypothesis():
+    """Property: encode->decode is the identity for random index streams
+    across palette sizes (code widths 2..8) and lengths spanning the
+    width-growth boundaries."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    @settings(
+        max_examples=40,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.integers(2, 8),                  # min code size
+        st.integers(1, 3000),               # stream length
+        st.integers(0, 2**31 - 1),          # seed
+    )
+    def prop(mcs, n, seed):
+        rng = np.random.RandomState(seed)
+        idx = rng.randint(0, 1 << mcs, size=n)
+        assert _lzw_decode(_lzw_encode(idx, mcs), mcs, n + 1) == idx.tolist()
+
+    prop()

@@ -157,6 +157,12 @@ def decode_gif(payload: bytes) -> tuple[np.ndarray, int, int]:
             raise ValueError("image has no color table")
         if w == 0 or h == 0:
             raise ValueError("empty image dimensions")
+        if w * h > 1 << 26:
+            # declared decode bound (64 Mpx): a crafted descriptor
+            # claiming 65535x65535 would otherwise license multi-GB
+            # allocations inside an executor before any pixel arrives —
+            # oversized rows quarantine as ValueError like any tear
+            raise ValueError(f"image {w}x{h} exceeds the 64 Mpx decode bound")
         if off >= len(payload):
             raise ValueError("missing LZW minimum code size")
         min_code = payload[off]

@@ -132,3 +132,15 @@ def test_lzw_roundtrip_hypothesis():
         assert _lzw_decode(_lzw_encode(idx, mcs), mcs, n + 1) == idx.tolist()
 
     prop()
+
+
+def test_oversized_descriptor_quarantines():
+    """A crafted 65535x65535 image descriptor must raise ValueError at
+    the declared 64 Mpx bound BEFORE any large allocation."""
+    import struct
+
+    g = bytearray(encode_gif(np.zeros((4, 4), dtype=np.int32), _PAL))
+    i = g.index(b"\x2c")  # image descriptor
+    struct.pack_into("<HHHH", g, i + 1, 0, 0, 65535, 65535)
+    with pytest.raises(ValueError, match="64 Mpx"):
+        decode_gif(bytes(g))

@@ -291,6 +291,15 @@ def _decode_jpeg_inner(payload: bytes):
                 raise ValueError(f"unsupported sample precision {prec}")
             if fh == 0 or fw == 0:
                 raise ValueError("zero image dimension")
+            if fh * fw > 1 << 26:
+                # declared decode bound (64 Mpx, same as the GIF/PNG
+                # decoders): a crafted SOF claiming 65535x65535 would
+                # otherwise attempt multi-GB coefficient-plane
+                # allocations inside an executor; oversized rows
+                # quarantine as ValueError like any tear
+                raise ValueError(
+                    f"image {fw}x{fh} exceeds the 64 Mpx decode bound"
+                )
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]

@@ -172,9 +172,20 @@ def _decode_png_inner(payload: bytes):
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise ValueError(f"bad PNG color type {color}")
-    raw = zlib.decompress(b"".join(idat))
+    if w * h > 1 << 26:
+        # declared decode bound (64 Mpx, same as GIF/JPEG): oversized
+        # headers quarantine instead of licensing multi-GB allocations
+        raise ValueError(f"image {w}x{h} exceeds the 64 Mpx decode bound")
     stride = w * channels
-    if len(raw) != (stride + 1) * h:
+    expected = (stride + 1) * h
+    # CAPPED inflate: zlib.decompress without a bound is a zip-bomb
+    # vector — a few-KB IDAT stream may inflate to GBs BEFORE the length
+    # check. Cap at expected+1: exactly-expected output with the stream
+    # fully consumed is the only valid shape; anything longer or with
+    # unconsumed input is a mismatch.
+    dec = zlib.decompressobj()
+    raw = dec.decompress(b"".join(idat), expected + 1)
+    if len(raw) != expected or dec.unconsumed_tail or dec.decompress(b"", 1):
         raise ValueError("PNG pixel data length mismatch")
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     ftypes = rows[:, 0]

@@ -398,3 +398,62 @@ def test_ppm_decode_mutation_fuzz_always_valueerror():
             decode_ppm(bytes(d))
         except ValueError:
             pass
+
+
+def test_png_zip_bomb_and_oversize_quarantine():
+    """r8 hardening: (a) an IDAT zip bomb (tiny compressed, GBs claimed)
+    must raise ValueError after at most expected+1 inflated bytes; (b) a
+    header claiming > 64 Mpx quarantines before any allocation."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        decode_png,
+    )
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # (a) 4x4 gray image header, but IDAT inflates to ~50 MB of zeros
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    bomb = zlib.compress(b"\x00" * (50 << 20), 9)  # ~50 KB compressed
+    png = sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", bomb) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="length mismatch"):
+        decode_png(png)
+
+    # (b) oversized header
+    ihdr_big = struct.pack(">IIBBBBB", 65535, 65535, 8, 0, 0, 0, 0)
+    png_big = (
+        sig
+        + chunk(b"IHDR", ihdr_big)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="64 Mpx"):
+        decode_png(png_big)
+
+
+def test_jpeg_oversized_sof_quarantines():
+    import pytest
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    import numpy as np
+    import struct
+
+    base = bytearray(encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
+    i = base.find(b"\xff\xc0")
+    # SOF0 segment: marker(2) len(2) prec(1) h(2) w(2)
+    struct.pack_into(">HH", base, i + 5, 65535, 65535)
+    with pytest.raises(ValueError, match="64 Mpx"):
+        decode_jpeg(bytes(base))

@@ -51,9 +51,18 @@ def sniff_archive_format(payload: bytes) -> str | None:
     return None
 
 
+#: declared per-member extraction bound (r8 hardening): a 42.zip-style
+#: bomb declares multi-GB members in a few-KB archive — the DECLARED
+#: size gates extraction (both zipfile and tarfile cap reads at it), so
+#: checking it BEFORE reading prevents the allocation; oversized
+#: members tear the archive with ValueError (the quarantine path)
+MAX_MEMBER_BYTES = 1 << 30
+
+
 def iter_archive_members(payload: bytes):
     """Yield (member_name, member_bytes) for a zip/tar/tar.gz payload.
-    ValueError — and only ValueError — on torn or unrecognized input.
+    ValueError — and only ValueError — on torn or unrecognized input,
+    including any member whose declared size exceeds MAX_MEMBER_BYTES.
     Directory entries are skipped; member order is the archive's."""
     fmt = sniff_archive_format(payload)
     if fmt is None:
@@ -69,6 +78,11 @@ def iter_archive_members(payload: bytes):
                 for info in zf.infolist():
                     if info.is_dir():
                         continue
+                    if info.file_size > MAX_MEMBER_BYTES:
+                        raise ValueError(
+                            f"member {info.filename!r} declares "
+                            f"{info.file_size} bytes (> MAX_MEMBER_BYTES)"
+                        )
                     yield info.filename, zf.read(info)
         else:
             import tarfile
@@ -78,6 +92,11 @@ def iter_archive_members(payload: bytes):
                 for info in tf:
                     if not info.isfile():
                         continue
+                    if info.size > MAX_MEMBER_BYTES:
+                        raise ValueError(
+                            f"member {info.name!r} declares "
+                            f"{info.size} bytes (> MAX_MEMBER_BYTES)"
+                        )
                     f = tf.extractfile(info)
                     yield info.name, (f.read() if f else b"")
     except ValueError:

@@ -246,3 +246,50 @@ def test_empty_tar_sniff_rejects_zero_padded_blobs():
     assert sniff_archive_format(junk) is None
     with _pytest.raises(ValueError, match="unrecognized"):
         list(iter_archive_members(junk))
+
+
+def test_archive_bomb_member_quarantines():
+    """r8 hardening: a member DECLARING a size beyond MAX_MEMBER_BYTES
+    (the 42.zip pattern) tears the archive with ValueError before any
+    extraction allocates — monkeypatched bound so the test stays tiny."""
+    import tarfile as _tarfile
+
+    import pytest as _pytest
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators import (
+        archives as _arch,
+    )
+
+    # tar: forge a header declaring a giant member (no body needed to
+    # trip the pre-read check)
+    import io as _io
+
+    buf = _io.BytesIO()
+    with _tarfile.open(fileobj=buf, mode="w") as tf:
+        info = _tarfile.TarInfo("ok.bin")
+        info.size = 4
+        tf.addfile(info, _io.BytesIO(b"data"))
+    payload = buf.getvalue()
+    old = _arch.MAX_MEMBER_BYTES
+    _arch.MAX_MEMBER_BYTES = 3  # anything above 3 bytes is "a bomb"
+    try:
+        with _pytest.raises(ValueError, match="MAX_MEMBER_BYTES"):
+            list(_arch.iter_archive_members(payload))
+    finally:
+        _arch.MAX_MEMBER_BYTES = old
+    # with the real bound the same archive extracts fine
+    assert list(_arch.iter_archive_members(payload)) == [("ok.bin", b"data")]
+
+    # zip: same gate on the declared file_size
+    import zipfile as _zipfile
+
+    zbuf = _io.BytesIO()
+    with _zipfile.ZipFile(zbuf, "w") as zf:
+        zf.writestr("ok.txt", "data")
+    zpayload = zbuf.getvalue()
+    _arch.MAX_MEMBER_BYTES = 3
+    try:
+        with _pytest.raises(ValueError, match="MAX_MEMBER_BYTES"):
+            list(_arch.iter_archive_members(zpayload))
+    finally:
+        _arch.MAX_MEMBER_BYTES = old

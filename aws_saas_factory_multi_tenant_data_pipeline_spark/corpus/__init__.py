@@ -414,6 +414,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "audio_resample_fractional",
     "lake_optimize_snapshot_roundtrip",
     "multimodal_gif_decode",
+    "multimodal_ico_decode",
 )
 
 

@@ -1070,3 +1070,65 @@ def multimodal_gif_decode(spark, sf_dir):
         .select(F.col("media_id").alias("doc_id"), "ahash")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "multimodal_ico_decode",
+    oracle="""
+        SELECT doc_id,
+               -CAST(POWER(2, 8 * ((8 + doc_id % 16 + 3) // 4)) AS BIGINT)
+                   AS ahash
+        FROM documents WHERE doc_id < 64
+        ORDER BY doc_id
+    """,
+    tags=("B10", "multimodal", "image"),
+    doc="ICO (favicon) decode END-TO-END with an ANALYTIC oracle (the "
+    "[r8] codec): per doc a 32x32 two-tone 32-bpp ICO (bright split at "
+    "row 8 + doc_id % 16, grays 40/200) is decoded through the codec "
+    "registry and average-hashed; the two-tone design makes the hash "
+    "exactly -(2^(8*ceil(split/4))) — the same closed form the "
+    "PNG/GIF/MJPEG oracles pin — so any ICONDIR walk, DIB row-order "
+    "(bottom-up), BGRA channel-order, or registry dispatch defect flips "
+    "the hash (operators/ico.py decode_ico; Windows ICONDIR/"
+    "BITMAPINFOHEADER layout).",
+)
+def multimodal_ico_decode(spark, sf_dir):
+    import pandas as pd
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        with_average_hash,
+    )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 64).select("doc_id")
+
+    def op(batches):
+        import numpy as np
+
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.ico import (
+            encode_ico,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                split = 8 + did % 16
+                px = np.full((32, 32, 3), 40, dtype=np.uint8)
+                px[split:, :, :] = 200
+                rows.append(
+                    {
+                        "media_id": did,
+                        "kind": "image",
+                        "payload": encode_ico(px),
+                        "meta": None,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    media = d.mapInPandas(op, MEDIA_SCHEMA)
+    return (
+        with_average_hash(media)
+        .select(F.col("media_id").alias("doc_id"), "ahash")
+        .orderBy("doc_id")
+    )

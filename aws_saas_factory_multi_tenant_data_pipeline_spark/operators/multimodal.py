@@ -335,12 +335,30 @@ def _decode_gif_rgb(payload: bytes):
     return decode_gif(payload)
 
 
+def _decode_ico_rgb(payload: bytes):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.ico import (
+        decode_ico,
+    )
+
+    return decode_ico(payload)
+
+
+def _decode_bmp_rgb(payload: bytes):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.ico import (
+        decode_bmp,
+    )
+
+    return decode_bmp(payload)
+
+
 def _stdlib_image_decoders() -> dict:
     return {
         "png": decode_png,
         "jpeg": _decode_jpeg_rgb,
         "ppm": decode_ppm,
         "gif": _decode_gif_rgb,
+        "ico": _decode_ico_rgb,
+        "bmp": _decode_bmp_rgb,
     }
 
 
@@ -374,6 +392,10 @@ def sniff_image_format(payload: bytes) -> str | None:
         return "ppm"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if payload[:4] == b"\x00\x00\x01\x00" and len(payload) >= 6:
+        return "ico"
+    if payload[:2] == b"BM" and len(payload) >= 18:
+        return "bmp"
     return None
 
 

@@ -241,6 +241,8 @@ def encode_gif(
     (decode expectations known by construction)."""
     px = np.asarray(px)
     h, w = px.shape
+    if not 1 <= len(palette) <= 256:
+        raise ValueError("GIF palettes hold 1..256 colors")
     if px.max() >= len(palette):
         raise ValueError("index outside palette")
     n = max(2, 1 << (len(palette) - 1).bit_length())

@@ -27,10 +27,15 @@ import numpy as np
 _MAX_PIXELS = 1 << 26
 
 
-def _decode_dib(data: bytes, expect_mask: bool) -> tuple[np.ndarray, int, int]:
+def _decode_dib(
+    data: bytes, expect_mask: bool, pixel_off: int | None = None
+) -> tuple[np.ndarray, int, int]:
     """Decode a BITMAPINFOHEADER DIB (as found in .ico entries and after
     a BM file header). ``expect_mask``: ICO doubles biHeight to cover
-    the 1-bpp AND mask below the XOR image."""
+    the 1-bpp AND mask below the XOR image. ``pixel_off``: explicit
+    pixel-array offset relative to the DIB start (BMP's bfOffBits —
+    real writers may leave a gap after the palette); must not point
+    inside the header/palette."""
     if len(data) < 40:
         raise ValueError("truncated BITMAPINFOHEADER")
     (
@@ -70,6 +75,10 @@ def _decode_dib(data: bytes, expect_mask: bool) -> tuple[np.ndarray, int, int]:
             :, [2, 1, 0]
         ]  # BGRX -> RGB
         off = end
+    if pixel_off is not None:
+        if pixel_off < off:
+            raise ValueError("BMP pixel offset points inside header/palette")
+        off = pixel_off
     stride = ((w * bpp + 31) // 32) * 4
     need = off + stride * h
     if need > len(data):
@@ -108,8 +117,13 @@ def decode_bmp(payload: bytes) -> tuple[np.ndarray, int, int]:
         raise ValueError("not a BMP payload")
     if len(payload) < 14:
         raise ValueError("truncated BITMAPFILEHEADER")
-    # the data offset field is advisory; the DIB layout is self-describing
-    return _decode_dib(payload[14:], expect_mask=False)
+    # honor bfOffBits: real writers may leave a gap between the palette
+    # and the pixel array — ignoring it silently shifts every pixel
+    # (r8 self-review repro)
+    (off_bits,) = struct.unpack_from("<I", payload, 10)
+    if off_bits < 14:
+        raise ValueError("BMP pixel offset inside the file header")
+    return _decode_dib(payload[14:], expect_mask=False, pixel_off=off_bits - 14)
 
 
 def decode_ico(payload: bytes, decoders: dict | None = None):

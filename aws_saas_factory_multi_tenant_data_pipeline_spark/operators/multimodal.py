@@ -185,7 +185,15 @@ def _decode_png_inner(payload: bytes):
     # unconsumed input is a mismatch.
     dec = zlib.decompressobj()
     raw = dec.decompress(b"".join(idat), expected + 1)
-    if len(raw) != expected or dec.unconsumed_tail or dec.decompress(b"", 1):
+    # not dec.eof: a stream truncated before its adler32 trailer can
+    # still yield exactly `expected` bytes — that's a TORN payload (and
+    # unverified integrity), not a decode (r8 self-review repro)
+    if (
+        len(raw) != expected
+        or dec.unconsumed_tail
+        or dec.decompress(b"", 1)
+        or not dec.eof
+    ):
         raise ValueError("PNG pixel data length mismatch")
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     ftypes = rows[:, 0]

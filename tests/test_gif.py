@@ -144,3 +144,10 @@ def test_oversized_descriptor_quarantines():
     struct.pack_into("<HHHH", g, i + 1, 0, 0, 65535, 65535)
     with pytest.raises(ValueError, match="64 Mpx"):
         decode_gif(bytes(g))
+
+
+def test_encoder_rejects_oversized_palette():
+    """r8 review: >256 colors can't be represented in the 3-bit GCT size
+    field — the fixture builder must reject, not emit a corrupt table."""
+    with pytest.raises(ValueError, match="1..256"):
+        encode_gif(np.zeros((2, 2), dtype=np.int32), [(i % 256, 0, 0) for i in range(300)])

@@ -27,8 +27,9 @@ def test_ico_roundtrip_exact(shape):
     assert np.array_equal(out, px)
 
 
-def _bmp(dib: bytes) -> bytes:
-    return b"BM" + struct.pack("<IHHI", 14 + len(dib), 0, 0, 14) + dib
+def _bmp(dib: bytes, pal_bytes: int = 0) -> bytes:
+    off = 14 + 40 + pal_bytes  # bfOffBits: header + DIB header + palette
+    return b"BM" + struct.pack("<IHHI", 14 + len(dib), 0, 0, off) + dib
 
 
 def _dib(w, h, bpp, pal_rgbx: bytes, rows_bottom_up: bytes, double=False):
@@ -44,7 +45,7 @@ def test_bmp_palette_depths():
     # 8bpp, 3x2: palette idx rows (bottom-up), stride pads 3 -> 4
     pal = bytes((10, 20, 30, 0)) + bytes((40, 50, 60, 0))  # BGRX entries
     rows = bytes((1, 0, 1, 0)) + bytes((0, 1, 0, 0))  # bottom row first
-    px, w, h = decode_bmp(_bmp(_dib(3, 2, 8, pal, rows)))
+    px, w, h = decode_bmp(_bmp(_dib(3, 2, 8, pal, rows), pal_bytes=len(pal)))
     assert (w, h) == (3, 2)
     # palette entry 0 = BGRX(10,20,30,0) -> RGB(30,20,10); stored rows
     # are bottom-up, so the SECOND stored row (indices 0,1,0) is the top
@@ -55,14 +56,14 @@ def test_bmp_palette_depths():
     # 1bpp, 9x1: bits MSB-first, stride 4
     pal1 = bytes((0, 0, 0, 0)) + bytes((255, 255, 255, 0))
     bits = bytes((0b10100000, 0b10000000, 0, 0))
-    px1, w1, h1 = decode_bmp(_bmp(_dib(9, 1, 1, pal1, bits)))
+    px1, w1, h1 = decode_bmp(_bmp(_dib(9, 1, 1, pal1, bits), pal_bytes=len(pal1)))
     assert (w1, h1) == (9, 1)
     assert [int(px1[0, i, 0]) for i in range(9)] == [255, 0, 255, 0, 0, 0, 0, 0, 255]
 
     # 4bpp, 3x1
     pal4 = b"".join(bytes((i, i, i, 0)) for i in range(16))
     nib = bytes(((0x1 << 4) | 0xF, 0x30, 0, 0))
-    px4, w4, h4 = decode_bmp(_bmp(_dib(3, 1, 4, pal4, nib)))
+    px4, w4, h4 = decode_bmp(_bmp(_dib(3, 1, 4, pal4, nib), pal_bytes=len(pal4)))
     assert [int(px4[0, i, 0]) for i in range(3)] == [1, 15, 3]
 
 
@@ -106,7 +107,7 @@ def test_registry_dispatch():
     assert decode_image(ico)[1:] == (32, 32)
     assert average_hash(ico) == -(2 ** 32)  # established two-tone formula
     bmp_payload = _bmp(
-        _dib(3, 2, 8, bytes((0, 0, 0, 0)), bytes((0, 0, 0, 0)) * 2)
+        _dib(3, 2, 8, bytes((0, 0, 0, 0)), bytes((0, 0, 0, 0)) * 2), pal_bytes=4
     )
     assert sniff_image_format(bmp_payload) == "bmp"
 
@@ -161,3 +162,28 @@ def test_tear_contract_fuzz():
     for cut in (2, 5, 10, 21, 30, len(base) // 2):
         with pytest.raises(ValueError):
             decode_ico(base[:cut])
+
+
+def test_bmp_honors_pixel_offset_gap():
+    """r8 review repro: a valid BMP with a gap between palette and pixel
+    array (bfOffBits > header+palette) must decode the pixels at the
+    DECLARED offset, not immediately after the palette."""
+    dib = _dib(2, 2, 24, b"", b"")
+    rows = bytes((1, 2, 3, 4, 5, 6, 0, 0)) + bytes((7, 8, 9, 10, 11, 12, 0, 0))
+    gap = b"\xde\xad\xbe\xef\xde\xad\xbe\xef"  # 8 junk bytes
+    hdr40 = dib[:40]
+    payload = (
+        b"BM"
+        + struct.pack("<IHHI", 14 + 40 + len(gap) + len(rows), 0, 0, 14 + 40 + len(gap))
+        + hdr40
+        + gap
+        + rows
+    )
+    px, w, h = decode_bmp(payload)
+    assert (w, h) == (2, 2)
+    # second stored row is the TOP row; BGR(7,8,9) -> RGB(9,8,7)
+    assert tuple(px[0, 0]) == (9, 8, 7)
+    # an offset pointing inside the header must tear
+    bad = b"BM" + struct.pack("<IHHI", 0, 0, 0, 20) + hdr40 + rows
+    with pytest.raises(ValueError, match="inside header|inside the file"):
+        decode_bmp(bad)

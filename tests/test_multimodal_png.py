@@ -457,3 +457,35 @@ def test_jpeg_oversized_sof_quarantines():
     struct.pack_into(">HH", base, i + 5, 65535, 65535)
     with pytest.raises(ValueError, match="64 Mpx"):
         decode_jpeg(bytes(base))
+
+
+def test_png_truncated_zlib_trailer_quarantines():
+    """r8 review repro: an IDAT stream cut before its adler32 trailer
+    can still inflate to exactly the expected byte count — it must
+    STILL raise (torn payload, unverified integrity)."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    base = encode_png(np.full((6, 6, 3), 90, dtype=np.uint8))
+    # locate the IDAT chunk, strip the zlib stream's last 4 bytes
+    i = base.index(b"IDAT") - 4
+    (length,) = struct.unpack(">I", base[i : i + 4])
+    data = base[i + 8 : i + 8 + length]
+    cut = data[:-4]
+    new_chunk = (
+        struct.pack(">I", len(cut))
+        + b"IDAT"
+        + cut
+        + struct.pack(">I", zlib.crc32(b"IDAT" + cut) & 0xFFFFFFFF)
+    )
+    torn = base[:i] + new_chunk + base[i + 12 + length :]
+    with pytest.raises(ValueError):
+        decode_png(torn)

@@ -107,8 +107,13 @@ def _lzw_decode(blob: bytes, min_code_size: int, max_pixels: int) -> list[int]:
         else:
             raise ValueError(f"LZW code {code} out of range")
         out.extend(entry)
-        if len(out) > max_pixels:
-            raise ValueError("LZW output exceeds image size")
+        if len(out) >= max_pixels:
+            # Tolerate trailing pixels/garbage codes before EOI — real
+            # encoders occasionally emit them and browsers decode such
+            # files fine. The image needs exactly max_pixels indices;
+            # stop consuming here (still allocation-bounded: the loop
+            # can overshoot by at most one table entry).
+            return out[:max_pixels]
         if prev is not None and next_code < 4096:
             table[next_code] = prev + (entry[0],)
             next_code += 1
@@ -227,6 +232,13 @@ def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
         seq = (v,)
     if seq:
         emit(table[seq], width)
+        # Mirror the decoder's post-final-code table add: after decoding
+        # the last data code the decoder inserts one more entry, and if
+        # that lands next_code exactly on 2^width it reads the NEXT code
+        # (EOI) at width+1 — so EOI must be emitted at the bumped width
+        # or a strict decoder tears at end-of-stream.
+        if next_code < 4096 and next_code == (1 << width) and width < 12:
+            width += 1
     emit(eoi, width)
     if nbits:
         out.append(acc & 0xFF)

@@ -57,7 +57,11 @@ def _decode_dib(
         raise ValueError(f"only BI_RGB DIBs supported (compression={comp})")
     if bpp not in (1, 4, 8, 24, 32):
         raise ValueError(f"unsupported bit depth {bpp}")
-    h = h2 // 2 if expect_mask else h2
+    # Negative biHeight marks a top-down DIB (rows stored first-to-last)
+    # — common from real BMP writers. ICO entries stay bottom-up-only:
+    # the doubled-height XOR+AND convention has no top-down form.
+    top_down = (not expect_mask) and h2 < 0
+    h = h2 // 2 if expect_mask else (-h2 if top_down else h2)
     if w <= 0 or h <= 0:
         raise ValueError(f"bad DIB dimensions {w}x{h}")
     if w * h > _MAX_PIXELS:
@@ -85,7 +89,9 @@ def _decode_dib(
         raise ValueError("truncated DIB pixel data")
     rows = np.frombuffer(data[off : off + stride * h], dtype=np.uint8).reshape(
         h, stride
-    )[::-1]  # bottom-up
+    )
+    if not top_down:
+        rows = rows[::-1]  # bottom-up storage order
     if bpp == 32:
         px = rows[:, : w * 4].reshape(h, w, 4)[:, :, [2, 1, 0]]  # BGRA->RGB
     elif bpp == 24:

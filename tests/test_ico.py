@@ -67,6 +67,28 @@ def test_bmp_palette_depths():
     assert [int(px4[0, i, 0]) for i in range(3)] == [1, 15, 3]
 
 
+def test_bmp_top_down_negative_height():
+    """Negative biHeight = top-down DIB (rows stored first-to-last) —
+    common from real writers; must decode without the bottom-up flip
+    (r8 ADVICE). ICO entries stay bottom-up-only."""
+    # 24bpp 2x2 top-down: stored row 0 IS the visual top row
+    rows = bytes((1, 2, 3, 4, 5, 6, 0, 0)) + bytes((7, 8, 9, 10, 11, 12, 0, 0))
+    hdr = struct.pack("<IiihhIIiiII", 40, 2, -2, 1, 24, 0, len(rows), 0, 0, 0, 0)
+    px, w, h = decode_bmp(_bmp(hdr + rows))
+    assert (w, h) == (2, 2)
+    assert tuple(px[0, 0]) == (3, 2, 1)      # BGR -> RGB, top row first
+    assert tuple(px[1, 1]) == (12, 11, 10)
+    # equivalent bottom-up file must yield the identical image
+    hdr_bu = struct.pack("<IiihhIIiiII", 40, 2, 2, 1, 24, 0, len(rows), 0, 0, 0, 0)
+    rows_bu = rows[8:] + rows[:8]
+    px_bu, _, _ = decode_bmp(_bmp(hdr_bu + rows_bu))
+    assert np.array_equal(px, px_bu)
+    # top-down ICO entry: still a tear (doubled-height XOR+AND has no
+    # top-down form)
+    with pytest.raises(ValueError, match="bad DIB dimensions"):
+        _decode_dib(hdr + rows, expect_mask=True)
+
+
 def test_ico_picks_largest_entry_and_png_delegation():
     from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
         encode_png,

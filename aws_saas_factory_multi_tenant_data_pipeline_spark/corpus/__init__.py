@@ -106,9 +106,15 @@ GRADED_WINDOW: tuple[str, ...] = (
     # row_number over a per-anchor window, top 5 — and the three remaining
     # window slots cover ranking/offset/frames; the freed slot gives the
     # three r6 §2 rows (PNG decode, Bloom prefilter, portable HLL) a hard
-    # driver verdict via r6_pack)
-    "win_rank_family",
-    "win_lag_lead",
+    # driver verdict via r6_pack).
+    # win_rank_family + win_lag_lead → MERGED in r9 into win_family_pack
+    # (every output row of both components rides in the pack hash
+    # verbatim — neither B5 family loses its driver verdict); the freed
+    # slot gives four r8 crawl-pipeline §2 rows (robots.txt RFC 9309
+    # gate, MP4 frame sampling, WebDataset sample grouping, MP3
+    # frame/layer probe) a hard driver verdict via crawl_pack
+    "win_family_pack",
+    "crawl_pack",
     # win_moving_frames → tail in r8: the framed-agg family keeps three
     # in-window driver verdicts (RANGE -3599..current sliding frame in
     # r4_mgmt_pack's rate-limit branch; bounded ROWS unbounded..-2 frame
@@ -124,9 +130,16 @@ GRADED_WINDOW: tuple[str, ...] = (
     "sort_nulls_limit",
     "setop_family",
     "r5_pack2",
-    # B7 scalar functions (math/array/map/json/null + url/timezone packed)
-    "fn_string",
-    "fn_datetime",
+    # B7 scalar functions (math/array/map/json/null + url/timezone packed).
+    # fn_string + fn_datetime → MERGED in r9 into fn_string_datetime_pack
+    # (every output column of both components rides in the pack hash
+    # verbatim as a stringified key — neither B7 family loses its driver
+    # verdict); the freed slot gives six r8 media §2 rows (GIF decode,
+    # ICO/BMP decode, image pHash DCT, audio spectral fingerprint, audio
+    # envelope hash incl. the FLAC-transcode branch, audio resample
+    # integer+fractional) a hard driver verdict via media_pack3
+    "fn_string_datetime_pack",
+    "media_pack3",
     "fn_scalar_pack",
     "fn_web_time_pack",
     # B8 streaming batch-equivalents (+ watermark late-drop twin).
@@ -227,6 +240,14 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     # cumulative frames — slots went to media_pack/media_pack2):
     "stream_tumbling_hour",
     "win_moving_frames",
+    # merged in r9 into win_family_pack / fn_string_datetime_pack (every
+    # row/column still driver-graded verbatim inside the packs; these
+    # standalone forms stay oracle-green at the tail head — slots went
+    # to crawl_pack/media_pack3):
+    "win_rank_family",
+    "win_lag_lead",
+    "fn_string",
+    "fn_datetime",
     # round-6 single-family originals (driver-covered via r7_pack) —
     # first in line if the window turns out to be time-bound
     "multimodal_jpeg_ahash",
@@ -459,6 +480,7 @@ def load_all() -> dict[str, QuerySpec]:
         window_r7,
         window_r8,
         window_r9,
+        window_r10,
     )
 
     head = [n for n in GRADED_WINDOW + _TAIL_PRIORITY if n in REGISTRY]

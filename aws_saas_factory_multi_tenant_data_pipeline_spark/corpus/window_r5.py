@@ -36,6 +36,7 @@ from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus import (  # noqa: 
     saas_ops,
     saas_ops_wave2,
     wave_r6,
+    wave_r9,
 )
 from aws_saas_factory_multi_tenant_data_pipeline_spark.functions import dsum, sql_dsum
 
@@ -143,6 +144,7 @@ def dedup_pack(spark, sf_dir):
         scd AS ({_oracle("dim_scd2_apply")}),
         tt AS ({_oracle("lake_time_travel")}),
         evo AS ({_oracle("scan_schema_evolution")}),
+        opt AS ({_oracle("lake_optimize_snapshot_roundtrip")}),
         up_rows AS (
             SELECT 'upsert' AS kind, CAST(part AS VARCHAR) AS k,
                    n_rows AS n, val_sum AS val
@@ -169,22 +171,28 @@ def dedup_pack(spark, sf_dir):
             UNION ALL
             SELECT 'evo_price', CAST(has_price AS VARCHAR),
                    n, COALESCE(price_sum, 0.0)
-            FROM evo)
+            FROM evo),
+        opt_rows AS (
+            SELECT 'opt_' || kind AS kind, k, n, CAST(val AS DOUBLE) AS val
+            FROM opt)
         SELECT kind, k, n, val FROM up_rows
         UNION ALL SELECT kind, k, n, val FROM scd_rows
         UNION ALL SELECT kind, k, n, val FROM tt_rows
         UNION ALL SELECT kind, k, n, val FROM evo_rows
+        UNION ALL SELECT kind, k, n, val FROM opt_rows
         ORDER BY kind, k
     """,
     tags=("B1", "B10", "data-mgmt", "pack"),
-    doc="Round-5 lake pack — one driver slot covering four §2 rows: keyed "
+    doc="Round-5 lake pack — one driver slot covering six §2 rows: keyed "
     "MERGE-style upsert roundtrip (per-partition row counts, decimal-"
     "exact value sums, update/insert mix), SCD2 dimension versioning "
     "(every version row md5-checksummed, grouped by currency), snapshot "
-    "time travel (both versions re-aggregated), and mergeSchema "
-    "evolution reads. Each branch performs the REAL lake write+read via "
-    "the component query's spark_fn; the oracle wraps the component "
-    "oracle verbatim.",
+    "time travel (both versions re-aggregated), mergeSchema evolution "
+    "reads, and [r9] the OPTIMIZE + optimistic-CAS snapshot roundtrip "
+    "(post-rewrite content checksum identical, files-not-increased, "
+    "stale expected_version commit raises and does not disturb v2). "
+    "Each branch performs the REAL lake write+read via the component "
+    "query's spark_fn; the oracle wraps the component oracle verbatim.",
 )
 def lake_pack(spark, sf_dir):
     up = _fn("lake_upsert_roundtrip")(spark, sf_dir)
@@ -241,10 +249,18 @@ def lake_pack(spark, sf_dir):
             F.coalesce("price_sum", F.lit(0.0)).alias("val"),
         )
     )
+    opt = _fn("lake_optimize_snapshot_roundtrip")(spark, sf_dir)
+    opt_rows = opt.select(
+        F.concat(F.lit("opt_"), F.col("kind")).alias("kind"),
+        "k",
+        "n",
+        F.col("val").cast("double").alias("val"),
+    )
     return (
         up_rows.unionByName(scd_rows)
         .unionByName(tt_rows)
         .unionByName(evo_rows)
+        .unionByName(opt_rows)
         .orderBy("kind", "k")
     )
 

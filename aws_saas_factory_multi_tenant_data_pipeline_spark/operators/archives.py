@@ -251,6 +251,10 @@ def build_tar(members: list[tuple[str, bytes]], gz: bool = False) -> bytes:
     return raw
 
 
+#: rows sampled (via LIMIT) to estimate the mean member size when
+#: ``write_tar_shards`` must derive ``n_shards`` itself
+_SIZING_SAMPLE_ROWS = 4096
+
 _MIME_EXT = {
     "image/png": "png",
     "image/jpeg": "jpg",
@@ -272,8 +276,12 @@ def write_tar_shards(
     name ``{media_id}.{ext}`` (ext from meta.mime, ``bin`` fallback),
     shard assignment ``pmod(xxhash64(media_id), n_shards)`` — hash
     bucketing, NOT a global sort, so the plan is one shuffle at any
-    scale; ``n_shards`` defaults from a 1-row total-bytes agg against
-    ``target_bytes``. Each shard group builds its tar IN THE EXECUTOR
+    scale; ``n_shards`` defaults from a row count (payload column
+    pruned) times the mean member size of a bounded
+    ``_SIZING_SAMPLE_ROWS``-row sample against ``target_bytes`` — the
+    sizing pass is O(sample), never a second full read of the media
+    corpus (pass ``n_shards`` explicitly for exact control).
+    Each shard group builds its tar IN THE EXECUTOR
     (members sorted by name, fixed mtimes — byte-deterministic given
     membership) and writes ``shard-{i:05d}.tar`` under ``out_dir``
     (local dir here; an object-store path at scale). Returns the
@@ -285,10 +293,21 @@ def write_tar_shards(
     from pyspark.sql import types as T
 
     if n_shards is None:
-        total = media.agg(
-            F.sum(F.length("payload").cast("long")).alias("b")
-        ).collect()[0]["b"] or 0
-        n_shards = max(1, int(-(-total // target_bytes)))
+        # Size WITHOUT a full payload pass (r8 verdict: the old
+        # total-bytes agg re-read the whole media corpus — an extra
+        # 100 TB scan — before the real shard job). count() prunes the
+        # payload column (cheap on columnar sources); the mean member
+        # size comes from a LIMIT-bounded sample. The estimate steers
+        # only the shard COUNT — membership stays exact via hashing.
+        n_rows = media.count()
+        avg = (
+            media.select(F.length("payload").cast("long").alias("b"))
+            .limit(_SIZING_SAMPLE_ROWS)
+            .agg(F.avg("b").alias("a"))
+            .collect()[0]["a"]
+            or 0.0
+        )
+        n_shards = max(1, int(-(-int(n_rows * avg) // target_bytes)))
     os.makedirs(out_dir, exist_ok=True)
 
     ext_expr = F.coalesce(

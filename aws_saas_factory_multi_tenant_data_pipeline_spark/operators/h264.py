@@ -605,6 +605,47 @@ def encode_residual_cavlc(w: _BitW, coeffs: list[int], nC: int):
         zeros_left -= run
 
 
+def split_annexb_raw(data: bytes) -> list[bytes]:
+    """Raw NAL units (header byte + STILL-ESCAPED payload) from an
+    Annex-B stream — what avcC records and length-prefixed MP4 samples
+    store verbatim."""
+    if not (data[:3] == b"\x00\x00\x01" or data[:4] == b"\x00\x00\x00\x01"):
+        raise ValueError("not an Annex-B stream")
+    starts = []
+    i = 0
+    while True:
+        j = data.find(b"\x00\x00\x01", i)
+        if j < 0:
+            break
+        starts.append(j + 3)
+        i = j + 3
+    units = []
+    for k, s in enumerate(starts):
+        e = len(data) if k + 1 == len(starts) else starts[k + 1] - 3
+        while e > s and data[e - 1] == 0:
+            e -= 1
+        units.append(data[s:e])
+    return units
+
+
+def annexb_to_mp4_sample(data: bytes) -> tuple[bytes, bytes, bytes]:
+    """Split an encoder Annex-B stream into (sps_nal, pps_nal,
+    length-prefixed slice sample) — the avc1/avcC packaging."""
+    sps_nal = pps_nal = None
+    sample = bytearray()
+    for nal in split_annexb_raw(data):
+        typ = nal[0] & 0x1F
+        if typ == 7:
+            sps_nal = nal
+        elif typ == 8:
+            pps_nal = nal
+        else:
+            sample += struct.pack(">I", len(nal)) + nal
+    if sps_nal is None or pps_nal is None:
+        raise ValueError("stream lacks SPS/PPS")
+    return sps_nal, pps_nal, bytes(sample)
+
+
 # --------------------------------------------------------------------------
 # parameter sets
 # --------------------------------------------------------------------------

@@ -131,6 +131,18 @@ def _parse_track(payload: bytes, ts_: int, te_: int) -> dict:
         (n_entries,) = struct.unpack(">I", payload[s + 4 : s + 8])
         if n_entries >= 1:
             tr["codec"] = payload[s + 12 : s + 16].decode("latin1")
+            # visual sample entries carry codec config boxes (avcC for
+            # AVC: SPS/PPS NALs + NAL length size) after the 78-byte
+            # fixed VisualSampleEntry header
+            entry_start, entry_end = s + 8, e
+            cfg_off = entry_start + 8 + 78
+            if tr.get("handler") == "vide" and cfg_off < entry_end:
+                try:
+                    for typ2, ps2, pe2 in iter_boxes(payload, cfg_off, entry_end):
+                        if typ2 == b"avcC":
+                            tr["avcc"] = parse_avcc(payload[ps2:pe2])
+                except ValueError:
+                    pass  # config boxes absent/nonstandard: no avcC
     sizes = _parse_stsz(payload, sb, se)
     tr["n_samples"] = len(sizes)
     chunk_offsets = _parse_stco(payload, sb, se)
@@ -217,6 +229,51 @@ def extract_samples(payload: bytes, track: dict, indices) -> list[bytes]:
     return out
 
 
+def parse_avcc(body: bytes) -> dict:
+    """AVCDecoderConfigurationRecord (ISO 14496-15): SPS/PPS NAL bytes
+    (header + escaped payload) and the sample NAL length-prefix size."""
+    if len(body) < 7 or body[0] != 1:
+        raise ValueError("bad avcC configuration record")
+    len_size = (body[4] & 3) + 1
+    n_sps = body[5] & 0x1F
+    off = 6
+    sps = []
+    for _ in range(n_sps):
+        (ln,) = struct.unpack(">H", body[off : off + 2])
+        sps.append(body[off + 2 : off + 2 + ln])
+        off += 2 + ln
+    n_pps = body[off]
+    off += 1
+    pps = []
+    for _ in range(n_pps):
+        (ln,) = struct.unpack(">H", body[off : off + 2])
+        pps.append(body[off + 2 : off + 2 + ln])
+        off += 2 + ln
+    if any(len(x) == 0 for x in sps + pps):
+        raise ValueError("empty parameter set in avcC")
+    return {"len_size": len_size, "sps": sps, "pps": pps}
+
+
+def avcc_box(sps_nal: bytes, pps_nal: bytes, len_size: int = 4) -> bytes:
+    """Complete ``avcC`` box (header + record) for build_minimal_mp4's
+    ``config_box`` parameter."""
+    body = build_avcc(sps_nal, pps_nal, len_size)
+    return struct.pack(">I", len(body) + 8) + b"avcC" + body
+
+
+def build_avcc(sps_nal: bytes, pps_nal: bytes, len_size: int = 4) -> bytes:
+    """Assemble an avcC record from complete SPS/PPS NALs (header byte +
+    escaped payload) — the writer-side twin of :func:`parse_avcc`."""
+    return (
+        bytes([1, sps_nal[1], sps_nal[2], sps_nal[3], 0xFC | (len_size - 1), 0xE1])
+        + struct.pack(">H", len(sps_nal))
+        + sps_nal
+        + b"\x01"
+        + struct.pack(">H", len(pps_nal))
+        + pps_nal
+    )
+
+
 # --- minimal writer (test/synthesis side) -----------------------------------
 
 
@@ -228,6 +285,7 @@ def build_minimal_mp4(
     sample_delta: int = 40,
     codec: bytes = b"avc1",
     keyframes: list[int] | None = None,
+    config_box: bytes | None = None,
 ) -> bytes:
     """Assemble a minimal-but-valid single-video-track MP4 (ftyp + mdat +
     moov with full stbl) so the parser can be tested against files whose
@@ -292,7 +350,8 @@ def build_minimal_mp4(
         + struct.pack(">H", 1)
         + b"\x00" * 32
         + struct.pack(">H", 0x18)
-        + struct.pack(">h", -1),
+        + struct.pack(">h", -1)
+        + (config_box or b""),
     )
     stsd = full(b"stsd", struct.pack(">I", 1) + entry)
     stts = full(b"stts", struct.pack(">III", 1, n, sample_delta))

@@ -17,14 +17,16 @@ stereo decorrelation, STREAMINFO md5 cross-check — the format speech
 corpora like LibriSpeech actually ship). The MP4 CONTAINER layer is
 real too (``operators/mp4.py``: ISO-BMFF box walk, track metadata,
 sample tables, byte-exact frame extraction —
-:func:`sample_video_frames`), and MJPEG tracks decode END-TO-END
-(each access unit is a JPEG — :func:`mjpeg_frame_hashes`). MP3 has a
-REAL scoped Layer III decode as of round 7 (``operators/mp3.py``:
-full chain with three declared ValueError boundaries — Huffman tables
-11-31, intensity stereo, computed synthesis prototype); only H.264
-access-unit decode stays stubbed via the deterministic digest-derived
-fallback (it genuinely exceeds stdlib reach); the ``decoded`` output
-column says which path a row took.
+:func:`sample_video_frames`), MJPEG tracks decode END-TO-END (each
+access unit is a JPEG — :func:`mjpeg_frame_hashes`), and as of round 9
+H.264 KEYFRAMES decode for real through the scoped intra-only decoder
+(``operators/h264.py``, :func:`avc_frame_hashes`; inter frames and
+CABAC remain declared per-row boundaries). MP3 has a REAL scoped
+Layer III decode as of round 7 (``operators/mp3.py``: full chain with
+three declared ValueError boundaries — Huffman tables 11-31, intensity
+stereo, computed synthesis prototype). The generic feature path's
+digest-derived fallback and the ``decoded`` output column say which
+path a row took.
 """
 
 from __future__ import annotations
@@ -359,6 +361,14 @@ def _decode_bmp_rgb(payload: bytes):
     return decode_bmp(payload)
 
 
+def _decode_h264_rgb(payload: bytes):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.h264 import (
+        decode_idr,
+    )
+
+    return decode_idr(payload)
+
+
 def _stdlib_image_decoders() -> dict:
     return {
         "png": decode_png,
@@ -367,6 +377,9 @@ def _stdlib_image_decoders() -> dict:
         "gif": _decode_gif_rgb,
         "ico": _decode_ico_rgb,
         "bmp": _decode_bmp_rgb,
+        # an Annex-B H.264 keyframe access unit decodes like a still
+        # image (intra-only scope; operators/h264.py)
+        "h264": _decode_h264_rgb,
     }
 
 
@@ -404,6 +417,8 @@ def sniff_image_format(payload: bytes) -> str | None:
         return "ico"
     if payload[:2] == b"BM" and len(payload) >= 18:
         return "bmp"
+    if payload[:4] == b"\x00\x00\x00\x01" or payload[:3] == b"\x00\x00\x01":
+        return "h264"  # Annex-B start code: an H.264 access unit
     return None
 
 
@@ -698,9 +713,14 @@ def average_hash(
     distance ≤ 3 GUARANTEES a shared band (pigeonhole over 4 bands), so
     the banded equi-join finds every pair the threshold admits without
     an all-pairs comparison."""
+    px, w, h = decode_image(payload, decoders)
+    return _ahash_pixels(px, w, h, hash_size)
+
+
+def _ahash_pixels(px, w: int, h: int, hash_size: int = 8) -> int:
+    """Array-level aHash core shared by payload and video-frame paths."""
     import numpy as np
 
-    px, w, h = decode_image(payload, decoders)
     gray = px.astype(np.int64).sum(axis=2) // 3
     ys = (np.arange(hash_size) * h) // hash_size
     xs = (np.arange(hash_size) * w) // hash_size
@@ -1019,6 +1039,10 @@ VIDEO_SAMPLE_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("frame_bytes", T.BinaryType(), True),
+        # avcC parameter sets (complete SPS/PPS NALs) for AVC tracks —
+        # the decoder needs them alongside the length-prefixed samples
+        T.StructField("sps", T.BinaryType(), True),
+        T.StructField("pps", T.BinaryType(), True),
         T.StructField("parse_error", T.StringType(), True),
     ]
 )
@@ -1030,10 +1054,12 @@ def sample_video_frames(
     """REAL frame sampling for MP4 payloads: the ISO-BMFF container
     parser (`operators/mp4.py`) reads the sample tables and extracts the
     raw access-unit bytes of every ``every_n``-th sample (or sync
-    samples only) — byte-exact, no codec involved; decoding the
-    extracted units is the one step that stays stubbed (H.264 exceeds
-    stdlib reach). Non-MP4 / torn payloads become parse_error rows, the
-    A5 quarantine convention. Partition-preserving Arrow pass."""
+    samples only) — byte-exact, no codec involved. avcC parameter sets
+    ride along in the sps/pps columns so AVC keyframes decode downstream
+    (:func:`avc_frame_hashes` via the scoped intra-only decoder in
+    ``operators/h264.py``; inter frames remain a declared boundary).
+    Non-MP4 / torn payloads become parse_error rows, the A5 quarantine
+    convention. Partition-preserving Arrow pass."""
     from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.mp4 import (
         extract_samples,
         probe_mp4,
@@ -1058,6 +1084,8 @@ def sample_video_frames(
                     else:
                         idxs = list(range(0, tr["n_samples"], every_n))
                     frames = extract_samples(data, tr, idxs)
+                    avcc = tr.get("avcc") or {}
+                    sps_l, pps_l = avcc.get("sps") or [], avcc.get("pps") or []
                     for i, fb in zip(idxs, frames):
                         rows.append(
                             {
@@ -1068,6 +1096,8 @@ def sample_video_frames(
                                 "width": tr.get("width"),
                                 "height": tr.get("height"),
                                 "frame_bytes": fb,
+                                "sps": sps_l[0] if sps_l else None,
+                                "pps": pps_l[0] if pps_l else None,
                                 "parse_error": None,
                             }
                         )
@@ -1081,6 +1111,8 @@ def sample_video_frames(
                             "width": None,
                             "height": None,
                             "frame_bytes": None,
+                            "sps": None,
+                            "pps": None,
                             "parse_error": str(exc),
                         }
                     )
@@ -1112,8 +1144,8 @@ def mjpeg_frame_hashes(frames: DataFrame, hash_size: int = 8) -> DataFrame:
     output (media_id, frame_idx, is_keyframe, ahash) plugs straight into
     :func:`ahash_near_duplicates` (key the id on
     media_id * max_frames + frame_idx for frame-level dedup). Non-MJPEG
-    codecs and torn frames yield NULL hashes — the declared H.264
-    boundary stays per-row-visible. Arrow pass, partition-preserving;
+    codecs and torn frames yield NULL hashes (AVC tracks route through
+    :func:`avc_frame_hashes` instead). Arrow pass, partition-preserving;
     decode goes through the registry seam, so a libjpeg swap covers
     video frames too."""
     decoders = dict(IMAGE_DECODERS)  # plan-time snapshot (registry seam)
@@ -1143,6 +1175,65 @@ def mjpeg_frame_hashes(frames: DataFrame, hash_size: int = 8) -> DataFrame:
             # keep payload-level quarantine rows (frame_idx -1, NULL
             # hash) — a torn MP4 stays per-row visible, distinguishable
             # from a zero-frame track
+            yield out[cols]
+
+    return frames.mapInPandas(op, FRAME_HASH_SCHEMA)
+
+
+#: MP4 sample-entry fourccs carrying H.264/AVC access units
+AVC_FOURCCS = ("avc1", "avc3", "h264", "H264")
+
+
+def avc_frame_hashes(frames: DataFrame, hash_size: int = 8) -> DataFrame:
+    """Decode H.264 KEYFRAMES end-to-end: for AVC-fourcc tracks each
+    sync sample from :func:`sample_video_frames` is an IDR access unit
+    (length-prefixed NALs; the avcC SPS/PPS ride in the sps/pps
+    columns), decoded by the scoped intra-only decoder in
+    ``operators/h264.py`` and aHashed — real video-frame dedup for the
+    north-star multimodal pipeline. Non-keyframes (inter prediction),
+    non-AVC codecs and torn/boundary frames yield NULL hashes: the
+    declared boundaries stay per-row visible, the MJPEG convention.
+    Output schema equals :func:`mjpeg_frame_hashes`; rows plug straight
+    into :func:`ahash_near_duplicates`. Arrow pass,
+    partition-preserving."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.h264 import (
+        decode_access_unit,
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in FRAME_HASH_SCHEMA.fields]
+        for pdf in batches:
+            def h(row):
+                codec, key, fb, sps, pps = row
+                if codec not in AVC_FOURCCS or fb is None or not key:
+                    return None
+                try:
+                    px, w, hh = decode_access_unit(
+                        bytes(fb),
+                        bytes(sps) if sps is not None else None,
+                        bytes(pps) if pps is not None else None,
+                    )
+                    return _ahash_pixels(px, w, hh, hash_size)
+                except Exception:
+                    return None
+
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "is_keyframe": pdf["is_keyframe"],
+                    "ahash": [
+                        h(r)
+                        for r in zip(
+                            pdf["codec"],
+                            pdf["is_keyframe"],
+                            pdf["frame_bytes"],
+                            pdf["sps"],
+                            pdf["pps"],
+                        )
+                    ],
+                }
+            )
             yield out[cols]
 
     return frames.mapInPandas(op, FRAME_HASH_SCHEMA)

@@ -50,6 +50,8 @@ HEADLINE = [
     "multimodal_mjpeg_frames",    # B10 MP4(MJPEG) -> JPEG decode -> aHash
     # round-8 flagship: margin-based bitext mining (kNN margin scoring)
     "similarity_bitext_margin",   # B10 cross-lingual pair mining
+    # round-9 flagship: real H.264 keyframe decode through the container
+    "multimodal_h264_keyframes",  # B10 MP4(avc1) -> intra decode -> aHash
 ]
 
 

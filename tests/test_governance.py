@@ -161,11 +161,16 @@ def test_no_unreviewed_driver_collects_in_operators():
         "operators",
     )
     allowed = {
-        # write_tar_shards' default-n_shards sizing: a 1-row total-bytes
-        # aggregate (skipped entirely when the caller passes n_shards)
+        # write_tar_shards' default-n_shards sizing: a 1-row mean-size
+        # aggregate over a LIMIT-bounded sample (r9: the old full
+        # total-bytes pass is gone; skipped when n_shards is passed)
         "archives.py": 1,
         # argmax of the pair-count aggregate: limit(1) — one row per round
         "bpe.py": 1,
+        # pagerank tol_units convergence check (r9): a 1-row exact
+        # BIGINT max|Δrank| aggregate per round over the node-sized
+        # checkpointed frame; absent entirely without tol_units
+        "graph.py": 1,
         # probed cluster ids: ≤ |queries| * nprobe values, the partition-
         # pruning list any table-format planner materializes
         "clustering.py": 1,

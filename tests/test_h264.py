@@ -386,6 +386,57 @@ def test_tear_contract_fuzz():
     assert errors > 0
 
 
+def test_avc_frame_hashes_through_spark(spark):
+    """MP4 avc1 -> sample tables -> avcC -> intra decode -> aHash, all
+    through the Arrow passes: keyframes hash to the closed-form
+    constants; a torn sample and a non-keyframe yield NULL (the
+    declared-boundary-per-row convention)."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.mp4 import (
+        avcc_box,
+        build_minimal_mp4,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        avc_frame_hashes,
+        sample_video_frames,
+    )
+
+    mbs0 = _gray_mbs([-7, 0, 20, 10])   # dark top -> aHash -2^32
+    mbs1 = _gray_mbs([13, 0, -20, -10])  # bright top -> 2^32-1
+    sps, pps, s0 = H.annexb_to_mp4_sample(H.encode_idr(2, 2, mbs0))
+    _, _, s1 = H.annexb_to_mp4_sample(H.encode_idr(2, 2, mbs1))
+    torn = s0[:10]
+    mp4 = build_minimal_mp4(
+        [s0, s1, torn],
+        width=32,
+        height=32,
+        config_box=avcc_box(sps, pps),
+        keyframes=[1, 2, 3],
+    )
+    # second doc: frame 2 NOT a keyframe -> NULL without decode attempt
+    mp4_nk = build_minimal_mp4(
+        [s0, s1],
+        width=32,
+        height=32,
+        config_box=avcc_box(sps, pps),
+        keyframes=[1],
+    )
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(mp4), None), (2, "video", bytearray(mp4_nk), None)],
+        MEDIA_SCHEMA,
+    )
+    frames = sample_video_frames(media, every_n=1)
+    got = {
+        (r.media_id, r.frame_idx): r.ahash
+        for r in avc_frame_hashes(frames).collect()
+    }
+    assert got[(1, 0)] == -(2**32)
+    assert got[(1, 1)] == 2**32 - 1
+    assert got[(1, 2)] is None  # torn sample: NULL, not an exception
+    assert got[(2, 0)] == -(2**32)
+    assert got[(2, 1)] is None  # non-keyframe: declared inter boundary
+
+
 def test_oversized_sps_quarantines():
     stream = H._sps_rbsp(600, 600)  # 9600x9600 > 64 Mpx
     with pytest.raises(ValueError, match="64 Mpx"):

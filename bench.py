@@ -231,7 +231,13 @@ def main() -> None:
     gate_attempts: list[float] = []
     steal_pcts: list[float] = []
     host_quiet = False
-    for attempt in range(4):
+    # r9: the r8 recorded run's gate expired while the host was still
+    # settling from the driver's own prior work (loadavg decaying from
+    # ~2.9; in-run calibrations later passed) — so the budget now
+    # escalates: up to 7 probes over ~5 minutes instead of 4 over ~1.
+    backoffs = [20, 20, 30, 45, 60, 90]
+    max_attempts = int(os.environ.get("SPARK_GRAFT_GATE_ATTEMPTS", "7"))
+    for attempt in range(max_attempts):
         s0, t0 = _steal_jiffies()
         c = round(min(_bench_calibration(spark) for _ in range(3)), 3)
         s1, t1 = _steal_jiffies()
@@ -240,8 +246,8 @@ def main() -> None:
         if gate_is_quiet(gate_attempts, steal_pcts, best_known):
             host_quiet = True
             break
-        if attempt < 3:
-            time.sleep(20)  # let the co-tenant burst pass
+        if attempt < max_attempts - 1:
+            time.sleep(backoffs[min(attempt, len(backoffs) - 1)])
     calib = [min(gate_attempts)]
 
     # best-of-2 per query: the second run amortizes codegen/JIT compilation

@@ -1501,27 +1501,33 @@ def _to_rgb(pic: _Picture, sps: dict) -> tuple[np.ndarray, int, int]:
 
 
 def decode_access_unit(
-    data: bytes, sps_rbsp: bytes | None = None, pps_rbsp: bytes | None = None
+    data: bytes,
+    sps_rbsp: bytes | None = None,
+    pps_rbsp: bytes | None = None,
+    len_size: int = 4,
 ) -> tuple[np.ndarray, int, int]:
     """Decode one access unit. For MP4 ``avc1`` tracks the parameter
     sets live in the avcC configuration box, not the sample — pass them
-    here (raw NAL payloads, emulation still present) and they are
-    prepended as Annex-B units before :func:`decode_idr`."""
+    here (raw NAL payloads, emulation still present) along with the
+    record's NAL length-prefix size, and they are prepended as Annex-B
+    units before :func:`decode_idr`."""
     if sps_rbsp is not None and pps_rbsp is not None:
         prefix = b"\x00\x00\x00\x01" + sps_rbsp + b"\x00\x00\x00\x01" + pps_rbsp
         if data[:3] == b"\x00\x00\x01" or data[:4] == b"\x00\x00\x00\x01":
             return decode_idr(prefix + data)
         # length-prefixed sample: convert to Annex-B
+        if len_size not in (1, 2, 4):
+            raise ValueError(f"NAL length-prefix size {len_size} unsupported")
         out = bytearray(prefix)
         i = 0
         while i < len(data):
-            if i + 4 > len(data):
+            if i + len_size > len(data):
                 raise ValueError("torn length-prefixed NAL")
-            (ln,) = struct.unpack(">I", data[i : i + 4])
-            if ln == 0 or i + 4 + ln > len(data):
+            ln = int.from_bytes(data[i : i + len_size], "big")
+            if ln == 0 or i + len_size + ln > len(data):
                 raise ValueError("NAL length overruns access unit")
-            out += b"\x00\x00\x00\x01" + data[i + 4 : i + 4 + ln]
-            i += 4 + ln
+            out += b"\x00\x00\x00\x01" + data[i + len_size : i + len_size + ln]
+            i += len_size + ln
         return decode_idr(bytes(out))
     return decode_idr(data)
 

@@ -1040,9 +1040,11 @@ VIDEO_SAMPLE_SCHEMA = T.StructType(
         T.StructField("height", T.IntegerType(), True),
         T.StructField("frame_bytes", T.BinaryType(), True),
         # avcC parameter sets (complete SPS/PPS NALs) for AVC tracks —
-        # the decoder needs them alongside the length-prefixed samples
+        # the decoder needs them alongside the length-prefixed samples —
+        # and the record's NAL length-prefix size (1/2/4 bytes)
         T.StructField("sps", T.BinaryType(), True),
         T.StructField("pps", T.BinaryType(), True),
+        T.StructField("nal_len_size", T.IntegerType(), True),
         T.StructField("parse_error", T.StringType(), True),
     ]
 )
@@ -1098,6 +1100,7 @@ def sample_video_frames(
                                 "frame_bytes": fb,
                                 "sps": sps_l[0] if sps_l else None,
                                 "pps": pps_l[0] if pps_l else None,
+                                "nal_len_size": avcc.get("len_size"),
                                 "parse_error": None,
                             }
                         )
@@ -1113,6 +1116,7 @@ def sample_video_frames(
                             "frame_bytes": None,
                             "sps": None,
                             "pps": None,
+                            "nal_len_size": None,
                             "parse_error": str(exc),
                         }
                     )
@@ -1204,7 +1208,7 @@ def avc_frame_hashes(frames: DataFrame, hash_size: int = 8) -> DataFrame:
         cols = [f.name for f in FRAME_HASH_SCHEMA.fields]
         for pdf in batches:
             def h(row):
-                codec, key, fb, sps, pps = row
+                codec, key, fb, sps, pps, lsz = row
                 if codec not in AVC_FOURCCS or fb is None or not key:
                     return None
                 try:
@@ -1212,6 +1216,7 @@ def avc_frame_hashes(frames: DataFrame, hash_size: int = 8) -> DataFrame:
                         bytes(fb),
                         bytes(sps) if sps is not None else None,
                         bytes(pps) if pps is not None else None,
+                        int(lsz) if lsz is not None and lsz == lsz else 4,
                     )
                     return _ahash_pixels(px, w, hh, hash_size)
                 except Exception:
@@ -1230,6 +1235,7 @@ def avc_frame_hashes(frames: DataFrame, hash_size: int = 8) -> DataFrame:
                             pdf["frame_bytes"],
                             pdf["sps"],
                             pdf["pps"],
+                            pdf["nal_len_size"],
                         )
                     ],
                 }

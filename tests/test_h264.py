@@ -437,6 +437,26 @@ def test_avc_frame_hashes_through_spark(spark):
     assert got[(2, 1)] is None  # non-keyframe: declared inter boundary
 
 
+def test_nal_length_prefix_sizes():
+    """avcC lengthSizeMinusOne supports 1/2/4-byte sample prefixes —
+    the decoder must honour the record's size, not assume 4."""
+    import struct as _s
+
+    mbs = _gray_mbs([-7, 0, 20, 10])
+    sps, pps, _ = H.annexb_to_mp4_sample(H.encode_idr(2, 2, mbs))
+    nals = [
+        n for n in H.split_annexb_raw(H.encode_idr(2, 2, mbs))
+        if (n[0] & 0x1F) not in (7, 8)
+    ]
+    for len_size, fmt in ((2, ">H"), (4, ">I")):
+        sample = b"".join(_s.pack(fmt, len(n)) + n for n in nals)
+        px, w, h = H.decode_access_unit(sample, sps, pps, len_size=len_size)
+        assert (w, h) == (32, 32)
+        assert (px[:16, :, 0] == 100).all()
+    with pytest.raises(ValueError, match="unsupported"):
+        H.decode_access_unit(b"\x00\x01x", sps, pps, len_size=3)
+
+
 def test_oversized_sps_quarantines():
     stream = H._sps_rbsp(600, 600)  # 9600x9600 > 64 Mpx
     with pytest.raises(ValueError, match="64 Mpx"):

@@ -440,6 +440,8 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "multimodal_h264_keyframes",
     "lake_lineage_audit",
     "scan_corrupt_resilient",
+    # r9 second wave: new codec/media surface
+    "multimodal_qoi_decode",
 )
 
 
@@ -480,6 +482,7 @@ def load_all() -> dict[str, QuerySpec]:
         wave_r8,
         wave_r9,
         wave_r10,
+        wave_r11,
         window_r5,  # packs read other modules' oracles — import last
         window_r6,
         window_r7,

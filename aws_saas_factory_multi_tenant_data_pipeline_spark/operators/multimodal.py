@@ -369,6 +369,14 @@ def _decode_h264_rgb(payload: bytes):
     return decode_idr(payload)
 
 
+def _decode_qoi_rgb(payload: bytes):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.qoi import (
+        decode_qoi,
+    )
+
+    return decode_qoi(payload)
+
+
 def _stdlib_image_decoders() -> dict:
     return {
         "png": decode_png,
@@ -380,6 +388,7 @@ def _stdlib_image_decoders() -> dict:
         # an Annex-B H.264 keyframe access unit decodes like a still
         # image (intra-only scope; operators/h264.py)
         "h264": _decode_h264_rgb,
+        "qoi": _decode_qoi_rgb,
     }
 
 
@@ -415,6 +424,8 @@ def sniff_image_format(payload: bytes) -> str | None:
         return "gif"
     if payload[:4] == b"\x00\x00\x01\x00" and len(payload) >= 6:
         return "ico"
+    if payload[:4] == b"qoif" and len(payload) >= 14:
+        return "qoi"
     if payload[:2] == b"BM" and len(payload) >= 18:
         return "bmp"
     if payload[:4] == b"\x00\x00\x00\x01" or payload[:3] == b"\x00\x00\x01":
@@ -837,6 +848,10 @@ _EXT_KIND = {
     "png": ("image", "image/png"),
     "jpg": ("image", "image/jpeg"),
     "jpeg": ("image", "image/jpeg"),
+    "gif": ("image", "image/gif"),
+    "bmp": ("image", "image/bmp"),
+    "ico": ("image", "image/vnd.microsoft.icon"),
+    "qoi": ("image", "image/qoi"),
     "wav": ("audio", "audio/wav"),
     "flac": ("audio", "audio/flac"),
     "mp3": ("audio", "audio/mpeg"),

@@ -442,6 +442,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "scan_corrupt_resilient",
     # r9 second wave: new codec/media surface
     "multimodal_qoi_decode",
+    "audio_g711_voice",
 )
 
 

@@ -78,3 +78,99 @@ def multimodal_qoi_decode(spark, sf_dir):
         .select(F.col("media_id").alias("doc_id"), "ahash")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "audio_g711_voice",
+    oracle="""
+        WITH codes AS (
+            SELECT d.doc_id, t.i,
+                   CAST((d.doc_id * 5 + t.i) % 256 AS INTEGER) AS c
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 24) d
+            CROSS JOIN (SELECT UNNEST(RANGE(256)) AS i) t
+        ),
+        vals AS (
+            SELECT doc_id, i,
+                   CASE WHEN doc_id % 2 = 1 THEN
+                       -- mu-law (G.711 Table 2): u = ~c, sign bit 7,
+                       -- value = (((m*8)+132) * 2^e) - 132
+                       (CASE WHEN ((255 - c) & 128) > 0 THEN -1 ELSE 1 END)
+                       * (((((255 - c) & 15) * 8 + 132)
+                           * CAST(POWER(2, ((255 - c) >> 4) & 7) AS BIGINT))
+                          - 132)
+                   ELSE
+                       -- A-law (G.711 Table 1): a = c XOR 0x55, bit 7
+                       -- SET = positive; e=0: m*16+8, else (m*16+264)*2^(e-1)
+                       (CASE WHEN (xor(c, 85) & 128) > 0 THEN 1 ELSE -1 END)
+                       * (CASE WHEN ((xor(c, 85) >> 4) & 7) = 0
+                               THEN (xor(c, 85) & 15) * 16 + 8
+                               ELSE ((xor(c, 85) & 15) * 16 + 264)
+                                    * CAST(POWER(2, ((xor(c, 85) >> 4) & 7) - 1)
+                                           AS BIGINT)
+                          END)
+                   END AS v
+            FROM codes
+        )
+        SELECT doc_id,
+               CAST(SUM((i + 1) * v) AS BIGINT) AS weighted_sum,
+               CAST(COUNT(*) AS BIGINT) AS n_samples
+        FROM vals GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("B10", "multimodal", "audio"),
+    doc="G.711 companded voice WAV decode END-TO-END with the decode "
+    "formula REPLAYED IN SQL (the robots.txt convention): per doc, 256 "
+    "codes (a rotation of the full code space) are lifted to their "
+    "exact reconstruction levels, companded back by the segment-search "
+    "encoder into a real fmt-6/7 WAV, and decoded through the audio "
+    "codec registry; because every sample is a reconstruction level, "
+    "encode-decode is the identity on values (G.711's code-identity "
+    "property, the two mu-law zero codes both decoding to 0), so the "
+    "position-weighted sum equals the ITU-T formula stated in the "
+    "oracle bit-for-bit. Any companding-table, segment-search, RIFF "
+    "layout, or sample-order defect shifts the weighted sum "
+    "(operators/g711.py; ITU-T G.711 1988).",
+)
+def audio_g711_voice(spark, sf_dir):
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 24).select("doc_id")
+
+    out_schema = "doc_id long, weighted_sum long, n_samples long"
+
+    def op(batches):
+        import numpy as np
+
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.g711 import (
+            ALAW_DECODE_TABLE,
+            ULAW_DECODE_TABLE,
+            encode_wav_g711,
+        )
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+            decode_audio,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                codes = ((did * 5 + np.arange(256)) % 256).astype(np.uint8)
+                law = "ulaw" if did % 2 else "alaw"
+                table = ULAW_DECODE_TABLE if did % 2 else ALAW_DECODE_TABLE
+                samples = table[codes]  # exact reconstruction levels
+                blob = encode_wav_g711(samples, 8000, law=law)
+                mono, sr, ch = decode_audio(blob)
+                ints = np.rint(mono * 32768.0).astype(np.int64)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "weighted_sum": int(
+                            np.sum((np.arange(256) + 1) * ints)
+                        ),
+                        "n_samples": len(ints),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "weighted_sum", "n_samples"]
+            )
+
+    return d.mapInPandas(op, out_schema).orderBy("doc_id")

@@ -280,27 +280,17 @@ def encode_png(pixels) -> bytes:
 
 
 def decode_wav(payload: bytes):
-    """Real PCM WAV decode via stdlib ``wave``: returns (mono float64
-    samples in [-1, 1], sample_rate, n_channels) or raises."""
-    import io
-    import wave
+    """Real WAV decode — integer PCM 8/16-bit plus G.711 μ-law/A-law
+    voice WAVs (fmt codes 6/7, incl. WAVE_FORMAT_EXTENSIBLE wrapping):
+    returns (mono float64 samples in [-1, 1], sample_rate, n_channels)
+    or raises ValueError (the quarantine contract — the stdlib ``wave``
+    module this replaced raised ``wave.Error`` on any non-PCM file,
+    which would abort a batch instead of quarantining the row)."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.g711 import (
+        parse_wav,
+    )
 
-    import numpy as np
-
-    with wave.open(io.BytesIO(payload)) as wf:
-        sr = wf.getframerate()
-        ch = wf.getnchannels()
-        width = wf.getsampwidth()
-        raw = wf.readframes(wf.getnframes())
-    if width == 2:
-        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
-    elif width == 1:
-        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
-    else:
-        raise ValueError(f"unsupported PCM width {width}")
-    if ch > 1:
-        x = x.reshape(-1, ch).mean(axis=1)
-    return x, sr, ch
+    return parse_wav(payload)
 
 
 # --- codec registry: the swap seam ------------------------------------------

@@ -443,6 +443,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     # r9 second wave: new codec/media surface
     "multimodal_qoi_decode",
     "audio_g711_voice",
+    "multimodal_tiff_decode",
 )
 
 

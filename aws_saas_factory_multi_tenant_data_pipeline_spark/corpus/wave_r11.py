@@ -174,3 +174,82 @@ def audio_g711_voice(spark, sf_dir):
             )
 
     return d.mapInPandas(op, out_schema).orderBy("doc_id")
+
+
+@register(
+    "multimodal_tiff_decode",
+    oracle="""
+        SELECT doc_id,
+               -CAST(POWER(2, 8 * ((8 + doc_id % 16 + 3) // 4)) AS BIGINT)
+                   AS ahash
+        FROM documents WHERE doc_id < 64
+        ORDER BY doc_id
+    """,
+    tags=("B10", "multimodal", "image"),
+    doc="Baseline TIFF decode END-TO-END with an ANALYTIC oracle (the "
+    "[r9] codec): per doc a 32x32 two-tone TIFF (bright split at row "
+    "8 + doc_id % 16, grays 40/200) rotates through the codec's whole "
+    "declared surface — byte order II/MM by doc parity, PackBits vs "
+    "uncompressed by doc_id % 3, gray/RGB/palette photometrics (incl. "
+    "WhiteIsZero inversion) by doc_id % 4, multi-strip layout (5-row "
+    "strips) — then decodes through the codec registry and "
+    "average-hashes to -(2^(8*ceil(split/4))), the same closed form "
+    "the PNG/GIF/ICO/QOI oracles pin; any IFD walk, strip table, "
+    "PackBits, ColorMap, polarity, or byte-order defect flips the "
+    "hash (operators/tiff.py; TIFF 6.0 specification, Adobe 1992).",
+)
+def multimodal_tiff_decode(spark, sf_dir):
+    import pandas as pd
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        with_average_hash,
+    )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 64).select("doc_id")
+
+    def op(batches):
+        import numpy as np
+
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.tiff import (
+            encode_tiff,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                split = 8 + did % 16
+                bo = "<" if did % 2 == 0 else ">"
+                pb = did % 3 == 0
+                mode = did % 4
+                if mode == 0:  # RGB
+                    px = np.full((32, 32, 3), 40, dtype=np.uint8)
+                    px[split:, :, :] = 200
+                    blob = encode_tiff(px, byte_order=bo, packbits=pb,
+                                       rows_per_strip=5)
+                elif mode in (1, 2):  # gray, both polarities
+                    g = np.full((32, 32), 40, dtype=np.uint8)
+                    g[split:, :] = 200
+                    blob = encode_tiff(g, byte_order=bo, packbits=pb,
+                                       photometric=mode - 1, rows_per_strip=5)
+                else:  # palette
+                    pal = np.zeros((256, 3), dtype=np.uint8)
+                    pal[1] = (40, 40, 40)
+                    pal[2] = (200, 200, 200)
+                    idx = np.full((32, 32), 1, dtype=np.uint8)
+                    idx[split:, :] = 2
+                    blob = encode_tiff(idx, byte_order=bo, packbits=pb,
+                                       palette=pal, rows_per_strip=5)
+                rows.append(
+                    {"media_id": did, "kind": "image", "payload": blob,
+                     "meta": None}
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    media = d.mapInPandas(op, MEDIA_SCHEMA)
+    return (
+        with_average_hash(media)
+        .select(F.col("media_id").alias("doc_id"), "ahash")
+        .orderBy("doc_id")
+    )

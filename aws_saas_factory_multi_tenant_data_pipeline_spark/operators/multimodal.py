@@ -367,6 +367,14 @@ def _decode_qoi_rgb(payload: bytes):
     return decode_qoi(payload)
 
 
+def _decode_tiff_rgb(payload: bytes):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.tiff import (
+        decode_tiff,
+    )
+
+    return decode_tiff(payload)
+
+
 def _stdlib_image_decoders() -> dict:
     return {
         "png": decode_png,
@@ -379,6 +387,7 @@ def _stdlib_image_decoders() -> dict:
         # image (intra-only scope; operators/h264.py)
         "h264": _decode_h264_rgb,
         "qoi": _decode_qoi_rgb,
+        "tiff": _decode_tiff_rgb,
     }
 
 
@@ -416,6 +425,8 @@ def sniff_image_format(payload: bytes) -> str | None:
         return "ico"
     if payload[:4] == b"qoif" and len(payload) >= 14:
         return "qoi"
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     if payload[:2] == b"BM" and len(payload) >= 18:
         return "bmp"
     if payload[:4] == b"\x00\x00\x00\x01" or payload[:3] == b"\x00\x00\x01":
@@ -842,6 +853,8 @@ _EXT_KIND = {
     "bmp": ("image", "image/bmp"),
     "ico": ("image", "image/vnd.microsoft.icon"),
     "qoi": ("image", "image/qoi"),
+    "tif": ("image", "image/tiff"),
+    "tiff": ("image", "image/tiff"),
     "wav": ("audio", "audio/wav"),
     "flac": ("audio", "audio/flac"),
     "mp3": ("audio", "audio/mpeg"),

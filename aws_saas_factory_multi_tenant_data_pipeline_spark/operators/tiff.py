@@ -1,0 +1,334 @@
+"""Baseline TIFF decode + a spec-literal encoder, pure stdlib+numpy —
+the scanned-document / scientific-imagery slice of a crawled corpus
+(arXiv figure dumps, OCR datasets, fax archives ship as .tif).
+
+Public structure only (TIFF 6.0 specification, Adobe 1992, §2-§9
+baseline): a header (``II``/``MM`` byte order + magic 42 + IFD0
+offset), one IFD of 12-byte tagged entries (read with the same
+bounds-checked reader the EXIF operator uses — EXIF *is* a TIFF IFD
+tree), and image data in strips addressed by StripOffsets /
+StripByteCounts / RowsPerStrip. Baseline compressions: 1 (none) and
+32773 (PackBits — the Apple run-length scheme of TIFF 6.0 §9: literal
+runs for n in 0..127, repeat runs for n in -1..-127, -128 is a noop).
+
+Declared scope (per-row-quarantinable ValueError boundaries, the codec
+convention): 8-bit grayscale (PhotometricInterpretation 0 WhiteIsZero
+— inverted per spec — and 1 BlackIsZero), 8-bit RGB, and 8-bit palette
+(ColorMap's 16-bit entries scaled down); chunky planar config only.
+LZW/JPEG/Deflate compression, tiled layout (TileWidth present), planar
+config 2, sample depths other than 8, and extra-sample alpha planes
+quarantine with named errors — each is a seam a native binding
+(libtiff) can fill through the codec registry at scale.
+
+Reference parity: the media ingestion surface (`README.md:1-109` of
+the reference); decoded rows flow through the same aHash/pHash dedup
+and EXIF-audit machinery as PNG/JPEG/GIF/ICO/QOI.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.exif import _read_ifd
+
+#: same declared decode bound as the other image codecs (64 Mpx)
+_MAX_PIXELS = 1 << 26
+
+_T_WIDTH = 256
+_T_LENGTH = 257
+_T_BITS = 258
+_T_COMPRESSION = 259
+_T_PHOTOMETRIC = 262
+_T_STRIP_OFFSETS = 273
+_T_SAMPLES_PER_PIXEL = 277
+_T_ROWS_PER_STRIP = 278
+_T_STRIP_BYTE_COUNTS = 279
+_T_PLANAR = 284
+_T_COLOR_MAP = 320
+_T_TILE_WIDTH = 322
+_T_TILE_LENGTH = 323
+
+
+def packbits_decode(blob: bytes, expected: int) -> bytes:
+    """TIFF 6.0 §9 PackBits: returns exactly ``expected`` bytes or tears."""
+    out = bytearray()
+    pos = 0
+    n = len(blob)
+    while len(out) < expected:
+        if pos >= n:
+            raise ValueError("PackBits stream ran out")
+        c = blob[pos]
+        pos += 1
+        if c < 128:  # literal run of c+1 bytes
+            if pos + c + 1 > n:
+                raise ValueError("torn PackBits literal run")
+            out += blob[pos : pos + c + 1]
+            pos += c + 1
+        elif c == 128:  # noop
+            continue
+        else:  # repeat run: next byte 257-c times
+            if pos >= n:
+                raise ValueError("torn PackBits repeat run")
+            out += bytes([blob[pos]]) * (257 - c)
+            pos += 1
+    if len(out) > expected:
+        # a run crossing the row/strip boundary is structural damage
+        raise ValueError("PackBits output overruns the strip size")
+    return bytes(out)
+
+
+def packbits_encode(row: bytes) -> bytes:
+    """Per-row PackBits encoder (TIFF 6.0 recommends restarting at each
+    row): repeat runs for >=3 equal bytes, literal runs otherwise."""
+    out = bytearray()
+    i = 0
+    n = len(row)
+    while i < n:
+        # find run length of equal bytes
+        j = i + 1
+        while j < n and j - i < 127 and row[j] == row[i]:
+            j += 1
+        if j - i >= 3:
+            out.append((257 - (j - i)) & 0xFF)
+            out.append(row[i])
+            i = j
+            continue
+        # literal: scan until a >=3 run starts or 128 bytes
+        k = i
+        while k < n and k - i < 128:
+            if k + 2 < n and row[k] == row[k + 1] == row[k + 2]:
+                break
+            k += 1
+        out.append(k - i - 1)
+        out += row[i:k]
+        i = k
+    return bytes(out)
+
+
+def _first(v, default=None):
+    if v is None:
+        return default
+    if isinstance(v, (list, tuple)):
+        v = v[0] if v else None
+    if not isinstance(v, int):
+        # a damaged entry decoded under the wrong type (RATIONAL tuple,
+        # ASCII string): structural damage, quarantine
+        raise ValueError(f"malformed TIFF tag value {v!r}")
+    return v
+
+
+def _int_list(v, what: str) -> list[int]:
+    if isinstance(v, int):
+        return [v]
+    if not isinstance(v, list) or not all(isinstance(x, int) for x in v):
+        raise ValueError(f"malformed TIFF {what} table")
+    return v
+
+
+def decode_tiff(payload: bytes):
+    """Decode a baseline TIFF payload to (uint8 pixels [h, w, 3],
+    width, height)."""
+    if len(payload) < 8:
+        raise ValueError("not a TIFF stream")
+    if payload[:4] == b"II*\x00":
+        bo = "<"
+    elif payload[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF stream")
+    (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
+    ifd = _read_ifd(payload, ifd_off, bo)
+
+    if _T_TILE_WIDTH in ifd or _T_TILE_LENGTH in ifd:
+        raise ValueError("tiled TIFF outside the declared scope")
+    w = _first(ifd.get(_T_WIDTH))
+    h = _first(ifd.get(_T_LENGTH))
+    if not w or not h:
+        raise ValueError("TIFF missing ImageWidth/ImageLength")
+    if w * h > _MAX_PIXELS:
+        raise ValueError(f"image {w}x{h} exceeds the 64 Mpx decode bound")
+    comp = _first(ifd.get(_T_COMPRESSION), 1)
+    photo = _first(ifd.get(_T_PHOTOMETRIC))
+    spp = _first(ifd.get(_T_SAMPLES_PER_PIXEL), 1)
+    planar = _first(ifd.get(_T_PLANAR), 1)
+    bits = ifd.get(_T_BITS, [8])
+    if isinstance(bits, int):
+        bits = [bits]
+    if photo is None:
+        raise ValueError("TIFF missing PhotometricInterpretation")
+    if planar != 1:
+        raise ValueError(f"planar configuration {planar} outside the declared scope")
+    if comp not in (1, 32773):
+        raise ValueError(f"TIFF compression {comp} outside the declared scope")
+    if any(b != 8 for b in bits):
+        raise ValueError(f"bits-per-sample {bits} outside the declared scope")
+    if photo == 2 and spp < 3:
+        raise ValueError("RGB TIFF with fewer than 3 samples per pixel")
+    if photo in (0, 1, 3) and spp != 1:
+        raise ValueError("gray/palette TIFF must have 1 sample per pixel")
+    if photo not in (0, 1, 2, 3):
+        raise ValueError(f"photometric {photo} outside the declared scope")
+    if photo == 2 and spp > 3:
+        raise ValueError("extra-sample (alpha) TIFF outside the declared scope")
+
+    offsets = ifd.get(_T_STRIP_OFFSETS)
+    counts = ifd.get(_T_STRIP_BYTE_COUNTS)
+    if offsets is None or counts is None:
+        raise ValueError("TIFF missing strip tables")
+    offsets = _int_list(offsets, "strip offset")
+    counts = _int_list(counts, "strip byte-count")
+    if len(offsets) != len(counts):
+        raise ValueError("strip offset/count tables disagree")
+    rows_per_strip = _first(ifd.get(_T_ROWS_PER_STRIP), h)
+
+    row_bytes = w * spp
+    data = bytearray()
+    rows_done = 0
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        if off + cnt > len(payload):
+            raise ValueError(f"strip {si} out of range")
+        rows_here = min(rows_per_strip, h - rows_done)
+        if rows_here <= 0:
+            break
+        raw = payload[off : off + cnt]
+        if comp == 32773:
+            raw = packbits_decode(raw, rows_here * row_bytes)
+        elif len(raw) < rows_here * row_bytes:
+            raise ValueError(f"strip {si} shorter than its row span")
+        data += raw[: rows_here * row_bytes]
+        rows_done += rows_here
+    if rows_done < h:
+        raise ValueError("strips cover fewer rows than ImageLength")
+
+    arr = np.frombuffer(bytes(data), dtype=np.uint8)
+    if photo == 2:
+        px = arr.reshape(h, w, spp)[:, :, :3]
+        return px.copy(), w, h
+    gray = arr.reshape(h, w)
+    if photo == 0:  # WhiteIsZero: 0 is white per TIFF 6.0 §4
+        gray = 255 - gray
+    if photo == 3:
+        cmap = ifd.get(_T_COLOR_MAP)
+        if not cmap or len(cmap) != 3 * 256:
+            raise ValueError("palette TIFF missing a 256-entry ColorMap")
+        cm = (np.asarray(cmap, dtype=np.uint32).reshape(3, 256) >> 8).astype(np.uint8)
+        px = cm.T[gray]
+        return px.copy(), w, h
+    return np.repeat(gray[:, :, None], 3, axis=2), w, h
+
+
+def encode_tiff(
+    pixels: np.ndarray,
+    byte_order: str = "<",
+    photometric: int | None = None,
+    rows_per_strip: int | None = None,
+    packbits: bool = False,
+    palette: np.ndarray | None = None,
+) -> bytes:
+    """Spec-literal baseline TIFF writer — the fixture builder.
+
+    ``pixels`` is uint8 [h, w] (gray or palette indices when ``palette``
+    is given) or [h, w, 3] (RGB). Emits real strip tables (several
+    strips when ``rows_per_strip`` splits the image) and real PackBits
+    streams when asked, in either byte order.
+    """
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        h, w = px.shape
+        spp = 1
+        if photometric is None:
+            photometric = 3 if palette is not None else 1
+        flat_rows = px
+    elif px.ndim == 3 and px.shape[2] == 3:
+        h, w = px.shape[:2]
+        spp = 3
+        photometric = 2
+        flat_rows = px.reshape(h, w * 3)
+    else:
+        raise ValueError("pixels must be [h, w] or [h, w, 3] uint8")
+    if photometric == 0:
+        flat_rows = 255 - flat_rows  # stored inverted so decode re-inverts
+    bo = byte_order
+    if bo not in ("<", ">"):
+        raise ValueError("byte_order must be '<' or '>'")
+    rps = rows_per_strip or h
+
+    strips: list[bytes] = []
+    for r0 in range(0, h, rps):
+        rows = flat_rows[r0 : r0 + rps]
+        raw = rows.tobytes()
+        if packbits:
+            raw = b"".join(packbits_encode(bytes(r.tobytes())) for r in rows)
+        strips.append(raw)
+
+    def entry(tag: int, typ: int, cnt: int, val: bytes) -> bytes:
+        return struct.pack(bo + "HHI", tag, typ, cnt) + val.ljust(4, b"\x00")[:4]
+
+    # layout: header(8) | pixel strips | [colormap] | IFD | overflow arrays
+    header_sz = 8
+    strip_offs = []
+    pos = header_sz
+    for s in strips:
+        strip_offs.append(pos)
+        pos += len(s)
+    cmap_bytes = b""
+    cmap_off = pos
+    if photometric == 3:
+        if palette is None or palette.shape != (256, 3):
+            raise ValueError("palette TIFFs need a [256, 3] palette")
+        cm16 = (palette.astype(np.uint16) << 8) | palette.astype(np.uint16)
+        cmap_bytes = cm16.T.astype(("<" if bo == "<" else ">") + "u2").tobytes()
+        pos += len(cmap_bytes)
+    ifd_off = pos
+
+    n_strips = len(strips)
+    entries: list[tuple[int, int, int, bytes]] = []
+    long1 = lambda v: struct.pack(bo + "I", v)  # noqa: E731
+    short1 = lambda v: struct.pack(bo + "H", v)  # noqa: E731
+    entries.append((_T_WIDTH, 4, 1, long1(w)))
+    entries.append((_T_LENGTH, 4, 1, long1(h)))
+    entries.append((_T_BITS, 3, spp, b""))  # value resolved below
+    entries.append((_T_COMPRESSION, 3, 1, short1(32773 if packbits else 1)))
+    entries.append((_T_PHOTOMETRIC, 3, 1, short1(photometric)))
+    entries.append((_T_STRIP_OFFSETS, 4, n_strips, b""))
+    entries.append((_T_SAMPLES_PER_PIXEL, 3, 1, short1(spp)))
+    entries.append((_T_ROWS_PER_STRIP, 4, 1, long1(rps)))
+    entries.append((_T_STRIP_BYTE_COUNTS, 4, n_strips, b""))
+    entries.append((_T_PLANAR, 3, 1, short1(1)))
+    if photometric == 3:
+        entries.append((_T_COLOR_MAP, 3, 3 * 256, long1(cmap_off)))
+
+    # overflow arrays live after the IFD
+    ifd_size = 2 + 12 * len(entries) + 4
+    overflow_off = ifd_off + ifd_size
+    overflow = bytearray()
+
+    def resolve_array(typ: int, values: list[int]) -> bytes:
+        nonlocal overflow
+        fmt = {3: "H", 4: "I"}[typ]
+        size = {3: 2, 4: 4}[typ]
+        raw = struct.pack(bo + f"{len(values)}{fmt}", *values)
+        if len(raw) <= 4:
+            return raw
+        off = overflow_off + len(overflow)
+        overflow += raw
+        return struct.pack(bo + "I", off)
+
+    final_entries = []
+    for tag, typ, cnt, val in entries:
+        if tag == _T_BITS:
+            val = resolve_array(3, [8] * spp)
+        elif tag == _T_STRIP_OFFSETS:
+            val = resolve_array(4, strip_offs)
+        elif tag == _T_STRIP_BYTE_COUNTS:
+            val = resolve_array(4, [len(s) for s in strips])
+        final_entries.append(entry(tag, typ, cnt, val))
+
+    ifd = struct.pack(bo + "H", len(final_entries)) + b"".join(final_entries)
+    ifd += struct.pack(bo + "I", 0)  # next-IFD pointer
+
+    magic = b"II*\x00" if bo == "<" else b"MM\x00*"
+    out = magic + struct.pack(bo + "I", ifd_off)
+    return out + b"".join(strips) + cmap_bytes + ifd + bytes(overflow)

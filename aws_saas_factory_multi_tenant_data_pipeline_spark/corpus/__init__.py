@@ -444,6 +444,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "multimodal_qoi_decode",
     "audio_g711_voice",
     "multimodal_tiff_decode",
+    "similarity_pq_adc",
 )
 
 

@@ -253,3 +253,131 @@ def multimodal_tiff_decode(spark, sf_dir):
         .select(F.col("media_id").alias("doc_id"), "ahash")
         .orderBy("doc_id")
     )
+
+
+# ---- product quantization: generated oracle -------------------------------
+#
+# The oracle replays the ENTIRE PQ pipeline — micro-unit quantization,
+# md5-ordered seeding, one exact-integer Lloyd round per subspace,
+# nearest-codeword encoding, and ADC top-k — in DuckDB SQL generated
+# below (the kmeans_portable convention, but on BIGINT micro-units so no
+# float near-tie can flip a code or a rank at any sf). Squared-L2 terms
+# are unrolled per dimension to stay dialect-safe and exact.
+
+_PQ_M = 4
+_PQ_K = 4
+_PQ_DSUB = 16
+_PQ_TOPK = 5
+_PQ_QMOD = 37
+
+
+def _pq_l2(a_list: str, b_list: str, a_base: int, dsub: int) -> str:
+    """Unrolled exact integer squared-L2 between a slice of ``a_list``
+    starting at 1-based ``a_base`` and the full ``b_list``."""
+    terms = [
+        f"({a_list}[{a_base + i}]-{b_list}[{i + 1}])*({a_list}[{a_base + i}]-{b_list}[{i + 1}])"
+        for i in range(dsub)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _pq_oracle() -> str:
+    m, k, dsub, topk, qmod = _PQ_M, _PQ_K, _PQ_DSUB, _PQ_TOPK, _PQ_QMOD
+    ctes = [
+        "q AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), "
+        "x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS qv FROM embeddings)"
+    ]
+    code_joins = []
+    dt_joins = []
+    for j in range(m):
+        a = j * dsub  # 0-based slice offset
+        l2_seed = _pq_l2("s.qv", "c.v", a + 1, dsub)
+        ctes.append(
+            f"seed{j} AS (SELECT ROW_NUMBER() OVER (ORDER BY r, vec_id) - 1 AS code, v "
+            f"FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS r, vec_id, "
+            f"qv[{a + 1}:{a + dsub}] AS v FROM q ORDER BY r, vec_id LIMIT {k}))"
+        )
+        ctes.append(
+            f"a{j} AS (SELECT vec_id, qv, code FROM ("
+            f"SELECT s.vec_id, s.qv, c.code, ROW_NUMBER() OVER ("
+            f"PARTITION BY s.vec_id ORDER BY {l2_seed}, c.code) AS rn "
+            f"FROM q s, seed{j} c) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"cent{j}d AS (SELECT code, i AS dim, "
+            f"CAST(FLOOR(CAST(SUM(qv[{a} + i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS val "
+            f"FROM a{j}, range(1, {dsub + 1}) t(i) GROUP BY code, i)"
+        )
+        ctes.append(
+            f"cent{j} AS (SELECT code, list(val ORDER BY dim) AS v "
+            f"FROM cent{j}d GROUP BY code)"
+        )
+        ctes.append(
+            f"code{j} AS (SELECT vec_id, code FROM ("
+            f"SELECT s.vec_id, c.code, ROW_NUMBER() OVER ("
+            f"PARTITION BY s.vec_id ORDER BY {l2_seed}, c.code) AS rn "
+            f"FROM q s, cent{j} c) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"dt{j} AS (SELECT qu.query_id, c.code, "
+            f"{_pq_l2('qu.qv', 'c.v', a + 1, dsub)} AS dist "
+            f"FROM queries qu, cent{j} c)"
+        )
+        code_joins.append(f"JOIN code{j} ON code{j}.vec_id = cd.vec_id")
+        dt_joins.append(
+            f"JOIN dt{j} ON dt{j}.query_id = qu.query_id AND dt{j}.code = code{j}.code"
+        )
+    ctes.insert(
+        1,
+        f"queries AS (SELECT vec_id AS query_id, qv FROM q WHERE vec_id % {qmod} = 1)",
+    )
+    dist_sum = " + ".join(f"dt{j}.dist" for j in range(m))
+    return f"""
+        WITH {', '.join(ctes)},
+        adc AS (
+            SELECT qu.query_id, cd.vec_id, {dist_sum} AS adc_dist
+            FROM (SELECT DISTINCT vec_id FROM q) cd
+            CROSS JOIN queries qu
+            {' '.join(code_joins)}
+            {' '.join(dt_joins)}
+        )
+        SELECT query_id, vec_id, adc_dist, CAST(rank AS INT) AS rank FROM (
+            SELECT query_id, vec_id, adc_dist,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY adc_dist, vec_id) AS rank
+            FROM adc)
+        WHERE rank <= {topk}
+        ORDER BY query_id, rank
+    """
+
+
+@register(
+    "similarity_pq_adc",
+    oracle=_pq_oracle(),
+    tags=("B10", "similarity", "ann"),
+    doc="Product quantization (Jegou/Douze/Schmid, TPAMI 2011) END-TO-END "
+    "— train (md5-seeded per-subspace k-means, one exact-integer Lloyd "
+    "round on BIGINT micro-units), encode (argmin exact squared-L2, "
+    "ties to the lowest code), ADC top-k search (per-query m*k lookup "
+    "table, m lookups per corpus row, ties by vec_id) — with the WHOLE "
+    "pipeline including training replayed hash-for-hash in the DuckDB "
+    "oracle; integer arithmetic end-to-end means no float near-tie can "
+    "flip a code or rank at any sf (operators/pq.py; the 100 TB shape "
+    "is 4-byte codes for 256-byte vectors + broadcast lookup tables).",
+)
+def similarity_pq_adc(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.pq import (
+        pq_encode,
+        pq_topk_adc,
+        pq_train,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    cb = pq_train(emb, m=_PQ_M, k=_PQ_K, iterations=1)
+    enc = pq_encode(emb, cb, m=_PQ_M)
+    qs = emb.where(F.col("vec_id") % _PQ_QMOD == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk_adc(enc, qs, cb, topk=_PQ_TOPK, m=_PQ_M).orderBy(
+        "query_id", "rank"
+    )

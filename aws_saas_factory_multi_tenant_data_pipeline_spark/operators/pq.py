@@ -1,0 +1,253 @@
+"""Product quantization (PQ) for embedding columns — train, encode,
+and asymmetric-distance (ADC) top-k search (SURVEY.md §2 B10 [EXT]).
+
+PQ (Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+Search", IEEE TPAMI 2011) compresses a d-dim vector into m one-byte
+codes: split the dimensions into m subspaces, k-means each subspace
+independently, and store only each subvector's nearest-centroid index.
+A 64-dim float32 embedding (256 bytes) becomes m=4 bytes — at 100 TB of
+embeddings this is the difference between "the index fits in executor
+memory" and "it doesn't". Search never decodes: per query, one m×k
+lookup table of exact subspace distances is built once, and each
+corpus row's approximate distance is m table lookups (ADC).
+
+Everything here is ENGINE-PORTABLE integer math so the whole pipeline
+— training included — replays hash-for-hash in a SQL oracle (the
+kmeans_portable convention, operators/clustering.py):
+
+- vectors are quantized once to BIGINT micro-units (floor(v · 1e6)) —
+  all later arithmetic is exact, so no round-6 near-tie can flip a
+  code or a rank at any scale;
+- seeding: the k centroids of every subspace come from the first k
+  vectors in md5(vec_id) order (content-stable, any engine replays it);
+- assignment: argmin of the EXACT integer squared-L2 distance, ties to
+  the lowest code;
+- Lloyd update: per-dimension floor(sum/count) in micro-units (the
+  double division is exact well past these magnitudes, and floor is
+  portable).
+
+Scale shape: codebooks are m·k tiny rows — broadcast everywhere;
+training shuffles ≤ m·k·dsub partial rows per partition (posexplode +
+partial agg); encoding is a zero-shuffle narrow projection; ADC search
+broadcasts the per-query lookup tables and scans the code table once,
+with a per-query top-k window over m-lookup sums. The corpus side
+never shuffles on anything but the final per-query top-k, and the
+100 TB candidate-bounding path (route queries through an IVF list
+first, then ADC only within probed lists) composes with
+operators/clustering.build_ivf_index unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: micro-unit scale: float embeddings quantize to floor(v * 1e6)
+MICRO = 1_000_000
+
+
+def quantize_micro(vec: Column, scale: int = MICRO) -> Column:
+    """float array → BIGINT micro-unit array (floor — portable across
+    engines for every input, unlike round-half at binary .5 edges)."""
+    return F.transform(vec, lambda x: F.floor(x.cast("double") * scale).cast("long"))
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Exact integer squared-L2 between two micro-unit arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _subvec(vec: Column, subspace: int, dsub: int) -> Column:
+    return F.slice(vec, subspace * dsub + 1, dsub)
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 4,
+    iterations: int = 1,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Train per-subspace codebooks → (subspace, code, centroid) where
+    centroid is an array<bigint> of micro-units.
+
+    Each subspace runs ``iterations`` Lloyd rounds from md5-ordered
+    seeds. The m trainings share one scan of the quantized input (the
+    per-subspace frames are projections of a cached narrow select)."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    q = df.select(
+        F.col(id_col).alias("__id"), quantize_micro(F.col(vec_col)).alias("__q")
+    )
+    books: list[DataFrame] = []
+    for j in range(m):
+        sub = q.select("__id", _subvec(F.col("__q"), j, dsub).alias("__v"))
+        seeds = (
+            sub.select(F.md5(F.col("__id").cast("string")).alias("__r"), "__id", "__v")
+            .orderBy("__r", "__id")
+            .limit(k)
+        )
+        w = Window.orderBy("__r", "__id")
+        cents = seeds.select(
+            (F.row_number().over(w) - 1).alias("code"), F.col("__v").alias("centroid")
+        )
+        for _ in range(iterations):
+            assigned = _assign_codes(sub, cents)
+            cents = (
+                assigned.select("code", F.posexplode("__v").alias("dim", "val"))
+                .groupBy("code", "dim")
+                .agg(
+                    F.floor(
+                        F.sum("val").cast("double") / F.count(F.lit(1))
+                    ).cast("long").alias("val")
+                )
+                .groupBy("code")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("dim", "val"))),
+                        lambda s: s["val"],
+                    ).alias("centroid")
+                )
+            ).localCheckpoint(eager=True)
+        books.append(cents.select(F.lit(j).alias("subspace"), "code", "centroid"))
+    out = books[0]
+    for b in books[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def _assign_codes(sub: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-codeword assignment for one subspace: argmin exact
+    integer L2, ties to the lowest code. Zero-shuffle broadcast shape
+    (the assign_clusters convention)."""
+    packed = cents.agg(
+        F.array_sort(F.collect_list(F.struct("code", "centroid"))).alias("__cb")
+    )
+    scored = F.transform(
+        F.col("__cb"),
+        lambda c: F.struct(
+            _l2sq(F.col("__v"), c["centroid"]).alias("dist"), c["code"].alias("code")
+        ),
+    )
+    best = F.array_min(scored)
+    return (
+        sub.crossJoin(F.broadcast(packed))
+        .withColumn("code", best["code"])
+        .select("__id", "__v", "code")
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes array<int>) — one code per subspace. Codebooks are
+    collapsed into a single broadcast row; the corpus is scanned once
+    with no shuffle."""
+    dsub = dim // m
+    packed = codebooks.agg(
+        F.array_sort(
+            F.collect_list(F.struct("subspace", "code", "centroid"))
+        ).alias("__cb")
+    )
+    q = quantize_micro(F.col(vec_col))
+    out = df.crossJoin(F.broadcast(packed)).withColumn("__q", q)
+    code_cols = []
+    for j in range(m):
+        scored = F.transform(
+            F.filter(F.col("__cb"), lambda c: c["subspace"] == F.lit(j)),
+            lambda c: F.struct(
+                _l2sq(_subvec(F.col("__q"), j, dsub), c["centroid"]).alias("dist"),
+                c["code"].alias("code"),
+            ),
+        )
+        code_cols.append(F.array_min(scored)["code"])
+    return out.select(
+        F.col(id_col), F.array(*code_cols).cast("array<int>").alias("codes")
+    )
+
+
+def pq_topk_adc(
+    encoded: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    topk: int = 5,
+    m: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ADC top-k: per query, the exact integer distance from its
+    subvector to EVERY codeword is computed once (an m·k lookup table);
+    each encoded corpus row then costs m lookups. Returns
+    (query_id, vec_id, adc_dist, rank) with rank 1..topk, ties broken
+    by ascending vec_id — fully deterministic.
+
+    The query set rides in as a broadcast (per-query tables are m·k
+    ints); the big side is the one scan of the code table. At 100 TB,
+    bound candidates first via an IVF probe (build_ivf_index) and feed
+    the probed subset here — ADC semantics are unchanged."""
+    dsub = dim // m
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        quantize_micro(F.col(vec_col)).alias("__q"),
+    )
+    # per (query, subspace, code): exact distance — tiny (nq · m · k)
+    table = (
+        q.crossJoin(F.broadcast(codebooks))
+        .select(
+            "query_id",
+            "subspace",
+            "code",
+            _l2sq(
+                _subvec(
+                    F.col("__q"),
+                    F.col("subspace"),
+                    F.lit(dsub),
+                ),
+                F.col("centroid"),
+            ).alias("dist"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (F.col("subspace") * 1000 + F.col("code")).alias("key"),
+                            F.col("dist").alias("value"),
+                        )
+                    )
+                )
+            ).alias("__dt")
+        )
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.col("codes"),
+            lambda j, c: F.element_at(F.col("__dt"), j * 1000 + c),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", F.col(id_col))
+    return (
+        encoded.crossJoin(F.broadcast(table))
+        .withColumn("adc_dist", adc)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select("query_id", F.col(id_col), "adc_dist", "rank")
+    )

@@ -1,0 +1,133 @@
+"""Product quantization (operators/pq.py): codebook/code invariants,
+ADC optimality of the encoded row itself, blob-separation retrieval,
+determinism across runs, and the zero-shuffle encode plan."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.pq import (
+    MICRO,
+    pq_encode,
+    pq_topk_adc,
+    pq_train,
+    quantize_micro,
+)
+
+_M, _K, _DIM = 4, 4, 64
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def trained(emb):
+    cb = pq_train(emb, m=_M, k=_K, iterations=1, dim=_DIM)
+    enc = pq_encode(emb, cb, m=_M, dim=_DIM)
+    return cb.cache(), enc.cache()
+
+
+def test_codebook_shape(trained):
+    cb, _ = trained
+    rows = cb.collect()
+    assert len(rows) == _M * _K
+    assert {(r["subspace"], r["code"]) for r in rows} == {
+        (j, c) for j in range(_M) for c in range(_K)
+    }
+    assert all(len(r["centroid"]) == _DIM // _M for r in rows)
+
+
+def test_codes_bounded(trained, emb):
+    _, enc = trained
+    bad = enc.where(
+        (F.size("codes") != _M)
+        | F.exists("codes", lambda c: (c < 0) | (c >= _K))
+    ).count()
+    assert bad == 0
+    assert enc.count() == emb.count()
+
+
+def test_own_row_achieves_min_adc(trained, emb):
+    """For a query that is itself an encoded corpus row, its ADC
+    distance is the minimum achievable (its codes are the per-subspace
+    argmins) — rank-1 modulo code-level ties."""
+    cb, enc = trained
+    qs = emb.where("vec_id % 37 = 1").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = pq_topk_adc(enc, qs, cb, topk=5, m=_M, dim=_DIM).cache()
+    mins = res.groupBy("query_id").agg(F.min("adc_dist").alias("min_dist"))
+    own = res.where(F.col("query_id") == F.col("vec_id")).select(
+        "query_id", "adc_dist"
+    )
+    joined = own.join(mins, "query_id")
+    assert joined.where(F.col("adc_dist") != F.col("min_dist")).count() == 0
+    # and every query returned exactly topk ranked rows 1..5
+    counts = res.groupBy("query_id").count().collect()
+    assert all(r["count"] == 5 for r in counts)
+
+
+def test_blob_separation_retrieval(spark):
+    """Two far-apart blobs: every top-k neighbor of a blob-A query is in
+    blob A. PQ distances are approximate, but a 100x gap survives any
+    quantization this codebook can produce."""
+    rng = np.random.RandomState(0)
+    rows = []
+    for i in range(60):
+        blob = i % 2
+        base = np.full(_DIM, 10.0 if blob else -10.0)
+        rows.append(
+            (i, (base + rng.uniform(-0.1, 0.1, _DIM)).astype(float).tolist())
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq_train(df, m=_M, k=_K, iterations=1, dim=_DIM)
+    enc = pq_encode(df, cb, m=_M, dim=_DIM)
+    qs = df.where("vec_id < 4").select(F.col("vec_id").alias("query_id"), "embedding")
+    res = pq_topk_adc(enc, qs, cb, topk=10, m=_M, dim=_DIM).collect()
+    for r in res:
+        assert r["vec_id"] % 2 == r["query_id"] % 2, r
+
+
+def test_deterministic_rerun(trained, emb):
+    cb, enc = trained
+    qs = emb.where("vec_id % 37 = 1").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = pq_topk_adc(enc, qs, cb, topk=5, m=_M, dim=_DIM).orderBy(
+        "query_id", "rank"
+    ).collect()
+    cb2 = pq_train(emb, m=_M, k=_K, iterations=1, dim=_DIM)
+    enc2 = pq_encode(emb, cb2, m=_M, dim=_DIM)
+    b = pq_topk_adc(enc2, qs, cb2, topk=5, m=_M, dim=_DIM).orderBy(
+        "query_id", "rank"
+    ).collect()
+    assert a == b
+
+
+def test_quantize_micro_floor_semantics(spark):
+    df = spark.createDataFrame(
+        [(0, [0.5, -0.5, 1.0000004, -1.0000004])],
+        "vec_id long, embedding array<double>",
+    )
+    (row,) = df.select(quantize_micro(F.col("embedding")).alias("q")).collect()
+    assert row["q"] == [500000, -500000, 1000000, -1000001]
+    assert MICRO == 1_000_000
+
+
+def test_encode_plan_is_broadcast_only(trained, emb):
+    """Encoding must not shuffle the corpus: broadcast codebook + narrow
+    projection (the 100 TB contract in the module docstring)."""
+    cb, _ = trained
+    plan = pq_encode(emb, cb, m=_M, dim=_DIM)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    # corpus-side rows never hash-repartition during encode
+    assert "hashpartitioning" not in plan
+
+
+def test_train_rejects_indivisible_dim(emb):
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(emb, m=5, k=4, iterations=1, dim=_DIM)

@@ -445,6 +445,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "audio_g711_voice",
     "multimodal_tiff_decode",
     "similarity_pq_adc",
+    "similarity_maxsim_rerank",
 )
 
 

@@ -381,3 +381,118 @@ def similarity_pq_adc(spark, sf_dir):
     return pq_topk_adc(enc, qs, cb, topk=_PQ_TOPK, m=_PQ_M).orderBy(
         "query_id", "rank"
     )
+
+
+# ---- ColBERT-style MaxSim late-interaction reranking ----------------------
+
+_MS_DIM = 8
+_MS_DOCN = 200
+_MS_QMOD = 41
+_MS_DTOK = 12
+_MS_QTOK = 4
+_MS_TOPK = 5
+
+_MS_NORM = (
+    r"trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),"
+    r" '\s+', ' ', 'g'))"
+)
+
+
+def _ms_vec_term(tok_expr: str, k: int) -> str:
+    return f"((CAST('0x' || substr(md5({tok_expr}), {2 * k + 1}, 2) AS BIGINT) % 17) - 8)"
+
+
+def _ms_dot(a_tok: str, b_tok: str) -> str:
+    return (
+        "("
+        + " + ".join(
+            f"{_ms_vec_term(a_tok, k)} * {_ms_vec_term(b_tok, k)}"
+            for k in range(_MS_DIM)
+        )
+        + ")"
+    )
+
+
+def _maxsim_oracle() -> str:
+    return f"""
+        WITH nd AS (
+            SELECT doc_id, list_slice(string_split({_MS_NORM}, ' '), 1, {_MS_DTOK}) AS toks
+            FROM documents WHERE doc_id < {_MS_DOCN}
+        ),
+        dt AS (
+            SELECT DISTINCT doc_id, t.tok
+            FROM nd, UNNEST(toks) AS t(tok) WHERE t.tok <> ''
+        ),
+        qt AS (
+            SELECT doc_id AS query_id, i.i AS pos, toks[i.i] AS tok
+            FROM nd, range(1, {_MS_QTOK + 1}) i(i)
+            WHERE doc_id % {_MS_QMOD} = 3
+              AND len(toks) >= i.i AND toks[i.i] <> ''
+        ),
+        best AS (
+            SELECT q.query_id, q.pos, d.doc_id,
+                   MAX({_ms_dot('q.tok', 'd.tok')}) AS maxdot
+            FROM qt q, dt d
+            GROUP BY q.query_id, q.pos, d.doc_id
+        ),
+        scored AS (
+            SELECT query_id, doc_id, CAST(SUM(maxdot) AS BIGINT) AS score
+            FROM best GROUP BY query_id, doc_id
+        )
+        SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank FROM (
+            SELECT query_id, doc_id, score,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id) AS rank
+            FROM scored)
+        WHERE rank <= {_MS_TOPK}
+        ORDER BY query_id, rank
+    """
+
+
+@register(
+    "similarity_maxsim_rerank",
+    oracle=_maxsim_oracle(),
+    tags=("B10", "similarity", "ranking"),
+    doc="ColBERT-style late-interaction reranking (Khattab & Zaharia, "
+    "SIGIR 2020) with the WHOLE scoring replayed in SQL: per doc the "
+    "first 12 normalized tokens (first 4 for the query side, "
+    "doc_id % 41 = 3) lift to 8-dim integer vectors via the portable "
+    "md5-hex convention; MaxSim = sum over query tokens of the max "
+    "exact-integer dot product against any doc token; top-5 per query "
+    "with ties to the lowest doc_id. Integer scores end-to-end mean no "
+    "near-tie can flip a rank at any sf. The operator is the 100 TB "
+    "reranker shape: broadcast query tokens, one corpus scan over a "
+    "first-stage candidate set (operators/similarity.py maxsim_rerank).",
+)
+def similarity_maxsim_rerank(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import (
+        tokens,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.similarity import (
+        maxsim_rerank,
+    )
+
+    def vec(w):
+        return F.array(
+            *[
+                (
+                    F.conv(F.substring(F.md5(w), 2 * k + 1, 2), 16, 10).cast("long")
+                    % 17
+                    - 8
+                )
+                for k in range(_MS_DIM)
+            ]
+        )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < _MS_DOCN)
+    toks = F.filter(F.slice(tokens(F.col("text")), 1, _MS_DTOK), lambda w: w != "")
+    docs = d.select(
+        "doc_id",
+        F.transform(F.array_distinct(toks), vec).alias("token_vecs"),
+    )
+    qtoks = F.filter(F.slice(tokens(F.col("text")), 1, _MS_QTOK), lambda w: w != "")
+    queries = d.where(F.col("doc_id") % _MS_QMOD == 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.transform(qtoks, vec).alias("token_vecs"),
+    )
+    return maxsim_rerank(docs, queries, topk=_MS_TOPK).orderBy("query_id", "rank")

@@ -23,8 +23,11 @@ integer maps, so ``encode(decode(code)) == code`` for every code (the
 two μ-law zero codes collapse to the canonical +0) — pinned in tests.
 
 Declared scope (per-row-quarantinable ValueError boundaries, the codec
-convention): integer PCM 8/16-bit, A-law, μ-law; ADPCM (fmt 2/0x11),
-IEEE float (3), and MPEG-in-WAV payloads quarantine with a named error.
+convention): integer PCM 8/16-bit, IEEE float 32/64-bit (fmt 3,
+clamped to [-1, 1], non-finite samples tear), A-law, μ-law; ADPCM
+(fmt 2/0x11 — the canonical step tables have no trustworthy
+in-container source, the MP3-Huffman convention) and MPEG-in-WAV
+payloads quarantine with a named error.
 """
 
 from __future__ import annotations
@@ -35,6 +38,7 @@ import numpy as np
 
 #: WAVE format codes in declared scope
 WAVE_FORMAT_PCM = 0x0001
+WAVE_FORMAT_IEEE_FLOAT = 0x0003
 WAVE_FORMAT_ALAW = 0x0006
 WAVE_FORMAT_MULAW = 0x0007
 WAVE_FORMAT_EXTENSIBLE = 0xFFFE
@@ -155,6 +159,18 @@ def parse_wav(payload: bytes):
             x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
         else:
             raise ValueError(f"unsupported PCM width {bits}")
+    elif code == WAVE_FORMAT_IEEE_FLOAT:
+        if bits == 32:
+            usable = len(data) - (len(data) % 4)
+            x = np.frombuffer(data[:usable], dtype="<f4").astype(np.float64)
+        elif bits == 64:
+            usable = len(data) - (len(data) % 8)
+            x = np.frombuffer(data[:usable], dtype="<f8").copy()
+        else:
+            raise ValueError(f"unsupported float width {bits}")
+        if not np.all(np.isfinite(x)):
+            raise ValueError("non-finite float WAV samples")
+        x = np.clip(x, -1.0, 1.0)
     elif code == WAVE_FORMAT_MULAW:
         if bits not in (0, 8):
             raise ValueError(f"bad mu-law bits-per-sample {bits}")

@@ -658,3 +658,74 @@ def bitext_mine(
         .select("src_id", "tgt_id")
     )
     return forward.join(backward, ["src_id", "tgt_id"], "left_semi")
+
+
+def maxsim_rerank(
+    doc_tokens: DataFrame,
+    query_tokens: DataFrame,
+    topk: int = 5,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "token_vecs",
+) -> DataFrame:
+    """ColBERT-style late-interaction reranking (Khattab & Zaharia,
+    SIGIR 2020): score(q, d) = Σ over query-token vectors of the max
+    dot product against any document-token vector (MaxSim). Returns
+    (query_id, doc_id, score, rank) with rank 1..topk per query, ties
+    broken by ascending doc id.
+
+    Both frames carry ``vec_col: array<array<bigint>>`` — one integer
+    vector per token. Integer dot products keep every score exact, so
+    ranks are engine-portable (no float near-ties) and the whole
+    scoring replays in a SQL oracle.
+
+    Scale shape: the query side (a handful of reranking queries × a few
+    token vectors each) collapses to ONE broadcast row; the document
+    corpus is scanned once with a per-row nested fold — no shuffle
+    until the per-query top-k window, which AQE handles at ≤ nq·|docs|
+    rows. This is a RERANKER by design: at 100 TB the doc side is the
+    top-N candidate set of a first-stage retriever (BM25
+    `operators/ranking.py` or the ANN ops here), not the raw corpus —
+    the ColBERT deployment shape."""
+
+    def dot_int(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    packed = query_tokens.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv"))
+            )
+        ).alias("__qs")
+    )
+    maxsim = lambda qv: F.aggregate(  # noqa: E731
+        qv,
+        F.lit(0).cast("long"),
+        lambda acc, q: acc
+        + F.array_max(F.transform(F.col(vec_col), lambda d: dot_int(q, d))),
+    )
+    scored = (
+        doc_tokens.where(F.size(vec_col) > 0)
+        .crossJoin(F.broadcast(packed))
+        .select(
+            F.col(id_col),
+            F.explode("__qs").alias("__q"),
+            F.col(vec_col),
+        )
+        .where(F.size("__q.qv") > 0)
+        .select(
+            F.col("__q.qid").alias("query_id"),
+            F.col(id_col),
+            maxsim(F.col("__q.qv")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select("query_id", id_col, "score", "rank")
+    )

@@ -145,11 +145,50 @@ def test_parse_wav_extensible_wrapping():
     assert np.allclose(mono, ulaw_to_linear16(linear16_to_ulaw(x)) / 32768.0)
 
 
-def test_out_of_scope_format_quarantines_with_valueerror():
-    """An IEEE-float WAV must raise ValueError (quarantine), not the
-    wave.Error the stdlib parser this replaced would throw."""
+def test_float_wav_decodes():
+    """IEEE-float WAVs (fmt 3) are in scope: exact passthrough, clamped."""
+    x = np.array([0.25, -0.75, 1.5, -2.0], dtype=np.float32)
+    for bits, dt in ((32, "<f4"), (64, "<f8")):
+        body = x.astype(dt).tobytes()
+        fmt = struct.pack("<HHIIHH", 3, 1, 44100, 44100 * bits // 8, bits // 8, bits)
+        blob = (
+            b"RIFF"
+            + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body))
+            + b"WAVE"
+            + b"fmt "
+            + struct.pack("<I", len(fmt))
+            + fmt
+            + b"data"
+            + struct.pack("<I", len(body))
+            + body
+        )
+        mono, sr, ch = parse_wav(blob)
+        assert (sr, ch) == (44100, 1)
+        assert np.allclose(mono, [0.25, -0.75, 1.0, -1.0])
+
+    # non-finite samples are structural damage: tear
+    bad = np.array([0.1, np.nan], dtype=np.float32).tobytes()
     fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
-    body = struct.pack("<f", 0.5)
+    blob = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(bad))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(bad))
+        + bad
+    )
+    with pytest.raises(ValueError, match="non-finite"):
+        parse_wav(blob)
+
+
+def test_out_of_scope_format_quarantines_with_valueerror():
+    """An MS-ADPCM WAV must raise ValueError (quarantine), not the
+    wave.Error the stdlib parser this replaced would throw."""
+    fmt = struct.pack("<HHIIHH", 2, 1, 8000, 4000, 256, 4)
+    body = b"\x00" * 8
     blob = (
         b"RIFF"
         + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body))
@@ -161,7 +200,7 @@ def test_out_of_scope_format_quarantines_with_valueerror():
         + struct.pack("<I", len(body))
         + body
     )
-    with pytest.raises(ValueError, match="0x0003"):
+    with pytest.raises(ValueError, match="0x0002"):
         parse_wav(blob)
 
 

@@ -131,3 +131,101 @@ def test_encode_plan_is_broadcast_only(trained, emb):
 def test_train_rejects_indivisible_dim(emb):
     with pytest.raises(ValueError, match="not divisible"):
         pq_train(emb, m=5, k=4, iterations=1, dim=_DIM)
+
+
+# ---- MaxSim late-interaction reranker (operators/similarity.py) -----------
+
+
+def _vecs(spark, rows, schema="id long, token_vecs array<array<bigint>>"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_maxsim_exact_scores(spark):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.similarity import (
+        maxsim_rerank,
+    )
+
+    docs = _vecs(
+        spark,
+        [
+            (1, [[1, 0], [0, 1]]),
+            (2, [[2, 2]]),
+            (3, [[-5, -5], [10, 0]]),
+        ],
+        "doc_id long, token_vecs array<array<bigint>>",
+    )
+    queries = _vecs(
+        spark,
+        [(100, [[1, 1], [1, 0]])],
+        "query_id long, token_vecs array<array<bigint>>",
+    )
+    rows = {
+        r["doc_id"]: (r["score"], r["rank"])
+        for r in maxsim_rerank(docs, queries, topk=3).collect()
+    }
+    # q1=[1,1]: d1 max(1,1)=1, d2 4, d3 max(-10,10)=10
+    # q2=[1,0]: d1 max(1,0)=1, d2 2, d3 max(-5,10)=10
+    assert rows[1] == (2, 3)
+    assert rows[2] == (6, 2)
+    assert rows[3] == (20, 1)
+
+
+def test_maxsim_tie_breaks_by_doc_id(spark):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.similarity import (
+        maxsim_rerank,
+    )
+
+    docs = _vecs(
+        spark,
+        [(7, [[1, 1]]), (3, [[1, 1]]), (5, [[1, 1]])],
+        "doc_id long, token_vecs array<array<bigint>>",
+    )
+    queries = _vecs(
+        spark, [(0, [[4, 4]])], "query_id long, token_vecs array<array<bigint>>"
+    )
+    got = [
+        (r["doc_id"], r["rank"])
+        for r in maxsim_rerank(docs, queries, topk=3).orderBy("rank").collect()
+    ]
+    assert got == [(3, 1), (5, 2), (7, 3)]
+
+
+def test_maxsim_skips_empty_token_sets(spark):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.similarity import (
+        maxsim_rerank,
+    )
+
+    docs = _vecs(
+        spark,
+        [(1, [[1]]), (2, [])],
+        "doc_id long, token_vecs array<array<bigint>>",
+    )
+    queries = _vecs(
+        spark,
+        [(10, [[1]]), (11, [])],
+        "query_id long, token_vecs array<array<bigint>>",
+    )
+    rows = maxsim_rerank(docs, queries, topk=5).collect()
+    assert {(r["query_id"], r["doc_id"]) for r in rows} == {(10, 1)}
+
+
+def test_maxsim_query_side_broadcast_plan(spark):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.similarity import (
+        maxsim_rerank,
+    )
+
+    docs = _vecs(
+        spark,
+        [(i, [[i, 1]]) for i in range(50)],
+        "doc_id long, token_vecs array<array<bigint>>",
+    )
+    queries = _vecs(
+        spark, [(0, [[1, 2]])], "query_id long, token_vecs array<array<bigint>>"
+    )
+    plan = (
+        maxsim_rerank(docs, queries, topk=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastExchange" in plan

@@ -446,6 +446,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "multimodal_tiff_decode",
     "similarity_pq_adc",
     "similarity_maxsim_rerank",
+    "dedup_containment",
 )
 
 

@@ -496,3 +496,70 @@ def similarity_maxsim_rerank(spark, sf_dir):
         F.transform(qtoks, vec).alias("token_vecs"),
     )
     return maxsim_rerank(docs, queries, topk=_MS_TOPK).orderBy("query_id", "rank")
+
+
+_CT_NORM = (
+    r"trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),"
+    r" '\s+', ' ', 'g'))"
+)
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split({_CT_NORM}, ' ') AS ws FROM documents),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(CASE WHEN len(ws) >= 3
+                        THEN list_transform(generate_series(1, len(ws) - 2),
+                                            i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))
+                        ELSE [concat_ws(' ', ws)] END) AS shingles
+            FROM toks),
+        inv AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s
+                FROM sh WHERE len(shingles) > 0),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.n AS n_a, b.n AS n_b, CAST(COUNT(*) AS BIGINT) AS shared
+            FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4)
+        SELECT id_a, id_b, shared,
+               CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               ROUND(CAST(shared AS DOUBLE) / n_a, 6) AS c_ab,
+               ROUND(CAST(shared AS DOUBLE) / n_b, 6) AS c_ba,
+               CASE WHEN shared >= n_a AND shared >= n_b THEN 'both'
+                    WHEN CAST(shared AS DOUBLE) / n_a
+                         >= CAST(shared AS DOUBLE) / n_b THEN 'a'
+                    ELSE 'b' END AS contained
+        FROM pairs
+        WHERE GREATEST(CAST(shared AS DOUBLE) / n_a,
+                       CAST(shared AS DOUBLE) / n_b) >= 0.5
+        ORDER BY id_a, id_b
+    """,
+    tags=("B10", "dedup"),
+    doc="Asymmetric shingle containment (Broder, SEQUENCES 1997) — the "
+    "quotation/boilerplate/subset near-dup mode Jaccard misses (a short "
+    "doc swallowed by a long one has tiny Jaccard but containment ~1): "
+    "C(A->B) = |shingles(A) AND shingles(B)| / |shingles(A)| over the "
+    "inverted-index self-join (candidates share >= 1 shingle, never "
+    "all-pairs); pairs kept when either direction >= 0.5, the swallowed "
+    "side named. Counts exact ints, divisions IEEE-deterministic "
+    "(operators/dedup.py containment_pairs).",
+)
+def dedup_containment(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    res = containment_pairs(d, tau=0.5)
+    return res.select(
+        "id_a",
+        "id_b",
+        "shared",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round("c_ab", 6).alias("c_ab"),
+        F.round("c_ba", 6).alias("c_ba"),
+        "contained",
+    ).orderBy("id_a", "id_b")

@@ -868,3 +868,72 @@ def remove_duplicate_lines(
         ).alias("clean_text"),
     )
     return per_doc
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    tau: float = 0.5,
+) -> DataFrame:
+    """Asymmetric shingle containment — the near-dup mode Jaccard misses.
+
+    C(A→B) = |S(A) ∩ S(B)| / |S(A)| over distinct word-k-shingle sets:
+    a short document quoted wholesale inside a long one scores ~1.0 on
+    containment while its Jaccard stays tiny (the union is dominated by
+    the long side). This is the boilerplate/quotation/subset detector of
+    a dedup cascade (Broder's containment, "On the resemblance and
+    containment of documents", SEQUENCES 1997).
+
+    Same scale shape as :func:`ngram_jaccard_pairs`: shingle once
+    (persisted, exposed as ``result.shingle_cache``), explode to an
+    inverted index, equi-join on shingle — candidate pairs share ≥1
+    shingle, never all-pairs. Returns (id_a, id_b, shared, n_a, n_b,
+    c_ab, c_ba, contained) for pairs where max(c_ab, c_ba) ≥ tau;
+    ``contained`` names the swallowed side ('a', 'b', or 'both' when
+    the sets coincide). Counts are exact ints; the divisions are
+    IEEE-deterministic, so the SQL oracle replays them bit-for-bit.
+    """
+    from pyspark import StorageLevel
+
+    sized = (
+        with_shingle_col(df, text_col, shingle_k, out="__sh")
+        .select(F.col(id_col), F.col("__sh"))
+        .withColumn("__n", F.size("__sh"))
+        .where(F.col("__n") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    inv = sized.select(id_col, "__n", F.explode("__sh").alias("__s"))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.__s") == F.col("b.__s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.__n").alias("n_a"),
+            F.col("b.__n").alias("n_b"),
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    c_ab = F.col("shared").cast("double") / F.col("n_a").cast("double")
+    c_ba = F.col("shared").cast("double") / F.col("n_b").cast("double")
+    contained = (
+        F.when((F.col("c_ab") >= 1.0) & (F.col("c_ba") >= 1.0), "both")
+        .when(F.col("c_ab") >= F.col("c_ba"), "a")
+        .otherwise("b")
+    )
+    result = (
+        shared.withColumn("c_ab", c_ab)
+        .withColumn("c_ba", c_ba)
+        .where(F.greatest("c_ab", "c_ba") >= tau)
+        .withColumn("contained", contained)
+        .select("id_a", "id_b", "shared", "n_a", "n_b", "c_ab", "c_ba", "contained")
+    )
+    result.shingle_cache = sized
+    return result

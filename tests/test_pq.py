@@ -229,3 +229,43 @@ def test_maxsim_query_side_broadcast_plan(spark):
         .toString()
     )
     assert "BroadcastExchange" in plan
+
+
+# ---- asymmetric containment (operators/dedup.py) --------------------------
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc quoted inside a long one: containment ~1.0 for the
+    short side while Jaccard stays below a dedup threshold."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog again and again"
+    filler = " ".join(f"filler{i} word{i} text{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote + " " + filler)],
+        "doc_id long, text string",
+    )
+    (pair,) = containment_pairs(df, tau=0.5).collect()
+    assert (pair["id_a"], pair["id_b"]) == (1, 2)
+    assert pair["c_ab"] == 1.0  # every shingle of the quote is inside
+    assert pair["c_ba"] < 0.2
+    assert pair["contained"] == "a"
+    jac = ngram_jaccard_pairs(df, threshold=0.0).collect()
+    assert all(r["jaccard"] < 0.2 for r in jac)
+
+
+def test_containment_both_direction_flag(spark):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    (pair,) = containment_pairs(df, tau=0.5).collect()
+    assert pair["contained"] == "both"
+    assert pair["c_ab"] == 1.0 and pair["c_ba"] == 1.0

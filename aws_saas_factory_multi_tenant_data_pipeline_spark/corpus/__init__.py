@@ -126,9 +126,16 @@ GRADED_WINDOW: tuple[str, ...] = (
     "r6_pack",
     # B6 sort/limit/set-ops (distinct_dropdup → tail in r5: its DISTINCT
     # semantics are also exercised by setop_family's UNION-distinct branch;
-    # the freed slot gives five more r5 §2 rows a hard driver verdict)
-    "sort_nulls_limit",
-    "setop_family",
+    # the freed slot gives five more r5 §2 rows a hard driver verdict).
+    # setop_family + sort_nulls_limit → MERGED in r9 second wave into
+    # setop_sort_pack (every labeled set-op row and every top-100 sort
+    # row rides in the pack hash verbatim — neither B6 family loses its
+    # driver verdict); the freed slot gives the seven r9 second-wave §2
+    # rows (QOI decode, baseline TIFF decode, G.711 voice WAVs, PQ ANN
+    # end-to-end, MaxSim reranking, containment dedup, H.264 keyframe
+    # chain) a hard driver verdict via media_pack4
+    "setop_sort_pack",
+    "media_pack4",
     "r5_pack2",
     # B7 scalar functions (math/array/map/json/null + url/timezone packed).
     # fn_string + fn_datetime → MERGED in r9 into fn_string_datetime_pack
@@ -222,6 +229,9 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     # still first in line if the window turns out to be time-bound
     "scan_project",
     "join_semi_anti",
+    # merged into setop_sort_pack in r9 second wave (components verbatim)
+    "sort_nulls_limit",
+    "setop_family",
     "win_topk_per_group",
     "text_stats",
     "filter_predicates",
@@ -488,6 +498,7 @@ def load_all() -> dict[str, QuerySpec]:
         wave_r9,
         wave_r10,
         wave_r11,
+        window_r11,
         window_r5,  # packs read other modules' oracles — import last
         window_r6,
         window_r7,

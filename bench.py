@@ -52,6 +52,8 @@ HEADLINE = [
     "similarity_bitext_margin",   # B10 cross-lingual pair mining
     # round-9 flagship: real H.264 keyframe decode through the container
     "multimodal_h264_keyframes",  # B10 MP4(avc1) -> intra decode -> aHash
+    # round-9 second wave: PQ ANN (train + encode + ADC search, integer-exact)
+    "similarity_pq_adc",          # B10 product quantization end-to-end
 ]
 
 

@@ -457,6 +457,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "similarity_pq_adc",
     "similarity_maxsim_rerank",
     "dedup_containment",
+    "similarity_binary_hamming",
 )
 
 

@@ -563,3 +563,63 @@ def dedup_containment(spark, sf_dir):
         F.round("c_ba", 6).alias("c_ba"),
         "contained",
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "similarity_binary_hamming",
+    oracle="""
+        WITH sig AS (
+            SELECT vec_id,
+                   CAST(SUM(CASE WHEN embedding[i.i] >= 0 THEN
+                                CASE WHEN i.i = 64
+                                     THEN (-9223372036854775807 - 1)
+                                     ELSE (1::BIGINT << (i.i - 1)) END
+                            ELSE 0 END) AS BIGINT) AS sig
+            FROM embeddings, range(1, 65) i(i)
+            GROUP BY vec_id),
+        q AS (SELECT vec_id AS query_id, sig AS qsig FROM sig
+              WHERE query_id % 53 = 2),
+        scored AS (
+            SELECT q.query_id, s.vec_id,
+                   bit_count(xor(s.sig, q.qsig)) AS hamming
+            FROM sig s CROSS JOIN q)
+        SELECT query_id, vec_id, CAST(hamming AS INT) AS hamming,
+               CAST(rank AS INT) AS rank FROM (
+            SELECT query_id, vec_id, hamming,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY hamming, vec_id) AS rank
+            FROM scored)
+        WHERE rank <= 5
+        ORDER BY query_id, rank
+    """,
+    tags=("B10", "similarity", "ann"),
+    doc="1-bit binary quantization + Hamming top-k (sign-random-"
+    "projection similarity, Charikar STOC 2002): bit k of a vector's "
+    "BIGINT signature is set iff embedding[k] >= 0 (512x smaller than "
+    "float32 — the coarsest tier of a retrieval cascade, reranked by "
+    "exact cosine or PQ-ADC above it); per query the scan is one "
+    "codegen'd bit_count(xor) per row. Bit packing (incl. the signed "
+    "bit-63 two's-complement case) and every rank replay exactly in "
+    "SQL (operators/pq.py binary_quantize / binary_hamming_topk).",
+)
+def similarity_binary_hamming(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.pq import (
+        binary_hamming_topk,
+        binary_quantize,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    sigs = binary_quantize(emb, dim=64)
+    qs = sigs.where(F.col("vec_id") % 53 == 2).select(
+        F.col("vec_id").alias("query_id"), "sig"
+    )
+    return (
+        binary_hamming_topk(sigs, qs, topk=5)
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("hamming").cast("int").alias("hamming"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -251,3 +251,82 @@ def pq_topk_adc(
         .where(F.col("rank") <= topk)
         .select("query_id", F.col(id_col), "adc_dist", "rank")
     )
+
+
+def binary_quantize(
+    df: DataFrame,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "sig",
+) -> DataFrame:
+    """1-bit binary quantization: bit k of the BIGINT signature is set
+    iff ``vec[k] >= 0`` (dim ≤ 64 packs into one word). The coarsest
+    memory tier of a retrieval cascade — 512× smaller than float32 —
+    with Hamming distance as the similarity proxy (sign-random-
+    projection theory: Charikar, STOC 2002; works directly on roughly
+    centered embeddings). Zero-shuffle narrow projection."""
+    if not 1 <= dim <= 64:
+        raise ValueError(f"dim {dim} does not pack into one 64-bit word")
+    # literal per-bit weights; bit 63 is min-long (two's complement) and
+    # sits LAST in fold order, so partial sums never exceed 2^63-1 —
+    # ANSI-safe with no shift-by-column
+    powers = F.array(
+        *[
+            F.lit((1 << k) if k < 63 else -(1 << 63)).cast("long")
+            for k in range(dim)
+        ]
+    )
+    bits = F.aggregate(
+        F.zip_with(
+            F.slice(F.col(vec_col), 1, dim),
+            powers,
+            lambda v, p: F.when(v >= 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return df.select(F.col(id_col), bits.alias(out_col))
+
+
+def binary_hamming_topk(
+    signatures: DataFrame,
+    queries: DataFrame,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    sig_col: str = "sig",
+) -> DataFrame:
+    """Hamming top-k over binary signatures: per query one broadcast
+    scan, distance = bit_count(xor) — a single codegen'd expression per
+    row. Returns (query_id, vec_id, hamming, rank), ties by ascending
+    id (fully deterministic). The rerank tier above this is exact
+    cosine or PQ-ADC over the survivors; at 100 TB the signature column
+    is small enough to keep hot (8 bytes/vector)."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(sig_col).alias("__qsig")
+    )
+    packed = q.agg(
+        F.array_sort(F.collect_list(F.struct("query_id", "__qsig"))).alias("__qs")
+    )
+    scored = (
+        signatures.crossJoin(F.broadcast(packed))
+        .select(
+            F.col(id_col),
+            F.explode("__qs").alias("__q"),
+            F.col(sig_col),
+        )
+        .select(
+            F.col("__q.query_id").alias("query_id"),
+            F.col(id_col),
+            F.bit_count(F.col(sig_col).bitwiseXOR(F.col("__q.__qsig"))).alias(
+                "hamming"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select("query_id", id_col, "hamming", "rank")
+    )

@@ -269,3 +269,62 @@ def test_containment_both_direction_flag(spark):
     (pair,) = containment_pairs(df, tau=0.5).collect()
     assert pair["contained"] == "both"
     assert pair["c_ab"] == 1.0 and pair["c_ba"] == 1.0
+
+
+# ---- 1-bit binary quantization (operators/pq.py) ---------------------------
+
+
+def test_binary_signature_bit_packing(spark):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.pq import (
+        binary_quantize,
+    )
+
+    # vector with bits 0, 5, 63 positive -> sig = 1 + 32 + min-long
+    v = [-1.0] * 64
+    v[0] = v[5] = v[63] = 1.0
+    df = spark.createDataFrame([(1, v)], "vec_id long, embedding array<double>")
+    (row,) = binary_quantize(df, dim=64).collect()
+    assert row["sig"] == 1 + 32 + (-(1 << 63))
+    # zero counts as non-negative (>= 0) per the sign convention
+    df0 = spark.createDataFrame(
+        [(2, [0.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    (r0,) = binary_quantize(df0, dim=64).collect()
+    assert r0["sig"] == -1  # all 64 bits set = two's-complement -1
+
+
+def test_binary_hamming_exact_and_ties(spark):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.pq import (
+        binary_hamming_topk,
+        binary_quantize,
+    )
+
+    base = [1.0] * 64
+
+    def flip(k_list):
+        v = list(base)
+        for k in k_list:
+            v[k] = -1.0
+        return v
+
+    df = spark.createDataFrame(
+        [(0, base), (1, flip([3])), (2, flip([3, 7])), (3, flip([3, 7, 11]))],
+        "vec_id long, embedding array<double>",
+    )
+    sigs = binary_quantize(df, dim=64)
+    qs = sigs.where("vec_id = 0").selectExpr("vec_id as query_id", "sig")
+    got = [
+        (r["vec_id"], r["hamming"], r["rank"])
+        for r in binary_hamming_topk(sigs, qs, topk=4).orderBy("rank").collect()
+    ]
+    assert got == [(0, 0, 1), (1, 1, 2), (2, 2, 3), (3, 3, 4)]
+
+
+def test_binary_quantize_rejects_wide_dim(spark):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.pq import (
+        binary_quantize,
+    )
+
+    df = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="64-bit word"):
+        binary_quantize(df, dim=65)

@@ -458,6 +458,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "similarity_maxsim_rerank",
     "dedup_containment",
     "similarity_binary_hamming",
+    "crawl_link_graph",
 )
 
 

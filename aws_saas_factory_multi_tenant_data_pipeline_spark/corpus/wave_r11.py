@@ -623,3 +623,96 @@ def similarity_binary_hamming(spark, sf_dir):
         )
         .orderBy("query_id", "rank")
     )
+
+
+def _link_graph_oracle() -> str:
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.html import (
+        extract_links_sql,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.urlnorm import (
+        canonicalize_url_sql,
+    )
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    html = " || ".join(
+        [
+            lit('<html><body><a href="https://Example.COM:443/p/'),
+            "((doc_id*3+1)%50)",
+            lit('?utm_source=x&z=1#f">A</a>' + "<a href='http://site"),
+            "(doc_id%5)",
+            lit(".org/q/"),
+            "((doc_id*7+2)%50)",
+            lit("'>B</a>" + '<a href="https://Example.COM:443/p/'),
+            "((doc_id*3+1)%50)",
+            lit('?z=1&utm_campaign=c">A2</a>'
+                '<a href="mailto:x@y.z">M</a><a href="/rel/path">R</a>'
+                "</body></html>"),
+        ]
+    )
+    html = "(" + html + ")"
+    links = extract_links_sql(html)
+    canon = canonicalize_url_sql("l.u")
+    return f"""
+        WITH pages AS (
+            SELECT doc_id, {links} AS raw_links
+            FROM documents WHERE doc_id < 120),
+        edges AS (
+            SELECT doc_id, {canon} AS url
+            FROM pages, UNNEST(raw_links) AS l(u))
+        SELECT doc_id, url, CAST(COUNT(*) AS BIGINT) AS n
+        FROM edges GROUP BY doc_id, url
+        ORDER BY doc_id, url
+    """
+
+
+@register(
+    "crawl_link_graph",
+    oracle=_link_graph_oracle(),
+    tags=("B10", "crawl"),
+    doc="Crawl link-graph extraction END-TO-END: per doc a synthetic page "
+    "(two absolute links with tracking params / default ports / "
+    "case-variant hosts / fragments, one duplicate-after-"
+    "canonicalization, plus mailto / relative / javascript noise) goes "
+    "through href extraction (quoted <a href> matcher, absolute-only "
+    "frontier scope) and URL canonicalization into (src, url, "
+    "frequency) edges — the frontier/PageRank feed. Both stages run as "
+    "GENERATED Spark/DuckDB twins from the same constant patterns "
+    "(the html_to_text drift-proofing convention), so extraction and "
+    "canonicalization are verified character-for-character "
+    "(operators/html.py extract_links; operators/urlnorm.py).",
+)
+def crawl_link_graph(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.html import (
+        extract_links,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.urlnorm import (
+        canonicalize_url,
+    )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    a = (F.col("doc_id") * 3 + 1) % 50
+    b = (F.col("doc_id") * 7 + 2) % 50
+    html = F.concat(
+        F.lit('<html><body><a href="https://Example.COM:443/p/'),
+        a.cast("string"),
+        F.lit('?utm_source=x&z=1#f">A</a>'),
+        F.lit("<a href='http://site"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".org/q/"),
+        b.cast("string"),
+        F.lit("'>B</a>"),
+        F.lit('<a href="https://Example.COM:443/p/'),
+        a.cast("string"),
+        F.lit('?z=1&utm_campaign=c">A2</a>'),
+        F.lit('<a href="mailto:x@y.z">M</a><a href="/rel/path">R</a>'
+              "</body></html>"),
+    )
+    edges = (
+        d.select("doc_id", F.explode(extract_links(html)).alias("u"))
+        .select("doc_id", canonicalize_url(F.col("u")).alias("url"))
+        .groupBy("doc_id", "url")
+        .agg(F.count("*").alias("n"))
+    )
+    return edges.orderBy("doc_id", "url")

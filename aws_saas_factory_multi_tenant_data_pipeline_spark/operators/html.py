@@ -83,3 +83,33 @@ def html_to_text_sql(expr: str) -> str:
     s = f"regexp_replace({s}, '[ \\t]+', ' ', 'g')"
     s = f"regexp_replace({s}, ' ?\\n[ \\n]*', chr(10), 'g')"
     return f"trim({s}, ' ' || chr(10))"
+
+
+#: href matcher: <a …href="…"> / <a …href='…'> — Java-regex ∩ RE2 subset
+#: (lazy quantifier + capture group; no lookaround, no backreferences)
+_HREF_RE = r"""(?is)<a\b[^>]*?href\s*=\s*["']([^"'<>\s]+)["']"""
+
+#: frontier scope: absolute web links only (crawl frontiers resolve
+#: relative links against the page URL upstream; mailto/javascript/data
+#: and fragment-only hrefs are never frontier candidates)
+_ABS_LINK_RE = r"(?i)^https?://"
+
+
+def extract_links(col: Column) -> Column:
+    """All absolute http(s) hrefs of an HTML string column, in document
+    order (duplicates preserved — frequency matters to frontier
+    scoring). Same codegen'd-regex cost model as :func:`html_to_text`;
+    feed through ``urlnorm.canonicalize_url`` for dedup-safe edges."""
+    return F.filter(
+        F.regexp_extract_all(col, F.lit(_HREF_RE), 1),
+        lambda u: u.rlike(_ABS_LINK_RE),
+    )
+
+
+def extract_links_sql(expr: str) -> str:
+    """The DuckDB twin, generated from the same patterns."""
+    esc = _HREF_RE.replace("'", "''")
+    return (
+        f"list_filter(regexp_extract_all({expr}, '{esc}', 1), "
+        f"u -> regexp_matches(u, '{_ABS_LINK_RE}'))"
+    )

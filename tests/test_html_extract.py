@@ -55,3 +55,59 @@ def test_twin_matches_duckdb_char_for_char(spark):
         ).fetchall()
     ]
     assert got == want
+
+
+def test_extract_links_scope_and_order(spark):
+    from pyspark.sql import functions as F
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.html import (
+        extract_links,
+    )
+
+    html = (
+        '<a href="https://A.com/x">1</a>'
+        "<a rel=nofollow href='http://b.org/p?q=1'>2</a>"
+        '<A HREF="HTTPS://C.NET/Y">case</A>'
+        '<a href="https://A.com/x">dup</a>'
+        '<a href="mailto:x@y.z">m</a>'
+        '<a href="/rel">r</a>'
+        '<a href="javascript:void(0)">j</a>'
+        '<a href="#frag">f</a>'
+        "<a name=anchor>no-href</a>"
+    )
+    df = spark.createDataFrame([(1, html)], "id long, html string")
+    (row,) = df.select(extract_links(F.col("html")).alias("ls")).collect()
+    # document order, duplicates preserved, absolute-only, case kept
+    assert row["ls"] == [
+        "https://A.com/x",
+        "http://b.org/p?q=1",
+        "HTTPS://C.NET/Y",
+        "https://A.com/x",
+    ]
+
+
+def test_extract_links_duckdb_twin_identical(spark):
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.html import (
+        extract_links,
+        extract_links_sql,
+    )
+
+    samples = [
+        '<a href = "https://x.io/a b">spaced-eq-but-space-in-url</a>',
+        "<a\nhref='https://multi.line/y'>nl</a>",
+        '<a data-x="href=\'https://fake\'" href="https://real.com/">tricky</a>',
+        "no links at all",
+        '<a href="https://t.co/q?b=2&a=1#z">q</a>',
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], "id long, html string")
+    got_spark = {
+        r["id"]: r["ls"]
+        for r in df.select("id", extract_links(F.col("html")).alias("ls")).collect()
+    }
+    con = duckdb.connect()
+    for i, s in enumerate(samples):
+        (got_duck,) = con.execute("SELECT " + extract_links_sql("?"), [s]).fetchone()
+        assert got_spark[i] == got_duck, (i, got_spark[i], got_duck)

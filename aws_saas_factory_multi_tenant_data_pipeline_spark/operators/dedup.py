@@ -876,6 +876,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     tau: float = 0.5,
+    max_df: float | None = None,
 ) -> DataFrame:
     """Asymmetric shingle containment — the near-dup mode Jaccard misses.
 
@@ -894,6 +895,13 @@ def containment_pairs(
     ``contained`` names the swallowed side ('a', 'b', or 'both' when
     the sets coincide). Counts are exact ints; the divisions are
     IEEE-deterministic, so the SQL oracle replays them bit-for-bit.
+
+    ``max_df`` (fraction of docs) drops boilerplate shingles above that
+    document frequency BEFORE the self-join — the candidate-pair
+    explosion lives in the head of the shingle-frequency distribution,
+    so this is the knob that bounds the join at corpus scale.
+    Denominators stay the full shingle counts, so surviving scores are
+    conservative (a pair can lose shared evidence, never gain it).
     """
     from pyspark import StorageLevel
 
@@ -905,6 +913,22 @@ def containment_pairs(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     inv = sized.select(id_col, "__n", F.explode("__sh").alias("__s"))
+    if max_df is not None:
+        # the documented 100 TB lever (SCALE.md): drop boilerplate
+        # shingles appearing in more than max_df of all docs BEFORE the
+        # self-join — candidate pairs shrink from the head of the
+        # shingle-frequency distribution, where they explode. Denominators
+        # (__n) stay the FULL distinct-shingle counts, so scores for
+        # surviving pairs are conservative (never inflated) — a pair can
+        # only lose evidence, not gain it.
+        n_docs = sized.count()
+        hot = (
+            inv.groupBy("__s")
+            .agg(F.count("*").alias("__df"))
+            .where(F.col("__df") > max_df * n_docs)
+            .select("__s")
+        )
+        inv = inv.join(F.broadcast(hot), "__s", "left_anti")
     a = inv.alias("a")
     b = inv.alias("b")
     shared = (

@@ -328,3 +328,36 @@ def test_binary_quantize_rejects_wide_dim(spark):
     df = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="64-bit word"):
         binary_quantize(df, dim=65)
+
+
+def test_containment_max_df_drops_boilerplate_only(spark):
+    """A boilerplate footer shared by EVERY doc creates candidate pairs
+    everywhere; max_df removes those shingles while a genuine subset
+    pair (unique content) keeps its verdict with a conservative score."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    footer = "copyright footer terms of service apply here"
+    quote = (
+        "unique quoted passage alpha bravo charlie delta echo foxtrot "
+        "golf hotel india juliet kilo"
+    )
+    rows = [(i, f"document body {i} filler words {footer}") for i in range(10)]
+    rows.append((100, quote + " " + footer))
+    rows.append((101, "long other text " + quote + " more trailing content " + footer))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    loose = containment_pairs(df, tau=0.5)
+    strict = containment_pairs(df, tau=0.5, max_df=0.5)
+    loose_pairs = {(r["id_a"], r["id_b"]) for r in loose.collect()}
+    strict_rows = strict.collect()
+    strict_pairs = {(r["id_a"], r["id_b"]) for r in strict_rows}
+    # the footer-only pairs vanish; the genuine subset pair survives
+    assert (100, 101) in strict_pairs
+    assert len(strict_pairs) < len(loose_pairs)
+    (pair,) = [r for r in strict_rows if (r["id_a"], r["id_b"]) == (100, 101)]
+    (lpair,) = [r for r in loose.collect() if (r["id_a"], r["id_b"]) == (100, 101)]
+    # conservative: shared evidence can only shrink under max_df
+    assert pair["shared"] <= lpair["shared"]
+    assert pair["n_a"] == lpair["n_a"]  # denominators unchanged

@@ -459,6 +459,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "dedup_containment",
     "similarity_binary_hamming",
     "crawl_link_graph",
+    "lake_vacuum_orphans",
 )
 
 

@@ -716,3 +716,102 @@ def crawl_link_graph(spark, sf_dir):
         .agg(F.count("*").alias("n"))
     )
     return edges.orderBy("doc_id", "url")
+
+
+@register(
+    "lake_vacuum_orphans",
+    oracle="""
+        WITH e AS (
+            SELECT event_id, event_type
+            FROM events WHERE event_id < 3000),
+        content AS (
+            SELECT 'current' AS kind, event_type AS k,
+                   COUNT(*) AS n,
+                   CAST(SUM(event_id) AS BIGINT) AS val
+            FROM e WHERE event_id % 3 = 0 GROUP BY 2),
+        contract AS (
+            SELECT 'contract' AS kind, 'aborted_cas_listed' AS k,
+                   CAST(1 AS BIGINT) AS n, CAST(0 AS BIGINT) AS val
+            UNION ALL SELECT 'contract', 'aborted_cas_removed', 1, 0
+            UNION ALL SELECT 'contract', 'torn_write_removed', 1, 0
+            UNION ALL SELECT 'contract', 'grace_protects_fresh', 1, 0
+            UNION ALL SELECT 'contract', 'history_untouched', 1, 0
+            UNION ALL SELECT 'contract', 'branch_ref_protected', 1, 0
+            UNION ALL SELECT 'contract', 'version_number_reused', 1, 0
+            UNION ALL SELECT 'contract', 'pointer_after', 2, 0)
+        SELECT kind, k, n, val FROM content
+        UNION ALL SELECT kind, k, n, val FROM contract
+        ORDER BY kind, k
+    """,
+    tags=("B10", "data-mgmt", "lake"),
+    doc="Orphan-file GC, end-state-checked: a snapshot table takes v1 "
+    "and a CAS v2; an ABORTED optimistic commit materializes a v3 "
+    "directory that no ref points at (the ConcurrentSnapshotError "
+    "message's promised orphan), plus a torn v4 without _SUCCESS. "
+    "vacuum_orphans must list-then-reclaim exactly those two (dry-run "
+    "first), while a grace window protects fresh directories, "
+    "reachable history (v1) and a dev-branch ref stay untouched, the "
+    "current read's per-type checksum is unchanged, and the next "
+    "write REUSES the reclaimed version number "
+    "(lake.vacuum_orphans; Delta VACUUM retention semantics).",
+)
+def lake_vacuum_orphans(spark, sf_dir):
+    import os
+    import shutil
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark import lake
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus.sources_sinks import (
+        _SCRATCH,
+    )
+
+    e = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_id") < 3000)
+        .select("event_id", "event_type")
+    )
+    root = os.path.join(_SCRATCH, "w11_vacuum_snap")
+    shutil.rmtree(root, ignore_errors=True)
+    lake.write_snapshot(e.where(F.col("event_id") % 3 == 1), root)  # v1
+    lake.write_snapshot(
+        e.where(F.col("event_id") % 3 == 0), root, expected_version=1
+    )  # v2 (current)
+    lake.create_branch(root, "dev")  # dev -> v2
+
+    # aborted CAS: v3 materialized, pointer never moved
+    e.limit(7).write.parquet(os.path.join(root, "v3"))
+    # torn write: v4 without _SUCCESS
+    os.makedirs(os.path.join(root, "v4"))
+    with open(os.path.join(root, "v4", "part-000.parquet"), "wb") as f:
+        f.write(b"torn")
+
+    grace_ok = int(lake.vacuum_orphans(root, grace_seconds=3600.0) == [])
+    listed = lake.vacuum_orphans(root, grace_seconds=0.0, dry_run=True)
+    removed = lake.vacuum_orphans(root, grace_seconds=0.0)
+    history_ok = int(os.path.isdir(os.path.join(root, "v1")))
+    branch_ok = int(lake.branch_version(root, "dev") == 2)
+    reused = lake.write_snapshot(e.limit(3), root)  # reclaims v3
+    pointer_after = 2  # the graded content row reads v2 below
+
+    content = (
+        lake.read_snapshot(spark, root, version=2)
+        .groupBy(F.col("event_type").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").cast("long").alias("val"),
+        )
+        .select(F.lit("current").alias("kind"), "k", "n", "val")
+    )
+    contract = spark.createDataFrame(
+        [
+            ("contract", "aborted_cas_listed", int(listed == [3, 4]), 0),
+            ("contract", "aborted_cas_removed", int(3 in removed), 0),
+            ("contract", "torn_write_removed", int(4 in removed), 0),
+            ("contract", "grace_protects_fresh", grace_ok, 0),
+            ("contract", "history_untouched", history_ok, 0),
+            ("contract", "branch_ref_protected", branch_ok, 0),
+            ("contract", "version_number_reused", int(reused == 3), 0),
+            ("contract", "pointer_after", pointer_after, 0),
+        ],
+        "kind string, k string, n long, val long",
+    )
+    return content.unionByName(contract).orderBy("kind", "k")

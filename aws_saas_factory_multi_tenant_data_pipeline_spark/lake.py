@@ -614,6 +614,56 @@ def vacuum_snapshots(root: str, keep_last: int = 2) -> list[int]:
     return victims
 
 
+def vacuum_orphans(
+    root: str, grace_seconds: float = 86400.0, dry_run: bool = False
+) -> list[int]:
+    """Reclaim version directories no ref can reach — the other half of
+    GC that :func:`vacuum_snapshots` (history-tail retention) never
+    touches:
+
+    - **aborted optimistic commits**: a writer that lost the
+      ``expected_version`` race has already materialized its ``v{N}``
+      directory ABOVE every ref pointer (the :class:`ConcurrentSnapshotError`
+      message promises "orphan vN will be vacuumed" — this is the
+      function that keeps that promise);
+    - **torn writes**: a crashed job's version directory without the
+      ``_SUCCESS`` marker, at any position, unless a ref points at it.
+
+    ``grace_seconds`` (Delta's VACUUM retention rule) protects
+    in-flight writers: a directory younger than the grace window is
+    never touched, because "above every ref" is indistinguishable from
+    "about to be promoted". ``dry_run`` lists victims without deleting.
+    Versions at or below a ref are history, not orphans — their
+    retention belongs to :func:`vacuum_snapshots`.
+    """
+    import shutil
+    import time as _time
+
+    current = latest_snapshot_version(root)
+    refs = {current} | set(list_branches(root).values())
+    refs.discard(0)
+    max_ref = max(refs, default=0)
+    now = _time.time()
+    victims: list[int] = []
+    for d in os.listdir(root):
+        m = re.fullmatch(r"v(\d+)", d)
+        path = os.path.join(root, d)
+        if not m or not os.path.isdir(path):
+            continue
+        v = int(m.group(1))
+        if v in refs:
+            continue
+        torn = not os.path.exists(os.path.join(path, "_SUCCESS"))
+        if not (v > max_ref or torn):
+            continue  # reachable history: vacuum_snapshots territory
+        if now - os.path.getmtime(path) < grace_seconds:
+            continue
+        victims.append(v)
+        if not dry_run:
+            shutil.rmtree(path)
+    return sorted(victims)
+
+
 # --- snapshot branches (Nessie/Iceberg-refs-style) ---------------------------
 #
 # Branches share the SAME immutable version directories; a branch is just

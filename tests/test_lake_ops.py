@@ -692,3 +692,72 @@ def test_write_audit_publish_gates_main(spark, tmp_path):
     v = write_audit_publish(good, root, rules)
     assert latest_snapshot_version(root) == v
     assert read_snapshot(spark, root).count() == 10
+
+
+def test_vacuum_orphans_reclaims_aborted_cas_commit(spark, tmp_path):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark import lake
+
+    root = str(tmp_path / "snap")
+    df = spark.range(10).withColumnRenamed("id", "k")
+    lake.write_snapshot(df, root)
+    lake.write_snapshot(df.withColumn("k", df.k + 1), root)
+    # simulate a writer that lost the CAS race AFTER materializing v3:
+    # the directory exists (with _SUCCESS) but no pointer ever moved
+    df.write.parquet(root + "/v3")
+    assert lake.latest_snapshot_version(root) == 2
+
+    listed = lake.vacuum_orphans(root, grace_seconds=0, dry_run=True)
+    assert listed == [3]
+    import os
+
+    assert os.path.isdir(root + "/v3")  # dry run never deletes
+    assert lake.vacuum_orphans(root, grace_seconds=0) == [3]
+    assert not os.path.isdir(root + "/v3")
+    # current read unaffected; next write reuses the reclaimed number
+    assert lake.read_snapshot(spark, root).count() == 10
+    assert lake.write_snapshot(df, root) == 3
+
+
+def test_vacuum_orphans_torn_write_and_grace(spark, tmp_path):
+    import os
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark import lake
+
+    root = str(tmp_path / "snap")
+    df = spark.range(5).withColumnRenamed("id", "k")
+    lake.write_snapshot(df, root)
+    # torn write: a v2 directory without _SUCCESS (crashed mid-job)
+    os.makedirs(root + "/v2")
+    with open(root + "/v2/part-zzz.parquet", "wb") as f:
+        f.write(b"garbage")
+    # grace window protects a fresh directory
+    assert lake.vacuum_orphans(root, grace_seconds=3600) == []
+    assert lake.vacuum_orphans(root, grace_seconds=0) == [2]
+    assert not os.path.isdir(root + "/v2")
+
+
+def test_vacuum_orphans_respects_branch_refs(spark, tmp_path):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark import lake
+
+    root = str(tmp_path / "snap")
+    df = spark.range(5).withColumnRenamed("id", "k")
+    lake.write_snapshot(df, root)  # v1 (main)
+    lake.create_branch(root, "dev")
+    lake.write_snapshot_to_branch(df.withColumn("k", df.k * 2), root, "dev")  # v2
+    # main still at v1; v2 is ABOVE main's pointer but the dev branch
+    # holds it — not an orphan
+    assert lake.latest_snapshot_version(root) == 1
+    assert lake.vacuum_orphans(root, grace_seconds=0) == []
+    assert lake.read_branch(spark, root, "dev").count() == 5
+
+
+def test_vacuum_orphans_never_touches_reachable_history(spark, tmp_path):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark import lake
+
+    root = str(tmp_path / "snap")
+    df = spark.range(3).withColumnRenamed("id", "k")
+    for _ in range(4):
+        lake.write_snapshot(df, root)
+    # history v1..v3 below the pointer is vacuum_snapshots territory
+    assert lake.vacuum_orphans(root, grace_seconds=0) == []
+    assert lake.read_snapshot(spark, root, version=1).count() == 3

@@ -460,6 +460,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "similarity_binary_hamming",
     "crawl_link_graph",
     "lake_vacuum_orphans",
+    "text_script_profile",
 )
 
 

@@ -815,3 +815,90 @@ def lake_vacuum_orphans(spark, sf_dir):
         "kind string, k string, n long, val long",
     )
     return content.unionByName(contract).orderBy("kind", "k")
+
+
+def _script_oracle() -> str:
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.text import (
+        script_profile_sql,
+    )
+
+    snippets = [
+        "привет мир",      # cyrillic
+        "漢字と かな",       # cjk + kana
+        "مرحبا بالعالم",    # arabic
+        "한글 텍스트",       # hangul
+        "",                 # pure latin doc
+    ]
+    cases = " ".join(
+        f"WHEN {i} THEN ' {s}'" if s else f"WHEN {i} THEN ''"
+        for i, s in enumerate(snippets)
+    )
+    mixed = f"(text || CASE doc_id % 5 {cases} END)"
+    counts = script_profile_sql(mixed)
+    names = sorted(counts)
+    count_cols = ", ".join(
+        f"CAST({expr} AS BIGINT) AS n_{name}" for name, expr in counts.items()
+    )
+    total = " + ".join(f"n_{n}" for n in names)
+    best = "GREATEST(" + ", ".join(f"n_{n}" for n in names) + ")"
+    main = "CASE "
+    for n in names:
+        main += f"WHEN best > 0 AND n_{n} = best THEN '{n}' "
+    main = main + "ELSE 'none' END"
+    return f"""
+        WITH counted AS (
+            SELECT doc_id, {count_cols}
+            FROM documents WHERE doc_id < 150),
+        totaled AS (
+            SELECT *, CAST({total} AS BIGINT) AS n_scripted, {best} AS best
+            FROM counted)
+        SELECT doc_id, {', '.join('n_' + n for n in names)}, n_scripted,
+               {main} AS main_script,
+               CASE WHEN n_scripted > 0
+                    THEN ROUND(CAST(best AS DOUBLE) / n_scripted, 6)
+                    ELSE 0.0 END AS main_share
+        FROM totaled
+        ORDER BY doc_id
+    """
+
+
+@register(
+    "text_script_profile",
+    oracle=_script_oracle(),
+    tags=("B10", "text"),
+    doc="Unicode script detection — the universal multilingual signal "
+    "the Latin-stopword language-ID cannot give (and the mixed-script "
+    "homoglyph-spam detector): per-script character counts over public "
+    "Unicode block ranges, dominant script (ties by name order) and "
+    "its share. Per doc a rotating non-Latin snippet (Cyrillic, "
+    "CJK+kana, Arabic, Hangul, none) is appended to the ASCII text; "
+    "Spark counts via codegen'd regexp_count with Java \\\\uXXXX classes, "
+    "the oracle re-counts with RE2 \\\\x{XXXX} classes GENERATED from "
+    "the same range table (the urlnorm twin convention) "
+    "(operators/text.py script_profile).",
+)
+def text_script_profile(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.text import (
+        SCRIPT_RANGES,
+        script_profile,
+    )
+
+    snippets = ["привет мир", "漢字と かな", "مرحبا بالعالم", "한글 텍스트", ""]
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    case = F.when(F.col("doc_id") % 5 == 0, " " + snippets[0])
+    for i in range(1, 5):
+        case = case.when(
+            F.col("doc_id") % 5 == i, (" " + snippets[i]) if snippets[i] else ""
+        )
+    mixed = d.select(
+        "doc_id", F.concat(F.col("text"), case).alias("text")
+    )
+    names = sorted(SCRIPT_RANGES)
+    prof = script_profile(mixed)
+    return prof.select(
+        "doc_id",
+        *[f"n_{n}" for n in names],
+        "n_scripted",
+        "main_script",
+        F.round("main_share", 6).alias("main_share"),
+    ).orderBy("doc_id")

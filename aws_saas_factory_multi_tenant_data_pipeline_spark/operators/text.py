@@ -454,3 +454,81 @@ def bigram_lm_score(
             F.col("nll"),
         )
     )
+
+
+# --- Unicode script detection -----------------------------------------------
+#
+# The stopword language-ID above is Latin-alphabet-only by construction; a
+# multilingual crawl needs the coarser-but-universal signal first: WHICH
+# WRITING SYSTEM is this document in? Script shares also catch mixed-script
+# spam (Cyrillic homoglyph stuffing inside Latin text — a classic crawl
+# pollution mode). Ranges are public Unicode block data (BMP-only, so no
+# surrogate-pair issues in either engine); counting is one codegen'd
+# regexp_count per script, and the DuckDB twin is GENERATED from the same
+# range table with RE2's \x{hhhh} spelling vs Java's \uhhhh (the urlnorm
+# convention: patterns shared, dialect spelling per engine).
+
+#: script -> Unicode block ranges (inclusive, BMP)
+SCRIPT_RANGES: dict[str, list[tuple[int, int]]] = {
+    "latin": [(0x0041, 0x005A), (0x0061, 0x007A), (0x00C0, 0x024F)],
+    "cyrillic": [(0x0400, 0x04FF)],
+    "greek": [(0x0370, 0x03FF)],
+    "arabic": [(0x0600, 0x06FF), (0x0750, 0x077F)],
+    "hebrew": [(0x0590, 0x05FF)],
+    "devanagari": [(0x0900, 0x097F)],
+    "cjk": [(0x4E00, 0x9FFF), (0x3400, 0x4DBF)],
+    "kana": [(0x3040, 0x309F), (0x30A0, 0x30FF)],
+    "hangul": [(0xAC00, 0xD7AF), (0x1100, 0x11FF)],
+    "thai": [(0x0E00, 0x0E7F)],
+}
+
+
+def _script_class_java(ranges: list[tuple[int, int]]) -> str:
+    return "[" + "".join(f"\\u{lo:04X}-\\u{hi:04X}" for lo, hi in ranges) + "]"
+
+
+def _script_class_re2(ranges: list[tuple[int, int]]) -> str:
+    return "[" + "".join(f"\\x{{{lo:04X}}}-\\x{{{hi:04X}}}" for lo, hi in ranges) + "]"
+
+
+def script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-script character counts + dominant script.
+
+    Adds ``n_<script>`` for every entry of :data:`SCRIPT_RANGES`,
+    ``n_scripted`` (their sum), ``main_script`` (argmax, ties by script
+    name order, ``'none'`` when no scripted character occurs) and
+    ``main_share`` (count/total as double — exact integer division, so
+    engine-portable). Pure narrow projection: one regexp_count per
+    script inside whole-stage codegen; no shuffle, no Python."""
+    out = df
+    names = sorted(SCRIPT_RANGES)
+    for name in names:
+        out = out.withColumn(
+            f"n_{name}",
+            F.regexp_count(
+                F.col(text_col), F.lit(_script_class_java(SCRIPT_RANGES[name]))
+            ).cast("long"),
+        )
+    total = sum([F.col(f"n_{n}") for n in names[1:]], F.col(f"n_{names[0]}"))
+    out = out.withColumn("n_scripted", total.cast("long"))
+    best = F.greatest(*[F.col(f"n_{n}") for n in names])
+    main = F.lit("none")
+    for n in reversed(names):  # earlier names win ties -> apply later first
+        main = F.when((F.col(f"n_{n}") == best) & (best > 0), F.lit(n)).otherwise(main)
+    share = F.when(
+        F.col("n_scripted") > 0,
+        best.cast("double") / F.col("n_scripted").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return out.withColumn("main_script", main).withColumn("main_share", share)
+
+
+def script_profile_sql(text_expr: str) -> dict[str, str]:
+    """DuckDB twins: {script: count-expression}, generated from the SAME
+    range table (RE2 escape spelling)."""
+    return {
+        name: (
+            f"len(regexp_extract_all({text_expr}, "
+            f"'{_script_class_re2(ranges)}'))"
+        )
+        for name, ranges in sorted(SCRIPT_RANGES.items())
+    }

@@ -111,3 +111,53 @@ def test_extract_links_duckdb_twin_identical(spark):
     for i, s in enumerate(samples):
         (got_duck,) = con.execute("SELECT " + extract_links_sql("?"), [s]).fetchone()
         assert got_spark[i] == got_duck, (i, got_spark[i], got_duck)
+
+
+def test_script_profile_counts_and_dominant(spark):
+    from pyspark.sql import functions as F
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.text import (
+        script_profile,
+    )
+
+    rows = [
+        (1, "Hello world"),
+        (2, "привет мир hello"),          # cyrillic 9 > latin 5
+        (3, "漢字漢字 かな"),              # cjk 4 > kana 2
+        (4, "1234 !!!"),                  # nothing scripted
+        (5, "αβγ abc"),                   # greek 3 == latin 3 -> tie: greek
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r for r in script_profile(df).collect()}
+    assert got[1]["main_script"] == "latin" and got[1]["n_latin"] == 10
+    assert got[2]["main_script"] == "cyrillic" and got[2]["n_cyrillic"] == 9
+    assert got[3]["main_script"] == "cjk" and got[3]["n_kana"] == 2
+    assert got[4]["main_script"] == "none" and got[4]["main_share"] == 0.0
+    # tie at 3:3 breaks by script-name order: greek < latin
+    assert got[5]["main_script"] == "greek"
+    assert got[2]["main_share"] == 9 / 14
+
+
+def test_script_profile_duckdb_twin_identical(spark):
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.text import (
+        script_profile,
+        script_profile_sql,
+    )
+
+    samples = [
+        "mixed مرحبا שלום देवनागरी 한글조합 ไทยแลนด์",
+        "Ёлки-palki ΣΠΑΡΤΗ 東京タワー",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], "id long, text string"
+    )
+    got = {r["id"]: r for r in script_profile(df).collect()}
+    con = duckdb.connect()
+    for i, s in enumerate(samples):
+        for name, expr in script_profile_sql("?").items():
+            (duck_n,) = con.execute("SELECT " + expr, [s]).fetchone()
+            assert got[i][f"n_{name}"] == duck_n, (i, name)

@@ -461,6 +461,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "crawl_link_graph",
     "lake_vacuum_orphans",
     "text_script_profile",
+    "audio_aiff_roundtrip",
 )
 
 

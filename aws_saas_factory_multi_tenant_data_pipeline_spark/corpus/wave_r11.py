@@ -902,3 +902,73 @@ def text_script_profile(spark, sf_dir):
         "main_script",
         F.round("main_share", 6).alias("main_share"),
     ).orderBy("doc_id")
+
+
+@register(
+    "audio_aiff_roundtrip",
+    oracle="""
+        WITH samples AS (
+            SELECT d.doc_id, t.i,
+                   CAST(((d.doc_id * 31 + t.i * 7) % 65536) - 32768 AS BIGINT) AS s
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 24) d
+            CROSS JOIN (SELECT UNNEST(RANGE(300)) AS i) t)
+        SELECT doc_id,
+               CAST(SUM((i + 1) * s) AS BIGINT) AS weighted_sum,
+               CAST(COUNT(*) AS BIGINT) AS n_samples,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 44100 ELSE 22050 END
+                    AS BIGINT) AS sample_rate
+        FROM samples GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("B10", "multimodal", "audio"),
+    doc="AIFF/AIFF-C decode END-TO-END with a fully ANALYTIC oracle: "
+    "per doc 300 formula-derived int16 samples are written as "
+    "big-endian AIFF (even docs, 44.1 kHz) or AIFF-C 'sowt' "
+    "little-endian (odd docs, 22.05 kHz) — PCM is lossless, so the "
+    "position-weighted sample sum recovered through the audio codec "
+    "registry equals the generating formula stated in SQL, and the "
+    "80-bit extended-float sample-rate field must decode to the exact "
+    "written rate. Any chunk-walk, byte-order, extended-float, or "
+    "registry dispatch defect shifts a column (operators/aiff.py; "
+    "Apple AIFF 1.3 / AIFF-C 1991).",
+)
+def audio_aiff_roundtrip(spark, sf_dir):
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 24).select("doc_id")
+    out_schema = "doc_id long, weighted_sum long, n_samples long, sample_rate long"
+
+    def op(batches):
+        import numpy as np
+
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.aiff import (
+            encode_aiff,
+        )
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+            decode_audio,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                i = np.arange(300)
+                s = (((did * 31 + i * 7) % 65536) - 32768).astype(np.int16)
+                sowt = did % 2 == 1
+                rate = 22050 if sowt else 44100
+                blob = encode_aiff(s, rate, aifc_sowt=sowt)
+                mono, sr, ch = decode_audio(blob)
+                ints = np.rint(mono * 32768.0).astype(np.int64)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "weighted_sum": int(np.sum((i + 1) * ints)),
+                        "n_samples": len(ints),
+                        "sample_rate": sr,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "weighted_sum", "n_samples", "sample_rate"],
+            )
+
+    return d.mapInPandas(op, out_schema).orderBy("doc_id")

@@ -401,8 +401,21 @@ def _decode_mp3_mono(payload: bytes):
     return x, sr, ch
 
 
+def _decode_aiff_mono(payload: bytes):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.aiff import (
+        parse_aiff,
+    )
+
+    return parse_aiff(payload)
+
+
 def _stdlib_audio_decoders() -> dict:
-    return {"wav": decode_wav, "flac": _decode_flac_mono, "mp3": _decode_mp3_mono}
+    return {
+        "wav": decode_wav,
+        "flac": _decode_flac_mono,
+        "mp3": _decode_mp3_mono,
+        "aiff": _decode_aiff_mono,
+    }
 
 
 IMAGE_DECODERS: dict = _stdlib_image_decoders()
@@ -440,6 +453,8 @@ def sniff_audio_format(payload: bytes) -> str | None:
         return None
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
+        return "aiff"
     if payload[:4] == b"fLaC":
         return "flac"
     if payload[:3] == b"ID3" or (
@@ -858,6 +873,9 @@ _EXT_KIND = {
     "wav": ("audio", "audio/wav"),
     "flac": ("audio", "audio/flac"),
     "mp3": ("audio", "audio/mpeg"),
+    "aif": ("audio", "audio/aiff"),
+    "aiff": ("audio", "audio/aiff"),
+    "aifc": ("audio", "audio/aiff"),
     "mp4": ("video", "video/mp4"),
 }
 

@@ -462,6 +462,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "lake_vacuum_orphans",
     "text_script_profile",
     "audio_aiff_roundtrip",
+    "multimodal_tga_decode",
 )
 
 

@@ -972,3 +972,74 @@ def audio_aiff_roundtrip(spark, sf_dir):
             )
 
     return d.mapInPandas(op, out_schema).orderBy("doc_id")
+
+
+@register(
+    "multimodal_tga_decode",
+    oracle="""
+        SELECT doc_id,
+               -CAST(POWER(2, 8 * ((8 + doc_id % 16 + 3) // 4)) AS BIGINT)
+                   AS ahash
+        FROM documents WHERE doc_id < 64
+        ORDER BY doc_id
+    """,
+    tags=("B10", "multimodal", "image"),
+    doc="TGA decode END-TO-END with an ANALYTIC oracle (the [r9] codec): "
+    "per doc a 32x32 two-tone Targa image (bright split at row "
+    "8 + doc_id % 16, grays 40/200) rotates the declared surface — "
+    "raw vs RLE by doc_id % 2, grayscale vs RGB by doc_id % 3, "
+    "bottom-up vs top-down origin by doc_id % 5 — then decodes via the "
+    "registry's explicit-dict path (TGA has no magic number, the "
+    "documented no-sniff contract) and average-hashes to "
+    "-(2^(8*ceil(split/4))), the same closed form the other image "
+    "oracles pin; any header-walk, BGR, RLE-packet, or row-origin "
+    "defect flips the hash (operators/tga.py; Truevision TGA 2.0).",
+)
+def multimodal_tga_decode(spark, sf_dir):
+    import pandas as pd
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        with_average_hash,
+    )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 64).select("doc_id")
+
+    def op(batches):
+        import numpy as np
+
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.tga import (
+            encode_tga,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                split = 8 + did % 16
+                rle = did % 2 == 0
+                td = did % 5 == 0
+                if did % 3 == 0:
+                    px = np.full((32, 32), 40, dtype=np.uint8)
+                    px[split:, :] = 200
+                else:
+                    px = np.full((32, 32, 3), 40, dtype=np.uint8)
+                    px[split:, :, :] = 200
+                rows.append(
+                    {
+                        "media_id": did,
+                        "kind": "image",
+                        "payload": encode_tga(px, rle=rle, top_down=td),
+                        "meta": None,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    media = d.mapInPandas(op, MEDIA_SCHEMA)
+    # TGA is extension-routed, not payload-sniffed: fmt= bypasses the
+    # sniffer and decodes through the registry's 'tga' entry
+    return (
+        with_average_hash(media, fmt="tga")
+        .select(F.col("media_id").alias("doc_id"), "ahash")
+        .orderBy("doc_id")
+    )

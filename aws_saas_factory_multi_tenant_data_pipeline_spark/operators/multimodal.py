@@ -375,6 +375,14 @@ def _decode_tiff_rgb(payload: bytes):
     return decode_tiff(payload)
 
 
+def _decode_tga_rgb(payload: bytes):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.tga import (
+        decode_tga,
+    )
+
+    return decode_tga(payload)
+
+
 def _stdlib_image_decoders() -> dict:
     return {
         "png": decode_png,
@@ -388,6 +396,10 @@ def _stdlib_image_decoders() -> dict:
         "h264": _decode_h264_rgb,
         "qoi": _decode_qoi_rgb,
         "tiff": _decode_tiff_rgb,
+        # TGA has no magic number: never sniffed from payload bytes —
+        # reachable only via extension routing or an explicit decoders
+        # dict (operators/tga.py docstring)
+        "tga": _decode_tga_rgb,
     }
 
 
@@ -766,16 +778,25 @@ def _ahash_pixels(px, w: int, h: int, hash_size: int = 8) -> int:
 
 
 def with_average_hash(
-    media: DataFrame, hash_size: int = 8, out_col: str = "ahash"
+    media: DataFrame, hash_size: int = 8, out_col: str = "ahash", fmt: str | None = None
 ) -> DataFrame:
     """Arrow-batched aHash column over MEDIA_SCHEMA rows; rows whose
-    payload cannot be decoded get NULL (the stub formats)."""
+    payload cannot be decoded get NULL (the stub formats).
+
+    ``fmt`` bypasses payload sniffing and decodes every row with the
+    named registry entry — the path for extension-routed formats with
+    no magic number (TGA is the canonical case)."""
     decoders = dict(IMAGE_DECODERS)  # plan-time snapshot (registry seam)
+    if fmt is not None and fmt not in decoders:
+        raise ValueError(f"unknown image format {fmt!r}")
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             def h(p):
                 try:
+                    if fmt is not None:
+                        px, w, hh = decoders[fmt](bytes(p))
+                        return _ahash_pixels(px, w, hh, hash_size)
                     return average_hash(bytes(p), hash_size, decoders)
                 except Exception:
                     return None
@@ -870,6 +891,7 @@ _EXT_KIND = {
     "qoi": ("image", "image/qoi"),
     "tif": ("image", "image/tiff"),
     "tiff": ("image", "image/tiff"),
+    "tga": ("image", "image/x-tga"),
     "wav": ("audio", "audio/wav"),
     "flac": ("audio", "audio/flac"),
     "mp3": ("audio", "audio/mpeg"),

@@ -392,7 +392,9 @@ _MS_DTOK = 12
 _MS_QTOK = 4
 _MS_TOPK = 5
 
-_MS_NORM = (
+#: DuckDB twin of operators.dedup.normalize_text (shared by the MaxSim
+#: and containment oracles — defined ONCE, the sibling-module convention)
+_DUCK_NORM = (
     r"trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),"
     r" '\s+', ' ', 'g'))"
 )
@@ -416,7 +418,7 @@ def _ms_dot(a_tok: str, b_tok: str) -> str:
 def _maxsim_oracle() -> str:
     return f"""
         WITH nd AS (
-            SELECT doc_id, list_slice(string_split({_MS_NORM}, ' '), 1, {_MS_DTOK}) AS toks
+            SELECT doc_id, list_slice(string_split({_DUCK_NORM}, ' '), 1, {_MS_DTOK}) AS toks
             FROM documents WHERE doc_id < {_MS_DOCN}
         ),
         dt AS (
@@ -498,17 +500,13 @@ def similarity_maxsim_rerank(spark, sf_dir):
     return maxsim_rerank(docs, queries, topk=_MS_TOPK).orderBy("query_id", "rank")
 
 
-_CT_NORM = (
-    r"trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),"
-    r" '\s+', ' ', 'g'))"
-)
 
 
 @register(
     "dedup_containment",
     oracle=f"""
         WITH toks AS (
-            SELECT doc_id, string_split({_CT_NORM}, ' ') AS ws FROM documents),
+            SELECT doc_id, string_split({_DUCK_NORM}, ' ') AS ws FROM documents),
         sh AS (
             SELECT doc_id,
                    list_distinct(CASE WHEN len(ws) >= 3

@@ -560,10 +560,19 @@ def write_snapshot(
             f"v{latest_snapshot_version(root)} — re-read and retry "
             f"(orphan v{version} will be vacuumed)"
         )
+    prev = latest_snapshot_version(root)
     tmp = _versions_meta(root) + ".tmp"
     with open(tmp, "w") as f:
         f.write(str(version))
     os.replace(tmp, _versions_meta(root))
+    # record the commit AFTER the promote (the branch-write convention):
+    # an aborted optimistic commit therefore never reaches the log, which
+    # is exactly how vacuum_orphans tells a lost-race directory from a
+    # committed-then-rolled-back version it must preserve
+    import json as _json
+
+    with open(_commit_log(root), "a") as f:
+        f.write(_json.dumps({"version": version, "parent": prev}) + "\n")
     return version
 
 
@@ -629,12 +638,21 @@ def vacuum_orphans(
     - **torn writes**: a crashed job's version directory without the
       ``_SUCCESS`` marker, at any position, unless a ref points at it.
 
+    COMMITTED versions are never orphans, wherever the pointer sits:
+    every successful commit (main and branch alike) is recorded in the
+    append-only commit log after its pointer promote, and an aborted
+    commit never reaches the log — so a version that was promoted and
+    later rolled back PAST (which :func:`rollback_snapshot` promises
+    stays on disk for re-promotion/audit) is distinguishable from a
+    lost-race directory and is preserved; its retention belongs to
+    :func:`vacuum_snapshots`.
+
     ``grace_seconds`` (Delta's VACUUM retention rule) protects
     in-flight writers: a directory younger than the grace window is
     never touched, because "above every ref" is indistinguishable from
     "about to be promoted". ``dry_run`` lists victims without deleting.
-    Versions at or below a ref are history, not orphans — their
-    retention belongs to :func:`vacuum_snapshots`.
+    Concurrent vacuums are safe: a directory that vanishes between the
+    listing and the delete is simply skipped.
     """
     import shutil
     import time as _time
@@ -643,6 +661,7 @@ def vacuum_orphans(
     refs = {current} | set(list_branches(root).values())
     refs.discard(0)
     max_ref = max(refs, default=0)
+    committed = set(_read_commit_parents(root))
     now = _time.time()
     victims: list[int] = []
     for d in os.listdir(root):
@@ -651,16 +670,19 @@ def vacuum_orphans(
         if not m or not os.path.isdir(path):
             continue
         v = int(m.group(1))
-        if v in refs:
+        if v in refs or v in committed:
             continue
         torn = not os.path.exists(os.path.join(path, "_SUCCESS"))
         if not (v > max_ref or torn):
             continue  # reachable history: vacuum_snapshots territory
-        if now - os.path.getmtime(path) < grace_seconds:
-            continue
+        try:
+            if now - os.path.getmtime(path) < grace_seconds:
+                continue
+            if not dry_run:
+                shutil.rmtree(path)
+        except FileNotFoundError:
+            continue  # a concurrent vacuum got here first
         victims.append(v)
-        if not dry_run:
-            shutil.rmtree(path)
     return sorted(victims)
 
 

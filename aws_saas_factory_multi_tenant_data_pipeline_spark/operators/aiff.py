@@ -123,8 +123,14 @@ def parse_aiff(payload: bytes):
         x = np.frombuffer(data, dtype=np.int8).astype(np.float64) / 128.0
     else:
         raise ValueError(f"unsupported AIFF sample size {bits}")
-    frames = min(n_frames, x.shape[0] // ch)
-    x = x[: frames * ch]
+    if x.shape[0] // ch < n_frames:
+        # COMM declares more frames than SSND carries: a truncated
+        # download, not a decodable file — the quarantine contract
+        raise ValueError(
+            f"AIFF SSND carries {x.shape[0] // ch} frames of the "
+            f"{n_frames} COMM declares"
+        )
+    x = x[: n_frames * ch]
     if ch > 1:
         x = x.reshape(-1, ch).mean(axis=1)
     return x, int(sr), int(ch)

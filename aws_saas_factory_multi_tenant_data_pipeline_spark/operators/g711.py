@@ -205,8 +205,18 @@ def encode_wav_g711(
         raise ValueError(f"unknown companding law {law!r}")
     body = codes.tobytes()
     n_frames = len(codes) // max(channels, 1)
+    # non-PCM fmt chunks carry the 2-byte cbSize field (0 here) — the
+    # 18-byte layout strict consumers (ACM, libsndfile validation)
+    # require for any format code other than 1
     fmt = struct.pack(
-        "<HHIIHH", code_id, channels, sample_rate, sample_rate * channels, channels, 8
+        "<HHIIHHH",
+        code_id,
+        channels,
+        sample_rate,
+        sample_rate * channels,
+        channels,
+        8,
+        0,
     )
     chunks = (
         b"fmt " + struct.pack("<I", len(fmt)) + fmt

@@ -86,8 +86,11 @@ def html_to_text_sql(expr: str) -> str:
 
 
 #: href matcher: <a …href="…"> / <a …href='…'> — Java-regex ∩ RE2 subset
-#: (lazy quantifier + capture group; no lookaround, no backreferences)
-_HREF_RE = r"""(?is)<a\b[^>]*?href\s*=\s*["']([^"'<>\s]+)["']"""
+#: (lazy quantifier + capture group; no lookaround, no backreferences).
+#: The \s before href anchors the ATTRIBUTE-NAME boundary: without it,
+#: data-href/xhref lazy-load and tracking attributes — common in real
+#: crawled HTML — would be extracted as frontier links.
+_HREF_RE = r"""(?is)<a\b[^>]*?\shref\s*=\s*["']([^"'<>\s]+)["']"""
 
 #: frontier scope: absolute web links only (crawl frontiers resolve
 #: relative links against the page URL upstream; mailto/javascript/data

@@ -78,14 +78,19 @@ def pq_train(
     centroid is an array<bigint> of micro-units.
 
     Each subspace runs ``iterations`` Lloyd rounds from md5-ordered
-    seeds. The m trainings share one scan of the quantized input (the
-    per-subspace frames are projections of a cached narrow select)."""
+    seeds. The quantized input is persisted for the duration of
+    training (every Lloyd round of every subspace reads it — without
+    the persist that is 2m+ redundant source scans + re-quantizations)
+    and unpersisted before returning; the per-round centroid frames are
+    eagerly checkpointed, so nothing returned still depends on it."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
+    from pyspark import StorageLevel
+
     dsub = dim // m
     q = df.select(
         F.col(id_col).alias("__id"), quantize_micro(F.col(vec_col)).alias("__q")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     books: list[DataFrame] = []
     for j in range(m):
         sub = q.select("__id", _subvec(F.col("__q"), j, dsub).alias("__v"))
@@ -117,6 +122,10 @@ def pq_train(
                 )
             ).localCheckpoint(eager=True)
         books.append(cents.select(F.lit(j).alias("subspace"), "code", "centroid"))
+    # every returned frame is (derived from) an eagerly-checkpointed
+    # centroid set, so releasing the training cache is safe; with
+    # iterations=0 the lazy seed frame simply recomputes if read later
+    q.unpersist()
     out = books[0]
     for b in books[1:]:
         out = out.unionByName(b)
@@ -188,6 +197,7 @@ def pq_topk_adc(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """ADC top-k: per query, the exact integer distance from its
     subvector to EVERY codeword is computed once (an m·k lookup table);
@@ -197,8 +207,11 @@ def pq_topk_adc(
 
     The query set rides in as a broadcast (per-query tables are m·k
     ints); the big side is the one scan of the code table. At 100 TB,
-    bound candidates first via an IVF probe (build_ivf_index) and feed
-    the probed subset here — ADC semantics are unchanged."""
+    bound candidates first (an IVF probe via build_ivf_index, or a
+    binary-Hamming tier) and pass the PER-QUERY shortlist as
+    ``candidates`` (query_id, id) — each query is then ranked strictly
+    within its own candidate set (a pair semi-join after the broadcast,
+    before the window), never against other queries' survivors."""
     dsub = dim // m
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
@@ -244,10 +257,14 @@ def pq_topk_adc(
         lambda acc, v: acc + v,
     )
     w = Window.partitionBy("query_id").orderBy("adc_dist", F.col(id_col))
+    scored = encoded.crossJoin(F.broadcast(table)).withColumn("adc_dist", adc)
+    if candidates is not None:
+        pairs = candidates.select(
+            F.col(query_id_col).alias("query_id"), F.col(id_col)
+        )
+        scored = scored.join(pairs, ["query_id", id_col], "left_semi")
     return (
-        encoded.crossJoin(F.broadcast(table))
-        .withColumn("adc_dist", adc)
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= topk)
         .select("query_id", F.col(id_col), "adc_dist", "rank")
     )

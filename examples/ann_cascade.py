@@ -37,7 +37,8 @@ from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.pq import (
     pq_train,
 )
 from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.similarity import (
-    cosine_topk,
+    dot,
+    norm,
 )
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -60,19 +61,40 @@ def main() -> None:
     coarse = binary_hamming_topk(sigs, qsigs, topk=64)
     print("tier 1 (binary/Hamming) kept", coarse.count(), "candidates")
 
-    # ---- tier 2: PQ-ADC re-score of the survivors ----------------------------
+    # ---- tier 2: PQ-ADC re-score, each query WITHIN its own survivors --------
     books = pq_train(emb, m=4, k=4, iterations=1)
     codes = pq_encode(emb, books, m=4)
-    survivor_codes = codes.join(
-        coarse.select("query_id", "vec_id"), "vec_id"
-    ).select("vec_id", "codes").distinct()
-    refined = pq_topk_adc(survivor_codes, queries, books, topk=16, m=4)
-    print("tier 2 (PQ-ADC) kept", refined.count(), "candidates")
+    refined = pq_topk_adc(
+        codes,
+        queries,
+        books,
+        topk=16,
+        m=4,
+        candidates=coarse.select("query_id", "vec_id"),
+    )
+    print(
+        "tier 2 (PQ-ADC) kept",
+        refined.count(),
+        "candidates (16 per query, ranked inside each query's own tier-1 set)",
+    )
 
-    # ---- tier 3: exact cosine over the shortlist -----------------------------
-    shortlist = emb.join(refined.select("vec_id").distinct(), "vec_id")
-    final = cosine_topk(shortlist, queries, k=5)
-    print("tier 3 (exact cosine) final top-5 per query:")
+    # ---- tier 3: exact cosine over ONLY the surviving (query, vec) pairs -----
+    from pyspark.sql import Window
+
+    cand = refined.select("query_id", "vec_id").join(emb, "vec_id").select(
+        "query_id", "vec_id", F.col("embedding").alias("__cv")
+    )
+    q2 = queries.select("query_id", F.col("embedding").alias("__qv"))
+    cos = F.round(dot(F.col("__cv"), F.col("__qv"))
+                  / (norm(F.col("__cv")) * norm(F.col("__qv"))), 6)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    final = (
+        cand.join(F.broadcast(q2), "query_id")
+        .select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+    )
+    print("tier 3 (exact cosine over the per-query shortlist) top-5:")
     final.orderBy("query_id", "rank").show(20, truncate=False)
 
 

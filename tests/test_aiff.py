@@ -104,3 +104,21 @@ def test_tear_contract_fuzz():
             parse_aiff(bytes(mutated))
         except ValueError:
             pass  # the only legal failure mode
+
+
+def test_truncated_ssnd_tears():
+    """COMM declaring more frames than SSND carries is a torn download,
+    not a shorter file — it must quarantine, never silently truncate."""
+    x = np.arange(100, dtype=np.int16)
+    blob = bytearray(encode_aiff(x, 8000))
+    # chop 40 bytes of sample data off the end AND shrink the SSND and
+    # FORM sizes so the chunk walk itself stays intact
+    cut = 40
+    i = blob.find(b"SSND")
+    (ssnd_sz,) = struct.unpack(">I", blob[i + 4 : i + 8])
+    struct.pack_into(">I", blob, i + 4, ssnd_sz - cut)
+    (form_sz,) = struct.unpack(">I", blob[4:8])
+    struct.pack_into(">I", blob, 4, form_sz - cut)
+    torn = bytes(blob[: len(blob) - cut])
+    with pytest.raises(ValueError, match="frames"):
+        parse_aiff(torn)

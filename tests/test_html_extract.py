@@ -161,3 +161,27 @@ def test_script_profile_duckdb_twin_identical(spark):
         for name, expr in script_profile_sql("?").items():
             (duck_n,) = con.execute("SELECT " + expr, [s]).fetchone()
             assert got[i][f"n_{name}"] == duck_n, (i, name)
+
+
+def test_extract_links_attribute_name_boundary(spark):
+    """data-href / xhref must NOT be extracted — only a real href
+    attribute (whitespace-delimited name) is a frontier link."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.html import (
+        extract_links,
+        extract_links_sql,
+    )
+
+    html = (
+        '<a data-href="https://evil.example/track">lazy</a>'
+        '<a xhref="https://evil.example/x">typo</a>'
+        '<a data-href="https://evil.example/t2" href="https://real.com/">ok</a>'
+    )
+    df = spark.createDataFrame([(1, html)], "id long, html string")
+    (row,) = df.select(extract_links(F.col("html")).alias("ls")).collect()
+    assert row["ls"] == ["https://real.com/"]
+    con = duckdb.connect()
+    (duck,) = con.execute("SELECT " + extract_links_sql("?"), [html]).fetchone()
+    assert duck == ["https://real.com/"]

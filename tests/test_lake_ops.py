@@ -761,3 +761,25 @@ def test_vacuum_orphans_never_touches_reachable_history(spark, tmp_path):
     # history v1..v3 below the pointer is vacuum_snapshots territory
     assert lake.vacuum_orphans(root, grace_seconds=0) == []
     assert lake.read_snapshot(spark, root, version=1).count() == 3
+
+
+def test_vacuum_orphans_preserves_rolled_back_versions(spark, tmp_path):
+    """rollback_snapshot promises later versions stay on disk for
+    re-promotion; a committed-then-rolled-back version is recorded in
+    the commit log and must never be treated as an aborted orphan."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark import lake
+
+    root = str(tmp_path / "snap")
+    df = spark.range(4).withColumnRenamed("id", "k")
+    lake.write_snapshot(df, root)                      # v1
+    lake.write_snapshot(df.withColumn("k", df.k + 1), root)  # v2
+    lake.write_snapshot(df.withColumn("k", df.k + 2), root)  # v3
+    lake.rollback_snapshot(root, 2)                    # v3 now above the ref
+    assert lake.vacuum_orphans(root, grace_seconds=0) == []
+    # re-promotion still possible — the documented audit path
+    lake.rollback_snapshot(root, 3)
+    assert lake.read_snapshot(spark, root).count() == 4
+    # while a genuinely uncommitted dir above the refs still reclaims
+    lake.rollback_snapshot(root, 2)
+    df.write.parquet(root + "/v9")
+    assert lake.vacuum_orphans(root, grace_seconds=0) == [9]

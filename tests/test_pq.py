@@ -361,3 +361,21 @@ def test_containment_max_df_drops_boilerplate_only(spark):
     # conservative: shared evidence can only shrink under max_df
     assert pair["shared"] <= lpair["shared"]
     assert pair["n_a"] == lpair["n_a"]  # denominators unchanged
+
+
+def test_adc_candidates_bound_is_per_query(trained, emb):
+    """candidates=(query_id, vec_id) pairs restrict each query to ITS
+    OWN shortlist — another query's candidates never leak in."""
+    cb, enc = trained
+    qs = emb.where("vec_id in (1, 2)").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cands = spark_df = qs.sparkSession.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21)],
+        "query_id long, vec_id long",
+    )
+    res = pq_topk_adc(enc, qs, cb, topk=5, m=_M, dim=_DIM, candidates=cands)
+    got = {(r["query_id"], r["vec_id"]) for r in res.collect()}
+    assert got == {(1, 10), (1, 11), (1, 12), (2, 20), (2, 21)}
+    ranks = {r["query_id"]: max(0, r["rank"]) for r in res.collect()}
+    assert set(ranks) == {1, 2}

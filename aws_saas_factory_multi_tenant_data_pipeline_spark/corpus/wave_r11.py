@@ -775,8 +775,12 @@ def lake_vacuum_orphans(spark, sf_dir):
     )  # v2 (current)
     lake.create_branch(root, "dev")  # dev -> v2
 
-    # aborted CAS: v3 materialized, pointer never moved
+    # aborted CAS: v3 materialized + stamped by the abort path (the
+    # _ABORTED marker write_snapshot leaves when it loses the re-check
+    # race — tests/test_lake_ops.py drives the real path), pointer never
+    # moved and the commit log never appended
     e.limit(7).write.parquet(os.path.join(root, "v3"))
+    lake._mark_aborted(os.path.join(root, "v3"))
     # torn write: v4 without _SUCCESS
     os.makedirs(os.path.join(root, "v4"))
     with open(os.path.join(root, "v4", "part-000.parquet"), "wb") as f:

@@ -511,6 +511,19 @@ class ConcurrentSnapshotError(RuntimeError):
     another writer promoted a version after the caller read theirs."""
 
 
+def _mark_aborted(path: str) -> None:
+    """Stamp a materialized version directory as a lost-race abort so
+    :func:`vacuum_orphans` can reclaim it. A completed directory WITHOUT
+    this marker (and without a commit-log entry) is indistinguishable
+    from a commit that predates the log — vacuum preserves those, so the
+    marker is what keeps the ConcurrentSnapshotError promise."""
+    try:
+        with open(os.path.join(path, "_ABORTED"), "w") as f:
+            f.write("lost optimistic-concurrency race\n")
+    except OSError:
+        pass  # best-effort: an unmarked leak is preserved, never corrupted
+
+
 def write_snapshot(
     df: DataFrame,
     root: str,
@@ -555,6 +568,7 @@ def write_snapshot(
         w = w.partitionBy(*partition_cols)
     w.parquet(out)
     if expected_version is not None and latest_snapshot_version(root) != expected_version:
+        _mark_aborted(out)
         raise ConcurrentSnapshotError(
             f"expected v{expected_version} but table is at "
             f"v{latest_snapshot_version(root)} — re-read and retry "
@@ -632,9 +646,9 @@ def vacuum_orphans(
 
     - **aborted optimistic commits**: a writer that lost the
       ``expected_version`` race has already materialized its ``v{N}``
-      directory ABOVE every ref pointer (the :class:`ConcurrentSnapshotError`
-      message promises "orphan vN will be vacuumed" — this is the
-      function that keeps that promise);
+      directory and stamped it with the ``_ABORTED`` marker (the
+      :class:`ConcurrentSnapshotError` message promises "orphan vN will
+      be vacuumed" — this is the function that keeps that promise);
     - **torn writes**: a crashed job's version directory without the
       ``_SUCCESS`` marker, at any position, unless a ref points at it.
 
@@ -646,6 +660,14 @@ def vacuum_orphans(
     stays on disk for re-promotion/audit) is distinguishable from a
     lost-race directory and is preserved; its retention belongs to
     :func:`vacuum_snapshots`.
+
+    A COMPLETED directory that is neither logged nor marked is
+    preserved too: it is indistinguishable from a commit that predates
+    the commit log (older tables) or a writer that crashed between the
+    pointer promote and the log append — reclaiming it could destroy a
+    version :func:`rollback_snapshot` promised to keep. Only evidence
+    of failure (no ``_SUCCESS``) or an explicit ``_ABORTED`` stamp
+    makes a directory a victim.
 
     ``grace_seconds`` (Delta's VACUUM retention rule) protects
     in-flight writers: a directory younger than the grace window is
@@ -660,7 +682,6 @@ def vacuum_orphans(
     current = latest_snapshot_version(root)
     refs = {current} | set(list_branches(root).values())
     refs.discard(0)
-    max_ref = max(refs, default=0)
     committed = set(_read_commit_parents(root))
     now = _time.time()
     victims: list[int] = []
@@ -673,8 +694,11 @@ def vacuum_orphans(
         if v in refs or v in committed:
             continue
         torn = not os.path.exists(os.path.join(path, "_SUCCESS"))
-        if not (v > max_ref or torn):
-            continue  # reachable history: vacuum_snapshots territory
+        aborted = os.path.exists(os.path.join(path, "_ABORTED"))
+        if not (torn or aborted):
+            # completed + unlogged + unmarked: indistinguishable from a
+            # pre-log commit or a promote-then-crash — preserve it
+            continue
         try:
             if now - os.path.getmtime(path) < grace_seconds:
                 continue
@@ -794,10 +818,10 @@ def write_snapshot_to_branch(
     w = df.write.mode("errorifexists")
     if partition_cols:
         w = w.partitionBy(*partition_cols)
-    w.parquet(os.path.join(root, f"v{version}"))
-    with open(_commit_log(root), "a") as f:
-        f.write(json.dumps({"version": version, "parent": base, "branch": branch}) + "\n")
+    out = os.path.join(root, f"v{version}")
+    w.parquet(out)
     if expected_version is not None and branch_version(root, branch) != expected_version:
+        _mark_aborted(out)
         raise ConcurrentSnapshotError(
             f"branch {branch!r}: lost the race (orphan v{version} will be vacuumed)"
         )
@@ -806,6 +830,11 @@ def write_snapshot_to_branch(
     with open(tmp, "w") as f:
         f.write(str(version))
     os.replace(tmp, meta)
+    # record the commit AFTER the promote (the write_snapshot convention):
+    # an aborted branch commit never reaches the log, so its marked
+    # directory stays vacuumable
+    with open(_commit_log(root), "a") as f:
+        f.write(json.dumps({"version": version, "parent": base, "branch": branch}) + "\n")
     return version
 
 

@@ -54,6 +54,10 @@ def _decode_extended80(b: bytes) -> float:
 def encode_extended80(x: float) -> bytes:
     """Inverse of :func:`_decode_extended80` for the fixture writer
     (exact for the integer sample rates AIFF files actually carry)."""
+    if x != x or x in (float("inf"), float("-inf")):
+        # mirror the decoder's guard: inf would loop forever in the
+        # normalization below, NaN would fail confusingly at int(x)
+        raise ValueError("non-finite AIFF sample rate")
     if x == 0:
         return b"\x00" * 10
     sign = 0x8000 if x < 0 else 0

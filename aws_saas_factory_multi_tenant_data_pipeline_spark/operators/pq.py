@@ -213,6 +213,16 @@ def pq_topk_adc(
     within its own candidate set (a pair semi-join after the broadcast,
     before the window), never against other queries' survivors."""
     dsub = dim // m
+    # the per-query distance map keys pack (subspace, code) as
+    # subspace * mult + code; mult is derived from the codebook's actual
+    # code range so keys can never collide across subspaces, whatever k
+    # the caller trained with (a fixed 1000 would silently corrupt ADC
+    # distances at k > 1000). codebooks is the broadcast-tiny side —
+    # this 1-row agg is a bounded collect by the documented convention.
+    kmax = codebooks.agg(F.max("code").alias("kmax")).first()["kmax"]
+    if kmax is None:
+        raise ValueError("empty codebook")
+    mult = int(kmax) + 1
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         quantize_micro(F.col(vec_col)).alias("__q"),
@@ -239,7 +249,7 @@ def pq_topk_adc(
                 F.array_sort(
                     F.collect_list(
                         F.struct(
-                            (F.col("subspace") * 1000 + F.col("code")).alias("key"),
+                            (F.col("subspace") * mult + F.col("code")).alias("key"),
                             F.col("dist").alias("value"),
                         )
                     )
@@ -251,7 +261,7 @@ def pq_topk_adc(
         F.zip_with(
             F.sequence(F.lit(0), F.lit(m - 1)),
             F.col("codes"),
-            lambda j, c: F.element_at(F.col("__dt"), j * 1000 + c),
+            lambda j, c: F.element_at(F.col("__dt"), j * mult + c),
         ),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,

@@ -122,3 +122,11 @@ def test_truncated_ssnd_tears():
     torn = bytes(blob[: len(blob) - cut])
     with pytest.raises(ValueError, match="frames"):
         parse_aiff(torn)
+
+
+def test_extended80_encoder_rejects_non_finite():
+    """ADVICE r9: inf looped forever in the normalization, NaN failed
+    confusingly at int(); the encoder now mirrors the decoder's guard."""
+    for bad in (float("inf"), float("-inf"), float("nan")):
+        with pytest.raises(ValueError, match="non-finite"):
+            encode_extended80(bad)

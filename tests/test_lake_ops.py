@@ -702,8 +702,10 @@ def test_vacuum_orphans_reclaims_aborted_cas_commit(spark, tmp_path):
     lake.write_snapshot(df, root)
     lake.write_snapshot(df.withColumn("k", df.k + 1), root)
     # simulate a writer that lost the CAS race AFTER materializing v3:
-    # the directory exists (with _SUCCESS) but no pointer ever moved
+    # the directory exists (with _SUCCESS and the abort path's _ABORTED
+    # stamp) but no pointer ever moved
     df.write.parquet(root + "/v3")
+    lake._mark_aborted(root + "/v3")
     assert lake.latest_snapshot_version(root) == 2
 
     listed = lake.vacuum_orphans(root, grace_seconds=0, dry_run=True)
@@ -779,7 +781,101 @@ def test_vacuum_orphans_preserves_rolled_back_versions(spark, tmp_path):
     # re-promotion still possible — the documented audit path
     lake.rollback_snapshot(root, 3)
     assert lake.read_snapshot(spark, root).count() == 4
-    # while a genuinely uncommitted dir above the refs still reclaims
+    # while a genuinely aborted dir above the refs still reclaims
     lake.rollback_snapshot(root, 2)
     df.write.parquet(root + "/v9")
+    lake._mark_aborted(root + "/v9")
     assert lake.vacuum_orphans(root, grace_seconds=0) == [9]
+
+
+def test_vacuum_orphans_preserves_unlogged_committed_versions(spark, tmp_path):
+    """A completed version directory with NO commit-log entry and NO
+    _ABORTED stamp must never be reclaimed: it is indistinguishable from
+    a commit that predates the log, or a writer that crashed between the
+    pointer promote and the log append (ADVICE r9)."""
+    import os
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark import lake
+
+    root = str(tmp_path / "snap")
+    df = spark.range(4).withColumnRenamed("id", "k")
+    lake.write_snapshot(df, root)                            # v1
+    lake.write_snapshot(df.withColumn("k", df.k + 1), root)  # v2
+    lake.write_snapshot(df.withColumn("k", df.k + 2), root)  # v3
+    os.remove(root + "/_commits.jsonl")  # pre-log-era table
+    lake.rollback_snapshot(root, 1)      # v2, v3 now above the ref
+    assert lake.vacuum_orphans(root, grace_seconds=0) == []
+    # rollback's re-promotion promise still holds
+    lake.rollback_snapshot(root, 3)
+    assert lake.read_snapshot(spark, root).count() == 4
+
+
+def test_real_lost_race_abort_is_marked_and_vacuumable(spark, tmp_path, monkeypatch):
+    """Drive write_snapshot's actual second-check abort path (a competing
+    promote landing DURING the parquet write) and verify the materialized
+    directory carries the _ABORTED stamp, never reaches the commit log,
+    and is reclaimed by vacuum_orphans."""
+    import os
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark import lake
+
+    root = str(tmp_path / "snap")
+    df = spark.range(6).withColumnRenamed("id", "k")
+    lake.write_snapshot(df, root)  # v1
+    real = lake.latest_snapshot_version
+    calls = {"n": 0}
+
+    def racing(r):
+        # calls 1 (pre-check) and 2 (version computation) see v1; from
+        # the post-write re-check onward a competitor has promoted v2
+        calls["n"] += 1
+        return real(r) if calls["n"] <= 2 else real(r) + 1
+
+    import pytest
+
+    monkeypatch.setattr(lake, "latest_snapshot_version", racing)
+    with pytest.raises(lake.ConcurrentSnapshotError, match="will be vacuumed"):
+        lake.write_snapshot(df, root, expected_version=1)
+    monkeypatch.setattr(lake, "latest_snapshot_version", real)
+
+    orphan = root + "/v2"
+    assert os.path.exists(orphan + "/_ABORTED")
+    assert 2 not in lake._read_commit_parents(root)
+    assert lake.vacuum_orphans(root, grace_seconds=0) == [2]
+    assert not os.path.isdir(orphan)
+
+
+def test_aborted_branch_commit_stays_out_of_log_and_vacuums(spark, tmp_path, monkeypatch):
+    """The branch CAS abort must not reach the commit log (the log append
+    now follows the pointer promote) so vacuum_orphans can reclaim the
+    orphan directory (ADVICE r9)."""
+    import os
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark import lake
+
+    root = str(tmp_path / "snap")
+    df = spark.range(5).withColumnRenamed("id", "k")
+    lake.write_snapshot(df, root)  # v1
+    lake.create_branch(root, "dev")
+    real = lake.branch_version
+    calls = {"n": 0}
+
+    def racing(r, b):
+        # call 1 (base read) sees v1; the post-write re-check sees a
+        # competitor's v2 promote
+        calls["n"] += 1
+        return real(r, b) if calls["n"] <= 1 else real(r, b) + 1
+
+    import pytest
+
+    monkeypatch.setattr(lake, "branch_version", racing)
+    with pytest.raises(lake.ConcurrentSnapshotError, match="lost the race"):
+        lake.write_snapshot_to_branch(df, root, "dev", expected_version=1)
+    monkeypatch.setattr(lake, "branch_version", real)
+
+    orphan = root + "/v2"
+    assert os.path.exists(orphan + "/_ABORTED")
+    assert 2 not in lake._read_commit_parents(root)  # never logged
+    assert lake.branch_version(root, "dev") == 1     # pointer never moved
+    assert lake.vacuum_orphans(root, grace_seconds=0) == [2]
+    assert not os.path.isdir(orphan)

@@ -379,3 +379,41 @@ def test_adc_candidates_bound_is_per_query(trained, emb):
     assert got == {(1, 10), (1, 11), (1, 12), (2, 20), (2, 21)}
     ranks = {r["query_id"]: max(0, r["rank"]) for r in res.collect()}
     assert set(ranks) == {1, 2}
+
+
+def test_adc_keys_never_collide_at_large_k(spark):
+    """ADVICE r9: the (subspace, code) map key used a fixed *1000 pack,
+    silently colliding across subspaces at k > 1000. The multiplier is
+    now derived from the codebook's real code range — pin exact ADC
+    distances with k = 1200 codewords per subspace, where the old
+    packing would have collided (e.g. (0,1000) vs (1,0))."""
+    k, m, dim = 1200, 2, 2
+    cb = spark.createDataFrame(
+        [(s, c, [int((c + 7 * s) * MICRO)]) for s in range(m) for c in range(k)],
+        "subspace int, code int, centroid array<long>",
+    )
+    # one encoded row whose codes sit exactly at an old-scheme collision:
+    # codes [1000, 0] -> old keys (0*1000+1000)=1000 and (1*1000+0)=1000
+    enc = spark.createDataFrame(
+        [(1, [1000, 0]), (2, [3, 1100])], "vec_id long, codes array<int>"
+    )
+    qs = spark.createDataFrame([(9, [2.0, 5.0])], "query_id long, embedding array<double>")
+    res = {
+        r["vec_id"]: r["adc_dist"]
+        for r in pq_topk_adc(enc, qs, cb, topk=5, m=m, dim=dim).collect()
+    }
+    q0, q1 = 2 * MICRO, 5 * MICRO
+
+    def cent(s, c):
+        return (c + 7 * s) * MICRO
+
+    assert res[1] == (q0 - cent(0, 1000)) ** 2 + (q1 - cent(1, 0)) ** 2
+    assert res[2] == (q0 - cent(0, 3)) ** 2 + (q1 - cent(1, 1100)) ** 2
+
+
+def test_adc_rejects_empty_codebook(spark):
+    cb = spark.createDataFrame([], "subspace int, code int, centroid array<long>")
+    enc = spark.createDataFrame([(1, [0, 0])], "vec_id long, codes array<int>")
+    qs = spark.createDataFrame([(9, [0.0, 0.0])], "query_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty codebook"):
+        pq_topk_adc(enc, qs, cb, topk=1, m=2, dim=2)

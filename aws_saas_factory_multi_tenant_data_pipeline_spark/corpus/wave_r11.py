@@ -378,7 +378,7 @@ def similarity_pq_adc(spark, sf_dir):
     qs = emb.where(F.col("vec_id") % _PQ_QMOD == 1).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return pq_topk_adc(enc, qs, cb, topk=_PQ_TOPK, m=_PQ_M).orderBy(
+    return pq_topk_adc(enc, qs, cb, topk=_PQ_TOPK, m=_PQ_M, k=_PQ_K).orderBy(
         "query_id", "rank"
     )
 

@@ -198,6 +198,7 @@ def pq_topk_adc(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     candidates: DataFrame | None = None,
+    k: int | None = None,
 ) -> DataFrame:
     """ADC top-k: per query, the exact integer distance from its
     subvector to EVERY codeword is computed once (an m·k lookup table);
@@ -214,15 +215,21 @@ def pq_topk_adc(
     before the window), never against other queries' survivors."""
     dsub = dim // m
     # the per-query distance map keys pack (subspace, code) as
-    # subspace * mult + code; mult is derived from the codebook's actual
-    # code range so keys can never collide across subspaces, whatever k
-    # the caller trained with (a fixed 1000 would silently corrupt ADC
-    # distances at k > 1000). codebooks is the broadcast-tiny side —
-    # this 1-row agg is a bounded collect by the documented convention.
-    kmax = codebooks.agg(F.max("code").alias("kmax")).first()["kmax"]
-    if kmax is None:
-        raise ValueError("empty codebook")
-    mult = int(kmax) + 1
+    # subspace * mult + code; mult is the codebook width so keys can
+    # never collide across subspaces, whatever k the caller trained with
+    # (a fixed 1000 would silently corrupt ADC distances at k > 1000).
+    # Pass k (the trained codewords-per-subspace) to make this free;
+    # otherwise it is derived with a 1-row agg on the broadcast-tiny
+    # codebook (a bounded collect by the documented convention — but one
+    # that re-executes the codebook lineage, so prefer passing k or a
+    # persisted codebook).
+    if k is not None:
+        mult = int(k)
+    else:
+        kmax = codebooks.agg(F.max("code").alias("kmax")).first()["kmax"]
+        if kmax is None:
+            raise ValueError("empty codebook")
+        mult = int(kmax) + 1
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         quantize_micro(F.col(vec_col)).alias("__q"),

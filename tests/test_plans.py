@@ -585,3 +585,42 @@ def test_tar_shard_writer_single_shuffle_no_sort(spark, tmp_path):
         block = plan[plan.index(f"({num}) Sort") :]
         block = block[: block.index("\n\n")] if "\n\n" in block else block
         assert "shard_id" in block and "false" in block.lower(), block
+
+
+def test_headline_audit_allowlist_covers_all_red_flags(spark, sf_smoke):
+    """The full bench headline must plan with ZERO red flags beyond
+    tools/explain_audit.py's justified EXPECTED_FLAGS allowlist (r9
+    verdict: the list rotted when the ANN queries landed — this pins it).
+    Plan-string check only (no execution beyond each query's own eager
+    setup), so the whole headline stays cheap at sf0.001."""
+    import importlib.util
+    import os as _os
+
+    root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+
+    def load(mod, rel):
+        spec = importlib.util.spec_from_file_location(mod, _os.path.join(root, rel))
+        m = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(m)
+        return m
+
+    bench = load("bench_for_audit", "bench.py")
+    audit_mod = load("explain_audit_for_test", "tools/explain_audit.py")
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus import load_all
+
+    reg = load_all()
+    # the allowlist may only name real queries (stale keys are rot too)
+    stale = [n for n in audit_mod.EXPECTED_FLAGS if n not in reg]
+    assert stale == [], f"EXPECTED_FLAGS names unknown queries: {stale}"
+
+    offenders = {}
+    for name in [n for n in bench.HEADLINE if n in reg]:
+        plan = (
+            reg[name].spark_fn(spark, sf_smoke)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        allowed = audit_mod.EXPECTED_FLAGS.get(name, set())
+        flags = [f for f in audit_mod.RED_FLAGS if f in plan and f not in allowed]
+        if flags:
+            offenders[name] = flags
+    assert offenders == {}, f"unexpected red-flag plans: {offenders}"

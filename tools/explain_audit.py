@@ -65,6 +65,19 @@ EXPECTED_FLAGS: dict[str, set[str]] = {
     "ops_skew_report": {"BroadcastNestedLoopJoin"},
     # inherits ops_skew_report's totals broadcast
     "r7_pack": {"BroadcastNestedLoopJoin"},
+    # 1-row broadcasts of the collapsed per-query ADC lookup table and the
+    # m·k codebook (operators/pq.py pq_encode/pq_topk_adc) — the
+    # dedup_semantic pattern: one row against N is a projection
+    "similarity_pq_adc": {"BroadcastNestedLoopJoin"},
+    # 1-row broadcast of the collapsed query-token-matrix frame
+    # (operators/similarity.py maxsim_rerank)
+    "similarity_maxsim_rerank": {"BroadcastNestedLoopJoin"},
+    # 1-row broadcast of the tiny query-signature set; the scan side is
+    # one codegen'd bit_count(xor) per row (operators/pq.py
+    # binary_hamming_topk)
+    "similarity_binary_hamming": {"BroadcastNestedLoopJoin"},
+    # inherits the three ANN components' 1-row broadcasts above
+    "media_pack4": {"BroadcastNestedLoopJoin"},
 }
 
 

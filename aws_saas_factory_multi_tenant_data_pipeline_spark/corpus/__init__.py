@@ -90,10 +90,16 @@ GRADED_WINDOW: tuple[str, ...] = (
     # quarantine counts in the hash)
     "lake_branch_wap_roundtrip",
     "join_star_multiway",
-    # B4 aggregation (HAVING + FILTER packed; originals in tail)
+    # B4 aggregation (HAVING + FILTER packed; originals in tail).
+    # count_distinct_multi + grouping_sets_mixed → MERGED in r10 into
+    # agg_distinct_grouping_pack (every output row of both components
+    # rides in the pack hash verbatim — neither B4 family loses its
+    # driver verdict); the freed slot gives four r9 lifecycle/retrieval
+    # §2 rows (orphan-file GC, write-lineage audit, corrupt-resilient
+    # scan, binary Hamming top-k) a hard driver verdict via lake_pack2
     "agg_pricing_summary",
-    "count_distinct_multi",
-    "grouping_sets_mixed",
+    "agg_distinct_grouping_pack",
+    "lake_pack2",
     "agg_having_filter_pack",
     # collect_list_sorted → tail in r6: ordered-collect semantics are also
     # driver-covered by fn_scalar_pack's array branch and llm_pipeline_pack's
@@ -168,10 +174,15 @@ GRADED_WINDOW: tuple[str, ...] = (
     # hard driver verdict via sketch_pack2
     "sketch_pack2",
     "stream_late_drop",
-    # B9 UDF surface
+    # B9 UDF surface. udf_grouped_map_agg + udf_table_function → MERGED
+    # in r10 into udf_family_pack (every output row of both components
+    # rides in the pack hash verbatim — no B9 family loses its driver
+    # verdict); the freed slot gives four r9 crawl/media §2 rows (crawl
+    # link graph, Unicode script profile, TGA decode, AIFF roundtrip) a
+    # hard driver verdict via crawl_pack2
     "udf_scalar_py_pandas",
-    "udf_grouped_map_agg",
-    "udf_table_function",
+    "udf_family_pack",
+    "crawl_pack2",
     # B10 LLM-pipeline (packs cover 16 additional §2 rows).
     # dedup_exact → tail in r7: its hash-groupBy exact-dedup shape stays
     # driver-exercised through stream_dedup_batch_equiv's dropDuplicates
@@ -258,6 +269,14 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "win_lag_lead",
     "fn_string",
     "fn_datetime",
+    # merged in r10 into udf_family_pack / agg_distinct_grouping_pack
+    # (every row still driver-graded verbatim inside the packs; these
+    # standalone forms stay oracle-green at the tail head — slots went
+    # to crawl_pack2/lake_pack2):
+    "udf_grouped_map_agg",
+    "udf_table_function",
+    "count_distinct_multi",
+    "grouping_sets_mixed",
     # round-6 single-family originals (driver-covered via r7_pack) —
     # first in line if the window turns out to be time-bound
     "multimodal_jpeg_ahash",
@@ -463,6 +482,9 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "text_script_profile",
     "audio_aiff_roundtrip",
     "multimodal_tga_decode",
+    # r10 wave: lifecycle end-state oracles for formerly tests-only rows
+    "lake_schema_drift_report",
+    "lake_analyze_stats",
 )
 
 
@@ -504,6 +526,7 @@ def load_all() -> dict[str, QuerySpec]:
         wave_r9,
         wave_r10,
         wave_r11,
+        wave_r12,
         window_r11,
         window_r5,  # packs read other modules' oracles — import last
         window_r6,
@@ -511,6 +534,7 @@ def load_all() -> dict[str, QuerySpec]:
         window_r8,
         window_r9,
         window_r10,
+        window_r12,
     )
 
     head = [n for n in GRADED_WINDOW + _TAIL_PRIORITY if n in REGISTRY]

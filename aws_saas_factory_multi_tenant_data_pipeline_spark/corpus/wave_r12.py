@@ -1,0 +1,159 @@
+"""Round-10 operator wave: analytic/end-state oracles for the two
+remaining tests-only lifecycle rows whose end state is SQL-statable
+(r9 verdict "Next round" #8): the schema-drift report (SURVEY line 312)
+and ANALYZE statistics (line 311).
+
+Both follow the lake_lineage_audit convention: the query performs the
+real lifecycle work (parquet generations on scratch, catalog ANALYZE),
+then reduces the recorded metadata to facts the DuckDB oracle states
+directly from the source tables — a metadata defect (missed drift,
+wrong rowCount, stale column stats) flips a graded row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus import register
+from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus._util import t
+
+
+@register(
+    "lake_schema_drift_report",
+    oracle="""
+        WITH gens AS (
+            SELECT COUNT(*) AS n_old,
+                   COUNT(*) FILTER (WHERE event_id % 2 = 0) AS n_new
+            FROM events WHERE event_id < 2500)
+        SELECT 'drift' AS kind, 'event_id:type_changed:bigint>int' AS k,
+               CAST(0 AS BIGINT) AS n FROM gens
+        UNION ALL SELECT 'drift', 'region:added:~>string', 0 FROM gens
+        UNION ALL SELECT 'drift', 'value:removed:double>~', 0 FROM gens
+        UNION ALL SELECT 'gen', 'new_rows', CAST(n_new AS BIGINT) FROM gens
+        UNION ALL SELECT 'gen', 'old_rows', CAST(n_old AS BIGINT) FROM gens
+        ORDER BY kind, k
+    """,
+    tags=("B10", "data-mgmt", "lake"),
+    doc="Schema-drift report, end-state-checked (SURVEY line 312, "
+    "tests-only before r10): two REAL parquet generations are written "
+    "to scratch — gen2 narrows event_id bigint→int, drops value, adds a "
+    "region string — read back, and diffed by lake.schema_drift (the "
+    "Glue-recrawl question). The report must contain EXACTLY the three "
+    "changes (added/removed/type_changed with both type names, "
+    "parquet-roundtripped so the types are what the files say, not what "
+    "the writer intended), plus per-generation row counts tying the "
+    "files to the events table. Any missed or phantom drift row flips "
+    "the hash (lake.schema_drift; reference parity: Glue crawler "
+    "re-crawl, glue-stack cron).",
+)
+def lake_schema_drift_report(spark, sf_dir):
+    import os
+    import shutil
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus.sources_sinks import (
+        _SCRATCH,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.lake import schema_drift
+
+    root = os.path.join(_SCRATCH, "w12_drift")
+    shutil.rmtree(root, ignore_errors=True)
+    src = t(spark, sf_dir, "events").where(F.col("event_id") < 2500)
+    old = src.select("event_id", "event_type", "value")
+    new = src.where(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").cast("int").alias("event_id"),
+        "event_type",
+        F.lit("us-east-1").alias("region"),
+    )
+    old.write.parquet(os.path.join(root, "gen1"))
+    new.write.parquet(os.path.join(root, "gen2"))
+    g1 = spark.read.parquet(os.path.join(root, "gen1"))
+    g2 = spark.read.parquet(os.path.join(root, "gen2"))
+
+    drift = [
+        (
+            "drift",
+            f"{r['column']}:{r['change']}:{r['old_type'] or '~'}>{r['new_type'] or '~'}",
+            0,
+        )
+        for r in schema_drift(g1, g2)
+    ]
+    gens = [("gen", "old_rows", g1.count()), ("gen", "new_rows", g2.count())]
+    return spark.createDataFrame(
+        drift + gens, "kind string, k string, n long"
+    ).orderBy("kind", "k")
+
+
+@register(
+    "lake_analyze_stats",
+    oracle="""
+        WITH e AS (
+            SELECT event_type, user_id FROM events WHERE event_id < 2500)
+        SELECT 'event_type:distinct' AS k,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n FROM e
+        UNION ALL SELECT 'event_type:nulls',
+               CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               FROM e
+        UNION ALL SELECT 'rows', COUNT(*) FROM e
+        UNION ALL SELECT 'user_id:max', CAST(MAX(user_id) AS BIGINT) FROM e
+        UNION ALL SELECT 'user_id:min', CAST(MIN(user_id) AS BIGINT) FROM e
+        UNION ALL SELECT 'user_id:nulls',
+               CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               FROM e
+        ORDER BY k
+    """,
+    tags=("B10", "data-mgmt", "lake"),
+    doc="ANALYZE TABLE statistics, end-state-checked (SURVEY line 311, "
+    "tests-only before r10): an external parquet catalog table is "
+    "ANALYZEd (table-level + FOR COLUMNS) via lake.analyze_table, then "
+    "the catalog's recorded statistics are read back (rowCount from "
+    "DESCRIBE EXTENDED's Statistics line; per-column distinct/null/"
+    "min/max from DESCRIBE EXTENDED <col>) and compared against the "
+    "SQL-stated truth. distinct_count is pinned only for the tiny-NDV "
+    "event_type column, where HLL++ sparse mode is exact at every sf; "
+    "user_id pins the exact min/max/null stats. A stale or wrong "
+    "catalog stat flips a graded row — these are the facts Catalyst's "
+    "CBO sizes broadcast joins from (lake.analyze_table; Glue crawler "
+    "statistics parity).",
+)
+def lake_analyze_stats(spark, sf_dir):
+    import os
+    import re
+    import shutil
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus.sources_sinks import (
+        _SCRATCH,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.lake import analyze_table
+
+    path = os.path.join(_SCRATCH, "w12_stats_events")
+    shutil.rmtree(path, ignore_errors=True)
+    src = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_id") < 2500)
+        .select("event_id", "event_type", "user_id")
+    )
+    src.write.parquet(path)
+    spark.sql("CREATE DATABASE IF NOT EXISTS r12_stats_db")
+    spark.sql("DROP TABLE IF EXISTS r12_stats_db.stats_events")
+    spark.sql(
+        f"CREATE TABLE r12_stats_db.stats_events USING parquet LOCATION '{path}'"
+    )
+    rec = analyze_table(
+        spark, "stats_events", db="r12_stats_db", columns=["event_type", "user_id"]
+    )
+    m = re.search(r"(\d+) rows", rec["statistics"] or "")
+    rows = [("rows", int(m.group(1)) if m else -1)]
+    for col, keys in (
+        ("event_type", {"distinct_count": "distinct", "num_nulls": "nulls"}),
+        ("user_id", {"min": "min", "max": "max", "num_nulls": "nulls"}),
+    ):
+        desc = {
+            r["info_name"]: r["info_value"]
+            for r in spark.sql(
+                f"DESCRIBE TABLE EXTENDED r12_stats_db.stats_events {col}"
+            ).collect()
+        }
+        for stat, label in keys.items():
+            v = desc.get(stat)
+            rows.append((f"{col}:{label}", int(v) if v not in (None, "NULL") else -1))
+    return spark.createDataFrame(rows, "k string, n long").orderBy("k")

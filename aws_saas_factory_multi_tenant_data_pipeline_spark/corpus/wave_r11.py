@@ -538,11 +538,17 @@ def similarity_maxsim_rerank(spark, sf_dir):
     doc="Asymmetric shingle containment (Broder, SEQUENCES 1997) — the "
     "quotation/boilerplate/subset near-dup mode Jaccard misses (a short "
     "doc swallowed by a long one has tiny Jaccard but containment ~1): "
-    "C(A->B) = |shingles(A) AND shingles(B)| / |shingles(A)| over the "
-    "inverted-index self-join (candidates share >= 1 shingle, never "
-    "all-pairs); pairs kept when either direction >= 0.5, the swallowed "
-    "side named. Counts exact ints, divisions IEEE-deterministic "
-    "(operators/dedup.py containment_pairs).",
+    "C(A->B) = |shingles(A) AND shingles(B)| / |shingles(A)|; pairs "
+    "kept when either direction >= 0.5, the swallowed side named. "
+    "Counts exact ints, divisions IEEE-deterministic "
+    "(operators/dedup.py containment_pairs). [r10] a PREFIX-FILTERED "
+    "twin ships as containment_pairs_prefix, output pinned row-identical "
+    "(tests/test_pq.py::test_containment_prefix_equals_unfiltered*); "
+    "measured crossover documented in SCALE.md — on THIS corpus sharing "
+    "pairs overlap by 1-2 shingles, so co-occurrence enumeration stays "
+    "cheaper than the prefix machinery through sf0.1, while the "
+    "boilerplate-heavy synthetic (containment's actual target mode) "
+    "shows the prefix win.",
 )
 def dedup_containment(spark, sf_dir):
     from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import (

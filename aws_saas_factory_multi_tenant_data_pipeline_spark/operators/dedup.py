@@ -961,3 +961,142 @@ def containment_pairs(
     )
     result.shingle_cache = sized
     return result
+
+
+def containment_pairs_prefix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    tau: float = 0.5,
+    max_df: float | None = None,
+) -> DataFrame:
+    """:func:`containment_pairs` via PREFIX FILTERING — identical output,
+    corpus-scale candidate generation (the r9 verdict's named next lever
+    for the one probe near the red line).
+
+    The qualifying direction of ``max(C(A→B), C(B→A)) ≥ τ`` is always
+    the SMALLER set's containment (smaller denominator), so a qualifying
+    pair must intersect inside the smaller doc's prefix: if B misses all
+    of A's first ``p`` shingles under a global total order, then
+    ``|K(A)∩K(B)| ≤ |K(A)| − p``, and C(A→B) = shared/|S(A)| < τ once
+    ``p > |K(A)| − τ·|S(A)|`` — hence ``p = ⌊|K(A)| − τ·|S(A)|⌋ + 1``
+    (``K`` = kept shingles after the optional ``max_df`` drop, ``S`` =
+    the full set whose size stays the denominator; with no ``max_df``
+    this is the classic ``⌊(1−τ)n⌋+1``). The candidate join probes each
+    doc's PREFIX against the FULL index of strictly-larger docs only
+    (ties broken by id), so the join fan-out shrinks by both the prefix
+    factor and the half-matrix role split; verification recomputes exact
+    shared counts from the kept-shingle ARRAYS per surviving pair
+    (``array_intersect`` — no re-enumeration of every co-occurrence,
+    which is what made the unfiltered form's cost track the 98×
+    candidate growth at 10× data). Same total order as
+    :func:`ngram_jaccard_pairs_prefix`: (xxhash64(shingle), shingle) —
+    content-only, deterministic across runs.
+
+    A doc whose ``τ·|S|`` exceeds ``|K|`` can never be the contained
+    side (too much of it was dropped as boilerplate) — its prefix is
+    empty, matching the unfiltered ``max_df`` semantics where such a
+    pair cannot reach the threshold either.
+    """
+    if not 0 < tau <= 1:
+        raise ValueError("prefix filtering requires 0 < tau <= 1")
+    from pyspark import StorageLevel
+
+    sized = (
+        with_shingle_col(df, text_col, shingle_k, out="__sh")
+        .select(F.col(id_col), F.col("__sh"))
+        .withColumn("__n", F.size("__sh"))
+        .where(F.col("__n") > 0)
+    )
+    ordered = F.transform(
+        F.array_sort(
+            F.transform(
+                F.col("__sh"), lambda s: F.struct(F.xxhash64(s).alias("h"), s.alias("s"))
+            )
+        ),
+        lambda st: st["s"],
+    )
+    # persist ABOVE the ordering transform: base feeds four consumers
+    # (prefix index, full index, and both verification sides) — without
+    # this the tokenize+shingle+sort pipeline executes four times
+    base = sized.select(F.col(id_col), F.col("__n"), ordered.alias("__ord"))
+    if max_df is not None:
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        n_docs = base.count()
+        hot = (
+            base.select(F.explode("__ord").alias("__s"))
+            .groupBy("__s")
+            .agg(F.count("*").alias("__df"))
+            .where(F.col("__df") > max_df * n_docs)
+            .select("__s")
+        )
+        kept_ex = base.select(
+            F.col(id_col), F.col("__n"), F.posexplode("__ord").alias("__pos", "__s")
+        ).join(F.broadcast(hot), "__s", "left_anti")
+        base = kept_ex.groupBy(id_col, "__n").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__s"))),
+                lambda st: st["__s"],
+            ).alias("__ord")
+        )
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    # p = floor(|K| - tau*|S|) + 1; the 1e-9 nudge makes a float near-tie
+    # err toward a LONGER prefix (extra candidate, never a missed one)
+    p = (
+        F.floor(
+            F.size("__ord").cast("double") - F.lit(tau) * F.col("__n").cast("double")
+            + F.lit(1e-9)
+        )
+        + 1
+    ).cast("int")
+    pre = base.select(
+        F.col(id_col),
+        F.col("__n"),
+        F.explode(F.slice("__ord", 1, F.greatest(p, F.lit(0)))).alias("__s"),
+    )
+    full = base.select(F.col(id_col), F.col("__n"), F.explode("__ord").alias("__s"))
+    a, b = pre.alias("a"), full.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__s") == F.col("b.__s"))
+            & (
+                (F.col("a.__n") < F.col("b.__n"))
+                | (
+                    (F.col("a.__n") == F.col("b.__n"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                )
+            ),
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ka = base.select(
+        F.col(id_col).alias("id_a"), F.col("__n").alias("n_a"), F.col("__ord").alias("__ka")
+    )
+    kb = base.select(
+        F.col(id_col).alias("id_b"), F.col("__n").alias("n_b"), F.col("__ord").alias("__kb")
+    )
+    ver = cand.join(ka, "id_a").join(kb, "id_b")
+    shared = F.size(F.array_intersect("__ka", "__kb")).cast("long")
+    c_ab = F.col("shared").cast("double") / F.col("n_a").cast("double")
+    c_ba = F.col("shared").cast("double") / F.col("n_b").cast("double")
+    contained = (
+        F.when((F.col("c_ab") >= 1.0) & (F.col("c_ba") >= 1.0), "both")
+        .when(F.col("c_ab") >= F.col("c_ba"), "a")
+        .otherwise("b")
+    )
+    result = (
+        ver.withColumn("shared", shared)
+        .withColumn("c_ab", c_ab)
+        .withColumn("c_ba", c_ba)
+        .where(F.greatest("c_ab", "c_ba") >= tau)
+        .withColumn("contained", contained)
+        .select("id_a", "id_b", "shared", "n_a", "n_b", "c_ab", "c_ba", "contained")
+    )
+    result.shingle_cache = base
+    return result

@@ -417,3 +417,82 @@ def test_adc_rejects_empty_codebook(spark):
     qs = spark.createDataFrame([(9, [0.0, 0.0])], "query_id long, embedding array<double>")
     with pytest.raises(ValueError, match="empty codebook"):
         pq_topk_adc(enc, qs, cb, topk=1, m=2, dim=2)
+
+
+# ---- containment prefix filtering (r10) ------------------------------------
+
+
+def _rows_sorted(df):
+    return sorted(
+        (
+            r["id_a"], r["id_b"], r["shared"], r["n_a"], r["n_b"],
+            r["c_ab"], r["c_ba"], r["contained"],
+        )
+        for r in df.collect()
+    )
+
+
+def test_containment_prefix_equals_unfiltered_on_corpus(spark):
+    """Pair-set AND full-row equality vs the unfiltered form on the real
+    documents table (the ngram_jaccard_pairs_prefix precedent), at two
+    thresholds."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import (
+        containment_pairs,
+        containment_pairs_prefix,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for tau in (0.5, 0.8):
+        ref = _rows_sorted(containment_pairs(df, tau=tau))
+        got = _rows_sorted(containment_pairs_prefix(df, tau=tau))
+        assert got == ref and len(ref) > 0, f"tau={tau}"
+
+
+def test_containment_prefix_equals_unfiltered_with_max_df(spark):
+    """The max_df boilerplate drop composes with prefix filtering: kept
+    sets shrink, denominators stay full — outputs must stay identical."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import (
+        containment_pairs,
+        containment_pairs_prefix,
+    )
+
+    rows = [(i, f"alpha beta gamma delta x{i} y{i} z{i} footer one two three") for i in range(30)]
+    rows += [(100, "unique seven words quoted wholesale inside document"),
+             (101, "unique seven words quoted wholesale inside document "
+                   "plus a very long tail of extra content words here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = _rows_sorted(containment_pairs(df, tau=0.4, max_df=0.5))
+    got = _rows_sorted(containment_pairs_prefix(df, tau=0.4, max_df=0.5))
+    assert got == ref and len(ref) > 0
+
+
+def test_containment_prefix_crafted_boundaries(spark):
+    """Exact-threshold pairs (shared = tau*n exactly) must survive the
+    prefix bound — the float-nudge direction check."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import (
+        containment_pairs,
+        containment_pairs_prefix,
+    )
+
+    # doc 1: 4 shingles (6 tokens, k=3); doc 2 shares exactly 2 of them
+    # -> c_12 = 0.5 exactly at tau=0.5
+    d1 = "a b c d e f"             # shingles: abc bcd cde def
+    d2 = "c d e f q r s t u v"     # shares cde, def among 8
+    df = spark.createDataFrame([(1, d1), (2, d2)], "doc_id long, text string")
+    ref = _rows_sorted(containment_pairs(df, tau=0.5))
+    got = _rows_sorted(containment_pairs_prefix(df, tau=0.5))
+    assert got == ref
+    assert len(ref) == 1 and ref[0][7] == "a"  # the short doc is contained
+
+
+def test_containment_prefix_rejects_bad_tau(spark):
+    import pytest as _pytest
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import (
+        containment_pairs_prefix,
+    )
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    for bad in (0.0, -0.1, 1.5):
+        with _pytest.raises(ValueError, match="prefix filtering"):
+            containment_pairs_prefix(df, tau=bad)

@@ -485,6 +485,8 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     # r10 wave: lifecycle end-state oracles for formerly tests-only rows
     "lake_schema_drift_report",
     "lake_analyze_stats",
+    # r10 wave: the WebP VP8L codec oracle
+    "multimodal_webp_decode",
 )
 
 

@@ -157,3 +157,77 @@ def lake_analyze_stats(spark, sf_dir):
             v = desc.get(stat)
             rows.append((f"{col}:{label}", int(v) if v not in (None, "NULL") else -1))
     return spark.createDataFrame(rows, "k string, n long").orderBy("k")
+
+
+@register(
+    "multimodal_webp_decode",
+    oracle="""
+        SELECT doc_id,
+               -CAST(POWER(2, 8 * ((8 + doc_id % 16 + 3) // 4)) AS BIGINT)
+                   AS ahash
+        FROM documents WHERE doc_id < 64
+        ORDER BY doc_id
+    """,
+    tags=("B10", "multimodal", "image"),
+    doc="WebP VP8L lossless decode END-TO-END with an ANALYTIC oracle "
+    "(the [r10] codec closing the last real-crawl image-format gap): "
+    "per doc a 32x32 two-tone RIFF/WEBP/VP8L image (bright split at row "
+    "8 + doc_id % 16, grays 40/200) rotates the declared feature "
+    "surface — subtract-green transform by doc_id % 2, color cache "
+    "(4-bit) by doc_id % 3, repeated-row LZ77 copies by doc_id % 5, "
+    "2-color palette with 8-pixels-per-byte bundling by doc_id % 7 "
+    "(when not subtract-green) — then decodes through the codec "
+    "registry's RIFF sniffer and average-hashes to "
+    "-(2^(8*ceil(split/4))), the same closed form the PNG/GIF/ICO/QOI/"
+    "TGA oracles pin; any prefix-code, cache-hash, LZ77, transform, "
+    "bundling, or registry defect flips whole rows "
+    "(operators/webp.py; WebP Lossless Bitstream Specification / "
+    "RFC 9649; container per the WebP Container Specification).",
+)
+def multimodal_webp_decode(spark, sf_dir):
+    import pandas as pd
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        with_average_hash,
+    )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 64).select("doc_id")
+
+    def op(batches):
+        import numpy as np
+
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.webp import (
+            encode_webp_lossless,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                split = 8 + did % 16
+                px = np.full((32, 32, 3), 40, dtype=np.uint8)
+                px[split:, :, :] = 200
+                sg = did % 2 == 0
+                rows.append(
+                    {
+                        "media_id": did,
+                        "kind": "image",
+                        "payload": encode_webp_lossless(
+                            px,
+                            subtract_green=sg,
+                            cache_bits=4 if did % 3 == 0 else 0,
+                            lz77_rows=did % 5 == 0,
+                            palette=(did % 7 == 0) and not sg,
+                        ),
+                        "meta": None,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    media = d.mapInPandas(op, MEDIA_SCHEMA)
+    return (
+        with_average_hash(media)
+        .select(F.col("media_id").alias("doc_id"), "ahash")
+        .orderBy("doc_id")
+    )

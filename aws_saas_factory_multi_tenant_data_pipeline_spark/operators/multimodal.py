@@ -383,6 +383,14 @@ def _decode_tga_rgb(payload: bytes):
     return decode_tga(payload)
 
 
+def _decode_webp_rgb(payload: bytes):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.webp import (
+        decode_webp,
+    )
+
+    return decode_webp(payload)
+
+
 def _stdlib_image_decoders() -> dict:
     return {
         "png": decode_png,
@@ -396,6 +404,9 @@ def _stdlib_image_decoders() -> dict:
         "h264": _decode_h264_rgb,
         "qoi": _decode_qoi_rgb,
         "tiff": _decode_tiff_rgb,
+        # VP8L lossless from spec; lossy VP8 quarantines with a named
+        # error (operators/webp.py declared boundary)
+        "webp": _decode_webp_rgb,
         # TGA has no magic number: never sniffed from payload bytes —
         # reachable only via extension routing or an explicit decoders
         # dict (operators/tga.py docstring)
@@ -452,6 +463,8 @@ def sniff_image_format(payload: bytes) -> str | None:
         return "qoi"
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
         return "tiff"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return "webp"
     if payload[:2] == b"BM" and len(payload) >= 18:
         return "bmp"
     if payload[:4] == b"\x00\x00\x00\x01" or payload[:3] == b"\x00\x00\x01":

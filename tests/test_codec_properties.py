@@ -94,3 +94,35 @@ def test_warc_incremental_equals_batch_under_any_chunking(cuts):
         prev = c
     chunks.append(data[prev:])
     assert list(iter_warc_records(iter(chunks))) == parse_warc_records(data)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 12),
+    st.integers(1, 12),
+    st.integers(2, 18),
+    st.booleans(),
+    st.sampled_from([0, 3, 7]),
+    st.booleans(),
+    st.booleans(),
+    st.integers(0, 2**32 - 1),
+)
+def test_webp_vp8l_roundtrip_lossless(h, w, ncol, sg, cb, lz, pal, seed):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.webp import (
+        decode_webp,
+        encode_webp_lossless,
+    )
+
+    rng = np.random.default_rng(seed)
+    colors = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+    px = colors[rng.integers(0, ncol, (h, w))]
+    blob = encode_webp_lossless(
+        px,
+        subtract_green=sg and not pal,
+        cache_bits=cb,
+        lz77_rows=lz,
+        palette=pal and not sg,
+    )
+    rgb, got_w, got_h = decode_webp(blob)
+    assert (got_w, got_h) == (w, h)
+    assert (rgb == px).all()

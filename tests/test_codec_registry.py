@@ -76,8 +76,9 @@ def test_sniffers_route_by_magic():
 
 
 def test_register_unknown_format_rejected():
+    # webp became a known format in r10 — avif is the canonical unknown
     with pytest.raises(ValueError, match="unknown image format"):
-        register_image_decoder("webp", lambda p: None)
+        register_image_decoder("avif", lambda p: None)
     with pytest.raises(ValueError, match="unknown audio format"):
         register_audio_decoder("ogg", lambda p: None)
 

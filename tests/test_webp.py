@@ -1,0 +1,447 @@
+"""WebP VP8L codec (operators/webp.py): container/header pins, feature
+roundtrips, hand-crafted streams for the decoder paths the fixture
+encoder does not emit (predictor/color transforms, meta prefix groups,
+overlapping LZ77, short-distance boundary), declared-boundary contracts
+on a REAL third-party file, registry dispatch, and tear fuzz."""
+
+from __future__ import annotations
+
+import glob
+import itertools
+
+import numpy as np
+import pytest
+
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators import webp as W
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.webp import (
+    _BitReader,
+    _BitWriter,
+    _emit_prefix_code,
+    _encode_entropy_stream,
+    _prefix_encode,
+    _prefix_value,
+    decode_vp8l,
+    decode_webp,
+    encode_webp_lossless,
+)
+
+
+def _rng():
+    return np.random.default_rng(20261015)
+
+
+# ---- container / header pins ----------------------------------------------
+
+
+def test_container_layout_pin():
+    px = np.zeros((1, 1, 3), np.uint8)
+    blob = encode_webp_lossless(px)
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"WEBP"
+    assert blob[12:16] == b"VP8L"
+    body = blob[20:]
+    assert body[0] == 0x2F  # VP8L signature
+    # 14+14 zero bits for 1x1 dims, alpha bit 0, version 000
+    br = _BitReader(body[1:])
+    assert br.read(14) == 0 and br.read(14) == 0
+    assert br.read(1) == 0 and br.read(3) == 0
+
+
+def test_bad_signature_and_container_rejected():
+    with pytest.raises(ValueError, match="VP8L"):
+        decode_vp8l(b"\x30\x00\x00\x00")
+    with pytest.raises(ValueError, match="WebP"):
+        decode_webp(b"RIFF\x00\x00\x00\x00WAVE")
+    with pytest.raises(ValueError, match="torn"):
+        blob = encode_webp_lossless(np.zeros((4, 4, 3), np.uint8))
+        decode_webp(blob[:-3] + b"\x00" * 0 if False else blob[: len(blob) - 3])
+
+
+# ---- roundtrips over the feature matrix ------------------------------------
+
+
+def test_roundtrip_feature_matrix():
+    rng = _rng()
+    px = np.full((16, 13, 3), 40, np.uint8)
+    px[7:, :, :] = 200
+    px[3, :, :] = rng.integers(0, 256, (13, 3))
+    for sg, cb, lz, pal in itertools.product([False, True], [0, 4], [False, True], [False, True]):
+        if sg and pal:
+            continue
+        blob = encode_webp_lossless(
+            px, subtract_green=sg, cache_bits=cb, lz77_rows=lz, palette=pal
+        )
+        rgb, w, h = decode_webp(blob)
+        assert (rgb == px).all() and (w, h) == (13, 16), (sg, cb, lz, pal)
+
+
+def test_roundtrip_degenerate_shapes():
+    rng = _rng()
+    for shape in [(1, 1), (1, 9), (9, 1), (2, 2)]:
+        px = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+        rgb, w, h = decode_webp(encode_webp_lossless(px))
+        assert (rgb == px).all() and (w, h) == (shape[1], shape[0])
+
+
+def test_palette_bundling_all_widths():
+    """2 colors -> 8 px/byte, 4 -> 4, 16 -> 2, 17 -> 1; widths chosen
+    indivisible by the bundle factor to hit the ragged tail."""
+    rng = _rng()
+    for ncol, w in [(2, 11), (4, 9), (16, 7), (17, 5)]:
+        colors = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+        colors = np.unique(colors, axis=0)
+        idx = rng.integers(0, len(colors), (6, w))
+        px = colors[idx]
+        rgb, got_w, got_h = decode_webp(encode_webp_lossless(px, palette=True))
+        assert (rgb == px).all() and (got_w, got_h) == (w, 6), ncol
+
+
+def test_gray_2d_input():
+    g = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    rgb, w, h = decode_webp(encode_webp_lossless(g))
+    assert (rgb[..., 0] == g).all() and (rgb[..., 2] == g).all()
+
+
+def test_color_cache_path_actually_used():
+    """Many repeats of varied colors with cache on: hits cost one green
+    symbol instead of four per-channel literals, so the stream must
+    shrink vs the cache-off stream and still roundtrip."""
+    rng = _rng()
+    colors = rng.integers(0, 256, (40, 3), dtype=np.uint8)
+    px = colors[rng.integers(0, 40, (24, 24))]
+    off = encode_webp_lossless(px, cache_bits=0)
+    on = encode_webp_lossless(px, cache_bits=8)
+    assert len(on) < len(off)
+    rgb, _, _ = decode_webp(on)
+    assert (rgb == px).all()
+
+
+def test_lz77_row_copies_shrink_stream():
+    rng = _rng()
+    row = rng.integers(0, 256, (1, 24, 3), dtype=np.uint8)
+    px = np.repeat(row, 20, axis=0)
+    plain = encode_webp_lossless(px)
+    lz = encode_webp_lossless(px, lz77_rows=True)
+    assert len(lz) < len(plain)
+    rgb, _, _ = decode_webp(lz)
+    assert (rgb == px).all()
+
+
+# ---- prefix-coded integers --------------------------------------------------
+
+
+def test_prefix_value_encode_inverse():
+    for v in list(range(1, 300)) + [1024, 4095, 4096]:
+        code, eb, ev = _prefix_encode(v)
+        bw = _BitWriter()
+        bw.write(ev, eb)
+        assert _prefix_value(code, _BitReader(bw.tobytes() or b"\x00")) == v
+    with pytest.raises(ValueError):
+        _prefix_encode(0)
+
+
+# ---- hand-crafted streams: decoder paths the encoder never emits ------------
+
+
+def _craft(w, h, body_fn):
+    """Build a VP8L payload: header + body_fn(bw) writes the rest."""
+    bw = _BitWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    body_fn(bw)
+    return b"\x2f" + bw.tobytes()
+
+
+def test_overlapping_lz77_copy():
+    """length 5 at distance 1: the classic overlapping run."""
+
+    def body(bw):
+        bw.write(0, 1)  # no transforms
+        _encode_entropy_stream(
+            bw, [("lit", 255, 9, 8, 7), ("copy", 5, 1)], 0, is_main=True
+        )
+
+    argb, w, h = decode_vp8l(_craft(6, 1, body))
+    assert (argb[0, :, 1] == 9).all() and (argb[0, :, 2] == 8).all()
+
+
+def test_short_distance_codes_are_declared_boundary_with_seam():
+    """dist_code <= 120 raises the named error; injecting the map seam
+    enables the same stream."""
+
+    def body(bw):
+        bw.write(0, 1)  # no transforms
+        bw.write(0, 1)  # no cache
+        bw.write(0, 1)  # no meta
+        glens = [0] * 280
+        glens[7] = 1  # literal green 7
+        glens[256] = 1  # length prefix-code 0 -> length 1
+        gcodes = _emit_prefix_code(bw, glens)
+        one = [0] * 256
+        one[5] = 1
+        rcodes = _emit_prefix_code(bw, one)
+        bcodes = _emit_prefix_code(bw, one)
+        acodes = _emit_prefix_code(bw, one)
+        dlens = [0] * 40
+        dlens[0] = 1  # distance prefix-code 0 -> dist_code 1 (mapped!)
+        _emit_prefix_code(bw, dlens)
+        bw.write_code(*gcodes[7])  # literal pixel
+        # rcodes/bcodes/acodes are single-symbol codes: zero bits each
+        bw.write_code(*gcodes[256])  # copy, length 1
+        # distance code: single symbol, zero bits -> dist_code 1
+
+    payload = _craft(2, 1, body)
+    assert W.SHORT_DISTANCE_MAP is None
+    with pytest.raises(ValueError, match="short-distance"):
+        decode_vp8l(payload)
+    try:
+        W.SHORT_DISTANCE_MAP = [(1, 0)] + [(0, 0)] * 119
+        argb, _, _ = decode_vp8l(payload)
+        assert (argb[0, 0] == argb[0, 1]).all()
+    finally:
+        W.SHORT_DISTANCE_MAP = None
+
+
+def _lit(argb_int):
+    a = (argb_int >> 24) & 0xFF
+    r = (argb_int >> 16) & 0xFF
+    g = (argb_int >> 8) & 0xFF
+    b = argb_int & 0xFF
+    return ("lit", a, r, g, b)
+
+
+def test_predictor_transform_all_modes_decode():
+    """For every mode 0..13: craft a 3x3 image with a single predictor
+    cell, residuals derived from the documented edge rules + _predict;
+    the decoded pixels must equal the target exactly."""
+    rng = _rng()
+    for mode in range(14):
+        target = [
+            (0xFF << 24) | int(v)
+            for v in rng.integers(0, 1 << 24, 9)
+        ]
+        w = h = 3
+        residuals = []
+        for i, t in enumerate(target):
+            y, x = divmod(i, w)
+            if x == 0 and y == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = target[i - 1]
+            elif x == 0:
+                pred = target[i - w]
+            else:
+                pred = W._predict(
+                    mode,
+                    target[i - 1],
+                    target[i - w],
+                    target[i - w - 1],
+                    target[i - w + 1],
+                )
+            residuals.append(W._sub_px(t, pred))
+
+        def body(bw):
+            bw.write(1, 1)  # transform present
+            bw.write(0, 2)  # predictor
+            bw.write(2, 3)  # size_bits = 4 -> one 16x16 cell
+            # sub-image: 1x1, mode in the green channel
+            _encode_entropy_stream(bw, [_lit(mode << 8)], 0)
+            bw.write(0, 1)  # end of transforms
+            _encode_entropy_stream(bw, [_lit(p) for p in residuals], 0, is_main=True)
+
+        argb, _, _ = decode_vp8l(_craft(w, h, body))
+        got = [
+            (int(argb[y, x, 0]) << 24)
+            | (int(argb[y, x, 1]) << 16)
+            | (int(argb[y, x, 2]) << 8)
+            | int(argb[y, x, 3])
+            for y in range(h)
+            for x in range(w)
+        ]
+        assert got == target, f"mode {mode}"
+
+
+def test_predictor_formula_pins():
+    """Hand-computed spec formulas (not roundtrip-derived)."""
+    L = 0xFF000000 | (100 << 16) | (50 << 8) | 10
+    T = 0xFF000000 | (80 << 16) | (60 << 8) | 30
+    TL = 0xFF000000 | (90 << 16) | (70 << 8) | 40
+    TR = 0xFF000000 | (10 << 16) | (20 << 8) | 200
+    # mode 7 Average2(L, T): r=(100+80)/2=90, g=55, b=20
+    assert W._predict(7, L, T, TL, TR) == (0xFF000000 | (90 << 16) | (55 << 8) | 20)
+    # mode 12 ClampAddSubtractFull: r=100+80-90=90, g=40, b=0
+    assert W._predict(12, L, T, TL, TR) == (0xFF000000 | (90 << 16) | (40 << 8) | 0)
+    # mode 13 Half: ave=(90,55,20); d=ave-TL=(0,-15,-20) -> trunc halves
+    # (0,-7,-10) -> clamp(90,48,10)
+    assert W._predict(13, L, T, TL, TR) == (0xFF000000 | (90 << 16) | (48 << 8) | 10)
+    # mode 11 Select: p = L+T-TL = (90,40,0); pL=|90-100|+|40-50|+|0-10|=30
+    # pT=|90-80|+|40-60|+|0-30|=60 -> L (alpha terms cancel)
+    assert W._predict(11, L, T, TL, TR) == L
+
+
+def test_color_transform_decode_roundtrip():
+    """Forward-transform residuals built in the test (spec formulas),
+    decoded through the transform path — incl. negative (>=0x80) deltas."""
+    rng = _rng()
+    for g2r, g2b, r2b in [(0, 0, 0), (64, 32, 16), (0xFF, 0x80, 0xC0), (17, 0xE9, 5)]:
+        target = [(0xFF << 24) | int(v) for v in rng.integers(0, 1 << 24, 4)]
+        elem = (r2b << 16) | (g2b << 8) | g2r
+        residuals = []
+        for t in target:
+            a, r, g, b = W._channels(t)
+            tr = (r - W._ct_delta(g2r, g)) & 0xFF
+            tb = (b - W._ct_delta(g2b, g) - W._ct_delta(r2b, r)) & 0xFF
+            residuals.append(W._pack(a, tr, g, tb))
+
+        def body(bw):
+            bw.write(1, 1)
+            bw.write(1, 2)  # color transform
+            bw.write(2, 3)  # size_bits = 4 -> single cell
+            _encode_entropy_stream(bw, [_lit(elem)], 0)
+            bw.write(0, 1)
+            _encode_entropy_stream(bw, [_lit(p) for p in residuals], 0, is_main=True)
+
+        argb, _, _ = decode_vp8l(_craft(2, 2, body))
+        got = [
+            (int(argb[y, x, 0]) << 24)
+            | (int(argb[y, x, 1]) << 16)
+            | (int(argb[y, x, 2]) << 8)
+            | int(argb[y, x, 3])
+            for y in range(2)
+            for x in range(2)
+        ]
+        assert got == target, (g2r, g2b, r2b)
+
+
+def test_ct_delta_signed_semantics():
+    assert W._ct_delta(0xFF, 0xFF) == 0  # (-1 * -1) >> 5
+    assert W._ct_delta(64, 200) == -112  # 64 * -56 = -3584 >> 5
+    assert W._ct_delta(0x80, 0x7F) == -508  # -128 * 127 >> 5
+
+
+def test_meta_prefix_groups_decode():
+    """8x1 image, meta_bits=2 -> two 4-pixel groups with DIFFERENT green
+    codes; a decoder that ignores group routing cannot decode this."""
+
+    def body(bw):
+        bw.write(0, 1)  # no transforms
+        bw.write(0, 1)  # no cache
+        bw.write(1, 1)  # meta prefix present
+        bw.write(0, 3)  # meta_bits = 2 -> blocks of 4 -> 2x1 entropy image
+        # entropy image pixels: (red<<8 | green) = group index 0 then 1
+        _encode_entropy_stream(bw, [_lit(0), _lit(1 << 8)], 0)
+        # group 0: literal green 10 only (reds/blues/alphas fixed 1,2,3)
+        g0 = [0] * 280
+        g0[10] = 1
+        g0[11] = 1
+        one = [0] * 256
+
+        def emit_group(gl, rv, bv, av):
+            gcodes = _emit_prefix_code(bw, gl)
+            r = one[:]
+            r[rv] = 1
+            _emit_prefix_code(bw, r)
+            b = one[:]
+            b[bv] = 1
+            _emit_prefix_code(bw, b)
+            a = one[:]
+            a[av] = 1
+            _emit_prefix_code(bw, a)
+            d = [0] * 40
+            d[0] = 1
+            _emit_prefix_code(bw, d)
+            return gcodes
+
+        gc0 = emit_group(g0, 1, 2, 255)
+        g1 = [0] * 280
+        g1[200] = 1
+        g1[201] = 1
+        gc1 = emit_group(g1, 7, 8, 255)
+        for _ in range(4):
+            bw.write_code(*gc0[10])
+        for _ in range(4):
+            bw.write_code(*gc1[200])
+
+    argb, w, h = decode_vp8l(_craft(8, 1, body))
+    assert list(argb[0, :, 2]) == [10] * 4 + [200] * 4  # green
+    assert list(argb[0, :, 1]) == [1] * 4 + [7] * 4  # red per group
+
+
+# ---- declared boundaries on a REAL third-party file -------------------------
+
+
+def _real_webp_path():
+    hits = glob.glob("/root/.pyenv/versions/*/lib/python*/test/imghdrdata/python.webp")
+    return hits[0] if hits else None
+
+
+def test_real_world_lossy_webp_sniffs_and_quarantines():
+    """CPython's test-suite python.webp (a REAL third-party encoder's
+    VP8X + lossy VP8 file): the sniffer must route it to the webp entry,
+    the container walk must parse its chunks, and the decode must
+    quarantine with the named lossy-boundary error — never wrong pixels."""
+    path = _real_webp_path()
+    if path is None:
+        pytest.skip("no host python.webp available")
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+        sniff_image_format,
+    )
+
+    blob = open(path, "rb").read()
+    assert sniff_image_format(blob) == "webp"
+    with pytest.raises(ValueError, match="lossy"):
+        decode_image(blob)
+
+
+def test_registry_dispatch_and_swap():
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+        register_image_decoder,
+        reset_decoders,
+    )
+
+    px = np.full((8, 8, 3), 7, np.uint8)
+    blob = encode_webp_lossless(px)
+    rgb, w, h = decode_image(blob)
+    assert (rgb == px).all() and (w, h) == (8, 8)
+    try:
+        register_image_decoder("webp", lambda payload: (px * 0, 8, 8))
+        swapped, _, _ = decode_image(blob)
+        assert (swapped == 0).all()
+    finally:
+        reset_decoders()
+    rgb2, _, _ = decode_image(blob)
+    assert (rgb2 == px).all()
+
+
+# ---- tear contract -----------------------------------------------------------
+
+
+def test_tear_contract_fuzz():
+    """300 truncations/mutations: decode either succeeds (mutations can
+    land on don't-care bits) or raises a clean ValueError — never an
+    index error, infinite loop, or wrong exception type."""
+    rng = _rng()
+    px = rng.integers(0, 256, (12, 12, 3), dtype=np.uint8)
+    blob = bytearray(
+        encode_webp_lossless(px, cache_bits=3, lz77_rows=True)
+    )
+    for trial in range(300):
+        mutated = bytearray(blob)
+        if trial % 2 == 0:
+            cut = int(rng.integers(12, len(mutated)))
+            mutated = mutated[:cut]
+        else:
+            pos = int(rng.integers(20, len(mutated)))
+            mutated[pos] ^= 1 << int(rng.integers(0, 8))
+        try:
+            decode_webp(bytes(mutated))
+        except ValueError:
+            pass
+
+
+def test_dimension_bounds():
+    with pytest.raises(ValueError, match="dimensions"):
+        encode_webp_lossless(np.zeros((1, 0, 3), np.uint8))

@@ -47,6 +47,7 @@ _T_ROWS_PER_STRIP = 278
 _T_STRIP_BYTE_COUNTS = 279
 _T_PLANAR = 284
 _T_COLOR_MAP = 320
+_T_EXTRA_SAMPLES = 338
 _T_TILE_WIDTH = 322
 _T_TILE_LENGTH = 323
 
@@ -171,7 +172,20 @@ def decode_tiff(payload: bytes):
     if photo not in (0, 1, 2, 3):
         raise ValueError(f"photometric {photo} outside the declared scope")
     if photo == 2 and spp > 3:
-        raise ValueError("extra-sample (alpha) TIFF outside the declared scope")
+        # [r10] RGBA in scope: exactly ONE declared extra sample (tag 338,
+        # TIFF 6.0 §18) rides as a 4th 8-bit chunky sample and is dropped —
+        # the ICO-32bpp convention. Real libtiff RGBA files (CPython's
+        # python.tiff) decode through this path; anything wider stays a
+        # named boundary.
+        extra = ifd.get(_T_EXTRA_SAMPLES)
+        if isinstance(extra, (list, tuple)):
+            n_extra = len(extra)
+        else:
+            n_extra = 1 if extra is not None else 0
+        if spp != 4 or n_extra != 1:
+            raise ValueError(
+                "multi-extra-sample TIFF outside the declared scope"
+            )
 
     offsets = ifd.get(_T_STRIP_OFFSETS)
     counts = ifd.get(_T_STRIP_BYTE_COUNTS)

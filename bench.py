@@ -54,6 +54,8 @@ HEADLINE = [
     "multimodal_h264_keyframes",  # B10 MP4(avc1) -> intra decode -> aHash
     # round-9 second wave: PQ ANN (train + encode + ADC search, integer-exact)
     "similarity_pq_adc",          # B10 product quantization end-to-end
+    # round-10 flagship: WebP VP8L decode through the codec registry
+    "multimodal_webp_decode",     # B10 RIFF/VP8L -> decode -> aHash
 ]
 
 
@@ -290,6 +292,29 @@ def main() -> None:
     calib.append(round(min(_bench_calibration(spark) for _ in range(3)), 3))
     loadavg_after = [round(x, 2) for x in os.getloadavg()]
 
+    # r10 (r9 verdict #7): isolated minimums for the slowest headliners.
+    # In-sequence numbers after 80+ prior stages carry ~1.5x JVM/GC and
+    # broadcast-accumulation inflation (r9: pagerank 6.28 s in-sequence
+    # vs 4.15 s judge-isolated). A fresh session — caches, broadcasts,
+    # and shuffle state dropped — approximates the isolated re-run
+    # without a new process; both numbers are recorded so round-over-
+    # round comparisons stop paying the in-sequence tax.
+    top3 = sorted(
+        (n for n in HEADLINE if n in timings), key=lambda n: timings[n], reverse=True
+    )[:3]
+    spark.stop()
+    spark = get_spark("mtdp-bench-isolated", cpus=cpus, shuffle_partitions=cpus)
+    registry["join_cross"].spark_fn(spark, sf_dir).count()  # fresh-session warmup
+    isolated: dict[str, float] = {}
+    for name in top3:
+        fn = registry[name].spark_fn
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        isolated[name] = round(best, 3)
+
     out = {
         "metric": "headline_query_wall_seconds",
         "value": round(sum(timings.values()), 3),
@@ -313,6 +338,11 @@ def main() -> None:
         "calibration_gate_attempts": gate_attempts,
         "gate_steal_pct": steal_pcts,
         "host_quiet": host_quiet,
+        # fresh-session min-of-3 for the three slowest headliners (the
+        # in-sequence numbers in "queries" carry accumulated JVM state;
+        # these are the steady-state engine speeds — compare LIKE WITH
+        # LIKE across rounds)
+        "isolated_top3": isolated,
         "loadavg_before": loadavg_before,
         "loadavg_after": loadavg_after,
     }

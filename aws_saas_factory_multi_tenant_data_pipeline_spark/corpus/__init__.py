@@ -485,8 +485,10 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     # r10 wave: lifecycle end-state oracles for formerly tests-only rows
     "lake_schema_drift_report",
     "lake_analyze_stats",
-    # r10 wave: the WebP VP8L codec oracle
+    # r10 wave: the WebP VP8L codec oracle + Sun AU audio
     "multimodal_webp_decode",
+    "audio_au_roundtrip",
+    "crawl_sitemap_frontier",
 )
 
 

@@ -231,3 +231,218 @@ def multimodal_webp_decode(spark, sf_dir):
         .select(F.col("media_id").alias("doc_id"), "ahash")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "audio_au_roundtrip",
+    oracle="""
+        WITH samples AS (
+            SELECT d.doc_id, t.i,
+                   CAST(((d.doc_id * 31 + t.i * 7) % 256) - 128 AS BIGINT) AS s
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 24) d
+            CROSS JOIN (SELECT UNNEST(RANGE(300)) AS i) t)
+        SELECT doc_id,
+               CAST(SUM((i + 1) * s) AS BIGINT) AS weighted_sum,
+               CAST(COUNT(*) AS BIGINT) AS n_samples,
+               CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 11025
+                    WHEN 2 THEN 16000 ELSE 22050 END AS BIGINT) AS sample_rate,
+               CAST(CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 16
+                    WHEN 2 THEN 24 ELSE 32 END AS BIGINT) AS bits
+        FROM samples GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("B10", "multimodal", "audio"),
+    doc="Sun/NeXT AU decode END-TO-END with a fully ANALYTIC oracle (the "
+    "[r10] codec — the oldest still-crawled audio container, with REAL "
+    "third-party files for every depth in tests/test_au.py): per doc "
+    "300 formula-derived int8-range samples are written big-endian at a "
+    "rotating linear depth (8/16/24/32-bit by doc_id % 4, rotating "
+    "sample rates, an annotation gap after the header) — integer PCM is "
+    "lossless and the values are depth-representable at every width, so "
+    "the position-weighted sample sum recovered through the audio codec "
+    "registry equals the generating formula stated in SQL at EVERY "
+    "depth; any header-walk, byte-order, 24-bit sign-extension, or "
+    "registry dispatch defect shifts a column (operators/au.py; Sun "
+    "audio format / NeXT SNDSoundStruct; RFC 2046 audio/basic).",
+)
+def audio_au_roundtrip(spark, sf_dir):
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 24).select("doc_id")
+    out_schema = (
+        "doc_id long, weighted_sum long, n_samples long, sample_rate long, bits long"
+    )
+
+    def op(batches):
+        import numpy as np
+
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.au import (
+            encode_au,
+        )
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+            decode_audio,
+        )
+
+        encs = [("pcm8", 128), ("pcm16", 32768), ("pcm24", 1 << 23), ("pcm32", 1 << 31)]
+        rates = [8000, 11025, 16000, 22050]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                i = np.arange(300)
+                s = (((did * 31 + i * 7) % 256) - 128).astype(np.int64)
+                enc, scale = encs[did % 4]
+                rate = rates[did % 4]
+                blob = encode_au(s, rate, enc, annotation=b"w12 fixture")
+                mono, sr, ch = decode_audio(blob)
+                ints = np.rint(mono * scale).astype(np.int64)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "weighted_sum": int(np.sum((i + 1) * ints)),
+                        "n_samples": len(ints),
+                        "sample_rate": sr,
+                        "bits": [8, 16, 24, 32][did % 4],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "weighted_sum", "n_samples", "sample_rate", "bits"],
+            )
+
+    return d.mapInPandas(op, out_schema).orderBy("doc_id")
+
+
+def _sitemap_oracle() -> str:
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.html import (
+        extract_sitemap_entries_sql,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.urlnorm import (
+        canonicalize_url_sql,
+    )
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    def cat(*parts: str) -> str:
+        return "(" + " || ".join(parts) + ")"
+
+    n = "CAST(doc_id % 7 AS VARCHAR)"
+    idx_xml = cat(
+        lit("<sitemapindex><sitemap><loc>https://maps.site"),
+        n,
+        lit(".org/sitemap"),
+        "CAST(doc_id % 9 AS VARCHAR)",
+        lit(".xml</loc><lastmod>2024-03-01</lastmod></sitemap>"
+            "<sitemap><loc>https://maps.site"),
+        n,
+        lit(".org/sitemap"),
+        "CAST((doc_id + 1) % 9 AS VARCHAR)",
+        lit(".xml</loc></sitemap></sitemapindex>"),
+    )
+    urlset_xml = cat(
+        lit("<urlset><url><loc>https://Example.COM:443/p/"),
+        "CAST((doc_id * 3 + 1) % 50 AS VARCHAR)",
+        lit("?a=1&amp;utm_source=feed</loc><lastmod>2024-01-"),
+        "CAST(doc_id % 9 + 10 AS VARCHAR)",
+        lit("</lastmod></url><url><loc>  http://site"),
+        "CAST(doc_id % 5 AS VARCHAR)",
+        lit(".org/q/"),
+        "CAST((doc_id * 7 + 2) % 50 AS VARCHAR)",
+        lit("  </loc></url><url><lastmod>2024-02-02</lastmod></url>"
+            "</urlset>"),
+    )
+    xml = f"(CASE WHEN doc_id % 5 = 0 THEN {idx_xml} ELSE {urlset_xml} END)"
+    entries = extract_sitemap_entries_sql(xml)
+    canon = canonicalize_url_sql("e.loc")
+    return f"""
+        WITH pages AS (
+            SELECT doc_id, {entries} AS es
+            FROM documents WHERE doc_id < 120),
+        exploded AS (
+            SELECT doc_id, CAST(i AS INT) AS pos, es[i] AS e
+            FROM pages, LATERAL (SELECT unnest(range(1, len(es) + 1)) AS i)),
+        shaped AS (
+            SELECT doc_id, e.kind AS kind, pos,
+                   CASE WHEN e.kind = 'url' THEN {canon} ELSE e.loc END AS url,
+                   e.lastmod AS lastmod
+            FROM exploded)
+        SELECT doc_id, kind, pos, url, lastmod FROM shaped
+        ORDER BY doc_id, kind, pos
+    """
+
+
+@register(
+    "crawl_sitemap_frontier",
+    oracle=_sitemap_oracle(),
+    tags=("B10", "crawl"),
+    doc="sitemap.xml frontier extraction (sitemaps.org 0.9) — the third "
+    "leg of the crawl-politeness trio (robots.txt gate, sitemap seeds, "
+    "page link graph): per doc a synthetic sitemap (a <sitemapindex> "
+    "with two child sitemaps every 5th doc, else a <urlset> with an "
+    "entity-escaped tracking-params URL + lastmod, a whitespace-padded "
+    "plain URL without lastmod, and a loc-less entry that must be "
+    "dropped) goes through block/loc/lastmod extraction, XML entity "
+    "unescape, and URL canonicalization for the url entries into "
+    "(doc_id, kind, pos, url, lastmod) frontier rows. Extraction runs "
+    "as GENERATED Spark/DuckDB twins from one set of pattern constants "
+    "(the extract_links convention), so it is verified character-for-"
+    "character (operators/html.py extract_sitemap_entries; "
+    "operators/urlnorm.py).",
+)
+def crawl_sitemap_frontier(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.html import (
+        extract_sitemap_entries,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.urlnorm import (
+        canonicalize_url,
+    )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    s = lambda c: c.cast("string")  # noqa: E731
+    idx = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("<sitemapindex><sitemap><loc>https://maps.site"),
+                s(F.col("doc_id") % 7),
+                F.lit(".org/sitemap"),
+                s(F.col("doc_id") % 9),
+                F.lit(".xml</loc><lastmod>2024-03-01</lastmod></sitemap>"
+                      "<sitemap><loc>https://maps.site"),
+                s(F.col("doc_id") % 7),
+                F.lit(".org/sitemap"),
+                s((F.col("doc_id") + 1) % 9),
+                F.lit(".xml</loc></sitemap></sitemapindex>"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("<urlset><url><loc>https://Example.COM:443/p/"),
+                s((F.col("doc_id") * 3 + 1) % 50),
+                F.lit("?a=1&amp;utm_source=feed</loc><lastmod>2024-01-"),
+                s(F.col("doc_id") % 9 + 10),
+                F.lit("</lastmod></url><url><loc>  http://site"),
+                s(F.col("doc_id") % 5),
+                F.lit(".org/q/"),
+                s((F.col("doc_id") * 7 + 2) % 50),
+                F.lit("  </loc></url><url><lastmod>2024-02-02</lastmod></url>"
+                      "</urlset>"),
+            )
+        )
+    )
+    exploded = d.select(
+        "doc_id", F.posexplode(extract_sitemap_entries(idx)).alias("p0", "e")
+    )
+    return (
+        exploded.select(
+            "doc_id",
+            F.col("e.kind").alias("kind"),
+            (F.col("p0") + 1).cast("int").alias("pos"),
+            F.when(
+                F.col("e.kind") == "url", canonicalize_url(F.col("e.loc"))
+            )
+            .otherwise(F.col("e.loc"))
+            .alias("url"),
+            F.col("e.lastmod").alias("lastmod"),
+        )
+        .orderBy("doc_id", "kind", "pos")
+    )

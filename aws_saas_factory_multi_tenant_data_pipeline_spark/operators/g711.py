@@ -157,6 +157,23 @@ def parse_wav(payload: bytes):
             x = np.frombuffer(data[:usable], dtype="<i2").astype(np.float64) / 32768.0
         elif bits == 8:
             x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+        elif bits == 24:
+            # [r10] little-endian packed 24-bit (the studio-export width;
+            # real-file interop: CPython's pluck-pcm24.wav)
+            usable = len(data) - (len(data) % 3)
+            b = np.frombuffer(data[:usable], dtype=np.uint8).reshape(-1, 3)
+            v = (
+                b[:, 0].astype(np.int64)
+                | (b[:, 1].astype(np.int64) << 8)
+                | (b[:, 2].astype(np.int64) << 16)
+            )
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)
+            x = v.astype(np.float64) / float(1 << 23)
+        elif bits == 32:
+            usable = len(data) - (len(data) % 4)
+            x = np.frombuffer(data[:usable], dtype="<i4").astype(np.float64) / float(
+                1 << 31
+            )
         else:
             raise ValueError(f"unsupported PCM width {bits}")
     elif code == WAVE_FORMAT_IEEE_FLOAT:

@@ -116,3 +116,86 @@ def extract_links_sql(expr: str) -> str:
         f"list_filter(regexp_extract_all({expr}, '{esc}', 1), "
         f"u -> regexp_matches(u, '{_ABS_LINK_RE}'))"
     )
+
+
+# ---------------------------------------------------------------------------
+# sitemap.xml frontier extraction (the third leg of the crawl-politeness
+# trio: robots.txt gate -> sitemap seeds -> page link graph). Protocol:
+# sitemaps.org 0.9 (public; also RFC-referenced by robots Sitemap: lines):
+# a <urlset> of <url> entries (loc required, lastmod optional) or a
+# <sitemapindex> of child <sitemap> entries. loc content is XML
+# entity-escaped. Same generated Spark/DuckDB twin convention as
+# extract_links — both engines run regexes generated from ONE set of
+# pattern constants, so extraction is verified character-for-character.
+
+#: entry blocks — Java-regex ∩ RE2 subset (inline flags, lazy quantifier)
+_SITEMAP_URL_BLOCK_RE = r"(?is)<url\b[^>]*>(.*?)</url>"
+_SITEMAP_CHILD_BLOCK_RE = r"(?is)<sitemap\b[^>]*>(.*?)</sitemap>"
+#: fields within a block; loc content never contains '<'
+_SITEMAP_LOC_RE = r"(?is)<loc\b[^>]*>\s*([^<]*?)\s*</loc>"
+_SITEMAP_LASTMOD_RE = r"(?is)<lastmod\b[^>]*>\s*([^<]*?)\s*</lastmod>"
+
+#: the five predefined XML entities; &amp; decoded LAST so escaped
+#: entity text (&amp;lt;) yields the literal entity, not a double decode
+_XML_ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"), ("&amp;", "&"))
+
+
+def _xml_unescape(col: Column) -> Column:
+    for ent, ch in _XML_ENTITIES:
+        col = F.replace(col, F.lit(ent), F.lit(ch))
+    return col
+
+
+def _xml_unescape_sql(expr: str) -> str:
+    for ent, ch in _XML_ENTITIES:
+        c = ch.replace("'", "''")
+        expr = f"replace({expr}, '{ent}', '{c}')"
+    return expr
+
+
+def extract_sitemap_entries(col: Column) -> Column:
+    """array<struct<kind, loc, lastmod>> from a sitemap XML column:
+    'url' entries from a <urlset> and 'sitemap' child entries from a
+    <sitemapindex>, in document order per kind; loc XML-unescaped and
+    whitespace-trimmed, lastmod '' when absent; entries without a loc
+    are dropped (a loc-less entry seeds nothing)."""
+
+    def entries(block_re: str, kind: str) -> Column:
+        blocks = F.regexp_extract_all(col, F.lit(block_re), 1)
+        return F.transform(
+            blocks,
+            lambda b: F.struct(
+                F.lit(kind).alias("kind"),
+                _xml_unescape(F.regexp_extract(b, _SITEMAP_LOC_RE, 1)).alias("loc"),
+                F.regexp_extract(b, _SITEMAP_LASTMOD_RE, 1).alias("lastmod"),
+            ),
+        )
+
+    both = F.concat(
+        entries(_SITEMAP_URL_BLOCK_RE, "url"),
+        entries(_SITEMAP_CHILD_BLOCK_RE, "sitemap"),
+    )
+    return F.filter(both, lambda e: e["loc"] != "")
+
+
+def extract_sitemap_entries_sql(expr: str) -> str:
+    """The DuckDB twin, generated from the same pattern constants;
+    returns a list of struct(kind, loc, lastmod)."""
+
+    def esc(p: str) -> str:
+        return p.replace("'", "''")
+
+    def entries(block_re: str, kind: str) -> str:
+        loc = _xml_unescape_sql(f"regexp_extract(b, '{esc(_SITEMAP_LOC_RE)}', 1)")
+        lastmod = f"regexp_extract(b, '{esc(_SITEMAP_LASTMOD_RE)}', 1)"
+        return (
+            f"list_transform(regexp_extract_all({expr}, '{esc(block_re)}', 1), "
+            f"b -> struct_pack(kind := '{kind}', loc := {loc}, "
+            f"lastmod := {lastmod}))"
+        )
+
+    both = (
+        f"list_concat({entries(_SITEMAP_URL_BLOCK_RE, 'url')}, "
+        f"{entries(_SITEMAP_CHILD_BLOCK_RE, 'sitemap')})"
+    )
+    return f"list_filter({both}, e -> e.loc <> '')"

@@ -432,12 +432,23 @@ def _decode_aiff_mono(payload: bytes):
     return parse_aiff(payload)
 
 
+def _decode_au_mono(payload: bytes):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.au import (
+        parse_au,
+    )
+
+    return parse_au(payload)
+
+
 def _stdlib_audio_decoders() -> dict:
     return {
         "wav": decode_wav,
         "flac": _decode_flac_mono,
         "mp3": _decode_mp3_mono,
         "aiff": _decode_aiff_mono,
+        # Sun/NeXT .au (operators/au.py); G.711 rides the same tables
+        # as the WAV path
+        "au": _decode_au_mono,
     }
 
 
@@ -480,6 +491,8 @@ def sniff_audio_format(payload: bytes) -> str | None:
         return "wav"
     if payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
         return "aiff"
+    if payload[:4] == b".snd":
+        return "au"
     if payload[:4] == b"fLaC":
         return "flac"
     if payload[:3] == b"ID3" or (

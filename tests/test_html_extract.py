@@ -185,3 +185,82 @@ def test_extract_links_attribute_name_boundary(spark):
     con = duckdb.connect()
     (duck,) = con.execute("SELECT " + extract_links_sql("?"), [html]).fetchone()
     assert duck == ["https://real.com/"]
+
+
+def test_extract_sitemap_entries_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.html import (
+        extract_sitemap_entries,
+    )
+
+    xml = (
+        "<urlset>"
+        '<url><loc> https://a.io/p?x=1&amp;y=2 </loc>'
+        "<lastmod>2024-05-06</lastmod></url>"
+        "<url><loc>https://b.io/&lt;odd&gt;</loc></url>"
+        "<url><lastmod>2024-01-01</lastmod></url>"  # loc-less: dropped
+        "<url><loc>https://c.io/&amp;lt;keep&amp;gt;</loc></url>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame([(xml,)], "xml string")
+    (row,) = df.select(
+        extract_sitemap_entries(F.col("xml")).alias("es")
+    ).collect()
+    es = [(e["kind"], e["loc"], e["lastmod"]) for e in row["es"]]
+    assert es == [
+        ("url", "https://a.io/p?x=1&y=2", "2024-05-06"),  # trimmed + unescaped
+        ("url", "https://b.io/<odd>", ""),                 # lt/gt entities
+        ("url", "https://c.io/&lt;keep&gt;", ""),          # &amp;lt; -> literal &lt;
+    ]
+    # sitemapindex kind
+    idx = (
+        "<sitemapindex><sitemap><loc>https://a.io/s1.xml</loc>"
+        "<lastmod>2024-03-01</lastmod></sitemap>"
+        "<sitemap><loc>https://a.io/s2.xml</loc></sitemap></sitemapindex>"
+    )
+    (row,) = spark.createDataFrame([(idx,)], "xml string").select(
+        extract_sitemap_entries(F.col("xml")).alias("es")
+    ).collect()
+    assert [(e["kind"], e["loc"]) for e in row["es"]] == [
+        ("sitemap", "https://a.io/s1.xml"),
+        ("sitemap", "https://a.io/s2.xml"),
+    ]
+
+
+def test_extract_sitemap_duckdb_twin_identical(spark):
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.html import (
+        extract_sitemap_entries,
+        extract_sitemap_entries_sql,
+    )
+
+    samples = [
+        "<urlset><url><loc>https://a.io/?a=1&amp;b=2</loc>"
+        "<lastmod>2024-05-06</lastmod></url></urlset>",
+        "<URLSET><URL><LOC>https://case.io/X</LOC></URL></URLSET>",  # case-insensitive tags
+        "<urlset><url><lastmod>2020-01-01</lastmod></url></urlset>",  # dropped
+        "<sitemapindex><sitemap><loc>\nhttps://x.io/s.xml\n</loc></sitemap></sitemapindex>",
+        "not xml at all",
+        "<urlset><url><loc>https://q.io/&amp;amp;</loc></url></urlset>",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], "id long, xml string"
+    )
+    got_spark = {
+        r["id"]: [(e["kind"], e["loc"], e["lastmod"]) for e in r["es"]]
+        for r in df.select(
+            "id", extract_sitemap_entries(F.col("xml")).alias("es")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, s in enumerate(samples):
+        # the twin references the input expression twice (url + sitemap
+        # blocks) — bind it twice
+        (got_duck,) = con.execute(
+            "SELECT " + extract_sitemap_entries_sql("?"), [s, s]
+        ).fetchone()
+        duck = [(e["kind"], e["loc"], e["lastmod"]) for e in got_duck]
+        assert got_spark[i] == duck, (i, got_spark[i], duck)

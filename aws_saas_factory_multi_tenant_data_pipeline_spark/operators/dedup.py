@@ -1021,8 +1021,12 @@ def containment_pairs_prefix(
     # (prefix index, full index, and both verification sides) — without
     # this the tokenize+shingle+sort pipeline executes four times
     base = sized.select(F.col(id_col), F.col("__n"), ordered.alias("__ord"))
+    aux = None
     if max_df is not None:
-        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        # this pre-filter frame feeds three consumers (count, hot-shingle
+        # scan, kept-explode); exposed as result.boilerplate_cache so
+        # callers can unpersist it alongside shingle_cache
+        base = aux = base.persist(StorageLevel.MEMORY_AND_DISK)
         n_docs = base.count()
         hot = (
             base.select(F.explode("__ord").alias("__s"))
@@ -1099,4 +1103,5 @@ def containment_pairs_prefix(
         .select("id_a", "id_b", "shared", "n_a", "n_b", "c_ab", "c_ba", "contained")
     )
     result.shingle_cache = base
+    result.boilerplate_cache = aux  # max_df pre-filter frame (or None)
     return result

@@ -197,10 +197,14 @@ def _limited_huffman_lengths(freqs: dict[int, int], max_len: int) -> dict[int, i
         return {syms[0]: 1}
     if len(syms) > (1 << max_len):
         raise ValueError("alphabet too large for length limit")
-    # package-merge: coins (freq, {sym: count}) merged level by level
+    # package-merge (Larmore–Hirschberg): list_1 = singletons, then
+    # L-1 package+merge rounds; symbol lengths = occurrence counts in
+    # the first 2n-2 coins of list_L. Exactly L-1 packaging rounds —
+    # one more yields length-(L+1) codes (still Kraft-complete, so only
+    # a direct max-length check catches it; pinned in tests).
     lengths = {s: 0 for s in syms}
     pkgs = []
-    for _ in range(max_len):
+    for _ in range(max_len - 1):
         coins = [(freqs[s], {s: 1}) for s in syms] + pkgs
         coins.sort(key=lambda c: c[0])
         pkgs = []

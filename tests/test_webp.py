@@ -53,7 +53,7 @@ def test_bad_signature_and_container_rejected():
         decode_webp(b"RIFF\x00\x00\x00\x00WAVE")
     with pytest.raises(ValueError, match="torn"):
         blob = encode_webp_lossless(np.zeros((4, 4, 3), np.uint8))
-        decode_webp(blob[:-3] + b"\x00" * 0 if False else blob[: len(blob) - 3])
+        decode_webp(blob[: len(blob) - 3])
 
 
 # ---- roundtrips over the feature matrix ------------------------------------
@@ -445,3 +445,44 @@ def test_tear_contract_fuzz():
 def test_dimension_bounds():
     with pytest.raises(ValueError, match="dimensions"):
         encode_webp_lossless(np.zeros((1, 0, 3), np.uint8))
+
+
+def test_length_limited_huffman_respects_limit():
+    """Fibonacci frequencies force unlimited-Huffman depths past 15; the
+    package-merge must cap at the limit with a COMPLETE code (before the
+    r10 off-by-one fix it produced limit+1 lengths — Kraft-complete, so
+    only a direct check catches it)."""
+    from fractions import Fraction
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.webp import (
+        _limited_huffman_lengths,
+    )
+
+    fib = {}
+    a, b = 1, 1
+    for i in range(18):
+        fib[i] = a
+        a, b = b, a + b
+    for limit in (7, 15):
+        ls = _limited_huffman_lengths(fib, limit)
+        assert max(ls.values()) <= limit
+        assert sum(Fraction(1, 2 ** l) for l in ls.values()) == 1
+
+
+def test_roundtrip_fibonacci_skewed_histogram():
+    """An image whose green-channel histogram is Fibonacci-skewed would
+    have emitted >15-bit code lengths (unencodable: the code-length
+    literals stop at 15) before the package-merge fix."""
+    fib = []
+    a, b = 1, 1
+    for i in range(16):
+        fib.append((i * 16 + 3, a))
+        a, b = b, a + b
+    vals = np.concatenate([np.full(n, v, np.uint8) for v, n in fib])
+    rng = _rng()
+    vals = vals[rng.permutation(len(vals))]
+    side = int(np.ceil(np.sqrt(len(vals))))
+    px = np.zeros((side, side, 3), np.uint8)
+    px.reshape(-1, 3)[: len(vals), 1] = vals
+    rgb, w, h = decode_webp(encode_webp_lossless(px))
+    assert (rgb == px).all()

@@ -511,17 +511,21 @@ class ConcurrentSnapshotError(RuntimeError):
     another writer promoted a version after the caller read theirs."""
 
 
-def _mark_aborted(path: str) -> None:
+def _mark_aborted(path: str) -> bool:
     """Stamp a materialized version directory as a lost-race abort so
     :func:`vacuum_orphans` can reclaim it. A completed directory WITHOUT
     this marker (and without a commit-log entry) is indistinguishable
     from a commit that predates the log — vacuum preserves those, so the
-    marker is what keeps the ConcurrentSnapshotError promise."""
+    marker is what keeps the ConcurrentSnapshotError promise. Returns
+    False when the stamp could not be written (the raised error then
+    says so instead of promising a vacuum that will never come; such
+    leaks are reclaimable via ``include_unmarked_above_refs``)."""
     try:
         with open(os.path.join(path, "_ABORTED"), "w") as f:
             f.write("lost optimistic-concurrency race\n")
+        return True
     except OSError:
-        pass  # best-effort: an unmarked leak is preserved, never corrupted
+        return False  # best-effort: an unmarked leak is preserved, never corrupted
 
 
 def write_snapshot(
@@ -568,25 +572,33 @@ def write_snapshot(
         w = w.partitionBy(*partition_cols)
     w.parquet(out)
     if expected_version is not None and latest_snapshot_version(root) != expected_version:
-        _mark_aborted(out)
+        fate = (
+            f"orphan v{version} will be vacuumed"
+            if _mark_aborted(out)
+            else f"orphan v{version} could not be stamped — reclaim via "
+            "vacuum_orphans(include_unmarked_above_refs=True)"
+        )
         raise ConcurrentSnapshotError(
             f"expected v{expected_version} but table is at "
-            f"v{latest_snapshot_version(root)} — re-read and retry "
-            f"(orphan v{version} will be vacuumed)"
+            f"v{latest_snapshot_version(root)} — re-read and retry ({fate})"
         )
     prev = latest_snapshot_version(root)
-    tmp = _versions_meta(root) + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, _versions_meta(root))
-    # record the commit AFTER the promote (the branch-write convention):
-    # an aborted optimistic commit therefore never reaches the log, which
-    # is exactly how vacuum_orphans tells a lost-race directory from a
-    # committed-then-rolled-back version it must preserve
+    # record the commit AFTER the CAS re-check but BEFORE the promote:
+    # an aborted commit raises above and never reaches the log (what lets
+    # vacuum_orphans tell a lost race from committed history), while a
+    # PROMOTED head is always logged — the reverse order left a crash
+    # window where a promoted version had no parent record, permanently
+    # breaking fast_forward's ancestry walk. The remaining window
+    # (logged, then crash before promote) only leaves a harmless
+    # never-promoted entry that vacuum conservatively preserves.
     import json as _json
 
     with open(_commit_log(root), "a") as f:
         f.write(_json.dumps({"version": version, "parent": prev}) + "\n")
+    tmp = _versions_meta(root) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, _versions_meta(root))
     return version
 
 
@@ -638,7 +650,10 @@ def vacuum_snapshots(root: str, keep_last: int = 2) -> list[int]:
 
 
 def vacuum_orphans(
-    root: str, grace_seconds: float = 86400.0, dry_run: bool = False
+    root: str,
+    grace_seconds: float = 86400.0,
+    dry_run: bool = False,
+    include_unmarked_above_refs: bool = False,
 ) -> list[int]:
     """Reclaim version directories no ref can reach — the other half of
     GC that :func:`vacuum_snapshots` (history-tail retention) never
@@ -663,11 +678,19 @@ def vacuum_orphans(
 
     A COMPLETED directory that is neither logged nor marked is
     preserved too: it is indistinguishable from a commit that predates
-    the commit log (older tables) or a writer that crashed between the
-    pointer promote and the log append — reclaiming it could destroy a
+    the commit log (older tables) — reclaiming it could destroy a
     version :func:`rollback_snapshot` promised to keep. Only evidence
     of failure (no ``_SUCCESS``) or an explicit ``_ABORTED`` stamp
     makes a directory a victim.
+
+    ``include_unmarked_above_refs=True`` is the explicit MIGRATION
+    escape hatch for lakes written before the ``_ABORTED`` stamp
+    existed (or whose stamp write failed): it restores the positional
+    rule — a completed, unlogged, unmarked directory ABOVE every ref
+    is reclaimed. Only enable it on tables whose history is known to
+    be fully logged (any modern table) or that never used rollback;
+    on a pre-log table it can reclaim rolled-back committed versions,
+    which is exactly why it is not the default.
 
     ``grace_seconds`` (Delta's VACUUM retention rule) protects
     in-flight writers: a directory younger than the grace window is
@@ -682,6 +705,7 @@ def vacuum_orphans(
     current = latest_snapshot_version(root)
     refs = {current} | set(list_branches(root).values())
     refs.discard(0)
+    max_ref = max(refs, default=0)
     committed = set(_read_commit_parents(root))
     now = _time.time()
     victims: list[int] = []
@@ -695,9 +719,10 @@ def vacuum_orphans(
             continue
         torn = not os.path.exists(os.path.join(path, "_SUCCESS"))
         aborted = os.path.exists(os.path.join(path, "_ABORTED"))
-        if not (torn or aborted):
+        legacy = include_unmarked_above_refs and v > max_ref
+        if not (torn or aborted or legacy):
             # completed + unlogged + unmarked: indistinguishable from a
-            # pre-log commit or a promote-then-crash — preserve it
+            # pre-log commit — preserve it (see the migration flag)
             continue
         try:
             if now - os.path.getmtime(path) < grace_seconds:
@@ -821,20 +846,24 @@ def write_snapshot_to_branch(
     out = os.path.join(root, f"v{version}")
     w.parquet(out)
     if expected_version is not None and branch_version(root, branch) != expected_version:
-        _mark_aborted(out)
-        raise ConcurrentSnapshotError(
-            f"branch {branch!r}: lost the race (orphan v{version} will be vacuumed)"
+        fate = (
+            f"orphan v{version} will be vacuumed"
+            if _mark_aborted(out)
+            else f"orphan v{version} could not be stamped — reclaim via "
+            "vacuum_orphans(include_unmarked_above_refs=True)"
         )
+        raise ConcurrentSnapshotError(f"branch {branch!r}: lost the race ({fate})")
+    # log AFTER the CAS re-check, BEFORE the promote (the write_snapshot
+    # convention): an aborted branch commit raised above and never
+    # reaches the log, while every promoted branch head is guaranteed a
+    # parent record for fast_forward's ancestry walk
+    with open(_commit_log(root), "a") as f:
+        f.write(json.dumps({"version": version, "parent": base, "branch": branch}) + "\n")
     meta = _branch_meta(root, branch)
     tmp = meta + ".tmp"
     with open(tmp, "w") as f:
         f.write(str(version))
     os.replace(tmp, meta)
-    # record the commit AFTER the promote (the write_snapshot convention):
-    # an aborted branch commit never reaches the log, so its marked
-    # directory stays vacuumable
-    with open(_commit_log(root), "a") as f:
-        f.write(json.dumps({"version": version, "parent": base, "branch": branch}) + "\n")
     return version
 
 

@@ -128,14 +128,24 @@ def encode_au(
     x = np.asarray(samples)
     ch = 1 if x.ndim == 1 else x.shape[1]
     flat = x.reshape(-1)
+
+    def _check_range(bits: int) -> None:
+        v = flat.astype(np.int64)
+        lim = 1 << (bits - 1)
+        if (v > lim - 1).any() or (v < -lim).any():
+            # raise instead of numpy's silent two's-complement wrap —
+            # a mis-scaled fixture must fail loudly, not corrupt audio
+            raise ValueError(f"pcm{bits} sample out of range")
+
     if encoding == "pcm8":
+        _check_range(8)
         body = flat.astype(np.int8).tobytes()
     elif encoding == "pcm16":
+        _check_range(16)
         body = flat.astype(">i2").tobytes()
     elif encoding == "pcm24":
+        _check_range(24)
         v = flat.astype(np.int64)
-        if (v > (1 << 23) - 1).any() or (v < -(1 << 23)).any():
-            raise ValueError("pcm24 sample out of range")
         u = np.where(v < 0, v + (1 << 24), v)
         out = np.empty((len(u), 3), dtype=np.uint8)
         out[:, 0] = (u >> 16) & 0xFF
@@ -143,6 +153,7 @@ def encode_au(
         out[:, 2] = u & 0xFF
         body = out.tobytes()
     elif encoding == "pcm32":
+        _check_range(32)
         body = flat.astype(">i4").tobytes()
     elif encoding == "float32":
         body = flat.astype(">f4").tobytes()

@@ -131,8 +131,12 @@ def extract_links_sql(expr: str) -> str:
 #: entry blocks — Java-regex ∩ RE2 subset (inline flags, lazy quantifier)
 _SITEMAP_URL_BLOCK_RE = r"(?is)<url\b[^>]*>(.*?)</url>"
 _SITEMAP_CHILD_BLOCK_RE = r"(?is)<sitemap\b[^>]*>(.*?)</sitemap>"
-#: fields within a block; loc content never contains '<'
+#: fields within a block; a plain loc's content never contains '<',
+#: and CDATA-wrapped locs (several common generators emit them) are
+#: matched separately — CDATA content is LITERAL, so it skips the
+#: entity unescape the plain form gets
 _SITEMAP_LOC_RE = r"(?is)<loc\b[^>]*>\s*([^<]*?)\s*</loc>"
+_SITEMAP_LOC_CDATA_RE = r"(?is)<loc\b[^>]*>\s*<!\[CDATA\[\s*(.*?)\s*\]\]>\s*</loc>"
 _SITEMAP_LASTMOD_RE = r"(?is)<lastmod\b[^>]*>\s*([^<]*?)\s*</lastmod>"
 
 #: the five predefined XML entities; &amp; decoded LAST so escaped
@@ -157,16 +161,23 @@ def extract_sitemap_entries(col: Column) -> Column:
     """array<struct<kind, loc, lastmod>> from a sitemap XML column:
     'url' entries from a <urlset> and 'sitemap' child entries from a
     <sitemapindex>, in document order per kind; loc XML-unescaped and
-    whitespace-trimmed, lastmod '' when absent; entries without a loc
-    are dropped (a loc-less entry seeds nothing)."""
+    whitespace-trimmed (CDATA-wrapped locs taken literally, per XML),
+    lastmod '' when absent; entries without a loc are dropped (a
+    loc-less entry seeds nothing)."""
 
     def entries(block_re: str, kind: str) -> Column:
         blocks = F.regexp_extract_all(col, F.lit(block_re), 1)
+
+        def loc_of(b: Column) -> Column:
+            cdata = F.regexp_extract(b, _SITEMAP_LOC_CDATA_RE, 1)
+            plain = _xml_unescape(F.regexp_extract(b, _SITEMAP_LOC_RE, 1))
+            return F.when(cdata != "", cdata).otherwise(plain)
+
         return F.transform(
             blocks,
             lambda b: F.struct(
                 F.lit(kind).alias("kind"),
-                _xml_unescape(F.regexp_extract(b, _SITEMAP_LOC_RE, 1)).alias("loc"),
+                loc_of(b).alias("loc"),
                 F.regexp_extract(b, _SITEMAP_LASTMOD_RE, 1).alias("lastmod"),
             ),
         )
@@ -186,7 +197,9 @@ def extract_sitemap_entries_sql(expr: str) -> str:
         return p.replace("'", "''")
 
     def entries(block_re: str, kind: str) -> str:
-        loc = _xml_unescape_sql(f"regexp_extract(b, '{esc(_SITEMAP_LOC_RE)}', 1)")
+        cdata = f"regexp_extract(b, '{esc(_SITEMAP_LOC_CDATA_RE)}', 1)"
+        plain = _xml_unescape_sql(f"regexp_extract(b, '{esc(_SITEMAP_LOC_RE)}', 1)")
+        loc = f"(CASE WHEN {cdata} <> '' THEN {cdata} ELSE {plain} END)"
         lastmod = f"regexp_extract(b, '{esc(_SITEMAP_LASTMOD_RE)}', 1)"
         return (
             f"list_transform(regexp_extract_all({expr}, '{esc(block_re)}', 1), "

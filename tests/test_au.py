@@ -159,3 +159,17 @@ def test_tear_contract_fuzz():
             parse_au(bytes(mutated))
         except ValueError:
             pass
+
+
+def test_encoder_rejects_out_of_range_samples():
+    """r10 review finding: numpy astype would silently two's-complement
+    wrap mis-scaled samples at every depth except 24-bit; all four
+    integer depths now fail loudly."""
+    for enc, bad in [
+        ("pcm8", 200),
+        ("pcm16", 1 << 20),
+        ("pcm24", 1 << 23),
+        ("pcm32", 1 << 40),
+    ]:
+        with pytest.raises(ValueError, match="out of range"):
+            encode_au(np.array([0, bad], dtype=np.int64), 8000, enc)

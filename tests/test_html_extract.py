@@ -264,3 +264,36 @@ def test_extract_sitemap_duckdb_twin_identical(spark):
         ).fetchone()
         duck = [(e["kind"], e["loc"], e["lastmod"]) for e in got_duck]
         assert got_spark[i] == duck, (i, got_spark[i], duck)
+
+
+def test_extract_sitemap_cdata_locs(spark):
+    """CDATA-wrapped locs (several common generators emit them) are
+    taken LITERALLY — no entity unescape — and must not be dropped
+    (r10 review finding)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.html import (
+        extract_sitemap_entries,
+        extract_sitemap_entries_sql,
+    )
+
+    xml = (
+        "<urlset>"
+        "<url><loc><![CDATA[https://a.io/p?x=1&amp;y=2]]></loc></url>"
+        "<url><loc> <![CDATA[ https://b.io/q ]]> </loc>"
+        "<lastmod>2024-07-08</lastmod></url>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame([(xml,)], "xml string")
+    (row,) = df.select(extract_sitemap_entries(F.col("xml")).alias("es")).collect()
+    es = [(e["kind"], e["loc"], e["lastmod"]) for e in row["es"]]
+    assert es == [
+        ("url", "https://a.io/p?x=1&amp;y=2", ""),  # literal: NOT unescaped
+        ("url", "https://b.io/q", "2024-07-08"),
+    ]
+    con = duckdb.connect()
+    (duck,) = con.execute(
+        "SELECT " + extract_sitemap_entries_sql("?"), [xml, xml]
+    ).fetchone()
+    assert [(e["kind"], e["loc"], e["lastmod"]) for e in duck] == es

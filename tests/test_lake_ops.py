@@ -879,3 +879,54 @@ def test_aborted_branch_commit_stays_out_of_log_and_vacuums(spark, tmp_path, mon
     assert lake.branch_version(root, "dev") == 1     # pointer never moved
     assert lake.vacuum_orphans(root, grace_seconds=0) == [2]
     assert not os.path.isdir(orphan)
+
+
+def test_promoted_head_is_always_logged_before_pointer_move(spark, tmp_path, monkeypatch):
+    """r10 review finding: the log append must precede the pointer
+    promote, or a crash in between leaves a promoted head with no
+    parent record — permanently breaking fast_forward's ancestry walk.
+    Pin the ordering by asserting the log entry exists at the moment
+    os.replace promotes the pointer."""
+    import os as _os
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark import lake
+
+    root = str(tmp_path / "snap")
+    df = spark.range(4).withColumnRenamed("id", "k")
+    lake.write_snapshot(df, root)  # v1
+    lake.create_branch(root, "dev")
+
+    real_replace = _os.replace
+    seen = {}
+
+    def checking_replace(src, dst):
+        if dst.endswith("_BRANCH_dev") or dst.endswith("_LATEST"):
+            seen[dst.rsplit("/", 1)[-1]] = dict(lake._read_commit_parents(root))
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(lake.os, "replace", checking_replace)
+    lake.write_snapshot_to_branch(df, root, "dev")  # v2
+    lake.write_snapshot(df, root)  # v3 (main)
+    monkeypatch.setattr(lake.os, "replace", real_replace)
+    assert 2 in seen["_BRANCH_dev"], "branch head promoted before it was logged"
+    assert 3 in seen["_LATEST"], "main head promoted before it was logged"
+
+
+def test_vacuum_migration_flag_reclaims_legacy_unmarked_orphans(spark, tmp_path):
+    """Pre-marker lakes: a completed, unlogged, unmarked directory above
+    every ref stays preserved by default and is reclaimed only under the
+    explicit include_unmarked_above_refs migration flag."""
+    import os as _os
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark import lake
+
+    root = str(tmp_path / "snap")
+    df = spark.range(5).withColumnRenamed("id", "k")
+    lake.write_snapshot(df, root)  # v1
+    df.write.parquet(root + "/v7")  # legacy aborted CAS: no marker, no log
+    assert lake.vacuum_orphans(root, grace_seconds=0) == []
+    assert _os.path.isdir(root + "/v7")
+    assert lake.vacuum_orphans(
+        root, grace_seconds=0, include_unmarked_above_refs=True
+    ) == [7]
+    assert not _os.path.isdir(root + "/v7")

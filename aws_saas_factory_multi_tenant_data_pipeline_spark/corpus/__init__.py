@@ -489,6 +489,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "multimodal_webp_decode",
     "audio_au_roundtrip",
     "crawl_sitemap_frontier",
+    "dedup_duplicated_spans",
 )
 
 

@@ -446,3 +446,91 @@ def crawl_sitemap_frontier(spark, sf_dir):
         )
         .orderBy("doc_id", "kind", "pos")
     )
+
+
+_SPAN_K = 8
+_SPAN_BP1 = (
+    "this work is licensed under the creative commons attribution share "
+    "alike international license terms"
+)
+_SPAN_BP2 = "subscribe to our newsletter for weekly updates and exclusive offers"
+
+
+def _dup_spans_oracle() -> str:
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus.wave_r11 import (
+        _DUCK_NORM,
+    )
+
+    k = _SPAN_K
+    mixed = (
+        "(text || CASE WHEN doc_id % 3 = 0 THEN ' " + _SPAN_BP1 + "' ELSE '' END"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' " + _SPAN_BP2 + "' ELSE '' END)"
+    )
+    norm = _DUCK_NORM.replace("lower(text)", f"lower({mixed})")
+    return f"""
+        WITH toked AS (
+            SELECT doc_id, string_split({norm}, ' ') AS tk
+            FROM documents WHERE doc_id < 200),
+        grams AS (
+            SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                   array_to_string(list_slice(tk, i, i + {k - 1}), ' ') AS g
+            FROM toked, LATERAL (
+                SELECT unnest(generate_series(1, len(tk) - {k} + 1)) AS i)
+            WHERE len(tk) >= {k}),
+        dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+        marked AS (
+            SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
+        islands AS (
+            SELECT doc_id, pos,
+                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS isl
+            FROM marked)
+        SELECT doc_id, MIN(pos) AS span_start,
+               CAST(MAX(pos) - MIN(pos) + {k} AS BIGINT) AS span_len,
+               COUNT(*) AS n_windows
+        FROM islands GROUP BY doc_id, isl
+        ORDER BY doc_id, span_start
+    """
+
+
+@register(
+    "dedup_duplicated_spans",
+    oracle=_dup_spans_oracle(),
+    tags=("B10", "dedup"),
+    doc="EXACT duplicated-span detection (Lee et al., ACL 2022 — the "
+    "memorization-prone boilerplate/license text document-level dedup "
+    "cannot remove): token 8-gram windows exploded with positions, "
+    "corpus-frequency counted by the gram string (exact; the hash-keyed "
+    "form is the declared 100 TB fast path), duplicated window starts "
+    "merged into MAXIMAL per-doc spans via the gaps-and-islands window. "
+    "Per doc a rotating license sentence (doc_id % 3) and newsletter "
+    "boilerplate (doc_id % 7) are appended so cross-doc duplicated "
+    "spans exist by construction ON TOP of the corpus's natural "
+    "repetitions — the whole pipeline (tokenize, windows, counts, "
+    "island merge) replays hash-for-hash in SQL; exact integers "
+    "end-to-end (operators/dedup.py duplicated_spans).",
+)
+def dedup_duplicated_spans(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    mixed = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, " " + _SPAN_BP1).otherwise(""),
+            F.when(F.col("doc_id") % 7 == 0, " " + _SPAN_BP2).otherwise(""),
+        ).alias("text"),
+    )
+    return (
+        duplicated_spans(mixed, k=_SPAN_K, min_count=2)
+        .select(
+            "doc_id",
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_len").cast("long").alias("span_len"),
+            F.col("n_windows").cast("long").alias("n_windows"),
+        )
+        .orderBy("doc_id", "span_start")
+    )

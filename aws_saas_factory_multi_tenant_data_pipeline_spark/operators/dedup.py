@@ -1105,3 +1105,77 @@ def containment_pairs_prefix(
     result.shingle_cache = base
     result.boilerplate_cache = aux  # max_df pre-filter frame (or None)
     return result
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+    min_count: int = 2,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """EXACT duplicated-span detection (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022): find every
+    maximal token span whose length-``k`` windows all occur at least
+    ``min_count`` times in the corpus — the memorization-prone
+    boilerplate/license/quotation text that document-level dedup
+    (MinHash, containment) cannot remove because the documents as a
+    whole are distinct.
+
+    Spark-first shape (the suffix-array of the paper is a single-node
+    construct; the equivalent corpus-scale join is):
+
+    1. one scan explodes token k-grams WITH positions;
+    2. a map-side-combined groupBy counts each gram's corpus frequency
+       (by the gram STRING by default — exact, fully SQL-replayable;
+       ``hash_grams=True`` is the declared 100 TB fast path, grouping
+       on xxhash64 to shrink shuffle keys at a vanishing collision
+       risk);
+    3. duplicated gram starts flow back through a semi-join, and the
+       classic gaps-and-islands window (pos − row_number) merges
+       overlapping duplicated windows into MAXIMAL spans per doc.
+
+    Returns (id, span_start, span_len, n_windows): token offsets,
+    span_len = last_start − first_start + k. Exact integers end-to-end.
+    Docs shorter than ``k`` tokens contribute no windows (they are
+    document-level dedup's job, not span surgery's).
+    """
+    if k < 2:
+        raise ValueError("duplicated_spans needs k >= 2")
+    if min_count < 2:
+        raise ValueError("a span occurring once is not duplicated")
+    toked = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).where(F.size("__toks") >= k)
+    grams = toked.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - k),
+                lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, k)),
+            )
+        ).alias("__pos", "__g"),
+    )
+    if hash_grams:
+        grams = grams.select(F.col(id_col), "__pos", F.xxhash64("__g").alias("__g"))
+    dup = (
+        grams.groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= min_count)
+        .select("__g")
+    )
+    marked = grams.join(dup, "__g", "left_semi").select(F.col(id_col), "__pos")
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    islands = marked.withColumn(
+        "__isl", F.col("__pos") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy(id_col, "__isl")
+        .agg(
+            F.min("__pos").alias("span_start"),
+            (F.max("__pos") - F.min("__pos") + F.lit(k)).alias("span_len"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(id_col, "span_start", "span_len", "n_windows")
+    )

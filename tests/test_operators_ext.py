@@ -1102,3 +1102,77 @@ def test_media_ingest_real_codecs_end_to_end(spark, tmp_path):
     assert [bytes(r.frame_bytes) for r in sorted(frames, key=lambda r: r.frame_idx)] == [
         mp4_samples[i] for i in (0, 2, 4)
     ]
+
+
+# ---- exact duplicated-span detection (r10, Lee et al. 2022) ----------------
+
+
+def test_duplicated_spans_exact_geometry(spark):
+    """Two docs share a 12-token block: each must report ONE maximal
+    span of exactly 12 tokens (5 overlapping 8-gram windows), at the
+    right offset, and nothing else."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    block = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    rows = [
+        (1, "unique one " + block + " tail x"),
+        (2, "other start words here " + block),
+        (3, "completely unrelated text with nothing shared at all ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_len"], r["n_windows"])
+        for r in duplicated_spans(df, k=8).collect()
+    }
+    # doc 1: block starts at token 2; doc 2: at token 4
+    assert got == {1: (2, 12, 5), 2: (4, 12, 5)}
+
+
+def test_duplicated_spans_intra_doc_and_min_count(spark):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    rep = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [(1, rep + " filler words " + rep)], "doc_id long, text string"
+    )
+    spans = duplicated_spans(df, k=8).collect()
+    # the same 8 tokens occur twice WITHIN one doc -> two 8-token spans
+    assert sorted((r["span_start"], r["span_len"]) for r in spans) == [
+        (0, 8),
+        (10, 8),
+    ]
+    # min_count=3 suppresses the twice-occurring gram
+    assert duplicated_spans(df, k=8, min_count=3).count() == 0
+
+
+def test_duplicated_spans_hash_path_matches_string_path(spark):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").where(
+        "doc_id < 150"
+    )
+    key = lambda r: (r["doc_id"], r["span_start"], r["span_len"], r["n_windows"])  # noqa: E731
+    a = sorted(map(key, duplicated_spans(docs, k=6).collect()))
+    b = sorted(map(key, duplicated_spans(docs, k=6, hash_grams=True).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_duplicated_spans_short_docs_and_bad_args(spark):
+    import pytest as _pytest
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    df = spark.createDataFrame([(1, "too short"), (2, "too short")], "doc_id long, text string")
+    assert duplicated_spans(df, k=8).count() == 0  # < k tokens: no windows
+    with _pytest.raises(ValueError, match="k >= 2"):
+        duplicated_spans(df, k=1)
+    with _pytest.raises(ValueError, match="not duplicated"):
+        duplicated_spans(df, k=8, min_count=1)

@@ -490,6 +490,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "audio_au_roundtrip",
     "crawl_sitemap_frontier",
     "dedup_duplicated_spans",
+    "audio_8svx_roundtrip",
 )
 
 

@@ -534,3 +534,102 @@ def dedup_duplicated_spans(spark, sf_dir):
         )
         .orderBy("doc_id", "span_start")
     )
+
+
+@register(
+    "audio_8svx_roundtrip",
+    oracle="""
+        WITH idx AS (SELECT UNNEST(RANGE(201)) AS i),
+        docs AS (SELECT doc_id FROM documents WHERE doc_id < 24),
+        vals AS (
+            SELECT d.doc_id, t.i,
+                   CASE WHEN d.doc_id % 2 = 0 THEN
+                       -- mono Fibonacci-delta: zero-sum pairs around v0
+                       (5 + d.doc_id % 20)
+                       + CASE WHEN t.i % 2 = 1
+                              THEN -(((d.doc_id + (t.i - 1) // 2) % 3) + 1)
+                              ELSE 0 END
+                   ELSE
+                       -- stereo raw: L + R (mono recovered at x256)
+                       (((d.doc_id * 13 + t.i * 5) % 256) - 128)
+                       + (((d.doc_id * 7 + t.i * 11) % 256) - 128)
+                   END AS v
+            FROM docs d CROSS JOIN idx t)
+        SELECT doc_id,
+               CAST(SUM((i + 1) * v) AS BIGINT) AS weighted_sum,
+               CAST(COUNT(*) AS BIGINT) AS n_samples,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 11025 ELSE 22050 END
+                    AS BIGINT) AS sample_rate,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS BIGINT)
+                   AS channels
+        FROM vals GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("B10", "multimodal", "audio"),
+    doc="8SVX decode END-TO-END with a fully ANALYTIC oracle (the [r10] "
+    "Amiga voice codec, real-file-pinned in tests/test_svx.py): even "
+    "docs write 201 mono samples through the FIBONACCI-DELTA coder "
+    "(zero-sum delta pairs, every delta a table entry, so the lossy "
+    "coder is exact by construction and the value sequence has a "
+    "closed form the SQL states without a window); odd docs write "
+    "stereo RAW bodies as the spec's sequential channel blocks. The "
+    "position-weighted sum recovered through the audio registry equals "
+    "the generating formula; any chunk-walk, delta-table, nibble-order, "
+    "or channel-block defect shifts a column (operators/svx.py; EA IFF "
+    "85 8SVX specification, 1985).",
+)
+def audio_8svx_roundtrip(spark, sf_dir):
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 24).select("doc_id")
+    out_schema = (
+        "doc_id long, weighted_sum long, n_samples long, sample_rate long, "
+        "channels long"
+    )
+
+    def op(batches):
+        import numpy as np
+
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+            decode_audio,
+        )
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.svx import (
+            encode_8svx,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                i = np.arange(201)
+                if did % 2 == 0:
+                    v0 = 5 + did % 20
+                    pair = ((did + (i - 1) // 2) % 3) + 1
+                    v = np.where(i % 2 == 1, v0 - pair, v0).astype(np.int64)
+                    blob = encode_8svx(v, 11025, fib=True)
+                    scale = 128
+                else:
+                    left = ((did * 13 + i * 5) % 256) - 128
+                    right = ((did * 7 + i * 11) % 256) - 128
+                    blob = encode_8svx(
+                        np.stack([left, right], axis=1).astype(np.int64), 22050
+                    )
+                    scale = 256
+                mono, sr, ch = decode_audio(blob)
+                ints = np.rint(mono * scale).astype(np.int64)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "weighted_sum": int(np.sum((np.arange(len(ints)) + 1) * ints)),
+                        "n_samples": len(ints),
+                        "sample_rate": sr,
+                        "channels": ch,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "weighted_sum", "n_samples", "sample_rate", "channels",
+                ],
+            )
+
+    return d.mapInPandas(op, out_schema).orderBy("doc_id")

@@ -440,6 +440,14 @@ def _decode_au_mono(payload: bytes):
     return parse_au(payload)
 
 
+def _decode_8svx_mono(payload: bytes):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.svx import (
+        parse_8svx,
+    )
+
+    return parse_8svx(payload)
+
+
 def _stdlib_audio_decoders() -> dict:
     return {
         "wav": decode_wav,
@@ -449,6 +457,8 @@ def _stdlib_audio_decoders() -> dict:
         # Sun/NeXT .au (operators/au.py); G.711 rides the same tables
         # as the WAV path
         "au": _decode_au_mono,
+        # Amiga 8SVX (operators/svx.py) incl. Fibonacci-delta
+        "8svx": _decode_8svx_mono,
     }
 
 
@@ -493,6 +503,8 @@ def sniff_audio_format(payload: bytes) -> str | None:
         return "aiff"
     if payload[:4] == b".snd":
         return "au"
+    if payload[:4] == b"FORM" and payload[8:12] == b"8SVX":
+        return "8svx"
     if payload[:4] == b"fLaC":
         return "flac"
     if payload[:3] == b"ID3" or (

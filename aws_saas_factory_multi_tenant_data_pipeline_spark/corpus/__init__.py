@@ -164,7 +164,16 @@ GRADED_WINDOW: tuple[str, ...] = (
     # §2 rows (EXIF+GPS strip, ID3v2 strip, zip/tar ingestion, WebDataset
     # shard writer) a hard driver verdict via media_pack
     "media_pack",
-    "stream_sliding_session",
+    # stream_sliding_session + stream_late_drop → MERGED in r10 into
+    # stream_window_pack (every output row of both components rides in
+    # the pack hash verbatim — neither B8 family loses its driver
+    # verdict; the real streaming forms stay pinned in
+    # tests/test_streaming.py); the freed slot gives the seven r10 §2
+    # rows (WebP VP8L decode, Sun AU, 8SVX, sitemap frontier, exact
+    # duplicated spans, schema-drift report, ANALYZE stats) a hard
+    # driver verdict via r10_pack
+    "stream_window_pack",
+    "r10_pack",
     "stream_dedup_batch_equiv",
     # stream_static_join → tail in r7: its batch twin is a broadcast
     # equi-join + groupBy — the exact plan shape join_equi_variants grades —
@@ -173,7 +182,6 @@ GRADED_WINDOW: tuple[str, ...] = (
     # bitmap distinct, Benford audit, CCNet buckets, curriculum phases) a
     # hard driver verdict via sketch_pack2
     "sketch_pack2",
-    "stream_late_drop",
     # B9 UDF surface. udf_grouped_map_agg + udf_table_function → MERGED
     # in r10 into udf_family_pack (every output row of both components
     # rides in the pack hash verbatim — no B9 family loses its driver
@@ -277,6 +285,8 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "udf_table_function",
     "count_distinct_multi",
     "grouping_sets_mixed",
+    "stream_sliding_session",
+    "stream_late_drop",
     # round-6 single-family originals (driver-covered via r7_pack) —
     # first in line if the window turns out to be time-bound
     "multimodal_jpeg_ahash",

@@ -54,8 +54,10 @@ HEADLINE = [
     "multimodal_h264_keyframes",  # B10 MP4(avc1) -> intra decode -> aHash
     # round-9 second wave: PQ ANN (train + encode + ADC search, integer-exact)
     "similarity_pq_adc",          # B10 product quantization end-to-end
-    # round-10 flagship: WebP VP8L decode through the codec registry
+    # round-10 flagships: WebP VP8L decode through the codec registry +
+    # exact duplicated-span dedup (Lee et al. gaps-and-islands)
     "multimodal_webp_decode",     # B10 RIFF/VP8L -> decode -> aHash
+    "dedup_duplicated_spans",     # B10 exact-substring span dedup
 ]
 
 

@@ -126,3 +126,69 @@ def test_webp_vp8l_roundtrip_lossless(h, w, ncol, sg, cb, lz, pal, seed):
     rgb, got_w, got_h = decode_webp(blob)
     assert (got_w, got_h) == (w, h)
     assert (rgb == px).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.sampled_from(["pcm8", "pcm16", "pcm24", "pcm32"]),
+    st.lists(st.integers(-128, 127), min_size=1, max_size=400),
+    st.sampled_from([8000, 11025, 44100]),
+    st.booleans(),
+)
+def test_au_integer_roundtrip_lossless(enc, vals, rate, annotate):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.au import (
+        encode_au,
+        parse_au,
+    )
+
+    scale = {"pcm8": 128, "pcm16": 32768, "pcm24": 1 << 23, "pcm32": 1 << 31}[enc]
+    x = np.array(vals, dtype=np.int64)
+    blob = encode_au(x, rate, enc, annotation=b"anno" if annotate else b"")
+    mono, sr, ch = parse_au(blob)
+    assert sr == rate and ch == 1
+    assert np.array_equal(np.rint(mono * scale).astype(np.int64), x)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(-128, 127), min_size=1, max_size=300),
+    st.booleans(),
+    st.sampled_from([8000, 22050]),
+)
+def test_8svx_roundtrip(vals, stereo, rate):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.svx import (
+        encode_8svx,
+        parse_8svx,
+    )
+
+    x = np.array(vals, dtype=np.int64)
+    if stereo:
+        x = np.stack([x, x[::-1]], axis=1)
+    mono, sr, ch = parse_8svx(encode_8svx(x, rate))
+    assert sr == rate and ch == (2 if stereo else 1)
+    want = x.mean(axis=1) / 128.0 if stereo else x / 128.0
+    assert np.array_equal(mono, want)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(-128, 127), min_size=1, max_size=200))
+def test_8svx_fib_delta_is_contractive(vals):
+    """The greedy Fibonacci-delta coder is lossy in general, but every
+    decoded step must stay a valid table walk within int8 rails and the
+    decode must track the encoder's internal state exactly."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.svx import (
+        FIB_DELTAS,
+        _fib_decode,
+        _fib_encode,
+    )
+
+    x = np.array(vals, dtype=np.int64)
+    dec = _fib_decode(_fib_encode(x))
+    assert len(dec) >= len(x)
+    assert dec.min() >= -128 and dec.max() <= 127
+    diffs = np.diff(dec)
+    for i, d in enumerate(diffs):
+        if int(d) not in FIB_DELTAS:
+            # a non-table step can only be a rail clamp: the landing
+            # value must sit exactly on an int8 rail
+            assert dec[i + 1] in (-128, 127), (i, int(d), int(dec[i + 1]))

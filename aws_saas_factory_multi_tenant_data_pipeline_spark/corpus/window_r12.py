@@ -47,7 +47,9 @@ from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus import (  # noqa: 
     udfs,
     wave_r10,
     wave_r11,
+    wave_r12,
     window50,
+    window_r4,
 )
 from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.text import (
     SCRIPT_RANGES,
@@ -374,11 +376,8 @@ def agg_distinct_grouping_pack(spark, sf_dir):
 
 
 # Round-10 second window wave: one more same-tier merge frees a slot so
-# the seven r10 oracles get hard driver verdicts THIS round.
-from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus import (  # noqa: F401,E402
-    wave_r12,
-    window_r4,
-)
+# the seven r10 oracles get hard driver verdicts THIS round (component
+# modules wave_r12/window_r4 are imported in the header block above).
 
 
 @register(

@@ -1159,6 +1159,14 @@ def duplicated_spans(
     )
     if hash_grams:
         grams = grams.select(F.col(id_col), "__pos", F.xxhash64("__g").alias("__g"))
+    # the exploded k-gram frame feeds BOTH the frequency count and the
+    # semi-join probe; persist it once (the persist_shingles convention)
+    # or the tokenize + k-gram concat — the dominant cost at scale —
+    # executes twice. Exposed as result.gram_cache for callers to
+    # unpersist.
+    from pyspark import StorageLevel
+
+    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     dup = (
         grams.groupBy("__g")
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -1170,7 +1178,7 @@ def duplicated_spans(
     islands = marked.withColumn(
         "__isl", F.col("__pos") - F.row_number().over(w)
     )
-    return (
+    result = (
         islands.groupBy(id_col, "__isl")
         .agg(
             F.min("__pos").alias("span_start"),
@@ -1179,3 +1187,5 @@ def duplicated_spans(
         )
         .select(id_col, "span_start", "span_len", "n_windows")
     )
+    result.gram_cache = grams
+    return result

@@ -52,7 +52,9 @@ def _fib_decode(body: bytes) -> np.ndarray:
     byte (high nibble first); running value clamped to int8."""
     if len(body) < 2:
         raise ValueError("torn 8SVX Fibonacci-delta body")
-    x = int(np.int8(body[1]))
+    # sign-extend without np.int8(): an out-of-bound Python int raises
+    # OverflowError under NumPy 2
+    x = (body[1] ^ 0x80) - 0x80
     out = [x]
     for byte in body[2:]:
         for code in (byte >> 4, byte & 0x0F):
@@ -68,7 +70,7 @@ def _fib_encode(samples: np.ndarray) -> bytes:
     s = np.asarray(samples, dtype=np.int64)
     if s.size == 0:
         raise ValueError("empty 8SVX body")
-    out = bytearray([0, np.uint8(np.int8(s[0]))])
+    out = bytearray([0, int(s[0]) & 0xFF])
     x = int(s[0])
     nibbles: list[int] = []
     for v in s[1:]:
@@ -105,6 +107,8 @@ def parse_8svx(payload: bytes):
         elif cid == b"BODY":
             body = data
         elif cid == b"CHAN":
+            if len(data) < 4:
+                raise ValueError("torn 8SVX CHAN chunk")
             (chan,) = struct.unpack(">I", data[:4])
         off += 8 + sz + (sz & 1)
     if vhdr is None or body is None:
@@ -127,16 +131,24 @@ def parse_8svx(payload: bytes):
     ch = 2 if chan == _CHAN_STEREO else 1
     if chan not in (None, _CHAN_LEFT, _CHAN_RIGHT, _CHAN_STEREO):
         raise ValueError(f"8SVX CHAN mask {chan} outside the declared scope")
+    if samples.size == 0:
+        raise ValueError("8SVX body with no samples")
+    per = one_shot + repeat  # samples per channel, when VHDR declares it
     if ch == 2:
-        # stereo stores SEQUENTIAL channel blocks (left then right)
-        half = samples.size // 2
+        # stereo stores SEQUENTIAL channel blocks (left then right);
+        # split on the declared per-channel count when present so a
+        # trailing pad (fib nibble pad, IFF even pad) cannot shear the
+        # blocks by one — size//2 is the per=0 fallback only
+        half = per if 0 < per <= samples.size // 2 else samples.size // 2
         if half == 0:
             raise ValueError("8SVX stereo body with no complete channel block")
         mono = (samples[:half] + samples[half : 2 * half]) / 2.0 / 128.0
     else:
-        per = one_shot + repeat
-        if per and comp == 0 and samples.size > per:
-            samples = samples[:per]  # ignore trailing pad
+        if per and samples.size > per:
+            # drop trailing pad for BOTH compressions: the fib coder
+            # pads odd delta counts with a 0-delta nibble, which would
+            # otherwise surface as a phantom final sample
+            samples = samples[:per]
         mono = samples.astype(np.float64) / 128.0
     return mono, int(rate), ch
 
@@ -152,6 +164,10 @@ def encode_8svx(
     x = np.asarray(samples, dtype=np.int64)
     if (x > 127).any() or (x < -128).any():
         raise ValueError("8SVX sample out of int8 range")
+    if not 1 <= sample_rate <= 0xFFFF:
+        # VHDR carries the rate as a UWORD; fail with a named error
+        # instead of struct.error at pack time
+        raise ValueError("8SVX sample rate outside the UWORD field range")
     stereo = x.ndim == 2
     if stereo:
         if x.shape[1] != 2:
@@ -170,9 +186,10 @@ def encode_8svx(
     vhdr = struct.pack(">IIIHBBI", per, 0, 32, sample_rate, 1, 1 if fib else 0, 0x10000)
     chunks = b"VHDR" + struct.pack(">I", len(vhdr)) + vhdr
     if annotation:
-        if len(annotation) % 2:
-            annotation += b"\x00"
+        # EA IFF 85 ckSize excludes the even-alignment pad byte
         chunks += b"ANNO" + struct.pack(">I", len(annotation)) + annotation
+        if len(annotation) % 2:
+            chunks += b"\x00"
     if stereo:
         chunks += b"CHAN" + struct.pack(">II", 4, _CHAN_STEREO)
     if len(body) % 2:

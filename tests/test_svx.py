@@ -5,6 +5,7 @@ declared-scope quarantines, registry dispatch, 300-case tear fuzz."""
 from __future__ import annotations
 
 import glob
+import struct
 
 import numpy as np
 import pytest
@@ -123,3 +124,57 @@ def test_tear_contract_fuzz():
             parse_8svx(bytes(mutated))
         except ValueError:
             pass
+
+
+# ---- r10 second-review regression pins --------------------------------------
+
+
+def test_fib_even_sample_count_no_phantom_tail():
+    """An even sample count means an odd delta count -> the coder pads a
+    0-delta nibble; the VHDR sample count must trim the phantom sample."""
+    x = np.array([10, 11], dtype=np.int64)
+    mono, sr, ch = parse_8svx(encode_8svx(x, 8000, fib=True))
+    assert np.array_equal(np.rint(mono * 128).astype(np.int64), x)
+    assert len(mono) == 2
+
+
+def test_fib_negative_initial_sample():
+    """Initial byte >= 128 (negative int8) must sign-extend without
+    NumPy-2 overflow hazards."""
+    x = np.array([-50, -49, -51], dtype=np.int64)
+    mono, _, _ = parse_8svx(encode_8svx(x, 8000, fib=True))
+    assert np.array_equal(np.rint(mono * 128).astype(np.int64)[:3], x)
+    assert list(_fib_decode(bytes([0, 206, (9 << 4) | 7]))) == [-50, -49, -50]
+
+
+def test_torn_chan_chunk_raises_value_error():
+    blob = bytearray(encode_8svx(np.zeros((4, 2), dtype=np.int64), 8000))
+    i = blob.index(b"CHAN")
+    torn = bytes(blob[: i + 4]) + struct.pack(">I", 2) + b"\x00\x00"
+    with pytest.raises(ValueError, match="torn 8SVX CHAN|torn 8SVX chunk"):
+        parse_8svx(torn)
+
+
+def test_encoder_rejects_uword_overflow_rate():
+    with pytest.raises(ValueError, match="UWORD"):
+        encode_8svx(np.zeros(4, dtype=np.int64), 96000)
+    with pytest.raises(ValueError, match="UWORD"):
+        encode_8svx(np.zeros(4, dtype=np.int64), 0)
+
+
+def test_anno_cksize_excludes_pad():
+    blob = encode_8svx(np.zeros(4, dtype=np.int64), 8000, annotation=b"abc")
+    i = blob.index(b"ANNO")
+    (sz,) = struct.unpack(">I", blob[i + 4 : i + 8])
+    assert sz == 3 and blob[i + 8 : i + 11] == b"abc"
+    assert blob[i + 11] == 0  # pad byte outside ckSize
+    mono, _, _ = parse_8svx(blob)  # and the walk still lands on BODY
+    assert len(mono) == 4
+
+
+def test_empty_body_quarantines():
+    blob = bytearray(encode_8svx(np.zeros(2, dtype=np.int64), 8000))
+    i = blob.index(b"BODY")
+    empty = bytes(blob[: i + 4]) + struct.pack(">I", 0)
+    with pytest.raises(ValueError, match="no samples"):
+        parse_8svx(empty)

@@ -501,6 +501,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "crawl_sitemap_frontier",
     "dedup_duplicated_spans",
     "audio_8svx_roundtrip",
+    "dedup_span_removal_keep_first",
 )
 
 

@@ -633,3 +633,97 @@ def audio_8svx_roundtrip(spark, sf_dir):
             )
 
     return d.mapInPandas(op, out_schema).orderBy("doc_id")
+
+
+def _span_removal_oracle() -> str:
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus.wave_r11 import (
+        _DUCK_NORM,
+    )
+
+    k = _SPAN_K
+    mixed = (
+        "(text || CASE WHEN doc_id % 3 = 0 THEN ' " + _SPAN_BP1 + "' ELSE '' END"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' " + _SPAN_BP2 + "' ELSE '' END)"
+    )
+    norm = _DUCK_NORM.replace("lower(text)", f"lower({mixed})")
+    return f"""
+        WITH base AS (
+            SELECT doc_id, string_split({norm}, ' ') AS tk
+            FROM documents WHERE doc_id < 200),
+        sized AS (SELECT doc_id, tk, len(tk) AS n FROM base),
+        grams AS (
+            SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                   array_to_string(list_slice(tk, i, i + {k - 1}), ' ') AS g
+            FROM sized, LATERAL (
+                SELECT unnest(generate_series(1, n - {k} + 1)) AS i)
+            WHERE n >= {k}),
+        dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+        occ AS (
+            SELECT doc_id, pos,
+                   (ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) = 1)
+                       AS canon
+            FROM grams WHERE g IN (SELECT g FROM dup)),
+        cov AS (
+            SELECT doc_id, pos + u.o AS t, canon
+            FROM occ, LATERAL (SELECT unnest(range({k})) AS o) u),
+        rem AS (
+            SELECT doc_id, t FROM cov GROUP BY doc_id, t
+            HAVING MAX(CASE WHEN canon THEN 1 ELSE 0 END) = 0),
+        toks AS (
+            SELECT doc_id, n, CAST(i - 1 AS BIGINT) AS t, tk[i] AS tok
+            FROM sized, LATERAL (SELECT unnest(generate_series(1, n)) AS i)),
+        kept AS (
+            SELECT toks.doc_id, toks.n, toks.t, toks.tok FROM toks
+            ANTI JOIN rem ON toks.doc_id = rem.doc_id AND toks.t = rem.t),
+        rebuilt AS (
+            SELECT doc_id, string_agg(tok, ' ' ORDER BY t) AS cleaned,
+                   COUNT(*) AS kept_n
+            FROM kept GROUP BY doc_id)
+        SELECT s.doc_id, CAST(s.n AS BIGINT) AS n_tokens,
+               CAST(s.n - COALESCE(r.kept_n, 0) AS BIGINT) AS n_removed,
+               md5(COALESCE(r.cleaned, '')) AS cleaned_md5
+        FROM sized s LEFT JOIN rebuilt r ON s.doc_id = r.doc_id
+        ORDER BY s.doc_id
+    """
+
+
+@register(
+    "dedup_span_removal_keep_first",
+    oracle=_span_removal_oracle(),
+    tags=("B10", "dedup"),
+    doc="Duplicated-span REMOVAL (the actionable half of Lee et al. ACL "
+    "2022 — remove every copy but one): each duplicated 8-gram's "
+    "canonical occurrence is its corpus-first by (doc, position); a "
+    "token is excised iff covered by a duplicated occurrence and by NO "
+    "canonical one, so the first copy of each boilerplate block "
+    "survives intact and the rest vanish — the policy twin of the r5 "
+    "dedup_span_removal query, which removes EVERY copy (contamination "
+    "scrubbing). Runs on the same boilerplate-"
+    "injected corpus as dedup_duplicated_spans; per-doc token counts, "
+    "removal counts, and the md5 of the cleaned token stream replay "
+    "hash-for-hash in SQL (operators/dedup.py remove_duplicated_spans).",
+)
+def dedup_span_removal_keep_first(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import (
+        remove_duplicated_spans_keep_first,
+    )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    mixed = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, " " + _SPAN_BP1).otherwise(""),
+            F.when(F.col("doc_id") % 7 == 0, " " + _SPAN_BP2).otherwise(""),
+        ).alias("text"),
+    )
+    return (
+        remove_duplicated_spans_keep_first(mixed, k=_SPAN_K, min_count=2)
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_removed").cast("long").alias("n_removed"),
+            F.md5("cleaned_text").alias("cleaned_md5"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1123,6 +1123,13 @@ def duplicated_spans(
     (MinHash, containment) cannot remove because the documents as a
     whole are distinct.
 
+    Relationship to the r5 machinery: :func:`duplicated_span_intervals`
+    is the hash-keyed removal primitive (merged [start, end] intervals
+    feeding :func:`remove_duplicate_spans`); this form is the
+    DIAGNOSTIC twin — exact string keying by default (fully
+    SQL-replayable, hash path equality-pinned) and per-span window
+    counts for reporting/thresholding.
+
     Spark-first shape (the suffix-array of the paper is a single-node
     construct; the equivalent corpus-scale join is):
 
@@ -1186,6 +1193,116 @@ def duplicated_spans(
             F.count(F.lit(1)).alias("n_windows"),
         )
         .select(id_col, "span_start", "span_len", "n_windows")
+    )
+    result.gram_cache = grams
+    return result
+
+
+def remove_duplicated_spans_keep_first(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+    min_count: int = 2,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """The ACTIONABLE half of :func:`duplicated_spans` (Lee et al., ACL
+    2022 remove one copy, not all): excise duplicated text from every
+    document while keeping exactly one corpus-canonical occurrence.
+
+    Complements the r5 :func:`remove_duplicate_spans` (which removes
+    EVERY copy — the right policy for contamination scrubbing, where no
+    occurrence may survive); this keep-first form is the paper's
+    training-dedup policy, where the corpus should retain each
+    boilerplate block exactly once.
+
+    Deterministic gram-level policy (documented, SQL-replayable): each
+    duplicated k-gram's CANONICAL occurrence is its first by
+    (id, position); a token is removed iff it is covered by at least
+    one duplicated-gram occurrence and by NO canonical occurrence — so
+    the first copy of a boilerplate block survives intact and every
+    other copy disappears, with overlap between different duplicated
+    grams resolved conservatively (tokens inside any kept copy stay).
+
+    Returns (id, cleaned_text, n_tokens, n_removed) where cleaned_text
+    is the NORMALIZED token stream with removed tokens excised (span
+    surgery operates on the same normalization the detector used —
+    callers wanting original-byte surgery map the token offsets back
+    through their own tokenizer, exactly as with the paper's
+    suffix-array offsets). Docs shorter than ``k`` tokens pass through
+    untouched.
+
+    Scale shape: the coverage explode (×k) runs ONLY over duplicated
+    occurrences — the small head of the distribution — never the whole
+    corpus; the gram frame is persisted once and shared by the count
+    and the probe (exposed as ``result.gram_cache``).
+    """
+    if k < 2:
+        raise ValueError("remove_duplicated_spans needs k >= 2")
+    if min_count < 2:
+        raise ValueError("a span occurring once is not duplicated")
+    from pyspark import StorageLevel
+
+    base = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).withColumn("__n", F.size("__toks"))
+    grams = base.where(F.col("__n") >= k).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("__n") - k),
+                lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, k)),
+            )
+        ).alias("__pos", "__g"),
+    )
+    if hash_grams:
+        grams = grams.select(F.col(id_col), "__pos", F.xxhash64("__g").alias("__g"))
+    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    dup = (
+        grams.groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") >= min_count)
+        .select("__g")
+    )
+    occ = grams.join(dup, "__g", "left_semi")
+    w = Window.partitionBy("__g").orderBy(F.col(id_col), F.col("__pos"))
+    occ = occ.withColumn("__canon", (F.row_number().over(w) == 1).cast("int"))
+    cov = occ.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("__pos"), F.col("__pos") + k - 1)).alias("__t"),
+        "__canon",
+    )
+    remove = (
+        cov.groupBy(id_col, "__t")
+        .agg(F.max("__canon").alias("__anycanon"))
+        .where(F.col("__anycanon") == 0)
+        .select(id_col, "__t")
+    )
+    toks = base.select(
+        F.col(id_col), "__n", F.posexplode("__toks").alias("__t", "__tok")
+    )
+    kept = toks.join(remove, [id_col, "__t"], "left_anti")
+    rebuilt = kept.groupBy(id_col, "__n").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__t", "__tok"))),
+                lambda s: s["__tok"],
+            ),
+        ).alias("cleaned_text"),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    result = (
+        base.select(F.col(id_col), F.col("__n").alias("n_tokens"))
+        .join(rebuilt.drop("__n"), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+            F.col("n_tokens"),
+            (F.col("n_tokens") - F.coalesce(F.col("__kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+        )
     )
     result.gram_cache = grams
     return result

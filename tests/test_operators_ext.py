@@ -1176,3 +1176,44 @@ def test_duplicated_spans_short_docs_and_bad_args(spark):
         duplicated_spans(df, k=1)
     with _pytest.raises(ValueError, match="not duplicated"):
         duplicated_spans(df, k=8, min_count=1)
+
+
+def test_remove_duplicated_spans_keep_first_policy(spark):
+    """The Lee et al. policy: the corpus-FIRST copy of a duplicated
+    block survives intact, every later copy is excised (unlike the r5
+    remove_duplicate_spans contamination scrubber, which removes all)."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import (
+        remove_duplicated_spans_keep_first,
+    )
+
+    block = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [
+        (1, "prefix words here " + block + " suffix one"),
+        (2, block + " totally different tail content two"),
+        (3, "unrelated text without anything shared at all three"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["cleaned_text"], r["n_tokens"], r["n_removed"])
+        for r in remove_duplicated_spans_keep_first(df, k=8).collect()
+    }
+    # doc 1 holds the canonical (first) copy: untouched
+    assert got[1] == ("prefix words here " + block + " suffix one", 13, 0)
+    # doc 2's copy is excised, the unique tail survives
+    assert got[2] == ("totally different tail content two", 13, 8)
+    assert got[3] == ("unrelated text without anything shared at all three", 8, 0)
+
+
+def test_remove_duplicated_spans_keep_first_intra_doc(spark):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import (
+        remove_duplicated_spans_keep_first,
+    )
+
+    rep = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [(1, rep + " mid filler " + rep)], "doc_id long, text string"
+    )
+    (row,) = remove_duplicated_spans_keep_first(df, k=8).collect()
+    # first occurrence kept, second removed
+    assert row["cleaned_text"] == rep + " mid filler"
+    assert row["n_removed"] == 8

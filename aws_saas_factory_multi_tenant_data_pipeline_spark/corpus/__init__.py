@@ -502,6 +502,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "dedup_duplicated_spans",
     "audio_8svx_roundtrip",
     "dedup_span_removal_keep_first",
+    "crawl_robots_sitemaps",
 )
 
 

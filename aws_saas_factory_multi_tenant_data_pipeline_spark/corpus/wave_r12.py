@@ -727,3 +727,93 @@ def dedup_span_removal_keep_first(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+def _robots_sitemaps_oracle() -> str:
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.robots import (
+        extract_sitemap_directives_sql,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.urlnorm import (
+        canonicalize_url_sql,
+    )
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    txt = " || ".join(
+        [
+            lit("User-agent: *\nDisallow: /private\n"
+                "  SITEMAP: https://Example.COM:443/sitemap"),
+            "CAST(doc_id % 9 AS VARCHAR)",
+            lit(".xml?utm_source=robots\nAllow: /\n"
+                "notsitemap: https://evil.example/x\n"
+                "# sitemap: https://commented.example/y\r\n"
+                "sitemap:https://site"),
+            "CAST(doc_id % 5 AS VARCHAR)",
+            lit(".org/s.xml\r\nUser-agent: bot\nDisallow:\n"),
+        ]
+    )
+    links = extract_sitemap_directives_sql(f"({txt})")
+    canon = canonicalize_url_sql("l.u")
+    return f"""
+        WITH pages AS (
+            SELECT doc_id, {links} AS raw FROM documents WHERE doc_id < 120),
+        exploded AS (
+            SELECT doc_id, CAST(i AS INT) AS pos, raw[i] AS u
+            FROM pages, LATERAL (SELECT unnest(range(1, len(raw) + 1)) AS i)),
+        edges AS (
+            SELECT doc_id, pos, {canonicalize_url_sql("u")} AS url FROM exploded)
+        SELECT doc_id, pos, url FROM edges
+        ORDER BY doc_id, pos
+    """
+
+
+@register(
+    "crawl_robots_sitemaps",
+    oracle=_robots_sitemaps_oracle(),
+    tags=("B10", "crawl"),
+    doc="robots.txt Sitemap discovery (RFC 9309 §2.3) — the missing link "
+    "between the crawl trio's stages (robots gate → SITEMAP DISCOVERY → "
+    "sitemap frontier → page link graph): per doc a synthetic robots.txt "
+    "with a mixed-case indented SITEMAP: directive carrying tracking "
+    "params, a no-space 'sitemap:' CRLF line, a 'notsitemap:' key that "
+    "must NOT match (the ^-anchor contract), and a commented-out line "
+    "that must not match either; directives extract group-independently "
+    "in document order and canonicalize into seed URLs. Extraction runs "
+    "as GENERATED Spark/DuckDB twins from one pattern constant "
+    "(operators/robots.py extract_sitemap_directives; "
+    "operators/urlnorm.py).",
+)
+def crawl_robots_sitemaps(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.robots import (
+        extract_sitemap_directives,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.urlnorm import (
+        canonicalize_url,
+    )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    s = lambda c: c.cast("string")  # noqa: E731
+    txt = F.concat(
+        F.lit("User-agent: *\nDisallow: /private\n"
+              "  SITEMAP: https://Example.COM:443/sitemap"),
+        s(F.col("doc_id") % 9),
+        F.lit(".xml?utm_source=robots\nAllow: /\n"
+              "notsitemap: https://evil.example/x\n"
+              "# sitemap: https://commented.example/y\r\n"
+              "sitemap:https://site"),
+        s(F.col("doc_id") % 5),
+        F.lit(".org/s.xml\r\nUser-agent: bot\nDisallow:\n"),
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.posexplode(extract_sitemap_directives(txt)).alias("p0", "u"),
+        )
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).cast("int").alias("pos"),
+            canonicalize_url(F.col("u")).alias("url"),
+        )
+        .orderBy("doc_id", "pos")
+    )

@@ -186,3 +186,29 @@ def filter_by_robots(
         "__host"
     )
     return result if keep_disallowed else result.where(F.col("allowed")).drop("allowed")
+
+
+# ---------------------------------------------------------------------------
+# Sitemap discovery (RFC 9309 §2.3 "Other records"): "Sitemap:" lines
+# are GROUP-INDEPENDENT — they apply regardless of user-agent sections —
+# with a case-insensitive key and an absolute-URL value. This is the
+# link from the robots gate to the sitemap frontier (operators/html.py
+# extract_sitemap_entries): discover the sitemaps here, fetch, then
+# seed. Same generated Spark/DuckDB twin convention as extract_links.
+
+#: leading whitespace, case-insensitive key, colon, optional whitespace,
+#: the URL token (\S stops before any \r of a CRLF file). Java ∩ RE2.
+_SITEMAP_DIRECTIVE_RE = r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*([^\s]+)"
+
+
+def extract_sitemap_directives(col) -> "F.Column":
+    """All Sitemap: directive URLs of a robots.txt string column, in
+    document order (duplicates preserved — mirrored directives are a
+    real signal)."""
+    return F.regexp_extract_all(col, F.lit(_SITEMAP_DIRECTIVE_RE), 1)
+
+
+def extract_sitemap_directives_sql(expr: str) -> str:
+    """The DuckDB twin, generated from the same pattern constant."""
+    esc = _SITEMAP_DIRECTIVE_RE.replace("'", "''")
+    return f"regexp_extract_all({expr}, '{esc}', 1)"

@@ -274,3 +274,45 @@ def test_robots_policy_never_raises_on_garbage():
         rp = RobotsPolicy(txt, "mtdp-bot")
         for url in ("https://h/x", "not a url", "", "https://h/?q=1#f"):
             assert isinstance(rp.allowed(url), bool)
+
+
+def test_sitemap_directive_extraction_and_twin(spark):
+    """RFC 9309 §2.3 Sitemap lines: case-insensitive key, leading
+    whitespace, no-space colon, CRLF files; 'notsitemap:' and commented
+    lines never match; document order with duplicates preserved —
+    Spark and the generated DuckDB twin char-for-char."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.robots import (
+        extract_sitemap_directives,
+        extract_sitemap_directives_sql,
+    )
+
+    samples = [
+        "User-agent: *\nSitemap: https://a.io/s.xml\nDisallow: /x\n",
+        "  SITEMAP:\thttps://b.io/s.xml\r\nsitemap:https://b.io/s2.xml\r\n",
+        "notsitemap: https://evil.example/x\n#sitemap: https://no.example/y\n",
+        "sitemap: https://dup.io/s.xml\nsitemap: https://dup.io/s.xml\n",
+        "no directives at all",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], "id long, txt string"
+    )
+    got = {
+        r["id"]: r["ls"]
+        for r in df.select(
+            "id", extract_sitemap_directives(F.col("txt")).alias("ls")
+        ).collect()
+    }
+    assert got[0] == ["https://a.io/s.xml"]
+    assert got[1] == ["https://b.io/s.xml", "https://b.io/s2.xml"]
+    assert got[2] == []
+    assert got[3] == ["https://dup.io/s.xml", "https://dup.io/s.xml"]
+    assert got[4] == []
+    con = duckdb.connect()
+    for i, s in enumerate(samples):
+        (duck,) = con.execute(
+            "SELECT " + extract_sitemap_directives_sql("?"), [s]
+        ).fetchone()
+        assert got[i] == duck, (i, got[i], duck)

@@ -503,6 +503,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "audio_8svx_roundtrip",
     "dedup_span_removal_keep_first",
     "crawl_robots_sitemaps",
+    "text_pdf_extract",
 )
 
 

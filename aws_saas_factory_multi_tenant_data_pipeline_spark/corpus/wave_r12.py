@@ -817,3 +817,72 @@ def crawl_robots_sitemaps(spark, sf_dir):
         )
         .orderBy("doc_id", "pos")
     )
+
+
+@register(
+    "text_pdf_extract",
+    oracle="""
+        WITH expected AS (
+            SELECT doc_id,
+                   'corpus document ' || CAST(doc_id AS VARCHAR) || chr(10)
+                   || 'body line ' || CAST((doc_id * 7) % 50 AS VARCHAR)
+                   || ' alpha beta' || chr(12)
+                   || 'second page of ' || CAST(doc_id AS VARCHAR) || chr(10)
+                   || 'tail ' || CAST(doc_id % 9 AS VARCHAR) AS t
+            FROM documents WHERE doc_id < 48)
+        SELECT doc_id, CAST(2 AS BIGINT) AS n_pages,
+               CAST(length(t) AS BIGINT) AS n_chars,
+               md5(t) AS text_md5
+        FROM expected ORDER BY doc_id
+    """,
+    tags=("B10", "text", "multimodal"),
+    doc="PDF text extraction END-TO-END with an ANALYTIC oracle (the "
+    "[r10] document codec — PDFs are the largest high-quality document "
+    "slice of any real crawl; REAL pdfTeX 1.5 files with xref/object "
+    "streams and CMaps are pinned in tests/test_pdf.py): per doc a "
+    "two-page classic-xref PDF is built by the spec-literal writer — "
+    "Flate-compressed content streams, Td line advances, and on odd "
+    "docs content bytes SHIFTED by 3 with a ToUnicode bfchar CMap "
+    "mapping them back (an extractor ignoring the CMap yields shifted "
+    "garbage) — then extracted by the from-spec parser (linear object "
+    "scan, object streams, Flate, text operators). Page count, exact "
+    "character count, and the md5 of the full extracted text (pages "
+    "joined by form feeds) are stated in SQL from the generating "
+    "formula (operators/pdf.py; ISO 32000-1).",
+)
+def text_pdf_extract(spark, sf_dir):
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 48).select("doc_id")
+    out_schema = "doc_id long, n_pages long, n_chars long, text_md5 string"
+
+    def op(batches):
+        import hashlib
+
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.pdf import (
+            build_pdf,
+            extract_pdf_text,
+            pdf_page_count,
+        )
+
+        for pdf_batch in batches:
+            rows = []
+            for did in pdf_batch["doc_id"]:
+                did = int(did)
+                p1 = f"corpus document {did}\nbody line {(did * 7) % 50} alpha beta"
+                p2 = f"second page of {did}\ntail {did % 9}"
+                blob = build_pdf([p1, p2], tounicode_shift=3 if did % 2 else 0)
+                text = extract_pdf_text(blob)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "n_pages": pdf_page_count(blob),
+                        "n_chars": len(text),
+                        "text_md5": hashlib.md5(text.encode()).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_pages", "n_chars", "text_md5"]
+            )
+
+    return d.mapInPandas(op, out_schema).orderBy("doc_id")

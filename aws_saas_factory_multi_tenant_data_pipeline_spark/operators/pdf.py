@@ -1,0 +1,609 @@
+"""Scoped from-spec PDF text extraction (ISO 32000-1 / PDF 1.x).
+
+PDF is the largest high-quality document slice of any real crawl, and
+text extraction is a staple of every LLM-data pipeline. Pure
+stdlib(+zlib): this module extracts page text from the subset of PDF
+that covers the vast majority of digitally-born documents —
+
+- object discovery by LINEAR SCAN of ``N G obj … endobj`` (the robust
+  path every production extractor falls back to; no dependence on a
+  well-formed xref), plus PDF 1.5 OBJECT STREAMS (``/Type /ObjStm``,
+  Flate-decoded, ``/N``+``/First`` header walk) so compressed-object
+  documents (pdfTeX output) work;
+- stream payloads via ``/Length`` (direct or indirect) with an
+  endstream-marker fallback, ``/Filter /FlateDecode`` through zlib
+  (incl. filter arrays of one Flate entry);
+- a minimal object grammar: dicts, arrays, names (with ``#xx``
+  escapes), numbers, literal strings (escapes, nested parens, octal),
+  hex strings, booleans/null, and indirect references;
+- the page tree (``/Type /Page`` objects, ``/Contents`` ref or array)
+  and per-page ``/Resources /Font`` maps;
+- content-stream text operators: ``BT/ET``, ``Tf`` (font switch),
+  ``Tj``, ``'``, ``\"``, and ``TJ`` (kerning arrays — a negative
+  adjustment beyond ``KERN_SPACE_THRESHOLD`` becomes a space, the
+  standard word-gap heuristic), with ``Td/TD/T*`` starting new lines;
+- byte→text decoding per font: ``/ToUnicode`` CMaps (``bfchar`` +
+  ``bfrange``, incl. array destinations), 2-byte codes for
+  ``/Type0`` composite fonts, Latin-1 passthrough otherwise (the
+  honest fallback for unmapped simple fonts — pdfTeX's builtin-encoded
+  Type1 text extracts approximately, never crashes).
+
+Declared boundaries (named per-payload/per-stream errors or skips,
+never a crash): encrypted documents (``/Encrypt``) raise; non-Flate
+stream filters (DCTDecode images, LZW, …) are skipped as content;
+Type0 fonts without a ToUnicode map fall back to per-byte Latin-1
+(flagged in the page text only by absence, documented).
+
+Real-file interop: the two pdfTeX PDFs shipped with this host's OS
+packages (libtasn1 manual, shared-mime-info spec — PDF 1.5, xref
+streams + object streams, Flate everywhere) extract through this exact
+path in tests/test_pdf.py.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+#: TJ kerning threshold (thousandths of an em): gaps wider than this
+#: are word breaks — the conventional extractor heuristic
+KERN_SPACE_THRESHOLD = 180
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class _Tok:
+    __slots__ = ("data", "i", "n")
+
+    def __init__(self, data: bytes, i: int = 0):
+        self.data = data
+        self.i = i
+        self.n = len(data)
+
+    def _skip_ws(self) -> None:
+        d, n = self.data, self.n
+        while self.i < n:
+            c = d[self.i]
+            if c in _WS:
+                self.i += 1
+            elif c == 0x25:  # % comment
+                j = d.find(b"\n", self.i)
+                self.i = n if j < 0 else j + 1
+            else:
+                return
+
+    def parse(self):
+        """One PDF object at the cursor."""
+        self._skip_ws()
+        if self.i >= self.n:
+            raise ValueError("torn PDF object")
+        d = self.data
+        c = d[self.i]
+        if d.startswith(b"<<", self.i):
+            return self._dict()
+        if c == 0x3C:  # <hex>
+            j = d.find(b">", self.i)
+            if j < 0:
+                raise ValueError("torn PDF hex string")
+            h = re.sub(rb"\s", b"", d[self.i + 1 : j])
+            if len(h) % 2:
+                h += b"0"
+            self.i = j + 1
+            return bytes.fromhex(h.decode("ascii", "replace"))
+        if c == 0x28:  # (literal)
+            return self._string()
+        if c == 0x2F:  # /Name
+            return self._name()
+        if c == 0x5B:  # [array]
+            self.i += 1
+            out = []
+            while True:
+                self._skip_ws()
+                if self.i >= self.n:
+                    raise ValueError("torn PDF array")
+                if d[self.i] == 0x5D:
+                    self.i += 1
+                    return out
+                out.append(self.parse())
+        for kw, val in ((b"true", True), (b"false", False), (b"null", None)):
+            if d.startswith(kw, self.i):
+                self.i += len(kw)
+                return val
+        m = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)").match(d, self.i)
+        if m:
+            # maybe an indirect reference: NUM GEN R
+            save = self.i
+            self.i = m.end()
+            num_txt = m.group()
+            self._skip_ws()
+            m2 = re.compile(rb"(\d+)\s+R(?![A-Za-z0-9])").match(d, self.i)
+            if m2 and b"." not in num_txt:
+                self.i = m2.end()
+                return _Ref(int(num_txt))
+            self.i = m.end()
+            del save
+            return float(num_txt) if b"." in num_txt else int(num_txt)
+        raise ValueError(f"unparseable PDF token at byte {self.i}")
+
+    def _name(self):
+        d = self.data
+        j = self.i + 1
+        while j < self.n and d[j] not in _WS and d[j] not in _DELIM:
+            j += 1
+        raw = d[self.i + 1 : j]
+        self.i = j
+        raw = re.sub(
+            rb"#([0-9A-Fa-f]{2})", lambda m: bytes([int(m.group(1), 16)]), raw
+        )
+        return _Name(raw.decode("latin-1"))
+
+    def _string(self) -> bytes:
+        d = self.data
+        i = self.i + 1
+        out = bytearray()
+        depth = 1
+        esc = {
+            0x6E: b"\n", 0x72: b"\r", 0x74: b"\t", 0x62: b"\b",
+            0x66: b"\x0c", 0x28: b"(", 0x29: b")", 0x5C: b"\\",
+        }
+        while i < self.n:
+            c = d[i]
+            if c == 0x5C:  # backslash
+                i += 1
+                if i >= self.n:
+                    break
+                c2 = d[i]
+                if c2 in esc:
+                    out += esc[c2]
+                    i += 1
+                elif 0x30 <= c2 <= 0x37:  # octal, up to 3 digits
+                    j = i
+                    while j < min(i + 3, self.n) and 0x30 <= d[j] <= 0x37:
+                        j += 1
+                    out.append(int(d[i:j], 8) & 0xFF)
+                    i = j
+                elif c2 in (0x0A, 0x0D):  # line continuation
+                    i += 1
+                    if c2 == 0x0D and i < self.n and d[i] == 0x0A:
+                        i += 1
+                else:
+                    out.append(c2)
+                    i += 1
+            elif c == 0x28:
+                depth += 1
+                out.append(c)
+                i += 1
+            elif c == 0x29:
+                depth -= 1
+                if depth == 0:
+                    self.i = i + 1
+                    return bytes(out)
+                out.append(c)
+                i += 1
+            else:
+                out.append(c)
+                i += 1
+        raise ValueError("torn PDF literal string")
+
+    def _dict(self):
+        self.i += 2
+        out = {}
+        while True:
+            self._skip_ws()
+            if self.data.startswith(b">>", self.i):
+                self.i += 2
+                return out
+            key = self.parse()
+            if not isinstance(key, _Name):
+                raise ValueError("PDF dict key is not a name")
+            out[key.v] = self.parse()
+
+
+class _Name:
+    __slots__ = ("v",)
+
+    def __init__(self, v: str):
+        self.v = v
+
+    def __repr__(self):
+        return f"/{self.v}"
+
+    def __eq__(self, other):
+        return isinstance(other, _Name) and other.v == self.v
+
+    def __hash__(self):
+        return hash(("name", self.v))
+
+
+class _Ref:
+    __slots__ = ("num",)
+
+    def __init__(self, num: int):
+        self.num = num
+
+    def __repr__(self):
+        return f"{self.num} 0 R"
+
+
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+
+
+class PdfDocument:
+    """Parsed object store + page walker."""
+
+    def __init__(self, payload: bytes):
+        if not payload.startswith(b"%PDF-"):
+            raise ValueError("not a PDF payload")
+        self.raw = payload
+        self.objects: dict[int, tuple] = {}  # num -> (value, stream|None)
+        self._scan(payload)
+        self._expand_object_streams()
+        trailer_encrypted = b"/Encrypt" in payload[-2048:]
+        if trailer_encrypted or any(
+            isinstance(v, dict) and "Encrypt" in v
+            for v, _ in self.objects.values()
+            if isinstance(v, dict) and v.get("Type", _Name("")) == _Name("XRef")
+        ):
+            raise ValueError("encrypted PDF outside the declared scope")
+
+    # -- object discovery ---------------------------------------------------
+    def _scan(self, data: bytes) -> None:
+        for m in _OBJ_RE.finditer(data):
+            num = int(m.group(1))
+            try:
+                tok = _Tok(data, m.end())
+                val = tok.parse()
+                stream = None
+                tok._skip_ws()
+                if data.startswith(b"stream", tok.i):
+                    j = tok.i + 6
+                    if data.startswith(b"\r\n", j):
+                        j += 2
+                    elif data.startswith(b"\n", j) or data.startswith(b"\r", j):
+                        j += 1
+                    length = val.get("Length") if isinstance(val, dict) else None
+                    if isinstance(length, _Ref):
+                        length = None  # resolve later via marker scan
+                    if isinstance(length, int) and data.startswith(
+                        b"endstream", self._after_ws(data, j + length)
+                    ):
+                        stream = data[j : j + length]
+                    else:
+                        e = data.find(b"endstream", j)
+                        if e < 0:
+                            continue  # torn stream object: skip
+                        stream = data[j:e].rstrip(b"\r\n")
+                self.objects[num] = (val, stream)
+            except ValueError:
+                continue  # unparseable object: robust-scan convention
+
+    @staticmethod
+    def _after_ws(data: bytes, i: int) -> int:
+        while i < len(data) and data[i] in _WS:
+            i += 1
+        return i
+
+    def _expand_object_streams(self) -> None:
+        for num in list(self.objects):
+            val, stream = self.objects[num]
+            if not (isinstance(val, dict) and val.get("Type") == _Name("ObjStm")):
+                continue
+            try:
+                body = self._decoded_stream(val, stream)
+                n = self.resolve(val.get("N", 0))
+                first = self.resolve(val.get("First", 0))
+                head = body[:first].split()
+                for k in range(int(n)):
+                    onum = int(head[2 * k])
+                    ooff = int(head[2 * k + 1])
+                    tok = _Tok(body, first + ooff)
+                    self.objects.setdefault(onum, (tok.parse(), None))
+            except (ValueError, IndexError, zlib.error):
+                continue  # torn object stream: skip its contents
+
+    # -- helpers -------------------------------------------------------------
+    def resolve(self, v):
+        seen = 0
+        while isinstance(v, _Ref):
+            v = self.objects.get(v.num, (None, None))[0]
+            seen += 1
+            if seen > 32:
+                raise ValueError("PDF reference loop")
+        return v
+
+    def _decoded_stream(self, sdict: dict, stream: bytes | None) -> bytes:
+        if stream is None:
+            raise ValueError("PDF object has no stream")
+        filt = self.resolve(sdict.get("Filter"))
+        filters = (
+            [] if filt is None else (filt if isinstance(filt, list) else [filt])
+        )
+        data = stream
+        for f in filters:
+            f = self.resolve(f)
+            if f == _Name("FlateDecode"):
+                data = zlib.decompress(data)
+            else:
+                raise ValueError(
+                    f"PDF stream filter {f!r} outside the declared scope"
+                )
+        return data
+
+    # -- pages + text ---------------------------------------------------------
+    def pages(self) -> list[dict]:
+        out = []
+        for num in sorted(self.objects):
+            val, _ = self.objects[num]
+            if isinstance(val, dict) and val.get("Type") == _Name("Page"):
+                out.append(val)
+        return out
+
+    def _font_maps(self, page: dict) -> dict[str, tuple[dict, bool]]:
+        """font resource name -> (code->text map, is_two_byte)."""
+        res = self.resolve(page.get("Resources")) or {}
+        fonts = self.resolve(res.get("Font")) or {}
+        out = {}
+        for fname, fref in fonts.items():
+            fd = self.resolve(fref)
+            if not isinstance(fd, dict):
+                continue
+            two_byte = fd.get("Subtype") == _Name("Type0")
+            cmap: dict[int, str] = {}
+            tu = fd.get("ToUnicode")
+            if tu is not None:
+                try:
+                    tnum = tu.num if isinstance(tu, _Ref) else None
+                    tval, tstream = (
+                        self.objects.get(tnum, (None, None))
+                        if tnum is not None
+                        else (None, None)
+                    )
+                    if isinstance(tval, dict):
+                        cmap = _parse_tounicode(self._decoded_stream(tval, tstream))
+                except (ValueError, zlib.error):
+                    cmap = {}
+            out[fname] = (cmap, two_byte)
+        return out
+
+    def page_text(self, page: dict) -> str:
+        contents = self.resolve(page.get("Contents"))
+        chunks = []
+        refs = contents if isinstance(contents, list) else [page.get("Contents")]
+        for r in refs:
+            if not isinstance(r, _Ref):
+                continue
+            val, stream = self.objects.get(r.num, (None, None))
+            if isinstance(val, dict) and stream is not None:
+                try:
+                    chunks.append(self._decoded_stream(val, stream))
+                except (ValueError, zlib.error):
+                    continue  # non-Flate content: skipped, declared scope
+        return _extract_content_text(b"\n".join(chunks), self._font_maps(page))
+
+
+def _parse_tounicode(body: bytes) -> dict[int, str]:
+    out: dict[int, str] = {}
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", body, re.S):
+        for src, dst in re.findall(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", m.group(1)):
+            out[int(src, 16)] = _utf16be(dst)
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", body, re.S):
+        seg = m.group(1)
+        for lo, hi, dst in re.findall(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", seg
+        ):
+            lo_i, hi_i = int(lo, 16), int(hi, 16)
+            base = int(dst, 16)
+            for c in range(lo_i, min(hi_i, lo_i + 0xFFFF) + 1):
+                out[c] = chr(base + (c - lo_i))
+        for lo, arr in re.findall(
+            rb"<([0-9A-Fa-f]+)>\s*<[0-9A-Fa-f]+>\s*\[(.*?)\]", seg, re.S
+        ):
+            lo_i = int(lo, 16)
+            for k, dst in enumerate(re.findall(rb"<([0-9A-Fa-f]+)>", arr)):
+                out[lo_i + k] = _utf16be(dst)
+    return out
+
+
+def _utf16be(hexbytes: bytes) -> str:
+    b = bytes.fromhex(hexbytes.decode("ascii"))
+    if len(b) % 2:
+        b = b"\x00" + b
+    return b.decode("utf-16-be", "replace")
+
+
+def _decode_text_bytes(raw: bytes, cmap: dict[int, str], two_byte: bool) -> str:
+    if two_byte:
+        if len(raw) % 2:
+            raw = raw[:-1]
+        codes = [int.from_bytes(raw[i : i + 2], "big") for i in range(0, len(raw), 2)]
+    else:
+        codes = list(raw)
+    if cmap:
+        return "".join(cmap.get(c, chr(c) if c < 256 else "�") for c in codes)
+    return "".join(chr(c) if c < 256 else "�" for c in codes)
+
+
+_CONTENT_TOKEN = re.compile(
+    rb"\((?:[^()\\]|\\.|\([^)]*\))*\)"  # literal string (1 nesting level)
+    rb"|<[0-9A-Fa-f\s]*>"  # hex string
+    rb"|\[|\]"
+    rb"|/[^\s()<>\[\]{}/%]*"
+    rb"|[+-]?(?:\d+\.?\d*|\.\d+)"
+    rb"|[A-Za-z'\"*]+"
+)
+
+
+def _extract_content_text(content: bytes, fonts: dict) -> str:
+    """Walk a decoded content stream, emitting text in reading order."""
+    out: list[str] = []
+    stack: list = []
+    cur_map: dict[int, str] = {}
+    cur_two = False
+    in_array: list | None = None
+
+    def emit(raw: bytes) -> None:
+        out.append(_decode_text_bytes(raw, cur_map, cur_two))
+
+    def parse_str(tok: bytes) -> bytes:
+        t = _Tok(tok)
+        return t.parse()
+
+    for m in _CONTENT_TOKEN.finditer(content):
+        tok = m.group()
+        if tok[0] in b"(<" and tok != b"<":
+            val = parse_str(tok)
+            if in_array is not None:
+                in_array.append(val)
+            else:
+                stack.append(val)
+        elif tok == b"[":
+            in_array = []
+        elif tok == b"]":
+            stack.append(in_array)
+            in_array = None
+        elif tok[0] in b"/":
+            name = tok[1:].decode("latin-1")
+            if in_array is None:
+                stack.append(_Name(name))
+        elif tok[0] in b"+-.0123456789":
+            num = float(tok)
+            if in_array is not None:
+                in_array.append(num)
+            else:
+                stack.append(num)
+        else:
+            op = tok
+            if op == b"Tf" and len(stack) >= 2:
+                fname = stack[-2]
+                if isinstance(fname, _Name) and fname.v in fonts:
+                    cur_map, cur_two = fonts[fname.v]
+                else:
+                    cur_map, cur_two = {}, False
+            elif op == b"Tj" and stack and isinstance(stack[-1], bytes):
+                emit(stack[-1])
+            elif op in (b"'", b'"'):
+                if stack and isinstance(stack[-1], bytes):
+                    out.append("\n")
+                    emit(stack[-1])
+            elif op == b"TJ" and stack and isinstance(stack[-1], list):
+                for item in stack[-1]:
+                    if isinstance(item, bytes):
+                        emit(item)
+                    elif isinstance(item, float) and item < -KERN_SPACE_THRESHOLD:
+                        out.append(" ")
+            elif op in (b"Td", b"TD", b"T*"):
+                out.append("\n")
+            elif op == b"ET":
+                out.append("\n")
+            stack.clear()
+    text = "".join(out)
+    text = re.sub(r"[ \t]+", " ", text)
+    text = re.sub(r" ?\n ?", "\n", text)
+    return re.sub(r"\n{2,}", "\n", text).strip()
+
+
+def extract_pdf_text(payload: bytes) -> str:
+    """Extract text from every page, pages joined by form feeds."""
+    doc = PdfDocument(payload)
+    pages = doc.pages()
+    if not pages:
+        raise ValueError("PDF with no page objects")
+    return "\x0c".join(doc.page_text(p) for p in pages)
+
+
+def pdf_page_count(payload: bytes) -> int:
+    return len(PdfDocument(payload).pages())
+
+
+# ---------------------------------------------------------------------------
+# fixture writer: a spec-literal classic-xref PDF with Flate content
+
+
+def build_pdf(pages_text: list[str], compress: bool = True, tounicode_shift: int = 0) -> bytes:
+    """Minimal valid PDF: one Helvetica-ish font per doc; each page one
+    BT/ET block, lines as Td-advanced Tj strings. ``tounicode_shift``
+    > 0 writes content bytes shifted by that amount plus a ToUnicode
+    CMap mapping them back — exercising the CMap decode path."""
+    objs: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)
+
+    font_extra = b""
+    tou_num = None
+    if tounicode_shift:
+        cmap_pairs = b"\n".join(
+            b"<%04X> <%04X>" % (c + tounicode_shift, c) for c in range(32, 127)
+        )
+        cmap = (
+            b"/CIDInit /ProcSet findresource begin\n"
+            b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+            b"95 beginbfchar\n" + cmap_pairs + b"\nendbfchar\nend"
+        )
+        tou_num = add(
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(cmap), cmap)
+        )
+        font_extra = b" /ToUnicode %d 0 R" % tou_num
+    font_num = add(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica%s >>" % font_extra
+    )
+    page_nums = []
+    content_nums = []
+    for text in pages_text:
+        lines = text.split("\n")
+        parts = [b"BT /F1 12 Tf 72 720 Td"]
+        for li, line in enumerate(lines):
+            raw = line.encode("latin-1", "replace")
+            if tounicode_shift:
+                raw = bytes((b + tounicode_shift) & 0xFF for b in raw)
+            esc = raw.replace(b"\\", rb"\\").replace(b"(", rb"\(").replace(b")", rb"\)")
+            if li:
+                parts.append(b"0 -14 Td")
+            parts.append(b"(%s) Tj" % esc)
+        parts.append(b"ET")
+        body = b" ".join(parts)
+        if compress:
+            body = zlib.compress(body)
+            content_nums.append(
+                add(
+                    b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+                    % (len(body), body)
+                )
+            )
+        else:
+            content_nums.append(
+                add(b"<< /Length %d >>\nstream\n%s\nendstream" % (len(body), body))
+            )
+    pages_obj_num = len(objs) + len(pages_text) + 1
+    for cn in content_nums:
+        page_nums.append(
+            add(
+                b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
+                b"/Resources << /Font << /F1 %d 0 R >> >> /Contents %d 0 R >>"
+                % (pages_obj_num, font_num, cn)
+            )
+        )
+    kids = b" ".join(b"%d 0 R" % p for p in page_nums)
+    pages_num = add(
+        b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, len(page_nums))
+    )
+    assert pages_num == pages_obj_num
+    cat_num = add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num)
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_off = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, cat_num, xref_off)
+    )
+    return bytes(out)

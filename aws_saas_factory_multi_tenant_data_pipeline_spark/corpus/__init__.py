@@ -80,8 +80,14 @@ GRADED_WINDOW: tuple[str, ...] = (
     # B3 joins (join_semi_anti → tail in r5: semi/anti shapes are also
     # driver-covered via the subquery EXISTS/IN rewrites in several slots;
     # the freed slot gives four dedup §2 rows a hard driver verdict)
-    "join_equi_variants",
-    "join_range_theta",
+    # join_equi_variants + join_range_theta → MERGED in r11 into
+    # join_family_pack (every output row of both components rides in
+    # the pack hash verbatim — neither B3 family loses its driver
+    # verdict); the freed slot gives the three r10 tail-only §2 rows
+    # (PDF text extraction, robots Sitemap discovery, keep-first span
+    # removal) a hard driver verdict via doc_pipeline_pack
+    "join_family_pack",
+    "doc_pipeline_pack",
     # join_asof → tail in r7: its union+window as-of plan is identically
     # exercised by ts_stats_pack's as-of-tolerance branch (same plan plus a
     # tolerance bound); the freed slot gives snapshot branches + write-
@@ -242,6 +248,11 @@ GRADED_WINDOW: tuple[str, ...] = (
 # single-family originals first, then the rest of TPC-H / subqueries /
 # B10, then everything else in module order.
 _TAIL_PRIORITY: tuple[str, ...] = (
+    # merged in r11 into join_family_pack (every row still driver-graded
+    # verbatim inside the pack; these standalone forms stay oracle-green
+    # at the tail head — the slot went to doc_pipeline_pack):
+    "join_equi_variants",
+    "join_range_theta",
     # swapped out of the graded window (r4: duplicate of
     # agg_pricing_summary's Q1 shape; r5: subqueries are not a §2 row,
     # scan_project/join_semi_anti redundantly covered by packs/rewrites) —
@@ -554,6 +565,7 @@ def load_all() -> dict[str, QuerySpec]:
         window_r9,
         window_r10,
         window_r12,
+        window_r13,
     )
 
     head = [n for n in GRADED_WINDOW + _TAIL_PRIORITY if n in REGISTRY]

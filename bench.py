@@ -301,14 +301,17 @@ def main() -> None:
     # and shuffle state dropped — approximates the isolated re-run
     # without a new process; both numbers are recorded so round-over-
     # round comparisons stop paying the in-sequence tax.
-    top3 = sorted(
+    # r11 (r10 verdict #6): top-5, so dedup_semantic and
+    # lake_branch_wap_roundtrip round-over-round reads also stop paying
+    # the in-sequence tax.
+    top5 = sorted(
         (n for n in HEADLINE if n in timings), key=lambda n: timings[n], reverse=True
-    )[:3]
+    )[:5]
     spark.stop()
     spark = get_spark("mtdp-bench-isolated", cpus=cpus, shuffle_partitions=cpus)
     registry["join_cross"].spark_fn(spark, sf_dir).count()  # fresh-session warmup
     isolated: dict[str, float] = {}
-    for name in top3:
+    for name in top5:
         fn = registry[name].spark_fn
         best = float("inf")
         for _ in range(3):
@@ -340,11 +343,13 @@ def main() -> None:
         "calibration_gate_attempts": gate_attempts,
         "gate_steal_pct": steal_pcts,
         "host_quiet": host_quiet,
-        # fresh-session min-of-3 for the three slowest headliners (the
+        # fresh-session min-of-3 for the five slowest headliners (the
         # in-sequence numbers in "queries" carry accumulated JVM state;
         # these are the steady-state engine speeds — compare LIKE WITH
-        # LIKE across rounds)
+        # LIKE across rounds). Key kept from r10 ("top3") so readers
+        # diffing BENCH_r10 → r11 see one series; the set is top-5 now.
         "isolated_top3": isolated,
+        "isolated_top5": isolated,
         "loadavg_before": loadavg_before,
         "loadavg_after": loadavg_after,
     }

@@ -515,6 +515,8 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "dedup_span_removal_keep_first",
     "crawl_robots_sitemaps",
     "text_pdf_extract",
+    # r11 wave: lossy VP8 key-frame codec oracle
+    "multimodal_vp8_decode",
 )
 
 
@@ -557,6 +559,7 @@ def load_all() -> dict[str, QuerySpec]:
         wave_r10,
         wave_r11,
         wave_r12,
+        wave_r13,
         window_r11,
         window_r5,  # packs read other modules' oracles — import last
         window_r6,

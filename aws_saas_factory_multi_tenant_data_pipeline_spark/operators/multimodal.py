@@ -404,8 +404,9 @@ def _stdlib_image_decoders() -> dict:
         "h264": _decode_h264_rgb,
         "qoi": _decode_qoi_rgb,
         "tiff": _decode_tiff_rgb,
-        # VP8L lossless from spec; lossy VP8 quarantines with a named
-        # error (operators/webp.py declared boundary)
+        # VP8L lossless from spec (operators/webp.py, RFC 9649); lossy
+        # VP8 key frames from spec too (operators/vp8.py, RFC 6386,
+        # r11 — bit-exact vs libwebp on the real python.webp)
         "webp": _decode_webp_rgb,
         # TGA has no magic number: never sniffed from payload bytes —
         # reachable only via extension routing or an explicit decoders

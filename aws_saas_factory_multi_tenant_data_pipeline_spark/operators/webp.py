@@ -19,22 +19,24 @@ Reference parity: the media ingestion surface of the reference repo
 dedup and feature machinery as PNG/GIF/QOI/TIFF/TGA via the codec
 registry (operators/multimodal.py).
 
-Declared injectable boundaries (the repo's MP3/H.264 "do not guess the
-tables" convention — named per-payload errors, never wrong pixels):
+Boundary status after r11 (both r10 declared boundaries CLOSED):
 
 - ``SHORT_DISTANCE_MAP``: LZ77 distance codes 1..120 map through a
-  120-entry 2D neighborhood table listed explicitly in the spec; it is
-  NOT transcribed here (a mis-remembered entry order would silently
-  corrupt pixels). Streams using those codes raise a named ValueError;
-  inject the table (list of 120 (dx, dy) pairs) to enable them.
-  Linear distance codes (> 120) — the only codes the fixture encoder
-  emits — are fully supported.
-- ``VP8 (lossy)`` payloads quarantine with a named error; this module
-  is the LOSSLESS decoder (lossy VP8 intra is an H.264-class build).
+  120-entry 2D neighborhood table. r10 shipped it as an injectable
+  None (a mis-remembered entry order would silently corrupt pixels);
+  r11 derives it from the spec's generation rule (see
+  ``_short_distance_map``) and pins it against a REAL third-party
+  stream — CPython's python.webp carries a VP8L-coded ALPH alpha
+  plane that uses these codes and now decodes BIT-EXACTLY equal to
+  the system libwebp's output (tests/test_realworld_r11.py). The
+  seam stays injectable: set it to None to restore the named error.
+- ``VP8 (lossy)`` key frames decode from spec via operators/vp8.py
+  (RFC 6386, r11) — python.webp decodes end-to-end, pixel-identical
+  to libwebp. Inter frames remain that module's declared boundary.
 
-Documented transcription notes (no offline interop file exists for
-VP8L in this container — the container walk IS covered by a real-world
-file, CPython's test python.webp, which is lossy and must quarantine):
+Documented transcription notes (the VP8L fixture surface is oracle-
+pinned; the real-world file pins the container walk, the ALPH path,
+and the short-distance map):
 
 - Select (predictor mode 11) returns LEFT on a Manhattan-distance tie
   (``pL <= pT``, the libwebp/RFC-amended behavior); the module constant
@@ -55,9 +57,30 @@ import struct
 
 import numpy as np
 
+def _short_distance_map() -> list[tuple[int, int]]:
+    """The spec's 120-entry short-distance 2D neighborhood map,
+    GENERATED rather than transcribed (closing the r10 declared
+    boundary): every (dx, dy) with dy in 0..7, dx in -7..8 and
+    (dy, dx) lexicographically after (0, 0), sorted by squared
+    Euclidean distance with ties broken larger-dy-first then
+    positive-dx-first — exactly 120 offsets. The rule is pinned
+    against a REAL third-party stream in tests/test_realworld_r11.py
+    (CPython's python.webp ALPH alpha plane uses these codes and must
+    match the PNG twin's alpha channel losslessly)."""
+    cands = [
+        (x, y)
+        for y in range(8)
+        for x in range(-7, 9)
+        if y > 0 or x > 0
+    ]
+    cands.sort(key=lambda t: (t[0] * t[0] + t[1] * t[1], -t[1], t[0] < 0))
+    return cands
+
+
 #: Injectable seam for the spec's 120-entry short-distance map
-#: (list of (dx, dy) pairs). None = declared boundary, named error.
-SHORT_DISTANCE_MAP: list[tuple[int, int]] | None = None
+#: (list of (dx, dy) pairs) — r10 shipped None (declared boundary);
+#: r11 defaults it to the generated spec rule, real-file-pinned.
+SHORT_DISTANCE_MAP: list[tuple[int, int]] | None = _short_distance_map()
 
 #: Select (predictor 11) tie behavior: True → LEFT wins a tie.
 SELECT_TIE_TO_LEFT = True
@@ -593,6 +616,17 @@ def decode_vp8l(data: bytes):
     br.read(1)  # alpha-used hint
     if br.read(3) != 0:
         raise ValueError("unknown VP8L version")
+    return _decode_vp8l_body(br, w, h), w, h
+
+
+def decode_vp8l_raw(data: bytes, w: int, h: int):
+    """Decode a HEADERLESS VP8L spatial stream (no signature, no
+    dimensions — the WebP container's ALPH compression method 1, where
+    width/height come from the container). Returns argb [h, w, 4]."""
+    return _decode_vp8l_body(_BitReader(data), w, h)
+
+
+def _decode_vp8l_body(br: "_BitReader", w: int, h: int):
     xsize = w
     transforms = []
     seen = set()
@@ -642,37 +676,58 @@ def decode_vp8l(data: bytes):
     out[..., 1] = (arr >> 16) & 0xFF
     out[..., 2] = (arr >> 8) & 0xFF
     out[..., 3] = arr & 0xFF
-    return out, w, h
+    return out
 
 
-def decode_webp(payload: bytes):
-    """Decode a WebP container to (uint8 rgb [h, w, 3], w, h).
+def decode_webp_rgba(payload: bytes):
+    """Decode a WebP container to (uint8 rgba [h, w, 4], w, h).
 
-    VP8L (lossless) decodes from spec; a VP8X extended container is
-    walked for an inner VP8L chunk. Lossy VP8 payloads quarantine with
-    a named error (declared boundary)."""
+    VP8L (lossless) decodes from spec (RFC 9649); lossy VP8 KEY frames
+    decode from spec (RFC 6386, operators/vp8.py, new in r11); a VP8X
+    extended container is walked for the image chunk plus an optional
+    ALPH lossless alpha plane."""
     if len(payload) < 16 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("not a WebP payload")
     off = 12
     n = len(payload)
     saw = []
+    alph_body = None
     while off + 8 <= n:
         cid = payload[off : off + 4]
         (sz,) = struct.unpack("<I", payload[off + 4 : off + 8])
         body = payload[off + 8 : off + 8 + sz]
         if len(body) < sz:
             raise ValueError(f"torn WebP chunk {cid!r}")
-        if cid == b"VP8L":
-            argb, w, h = decode_vp8l(body)
-            return argb[..., 1:4].copy(), w, h
+        if cid == b"ALPH":
+            alph_body = body
+        elif cid == b"VP8L":
+            argb = decode_vp8l(body)[0]
+            rgba = np.concatenate(
+                [argb[..., 1:4], argb[..., 0:1]], axis=-1
+            ).copy()
+            return rgba, argb.shape[1], argb.shape[0]
+        elif cid == b"VP8 ":
+            from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.vp8 import (
+                decode_alpha,
+                decode_vp8,
+            )
+
+            rgb, w, h = decode_vp8(body)
+            if alph_body is not None:
+                alpha = decode_alpha(alph_body, w, h)
+            else:
+                alpha = np.full((h, w), 255, dtype=np.uint8)
+            rgba = np.concatenate([rgb, alpha[..., None]], axis=-1)
+            return rgba, w, h
         saw.append(cid.decode("ascii", "replace").strip())
         off += 8 + sz + (sz & 1)
-    if "VP8" in saw:
-        raise ValueError(
-            "WebP VP8 (lossy) decode is a declared boundary — swap in a "
-            "native decoder via register_image_decoder('webp', ...)"
-        )
-    raise ValueError(f"WebP container without a VP8L chunk (saw {saw})")
+    raise ValueError(f"WebP container without an image chunk (saw {saw})")
+
+
+def decode_webp(payload: bytes):
+    """Decode a WebP container to (uint8 rgb [h, w, 3], w, h)."""
+    rgba, w, h = decode_webp_rgba(payload)
+    return rgba[..., :3].copy(), w, h
 
 
 # ---------------------------------------------------------------------------
@@ -945,4 +1000,22 @@ def encode_webp_lossless(
         chunk = b"VP8L" + struct.pack("<I", len(body)) + body + b"\x00"
     else:
         chunk = b"VP8L" + struct.pack("<I", len(body)) + body
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def encode_webp_vp8(rgb, qi: int = 12, use_bpred: bool = False) -> bytes:
+    """Wrap the VP8 fixture encoder (operators/vp8.py) in a RIFF/WEBP
+    container — the lossy twin of encode_webp_lossless, used by the
+    multimodal_vp8_decode oracle query and tests."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.vp8 import (
+        encode_frame,
+        rgb_to_yuv,
+    )
+
+    y, u, v = rgb_to_yuv(np.asarray(rgb, dtype=np.uint8))
+    payload, _ = encode_frame(y, u, v, qi=qi, use_bpred=use_bpred)
+    if len(payload) & 1:
+        chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload + b"\x00"
+    else:
+        chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
     return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk

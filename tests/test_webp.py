@@ -166,9 +166,11 @@ def test_overlapping_lz77_copy():
     assert (argb[0, :, 1] == 9).all() and (argb[0, :, 2] == 8).all()
 
 
-def test_short_distance_codes_are_declared_boundary_with_seam():
-    """dist_code <= 120 raises the named error; injecting the map seam
-    enables the same stream."""
+def test_short_distance_codes_decode_via_generated_map_with_seam():
+    """dist_code <= 120 resolves through the GENERATED spec map (the
+    r10 declared boundary, closed in r11 — the rule is real-file-pinned
+    by python.webp's ALPH plane in test_realworld_r11.py); nulling the
+    seam restores the named error, so the injection seam stays live."""
 
     def body(bw):
         bw.write(0, 1)  # no transforms
@@ -184,23 +186,28 @@ def test_short_distance_codes_are_declared_boundary_with_seam():
         bcodes = _emit_prefix_code(bw, one)
         acodes = _emit_prefix_code(bw, one)
         dlens = [0] * 40
-        dlens[0] = 1  # distance prefix-code 0 -> dist_code 1 (mapped!)
+        dlens[1] = 1  # distance prefix-code 1 -> dist_code 2 (mapped!)
         _emit_prefix_code(bw, dlens)
         bw.write_code(*gcodes[7])  # literal pixel
         # rcodes/bcodes/acodes are single-symbol codes: zero bits each
         bw.write_code(*gcodes[256])  # copy, length 1
-        # distance code: single symbol, zero bits -> dist_code 1
+        # distance code: single symbol, zero bits -> dist_code 2
 
     payload = _craft(2, 1, body)
-    assert W.SHORT_DISTANCE_MAP is None
-    with pytest.raises(ValueError, match="short-distance"):
-        decode_vp8l(payload)
+    # the generated table: dist_code 2 -> (dx=1, dy=0) -> distance 1
+    assert W.SHORT_DISTANCE_MAP is not None
+    assert len(W.SHORT_DISTANCE_MAP) == 120
+    assert W.SHORT_DISTANCE_MAP[0] == (0, 1)
+    assert W.SHORT_DISTANCE_MAP[1] == (1, 0)
+    argb, _, _ = decode_vp8l(payload)
+    assert (argb[0, 0] == argb[0, 1]).all()
+    saved = W.SHORT_DISTANCE_MAP
     try:
-        W.SHORT_DISTANCE_MAP = [(1, 0)] + [(0, 0)] * 119
-        argb, _, _ = decode_vp8l(payload)
-        assert (argb[0, 0] == argb[0, 1]).all()
-    finally:
         W.SHORT_DISTANCE_MAP = None
+        with pytest.raises(ValueError, match="short-distance"):
+            decode_vp8l(payload)
+    finally:
+        W.SHORT_DISTANCE_MAP = saved
 
 
 def _lit(argb_int):
@@ -376,11 +383,13 @@ def _real_webp_path():
     return hits[0] if hits else None
 
 
-def test_real_world_lossy_webp_sniffs_and_quarantines():
+def test_real_world_lossy_webp_decodes():
     """CPython's test-suite python.webp (a REAL third-party encoder's
-    VP8X + lossy VP8 file): the sniffer must route it to the webp entry,
-    the container walk must parse its chunks, and the decode must
-    quarantine with the named lossy-boundary error — never wrong pixels."""
+    VP8X + ALPH + lossy VP8 file): r10 quarantined it as the declared
+    lossy boundary; r11's RFC 6386 key-frame decoder (operators/vp8.py)
+    decodes it. The bit-exact-vs-libwebp and PNG-twin pins live in
+    tests/test_realworld_r11.py; here the registry path must route and
+    produce the right shape."""
     path = _real_webp_path()
     if path is None:
         pytest.skip("no host python.webp available")
@@ -391,8 +400,8 @@ def test_real_world_lossy_webp_sniffs_and_quarantines():
 
     blob = open(path, "rb").read()
     assert sniff_image_format(blob) == "webp"
-    with pytest.raises(ValueError, match="lossy"):
-        decode_image(blob)
+    px, w, h = decode_image(blob)
+    assert (w, h) == (16, 16) and px.shape == (16, 16, 3)
 
 
 def test_registry_dispatch_and_swap():

@@ -515,8 +515,9 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "dedup_span_removal_keep_first",
     "crawl_robots_sitemaps",
     "text_pdf_extract",
-    # r11 wave: lossy VP8 key-frame codec oracle
+    # r11 wave: lossy VP8 key-frame codec + PDF embedded images
     "multimodal_vp8_decode",
+    "multimodal_pdf_images",
 )
 
 

@@ -85,3 +85,104 @@ def multimodal_vp8_decode(spark, sf_dir):
         .select(F.col("media_id").alias("doc_id"), "ahash")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "multimodal_pdf_images",
+    oracle="""
+        WITH base AS (SELECT doc_id FROM documents WHERE doc_id < 48)
+        SELECT doc_id, 0 AS img_idx, 'ppm' AS fmt,
+               -CAST(POWER(2, 8 * (2 + doc_id % 5)) AS BIGINT) AS ahash
+        FROM base
+        UNION ALL
+        SELECT doc_id, 1 AS img_idx, 'jpeg' AS fmt,
+               -CAST(POWER(2, 8 * (2 + (doc_id + 2) % 5)) AS BIGINT) AS ahash
+        FROM base
+        ORDER BY doc_id, img_idx
+    """,
+    tags=("B10", "multimodal", "text", "image"),
+    doc="PDF embedded-image extraction END-TO-END (r10 verdict #4 — "
+    "composing the r10 PDF parser with the image registry so PDF-borne "
+    "images flow through the same aHash/dedup machinery as crawled "
+    "images): per doc a two-page PDF embeds TWO /Subtype /Image "
+    "XObjects — a FlateDecode DeviceRGB two-tone (split 8+4*(doc%5); "
+    "odd docs add the PNG Up-predictor /DecodeParms path) and a "
+    "DCTDecode stream written by the from-spec JPEG encoder (split "
+    "8+4*((doc+2)%5)) — then extract_pdf_images re-emits them as "
+    "sniffable payloads (PPM verbatim samples; the DCTDecode stream "
+    "IS a JPEG payload) which decode through the registry and average-"
+    "hash to the same closed form the other codec oracles pin; text "
+    "extraction on the same blob must stay intact (n_pages gates the "
+    "row). Any parser, filter-chain, predictor, JPEG, or registry "
+    "defect flips rows (operators/pdf.py extract_pdf_images; ISO "
+    "32000-1 §8.9).",
+)
+def multimodal_pdf_images(spark, sf_dir):
+    import pandas as pd
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        with_average_hash,
+    )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 48).select("doc_id")
+
+    def op(batches):
+        import numpy as np
+
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.pdf import (
+            build_pdf,
+            extract_pdf_images,
+            pdf_page_count,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                s0 = 8 + 4 * (did % 5)
+                s1 = 8 + 4 * ((did + 2) % 5)
+                px0 = np.full((32, 32, 3), 40, dtype=np.uint8)
+                px0[s0:, :, :] = 200
+                px1 = np.full((32, 32, 3), 40, dtype=np.uint8)
+                px1[s1:, :, :] = 200
+                blob = build_pdf(
+                    [f"doc {did} with images", "page two"],
+                    images=[
+                        {"rgb": px0, "filter": "flate-pred" if did % 2 else "flate"},
+                        {"rgb": px1, "filter": "jpeg"},
+                    ],
+                )
+                if pdf_page_count(blob) != 2:
+                    continue  # gates the row: text side must stay intact
+                for im in extract_pdf_images(blob):
+                    rows.append(
+                        {
+                            # media_id packs (doc, img) uniquely
+                            "media_id": did * 4 + im["index"],
+                            "kind": "image",
+                            "payload": im["payload"],
+                            "meta": {
+                                "width": im["width"],
+                                "height": im["height"],
+                                "sample_rate": None,
+                                "n_frames": None,
+                                "mime": im["fmt"],
+                            },
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    media = d.mapInPandas(op, MEDIA_SCHEMA)
+    fmts = media.select("media_id", F.col("meta.mime").alias("fmt"))
+    return (
+        with_average_hash(media)
+        .join(F.broadcast(fmts), "media_id")
+        .select(
+            (F.col("media_id") / 4).cast("long").alias("doc_id"),
+            F.pmod(F.col("media_id"), F.lit(4)).cast("int").alias("img_idx"),
+            "fmt",
+            "ahash",
+        )
+        .orderBy("doc_id", "img_idx")
+    )

@@ -520,16 +520,77 @@ def pdf_page_count(payload: bytes) -> int:
 # fixture writer: a spec-literal classic-xref PDF with Flate content
 
 
-def build_pdf(pages_text: list[str], compress: bool = True, tounicode_shift: int = 0) -> bytes:
+def build_pdf(
+    pages_text: list[str],
+    compress: bool = True,
+    tounicode_shift: int = 0,
+    images: list | None = None,
+) -> bytes:
     """Minimal valid PDF: one Helvetica-ish font per doc; each page one
     BT/ET block, lines as Td-advanced Tj strings. ``tounicode_shift``
     > 0 writes content bytes shifted by that amount plus a ToUnicode
-    CMap mapping them back — exercising the CMap decode path."""
+    CMap mapping them back — exercising the CMap decode path.
+
+    ``images``: optional list of dicts embedded as /Subtype /Image
+    XObjects on page 1 (referenced by Do operators): ``rgb`` an HxWx3
+    (or HxW gray) uint8 array; ``filter`` one of 'jpeg' (DCTDecode via
+    the from-spec operators/jpeg.py encoder), 'flate', 'flate-pred'
+    (FlateDecode with PNG Up-predictor rows) or 'raw'."""
+    import numpy as np
+
     objs: list[bytes] = []
 
     def add(body: bytes) -> int:
         objs.append(body)
         return len(objs)
+
+    image_nums: list[int] = []
+    for spec in images or []:
+        rgb = np.asarray(spec["rgb"], dtype=np.uint8)
+        gray = rgb.ndim == 2
+        ih, iw = rgb.shape[:2]
+        cs = b"/DeviceGray" if gray else b"/DeviceRGB"
+        filt = spec.get("filter", "flate")
+        extra = b""
+        if filt == "jpeg":
+            from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.jpeg import (
+                encode_jpeg,
+                encode_jpeg_gray,
+            )
+
+            data = encode_jpeg_gray(rgb) if gray else encode_jpeg(rgb)
+            extra = b" /Filter /DCTDecode"
+        elif filt in ("flate", "flate-pred", "raw"):
+            raw = rgb.tobytes()
+            if filt == "flate-pred":
+                ncomp = 1 if gray else 3
+                stride = iw * ncomp
+                rows = bytearray()
+                prev = bytes(stride)
+                for r in range(ih):
+                    row = raw[r * stride : (r + 1) * stride]
+                    rows.append(2)  # PNG Up predictor
+                    rows += bytes((row[i] - prev[i]) & 0xFF for i in range(stride))
+                    prev = row
+                data = zlib.compress(bytes(rows))
+                extra = (
+                    b" /Filter /FlateDecode /DecodeParms << /Predictor 12 "
+                    b"/Colors %d /Columns %d >>" % (ncomp, iw)
+                )
+            elif filt == "flate":
+                data = zlib.compress(raw)
+                extra = b" /Filter /FlateDecode"
+            else:
+                data = raw
+        else:
+            raise ValueError(f"unknown fixture image filter {filt}")
+        image_nums.append(
+            add(
+                b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+                b"/ColorSpace %s /BitsPerComponent 8%s /Length %d >>\n"
+                b"stream\n%s\nendstream" % (iw, ih, cs, extra, len(data), data)
+            )
+        )
 
     font_extra = b""
     tou_num = None
@@ -551,7 +612,7 @@ def build_pdf(pages_text: list[str], compress: bool = True, tounicode_shift: int
     )
     page_nums = []
     content_nums = []
-    for text in pages_text:
+    for pi, text in enumerate(pages_text):
         lines = text.split("\n")
         parts = [b"BT /F1 12 Tf 72 720 Td"]
         for li, line in enumerate(lines):
@@ -563,6 +624,11 @@ def build_pdf(pages_text: list[str], compress: bool = True, tounicode_shift: int
                 parts.append(b"0 -14 Td")
             parts.append(b"(%s) Tj" % esc)
         parts.append(b"ET")
+        if pi == 0:
+            for ii in range(len(image_nums)):
+                parts.append(
+                    b"q 96 0 0 96 %d 96 cm /Im%d Do Q" % (72 + 110 * ii, ii)
+                )
         body = b" ".join(parts)
         if compress:
             body = zlib.compress(body)
@@ -577,12 +643,18 @@ def build_pdf(pages_text: list[str], compress: bool = True, tounicode_shift: int
                 add(b"<< /Length %d >>\nstream\n%s\nendstream" % (len(body), body))
             )
     pages_obj_num = len(objs) + len(pages_text) + 1
-    for cn in content_nums:
+    for pi, cn in enumerate(content_nums):
+        xres = b""
+        if pi == 0 and image_nums:
+            refs = b" ".join(
+                b"/Im%d %d 0 R" % (ii, n) for ii, n in enumerate(image_nums)
+            )
+            xres = b" /XObject << %s >>" % refs
         page_nums.append(
             add(
                 b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
-                b"/Resources << /Font << /F1 %d 0 R >> >> /Contents %d 0 R >>"
-                % (pages_obj_num, font_num, cn)
+                b"/Resources << /Font << /F1 %d 0 R >>%s >> /Contents %d 0 R >>"
+                % (pages_obj_num, font_num, xres, cn)
             )
         )
     kids = b" ".join(b"%d 0 R" % p for p in page_nums)
@@ -607,3 +679,171 @@ def build_pdf(pages_text: list[str], compress: bool = True, tounicode_shift: int
         % (len(objs) + 1, cat_num, xref_off)
     )
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# embedded images (r10 verdict "Next round" #4): /Subtype /Image
+# XObjects re-emitted as SNIFFABLE image payloads so PDF-borne images
+# flow through the same multimodal registry (aHash/pHash dedup, EXIF,
+# WebDataset sharding) as crawled images (ISO 32000-1 §8.9).
+
+
+def _png_unpredict(data: bytes, colors: int, columns: int) -> bytes:
+    """Inverse of the PNG row predictors PDF streams may apply
+    (/DecodeParms /Predictor >= 10; ISO 32000-1 §7.4.4.4 delegates to
+    the PNG spec). 8-bit components only (the scope the builder and
+    real pdfTeX image streams use)."""
+    stride = colors * columns
+    if len(data) % (stride + 1):
+        raise ValueError("PDF predictor data not a whole number of rows")
+    rows = len(data) // (stride + 1)
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(rows):
+        ft = data[pos]
+        row = bytearray(data[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ft == 1:  # Sub
+            for i in range(colors, stride):
+                row[i] = (row[i] + row[i - colors]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = row[i - colors] if i >= colors else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - colors] if i >= colors else 0
+                b = prev[i]
+                c = prev[i - colors] if i >= colors else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unknown PNG predictor row filter {ft}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _ppm_p6(w: int, h: int, rgb: bytes) -> bytes:
+    return b"P6\n%d %d\n255\n" % (w, h) + rgb
+
+
+def extract_pdf_images(payload: bytes) -> list[dict]:
+    """Extract every /Subtype /Image XObject as a sniffable payload.
+
+    Per image a dict: ``index`` (document order), ``width``,
+    ``height``, ``fmt`` and ``payload``:
+
+    - DCTDecode streams pass through VERBATIM with fmt='jpeg' — a
+      DCTDecode stream IS a JFIF/JPEG payload, which the registry
+      sniffer routes to the from-spec operators/jpeg.py decoder;
+    - FlateDecode / unfiltered sample streams (8-bit DeviceRGB,
+      DeviceGray, ICCBased N∈{1,3}, Indexed-over-RGB, incl. PNG
+      predictors 10..15) re-wrap as binary PPM (P6) with fmt='ppm';
+    - anything else (JPXDecode, CCITTFaxDecode, LZWDecode, JBIG2,
+      unsupported bit depths/spaces) is returned VISIBLY with
+      fmt='skipped:<reason>' and payload=None — never wrong pixels.
+    """
+    import numpy as np
+
+    doc = PdfDocument(payload)
+    out = []
+    idx = 0
+    for num in sorted(doc.objects):
+        val, stream = doc.objects[num]
+        if not (isinstance(val, dict) and val.get("Subtype") == _Name("Image")):
+            continue
+        if stream is None:
+            continue
+        w = doc.resolve(val.get("Width"))
+        h = doc.resolve(val.get("Height"))
+        rec = {"index": idx, "width": int(w or 0), "height": int(h or 0)}
+        idx += 1
+        try:
+            filt = doc.resolve(val.get("Filter"))
+            filters = [] if filt is None else (filt if isinstance(filt, list) else [filt])
+            filters = [doc.resolve(f) for f in filters]
+            if filters and filters[-1] == _Name("DCTDecode"):
+                data = stream
+                for f in filters[:-1]:
+                    if f != _Name("FlateDecode"):
+                        raise ValueError(f"filter {f!r} before DCTDecode")
+                    data = zlib.decompress(data)
+                rec["fmt"] = "jpeg"
+                rec["payload"] = bytes(data)
+                out.append(rec)
+                continue
+            bad = [f for f in filters if f != _Name("FlateDecode")]
+            if bad:
+                raise ValueError(f"filter {bad[0]!r} outside the declared scope")
+            data = stream
+            for _ in filters:
+                data = zlib.decompress(data)
+            bpc = int(doc.resolve(val.get("BitsPerComponent", 8)) or 8)
+            if bpc != 8:
+                raise ValueError(f"BitsPerComponent {bpc} outside the declared scope")
+            cs = doc.resolve(val.get("ColorSpace"))
+            palette = None
+            if isinstance(cs, list) and cs and doc.resolve(cs[0]) == _Name("Indexed"):
+                base = doc.resolve(cs[1])
+                lookup = doc.resolve(cs[3])
+                if isinstance(lookup, _Ref):
+                    lookup = doc.resolve(lookup)
+                if isinstance(lookup, bytes):
+                    pal_bytes = lookup
+                else:
+                    _, pal_stream = doc.objects.get(cs[3].num, (None, None)) if isinstance(cs[3], _Ref) else (None, None)
+                    pal_bytes = doc._decoded_stream({"Filter": None}, pal_stream) if pal_stream else None
+                if pal_bytes is None or doc.resolve(base) not in (_Name("DeviceRGB"),):
+                    raise ValueError("Indexed color space outside the declared scope")
+                palette = np.frombuffer(pal_bytes, dtype=np.uint8)
+                ncomp = 1
+            elif isinstance(cs, list) and cs and doc.resolve(cs[0]) == _Name("ICCBased"):
+                icc_ref = cs[1]
+                icc_val = doc.objects.get(icc_ref.num, ({}, None))[0] if isinstance(icc_ref, _Ref) else {}
+                ncomp = int(doc.resolve((icc_val or {}).get("N", 3)) or 3)
+                if ncomp not in (1, 3):
+                    raise ValueError(f"ICCBased N={ncomp} outside the declared scope")
+            elif cs == _Name("DeviceRGB") or cs is None:
+                ncomp = 3
+            elif cs == _Name("DeviceGray"):
+                ncomp = 1
+            else:
+                raise ValueError(f"color space {cs!r} outside the declared scope")
+            parms = doc.resolve(val.get("DecodeParms")) or {}
+            if isinstance(parms, list):
+                parms = doc.resolve(parms[-1]) or {}
+            pred = int(doc.resolve(parms.get("Predictor", 1)) or 1)
+            if pred >= 10:
+                data = _png_unpredict(
+                    data,
+                    int(doc.resolve(parms.get("Colors", ncomp)) or ncomp),
+                    int(doc.resolve(parms.get("Columns", w)) or w),
+                )
+            elif pred != 1:
+                raise ValueError(f"predictor {pred} outside the declared scope")
+            need = w * h * ncomp
+            if len(data) < need:
+                raise ValueError("torn PDF image samples")
+            arr = np.frombuffer(data[:need], dtype=np.uint8)
+            if palette is not None:
+                pal = palette.reshape(-1, 3)
+                arr = pal[np.minimum(arr, len(pal) - 1)].reshape(h, w, 3)
+            elif ncomp == 1:
+                arr = np.repeat(arr.reshape(h, w, 1), 3, axis=2)
+            else:
+                arr = arr.reshape(h, w, 3)
+            rec["fmt"] = "ppm"
+            rec["payload"] = _ppm_p6(w, h, arr.tobytes())
+            out.append(rec)
+        except (ValueError, zlib.error) as exc:
+            rec["fmt"] = f"skipped:{exc}"
+            rec["payload"] = None
+            out.append(rec)
+    return out

@@ -121,3 +121,99 @@ def test_tear_contract_fuzz():
             extract_pdf_text(bytes(mutated))
         except ValueError:
             pass
+
+
+# ---------------------------------------------------------------------------
+# embedded images (r11): /Subtype /Image XObjects -> sniffable payloads
+
+
+def _two_tone(split: int):
+    import numpy as np
+
+    px = np.full((32, 32, 3), 40, dtype=np.uint8)
+    px[split:, :, :] = 200
+    return px
+
+
+def test_pdf_images_extract_all_builder_filters():
+    import numpy as np
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.pdf import (
+        extract_pdf_images,
+    )
+
+    rgb = _two_tone(16)
+    gray = np.full((24, 16), 70, dtype=np.uint8)
+    gray[:8] = 220
+    blob = build_pdf(
+        ["text with images", "page two"],
+        images=[
+            {"rgb": rgb, "filter": "flate"},
+            {"rgb": rgb, "filter": "jpeg"},
+            {"rgb": gray, "filter": "flate-pred"},
+            {"rgb": rgb, "filter": "raw"},
+        ],
+    )
+    # text extraction is untouched by the embedded XObjects
+    assert extract_pdf_text(blob).startswith("text with images")
+    imgs = extract_pdf_images(blob)
+    assert [im["fmt"] for im in imgs] == ["ppm", "jpeg", "ppm", "ppm"]
+    # lossless paths reproduce samples exactly
+    for i in (0, 3):
+        px, w, h = decode_image(imgs[i]["payload"])
+        assert (w, h) == (32, 32) and np.array_equal(px, rgb)
+    # the DCTDecode stream is a real JPEG payload for the from-spec decoder
+    px, w, h = decode_image(imgs[1]["payload"])
+    assert (w, h) == (32, 32)
+    assert abs(int(px[:16].mean()) - 40) <= 3 and abs(int(px[16:].mean()) - 200) <= 3
+    # gray + PNG Up-predictor path
+    px, w, h = decode_image(imgs[2]["payload"])
+    assert (w, h) == (16, 24)
+    assert np.array_equal(px[..., 0], gray) and np.array_equal(px[..., 2], gray)
+
+
+def test_pdf_images_out_of_scope_filters_are_visible_not_wrong():
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.pdf import (
+        extract_pdf_images,
+    )
+
+    blob = build_pdf(["x"], images=[{"rgb": _two_tone(8), "filter": "flate"}])
+    hacked = blob.replace(b"/Filter /FlateDecode", b"/Filter /JPXDecode  ")
+    imgs = extract_pdf_images(hacked)
+    assert len(imgs) == 1
+    assert imgs[0]["fmt"].startswith("skipped:")
+    assert imgs[0]["payload"] is None
+
+
+def test_pdf_without_images_yields_empty_list():
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.pdf import (
+        extract_pdf_images,
+    )
+
+    assert extract_pdf_images(build_pdf(["no images"])) == []
+
+
+def test_real_host_pdfs_have_no_images_and_extract_cleanly():
+    """The two real pdfTeX PDFs on this host embed no raster images
+    (verified: zero /XObject occurrences) — extraction must return []
+    rather than error, and a REAL image-bearing PDF fixture gap stays
+    visible via this assertion (the r10 documented-gap convention)."""
+    import os
+
+    import pytest
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.pdf import (
+        extract_pdf_images,
+    )
+
+    found = False
+    for path, _, _ in _REAL:
+        if not os.path.exists(path):
+            continue
+        found = True
+        assert extract_pdf_images(open(path, "rb").read()) == []
+    if not found:
+        pytest.skip("no real host PDFs available")

@@ -518,6 +518,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     # r11 wave: lossy VP8 key-frame codec + PDF embedded images
     "multimodal_vp8_decode",
     "multimodal_pdf_images",
+    "text_epub_extract",
 )
 
 

@@ -186,3 +186,116 @@ def multimodal_pdf_images(spark, sf_dir):
         )
         .orderBy("doc_id", "img_idx")
     )
+
+
+def _epub_oracle() -> str:
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.html import (
+        html_to_text_sql,
+    )
+
+    # the same single-line XHTML the Spark fixture builds, concat'd in
+    # SQL from (doc_id, orig chapter index o) — the generated
+    # html_to_text twin then replays extraction character-for-character
+    xhtml = (
+        "'<?xml version=\"1.0\"?><html xmlns=\"http://www.w3.org/1999/xhtml\">"
+        "<head><title>skip</title><style>p{color:red}</style></head>"
+        "<body><h1>chapter ' || CAST(o AS VARCHAR) || ' of ' || "
+        "CAST(doc_id AS VARCHAR) || '</h1><p>alpha &amp; beta ' || "
+        "CAST((doc_id * 7 + o) % 13 AS VARCHAR) || '</p><p>line ' || "
+        "CAST((doc_id + o) % 5 AS VARCHAR) || '</p></body></html>'"
+    )
+    text = html_to_text_sql(f"({xhtml})")
+    return f"""
+        WITH base AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+        spine AS (
+            SELECT doc_id, CAST(p AS INT) AS ch_order,
+                   CAST((p + doc_id) % 3 AS INT) AS o
+            FROM base, LATERAL (SELECT unnest([0, 1, 2]) AS p)),
+        rows_ AS (
+            SELECT doc_id, ch_order,
+                   'text/ch' || CAST(o AS VARCHAR) || '.xhtml' AS href,
+                   'Book ' || CAST(doc_id AS VARCHAR) AS title,
+                   ['en', 'fr', 'de'][1 + doc_id % 3] AS language,
+                   md5({text}) AS text_md5
+            FROM spine)
+        SELECT doc_id, ch_order, href, title, language, text_md5
+        FROM rows_ ORDER BY doc_id, ch_order
+    """
+
+
+@register(
+    "text_epub_extract",
+    oracle=_epub_oracle(),
+    tags=("B10", "text", "crawl"),
+    doc="EPUB ingestion END-TO-END (r10 verdict #5 — the books-corpus "
+    "slice): per doc a spec-literal OCF container (STORED mimetype "
+    "member first, container.xml rootfile walk, OPF manifest + spine, "
+    "Dublin Core metadata) packs three XHTML chapters whose SPINE "
+    "order is rotated by doc_id against storage order — a parser that "
+    "walks the zip instead of the spine mis-orders two thirds of all "
+    "rows — then explodes to reading-ordered chapters and extracts "
+    "text through the SAME html_to_text chain as the crawl pipeline; "
+    "the oracle rebuilds each chapter's XHTML in SQL and replays "
+    "extraction through the GENERATED DuckDB twin, md5 for md5 "
+    "(operators/epub.py; operators/html.py; W3C EPUB 3.3 OCF+Packages).",
+)
+def text_epub_extract(spark, sf_dir):
+    import pandas as pd
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.epub import (
+        explode_epub_chapters,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.html import (
+        html_to_text,
+    )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 60).select("doc_id")
+
+    def op(batches):
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.epub import (
+            build_epub,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                chapters = []
+                for o in range(3):
+                    body = (
+                        '<?xml version="1.0"?>'
+                        '<html xmlns="http://www.w3.org/1999/xhtml">'
+                        "<head><title>skip</title><style>p{color:red}</style>"
+                        f"</head><body><h1>chapter {o} of {did}</h1>"
+                        f"<p>alpha &amp; beta {(did * 7 + o) % 13}</p>"
+                        f"<p>line {(did + o) % 5}</p></body></html>"
+                    )
+                    chapters.append((f"text/ch{o}.xhtml", body))
+                spine = [(p + did) % 3 for p in range(3)]
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "payload": build_epub(
+                            chapters,
+                            title=f"Book {did}",
+                            language=["en", "fr", "de"][did % 3],
+                            spine_order=spine,
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    epubs = d.mapInPandas(op, "doc_id long, payload binary")
+    ch = explode_epub_chapters(epubs)
+    return (
+        ch.where(F.col("parse_error").isNull())
+        .select(
+            "doc_id",
+            F.col("order").alias("ch_order"),
+            "href",
+            "title",
+            "language",
+            F.md5(html_to_text(F.col("xhtml"))).alias("text_md5"),
+        )
+        .orderBy("doc_id", "ch_order")
+    )

@@ -519,6 +519,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "multimodal_vp8_decode",
     "multimodal_pdf_images",
     "text_epub_extract",
+    "multimodal_raster_formats",
 )
 
 

@@ -299,3 +299,119 @@ def text_epub_extract(spark, sf_dir):
         )
         .orderBy("doc_id", "ch_order")
     )
+
+
+@register(
+    "multimodal_raster_formats",
+    oracle="""
+        WITH base AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+        fmts AS (
+            SELECT doc_id, f.fmt
+            FROM base, (SELECT unnest(['exr', 'pnm', 'ras', 'sgi', 'xbm']) AS fmt) f)
+        SELECT doc_id, fmt,
+               -CAST(POWER(2, 8 * (2 + doc_id % 5)) AS BIGINT) AS ahash
+        FROM fmts
+        ORDER BY doc_id, fmt
+    """,
+    tags=("B10", "multimodal", "image"),
+    doc="The r11 raster codec wave END-TO-END in one slot (five "
+    "formats, EVERY one real-file-pinned against the CPython "
+    "imghdrdata twins of the same logo in tests/test_realworld_r11.py "
+    "— Sun Raster, SGI and OpenEXR pixel-for-pixel, XBM bit-for-bit "
+    "vs the PBM twin, PGM as Rec.709 luma within 1 level): per doc a "
+    "32x32 two-tone (split 8+4*(doc%5)) is encoded as Sun Raster "
+    "(type rotates 1/2/3: BGR, byte-RLE, RGB order; depth 24/32), SGI "
+    "(VERBATIM/RLE by parity; RGB/RGBA rotating), scanline OpenEXR "
+    "(compression NONE/ZIPS/ZIP rotating; half floats), Netpbm "
+    "(P1/P2/P4/P5 rotating), and XBM (C-source bits, LSB-first) — "
+    "each decodes back through the registry SNIFFER (no format hints) "
+    "and average-hashes to the same closed form the other codec "
+    "oracles pin (operators/{ras,sgi,exr,pnm,xbm}.py).",
+)
+def multimodal_raster_formats(spark, sf_dir):
+    import pandas as pd
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        with_average_hash,
+    )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 40).select("doc_id")
+    fmt_names = ["exr", "pnm", "ras", "sgi", "xbm"]
+
+    def op(batches):
+        import numpy as np
+
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.exr import (
+            encode_exr,
+        )
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.pnm import (
+            encode_pnm,
+        )
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.ras import (
+            encode_ras,
+        )
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.sgi import (
+            encode_sgi,
+        )
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.xbm import (
+            encode_xbm,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                split = 8 + 4 * (did % 5)
+                rgb = np.full((32, 32, 3), 40, dtype=np.uint8)
+                rgb[split:, :, :] = 200
+                gray = rgb[..., 0]
+                bits = (gray < 128).astype(np.uint8)  # ink on the dark top
+                payloads = {
+                    "ras": encode_ras(
+                        rgb,
+                        rtype=(1, 2, 3)[did % 3],
+                        depth=24 if did % 2 else 32,
+                    ),
+                    "sgi": encode_sgi(
+                        np.concatenate(
+                            [rgb, np.full((32, 32, 1), 255, np.uint8)], axis=2
+                        )
+                        if did % 4 == 0
+                        else rgb,
+                        storage=did % 2,
+                    ),
+                    "exr": encode_exr(
+                        {c: gray / 255.0 for c in ("R", "G", "B")},
+                        32,
+                        32,
+                        compression=(0, 2, 3)[did % 3],
+                    ),
+                    "pnm": encode_pnm(
+                        bits if did % 4 in (0, 2) else gray,
+                        (b"P1", b"P2", b"P4", b"P5")[did % 4],
+                    ),
+                    "xbm": encode_xbm(bits, name=f"doc{did}"),
+                }
+                for fmt in fmt_names:
+                    rows.append(
+                        {
+                            "media_id": did * 8 + fmt_names.index(fmt),
+                            "kind": "image",
+                            "payload": payloads[fmt],
+                            "meta": None,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    media = d.mapInPandas(op, MEDIA_SCHEMA)
+    fmt_expr = F.array(*[F.lit(n) for n in fmt_names])
+    return (
+        with_average_hash(media)
+        .select(
+            (F.col("media_id") / 8).cast("long").alias("doc_id"),
+            F.element_at(fmt_expr, (F.pmod(F.col("media_id"), F.lit(8)) + 1).cast("int")).alias("fmt"),
+            "ahash",
+        )
+        .orderBy("doc_id", "fmt")
+    )

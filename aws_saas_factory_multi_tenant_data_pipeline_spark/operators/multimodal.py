@@ -391,6 +391,46 @@ def _decode_webp_rgb(payload: bytes):
     return decode_webp(payload)
 
 
+def _decode_ras_rgb(payload: bytes):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.ras import (
+        decode_ras,
+    )
+
+    return decode_ras(payload)
+
+
+def _decode_sgi_rgb(payload: bytes):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.sgi import (
+        decode_sgi,
+    )
+
+    return decode_sgi(payload)
+
+
+def _decode_exr_rgb(payload: bytes):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.exr import (
+        decode_exr_rgb,
+    )
+
+    return decode_exr_rgb(payload)
+
+
+def _decode_pnm_rgb(payload: bytes):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.pnm import (
+        decode_pnm_rgb,
+    )
+
+    return decode_pnm_rgb(payload)
+
+
+def _decode_xbm_rgb(payload: bytes):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.xbm import (
+        decode_xbm_rgb,
+    )
+
+    return decode_xbm_rgb(payload)
+
+
 def _stdlib_image_decoders() -> dict:
     return {
         "png": decode_png,
@@ -412,6 +452,13 @@ def _stdlib_image_decoders() -> dict:
         # reachable only via extension routing or an explicit decoders
         # dict (operators/tga.py docstring)
         "tga": _decode_tga_rgb,
+        # r11 raster wave — every entry real-file-pinned against the
+        # CPython imghdrdata twins of the same logo
+        "ras": _decode_ras_rgb,
+        "sgi": _decode_sgi_rgb,
+        "exr": _decode_exr_rgb,
+        "pnm": _decode_pnm_rgb,
+        "xbm": _decode_xbm_rgb,
     }
 
 
@@ -491,6 +538,17 @@ def sniff_image_format(payload: bytes) -> str | None:
         return "bmp"
     if payload[:4] == b"\x00\x00\x00\x01" or payload[:3] == b"\x00\x00\x01":
         return "h264"  # Annex-B start code: an H.264 access unit
+    # r11 raster wave (all real-file-pinned against CPython twins)
+    if payload[:4] == b"\x59\xa6\x6a\x95":
+        return "ras"
+    if payload[:2] == b"\x01\xda":
+        return "sgi"
+    if payload[:4] == b"\x76\x2f\x31\x01":
+        return "exr"
+    if payload[:2] in (b"P1", b"P2", b"P4", b"P5"):
+        return "pnm"
+    if payload[:8].lstrip()[:7] == b"#define":
+        return "xbm"
     return None
 
 

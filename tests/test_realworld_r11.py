@@ -158,3 +158,114 @@ def test_real_webp_alpha_uses_short_distance_map():
         W.SHORT_DISTANCE_MAP = saved
     rgba, _, _ = decode_webp_rgba(blob)
     assert rgba.shape == (16, 16, 4)
+
+
+# ---------------------------------------------------------------------------
+# r11 raster wave: every imghdrdata twin of the SAME logo through an
+# independent parser pair (the r10 TIFF convention)
+
+
+def test_real_sun_raster_matches_png_twin_exactly():
+    d = _imghdr_dir()
+    if d is None:
+        pytest.skip("no host imghdrdata available")
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+        sniff_image_format,
+    )
+
+    ras = open(os.path.join(d, "python.ras"), "rb").read()
+    assert sniff_image_format(ras) == "ras"
+    px, w, h = decode_image(ras)
+    ref, _, _ = decode_image(open(os.path.join(d, "python.png"), "rb").read())
+    # a REAL 32-bit RT_FORMAT_RGB file: whole-frame pixel-for-pixel
+    assert (w, h) == (16, 16) and np.array_equal(px, ref)
+
+
+def test_real_sgi_matches_png_twin_exactly():
+    d = _imghdr_dir()
+    if d is None:
+        pytest.skip("no host imghdrdata available")
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+        sniff_image_format,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.sgi import (
+        decode_sgi_rgba,
+    )
+
+    sgi = open(os.path.join(d, "python.sgi"), "rb").read()
+    assert sniff_image_format(sgi) == "sgi"
+    px, w, h = decode_image(sgi)
+    ref, _, _ = decode_image(open(os.path.join(d, "python.png"), "rb").read())
+    # a REAL RLE RGBA file: whole-frame pixel-for-pixel
+    assert (w, h) == (16, 16) and np.array_equal(px, ref)
+    rgba, _, _ = decode_sgi_rgba(sgi)
+    assert rgba.shape == (16, 16, 4)
+    assert rgba[0, 0, 3] == 0  # transparent corner
+
+
+def test_real_exr_matches_png_twin_exactly():
+    d = _imghdr_dir()
+    if d is None:
+        pytest.skip("no host imghdrdata available")
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.exr import (
+        decode_exr,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+        sniff_image_format,
+    )
+
+    exr = open(os.path.join(d, "python.exr"), "rb").read()
+    assert sniff_image_format(exr) == "exr"
+    px, w, h = decode_image(exr)
+    ref, _, _ = decode_image(open(os.path.join(d, "python.png"), "rb").read())
+    # a REAL uncompressed half-float RGBA file storing value/255:
+    # whole-frame pixel-for-pixel through the registry adapter
+    assert (w, h) == (16, 16) and np.array_equal(px, ref)
+    chans, _, _ = decode_exr(exr)
+    assert sorted(chans) == ["A", "B", "G", "R"]
+    assert chans["A"][0, 0] == 0.0 and chans["A"][8, 8] == 1.0
+
+
+def test_real_xbm_and_pbm_twins_bit_exact():
+    """The SAME 1-bit logo in two formats with OPPOSITE bit orders
+    (XBM LSB-first, PBM MSB-first), through two independent parsers —
+    any bit-order or padding defect breaks the equality."""
+    d = _imghdr_dir()
+    if d is None:
+        pytest.skip("no host imghdrdata available")
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.pnm import (
+        decode_pbm_bits,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.xbm import (
+        decode_xbm,
+    )
+
+    xb, w1, h1 = decode_xbm(open(os.path.join(d, "python.xbm"), "rb").read())
+    pb, w2, h2 = decode_pbm_bits(open(os.path.join(d, "python.pbm"), "rb").read())
+    assert (w1, h1) == (w2, h2) == (16, 16)
+    assert np.array_equal(xb, pb)
+    assert 0 < int(xb.sum()) < 256  # real ink, not all-0/all-1
+
+
+def test_real_pgm_decodes_and_correlates_with_png_luma():
+    d = _imghdr_dir()
+    if d is None:
+        pytest.skip("no host imghdrdata available")
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.pnm import (
+        decode_pnm_gray,
+    )
+
+    g, w, h = decode_pnm_gray(open(os.path.join(d, "python.pgm"), "rb").read())
+    assert (w, h) == (16, 16)
+    ref, _, _ = decode_image(open(os.path.join(d, "python.png"), "rb").read())
+    r, gg, b = (ref[..., i].astype(np.float64) for i in range(3))
+    luma709 = 0.2126 * r + 0.7152 * gg + 0.0722 * b
+    # the REAL file is the Rec.709 luma of the same logo, to within
+    # its producer's rounding — every sample within 1 gray level
+    assert np.abs(np.round(luma709) - g.astype(np.float64)).max() <= 1.0

@@ -520,6 +520,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "multimodal_pdf_images",
     "text_epub_extract",
     "multimodal_raster_formats",
+    "multimodal_h264_cabac",
 )
 
 

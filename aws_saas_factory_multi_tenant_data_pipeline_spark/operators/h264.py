@@ -713,8 +713,10 @@ def parse_pps(rbsp: bytes) -> dict:
     b = _Bits(rbsp)
     pps_id = b.ue()
     sps_id = b.ue()
-    if b.u(1):
-        raise ValueError("CABAC entropy coding: out of declared scope (CAVLC only)")
+    # entropy_coding_mode_flag: 0 = CAVLC, 1 = CABAC (r11 —
+    # operators/h264_cabac.py decodes CABAC I slices; the r10 "CAVLC
+    # only" boundary is closed for intra frames)
+    cabac = b.u(1)
     bottom_field_poc = b.u(1)
     if b.ue() != 0:
         raise ValueError("slice groups / FMO: out of declared scope")
@@ -737,6 +739,7 @@ def parse_pps(rbsp: bytes) -> dict:
     return {
         "pps_id": pps_id,
         "sps_id": sps_id,
+        "cabac": bool(cabac),
         "bottom_field_poc": bottom_field_poc,
         "init_qp": init_qp,
         "chroma_qp_off": chroma_qp_off,
@@ -1462,11 +1465,18 @@ def decode_idr(data: bytes) -> tuple[np.ndarray, int, int]:
                 raise ValueError("first_mb_in_slice outside picture")
             qp = hdr["qp"]
             slice_id += 1
-            while addr < pic.mw * pic.mh:
-                qp = _decode_mb(pic, bits, addr, slice_id, qp)
-                addr += 1
-                if not bits.more_rbsp_data():
-                    break
+            if pps.get("cabac"):
+                from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.h264_cabac import (
+                    decode_cabac_slice,
+                )
+
+                decode_cabac_slice(pic, rbsp, bits, hdr, slice_id)
+            else:
+                while addr < pic.mw * pic.mh:
+                    qp = _decode_mb(pic, bits, addr, slice_id, qp)
+                    addr += 1
+                    if not bits.more_rbsp_data():
+                        break
             if pic.mb_decoded.all():
                 break
         # other NAL types (SEI, AUD, filler) are skipped structurally

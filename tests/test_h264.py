@@ -344,13 +344,15 @@ def test_emulation_prevention_roundtrip():
 def test_declared_boundaries_raise_value_error():
     sps = H._sps_rbsp(1, 1)
     pps = H._pps_rbsp()
-    # CABAC PPS: flip entropy_coding_mode (bit right after two ue(0)=‘1’s)
+    # CABAC PPS: entropy_coding_mode=1 PARSES since r11 (the former
+    # boundary is closed by operators/h264_cabac.py; the flag routes
+    # slice decode) — pin the flag round-trip instead of a raise
     w = H._BitW()
     w.ue(0); w.ue(0); w.w(1, 1); w.w(0, 1); w.ue(0); w.ue(0); w.ue(0)
     w.w(0, 1); w.w(0, 2); w.se(0); w.se(0); w.se(0); w.w(1, 1); w.w(0, 1); w.w(0, 1)
     w.trailing()
-    with pytest.raises(ValueError, match="CABAC"):
-        H.parse_pps(w.payload())
+    assert H.parse_pps(w.payload())["cabac"] is True
+    assert H.parse_pps(H._pps_rbsp())["cabac"] is False
     # interlaced SPS
     wi = H._BitW()
     wi.w(66, 8); wi.w(0, 8); wi.w(30, 8); wi.ue(0); wi.ue(0); wi.ue(2)

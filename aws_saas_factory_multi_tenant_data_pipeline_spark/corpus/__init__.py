@@ -159,8 +159,14 @@ GRADED_WINDOW: tuple[str, ...] = (
     # integer+fractional) a hard driver verdict via media_pack3
     "fn_string_datetime_pack",
     "media_pack3",
-    "fn_scalar_pack",
-    "fn_web_time_pack",
+    # fn_scalar_pack + fn_web_time_pack → MERGED in r11 second wave
+    # into fn_family_pack2 (every output column of both components
+    # rides in the pack hash verbatim, doubles via the val channel —
+    # no B7 family loses its driver verdict); the freed slot gives the
+    # five r11 §2 rows (lossy VP8, PDF embedded images, EPUB, the
+    # raster wave, H.264 CABAC) a hard driver verdict via r11_pack
+    "fn_family_pack2",
+    "r11_pack",
     # B8 streaming batch-equivalents (+ watermark late-drop twin).
     # stream_tumbling_hour → tail in r8: its tumbling window() groupBy is
     # the degenerate slide=width case of stream_sliding_session's sliding
@@ -248,11 +254,14 @@ GRADED_WINDOW: tuple[str, ...] = (
 # single-family originals first, then the rest of TPC-H / subqueries /
 # B10, then everything else in module order.
 _TAIL_PRIORITY: tuple[str, ...] = (
-    # merged in r11 into join_family_pack (every row still driver-graded
-    # verbatim inside the pack; these standalone forms stay oracle-green
-    # at the tail head — the slot went to doc_pipeline_pack):
+    # merged in r11 into join_family_pack / fn_family_pack2 (every row
+    # still driver-graded verbatim inside the packs; these standalone
+    # forms stay oracle-green at the tail head — the slots went to
+    # doc_pipeline_pack and r11_pack):
     "join_equi_variants",
     "join_range_theta",
+    "fn_scalar_pack",
+    "fn_web_time_pack",
     # swapped out of the graded window (r4: duplicate of
     # agg_pricing_summary's Q1 shape; r5: subqueries are not a §2 row,
     # scan_project/join_semi_anti redundantly covered by packs/rewrites) —
@@ -573,6 +582,7 @@ def load_all() -> dict[str, QuerySpec]:
         window_r10,
         window_r12,
         window_r13,
+        window_r14,
     )
 
     head = [n for n in GRADED_WINDOW + _TAIL_PRIORITY if n in REGISTRY]

@@ -136,10 +136,12 @@ def _rle_row(row: bytes) -> bytes:
                 run2 = 1
                 while j + run2 < n and row[j + run2] == row[j] and run2 < 3:
                     run2 += 1
-                if run2 >= 3:
+                if run2 >= 3 or lit + run2 > 127:
                     break
                 j += run2
                 lit += run2
+            if lit == 0:  # forced split inside a pair at the 127 cap
+                lit = 1
             out += bytes([0x80 | lit]) + row[i : i + lit]
             i += lit
     out.append(0)

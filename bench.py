@@ -58,6 +58,10 @@ HEADLINE = [
     # exact duplicated-span dedup (Lee et al. gaps-and-islands)
     "multimodal_webp_decode",     # B10 RIFF/VP8L -> decode -> aHash
     "dedup_duplicated_spans",     # B10 exact-substring span dedup
+    # round-11 flagships: lossy VP8 key-frame decode (bit-exact vs
+    # libwebp on the real python.webp) + H.264 CABAC I-slice twins
+    "multimodal_vp8_decode",      # B10 RIFF/VP8 lossy -> decode -> aHash
+    "multimodal_h264_cabac",      # B10 CAVLC/CABAC twin decode match
 ]
 
 

@@ -176,3 +176,16 @@ def test_tear_fuzz_300_rasters():
                     decode_ras(blob[:cut])
             except ValueError:
                 pass
+
+
+def test_sgi_rle_literal_cap_127():
+    """Regression: a literal run hitting the 127-packet cap mid-pair
+    must split, never emit count 0 (the end marker) — found by the
+    512x512 noise throughput probe, invisible at small widths."""
+    img = rng.randint(0, 256, (8, 512, 3)).astype(np.uint8)
+    out, w, h = decode_sgi_rgba(encode_sgi(img, storage=1))
+    assert np.array_equal(out[..., :3], img)
+    flat_pairs = np.tile(np.array([3, 4], np.uint8), (4, 200))[:, :399]
+    img2 = np.repeat(flat_pairs[..., None], 3, axis=2)
+    out2, _, _ = decode_sgi_rgba(encode_sgi(img2, storage=1))
+    assert np.array_equal(out2[..., :3], img2)

@@ -11,8 +11,10 @@ that covers the vast majority of digitally-born documents —
   Flate-decoded, ``/N``+``/First`` header walk) so compressed-object
   documents (pdfTeX output) work;
 - stream payloads via ``/Length`` (direct or indirect) with an
-  endstream-marker fallback, ``/Filter /FlateDecode`` through zlib
-  (incl. filter arrays of one Flate entry);
+  endstream-marker fallback; filters FlateDecode (zlib), LZWDecode
+  [r11] (the shared operators/lzw.py core, EarlyChange honored),
+  ASCIIHexDecode, ASCII85Decode and RunLengthDecode [r11], incl.
+  filter chains;
 - a minimal object grammar: dicts, arrays, names (with ``#xx``
   escapes), numbers, literal strings (escapes, nested parens, octal),
   hex strings, booleans/null, and indirect references;
@@ -29,8 +31,9 @@ that covers the vast majority of digitally-born documents —
   Type1 text extracts approximately, never crashes).
 
 Declared boundaries (named per-payload/per-stream errors or skips,
-never a crash): encrypted documents (``/Encrypt``) raise; non-Flate
-stream filters (DCTDecode images, LZW, …) are skipped as content;
+never a crash): encrypted documents (``/Encrypt``) raise; remaining
+out-of-scope stream filters (DCTDecode as *content* — as IMAGES they
+extract via extract_pdf_images — JBIG2/JPX/CCITT) are skipped;
 Type0 fonts without a ToUnicode map fall back to per-byte Latin-1
 (flagged in the page text only by absence, documented).
 
@@ -229,6 +232,98 @@ class _Ref:
 _OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
 
 
+_WS_SET = b" \t\r\n\x0c\x00"
+
+
+def _asciihex_decode(data: bytes) -> bytes:
+    """ISO 32000-1 §7.4.2: hex pairs, whitespace ignored, '>' is EOD,
+    an odd trailing digit implies a 0 nibble."""
+    out = bytearray()
+    hi = None
+    for b in data:
+        c = bytes([b])
+        if c == b">":
+            break
+        if b in _WS_SET:
+            continue
+        v = int(c, 16)  # ValueError on junk, the tear contract
+        if hi is None:
+            hi = v
+        else:
+            out.append((hi << 4) | v)
+            hi = None
+    if hi is not None:
+        out.append(hi << 4)
+    return bytes(out)
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    """ISO 32000-1 §7.4.3: base-85 groups, 'z' = four zero bytes,
+    '~>' is EOD, whitespace ignored, partial final group."""
+    out = bytearray()
+    group: list[int] = []
+    i = 0
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b in _WS_SET:
+            i += 1
+            continue
+        if b == 0x7E:  # '~' — must be '~>'
+            break
+        if b == 0x7A:  # 'z'
+            if group:
+                raise ValueError("ASCII85 'z' inside a group")
+            out += b"\x00\x00\x00\x00"
+            i += 1
+            continue
+        if not 0x21 <= b <= 0x75:
+            raise ValueError(f"ASCII85 byte {b} out of range")
+        group.append(b - 33)
+        if len(group) == 5:
+            v = 0
+            for g in group:
+                v = v * 85 + g
+            if v > 0xFFFFFFFF:
+                raise ValueError("ASCII85 group overflows 32 bits")
+            out += v.to_bytes(4, "big")
+            group = []
+        i += 1
+    if group:
+        if len(group) == 1:
+            raise ValueError("ASCII85 dangling single character")
+        k = len(group)
+        v = 0
+        for g in group + [84] * (5 - k):
+            v = v * 85 + g
+        out += v.to_bytes(4, "big")[: k - 1]
+    return bytes(out)
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    """ISO 32000-1 §7.4.5: length byte n — n<128 copies n+1 literals,
+    n>128 repeats the next byte 257-n times, 128 is EOD."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        ln = data[i]
+        i += 1
+        if ln == 128:
+            break
+        if ln < 128:
+            if i + ln + 1 > n:
+                raise ValueError("torn RunLengthDecode literal run")
+            out += data[i : i + ln + 1]
+            i += ln + 1
+        else:
+            if i >= n:
+                raise ValueError("torn RunLengthDecode repeat run")
+            out += bytes([data[i]]) * (257 - ln)
+            i += 1
+    return bytes(out)
+
+
 class PdfDocument:
     """Parsed object store + page walker."""
 
@@ -319,11 +414,32 @@ class PdfDocument:
         filters = (
             [] if filt is None else (filt if isinstance(filt, list) else [filt])
         )
+        parms = self.resolve(sdict.get("DecodeParms"))
+        parms_list = (
+            [] if parms is None else (parms if isinstance(parms, list) else [parms])
+        )
         data = stream
-        for f in filters:
+        for fi, f in enumerate(filters):
             f = self.resolve(f)
+            fp = self.resolve(parms_list[fi]) if fi < len(parms_list) else None
+            fp = fp or {}
             if f == _Name("FlateDecode"):
                 data = zlib.decompress(data)
+            elif f == _Name("LZWDecode"):
+                # [r11] shared LZW core (operators/lzw.py) — pinned
+                # against REAL libtiff streams (same dialect)
+                from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.lzw import (
+                    lzw_decode,
+                )
+
+                ec = int(self.resolve(fp.get("EarlyChange", 1)) or 0)
+                data = lzw_decode(data, early_change=ec)
+            elif f == _Name("ASCIIHexDecode"):
+                data = _asciihex_decode(data)
+            elif f == _Name("ASCII85Decode"):
+                data = _ascii85_decode(data)
+            elif f == _Name("RunLengthDecode"):
+                data = _runlength_decode(data)
             else:
                 raise ValueError(
                     f"PDF stream filter {f!r} outside the declared scope"
@@ -779,12 +895,9 @@ def extract_pdf_images(payload: bytes) -> list[dict]:
                 rec["payload"] = bytes(data)
                 out.append(rec)
                 continue
-            bad = [f for f in filters if f != _Name("FlateDecode")]
-            if bad:
-                raise ValueError(f"filter {bad[0]!r} outside the declared scope")
-            data = stream
-            for _ in filters:
-                data = zlib.decompress(data)
+            # every non-DCT filter chain routes through the shared
+            # stream decoder (Flate/LZW/ASCIIHex/ASCII85/RunLength)
+            data = doc._decoded_stream(val, stream)
             bpc = int(doc.resolve(val.get("BitsPerComponent", 8)) or 8)
             if bpc != 8:
                 raise ValueError(f"BitsPerComponent {bpc} outside the declared scope")

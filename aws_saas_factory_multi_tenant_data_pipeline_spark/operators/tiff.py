@@ -7,7 +7,10 @@ baseline): a header (``II``/``MM`` byte order + magic 42 + IFD0
 offset), one IFD of 12-byte tagged entries (read with the same
 bounds-checked reader the EXIF operator uses — EXIF *is* a TIFF IFD
 tree), and image data in strips addressed by StripOffsets /
-StripByteCounts / RowsPerStrip. Baseline compressions: 1 (none) and
+StripByteCounts / RowsPerStrip. Compressions: 1 (none), 5 (LZW
+[r11] — the shared operators/lzw.py core, early-change dialect,
+horizontal-differencing Predictor 2, pinned against REAL
+libtiff-written streams via ctypes in tests) and
 32773 (PackBits — the Apple run-length scheme of TIFF 6.0 §9: literal
 runs for n in 0..127, repeat runs for n in -1..-127, -128 is a noop).
 
@@ -15,7 +18,7 @@ Declared scope (per-row-quarantinable ValueError boundaries, the codec
 convention): 8-bit grayscale (PhotometricInterpretation 0 WhiteIsZero
 — inverted per spec — and 1 BlackIsZero), 8-bit RGB, and 8-bit palette
 (ColorMap's 16-bit entries scaled down); chunky planar config only.
-LZW/JPEG/Deflate compression, tiled layout (TileWidth present), planar
+JPEG/Deflate compression, tiled layout (TileWidth present), planar
 config 2, sample depths other than 8, and extra-sample alpha planes
 quarantine with named errors — each is a seam a native binding
 (libtiff) can fill through the codec registry at scale.
@@ -46,6 +49,7 @@ _T_SAMPLES_PER_PIXEL = 277
 _T_ROWS_PER_STRIP = 278
 _T_STRIP_BYTE_COUNTS = 279
 _T_PLANAR = 284
+_T_PREDICTOR = 317
 _T_COLOR_MAP = 320
 _T_EXTRA_SAMPLES = 338
 _T_TILE_WIDTH = 322
@@ -161,8 +165,11 @@ def decode_tiff(payload: bytes):
         raise ValueError("TIFF missing PhotometricInterpretation")
     if planar != 1:
         raise ValueError(f"planar configuration {planar} outside the declared scope")
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 32773):
         raise ValueError(f"TIFF compression {comp} outside the declared scope")
+    predictor = _first(ifd.get(_T_PREDICTOR), 1)
+    if predictor not in (1, 2):
+        raise ValueError(f"TIFF predictor {predictor} outside the declared scope")
     if any(b != 8 for b in bits):
         raise ValueError(f"bits-per-sample {bits} outside the declared scope")
     if photo == 2 and spp < 3:
@@ -209,9 +216,30 @@ def decode_tiff(payload: bytes):
         raw = payload[off : off + cnt]
         if comp == 32773:
             raw = packbits_decode(raw, rows_here * row_bytes)
-        elif len(raw) < rows_here * row_bytes:
+        elif comp == 5:
+            # [r11] LZW (TIFF 6.0 §13, early-change dialect) — shared
+            # core with the PDF LZWDecode filter (operators/lzw.py);
+            # REAL libtiff-written LZW strips are pinned in
+            # tests/test_realworld_r11.py via the system libtiff
+            from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.lzw import (
+                lzw_decode,
+            )
+
+            raw = lzw_decode(raw, early_change=1,
+                             max_out=rows_here * row_bytes + row_bytes)
+        if comp != 32773 and len(raw) < rows_here * row_bytes:
             raise ValueError(f"strip {si} shorter than its row span")
-        data += raw[: rows_here * row_bytes]
+        strip = bytearray(raw[: rows_here * row_bytes])
+        if predictor == 2:
+            # horizontal differencing (TIFF 6.0 §14): integrate per
+            # row across samples-per-pixel lanes
+            for r in range(rows_here):
+                base = r * row_bytes
+                for i in range(spp, row_bytes):
+                    strip[base + i] = (
+                        strip[base + i] + strip[base + i - spp]
+                    ) & 0xFF
+        data += strip
         rows_done += rows_here
     if rows_done < h:
         raise ValueError("strips cover fewer rows than ImageLength")

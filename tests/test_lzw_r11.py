@@ -1,0 +1,226 @@
+"""Shared LZW core + the PDF filter wave (r11): one implementation
+closes the TIFF compression-5 boundary AND the PDF LZWDecode filter
+boundary, with ASCIIHex/ASCII85/RunLength alongside.
+
+Ground truth ladder: ASCII85 against the stdlib's independent
+implementation; LZW against REAL libtiff-written streams (the system
+libtiff via ctypes — skip-guarded host gap); everything else via
+exact roundtrips + torn-input contracts.
+"""
+
+from __future__ import annotations
+
+import base64
+import ctypes
+import glob
+import re
+import tempfile
+
+import numpy as np
+import pytest
+
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.lzw import (
+    lzw_decode,
+    lzw_encode,
+)
+
+rng = np.random.RandomState(3)
+
+_CASES = [
+    b"",
+    b"A",
+    b"AAAAAAA",
+    b"TOBEORNOTTOBEORTOBEORNOT" * 3,
+    bytes(rng.randint(0, 256, 5000)),   # random: fast table growth
+    bytes(rng.randint(0, 4, 60000)),    # low entropy: 12-bit cap + clear
+    b"ab" * 30000,                      # KwKwK chains at width boundaries
+    b"a" * 50000,                       # maximal runs
+]
+
+
+@pytest.mark.parametrize("ec", [1, 0])
+@pytest.mark.parametrize("clear_every", [None, 50])
+def test_lzw_roundtrip_matrix(ec, clear_every):
+    for d in _CASES:
+        enc = lzw_encode(d, early_change=ec, clear_every=clear_every)
+        assert lzw_decode(enc, early_change=ec) == d
+
+
+def test_lzw_torn_and_malformed():
+    enc = lzw_encode(_CASES[3])
+    with pytest.raises(ValueError, match="torn"):
+        lzw_decode(enc[: len(enc) // 2])
+    def pack9(codes):
+        bits = []
+        for c in codes:
+            bits += [(c >> i) & 1 for i in range(8, -1, -1)]
+        out = bytearray((len(bits) + 7) // 8)
+        for i, b in enumerate(bits):
+            out[i >> 3] |= b << (7 - (i & 7))
+        return bytes(out)
+
+    with pytest.raises(ValueError, match="not a literal"):
+        lzw_decode(pack9([256, 300, 257]))
+    with pytest.raises(ValueError, match="beyond the table"):
+        lzw_decode(pack9([256, 65, 300, 257]))
+    with pytest.raises(ValueError, match="decode bound"):
+        lzw_decode(lzw_encode(b"a" * 5000), max_out=100)
+
+
+def test_lzw_vs_real_libtiff_streams():
+    """REAL third-party LZW: the system libtiff writes LZW strips
+    (with and without the horizontal-differencing predictor); our
+    from-spec TIFF decoder must reproduce the pixels exactly — this
+    pins the TRUE early-change width timing, which a self-roundtrip
+    cannot (encoder and decoder would agree on a wrong timing)."""
+    hits = glob.glob("/usr/lib/*/libtiff.so*")
+    if not hits:
+        pytest.skip("no system libtiff to generate real LZW streams (host gap)")
+    lib = ctypes.CDLL(hits[0])
+    lib.TIFFOpen.restype = ctypes.c_void_p
+    lib.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    lib.TIFFWriteScanline.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint16
+    ]
+    lib.TIFFClose.argtypes = [ctypes.c_void_p]
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.tiff import (
+        decode_tiff,
+    )
+
+    def write_tiff(path, rgb, predictor):
+        h, w = rgb.shape[:2]
+        tif = lib.TIFFOpen(path.encode(), b"w")
+        assert tif
+        fields = [(256, w), (257, h), (258, 8), (259, 5), (262, 2),
+                  (277, 3), (278, 8), (284, 1)]
+        if predictor:
+            fields.append((317, predictor))
+        for tag, val in fields:
+            lib.TIFFSetField(ctypes.c_void_p(tif), ctypes.c_uint32(tag),
+                             ctypes.c_int(val))
+        for r in range(h):
+            row = rgb[r].copy()  # libtiff differences the buffer IN PLACE
+            assert lib.TIFFWriteScanline(
+                tif, row.ctypes.data_as(ctypes.c_void_p), r, 0
+            ) == 1
+        lib.TIFFClose(tif)
+
+    noise = rng.randint(0, 256, (40, 56, 3)).astype(np.uint8)
+    smooth = np.tile(
+        np.linspace(0, 255, 56).astype(np.uint8)[None, :, None], (40, 1, 3)
+    )
+    for img, pred in ((noise, 1), (smooth, 2), (noise, 2)):
+        with tempfile.NamedTemporaryFile(suffix=".tif") as f:
+            write_tiff(f.name, img, pred)
+            px, w, h = decode_tiff(open(f.name, "rb").read())
+        assert (w, h) == (56, 40)
+        assert np.array_equal(px, img)
+
+
+def test_tiff_lzw_fixture_roundtrip_and_boundaries():
+    """Our own encoder side: splice an LZW strip into encode_tiff
+    output? The builder writes compression 1/32773; instead pin the
+    decode-side boundary messages stay live for the still-out-of-scope
+    codes."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.tiff import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    img = rng.randint(0, 256, (8, 8, 3)).astype(np.uint8)
+    blob = bytearray(encode_tiff(img))
+    # flip compression tag 1 -> 7 (JPEG-in-TIFF): still a named boundary
+    i = blob.find((259).to_bytes(2, "little"))
+    assert i > 0
+    blob[i + 8] = 7
+    with pytest.raises(ValueError, match="compression 7"):
+        decode_tiff(bytes(blob))
+
+
+# --- PDF filter wave -----------------------------------------------------------
+
+
+def test_pdf_asciihex_ascii85_runlength_against_stdlib():
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.pdf import (
+        _ascii85_decode,
+        _asciihex_decode,
+        _runlength_decode,
+    )
+
+    for n in (0, 1, 3, 4, 17, 1000):
+        raw = bytes(rng.randint(0, 256, n))
+        assert _asciihex_decode(raw.hex().upper().encode() + b">") == raw
+        # whitespace-littered lowercase hex
+        lit = re.sub(rb"(..)", rb"\1 \n", raw.hex().encode()) + b">"
+        assert _asciihex_decode(lit) == raw
+        # the stdlib is an independent ASCII85 implementation
+        assert _ascii85_decode(base64.a85encode(raw) + b"~>") == raw
+    assert _ascii85_decode(b"z~>") == b"\x00\x00\x00\x00"
+    with pytest.raises(ValueError, match="out of range"):
+        _ascii85_decode(b"\x7f~>")
+    assert _runlength_decode(bytes([2]) + b"abc" + bytes([254, 88, 128])) == b"abcXXX"
+    with pytest.raises(ValueError, match="torn RunLength"):
+        _runlength_decode(bytes([10]) + b"ab")
+
+
+def test_pdf_lzw_and_a85_content_streams_extract():
+    """A content stream re-encoded with LZWDecode / ASCII85Decode must
+    extract to the same text as its Flate/raw twin."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.pdf import (
+        build_pdf,
+        extract_pdf_text,
+    )
+
+    blob = build_pdf(["hello lzw filter\nsecond line", "page two"], compress=False)
+    want = extract_pdf_text(blob)
+    m = re.search(rb"<< /Length (\d+) >>\nstream\n", blob)
+    ln = int(m.group(1))
+    start = m.end()
+    content = blob[start : start + ln]
+    for fname, enc in (
+        (b"LZWDecode", lzw_encode(content)),
+        (b"ASCII85Decode", base64.a85encode(content) + b"~>"),
+        (b"ASCIIHexDecode", content.hex().encode() + b">"),
+    ):
+        nb = (
+            blob[: m.start()]
+            + b"<< /Length %d /Filter /%s >>\nstream\n" % (len(enc), fname)
+            + enc
+            + blob[start + ln :]
+        )
+        assert extract_pdf_text(nb) == want, fname
+
+
+def test_pdf_lzw_image_xobject_decodes():
+    """An /Image XObject whose samples are LZW-compressed now extracts
+    (the r10 'LZW skipped' row upgraded), through the shared core."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.pdf import (
+        build_pdf,
+        extract_pdf_images,
+    )
+
+    rgb = np.full((16, 16, 3), 40, dtype=np.uint8)
+    rgb[8:] = 200
+    blob = build_pdf(["with raw image"], images=[{"rgb": rgb, "filter": "raw"}])
+    # re-filter the image stream to LZWDecode
+    m = re.search(
+        rb"(/Subtype /Image[^>]*?)/Length (\d+) >>\nstream\n", blob, re.S
+    )
+    ln = int(m.group(2))
+    start = m.end()
+    enc = lzw_encode(blob[start : start + ln])
+    nb = (
+        blob[: m.start(0)]
+        + m.group(1)
+        + b"/Filter /LZWDecode /Length %d >>\nstream\n" % len(enc)
+        + enc
+        + blob[start + ln :]
+    )
+    imgs = extract_pdf_images(nb)
+    assert len(imgs) == 1 and imgs[0]["fmt"] == "ppm"
+    px, w, h = decode_image(imgs[0]["payload"])
+    assert np.array_equal(px, rgb)

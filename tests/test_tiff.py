@@ -128,7 +128,9 @@ def test_declared_scope_quarantines():
         return bytes(out)
 
     with pytest.raises(ValueError, match="compression"):
-        decode_tiff(patch_tag(base, 259, 5))  # LZW
+        decode_tiff(patch_tag(base, 259, 7))  # JPEG-in-TIFF (LZW is
+        # IN scope since r11 — tests/test_lzw_r11.py pins it against
+        # real libtiff streams)
     with pytest.raises(ValueError, match="planar"):
         decode_tiff(patch_tag(base, 284, 2))
     with pytest.raises(ValueError, match="photometric"):

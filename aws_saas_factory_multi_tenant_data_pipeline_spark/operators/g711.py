@@ -23,11 +23,14 @@ integer maps, so ``encode(decode(code)) == code`` for every code (the
 two μ-law zero codes collapse to the canonical +0) — pinned in tests.
 
 Declared scope (per-row-quarantinable ValueError boundaries, the codec
-convention): integer PCM 8/16-bit, IEEE float 32/64-bit (fmt 3,
-clamped to [-1, 1], non-finite samples tear), A-law, μ-law; ADPCM
-(fmt 2/0x11 — the canonical step tables have no trustworthy
-in-container source, the MP3-Huffman convention) and MPEG-in-WAV
-payloads quarantine with a named error.
+convention): integer PCM 8/16/24/32-bit, IEEE float 32/64-bit (fmt 3,
+clamped to [-1, 1], non-finite samples tear), A-law, μ-law, and [r11]
+the two real-world ADPCM variants — IMA/DVI (0x11) and Microsoft
+(0x02), operators/adpcm.py, the IMA core cross-pinned EXACTLY against
+CPython's own C audioop implementation (the r10 'no trustworthy
+in-container source' objection resolved by a real independent codec
+on this host). MPEG-in-WAV and the remaining exotic format codes
+quarantine with a named error.
 """
 
 from __future__ import annotations
@@ -143,7 +146,7 @@ def parse_wav(payload: bytes):
         raise ValueError("WAV missing fmt/data chunk")
     if len(fmt) < 16:
         raise ValueError("torn fmt chunk")
-    code, ch, sr, _brate, _balign, bits = struct.unpack("<HHIIHH", fmt[:16])
+    code, ch, sr, _brate, balign, bits = struct.unpack("<HHIIHH", fmt[:16])
     if code == WAVE_FORMAT_EXTENSIBLE:
         # real code = first two bytes of the SubFormat GUID (fmt offset 24)
         if len(fmt) < 26:
@@ -198,6 +201,22 @@ def parse_wav(payload: bytes):
             raise ValueError(f"bad A-law bits-per-sample {bits}")
         x = alaw_to_linear16(np.frombuffer(data, dtype=np.uint8)).astype(np.float64)
         x /= 32768.0
+    elif code == 0x0011:  # IMA/DVI ADPCM [r11] (operators/adpcm.py)
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.adpcm import (
+            decode_ima_wav_blocks,
+        )
+
+        if bits not in (0, 4):
+            raise ValueError(f"bad IMA ADPCM bits-per-sample {bits}")
+        x = decode_ima_wav_blocks(data, ch, balign).astype(np.float64) / 32768.0
+    elif code == 0x0002:  # Microsoft ADPCM [r11]
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.adpcm import (
+            decode_ms_adpcm_blocks,
+        )
+
+        if bits not in (0, 4):
+            raise ValueError(f"bad MS-ADPCM bits-per-sample {bits}")
+        x = decode_ms_adpcm_blocks(data, ch, balign).astype(np.float64) / 32768.0
     else:
         raise ValueError(f"WAV format code 0x{code:04X} outside the declared scope")
     frames = x.shape[0] // ch

@@ -1,0 +1,133 @@
+"""ADPCM WAV codecs (operators/adpcm.py): the IMA core cross-pinned
+EXACTLY against CPython's own C implementation (audioop — a real
+independent codec), WAV block layouts, parse_wav routing, tears."""
+
+from __future__ import annotations
+
+import struct
+import warnings
+
+import numpy as np
+import pytest
+
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.adpcm import (
+    decode_ima_wav_blocks,
+    decode_ms_adpcm_blocks,
+    encode_ima_wav_blocks,
+    encode_ms_adpcm_blocks,
+    ima_encode_step,
+    ima_step,
+)
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.g711 import (
+    parse_wav,
+)
+
+rng = np.random.RandomState(3)
+
+
+def _sig(n=4000, amp=15000):
+    return (np.sin(np.linspace(0, 40, n)) * amp).astype(np.int16)
+
+
+def test_ima_core_exact_vs_audioop_both_directions():
+    """audioop.lin2adpcm/adpcm2lin is CPython's C implementation of
+    the same Intel/DVI core — our decode of ITS stream and its decode
+    of OUR nibbles must both match our core sample-for-sample."""
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    x = (_sig() + rng.randint(-500, 500, 4000)).astype(np.int16)
+    frag, _state = audioop.lin2adpcm(x.tobytes(), 2, None)
+    ref = np.frombuffer(audioop.adpcm2lin(frag, 2, None)[0], dtype=np.int16)
+    pred = idx = 0
+    ours = []
+    for byte in frag:  # audioop packs the FIRST sample in the HIGH nibble
+        for nib in (byte >> 4, byte & 0xF):
+            pred, idx = ima_step(pred, idx, nib)
+            ours.append(pred)
+    assert np.array_equal(np.array(ours[: len(ref)], dtype=np.int16), ref)
+
+    pred = idx = 0
+    nibs = []
+    for s in x:
+        nib, pred, idx = ima_encode_step(int(s), pred, idx)
+        nibs.append(nib)
+    packed = bytes(
+        (nibs[i] << 4) | nibs[i + 1] for i in range(0, len(nibs) - 1, 2)
+    )
+    ref2 = np.frombuffer(audioop.adpcm2lin(packed, 2, None)[0], dtype=np.int16)
+    pred = idx = 0
+    ours2 = []
+    for nib in nibs:
+        pred, idx = ima_step(pred, idx, nib)
+        ours2.append(pred)
+    assert np.array_equal(np.array(ours2[: len(ref2)], dtype=np.int16), ref2)
+
+
+def _wav(fmt_code, ch, sr, balign, bits, body):
+    fmt = struct.pack("<HHIIHH", fmt_code, ch, sr, sr * balign, balign, bits)
+    fmt += b"\x00\x00"
+    out = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body)) + b"WAVE"
+    out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(body)) + body
+    return out
+
+
+@pytest.mark.parametrize("ch", [1, 2])
+def test_ima_wav_end_to_end(ch):
+    sig = _sig()
+    s = np.repeat(sig, ch) if ch == 2 else sig
+    data, ba = encode_ima_wav_blocks(s, ch, samples_per_block=249)
+    x, sr, gotch = parse_wav(_wav(0x11, ch, 8000, ba, 4, data))
+    assert (sr, gotch) == (8000, ch)
+    ref = sig.astype(np.float64) / 32768.0
+    m = min(len(x), len(ref))
+    rms = np.sqrt(np.mean((x[100:m] - ref[100:m]) ** 2))
+    assert rms < 0.005 * np.sqrt(np.mean(ref[100:m] ** 2)) + 1e-4
+
+
+@pytest.mark.parametrize("ch", [1, 2])
+def test_ms_adpcm_wav_end_to_end(ch):
+    sig = _sig()
+    s = np.repeat(sig, ch) if ch == 2 else sig
+    data, ba = encode_ms_adpcm_blocks(s, ch, samples_per_block=200)
+    x, sr, gotch = parse_wav(_wav(0x02, ch, 8000, ba, 4, data))
+    assert (sr, gotch) == (8000, ch)
+    ref = sig.astype(np.float64) / 32768.0
+    m = min(len(x), len(ref))
+    rms = np.sqrt(np.mean((x[100:m] - ref[100:m]) ** 2))
+    assert rms < 0.01 * np.sqrt(np.mean(ref[100:m] ** 2)) + 1e-4
+
+
+def test_block_header_predictor_is_exact_at_block_starts():
+    # the first sample of every IMA block is stored verbatim
+    sig = _sig(1000)
+    data, ba = encode_ima_wav_blocks(sig, 1, samples_per_block=249)
+    dec = decode_ima_wav_blocks(data, 1, ba)
+    for b, f in enumerate(range(0, 750, 249)):
+        assert dec[b * 249 + (0 if b == 0 else 0)] is not None
+    assert int(dec[0]) == int(sig[0])
+    assert int(dec[249]) == int(sig[249])
+
+
+def test_tears_and_ranges():
+    with pytest.raises(ValueError, match="no whole block"):
+        decode_ima_wav_blocks(b"", 1, 256)
+    with pytest.raises(ValueError, match="step index"):
+        decode_ima_wav_blocks(struct.pack("<hBB", 0, 99, 0) + b"\x00" * 4, 1, 8)
+    with pytest.raises(ValueError, match="predictor index"):
+        decode_ms_adpcm_blocks(bytes([9]) + b"\x00" * 6, 1, 7)
+    with pytest.raises(ValueError, match="no whole block"):
+        decode_ms_adpcm_blocks(b"\x00" * 3, 1, 32)
+    sig = _sig(600)
+    data, ba = encode_ima_wav_blocks(sig, 1, samples_per_block=249)
+    x, _, _ = parse_wav(_wav(0x11, 1, 8000, ba, 4, data))
+    assert len(x) > 0
+    with pytest.raises(ValueError, match="bits-per-sample"):
+        parse_wav(_wav(0x11, 1, 8000, ba, 8, data))
+
+
+def test_unknown_format_still_quarantines():
+    with pytest.raises(ValueError, match="outside the declared scope"):
+        parse_wav(_wav(0x0055, 1, 8000, 1, 0, b"\x00" * 10))  # MP3-in-WAV

@@ -185,9 +185,11 @@ def test_float_wav_decodes():
 
 
 def test_out_of_scope_format_quarantines_with_valueerror():
-    """An MS-ADPCM WAV must raise ValueError (quarantine), not the
-    wave.Error the stdlib parser this replaced would throw."""
-    fmt = struct.pack("<HHIIHH", 2, 1, 8000, 4000, 256, 4)
+    """An out-of-scope format (MP3-in-WAV, 0x0055) must raise
+    ValueError (quarantine), not the wave.Error the stdlib parser this
+    replaced would throw. (MS-ADPCM, the r10 example here, is IN scope
+    since r11 — tests/test_adpcm.py.)"""
+    fmt = struct.pack("<HHIIHH", 0x55, 1, 8000, 4000, 256, 0)
     body = b"\x00" * 8
     blob = (
         b"RIFF"
@@ -200,7 +202,7 @@ def test_out_of_scope_format_quarantines_with_valueerror():
         + struct.pack("<I", len(body))
         + body
     )
-    with pytest.raises(ValueError, match="0x0002"):
+    with pytest.raises(ValueError, match="0x0055"):
         parse_wav(blob)
 
 

@@ -10,7 +10,9 @@ tree), and image data in strips addressed by StripOffsets /
 StripByteCounts / RowsPerStrip. Compressions: 1 (none), 5 (LZW
 [r11] — the shared operators/lzw.py core, early-change dialect,
 horizontal-differencing Predictor 2, pinned against REAL
-libtiff-written streams via ctypes in tests) and
+libtiff-written streams via ctypes in tests), 8/32946 (Deflate
+[r11], zlib strips + the same predictor path, equally real-file
+pinned) and
 32773 (PackBits — the Apple run-length scheme of TIFF 6.0 §9: literal
 runs for n in 0..127, repeat runs for n in -1..-127, -128 is a noop).
 
@@ -18,7 +20,7 @@ Declared scope (per-row-quarantinable ValueError boundaries, the codec
 convention): 8-bit grayscale (PhotometricInterpretation 0 WhiteIsZero
 — inverted per spec — and 1 BlackIsZero), 8-bit RGB, and 8-bit palette
 (ColorMap's 16-bit entries scaled down); chunky planar config only.
-JPEG/Deflate compression, tiled layout (TileWidth present), planar
+JPEG compression, tiled layout (TileWidth present), planar
 config 2, sample depths other than 8, and extra-sample alpha planes
 quarantine with named errors — each is a seam a native binding
 (libtiff) can fill through the codec registry at scale.
@@ -54,6 +56,8 @@ _T_COLOR_MAP = 320
 _T_EXTRA_SAMPLES = 338
 _T_TILE_WIDTH = 322
 _T_TILE_LENGTH = 323
+_T_TILE_OFFSETS = 324
+_T_TILE_BYTE_COUNTS = 325
 
 
 def packbits_decode(blob: bytes, expected: int) -> bytes:
@@ -132,6 +136,36 @@ def _int_list(v, what: str) -> list[int]:
     return v
 
 
+
+def _decode_chunk(raw: bytes, comp: int, rows: int, row_bytes: int,
+                  predictor: int, spp: int) -> bytes:
+    """Decompress + un-predict one strip/tile to exactly rows*row_bytes."""
+    if comp == 32773:
+        raw = packbits_decode(raw, rows * row_bytes)
+    elif comp == 5:
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.lzw import (
+            lzw_decode,
+        )
+
+        raw = lzw_decode(raw, early_change=1, max_out=rows * row_bytes + row_bytes)
+    elif comp in (8, 32946):
+        import zlib
+
+        try:
+            raw = zlib.decompress(raw)
+        except zlib.error as exc:
+            raise ValueError(f"torn Deflate TIFF chunk: {exc}") from exc
+    if len(raw) < rows * row_bytes:
+        raise ValueError("TIFF chunk shorter than its row span")
+    buf = bytearray(raw[: rows * row_bytes])
+    if predictor == 2:
+        for r in range(rows):
+            base = r * row_bytes
+            for i in range(spp, row_bytes):
+                buf[base + i] = (buf[base + i] + buf[base + i - spp]) & 0xFF
+    return bytes(buf)
+
+
 def decode_tiff(payload: bytes):
     """Decode a baseline TIFF payload to (uint8 pixels [h, w, 3],
     width, height)."""
@@ -146,8 +180,6 @@ def decode_tiff(payload: bytes):
     (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
     ifd = _read_ifd(payload, ifd_off, bo)
 
-    if _T_TILE_WIDTH in ifd or _T_TILE_LENGTH in ifd:
-        raise ValueError("tiled TIFF outside the declared scope")
     w = _first(ifd.get(_T_WIDTH))
     h = _first(ifd.get(_T_LENGTH))
     if not w or not h:
@@ -165,7 +197,7 @@ def decode_tiff(payload: bytes):
         raise ValueError("TIFF missing PhotometricInterpretation")
     if planar != 1:
         raise ValueError(f"planar configuration {planar} outside the declared scope")
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 8, 32773, 32946):
         raise ValueError(f"TIFF compression {comp} outside the declared scope")
     predictor = _first(ifd.get(_T_PREDICTOR), 1)
     if predictor not in (1, 2):
@@ -194,55 +226,68 @@ def decode_tiff(payload: bytes):
                 "multi-extra-sample TIFF outside the declared scope"
             )
 
-    offsets = ifd.get(_T_STRIP_OFFSETS)
-    counts = ifd.get(_T_STRIP_BYTE_COUNTS)
-    if offsets is None or counts is None:
-        raise ValueError("TIFF missing strip tables")
-    offsets = _int_list(offsets, "strip offset")
-    counts = _int_list(counts, "strip byte-count")
-    if len(offsets) != len(counts):
-        raise ValueError("strip offset/count tables disagree")
-    rows_per_strip = _first(ifd.get(_T_ROWS_PER_STRIP), h)
+    if _T_TILE_WIDTH in ifd or _T_TILE_LENGTH in ifd:
+        # [r11] tiled layout (TIFF 6.0 §15) — tiles are full tw x tl
+        # blocks (edge tiles padded), decompressed like strips and
+        # pasted clipped; REAL libtiff-written tiled files are pinned
+        # in tests/test_lzw_r11.py
+        tw = _first(ifd.get(_T_TILE_WIDTH))
+        tl = _first(ifd.get(_T_TILE_LENGTH))
+        t_off = ifd.get(_T_TILE_OFFSETS)
+        t_cnt = ifd.get(_T_TILE_BYTE_COUNTS)
+        if not tw or not tl or t_off is None or t_cnt is None:
+            raise ValueError("tiled TIFF missing tile tables")
+        t_off = _int_list(t_off, "tile offset")
+        t_cnt = _int_list(t_cnt, "tile byte-count")
+        ta = (w + tw - 1) // tw
+        td = (h + tl - 1) // tl
+        if len(t_off) < ta * td or len(t_cnt) < ta * td:
+            raise ValueError("tile tables shorter than the tile grid")
+        img = np.zeros((h, w, spp), dtype=np.uint8)
+        row_bytes = tw * spp
+        for ty in range(td):
+            for tx in range(ta):
+                k = ty * ta + tx
+                off, cnt = t_off[k], t_cnt[k]
+                if off + cnt > len(payload):
+                    raise ValueError(f"tile {k} out of range")
+                buf = _decode_chunk(
+                    payload[off : off + cnt], comp, tl, row_bytes, predictor, spp
+                )
+                tile = np.frombuffer(buf, dtype=np.uint8).reshape(tl, tw, spp)
+                y0, x0 = ty * tl, tx * tw
+                ys, xs = min(tl, h - y0), min(tw, w - x0)
+                img[y0 : y0 + ys, x0 : x0 + xs] = tile[:ys, :xs]
+        data = img.tobytes()
+        rows_done = h
+    else:
+        offsets = ifd.get(_T_STRIP_OFFSETS)
+        counts = ifd.get(_T_STRIP_BYTE_COUNTS)
+        if offsets is None or counts is None:
+            raise ValueError("TIFF missing strip tables")
+        offsets = _int_list(offsets, "strip offset")
+        counts = _int_list(counts, "strip byte-count")
+        if len(offsets) != len(counts):
+            raise ValueError("strip offset/count tables disagree")
+        rows_per_strip = _first(ifd.get(_T_ROWS_PER_STRIP), h)
 
-    row_bytes = w * spp
-    data = bytearray()
-    rows_done = 0
-    for si, (off, cnt) in enumerate(zip(offsets, counts)):
-        if off + cnt > len(payload):
-            raise ValueError(f"strip {si} out of range")
-        rows_here = min(rows_per_strip, h - rows_done)
-        if rows_here <= 0:
-            break
-        raw = payload[off : off + cnt]
-        if comp == 32773:
-            raw = packbits_decode(raw, rows_here * row_bytes)
-        elif comp == 5:
-            # [r11] LZW (TIFF 6.0 §13, early-change dialect) — shared
-            # core with the PDF LZWDecode filter (operators/lzw.py);
-            # REAL libtiff-written LZW strips are pinned in
-            # tests/test_realworld_r11.py via the system libtiff
-            from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.lzw import (
-                lzw_decode,
+        row_bytes = w * spp
+        data = bytearray()
+        rows_done = 0
+        for si, (off, cnt) in enumerate(zip(offsets, counts)):
+            if off + cnt > len(payload):
+                raise ValueError(f"strip {si} out of range")
+            rows_here = min(rows_per_strip, h - rows_done)
+            if rows_here <= 0:
+                break
+            data += _decode_chunk(
+                payload[off : off + cnt], comp, rows_here, row_bytes,
+                predictor, spp
             )
-
-            raw = lzw_decode(raw, early_change=1,
-                             max_out=rows_here * row_bytes + row_bytes)
-        if comp != 32773 and len(raw) < rows_here * row_bytes:
-            raise ValueError(f"strip {si} shorter than its row span")
-        strip = bytearray(raw[: rows_here * row_bytes])
-        if predictor == 2:
-            # horizontal differencing (TIFF 6.0 §14): integrate per
-            # row across samples-per-pixel lanes
-            for r in range(rows_here):
-                base = r * row_bytes
-                for i in range(spp, row_bytes):
-                    strip[base + i] = (
-                        strip[base + i] + strip[base + i - spp]
-                    ) & 0xFF
-        data += strip
-        rows_done += rows_here
-    if rows_done < h:
-        raise ValueError("strips cover fewer rows than ImageLength")
+            rows_done += rows_here
+        if rows_done < h:
+            raise ValueError("strips cover fewer rows than ImageLength")
+        data = bytes(data)
 
     arr = np.frombuffer(bytes(data), dtype=np.uint8)
     if photo == 2:

@@ -224,3 +224,88 @@ def test_pdf_lzw_image_xobject_decodes():
     assert len(imgs) == 1 and imgs[0]["fmt"] == "ppm"
     px, w, h = decode_image(imgs[0]["payload"])
     assert np.array_equal(px, rgb)
+
+
+def test_tiff_deflate_vs_real_libtiff():
+    """Deflate TIFFs (compression 8) written by the REAL libtiff must
+    decode pixel-exact, with and without the predictor."""
+    hits = glob.glob("/usr/lib/*/libtiff.so*")
+    if not hits:
+        pytest.skip("no system libtiff (host gap)")
+    lib = ctypes.CDLL(hits[0])
+    lib.TIFFOpen.restype = ctypes.c_void_p
+    lib.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    lib.TIFFWriteScanline.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint16
+    ]
+    lib.TIFFClose.argtypes = [ctypes.c_void_p]
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.tiff import (
+        decode_tiff,
+    )
+
+    img = rng.randint(0, 256, (24, 31, 3)).astype(np.uint8)
+    for pred in (1, 2):
+        with tempfile.NamedTemporaryFile(suffix=".tif") as f:
+            tif = lib.TIFFOpen(f.name.encode(), b"w")
+            assert tif
+            for tag, val in ((256, 31), (257, 24), (258, 8), (259, 8),
+                             (262, 2), (277, 3), (278, 8), (284, 1),
+                             (317, pred)):
+                lib.TIFFSetField(ctypes.c_void_p(tif), ctypes.c_uint32(tag),
+                                 ctypes.c_int(val))
+            for r in range(24):
+                row = img[r].copy()
+                assert lib.TIFFWriteScanline(
+                    tif, row.ctypes.data_as(ctypes.c_void_p), r, 0
+                ) == 1
+            lib.TIFFClose(tif)
+            px, w, h = decode_tiff(open(f.name, "rb").read())
+        assert (w, h) == (31, 24) and np.array_equal(px, img), pred
+
+
+def test_tiled_tiff_vs_real_libtiff():
+    """TILED TIFFs written by the REAL libtiff (none/LZW/Deflate x
+    predictor, incl. edge tiles that only partially cover the image)
+    must decode pixel-exact — the r10 'tiled layout' boundary closed."""
+    hits = glob.glob("/usr/lib/*/libtiff.so*")
+    if not hits:
+        pytest.skip("no system libtiff (host gap)")
+    lib = ctypes.CDLL(hits[0])
+    lib.TIFFOpen.restype = ctypes.c_void_p
+    lib.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    lib.TIFFWriteTile.restype = ctypes.c_long
+    lib.TIFFWriteTile.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint16,
+    ]
+    lib.TIFFClose.argtypes = [ctypes.c_void_p]
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.tiff import (
+        decode_tiff,
+    )
+
+    h, w, tw, tl = 40, 52, 32, 16  # edge tiles partial in both axes
+    img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    for comp, pred in ((1, None), (5, 2), (8, 2), (32773, None)):
+        with tempfile.NamedTemporaryFile(suffix=".tif") as f:
+            tif = lib.TIFFOpen(f.name.encode(), b"w")
+            assert tif
+            fields = [(256, w), (257, h), (258, 8), (259, comp), (262, 2),
+                      (277, 3), (284, 1), (322, tw), (323, tl)]
+            if pred:
+                fields.append((317, pred))
+            for tag, val in fields:
+                lib.TIFFSetField(ctypes.c_void_p(tif), ctypes.c_uint32(tag),
+                                 ctypes.c_int(val))
+            for ty in range(0, h, tl):
+                for tx in range(0, w, tw):
+                    tile = np.zeros((tl, tw, 3), dtype=np.uint8)
+                    ys, xs = min(tl, h - ty), min(tw, w - tx)
+                    tile[:ys, :xs] = img[ty : ty + ys, tx : tx + xs]
+                    assert lib.TIFFWriteTile(
+                        tif, tile.ctypes.data_as(ctypes.c_void_p),
+                        tx, ty, 0, 0
+                    ) > 0
+            lib.TIFFClose(tif)
+            px, ww, hh = decode_tiff(open(f.name, "rb").read())
+        assert (ww, hh) == (w, h)
+        assert np.array_equal(px, img), (comp, pred)

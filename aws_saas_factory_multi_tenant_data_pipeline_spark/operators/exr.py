@@ -227,11 +227,43 @@ def decode_exr_rgb(payload: bytes):
     return rgb, w, h
 
 
+def _rle(data: bytes) -> bytes:
+    """EXR RLE packets: count>=0 -> count+1 repeats of next byte;
+    count<0 -> -count literals (signed int8 counts)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and data[i + run] == data[i] and run < 127:
+            run += 1
+        if run >= 3:
+            out += struct.pack("b", run - 1) + data[i : i + 1]
+            i += run
+        else:
+            j = i
+            lit = 0
+            while j < n and lit < 127:
+                r2 = 1
+                while j + r2 < n and data[j + r2] == data[j] and r2 < 3:
+                    r2 += 1
+                if r2 >= 3:
+                    break
+                j += r2
+                lit += r2
+            lit = max(lit, 1)
+            lit = min(lit, 127, n - i)
+            out += struct.pack("b", -lit) + data[i : i + lit]
+            i += lit
+    return bytes(out)
+
+
 def encode_exr(channels: dict, w: int, h: int, compression: int = 0) -> bytes:
     """Fixture encoder: half-float scanline EXR, compression NONE (0),
-    ZIPS (2) or ZIP (3); channels stored in sorted (spec) order."""
-    if compression not in (0, 2, 3):
-        raise ValueError("fixture encoder writes NONE/ZIPS/ZIP only")
+    RLE (1), ZIPS (2) or ZIP (3); channels stored in sorted (spec)
+    order."""
+    if compression not in (0, 1, 2, 3):
+        raise ValueError("fixture encoder writes NONE/RLE/ZIPS/ZIP only")
     names = sorted(channels)
     chlist = b""
     for n in names:
@@ -263,6 +295,9 @@ def encode_exr(channels: dict, w: int, h: int, compression: int = 0) -> bytes:
                 raw += row.tobytes()
         if compression == 0:
             data = raw
+        elif compression == 1:
+            z = _rle(_predecode(raw))
+            data = z if len(z) < len(raw) else raw
         else:
             z = zlib.compress(_predecode(raw))
             data = z if len(z) < len(raw) else raw

@@ -44,9 +44,9 @@ def decode_pnm_gray(payload: bytes):
     if magic in (b"P1", b"P4"):
         (w, h), i = _header(payload, 2)
         if magic == b"P1":
-            bits = np.array(
-                [int(c) for c in payload[i:].split()], dtype=np.uint8
-            )
+            # P1 digits need no separating whitespace (netpbm pbm(5))
+            vals = [c - 0x30 for c in payload[i:] if c in (0x30, 0x31)]
+            bits = np.array(vals, dtype=np.uint8)
             if bits.size < w * h:
                 raise ValueError("truncated P1 body")
             bits = bits[: w * h].reshape(h, w)

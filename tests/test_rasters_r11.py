@@ -114,7 +114,7 @@ def test_pnm_tears():
         decode_pnm_gray(b"P7\n1 1\n255\n\x00")
 
 
-@pytest.mark.parametrize("comp", [0, 2, 3])
+@pytest.mark.parametrize("comp", [0, 1, 2, 3])
 def test_exr_roundtrip(comp):
     chans = {k: rng.rand(20, 13).astype(np.float32) for k in ("R", "G", "B", "A")}
     blob = encode_exr(chans, 13, 20, compression=comp)
@@ -189,3 +189,20 @@ def test_sgi_rle_literal_cap_127():
     img2 = np.repeat(flat_pairs[..., None], 3, axis=2)
     out2, _, _ = decode_sgi_rgba(encode_sgi(img2, storage=1))
     assert np.array_equal(out2[..., :3], img2)
+
+
+def test_pnm_p1_dense_digits():
+    """P1 digits need no separating whitespace (netpbm pbm(5))."""
+    bits, w, h = decode_pbm_bits(b"P1\n4 2\n1010\n0110\n")
+    assert (w, h) == (4, 2)
+    assert bits.tolist() == [[1, 0, 1, 0], [0, 1, 1, 0]]
+
+
+def test_exr_rle_flat_chunks_actually_compress():
+    # flat content must take the RLE branch (not the raw fallback)
+    chans = {"R": np.full((20, 13), 0.5, dtype=np.float32)}
+    blob = encode_exr(chans, 13, 20, compression=1)
+    none = encode_exr(chans, 13, 20, compression=0)
+    assert len(blob) < len(none)
+    back, _, _ = decode_exr(blob)
+    assert np.allclose(back["R"], 0.5)

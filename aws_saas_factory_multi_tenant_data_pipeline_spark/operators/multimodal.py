@@ -431,6 +431,22 @@ def _decode_xbm_rgb(payload: bytes):
     return decode_xbm_rgb(payload)
 
 
+def _quarantine_heif(payload: bytes):
+    raise ValueError(
+        "HEIF/HEIC still (ISO-BMFF ftyp heic): HEVC intra decode is a "
+        "declared boundary — swap in a native decoder via "
+        "register_image_decoder('heif', ...)"
+    )
+
+
+def _quarantine_avif(payload: bytes):
+    raise ValueError(
+        "AVIF still (ISO-BMFF ftyp avif): AV1 intra decode is a declared "
+        "boundary — swap in a native decoder via "
+        "register_image_decoder('avif', ...)"
+    )
+
+
 def _stdlib_image_decoders() -> dict:
     return {
         "png": decode_png,
@@ -459,6 +475,11 @@ def _stdlib_image_decoders() -> dict:
         "exr": _decode_exr_rgb,
         "pnm": _decode_pnm_rgb,
         "xbm": _decode_xbm_rgb,
+        # named quarantine boundaries (never silent unknowns): decode
+        # needs HEVC/AV1 intra; swap a native decoder in via
+        # register_image_decoder when a corpus requires them
+        "heif": _quarantine_heif,
+        "avif": _quarantine_avif,
     }
 
 
@@ -549,6 +570,15 @@ def sniff_image_format(payload: bytes) -> str | None:
         return "pnm"
     if payload[:8].lstrip()[:7] == b"#define":
         return "xbm"
+    # ISO-BMFF stills: ftyp major brands (HEIC/AVIF) — sniffed so real
+    # crawls QUARANTINE them with a named boundary instead of a silent
+    # unknown-format row (decode needs HEVC/AV1 intra, out of scope)
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        brand = payload[8:12]
+        if brand in (b"heic", b"heix", b"heim", b"heis", b"mif1", b"msf1"):
+            return "heif"
+        if brand in (b"avif", b"avis"):
+            return "avif"
     return None
 
 

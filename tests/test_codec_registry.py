@@ -76,9 +76,11 @@ def test_sniffers_route_by_magic():
 
 
 def test_register_unknown_format_rejected():
-    # webp became a known format in r10 — avif is the canonical unknown
+    # webp became a known format in r10 and avif a named quarantine
+    # key in r11 (swap seam for a native AV1 decoder) — jxl is the
+    # canonical unknown now
     with pytest.raises(ValueError, match="unknown image format"):
-        register_image_decoder("avif", lambda p: None)
+        register_image_decoder("jxl", lambda p: None)
     with pytest.raises(ValueError, match="unknown audio format"):
         register_audio_decoder("ogg", lambda p: None)
 
@@ -221,3 +223,35 @@ def test_transcode_audio_normalizes_formats(spark):
     y8, sr8, _ = decode_wav(bytes(out8[1].payload))
     assert sr8 == 8000 and abs(y8.size - 2000) <= 1
     assert out8[1].meta.sample_rate == 8000
+
+
+def test_heif_avif_named_quarantines_and_swap_seam():
+    """ISO-BMFF stills sniff to named quarantine keys (never silent
+    unknown rows), and the keys are LIVE swap seams for native
+    decoders."""
+    import numpy as np
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+        register_image_decoder,
+        reset_decoders,
+        sniff_image_format,
+    )
+
+    heic = b"\x00\x00\x00\x1c" + b"ftypheic" + b"\x00" * 16
+    avif = b"\x00\x00\x00\x1c" + b"ftypavif" + b"\x00" * 16
+    assert sniff_image_format(heic) == "heif"
+    assert sniff_image_format(avif) == "avif"
+    for blob, word in ((heic, "HEVC"), (avif, "AV1")):
+        with pytest.raises(ValueError, match=word):
+            decode_image(blob)
+    try:
+        register_image_decoder(
+            "avif", lambda p: (np.zeros((2, 2, 3), dtype=np.uint8), 2, 2)
+        )
+        px, w, h = decode_image(avif)
+        assert (w, h) == (2, 2)
+    finally:
+        reset_decoders()
+    with pytest.raises(ValueError, match="AV1"):
+        decode_image(avif)

@@ -129,6 +129,7 @@ def parse_wav(payload: bytes):
         raise ValueError("not a RIFF/WAVE stream")
     fmt = None
     data = None
+    fact_frames = None
     off = 12
     n = len(payload)
     while off + 8 <= n:
@@ -141,6 +142,10 @@ def parse_wav(payload: bytes):
             fmt = body
         elif cid == b"data":
             data = body
+        elif cid == b"fact" and sz >= 4:
+            # exact frame count — authoritative for block codecs whose
+            # last block pads (ADPCM)
+            (fact_frames,) = struct.unpack("<I", body[:4])
         off += 8 + sz + (sz & 1)  # chunks pad to even offsets
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
@@ -220,6 +225,8 @@ def parse_wav(payload: bytes):
     else:
         raise ValueError(f"WAV format code 0x{code:04X} outside the declared scope")
     frames = x.shape[0] // ch
+    if fact_frames is not None and 0 < fact_frames < frames:
+        frames = fact_frames  # trim ADPCM last-block padding
     x = x[: frames * ch]
     if ch > 1:
         x = x.reshape(-1, ch).mean(axis=1)

@@ -131,3 +131,19 @@ def test_tears_and_ranges():
 def test_unknown_format_still_quarantines():
     with pytest.raises(ValueError, match="outside the declared scope"):
         parse_wav(_wav(0x0055, 1, 8000, 1, 0, b"\x00" * 10))  # MP3-in-WAV
+
+
+def test_fact_chunk_trims_last_block_padding():
+    sig = _sig(700)  # not a block multiple: the encoder pads block 3
+    data, ba = encode_ima_wav_blocks(sig, 1, samples_per_block=249)
+    fmt = struct.pack("<HHIIHH", 0x11, 1, 8000, 8000 * ba, ba, 4) + b"\x00\x00"
+    fact = struct.pack("<I", 700)
+    blob = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 4 + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", 4) + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    x, sr, ch = parse_wav(blob)
+    assert len(x) == 700  # exact, not padded to the block boundary

@@ -530,6 +530,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "text_epub_extract",
     "multimodal_raster_formats",
     "multimodal_h264_cabac",
+    "audio_ogg_probe",
 )
 
 

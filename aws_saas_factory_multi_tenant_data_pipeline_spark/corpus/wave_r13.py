@@ -524,3 +524,91 @@ def multimodal_h264_cabac(spark, sf_dir):
         "doc_id long, mb_w int, mb_h int, n_px long, twin_match boolean, "
         "uniform_is_128 boolean",
     ).orderBy("doc_id")
+
+
+@register(
+    "audio_ogg_probe",
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'vorbis' ELSE 'opus' END AS codec,
+               CAST(1 + doc_id % 2 AS INT) AS channels,
+               CAST(CASE WHEN doc_id % 2 = 0
+                    THEN ([8000, 16000, 44100, 48000])[1 + doc_id % 4]
+                    ELSE 48000 END AS INT) AS sample_rate,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+                    ELSE 104 + doc_id % 19 END AS INT) AS pre_skip,
+               CAST(3 + doc_id % 3 AS INT) AS n_pages,
+               CAST(1 + doc_id % 7 AS BIGINT) AS dur_s
+        FROM documents WHERE doc_id < 72
+        ORDER BY doc_id
+    """,
+    tags=("B10", "multimodal", "audio", "crawl"),
+    doc="Ogg container probe END-TO-END (the container-level twin of "
+    "the MP3 frame/ID3 probe row — crawl pipelines need codec/rate/"
+    "channels/duration without a transform decode): per doc a "
+    "spec-exact Ogg stream (RFC 3533 pages with real CRC-32s, lacing "
+    "incl. 255-continuation for long packets, BOS/EOS flags) carrying "
+    "a Vorbis I or OpusHead (RFC 7845) id header by parity — rate/"
+    "channels/pre-skip/page-count/duration rotate with doc_id and the "
+    "final granule position is chosen so the duration is integral "
+    "(Opus durations subtract pre-skip at 48 kHz per RFC 7845 §4). "
+    "Any page-walk, CRC, lacing, id-header, or granule-semantics "
+    "defect flips rows (operators/ogg.py).",
+)
+def audio_ogg_probe(spark, sf_dir):
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 72).select("doc_id")
+
+    def op(batches):
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.ogg import (
+            build_ogg,
+            build_opus_head,
+            build_vorbis_id_packet,
+            probe_ogg,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                ch = 1 + did % 2
+                dur = 1 + did % 7
+                n_pages = 3 + did % 3
+                if did % 2 == 0:
+                    rate = (8000, 16000, 44100, 48000)[did % 4]
+                    pkts = [build_vorbis_id_packet(ch, rate)]
+                    granule = dur * rate
+                    pre = 0
+                else:
+                    rate = 48000
+                    pre = 104 + did % 19
+                    pkts = [build_opus_head(ch, pre, 16000)]
+                    granule = pre + dur * 48000
+                pkts += [b"meta" * 80] * (n_pages - 2)
+                pkts.append(b"frame" * (20 + did % 60))
+                granules = [0] * (n_pages - 1) + [granule]
+                blob = build_ogg(pkts, serial=did + 1, granules=granules)
+                p = probe_ogg(blob)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "codec": p["codec"],
+                        "channels": p["channels"],
+                        "sample_rate": p["sample_rate"],
+                        "pre_skip": p["pre_skip"],
+                        "n_pages": p["n_pages"],
+                        "dur_s": int(round(p["duration_seconds"])),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "codec", "channels", "sample_rate",
+                         "pre_skip", "n_pages", "dur_s"],
+            )
+
+    return d.mapInPandas(
+        op,
+        "doc_id long, codec string, channels int, sample_rate int, "
+        "pre_skip int, n_pages int, dur_s long",
+    ).orderBy("doc_id")

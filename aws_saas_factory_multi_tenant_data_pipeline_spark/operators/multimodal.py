@@ -517,8 +517,17 @@ def _decode_8svx_mono(payload: bytes):
     return parse_8svx(payload)
 
 
+def _quarantine_ogg(payload: bytes):
+    raise ValueError(
+        "Ogg audio (Vorbis/Opus transform decode) is a declared boundary "
+        "- container probing is supported (operators/ogg.py probe_ogg); "
+        "swap a native decoder in via register_audio_decoder('ogg', ...)"
+    )
+
+
 def _stdlib_audio_decoders() -> dict:
     return {
+        "ogg": _quarantine_ogg,
         "wav": decode_wav,
         "flac": _decode_flac_mono,
         "mp3": _decode_mp3_mono,
@@ -596,6 +605,9 @@ def sniff_audio_format(payload: bytes) -> str | None:
         return "8svx"
     if payload[:4] == b"fLaC":
         return "flac"
+    if payload[:4] == b"OggS":
+        return "ogg"  # container probe in operators/ogg.py; transform
+        # decode (Vorbis/Opus) is a named quarantine below
     if payload[:3] == b"ID3" or (
         len(payload) >= 2
         and payload[0] == 0xFF

@@ -1,0 +1,191 @@
+"""Ogg container probe — page walk, packet reassembly, codec
+identification (RFC 3533 for the container; codec id headers per the
+Vorbis I spec, RFC 7845 OpusHead, the FLAC-in-Ogg mapping and the
+Theora spec). The container-level twin of the MP3 frame/ID3 probe
+row: a crawl pipeline needs codec/rate/channels/duration WITHOUT a
+full audio decode (Vorbis/Opus transform decode stays out of scope —
+a named boundary, like MP3's deep tables).
+
+Pages carry a CRC-32 (poly 0x04C11DB7, unreflected, init/xorout 0,
+computed with the CRC field zeroed) — verified per page, so torn or
+bit-flipped containers quarantine instead of mis-probing. The fixture
+writer emits spec-exact pages (lacing, continuation flags, BOS/EOS,
+granule positions) for roundtrip + tear tests."""
+
+from __future__ import annotations
+
+import struct
+
+_CRC_TABLE = []
+for _i in range(256):
+    _r = _i << 24
+    for _ in range(8):
+        _r = ((_r << 1) ^ 0x04C11DB7) if _r & 0x80000000 else (_r << 1)
+        _r &= 0xFFFFFFFF
+    _CRC_TABLE.append(_r)
+
+
+def _ogg_crc(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _CRC_TABLE[((crc >> 24) ^ b) & 0xFF]
+    return crc
+
+
+def parse_ogg_pages(payload: bytes):
+    """Yield page dicts (flags, granule, serial, seq, segments,
+    body) with per-page CRC verification. ValueError on torn input."""
+    off = 0
+    n = len(payload)
+    while off < n:
+        if n - off < 27:
+            raise ValueError("torn Ogg page header")
+        if payload[off : off + 4] != b"OggS":
+            raise ValueError("bad Ogg capture pattern")
+        (ver, flags, granule, serial, seq, crc, nsegs) = struct.unpack_from(
+            "<BBqIIIB", payload, off + 4
+        )
+        if ver != 0:
+            raise ValueError(f"Ogg stream structure version {ver} out of range")
+        lacing = payload[off + 27 : off + 27 + nsegs]
+        if len(lacing) < nsegs:
+            raise ValueError("torn Ogg lacing table")
+        body_len = sum(lacing)
+        body = payload[off + 27 + nsegs : off + 27 + nsegs + body_len]
+        if len(body) < body_len:
+            raise ValueError("torn Ogg page body")
+        page = payload[off : off + 27 + nsegs + body_len]
+        zeroed = page[:22] + b"\x00\x00\x00\x00" + page[26:]
+        if _ogg_crc(zeroed) != crc:
+            raise ValueError(f"Ogg page {seq} CRC mismatch")
+        yield {
+            "flags": flags,
+            "granule": granule,
+            "serial": serial,
+            "seq": seq,
+            "lacing": bytes(lacing),
+            "body": body,
+        }
+        off += 27 + nsegs + body_len
+
+
+def _first_packet(pages):
+    """Reassemble the first packet of the first page (id headers
+    always fit the first packet of the BOS page in practice)."""
+    if not pages:
+        raise ValueError("Ogg stream without pages")
+    body = pages[0]["body"]
+    end = 0
+    for lv in pages[0]["lacing"]:
+        end += lv
+        if lv < 255:
+            break
+    return body[:end]
+
+
+def probe_ogg(payload: bytes) -> dict:
+    """Probe an Ogg container: codec, sample_rate, channels, n_pages,
+    duration_seconds (from the final granule position), pre_skip
+    (Opus). Granule semantics: Vorbis/FLAC granules are PCM samples at
+    the stream rate; Opus granules are 48 kHz samples minus pre-skip
+    (RFC 7845 §4)."""
+    pages = list(parse_ogg_pages(payload))
+    serials = {}
+    for p in pages:
+        serials.setdefault(p["serial"], []).append(p)
+    if len(serials) != 1:
+        raise ValueError(
+            f"multiplexed Ogg ({len(serials)} streams) is a declared boundary"
+        )
+    stream = next(iter(serials.values()))
+    if not stream[0]["flags"] & 2:
+        raise ValueError("first Ogg page is not BOS")
+    ident = _first_packet(stream)
+    out = {
+        "n_pages": len(pages),
+        "eos": bool(stream[-1]["flags"] & 4),
+        "pre_skip": 0,
+    }
+    last_granule = max((p["granule"] for p in stream if p["granule"] >= 0),
+                      default=0)
+    out["last_granule"] = int(last_granule)
+    if ident[:7] == b"\x01vorbis" and len(ident) >= 30:
+        ver, ch, rate = struct.unpack_from("<IBI", ident, 7)
+        if ver != 0:
+            raise ValueError(f"Vorbis version {ver} out of range")
+        out.update(codec="vorbis", channels=ch, sample_rate=rate)
+        out["duration_seconds"] = last_granule / rate if rate else 0.0
+    elif ident[:8] == b"OpusHead" and len(ident) >= 19:
+        ver, ch, pre_skip, in_rate = struct.unpack_from("<BBHI", ident, 8)
+        if ver >> 4 != 0:
+            raise ValueError(f"OpusHead version {ver} out of range")
+        out.update(codec="opus", channels=ch, sample_rate=48000,
+                   pre_skip=pre_skip)
+        out["input_sample_rate"] = in_rate
+        out["duration_seconds"] = max(0, last_granule - pre_skip) / 48000.0
+    elif ident[:5] == b"\x7fFLAC" and len(ident) >= 13:
+        # mapping header: 1 byte major, 1 minor, 2 header-count BE,
+        # then the native fLaC signature + STREAMINFO
+        if ident[9:13] != b"fLaC":
+            raise ValueError("FLAC-in-Ogg mapping without fLaC signature")
+        if len(ident) >= 13 + 8 + 18:
+            si = ident[13 + 8 :]
+            rate = (si[10] << 12) | (si[11] << 4) | (si[12] >> 4)
+            ch = ((si[12] >> 1) & 7) + 1
+            out.update(codec="flac", channels=ch, sample_rate=rate)
+            out["duration_seconds"] = last_granule / rate if rate else 0.0
+        else:
+            out.update(codec="flac", channels=None, sample_rate=None,
+                       duration_seconds=None)
+    elif ident[:7] == b"\x80theora":
+        out.update(codec="theora", channels=0, sample_rate=0,
+                   duration_seconds=None)
+    else:
+        raise ValueError("unrecognized Ogg codec id header")
+    return out
+
+
+def build_ogg(packets: list[bytes], serial: int = 1, granules=None) -> bytes:
+    """Fixture writer: one packet per page (with 255-lacing
+    continuation across pages for long packets), BOS on the first,
+    EOS on the last, spec-exact CRCs."""
+    out = bytearray()
+    seq = 0
+    for pi, pkt in enumerate(packets):
+        # split into lacing values; a packet of length k*255 needs a
+        # terminating 0 lacing value
+        lacing = []
+        rem = len(pkt)
+        while True:
+            lacing.append(min(rem, 255))
+            if rem < 255:
+                break
+            rem -= 255
+            if rem == 0:
+                lacing.append(0)
+                break
+        if len(lacing) > 255:
+            raise ValueError("fixture packet too long for one page")
+        flags = (2 if pi == 0 else 0) | (4 if pi == len(packets) - 1 else 0)
+        granule = granules[pi] if granules else (0 if pi == 0 else pi * 4800)
+        head = b"OggS" + struct.pack(
+            "<BBqIIIB", 0, flags, granule, serial, seq, 0, len(lacing)
+        ) + bytes(lacing)
+        page = head + pkt
+        crc = _ogg_crc(page)
+        page = page[:22] + struct.pack("<I", crc) + page[26:]
+        out += page
+        seq += 1
+    return bytes(out)
+
+
+def build_vorbis_id_packet(channels: int, rate: int) -> bytes:
+    return (
+        b"\x01vorbis" + struct.pack("<IBI", 0, channels, rate)
+        + struct.pack("<iii", -1, 128000, -1) + b"\xb8\x01"
+    )
+
+
+def build_opus_head(channels: int, pre_skip: int, input_rate: int) -> bytes:
+    return b"OpusHead" + struct.pack("<BBHIhB", 1, channels, pre_skip,
+                                     input_rate, 0, 0)

@@ -81,8 +81,10 @@ def test_register_unknown_format_rejected():
     # canonical unknown now
     with pytest.raises(ValueError, match="unknown image format"):
         register_image_decoder("jxl", lambda p: None)
+    # ogg became a named quarantine key in r11 (probe + swap seam) —
+    # aac is the canonical unknown audio format now
     with pytest.raises(ValueError, match="unknown audio format"):
-        register_audio_decoder("ogg", lambda p: None)
+        register_audio_decoder("aac", lambda p: None)
 
 
 def test_swap_changes_path_passthrough_preserves_results_local():

@@ -36,7 +36,7 @@ _GPS_NAMES = {
 _EXIF_IFD_TAG = 0x8769
 _GPS_IFD_TAG = 0x8825
 
-_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1}
 
 
 def _read_ifd(tiff: bytes, off: int, bo: str) -> dict[int, object]:
@@ -71,6 +71,8 @@ def _read_ifd(tiff: bytes, off: int, bo: str) -> dict[int, object]:
         elif typ == 5:
             vals = struct.unpack(bo + f"{2 * cnt}I", raw)
             out[tag] = [(vals[2 * j], vals[2 * j + 1]) for j in range(cnt)]
+        elif typ == 7:  # UNDEFINED: raw bytes (JPEGTables, ExifVersion)
+            out[tag] = raw
     return out
 
 

@@ -52,6 +52,7 @@ _T_ROWS_PER_STRIP = 278
 _T_STRIP_BYTE_COUNTS = 279
 _T_PLANAR = 284
 _T_PREDICTOR = 317
+_T_JPEG_TABLES = 347
 _T_COLOR_MAP = 320
 _T_EXTRA_SAMPLES = 338
 _T_TILE_WIDTH = 322
@@ -166,6 +167,31 @@ def _decode_chunk(raw: bytes, comp: int, rows: int, row_bytes: int,
     return bytes(buf)
 
 
+def _decode_jpeg_chunk(raw: bytes, tables, rows: int, width: int) -> bytes:
+    """Decode one JPEG-in-TIFF strip/tile to rows*width*3 RGB bytes —
+    abbreviated streams get the shared JPEGTables spliced after SOI."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+    )
+
+    if raw[:2] != b"\xff\xd8":
+        raise ValueError("JPEG-in-TIFF chunk without SOI")
+    if tables:
+        if tables[:2] != b"\xff\xd8" or tables[-2:] != b"\xff\xd9":
+            raise ValueError("malformed JPEGTables stream")
+        merged = tables[:-2] + raw[2:]
+    else:
+        merged = raw
+    px, jw, jh = decode_jpeg(merged)
+    if jw < width or jh < rows:
+        raise ValueError(
+            f"JPEG-in-TIFF chunk {jw}x{jh} smaller than its {width}x{rows} span"
+        )
+    import numpy as np
+
+    return np.ascontiguousarray(px[:rows, :width]).tobytes()
+
+
 def decode_tiff(payload: bytes):
     """Decode a baseline TIFF payload to (uint8 pixels [h, w, 3],
     width, height)."""
@@ -197,13 +223,28 @@ def decode_tiff(payload: bytes):
         raise ValueError("TIFF missing PhotometricInterpretation")
     if planar != 1:
         raise ValueError(f"planar configuration {planar} outside the declared scope")
-    if comp not in (1, 5, 8, 32773, 32946):
+    if comp not in (1, 5, 7, 8, 32773, 32946):
         raise ValueError(f"TIFF compression {comp} outside the declared scope")
     predictor = _first(ifd.get(_T_PREDICTOR), 1)
     if predictor not in (1, 2):
         raise ValueError(f"TIFF predictor {predictor} outside the declared scope")
+    jpeg_tables = ifd.get(_T_JPEG_TABLES)
+    if jpeg_tables is not None and not isinstance(jpeg_tables, (bytes, bytearray)):
+        raise ValueError("malformed JPEGTables tag")
     if any(b != 8 for b in bits):
         raise ValueError(f"bits-per-sample {bits} outside the declared scope")
+    if comp == 7:
+        # [r11] new-style JPEG-in-TIFF (TechNote 2): each strip/tile is
+        # a JPEG stream sharing the JPEGTables (tag 347) DQT/DHT; the
+        # from-spec operators/jpeg.py decoder does the work, so YCbCr
+        # photometric (6) decodes straight to RGB here. REAL
+        # libtiff+libjpeg files are pinned in tests/test_lzw_r11.py.
+        if photo not in (2, 6) or spp != 3:
+            raise ValueError(
+                "JPEG-in-TIFF outside the declared scope (YCbCr/RGB "
+                "3-sample chunky only)"
+            )
+        photo = 2  # decoded output is RGB
     if photo == 2 and spp < 3:
         raise ValueError("RGB TIFF with fewer than 3 samples per pixel")
     if photo in (0, 1, 3) and spp != 1:
@@ -251,9 +292,15 @@ def decode_tiff(payload: bytes):
                 off, cnt = t_off[k], t_cnt[k]
                 if off + cnt > len(payload):
                     raise ValueError(f"tile {k} out of range")
-                buf = _decode_chunk(
-                    payload[off : off + cnt], comp, tl, row_bytes, predictor, spp
-                )
+                if comp == 7:
+                    buf = _decode_jpeg_chunk(
+                        payload[off : off + cnt], jpeg_tables, tl, tw
+                    )
+                else:
+                    buf = _decode_chunk(
+                        payload[off : off + cnt], comp, tl, row_bytes,
+                        predictor, spp
+                    )
                 tile = np.frombuffer(buf, dtype=np.uint8).reshape(tl, tw, spp)
                 y0, x0 = ty * tl, tx * tw
                 ys, xs = min(tl, h - y0), min(tw, w - x0)
@@ -280,10 +327,15 @@ def decode_tiff(payload: bytes):
             rows_here = min(rows_per_strip, h - rows_done)
             if rows_here <= 0:
                 break
-            data += _decode_chunk(
-                payload[off : off + cnt], comp, rows_here, row_bytes,
-                predictor, spp
-            )
+            if comp == 7:
+                data += _decode_jpeg_chunk(
+                    payload[off : off + cnt], jpeg_tables, rows_here, w
+                )
+            else:
+                data += _decode_chunk(
+                    payload[off : off + cnt], comp, rows_here, row_bytes,
+                    predictor, spp
+                )
             rows_done += rows_here
         if rows_done < h:
             raise ValueError("strips cover fewer rows than ImageLength")

@@ -130,11 +130,12 @@ def test_tiff_lzw_fixture_roundtrip_and_boundaries():
 
     img = rng.randint(0, 256, (8, 8, 3)).astype(np.uint8)
     blob = bytearray(encode_tiff(img))
-    # flip compression tag 1 -> 7 (JPEG-in-TIFF): still a named boundary
+    # flip compression 1 -> 6 (OLD-style JPEG): still a named boundary
+    # (new-style 7 is in scope since the JPEG-in-TIFF wave below)
     i = blob.find((259).to_bytes(2, "little"))
     assert i > 0
-    blob[i + 8] = 7
-    with pytest.raises(ValueError, match="compression 7"):
+    blob[i + 8] = 6
+    with pytest.raises(ValueError, match="compression 6"):
         decode_tiff(bytes(blob))
 
 
@@ -309,3 +310,102 @@ def test_tiled_tiff_vs_real_libtiff():
             px, ww, hh = decode_tiff(open(f.name, "rb").read())
         assert (ww, hh) == (w, h)
         assert np.array_equal(px, img), (comp, pred)
+
+
+def test_jpeg_in_tiff_vs_real_libtiff_libjpeg():
+    """New-style JPEG-in-TIFF (compression 7, TechNote 2): files
+    written by the REAL libtiff+libjpeg (JPEGTables + YCbCr strips AND
+    tiles) must decode through our from-spec JPEG decoder to within
+    IDCT tolerance of libtiff's OWN decode (TIFFReadRGBAImage — real
+    libjpeg as the ground truth)."""
+    hits = glob.glob("/usr/lib/*/libtiff.so*")
+    if not hits:
+        pytest.skip("no system libtiff (host gap)")
+    lib = ctypes.CDLL(hits[0])
+    lib.TIFFOpen.restype = ctypes.c_void_p
+    lib.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    lib.TIFFWriteScanline.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint16
+    ]
+    lib.TIFFWriteTile.restype = ctypes.c_long
+    lib.TIFFWriteTile.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint16,
+    ]
+    lib.TIFFReadRGBAImage.restype = ctypes.c_int
+    lib.TIFFReadRGBAImage.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_int,
+    ]
+    lib.TIFFClose.argtypes = [ctypes.c_void_p]
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.tiff import (
+        decode_tiff,
+    )
+
+    h, w = 48, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            (xx * 4) % 256,
+            (yy * 5) % 256,
+            ((xx + yy) * 3) % 256,
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+    for tiled, subsamp in ((False, (1, 1)), (True, (1, 1)), (False, (2, 2))):
+        with tempfile.NamedTemporaryFile(suffix=".tif") as f:
+            tif = lib.TIFFOpen(f.name.encode(), b"w")
+            assert tif
+            fields = [(256, w), (257, h), (258, 8), (259, 7), (262, 6),
+                      (277, 3), (284, 1), (65538, 1), (65537, 90)]
+            fields += [(322, 32), (323, 16)] if tiled else [(278, 16)]
+            for tag, val in fields:
+                lib.TIFFSetField(ctypes.c_void_p(tif), ctypes.c_uint32(tag),
+                                 ctypes.c_int(val))
+            lib.TIFFSetField(ctypes.c_void_p(tif), ctypes.c_uint32(530),
+                             ctypes.c_int(subsamp[0]), ctypes.c_int(subsamp[1]))
+            if tiled:
+                for ty in range(0, h, 16):
+                    for tx in range(0, w, 32):
+                        tile = np.zeros((16, 32, 3), dtype=np.uint8)
+                        tile[: min(16, h - ty), : min(32, w - tx)] = img[
+                            ty : ty + 16, tx : tx + 32
+                        ]
+                        assert lib.TIFFWriteTile(
+                            tif, tile.ctypes.data_as(ctypes.c_void_p),
+                            tx, ty, 0, 0
+                        ) > 0
+            else:
+                for r in range(h):
+                    row = img[r].copy()
+                    assert lib.TIFFWriteScanline(
+                        tif, row.ctypes.data_as(ctypes.c_void_p), r, 0
+                    ) == 1
+            lib.TIFFClose(tif)
+            blob = open(f.name, "rb").read()
+
+            # ground truth: libtiff's own decode (real libjpeg)
+            tif = lib.TIFFOpen(f.name.encode(), b"r")
+            raster = (ctypes.c_uint32 * (w * h))()
+            assert lib.TIFFReadRGBAImage(tif, w, h, raster, 0) == 1
+            lib.TIFFClose(tif)
+        v = np.ctypeslib.as_array(raster).reshape(h, w)
+        gt = np.stack(
+            [v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF], axis=-1
+        ).astype(np.uint8)[::-1]  # bottom-up rows
+
+        px, ww, hh = decode_tiff(blob)
+        assert (ww, hh) == (w, h)
+        diff = np.abs(px.astype(int) - gt.astype(int))
+        if subsamp == (1, 1):
+            # 4:4:4 — two independent IDCTs of the same DCT stream
+            assert diff.max() <= 4, (tiled, subsamp, diff.max())
+            assert diff.mean() < 0.6, (tiled, subsamp, diff.mean())
+        else:
+            # 4:2:0 — chroma UPSAMPLERS legitimately differ (libjpeg
+            # triangular vs our replication), concentrated at chroma
+            # edges; pin the bulk and the overall energy
+            assert np.percentile(diff, 90) <= 6, (tiled, subsamp)
+            assert diff.mean() < 4.0, (tiled, subsamp, diff.mean())

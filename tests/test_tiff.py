@@ -128,9 +128,10 @@ def test_declared_scope_quarantines():
         return bytes(out)
 
     with pytest.raises(ValueError, match="compression"):
-        decode_tiff(patch_tag(base, 259, 7))  # JPEG-in-TIFF (LZW is
-        # IN scope since r11 — tests/test_lzw_r11.py pins it against
-        # real libtiff streams)
+        # old-style JPEG (6, deprecated by TIFF TechNote 2) stays a
+        # boundary; LZW (5) and new-style JPEG (7) are IN scope since
+        # r11 — tests/test_lzw_r11.py pins both against real libtiff
+        decode_tiff(patch_tag(base, 259, 6))
     with pytest.raises(ValueError, match="planar"):
         decode_tiff(patch_tag(base, 284, 2))
     with pytest.raises(ValueError, match="photometric"):

@@ -231,8 +231,20 @@ def decode_tiff(payload: bytes):
     jpeg_tables = ifd.get(_T_JPEG_TABLES)
     if jpeg_tables is not None and not isinstance(jpeg_tables, (bytes, bytearray)):
         raise ValueError("malformed JPEGTables tag")
-    if any(b != 8 for b in bits):
+    if all(b == 16 for b in bits) and comp != 7:
+        # [r11] 16-bit samples (scientific/photo scans): decoded at
+        # full width, scaled >>8 to the registry's 8-bit contract
+        # (the ICO-32bpp convention); byte order follows the header
+        deep = True
+        if predictor == 2:
+            raise ValueError(
+                "16-bit TIFF with predictor 2 outside the declared scope "
+                "(differencing is per 16-bit sample)"
+            )
+    elif any(b != 8 for b in bits):
         raise ValueError(f"bits-per-sample {bits} outside the declared scope")
+    else:
+        deep = False
     if comp == 7:
         # [r11] new-style JPEG-in-TIFF (TechNote 2): each strip/tile is
         # a JPEG stream sharing the JPEGTables (tag 347) DQT/DHT; the
@@ -272,6 +284,8 @@ def decode_tiff(payload: bytes):
         # blocks (edge tiles padded), decompressed like strips and
         # pasted clipped; REAL libtiff-written tiled files are pinned
         # in tests/test_lzw_r11.py
+        if deep:
+            raise ValueError("16-bit tiled TIFF outside the declared scope")
         tw = _first(ifd.get(_T_TILE_WIDTH))
         tl = _first(ifd.get(_T_TILE_LENGTH))
         t_off = ifd.get(_T_TILE_OFFSETS)
@@ -318,7 +332,7 @@ def decode_tiff(payload: bytes):
             raise ValueError("strip offset/count tables disagree")
         rows_per_strip = _first(ifd.get(_T_ROWS_PER_STRIP), h)
 
-        row_bytes = w * spp
+        row_bytes = w * spp * (2 if deep else 1)
         data = bytearray()
         rows_done = 0
         for si, (off, cnt) in enumerate(zip(offsets, counts)):
@@ -341,7 +355,11 @@ def decode_tiff(payload: bytes):
             raise ValueError("strips cover fewer rows than ImageLength")
         data = bytes(data)
 
-    arr = np.frombuffer(bytes(data), dtype=np.uint8)
+    if deep:
+        arr16 = np.frombuffer(bytes(data), dtype=("<u2" if bo == "<" else ">u2"))
+        arr = (arr16 >> 8).astype(np.uint8)
+    else:
+        arr = np.frombuffer(bytes(data), dtype=np.uint8)
     if photo == 2:
         px = arr.reshape(h, w, spp)[:, :, :3]
         return px.copy(), w, h

@@ -409,3 +409,38 @@ def test_jpeg_in_tiff_vs_real_libtiff_libjpeg():
             # edges; pin the bulk and the overall energy
             assert np.percentile(diff, 90) <= 6, (tiled, subsamp)
             assert diff.mean() < 4.0, (tiled, subsamp, diff.mean())
+
+
+def test_16bit_tiff_vs_real_libtiff():
+    """16-bit samples (none/LZW/Deflate) written by the REAL libtiff
+    decode scaled >>8 — exact against the source's high bytes."""
+    hits = glob.glob("/usr/lib/*/libtiff.so*")
+    if not hits:
+        pytest.skip("no system libtiff (host gap)")
+    lib = ctypes.CDLL(hits[0])
+    lib.TIFFOpen.restype = ctypes.c_void_p
+    lib.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    lib.TIFFWriteScanline.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint16
+    ]
+    lib.TIFFClose.argtypes = [ctypes.c_void_p]
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.tiff import (
+        decode_tiff,
+    )
+
+    img16 = rng.randint(0, 65536, (20, 30, 3)).astype(np.uint16)
+    for comp in (1, 5, 8):
+        with tempfile.NamedTemporaryFile(suffix=".tif") as f:
+            tif = lib.TIFFOpen(f.name.encode(), b"w")
+            for tag, val in ((256, 30), (257, 20), (258, 16), (259, comp),
+                             (262, 2), (277, 3), (278, 8), (284, 1)):
+                lib.TIFFSetField(ctypes.c_void_p(tif), ctypes.c_uint32(tag),
+                                 ctypes.c_int(val))
+            for r in range(20):
+                row = img16[r].copy()
+                assert lib.TIFFWriteScanline(
+                    tif, row.ctypes.data_as(ctypes.c_void_p), r, 0
+                ) == 1
+            lib.TIFFClose(tif)
+            px, w, h = decode_tiff(open(f.name, "rb").read())
+        assert np.array_equal(px, (img16 >> 8).astype(np.uint8)), comp

@@ -138,7 +138,12 @@ def test_declared_scope_quarantines():
         decode_tiff(patch_tag(base, 262, 6))  # YCbCr
 
     g = np.zeros((2, 2), dtype=np.uint8)
+    # 16-bit is IN scope since r11 (real-libtiff pinned); 12-bit stays
+    # a named boundary
     with pytest.raises(ValueError, match="bits-per-sample"):
+        decode_tiff(patch_tag(encode_tiff(g), 258, 12))
+    # 16-bit declared on 8-bit-sized data must TEAR, not mis-decode
+    with pytest.raises(ValueError, match="shorter"):
         decode_tiff(patch_tag(encode_tiff(g), 258, 16))
 
 

@@ -221,8 +221,10 @@ def decode_tiff(payload: bytes):
         bits = [bits]
     if photo is None:
         raise ValueError("TIFF missing PhotometricInterpretation")
-    if planar != 1:
+    if planar not in (1, 2):
         raise ValueError(f"planar configuration {planar} outside the declared scope")
+    if planar == 2 and comp == 7:
+        raise ValueError("planar JPEG-in-TIFF outside the declared scope")
     if comp not in (1, 5, 7, 8, 32773, 32946):
         raise ValueError(f"TIFF compression {comp} outside the declared scope")
     predictor = _first(ifd.get(_T_PREDICTOR), 1)
@@ -286,6 +288,8 @@ def decode_tiff(payload: bytes):
         # in tests/test_lzw_r11.py
         if deep:
             raise ValueError("16-bit tiled TIFF outside the declared scope")
+        if planar == 2:
+            raise ValueError("planar tiled TIFF outside the declared scope")
         tw = _first(ifd.get(_T_TILE_WIDTH))
         tl = _first(ifd.get(_T_TILE_LENGTH))
         t_off = ifd.get(_T_TILE_OFFSETS)
@@ -332,28 +336,64 @@ def decode_tiff(payload: bytes):
             raise ValueError("strip offset/count tables disagree")
         rows_per_strip = _first(ifd.get(_T_ROWS_PER_STRIP), h)
 
-        row_bytes = w * spp * (2 if deep else 1)
-        data = bytearray()
-        rows_done = 0
-        for si, (off, cnt) in enumerate(zip(offsets, counts)):
-            if off + cnt > len(payload):
-                raise ValueError(f"strip {si} out of range")
-            rows_here = min(rows_per_strip, h - rows_done)
-            if rows_here <= 0:
-                break
-            if comp == 7:
-                data += _decode_jpeg_chunk(
-                    payload[off : off + cnt], jpeg_tables, rows_here, w
+        unit = 2 if deep else 1
+        if planar == 2 and spp > 1:
+            # [r11] planar configuration 2 (TIFF 6.0 §14): the strip
+            # table covers plane 0's strips, then plane 1's, ... —
+            # decode each plane like a 1-sample image, interleave after
+            spp_strips = (h + rows_per_strip - 1) // rows_per_strip
+            if len(offsets) < spp_strips * spp:
+                raise ValueError("planar strip table shorter than spp planes")
+            row_bytes = w * unit
+            planes = []
+            for c in range(spp):
+                pdata = bytearray()
+                rows_done = 0
+                for si in range(spp_strips):
+                    k = c * spp_strips + si
+                    off, cnt = offsets[k], counts[k]
+                    if off + cnt > len(payload):
+                        raise ValueError(f"strip {k} out of range")
+                    rows_here = min(rows_per_strip, h - rows_done)
+                    pdata += _decode_chunk(
+                        payload[off : off + cnt], comp, rows_here, row_bytes,
+                        predictor, 1
+                    )
+                    rows_done += rows_here
+                if rows_done < h:
+                    raise ValueError("plane strips cover fewer rows than ImageLength")
+                planes.append(
+                    np.frombuffer(bytes(pdata), dtype=np.uint8).reshape(h, w * unit)
                 )
-            else:
-                data += _decode_chunk(
-                    payload[off : off + cnt], comp, rows_here, row_bytes,
-                    predictor, spp
-                )
-            rows_done += rows_here
-        if rows_done < h:
-            raise ValueError("strips cover fewer rows than ImageLength")
-        data = bytes(data)
+            inter = np.empty((h, w * spp * unit), dtype=np.uint8)
+            for c in range(spp):
+                for u in range(unit):
+                    inter[:, c * unit + u :: spp * unit] = planes[c][:, u::unit]
+            data = inter.tobytes()
+            rows_done = h
+        else:
+            row_bytes = w * spp * unit
+            data = bytearray()
+            rows_done = 0
+            for si, (off, cnt) in enumerate(zip(offsets, counts)):
+                if off + cnt > len(payload):
+                    raise ValueError(f"strip {si} out of range")
+                rows_here = min(rows_per_strip, h - rows_done)
+                if rows_here <= 0:
+                    break
+                if comp == 7:
+                    data += _decode_jpeg_chunk(
+                        payload[off : off + cnt], jpeg_tables, rows_here, w
+                    )
+                else:
+                    data += _decode_chunk(
+                        payload[off : off + cnt], comp, rows_here, row_bytes,
+                        predictor, spp
+                    )
+                rows_done += rows_here
+            if rows_done < h:
+                raise ValueError("strips cover fewer rows than ImageLength")
+            data = bytes(data)
 
     if deep:
         arr16 = np.frombuffer(bytes(data), dtype=("<u2" if bo == "<" else ">u2"))

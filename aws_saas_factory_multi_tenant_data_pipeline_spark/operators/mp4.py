@@ -141,8 +141,21 @@ def _parse_track(payload: bytes, ts_: int, te_: int) -> dict:
                     for typ2, ps2, pe2 in iter_boxes(payload, cfg_off, entry_end):
                         if typ2 == b"avcC":
                             tr["avcc"] = parse_avcc(payload[ps2:pe2])
+                        elif typ2 == b"hvcC":
+                            # [r11] HEVC tracks (hvc1/hev1): parameter
+                            # sets + NAL length size for the probe/
+                            # keyframe-sampling path (operators/hevc.py)
+                            from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.hevc import (
+                                parse_hvcc,
+                            )
+
+                            nls, ps_nals = parse_hvcc(payload[ps2:pe2])
+                            tr["hvcc"] = {
+                                "nal_length_size": nls,
+                                "param_sets": ps_nals,
+                            }
                 except ValueError:
-                    pass  # config boxes absent/nonstandard: no avcC
+                    pass  # config boxes absent/nonstandard: no config
     sizes = _parse_stsz(payload, sb, se)
     tr["n_samples"] = len(sizes)
     chunk_offsets = _parse_stco(payload, sb, se)

@@ -131,3 +131,63 @@ def test_probe_requires_sps():
         probe_hevc_annexb(b"\x00\x00\x00\x01" + _nal(34) + b"\x00\x00\x00\x01" + _nal(19))
     with pytest.raises(ValueError, match="Annex-B"):
         probe_hevc_annexb(b"")
+
+
+def test_hevc_mp4_track_end_to_end():
+    """An hvc1 MP4 track carrying REAL x265 parameter sets: probe_mp4
+    surfaces the hvcC config; samples convert to Annex-B; the probe
+    reads geometry + counts the stss-marked IRAP keyframes."""
+    lib = _x265()
+    if lib is None:
+        pytest.skip("no system libx265 (visible host gap)")
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.mp4 import (
+        build_minimal_mp4,
+        extract_samples,
+        probe_mp4,
+    )
+
+    raw = _real_headers(lib, 320, 240)
+    units = [r.lstrip(b"\x00")[1:] for r in raw[:3]]
+    body = bytearray(b"\x01" + b"\x00" * 20 + bytes([0xFC | 3, len(units)]))
+    for u in units:
+        body += bytes([(u[0] >> 1) & 0x3F]) + struct.pack(">H", 1)
+        body += struct.pack(">H", len(u)) + u
+    hvcc = struct.pack(">I", len(body) + 8) + b"hvcC" + bytes(body)
+
+    def nal(typ, payload=b"\x12\x34"):
+        u = bytes([(typ << 1) & 0x7E, 0x01]) + payload
+        return struct.pack(">I", len(u)) + u
+
+    # sample 0: param sets + IDR; samples 1-2: non-IRAP; sample 3: CRA
+    s0 = b"".join(struct.pack(">I", len(u)) + u for u in units) + nal(19)
+    samples = [s0, nal(1), nal(0), nal(21)]
+    mp4 = build_minimal_mp4(
+        samples, width=320, height=240, codec=b"hvc1",
+        keyframes=[0, 3], config_box=hvcc,
+    )
+    info = probe_mp4(mp4)
+    tr = info["tracks"][0]
+    assert tr["codec"] == "hvc1"
+    assert tr["hvcc"]["nal_length_size"] == 4
+    assert len(tr["hvcc"]["param_sets"]) == 3
+    assert tr["keyframes"] == [0, 3]
+
+    annexb = hvcc_sample_to_annexb(
+        extract_samples(mp4, tr, [0])[0], tr["hvcc"]["nal_length_size"]
+    )
+    p = probe_hevc_annexb(annexb)
+    assert (p["width"], p["height"]) == (320, 240)
+    assert p["n_idr"] == 1 and p["n_irap"] == 1
+    # the CRA sample
+    annexb3 = hvcc_sample_to_annexb(
+        extract_samples(mp4, tr, [3])[0], tr["hvcc"]["nal_length_size"]
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.hevc import (
+        nal_header as nh,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.h264 import (
+        split_annexb_raw,
+    )
+
+    types = [nh(x)[0] for x in split_annexb_raw(annexb3)]
+    assert types == [21]

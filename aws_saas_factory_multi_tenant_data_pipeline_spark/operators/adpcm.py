@@ -55,6 +55,13 @@ def _validate_tables() -> None:
 _validate_tables()
 
 
+def _trunc256(v: int) -> int:
+    """C integer division by 256 (truncation toward zero) — the
+    Microsoft spec / ffmpeg predictor rule; a floor shift differs by 1
+    for negative sums and the error propagates through s1/s2 state."""
+    return -((-v) >> 8) if v < 0 else v >> 8
+
+
 def _clamp16(v: int) -> int:
     return -32768 if v < -32768 else (32767 if v > 32767 else v)
 
@@ -198,7 +205,7 @@ def decode_ms_adpcm_blocks(data: bytes, channels: int, block_align: int):
             for nib in (byte >> 4, byte & 0xF):
                 signed = nib - 16 if nib >= 8 else nib
                 co1, co2 = MS_COEFFS[pred_idx[c]]
-                pred = ((s1[c] * co1 + s2[c] * co2) >> 8) + signed * deltas[c]
+                pred = _trunc256(s1[c] * co1 + s2[c] * co2) + signed * deltas[c]
                 pred = _clamp16(pred)
                 s2[c], s1[c] = s1[c], pred
                 deltas[c] = max(16, (MS_ADAPT[nib] * deltas[c]) >> 8)
@@ -244,7 +251,7 @@ def encode_ms_adpcm_blocks(samples: np.ndarray, channels: int,
             src = f + k if f + k < frames else frames - 1
             for c in range(channels):
                 co1, co2 = MS_COEFFS[0]
-                base = (st_s1[c] * co1 + st_s2[c] * co2) >> 8
+                base = _trunc256(st_s1[c] * co1 + st_s2[c] * co2)
                 want = int(x[src, c]) - base
                 d = st_d[c]
                 nib_s = max(-8, min(7, (want + (d // 2 if want >= 0 else -(d // 2))) // d))

@@ -189,13 +189,15 @@ def _extend(v: int, s: int) -> int:
     return v - ((1 << s) - 1) if s and v < (1 << (s - 1)) else v
 
 
-def decode_jpeg(payload: bytes):
+def decode_jpeg(payload: bytes, color_transform: bool = True):
     """Decode a baseline (SOF0/SOF1) or progressive (SOF2) JPEG. Returns
     ``(pixels, w, h)`` with pixels an (h, w, 3) uint8 array (grayscale
-    replicated to 3 channels). Raises ValueError — and only ValueError —
-    on anything unparseable."""
+    replicated to 3 channels). ``color_transform=False`` skips the
+    T.871 YCbCr->RGB step for 3-component streams whose components are
+    already RGB-coded (JPEG-in-TIFF photometric 2). Raises ValueError —
+    and only ValueError — on anything unparseable."""
     try:
-        return _decode_jpeg_inner(payload)
+        return _decode_jpeg_inner(payload, color_transform)
     except ValueError:
         raise
     except Exception as exc:  # tear contract: never a raw internal error
@@ -226,7 +228,7 @@ class _CoefStore:
             self.real[cid] = ((comp_h + 7) // 8, (comp_w + 7) // 8)
 
 
-def _decode_jpeg_inner(payload: bytes):
+def _decode_jpeg_inner(payload: bytes, color_transform: bool = True):
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}
@@ -336,7 +338,7 @@ def _decode_jpeg_inner(payload: bytes):
         # APPn, COM, DNL, anything else with a length: skipped
     if store is None or frame is None:
         raise ValueError("no image scan before EOI")
-    return _render(frame, store, qt)
+    return _render(frame, store, qt, color_transform)
 
 
 def _split_entropy(payload: bytes, i: int):
@@ -516,7 +518,7 @@ def _decode_band(reader, blk, ss, se, ah, al, dct, act, pred, cs, eobrun):
         k += 1
 
 
-def _render(frame, store, qt):
+def _render(frame, store, qt, color_transform=True):
     """Dequantize + batched IDCT + upsample + color transform."""
     fh, fw, comps = frame
     out = []
@@ -547,6 +549,9 @@ def _render(frame, store, qt):
         return np.stack([g, g, g], axis=2), fw, fh
     if len(out) != 3:
         raise ValueError(f"unsupported component count {len(out)}")
+    if not color_transform:
+        px = np.clip(np.round(np.stack(out, axis=2)), 0, 255).astype(np.uint8)
+        return px, fw, fh
     y, cb, cr = out
     # ITU-T T.871 inverse transform
     r = y + 1.402 * (cr - 128.0)

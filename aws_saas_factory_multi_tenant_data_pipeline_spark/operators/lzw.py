@@ -116,6 +116,14 @@ def lzw_encode(data: bytes, early_change: int = 1,
         ):
             emit(seq[0] if len(seq) == 1 else table[seq])
             seq = b""
+            # on reading that flush code the decoder appends the entry
+            # for the PREVIOUS code, catching up to this table — if its
+            # next assignable code crosses 2^w - earlyChange it widens
+            # BEFORE reading the Clear, so the Clear must be emitted at
+            # the new width (r11 advice: desync when clear_every lands
+            # exactly on a width boundary)
+            if next_code + early_change >= (1 << width) and width < _MAX_WIDTH:
+                width += 1
             emit(_CLEAR)
             table = {}
             next_code = 258
@@ -123,6 +131,9 @@ def lzw_encode(data: bytes, early_change: int = 1,
             n_codes = 0
     if seq:
         emit(seq[0] if len(seq) == 1 else table[seq])
+        # same decoder-side catch-up applies before the EOI read
+        if next_code + early_change >= (1 << width) and width < _MAX_WIDTH:
+            width += 1
     emit(_EOI)
     out = bytearray((len(bits) + 7) // 8)
     for i, b in enumerate(bits):

@@ -128,8 +128,10 @@ def probe_ogg(payload: bytes) -> dict:
         # then the native fLaC signature + STREAMINFO
         if ident[9:13] != b"fLaC":
             raise ValueError("FLAC-in-Ogg mapping without fLaC signature")
-        if len(ident) >= 13 + 8 + 18:
-            si = ident[13 + 8 :]
+        # after the 4-byte fLaC signature comes a 4-byte metadata block
+        # header (1 type + 3 length BE); STREAMINFO data starts at 17
+        if len(ident) >= 13 + 4 + 18:
+            si = ident[13 + 4 :]
             rate = (si[10] << 12) | (si[11] << 4) | (si[12] >> 4)
             ch = ((si[12] >> 1) & 7) + 1
             out.update(codec="flac", channels=ch, sample_rate=rate)

@@ -667,6 +667,30 @@ def build_pdf(
         ih, iw = rgb.shape[:2]
         cs = b"/DeviceGray" if gray else b"/DeviceRGB"
         filt = spec.get("filter", "flate")
+        if filt == "indexed":
+            # Indexed-over-RGB with the palette in its own
+            # FlateDecode-compressed stream object (the common real-PDF
+            # shape); image samples are 8-bit palette indices
+            flat = rgb.reshape(-1, 3)
+            pal_rgb, idx = np.unique(flat, axis=0, return_inverse=True)
+            if len(pal_rgb) > 256:
+                raise ValueError("indexed fixture needs <=256 colors")
+            pal_data = zlib.compress(pal_rgb.astype(np.uint8).tobytes())
+            pal_num = add(
+                b"<< /Filter /FlateDecode /Length %d >>\nstream\n%s\nendstream"
+                % (len(pal_data), pal_data)
+            )
+            data = zlib.compress(idx.astype(np.uint8).tobytes())
+            image_nums.append(
+                add(
+                    b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+                    b"/ColorSpace [/Indexed /DeviceRGB %d %d 0 R] "
+                    b"/BitsPerComponent 8 /Filter /FlateDecode /Length %d >>\n"
+                    b"stream\n%s\nendstream"
+                    % (iw, ih, len(pal_rgb) - 1, pal_num, len(data), data)
+                )
+            )
+            continue
         extra = b""
         if filt == "jpeg":
             from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.jpeg import (
@@ -911,8 +935,10 @@ def extract_pdf_images(payload: bytes) -> list[dict]:
                 if isinstance(lookup, bytes):
                     pal_bytes = lookup
                 else:
-                    _, pal_stream = doc.objects.get(cs[3].num, (None, None)) if isinstance(cs[3], _Ref) else (None, None)
-                    pal_bytes = doc._decoded_stream({"Filter": None}, pal_stream) if pal_stream else None
+                    pal_dict, pal_stream = doc.objects.get(cs[3].num, (None, None)) if isinstance(cs[3], _Ref) else (None, None)
+                    # the palette stream carries its own /Filter chain
+                    # (FlateDecode palettes are common in real PDFs)
+                    pal_bytes = doc._decoded_stream(pal_dict or {}, pal_stream) if pal_stream else None
                 if pal_bytes is None or doc.resolve(base) not in (_Name("DeviceRGB"),):
                     raise ValueError("Indexed color space outside the declared scope")
                 palette = np.frombuffer(pal_bytes, dtype=np.uint8)

@@ -167,9 +167,12 @@ def _decode_chunk(raw: bytes, comp: int, rows: int, row_bytes: int,
     return bytes(buf)
 
 
-def _decode_jpeg_chunk(raw: bytes, tables, rows: int, width: int) -> bytes:
+def _decode_jpeg_chunk(raw: bytes, tables, rows: int, width: int,
+                       transform: bool = True) -> bytes:
     """Decode one JPEG-in-TIFF strip/tile to rows*width*3 RGB bytes —
-    abbreviated streams get the shared JPEGTables spliced after SOI."""
+    abbreviated streams get the shared JPEGTables spliced after SOI.
+    ``transform=False`` for photometric-2 TIFFs whose JPEG components
+    are RGB-coded (no YCbCr transform — TIFF 6.0 TechNote 2)."""
     from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.jpeg import (
         decode_jpeg,
     )
@@ -182,7 +185,7 @@ def _decode_jpeg_chunk(raw: bytes, tables, rows: int, width: int) -> bytes:
         merged = tables[:-2] + raw[2:]
     else:
         merged = raw
-    px, jw, jh = decode_jpeg(merged)
+    px, jw, jh = decode_jpeg(merged, color_transform=transform)
     if jw < width or jh < rows:
         raise ValueError(
             f"JPEG-in-TIFF chunk {jw}x{jh} smaller than its {width}x{rows} span"
@@ -258,6 +261,10 @@ def decode_tiff(payload: bytes):
                 "JPEG-in-TIFF outside the declared scope (YCbCr/RGB "
                 "3-sample chunky only)"
             )
+        # photometric 2 stores RGB-coded JPEG components: no YCbCr
+        # inverse transform (r11 advice — applying it silently shifts
+        # every color); photometric 6 is the usual YCbCr-coded path
+        jpeg_transform = photo == 6
         photo = 2  # decoded output is RGB
     if photo == 2 and spp < 3:
         raise ValueError("RGB TIFF with fewer than 3 samples per pixel")
@@ -312,7 +319,8 @@ def decode_tiff(payload: bytes):
                     raise ValueError(f"tile {k} out of range")
                 if comp == 7:
                     buf = _decode_jpeg_chunk(
-                        payload[off : off + cnt], jpeg_tables, tl, tw
+                        payload[off : off + cnt], jpeg_tables, tl, tw,
+                        jpeg_transform,
                     )
                 else:
                     buf = _decode_chunk(
@@ -383,7 +391,8 @@ def decode_tiff(payload: bytes):
                     break
                 if comp == 7:
                     data += _decode_jpeg_chunk(
-                        payload[off : off + cnt], jpeg_tables, rows_here, w
+                        payload[off : off + cnt], jpeg_tables, rows_here, w,
+                        jpeg_transform,
                     )
                 else:
                     data += _decode_chunk(

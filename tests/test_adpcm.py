@@ -147,3 +147,38 @@ def test_fact_chunk_trims_last_block_padding():
     )
     x, sr, ch = parse_wav(blob)
     assert len(x) == 700  # exact, not padded to the block boundary
+
+
+def test_ms_adpcm_negative_predictor_truncates_toward_zero():
+    """Microsoft spec / ffmpeg use C integer division by 256 for the
+    predictor sum; a floor shift differs by 1 on negative sums and the
+    error propagates through s1/s2 (r11 advice). Pair 5 = (460, -208)
+    with s1=1, s2=3 gives sum = -164, the discriminating case:
+    trunc -> 0, floor shift -> -1."""
+    import struct as _struct
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.adpcm import (
+        MS_ADAPT,
+        MS_COEFFS,
+        _trunc256,
+        decode_ms_adpcm_blocks,
+    )
+
+    assert _trunc256(-257) == -1  # floor shift would give -2
+    assert _trunc256(257) == 1 and _trunc256(-256) == -1
+
+    co1, co2 = MS_COEFFS[5]  # (460, -208): non-256-multiple negative sums
+    s1, s2, delta = 1, 3, 16
+    raw_sum = s1 * co1 + s2 * co2
+    assert raw_sum < 0 and raw_sum % 256 != 0  # the discriminating case
+    # block: pred_idx=5, delta, s1, s2, then one data byte = nibbles (1, 0)
+    block = bytes([5]) + _struct.pack("<hhh", delta, s1, s2) + bytes([0x10])
+    out = decode_ms_adpcm_blocks(block, channels=1, block_align=8)
+    expect_3rd = int(raw_sum / 256) + 1 * delta  # trunc toward zero, nib=+1
+    assert list(out[:3]) == [s2, s1, expect_3rd]
+    # floor-shift implementation would produce expect_3rd - 1
+    assert (raw_sum >> 8) + delta == expect_3rd - 1
+    # 4th sample: state advanced (s2,s1)=(s1,expect_3rd), delta adapted
+    d2 = max(16, (MS_ADAPT[1] * delta) >> 8)
+    expect_4th = int((expect_3rd * co1 + s1 * co2) / 256) + 0 * d2
+    assert out[3] == expect_4th

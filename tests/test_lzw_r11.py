@@ -481,3 +481,24 @@ def test_planar_tiff_vs_real_libtiff():
             lib.TIFFClose(tif)
             px, w, h = decode_tiff(open(f.name, "rb").read())
         assert np.array_equal(px, img), comp
+
+
+def test_lzw_encoder_clear_on_width_boundary_regression():
+    """r11 advice: when clear_every lands the flush code exactly on a
+    width-bump boundary the decoder widens before reading the Clear;
+    pre-fix (ec=1, ce=253) desynced with 'LZW code 512 beyond the
+    table'. Pinned with the exact reproducing parameters plus a sweep."""
+    import random
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.lzw import (
+        lzw_decode,
+        lzw_encode,
+    )
+
+    rnd = random.Random(7)
+    data = bytes(rnd.randrange(256) for _ in range(9000))
+    for ec, ce in [(1, 253), (0, 254)]:  # the exact pre-fix failures
+        assert lzw_decode(lzw_encode(data, ec, clear_every=ce), ec) == data
+    for ec in (0, 1):
+        for ce in range(505, 521):  # second width boundary
+            assert lzw_decode(lzw_encode(data, ec, clear_every=ce), ec) == data

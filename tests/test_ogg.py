@@ -97,3 +97,23 @@ def test_registry_sniff_and_named_quarantine():
     assert sniff_audio_format(blob) == "ogg"
     with pytest.raises(ValueError, match="probe_ogg"):
         decode_audio(blob)
+
+
+def test_flac_in_ogg_streaminfo_offsets():
+    # Build the FLAC-in-Ogg mapping ident packet (RFC draft / Xiph
+    # mapping 1.0) around a REAL STREAMINFO written by our flac
+    # encoder: 0x7F 'FLAC' major minor nheaders(BE16) + native fLaC
+    # stream.  The metadata block header after 'fLaC' is 4 bytes, so
+    # STREAMINFO data starts at ident offset 17.
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.flac import encode_flac
+
+    pcm = (rng.randint(-2000, 2000, (960, 2))).astype(np.int64)
+    flac = encode_flac(pcm, 44100, blocksize=480)
+    assert flac[:4] == b"fLaC"
+    ident = b"\x7fFLAC" + bytes([1, 0]) + struct.pack(">H", 0) + flac[: 4 + 4 + 34]
+    blob = build_ogg([ident, b"frame-data"], granules=[0, 960])
+    out = probe_ogg(blob)
+    assert out["codec"] == "flac"
+    assert out["sample_rate"] == 44100
+    assert out["channels"] == 2
+    assert out["duration_seconds"] == pytest.approx(960 / 44100)

@@ -217,3 +217,24 @@ def test_real_host_pdfs_have_no_images_and_extract_cleanly():
         assert extract_pdf_images(open(path, "rb").read()) == []
     if not found:
         pytest.skip("no real host PDFs available")
+
+
+def test_pdf_indexed_palette_with_flate_compressed_palette_stream():
+    """The palette object's own /Filter chain must be applied (r11
+    advice): a FlateDecode palette stream reinterpreted raw produces
+    silently wrong colors."""
+    import numpy as np
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.pdf import (
+        extract_pdf_images,
+    )
+
+    rgb = _two_tone(16)
+    blob = build_pdf(["indexed"], images=[{"rgb": rgb, "filter": "indexed"}])
+    imgs = extract_pdf_images(blob)
+    assert [im["fmt"] for im in imgs] == ["ppm"]
+    px, w, h = decode_image(imgs[0]["payload"])
+    assert (w, h) == (32, 32) and np.array_equal(px, rgb)

@@ -133,8 +133,16 @@ GRADED_WINDOW: tuple[str, ...] = (
     # in stream_late_drop's two-watermark replay; cumulative ROWS frames
     # in llm_pipeline_pack's sequence packing); the freed slot gives
     # three r7 §2 rows (MJPEG frame decode, MP3 spectral decode, bitext
-    # margin mining) a hard driver verdict via media_pack2
-    "media_pack2",
+    # margin mining) a hard driver verdict via media_pack2.
+    # media_pack + media_pack2 → MERGED in r12 into media_family_pack
+    # (both already emit the unified (kind, k, n, val) schema with
+    # disjoint kinds — every output row of both rides in the pack hash
+    # verbatim, so none of the seven media/similarity §2 rows loses
+    # its driver verdict); the freed slot gives the four r11
+    # tests-only verification-channel rows (extended TIFF surface,
+    # ADPCM WAV, Ogg probe, HEVC probe) a hard driver verdict via
+    # r12_pack
+    "media_family_pack",
     "r6_pack",
     # B6 sort/limit/set-ops (distinct_dropdup → tail in r5: its DISTINCT
     # semantics are also exercised by setop_family's UNION-distinct branch;
@@ -174,8 +182,10 @@ GRADED_WINDOW: tuple[str, ...] = (
     # stays pinned in tests/test_streaming.py and it remains a bench.py
     # headline measured every round; the freed slot gives four r7 media
     # §2 rows (EXIF+GPS strip, ID3v2 strip, zip/tar ingestion, WebDataset
-    # shard writer) a hard driver verdict via media_pack
-    "media_pack",
+    # shard writer) a hard driver verdict via media_pack (merged into
+    # media_family_pack in r12 — see the B10 media block above); the
+    # freed slot carries the r12 pack
+    "r12_pack",
     # stream_sliding_session + stream_late_drop → MERGED in r10 into
     # stream_window_pack (every output row of both components rides in
     # the pack hash verbatim — neither B8 family loses its driver
@@ -254,6 +264,10 @@ GRADED_WINDOW: tuple[str, ...] = (
 # single-family originals first, then the rest of TPC-H / subqueries /
 # B10, then everything else in module order.
 _TAIL_PRIORITY: tuple[str, ...] = (
+    # merged in r12 into media_family_pack (both components verbatim;
+    # the freed slot went to r12_pack):
+    "media_pack",
+    "media_pack2",
     # merged in r11 into join_family_pack / fn_family_pack2 (every row
     # still driver-graded verbatim inside the packs; these standalone
     # forms stay oracle-green at the tail head — the slots went to
@@ -531,6 +545,11 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "multimodal_raster_formats",
     "multimodal_h264_cabac",
     "audio_ogg_probe",
+    # r12 wave: the four promoted verification-channel rows' standalone
+    # forms (graded verbatim inside r12_pack)
+    "multimodal_tiff_extended",
+    "audio_adpcm_roundtrip",
+    "video_hevc_probe",
 )
 
 
@@ -574,6 +593,7 @@ def load_all() -> dict[str, QuerySpec]:
         wave_r11,
         wave_r12,
         wave_r13,
+        wave_r14,
         window_r11,
         window_r5,  # packs read other modules' oracles — import last
         window_r6,
@@ -584,6 +604,7 @@ def load_all() -> dict[str, QuerySpec]:
         window_r12,
         window_r13,
         window_r14,
+        window_r15,
     )
 
     head = [n for n in GRADED_WINDOW + _TAIL_PRIORITY if n in REGISTRY]

@@ -1,0 +1,372 @@
+"""Round-12 operator wave (r11 verdict "Next round" #1): the four r11
+tests-only §2 rows get oracle-backed corpus queries so the r12 graded
+window can give them hard driver verdicts — the extended TIFF decode
+surface (LZW/Deflate/tiled/16-bit/planar-2/JPEG-in-TIFF), an ANALYTIC
+ADPCM WAV oracle (zero-sum nibble chains whose decode is closed-form
+by construction), and an HEVC stream-probe query (SPS geometry + IRAP
+census, SQL-stated from the fixture formulas).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus import register
+from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus._util import t
+
+
+@register(
+    "multimodal_tiff_extended",
+    oracle="""
+        SELECT doc_id,
+               -CAST(POWER(2, 8 * ((CASE WHEN doc_id % 6 = 5
+                                    THEN 8 + 4 * (doc_id % 4)
+                                    ELSE 8 + doc_id % 16 END + 3) // 4))
+                    AS BIGINT) AS ahash
+        FROM documents WHERE doc_id < 72
+        ORDER BY doc_id
+    """,
+    tags=("B10", "multimodal", "image"),
+    doc="Extended TIFF decode surface END-TO-END (the [r11] scope "
+    "growth — LZW both predictors, Deflate both predictors, tiled "
+    "layout with partial edge tiles, 16-bit samples, planar "
+    "configuration 2, and new-style JPEG-in-TIFF — every path pinned "
+    "against REAL libtiff/libjpeg output in tests/test_lzw_r11.py): "
+    "per doc a 32x32 two-tone image (bright split at row 8 + "
+    "doc_id % 16; the lossy JPEG variant pins the split to multiples "
+    "of 4 so no aHash row straddles the tone boundary) rotates "
+    "through all six paths by doc_id % 6 x byte order x predictor, "
+    "then decodes through the codec registry to the same "
+    "-(2^(8*ceil(split/4))) closed form the baseline TIFF oracle "
+    "pins; any LZW timing, predictor, tile-grid, 16-bit scaling, "
+    "plane-interleave, or JPEG-splice defect flips the hash "
+    "(operators/tiff.py; TIFF 6.0 §13-§15 + TechNote 2).",
+)
+def multimodal_tiff_extended(spark, sf_dir):
+    import pandas as pd
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        with_average_hash,
+    )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 72).select("doc_id")
+
+    def op(batches):
+        import numpy as np
+
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.tiff import (
+            encode_tiff_extended,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                variant = did % 6
+                split = 8 + (4 * (did % 4) if variant == 5 else did % 16)
+                bo = "<" if did % 2 == 0 else ">"
+                pred = 2 if (did // 2) % 2 else 1
+                rgb = did % 4 < 2
+                if rgb:
+                    px = np.full((32, 32, 3), 40, dtype=np.uint8)
+                    px[split:] = 200
+                else:
+                    px = np.full((32, 32), 40, dtype=np.uint8)
+                    px[split:] = 200
+                if variant == 0:  # LZW strips, both predictors
+                    blob = encode_tiff_extended(
+                        px, byte_order=bo, compression=5, predictor=pred,
+                        rows_per_strip=5 + did % 7,
+                    )
+                elif variant == 1:  # Deflate strips, both predictors
+                    blob = encode_tiff_extended(
+                        px, byte_order=bo, compression=8, predictor=pred,
+                        rows_per_strip=5 + did % 7,
+                    )
+                elif variant == 2:  # tiled: none/LZW/Deflate
+                    blob = encode_tiff_extended(
+                        px, byte_order=bo,
+                        compression=(1, 5, 8)[(did // 6) % 3], tiled=True,
+                    )
+                elif variant == 3:  # 16-bit samples: none/Deflate
+                    blob = encode_tiff_extended(
+                        px, byte_order=bo,
+                        compression=(1, 8)[(did // 6) % 2], bits=16,
+                        rows_per_strip=9,
+                    )
+                elif variant == 4:  # planar configuration 2
+                    px3 = px if rgb else np.repeat(px[:, :, None], 3, axis=2)
+                    blob = encode_tiff_extended(
+                        px3, byte_order=bo,
+                        compression=(1, 5, 8)[(did // 6) % 3], planar=2,
+                        predictor=pred if (did // 6) % 3 else 1,
+                        rows_per_strip=5,
+                    )
+                else:  # new-style JPEG-in-TIFF, strips and tiles
+                    px3 = px if rgb else np.repeat(px[:, :, None], 3, axis=2)
+                    blob = encode_tiff_extended(
+                        px3, byte_order=bo, compression=7,
+                        tiled=(did // 6) % 2 == 1, rows_per_strip=16,
+                    )
+                rows.append(
+                    {"media_id": did, "kind": "image", "payload": blob,
+                     "meta": None}
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    media = d.mapInPandas(op, MEDIA_SCHEMA)
+    return (
+        with_average_hash(media)
+        .select(F.col("media_id").alias("doc_id"), "ahash")
+        .orderBy("doc_id")
+    )
+
+
+# ---- analytic ADPCM: generated oracle --------------------------------------
+#
+# Zero-adaptation nibble chains make the decode closed-form BY
+# CONSTRUCTION: at IMA step index 0 the step stays 7 for nibbles
+# 0-3/8-11 (index adjust -1, clamped), so each nibble moves the
+# predictor by exactly {0,+1,+3,+4,0,-1,-3,-4}; with MS coefficient
+# pair 0 = (256, 0) and delta 16, nibbles 0-3/13-15 keep delta pinned
+# (adapt 230*16>>8 = 14 -> clamped back to 16) and move the predictor
+# by signed_nibble*16. The weighted checksum over the decoded stream is
+# then a LINEAR function of the stored block-header samples — stated in
+# SQL below with per-rotation constants generated here. Any step-table,
+# index-table, trunc-division, or block-layout defect flips it.
+
+_IMA_PAT = (1, 9, 2, 10, 3, 11, 0, 8)
+_IMA_DIFF = {0: 0, 1: 1, 2: 3, 3: 4, 8: 0, 9: -1, 10: -3, 11: -4}
+_MS_PAT = (1, 15, 2, 14, 3, 13, 0, 1, 15, 2, 14, 0)
+_MS_SGN = {0: 0, 1: 1, 2: 2, 3: 3, 13: -3, 14: -2, 15: -1}
+
+
+def _adpcm_arm_constants(arm: int) -> tuple[int, int, int]:
+    """(K0, K1, D) for rotation ``arm``: the nibble-dependent parts of
+    the weighted checksum (weights are 1-based global sample index)."""
+    c = 0
+    k0 = k1 = 0
+    for j in range(8):
+        c += _IMA_DIFF[_IMA_PAT[(j + arm) % 8]]
+        k0 += (j + 2) * c  # block 0: global k = j+1, weight k+1
+        k1 += (j + 11) * c  # block 1: global k = j+10
+    d = 0
+    cum = 0
+    for j in range(12):
+        cum += _MS_SGN[_MS_PAT[(j + arm) % 12]]
+        d += (j + 21) * cum  # global k = j+20, weight k+1
+    return k0, k1, d
+
+
+def _adpcm_oracle() -> str:
+    arms = [_adpcm_arm_constants(a) for a in range(4)]
+    k0 = " ".join(f"WHEN {a} THEN {v[0]}" for a, v in enumerate(arms))
+    k1 = " ".join(f"WHEN {a} THEN {v[1]}" for a, v in enumerate(arms))
+    d = " ".join(f"WHEN {a} THEN {v[2]}" for a, v in enumerate(arms))
+    return f"""
+        SELECT doc_id,
+               CAST(45 * ((doc_id*131) % 2001 - 1000)
+                  + (CASE doc_id % 4 {k0} END)
+                  + 126 * ((doc_id*131 + 17) % 2001 - 1000)
+                  + (CASE doc_id % 4 {k1} END)
+                  + 19 * ((doc_id*29) % 1601 - 800)
+                  + 338 * ((doc_id*53) % 1601 - 800)
+                  + 16 * (CASE doc_id % 4 {d} END) AS BIGINT) AS checksum,
+               CAST(32 AS BIGINT) AS n_samples
+        FROM documents WHERE doc_id < 48
+        ORDER BY doc_id
+    """
+
+
+@register(
+    "audio_adpcm_roundtrip",
+    oracle=_adpcm_oracle(),
+    tags=("B10", "multimodal", "audio"),
+    doc="IMA + MS ADPCM WAV decode END-TO-END with a fully ANALYTIC "
+    "oracle (the [r11] codecs — IMA core cross-pinned vs CPython's C "
+    "audioop in tests): per doc two mono WAVs (format 0x11 with two "
+    "8-nibble blocks at step index 0, format 0x02 with one 12-nibble "
+    "block at coefficient pair 0/delta 16) built from zero-adaptation "
+    "nibble chains whose decode is closed-form by construction; both "
+    "route through parse_wav (real RIFF fmt/data walk) and the "
+    "1-based-index weighted checksum of all 32 decoded samples is a "
+    "linear function of the stored header samples, stated exactly in "
+    "SQL with per-rotation constants. Any IMA step/index table, MS "
+    "trunc-division, nibble-order, or block-layout defect flips it "
+    "(operators/adpcm.py).",
+)
+def audio_adpcm_roundtrip(spark, sf_dir):
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 48).select("doc_id")
+
+    def op(batches):
+        import struct
+
+        import numpy as np
+
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.g711 import (
+            parse_wav,
+        )
+
+        def wav(fmt_code, ba, bits, body):
+            fmt = struct.pack("<HHIIHH", fmt_code, 1, 8000, 8000 * ba, ba, bits)
+            fmt += b"\x00\x00"
+            out = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body))
+            out += b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            out += b"data" + struct.pack("<I", len(body)) + body
+            return out
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                arm = did % 4
+                ima = b""
+                for b in range(2):
+                    p0 = (did * 131 + b * 17) % 2001 - 1000
+                    nibs = [_IMA_PAT[(j + arm) % 8] for j in range(8)]
+                    ima += struct.pack("<hBB", p0, 0, 0) + bytes(
+                        nibs[i] | (nibs[i + 1] << 4) for i in range(0, 8, 2)
+                    )
+                s2 = (did * 29) % 1601 - 800
+                s1 = (did * 53) % 1601 - 800
+                nibs = [_MS_PAT[(j + arm) % 12] for j in range(12)]
+                ms = bytes([0]) + struct.pack("<hhh", 16, s1, s2) + bytes(
+                    (nibs[i] << 4) | nibs[i + 1] for i in range(0, 12, 2)
+                )
+                xs = []
+                for blob, ba, code in ((ima, 8, 0x11), (ms, 13, 0x02)):
+                    x, _sr, _ch = parse_wav(wav(code, ba, 4, blob))
+                    xs.append(np.rint(np.asarray(x) * 32768.0).astype(np.int64))
+                allx = np.concatenate(xs)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "checksum": int(
+                            np.sum((np.arange(len(allx)) + 1) * allx)
+                        ),
+                        "n_samples": len(allx),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "checksum", "n_samples"])
+
+    return d.mapInPandas(
+        op, "doc_id long, checksum long, n_samples long"
+    ).orderBy("doc_id")
+
+
+@register(
+    "video_hevc_probe",
+    oracle="""
+        SELECT doc_id,
+               CAST(64 + 16 * (doc_id % 13) - 2 * (doc_id % 2) AS INT)
+                   AS width,
+               CAST(64 + 16 * ((doc_id * 3) % 11) - 2 * ((doc_id // 2) % 2)
+                    AS INT) AS height,
+               CAST(8 + 2 * (doc_id % 2) AS INT) AS bit_depth,
+               CAST(1 + doc_id % 2 AS INT) AS profile_idc,
+               CAST(30 * (1 + doc_id % 5) AS INT) AS level_idc,
+               CAST(3 + (1 + doc_id % 2) + (doc_id % 3) + (2 + doc_id % 5)
+                    AS INT) AS n_nals,
+               CAST((1 + doc_id % 2) + (doc_id % 3) AS INT) AS n_irap,
+               CAST(1 + doc_id % 2 AS INT) AS n_idr
+        FROM documents WHERE doc_id < 60
+        ORDER BY doc_id
+    """,
+    tags=("B10", "multimodal", "video", "crawl"),
+    doc="HEVC stream probe END-TO-END (the [r11] H.265 container row "
+    "— crawls need dimensions/profile/bit-depth and the keyframe map "
+    "without a transform decode; the SPS parser is pinned against "
+    "REAL x265-generated parameter sets via ctypes in "
+    "tests/test_hevc.py): per doc a spec-exact Annex-B stream (VPS + "
+    "SPS with conformance-window cropping in chroma units + PPS, "
+    "then IDR_W_RADL and CRA IRAP NALs and TRAIL_R slices by "
+    "closed-form counts); every third doc additionally routes "
+    "through the MP4 path (hvcC box build -> parse_hvcc -> "
+    "length-prefixed samples -> hvcc_sample_to_annexb) so the ISO "
+    "14496-15 plumbing is graded too. Geometry/profile/level/census "
+    "all SQL-stated from the fixture formulas; any Exp-Golomb, "
+    "profile-tier-level, crop-arithmetic, NAL-walk, or hvcC defect "
+    "flips rows (operators/hevc.py; ITU-T H.265 §7.3).",
+)
+def video_hevc_probe(spark, sf_dir):
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 60).select("doc_id")
+
+    def op(batches):
+        import struct
+
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.h264 import (
+            split_annexb_raw,
+        )
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.hevc import (
+            build_hevc_annexb,
+            hvcc_sample_to_annexb,
+            parse_hvcc,
+            probe_hevc_annexb,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n_idr = 1 + did % 2
+                n_cra = did % 3
+                blob = build_hevc_annexb(
+                    64 + 16 * (did % 13),
+                    64 + 16 * ((did * 3) % 11),
+                    irap_types=[19] * n_idr + [21] * n_cra,
+                    n_trail=2 + did % 5,
+                    bit_depth=8 + 2 * (did % 2),
+                    profile_idc=1 + did % 2,
+                    level_idc=30 * (1 + did % 5),
+                    crop=(0, did % 2, 0, (did // 2) % 2),
+                )
+                if did % 3 == 0:
+                    # MP4 route: hvcC box for the parameter sets, then
+                    # length-prefixed samples back to Annex-B
+                    nals = split_annexb_raw(blob)
+                    psets = [n for n in nals if (n[0] >> 1) & 0x3F >= 32]
+                    box = bytearray(
+                        b"\x01" + b"\x00" * 20 + bytes([0xFC | 3, len(psets)])
+                    )
+                    for u in psets:
+                        box += bytes([(u[0] >> 1) & 0x3F])
+                        box += struct.pack(">HH", 1, len(u)) + u
+                    nls, parsed = parse_hvcc(bytes(box))
+                    slices = [n for n in nals if (n[0] >> 1) & 0x3F < 32]
+                    sample = b"".join(
+                        struct.pack(">I", len(n)) + n
+                        for n in parsed + slices
+                    )
+                    blob = hvcc_sample_to_annexb(sample, nls)
+                p = probe_hevc_annexb(blob)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "width": p["width"],
+                        "height": p["height"],
+                        "bit_depth": p["bit_depth_luma"],
+                        "profile_idc": p["profile_idc"],
+                        "level_idc": p["level_idc"],
+                        "n_nals": p["n_nals"],
+                        "n_irap": p["n_irap"],
+                        "n_idr": p["n_idr"],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "bit_depth",
+                         "profile_idc", "level_idc", "n_nals", "n_irap",
+                         "n_idr"],
+            )
+
+    return d.mapInPandas(
+        op,
+        "doc_id long, width int, height int, bit_depth int, "
+        "profile_idc int, level_idc int, n_nals int, n_irap int, "
+        "n_idr int",
+    ).orderBy("doc_id")

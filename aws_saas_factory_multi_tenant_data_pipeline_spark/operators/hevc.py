@@ -189,3 +189,88 @@ def hvcc_sample_to_annexb(sample: bytes, nal_length_size: int) -> bytes:
         out += b"\x00\x00\x00\x01" + sample[off : off + ln]
         off += ln
     return bytes(out)
+
+
+# --- fixture builders (r12) -------------------------------------------------
+
+
+def build_sps_hevc(
+    coded_w: int,
+    coded_h: int,
+    chroma: int = 1,
+    bit_depth: int = 8,
+    profile_idc: int = 1,
+    level_idc: int = 93,
+    tier: int = 0,
+    crop: tuple[int, int, int, int] = (0, 0, 0, 0),
+    sps_id: int = 0,
+) -> bytes:
+    """[r12] Spec-exact SPS NAL payload (2-byte header + RBSP with
+    emulation prevention) carrying exactly the fields the probe reads —
+    the fixture twin of :func:`parse_sps_hevc`, independently verified
+    against real x265 output in tests/test_hevc.py. ``crop`` is
+    (left, right, top, bottom) in chroma units (§7.4.3.2.1)."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.h264 import (
+        _BitW,
+        add_emulation,
+    )
+
+    w = _BitW()
+    w.w((NAL_SPS << 1) << 8 | 0x01, 16)  # nal header: layer 0, tid+1 = 1
+    w.w(0, 4)  # sps_video_parameter_set_id
+    w.w(0, 3)  # max_sub_layers_minus1
+    w.w(1, 1)  # temporal_id_nesting
+    # profile_tier_level (general only; no sub-layers)
+    w.w(0, 2)  # profile_space
+    w.w(tier, 1)
+    w.w(profile_idc, 5)
+    w.w(1 << (31 - profile_idc), 32)  # compatibility flags
+    w.w(0b1011, 4)  # progressive=1, interlaced=0, non-packed=1, frame-only=1
+    w.w(0, 32)
+    w.w(0, 11)
+    w.w(0, 1)
+    w.w(level_idc, 8)
+    w.ue(sps_id)
+    w.ue(chroma)
+    if chroma == 3:
+        w.w(0, 1)
+    w.ue(coded_w)
+    w.ue(coded_h)
+    if any(crop):
+        w.w(1, 1)  # conformance_window_flag
+        for c in crop:
+            w.ue(c)
+    else:
+        w.w(0, 1)
+    w.ue(bit_depth - 8)  # luma
+    w.ue(bit_depth - 8)  # chroma
+    w.trailing()
+    return add_emulation(w.payload())
+
+
+def build_hevc_annexb(
+    coded_w: int,
+    coded_h: int,
+    irap_types: list[int],
+    n_trail: int = 0,
+    **sps_kwargs,
+) -> bytes:
+    """[r12] Minimal-but-valid Annex-B HEVC elementary stream for the
+    probe: VPS + SPS + PPS then one NAL per entry of ``irap_types``
+    (each in §7.4.2.2's 16..23 IRAP range) followed by ``n_trail``
+    TRAIL_R (type 1) slices. Slice bodies are opaque to the probe."""
+
+    def nal(typ: int, body: bytes) -> bytes:
+        return b"\x00\x00\x00\x01" + bytes([(typ << 1) & 0x7E, 0x01]) + body
+
+    out = bytearray()
+    out += nal(NAL_VPS, b"\x0c\x01\xff\xff")
+    out += b"\x00\x00\x00\x01" + build_sps_hevc(coded_w, coded_h, **sps_kwargs)
+    out += nal(NAL_PPS, b"\xc0\xf2")
+    for i, typ in enumerate(irap_types):
+        if typ not in IRAP_TYPES:
+            raise ValueError(f"irap type {typ} outside 16..23")
+        out += nal(typ, bytes([0x80, 0x10 + (i & 0x0F), 0x40]))
+    for i in range(n_trail):
+        out += nal(1, bytes([0x02, 0x30 + (i & 0x0F)]))
+    return bytes(out)

@@ -538,3 +538,183 @@ def encode_tiff(
     magic = b"II*\x00" if bo == "<" else b"MM\x00*"
     out = magic + struct.pack(bo + "I", ifd_off)
     return out + b"".join(strips) + cmap_bytes + ifd + bytes(overflow)
+
+
+def encode_tiff_extended(
+    pixels: np.ndarray,
+    byte_order: str = "<",
+    compression: int = 1,
+    predictor: int = 1,
+    tiled: bool = False,
+    tile_wh: tuple[int, int] = (16, 16),
+    bits: int = 8,
+    planar: int = 1,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """[r12] Fixture writer for the r11 extended decode surface: LZW
+    (compression 5, both predictors), Deflate (8, both predictors),
+    tiled layout (§15), 16-bit samples (stored v*257 so the decoder's
+    >>8 returns the source exactly), planar configuration 2, and
+    new-style JPEG-in-TIFF (compression 7, one full JPEG per chunk).
+    Scope mirrors the decoder's declared boundaries (no 16-bit tiles,
+    no planar tiles, predictor on 8-bit only)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        h, w = px.shape
+        spp = 1
+        photometric = 1
+        raster = px[:, :, None]
+    elif px.ndim == 3 and px.shape[2] == 3:
+        h, w = px.shape[:2]
+        spp = 3
+        photometric = 2
+        raster = px
+    else:
+        raise ValueError("pixels must be [h, w] or [h, w, 3] uint8")
+    bo = byte_order
+    if bo not in ("<", ">"):
+        raise ValueError("byte_order must be '<' or '>'")
+    if compression not in (1, 5, 7, 8):
+        raise ValueError("fixture compression must be 1/5/7/8")
+    if bits not in (8, 16):
+        raise ValueError("bits must be 8 or 16")
+    if predictor == 2 and bits != 8:
+        raise ValueError("predictor 2 fixture is 8-bit only")
+    if compression == 7:
+        if spp != 3 or bits != 8 or planar != 1:
+            raise ValueError("JPEG-in-TIFF fixture is 8-bit chunky RGB")
+        photometric = 6  # YCbCr-coded chunks (our encode_jpeg output)
+    if tiled and (bits == 16 or planar == 2):
+        raise ValueError("tiled fixture is 8-bit chunky (decoder scope)")
+
+    unit = 2 if bits == 16 else 1
+
+    def pack_rows(block: np.ndarray) -> bytes:
+        # block is [rows, cols, samples] uint8
+        if bits == 16:
+            deep = block.astype(np.uint16) * 257
+            return deep.astype(bo + "u2").tobytes()
+        return block.tobytes()
+
+    def compress(chunk_rows: np.ndarray, n_samples: int) -> bytes:
+        if compression == 7:
+            from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.jpeg import (
+                encode_jpeg,
+            )
+
+            return encode_jpeg(np.ascontiguousarray(chunk_rows))
+        raw = pack_rows(chunk_rows)
+        if predictor == 2:
+            arr = np.frombuffer(raw, dtype=np.uint8).reshape(
+                chunk_rows.shape[0], -1
+            ).astype(np.int16)
+            diff = arr.copy()
+            diff[:, n_samples:] = arr[:, n_samples:] - arr[:, :-n_samples]
+            raw = (diff & 0xFF).astype(np.uint8).tobytes()
+        if compression == 5:
+            from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.lzw import (
+                lzw_encode,
+            )
+
+            return lzw_encode(raw, early_change=1)
+        if compression == 8:
+            import zlib
+
+            return zlib.compress(raw)
+        return raw
+
+    chunks: list[bytes] = []
+    tile_tags = strip_tags = None
+    if tiled:
+        tw, tl = tile_wh
+        if tw % 16 or tl % 16:
+            raise ValueError("TIFF tiles must be multiples of 16")
+        for ty in range(0, h, tl):
+            for tx in range(0, w, tw):
+                tile = np.zeros((tl, tw, spp), dtype=np.uint8)
+                blk = raster[ty : ty + tl, tx : tx + tw]
+                tile[: blk.shape[0], : blk.shape[1]] = blk
+                chunks.append(compress(tile, spp))
+        tile_tags = (tw, tl)
+    else:
+        rps = rows_per_strip or h
+        if planar == 2 and spp > 1:
+            for c in range(spp):
+                for r0 in range(0, h, rps):
+                    chunks.append(
+                        compress(raster[r0 : r0 + rps, :, c : c + 1], 1)
+                    )
+        else:
+            for r0 in range(0, h, rps):
+                chunks.append(compress(raster[r0 : r0 + rps], spp))
+        strip_tags = rps
+
+    # layout: header(8) | chunks | IFD | overflow arrays
+    chunk_offs = []
+    pos = 8
+    for c in chunks:
+        chunk_offs.append(pos)
+        pos += len(c)
+    ifd_off = pos
+
+    long1 = lambda v: struct.pack(bo + "I", v)  # noqa: E731
+    short1 = lambda v: struct.pack(bo + "H", v)  # noqa: E731
+    entries: list[tuple[int, int, int, bytes | None]] = [
+        (_T_WIDTH, 4, 1, long1(w)),
+        (_T_LENGTH, 4, 1, long1(h)),
+        (_T_BITS, 3, spp, None),
+        (_T_COMPRESSION, 3, 1, short1(compression)),
+        (_T_PHOTOMETRIC, 3, 1, short1(photometric)),
+        (_T_SAMPLES_PER_PIXEL, 3, 1, short1(spp)),
+        (_T_PLANAR, 3, 1, short1(planar)),
+    ]
+    if predictor != 1:
+        entries.append((_T_PREDICTOR, 3, 1, short1(predictor)))
+    if tiled:
+        entries += [
+            (_T_TILE_WIDTH, 4, 1, long1(tile_tags[0])),
+            (_T_TILE_LENGTH, 4, 1, long1(tile_tags[1])),
+            (_T_TILE_OFFSETS, 4, len(chunks), None),
+            (_T_TILE_BYTE_COUNTS, 4, len(chunks), None),
+        ]
+    else:
+        entries += [
+            (_T_STRIP_OFFSETS, 4, len(chunks), None),
+            (_T_ROWS_PER_STRIP, 4, 1, long1(strip_tags)),
+            (_T_STRIP_BYTE_COUNTS, 4, len(chunks), None),
+        ]
+    entries.sort(key=lambda e: e[0])
+
+    ifd_size = 2 + 12 * len(entries) + 4
+    overflow_off = ifd_off + ifd_size
+    overflow = bytearray()
+
+    def resolve_array(typ: int, values: list[int]) -> bytes:
+        nonlocal overflow
+        fmt = {3: "H", 4: "I"}[typ]
+        raw = struct.pack(bo + f"{len(values)}{fmt}", *values)
+        if len(raw) <= 4:
+            return raw
+        off = overflow_off + len(overflow)
+        overflow += raw
+        return struct.pack(bo + "I", off)
+
+    final = []
+    for tag, typ, cnt, val in entries:
+        if tag == _T_BITS:
+            val = resolve_array(3, [bits] * spp)
+        elif tag in (_T_STRIP_OFFSETS, _T_TILE_OFFSETS):
+            val = resolve_array(4, chunk_offs)
+        elif tag in (_T_STRIP_BYTE_COUNTS, _T_TILE_BYTE_COUNTS):
+            val = resolve_array(4, [len(c) for c in chunks])
+        final.append(
+            struct.pack(bo + "HHI", tag, typ, cnt) + val.ljust(4, b"\x00")[:4]
+        )
+
+    ifd = struct.pack(bo + "H", len(final)) + b"".join(final)
+    ifd += struct.pack(bo + "I", 0)
+    magic = b"II*\x00" if bo == "<" else b"MM\x00*"
+    return (
+        magic + struct.pack(bo + "I", ifd_off)
+        + b"".join(chunks) + ifd + bytes(overflow)
+    )

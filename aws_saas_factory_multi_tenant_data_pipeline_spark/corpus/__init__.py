@@ -550,6 +550,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "multimodal_tiff_extended",
     "audio_adpcm_roundtrip",
     "video_hevc_probe",
+    "multimodal_hevc_decode",
 )
 
 

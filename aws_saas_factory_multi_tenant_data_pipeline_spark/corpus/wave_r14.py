@@ -370,3 +370,74 @@ def video_hevc_probe(spark, sf_dir):
         "profile_idc int, level_idc int, n_nals int, n_irap int, "
         "n_idr int",
     ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_hevc_decode",
+    oracle="""
+        SELECT doc_id,
+               -CAST(POWER(2, 8 * (2 + doc_id % 4)) AS BIGINT) AS ahash,
+               CAST(1024 AS BIGINT) AS n_px
+        FROM documents WHERE doc_id < 56
+        ORDER BY doc_id
+    """,
+    tags=("B10", "multimodal", "video"),
+    doc="HEVC intra DECODE end-to-end with an ANALYTIC oracle (the "
+    "[r12] codec — the last big video boundary: the from-spec H.265 "
+    "decoder is pinned BIT-EXACT against the system libde265 on real "
+    "x265 streams in tests/test_hevc_decode.py, and the fixture "
+    "encoder's output is decoded identically by libde265 and by us): "
+    "per doc a 32x32 two-tone luma frame (tones rotate 30+doc_id%21 / "
+    "+140, split at row 8 + 4*(doc_id%4)) is encoded by the from-spec "
+    "CABAC fixture encoder at QP 18 + doc_id % 14 and decoded back "
+    "through the full pipeline — slice parse, CABAC, quadtree, DC "
+    "prediction, residual coding, DCT/dequant — then average-hashed; "
+    "quantization error never crosses the 70-gray tone gap, so the "
+    "hash equals the -(2^(8*split/4)) closed form exactly. Any CABAC "
+    "table, context-selection, scan, transform, or prediction defect "
+    "flips it (operators/hevc_decode.py, operators/hevc_enc.py; "
+    "ITU-T H.265 §7-§9).",
+)
+def multimodal_hevc_decode(spark, sf_dir):
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 56).select("doc_id")
+
+    def op(batches):
+        import numpy as np
+
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.hevc_decode import (
+            decode_hevc_intra,
+        )
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.hevc_enc import (
+            encode_hevc_intra,
+        )
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+            _ahash_pixels,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                dark = 30 + did % 21
+                split = 8 + 4 * (did % 4)
+                y = np.full((32, 32), dark, dtype=np.uint8)
+                y[split:] = dark + 140
+                u = np.full((16, 16), 128, dtype=np.uint8)
+                v = np.full((16, 16), 110 + did % 31, dtype=np.uint8)
+                bs = encode_hevc_intra([(y, u, v)], qp=18 + did % 14)
+                yd, _ud, _vd = decode_hevc_intra(bs)[0]
+                px = np.repeat(yd[:, :, None], 3, axis=2)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "ahash": _ahash_pixels(px, 32, 32),
+                        "n_px": int(yd.size),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "ahash", "n_px"])
+
+    return d.mapInPandas(
+        op, "doc_id long, ahash long, n_px long"
+    ).orderBy("doc_id")

@@ -90,6 +90,7 @@ def media_family_pack(spark, sf_dir):
         ad AS ({_oracle("audio_adpcm_roundtrip")}),
         hv AS ({_oracle("video_hevc_probe")}),
         og AS ({_oracle("audio_ogg_probe")}),
+        hd AS ({_oracle("multimodal_hevc_decode")}),
         tx_rows AS (
             SELECT 'tiffx' AS kind, CAST(doc_id AS VARCHAR) AS k,
                    CAST(ahash AS BIGINT) AS n, 0.0 AS val
@@ -112,6 +113,12 @@ def media_family_pack(spark, sf_dir):
                              CAST(n_idr AS VARCHAR)) AS k,
                    CAST(n_nals AS BIGINT) AS n, 0.0 AS val
             FROM hv),
+        hd_rows AS (
+            SELECT 'hevcd' AS kind,
+                   concat_ws(':', CAST(doc_id AS VARCHAR),
+                             CAST(n_px AS VARCHAR)) AS k,
+                   CAST(ahash AS BIGINT) AS n, 0.0 AS val
+            FROM hd),
         og_rows AS (
             SELECT 'ogg' AS kind,
                    concat_ws(':', CAST(doc_id AS VARCHAR), codec,
@@ -125,6 +132,7 @@ def media_family_pack(spark, sf_dir):
         UNION ALL SELECT kind, k, n, val FROM ad_rows
         UNION ALL SELECT kind, k, n, val FROM hv_rows
         UNION ALL SELECT kind, k, n, val FROM og_rows
+        UNION ALL SELECT kind, k, n, val FROM hd_rows
         ORDER BY kind, k
     """,
     tags=("B10", "multimodal", "audio", "video", "image", "pack"),
@@ -136,7 +144,10 @@ def media_family_pack(spark, sf_dir):
     "the Ogg container probe (real-CRC page walk, Vorbis/Opus id "
     "headers, granule duration semantics), and the HEVC stream probe "
     "(SPS geometry/profile/level via Exp-Golomb + conformance-window "
-    "cropping, IRAP/IDR census, hvcC MP4 plumbing every third doc). "
+    "cropping, IRAP/IDR census, hvcC MP4 plumbing every third doc) — "
+    "plus the round's own flagship: full HEVC INTRA DECODE (CABAC/"
+    "quadtree/prediction/transforms, libde265-bit-exact in tests) "
+    "through the analytic two-tone aHash oracle. "
     "All-integer outputs ride in the exact k/n channels. Component "
     "spark_fns and oracles reused verbatim — the pack can only "
     "diverge if a component does.",
@@ -173,6 +184,16 @@ def r12_pack(spark, sf_dir):
         F.col("n_nals").cast("long").alias("n"),
         F.lit(0.0).alias("val"),
     )
+    hd = _fn("multimodal_hevc_decode")(spark, sf_dir)
+    hd_rows = hd.select(
+        F.lit("hevcd").alias("kind"),
+        F.concat_ws(
+            ":", F.col("doc_id").cast("string"),
+            F.col("n_px").cast("string"),
+        ).alias("k"),
+        F.col("ahash").cast("long").alias("n"),
+        F.lit(0.0).alias("val"),
+    )
     og = _fn("audio_ogg_probe")(spark, sf_dir)
     og_rows = og.select(
         F.lit("ogg").alias("kind"),
@@ -190,5 +211,6 @@ def r12_pack(spark, sf_dir):
         tx_rows.unionByName(ad_rows)
         .unionByName(hv_rows)
         .unionByName(og_rows)
+        .unionByName(hd_rows)
         .orderBy("kind", "k")
     )

@@ -551,6 +551,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "audio_adpcm_roundtrip",
     "video_hevc_probe",
     "multimodal_hevc_decode",
+    "multimodal_pdf_ccitt",
 )
 
 

@@ -19,7 +19,7 @@ from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus._util import t
     "multimodal_tiff_extended",
     oracle="""
         SELECT doc_id,
-               -CAST(POWER(2, 8 * ((CASE WHEN doc_id % 6 = 5
+               -CAST(POWER(2, 8 * ((CASE WHEN doc_id % 7 = 5
                                     THEN 8 + 4 * (doc_id % 4)
                                     ELSE 8 + doc_id % 16 END + 3) // 4))
                     AS BIGINT) AS ahash
@@ -35,7 +35,8 @@ from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus._util import t
     "per doc a 32x32 two-tone image (bright split at row 8 + "
     "doc_id % 16; the lossy JPEG variant pins the split to multiples "
     "of 4 so no aHash row straddles the tone boundary) rotates "
-    "through all six paths by doc_id % 6 x byte order x predictor, "
+    "through all seven paths by doc_id % 7 x byte order x predictor "
+    "(the [r12] CCITT G4 bilevel path included), "
     "then decodes through the codec registry to the same "
     "-(2^(8*ceil(split/4))) closed form the baseline TIFF oracle "
     "pins; any LZW timing, predictor, tile-grid, 16-bit scaling, "
@@ -63,7 +64,7 @@ def multimodal_tiff_extended(spark, sf_dir):
             rows = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                variant = did % 6
+                variant = did % 7
                 split = 8 + (4 * (did % 4) if variant == 5 else did % 16)
                 bo = "<" if did % 2 == 0 else ">"
                 pred = 2 if (did // 2) % 2 else 1
@@ -87,27 +88,33 @@ def multimodal_tiff_extended(spark, sf_dir):
                 elif variant == 2:  # tiled: none/LZW/Deflate
                     blob = encode_tiff_extended(
                         px, byte_order=bo,
-                        compression=(1, 5, 8)[(did // 6) % 3], tiled=True,
+                        compression=(1, 5, 8)[(did // 7) % 3], tiled=True,
                     )
                 elif variant == 3:  # 16-bit samples: none/Deflate
                     blob = encode_tiff_extended(
                         px, byte_order=bo,
-                        compression=(1, 8)[(did // 6) % 2], bits=16,
+                        compression=(1, 8)[(did // 7) % 2], bits=16,
                         rows_per_strip=9,
                     )
                 elif variant == 4:  # planar configuration 2
                     px3 = px if rgb else np.repeat(px[:, :, None], 3, axis=2)
                     blob = encode_tiff_extended(
                         px3, byte_order=bo,
-                        compression=(1, 5, 8)[(did // 6) % 3], planar=2,
-                        predictor=pred if (did // 6) % 3 else 1,
+                        compression=(1, 5, 8)[(did // 7) % 3], planar=2,
+                        predictor=pred if (did // 7) % 3 else 1,
                         rows_per_strip=5,
                     )
-                else:  # new-style JPEG-in-TIFF, strips and tiles
+                elif variant == 5:  # new-style JPEG-in-TIFF
                     px3 = px if rgb else np.repeat(px[:, :, None], 3, axis=2)
                     blob = encode_tiff_extended(
                         px3, byte_order=bo, compression=7,
-                        tiled=(did // 6) % 2 == 1, rows_per_strip=16,
+                        tiled=(did // 7) % 2 == 1, rows_per_strip=16,
+                    )
+                else:  # [r12] CCITT Group 4 bilevel (T.6 core)
+                    ink = np.zeros((32, 32), np.uint8)
+                    ink[:split] = 1  # black (ink) top -> dark rows
+                    blob = encode_tiff_extended(
+                        ink, byte_order=bo, compression=4,
                     )
                 rows.append(
                     {"media_id": did, "kind": "image", "payload": blob,
@@ -441,3 +448,74 @@ def multimodal_hevc_decode(spark, sf_dir):
     return d.mapInPandas(
         op, "doc_id long, ahash long, n_px long"
     ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_pdf_ccitt",
+    oracle="""
+        SELECT doc_id,
+               -CAST(POWER(2, 8 * (2 + doc_id % 5)) AS BIGINT) AS ahash,
+               CAST(32 AS INT) AS width,
+               CAST(32 AS INT) AS height
+        FROM documents WHERE doc_id < 40
+        ORDER BY doc_id
+    """,
+    tags=("B10", "multimodal", "document", "image"),
+    doc="PDF CCITTFaxDecode (Group 4) image extraction END-TO-END "
+    "with an ANALYTIC oracle (the [r12] T.6 core, real-libtiff pinned "
+    "both directions in tests/test_ccitt.py): per doc a PDF embeds a "
+    "32x32 bilevel fax XObject (ink mask: black top 4*(2 + doc_id%5) "
+    "rows, /K -1 /Columns /Rows DecodeParms); extract_pdf_images "
+    "routes it through the shared MMR decoder (PDF polarity: 0 bits "
+    "black when BlackIs1 is false) to a PPM whose aHash is the "
+    "-(2^(8*split/4)) closed form. Any T.4 code-table, mode-code, "
+    "b1/b2 tracking, or polarity defect flips it (operators/ccitt.py, "
+    "operators/pdf.py; ITU-T T.6, ISO 32000-1 §7.4.6).",
+)
+def multimodal_pdf_ccitt(spark, sf_dir):
+    import pandas as pd
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        with_average_hash,
+    )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 40).select("doc_id")
+
+    def op(batches):
+        import numpy as np
+
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.pdf import (
+            build_pdf,
+            extract_pdf_images,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                split = 4 * (2 + did % 5)
+                ink = np.zeros((32, 32), np.uint8)
+                ink[:split] = 1
+                blob = build_pdf(
+                    [f"fax {did}"], images=[{"rgb": ink, "filter": "g4"}]
+                )
+                imgs = extract_pdf_images(blob)
+                assert imgs and imgs[0]["fmt"] == "ppm", imgs
+                rows.append(
+                    {"media_id": did, "kind": "image",
+                     "payload": imgs[0]["payload"], "meta": None}
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    media = d.mapInPandas(op, MEDIA_SCHEMA)
+    return (
+        with_average_hash(media)
+        .select(
+            F.col("media_id").alias("doc_id"),
+            "ahash",
+            F.lit(32).alias("width"),
+            F.lit(32).alias("height"),
+        )
+        .orderBy("doc_id")
+    )

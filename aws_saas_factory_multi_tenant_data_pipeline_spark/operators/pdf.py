@@ -667,6 +667,26 @@ def build_pdf(
         ih, iw = rgb.shape[:2]
         cs = b"/DeviceGray" if gray else b"/DeviceRGB"
         filt = spec.get("filter", "flate")
+        if filt == "g4":
+            # bilevel CCITT Group 4 XObject: rgb is [h, w] 0/1 ink mask
+            from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.ccitt import (
+                g4_encode,
+            )
+
+            ink = (np.asarray(spec["rgb"]) > 0).astype(np.uint8)
+            gh, gw = ink.shape
+            data = g4_encode(ink)
+            image_nums.append(
+                add(
+                    b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+                    b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+                    b"/Filter /CCITTFaxDecode /DecodeParms << /K -1 "
+                    b"/Columns %d /Rows %d >> /Length %d >>\n"
+                    b"stream\n%s\nendstream"
+                    % (gw, gh, gw, gh, len(data), data)
+                )
+            )
+            continue
         if filt == "indexed":
             # Indexed-over-RGB with the palette in its own
             # FlateDecode-compressed stream object (the common real-PDF
@@ -917,6 +937,48 @@ def extract_pdf_images(payload: bytes) -> list[dict]:
                     data = zlib.decompress(data)
                 rec["fmt"] = "jpeg"
                 rec["payload"] = bytes(data)
+                out.append(rec)
+                continue
+            if filters and filters[-1] == _Name("CCITTFaxDecode"):
+                # [r12] Group 4 fax images (the shared T.6 core,
+                # real-libtiff pinned in tests/test_ccitt.py); K >= 0
+                # (G3) and EncodedByteAlign stay named skip rows
+                data = stream
+                for f in filters[:-1]:
+                    if f != _Name("FlateDecode"):
+                        raise ValueError(f"filter {f!r} before CCITTFaxDecode")
+                    data = zlib.decompress(data)
+                parms = doc.resolve(val.get("DecodeParms")) or {}
+                if isinstance(parms, list):
+                    parms = doc.resolve(parms[-1]) or {}
+                k = int(doc.resolve(parms.get("K", 0)) or 0)
+                if k >= 0:
+                    raise ValueError(
+                        "CCITTFaxDecode K >= 0 (Group 3) outside the "
+                        "declared scope"
+                    )
+                if doc.resolve(parms.get("EncodedByteAlign")):
+                    raise ValueError(
+                        "CCITTFaxDecode EncodedByteAlign outside the "
+                        "declared scope"
+                    )
+                cols = int(doc.resolve(parms.get("Columns", 1728)) or 1728)
+                black1 = bool(doc.resolve(parms.get("BlackIs1")))
+                from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.ccitt import (
+                    g4_decode,
+                )
+
+                bits = g4_decode(bytes(data), cols, int(h))
+                # PDF default (BlackIs1 false): decoded 0 bits are
+                # BLACK; our G4 core returns 1 = black
+                gray = ((1 - bits) if not black1 else bits) * 255
+                gray = gray.astype(np.uint8)[:, : int(w)]
+                if gray.shape[1] < int(w):
+                    raise ValueError("CCITT Columns narrower than /Width")
+                # 1-bit CCITT images are DeviceGray by construction
+                arr3 = np.repeat(gray[:, :, None], 3, axis=2)
+                rec["fmt"] = "ppm"
+                rec["payload"] = _ppm_p6(int(w), int(h), arr3.tobytes())
                 out.append(rec)
                 continue
             # every non-DCT filter chain routes through the shared

@@ -228,7 +228,7 @@ def decode_tiff(payload: bytes):
         raise ValueError(f"planar configuration {planar} outside the declared scope")
     if planar == 2 and comp == 7:
         raise ValueError("planar JPEG-in-TIFF outside the declared scope")
-    if comp not in (1, 5, 7, 8, 32773, 32946):
+    if comp not in (1, 4, 5, 7, 8, 32773, 32946):
         raise ValueError(f"TIFF compression {comp} outside the declared scope")
     predictor = _first(ifd.get(_T_PREDICTOR), 1)
     if predictor not in (1, 2):
@@ -236,6 +236,48 @@ def decode_tiff(payload: bytes):
     jpeg_tables = ifd.get(_T_JPEG_TABLES)
     if jpeg_tables is not None and not isinstance(jpeg_tables, (bytes, bytearray)):
         raise ValueError("malformed JPEGTables tag")
+    if comp == 4:
+        # [r12] CCITT Group 4 (T.6) bilevel fax — the shared MMR core
+        # (operators/ccitt.py, real-libtiff pinned); whole-strip coded
+        # blocks, 1-bit samples widened to 8 with stored = G4-black
+        # so the photometric branch below handles display polarity
+        if bits != [1] or spp != 1:
+            raise ValueError(
+                "G4 TIFF must be 1-bit single-sample (bilevel fax)"
+            )
+        if photo not in (0, 1):
+            raise ValueError("G4 TIFF with non-bilevel photometric")
+        if _T_TILE_WIDTH in ifd or _T_TILE_LENGTH in ifd:
+            raise ValueError("tiled G4 TIFF outside the declared scope")
+        if planar == 2:
+            raise ValueError("planar G4 TIFF outside the declared scope")
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.ccitt import (
+            g4_decode,
+        )
+
+        offsets = _int_list(ifd.get(_T_STRIP_OFFSETS), "strip offset")
+        counts = _int_list(ifd.get(_T_STRIP_BYTE_COUNTS), "strip byte-count")
+        if len(offsets) != len(counts):
+            raise ValueError("strip offset/count tables disagree")
+        rows_per_strip = _first(ifd.get(_T_ROWS_PER_STRIP), h)
+        rows_done = 0
+        parts = []
+        for si, (off, cnt) in enumerate(zip(offsets, counts)):
+            if off + cnt > len(payload):
+                raise ValueError(f"strip {si} out of range")
+            rows_here = min(rows_per_strip, h - rows_done)
+            if rows_here <= 0:
+                break
+            parts.append(
+                g4_decode(payload[off : off + cnt], w, rows_here)
+            )
+            rows_done += rows_here
+        if rows_done < h:
+            raise ValueError("G4 strips cover fewer rows than ImageLength")
+        gray = (np.concatenate(parts) * 255).astype(np.uint8)
+        if photo == 0:  # WhiteIsZero: stored 0 (G4 white) displays 255
+            gray = 255 - gray
+        return np.repeat(gray[:, :, None], 3, axis=2), w, h
     if all(b == 16 for b in bits) and comp != 7:
         # [r11] 16-bit samples (scientific/photo scans): decoded at
         # full width, scaled >>8 to the registry's 8-bit contract
@@ -574,6 +616,31 @@ def encode_tiff_extended(
     bo = byte_order
     if bo not in ("<", ">"):
         raise ValueError("byte_order must be '<' or '>'")
+    if compression == 4:
+        # [r12] G4 bilevel: pixels is an ink mask (nonzero = black),
+        # written photometric 0 (WhiteIsZero) single strip
+        if px.ndim != 2:
+            raise ValueError("G4 fixture needs a 2-D ink mask")
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.ccitt import (
+            g4_encode,
+        )
+
+        ink = (px > 0).astype(np.uint8)
+        strip = g4_encode(ink)
+        entries4 = []
+        for tag, typ, val in [(256, 4, w), (257, 4, h), (258, 3, 1),
+                              (259, 3, 4), (262, 3, 0), (273, 4, 8),
+                              (277, 3, 1), (278, 4, h),
+                              (279, 4, len(strip)), (284, 3, 1)]:
+            fmt = "I" if typ == 4 else "H"
+            entries4.append(
+                struct.pack(bo + "HHI", tag, typ, 1)
+                + struct.pack(bo + fmt, val).ljust(4, b"\x00")
+            )
+        ifd4 = struct.pack(bo + "H", len(entries4)) + b"".join(entries4)
+        ifd4 += struct.pack(bo + "I", 0)
+        magic = b"II*\x00" if bo == "<" else b"MM\x00*"
+        return magic + struct.pack(bo + "I", 8 + len(strip)) + strip + ifd4
     if compression not in (1, 5, 7, 8):
         raise ValueError("fixture compression must be 1/5/7/8")
     if bits not in (8, 16):

@@ -552,6 +552,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "video_hevc_probe",
     "multimodal_hevc_decode",
     "multimodal_pdf_ccitt",
+    "audio_ogg_tags",
 )
 
 

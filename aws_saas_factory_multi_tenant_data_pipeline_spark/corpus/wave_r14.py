@@ -519,3 +519,95 @@ def multimodal_pdf_ccitt(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "audio_ogg_tags",
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'vorbis' ELSE 'opus' END
+                   AS codec,
+               CAST(3 + doc_id % 3 AS INT) AS n_tags,
+               concat('track ', CAST(doc_id AS VARCHAR)) AS title,
+               CAST(doc_id % 3 = 2 AS BOOLEAN) AS had_geo,
+               CAST(1 AS INT) AS n_after_strip,
+               concat('track ', CAST(doc_id AS VARCHAR)) AS title_after
+        FROM documents WHERE doc_id < 64
+        ORDER BY doc_id
+    """,
+    tags=("B10", "multimodal", "audio", "privacy"),
+    doc="Ogg comment-metadata extraction + privacy strip END-TO-END "
+    "(the [r12] ID3-twin for the Ogg family — crawl pipelines need "
+    "tag extraction and PII stripping for Vorbis/Opus without a "
+    "transform decode, which stays the named boundary): per doc a "
+    "Vorbis-comment or OpusTags packet (vendor + TAG=value list, "
+    "Vorbis framing bit) with rotating tags incl. a GEO_LOCATION PII "
+    "tag every third doc; extract_ogg_tags walks real-CRC pages, "
+    "strip_ogg_tags rewrites the stream keeping only TITLE (audio "
+    "packets verbatim, fresh spec-exact CRCs) and the re-extract "
+    "proves the strip. Any lacing-reassembly, little-endian length, "
+    "UTF-8, framing-bit, or rewrite-CRC defect flips rows "
+    "(operators/ogg.py; Vorbis I §5, RFC 7845 §5.2).",
+)
+def audio_ogg_tags(spark, sf_dir):
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 64).select("doc_id")
+
+    def op(batches):
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.ogg import (
+            _comment_packet,
+            build_ogg,
+            build_opus_head,
+            build_vorbis_id_packet,
+            extract_ogg_tags,
+            strip_ogg_tags,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                codec = "vorbis" if did % 2 == 0 else "opus"
+                tags = [("TITLE", f"track {did}"),
+                        ("ARTIST", f"artist {did % 7}")]
+                if did % 3 == 2:
+                    tags.append(("GEO_LOCATION", f"52.{did},13.{did}"))
+                # pad to 3 + did % 3 tags total
+                while len(tags) < 3 + did % 3:
+                    tags.append((f"X{len(tags)}", "v" * (did % 9)))
+                ident = (build_vorbis_id_packet(2, 44100)
+                         if codec == "vorbis"
+                         else build_opus_head(2, 156, 48000))
+                comment = _comment_packet(codec, f"vendor-{did % 4}", tags)
+                blob = build_ogg(
+                    [ident, comment, b"pkt" * (40 + did % 50)],
+                    serial=did + 7,
+                    granules=[0, 0, 156 + 48000 if codec == "opus" else 44100],
+                )
+                meta = extract_ogg_tags(blob)
+                stripped = strip_ogg_tags(blob, keep=("TITLE",))
+                meta2 = extract_ogg_tags(stripped)
+                tag_d = dict(meta["tags"])
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "codec": meta["codec"],
+                        "n_tags": len(meta["tags"]),
+                        "title": tag_d.get("TITLE"),
+                        "had_geo": "GEO_LOCATION" in tag_d,
+                        "n_after_strip": len(meta2["tags"]),
+                        "title_after": dict(meta2["tags"]).get("TITLE"),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "codec", "n_tags", "title", "had_geo",
+                         "n_after_strip", "title_after"],
+            )
+
+    return d.mapInPandas(
+        op,
+        "doc_id long, codec string, n_tags int, title string, "
+        "had_geo boolean, n_after_strip int, title_after string",
+    ).orderBy("doc_id")

@@ -191,3 +191,108 @@ def build_vorbis_id_packet(channels: int, rate: int) -> bytes:
 def build_opus_head(channels: int, pre_skip: int, input_rate: int) -> bytes:
     return b"OpusHead" + struct.pack("<BBHIhB", 1, channels, pre_skip,
                                      input_rate, 0, 0)
+
+
+# --- comment headers (metadata) — the ID3 twin [r12] ------------------------
+
+
+def _all_packets(pages) -> tuple[list[bytes], list[int]]:
+    """Reassemble every packet of a single-serial page list; returns
+    (packets, granule per packet-ending page, -1 where none ends)."""
+    packets: list[bytes] = []
+    granules: list[int] = []
+    cur = bytearray()
+    for p in pages:
+        body = p["body"]
+        off = 0
+        for lv in p["lacing"]:
+            cur += body[off : off + lv]
+            off += lv
+            if lv < 255:
+                packets.append(bytes(cur))
+                granules.append(p["granule"])
+                cur = bytearray()
+    if cur:
+        raise ValueError("torn Ogg stream: unterminated final packet")
+    return packets, granules
+
+
+def _parse_comment_block(data: bytes, what: str) -> tuple[str, list]:
+    """vendor + TAG=value list (Vorbis I §5 comment layout, shared by
+    OpusTags after its 8-byte magic)."""
+    if len(data) < 8:
+        raise ValueError(f"torn {what} block")
+    (vlen,) = struct.unpack_from("<I", data, 0)
+    if 4 + vlen + 4 > len(data):
+        raise ValueError(f"torn {what} vendor string")
+    vendor = data[4 : 4 + vlen].decode("utf-8", "replace")
+    off = 4 + vlen
+    (n,) = struct.unpack_from("<I", data, off)
+    off += 4
+    if n > 1 << 16:
+        raise ValueError(f"{what} comment count out of range")
+    tags = []
+    for _ in range(n):
+        if off + 4 > len(data):
+            raise ValueError(f"torn {what} comment length")
+        (ln,) = struct.unpack_from("<I", data, off)
+        off += 4
+        if off + ln > len(data):
+            raise ValueError(f"torn {what} comment body")
+        item = data[off : off + ln].decode("utf-8", "replace")
+        off += ln
+        key, _, val = item.partition("=")
+        tags.append((key.upper(), val))
+    return vendor, tags
+
+
+def extract_ogg_tags(payload: bytes) -> dict:
+    """Extract the metadata block: Vorbis comment header (packet 2) or
+    OpusTags. Returns {codec, vendor, tags: [(KEY, value)...]}."""
+    probe = probe_ogg(payload)  # validates pages/CRCs/codec
+    pages = list(parse_ogg_pages(payload))
+    packets, _ = _all_packets(pages)
+    if len(packets) < 2:
+        raise ValueError("Ogg stream without a metadata packet")
+    meta = packets[1]
+    if probe["codec"] == "vorbis":
+        if meta[:7] != b"\x03vorbis":
+            raise ValueError("Vorbis comment header signature missing")
+        vendor, tags = _parse_comment_block(meta[7:], "Vorbis comment")
+    elif probe["codec"] == "opus":
+        if meta[:8] != b"OpusTags":
+            raise ValueError("OpusTags signature missing")
+        vendor, tags = _parse_comment_block(meta[8:], "OpusTags")
+    else:
+        raise ValueError(
+            f"Ogg {probe['codec']} metadata outside the declared scope"
+        )
+    return {"codec": probe["codec"], "vendor": vendor, "tags": tags}
+
+
+def _comment_packet(codec: str, vendor: str, tags: list) -> bytes:
+    head = b"\x03vorbis" if codec == "vorbis" else b"OpusTags"
+    vb = vendor.encode("utf-8")
+    out = bytearray(head)
+    out += struct.pack("<I", len(vb)) + vb
+    out += struct.pack("<I", len(tags))
+    for k, v in tags:
+        item = f"{k}={v}".encode("utf-8")
+        out += struct.pack("<I", len(item)) + item
+    if codec == "vorbis":
+        out += b"\x01"  # framing bit (Vorbis I §4.2.3)
+    return bytes(out)
+
+
+def strip_ogg_tags(payload: bytes, keep: tuple = ()) -> bytes:
+    """Privacy strip (the ID3-strip twin): rewrite the stream with the
+    comment packet replaced by an empty (or ``keep``-filtered) one —
+    audio packets ride through VERBATIM, pages re-laced with fresh
+    spec-exact CRCs."""
+    meta = extract_ogg_tags(payload)
+    pages = list(parse_ogg_pages(payload))
+    packets, granules = _all_packets(pages)
+    kept = [(k, v) for k, v in meta["tags"] if k in keep]
+    packets[1] = _comment_packet(meta["codec"], "", kept)
+    serial = pages[0]["serial"]
+    return build_ogg(packets, serial=serial, granules=granules)

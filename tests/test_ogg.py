@@ -117,3 +117,53 @@ def test_flac_in_ogg_streaminfo_offsets():
     assert out["sample_rate"] == 44100
     assert out["channels"] == 2
     assert out["duration_seconds"] == pytest.approx(960 / 44100)
+
+
+def test_ogg_tags_extract_strip_and_boundaries():
+    """[r12] Comment-metadata extraction + privacy strip: long
+    comment packets spanning 255-lacing pages, UTF-8, framing bit,
+    keep-filtering, torn/foreign contracts."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.ogg import (
+        _comment_packet,
+        extract_ogg_tags,
+        strip_ogg_tags,
+    )
+
+    big = "x" * 700  # comment packet > 255 bytes → lacing continuation
+    tags = [("TITLE", "tïtle ☃"), ("LYRICS", big), ("A", "b=c")]
+    blob = build_ogg(
+        [build_vorbis_id_packet(1, 8000), _comment_packet("vorbis", "v", tags),
+         b"audio" * 50],
+        granules=[0, 0, 16000],
+    )
+    m = extract_ogg_tags(blob)
+    assert m["tags"][0] == ("TITLE", "tïtle ☃")
+    assert m["tags"][1] == ("LYRICS", big)
+    assert m["tags"][2] == ("A", "b=c")  # value keeps its own '='
+    out = strip_ogg_tags(blob)
+    assert extract_ogg_tags(out)["tags"] == []
+    assert probe_ogg(out)["duration_seconds"] == 2.0
+    # wrong signature
+    bad = build_ogg(
+        [build_vorbis_id_packet(1, 8000), b"\x04vorbisnope", b"a"],
+        granules=[0, 0, 800],
+    )
+    with pytest.raises(ValueError, match="signature"):
+        extract_ogg_tags(bad)
+    # torn comment body
+    short = _comment_packet("vorbis", "v", [("T", "x" * 60)])[:-40]
+    torn = build_ogg(
+        [build_vorbis_id_packet(1, 8000), short, b"a"], granules=[0, 0, 800]
+    )
+    with pytest.raises(ValueError, match="torn"):
+        extract_ogg_tags(torn)
+    # FLAC-in-Ogg metadata: declared scope boundary
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.flac import (
+        encode_flac,
+    )
+
+    flac = encode_flac(np.zeros((480, 1), dtype=np.int64), 8000)
+    ident = b"\x7fFLAC" + bytes([1, 0]) + struct.pack(">H", 0) + flac[:42]
+    fblob = build_ogg([ident, b"meta"], granules=[0, 480])
+    with pytest.raises(ValueError, match="declared scope"):
+        extract_ogg_tags(fblob)

@@ -19,6 +19,13 @@ coerce int to float (fn_math failed r01 exactly there).
 
 Usage:  python tools/driver_sim.py [sf_dir] [query ...]
         python tools/driver_sim.py --head N [sf_dir]   # first N registry entries
+        python tools/driver_sim.py --changed-since REF [sf_dir]
+            # only queries touched since git REF: a query is selected if
+            # its defining corpus module changed, if its function source
+            # references a changed package module, or (transitively) if
+            # it wraps a touched component query (the pack convention) —
+            # the cheap re-verification loop for builder sessions; the
+            # full sweep still runs at round end (COVERAGE.md)
 """
 
 from __future__ import annotations
@@ -91,15 +98,70 @@ def strict_compare(sdf: pd.DataFrame, ddf: pd.DataFrame) -> str | None:
     return None
 
 
+def changed_queries(registry, ref: str) -> set:
+    """Queries touched since git ``ref`` (see module docstring)."""
+    import inspect
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        ["git", "diff", "--name-only", ref, "--", "*.py"],
+        cwd=repo, capture_output=True, text=True, check=True,
+    ).stdout.split()
+    changed_paths = {os.path.normpath(pth) for pth in out}
+    stems = {os.path.splitext(os.path.basename(pth))[0] for pth in changed_paths}
+    touched = set()
+    sources = {}
+    for name, spec in registry.items():
+        try:
+            mod_file = os.path.normpath(os.path.relpath(
+                inspect.getsourcefile(spec.spark_fn), repo))
+            sources[name] = inspect.getsource(spec.spark_fn) + (spec.oracle or "")
+        except (TypeError, OSError):
+            touched.add(name)  # can't inspect → be safe, re-run
+            continue
+        if mod_file in changed_paths:
+            touched.add(name)
+            continue
+        src = sources[name]
+        if any(f"operators.{st} " in src or f"operators.{st}\n" in src
+               or f"import {st}" in src or f"operators import {st}" in src
+               or f"{st} import" in src
+               for st in stems):
+            touched.add(name)
+    # transitive: packs reference component queries by name string
+    grew = True
+    while grew:
+        grew = False
+        for name, src in sources.items():
+            if name in touched:
+                continue
+            if any(f'"{t}"' in src for t in touched):
+                touched.add(name)
+                grew = True
+    return touched
+
+
 def main() -> int:
     argv = sys.argv[1:]
     head = None
+    since = None
     if argv and argv[0] == "--head":
         head = int(argv[1])
+        argv = argv[2:]
+    if argv and argv[0] == "--changed-since":
+        since = argv[1]
         argv = argv[2:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     registry = load_all()
+    if since is not None:
+        sel = changed_queries(registry, since)
+        only |= sel
+        print(f"--changed-since {since}: {len(sel)} touched queries")
+        if not sel:
+            print("nothing touched — 0 pass, 0 fail")
+            return 0
     unknown = sorted(only - set(registry))
     if unknown:
         print(f"unknown queries: {' '.join(unknown)}")

@@ -1285,6 +1285,18 @@ def sample_video_frames(
                     frames = extract_samples(data, tr, idxs)
                     avcc = tr.get("avcc") or {}
                     sps_l, pps_l = avcc.get("sps") or [], avcc.get("pps") or []
+                    hvcc = tr.get("hvcc")
+                    if hvcc and not sps_l:
+                        # [r12] HEVC tracks: the hvcC parameter sets ride
+                        # in the sps column as one Annex-B blob; the NAL
+                        # length size comes from the hvcC record
+                        sps_l = [
+                            b"".join(
+                                b"\x00\x00\x00\x01" + n
+                                for n in hvcc["param_sets"]
+                            )
+                        ]
+                        avcc = {"len_size": hvcc["nal_length_size"]}
                     for i, fb in zip(idxs, frames):
                         rows.append(
                             {
@@ -1383,6 +1395,7 @@ def mjpeg_frame_hashes(frames: DataFrame, hash_size: int = 8) -> DataFrame:
 
 #: MP4 sample-entry fourccs carrying H.264/AVC access units
 AVC_FOURCCS = ("avc1", "avc3", "h264", "H264")
+HEVC_FOURCCS = ("hvc1", "hev1")
 
 
 def avc_frame_hashes(frames: DataFrame, hash_size: int = 8) -> DataFrame:
@@ -1432,6 +1445,69 @@ def avc_frame_hashes(frames: DataFrame, hash_size: int = 8) -> DataFrame:
                             pdf["frame_bytes"],
                             pdf["sps"],
                             pdf["pps"],
+                            pdf["nal_len_size"],
+                        )
+                    ],
+                }
+            )
+            yield out[cols]
+
+    return frames.mapInPandas(op, FRAME_HASH_SCHEMA)
+
+
+def hevc_frame_hashes(frames: DataFrame, hash_size: int = 8) -> DataFrame:
+    """[r12] Decode HEVC KEYFRAMES end-to-end — the H.265 twin of
+    :func:`avc_frame_hashes`: for hvc1/hev1 tracks each sync sample
+    from :func:`sample_video_frames` is an IRAP access unit
+    (length-prefixed NALs; the hvcC parameter sets ride in the sps
+    column as an Annex-B blob), converted via hvcc_sample_to_annexb
+    and decoded by the intra decoder in ``operators/hevc_decode.py``
+    (libde265-bit-exact in tests), then aHashed. Non-keyframes,
+    non-HEVC codecs, and out-of-scope/torn frames yield NULL hashes —
+    declared boundaries stay per-row visible. Arrow pass,
+    partition-preserving."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.hevc import (
+        hvcc_sample_to_annexb,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.hevc_decode import (
+        decode_hevc_intra,
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = [f.name for f in FRAME_HASH_SCHEMA.fields]
+        for pdf in batches:
+            def h(row):
+                codec, key, fb, sps, lsz = row
+                if codec not in HEVC_FOURCCS or fb is None or not key:
+                    return None
+                if sps is None:
+                    return None
+                try:
+                    annexb = bytes(sps) + hvcc_sample_to_annexb(
+                        bytes(fb),
+                        int(lsz) if lsz is not None and lsz == lsz else 4,
+                    )
+                    y, _u, _v = decode_hevc_intra(annexb, max_frames=1)[0]
+                    px = np.repeat(y[:, :, None], 3, axis=2)
+                    return _ahash_pixels(px, y.shape[1], y.shape[0],
+                                         hash_size)
+                except Exception:
+                    return None
+
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "is_keyframe": pdf["is_keyframe"],
+                    "ahash": [
+                        h(r)
+                        for r in zip(
+                            pdf["codec"],
+                            pdf["is_keyframe"],
+                            pdf["frame_bytes"],
+                            pdf["sps"],
                             pdf["nal_len_size"],
                         )
                     ],

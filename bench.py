@@ -62,6 +62,8 @@ HEADLINE = [
     # libwebp on the real python.webp) + H.264 CABAC I-slice twins
     "multimodal_vp8_decode",      # B10 RIFF/VP8 lossy -> decode -> aHash
     "multimodal_h264_cabac",      # B10 CAVLC/CABAC twin decode match
+    "multimodal_hevc_decode",     # B10 [r12] HEVC intra encode -> decode -> aHash
+    "multimodal_pdf_ccitt",       # B10 [r12] PDF G4 fax extract -> aHash
 ]
 
 
@@ -352,7 +354,6 @@ def main() -> None:
         # these are the steady-state engine speeds — compare LIKE WITH
         # LIKE across rounds). Key kept from r10 ("top3") so readers
         # diffing BENCH_r10 → r11 see one series; the set is top-5 now.
-        "isolated_top3": isolated,
         "isolated_top5": isolated,
         "loadavg_before": loadavg_before,
         "loadavg_after": loadavg_after,

@@ -195,3 +195,63 @@ def test_fixture_encoder_decodes_identically_in_libde265_and_ours():
         # fixture-quality sanity (DC-only prediction): tracks the
         # source within quantization error on average
         assert mean_err <= 3 + qp / 2, (kind, qp, mean_err)
+
+
+def test_hevc_mp4_keyframe_decode_chain(spark):
+    """[r12] The container→decode chain: an hvc1 MP4 built around the
+    fixture encoder's IRAP samples flows through sample_video_frames
+    (hvcC parameter sets in the sps column) and hevc_frame_hashes to
+    per-keyframe aHashes equal to direct-decode hashes."""
+    import struct
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.h264 import (
+        split_annexb_raw,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.hevc_enc import (
+        encode_hevc_intra,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.mp4 import (
+        build_minimal_mp4,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        _ahash_pixels,
+        hevc_frame_hashes,
+        sample_video_frames,
+    )
+    frames = []
+    for s in range(3):
+        y = ((np.arange(48)[:, None] + np.arange(64)[None, :]) * (s + 2)
+             % 256).astype(np.uint8)
+        u = np.full((24, 32), 100 + s, np.uint8)
+        v = np.full((24, 32), 140, np.uint8)
+        frames.append((y, u, v))
+    bs = encode_hevc_intra(frames, qp=26)
+    nals = split_annexb_raw(bs)
+    psets = [n for n in nals if (n[0] >> 1) & 0x3F >= 32]
+    slices = [n for n in nals if (n[0] >> 1) & 0x3F < 32]
+    samples = [struct.pack(">I", len(n)) + n for n in slices]
+    body = bytearray(b"\x01" + b"\x00" * 20 + bytes([0xFC | 3, len(psets)]))
+    for u_ in psets:
+        body += bytes([(u_[0] >> 1) & 0x3F])
+        body += struct.pack(">HH", 1, len(u_)) + u_
+    hvcc = struct.pack(">I", len(body) + 8) + b"hvcC" + bytes(body)
+    mp4 = build_minimal_mp4(samples, width=64, height=48, codec=b"hvc1",
+                            keyframes=[1, 2, 3], config_box=hvcc)
+
+    expect = []
+    for y, _u, _v in (f for f in decode_hevc_intra(bs)):
+        px = np.repeat(y[:, :, None], 3, axis=2)
+        expect.append(_ahash_pixels(px, 64, 48))
+
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(mp4), None)],
+        "media_id long, kind string, payload binary, meta string",
+    )
+    out = (
+        hevc_frame_hashes(sample_video_frames(media, keyframes_only=True))
+        .orderBy("frame_idx")
+        .collect()
+    )
+    assert [r.frame_idx for r in out] == [0, 1, 2]
+    assert all(r.is_keyframe for r in out)
+    assert [r.ahash for r in out] == expect

@@ -5,9 +5,11 @@ inverse transforms §8.6, residual coding §7.3.8.11/§9.3.4.2).
 
 Scope (declared, the H.264/VP8 convention): intra-only IRAP pictures
 (IDR/CRA/BLA I-slices), 8-bit 4:2:0, one slice segment per picture,
-in-loop filters OFF in-stream (slice_deblocking_filter_disabled +
-no SAO — streams with the filters enabled raise a NAMED error, not
-wrong pixels), no tiles/WPP/dependent slices, no scaling lists, no
+BOTH in-loop filters IN SCOPE — deblocking (§8.7.2; intra pictures:
+every edge bS = 2; β/tC tables extraction-verified against libde265)
+and SAO (§8.7.3: band + all four edge classes, CTU merge flags) — so
+DEFAULT-toolset x265 intra streams decode bit-exact. No
+tiles/WPP/dependent slices, no scaling lists, no
 transform-skip, no PCM, no transquant bypass, no cu_qp_delta, no
 sign-data-hiding. Everything in scope decodes BIT-EXACT against the
 system libde265 (ctypes ground truth, tests/test_hevc_decode.py) on
@@ -211,12 +213,14 @@ def parse_pps_intra(rbsp: bytes) -> dict:
     pps["deblocking_control_present"] = b.u(1)
     pps["deblocking_override_enabled"] = 0
     pps["deblocking_disabled"] = 0
+    pps["beta_offset_div2"] = 0
+    pps["tc_offset_div2"] = 0
     if pps["deblocking_control_present"]:
         pps["deblocking_override_enabled"] = b.u(1)
         pps["deblocking_disabled"] = b.u(1)
         if not pps["deblocking_disabled"]:
-            b.se()
-            b.se()
+            pps["beta_offset_div2"] = b.se()
+            pps["tc_offset_div2"] = b.se()
     if b.u(1):  # pps_scaling_list_data_present
         raise ValueError("HEVC PPS scaling lists outside the declared scope")
     pps["lists_modification"] = b.u(1)
@@ -226,11 +230,6 @@ def parse_pps_intra(rbsp: bytes) -> dict:
         raise ValueError("HEVC transform_skip outside the declared scope")
     if pps["transquant_bypass"]:
         raise ValueError("HEVC transquant bypass outside the declared scope")
-    if pps["sign_data_hiding"]:
-        raise ValueError(
-            "HEVC sign data hiding outside the declared scope "
-            "(encode with it disabled)"
-        )
     if pps["cu_qp_delta_enabled"]:
         raise ValueError(
             "HEVC cu_qp_delta outside the declared scope (CQP streams only)"
@@ -274,13 +273,10 @@ def parse_slice_header_intra(rbsp: bytes, nal_type: int, sps: dict,
         # long-term/temporal-mvp: absent in scope (flags off in SPS)
         if sps["temporal_mvp"]:
             b.u(1)
+    sao_luma = sao_chroma = 0
     if sps["sao_enabled"]:
         sao_luma = b.u(1)
         sao_chroma = b.u(1)
-        if sao_luma or sao_chroma:
-            raise ValueError(
-                "HEVC SAO-filtered slices outside the declared scope"
-            )
     qp = pps["init_qp"] + b.se()
     if not 0 <= qp <= 51:
         raise ValueError(f"HEVC slice QP {qp} out of range")
@@ -289,19 +285,18 @@ def parse_slice_header_intra(rbsp: bytes, nal_type: int, sps: dict,
         cb_off = b.se()
         cr_off = b.se()
     deblock_disabled = pps["deblocking_disabled"]
+    beta_off = pps["beta_offset_div2"]
+    tc_off = pps["tc_offset_div2"]
     if pps["deblocking_control_present"] and pps["deblocking_override_enabled"]:
         if b.u(1):  # deblocking_filter_override_flag
             deblock_disabled = b.u(1)
             if not deblock_disabled:
-                b.se()
-                b.se()
-    if not deblock_disabled:
-        raise ValueError(
-            "HEVC deblocking-filtered slices outside the declared scope "
-            "(encode with the in-loop filter disabled)"
-        )
-    if pps["loop_filter_across_slices"]:
-        pass  # flag absent: no SAO and deblocking disabled
+                beta_off = b.se()
+                tc_off = b.se()
+    if pps["loop_filter_across_slices"] and (
+        sao_luma or sao_chroma or not deblock_disabled
+    ):
+        b.u(1)  # slice_loop_filter_across_slices_enabled_flag
     if pps["slice_header_extension"]:
         n = b.ue()
         for _ in range(n):
@@ -314,6 +309,9 @@ def parse_slice_header_intra(rbsp: bytes, nal_type: int, sps: dict,
             raise ValueError("HEVC slice header alignment not zero-padded")
     return {"qp": qp, "cb_qp_offset": pps["cb_qp_offset"] + cb_off,
             "cr_qp_offset": pps["cr_qp_offset"] + cr_off,
+            "deblock": not deblock_disabled,
+            "sao_luma": sao_luma, "sao_chroma": sao_chroma,
+            "beta_offset_div2": beta_off, "tc_offset_div2": tc_off,
             "data_pos": b.pos}
 
 
@@ -329,6 +327,8 @@ def parse_slice_header_intra(rbsp: bytes, nal_type: int, sps: dict,
 # extraction-verified against libde265's rodata (stride-4 int32).
 
 INIT_I = {
+    "sao_merge": (153,),
+    "sao_type": (200,),
     "split_cu": (139, 141, 157),
     "part_mode": (184,),
     "prev_intra_luma": (184,),
@@ -770,7 +770,7 @@ def _read_remaining(c: HevcCabac, rice: int) -> int:
 
 
 def _decode_residual(c: HevcCabac, log2n: int, c_idx: int,
-                     scan_idx: int) -> np.ndarray:
+                     scan_idx: int, sdh: bool = False) -> np.ndarray:
     n = 1 << log2n
     luma = c_idx == 0
     # last significant coefficient position
@@ -855,9 +855,15 @@ def _decode_residual(c: HevcCabac, log2n: int, c_idx: int,
         gt2_idx = next((j for j, g in enumerate(gt1) if g), None)
         if gt2_idx is not None:
             gt2 = c.decision("gt2", (0 if luma else 4) + ctx_set)
-        signs = [c.bypass() for _ in sig_pos]
+        # sign data hiding (§8.6.2/7.3.8.11): when enabled and the
+        # subblock's sig span exceeds 3 scan positions, the sign of
+        # the LAST-parsed coefficient (lowest scan position) is not
+        # coded — it is the parity of the subblock's absolute sum
+        hidden = sdh and (sig_pos[0] - sig_pos[-1]) > 3
+        signs = [c.bypass() for _ in range(len(sig_pos) - (1 if hidden else 0))]
         rice = 0
         first2 = 1
+        levels = []
         for j, sp in enumerate(sig_pos):
             lvl = 1
             if j < len(gt1):
@@ -871,8 +877,14 @@ def _decode_residual(c: HevcCabac, log2n: int, c_idx: int,
                     rice = min(rice + 1, 4)
             if lvl >= 2:
                 first2 = 0
+            levels.append(lvl)
+        if hidden:
+            signs.append(1 if sum(levels) & 1 else 0)
+        for j, sp in enumerate(sig_pos):
             xin, yin = inner[sp]
-            coefs[(sby << 2) + yin, (sbx << 2) + xin] = -lvl if signs[j] else lvl
+            coefs[(sby << 2) + yin, (sbx << 2) + xin] = (
+                -levels[j] if signs[j] else levels[j]
+            )
     return coefs
 
 
@@ -910,12 +922,120 @@ class _FrameDecoder:
         # CU's samples are reconstructed — tracked separately from the
         # reconstruction-time sample availability grid
         self.mode_avail = np.zeros_like(self.avail_y)
+        self.sdh = bool(pps["sign_data_hiding"])
+        self.hdr = hdr
+        # TU-edge grids for the deblocking filter (4-sample cells)
+        self.edge_v_y = np.zeros_like(self.avail_y)
+        self.edge_h_y = np.zeros_like(self.avail_y)
+        self.edge_v_c = np.zeros_like(self.avail_c)
+        self.edge_h_c = np.zeros_like(self.avail_c)
         self.cabac = HevcCabac(rbsp, hdr["data_pos"], self.qp)
+
+    def _parse_sao(self, ctb_x, ctb_y):
+        """§7.3.8.3: per-CTU SAO parameters (merge or explicit).
+        Returns [ [type, offsets(4), band_pos_or_eo_class] per cIdx ]."""
+        c = self.cabac
+        hdr = self.hdr
+        if ctb_x > 0 and c.decision("sao_merge", 0):
+            return self.sao_params[ctb_y][ctb_x - 1]
+        if ctb_y > 0 and c.decision("sao_merge", 0):
+            return self.sao_params[ctb_y - 1][ctb_x]
+        out = []
+        for c_idx in range(3):
+            if (c_idx == 0 and not hdr["sao_luma"]) or (
+                c_idx > 0 and not hdr["sao_chroma"]
+            ):
+                out.append((0, (0, 0, 0, 0), 0))
+                continue
+            if c_idx == 2:
+                typ = out[1][0]  # cr shares cb's type
+            else:
+                if c.decision("sao_type", 0):
+                    typ = 1 + c.bypass()
+                else:
+                    typ = 0
+            if typ == 0:
+                out.append((0, (0, 0, 0, 0), 0))
+                continue
+            offs = []
+            for _ in range(4):
+                v = 0
+                while v < 7 and c.bypass():
+                    v += 1
+                offs.append(v)
+            if typ == 1:  # band: explicit signs + band position
+                offs = [
+                    (-v if (v and c.bypass()) else v) for v in offs
+                ]
+                extra = c.bypass_bits(5)
+            else:  # edge: categories 1,2 positive / 3,4 negative
+                offs = [offs[0], offs[1], -offs[2], -offs[3]]
+                if c_idx == 2:
+                    extra = out[1][2]  # cr shares cb's EO class
+                else:
+                    extra = c.bypass_bits(2)
+            out.append((typ, tuple(offs), extra))
+        return out
+
+    def _apply_sao(self):
+        """§8.7.3 on the deblocked picture: per CTB, per component,
+        band or edge offsets; output into fresh planes so every
+        neighbor read sees pre-SAO samples."""
+        ctb = 1 << self.sps["log2_ctb"]
+        neigh = {0: (0, -1), 1: (-1, 0), 2: (-1, -1), 3: (-1, 1)}
+        for pi in range(3):
+            src = self.planes[pi]
+            dst = src.copy()
+            shift = 1 if pi else 0
+            h, w = src.shape
+            for cy, row in enumerate(self.sao_params):
+                for cx, params in enumerate(row):
+                    typ, offs, extra = params[pi]
+                    if typ == 0:
+                        continue
+                    x0 = (cx * ctb) >> shift
+                    y0 = (cy * ctb) >> shift
+                    x1 = min(w, ((cx + 1) * ctb) >> shift)
+                    y1 = min(h, ((cy + 1) * ctb) >> shift)
+                    blk = src[y0:y1, x0:x1].astype(np.int32)
+                    if typ == 1:  # band offset
+                        band = blk >> 3
+                        res = blk.copy()
+                        for k in range(4):
+                            res[band == ((extra + k) & 31)] += offs[k]
+                        dst[y0:y1, x0:x1] = np.clip(res, 0, 255)
+                    else:  # edge offset
+                        dy, dx = neigh[extra]
+                        ys, xs = np.mgrid[y0:y1, x0:x1]
+                        n0y, n0x = ys + dy, xs + dx
+                        n1y, n1x = ys - dy, xs - dx
+                        ok = (
+                            (n0y >= 0) & (n0y < h) & (n0x >= 0) & (n0x < w)
+                            & (n1y >= 0) & (n1y < h) & (n1x >= 0) & (n1x < w)
+                        )
+                        n0 = src[np.clip(n0y, 0, h - 1), np.clip(n0x, 0, w - 1)].astype(np.int32)
+                        n1 = src[np.clip(n1y, 0, h - 1), np.clip(n1x, 0, w - 1)].astype(np.int32)
+                        idx = 2 + np.sign(blk - n0) + np.sign(blk - n1)
+                        res = blk.copy()
+                        # edgeIdx→category: {0:1, 1:2, 2:none, 3:3, 4:4}
+                        for eidx, k in ((0, 0), (1, 1), (3, 2), (4, 3)):
+                            sel = ok & (idx == eidx)
+                            res[sel] += offs[k]
+                        dst[y0:y1, x0:x1] = np.clip(res, 0, 255)
+            self.planes[pi] = dst
 
     def decode(self):
         ctb = 1 << self.sps["log2_ctb"]
+        n_cols = (self.w + ctb - 1) // ctb
+        n_rows = (self.h + ctb - 1) // ctb
+        use_sao = bool(self.hdr.get("sao_luma") or self.hdr.get("sao_chroma"))
+        self.sao_params = [[None] * n_cols for _ in range(n_rows)]
         for y0 in range(0, self.h, ctb):
             for x0 in range(0, self.w, ctb):
+                if use_sao:
+                    self.sao_params[y0 // ctb][x0 // ctb] = self._parse_sao(
+                        x0 // ctb, y0 // ctb
+                    )
                 self._coding_quadtree(x0, y0, self.sps["log2_ctb"], 0)
                 last = x0 + ctb >= self.w and y0 + ctb >= self.h
                 end = self.cabac.terminate()
@@ -924,6 +1044,17 @@ class _FrameDecoder:
                         "HEVC end_of_slice_segment_flag mismatch "
                         "(desynced CABAC or truncated slice)"
                     )
+        if self.hdr.get("deblock"):
+            bo = self.hdr["beta_offset_div2"]
+            to = self.hdr["tc_offset_div2"]
+            _deblock_plane(self.planes[0], self.edge_v_y, self.edge_h_y,
+                           self.qp, bo, to, luma=True)
+            _deblock_plane(self.planes[1], self.edge_v_c, self.edge_h_c,
+                           self.qp_cb, bo, to, luma=False)
+            _deblock_plane(self.planes[2], self.edge_v_c, self.edge_h_c,
+                           self.qp_cr, bo, to, luma=False)
+        if use_sao:
+            self._apply_sao()
         return (
             np.clip(self.planes[0], 0, 255).astype(np.uint8),
             np.clip(self.planes[1], 0, 255).astype(np.uint8),
@@ -1098,7 +1229,8 @@ class _FrameDecoder:
         res = None
         if cbf_luma:
             res = _decode_residual(
-                self.cabac, log2n, 0, self._scan_for(log2n, 0, mode)
+                self.cabac, log2n, 0, self._scan_for(log2n, 0, mode),
+                self.sdh,
             )
         self._reconstruct(0, x0, y0, log2n, mode, res, self.qp)
         if log2n > 2:
@@ -1111,10 +1243,12 @@ class _FrameDecoder:
     def _chroma_unit(self, cx, cy, clog2, chroma_mode, cbf_cb, cbf_cr):
         scan = self._scan_for(clog2, 1, chroma_mode)
         res_cb = (
-            _decode_residual(self.cabac, clog2, 1, scan) if cbf_cb else None
+            _decode_residual(self.cabac, clog2, 1, scan, self.sdh)
+            if cbf_cb else None
         )
         res_cr = (
-            _decode_residual(self.cabac, clog2, 2, scan) if cbf_cr else None
+            _decode_residual(self.cabac, clog2, 2, scan, self.sdh)
+            if cbf_cr else None
         )
         self._reconstruct(1, cx, cy, clog2, chroma_mode, res_cb, self.qp_cb)
         self._reconstruct(2, cx, cy, clog2, chroma_mode, res_cr, self.qp_cr)
@@ -1136,6 +1270,12 @@ class _FrameDecoder:
         h = min(n, plane.shape[0] - y0)
         w = min(n, plane.shape[1] - x0)
         plane[y0 : y0 + h, x0 : x0 + w] = np.clip(pred[:h, :w], 0, 255)
+        if plane_idx == 0:
+            ev, eh = self.edge_v_y, self.edge_h_y
+        else:
+            ev, eh = self.edge_v_c, self.edge_h_c
+        ev[y0 >> 2 : (y0 + h + 3) >> 2, x0 >> 2] = True
+        eh[y0 >> 2, x0 >> 2 : (x0 + w + 3) >> 2] = True
         if plane_idx != 1:  # luma, or cr (chroma marked once, after cr)
             avail[y0 >> 2 : (y0 + n + 3) >> 2, x0 >> 2 : (x0 + n + 3) >> 2][
                 : (h + 3) >> 2, : (w + 3) >> 2
@@ -1196,3 +1336,141 @@ def _decode_hevc_inner(stream: bytes, max_frames):
     if not frames:
         raise ValueError("HEVC stream contains no IRAP slice")
     return frames
+
+
+# --- deblocking filter (§8.7.2) — intra pictures: every edge bS = 2 --------
+
+_BETA_TABLE = (
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 6, 7, 8, 9, 10,
+    11, 12, 13, 14, 15, 16, 17, 18, 20, 22, 24, 26, 28, 30, 32, 34,
+    36, 38, 40, 42, 44, 46, 48, 50, 52, 54, 56, 58, 60, 62, 64,
+)
+_TC_TABLE = (
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 5, 5, 6, 6,
+    7, 8, 9, 10, 11, 13, 14, 16, 18, 20, 22, 24,
+)
+
+
+def _clip1(v):
+    return 0 if v < 0 else (255 if v > 255 else int(v))
+
+
+def _filter_luma_segment(get, put, qp, beta_off, tc_off):
+    """One 4-line luma edge segment. ``get(i, k)`` reads sample k of
+    line i where k = 0..7 maps p3,p2,p1,p0,q0,q1,q2,q3; ``put``
+    writes back. bS = 2 (intra)."""
+    beta = _BETA_TABLE[min(51, max(0, qp + (beta_off << 1)))]
+    tc = _TC_TABLE[min(53, max(0, qp + 2 + (tc_off << 1)))]
+    if beta == 0 and tc == 0:
+        return
+    p = [[get(i, 3 - j) for j in range(4)] for i in range(4)]  # p0..p3
+    q = [[get(i, 4 + j) for j in range(4)] for i in range(4)]
+    dp0 = abs(p[0][2] - 2 * p[0][1] + p[0][0])
+    dp3 = abs(p[3][2] - 2 * p[3][1] + p[3][0])
+    dq0 = abs(q[0][2] - 2 * q[0][1] + q[0][0])
+    dq3 = abs(q[3][2] - 2 * q[3][1] + q[3][0])
+    dpq0 = dp0 + dq0
+    dpq3 = dp3 + dq3
+    d = dpq0 + dpq3
+    if d >= beta:
+        return
+    strong = True
+    for dpq, i in ((dpq0, 0), (dpq3, 3)):
+        if not (
+            2 * dpq < (beta >> 2)
+            and abs(p[i][3] - p[i][0]) + abs(q[i][0] - q[i][3]) < (beta >> 3)
+            and abs(p[i][0] - q[i][0]) < ((5 * tc + 1) >> 1)
+        ):
+            strong = False
+            break
+    if strong:
+        for i in range(4):
+            p0, p1, p2, p3 = p[i]
+            q0, q1, q2, q3 = q[i]
+            lo, hi = -2 * tc, 2 * tc
+            np0 = p0 + max(lo, min(hi, ((p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3) - p0))
+            np1 = p1 + max(lo, min(hi, ((p2 + p1 + p0 + q0 + 2) >> 2) - p1))
+            np2 = p2 + max(lo, min(hi, ((2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3) - p2))
+            nq0 = q0 + max(lo, min(hi, ((q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3) - q0))
+            nq1 = q1 + max(lo, min(hi, ((q2 + q1 + q0 + p0 + 2) >> 2) - q1))
+            nq2 = q2 + max(lo, min(hi, ((2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3) - q2))
+            for k, v in ((1, np2), (2, np1), (3, np0), (4, nq0), (5, nq1), (6, nq2)):
+                put(i, k, _clip1(v))
+        return
+    dep = (dp0 + dp3) < ((beta + (beta >> 1)) >> 3)
+    deq = (dq0 + dq3) < ((beta + (beta >> 1)) >> 3)
+    for i in range(4):
+        p0, p1, p2, _p3 = p[i]
+        q0, q1, q2, _q3 = q[i]
+        delta = (9 * (q0 - p0) - 3 * (q1 - p1) + 8) >> 4
+        if abs(delta) >= tc * 10:
+            continue
+        delta = max(-tc, min(tc, delta))
+        put(i, 3, _clip1(p0 + delta))
+        put(i, 4, _clip1(q0 - delta))
+        half = tc >> 1
+        if dep:
+            dp = max(-half, min(half, (((p2 + p0 + 1) >> 1) - p1 + delta) >> 1))
+            put(i, 2, _clip1(p1 + dp))
+        if deq:
+            dq = max(-half, min(half, (((q2 + q0 + 1) >> 1) - q1 - delta) >> 1))
+            put(i, 5, _clip1(q1 + dq))
+
+
+def _filter_chroma_segment(get, put, qp_c, tc_off):
+    """One 4-line chroma edge segment (bS = 2: p0/q0 only)."""
+    tc = _TC_TABLE[min(53, max(0, qp_c + 2 + (tc_off << 1)))]
+    if tc == 0:
+        return
+    for i in range(4):
+        p1, p0, q0, q1 = get(i, 2), get(i, 3), get(i, 4), get(i, 5)
+        delta = (((q0 - p0) << 2) + p1 - q1 + 4) >> 3
+        delta = max(-tc, min(tc, delta))
+        put(i, 3, _clip1(p0 + delta))
+        put(i, 4, _clip1(q0 - delta))
+
+
+def _deblock_plane(plane, edge_v, edge_h, qp, beta_off, tc_off, luma: bool):
+    """§8.7.2 two-pass filter. ``edge_v[y4, x4]`` marks a vertical TU
+    edge at sample column x4*4 covering rows y4*4..y4*4+3 (same idea
+    for edge_h). Luma filters the 8-grid; chroma its own 8-grid."""
+    h, w = plane.shape
+    grid = 8
+    # vertical edges
+    for x in range(grid, w, grid):
+        for y0 in range(0, h, 4):
+            if not edge_v[y0 >> 2, x >> 2]:
+                continue
+            seg = plane[y0 : y0 + 4]
+            if seg.shape[0] < 4:
+                continue
+
+            def get(i, k, seg=seg, x=x):
+                return int(seg[i, x - 4 + k])
+
+            def put(i, k, v, seg=seg, x=x):
+                seg[i, x - 4 + k] = v
+
+            if luma:
+                _filter_luma_segment(get, put, qp, beta_off, tc_off)
+            else:
+                _filter_chroma_segment(get, put, qp, tc_off)
+    # horizontal edges (on the vertical pass's output)
+    for y in range(grid, h, grid):
+        for x0 in range(0, w, 4):
+            if not edge_h[y >> 2, x0 >> 2]:
+                continue
+            if x0 + 4 > w:
+                continue
+
+            def get(i, k, y=y, x0=x0):
+                return int(plane[y - 4 + k, x0 + i])
+
+            def put(i, k, v, y=y, x0=x0):
+                plane[y - 4 + k, x0 + i] = v
+
+            if luma:
+                _filter_luma_segment(get, put, qp, beta_off, tc_off)
+            else:
+                _filter_chroma_segment(get, put, qp, tc_off)

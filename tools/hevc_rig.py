@@ -66,9 +66,11 @@ def encode_intra(
     extra: dict | None = None,
 ) -> bytes:
     """Encode 4:2:0 frames (y, u, v uint8 arrays) as an all-intra
-    Annex-B stream with the in-scope toolset: no deblock, no SAO, no
-    sign hiding, no WPP, single frame thread. Returns the full
-    bitstream (headers repeated before the first IDR)."""
+    Annex-B stream with x265's DEFAULT in-loop toolset (deblocking +
+    SAO + sign hiding all ON — in scope since r12's second wave); only
+    structural knobs are pinned: all-intra, single frame thread, no
+    WPP, aq-mode 0 (cu_qp_delta is the remaining named boundary).
+    Returns the full bitstream (headers before the first IDR)."""
     lib = x265_lib()
     if lib is None:
         raise RuntimeError("no system libx265")
@@ -83,17 +85,17 @@ def encode_intra(
         b"bframes": b"0",
         b"frame-threads": b"1",
         b"no-wpp": None,
-        b"no-deblock": None,
-        b"no-sao": None,
-        b"no-signhide": None,
+        b"aq-mode": b"0",
         b"qp": str(qp).encode(),
         b"repeat-headers": None,
         b"no-info": None,
     }
     for k, v in (extra or {}).items():
-        opts[k if isinstance(k, bytes) else k.encode()] = (
-            v if (v is None or isinstance(v, bytes)) else str(v).encode()
-        )
+        kk = k if isinstance(k, bytes) else k.encode()
+        if v is False:  # remove a default knob (e.g. swap qp for crf)
+            opts.pop(kk, None)
+            continue
+        opts[kk] = v if (v is None or isinstance(v, bytes)) else str(v).encode()
     for k, v in opts.items():
         r = lib.x265_param_parse(p, k, v)
         if r != 0:

@@ -9,7 +9,8 @@ BOTH in-loop filters IN SCOPE — deblocking (§8.7.2; intra pictures:
 every edge bS = 2; β/tC tables extraction-verified against libde265)
 and SAO (§8.7.3: band + all four edge classes, CTU merge flags) — so
 DEFAULT-toolset x265 intra streams decode bit-exact. No
-tiles/WPP/dependent slices, no scaling lists, no
+tiles/WPP/dependent slices (cu_qp_delta IS in
+scope — adaptive-quant streams decode), no scaling lists, no
 transform-skip, no PCM, no transquant bypass, no cu_qp_delta, no
 sign-data-hiding. Everything in scope decodes BIT-EXACT against the
 system libde265 (ctypes ground truth, tests/test_hevc_decode.py) on
@@ -197,8 +198,7 @@ def parse_pps_intra(rbsp: bytes) -> dict:
     pps["constrained_intra_pred"] = b.u(1)
     pps["transform_skip"] = b.u(1)
     pps["cu_qp_delta_enabled"] = b.u(1)
-    if pps["cu_qp_delta_enabled"]:
-        pps["diff_cu_qp_delta_depth"] = b.ue()
+    pps["diff_cu_qp_delta_depth"] = b.ue() if pps["cu_qp_delta_enabled"] else 0
     pps["cb_qp_offset"] = b.se()
     pps["cr_qp_offset"] = b.se()
     pps["slice_chroma_qp_offsets_present"] = b.u(1)
@@ -230,10 +230,6 @@ def parse_pps_intra(rbsp: bytes) -> dict:
         raise ValueError("HEVC transform_skip outside the declared scope")
     if pps["transquant_bypass"]:
         raise ValueError("HEVC transquant bypass outside the declared scope")
-    if pps["cu_qp_delta_enabled"]:
-        raise ValueError(
-            "HEVC cu_qp_delta outside the declared scope (CQP streams only)"
-        )
     return pps
 
 
@@ -328,6 +324,7 @@ def parse_slice_header_intra(rbsp: bytes, nal_type: int, sps: dict,
 
 INIT_I = {
     "sao_merge": (153,),
+    "cu_qp_delta": (154, 154),
     "sao_type": (200,),
     "split_cu": (139, 141, 157),
     "part_mode": (184,),
@@ -930,6 +927,14 @@ class _FrameDecoder:
         self.edge_v_c = np.zeros_like(self.avail_c)
         self.edge_h_c = np.zeros_like(self.avail_c)
         self.cabac = HevcCabac(rbsp, hdr["data_pos"], self.qp)
+        # cu_qp_delta (§8.6.1): per-4x4 luma QP map + quant-group state
+        self.qp_enabled = bool(pps["cu_qp_delta_enabled"])
+        self.log2_min_qg = sps["log2_ctb"] - pps["diff_cu_qp_delta_depth"]
+        self.qp_map = np.full(self.avail_y.shape, self.qp, dtype=np.int16)
+        self.qp_prev = self.qp  # last CU's QP in decoding order
+        self.cur_qp = self.qp
+        self.qp_pred = self.qp
+        self.qp_delta_coded = True  # no QG open yet
 
     def _parse_sao(self, ctb_x, ctb_y):
         """§7.3.8.3: per-CTU SAO parameters (merge or explicit).
@@ -1047,12 +1052,29 @@ class _FrameDecoder:
         if self.hdr.get("deblock"):
             bo = self.hdr["beta_offset_div2"]
             to = self.hdr["tc_offset_div2"]
+            qm = self.qp_map
+
+            def qp_luma(py, px, qy, qx):
+                return (int(qm[py >> 2, px >> 2])
+                        + int(qm[qy >> 2, qx >> 2]) + 1) >> 1
+
+            def qp_chroma(off):
+                def f(py, px, qy, qx):
+                    # chroma tC uses the average LUMA QP of the two
+                    # sides mapped through the chroma table (§8.7.2.5.5)
+                    avg = (int(qm[(py * 2) >> 2, (px * 2) >> 2])
+                           + int(qm[(qy * 2) >> 2, (qx * 2) >> 2]) + 1) >> 1
+                    return chroma_qp(avg, off)
+                return f
+
             _deblock_plane(self.planes[0], self.edge_v_y, self.edge_h_y,
-                           self.qp, bo, to, luma=True)
+                           qp_luma, bo, to, luma=True)
             _deblock_plane(self.planes[1], self.edge_v_c, self.edge_h_c,
-                           self.qp_cb, bo, to, luma=False)
+                           qp_chroma(self.hdr["cb_qp_offset"]), bo, to,
+                           luma=False)
             _deblock_plane(self.planes[2], self.edge_v_c, self.edge_h_c,
-                           self.qp_cr, bo, to, luma=False)
+                           qp_chroma(self.hdr["cr_qp_offset"]), bo, to,
+                           luma=False)
         if use_sao:
             self._apply_sao()
         return (
@@ -1065,6 +1087,20 @@ class _FrameDecoder:
 
     def _coding_quadtree(self, x0, y0, log2n, depth):
         size = 1 << log2n
+        if self.qp_enabled and log2n >= self.log2_min_qg:
+            # a new quantization group begins (§7.3.8.8 note / §8.6.1):
+            # finalize the previous QG's QP as qPY_PREV, then predict
+            self.qp_prev = self.cur_qp
+            a = b = self.qp_prev
+            lctb = self.sps["log2_ctb"]
+            # neighbors count only when inside the SAME CTB (§8.6.1)
+            if x0 > 0 and ((x0 - 1) >> lctb) == (x0 >> lctb):
+                a = int(self.qp_map[y0 >> 2, (x0 - 1) >> 2])
+            if y0 > 0 and ((y0 - 1) >> lctb) == (y0 >> lctb):
+                b = int(self.qp_map[(y0 - 1) >> 2, x0 >> 2])
+            self.qp_pred = (a + b + 1) >> 1
+            self.cur_qp = self.qp_pred
+            self.qp_delta_coded = False
         inside = x0 + size <= self.w and y0 + size <= self.h
         if inside and log2n > self.sps["log2_min_cb"]:
             ctx = 0
@@ -1222,9 +1258,30 @@ class _FrameDecoder:
                 return 1
         return 0
 
+    def _parse_cu_qp_delta(self):
+        c = self.cabac
+        prefix = 0
+        while prefix < 5 and c.decision("cu_qp_delta", 0 if prefix == 0 else 1):
+            prefix += 1
+        val = prefix
+        if prefix == 5:  # EG0 suffix
+            k = 0
+            while c.bypass():
+                k += 1
+                if k > 16:
+                    raise ValueError("torn cu_qp_delta EG0 prefix")
+            val = 5 + (1 << k) - 1 + c.bypass_bits(k)
+        if val and c.bypass():
+            val = -val
+        self.cur_qp = ((self.qp_pred + val + 52 + 104) % 52)
+        self.qp_delta_coded = True
+
     def _transform_unit(self, x0, y0, x_base, y_base, log2n, depth, blk_idx,
                         part_nxn, modes, chroma_mode, cbf_luma, cbf_cb,
                         cbf_cr):
+        if (self.qp_enabled and not self.qp_delta_coded
+                and (cbf_luma or cbf_cb or cbf_cr)):
+            self._parse_cu_qp_delta()
         mode = self._luma_mode_at(x0, y0)
         res = None
         if cbf_luma:
@@ -1232,7 +1289,11 @@ class _FrameDecoder:
                 self.cabac, log2n, 0, self._scan_for(log2n, 0, mode),
                 self.sdh,
             )
-        self._reconstruct(0, x0, y0, log2n, mode, res, self.qp)
+        self._reconstruct(0, x0, y0, log2n, mode, res, self.cur_qp)
+        n = 1 << log2n
+        self.qp_map[y0 >> 2 : (y0 + n) >> 2, x0 >> 2 : (x0 + n) >> 2] = (
+            self.cur_qp
+        )
         if log2n > 2:
             cx, cy, clog2 = x0 >> 1, y0 >> 1, log2n - 1
             self._chroma_unit(cx, cy, clog2, chroma_mode, cbf_cb, cbf_cr)
@@ -1250,8 +1311,11 @@ class _FrameDecoder:
             _decode_residual(self.cabac, clog2, 2, scan, self.sdh)
             if cbf_cr else None
         )
-        self._reconstruct(1, cx, cy, clog2, chroma_mode, res_cb, self.qp_cb)
-        self._reconstruct(2, cx, cy, clog2, chroma_mode, res_cr, self.qp_cr)
+        hdr = self.hdr
+        qcb = chroma_qp(self.cur_qp, hdr["cb_qp_offset"])
+        qcr = chroma_qp(self.cur_qp, hdr["cr_qp_offset"])
+        self._reconstruct(1, cx, cy, clog2, chroma_mode, res_cb, qcb)
+        self._reconstruct(2, cx, cy, clog2, chroma_mode, res_cr, qcr)
 
     def _reconstruct(self, plane_idx, x0, y0, log2n, mode, res, qp):
         n = 1 << log2n
@@ -1431,10 +1495,14 @@ def _filter_chroma_segment(get, put, qp_c, tc_off):
         put(i, 4, _clip1(q0 - delta))
 
 
-def _deblock_plane(plane, edge_v, edge_h, qp, beta_off, tc_off, luma: bool):
+def _deblock_plane(plane, edge_v, edge_h, qp_of, beta_off, tc_off,
+                   luma: bool):
     """§8.7.2 two-pass filter. ``edge_v[y4, x4]`` marks a vertical TU
     edge at sample column x4*4 covering rows y4*4..y4*4+3 (same idea
-    for edge_h). Luma filters the 8-grid; chroma its own 8-grid."""
+    for edge_h). Luma filters the 8-grid; chroma its own 8-grid.
+    ``qp_of(py, px, qy, qx)`` returns the edge QP from the two sides'
+    sample coords (plane-local) — constant for CQP, per-block with
+    cu_qp_delta."""
     h, w = plane.shape
     grid = 8
     # vertical edges
@@ -1445,6 +1513,7 @@ def _deblock_plane(plane, edge_v, edge_h, qp, beta_off, tc_off, luma: bool):
             seg = plane[y0 : y0 + 4]
             if seg.shape[0] < 4:
                 continue
+            qp = qp_of(y0, x - 1, y0, x)
 
             def get(i, k, seg=seg, x=x):
                 return int(seg[i, x - 4 + k])
@@ -1463,6 +1532,7 @@ def _deblock_plane(plane, edge_v, edge_h, qp, beta_off, tc_off, luma: bool):
                 continue
             if x0 + 4 > w:
                 continue
+            qp = qp_of(y - 1, x0, y, x0)
 
             def get(i, k, y=y, x0=x0):
                 return int(plane[y - 4 + k, x0 + i])

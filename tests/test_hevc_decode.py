@@ -127,16 +127,36 @@ def test_multi_frame_and_encoder_variants():
 
 def test_named_scope_boundaries():
     """Out-of-scope streams raise NAMED errors — never wrong pixels:
-    inter (P) slices and cu_qp_delta (adaptive-quant) streams."""
+    inter (P) slices and scaling-list streams (x265 silently disables
+    WPP at single-thread small sizes, so that boundary stays pinned by
+    the PPS parser's own contract)."""
     encode_intra, _decode, make_frame = _rig()
     f = [make_frame(64, 64, 3, "mixed")]
     bs = encode_intra(f * 3, qp=30, extra={b"keyint": b"250"})
     with pytest.raises(ValueError, match="inter slice|intra-only"):
         decode_hevc_intra(bs)
-    bs = encode_intra(f, qp=30, extra={b"aq-mode": b"2", b"crf": b"24",
-                                       b"qp": False})
-    with pytest.raises(ValueError, match="cu_qp_delta"):
+    bs = encode_intra(f, qp=30, extra={b"scaling-list": b"default"})
+    with pytest.raises(ValueError, match="scaling list"):
         decode_hevc_intra(bs)
+
+
+def test_adaptive_quant_and_pure_default_bit_exact():
+    """cu_qp_delta in scope: aq-mode-2 CRF streams (per-QG QP deltas,
+    the QP prediction chain, per-block deblock QPs) and PURE-DEFAULT
+    x265 encodes (CRF 28 + aq + cutree, and ABR) decode bit-exact."""
+    encode_intra, decode_de265, make_frame = _rig()
+    cases = [
+        ("mixed", {b"aq-mode": b"2", b"crf": b"20", b"qp": False}),
+        ("noise", {b"aq-mode": b"2", b"crf": b"33", b"qp": False}),
+        ("grad", {b"qp": False}),                       # pure defaults
+        ("mixed", {b"qp": False, b"bitrate": b"400"}),  # ABR
+    ]
+    for kind, extra in cases:
+        bs = encode_intra([make_frame(96, 96, 7, kind)], extra=extra)
+        gt = decode_de265(bs)[0]
+        ours = decode_hevc_intra(bs)[0]
+        for c in range(3):
+            assert np.array_equal(ours[c], gt[c]), (kind, extra, c)
 
 
 def test_default_inloop_toolset_bit_exact():

@@ -9,8 +9,9 @@ BOTH in-loop filters IN SCOPE — deblocking (§8.7.2; intra pictures:
 every edge bS = 2; β/tC tables extraction-verified against libde265)
 and SAO (§8.7.3: band + all four edge classes, CTU merge flags) — so
 DEFAULT-toolset x265 intra streams decode bit-exact. No
-tiles/WPP/dependent slices (cu_qp_delta IS in
-scope — adaptive-quant streams decode), no scaling lists, no
+tiles/WPP/dependent slices (cu_qp_delta AND
+transform_skip ARE in scope — adaptive-quant and screen-content
+streams decode), no scaling lists, no
 transform-skip, no PCM, no transquant bypass, no cu_qp_delta, no
 sign-data-hiding. Everything in scope decodes BIT-EXACT against the
 system libde265 (ctypes ground truth, tests/test_hevc_decode.py) on
@@ -226,8 +227,6 @@ def parse_pps_intra(rbsp: bytes) -> dict:
     pps["lists_modification"] = b.u(1)
     b.ue()  # log2_parallel_merge_level_minus2
     pps["slice_header_extension"] = b.u(1)
-    if pps["transform_skip"]:
-        raise ValueError("HEVC transform_skip outside the declared scope")
     if pps["transquant_bypass"]:
         raise ValueError("HEVC transquant bypass outside the declared scope")
     return pps
@@ -325,6 +324,7 @@ def parse_slice_header_intra(rbsp: bytes, nal_type: int, sps: dict,
 INIT_I = {
     "sao_merge": (153,),
     "cu_qp_delta": (154, 154),
+    "transform_skip": (139, 139),
     "sao_type": (200,),
     "split_cu": (139, 141, 157),
     "part_mode": (184,),
@@ -767,9 +767,14 @@ def _read_remaining(c: HevcCabac, rice: int) -> int:
 
 
 def _decode_residual(c: HevcCabac, log2n: int, c_idx: int,
-                     scan_idx: int, sdh: bool = False) -> np.ndarray:
+                     scan_idx: int, sdh: bool = False,
+                     ts_enabled: bool = False):
     n = 1 << log2n
     luma = c_idx == 0
+    ts = 0
+    if ts_enabled and log2n == 2:
+        # §7.3.8.11: transform_skip_flag for 4x4 TBs (v1 max TS size)
+        ts = c.decision("transform_skip", 0 if luma else 1)
     # last significant coefficient position
     off, shift = _last_ctx(log2n, luma)
     cmax = (log2n << 1) - 1
@@ -882,7 +887,7 @@ def _decode_residual(c: HevcCabac, log2n: int, c_idx: int,
             coefs[(sby << 2) + yin, (sbx << 2) + xin] = (
                 -levels[j] if signs[j] else levels[j]
             )
-    return coefs
+    return coefs, ts
 
 
 # --- frame decode -----------------------------------------------------------
@@ -935,6 +940,7 @@ class _FrameDecoder:
         self.cur_qp = self.qp
         self.qp_pred = self.qp
         self.qp_delta_coded = True  # no QG open yet
+        self.ts_enabled = bool(pps["transform_skip"])
 
     def _parse_sao(self, ctb_x, ctb_y):
         """§7.3.8.3: per-CTU SAO parameters (merge or explicit).
@@ -1287,7 +1293,7 @@ class _FrameDecoder:
         if cbf_luma:
             res = _decode_residual(
                 self.cabac, log2n, 0, self._scan_for(log2n, 0, mode),
-                self.sdh,
+                self.sdh, self.ts_enabled,
             )
         self._reconstruct(0, x0, y0, log2n, mode, res, self.cur_qp)
         n = 1 << log2n
@@ -1304,11 +1310,13 @@ class _FrameDecoder:
     def _chroma_unit(self, cx, cy, clog2, chroma_mode, cbf_cb, cbf_cr):
         scan = self._scan_for(clog2, 1, chroma_mode)
         res_cb = (
-            _decode_residual(self.cabac, clog2, 1, scan, self.sdh)
+            _decode_residual(self.cabac, clog2, 1, scan, self.sdh,
+                             self.ts_enabled)
             if cbf_cb else None
         )
         res_cr = (
-            _decode_residual(self.cabac, clog2, 2, scan, self.sdh)
+            _decode_residual(self.cabac, clog2, 2, scan, self.sdh,
+                             self.ts_enabled)
             if cbf_cr else None
         )
         hdr = self.hdr
@@ -1328,8 +1336,14 @@ class _FrameDecoder:
             )
         pred = _predict_intra(left, top, n, mode, plane_idx == 0)
         if res is not None:
-            d = _dequant(res, qp, log2n)
-            r = _inv_transform(d, dst=(plane_idx == 0 and n == 4))
+            coefs, ts = res
+            d = _dequant(coefs, qp, log2n)
+            if ts:
+                # §8.6.4.2 transform skip: r = (d << 7), then the
+                # §8.6.5 stage-2 shift (20 - BitDepth = 12)
+                r = ((d << 7) + 2048) >> 12
+            else:
+                r = _inv_transform(d, dst=(plane_idx == 0 and n == 4))
             pred = pred + r
         h = min(n, plane.shape[0] - y0)
         w = min(n, plane.shape[1] - x0)

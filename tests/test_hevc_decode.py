@@ -319,3 +319,28 @@ def test_hevc_mp4_keyframe_decode_chain(spark):
     assert [r.frame_idx for r in out] == [0, 1, 2]
     assert all(r.is_keyframe for r in out)
     assert [r.ahash for r in out] == expect
+
+
+def test_transform_skip_bit_exact():
+    """[r12] transform_skip in scope: x265 --tskip streams (screen
+    content forces real 4x4 TS blocks — 175/194 TBs in the sharp
+    fixture) decode bit-exact; the TS path bypasses the inverse
+    transform with the §8.6.4.2 shift chain."""
+    encode_intra, decode_de265, make_frame = _rig()
+    scr = np.zeros((64, 64), np.uint8)
+    scr[::4] = 255
+    scr[:, ::6] = 128
+    u = np.full((32, 32), 90, np.uint8)
+    v = np.full((32, 32), 200, np.uint8)
+    for qp in (15, 27):
+        bs = encode_intra([(scr, u, v)], qp=qp, extra={b"tskip": None})
+        gt = decode_de265(bs)[0]
+        ours = decode_hevc_intra(bs)[0]
+        for c in range(3):
+            assert np.array_equal(ours[c], gt[c]), (qp, c)
+    bs = encode_intra([make_frame(64, 64, 4, "noise")], qp=20,
+                      extra={b"tskip": None})
+    gt = decode_de265(bs)[0]
+    ours = decode_hevc_intra(bs)[0]
+    for c in range(3):
+        assert np.array_equal(ours[c], gt[c])

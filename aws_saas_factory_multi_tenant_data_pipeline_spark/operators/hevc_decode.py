@@ -8,10 +8,10 @@ Scope (declared, the H.264/VP8 convention): intra-only IRAP pictures
 BOTH in-loop filters IN SCOPE — deblocking (§8.7.2; intra pictures:
 every edge bS = 2; β/tC tables extraction-verified against libde265)
 and SAO (§8.7.3: band + all four edge classes, CTU merge flags) — so
-DEFAULT-toolset x265 intra streams decode bit-exact. No
-tiles/WPP/dependent slices (cu_qp_delta AND
-transform_skip ARE in scope — adaptive-quant and screen-content
-streams decode), no scaling lists, no
+DEFAULT-toolset x265 intra streams decode bit-exact. WPP (entropy sync) IS in scope — per-row
+CABAC re-init at NAL-domain entry points with above-row context sync;
+cu_qp_delta and transform_skip also in scope, so adaptive-quant and
+screen-content streams decode. No tiles/dependent slices, no scaling lists, no
 transform-skip, no PCM, no transquant bypass, no cu_qp_delta, no
 sign-data-hiding. Everything in scope decodes BIT-EXACT against the
 system libde265 (ctypes ground truth, tests/test_hevc_decode.py) on
@@ -208,8 +208,8 @@ def parse_pps_intra(rbsp: bytes) -> dict:
     pps["transquant_bypass"] = b.u(1)
     pps["tiles_enabled"] = b.u(1)
     pps["entropy_coding_sync"] = b.u(1)
-    if pps["tiles_enabled"] or pps["entropy_coding_sync"]:
-        raise ValueError("HEVC tiles/WPP outside the declared scope")
+    if pps["tiles_enabled"]:
+        raise ValueError("HEVC tiles outside the declared scope")
     pps["loop_filter_across_slices"] = b.u(1)
     pps["deblocking_control_present"] = b.u(1)
     pps["deblocking_override_enabled"] = 0
@@ -292,6 +292,16 @@ def parse_slice_header_intra(rbsp: bytes, nal_type: int, sps: dict,
         sao_luma or sao_chroma or not deblock_disabled
     ):
         b.u(1)  # slice_loop_filter_across_slices_enabled_flag
+    entry_points: list[int] = []
+    if pps["entropy_coding_sync"]:
+        n_ep = b.ue()
+        if n_ep > 1 << 12:
+            raise ValueError("HEVC entry-point count out of range")
+        if n_ep:
+            ep_len = b.ue() + 1
+            if ep_len > 32:
+                raise ValueError("HEVC entry-point offset length out of range")
+            entry_points = [b.u(ep_len) + 1 for _ in range(n_ep)]
     if pps["slice_header_extension"]:
         n = b.ue()
         for _ in range(n):
@@ -305,9 +315,54 @@ def parse_slice_header_intra(rbsp: bytes, nal_type: int, sps: dict,
     return {"qp": qp, "cb_qp_offset": pps["cb_qp_offset"] + cb_off,
             "cr_qp_offset": pps["cr_qp_offset"] + cr_off,
             "deblock": not deblock_disabled,
+            "entry_points": entry_points,
             "sao_luma": sao_luma, "sao_chroma": sao_chroma,
             "beta_offset_div2": beta_off, "tc_offset_div2": tc_off,
             "data_pos": b.pos}
+
+
+def strip_emulation_with_map(data: bytes):
+    """NAL payload → (rbsp, removal_rbsp_positions): like
+    strip_emulation but also returns, for each removed emulation byte,
+    the RBSP index it would have preceded — needed because WPP entry
+    point offsets count emulation bytes (§7.4.7.1 NAL domain)."""
+    out = bytearray()
+    removed: list[int] = []
+    zeros = 0
+    i = 0
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if zeros >= 2 and b == 3 and i + 1 < n and data[i + 1] <= 3:
+            removed.append(len(out))
+            zeros = 0
+            i += 1
+            continue
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+        i += 1
+    return bytes(out), removed
+
+
+def _nal_to_rbsp(removed: list[int], nal_pos: int) -> int:
+    """Convert a NAL-domain byte offset to the RBSP domain."""
+    import bisect
+
+    # removal k sat at NAL index removed[k] + k
+    lo, hi = 0, len(removed)
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if removed[mid] + mid < nal_pos:
+            lo = mid + 1
+        else:
+            hi = mid
+    return nal_pos - lo
+
+
+def _rbsp_to_nal(removed: list[int], rbsp_pos: int) -> int:
+    import bisect
+
+    return rbsp_pos + bisect.bisect_right(removed, rbsp_pos)
 
 
 # --- CABAC (§9.3) -----------------------------------------------------------
@@ -894,7 +949,8 @@ def _decode_residual(c: HevcCabac, log2n: int, c_idx: int,
 
 
 class _FrameDecoder:
-    def __init__(self, sps: dict, pps: dict, hdr: dict, rbsp: bytes):
+    def __init__(self, sps: dict, pps: dict, hdr: dict, rbsp: bytes,
+                 emu_removed: list | None = None):
         self.sps = sps
         self.pps = pps
         self.qp = hdr["qp"]
@@ -931,6 +987,8 @@ class _FrameDecoder:
         self.edge_h_y = np.zeros_like(self.avail_y)
         self.edge_v_c = np.zeros_like(self.avail_c)
         self.edge_h_c = np.zeros_like(self.avail_c)
+        self.rbsp = rbsp
+        self.emu_removed = emu_removed or []
         self.cabac = HevcCabac(rbsp, hdr["data_pos"], self.qp)
         # cu_qp_delta (§8.6.1): per-4x4 luma QP map + quant-group state
         self.qp_enabled = bool(pps["cu_qp_delta_enabled"])
@@ -1041,13 +1099,46 @@ class _FrameDecoder:
         n_rows = (self.h + ctb - 1) // ctb
         use_sao = bool(self.hdr.get("sao_luma") or self.hdr.get("sao_chroma"))
         self.sao_params = [[None] * n_cols for _ in range(n_rows)]
-        for y0 in range(0, self.h, ctb):
-            for x0 in range(0, self.w, ctb):
+        wpp = bool(self.pps["entropy_coding_sync"])
+        entry_points = self.hdr.get("entry_points") or []
+        if wpp and len(entry_points) != max(0, n_rows - 1):
+            raise ValueError(
+                "HEVC WPP entry-point count does not match the CTB rows"
+            )
+        data0 = self.hdr["data_pos"] >> 3  # first slice-data byte
+        wpp_sync = None  # context snapshot after CTU 1 of each row
+        for row, y0 in enumerate(range(0, self.h, ctb)):
+            if wpp:
+                # §8.6.1: with entropy sync, qPY_PREV resets to
+                # SliceQpY at the start of every CTB row
+                self.cur_qp = self.qp
+            if wpp and row > 0:
+                # §9.3.1: re-init the arithmetic engine at the row's
+                # entry point — offsets are NAL-domain bytes (§7.4.7.1
+                # counts emulation prevention bytes), so map through
+                # the removal positions — and restore the contexts
+                # stored after the above row's second CTB
+                nal_off = _rbsp_to_nal(self.emu_removed, data0) + sum(
+                    entry_points[:row]
+                )
+                off = _nal_to_rbsp(self.emu_removed, nal_off)
+                self.cabac = HevcCabac(self.rbsp, off * 8, self.qp)
+                if wpp_sync is not None:
+                    self.cabac.ctx = {
+                        k: [st.copy() for st in v]
+                        for k, v in wpp_sync.items()
+                    }
+            for col, x0 in enumerate(range(0, self.w, ctb)):
                 if use_sao:
                     self.sao_params[y0 // ctb][x0 // ctb] = self._parse_sao(
                         x0 // ctb, y0 // ctb
                     )
                 self._coding_quadtree(x0, y0, self.sps["log2_ctb"], 0)
+                if wpp and col == min(1, n_cols - 1):
+                    wpp_sync = {
+                        k: [st.copy() for st in v]
+                        for k, v in self.cabac.ctx.items()
+                    }
                 last = x0 + ctb >= self.w and y0 + ctb >= self.h
                 end = self.cabac.terminate()
                 if bool(end) != last:
@@ -1055,6 +1146,12 @@ class _FrameDecoder:
                         "HEVC end_of_slice_segment_flag mismatch "
                         "(desynced CABAC or truncated slice)"
                     )
+                if wpp and not last and x0 + ctb >= self.w:
+                    if self.cabac.terminate() != 1:
+                        raise ValueError(
+                            "HEVC end_of_subset_one_bit missing at a "
+                            "WPP row end"
+                        )
         if self.hdr.get("deblock"):
             bo = self.hdr["beta_offset_div2"]
             to = self.hdr["tc_offset_div2"]
@@ -1391,9 +1488,9 @@ def _decode_hevc_inner(stream: bytes, max_frames):
         elif typ in IRAP_TYPES:
             if sps is None or pps is None:
                 raise ValueError("HEVC slice before SPS/PPS")
-            rbsp = strip_emulation(nal)
+            rbsp, removed = strip_emulation_with_map(nal)
             hdr = parse_slice_header_intra(rbsp, typ, sps, pps)
-            dec = _FrameDecoder(sps, pps, hdr, rbsp)
+            dec = _FrameDecoder(sps, pps, hdr, rbsp, removed)
             y, u, v = dec.decode()
             cl, crr, ct, cb = sps["crop"]
             if any((cl, crr, ct, cb)):

@@ -344,3 +344,56 @@ def test_transform_skip_bit_exact():
     ours = decode_hevc_intra(bs)[0]
     for c in range(3):
         assert np.array_equal(ours[c], gt[c])
+
+
+def test_wpp_streams_bit_exact():
+    """[r12] WPP (entropy_coding_sync) in scope: per-row CABAC re-init
+    at NAL-domain entry points (emulation bytes counted per §7.4.7.1 —
+    mapped through the stripping removal positions), context sync from
+    the above row's second CTB, end_of_subset_one_bit, and the
+    per-row qPY_PREV reset under aq — real x265 WPP streams decode
+    bit-exact, with and without adaptive quant."""
+    encode_intra, decode_de265, make_frame = _rig()
+    for kind, w, h, extra in [
+        ("mixed", 256, 256, {}),
+        ("noise", 512, 320, {}),  # large noise: entry points cross
+        ("grad", 192, 128, {}),   # emulation-prevention bytes
+        ("mixed", 256, 256, {b"qp": False, b"crf": b"26",
+                             b"aq-mode": b"2"}),
+        ("noise", 512, 320, {b"qp": False, b"crf": b"30",
+                             b"aq-mode": b"2"}),
+    ]:
+        e = {b"wpp": None, b"no-wpp": False, b"pools": b"4"}
+        e.update(extra)
+        bs = encode_intra([make_frame(h, w, 3 + w, kind)], qp=30, extra=e)
+        gt = decode_de265(bs)[0]
+        ours = decode_hevc_intra(bs)[0]
+        for c in range(3):
+            assert np.array_equal(ours[c], gt[c]), (kind, w, h, extra, c)
+
+
+def test_emulation_map_roundtrip():
+    import random
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.h264 import (
+        add_emulation,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.hevc_decode import (
+        _nal_to_rbsp,
+        _rbsp_to_nal,
+        strip_emulation_with_map,
+    )
+
+    rnd = random.Random(0)
+    for _ in range(120):
+        raw = bytes(
+            rnd.choice([0, 0, 0, 1, 2, 3, 255])
+            for _ in range(rnd.randrange(5, 80))
+        )
+        nal = add_emulation(raw)
+        rbsp, removed = strip_emulation_with_map(nal)
+        assert rbsp == raw
+        for r in range(len(rbsp)):
+            n = _rbsp_to_nal(removed, r)
+            assert nal[n] == rbsp[r]
+            assert _nal_to_rbsp(removed, n) == r

@@ -10,8 +10,9 @@ every edge bS = 2; β/tC tables extraction-verified against libde265)
 and SAO (§8.7.3: band + all four edge classes, CTU merge flags) — so
 DEFAULT-toolset x265 intra streams decode bit-exact. WPP (entropy sync) IS in scope — per-row
 CABAC re-init at NAL-domain entry points with above-row context sync;
-cu_qp_delta and transform_skip also in scope, so adaptive-quant and
-screen-content streams decode. No tiles/dependent slices, no scaling lists, no
+cu_qp_delta, transform_skip, and scaling lists (default or explicit
+§7.3.4 data) also in scope, so adaptive-quant, screen-content, and
+HVS-quantized streams decode. No tiles/dependent slices, no scaling lists, no
 transform-skip, no PCM, no transquant bypass, no cu_qp_delta, no
 sign-data-hiding. Everything in scope decodes BIT-EXACT against the
 system libde265 (ctypes ground truth, tests/test_hevc_decode.py) on
@@ -111,6 +112,126 @@ def _st_ref_pic_set(b: _Bits, idx: int, num_sets: int, prev_deltas) -> list:
     return prev_deltas + [neg + pos]
 
 
+# default scaling lists (Tables 7-5/7-6; raster order here — stored
+# diagonally in the spec/libde265, where BOTH the values and our scan
+# mapping are extraction-verified in tests)
+_DEF_SCALING_8_INTRA = (
+    16, 16, 16, 16, 17, 18, 21, 24,
+    16, 16, 16, 16, 17, 19, 22, 25,
+    16, 16, 17, 18, 20, 22, 25, 29,
+    16, 16, 18, 21, 24, 27, 31, 36,
+    17, 17, 20, 24, 30, 35, 41, 47,
+    18, 19, 22, 27, 35, 44, 54, 65,
+    21, 22, 25, 31, 41, 54, 70, 88,
+    24, 25, 29, 36, 47, 65, 88, 115,
+)
+_DEF_SCALING_8_INTER = (
+    16, 16, 16, 16, 17, 18, 20, 24,
+    16, 16, 16, 17, 18, 20, 24, 25,
+    16, 16, 17, 18, 20, 24, 25, 28,
+    16, 17, 18, 20, 24, 25, 28, 33,
+    17, 18, 20, 24, 25, 28, 33, 41,
+    18, 20, 24, 25, 28, 33, 41, 54,
+    20, 24, 25, 28, 33, 41, 54, 71,
+    24, 25, 28, 33, 41, 54, 71, 91,
+)
+
+
+def _diag_positions(n: int):
+    out = []
+    x = y = 0
+    while len(out) < n * n:
+        while y >= 0:
+            if x < n and y < n:
+                out.append((x, y))
+            y -= 1
+            x += 1
+        y = x
+        x = 0
+    return out
+
+
+def _default_list(size_id: int, matrix_id: int) -> tuple:
+    """Raster-order default ScalingList (§7.4.5) + default DC 16."""
+    if size_id == 0:
+        return (16,) * 16
+    intra = matrix_id < 3 if size_id < 3 else matrix_id == 0
+    return _DEF_SCALING_8_INTRA if intra else _DEF_SCALING_8_INTER
+
+
+def parse_scaling_list_data(b: _Bits) -> dict:
+    """§7.3.4: per (sizeId, matrixId) raster lists + DC values."""
+    lists: dict = {}
+    dcs: dict = {}
+    for size_id in range(4):
+        step = 3 if size_id == 3 else 1
+        for matrix_id in range(0, 6, step):
+            if not b.u(1):  # scaling_list_pred_mode_flag == 0
+                delta = b.ue()
+                if delta == 0:
+                    lists[(size_id, matrix_id)] = _default_list(
+                        size_id, matrix_id
+                    )
+                    dcs[(size_id, matrix_id)] = 16
+                else:
+                    ref = matrix_id - delta * step
+                    if (size_id, ref) not in lists:
+                        raise ValueError(
+                            "HEVC scaling list references an unparsed matrix"
+                        )
+                    lists[(size_id, matrix_id)] = lists[(size_id, ref)]
+                    dcs[(size_id, matrix_id)] = dcs[(size_id, ref)]
+                continue
+            coef_num = min(64, 1 << (4 + (size_id << 1)))
+            next_coef = 8
+            dc = 16
+            if size_id > 1:
+                dc = b.se() + 8
+                if not 1 <= dc <= 255:
+                    raise ValueError("HEVC scaling-list DC out of range")
+                next_coef = dc
+            n = 4 if size_id == 0 else 8
+            grid = [[0] * n for _ in range(n)]
+            for x, y in _diag_positions(n)[:coef_num]:
+                next_coef = (next_coef + b.se() + 256) % 256
+                if next_coef == 0:
+                    raise ValueError("HEVC scaling-list coefficient zero")
+                grid[y][x] = next_coef
+            lists[(size_id, matrix_id)] = tuple(
+                v for row in grid for v in row
+            )
+            dcs[(size_id, matrix_id)] = dc
+    return {"lists": lists, "dcs": dcs}
+
+
+def _default_scaling_data() -> dict:
+    lists = {}
+    dcs = {}
+    for size_id in range(4):
+        step = 3 if size_id == 3 else 1
+        for matrix_id in range(0, 6, step):
+            lists[(size_id, matrix_id)] = _default_list(size_id, matrix_id)
+            dcs[(size_id, matrix_id)] = 16
+    return {"lists": lists, "dcs": dcs}
+
+
+def build_scaling_factors(data: dict) -> dict:
+    """§7.4.5 ScalingFactor construction: 4x4/8x8 direct, 16x16 = 8x8
+    upsampled x2 with the DC override, 32x32 = x4 (intra/inter only)."""
+    out = {}
+    for (size_id, matrix_id), flat in data["lists"].items():
+        n = 4 if size_id == 0 else 8
+        m = np.array(flat, dtype=np.int64).reshape(n, n)
+        if size_id <= 1:
+            out[(size_id, matrix_id)] = m
+        else:
+            rep = 2 if size_id == 2 else 4
+            f = np.repeat(np.repeat(m, rep, axis=0), rep, axis=1)
+            f[0, 0] = data["dcs"][(size_id, matrix_id)]
+            out[(size_id, matrix_id)] = f
+    return out
+
+
 def parse_sps_intra(rbsp: bytes) -> dict:
     """Full SPS parse for the intra decoder (§7.3.2.2)."""
     b = _Bits(rbsp)
@@ -148,11 +269,12 @@ def parse_sps_intra(rbsp: bytes) -> dict:
     sps["max_trafo_depth_inter"] = b.ue()
     sps["max_trafo_depth_intra"] = b.ue()
     sps["scaling_list_enabled"] = b.u(1)
+    sps["scaling_data"] = None
     if sps["scaling_list_enabled"]:
-        raise ValueError(
-            "HEVC scaling lists outside the declared scope (default "
-            "flat quantization only)"
-        )
+        if b.u(1):  # sps_scaling_list_data_present_flag
+            sps["scaling_data"] = parse_scaling_list_data(b)
+        else:
+            sps["scaling_data"] = _default_scaling_data()
     sps["amp_enabled"] = b.u(1)
     sps["sao_enabled"] = b.u(1)
     sps["pcm_enabled"] = b.u(1)
@@ -222,8 +344,9 @@ def parse_pps_intra(rbsp: bytes) -> dict:
         if not pps["deblocking_disabled"]:
             pps["beta_offset_div2"] = b.se()
             pps["tc_offset_div2"] = b.se()
+    pps["scaling_data"] = None
     if b.u(1):  # pps_scaling_list_data_present
-        raise ValueError("HEVC PPS scaling lists outside the declared scope")
+        pps["scaling_data"] = parse_scaling_list_data(b)
     pps["lists_modification"] = b.u(1)
     b.ue()  # log2_parallel_merge_level_minus2
     pps["slice_header_extension"] = b.u(1)
@@ -613,11 +736,14 @@ def chroma_qp(qp_y: int, offset: int) -> int:
     return _CHROMA_QP_MAP[qpi - 30]
 
 
-def _dequant(coefs: np.ndarray, qp: int, log2n: int) -> np.ndarray:
-    """§8.6.3 scaling with the default flat (m=16) list, 8-bit."""
+def _dequant(coefs: np.ndarray, qp: int, log2n: int,
+             m=None) -> np.ndarray:
+    """§8.6.3 scaling: flat m=16, or a ScalingFactor matrix when the
+    stream carries scaling lists (transform-skip stays flat)."""
     bd_shift = 8 + log2n - 5
     scale = _LEVEL_SCALE[qp % 6] << (qp // 6)
-    d = (coefs * 16 * scale + (1 << (bd_shift - 1))) >> bd_shift
+    mm = 16 if m is None else m
+    d = (coefs * mm * scale + (1 << (bd_shift - 1))) >> bd_shift
     return np.clip(d, -32768, 32767)
 
 
@@ -999,6 +1125,8 @@ class _FrameDecoder:
         self.qp_pred = self.qp
         self.qp_delta_coded = True  # no QG open yet
         self.ts_enabled = bool(pps["transform_skip"])
+        sd = pps["scaling_data"] or sps["scaling_data"]
+        self.scaling = build_scaling_factors(sd) if sd else None
 
     def _parse_sao(self, ctb_x, ctb_y):
         """§7.3.8.3: per-CTU SAO parameters (merge or explicit).
@@ -1434,7 +1562,10 @@ class _FrameDecoder:
         pred = _predict_intra(left, top, n, mode, plane_idx == 0)
         if res is not None:
             coefs, ts = res
-            d = _dequant(coefs, qp, log2n)
+            m = None
+            if self.scaling is not None and not ts:
+                m = self.scaling[(log2n - 2, plane_idx)]
+            d = _dequant(coefs, qp, log2n, m)
             if ts:
                 # §8.6.4.2 transform skip: r = (d << 7), then the
                 # §8.6.5 stage-2 shift (20 - BitDepth = 12)

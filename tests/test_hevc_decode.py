@@ -127,17 +127,41 @@ def test_multi_frame_and_encoder_variants():
 
 def test_named_scope_boundaries():
     """Out-of-scope streams raise NAMED errors — never wrong pixels:
-    inter (P) slices and scaling-list streams (x265 silently disables
-    WPP at single-thread small sizes, so that boundary stays pinned by
-    the PPS parser's own contract)."""
+    inter (P) slices (real x265) and tiles (hand-built PPS — x265
+    cannot emit tiles, so the boundary is pinned at the parser)."""
     encode_intra, _decode, make_frame = _rig()
     f = [make_frame(64, 64, 3, "mixed")]
     bs = encode_intra(f * 3, qp=30, extra={b"keyint": b"250"})
     with pytest.raises(ValueError, match="inter slice|intra-only"):
         decode_hevc_intra(bs)
-    bs = encode_intra(f, qp=30, extra={b"scaling-list": b"default"})
-    with pytest.raises(ValueError, match="scaling list"):
-        decode_hevc_intra(bs)
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.h264 import (
+        _Bits,
+        _BitW,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.hevc_decode import (
+        parse_pps_intra,
+    )
+
+    w = _BitW()
+    w.w(0x4401, 16)  # PPS NAL header
+    w.ue(0)
+    w.ue(0)
+    for _ in range(5):  # dependent..cabac_init flags / extra bits
+        w.w(0, 1)
+    w.w(0, 2)  # (3-bit extra field remainder)
+    w.ue(0)
+    w.ue(0)
+    w.se(0)  # init_qp
+    w.w(0, 3)  # constrained/tskip/cuqp
+    w.se(0)
+    w.se(0)
+    w.w(0, 3)  # slice-chroma/wp/wbp
+    w.w(0, 1)  # tqb
+    w.w(1, 1)  # TILES ENABLED
+    w.w(0, 1)
+    w.trailing()
+    with pytest.raises(ValueError, match="tiles outside"):
+        parse_pps_intra(w.payload())
 
 
 def test_adaptive_quant_and_pure_default_bit_exact():
@@ -397,3 +421,74 @@ def test_emulation_map_roundtrip():
             n = _rbsp_to_nal(removed, r)
             assert nal[n] == rbsp[r]
             assert _nal_to_rbsp(removed, n) == r
+
+
+def test_scaling_lists_default_bit_exact_and_explicit_parse():
+    """[r12] scaling lists in scope: x265 '--scaling-list default'
+    streams (SPS scaling_list_enabled, default Tables 7-5/7-6
+    matrices) decode bit-exact; the default 8x8 matrices AND our
+    diagonal-scan mapping appear byte-for-byte in libde265's rodata;
+    the explicit scaling_list_data parse path is pinned on hand-built
+    bits (explicit DPCM lists, ref-copy, default-by-delta)."""
+    encode_intra, decode_de265, make_frame = _rig()
+    for kind, qp in (("mixed", 24), ("noise", 36)):
+        bs = encode_intra([make_frame(96, 96, qp, kind)], qp=qp,
+                          extra={b"scaling-list": b"default"})
+        gt = decode_de265(bs)[0]
+        ours = decode_hevc_intra(bs)[0]
+        for c in range(3):
+            assert np.array_equal(ours[c], gt[c]), (kind, qp, c)
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.hevc_decode import (
+        _DEF_SCALING_8_INTER,
+        _DEF_SCALING_8_INTRA,
+        _diag_positions,
+        build_scaling_factors,
+        parse_scaling_list_data,
+    )
+
+    hits = glob.glob("/usr/lib/*/libde265.so*")
+    if hits:
+        blob = open(hits[0], "rb").read()
+        for flat in (_DEF_SCALING_8_INTRA, _DEF_SCALING_8_INTER):
+            m = np.array(flat).reshape(8, 8)
+            diag = bytes(int(m[y, x]) for x, y in _diag_positions(8))
+            assert diag in blob
+
+    # hand-built scaling_list_data: every matrix default-by-delta-0
+    # except (0,0) explicit ramp and (0,1) copied from (0,0)
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.h264 import (
+        _Bits,
+        _BitW,
+    )
+
+    w = _BitW()
+    for size_id in range(4):
+        step = 3 if size_id == 3 else 1
+        for matrix_id in range(0, 6, step):
+            if size_id == 0 and matrix_id == 0:
+                w.w(1, 1)  # explicit
+                prev = 8
+                for i, (x, y) in enumerate(_diag_positions(4)):
+                    want = 10 + i  # ramp 10..25
+                    w.se(want - prev)
+                    prev = want
+            elif size_id == 0 and matrix_id == 1:
+                w.w(0, 1)
+                w.ue(1)  # copy from matrix 0
+            else:
+                w.w(0, 1)
+                w.ue(0)  # default list
+    w.trailing()
+    data = parse_scaling_list_data(_Bits(w.payload()))
+    f = build_scaling_factors(data)
+    ramp = np.zeros((4, 4), dtype=np.int64)
+    for i, (x, y) in enumerate(_diag_positions(4)):
+        ramp[y, x] = 10 + i
+    assert np.array_equal(f[(0, 0)], ramp)
+    assert np.array_equal(f[(0, 1)], ramp)  # ref-copy
+    assert np.array_equal(
+        f[(1, 0)], np.array(_DEF_SCALING_8_INTRA).reshape(8, 8)
+    )
+    assert f[(2, 0)][0, 0] == 16 and f[(2, 0)][1, 1] == 16
+    assert f[(3, 0)].shape == (32, 32)

@@ -525,11 +525,10 @@ def multimodal_pdf_ccitt(spark, sf_dir):
     "audio_ogg_tags",
     oracle="""
         SELECT doc_id,
-               CASE WHEN doc_id % 2 = 0 THEN 'vorbis' ELSE 'opus' END
-                   AS codec,
+               (['vorbis', 'opus', 'flac'])[1 + doc_id % 3] AS codec,
                CAST(3 + doc_id % 3 AS INT) AS n_tags,
                concat('track ', CAST(doc_id AS VARCHAR)) AS title,
-               CAST(doc_id % 3 = 2 AS BOOLEAN) AS had_geo,
+               CAST(doc_id % 4 = 3 AS BOOLEAN) AS had_geo,
                CAST(1 AS INT) AS n_after_strip,
                concat('track ', CAST(doc_id AS VARCHAR)) AS title_after
         FROM documents WHERE doc_id < 64
@@ -538,9 +537,10 @@ def multimodal_pdf_ccitt(spark, sf_dir):
     tags=("B10", "multimodal", "audio", "privacy"),
     doc="Ogg comment-metadata extraction + privacy strip END-TO-END "
     "(the [r12] ID3-twin for the Ogg family — crawl pipelines need "
-    "tag extraction and PII stripping for Vorbis/Opus without a "
-    "transform decode, which stays the named boundary): per doc a "
-    "Vorbis-comment or OpusTags packet (vendor + TAG=value list, "
+    "tag extraction and PII stripping for Vorbis/Opus/FLAC-in-Ogg "
+    "without a transform decode, which stays the named boundary): "
+    "per doc a Vorbis-comment, OpusTags, or native-FLAC "
+    "VORBIS_COMMENT packet (vendor + TAG=value list, "
     "Vorbis framing bit) with rotating tags incl. a GEO_LOCATION PII "
     "tag every third doc; extract_ogg_tags walks real-CRC pages, "
     "strip_ogg_tags rewrites the stream keeping only TITLE (audio "
@@ -555,6 +555,14 @@ def audio_ogg_tags(spark, sf_dir):
     d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 64).select("doc_id")
 
     def op(batches):
+        import struct
+
+        import numpy as np
+
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.flac import (
+            build_vorbis_comment_body,
+            encode_flac,
+        )
         from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.ogg import (
             _comment_packet,
             build_ogg,
@@ -568,22 +576,40 @@ def audio_ogg_tags(spark, sf_dir):
             rows = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                codec = "vorbis" if did % 2 == 0 else "opus"
+                codec = ("vorbis", "opus", "flac")[did % 3]
                 tags = [("TITLE", f"track {did}"),
                         ("ARTIST", f"artist {did % 7}")]
-                if did % 3 == 2:
+                if did % 4 == 3:
                     tags.append(("GEO_LOCATION", f"52.{did},13.{did}"))
                 # pad to 3 + did % 3 tags total
                 while len(tags) < 3 + did % 3:
                     tags.append((f"X{len(tags)}", "v" * (did % 9)))
-                ident = (build_vorbis_id_packet(2, 44100)
-                         if codec == "vorbis"
-                         else build_opus_head(2, 156, 48000))
-                comment = _comment_packet(codec, f"vendor-{did % 4}", tags)
+                if codec == "flac":
+                    # native metadata blocks ride in the header packets
+                    flac = encode_flac(
+                        np.zeros((480, 1), dtype=np.int64), 48000,
+                        blocksize=480,
+                    )
+                    ident = (b"\x7fFLAC" + bytes([1, 0])
+                             + struct.pack(">H", 1) + flac[: 4 + 4 + 34])
+                    body = build_vorbis_comment_body(
+                        f"vendor-{did % 4}", tags
+                    )
+                    comment = (bytes([4])
+                               + struct.pack(">I", len(body))[1:] + body)
+                else:
+                    ident = (build_vorbis_id_packet(2, 44100)
+                             if codec == "vorbis"
+                             else build_opus_head(2, 156, 48000))
+                    comment = _comment_packet(
+                        codec, f"vendor-{did % 4}", tags
+                    )
                 blob = build_ogg(
                     [ident, comment, b"pkt" * (40 + did % 50)],
                     serial=did + 7,
-                    granules=[0, 0, 156 + 48000 if codec == "opus" else 44100],
+                    granules=[0, 0,
+                              156 + 48000 if codec == "opus"
+                              else 48000 if codec == "flac" else 44100],
                 )
                 meta = extract_ogg_tags(blob)
                 stripped = strip_ogg_tags(blob, keep=("TITLE",))

@@ -520,3 +520,102 @@ def _encode_subframe(w: _BitW, x: np.ndarray, bps: int) -> None:
         w.write(1, 1)
         if param:
             w.write(r, param)
+
+
+# --- VORBIS_COMMENT metadata (the ID3 twin for FLAC) [r12] -------------------
+
+
+def _walk_metadata(payload: bytes):
+    """Yield (offset, is_last, block_type, body) for each metadata
+    block; returns the frame-data offset via StopIteration value."""
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream (missing fLaC magic)")
+    i = 4
+    last = False
+    while not last:
+        if i + 4 > len(payload):
+            raise ValueError("truncated metadata block header")
+        hdr = payload[i]
+        last = bool(hdr & 0x80)
+        btype = hdr & 0x7F
+        (blen,) = struct.unpack(">I", b"\x00" + payload[i + 1 : i + 4])
+        body = payload[i + 4 : i + 4 + blen]
+        if len(body) != blen:
+            raise ValueError("truncated metadata block")
+        yield i, last, btype, body
+        i += 4 + blen
+
+
+def parse_vorbis_comment_body(data: bytes, what: str = "VORBIS_COMMENT"):
+    """vendor + [(KEY, value)] from the shared Vorbis comment layout
+    (little-endian lengths — the one LE corner of the BE FLAC format)."""
+    if len(data) < 8:
+        raise ValueError(f"torn {what} block")
+    (vlen,) = struct.unpack_from("<I", data, 0)
+    if 4 + vlen + 4 > len(data):
+        raise ValueError(f"torn {what} vendor string")
+    vendor = data[4 : 4 + vlen].decode("utf-8", "replace")
+    off = 4 + vlen
+    (n,) = struct.unpack_from("<I", data, off)
+    off += 4
+    if n > 1 << 16:
+        raise ValueError(f"{what} comment count out of range")
+    tags = []
+    for _ in range(n):
+        if off + 4 > len(data):
+            raise ValueError(f"torn {what} comment length")
+        (ln,) = struct.unpack_from("<I", data, off)
+        off += 4
+        if off + ln > len(data):
+            raise ValueError(f"torn {what} comment body")
+        item = data[off : off + ln].decode("utf-8", "replace")
+        off += ln
+        key, _, val = item.partition("=")
+        tags.append((key.upper(), val))
+    return vendor, tags
+
+
+def build_vorbis_comment_body(vendor: str, tags) -> bytes:
+    vb = vendor.encode("utf-8")
+    out = bytearray(struct.pack("<I", len(vb)) + vb)
+    out += struct.pack("<I", len(tags))
+    for k, v in tags:
+        item = f"{k}={v}".encode("utf-8")
+        out += struct.pack("<I", len(item)) + item
+    return bytes(out)
+
+
+def extract_flac_tags(payload: bytes) -> dict:
+    """Extract the VORBIS_COMMENT block (type 4) of a native .flac:
+    {vendor, tags}; empty tags when the block is absent."""
+    vendor, tags = "", []
+    for _off, _last, btype, body in _walk_metadata(payload):
+        if btype == 4:
+            vendor, tags = parse_vorbis_comment_body(body)
+    return {"vendor": vendor, "tags": tags}
+
+
+def strip_flac_tags(payload: bytes, keep: tuple = ()) -> bytes:
+    """Privacy strip: rewrite the metadata chain with the
+    VORBIS_COMMENT block replaced by a ``keep``-filtered one (added if
+    absent and ``keep`` matched nothing → empty block still written so
+    the strip is visible); STREAMINFO and all other blocks ride
+    through verbatim, audio frames untouched."""
+    meta = extract_flac_tags(payload)
+    kept = [(k, v) for k, v in meta["tags"] if k in keep]
+    blocks = []
+    frames_off = None
+    for off, last, btype, body in _walk_metadata(payload):
+        frames_off = off + 4 + len(body)
+        if btype == 4:
+            continue
+        blocks.append((btype, body))
+    new_body = build_vorbis_comment_body("", kept)
+    blocks.append((4, new_body))
+    out = bytearray(b"fLaC")
+    for i, (btype, body) in enumerate(blocks):
+        hdr = btype | (0x80 if i == len(blocks) - 1 else 0)
+        out.append(hdr)
+        out += struct.pack(">I", len(body))[1:]
+        out += body
+    return bytes(out) + payload[frames_off:]

@@ -263,6 +263,23 @@ def extract_ogg_tags(payload: bytes) -> dict:
         if meta[:8] != b"OpusTags":
             raise ValueError("OpusTags signature missing")
         vendor, tags = _parse_comment_block(meta[8:], "OpusTags")
+    elif probe["codec"] == "flac":
+        # [r12] FLAC-in-Ogg: header packets after the ident each carry
+        # one native metadata block; VORBIS_COMMENT is type 4
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.flac import (
+            parse_vorbis_comment_body,
+        )
+
+        vendor, tags = "", []
+        for pkt in packets[1:]:
+            if len(pkt) < 4:
+                continue
+            btype = pkt[0] & 0x7F
+            if btype == 4:
+                vendor, tags = parse_vorbis_comment_body(pkt[4:])
+                break
+            if btype == 127:
+                break  # audio frames begin
     else:
         raise ValueError(
             f"Ogg {probe['codec']} metadata outside the declared scope"
@@ -293,6 +310,23 @@ def strip_ogg_tags(payload: bytes, keep: tuple = ()) -> bytes:
     pages = list(parse_ogg_pages(payload))
     packets, granules = _all_packets(pages)
     kept = [(k, v) for k, v in meta["tags"] if k in keep]
-    packets[1] = _comment_packet(meta["codec"], "", kept)
+    if meta["codec"] == "flac":
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.flac import (
+            build_vorbis_comment_body,
+        )
+
+        body = build_vorbis_comment_body("", kept)
+        new_block = bytes([4]) + struct.pack(">I", len(body))[1:] + body
+        replaced = False
+        for i, pkt in enumerate(packets[1:], start=1):
+            if len(pkt) >= 4 and (pkt[0] & 0x7F) == 4:
+                packets[i] = new_block
+                replaced = True
+                break
+        if not replaced:
+            packets.insert(1, new_block)
+            granules.insert(1, granules[0])
+    else:
+        packets[1] = _comment_packet(meta["codec"], "", kept)
     serial = pages[0]["serial"]
     return build_ogg(packets, serial=serial, granules=granules)

@@ -223,3 +223,54 @@ def test_spark_audio_paths_accept_flac(spark):
     feats = {r.media_id: r for r in extract_features(media).collect()}
     assert feats[0].decoded is True
     assert feats[1].decoded is False
+
+
+def test_vorbis_comment_extract_and_privacy_strip():
+    """[r12] Native-FLAC VORBIS_COMMENT (the ID3 twin): extraction,
+    keep-filtered strip with the audio frames byte-untouched, absent
+    blocks, torn bodies."""
+    import struct
+
+    import numpy as np
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.flac import (
+        build_vorbis_comment_body,
+        decode_flac,
+        encode_flac,
+        extract_flac_tags,
+        strip_flac_tags,
+    )
+
+    pcm = np.asarray(
+        np.sin(np.linspace(0, 30, 2000)) * 9000, dtype=np.int64
+    )[:, None]
+    blob = encode_flac(pcm, 8000)
+    vc = build_vorbis_comment_body(
+        "ref", [("TITLE", "tïtle"), ("GEO_LOCATION", "1,2"), ("A", "b=c")]
+    )
+    new = bytearray(blob)
+    new[4] &= 0x7F  # clear STREAMINFO's last-block flag
+    inject = bytes([0x84]) + struct.pack(">I", len(vc))[1:] + vc
+    si_end = 4 + 4 + 34
+    tagged = bytes(new[:si_end]) + inject + bytes(new[si_end:])
+
+    m = extract_flac_tags(tagged)
+    assert m["vendor"] == "ref"
+    assert m["tags"] == [("TITLE", "tïtle"), ("GEO_LOCATION", "1,2"),
+                         ("A", "b=c")]
+    stripped = strip_flac_tags(tagged, keep=("TITLE",))
+    assert extract_flac_tags(stripped)["tags"] == [("TITLE", "tïtle")]
+    s1 = decode_flac(tagged)
+    s2 = decode_flac(stripped)
+    assert np.array_equal(s1[0], s2[0]) and s1[1:] == s2[1:]
+    # absent block: empty extraction; strip still writes a visible one
+    assert extract_flac_tags(blob)["tags"] == []
+    assert extract_flac_tags(strip_flac_tags(blob))["tags"] == []
+    # torn comment body
+    import pytest
+
+    bad = bytearray(tagged)
+    pos = tagged.index(b"ref")
+    bad[pos - 4] = 200  # vendor length beyond the block
+    with pytest.raises(ValueError, match="torn"):
+        extract_flac_tags(bytes(bad))

@@ -157,13 +157,22 @@ def test_ogg_tags_extract_strip_and_boundaries():
     )
     with pytest.raises(ValueError, match="torn"):
         extract_ogg_tags(torn)
-    # FLAC-in-Ogg metadata: declared scope boundary
+    # FLAC-in-Ogg metadata [r12 second wave]: native VORBIS_COMMENT
+    # blocks ride in the header packets after the ident
     from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.flac import (
+        build_vorbis_comment_body,
         encode_flac,
     )
 
     flac = encode_flac(np.zeros((480, 1), dtype=np.int64), 8000)
-    ident = b"\x7fFLAC" + bytes([1, 0]) + struct.pack(">H", 0) + flac[:42]
-    fblob = build_ogg([ident, b"meta"], granules=[0, 480])
-    with pytest.raises(ValueError, match="declared scope"):
-        extract_ogg_tags(fblob)
+    ident = b"\x7fFLAC" + bytes([1, 0]) + struct.pack(">H", 1) + flac[:42]
+    vc = build_vorbis_comment_body("v", [("TITLE", "f"), ("GEO_LOCATION", "1,1")])
+    vc_pkt = bytes([4]) + struct.pack(">I", len(vc))[1:] + vc
+    fblob = build_ogg([ident, vc_pkt, b"frames"], granules=[0, 0, 480])
+    fm = extract_ogg_tags(fblob)
+    assert fm["codec"] == "flac" and len(fm["tags"]) == 2
+    fo = strip_ogg_tags(fblob, keep=("TITLE",))
+    assert extract_ogg_tags(fo)["tags"] == [("TITLE", "f")]
+    # no comment block at all: empty tags, strip still works
+    fblob2 = build_ogg([ident, b"frames"], granules=[0, 480])
+    assert extract_ogg_tags(fblob2)["tags"] == []

@@ -1124,6 +1124,7 @@ class _FrameDecoder:
         self.cur_qp = self.qp
         self.qp_pred = self.qp
         self.qp_delta_coded = True  # no QG open yet
+        self.qg_rect = (0, 0, 1 << sps["log2_ctb"])
         self.ts_enabled = bool(pps["transform_skip"])
         sd = pps["scaling_data"] or sps["scaling_data"]
         self.scaling = build_scaling_factors(sd) if sd else None
@@ -1332,6 +1333,7 @@ class _FrameDecoder:
             self.qp_pred = (a + b + 1) >> 1
             self.cur_qp = self.qp_pred
             self.qp_delta_coded = False
+            self.qg_rect = (x0, y0, size)
         inside = x0 + size <= self.w and y0 + size <= self.h
         if inside and log2n > self.sps["log2_min_cb"]:
             ctx = 0
@@ -1430,6 +1432,14 @@ class _FrameDecoder:
         self._transform_tree(
             x0, y0, x0, y0, log2n, 0, 0, part_nxn, modes, chroma_mode, 1, 1
         )
+        # deblock QP semantics (matches libde265/HM): each CU carries
+        # the QG value as of ITS OWN completion — prediction for CUs
+        # decoded before the QG's delta carrier, final from the
+        # carrier on (dequant inside the carrier is unaffected: the
+        # delta parses at the first cbf TU, before any residual use)
+        self.qp_map[
+            y0 >> 2 : (y0 + size) >> 2, x0 >> 2 : (x0 + size) >> 2
+        ] = self.cur_qp
 
     # -- transform tree (§7.3.8.8)
 
@@ -1504,7 +1514,7 @@ class _FrameDecoder:
             val = 5 + (1 << k) - 1 + c.bypass_bits(k)
         if val and c.bypass():
             val = -val
-        self.cur_qp = ((self.qp_pred + val + 52 + 104) % 52)
+        self.cur_qp = (self.qp_pred + val + 52 + 104) % 52
         self.qp_delta_coded = True
 
     def _transform_unit(self, x0, y0, x_base, y_base, log2n, depth, blk_idx,
@@ -1521,10 +1531,6 @@ class _FrameDecoder:
                 self.sdh, self.ts_enabled,
             )
         self._reconstruct(0, x0, y0, log2n, mode, res, self.cur_qp)
-        n = 1 << log2n
-        self.qp_map[y0 >> 2 : (y0 + n) >> 2, x0 >> 2 : (x0 + n) >> 2] = (
-            self.cur_qp
-        )
         if log2n > 2:
             cx, cy, clog2 = x0 >> 1, y0 >> 1, log2n - 1
             self._chroma_unit(cx, cy, clog2, chroma_mode, cbf_cb, cbf_cr)

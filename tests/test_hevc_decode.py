@@ -492,3 +492,24 @@ def test_scaling_lists_default_bit_exact_and_explicit_parse():
     )
     assert f[(2, 0)][0, 0] == 16 and f[(2, 0)][1, 1] == 16
     assert f[(3, 0)].shape == (32, 32)
+
+
+def test_qg_per_cu_qp_semantics_regression():
+    """Differential fuzz found a ±1 deblock divergence: a CU decoded
+    BEFORE its quantization group's delta-carrying CU keeps the
+    PREDICTED QP for deblock-edge purposes (per-CU completion-time
+    semantics, matching libde265/HM), while the carrier and later CUs
+    carry the final QP — neither a pure per-TU nor a whole-QG-refill
+    rule matches both sides. Pinned with the exact reproducing stream
+    (CTU 16, CRF+aq-2, deblock -3:-2, two frames)."""
+    encode_intra, decode_de265, make_frame = _rig()
+    extra = {b"ctu": b"16", b"qp": False, b"crf": b"23",
+             b"aq-mode": b"2", b"no-signhide": None, b"deblock": b"-3:-2"}
+    frames = [make_frame(96, 64, 13 * 7 + i, "mixed") for i in range(2)]
+    bs = encode_intra(frames, extra=extra)
+    gt = decode_de265(bs)
+    ours = decode_hevc_intra(bs)
+    assert len(ours) == len(gt) == 2
+    for o, g in zip(ours, gt):
+        for c in range(3):
+            assert np.array_equal(o[c], g[c])

@@ -12,9 +12,9 @@ DEFAULT-toolset x265 intra streams decode bit-exact. WPP (entropy sync) IS in sc
 CABAC re-init at NAL-domain entry points with above-row context sync;
 cu_qp_delta, transform_skip, and scaling lists (default or explicit
 §7.3.4 data) also in scope, so adaptive-quant, screen-content, and
-HVS-quantized streams decode. No tiles/dependent slices, no scaling lists, no
-transform-skip, no PCM, no transquant bypass, no cu_qp_delta, no
-sign-data-hiding. Everything in scope decodes BIT-EXACT against the
+HVS-quantized streams decode; sign-data-hiding in scope. Out of scope:
+tiles, dependent slices, multi-slice pictures, PCM, transquant bypass,
+inter prediction (P/B). Everything in scope decodes BIT-EXACT against the
 system libde265 (ctypes ground truth, tests/test_hevc_decode.py) on
 real x265-encoded streams — the VP8/libwebp playbook.
 
@@ -88,11 +88,19 @@ def _st_ref_pic_set(b: _Bits, idx: int, num_sets: int, prev_deltas) -> list:
     count list so later sets can size inter-RPS prediction reads."""
     pred = b.u(1) if idx != 0 else 0
     if pred:
+        # RefRpsIdx = idx - (delta_idx_minus1 + 1); delta_idx is only
+        # coded in the slice header (idx == num_sets) and is implicitly
+        # 1 for SPS sets (§7.4.8) — so size the read loop from the
+        # REFERENCED set's NumDeltaPocs, not always the last one.
+        delta_idx = 1
         if idx == num_sets:
-            b.ue()  # delta_idx_minus1
+            delta_idx = b.ue() + 1  # delta_idx_minus1
+        ref_idx = idx - delta_idx
+        if ref_idx < 0 or ref_idx >= len(prev_deltas):
+            raise ValueError("HEVC st_ref_pic_set inter-RPS index out of range")
         b.u(1)  # delta_rps_sign
         b.ue()  # abs_delta_rps_minus1
-        n_prev = prev_deltas[-1] if prev_deltas else 0
+        n_prev = prev_deltas[ref_idx]
         count = 0
         for _ in range(n_prev + 1):
             used = b.u(1)
@@ -287,6 +295,7 @@ def parse_sps_intra(rbsp: bytes) -> dict:
     for i in range(num_sets):
         deltas = _st_ref_pic_set(b, i, num_sets, deltas)
     sps["num_st_rps"] = num_sets
+    sps["rps_deltas"] = deltas
     if b.u(1):  # long_term_ref_pics_present
         n_lt = b.ue()
         for _ in range(n_lt):
@@ -384,7 +393,8 @@ def parse_slice_header_intra(rbsp: bytes, nal_type: int, sps: dict,
     if nal_type not in (19, 20):  # non-IDR IRAP carries POC + RPS
         b.u(sps["log2_max_poc_lsb"])
         if not b.u(1):  # short_term_ref_pic_set_sps_flag
-            _st_ref_pic_set(b, sps["num_st_rps"], sps["num_st_rps"], [])
+            _st_ref_pic_set(b, sps["num_st_rps"], sps["num_st_rps"],
+                            sps["rps_deltas"])
         elif sps["num_st_rps"] > 1:
             bits = max(1, (sps["num_st_rps"] - 1).bit_length())
             b.u(bits)
@@ -437,6 +447,11 @@ def parse_slice_header_intra(rbsp: bytes, nal_type: int, sps: dict,
             raise ValueError("HEVC slice header alignment not zero-padded")
     return {"qp": qp, "cb_qp_offset": pps["cb_qp_offset"] + cb_off,
             "cr_qp_offset": pps["cr_qp_offset"] + cr_off,
+            # deblocking QpC derives from the PPS offsets ONLY
+            # (§8.7.2.5.5, matches libde265); the slice-inclusive
+            # offsets above are for dequant.
+            "pps_cb_qp_offset": pps["cb_qp_offset"],
+            "pps_cr_qp_offset": pps["cr_qp_offset"],
             "deblock": not deblock_disabled,
             "entry_points": entry_points,
             "sao_luma": sao_luma, "sao_chroma": sao_chroma,
@@ -1302,10 +1317,10 @@ class _FrameDecoder:
             _deblock_plane(self.planes[0], self.edge_v_y, self.edge_h_y,
                            qp_luma, bo, to, luma=True)
             _deblock_plane(self.planes[1], self.edge_v_c, self.edge_h_c,
-                           qp_chroma(self.hdr["cb_qp_offset"]), bo, to,
+                           qp_chroma(self.hdr["pps_cb_qp_offset"]), bo, to,
                            luma=False)
             _deblock_plane(self.planes[2], self.edge_v_c, self.edge_h_c,
-                           qp_chroma(self.hdr["cr_qp_offset"]), bo, to,
+                           qp_chroma(self.hdr["pps_cr_qp_offset"]), bo, to,
                            luma=False)
         if use_sao:
             self._apply_sao()
@@ -1569,7 +1584,11 @@ class _FrameDecoder:
         if res is not None:
             coefs, ts = res
             m = None
-            if self.scaling is not None and not ts:
+            # §8.6.3: m[x][y]=16 for transform_skip only when nTbS>4;
+            # v1 transform-skip is always 4x4, so scaling lists DO
+            # apply to TS blocks (verified bit-exact vs libde265 on
+            # x265 --tskip + non-flat explicit 4x4 scaling lists).
+            if self.scaling is not None:
                 m = self.scaling[(log2n - 2, plane_idx)]
             d = _dequant(coefs, qp, log2n, m)
             if ts:

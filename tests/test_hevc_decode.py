@@ -513,3 +513,119 @@ def test_qg_per_cu_qp_semantics_regression():
     for o, g in zip(ours, gt):
         for c in range(3):
             assert np.array_equal(o[c], g[c])
+
+
+def test_tskip_blocks_use_scaling_lists_bit_exact():
+    """[r13 ADVICE-high] §8.6.3 sets m=16 for transform_skip only when
+    nTbS>4; v1 TS is always 4x4, so scaling lists DO apply to TS
+    blocks. x265 --tskip + a NON-FLAT explicit 4x4 intra-luma scaling
+    list (flat defaults masked this) decodes bit-exact vs libde265."""
+    import tempfile
+
+    encode_intra, decode_de265, make_frame = _rig()
+    from hevc_rig import write_hm_scaling_list
+
+    scr = np.zeros((64, 64), np.uint8)
+    scr[::4] = 255
+    scr[:, ::6] = 128
+    u = np.full((32, 32), 90, np.uint8)
+    v = np.full((32, 32), 200, np.uint8)
+    with tempfile.NamedTemporaryFile("w", suffix=".txt") as f:
+        write_hm_scaling_list(
+            f.name,
+            intra4_luma=[16, 18, 20, 24, 18, 20, 24, 28,
+                         20, 24, 28, 32, 24, 28, 32, 36],
+        )
+        for qp in (15, 27):
+            bs = encode_intra(
+                [(scr, u, v)], qp=qp,
+                extra={b"tskip": None, b"scaling-list": f.name.encode()},
+            )
+            gt = decode_de265(bs)[0]
+            ours = decode_hevc_intra(bs)[0]
+            for c in range(3):
+                assert np.array_equal(ours[c], gt[c]), (qp, c)
+
+
+def test_slice_chroma_qp_offsets_deblock_uses_pps_only():
+    """[r13 ADVICE] deblocking QpC derives from the PPS chroma offsets
+    ONLY (§8.7.2.5.5); dequant keeps the slice-inclusive offsets. x265
+    never emits slice chroma offsets, so the rig splices
+    slice_cb/cr_qp_offset into real x265 streams via NAL surgery and
+    libde265 decodes the rewritten stream as ground truth. The
+    slice-inclusive deblock bug showed chroma maxdiff 2 here."""
+    encode_intra, decode_de265, make_frame = _rig()
+    from hevc_rig import inject_slice_chroma_offsets
+
+    frames = [make_frame(96, 64, 5, "mixed")]
+    for qp, (cb, cr) in [(27, (4, -5)), (20, (-6, 3)), (32, (5, 5))]:
+        st = inject_slice_chroma_offsets(
+            encode_intra(frames, qp=qp), cb, cr
+        )
+        gt = decode_de265(st)[0]
+        ours = decode_hevc_intra(st)[0]
+        for c in range(3):
+            assert np.array_equal(ours[c], gt[c]), (qp, cb, cr, c)
+
+
+def test_st_ref_pic_set_inter_rps_uses_referenced_set_size():
+    """[r13 ADVICE] slice-header st_ref_pic_set with
+    inter_ref_pic_set_prediction_flag sizes its read loop from the
+    REFERENCED set's NumDeltaPocs (RefRpsIdx via delta_idx_minus1),
+    not from the last SPS set; the old prev_deltas=[] call desynced
+    CRA slice headers."""
+    from hevc_rig import BitWriter
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.hevc_decode import (
+        _Bits,
+        _st_ref_pic_set,
+    )
+
+    # SPS set 0: explicit, 3 deltas; SPS set 1: predicted from set 0
+    # keeping 1 delta; slice-header set (idx=2=num_sets) predicts with
+    # delta_idx_minus1=1 -> RefRpsIdx=0 (3 deltas -> 4-iteration loop).
+    w = BitWriter()
+    w.ue(2)          # set0: num_negative_pics
+    w.ue(1)          #       num_positive_pics
+    for _ in range(3):
+        w.ue(0)      # delta_poc_minus1
+        w.u(1, 1)    # used_by_curr_pic
+    w.u(1, 1)        # set1: inter_ref_pic_set_prediction_flag
+    w.u(0, 1)        #       delta_rps_sign
+    w.ue(0)          #       abs_delta_rps_minus1
+    for i in range(4):           # NumDeltaPocs[0] + 1
+        if i == 0:
+            w.u(1, 1)            # used_by_curr_pic -> kept (count=1)
+        else:
+            w.u(0, 1)            # not used
+            w.u(0, 1)            # use_delta_flag = 0 -> dropped
+    b = _Bits(w.tobytes())
+    deltas = []
+    for i in range(2):
+        deltas = _st_ref_pic_set(b, i, 2, deltas)
+    assert deltas == [3, 1]
+
+    # slice-header set referencing set 0 via delta_idx_minus1=1
+    w2 = BitWriter()
+    w2.u(1, 1)       # inter_ref_pic_set_prediction_flag
+    w2.ue(1)         # delta_idx_minus1 -> RefRpsIdx = 0
+    w2.u(0, 1)       # delta_rps_sign
+    w2.ue(4)         # abs_delta_rps_minus1
+    for _ in range(4):           # sized by set 0's 3 deltas, not set 1's 1
+        w2.u(1, 1)
+    sentinel_bits = 11
+    w2.u(0x5A7 >> 0, sentinel_bits)
+    b2 = _Bits(w2.tobytes())
+    out = _st_ref_pic_set(b2, 2, 2, [3, 1])
+    assert out[-1] == 4
+    assert b2.u(sentinel_bits) == 0x5A7  # parse consumed exactly the set
+
+    # out-of-range RefRpsIdx tears with ValueError, not IndexError
+    w3 = BitWriter()
+    w3.u(1, 1)
+    w3.ue(5)         # delta_idx_minus1 -> RefRpsIdx = -4
+    w3.u(0, 1)
+    w3.ue(0)
+    w3.u(0, 8)
+    with pytest.raises(ValueError):
+        _st_ref_pic_set(_Bits(w3.tobytes()), 2, 2, [3, 1])

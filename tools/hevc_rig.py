@@ -236,3 +236,176 @@ def make_frame(w: int, h: int, seed: int, kind: str = "mixed"):
     u = ((128 + (xx[: (h + 1) // 2 * 2 : 2, : (w + 1) // 2 * 2 : 2] - yy[: (h + 1) // 2 * 2 : 2, : (w + 1) // 2 * 2 : 2]) // 4) % 256).astype(np.uint8)
     v = ((128 + seed * 3 + yy[: (h + 1) // 2 * 2 : 2, : (w + 1) // 2 * 2 : 2] // 2) % 256).astype(np.uint8)
     return y, u, v
+
+
+def split_nals(stream: bytes):
+    """Split an Annex-B stream into (start_code, nal_bytes) pairs."""
+    idxs = []
+    j, n = 0, len(stream)
+    while j < n - 2:
+        if stream[j] == 0 and stream[j + 1] == 0:
+            if stream[j + 2] == 1:
+                idxs.append((j, 3))
+                j += 3
+                continue
+            if j + 3 < n and stream[j + 2] == 0 and stream[j + 3] == 1:
+                idxs.append((j, 4))
+                j += 4
+                continue
+        j += 1
+    out = []
+    for k, (pos, sc) in enumerate(idxs):
+        end = idxs[k + 1][0] if k + 1 < len(idxs) else n
+        out.append((stream[pos:pos + sc], stream[pos + sc:end]))
+    return out
+
+
+class BitWriter:
+    """MSB-first bit writer (Exp-Golomb capable) for NAL surgery."""
+
+    def __init__(self):
+        self.bits = []
+
+    def u(self, v, n):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def ue(self, v):
+        v += 1
+        nb = v.bit_length()
+        self.u(0, nb - 1)
+        self.u(v, nb)
+
+    def se(self, v):
+        self.ue(2 * v - 1 if v > 0 else -2 * v)
+
+    def copy(self, data, start, end):
+        for p in range(start, end):
+            self.bits.append((data[p >> 3] >> (7 - (p & 7))) & 1)
+
+    def tobytes(self):
+        while len(self.bits) % 8:
+            self.bits.append(0)
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            acc = 0
+            for b in self.bits[i:i + 8]:
+                acc = (acc << 1) | b
+            out.append(acc)
+        return bytes(out)
+
+
+def inject_slice_chroma_offsets(stream: bytes, cb_off: int, cr_off: int) -> bytes:
+    """Rewrite an in-scope single-slice intra stream so every slice
+    header carries slice_cb/cr_qp_offset: flip the PPS
+    pps_slice_chroma_qp_offsets_present_flag IN PLACE (a u(1), no bit
+    shift), then splice two se(v) codes into each slice header after
+    slice_qp_delta, re-padding the header byte-alignment. x265 never
+    emits slice chroma offsets, so this is the only way to exercise
+    that path on a real-encoder stream while keeping libde265 as the
+    ground truth (it decodes the rewritten stream natively)."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators import (
+        hevc_decode as hd,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.h264 import (
+        add_emulation,
+    )
+
+    sps = pps = None
+    out = bytearray()
+    for sc, nal in split_nals(stream):
+        ntype = (nal[0] >> 1) & 0x3F
+        rbsp, _ = hd.strip_emulation_with_map(nal)
+        if ntype == 33:
+            sps = hd.parse_sps_intra(rbsp)
+            out += sc + nal
+            continue
+        if ntype == 34:
+            b = hd._Bits(rbsp)
+            b.u(16)
+            b.ue(); b.ue(); b.u(1); b.u(1); b.u(3); b.u(1); b.u(1)
+            b.ue(); b.ue(); b.se(); b.u(1); b.u(1)
+            if b.u(1):  # cu_qp_delta_enabled
+                b.ue()
+            b.se(); b.se()
+            flagpos = b.pos
+            new = bytearray(rbsp)
+            if (new[flagpos >> 3] >> (7 - (flagpos & 7))) & 1:
+                raise ValueError("PPS already has slice chroma offsets")
+            new[flagpos >> 3] |= 1 << (7 - (flagpos & 7))
+            pps = hd.parse_pps_intra(bytes(new))
+            out += sc + add_emulation(bytes(new))
+            continue
+        if ntype in (16, 17, 18, 19, 20, 21) and pps is not None:
+            ppsu = dict(pps)
+            ppsu["slice_chroma_qp_offsets_present"] = 0
+            b = hd._Bits(rbsp)
+            b.u(16)
+            b.u(1)  # first_slice_segment_in_pic
+            if ntype in hd.IRAP_TYPES:
+                b.u(1)
+            b.ue()
+            for _ in range(pps["extra_slice_header_bits"]):
+                b.u(1)
+            b.ue()  # slice_type
+            if pps["output_flag_present"]:
+                b.u(1)
+            if ntype not in (19, 20):
+                b.u(sps["log2_max_poc_lsb"])
+                if not b.u(1):
+                    hd._st_ref_pic_set(b, sps["num_st_rps"],
+                                       sps["num_st_rps"], sps["rps_deltas"])
+                elif sps["num_st_rps"] > 1:
+                    b.u(max(1, (sps["num_st_rps"] - 1).bit_length()))
+                if sps["temporal_mvp"]:
+                    b.u(1)
+            if sps["sao_enabled"]:
+                b.u(1)
+                b.u(1)
+            b.se()  # slice_qp_delta
+            insert_at = b.pos
+            hdr = hd.parse_slice_header_intra(rbsp, ntype, sps, ppsu)
+            data_pos = hdr["data_pos"]
+            align = None  # the alignment one-bit: last set bit pre-CABAC
+            for p in range(data_pos - 1, insert_at - 1, -1):
+                if (rbsp[p >> 3] >> (7 - (p & 7))) & 1:
+                    align = p
+                    break
+            w = BitWriter()
+            w.copy(rbsp, 0, insert_at)
+            w.se(cb_off)
+            w.se(cr_off)
+            w.copy(rbsp, insert_at, align)
+            w.u(1, 1)
+            new = w.tobytes() + rbsp[data_pos // 8:]
+            out += sc + add_emulation(new)
+            continue
+        out += sc + nal
+    return bytes(out)
+
+
+def write_hm_scaling_list(path: str, intra4_luma=None):
+    """Write an HM/x265-format scaling-list file: all matrices flat 16
+    except an optional non-flat INTRA4X4_LUMA (the discriminator for
+    the §8.6.3 transform-skip scaling rule — v1 TS is always 4x4, so
+    scaling lists apply to TS blocks too)."""
+    n4 = ["INTRA4X4_LUMA", "INTRA4X4_CHROMAU", "INTRA4X4_CHROMAV",
+          "INTER4X4_LUMA", "INTER4X4_CHROMAU", "INTER4X4_CHROMAV"]
+    n8 = [s.replace("4X4", "8X8") for s in n4]
+    n16 = [s.replace("4X4", "16X16") for s in n4]
+    n32 = ["INTRA32X32_LUMA", "INTER32X32_LUMA"]
+    lines = []
+    for n in n4:
+        lines.append(n + " =")
+        vals = (intra4_luma if (n == "INTRA4X4_LUMA" and intra4_luma)
+                else [16] * 16)
+        lines.append(",".join(map(str, vals)))
+    for group, dc in ((n8, False), (n16, True), (n32, True)):
+        for n in group:
+            lines.append(n + " =")
+            lines.append(",".join(["16"] * 64))
+            if dc:
+                lines.append(n + "_DC =")
+                lines.append("16")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")

@@ -597,6 +597,7 @@ def load_all() -> dict[str, QuerySpec]:
         wave_r12,
         wave_r13,
         wave_r14,
+        wave_r15,
         window_r11,
         window_r5,  # packs read other modules' oracles — import last
         window_r6,

@@ -1,0 +1,134 @@
+"""Round-13 operator wave (r12 verdict "Next round" #1/#4/#5): the
+HEIC quarantine closes (HEIF items → the from-spec HEVC intra decoder,
+grid + irot included), the AV1 OBU probe gives AVIF its honest first
+slice, and the streaming sink (A3 — the last §2 row without a
+CORRECTNESS-visible verdict) gets an availableNow-trigger lake
+roundtrip."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus import register
+from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus._util import t
+
+
+@register(
+    "multimodal_heic_decode",
+    oracle="""
+        SELECT doc_id,
+               CASE
+                 WHEN doc_id % 3 = 1 THEN -CAST(POWER(2, 32) AS BIGINT)
+                 WHEN doc_id % 3 = 2
+                   THEN CAST(POWER(2, 8 * (6 - doc_id % 4)) AS BIGINT) - 1
+                 ELSE -CAST(POWER(2, 8 * (2 + doc_id % 4)) AS BIGINT)
+               END AS ahash,
+               CAST(CASE WHEN doc_id % 3 = 1 THEN 5 ELSE 1 END AS INT)
+                 AS n_items,
+               CAST(CASE WHEN doc_id % 3 = 1 THEN 4 ELSE 0 END AS INT)
+                 AS n_tiles,
+               CAST(CASE WHEN doc_id % 3 = 2 THEN 180 ELSE 0 END AS INT)
+                 AS rotation
+        FROM documents WHERE doc_id < 48
+        ORDER BY doc_id
+    """,
+    tags=("B10", "multimodal", "image"),
+    doc="HEIC DECODE end-to-end with an ANALYTIC oracle (the [r13] "
+    "container — closes the r11/r12 named HEIF quarantine: ISO 23008-12 "
+    "items routed through the from-spec HEVC intra decoder, pinned "
+    "PIXEL-EXACT against the system libheif in tests/test_heif.py on "
+    "single items, 2x2 grids, rotations, and libheif's own encodes): "
+    "per doc a 32x32 two-tone luma frame (split at row 8 + 4*(doc_id%4)) "
+    "is fixture-encoded and wrapped three ways by doc_id%3 — plain hvc1 "
+    "primary item, a 2x2 grid of 16x16 tiles split at the tile boundary "
+    "(iloc construction-method-1 idat payload), or an irot-180 item "
+    "whose rotation flips the tone split to the top — then sniffed and "
+    "decoded through the codec registry and average-hashed; the probe "
+    "fields (item/tile census, rotation) ride alongside so the "
+    "container walk is graded with the pixels "
+    "(operators/heif.py; ISO/IEC 23008-12 §6, ISO/IEC 14496-12 §8.11).",
+)
+def multimodal_heic_decode(spark, sf_dir):
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 48).select(
+        "doc_id"
+    )
+
+    def op(batches):
+        import numpy as np
+
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.heif import (
+            build_heif,
+            probe_heif,
+        )
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.hevc_enc import (
+            encode_hevc_intra,
+        )
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+            _ahash_pixels,
+            decode_image,
+            sniff_image_format,
+        )
+
+        def two_tone(h, w, split, dark):
+            y = np.full((h, w), dark, dtype=np.uint8)
+            y[split:] = dark + 140
+            u = np.full((h // 2, w // 2), 128, dtype=np.uint8)
+            v = np.full_like(u, 128)
+            return y, u, v
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                dark = 30 + did % 21
+                split = 8 + 4 * (did % 4)
+                qp = 18 + did % 10
+                mode = did % 3
+                if mode == 1:
+                    # grid: tone split at the 16-row tile boundary —
+                    # top tiles dark, bottom tiles bright
+                    tiles = []
+                    for r in range(2):
+                        for c in range(2):
+                            ty = np.full(
+                                (16, 16),
+                                dark if r == 0 else dark + 140,
+                                dtype=np.uint8,
+                            )
+                            tu = np.full((8, 8), 128, dtype=np.uint8)
+                            tiles.append(
+                                encode_hevc_intra([(ty, tu, tu)], qp=qp)
+                            )
+                    payload = build_heif(tiles, grid=(2, 2, 32, 32))
+                else:
+                    st = encode_hevc_intra(
+                        [two_tone(32, 32, split, dark)], qp=qp
+                    )
+                    payload = build_heif(
+                        [st], rotation=180 if mode == 2 else 0
+                    )
+                if sniff_image_format(payload) != "heif":
+                    raise ValueError("HEIC payload failed format sniff")
+                px, w, h = decode_image(payload)
+                p = probe_heif(payload)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "ahash": _ahash_pixels(px, w, h),
+                        "n_items": p["n_items"],
+                        "n_tiles": p["n_tiles"],
+                        "rotation": p["rotation"],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "ahash", "n_items", "n_tiles",
+                         "rotation"],
+            )
+
+    return d.mapInPandas(
+        op,
+        "doc_id long, ahash long, n_items int, n_tiles int, rotation int",
+    ).orderBy("doc_id")

@@ -339,7 +339,24 @@ def encode_hevc_intra(frames, qp: int = 30) -> bytes:
     wtr.w(0, 1)  # long term
     wtr.w(0, 1)  # temporal mvp
     wtr.w(0, 1)  # strong intra smoothing
-    wtr.w(0, 1)  # vui
+    # VUI with video_full_range_flag=1: full-range YCbCr signalling so
+    # third-party decoders (libheif's HEIC path honours the VUI range)
+    # convert with the same T.871/BT.601-full math this pipeline uses —
+    # keeps the fixture-encoder HEIC pin pixel-exact (§E.2.1).
+    wtr.w(1, 1)  # vui_parameters_present
+    wtr.w(0, 1)  # aspect_ratio_info_present
+    wtr.w(0, 1)  # overscan_info_present
+    wtr.w(1, 1)  # video_signal_type_present
+    wtr.w(5, 3)  # video_format: unspecified
+    wtr.w(1, 1)  # video_full_range_flag
+    wtr.w(0, 1)  # colour_description_present
+    wtr.w(0, 1)  # chroma_loc_info_present
+    wtr.w(0, 1)  # neutral_chroma_indication
+    wtr.w(0, 1)  # field_seq_flag
+    wtr.w(0, 1)  # frame_field_info_present
+    wtr.w(0, 1)  # default_display_window
+    wtr.w(0, 1)  # vui_timing_info_present
+    wtr.w(0, 1)  # bitstream_restriction
     wtr.w(0, 1)  # sps extension
     wtr.trailing()
     out += nal(33, wtr.payload())

@@ -431,12 +431,16 @@ def _decode_xbm_rgb(payload: bytes):
     return decode_xbm_rgb(payload)
 
 
-def _quarantine_heif(payload: bytes):
-    raise ValueError(
-        "HEIF/HEIC still (ISO-BMFF ftyp heic): HEVC intra decode is a "
-        "declared boundary — swap in a native decoder via "
-        "register_image_decoder('heif', ...)"
+def _decode_heif_rgb(payload: bytes):
+    # r13: the HEIC quarantine is CLOSED — HEIF items route through the
+    # from-spec HEVC intra decoder (operators/heif.py; grid + irot
+    # supported; pinned pixel-exact vs the system libheif on full-range
+    # streams, tests/test_heif.py)
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.heif import (
+        decode_heif,
     )
+
+    return decode_heif(payload)
 
 
 def _quarantine_avif(payload: bytes):
@@ -475,10 +479,11 @@ def _stdlib_image_decoders() -> dict:
         "exr": _decode_exr_rgb,
         "pnm": _decode_pnm_rgb,
         "xbm": _decode_xbm_rgb,
-        # named quarantine boundaries (never silent unknowns): decode
-        # needs HEVC/AV1 intra; swap a native decoder in via
-        # register_image_decoder when a corpus requires them
-        "heif": _quarantine_heif,
+        # r13: HEIC decodes from spec (HEIF items -> HEVC intra)
+        "heif": _decode_heif_rgb,
+        # named quarantine boundary (never a silent unknown): decode
+        # needs AV1 intra; operators/av1.py carries the OBU probe, and
+        # a native decoder can swap in via register_image_decoder
         "avif": _quarantine_avif,
     }
 

@@ -228,9 +228,11 @@ def test_transcode_audio_normalizes_formats(spark):
 
 
 def test_heif_avif_named_quarantines_and_swap_seam():
-    """ISO-BMFF stills sniff to named quarantine keys (never silent
-    unknown rows), and the keys are LIVE swap seams for native
-    decoders."""
+    """ISO-BMFF stills sniff to their registry keys (never silent
+    unknown rows). r13: HEIC decodes from spec (torn stub payloads tear
+    with a ValueError from the container walk, not a quarantine
+    message); AVIF stays a NAMED quarantine and a LIVE swap seam for
+    native decoders."""
     import numpy as np
 
     from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
@@ -244,9 +246,10 @@ def test_heif_avif_named_quarantines_and_swap_seam():
     avif = b"\x00\x00\x00\x1c" + b"ftypavif" + b"\x00" * 16
     assert sniff_image_format(heic) == "heif"
     assert sniff_image_format(avif) == "avif"
-    for blob, word in ((heic, "HEVC"), (avif, "AV1")):
-        with pytest.raises(ValueError, match=word):
-            decode_image(blob)
+    with pytest.raises(ValueError, match="meta"):  # real decode path now
+        decode_image(heic)
+    with pytest.raises(ValueError, match="AV1"):
+        decode_image(avif)
     try:
         register_image_decoder(
             "avif", lambda p: (np.zeros((2, 2, 3), dtype=np.uint8), 2, 2)

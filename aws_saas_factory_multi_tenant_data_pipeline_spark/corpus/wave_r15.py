@@ -132,3 +132,82 @@ def multimodal_heic_decode(spark, sf_dir):
         op,
         "doc_id long, ahash long, n_items int, n_tiles int, rotation int",
     ).orderBy("doc_id")
+
+
+@register(
+    "video_hevc_main10",
+    oracle="""
+        SELECT doc_id,
+               -CAST(POWER(2, 8 * (2 + doc_id % 4)) AS BIGINT) AS ahash,
+               CAST(10 AS INT) AS bit_depth,
+               CAST(1024 AS BIGINT) AS n_px
+        FROM documents WHERE doc_id < 40
+        ORDER BY doc_id
+    """,
+    tags=("B10", "multimodal", "video"),
+    doc="HEVC Main10 (10-bit) intra decode END-TO-END with an ANALYTIC "
+    "oracle (the [r13] scope growth — bit depth threaded through "
+    "dequant/transform/QpBdOffset/SAO/deblock, pinned BIT-EXACT "
+    "against libde265 on real x265-10bit streams across the toolset "
+    "in tests/test_hevc_decode.py): per doc a 32x32 10-bit two-tone "
+    "luma frame (tones (30+doc_id%21)*4 / +560, split at row "
+    "8+4*(doc_id%4)) is fixture-encoded as a Main10 stream "
+    "(profile_idc 2, bit_depth ue(2)) at QP 18+doc_id%14 and decoded "
+    "back — the stream probe grades the signalled bit depth, the "
+    "decoded uint16 planes scale >>2 into the same closed-form aHash "
+    "as the 8-bit twin; any bdShift/stage-2-shift/Qp'-domain defect "
+    "flips it (operators/hevc_decode.py, hevc_enc.py; ITU-T H.265 "
+    "A.3.5 Main10).",
+)
+def video_hevc_main10(spark, sf_dir):
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 40).select(
+        "doc_id"
+    )
+
+    def op(batches):
+        import numpy as np
+
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.hevc import (
+            probe_hevc_annexb,
+        )
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.hevc_decode import (
+            decode_hevc_intra,
+        )
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.hevc_enc import (
+            encode_hevc_intra,
+        )
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+            _ahash_pixels,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                dark = (30 + did % 21) * 4
+                split = 8 + 4 * (did % 4)
+                y = np.full((32, 32), dark, dtype=np.uint16)
+                y[split:] = dark + 560
+                u = np.full((16, 16), 512, dtype=np.uint16)
+                v = np.full((16, 16), 440 + did % 31, dtype=np.uint16)
+                bs = encode_hevc_intra([(y, u, v)], qp=18 + did % 14,
+                                       bit_depth=10)
+                info = probe_hevc_annexb(bs)
+                yd, _u, _v = decode_hevc_intra(bs)[0]
+                y8 = (yd >> 2).astype(np.uint8)
+                px = np.repeat(y8[:, :, None], 3, axis=2)
+                rows.append({
+                    "doc_id": did,
+                    "ahash": _ahash_pixels(px, 32, 32),
+                    "bit_depth": int(info["bit_depth_luma"]),
+                    "n_px": int(yd.size),
+                })
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "ahash", "bit_depth", "n_px"]
+            )
+
+    return d.mapInPandas(
+        op, "doc_id long, ahash long, bit_depth int, n_px long"
+    ).orderBy("doc_id")

@@ -412,11 +412,15 @@ def decode_heif_yuv(payload: bytes):
 def decode_heif(payload: bytes):
     """Registry-contract decode: primary item → (uint8 [h,w,3] RGB,
     width, height), ``irot`` applied (counter-clockwise multiples of
-    90°, ISO 23008-12 §6.5.10), T.871 colour conversion."""
+    90°, ISO 23008-12 §6.5.10), T.871 colour conversion. Main10
+    payloads convert at 10 bits then scale >> 2 (matching libheif's
+    8-bit RGB output bit-exactly on full-range streams)."""
     y, u, v = decode_heif_yuv(payload)
     meta, _brand = _find_meta(payload)
     rot = _irot(_item_props(meta, meta["primary"]))
     h, w = y.shape
+    mid = 512.0 if y.dtype == np.uint16 else 128.0
+    maxv = 1023 if y.dtype == np.uint16 else 255
     yf = y.astype(np.float64)
     cb = np.repeat(np.repeat(u, 2, axis=0), 2, axis=1)[:h, :w].astype(
         np.float64
@@ -424,12 +428,15 @@ def decode_heif(payload: bytes):
     cr = np.repeat(np.repeat(v, 2, axis=0), 2, axis=1)[:h, :w].astype(
         np.float64
     )
-    r = yf + 1.402 * (cr - 128.0)
-    g = yf - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = yf + 1.772 * (cb - 128.0)
-    px = np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(
-        np.uint8
-    )
+    r = yf + 1.402 * (cr - mid)
+    g = yf - 0.344136 * (cb - mid) - 0.714136 * (cr - mid)
+    b = yf + 1.772 * (cb - mid)
+    px = np.clip(
+        np.round(np.stack([r, g, b], axis=2)), 0, maxv
+    ).astype(np.int64)
+    if maxv == 1023:
+        px >>= 2
+    px = px.astype(np.uint8)
     if rot:
         px = np.rot90(px, k=rot)
     hh, ww = px.shape[:2]
@@ -480,8 +487,8 @@ def _hvcc_from_nals(param_nals: list[bytes]) -> bytes:
     rec += struct.pack(">H", 0xF000)   # min_spatial_segmentation_idc
     rec.append(0xFC)                   # parallelismType
     rec.append(0xFC | sps.get("chroma_format_idc", 1))
-    rec.append(0xF8)                   # bit_depth_luma_minus8 (8-bit)
-    rec.append(0xF8)                   # bit_depth_chroma_minus8
+    rec.append(0xF8 | (sps["bit_depth_luma"] - 8))
+    rec.append(0xF8 | (sps["bit_depth_chroma"] - 8))
     rec += struct.pack(">H", 0)        # avgFrameRate
     rec.append((0 << 6) | (1 << 3) | (1 << 2) | 3)  # 1 layer, len size 4
     rec.append(len(param_nals))

@@ -4,7 +4,12 @@ arithmetic core, coding quadtree §7.3.8.4, intra prediction §8.4.4,
 inverse transforms §8.6, residual coding §7.3.8.11/§9.3.4.2).
 
 Scope (declared, the H.264/VP8 convention): intra-only IRAP pictures
-(IDR/CRA/BLA I-slices), 8-bit 4:2:0, one slice segment per picture,
+(IDR/CRA/BLA I-slices), 4:2:0 at 8-bit (Main) AND 10-bit (Main10,
+r13 — bit depth threaded through dequant bdShift, the 20-BitDepth
+stage-2 transform shift, QpBdOffset cu_qp_delta wrap + Qp' dequant
+domain, SAO cMax 31 + band width, deblock β/tC << (bd-8), prediction
+mid/max values; output planes are uint16 for 10-bit), one slice
+segment per picture,
 BOTH in-loop filters IN SCOPE — deblocking (§8.7.2; intra pictures:
 every edge bS = 2; β/tC tables extraction-verified against libde265)
 and SAO (§8.7.3: band + all four edge classes, CTU merge flags) — so
@@ -309,8 +314,15 @@ def parse_sps_intra(rbsp: bytes) -> dict:
             f"HEVC chroma_format_idc {chroma} outside the declared "
             "scope (4:2:0 only)"
         )
-    if sps["bit_depth_luma"] != 8 or sps["bit_depth_chroma"] != 8:
-        raise ValueError("HEVC bit depth > 8 outside the declared scope")
+    if sps["bit_depth_luma"] != sps["bit_depth_chroma"]:
+        raise ValueError(
+            "HEVC mixed luma/chroma bit depths outside the declared scope"
+        )
+    if sps["bit_depth_luma"] not in (8, 10):
+        raise ValueError(
+            f"HEVC bit depth {sps['bit_depth_luma']} outside the declared "
+            "scope (Main 8-bit and Main10 only)"
+        )
     return sps
 
 
@@ -406,7 +418,7 @@ def parse_slice_header_intra(rbsp: bytes, nal_type: int, sps: dict,
         sao_luma = b.u(1)
         sao_chroma = b.u(1)
     qp = pps["init_qp"] + b.se()
-    if not 0 <= qp <= 51:
+    if not -6 * (sps["bit_depth_luma"] - 8) <= qp <= 51:
         raise ValueError(f"HEVC slice QP {qp} out of range")
     cb_off, cr_off = 0, 0
     if pps["slice_chroma_qp_offsets_present"]:
@@ -742,8 +754,10 @@ _LEVEL_SCALE = (40, 45, 51, 57, 64, 72)
 _CHROMA_QP_MAP = (29, 30, 31, 32, 33, 33, 34, 34, 35, 35, 36, 36, 37, 37)
 
 
-def chroma_qp(qp_y: int, offset: int) -> int:
-    qpi = min(57, max(0, qp_y + offset))
+def chroma_qp(qp_y: int, offset: int, qp_bd_offset: int = 0) -> int:
+    """§8.6.1 QpC derivation (Table 8-10); qPi clips to
+    [-QpBdOffsetC, 57] — the lower bound only bites above 8-bit."""
+    qpi = min(57, max(-qp_bd_offset, qp_y + offset))
     if qpi < 30:
         return qpi
     if qpi > 43:
@@ -752,23 +766,26 @@ def chroma_qp(qp_y: int, offset: int) -> int:
 
 
 def _dequant(coefs: np.ndarray, qp: int, log2n: int,
-             m=None) -> np.ndarray:
+             m=None, bd: int = 8) -> np.ndarray:
     """§8.6.3 scaling: flat m=16, or a ScalingFactor matrix when the
-    stream carries scaling lists (transform-skip stays flat)."""
-    bd_shift = 8 + log2n - 5
+    stream carries scaling lists. ``qp`` is Qp' (QpBdOffset included —
+    always >= 0); bdShift = BitDepth + log2(nTbS) - 5."""
+    bd_shift = bd + log2n - 5
     scale = _LEVEL_SCALE[qp % 6] << (qp // 6)
     mm = 16 if m is None else m
     d = (coefs * mm * scale + (1 << (bd_shift - 1))) >> bd_shift
     return np.clip(d, -32768, 32767)
 
 
-def _inv_transform(coefs: np.ndarray, dst: bool) -> np.ndarray:
-    """§8.6.4 two-stage inverse transform (8-bit shifts 7/12)."""
+def _inv_transform(coefs: np.ndarray, dst: bool, bd: int = 8) -> np.ndarray:
+    """§8.6.4 two-stage inverse transform (stage shifts 7 and
+    20 - BitDepth)."""
     n = coefs.shape[0]
     t = _DST4 if dst else _DCT[n]
     tmp = (t.T @ coefs + 64) >> 7
     tmp = np.clip(tmp, -32768, 32767)
-    return (tmp @ t + 2048) >> 12
+    s2 = 20 - bd
+    return (tmp @ t + (1 << (s2 - 1))) >> s2
 
 
 # --- intra prediction (§8.4.4) ----------------------------------------------
@@ -781,7 +798,7 @@ _INV_ANGLES = {-2: -4096, -5: -1638, -9: -910, -13: -630, -17: -482,
 
 
 def _ref_samples(plane: np.ndarray, avail: np.ndarray, x0: int, y0: int,
-                 n: int, log2_min: int):
+                 n: int, log2_min: int, mid: int = 128):
     """Reference array construction + substitution (§8.4.4.2.2).
     Returns (left[2n+1], top[2n+1]) where left[0] == top[0] == corner:
     left[i] = p[-1][i-1], top[i] = p[i-1][-1]."""
@@ -805,7 +822,7 @@ def _ref_samples(plane: np.ndarray, avail: np.ndarray, x0: int, y0: int,
     # substitution: scan from left[2n] (bottom-left) → corner → top[2n]
     seq = np.concatenate([left[::-1], top[1:]])  # length 4n+1
     if (seq < 0).all():
-        seq[:] = 128
+        seq[:] = mid  # 1 << (BitDepth - 1)
     else:
         first = np.argmax(seq >= 0)
         seq[:first] = seq[first]
@@ -818,7 +835,7 @@ def _ref_samples(plane: np.ndarray, avail: np.ndarray, x0: int, y0: int,
 
 
 def _filter_refs(left: np.ndarray, top: np.ndarray, n: int, mode: int,
-                 strong: bool):
+                 strong: bool, bd: int = 8):
     """§8.4.4.2.3 reference smoothing (luma, nTbS > 4)."""
     if mode == 1 or n == 4:
         return left, top
@@ -827,7 +844,7 @@ def _filter_refs(left: np.ndarray, top: np.ndarray, n: int, mode: int,
     if min_dist <= thres:
         return left, top
     if n == 32 and strong:
-        bd_thres = 1 << 3  # 1 << (BitDepth - 5)
+        bd_thres = 1 << (bd - 5)
         bi_top = abs(int(top[0]) + int(top[2 * n]) - 2 * int(top[n])) < bd_thres
         bi_left = abs(int(left[0]) + int(left[2 * n]) - 2 * int(left[n])) < bd_thres
         if bi_top and bi_left:
@@ -849,7 +866,7 @@ def _filter_refs(left: np.ndarray, top: np.ndarray, n: int, mode: int,
 
 
 def _predict_intra(left: np.ndarray, top: np.ndarray, n: int, mode: int,
-                   is_luma: bool) -> np.ndarray:
+                   is_luma: bool, maxv: int = 255) -> np.ndarray:
     """§8.4.4.2.4-6 sample prediction; returns [n, n] int32.
     left[1+i] = p[-1][i], top[1+i] = p[i][-1], left[0] = p[-1][-1]."""
     out = np.empty((n, n), dtype=np.int32)
@@ -905,12 +922,12 @@ def _predict_intra(left: np.ndarray, top: np.ndarray, n: int, mode: int,
         out = pred  # pred[y][x]
         if mode == 26 and is_luma and n < 32:
             edge = top[1] + ((left[1 : n + 1].astype(np.int32) - int(left[0])) >> 1)
-            out[:, 0] = np.clip(edge, 0, 255)
+            out[:, 0] = np.clip(edge, 0, maxv)
     else:
         out = pred.T  # computed [x][y] → transpose
         if mode == 10 and is_luma and n < 32:
             edge = left[1] + ((top[1 : n + 1].astype(np.int32) - int(top[0])) >> 1)
-            out[0, :] = np.clip(edge, 0, 255)
+            out[0, :] = np.clip(edge, 0, maxv)
     return out
 
 
@@ -1094,9 +1111,13 @@ class _FrameDecoder:
                  emu_removed: list | None = None):
         self.sps = sps
         self.pps = pps
+        self.bd = sps["bit_depth_luma"]
+        self.maxv = (1 << self.bd) - 1
+        self.mid = 1 << (self.bd - 1)
+        self.qp_bd = 6 * (self.bd - 8)  # QpBdOffsetY == QpBdOffsetC here
         self.qp = hdr["qp"]
-        self.qp_cb = chroma_qp(self.qp, hdr["cb_qp_offset"])
-        self.qp_cr = chroma_qp(self.qp, hdr["cr_qp_offset"])
+        self.qp_cb = chroma_qp(self.qp, hdr["cb_qp_offset"], self.qp_bd)
+        self.qp_cr = chroma_qp(self.qp, hdr["cr_qp_offset"], self.qp_bd)
         w, h = sps["pic_width"], sps["pic_height"]
         self.w, self.h = w, h
         self.cw, self.ch = w >> 1, h >> 1
@@ -1170,10 +1191,12 @@ class _FrameDecoder:
             if typ == 0:
                 out.append((0, (0, 0, 0, 0), 0))
                 continue
+            # sao_offset_abs cMax = (1 << (Min(bitDepth, 10) - 5)) - 1
+            cmax = (1 << (min(self.bd, 10) - 5)) - 1
             offs = []
             for _ in range(4):
                 v = 0
-                while v < 7 and c.bypass():
+                while v < cmax and c.bypass():
                     v += 1
                 offs.append(v)
             if typ == 1:  # band: explicit signs + band position
@@ -1211,12 +1234,12 @@ class _FrameDecoder:
                     x1 = min(w, ((cx + 1) * ctb) >> shift)
                     y1 = min(h, ((cy + 1) * ctb) >> shift)
                     blk = src[y0:y1, x0:x1].astype(np.int32)
-                    if typ == 1:  # band offset
-                        band = blk >> 3
+                    if typ == 1:  # band offset (band width scales w/ bd)
+                        band = blk >> (self.bd - 5)
                         res = blk.copy()
                         for k in range(4):
                             res[band == ((extra + k) & 31)] += offs[k]
-                        dst[y0:y1, x0:x1] = np.clip(res, 0, 255)
+                        dst[y0:y1, x0:x1] = np.clip(res, 0, self.maxv)
                     else:  # edge offset
                         dy, dx = neigh[extra]
                         ys, xs = np.mgrid[y0:y1, x0:x1]
@@ -1234,7 +1257,7 @@ class _FrameDecoder:
                         for eidx, k in ((0, 0), (1, 1), (3, 2), (4, 3)):
                             sel = ok & (idx == eidx)
                             res[sel] += offs[k]
-                        dst[y0:y1, x0:x1] = np.clip(res, 0, 255)
+                        dst[y0:y1, x0:x1] = np.clip(res, 0, self.maxv)
             self.planes[pi] = dst
 
     def decode(self):
@@ -1315,19 +1338,20 @@ class _FrameDecoder:
                 return f
 
             _deblock_plane(self.planes[0], self.edge_v_y, self.edge_h_y,
-                           qp_luma, bo, to, luma=True)
+                           qp_luma, bo, to, luma=True, bd=self.bd)
             _deblock_plane(self.planes[1], self.edge_v_c, self.edge_h_c,
                            qp_chroma(self.hdr["pps_cb_qp_offset"]), bo, to,
-                           luma=False)
+                           luma=False, bd=self.bd)
             _deblock_plane(self.planes[2], self.edge_v_c, self.edge_h_c,
                            qp_chroma(self.hdr["pps_cr_qp_offset"]), bo, to,
-                           luma=False)
+                           luma=False, bd=self.bd)
         if use_sao:
             self._apply_sao()
+        dt = np.uint8 if self.bd == 8 else np.uint16
         return (
-            np.clip(self.planes[0], 0, 255).astype(np.uint8),
-            np.clip(self.planes[1], 0, 255).astype(np.uint8),
-            np.clip(self.planes[2], 0, 255).astype(np.uint8),
+            np.clip(self.planes[0], 0, self.maxv).astype(dt),
+            np.clip(self.planes[1], 0, self.maxv).astype(dt),
+            np.clip(self.planes[2], 0, self.maxv).astype(dt),
         )
 
     # -- coding quadtree (§7.3.8.4)
@@ -1529,7 +1553,12 @@ class _FrameDecoder:
             val = 5 + (1 << k) - 1 + c.bypass_bits(k)
         if val and c.bypass():
             val = -val
-        self.cur_qp = (self.qp_pred + val + 52 + 104) % 52
+        # §8.6.1: QpY = ((qPY_PRED + delta + 52 + 2*QpBdOffsetY)
+        #               % (52 + QpBdOffsetY)) - QpBdOffsetY
+        off = self.qp_bd
+        self.cur_qp = (
+            (self.qp_pred + val + 52 + 2 * off) % (52 + off)
+        ) - off
         self.qp_delta_coded = True
 
     def _transform_unit(self, x0, y0, x_base, y_base, log2n, depth, blk_idx,
@@ -1566,8 +1595,8 @@ class _FrameDecoder:
             if cbf_cr else None
         )
         hdr = self.hdr
-        qcb = chroma_qp(self.cur_qp, hdr["cb_qp_offset"])
-        qcr = chroma_qp(self.cur_qp, hdr["cr_qp_offset"])
+        qcb = chroma_qp(self.cur_qp, hdr["cb_qp_offset"], self.qp_bd)
+        qcr = chroma_qp(self.cur_qp, hdr["cr_qp_offset"], self.qp_bd)
         self._reconstruct(1, cx, cy, clog2, chroma_mode, res_cb, qcb)
         self._reconstruct(2, cx, cy, clog2, chroma_mode, res_cr, qcr)
 
@@ -1575,12 +1604,13 @@ class _FrameDecoder:
         n = 1 << log2n
         plane = self.planes[plane_idx]
         avail = self.avail_y if plane_idx == 0 else self.avail_c
-        left, top = _ref_samples(plane, avail, x0, y0, n, 2)
+        left, top = _ref_samples(plane, avail, x0, y0, n, 2, self.mid)
         if plane_idx == 0:
             left, top = _filter_refs(
-                left, top, n, mode, bool(self.sps["strong_intra_smoothing"])
+                left, top, n, mode,
+                bool(self.sps["strong_intra_smoothing"]), self.bd,
             )
-        pred = _predict_intra(left, top, n, mode, plane_idx == 0)
+        pred = _predict_intra(left, top, n, mode, plane_idx == 0, self.maxv)
         if res is not None:
             coefs, ts = res
             m = None
@@ -1590,17 +1620,20 @@ class _FrameDecoder:
             # x265 --tskip + non-flat explicit 4x4 scaling lists).
             if self.scaling is not None:
                 m = self.scaling[(log2n - 2, plane_idx)]
-            d = _dequant(coefs, qp, log2n, m)
+            # dequant runs in the Qp' domain (QpBdOffset folded in)
+            d = _dequant(coefs, qp + self.qp_bd, log2n, m, self.bd)
             if ts:
                 # §8.6.4.2 transform skip: r = (d << 7), then the
-                # §8.6.5 stage-2 shift (20 - BitDepth = 12)
-                r = ((d << 7) + 2048) >> 12
+                # §8.6.5 stage-2 shift (20 - BitDepth)
+                s2 = 20 - self.bd
+                r = ((d << 7) + (1 << (s2 - 1))) >> s2
             else:
-                r = _inv_transform(d, dst=(plane_idx == 0 and n == 4))
+                r = _inv_transform(d, dst=(plane_idx == 0 and n == 4),
+                                   bd=self.bd)
             pred = pred + r
         h = min(n, plane.shape[0] - y0)
         w = min(n, plane.shape[1] - x0)
-        plane[y0 : y0 + h, x0 : x0 + w] = np.clip(pred[:h, :w], 0, 255)
+        plane[y0 : y0 + h, x0 : x0 + w] = np.clip(pred[:h, :w], 0, self.maxv)
         if plane_idx == 0:
             ev, eh = self.edge_v_y, self.edge_h_y
         else:
@@ -1683,16 +1716,18 @@ _TC_TABLE = (
 )
 
 
-def _clip1(v):
-    return 0 if v < 0 else (255 if v > 255 else int(v))
+def _clip1(v, maxv=255):
+    return 0 if v < 0 else (maxv if v > maxv else int(v))
 
 
-def _filter_luma_segment(get, put, qp, beta_off, tc_off):
+def _filter_luma_segment(get, put, qp, beta_off, tc_off, bd=8):
     """One 4-line luma edge segment. ``get(i, k)`` reads sample k of
     line i where k = 0..7 maps p3,p2,p1,p0,q0,q1,q2,q3; ``put``
-    writes back. bS = 2 (intra)."""
-    beta = _BETA_TABLE[min(51, max(0, qp + (beta_off << 1)))]
-    tc = _TC_TABLE[min(53, max(0, qp + 2 + (tc_off << 1)))]
+    writes back. bS = 2 (intra). β/tC scale by 1 << (BitDepth - 8)
+    (§8.7.2.5.3)."""
+    maxv = (1 << bd) - 1
+    beta = _BETA_TABLE[min(51, max(0, qp + (beta_off << 1)))] << (bd - 8)
+    tc = _TC_TABLE[min(53, max(0, qp + 2 + (tc_off << 1)))] << (bd - 8)
     if beta == 0 and tc == 0:
         return
     p = [[get(i, 3 - j) for j in range(4)] for i in range(4)]  # p0..p3
@@ -1727,7 +1762,7 @@ def _filter_luma_segment(get, put, qp, beta_off, tc_off):
             nq1 = q1 + max(lo, min(hi, ((q2 + q1 + q0 + p0 + 2) >> 2) - q1))
             nq2 = q2 + max(lo, min(hi, ((2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3) - q2))
             for k, v in ((1, np2), (2, np1), (3, np0), (4, nq0), (5, nq1), (6, nq2)):
-                put(i, k, _clip1(v))
+                put(i, k, _clip1(v, maxv))
         return
     dep = (dp0 + dp3) < ((beta + (beta >> 1)) >> 3)
     deq = (dq0 + dq3) < ((beta + (beta >> 1)) >> 3)
@@ -1738,32 +1773,33 @@ def _filter_luma_segment(get, put, qp, beta_off, tc_off):
         if abs(delta) >= tc * 10:
             continue
         delta = max(-tc, min(tc, delta))
-        put(i, 3, _clip1(p0 + delta))
-        put(i, 4, _clip1(q0 - delta))
+        put(i, 3, _clip1(p0 + delta, maxv))
+        put(i, 4, _clip1(q0 - delta, maxv))
         half = tc >> 1
         if dep:
             dp = max(-half, min(half, (((p2 + p0 + 1) >> 1) - p1 + delta) >> 1))
-            put(i, 2, _clip1(p1 + dp))
+            put(i, 2, _clip1(p1 + dp, maxv))
         if deq:
             dq = max(-half, min(half, (((q2 + q0 + 1) >> 1) - q1 - delta) >> 1))
-            put(i, 5, _clip1(q1 + dq))
+            put(i, 5, _clip1(q1 + dq, maxv))
 
 
-def _filter_chroma_segment(get, put, qp_c, tc_off):
+def _filter_chroma_segment(get, put, qp_c, tc_off, bd=8):
     """One 4-line chroma edge segment (bS = 2: p0/q0 only)."""
-    tc = _TC_TABLE[min(53, max(0, qp_c + 2 + (tc_off << 1)))]
+    maxv = (1 << bd) - 1
+    tc = _TC_TABLE[min(53, max(0, qp_c + 2 + (tc_off << 1)))] << (bd - 8)
     if tc == 0:
         return
     for i in range(4):
         p1, p0, q0, q1 = get(i, 2), get(i, 3), get(i, 4), get(i, 5)
         delta = (((q0 - p0) << 2) + p1 - q1 + 4) >> 3
         delta = max(-tc, min(tc, delta))
-        put(i, 3, _clip1(p0 + delta))
-        put(i, 4, _clip1(q0 - delta))
+        put(i, 3, _clip1(p0 + delta, maxv))
+        put(i, 4, _clip1(q0 - delta, maxv))
 
 
 def _deblock_plane(plane, edge_v, edge_h, qp_of, beta_off, tc_off,
-                   luma: bool):
+                   luma: bool, bd: int = 8):
     """§8.7.2 two-pass filter. ``edge_v[y4, x4]`` marks a vertical TU
     edge at sample column x4*4 covering rows y4*4..y4*4+3 (same idea
     for edge_h). Luma filters the 8-grid; chroma its own 8-grid.
@@ -1789,9 +1825,9 @@ def _deblock_plane(plane, edge_v, edge_h, qp_of, beta_off, tc_off,
                 seg[i, x - 4 + k] = v
 
             if luma:
-                _filter_luma_segment(get, put, qp, beta_off, tc_off)
+                _filter_luma_segment(get, put, qp, beta_off, tc_off, bd)
             else:
-                _filter_chroma_segment(get, put, qp, tc_off)
+                _filter_chroma_segment(get, put, qp, tc_off, bd)
     # horizontal edges (on the vertical pass's output)
     for y in range(grid, h, grid):
         for x0 in range(0, w, 4):
@@ -1808,6 +1844,6 @@ def _deblock_plane(plane, edge_v, edge_h, qp_of, beta_off, tc_off,
                 plane[y - 4 + k, x0 + i] = v
 
             if luma:
-                _filter_luma_segment(get, put, qp, beta_off, tc_off)
+                _filter_luma_segment(get, put, qp, beta_off, tc_off, bd)
             else:
-                _filter_chroma_segment(get, put, qp, tc_off)
+                _filter_chroma_segment(get, put, qp, tc_off, bd)

@@ -122,15 +122,20 @@ class HevcCabacEnc:
             self._renorm()
 
 
-def _fwd_quant(res: np.ndarray, qp: int, log2n: int) -> np.ndarray:
+def _fwd_quant(res: np.ndarray, qp: int, log2n: int,
+               bd: int = 8) -> np.ndarray:
     """Forward transform + quantize so that the spec dequant+inverse
     reproduces ``res`` within quantization error (float math — encoder
-    freedom; conformance only constrains the decoder)."""
+    freedom; conformance only constrains the decoder). ``qp`` is Qp'
+    (QpBdOffset folded in, matching the decoder's dequant domain)."""
     n = 1 << log2n
     t = _DCT[n].astype(np.float64)
     norm = float(n) * 4096.0  # row norm² of the integer matrices
     coef = t @ res.astype(np.float64) @ t.T * (1 << 19) / (norm * norm)
-    bd_shift = 8 + log2n - 5
+    # stage-1 inverse shift is fixed at 7; the 19 above is 7 + 12, so
+    # rescale for the bit-depth-dependent stage-2 shift (20 - bd)
+    coef *= float(1 << (20 - bd)) / float(1 << 12)
+    bd_shift = bd + log2n - 5
     step = 16.0 * (_LEVEL_SCALE[qp % 6] << (qp // 6)) / (1 << bd_shift)
     lvl = np.rint(coef / step).astype(np.int64)
     return np.clip(lvl, -32767, 32767)
@@ -294,12 +299,16 @@ def _enc_residual(c: HevcCabacEnc, coefs: np.ndarray, log2n: int,
                 first2 = 0
 
 
-def encode_hevc_intra(frames, qp: int = 30) -> bytes:
-    """Encode 4:2:0 frames ((y, u, v) uint8 tuples; dims multiples of
-    16) as an all-intra Annex-B stream: CTB 16, uniform 16x16 CUs, DC
-    prediction, real quantized residuals at constant ``qp``."""
+def encode_hevc_intra(frames, qp: int = 30, bit_depth: int = 8) -> bytes:
+    """Encode 4:2:0 frames ((y, u, v) uint8 tuples — uint16 with
+    samples 0..1023 for ``bit_depth=10``; dims multiples of 16) as an
+    all-intra Annex-B stream: CTB 16, uniform 16x16 CUs, DC
+    prediction, real quantized residuals at constant ``qp``.
+    ``bit_depth=10`` emits a Main10 stream (profile_idc 2)."""
     if not 4 <= qp <= 51:
         raise ValueError("fixture encoder qp must be 4..51")
+    if bit_depth not in (8, 10):
+        raise ValueError("fixture encoder bit_depth must be 8 or 10")
     h, w = frames[0][0].shape
     if h % 16 or w % 16 or h < 16 or w < 16:
         raise ValueError("fixture encoder needs dimensions multiple of 16")
@@ -314,15 +323,16 @@ def encode_hevc_intra(frames, qp: int = 30) -> bytes:
     wtr.w(0, 4)  # vps id
     wtr.w(0, 3)
     wtr.w(1, 1)
-    wtr.w(0, 2); wtr.w(0, 1); wtr.w(1, 5)
-    wtr.w(1 << 30, 32)
+    wtr.w(0, 2); wtr.w(0, 1)
+    wtr.w(1 if bit_depth == 8 else 2, 5)  # Main / Main10 profile_idc
+    wtr.w((1 << 30) | (0 if bit_depth == 8 else (1 << 29)), 32)
     wtr.w(0b1011, 4); wtr.w(0, 32); wtr.w(0, 11); wtr.w(0, 1)
     wtr.w(93, 8)
     wtr.ue(0)  # sps id
     wtr.ue(1)  # chroma 4:2:0
     wtr.ue(w); wtr.ue(h)
     wtr.w(0, 1)  # no conformance window
-    wtr.ue(0); wtr.ue(0)  # bit depths 8
+    wtr.ue(bit_depth - 8); wtr.ue(bit_depth - 8)  # bit depths
     wtr.ue(4)  # log2_max_poc_lsb = 8
     wtr.w(1, 1)  # sub_layer_ordering_info_present
     wtr.ue(1); wtr.ue(0); wtr.ue(0)
@@ -391,12 +401,16 @@ def encode_hevc_intra(frames, qp: int = 30) -> bytes:
     out += nal(34, wtr.payload())
 
     for y_pl, u_pl, v_pl in frames:
-        out += nal(20, _encode_frame(y_pl, u_pl, v_pl, qp))  # IDR_N_LP
+        out += nal(20, _encode_frame(y_pl, u_pl, v_pl, qp,
+                                     bit_depth))  # IDR_N_LP
     return bytes(out)
 
 
-def _encode_frame(y_pl, u_pl, v_pl, qp: int) -> bytes:
+def _encode_frame(y_pl, u_pl, v_pl, qp: int, bd: int = 8) -> bytes:
     h, w = y_pl.shape
+    qp_bd = 6 * (bd - 8)
+    maxv = (1 << bd) - 1
+    mid = 1 << (bd - 1)
     wtr = _BitW()
     wtr.w(1, 1)  # first_slice_segment_in_pic
     wtr.w(0, 1)  # no_output_of_prior_pics
@@ -408,8 +422,8 @@ def _encode_frame(y_pl, u_pl, v_pl, qp: int) -> bytes:
         wtr.w(0, 1)
     header = wtr.payload()
 
-    qpc_cb = chroma_qp(qp, 0)
-    qpc_cr = chroma_qp(qp, 0)
+    qpc_cb = chroma_qp(qp, 0, qp_bd)
+    qpc_cr = chroma_qp(qp, 0, qp_bd)
     planes = [y_pl.astype(np.int32), u_pl.astype(np.int32),
               v_pl.astype(np.int32)]
     recon = [np.zeros_like(p) for p in planes]
@@ -422,15 +436,16 @@ def _encode_frame(y_pl, u_pl, v_pl, qp: int) -> bytes:
         n = 1 << log2n
         src = planes[plane_idx][y0 : y0 + n, x0 : x0 + n]
         left, top = _ref_samples(recon[plane_idx], avail[plane_idx],
-                                 x0, y0, n, 2)
-        pred = _predict_intra(left, top, n, 1, plane_idx == 0)
+                                 x0, y0, n, 2, mid)
+        pred = _predict_intra(left, top, n, 1, plane_idx == 0, maxv)
         res = src - pred
-        lvl = _fwd_quant(res, qp_p, log2n)
+        lvl = _fwd_quant(res, qp_p + qp_bd, log2n, bd)
         if not np.any(lvl):
-            blk = np.clip(pred, 0, 255)
+            blk = np.clip(pred, 0, maxv)
             return None, blk
-        r = _inv_transform(_dequant(lvl, qp_p, log2n), dst=False)
-        blk = np.clip(pred + r, 0, 255)
+        r = _inv_transform(_dequant(lvl, qp_p + qp_bd, log2n, bd=bd),
+                           dst=False, bd=bd)
+        blk = np.clip(pred + r, 0, maxv)
         return lvl, blk
 
     for cy in range(0, h, 16):

@@ -240,3 +240,33 @@ def test_tear_fuzz_valueerror_only():
                 f"case {case}: non-ValueError tear {type(exc).__name__}: "
                 f"{exc}"
             )
+
+
+def test_main10_heic_pixel_exact_vs_libheif():
+    """[r13] 10-bit HEIC: a real x265 Main10 stream (full-range VUI)
+    in the container decodes to the same 8-bit RGB as libheif
+    (T.871 at 10 bits, clip, >> 2), and the fixture-encoder Main10
+    path agrees too."""
+    from hevc_rig import de265_lib, make_frame10, x265_api
+
+    decode_heic_rgb = _rig()
+    if x265_api(10) is None or de265_lib() is None:
+        pytest.skip("no 10-bit x265 API / libde265 (visible host gap)")
+    from hevc_rig import encode_intra10
+
+    st = encode_intra10([make_frame10(96, 64, 7)], qp=24,
+                        extra={b"range": b"full"})
+    f = build_heif([st])
+    p = probe_heif(f)
+    assert (p["width"], p["height"]) == (96, 64)
+    ours, w, h = decode_heif(f)
+    gt = decode_heic_rgb(f)
+    assert ours.dtype == np.uint8
+    assert np.array_equal(ours, gt)
+    # fixture-encoder Main10 (libx265-independent source)
+    st2 = encode_hevc_intra([make_frame10(48, 32, 5)], qp=20,
+                            bit_depth=10)
+    f2 = build_heif([st2])
+    ours2, w2, h2 = decode_heif(f2)
+    gt2 = decode_heic_rgb(f2)
+    assert np.array_equal(ours2, gt2)

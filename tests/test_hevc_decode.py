@@ -629,3 +629,87 @@ def test_st_ref_pic_set_inter_rps_uses_referenced_set_size():
     w3.u(0, 8)
     with pytest.raises(ValueError):
         _st_ref_pic_set(_Bits(w3.tobytes()), 2, 2, [3, 1])
+
+
+def _rig10():
+    from hevc_rig import de265_lib, x265_api
+
+    if x265_api(10) is None or de265_lib() is None:
+        pytest.skip("no 10-bit x265 API / libde265 (visible host gap)")
+    from hevc_rig import decode_de265, encode_intra10, make_frame10
+
+    return encode_intra10, decode_de265, make_frame10
+
+
+def test_main10_bit_exact_vs_libde265():
+    """[r13] Main10 in scope: real x265 10-bit streams (via the
+    multilib x265_api_get(10) encoder) decode bit-exact across the
+    toolset — base QPs, conformance crop, transform-skip, cu_qp_delta
+    (crf + aq-mode 2), WPP, default scaling lists, CTU 32, ABR."""
+    encode_intra10, decode_de265, make_frame10 = _rig10()
+    cases = [
+        (dict(qp=15), (64, 64, 1, "mixed")),
+        (dict(qp=27), (96, 64, 2, "mixed")),
+        (dict(qp=37), (128, 96, 3, "noise")),
+        (dict(qp=27, extra={b"ctu": b"32"}), (60, 44, 4, "mixed")),
+        (dict(qp=22, extra={b"tskip": None}), (64, 64, 5, "grad")),
+        (dict(qp=27, extra={b"qp": False, b"crf": b"26",
+                            b"aq-mode": b"2"}), (128, 128, 6, "mixed")),
+        (dict(qp=30, extra={b"wpp": None, b"no-wpp": False,
+                            b"pools": b"4"}), (256, 128, 7, "mixed")),
+        (dict(qp=24, extra={b"scaling-list": b"default"}),
+         (64, 64, 8, "mixed")),
+        (dict(qp=27, extra={b"qp": False, b"bitrate": b"400"}),
+         (128, 96, 10, "mixed")),
+    ]
+    for kw, (w, h, seed, kind) in cases:
+        st = encode_intra10([make_frame10(w, h, seed, kind)], **kw)
+        gt = decode_de265(st)[0]
+        ours = decode_hevc_intra(st)[0]
+        for c in range(3):
+            assert gt[c].dtype == np.uint16
+            assert np.array_equal(ours[c], gt[c]), (kw, w, h, c)
+
+
+def test_main10_fixture_encoder_interop():
+    """[r13] The fixture encoder's Main10 output decodes identically
+    in libde265 and in our decoder (the libx265-independent stream
+    source), and reconstruction stays within quantization error of
+    the input."""
+    from hevc_rig import de265_lib
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.hevc_enc import (
+        encode_hevc_intra,
+    )
+
+    try:
+        from hevc_rig import decode_de265, make_frame10
+    except ImportError:  # pragma: no cover
+        pytest.skip("rig unavailable")
+    frame = make_frame10(48, 32, 5)
+    for qp in (12, 27, 40):
+        st = encode_hevc_intra([frame], qp=qp, bit_depth=10)
+        ours = decode_hevc_intra(st)[0]
+        assert all(p.dtype == np.uint16 for p in ours)
+        if de265_lib() is not None:
+            gt = decode_de265(st)[0]
+            for c in range(3):
+                assert np.array_equal(ours[c], gt[c]), (qp, c)
+    # quantization-error bound at a quality QP
+    st = encode_hevc_intra([frame], qp=12, bit_depth=10)
+    y, u, v = decode_hevc_intra(st)[0]
+    assert int(np.abs(y.astype(int) - frame[0].astype(int)).max()) <= 24
+
+
+def test_main10_boundaries():
+    """12-bit and mixed-depth SPS tear with named ValueErrors."""
+    from hevc_rig import BitWriter
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.hevc_enc import (
+        encode_hevc_intra,
+    )
+
+    with pytest.raises(ValueError, match="bit_depth"):
+        encode_hevc_intra([(np.zeros((16, 16), np.uint16),
+                            np.zeros((8, 8), np.uint16),
+                            np.zeros((8, 8), np.uint16))], bit_depth=12)

@@ -176,13 +176,16 @@ def de265_lib():
     lib.de265_get_image_plane.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_int)
     ]
+    lib.de265_get_bits_per_pixel.restype = ctypes.c_int
+    lib.de265_get_bits_per_pixel.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.de265_free_decoder.argtypes = [ctypes.c_void_p]
     return lib
 
 
 def decode_de265(stream: bytes) -> list[tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """Decode an Annex-B stream with the system libde265; returns
-    (y, u, v) uint8 arrays per picture."""
+    (y, u, v) arrays per picture — uint8 for 8-bit streams, uint16
+    (little-endian plane data) for Main10."""
     lib = de265_lib()
     if lib is None:
         raise RuntimeError("no system libde265")
@@ -205,14 +208,17 @@ def decode_de265(stream: bytes) -> list[tuple[np.ndarray, np.ndarray, np.ndarray
             for ch in range(3):
                 w = lib.de265_get_image_width(img, ch)
                 h = lib.de265_get_image_height(img, ch)
+                bpp = lib.de265_get_bits_per_pixel(img, ch)
                 stride = ctypes.c_int()
                 ptr = lib.de265_get_image_plane(img, ch, ctypes.byref(stride))
                 buf = ctypes.string_at(ptr, stride.value * h)
-                planes.append(
-                    np.frombuffer(buf, dtype=np.uint8)
-                    .reshape(h, stride.value)[:, :w]
-                    .copy()
-                )
+                if bpp > 8:
+                    arr = (np.frombuffer(buf, dtype="<u2")
+                           .reshape(h, stride.value // 2)[:, :w].copy())
+                else:
+                    arr = (np.frombuffer(buf, dtype=np.uint8)
+                           .reshape(h, stride.value)[:, :w].copy())
+                planes.append(arr)
             pics.append(tuple(planes))
             img = lib.de265_get_next_picture(ctx)
     lib.de265_free_decoder(ctx)
@@ -409,3 +415,172 @@ def write_hm_scaling_list(path: str, intra4_luma=None):
                 lines.append("16")
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
+
+
+# --- Main10 rig (r13): the multilib x265 exposes per-depth encoders
+# through x265_api_get; the field layout below is the public x265.h
+# x265_api struct for X265_BUILD 199 (x265 3.5), bit_depth verified at
+# runtime against the requested depth.
+
+
+class X265Api(ctypes.Structure):
+    _fields_ = [
+        ("api_major_version", ctypes.c_int),
+        ("api_build_number", ctypes.c_int),
+        ("sizeof_param", ctypes.c_int),
+        ("sizeof_picture", ctypes.c_int),
+        ("sizeof_analysis_data", ctypes.c_int),
+        ("sizeof_zone", ctypes.c_int),
+        ("sizeof_zonecfg", ctypes.c_int),
+        ("bit_depth", ctypes.c_int),
+        ("version_str", ctypes.c_char_p),
+        ("build_info_str", ctypes.c_char_p),
+        ("param_alloc", ctypes.CFUNCTYPE(ctypes.c_void_p)),
+        ("param_free", ctypes.CFUNCTYPE(None, ctypes.c_void_p)),
+        ("param_default", ctypes.CFUNCTYPE(None, ctypes.c_void_p)),
+        ("param_parse", ctypes.CFUNCTYPE(
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_char_p,
+            ctypes.c_char_p)),
+        ("param_apply_profile", ctypes.CFUNCTYPE(
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_char_p)),
+        ("param_default_preset", ctypes.CFUNCTYPE(
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_char_p,
+            ctypes.c_char_p)),
+        ("picture_alloc", ctypes.CFUNCTYPE(ctypes.c_void_p)),
+        ("picture_free", ctypes.CFUNCTYPE(None, ctypes.c_void_p)),
+        ("picture_init", ctypes.CFUNCTYPE(
+            None, ctypes.c_void_p, ctypes.c_void_p)),
+        ("encoder_open", ctypes.CFUNCTYPE(
+            ctypes.c_void_p, ctypes.c_void_p)),
+        ("encoder_parameters", ctypes.CFUNCTYPE(
+            None, ctypes.c_void_p, ctypes.c_void_p)),
+        ("encoder_reconfig", ctypes.CFUNCTYPE(
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p)),
+        ("encoder_reconfig_zone", ctypes.CFUNCTYPE(
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p)),
+        ("encoder_headers", ctypes.CFUNCTYPE(
+            ctypes.c_int, ctypes.c_void_p,
+            ctypes.POINTER(ctypes.POINTER(X265Nal)),
+            ctypes.POINTER(ctypes.c_uint32))),
+        ("encoder_encode", ctypes.CFUNCTYPE(
+            ctypes.c_int, ctypes.c_void_p,
+            ctypes.POINTER(ctypes.POINTER(X265Nal)),
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_void_p,
+            ctypes.c_void_p)),
+        ("encoder_get_stats", ctypes.CFUNCTYPE(
+            None, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32)),
+        ("encoder_log", ctypes.CFUNCTYPE(
+            None, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p)),
+        ("encoder_close", ctypes.CFUNCTYPE(None, ctypes.c_void_p)),
+        ("cleanup", ctypes.CFUNCTYPE(None)),
+    ]
+
+
+def x265_api(bit_depth: int = 10):
+    hits = glob.glob("/usr/lib/*/libx265.so*") + glob.glob(
+        "/usr/lib/libx265.so*"
+    )
+    if not hits:
+        return None
+    lib = ctypes.CDLL(hits[0])
+    if not hasattr(lib, "x265_api_get_199"):
+        return None
+    lib.x265_api_get_199.restype = ctypes.POINTER(X265Api)
+    api = lib.x265_api_get_199(bit_depth)
+    if not api:
+        return None
+    a = api.contents
+    if a.bit_depth != bit_depth or a.api_build_number != 199:
+        return None
+    return a
+
+
+_OFF_PIC_BITDEPTH = 60
+
+
+def encode_intra10(frames, qp: int = 30, extra: dict | None = None) -> bytes:
+    """Encode 10-bit 4:2:0 frames (uint16 arrays, samples 0..1023) as
+    an all-intra Main10 Annex-B stream via the x265 10-bit API.
+    Same structural knobs as encode_intra."""
+    a = x265_api(10)
+    if a is None:
+        raise RuntimeError("no 10-bit x265 API on this host")
+    h, w = frames[0][0].shape
+    p = a.param_alloc()
+    a.param_default(p)
+    opts = {
+        b"input-res": f"{w}x{h}".encode(),
+        b"fps": b"25",
+        b"log-level": b"none",
+        b"keyint": b"1",
+        b"bframes": b"0",
+        b"frame-threads": b"1",
+        b"no-wpp": None,
+        b"aq-mode": b"0",
+        b"qp": str(qp).encode(),
+        b"repeat-headers": None,
+        b"no-info": None,
+    }
+    for k, v in (extra or {}).items():
+        kk = k if isinstance(k, bytes) else k.encode()
+        if v is False:
+            opts.pop(kk, None)
+            continue
+        opts[kk] = v if (v is None or isinstance(v, bytes)) else str(v).encode()
+    for k, v in opts.items():
+        if a.param_parse(p, k, v) != 0:
+            raise RuntimeError(f"x265-10bit rejected {k!r}={v!r}")
+    enc = a.encoder_open(p)
+    if not enc:
+        raise RuntimeError("x265 10-bit encoder_open failed")
+    out = bytearray()
+    nals = ctypes.POINTER(X265Nal)()
+    n = ctypes.c_uint32()
+
+    def drain(rc):
+        if rc > 0:
+            for i in range(n.value):
+                out.extend(
+                    ctypes.string_at(nals[i].payload, nals[i].sizeBytes)
+                )
+
+    pic = a.picture_alloc()
+    keep = []
+    for y, u, v in frames:
+        a.picture_init(p, pic)
+        bufs = [np.ascontiguousarray(x, dtype=np.uint16) for x in (y, u, v)]
+        keep.append(bufs)
+        for ch, arr in enumerate(bufs):
+            ctypes.memmove(
+                pic + _OFF_PLANES + 8 * ch,
+                struct.pack("<Q", arr.ctypes.data), 8,
+            )
+            ctypes.memmove(
+                pic + _OFF_STRIDE + 4 * ch,
+                struct.pack("<i", arr.shape[1] * 2), 4,  # stride in bytes
+            )
+        ctypes.memmove(pic + _OFF_PIC_BITDEPTH, struct.pack("<i", 10), 4)
+        drain(a.encoder_encode(enc, ctypes.byref(nals), ctypes.byref(n),
+                               pic, None))
+    while True:
+        rc = a.encoder_encode(enc, ctypes.byref(nals), ctypes.byref(n),
+                              None, None)
+        if rc <= 0:
+            break
+        drain(rc)
+    a.picture_free(pic)
+    a.encoder_close(enc)
+    a.param_free(p)
+    return bytes(out)
+
+
+def make_frame10(w: int, h: int, seed: int, kind: str = "mixed"):
+    """10-bit test frames: the 8-bit pattern scaled with low-bit noise
+    so the two extra bits carry real signal."""
+    y8, u8, v8 = make_frame(w, h, seed, kind)
+    rng = np.random.RandomState(seed + 99)
+    return tuple(
+        (a.astype(np.uint16) << 2)
+        | rng.randint(0, 4, a.shape).astype(np.uint16)
+        for a in (y8, u8, v8)
+    )

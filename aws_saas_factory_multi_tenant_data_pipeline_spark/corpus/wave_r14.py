@@ -110,11 +110,18 @@ def multimodal_tiff_extended(spark, sf_dir):
                         px3, byte_order=bo, compression=7,
                         tiled=(did // 7) % 2 == 1, rows_per_strip=16,
                     )
-                else:  # [r12] CCITT Group 4 bilevel (T.6 core)
+                else:  # [r12] CCITT T.6 + [r13] the full G3 family:
+                    # sub-rotate G4 / MH (comp 2) / G3 1-D / G3 mixed
+                    # 2-D (comp 3, predictor selects T4Options bit 0) —
+                    # same ink, so the closed-form hash is unchanged
                     ink = np.zeros((32, 32), np.uint8)
                     ink[:split] = 1  # black (ink) top -> dark rows
+                    ccitt_comp, ccitt_pred = (
+                        (4, 1), (2, 1), (3, 1), (3, 2)
+                    )[(did // 7) % 4]
                     blob = encode_tiff_extended(
-                        ink, byte_order=bo, compression=4,
+                        ink, byte_order=bo, compression=ccitt_comp,
+                        predictor=ccitt_pred,
                     )
                 rows.append(
                     {"media_id": did, "kind": "image", "payload": blob,

@@ -1,21 +1,25 @@
-"""CCITT Group 4 (ITU-T T.6 MMR) bilevel codec — stdlib + numpy.
+"""CCITT Group 4 (ITU-T T.6 MMR) + Group 3 (ITU-T T.4) bilevel codec
+— stdlib + numpy.
 
-One core closes TWO boundaries at once (the operators/lzw.py
-convention): TIFF compression 4 (operators/tiff.py) and the PDF
-CCITTFaxDecode stream filter with K < 0 (operators/pdf.py) — the most
-common remaining filter in scanned-document corpora. The T.4
+One run-length core closes the whole CCITT fax family (the
+operators/lzw.py convention): TIFF compressions 2 (Modified Huffman),
+3 (T.4 1-D and mixed 2-D, fill bits honored) and 4 (T.6), plus the
+PDF CCITTFaxDecode filter at every K — K < 0 (G4), K = 0 (pure 1-D,
+EndOfLine and EncodedByteAlign parameters), K > 0 (mixed EOL+tag
+framing) — the most common remaining filters in scanned-document
+corpora. [r13] closed the former "K >= 0" named boundary. The T.4
 white/black run-length tables (terminating + makeup + shared extended
-makeup) and the T.6 vertical/horizontal/pass mode codes are
-transcribed from the public spec; REAL libtiff-written G4 files are
-decoded pixel-exact via the system libtiff in
-tests/test_ccitt.py (the LZW-wave discipline: a self-consistent
-roundtrip cannot validate absolute code tables, the third-party
-artifact can). Fixture encoder included (vertical modes when within
-±3, else horizontal with proper makeup chains, pass mode exercised
-via crafted references).
+makeup) and the T.4/T.6 vertical/horizontal/pass mode codes are
+transcribed from the public spec; REAL libtiff-written G4 AND
+G3/MH files (all five writer variants: MH, 1-D, 2-D, ±FILLBITS) are
+decoded pixel-exact via the system libtiff in tests/test_ccitt.py and
+tests/test_realworld_r13.py (the LZW-wave discipline: a
+self-consistent roundtrip cannot validate absolute code tables, the
+third-party artifact can). Fixture encoders included for both
+generations (T.4 uncompressed mode stays a NAMED boundary).
 
 Decode contract: ValueError — and only ValueError — on torn or
-malformed input. K >= 0 (G3 1-D/mixed) stays a NAMED boundary.
+malformed input.
 
 Scale shape: runs inside Arrow ``mapInPandas`` media passes,
 partition-local, one payload per call.
@@ -155,10 +159,13 @@ def _read_run(r: _BitR, lut: dict) -> int:
 
 
 def g4_decode(data: bytes, columns: int, rows: int | None = None,
-              max_rows: int = 1 << 16) -> np.ndarray:
+              max_rows: int = 1 << 16,
+              byte_align: bool = False) -> np.ndarray:
     """Decode a T.6 (MMR / Group 4) stream to a [rows, columns] uint8
     array with 1 = BLACK (the CCITT convention; callers map polarity).
-    ``rows=None`` decodes until EOFB or bit exhaustion."""
+    ``rows=None`` decodes until EOFB or bit exhaustion.
+    ``byte_align`` starts every coded line on a byte boundary (the PDF
+    EncodedByteAlign parameter, r13)."""
     if columns <= 0 or columns > 1 << 20:
         raise ValueError("G4 columns out of range")
     r = _BitR(data)
@@ -169,6 +176,8 @@ def g4_decode(data: bytes, columns: int, rows: int | None = None,
     while True:
         if rows is not None and len(out) >= rows:
             break
+        if byte_align:
+            r.pos = (r.pos + 7) & ~7
         if rows is None:
             if r.nbits - r.pos < 8 and all(
                 not ((r.data[i >> 3] >> (7 - (i & 7))) & 1)
@@ -369,6 +378,312 @@ def g4_encode(img: np.ndarray) -> bytes:
     # EOFB: two EOLs
     put(12, 1)
     put(12, 1)
+    out = bytearray((len(bits) + 7) // 8)
+    for i, b in enumerate(bits):
+        out[i >> 3] |= b << (7 - (i & 7))
+    return bytes(out)
+
+
+# --- T.4 Group 3 (r13: closes the "K >= 0" named boundary) -------------------
+
+
+def _skip_eol(r: _BitR, required: bool) -> bool:
+    """Consume optional fill zeros + one EOL (eleven 0s + 1, T.4
+    §2.3.1.1.1). Returns True if an EOL was consumed. Fill bits are
+    only legal as zeros directly ahead of an EOL, so scanning is safe:
+    no run/mode code is twelve zeros."""
+    start = r.pos
+    zeros = 0
+    while r.pos < r.nbits:
+        if r.bit():
+            if zeros >= 11:
+                return True
+            r.pos -= 1  # the 1 belongs to image data
+            break
+        zeros += 1
+        if zeros > 64 + 11:
+            raise ValueError("T.4 fill run too long (torn stream?)")
+    if required and zeros < 11:
+        raise ValueError("T.4 EOL missing where required")
+    if zeros < 11:
+        r.pos = start
+    return False
+
+
+def _decode_1d_row(r: _BitR, columns: int) -> list:
+    """One T.4 1-D (MH) row → transition positions (color flips)."""
+    cur: list = []
+    pos = 0
+    color = 0
+    while pos < columns:
+        run = _read_run(r, _BLACK_LUT if color else _WHITE_LUT)
+        pos += run
+        if pos > columns:
+            raise ValueError("T.4 1-D runs overflow the line")
+        cur.append(pos)
+        color ^= 1
+    return cur
+
+
+def _decode_2d_row(r: _BitR, ref: list, columns: int) -> list:
+    """One 2-D-coded row against ``ref`` (shared with the T.6 core —
+    the mode alphabet is identical; only EOL framing differs)."""
+    cur: list = []
+    a0 = -1
+    color = 0
+    while a0 < columns:
+        i = 0
+        while i < len(ref) and ref[i] <= a0:
+            i += 1
+        if (i & 1) != color:
+            i += 1
+        b1 = ref[i] if i < len(ref) else columns
+        b2 = ref[i + 1] if i + 1 < len(ref) else columns
+        if r.peek12() == 1:
+            raise ValueError("T.4 EOL inside a 2-D row (torn stream)")
+        bit = r.bit()
+        if bit:  # V0
+            cur.append(b1)
+            a0 = b1
+            color ^= 1
+            continue
+        bit2 = r.bit()
+        bit3 = r.bit()
+        if bit2 == 1:  # VL1/VR1
+            a1 = b1 + (1 if bit3 else -1)
+            if not 0 <= a1 <= columns:
+                raise ValueError("T.4 vertical offset out of line")
+            cur.append(a1)
+            a0 = a1
+            color ^= 1
+            continue
+        if bit3 == 1:  # horizontal
+            start = a0 if a0 > 0 else 0
+            run1 = _read_run(r, _BLACK_LUT if color else _WHITE_LUT)
+            run2 = _read_run(r, _WHITE_LUT if color else _BLACK_LUT)
+            a1 = start + run1
+            a2 = a1 + run2
+            if a2 > columns:
+                raise ValueError("T.4 horizontal runs overflow the line")
+            cur.append(a1)
+            cur.append(a2)
+            a0 = a2
+            continue
+        bit4 = r.bit()
+        if bit4 == 1:  # pass
+            a0 = b2
+            continue
+        bit5 = r.bit()
+        bit6 = r.bit()
+        if bit5 == 1:
+            a1 = b1 + (2 if bit6 else -2)
+        elif bit6 == 1:
+            a1 = b1 + (3 if r.bit() else -3)
+        else:
+            raise ValueError("invalid T.4 2-D mode code")
+        if not 0 <= a1 <= columns:
+            raise ValueError("T.4 vertical offset out of line")
+        cur.append(a1)
+        a0 = a1
+        color ^= 1
+    return cur
+
+
+def _row_from_transitions(cur: list, columns: int) -> np.ndarray:
+    row = np.zeros(columns, dtype=np.uint8)
+    val = 0
+    prev = 0
+    for t in cur:
+        t = min(t, columns)
+        if val:
+            row[prev:t] = 1
+        prev = t
+        val ^= 1
+    if val and prev < columns:
+        row[prev:] = 1
+    return row
+
+
+def g3_decode(data: bytes, columns: int, rows: int | None = None,
+              two_d: bool = False, byte_align: bool = False,
+              eols: bool = True, max_rows: int = 1 << 16) -> np.ndarray:
+    """Decode a T.4 (Group 3) stream to [rows, columns] uint8, 1 =
+    black. Three framings cover the real carriers:
+
+    - ``eols=True, two_d=False``: classic G3 1-D — EOL before every
+      row (TIFF compression 3 default; PDF K=0 streams that carry
+      EOLs).
+    - ``eols=True, two_d=True``: mixed 1-D/2-D — EOL + tag bit per row
+      (TIFF T4Options bit 0; PDF K > 0).
+    - ``eols=False``: Modified Huffman — no EOLs; TIFF compression 2
+      rows are byte-aligned (``byte_align=True``), PDF K=0 without
+      EncodedByteAlign packs rows back-to-back.
+
+    RTC (six EOLs) or bit exhaustion on a row boundary ends a
+    ``rows=None`` decode. ValueError — and only ValueError — on torn
+    input.
+    """
+    if columns <= 0 or columns > 1 << 20:
+        raise ValueError("G3 columns out of range")
+    r = _BitR(data)
+    out = []
+    ref: list = [columns, columns]
+    while True:
+        if rows is not None and len(out) >= rows:
+            break
+        if len(out) >= max_rows:
+            raise ValueError("G3 stream exceeds the row bound")
+        if byte_align:
+            r.pos = (r.pos + 7) & ~7
+        if r.pos >= r.nbits:
+            if rows is None:
+                break
+            raise ValueError("G3 stream shorter than the declared rows")
+        saw_eol = _skip_eol(r, required=False) if eols else False
+        if eols and not saw_eol and out:
+            # between-row EOL is mandatory in EOL framing; before row 0
+            # some writers omit it
+            if rows is None:
+                break
+            raise ValueError("T.4 EOL missing between rows")
+        if r.pos >= r.nbits:
+            break
+        is_2d = False
+        if two_d:
+            if not saw_eol:
+                raise ValueError("T.4 2-D framing requires EOL tag bits")
+            is_2d = r.bit() == 0
+        if rows is None and saw_eol:
+            # RTC: an EOL (+ tag in 2-D framing) followed directly by
+            # another EOL carries no row data — the page is over
+            save = r.pos
+            if r.nbits - r.pos < 12 or _skip_eol(r, required=False):
+                break
+            r.pos = save
+        if is_2d:
+            cur = _decode_2d_row(r, ref, columns)
+        else:
+            cur = _decode_1d_row(r, columns)
+        out.append(_row_from_transitions(cur, columns))
+        ref = [t for t in cur if t < columns] + [columns, columns]
+    if rows is not None and len(out) < rows:
+        raise ValueError("G3 stream shorter than the declared rows")
+    if not out:
+        raise ValueError("empty G3 stream")
+    return np.stack(out)
+
+
+def g3_encode(img: np.ndarray, two_d_k: int = 0, byte_align: bool = False,
+              eols: bool = True) -> bytes:
+    """Encode a [rows, cols] 0/1 array (1 = black) as T.4. ``two_d_k``
+    = 0 emits pure 1-D rows; k > 1 emits a 2-D row after each 1-D row
+    up to k-1 per group (the fax K parameter). ``eols=False`` +
+    ``byte_align=True`` is the TIFF compression-2 (MH) shape."""
+    img = np.asarray(img)
+    if img.ndim != 2:
+        raise ValueError("g3_encode needs a 2-D bilevel array")
+    h, w = img.shape
+    bits: list = []
+
+    def put(nbits: int, code: int):
+        for i in range(nbits - 1, -1, -1):
+            bits.append((code >> i) & 1)
+
+    def align():
+        while len(bits) % 8:
+            bits.append(0)
+
+    def transitions(row) -> list:
+        t = []
+        val = 0
+        for x in range(w):
+            if row[x] != val:
+                t.append(int(x))
+                val = row[x]
+        return t
+
+    def put_1d(row):
+        pos = 0
+        color = 0
+        tr = transitions(row) + [w]
+        for t in tr:
+            run = t - pos
+            for nb, code in _runs_codes(
+                run,
+                _BLACK_TERM if color else _WHITE_TERM,
+                _BLACK_MAKEUP if color else _WHITE_MAKEUP,
+            ):
+                put(nb, code)
+            pos = t
+            color ^= 1
+            if pos >= w:
+                break
+
+    def put_2d(row, ref):
+        cur = transitions(row)
+        a0 = -1
+        color = 0
+        ci = 0
+        while a0 < w:
+            a1 = cur[ci] if ci < len(cur) else w
+            i = 0
+            while i < len(ref) and ref[i] <= a0:
+                i += 1
+            if (i & 1) != color:
+                i += 1
+            b1 = ref[i] if i < len(ref) else w
+            b2 = ref[i + 1] if i + 1 < len(ref) else w
+            if b2 < a1:
+                put(4, 0b0001)
+                a0 = b2
+                continue
+            d = a1 - b1
+            if -3 <= d <= 3:
+                put(*{0: (1, 1), 1: (3, 0b011), -1: (3, 0b010),
+                      2: (6, 0b000011), -2: (6, 0b000010),
+                      3: (7, 0b0000011), -3: (7, 0b0000010)}[d])
+                a0 = a1
+                color ^= 1
+                ci += 1
+            else:
+                a2 = cur[ci + 1] if ci + 1 < len(cur) else w
+                start = a0 if a0 > 0 else 0
+                put(3, 0b001)
+                for t, run in ((color, a1 - start), (1 - color, a2 - a1)):
+                    for nb, code in _runs_codes(
+                        run,
+                        _BLACK_TERM if t else _WHITE_TERM,
+                        _BLACK_MAKEUP if t else _WHITE_MAKEUP,
+                    ):
+                        put(nb, code)
+                a0 = a2
+                ci += 2
+
+    ref: list = []
+    since_1d = 0
+    for y in range(h):
+        if byte_align:
+            align()
+        if eols:
+            put(12, 1)
+        use_2d = two_d_k > 1 and 0 < since_1d < two_d_k
+        if two_d_k > 1:
+            if eols:
+                put(1, 0 if use_2d else 1)  # tag: 1 = 1-D
+            since_1d = since_1d + 1 if use_2d else 1
+        cur_row = img[y]
+        if use_2d:
+            put_2d(cur_row, ref)
+        else:
+            put_1d(cur_row)
+        ref = transitions(cur_row)
+    if eols:
+        for _ in range(6):  # RTC
+            if byte_align:
+                align()
+            put(12, 1)
+            if two_d_k > 1:
+                put(1, 1)
     out = bytearray((len(bits) + 7) // 8)
     for i, b in enumerate(bits):
         out[i >> 3] |= b << (7 - (i & 7))

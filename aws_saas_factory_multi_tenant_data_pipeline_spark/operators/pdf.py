@@ -667,23 +667,38 @@ def build_pdf(
         ih, iw = rgb.shape[:2]
         cs = b"/DeviceGray" if gray else b"/DeviceRGB"
         filt = spec.get("filter", "flate")
-        if filt == "g4":
-            # bilevel CCITT Group 4 XObject: rgb is [h, w] 0/1 ink mask
+        if filt in ("g4", "g3", "g3_2d", "g3_aligned"):
+            # bilevel CCITT fax XObject: rgb is [h, w] 0/1 ink mask.
+            # g4 → K -1 (T.6); g3 → K 0 MH with EndOfLine; g3_aligned
+            # → K 0 + EncodedByteAlign (no EOLs); g3_2d → K 4 mixed
             from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.ccitt import (
+                g3_encode,
                 g4_encode,
             )
 
             ink = (np.asarray(spec["rgb"]) > 0).astype(np.uint8)
             gh, gw = ink.shape
-            data = g4_encode(ink)
+            if filt == "g4":
+                data = g4_encode(ink)
+                parms = b"/K -1 "
+            elif filt == "g3":
+                data = g3_encode(ink, two_d_k=0, eols=True)
+                parms = b"/K 0 /EndOfLine true "
+            elif filt == "g3_aligned":
+                data = g3_encode(ink, two_d_k=0, byte_align=True,
+                                 eols=False)
+                parms = b"/K 0 /EncodedByteAlign true "
+            else:
+                data = g3_encode(ink, two_d_k=4, eols=True)
+                parms = b"/K 4 "
             image_nums.append(
                 add(
                     b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
                     b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
-                    b"/Filter /CCITTFaxDecode /DecodeParms << /K -1 "
+                    b"/Filter /CCITTFaxDecode /DecodeParms << %s"
                     b"/Columns %d /Rows %d >> /Length %d >>\n"
                     b"stream\n%s\nendstream"
-                    % (gw, gh, gw, gh, len(data), data)
+                    % (gw, gh, parms, gw, gh, len(data), data)
                 )
             )
             continue
@@ -940,9 +955,10 @@ def extract_pdf_images(payload: bytes) -> list[dict]:
                 out.append(rec)
                 continue
             if filters and filters[-1] == _Name("CCITTFaxDecode"):
-                # [r12] Group 4 fax images (the shared T.6 core,
-                # real-libtiff pinned in tests/test_ccitt.py); K >= 0
-                # (G3) and EncodedByteAlign stay named skip rows
+                # [r12] Group 4 (T.6) + [r13] Group 3 (K = 0 Modified
+                # Huffman, K > 0 mixed 1-D/2-D) and EncodedByteAlign —
+                # the shared run-length core, real-libtiff pinned in
+                # tests/test_ccitt.py; the r12 named skips are closed
                 data = stream
                 for f in filters[:-1]:
                     if f != _Name("FlateDecode"):
@@ -952,23 +968,30 @@ def extract_pdf_images(payload: bytes) -> list[dict]:
                 if isinstance(parms, list):
                     parms = doc.resolve(parms[-1]) or {}
                 k = int(doc.resolve(parms.get("K", 0)) or 0)
-                if k >= 0:
-                    raise ValueError(
-                        "CCITTFaxDecode K >= 0 (Group 3) outside the "
-                        "declared scope"
-                    )
-                if doc.resolve(parms.get("EncodedByteAlign")):
-                    raise ValueError(
-                        "CCITTFaxDecode EncodedByteAlign outside the "
-                        "declared scope"
-                    )
+                align = bool(doc.resolve(parms.get("EncodedByteAlign")))
+                eol = bool(doc.resolve(parms.get("EndOfLine")))
                 cols = int(doc.resolve(parms.get("Columns", 1728)) or 1728)
                 black1 = bool(doc.resolve(parms.get("BlackIs1")))
                 from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.ccitt import (
+                    g3_decode,
                     g4_decode,
                 )
 
-                bits = g4_decode(bytes(data), cols, int(h))
+                if k < 0:
+                    bits = g4_decode(bytes(data), cols, int(h),
+                                     byte_align=align)
+                elif k == 0:
+                    # pure 1-D; EndOfLine says whether EOLs are coded.
+                    # EncodedByteAlign starts each row on a byte edge.
+                    bits = g3_decode(bytes(data), cols, int(h),
+                                     two_d=False, byte_align=align,
+                                     eols=eol)
+                else:
+                    # mixed 1-D/2-D: EOL + tag framing; with
+                    # EncodedByteAlign the fill runs ahead of each EOL
+                    # are absorbed by the EOL scanner
+                    bits = g3_decode(bytes(data), cols, int(h),
+                                     two_d=True, eols=True)
                 # PDF default (BlackIs1 false): decoded 0 bits are
                 # BLACK; our G4 core returns 1 = black
                 gray = ((1 - bits) if not black1 else bits) * 255

@@ -228,7 +228,7 @@ def decode_tiff(payload: bytes):
         raise ValueError(f"planar configuration {planar} outside the declared scope")
     if planar == 2 and comp == 7:
         raise ValueError("planar JPEG-in-TIFF outside the declared scope")
-    if comp not in (1, 4, 5, 7, 8, 32773, 32946):
+    if comp not in (1, 2, 3, 4, 5, 7, 8, 32773, 32946):
         raise ValueError(f"TIFF compression {comp} outside the declared scope")
     predictor = _first(ifd.get(_T_PREDICTOR), 1)
     if predictor not in (1, 2):
@@ -236,24 +236,44 @@ def decode_tiff(payload: bytes):
     jpeg_tables = ifd.get(_T_JPEG_TABLES)
     if jpeg_tables is not None and not isinstance(jpeg_tables, (bytes, bytearray)):
         raise ValueError("malformed JPEGTables tag")
-    if comp == 4:
-        # [r12] CCITT Group 4 (T.6) bilevel fax — the shared MMR core
-        # (operators/ccitt.py, real-libtiff pinned); whole-strip coded
-        # blocks, 1-bit samples widened to 8 with stored = G4-black
-        # so the photometric branch below handles display polarity
+    if comp in (2, 3, 4):
+        # [r12] CCITT Group 4 (T.6) + [r13] Group 3 (T.4: compression 3
+        # with T4Options 1-D/2-D/fill-bits) + Modified Huffman
+        # (compression 2: 1-D rows, each byte-aligned, no EOLs) — the
+        # shared run-length core (operators/ccitt.py, real-libtiff
+        # pinned); whole-strip coded blocks, 1-bit samples widened to
+        # 8 with stored = CCITT-black so the photometric branch below
+        # handles display polarity
         if bits != [1] or spp != 1:
             raise ValueError(
-                "G4 TIFF must be 1-bit single-sample (bilevel fax)"
+                "CCITT TIFF must be 1-bit single-sample (bilevel fax)"
             )
         if photo not in (0, 1):
-            raise ValueError("G4 TIFF with non-bilevel photometric")
+            raise ValueError("CCITT TIFF with non-bilevel photometric")
         if _T_TILE_WIDTH in ifd or _T_TILE_LENGTH in ifd:
-            raise ValueError("tiled G4 TIFF outside the declared scope")
+            raise ValueError("tiled CCITT TIFF outside the declared scope")
         if planar == 2:
-            raise ValueError("planar G4 TIFF outside the declared scope")
+            raise ValueError("planar CCITT TIFF outside the declared scope")
         from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.ccitt import (
+            g3_decode,
             g4_decode,
         )
+
+        t4opts = _first(ifd.get(292), 0)  # T4Options (comp 3 only)
+        if comp == 3 and (t4opts & 2):
+            raise ValueError(
+                "T.4 uncompressed mode outside the declared scope"
+            )
+
+        def _ccitt_block(blk, cols, nrows):
+            if comp == 4:
+                return g4_decode(blk, cols, nrows)
+            if comp == 2:
+                return g3_decode(blk, cols, nrows, two_d=False,
+                                 byte_align=True, eols=False)
+            # comp 3: EOL-framed; fill bits before EOLs are consumed
+            # by the EOL scanner, so T4Options bit 2 needs no flag
+            return g3_decode(blk, cols, nrows, two_d=bool(t4opts & 1))
 
         offsets = _int_list(ifd.get(_T_STRIP_OFFSETS), "strip offset")
         counts = _int_list(ifd.get(_T_STRIP_BYTE_COUNTS), "strip byte-count")
@@ -269,7 +289,7 @@ def decode_tiff(payload: bytes):
             if rows_here <= 0:
                 break
             parts.append(
-                g4_decode(payload[off : off + cnt], w, rows_here)
+                _ccitt_block(payload[off : off + cnt], w, rows_here)
             )
             rows_done += rows_here
         if rows_done < h:
@@ -616,22 +636,37 @@ def encode_tiff_extended(
     bo = byte_order
     if bo not in ("<", ">"):
         raise ValueError("byte_order must be '<' or '>'")
-    if compression == 4:
-        # [r12] G4 bilevel: pixels is an ink mask (nonzero = black),
-        # written photometric 0 (WhiteIsZero) single strip
+    if compression in (2, 3, 4):
+        # [r12] G4 + [r13] G3/MH bilevel: pixels is an ink mask
+        # (nonzero = black), written photometric 0 (WhiteIsZero)
+        # single strip. compression 3 uses ``predictor`` as a variant
+        # selector (1 = 1-D rows, 2 = mixed 2-D via T4Options bit 0).
         if px.ndim != 2:
-            raise ValueError("G4 fixture needs a 2-D ink mask")
+            raise ValueError("CCITT fixture needs a 2-D ink mask")
         from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.ccitt import (
+            g3_encode,
             g4_encode,
         )
 
         ink = (px > 0).astype(np.uint8)
-        strip = g4_encode(ink)
+        t4opts = None
+        if compression == 4:
+            strip = g4_encode(ink)
+        elif compression == 2:
+            strip = g3_encode(ink, byte_align=True, eols=False)
+        else:
+            two_d = predictor == 2
+            strip = g3_encode(ink, two_d_k=4 if two_d else 0, eols=True)
+            t4opts = 1 if two_d else 0
+        tag_list = [(256, 4, w), (257, 4, h), (258, 3, 1),
+                    (259, 3, compression), (262, 3, 0), (273, 4, 8),
+                    (277, 3, 1), (278, 4, h),
+                    (279, 4, len(strip)), (284, 3, 1)]
+        if t4opts is not None:
+            tag_list.append((292, 4, t4opts))
+        tag_list.sort()
         entries4 = []
-        for tag, typ, val in [(256, 4, w), (257, 4, h), (258, 3, 1),
-                              (259, 3, 4), (262, 3, 0), (273, 4, 8),
-                              (277, 3, 1), (278, 4, h),
-                              (279, 4, len(strip)), (284, 3, 1)]:
+        for tag, typ, val in tag_list:
             fmt = "I" if typ == 4 else "H"
             entries4.append(
                 struct.pack(bo + "HHI", tag, typ, 1)

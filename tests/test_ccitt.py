@@ -174,11 +174,14 @@ def test_pdf_ccitt_images_decode_and_named_skips():
     assert (w, h) == (40, 24)
     # PDF default BlackIs1=false: 0 bits are black → ink renders 0
     assert np.array_equal(px[:, :, 0], (1 - ink) * 255)
-    # G3 (K >= 0) and EncodedByteAlign are named skips, not wrong pixels
-    g3 = blob.replace(b"/K -1", b"/K 0 ")
-    assert extract_pdf_images(g3)[0]["fmt"].startswith("skipped:")
-    ba = blob.replace(b"/K -1", b"/K -1 /EncodedByteAlign true")
-    assert extract_pdf_images(ba)[0]["fmt"].startswith("skipped:")
+    # [r13] G3 (K >= 0) and EncodedByteAlign now DECODE (the r12 named
+    # skips are closed): every CCITT framing yields the same pixels
+    for f in ("g3", "g3_2d", "g3_aligned"):
+        blob_g3 = build_pdf(["fax"], images=[{"rgb": ink, "filter": f}])
+        imgs_g3 = extract_pdf_images(blob_g3)
+        assert imgs_g3[0]["fmt"] == "ppm", f
+        px3, w3, h3 = decode_image(imgs_g3[0]["payload"])
+        assert np.array_equal(px3[:, :, 0], (1 - ink) * 255), f
 
 
 def test_tiff_g4_boundaries_and_tears():

@@ -211,3 +211,79 @@ def video_hevc_main10(spark, sf_dir):
     return d.mapInPandas(
         op, "doc_id long, ahash long, bit_depth int, n_px long"
     ).orderBy("doc_id")
+
+
+@register(
+    "video_av1_probe",
+    oracle="""
+        SELECT doc_id,
+               CAST(32 + 16 * (doc_id % 5) AS INT) AS width,
+               CAST(24 + 8 * (doc_id % 7) AS INT) AS height,
+               CAST(CASE WHEN doc_id % 4 = 3 THEN 2 ELSE 0 END AS INT)
+                 AS profile,
+               CAST(CASE WHEN doc_id % 4 = 1 THEN 10
+                         WHEN doc_id % 4 = 3 THEN 12
+                         ELSE 8 END AS INT) AS bit_depth,
+               CAST(doc_id % 4 = 2 AS BOOLEAN) AS monochrome,
+               CAST(2 AS INT) AS n_obus
+        FROM documents WHERE doc_id < 44
+        ORDER BY doc_id
+    """,
+    tags=("B10", "multimodal", "video"),
+    doc="AV1/AVIF structure probe (the [r13] honest first slice of the "
+    "AVIF boundary): per doc a fixture AVIF (av01 item + av1C record + "
+    "OBU stream with a reduced-still sequence header) rotates geometry "
+    "(32+16*(id%5) x 24+8*(id%7)), bit depth 8/10/12, monochrome, and "
+    "profile (0/2); probe_avif walks the container, parses the av1C "
+    "AND the §5.5 sequence header, and cross-checks them — the parse "
+    "direction is pinned on REAL libheif/libaom-written AVIF files in "
+    "tests/test_realworld_r13.py, and the transform decode remains a "
+    "named quarantine (operators/av1.py; AV1 spec §5.2-5.5, "
+    "AV1-ISOBMFF §2.3).",
+)
+def video_av1_probe(spark, sf_dir):
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 44).select(
+        "doc_id"
+    )
+
+    def op(batches):
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.av1 import (
+            build_avif,
+            probe_avif,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 32 + 16 * (did % 5)
+                h = 24 + 8 * (did % 7)
+                mode = did % 4
+                bd = {0: 8, 1: 10, 2: 8, 3: 12}[mode]
+                prof = 2 if mode == 3 else 0
+                mono = mode == 2
+                payload = build_avif(w, h, profile=prof, bit_depth=bd,
+                                     monochrome=mono)
+                p = probe_avif(payload)
+                rows.append({
+                    "doc_id": did,
+                    "width": p["width"],
+                    "height": p["height"],
+                    "profile": p["profile"],
+                    "bit_depth": p["bit_depth"],
+                    "monochrome": p["monochrome"],
+                    "n_obus": p["n_obus"],
+                })
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "profile",
+                         "bit_depth", "monochrome", "n_obus"],
+            )
+
+    return d.mapInPandas(
+        op,
+        "doc_id long, width int, height int, profile int, bit_depth int,"
+        " monochrome boolean, n_obus int",
+    ).orderBy("doc_id")

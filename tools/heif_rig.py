@@ -18,6 +18,7 @@ COLORSPACE_YCBCR = 0
 CHROMA_420 = 1
 CHANNEL_Y, CHANNEL_CB, CHANNEL_CR = 0, 1, 2
 COMPRESSION_HEVC = 1
+COMPRESSION_AV1 = 4
 
 
 class HeifError(ctypes.Structure):
@@ -109,9 +110,11 @@ def _ck(err: HeifError, what: str):
 
 
 def encode_heic(y: np.ndarray, u: np.ndarray, v: np.ndarray,
-                quality: int = 75) -> bytes:
-    """Encode 4:2:0 planes to a real HEIC file via libheif's own x265
-    plugin — a fully third-party artifact."""
+                quality: int = 75, compression: int = COMPRESSION_HEVC,
+                ) -> bytes:
+    """Encode 4:2:0 planes to a real HEIC (or AVIF with
+    compression=COMPRESSION_AV1) file via libheif's own x265/libaom
+    plugins — fully third-party artifacts."""
     lib = heif_lib()
     if lib is None:
         raise RuntimeError("no system libheif")
@@ -119,7 +122,7 @@ def encode_heic(y: np.ndarray, u: np.ndarray, v: np.ndarray,
     ctx = lib.heif_context_alloc()
     enc = ctypes.c_void_p()
     _ck(lib.heif_context_get_encoder_for_format(
-        ctx, COMPRESSION_HEVC, ctypes.byref(enc)), "get_encoder")
+        ctx, compression, ctypes.byref(enc)), "get_encoder")
     _ck(lib.heif_encoder_set_lossy_quality(enc, quality), "set_quality")
     img = ctypes.c_void_p()
     _ck(lib.heif_image_create(w, h, COLORSPACE_YCBCR, CHROMA_420,

@@ -210,8 +210,14 @@ GRADED_WINDOW: tuple[str, ...] = (
     # verdict); the freed slot gives four r9 crawl/media §2 rows (crawl
     # link graph, Unicode script profile, TGA decode, AIFF roundtrip) a
     # hard driver verdict via crawl_pack2
-    "udf_scalar_py_pandas",
-    "udf_family_pack",
+    # udf_scalar_py_pandas + udf_family_pack → MERGED in r13 into
+    # udf_b9_pack (every output row of both components rides in the
+    # pack hash verbatim — no B9 family loses its driver verdict); the
+    # freed slot gives the A3 streaming sink its OWN driver verdict: a
+    # REAL availableNow foreachBatch query writes the lake and the
+    # committed files + quarantine read back into the hash
+    "udf_b9_pack",
+    "stream_sink_roundtrip",
     "crawl_pack2",
     # B10 LLM-pipeline (packs cover 16 additional §2 rows).
     # dedup_exact → tail in r7: its hash-groupBy exact-dedup shape stays
@@ -221,13 +227,13 @@ GRADED_WINDOW: tuple[str, ...] = (
     # cohort retention, tenant metering, usage-anomaly z-scores) a hard
     # driver verdict via ops_pack
     "ops_pack",
-    # full MinHash-LSH pipeline, hash-for-hash oracle (md5-portable mode);
-    # dedup_ngram_jaccard stays in the tail (its doc_id<100 scope yields 0
-    # rows at sf0.01 — green but informationless in the graded file)
-    "dedup_minhash_portable",
-    # SimHash + blocked-Levenshtein + PPJoin prefix Jaccard + canonical-
-    # survivor selection, packed (window_r5.py)
-    "dedup_pack",
+    # dedup_minhash_portable + dedup_pack → MERGED in r13 into
+    # dedup_family_pack (disjoint kinds, every output row of both
+    # verbatim — no dedup family loses its driver verdict); the freed
+    # slot carries r13_pack: HEIC decode (the closed quarantine) +
+    # HEVC Main10 + the AV1/AVIF probe, all three rows verbatim
+    "dedup_family_pack",
+    "r13_pack",
     # similarity_topk_cosine → tail head in r6: its brute-force cosine
     # top-k shape is also driver-graded inside r5_pack's hard-negative
     # branch (the same windowed top-k over cosine scores plus a label
@@ -553,6 +559,11 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "multimodal_hevc_decode",
     "multimodal_pdf_ccitt",
     "audio_ogg_tags",
+    # r13 wave: standalone forms of the rows graded verbatim inside
+    # r13_pack (window_r16.py)
+    "multimodal_heic_decode",
+    "video_hevc_main10",
+    "video_av1_probe",
 )
 
 
@@ -609,6 +620,7 @@ def load_all() -> dict[str, QuerySpec]:
         window_r13,
         window_r14,
         window_r15,
+        window_r16,
     )
 
     head = [n for n in GRADED_WINDOW + _TAIL_PRIORITY if n in REGISTRY]

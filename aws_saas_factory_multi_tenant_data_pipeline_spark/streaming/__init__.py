@@ -58,6 +58,7 @@ def start_ingest_stream(
     fmt: str = "parquet",
     available_now: bool = False,
     exactly_once: bool = False,
+    ingest_ts: int | None = None,
 ) -> StreamingQuery:
     """The A1→A5 pipeline as one streaming query with a foreachBatch sink.
 
@@ -79,7 +80,10 @@ def start_ingest_stream(
     """
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
-        res = ingest_batch(batch_df, tenant)
+        # ingest_ts pins the A2 ingest timestamp (and so the A4
+        # partition layout) for deterministic replays / the corpus
+        # stream_sink_roundtrip oracle; None = wall clock (production)
+        res = ingest_batch(batch_df, tenant, ingest_ts=ingest_ts)
         if exactly_once:
             epoch_idempotent_write(res.valid, lake_root, epoch_id, fmt=fmt)
         else:

@@ -384,3 +384,91 @@ def stream_sink_roundtrip(spark, sf_dir):
         return result.orderBy("event")
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "similarity_bitext_candidates",
+    oracle="""
+        WITH src AS (
+            SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE label = 0),
+        tgt AS (
+            SELECT vec_id AS tgt_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE label = 1),
+        pairs AS (
+            SELECT src_id, tgt_id,
+                   ROUND(list_dot_product(s.v, t.v)
+                         / (sqrt(list_dot_product(s.v, s.v))
+                            * sqrt(list_dot_product(t.v, t.v))), 6) AS cosine
+            FROM src s CROSS JOIN tgt t
+            WHERE s.src_id % 8 = t.tgt_id % 8),
+        ranked AS (
+            SELECT src_id, tgt_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY src_id
+                                      ORDER BY cosine DESC, tgt_id) AS rs,
+                   ROW_NUMBER() OVER (PARTITION BY tgt_id
+                                      ORDER BY cosine DESC, src_id) AS rt
+            FROM pairs),
+        sx AS (SELECT src_id, SUM(CAST(cosine AS DECIMAL(18,6))) AS sx,
+                      COUNT(*) AS cx
+               FROM ranked WHERE rs <= 4 GROUP BY src_id),
+        sy AS (SELECT tgt_id, SUM(CAST(cosine AS DECIMAL(18,6))) AS sy,
+                      COUNT(*) AS cy
+               FROM ranked WHERE rt <= 4 GROUP BY tgt_id),
+        scored AS (
+            SELECT p.src_id, p.tgt_id, p.cosine,
+                   ROUND(p.cosine * (2 * sx.cx * sy.cy)
+                         / CAST(sx.sx * sy.cy + sy.sy * sx.cx AS DOUBLE), 6)
+                       AS margin
+            FROM pairs p JOIN sx USING (src_id) JOIN sy USING (tgt_id)),
+        fwd AS (
+            SELECT src_id, tgt_id, cosine, margin,
+                   ROW_NUMBER() OVER (PARTITION BY src_id
+                                      ORDER BY margin DESC, tgt_id) AS r
+            FROM scored),
+        back AS (
+            SELECT src_id, tgt_id,
+                   ROW_NUMBER() OVER (PARTITION BY tgt_id
+                                      ORDER BY margin DESC, src_id) AS rb
+            FROM scored)
+        SELECT f.src_id, f.tgt_id, f.cosine, f.margin,
+               (f.margin > 1.05) AS mined
+        FROM fwd f JOIN back b
+          ON f.src_id = b.src_id AND f.tgt_id = b.tgt_id AND b.rb = 1
+        WHERE f.r = 1
+        ORDER BY f.src_id
+    """,
+    tags=("B10", "similarity"),
+    doc="Candidate-fed bitext mining — THE 100 TB FORM of "
+    "similarity_bitext_margin (the [r13] sf1-probe finding: the exact "
+    "cross-join form measured 39.8x on a 10x data step — quadratic by "
+    "documented contract — vs 2.8x for the LSH-candidate path and "
+    "13.7x for IVF, SCALE.md tenth wave): the SAME Artetxe-Schwenk "
+    "margin scoring (per-side k=4 candidate-neighborhood means, "
+    "DECIMAL-exact sums) over a deterministic blocked candidate set "
+    "(src_id % 8 = tgt_id % 8 — SQL-replayable, standing in for the "
+    "LSH/IVF retrievers whose candidates feed the same function), "
+    "MUTUAL-best setting (forward ∩ backward winners — the "
+    "highest-precision CCMatrix form, exercising the semi-join "
+    "branch). With candidates ⊇ all pairs the function equals "
+    "bitext_mine row-for-row (pinned in tests) "
+    "(operators/similarity.py bitext_mine_candidates/_lsh/_ann).",
+)
+def similarity_bitext_candidates(spark, sf_dir):
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.similarity import (
+        bitext_mine_candidates,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    src = emb.where(F.col("label") == 0)
+    tgt = emb.where(F.col("label") == 1)
+    cand = (
+        src.select(F.col("vec_id").alias("src_id"))
+        .join(
+            tgt.select(F.col("vec_id").alias("tgt_id")),
+            F.col("src_id") % 8 == F.col("tgt_id") % 8,
+        )
+    )
+    return bitext_mine_candidates(
+        src, tgt, cand, k=4, threshold=1.05, mutual=True
+    ).orderBy("src_id")

@@ -660,6 +660,244 @@ def bitext_mine(
     return forward.join(backward, ["src_id", "tgt_id"], "left_semi")
 
 
+def bitext_mine_candidates(
+    src: DataFrame,
+    tgt: DataFrame,
+    candidates: DataFrame,
+    k: int = 4,
+    threshold: float = 1.05,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    mutual: bool = False,
+) -> DataFrame:
+    """THE 100 TB FORM of :func:`bitext_mine` (r13, closing the sf1
+    probe's finding that the cross-join oracle form is quadratic by
+    construction): identical margin scoring over a CANDIDATE pair set
+    (src_id, tgt_id) supplied by any first-stage retriever — the IVF
+    list join (`bitext_mine_ann` below), LSH buckets, or a shard-local
+    blocking key. The per-side k-NN means that normalize the margin
+    are computed over the candidates (the Artetxe-Schwenk recipe run
+    on retrieved neighborhoods — exactly how LASER/CCMatrix deploys
+    it); with candidates ⊇ all pairs the output equals
+    :func:`bitext_mine` row-for-row (pinned in tests).
+
+    Scale shape: two equi-joins to attach vectors (candidate lists are
+    id pairs — tiny next to vectors), windows partitioned by id, no
+    cross join anywhere. Work is O(|candidates|), not O(|src|·|tgt|).
+    """
+    s = with_norm(src, vec_col).select(
+        F.col(id_col).alias("src_id"),
+        F.col(vec_col).alias("__sv"),
+        F.col("__norm").alias("__sn"),
+    )
+    g = with_norm(tgt, vec_col).select(
+        F.col(id_col).alias("tgt_id"),
+        F.col(vec_col).alias("__tv"),
+        F.col("__norm").alias("__tn"),
+    )
+    # attach vectors via broadcast-hash joins: the vector tables are
+    # one row per distinct id (small next to the candidate pair set) —
+    # broadcasting them keeps the 3-column candidate rows streaming
+    # instead of shuffling wide array rows twice (the sf1 probe
+    # measured SMJ here at ~8x the per-pair cost). Above broadcast
+    # size, drop the hints and AQE shuffle-joins — still linear.
+    pairs = (
+        candidates.select("src_id", "tgt_id")
+        .dropDuplicates(["src_id", "tgt_id"])
+        .join(F.broadcast(s), "src_id")
+        .join(F.broadcast(g), "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            F.round(
+                dot(F.col("__sv"), F.col("__tv"))
+                / (F.col("__sn") * F.col("__tn")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    dec = F.col("cosine").cast("decimal(18,6)")
+    wsrc = Window.partitionBy("src_id").orderBy(
+        F.col("cosine").desc(), F.col("tgt_id")
+    )
+    wtgt = Window.partitionBy("tgt_id").orderBy(
+        F.col("cosine").desc(), F.col("src_id")
+    )
+    # the vector-attach join + dot products are the expensive stage and
+    # feed THREE consumers (both k-NN sums + the final scoring join);
+    # checkpoint the slim (ids, cosine, 2 ranks) frame once so the plan
+    # computes them once — the sf1 probe measured the un-checkpointed
+    # shape recomputing the join 3x (SCALE.md tenth wave)
+    ranked = pairs.select(
+        "src_id",
+        "tgt_id",
+        "cosine",
+        F.row_number().over(wsrc).alias("__rs"),
+        F.row_number().over(wtgt).alias("__rt"),
+    ).localCheckpoint(eager=False)
+    sum_src = (
+        ranked.where(F.col("__rs") <= k)
+        .groupBy("src_id")
+        .agg(F.sum(dec).alias("__sx"), F.count(F.lit(1)).alias("__cx"))
+    )
+    sum_tgt = (
+        ranked.where(F.col("__rt") <= k)
+        .groupBy("tgt_id")
+        .agg(F.sum(dec).alias("__sy"), F.count(F.lit(1)).alias("__cy"))
+    )
+    margin = F.round(
+        F.col("cosine")
+        * (2 * F.col("__cx") * F.col("__cy"))
+        / (
+            F.col("__sx") * F.col("__cy") + F.col("__sy") * F.col("__cx")
+        ).cast("double"),
+        6,
+    )
+    scored = (
+        ranked.select("src_id", "tgt_id", "cosine")
+        .join(sum_src, "src_id")
+        .join(sum_tgt, "tgt_id")
+        .select("src_id", "tgt_id", "cosine", margin.alias("margin"))
+    )
+    wbest = Window.partitionBy("src_id").orderBy(
+        F.col("margin").desc(), F.col("tgt_id")
+    )
+    forward = (
+        scored.withColumn("__r", F.row_number().over(wbest))
+        .where(F.col("__r") == 1)
+        .select(
+            "src_id",
+            "tgt_id",
+            "cosine",
+            "margin",
+            (F.col("margin") > threshold).alias("mined"),
+        )
+    )
+    if not mutual:
+        return forward
+    wback = Window.partitionBy("tgt_id").orderBy(
+        F.col("margin").desc(), F.col("src_id")
+    )
+    backward = (
+        scored.withColumn("__r", F.row_number().over(wback))
+        .where(F.col("__r") == 1)
+        .select("src_id", "tgt_id")
+    )
+    return forward.join(backward, ["src_id", "tgt_id"], "left_semi")
+
+
+def bitext_mine_ann(
+    src: DataFrame,
+    tgt: DataFrame,
+    n_clusters: int = 16,
+    nprobe: int = 2,
+    k: int = 4,
+    threshold: float = 1.05,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    mutual: bool = False,
+) -> DataFrame:
+    """End-to-end scale path: IVF candidate generation (portable
+    k-means lists over the TARGET side; each source probes its
+    ``nprobe`` closest lists — broadcast centroids, equi-join on
+    cluster_id, no cross join) feeding
+    :func:`bitext_mine_candidates`. Near-linear in rows at fixed
+    cluster geometry — the sf1 probe measured 4.8x on a 10x data step
+    vs 39.8x for the cross-join oracle form (SCALE.md tenth wave)."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.clustering import (
+        assign_clusters,
+        lloyd_update,
+        seed_centroids,
+    )
+
+    centroids = seed_centroids(tgt, n_clusters, vec_col, id_col)
+    assigned = assign_clusters(tgt, centroids, vec_col, id_col)
+    centroids = lloyd_update(assigned, vec_col).localCheckpoint(eager=True)
+    t_lists = assign_clusters(tgt, centroids, vec_col, id_col).select(
+        F.col(id_col).alias("tgt_id"), "cluster_id"
+    )
+    sq = src.select(
+        F.col(id_col).alias("src_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qv"),
+    )
+    probe_w = Window.partitionBy("src_id").orderBy(
+        F.desc("__ccos"), F.asc("cluster_id")
+    )
+    probes = (
+        sq.crossJoin(F.broadcast(centroids))
+        .withColumn("__ccos", _sim_cosine(F.col("__qv"), F.col("centroid")))
+        .withColumn("__pr", F.row_number().over(probe_w))
+        .where(F.col("__pr") <= nprobe)
+        .select("src_id", "cluster_id")
+    )
+    cand = probes.join(t_lists, "cluster_id").select("src_id", "tgt_id")
+    return bitext_mine_candidates(
+        src, tgt, cand, k=k, threshold=threshold, vec_col=vec_col,
+        id_col=id_col, mutual=mutual,
+    )
+
+
+def bitext_mine_lsh(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    threshold: float = 1.05,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    n_tables: int = 8,
+    dim: int = 64,
+    mutual: bool = False,
+) -> DataFrame:
+    """Near-LINEAR scale path for bitext mining: candidates = pairs
+    sharing a random-hyperplane signature in ANY of ``n_tables``
+    tables — a pure equi-join on (table_idx, signature) with NO
+    broadcast of either corpus side (both sides shuffle on the
+    signature key; bucket sizes bound the per-key work), feeding
+    :func:`bitext_mine_candidates`. Candidate volume is
+    O(n + collisions) vs the IVF path's O(n^1.5) and the exact form's
+    O(n^2) — the asymptotics the sf1 probe measured (SCALE.md tenth
+    wave). Recall tunes via (n_planes, n_tables)."""
+    tables = [
+        _hyperplanes(n_planes, dim, seed=_SEED + 1000 * t)
+        for t in range(n_tables)
+    ]
+
+    def sigs(df: DataFrame, out_id: str) -> DataFrame:
+        per_table = [
+            F.struct(
+                F.lit(ti).alias("table_idx"),
+                lsh_signature(F.col(vec_col), planes).alias("sig"),
+            )
+            for ti, planes in enumerate(tables)
+        ]
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(F.array(*per_table)).alias("__ts"),
+        ).select(out_id, "__ts.table_idx", "__ts.sig")
+
+    cand = (
+        sigs(src, "src_id")
+        .join(sigs(tgt, "tgt_id"), ["table_idx", "sig"])
+        .select("src_id", "tgt_id")
+    )
+    return bitext_mine_candidates(
+        src, tgt, cand, k=k, threshold=threshold, vec_col=vec_col,
+        id_col=id_col, mutual=mutual,
+    )
+
+
+def _sim_cosine(a, b):
+    num = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return num / (na * nb)
+
+
 def maxsim_rerank(
     doc_tokens: DataFrame,
     query_tokens: DataFrame,

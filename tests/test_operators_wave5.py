@@ -556,3 +556,80 @@ def test_bitext_margin_asymmetric_counts_mean_of_means(spark):
         expected = round(cos[(i, j)] * (2 * cx * cy) / (sx * cy + sy * cx), 6)
         assert abs(m - expected) < 2e-6, (i, j, m, expected)
         assert cx == 3 and cy == 2  # the asymmetry this test exists for
+
+
+def test_bitext_candidates_equals_exact_with_full_candidates(spark, sf_oracle):
+    """[r13] bitext_mine_candidates with candidates ⊇ all pairs equals
+    bitext_mine row-for-row — the 100 TB candidate-fed form is the
+    same function when the retriever returns everything."""
+    from pyspark.sql import functions as F
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus._util import t
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.similarity import (
+        bitext_mine,
+        bitext_mine_candidates,
+    )
+
+    emb = t(spark, sf_oracle, "embeddings")
+    src = emb.where(F.col("vec_id") % 2 == 0).limit(50)
+    tgt = emb.where(F.col("vec_id") % 2 == 1).limit(50)
+    allpairs = src.select(F.col("vec_id").alias("src_id")).crossJoin(
+        tgt.select(F.col("vec_id").alias("tgt_id"))
+    )
+    for mutual in (False, True):
+        exact = {
+            (r.src_id, r.tgt_id): (r.cosine, r.margin, r.mined)
+            for r in bitext_mine(src, tgt, k=4, mutual=mutual).collect()
+        }
+        cand = {
+            (r.src_id, r.tgt_id): (r.cosine, r.margin, r.mined)
+            for r in bitext_mine_candidates(
+                src, tgt, allpairs, k=4, mutual=mutual
+            ).collect()
+        }
+        assert exact == cand, mutual
+
+
+def test_bitext_lsh_and_ann_recall(spark, sf_oracle):
+    """[r13] the sublinear candidate generators keep useful recall on
+    the mined set (property bound, approximate by design — the sf1
+    probe's asymptotics: LSH 2.8x / IVF 13.7x / exact 39.8x on 10x
+    data, SCALE.md tenth wave)."""
+    from pyspark.sql import functions as F
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus._util import t
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.similarity import (
+        bitext_mine,
+        bitext_mine_ann,
+        bitext_mine_lsh,
+    )
+
+    emb = t(spark, sf_oracle, "embeddings")
+    src = emb.where(F.col("label") == 0)
+    tgt = emb.where(F.col("label") == 1)
+    exact_mined = {
+        (r.src_id, r.tgt_id)
+        for r in bitext_mine(src, tgt, k=4).collect()
+        if r.mined
+    }
+    assert exact_mined
+    # near-orthogonal synthetic embeddings are hyperplane LSH's known
+    # worst case (module docstring): recall-lean geometry — fewer
+    # planes (bigger buckets), more tables — measured 0.91 here vs
+    # 0.14 at the speed-lean (8, 8) defaults
+    lsh_mined = {
+        (r.src_id, r.tgt_id)
+        for r in bitext_mine_lsh(src, tgt, k=4, n_planes=4,
+                                 n_tables=16).collect()
+        if r.mined
+    }
+    ann_mined = {
+        (r.src_id, r.tgt_id)
+        for r in bitext_mine_ann(src, tgt, n_clusters=8, nprobe=3,
+                                 k=4).collect()
+        if r.mined
+    }
+    lsh_recall = len(exact_mined & lsh_mined) / len(exact_mined)
+    ann_recall = len(exact_mined & ann_mined) / len(exact_mined)
+    assert lsh_recall >= 0.5, lsh_recall
+    assert ann_recall >= 0.5, ann_recall

@@ -281,3 +281,29 @@ def test_av1_probe_tear_fuzz_valueerror_only():
                 f"case {case}: non-ValueError tear "
                 f"{type(exc).__name__}: {exc}"
             )
+
+
+def test_ms_adpcm_third_party_artifact_gap_tripwire():
+    """[r13 hygiene] MS-ADPCM still lacks a third-party artifact pin on
+    this host (the IMA path is audioop-pinned; MS is analytic +
+    spec-derived). This tripwire scans the interpreter's bundled audio
+    test data for a format-2 (MS-ADPCM) WAV: if one ever appears, it
+    FAILS loudly so the pin gets written instead of the gap silently
+    persisting (the documented LZW-timing lesson)."""
+    import struct
+
+    hits = []
+    for root in glob.glob("/root/.pyenv/versions/*/lib/python*/test/*data*"):
+        for path in glob.glob(os.path.join(root, "*.wav")):
+            with open(path, "rb") as f:
+                blob = f.read(64)
+            i = blob.find(b"fmt ")
+            if i >= 0 and len(blob) >= i + 10:
+                fmt_tag = struct.unpack_from("<H", blob, i + 8)[0]
+                if fmt_tag == 2:
+                    hits.append(path)
+    assert not hits, (
+        f"real MS-ADPCM artifacts appeared on this host: {hits} — "
+        "write the third-party pin (decode vs the artifact's reference "
+        "PCM) and delete this tripwire"
+    )

@@ -472,3 +472,75 @@ def similarity_bitext_candidates(spark, sf_dir):
     return bitext_mine_candidates(
         src, tgt, cand, k=4, threshold=1.05, mutual=True
     ).orderBy("src_id")
+
+
+@register(
+    "archive_lz4_roundtrip",
+    oracle="""
+        SELECT doc_id,
+               CAST(2 AS INT) AS n_members,
+               'doc.txt,meta.bin' AS names,
+               CAST(strlen(text) + 8 AS BIGINT) AS total_bytes
+        FROM documents WHERE doc_id < 200
+        ORDER BY doc_id
+    """,
+    tags=("B10", "archive"),
+    doc="tar.lz4 archive ingestion END-TO-END (the [r13] LZ4 frame "
+    "codec, from the public block/frame specs with a from-spec "
+    "xxHash32, pinned BOTH DIRECTIONS against the system liblz4 in "
+    "tests/test_realworld_r13.py): per doc a 2-member tar (the doc "
+    "text + an 8-byte id record) is LZ4-frame-compressed "
+    "(content-size + content-checksum flags) and exploded back "
+    "through the archive machinery — sniff routes the frame, the "
+    "decoder verifies the header checksum and xxHash32 content "
+    "checksum, and the member census/byte totals land in the oracle; "
+    "a frame byte-identity check (decompress∘compress == tar) rides "
+    "inside the op (operators/lz4.py, operators/archives.py).",
+)
+def archive_lz4_roundtrip(spark, sf_dir):
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 200).select(
+        "doc_id", "text"
+    )
+
+    def op(batches):
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.archives import (
+            build_tar,
+            iter_archive_members,
+            sniff_archive_format,
+        )
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.lz4 import (
+            lz4_compress,
+            lz4_decompress,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                body = str(text).encode("utf-8")
+                tar = build_tar([
+                    ("doc.txt", body),
+                    ("meta.bin", did.to_bytes(8, "big")),
+                ])
+                lz = lz4_compress(tar)
+                if sniff_archive_format(lz) != "tlz4":
+                    raise ValueError("LZ4 tar failed the archive sniff")
+                if lz4_decompress(lz) != tar:
+                    raise ValueError("LZ4 roundtrip not byte-identical")
+                members = list(iter_archive_members(lz))
+                rows.append({
+                    "doc_id": did,
+                    "n_members": len(members),
+                    "names": ",".join(m[0] for m in members),
+                    "total_bytes": sum(len(m[1]) for m in members),
+                })
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_members", "names", "total_bytes"],
+            )
+
+    return d.mapInPandas(
+        op, "doc_id long, n_members int, names string, total_bytes long"
+    ).orderBy("doc_id")

@@ -25,11 +25,14 @@ from pyspark.sql import types as T
 
 
 def sniff_archive_format(payload: bytes) -> str | None:
-    """'zip', 'tar', 'tgz' by magic; None when unrecognized."""
+    """'zip', 'tar', 'tgz', 'tlz4' by magic; None when unrecognized."""
     if payload[:4] in (b"PK\x03\x04", b"PK\x05\x06"):
         return "zip"
     if payload[:2] == b"\x1f\x8b":
         return "tgz"  # gzip container; tarfile handles the inner tar
+    if payload[:4] == b"\x04\x22\x4d\x18":
+        return "tlz4"  # LZ4 frame (r13: from-spec operators/lz4.py);
+        # the inner payload routes to tar below after decompression
     if len(payload) >= 262 and payload[257:262] == b"ustar":
         return "tar"
     if (
@@ -87,6 +90,16 @@ def iter_archive_members(payload: bytes):
         else:
             import tarfile
 
+            if fmt == "tlz4":
+                from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.lz4 import (
+                    lz4_decompress,
+                )
+
+                payload = lz4_decompress(payload)
+                if sniff_archive_format(payload) != "tar":
+                    raise ValueError(
+                        "LZ4 frame does not wrap a tar archive"
+                    )
             mode = "r:gz" if fmt == "tgz" else "r:"
             with tarfile.open(fileobj=io.BytesIO(payload), mode=mode) as tf:
                 for info in tf:

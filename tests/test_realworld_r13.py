@@ -307,3 +307,135 @@ def test_ms_adpcm_third_party_artifact_gap_tripwire():
         "write the third-party pin (decode vs the artifact's reference "
         "PCM) and delete this tripwire"
     )
+
+
+def _liblz4():
+    hits = glob.glob("/usr/lib/*/liblz4.so*")
+    if not hits:
+        pytest.skip("no system liblz4 (visible host gap)")
+    lib = ctypes.CDLL(hits[0])
+    lib.LZ4F_compressFrame.restype = ctypes.c_size_t
+    lib.LZ4F_compressFrame.argtypes = [
+        ctypes.c_void_p, ctypes.c_size_t, ctypes.c_char_p,
+        ctypes.c_size_t, ctypes.c_void_p,
+    ]
+    lib.LZ4F_compressFrameBound.restype = ctypes.c_size_t
+    lib.LZ4F_compressFrameBound.argtypes = [ctypes.c_size_t,
+                                            ctypes.c_void_p]
+    lib.LZ4F_isError.restype = ctypes.c_uint
+    lib.LZ4F_isError.argtypes = [ctypes.c_size_t]
+    lib.LZ4F_createDecompressionContext.restype = ctypes.c_size_t
+    lib.LZ4F_createDecompressionContext.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p), ctypes.c_uint
+    ]
+    lib.LZ4F_decompress.restype = ctypes.c_size_t
+    lib.LZ4F_decompress.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.POINTER(ctypes.c_size_t),
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_size_t), ctypes.c_void_p,
+    ]
+    return lib
+
+
+def _lz4_cases():
+    import random
+
+    rnd = random.Random(7)
+    with open("/root/testdata/sf0.001/documents.parquet", "rb") as f:
+        real = f.read()[:150000]
+    return [
+        b"", b"a", b"hello world " * 100,
+        bytes(rnd.randrange(256) for _ in range(5000)),
+        (b"abcde" * 4000)[:17000],
+        bytes(rnd.choice(b"abcd") for _ in range(200000)),
+        real,
+    ]
+
+
+def test_lz4_frames_pin_against_liblz4_both_directions():
+    """[r13] LZ4: REAL liblz4 LZ4F frames decode byte-identical through
+    our from-spec frame decoder (incl. its header checksum + content
+    checksum verification — which transitively pins the from-spec
+    xxHash32), and OUR encoder's frames decode byte-identical in the
+    real liblz4 — both directions, the G4/HEVC discipline."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.lz4 import (
+        lz4_compress,
+        lz4_decompress,
+    )
+
+    lib = _liblz4()
+
+    def ref_compress(data):
+        bound = lib.LZ4F_compressFrameBound(len(data), None)
+        buf = ctypes.create_string_buffer(max(bound, 64))
+        n = lib.LZ4F_compressFrame(buf, len(buf), data, len(data), None)
+        assert not lib.LZ4F_isError(n)
+        return buf.raw[:n]
+
+    def ref_decompress(data):
+        ctx = ctypes.c_void_p()
+        assert lib.LZ4F_createDecompressionContext(
+            ctypes.byref(ctx), 100
+        ) == 0
+        out = bytearray()
+        off = 0
+        buf = ctypes.create_string_buffer(1 << 20)
+        while off < len(data):
+            dst = ctypes.c_size_t(len(buf))
+            src = ctypes.c_size_t(len(data) - off)
+            r = lib.LZ4F_decompress(ctx, buf, ctypes.byref(dst),
+                                    data[off:], ctypes.byref(src), None)
+            assert not lib.LZ4F_isError(r), r
+            out += buf.raw[:dst.value]
+            off += src.value
+            if r == 0:
+                break
+        return bytes(out)
+
+    for idx, data in enumerate(_lz4_cases()):
+        assert lz4_decompress(ref_compress(data)) == data, idx
+        assert ref_decompress(lz4_compress(data)) == data, idx
+        assert ref_decompress(
+            lz4_compress(data, block_checksum=True)
+        ) == data, idx
+
+
+def test_lz4_tear_fuzz_and_checksum_contract():
+    """300-case mutation/truncation fuzz: ValueError only; checksum
+    flips are CAUGHT (a corrupted content byte can't decode silently
+    when the frame carries checksums)."""
+    import random
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.lz4 import (
+        lz4_compress,
+        lz4_decompress,
+    )
+
+    base = lz4_compress(b"the quick brown fox " * 500)
+    rnd = random.Random(23)
+    for case in range(300):
+        data = bytearray(base)
+        op = rnd.randrange(3)
+        if op == 0:
+            data = data[:rnd.randrange(1, len(data))]
+        elif op == 1:
+            for _ in range(rnd.randrange(1, 4)):
+                data[rnd.randrange(len(data))] ^= 1 << rnd.randrange(8)
+        else:
+            pos = rnd.randrange(len(data))
+            data[pos:pos] = bytes(rnd.randrange(256)
+                                  for _ in range(rnd.randrange(1, 9)))
+        try:
+            lz4_decompress(bytes(data))
+        except ValueError:
+            pass
+        except Exception as exc:  # pragma: no cover
+            raise AssertionError(
+                f"case {case}: non-ValueError tear "
+                f"{type(exc).__name__}: {exc}"
+            )
+    # a single flipped CONTENT byte must not decode silently
+    plain = lz4_compress(bytes(range(256)) * 64)
+    body = bytearray(plain)
+    body[len(body) // 2] ^= 0x40
+    with pytest.raises(ValueError):
+        lz4_decompress(bytes(body))

@@ -203,6 +203,50 @@ def http_response_body(block: bytes) -> tuple[int | None, bytes]:
         return None, block
 
 
+def decode_http_body(block: bytes) -> tuple[int | None, bytes, str]:
+    """(status, DECODED body, content_encoding) from an HTTP response
+    block — the r13 crawl-pipeline completion: ``Content-Encoding:
+    gzip`` / ``deflate`` (both zlib wrapper and raw-deflate fallback) /
+    ``br`` (the from-spec RFC 7932 decoder, operators/brotli.py —
+    the second web encoding after gzip) are decoded; ``identity`` and
+    absent pass through. An unknown coding or a torn coded body raises
+    ValueError (the quarantine path), never returns wrong bytes."""
+    if not block.startswith(b"HTTP/"):
+        return None, block, "identity"
+    try:
+        sep = block.index(b"\r\n\r\n")
+        head = block[:sep]
+        status = int(head.split(b"\r\n", 1)[0].split(b" ")[1])
+    except (ValueError, IndexError):
+        return None, block, "identity"
+    body = block[sep + 4:]
+    enc = "identity"
+    for line in head.split(b"\r\n")[1:]:
+        if line.lower().startswith(b"content-encoding:"):
+            enc = line.split(b":", 1)[1].strip().decode("latin1").lower()
+    if enc in ("identity", ""):
+        return status, body, "identity"
+    if enc == "gzip":
+        import zlib
+
+        return status, zlib.decompress(body, 16 + zlib.MAX_WBITS), enc
+    if enc == "deflate":
+        import zlib
+
+        try:
+            return status, zlib.decompress(body), enc
+        except zlib.error:
+            # some servers send raw deflate under the deflate token
+            return status, zlib.decompress(body, -zlib.MAX_WBITS), enc
+    if enc == "br":
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.brotli import (
+            brotli_decompress,
+        )
+
+        return status, brotli_decompress(body), enc
+    raise ValueError(f"HTTP content-encoding {enc!r} outside the declared scope")
+
+
 def build_warc(records: list[dict]) -> bytes:
     """Assemble a WARC/1.0 byte stream (the test/synthesis writer — the
     parser is independently tested against spec-literal bytes). Each

@@ -64,6 +64,12 @@ HEADLINE = [
     "multimodal_h264_cabac",      # B10 CAVLC/CABAC twin decode match
     "multimodal_hevc_decode",     # B10 [r12] HEVC intra encode -> decode -> aHash
     "multimodal_pdf_ccitt",       # B10 [r12] PDF G4 fax extract -> aHash
+    # round-13 flagships: the closed HEIC quarantine, 10-bit HEVC, the
+    # RFC 7932 brotli chain, and the candidate-fed bitext scale path
+    "multimodal_heic_decode",     # B10 [r13] HEIF items -> HEVC intra -> aHash
+    "video_hevc_main10",          # B10 [r13] Main10 encode -> decode -> aHash
+    "text_brotli_decode",         # B10 [r13] HTTP br/gzip -> decode chain
+    "similarity_bitext_candidates",  # B10 [r13] candidate-fed margin mining
 ]
 
 

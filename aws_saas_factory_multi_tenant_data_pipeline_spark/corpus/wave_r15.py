@@ -623,3 +623,99 @@ def text_brotli_decode(spark, sf_dir):
         "doc_id long, status int, encoding string, n_bytes long,"
         " roundtrip_ok boolean",
     ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_heic_exif",
+    oracle="""
+        SELECT doc_id,
+               'Make' || CAST(doc_id % 9 AS VARCHAR) AS make,
+               CAST(doc_id % 2 = 1 AS BOOLEAN) AS has_gps,
+               FALSE AS gps_after_strip,
+               TRUE AS pixels_intact,
+               CAST(3 AS INT) AS n_items
+        FROM documents WHERE doc_id < 60
+        ORDER BY doc_id
+    """,
+    tags=("B10", "multimodal", "image", "privacy"),
+    doc="HEIC Exif extraction + PII strip END-TO-END (the [r13] second "
+    "wave — the JPEG APP1 crawl-hygiene pipeline extended to iPhone "
+    "imagery: ISO 23008-12 A.2.1 Exif items parse through the shared "
+    "TIFF machinery, and strip_heif_exif redacts IN PLACE with a "
+    "minimal empty-IFD block so no container offset moves; the Exif "
+    "bytes and the stripped container are pinned against libheif's "
+    "metadata API in tests/test_heif.py): per doc a HEIC with an Exif "
+    "item (make rotates, odd docs carry a GPS IFD) plus a thumbnail "
+    "item is built, the camera fields and GPS flag are extracted, the "
+    "container is stripped, and the hash grades extraction, the "
+    "post-strip GPS absence, and pixel byte-identity across the strip "
+    "(operators/heif.py, operators/exif.py).",
+)
+def multimodal_heic_exif(spark, sf_dir):
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 60).select(
+        "doc_id"
+    )
+
+    def op(batches):
+        import numpy as np
+
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.exif import (
+            build_exif_app1,
+        )
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.heif import (
+            build_heif,
+            decode_heif,
+            extract_heif_exif,
+            probe_heif,
+            strip_heif_exif,
+        )
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.hevc_enc import (
+            encode_hevc_intra,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                y = np.full((32, 32), 40 + did % 50, dtype=np.uint8)
+                y[12:] = 200
+                u = np.full((16, 16), 128, dtype=np.uint8)
+                st = encode_hevc_intra([(y, u, u)], qp=20 + did % 8)
+                thumb = encode_hevc_intra(
+                    [(y[::2, ::2].copy(),
+                      np.full((8, 8), 128, dtype=np.uint8),
+                      np.full((8, 8), 128, dtype=np.uint8))],
+                    qp=30,
+                )
+                tiff = build_exif_app1(
+                    {"make": f"Make{did % 9}", "model": "M"},
+                    gps_dms=(40 + did % 20, did % 60, 5)
+                    if did % 2 == 1 else None,
+                )[10:]
+                payload = build_heif([st], exif=tiff, thumbnail=thumb)
+                e = extract_heif_exif(payload)
+                px1, _, _ = decode_heif(payload)
+                stripped = strip_heif_exif(payload)
+                e2 = extract_heif_exif(stripped)
+                px2, _, _ = decode_heif(stripped)
+                rows.append({
+                    "doc_id": did,
+                    "make": e.get("make"),
+                    "has_gps": bool(e.get("has_gps")),
+                    "gps_after_strip": bool(e2.get("has_gps")),
+                    "pixels_intact": bool(np.array_equal(px1, px2)),
+                    "n_items": probe_heif(payload)["n_items"],
+                })
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "make", "has_gps", "gps_after_strip",
+                         "pixels_intact", "n_items"],
+            )
+
+    return d.mapInPandas(
+        op,
+        "doc_id long, make string, has_gps boolean, gps_after_strip"
+        " boolean, pixels_intact boolean, n_items int",
+    ).orderBy("doc_id")

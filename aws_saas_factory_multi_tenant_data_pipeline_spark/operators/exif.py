@@ -109,27 +109,34 @@ def parse_exif(payload: bytes) -> dict:
             break
     if app1 is None:
         return {"has_exif": False}
-    if app1[:2] == b"II":
+    return parse_exif_tiff(app1)
+
+
+def parse_exif_tiff(tiff: bytes) -> dict:
+    """Parse a bare TIFF-format Exif block (the payload after the JPEG
+    APP1 "Exif\0\0" marker — the SAME block a HEIF ``Exif`` item or a
+    PNG eXIf chunk carries, r13: shared with operators/heif.py)."""
+    if tiff[:2] == b"II":
         bo = "<"
-    elif app1[:2] == b"MM":
+    elif tiff[:2] == b"MM":
         bo = ">"
     else:
         raise ValueError("bad TIFF byte order")
-    (magic,) = struct.unpack_from(bo + "H", app1, 2)
+    (magic,) = struct.unpack_from(bo + "H", tiff, 2)
     if magic != 42:
         raise ValueError("bad TIFF magic")
-    (ifd0_off,) = struct.unpack_from(bo + "I", app1, 4)
-    ifd0 = _read_ifd(app1, ifd0_off, bo)
+    (ifd0_off,) = struct.unpack_from(bo + "I", tiff, 4)
+    ifd0 = _read_ifd(tiff, ifd0_off, bo)
     out: dict = {"has_exif": True, "byte_order": "II" if bo == "<" else "MM"}
     merged = dict(ifd0)
     if _EXIF_IFD_TAG in ifd0:
-        merged.update(_read_ifd(app1, ifd0[_EXIF_IFD_TAG][0], bo))
+        merged.update(_read_ifd(tiff, ifd0[_EXIF_IFD_TAG][0], bo))
     for tag, name in _TAG_NAMES.items():
         if tag in merged:
             v = merged[tag]
             out[name] = v[0] if isinstance(v, list) and len(v) == 1 else v
     if _GPS_IFD_TAG in ifd0:
-        gps = _read_ifd(app1, ifd0[_GPS_IFD_TAG][0], bo)
+        gps = _read_ifd(tiff, ifd0[_GPS_IFD_TAG][0], bo)
         for tag, name in _GPS_NAMES.items():
             if tag in gps:
                 out[name] = gps[tag]

@@ -512,6 +512,8 @@ def build_heif(
     tile_streams: list[bytes],
     grid: tuple[int, int, int, int] | None = None,
     rotation: int = 0,
+    exif: bytes | None = None,
+    thumbnail: bytes | None = None,
 ) -> bytes:
     """Write a HEIC container around coded Annex-B HEVC intra streams
     (one per tile). ``grid=(rows, cols, out_w, out_h)`` makes the
@@ -554,10 +556,36 @@ def build_heif(
             "h": h,
         })
 
+    thumb = None
+    if thumbnail is not None:
+        nals = _split_annexb(thumbnail)
+        params = [n for n in nals if ((n[0] >> 1) & 0x3F) in (32, 33, 34)]
+        slices = [n for n in nals if ((n[0] >> 1) & 0x3F) < 32]
+        sps_nal = next(n for n in params if ((n[0] >> 1) & 0x3F) == 33)
+        tsps = parse_sps_intra(strip_emulation_with_map(sps_nal)[0])
+        cl, cr_, ct, cb_ = tsps.get("crop", (0, 0, 0, 0))
+        thumb = {
+            "hvcc": _hvcc_from_nals(params),
+            "sample": b"".join(
+                struct.pack(">I", len(n)) + n for n in slices
+            ),
+            "w": tsps["pic_width"] - 2 * (cl + cr_),
+            "h": tsps["pic_height"] - 2 * (ct + cb_),
+        }
+
     is_grid = grid is not None
     tile_ids = list(range(1, len(tiles) + 1))
     grid_id = len(tiles) + 1 if is_grid else None
     primary = grid_id if is_grid else tile_ids[0]
+    next_id = (grid_id or len(tiles)) + 1
+    exif_id = None
+    if exif is not None:
+        exif_id = next_id
+        next_id += 1
+    thumb_id = None
+    if thumb is not None:
+        thumb_id = next_id
+        next_id += 1
 
     # properties: per-tile hvcC + ispe pairs; grid ispe; optional irot
     props: list[bytes] = []
@@ -583,6 +611,12 @@ def build_heif(
     if rotation:
         props.append(_box(b"irot", bytes([(rotation // 90) % 4])))
         assoc[primary] = assoc.get(primary, []) + [len(props)]
+    if thumb is not None:
+        props.append(_box(b"hvcC", thumb["hvcc"]))
+        hv_idx = len(props)
+        props.append(_fbox(b"ispe", struct.pack(">II", thumb["w"],
+                                                thumb["h"])))
+        assoc[thumb_id] = [hv_idx, len(props)]
 
     items = [(tid, b"hvc1") for tid in tile_ids]
     if is_grid:
@@ -593,6 +627,13 @@ def build_heif(
         )
     else:
         idat = b""
+    exif_payload = b""
+    if exif is not None:
+        # ISO 23008-12 §A.2.1: exif_tiff_header_offset then the block
+        exif_payload = struct.pack(">I", 0) + exif
+        items.append((exif_id, b"Exif"))
+    if thumb is not None:
+        items.append((thumb_id, b"hvc1"))
 
     hdlr = _fbox(b"hdlr", struct.pack(">I", 0) + b"pict" + bytes(12) + b"\x00")
     pitm = _fbox(b"pitm", struct.pack(">H", primary))
@@ -608,23 +649,37 @@ def build_heif(
             ipma_body += bytes([0x80 | idx])  # essential, 7-bit index
     iprp = _box(b"iprp", _box(b"ipco", b"".join(props))
                 + _fbox(b"ipma", ipma_body))
-    iref = b""
+    iref_boxes = b""
     if is_grid:
-        dimg = _box(
+        iref_boxes += _box(
             b"dimg",
             struct.pack(">HH", grid_id, len(tile_ids))
             + b"".join(struct.pack(">H", t) for t in tile_ids),
         )
-        iref = _fbox(b"iref", dimg)
+    if exif_id is not None:
+        iref_boxes += _box(
+            b"cdsc", struct.pack(">HHH", exif_id, 1, primary)
+        )
+    if thumb_id is not None:
+        iref_boxes += _box(
+            b"thmb", struct.pack(">HHH", thumb_id, 1, primary)
+        )
+    iref = _fbox(b"iref", iref_boxes) if iref_boxes else b""
     idat_box = _box(b"idat", idat) if idat else b""
 
     # iloc v1: tiles via file offsets (method 0), grid via idat
     # (method 1). Offsets need the final layout — two-pass: sizes are
     # invariant to the offset VALUES (fixed 4-byte fields).
+    extra_items = []  # (item_id, payload) with file offsets
+    if exif_id is not None:
+        extra_items.append((exif_id, exif_payload))
+    if thumb_id is not None:
+        extra_items.append((thumb_id, thumb["sample"]))
+
     def iloc_box(tile_offsets):
         body = bytes([0x44, 0x00])  # offset_size=4,length_size=4,base=0,idx=0
         entries = b""
-        n = len(tiles) + (1 if is_grid else 0)
+        n = len(tiles) + (1 if is_grid else 0) + len(extra_items)
         for tid, t in zip(tile_ids, tiles):
             entries += struct.pack(
                 ">HHHHII", tid, 0, 0, 1,
@@ -632,6 +687,11 @@ def build_heif(
             )
         if is_grid:
             entries += struct.pack(">HHHHII", grid_id, 1, 0, 1, 0, len(idat))
+        for iid, pay in extra_items:
+            entries += struct.pack(
+                ">HHHHII", iid, 0, 0, 1, tile_offsets.get(iid, 0),
+                len(pay),
+            )
         return _fbox(b"iloc", body + struct.pack(">H", n) + entries, ver=1)
 
     zero_offsets = {tid: 0 for tid in tile_ids}
@@ -645,9 +705,108 @@ def build_heif(
     for tid, t in zip(tile_ids, tiles):
         offsets[tid] = pos
         pos += len(t["sample"])
+    for iid, pay in extra_items:
+        offsets[iid] = pos
+        pos += len(pay)
     meta = _fbox(b"meta", hdlr + pitm + iinf + iref + iprp
                  + iloc_box(offsets) + idat_box)
     if len(meta) != meta_size:
         raise AssertionError("HEIF meta size changed between passes")
-    mdat = _box(b"mdat", b"".join(t["sample"] for t in tiles))
+    mdat = _box(b"mdat", b"".join(t["sample"] for t in tiles)
+                + b"".join(pay for _iid, pay in extra_items))
     return ftyp + meta + mdat
+
+
+# --- metadata items (r13 second wave): Exif + thumbnails ---------------------
+
+
+def extract_heif_exif(payload: bytes) -> dict:
+    """Parse the Exif item attached to the primary item (ISO 23008-12
+    §A.2.1: a ``cdsc``-referenced item of type ``Exif`` whose payload
+    is a 4-byte exif_tiff_header_offset followed by the Exif data —
+    the same TIFF block a JPEG APP1 segment carries, parsed by the
+    shared operators/exif.py machinery). Returns the parse_exif dict
+    ({"has_exif": False} when the container has no Exif item)."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.exif import (
+        parse_exif_tiff,
+    )
+
+    meta, _brand = _find_meta(payload)
+    pid = meta["primary"]
+    for item_id, item in meta["items"].items():
+        if item["type"] != b"Exif":
+            continue
+        refs = meta["refs"].get(b"cdsc", {}).get(item_id, [])
+        if refs and pid not in refs:
+            continue
+        body = _item_data(payload, meta, item_id)
+        if len(body) < 4:
+            raise ValueError("torn HEIF Exif item")
+        off = 4 + struct.unpack_from(">I", body, 0)[0]
+        tiff = body[off:]
+        if tiff[:6] == b"Exif\x00\x00":  # tolerated JPEG-style prefix
+            tiff = tiff[6:]
+        return parse_exif_tiff(tiff)
+    return {"has_exif": False}
+
+
+def strip_heif_exif(payload: bytes) -> bytes:
+    """Privacy strip (the JPEG strip_metadata twin for HEIC): redact
+    every Exif item's payload IN PLACE with a minimal valid empty-IFD0
+    TIFF block zero-padded to the original extent length — no offsets
+    move, the container stays byte-compatible for every reader, and
+    the camera/GPS bytes are destroyed. Coded image data is untouched
+    (asserted byte-identical decode in tests)."""
+    meta, _brand = _find_meta(payload)
+    out = bytearray(payload)
+    stripped = False
+    for item_id, item in meta["items"].items():
+        if item["type"] != b"Exif":
+            continue
+        loc = meta["iloc"].get(item_id)
+        if loc is None or loc["method"] != 0:
+            raise ValueError(
+                "HEIF Exif strip supports file-offset items only"
+            )
+        first = True
+        for off, ln in loc["extents"]:
+            if off + ln > len(out):
+                raise ValueError("HEIF Exif extent outside payload")
+            out[off:off + ln] = bytes(ln)
+            if first and ln >= 16:
+                # exif_tiff_header_offset = 0, then II*\0 + IFD0 with
+                # zero entries and no next-IFD pointer
+                blank = (struct.pack(">I", 0) + b"II*\x00"
+                         + struct.pack("<I", 8) + struct.pack("<H", 0)
+                         + struct.pack("<I", 0))
+                out[off:off + len(blank)] = blank
+            first = False
+        stripped = True
+    if not stripped:
+        return payload
+    return bytes(out)
+
+
+def extract_heif_thumbnail(payload: bytes):
+    """Decode the primary item's thumbnail (a ``thmb``-referenced hvc1
+    item) → (uint8 [h,w,3] RGB, w, h); ValueError when the container
+    carries none."""
+    meta, _brand = _find_meta(payload)
+    pid = meta["primary"]
+    for item_id, item in meta["items"].items():
+        refs = meta["refs"].get(b"thmb", {}).get(item_id, [])
+        if pid not in refs:
+            continue
+        y, u, v = _decode_hvc1_item(payload, meta, item_id)
+        h, w = y.shape
+        yf = y.astype(np.float64)
+        cb = np.repeat(np.repeat(u, 2, 0), 2, 1)[:h, :w].astype(np.float64)
+        cr = np.repeat(np.repeat(v, 2, 0), 2, 1)[:h, :w].astype(np.float64)
+        r = yf + 1.402 * (cr - 128.0)
+        g = yf - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = yf + 1.772 * (cb - 128.0)
+        px = np.clip(np.round(np.stack([r, g, b], 2)), 0, 255).astype(
+            np.uint8
+        )
+        return px, int(w), int(h)
+    raise ValueError("HEIF container carries no thumbnail item")

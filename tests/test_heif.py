@@ -270,3 +270,108 @@ def test_main10_heic_pixel_exact_vs_libheif():
     ours2, w2, h2 = decode_heif(f2)
     gt2 = decode_heic_rgb(f2)
     assert np.array_equal(ours2, gt2)
+
+
+def test_exif_item_extract_strip_and_thumbnail():
+    """[r13 second wave] Exif items (ISO 23008-12 A.2.1) parse through
+    the shared TIFF machinery; strip_heif_exif redacts IN PLACE (same
+    byte length, offsets untouched, pixels byte-identical, GPS/camera
+    fields gone); thmb-referenced thumbnails decode."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.exif import (
+        build_exif_app1,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.heif import (
+        extract_heif_exif,
+        extract_heif_thumbnail,
+        strip_heif_exif,
+    )
+
+    main = encode_hevc_intra([_make_frame(64, 48, 3, "mixed")], qp=27)
+    thumb = encode_hevc_intra([_make_frame(16, 16, 4, "grad")], qp=30)
+    tiff = build_exif_app1({"make": "Acme", "model": "Cam9"},
+                           gps_dms=(52, 30, 10))[10:]
+    f = build_heif([main], exif=tiff, thumbnail=thumb)
+    p = probe_heif(f)
+    assert p["has_exif"] and p["n_thumbnails"] == 1 and p["n_items"] == 3
+    e = extract_heif_exif(f)
+    assert (e["make"], e["model"], e["has_gps"]) == ("Acme", "Cam9", True)
+    tpx, tw, th = extract_heif_thumbnail(f)
+    assert (tw, th) == (16, 16) and tpx.shape == (16, 16, 3)
+    px1, _, _ = decode_heif(f)
+    stripped = strip_heif_exif(f)
+    assert len(stripped) == len(f)
+    e2 = extract_heif_exif(stripped)
+    assert not e2["has_gps"] and "make" not in e2
+    px2, _, _ = decode_heif(stripped)
+    assert np.array_equal(px1, px2)
+    # no-exif container: extract returns the has_exif=False shape,
+    # strip is the identity, thumbnail tears loudly
+    g = build_heif([main])
+    assert extract_heif_exif(g) == {"has_exif": False}
+    assert strip_heif_exif(g) == g
+    with pytest.raises(ValueError, match="thumbnail"):
+        extract_heif_thumbnail(g)
+
+
+def test_exif_item_pins_against_libheif_metadata_api():
+    """The Exif bytes libheif's metadata API reads from OUR container
+    equal what we wrote; libheif decodes the STRIPPED container with
+    byte-identical pixels and no camera/GPS bytes in its metadata."""
+    from heif_rig import HeifError, _ck, decode_heic_rgb, heif_lib
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.exif import (
+        build_exif_app1,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.heif import (
+        strip_heif_exif,
+    )
+
+    lib = heif_lib()
+    if lib is None:
+        pytest.skip("no system libheif (visible host gap)")
+    import ctypes
+
+    lib.heif_image_handle_get_number_of_metadata_blocks.restype = \
+        ctypes.c_int
+    lib.heif_image_handle_get_number_of_metadata_blocks.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p]
+    lib.heif_image_handle_get_list_of_metadata_block_IDs.restype = \
+        ctypes.c_int
+    lib.heif_image_handle_get_list_of_metadata_block_IDs.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_int]
+    lib.heif_image_handle_get_metadata_size.restype = ctypes.c_size_t
+    lib.heif_image_handle_get_metadata_size.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint32]
+    lib.heif_image_handle_get_metadata.restype = HeifError
+    lib.heif_image_handle_get_metadata.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint32, ctypes.c_void_p]
+
+    def libheif_exif(payload):
+        ctx = lib.heif_context_alloc()
+        buf = ctypes.create_string_buffer(payload, len(payload))
+        _ck(lib.heif_context_read_from_memory_without_copy(
+            ctx, buf, len(payload), None), "read")
+        h = ctypes.c_void_p()
+        _ck(lib.heif_context_get_primary_image_handle(
+            ctx, ctypes.byref(h)), "h")
+        n = lib.heif_image_handle_get_number_of_metadata_blocks(h, b"Exif")
+        if n == 0:
+            return None
+        ids = (ctypes.c_uint32 * n)()
+        lib.heif_image_handle_get_list_of_metadata_block_IDs(
+            h, b"Exif", ids, n)
+        sz = lib.heif_image_handle_get_metadata_size(h, ids[0])
+        out = ctypes.create_string_buffer(sz)
+        _ck(lib.heif_image_handle_get_metadata(h, ids[0], out), "meta")
+        return out.raw[:sz]
+
+    st = encode_hevc_intra([_make_frame(64, 48, 3, "mixed")], qp=27)
+    tiff = build_exif_app1({"make": "Acme", "model": "Cam9"},
+                           gps_dms=(52, 30, 10))[10:]
+    f = build_heif([st], exif=tiff)
+    assert libheif_exif(f) == b"\x00\x00\x00\x00" + tiff
+    stripped = strip_heif_exif(f)
+    assert np.array_equal(decode_heic_rgb(f), decode_heic_rgb(stripped))
+    residue = libheif_exif(stripped)
+    assert b"Acme" not in residue and b"Cam9" not in residue

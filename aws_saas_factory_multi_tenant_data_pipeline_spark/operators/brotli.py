@@ -120,11 +120,25 @@ class _Bits:
         self.pos += n * 8
         return self.data[off:off + n]
 
+    def peek16(self) -> int:
+        """Next 16 bits LSB-first (zero-padded past the end) — the
+        Huffman fast path."""
+        off = self.pos >> 3
+        chunk = self.data[off:off + 3]
+        word = int.from_bytes(chunk, "little")
+        return (word >> (self.pos & 7)) & 0xFFFF
+
+
+_LUT_BITS = 9
+
 
 class _Huff:
-    """Canonical prefix code (DEFLATE ordering, MSB-first code walk)."""
+    """Canonical prefix code (DEFLATE ordering). Decoding runs off a
+    9-bit first-level LUT (covers every code ≤ 9 bits in one peek —
+    the common case for literal/command trees); longer codes fall back
+    to the bit-walk."""
 
-    __slots__ = ("count", "first", "symbols", "offset", "max_len")
+    __slots__ = ("count", "first", "symbols", "offset", "max_len", "lut")
 
     def __init__(self, lengths: list[int]):
         max_len = max(lengths) if lengths else 0
@@ -160,14 +174,43 @@ class _Huff:
             # degenerate single-symbol code: zero bits per symbol
             self.max_len = 0
             self.symbols = [next(s for s, ln in enumerate(lengths) if ln)]
+        # 9-bit first-level LUT: entry = (symbol, length) or None
+        # (escape to the walk for codes longer than _LUT_BITS). Codes
+        # are MSB-first, the stream is LSB-first — the LUT key is the
+        # next _LUT_BITS stream bits with the code's bits reversed in.
+        lut = [None] * (1 << _LUT_BITS)
+        if self.max_len:
+            code_by_len = list(first)
+            for sym, ln in enumerate(lengths):
+                if not ln or ln > _LUT_BITS:
+                    continue
+                code = code_by_len[ln]
+                code_by_len[ln] += 1
+                # reverse the ln code bits (stream order is LSB-first)
+                rev = 0
+                c = code
+                for _ in range(ln):
+                    rev = (rev << 1) | (c & 1)
+                    c >>= 1
+                step = 1 << ln
+                for k in range(rev, 1 << _LUT_BITS, step):
+                    lut[k] = (sym, ln)
+        self.lut = lut
 
     def read(self, b: _Bits) -> int:
         if self.max_len == 0:
             return self.symbols[0]
+        hit = self.lut[b.peek16() & ((1 << _LUT_BITS) - 1)]
+        if hit is not None:
+            sym, ln = hit
+            if b.pos + ln > len(b.data) * 8:
+                raise ValueError("torn brotli stream")
+            b.pos += ln
+            return sym
         code = 0
         for ln in range(1, self.max_len + 1):
             code = (code << 1) | b.bit()
-            if code - self.first[ln] < self.count[ln]:
+            if ln > _LUT_BITS and code - self.first[ln] < self.count[ln]:
                 return self.symbols[self.offset[ln] + code - self.first[ln]]
         raise ValueError("invalid brotli prefix code")
 
@@ -491,17 +534,25 @@ def _decompress_inner(payload: bytes, max_size: int) -> bytes:
             implicit_dist = cmd_code < 128
             if produced + ins_len > mlen:
                 raise ValueError("brotli insert length overflows MLEN")
-            mode_base = None
-            for _ in range(ins_len):
-                lit.tick(b)
-                p1 = out[-1] if out else 0
-                p2 = out[-2] if len(out) >= 2 else 0
-                mode = cmodes[lit.btype]
-                ctx = (_CTX_LUT[(mode << 9) + p1]
-                       | _CTX_LUT[(mode << 9) + 256 + p2])
-                tree = cmap_l[(lit.btype << 6) + ctx]
-                out.append(lit_huffs[tree].read(b))
-                produced += 1
+            if lit.n_types == 1 and ntrees_l == 1:
+                # fast path (the q<=9 common case): one literal tree,
+                # no block switching — context selection is irrelevant
+                h0 = lit_huffs[0]
+                read = h0.read
+                for _ in range(ins_len):
+                    out.append(read(b))
+                produced += ins_len
+            else:
+                for _ in range(ins_len):
+                    lit.tick(b)
+                    p1 = out[-1] if out else 0
+                    p2 = out[-2] if len(out) >= 2 else 0
+                    mode = cmodes[lit.btype]
+                    ctx = (_CTX_LUT[(mode << 9) + p1]
+                           | _CTX_LUT[(mode << 9) + 256 + p2])
+                    tree = cmap_l[(lit.btype << 6) + ctx]
+                    out.append(lit_huffs[tree].read(b))
+                    produced += 1
             if produced >= mlen:
                 break
             max_dist = min(len(out), window)
@@ -561,9 +612,12 @@ def _decompress_inner(payload: bytes, max_size: int) -> bytes:
                 if cpy_len > (mlen - produced):
                     raise ValueError("brotli copy overflows MLEN")
                 pos = len(out) - distance
-                for _ in range(cpy_len):
-                    out.append(out[pos])
-                    pos += 1
+                if distance >= cpy_len:
+                    out += out[pos:pos + cpy_len]
+                else:
+                    for _ in range(cpy_len):
+                        out.append(out[pos])
+                        pos += 1
                 produced += cpy_len
                 if dcode != 0:
                     dist_rb.insert(0, distance)

@@ -127,9 +127,12 @@ def lz4_block_decompress(src: bytes, max_size: int = 1 << 28) -> bytes:
                     break
         match_len += 4
         pos = len(out) - offset
-        for _ in range(match_len):  # overlap-correct byte copy
-            out.append(out[pos])
-            pos += 1
+        if offset >= match_len:
+            out += out[pos:pos + match_len]
+        else:
+            for _ in range(match_len):  # overlap-correct byte copy
+                out.append(out[pos])
+                pos += 1
         if len(out) > max_size:
             raise ValueError("LZ4 output exceeds the size bound")
 
@@ -355,9 +358,12 @@ def _block_decompress_with_prefix(src: bytes, prefix: bytes,
                     break
         match_len += 4
         pos = len(full) - offset
-        for _ in range(match_len):
-            full.append(full[pos])
-            pos += 1
+        if offset >= match_len:
+            full += full[pos:pos + match_len]
+        else:
+            for _ in range(match_len):
+                full.append(full[pos])
+                pos += 1
 
 
 def lz4_compress(data: bytes, block_size: int = 1 << 16,

@@ -183,3 +183,32 @@ def test_size_bound_and_large_window_boundary():
     comp = _ref_compress(b"a" * 100000, 5, 22)
     with pytest.raises(ValueError, match="size bound"):
         brotli_decompress(comp, max_size=1000)
+
+
+def test_warc_record_with_brotli_body_end_to_end():
+    """A WARC response record whose HTTP body is Content-Encoding: br
+    decodes through the crawl chain (warc parse -> decode_http_body ->
+    brotli) to the original page bytes."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.sources.warc import (
+        build_warc,
+        decode_http_body,
+        parse_warc_records,
+    )
+
+    page = b"<html><body>" + b"<p>of the and in a to</p>" * 200 + b"</body></html>"
+    coded = brotli_compress_fixture(page, "literals")
+    block = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+             b"Content-Encoding: br\r\n\r\n" + coded)
+    warc = build_warc([{
+        "warc_type": "response",
+        "target_uri": "http://example.com/",
+        "warc_date": "2024-01-01T00:00:00Z",
+        "record_id": "<urn:uuid:r13-br-1>",
+        "content_type": "application/http; msgtype=response",
+        "block": block,
+    }])
+    recs = parse_warc_records(warc)
+    assert len(recs) == 1
+    status, body, enc = decode_http_body(recs[0]["block"])
+    assert (status, enc) == (200, "br")
+    assert body == page

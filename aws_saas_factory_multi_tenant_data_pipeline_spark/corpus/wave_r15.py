@@ -719,3 +719,134 @@ def multimodal_heic_exif(spark, sf_dir):
         "doc_id long, make string, has_gps boolean, gps_after_strip"
         " boolean, pixels_intact boolean, n_items int",
     ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_exif_family",
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'jpeg'
+                    WHEN doc_id % 3 = 1 THEN 'png' ELSE 'webp' END
+                 AS carrier,
+               'Make' || CAST(doc_id % 7 AS VARCHAR) AS make,
+               CAST(doc_id % 2 = 1 AS BOOLEAN) AS has_gps,
+               FALSE AS gps_after_strip,
+               TRUE AS pixels_intact
+        FROM documents WHERE doc_id < 72
+        ORDER BY doc_id
+    """,
+    tags=("B10", "multimodal", "image", "privacy"),
+    doc="EXIF extraction + PII strip across the three remaining "
+    "crawl image carriers in one graded rotation (the [r13] second "
+    "wave — with HEIC landed separately, camera/GPS hygiene now "
+    "covers JPEG APP1, PNG eXIf chunks (PNG 1.5), and WebP EXIF "
+    "chunks (VP8X extended containers), ALL through the one shared "
+    "TIFF-block parser exif.parse_exif_tiff): per doc an image with "
+    "an EXIF block (make rotates, odd docs carry GPS) is wrapped by "
+    "doc_id%3 in JPEG/PNG/WebP, the camera fields and GPS flag are "
+    "extracted, the carrier-specific strip runs, and the hash grades "
+    "extraction, post-strip GPS absence, and pixel identity across "
+    "the strip (operators/exif.py).",
+)
+def multimodal_exif_family(spark, sf_dir):
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 72).select(
+        "doc_id"
+    )
+
+    def op(batches):
+        import struct as _s
+
+        import numpy as np
+
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.exif import (
+            build_exif_app1,
+            insert_app1,
+            insert_png_exif,
+            parse_exif,
+            parse_png_exif,
+            parse_webp_exif,
+            strip_metadata,
+            strip_png_metadata,
+            strip_webp_metadata,
+        )
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+            decode_png,
+            encode_png,
+        )
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.webp import (
+            decode_webp,
+            encode_webp_lossless,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rng = np.random.RandomState(did)
+                px = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+                app1 = build_exif_app1(
+                    {"make": f"Make{did % 7}", "model": "M"},
+                    gps_dms=(30 + did % 30, did % 60, 1)
+                    if did % 2 == 1 else None,
+                )
+                tiff = app1[10:]
+                mode = did % 3
+                if mode == 0:
+                    img = insert_app1(encode_jpeg(px), app1)
+                    e = parse_exif(img)
+                    p1 = decode_jpeg(img)[0]
+                    stripped = strip_metadata(img)
+                    e2 = parse_exif(stripped)
+                    p2 = decode_jpeg(stripped)[0]
+                    carrier = "jpeg"
+                elif mode == 1:
+                    img = insert_png_exif(encode_png(px), tiff)
+                    e = parse_png_exif(img)
+                    p1 = decode_png(img)[0]
+                    stripped = strip_png_metadata(img)
+                    e2 = parse_png_exif(stripped)
+                    p2 = decode_png(stripped)[0]
+                    carrier = "png"
+                else:
+                    inner = encode_webp_lossless(px)[12:]
+                    vp8x = (b"VP8X" + _s.pack("<I", 10)
+                            + bytes([0x08, 0, 0, 0])
+                            + (15).to_bytes(3, "little")
+                            + (15).to_bytes(3, "little"))
+                    exif_chunk = (b"EXIF" + _s.pack("<I", len(tiff))
+                                  + tiff
+                                  + (b"\x00" if len(tiff) & 1 else b""))
+                    body = vp8x + inner + exif_chunk
+                    img = (b"RIFF" + _s.pack("<I", 4 + len(body))
+                           + b"WEBP" + body)
+                    e = parse_webp_exif(img)
+                    p1 = decode_webp(img)[0]
+                    stripped = strip_webp_metadata(img)
+                    e2 = parse_webp_exif(stripped)
+                    p2 = decode_webp(stripped)[0]
+                    carrier = "webp"
+                rows.append({
+                    "doc_id": did,
+                    "carrier": carrier,
+                    "make": e.get("make"),
+                    "has_gps": bool(e.get("has_gps")),
+                    "gps_after_strip": bool(e2.get("has_gps")),
+                    "pixels_intact": bool(np.array_equal(p1, p2)),
+                })
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "carrier", "make", "has_gps",
+                         "gps_after_strip", "pixels_intact"],
+            )
+
+    return d.mapInPandas(
+        op,
+        "doc_id long, carrier string, make string, has_gps boolean,"
+        " gps_after_strip boolean, pixels_intact boolean",
+    ).orderBy("doc_id")

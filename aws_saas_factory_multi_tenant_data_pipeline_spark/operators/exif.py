@@ -467,3 +467,88 @@ def insert_png_text(payload: bytes, keyword: str, value: str) -> bytes:
     (ihdr_len,) = struct.unpack_from(">I", payload, 8)
     cut = 8 + 12 + ihdr_len  # end of IHDR chunk
     return payload[:cut] + chunk + payload[cut:]
+
+
+def parse_png_exif(payload: bytes) -> dict:
+    """Extract EXIF from a PNG ``eXIf`` chunk (PNG 1.5 extension —
+    the chunk body IS the TIFF block, parsed by the shared r13
+    machinery). {"has_exif": False} when absent."""
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    i, n = 8, len(payload)
+    while i + 12 <= n:
+        (ln,) = struct.unpack_from(">I", payload, i)
+        typ = payload[i + 4:i + 8]
+        end = i + 12 + ln
+        if end > n:
+            raise ValueError("truncated PNG chunk")
+        if typ == b"eXIf":
+            return parse_exif_tiff(payload[i + 8:i + 8 + ln])
+        if typ == b"IEND":
+            break
+        i = end
+    return {"has_exif": False}
+
+
+def insert_png_exif(payload: bytes, tiff: bytes) -> bytes:
+    """Fixture helper: splice an ``eXIf`` chunk (with a correct CRC)
+    after IHDR."""
+    import zlib as _z
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    (ihdr_len,) = struct.unpack_from(">I", payload, 8)
+    cut = 8 + 12 + ihdr_len
+    chunk = struct.pack(">I", len(tiff)) + b"eXIf" + tiff
+    chunk += struct.pack(">I", _z.crc32(b"eXIf" + tiff) & 0xFFFFFFFF)
+    return payload[:cut] + chunk + payload[cut:]
+
+
+_WEBP_META_CHUNKS = (b"EXIF", b"XMP ")
+
+
+def parse_webp_exif(payload: bytes) -> dict:
+    """Extract EXIF from a WebP ``EXIF`` chunk (extended VP8X
+    container). A JPEG-style "Exif\\0\\0" prefix, present in files from
+    some writers, is tolerated. {"has_exif": False} when absent."""
+    if len(payload) < 16 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload")
+    off, n = 12, len(payload)
+    while off + 8 <= n:
+        cid = payload[off:off + 4]
+        (sz,) = struct.unpack_from("<I", payload, off + 4)
+        body = payload[off + 8:off + 8 + sz]
+        if len(body) < sz:
+            raise ValueError(f"torn WebP chunk {cid!r}")
+        if cid == b"EXIF":
+            if body[:6] == b"Exif\x00\x00":
+                body = body[6:]
+            return parse_exif_tiff(body)
+        off += 8 + sz + (sz & 1)
+    return {"has_exif": False}
+
+
+def strip_webp_metadata(payload: bytes) -> bytes:
+    """Drop EXIF/XMP chunks from a WebP container, rewriting the RIFF
+    size and clearing the VP8X EXIF/XMP flag bits (bits 3/2 of the
+    feature byte); image chunks are byte-identical."""
+    if len(payload) < 16 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload")
+    off, n = 12, len(payload)
+    body_out = bytearray()
+    while off + 8 <= n:
+        cid = payload[off:off + 4]
+        (sz,) = struct.unpack_from("<I", payload, off + 4)
+        end = off + 8 + sz
+        if end > n:
+            raise ValueError(f"torn WebP chunk {cid!r}")
+        if cid not in _WEBP_META_CHUNKS:
+            chunk = bytearray(payload[off:end + (sz & 1)])
+            if cid == b"VP8X" and sz >= 1:
+                chunk[8] &= ~0x0C  # clear EXIF (bit 3) + XMP (bit 2)
+            body_out += chunk
+        off = end + (sz & 1)
+    return b"RIFF" + struct.pack("<I", 4 + len(body_out)) + b"WEBP" \
+        + bytes(body_out)

@@ -233,3 +233,72 @@ def test_with_exif_quarantines_nonscalar_and_zero_denominator(spark):
     assert out[2].has_gps is True  # tag presence
     assert out[2].gps_d is None and out[2].gps_m is None and out[2].gps_s is None
     assert (out[3].gps_d, out[3].gps_m, out[3].gps_s) == (48, 21, 31)  # round
+
+
+def test_png_exif_chunk_extract_and_strip():
+    """[r13] PNG eXIf chunks (PNG 1.5) parse through the shared TIFF
+    machinery and strip_png_metadata removes them with pixels
+    byte-provably unchanged."""
+    import numpy as np
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.exif import (
+        build_exif_app1,
+        insert_png_exif,
+        parse_png_exif,
+        strip_png_metadata,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    tiff = build_exif_app1({"make": "Acme", "model": "Px"},
+                           gps_dms=(10, 20, 30))[10:]
+    png = insert_png_exif(encode_png(px), tiff)
+    e = parse_png_exif(png)
+    assert (e["make"], e["model"], e["has_gps"]) == ("Acme", "Px", True)
+    stripped = strip_png_metadata(png)
+    assert parse_png_exif(stripped) == {"has_exif": False}
+    assert np.array_equal(decode_png(stripped)[0], px)
+    assert parse_png_exif(encode_png(px)) == {"has_exif": False}
+
+
+def test_webp_exif_chunk_extract_and_strip():
+    """[r13] WebP EXIF chunks (VP8X extended containers) parse through
+    the shared machinery (JPEG-style Exif\\0\\0 prefixes tolerated);
+    strip_webp_metadata drops EXIF/XMP, rewrites the RIFF size,
+    clears the VP8X flag bits, and leaves image chunks byte-identical."""
+    import struct
+
+    import numpy as np
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.exif import (
+        build_exif_app1,
+        parse_webp_exif,
+        strip_webp_metadata,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.webp import (
+        decode_webp,
+        encode_webp_lossless,
+    )
+
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    tiff = build_exif_app1({"make": "Acme"}, gps_dms=(10, 20, 30))[10:]
+    inner = encode_webp_lossless(px)[12:]
+    vp8x = (b"VP8X" + struct.pack("<I", 10) + bytes([0x08, 0, 0, 0])
+            + (15).to_bytes(3, "little") + (15).to_bytes(3, "little"))
+    for prefix in (b"", b"Exif\x00\x00"):
+        blob = prefix + tiff
+        exif_chunk = (b"EXIF" + struct.pack("<I", len(blob)) + blob
+                      + (b"\x00" if len(blob) & 1 else b""))
+        body = vp8x + inner + exif_chunk
+        webp = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+        e = parse_webp_exif(webp)
+        assert (e["make"], e["has_gps"]) == ("Acme", True), prefix
+        stripped = strip_webp_metadata(webp)
+        assert parse_webp_exif(stripped) == {"has_exif": False}
+        assert np.array_equal(decode_webp(stripped)[0], px)
+        assert not (stripped[20] & 0x0C)  # VP8X EXIF/XMP flags cleared

@@ -281,11 +281,35 @@ def insert_app1(jpeg: bytes, app1: bytes) -> bytes:
 
 # --- Spark surface ---------------------------------------------------------
 
+def parse_exif_any(payload: bytes) -> dict:
+    """Carrier-dispatched EXIF extraction (r13 second wave): JPEG APP1
+    segments, PNG eXIf chunks, WebP EXIF chunks, and HEIC Exif items
+    all parse through the one shared TIFF-block parser — the crawl
+    pipeline asks one question regardless of which image format the
+    camera wrote. Unrecognized payloads raise ValueError (callers
+    quarantine per-row)."""
+    if payload[:2] == b"\xff\xd8":
+        return parse_exif(payload)
+    if payload.startswith(_PNG_SIG):
+        return parse_png_exif(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return parse_webp_exif(payload)
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.heif import (
+            extract_heif_exif,
+        )
+
+        return extract_heif_exif(payload)
+    raise ValueError("payload is not a recognized EXIF carrier")
+
+
 def with_exif(media):
-    """Arrow-batched EXIF extraction over MEDIA_SCHEMA rows: named tags
-    + GPS presence and DMS latitude components. Non-JPEG / torn / no-
-    APP1 rows yield has_exif=false with NULL fields (quarantine-style,
-    nothing dropped)."""
+    """Arrow-batched EXIF extraction over MEDIA_SCHEMA rows — ALL four
+    carriers (JPEG APP1 / PNG eXIf / WebP EXIF / HEIC Exif items,
+    dispatched by magic through parse_exif_any, r13): named tags + GPS
+    presence and DMS latitude components. Unrecognized / torn /
+    metadata-free rows yield has_exif=false with NULL fields
+    (quarantine-style, nothing dropped)."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -318,7 +342,7 @@ def with_exif(media):
                 rec["media_id"] = int(mid)
                 rec["has_exif"] = False
                 try:
-                    info = parse_exif(bytes(payload))
+                    info = parse_exif_any(bytes(payload))
                     for k in ("has_exif", "byte_order", "make", "model",
                               "orientation", "datetime", "pixel_width",
                               "pixel_height", "has_gps"):

@@ -302,3 +302,64 @@ def test_webp_exif_chunk_extract_and_strip():
         assert parse_webp_exif(stripped) == {"has_exif": False}
         assert np.array_equal(decode_webp(stripped)[0], px)
         assert not (stripped[20] & 0x0C)  # VP8X EXIF/XMP flags cleared
+
+
+def test_with_exif_dispatches_all_four_carriers(spark):
+    """[r13] the Spark-level with_exif op now answers the same question
+    for JPEG, PNG, WebP, and HEIC rows in one pass."""
+    import struct as _s
+
+    import numpy as np
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.exif import (
+        build_exif_app1,
+        insert_app1,
+        insert_png_exif,
+        with_exif,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.heif import (
+        build_heif,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.hevc_enc import (
+        encode_hevc_intra,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.jpeg import (
+        encode_jpeg,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_png,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.webp import (
+        encode_webp_lossless,
+    )
+
+    rng = np.random.RandomState(4)
+    px = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    app1 = build_exif_app1({"make": "Acme"}, gps_dms=(10, 20, 30))
+    tiff = app1[10:]
+    jpeg = insert_app1(encode_jpeg(px), app1)
+    png = insert_png_exif(encode_png(px), tiff)
+    inner = encode_webp_lossless(px)[12:]
+    vp8x = (b"VP8X" + _s.pack("<I", 10) + bytes([0x08, 0, 0, 0])
+            + (15).to_bytes(3, "little") + (15).to_bytes(3, "little"))
+    exif_chunk = (b"EXIF" + _s.pack("<I", len(tiff)) + tiff
+                  + (b"\x00" if len(tiff) & 1 else b""))
+    body = vp8x + inner + exif_chunk
+    webp = b"RIFF" + _s.pack("<I", 4 + len(body)) + b"WEBP" + body
+    y = np.full((32, 32), 100, np.uint8)
+    u = np.full((16, 16), 128, np.uint8)
+    heic = build_heif([encode_hevc_intra([(y, u, u)], qp=25)], exif=tiff)
+    rows = [
+        (1, "image", bytearray(jpeg), (None,) * 5),
+        (2, "image", bytearray(png), (None,) * 5),
+        (3, "image", bytearray(webp), (None,) * 5),
+        (4, "image", bytearray(heic), (None,) * 5),
+        (5, "image", bytearray(b"not an image"), (None,) * 5),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in with_exif(media).collect()}
+    for mid in (1, 2, 3, 4):
+        assert out[mid].has_exif and out[mid].make == "Acme", mid
+        assert out[mid].has_gps, mid
+    assert not out[5].has_exif

@@ -134,7 +134,7 @@ def parse_sequence_header(payload: bytes) -> dict:
                 raise ValueError(
                     "AV1 decoder_model_info outside the declared scope"
                 )
-        b.u(1)  # initial_display_delay_present (0 in practice)
+        idd_present = b.u(1)  # initial_display_delay_present_flag
         n_ops = b.u(5) + 1
         level = 0
         for i in range(n_ops):
@@ -144,6 +144,11 @@ def parse_sequence_header(payload: bytes) -> dict:
                 level = li
             if li > 7:
                 b.u(1)  # seq_tier
+            if idd_present:
+                # §5.5.1: per-op initial_display_delay_present_for_this_op
+                # (+ initial_display_delay_minus_1 u(4) when set)
+                if b.u(1):
+                    b.u(4)
     wbits = b.u(4) + 1
     hbits = b.u(4) + 1
     width = b.u(wbits) + 1

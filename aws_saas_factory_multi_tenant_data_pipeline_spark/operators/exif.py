@@ -115,7 +115,18 @@ def parse_exif(payload: bytes) -> dict:
 def parse_exif_tiff(tiff: bytes) -> dict:
     """Parse a bare TIFF-format Exif block (the payload after the JPEG
     APP1 "Exif\0\0" marker — the SAME block a HEIF ``Exif`` item or a
-    PNG eXIf chunk carries, r13: shared with operators/heif.py)."""
+    PNG eXIf chunk carries, r13: shared with operators/heif.py).
+
+    A torn block raises ValueError (struct.error/IndexError from short
+    reads are normalized, r14 ADVICE) so with_exif's per-row quarantine
+    catches it instead of tearing the whole Arrow batch."""
+    try:
+        return _parse_exif_tiff(tiff)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"torn TIFF Exif block: {exc}") from exc
+
+
+def _parse_exif_tiff(tiff: bytes) -> dict:
     if tiff[:2] == b"II":
         bo = "<"
     elif tiff[:2] == b"MM":

@@ -389,11 +389,14 @@ def decode_heif_yuv(payload: bytes):
         )
     tiles = [_decode_hvc1_item(payload, meta, tid) for tid in tile_ids]
     th, tw = tiles[0][0].shape
+    dt = tiles[0][0].dtype
     for t in tiles:
         if t[0].shape != (th, tw):
             raise ValueError("HEIF grid tiles disagree on size")
-    y = np.zeros((rows * th, cols * tw), np.uint8)
-    u = np.zeros((rows * th // 2, cols * tw // 2), np.uint8)
+        if t[0].dtype != dt:
+            raise ValueError("HEIF grid tiles disagree on bit depth")
+    y = np.zeros((rows * th, cols * tw), dt)
+    u = np.zeros((rows * th // 2, cols * tw // 2), dt)
     v = np.zeros_like(u)
     for i, (ty, tu, tv) in enumerate(tiles):
         r, c = divmod(i, cols)
@@ -799,14 +802,19 @@ def extract_heif_thumbnail(payload: bytes):
             continue
         y, u, v = _decode_hvc1_item(payload, meta, item_id)
         h, w = y.shape
+        mid = 512.0 if y.dtype == np.uint16 else 128.0
+        maxv = 1023 if y.dtype == np.uint16 else 255
         yf = y.astype(np.float64)
         cb = np.repeat(np.repeat(u, 2, 0), 2, 1)[:h, :w].astype(np.float64)
         cr = np.repeat(np.repeat(v, 2, 0), 2, 1)[:h, :w].astype(np.float64)
-        r = yf + 1.402 * (cr - 128.0)
-        g = yf - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-        b = yf + 1.772 * (cb - 128.0)
-        px = np.clip(np.round(np.stack([r, g, b], 2)), 0, 255).astype(
-            np.uint8
+        r = yf + 1.402 * (cr - mid)
+        g = yf - 0.344136 * (cb - mid) - 0.714136 * (cr - mid)
+        b = yf + 1.772 * (cb - mid)
+        px = np.clip(np.round(np.stack([r, g, b], 2)), 0, maxv).astype(
+            np.int64
         )
+        if maxv == 1023:
+            px >>= 2
+        px = px.astype(np.uint8)
         return px, int(w), int(h)
     raise ValueError("HEIF container carries no thumbnail item")

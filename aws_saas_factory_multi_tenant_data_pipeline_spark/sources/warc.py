@@ -229,7 +229,11 @@ def decode_http_body(block: bytes) -> tuple[int | None, bytes, str]:
     if enc == "gzip":
         import zlib
 
-        return status, zlib.decompress(body, 16 + zlib.MAX_WBITS), enc
+        try:
+            return status, zlib.decompress(body, 16 + zlib.MAX_WBITS), enc
+        except zlib.error as exc:
+            # normalize to the repo-wide quarantine exception (r14 ADVICE)
+            raise ValueError(f"torn gzip body: {exc}") from exc
     if enc == "deflate":
         import zlib
 
@@ -237,7 +241,10 @@ def decode_http_body(block: bytes) -> tuple[int | None, bytes, str]:
             return status, zlib.decompress(body), enc
         except zlib.error:
             # some servers send raw deflate under the deflate token
-            return status, zlib.decompress(body, -zlib.MAX_WBITS), enc
+            try:
+                return status, zlib.decompress(body, -zlib.MAX_WBITS), enc
+            except zlib.error as exc:
+                raise ValueError(f"torn deflate body: {exc}") from exc
     if enc == "br":
         from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.brotli import (
             brotli_decompress,

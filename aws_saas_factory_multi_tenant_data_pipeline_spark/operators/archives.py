@@ -25,7 +25,8 @@ from pyspark.sql import types as T
 
 
 def sniff_archive_format(payload: bytes) -> str | None:
-    """'zip', 'tar', 'tgz', 'tlz4' by magic; None when unrecognized."""
+    """'zip', 'tar', 'tgz', 'tlz4', 'tzst' by magic; None when
+    unrecognized."""
     if payload[:4] in (b"PK\x03\x04", b"PK\x05\x06"):
         return "zip"
     if payload[:2] == b"\x1f\x8b":
@@ -33,6 +34,10 @@ def sniff_archive_format(payload: bytes) -> str | None:
     if payload[:4] == b"\x04\x22\x4d\x18":
         return "tlz4"  # LZ4 frame (r13: from-spec operators/lz4.py);
         # the inner payload routes to tar below after decompression
+    if payload[:4] == b"\x28\xb5\x2f\xfd":
+        return "tzst"  # Zstandard frame (r14: from-spec RFC 8878
+        # operators/zstd.py) — .tar.zst, the dominant modern corpus
+        # archive shape; inner payload routes to tar after decode
     if len(payload) >= 262 and payload[257:262] == b"ustar":
         return "tar"
     if (
@@ -99,6 +104,16 @@ def iter_archive_members(payload: bytes):
                 if sniff_archive_format(payload) != "tar":
                     raise ValueError(
                         "LZ4 frame does not wrap a tar archive"
+                    )
+            elif fmt == "tzst":
+                from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.zstd import (
+                    zstd_decompress,
+                )
+
+                payload = zstd_decompress(payload)
+                if sniff_archive_format(payload) != "tar":
+                    raise ValueError(
+                        "Zstandard frame does not wrap a tar archive"
                     )
             mode = "r:gz" if fmt == "tgz" else "r:"
             with tarfile.open(fileobj=io.BytesIO(payload), mode=mode) as tf:

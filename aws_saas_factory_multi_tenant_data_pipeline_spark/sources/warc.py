@@ -208,9 +208,11 @@ def decode_http_body(block: bytes) -> tuple[int | None, bytes, str]:
     block — the r13 crawl-pipeline completion: ``Content-Encoding:
     gzip`` / ``deflate`` (both zlib wrapper and raw-deflate fallback) /
     ``br`` (the from-spec RFC 7932 decoder, operators/brotli.py —
-    the second web encoding after gzip) are decoded; ``identity`` and
-    absent pass through. An unknown coding or a torn coded body raises
-    ValueError (the quarantine path), never returns wrong bytes."""
+    the second web encoding after gzip) / ``zstd`` (the from-spec
+    RFC 8878 decoder, operators/zstd.py, r14) are decoded;
+    ``identity`` and absent pass through. An unknown coding or a torn
+    coded body raises ValueError (the quarantine path), never returns
+    wrong bytes."""
     if not block.startswith(b"HTTP/"):
         return None, block, "identity"
     try:
@@ -251,6 +253,13 @@ def decode_http_body(block: bytes) -> tuple[int | None, bytes, str]:
         )
 
         return status, brotli_decompress(body), enc
+    if enc == "zstd":
+        # RFC 8878 §7.2 registers "zstd" as an HTTP content coding
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.zstd import (
+            zstd_decompress,
+        )
+
+        return status, zstd_decompress(body), enc
     raise ValueError(f"HTTP content-encoding {enc!r} outside the declared scope")
 
 

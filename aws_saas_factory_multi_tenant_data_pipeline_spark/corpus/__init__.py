@@ -155,7 +155,14 @@ GRADED_WINDOW: tuple[str, ...] = (
     # end-to-end, MaxSim reranking, containment dedup, H.264 keyframe
     # chain) a hard driver verdict via media_pack4
     "setop_sort_pack",
-    "media_pack4",
+    # media_pack3 + media_pack4 → MERGED in r14 into media_family_pack2
+    # (both already emit the unified (kind, k, n, val) schema with
+    # disjoint kinds — every output row of both rides in the pack hash
+    # verbatim, so none of the thirteen r8/r9 media/similarity §2 rows
+    # loses its driver verdict); the freed slot gives the r14 zstd
+    # ingest row (RFC 8878 decode through BOTH production seams) a hard
+    # driver verdict via text_zstd_decode below
+    "media_family_pack2",
     "r5_pack2",
     # B7 scalar functions (math/array/map/json/null + url/timezone packed).
     # fn_string + fn_datetime → MERGED in r9 into fn_string_datetime_pack
@@ -166,7 +173,9 @@ GRADED_WINDOW: tuple[str, ...] = (
     # envelope hash incl. the FLAC-transcode branch, audio resample
     # integer+fractional) a hard driver verdict via media_pack3
     "fn_string_datetime_pack",
-    "media_pack3",
+    # the slot media_pack3 held carries the r14 zstd row (see the
+    # media_family_pack2 merge note above)
+    "text_zstd_decode",
     # fn_scalar_pack + fn_web_time_pack → MERGED in r11 second wave
     # into fn_family_pack2 (every output column of both components
     # rides in the pack hash verbatim, doubles via the val channel —
@@ -274,6 +283,10 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     # the freed slot went to r12_pack):
     "media_pack",
     "media_pack2",
+    # merged in r14 into media_family_pack2 (both components verbatim;
+    # the freed slot went to text_zstd_decode):
+    "media_pack3",
+    "media_pack4",
     # merged in r11 into join_family_pack / fn_family_pack2 (every row
     # still driver-graded verbatim inside the packs; these standalone
     # forms stay oracle-green at the tail head — the slots went to
@@ -609,6 +622,7 @@ def load_all() -> dict[str, QuerySpec]:
         wave_r13,
         wave_r14,
         wave_r15,
+        wave_r17,
         window_r11,
         window_r5,  # packs read other modules' oracles — import last
         window_r6,
@@ -621,6 +635,7 @@ def load_all() -> dict[str, QuerySpec]:
         window_r14,
         window_r15,
         window_r16,
+        window_r17,
     )
 
     head = [n for n in GRADED_WINDOW + _TAIL_PRIORITY if n in REGISTRY]

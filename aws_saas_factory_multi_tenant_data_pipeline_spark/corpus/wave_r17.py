@@ -1,0 +1,102 @@
+"""Round-14 operator wave (r13 verdict "Next round" #1): the zstd
+ingest gap closes — .jsonl.zst / .tar.zst is how modern LLM corpora
+actually ship, and both the HTTP content-coding seam and the archive
+route now decode it through the from-spec RFC 8878 decoder
+(operators/zstd.py, pinned both directions against the system libzstd
+in tests/test_zstd.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus import register
+from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus._util import t
+
+
+@register(
+    "text_zstd_decode",
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'tar_zst' END
+                 AS route,
+               CASE WHEN doc_id % 4 = 0 THEN 'lz' ELSE 'store' END
+                 AS mode,
+               CAST(strlen(text) AS BIGINT) AS n_bytes,
+               TRUE AS roundtrip_ok
+        FROM documents WHERE doc_id < 150
+        ORDER BY doc_id
+    """,
+    tags=("B10", "text", "crawl", "archives"),
+    doc="Zstandard corpus ingest END-TO-END (the [r14] from-spec "
+    "RFC 8878 decoder — FSE/Huffman literals, sequences with the "
+    "repeat-offset ring, 4-stream layout, xxHash64 checksum — pinned "
+    "byte-identical against REAL libzstd output at every level 1..22 "
+    "x window log x checksum in tests/test_zstd.py, fixture frames "
+    "accepted by the real library): per doc the text rides one of the "
+    "two production seams by parity — an HTTP response block under "
+    "Content-Encoding: zstd (RFC 8878 §7.2) through "
+    "sources/warc.decode_http_body, or a .tar.zst archive through "
+    "operators/archives.iter_archive_members — with the fixture "
+    "encoder's store (raw/RLE blocks) or lz (compressed blocks: raw "
+    "literals + RLE-table sequences) frame shape by doc_id%4; the "
+    "byte-identity of each roundtrip rides in the hash "
+    "(operators/zstd.py, operators/archives.py, sources/warc.py).",
+)
+def text_zstd_decode(spark, sf_dir):
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 150).select(
+        "doc_id", "text"
+    )
+
+    def op(batches):
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.archives import (
+            build_tar,
+            iter_archive_members,
+        )
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.zstd import (
+            zstd_compress_fixture,
+        )
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.sources.warc import (
+            decode_http_body,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                body = str(text).encode("utf-8")
+                mode = "lz" if did % 4 == 0 else "store"
+                if did % 2 == 0:
+                    coded = zstd_compress_fixture(body, mode)
+                    blk = (
+                        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+                        b"Content-Encoding: zstd\r\n\r\n" + coded
+                    )
+                    _status, decoded, _enc = decode_http_body(blk)
+                    route = "http"
+                else:
+                    shard = zstd_compress_fixture(
+                        build_tar([(f"doc-{did}.txt", body)]), mode
+                    )
+                    members = list(iter_archive_members(shard))
+                    decoded = members[0][1] if len(members) == 1 else b""
+                    route = "tar_zst"
+                rows.append({
+                    "doc_id": did,
+                    "route": route,
+                    "mode": mode,
+                    "n_bytes": len(decoded),
+                    "roundtrip_ok": decoded == body,
+                })
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "route", "mode", "n_bytes",
+                         "roundtrip_ok"],
+            )
+
+    return d.mapInPandas(
+        op,
+        "doc_id long, route string, mode string, n_bytes long,"
+        " roundtrip_ok boolean",
+    ).orderBy("doc_id")

@@ -130,20 +130,18 @@ def _bench_calibration(spark) -> float:
 def gate_is_quiet(attempts: list[float], steals: list[float], best_known: float) -> bool:
     """Quiet-host decision for the calibration gate (pure; unit-tested).
 
-    Quiet iff the LAST probe ran at historical speed (≤ 1.2× best_known),
-    OR the last two probes are stable (within 5% of each other) AND the
-    last probe saw < 2% CPU steal — stability alone must not bless a
-    persistently-contended host, only genuinely different silicon."""
+    Quiet iff the LAST probe ran at historical speed (≤ 1.2× best_known
+    — the HARD cap, ~0.133 s on this host's 0.111 s reference). r14
+    (r13 verdict #4): the old stable-probes-with-low-steal escape is
+    GONE — it blessed the r13 official window at calibration 0.164
+    (~1.3× inflation on every query), making round-over-round reads
+    misleading. Genuinely different silicon is declared explicitly via
+    SPARK_GRAFT_BEST_CAL, not inferred from stability; a persistently
+    noisy host now fails the gate and the run records host_quiet=false
+    (the explicit waiver the reader can see)."""
     if not attempts:
         return False
-    if attempts[-1] <= best_known * 1.2:
-        return True
-    stable = (
-        len(attempts) >= 2
-        and attempts[-1] <= attempts[-2] * 1.05
-        and attempts[-2] <= attempts[-1] * 1.05
-    )
-    return stable and (steals[-1] if steals else 100.0) < 2.0
+    return attempts[-1] <= best_known * 1.2
 
 
 def _scratch_dir() -> str | None:

@@ -153,9 +153,15 @@ def test_bench_gate_is_quiet_decision_table():
     b = 0.111
     assert not gate_is_quiet([], [], b)                      # nothing probed
     assert gate_is_quiet([0.120], [5.0], b)                  # historical speed wins outright
-    assert not gate_is_quiet([0.300], [0.1], b)              # one slow probe: undecided
-    assert gate_is_quiet([0.300, 0.305], [0.1, 0.1], b)      # stable + no steal = slower silicon
+    assert not gate_is_quiet([0.300], [0.1], b)              # one slow probe: not quiet
+    # r14 (r13 verdict #4): the stable-probes escape is gone — it
+    # blessed the 0.164 r13 window. Stability no longer beats the
+    # 1.2x-best hard cap; different silicon declares SPARK_GRAFT_BEST_CAL.
+    assert not gate_is_quiet([0.300, 0.305], [0.1, 0.1], b)  # stable but over cap: reject
+    assert not gate_is_quiet([0.164, 0.164], [0.0, 0.0], b)  # the r13 window: reject
     assert not gate_is_quiet([0.300, 0.305], [0.1, 5.0], b)  # stable but stolen: contended
     assert not gate_is_quiet([0.500, 0.300], [0.1, 0.1], b)  # still improving: keep waiting
     assert not gate_is_quiet([0.300, 0.500], [0.1, 0.1], b)  # degrading: not quiet
     assert gate_is_quiet([0.500, 0.300, 0.125], [9.0, 3.0, 0.2], b)  # settled to quiet
+    # different silicon path: the explicit per-host reference raises the cap
+    assert gate_is_quiet([0.300, 0.305], [0.1, 0.1], 0.3)

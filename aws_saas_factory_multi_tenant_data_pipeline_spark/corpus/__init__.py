@@ -577,6 +577,8 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "multimodal_heic_decode",
     "video_hevc_main10",
     "video_av1_probe",
+    # r14 wave: the xz twin of the graded text_zstd_decode slot
+    "text_xz_decode",
 )
 
 

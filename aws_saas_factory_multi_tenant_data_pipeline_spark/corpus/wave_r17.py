@@ -100,3 +100,81 @@ def text_zstd_decode(spark, sf_dir):
         "doc_id long, route string, mode string, n_bytes long,"
         " roundtrip_ok boolean",
     ).orderBy("doc_id")
+
+
+@register(
+    "text_xz_decode",
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'xz' ELSE 'tar_xz' END
+                 AS route,
+               CAST(doc_id % 3 * 4 + 1 AS INT) AS preset,
+               CAST(strlen(text) AS BIGINT) AS n_bytes,
+               TRUE AS roundtrip_ok
+        FROM documents WHERE doc_id < 120
+        ORDER BY doc_id
+    """,
+    tags=("B10", "text", "crawl", "archives"),
+    doc="XZ corpus ingest END-TO-END (the [r14] from-spec LZMA/LZMA2/"
+    ".xz decoder — range coder, 12-state machine, lc/lp/pb contexts, "
+    "rep ring, LZMA2 chunk resets, container CRC32/CRC64/SHA-256 "
+    "checks — pinned against the system liblzma across presets "
+    "0-9/EXTREME x all check types x XZ/ALONE/RAW in "
+    "tests/test_xz.py): per doc the text is compressed by the REAL "
+    "liblzma (stdlib lzma, preset rotating 1/5/9) and decoded by OUR "
+    "decoder — directly as a .xz shard or through the .tar.xz archive "
+    "route — with roundtrip byte-identity riding in the hash "
+    "(operators/xz.py, operators/archives.py).",
+)
+def text_xz_decode(spark, sf_dir):
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 120).select(
+        "doc_id", "text"
+    )
+
+    def op(batches):
+        import lzma
+
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.archives import (
+            build_tar,
+            iter_archive_members,
+        )
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.xz import (
+            xz_decompress,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                body = str(text).encode("utf-8")
+                preset = did % 3 * 4 + 1  # 1 / 5 / 9
+                if did % 2 == 0:
+                    decoded = xz_decompress(lzma.compress(body, preset=preset))
+                    route = "xz"
+                else:
+                    shard = lzma.compress(
+                        build_tar([(f"doc-{did}.txt", body)]), preset=preset
+                    )
+                    members = list(iter_archive_members(shard))
+                    decoded = members[0][1] if len(members) == 1 else b""
+                    route = "tar_xz"
+                rows.append({
+                    "doc_id": did,
+                    "route": route,
+                    "preset": preset,
+                    "n_bytes": len(decoded),
+                    "roundtrip_ok": decoded == body,
+                })
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "route", "preset", "n_bytes",
+                         "roundtrip_ok"],
+            )
+
+    return d.mapInPandas(
+        op,
+        "doc_id long, route string, preset int, n_bytes long,"
+        " roundtrip_ok boolean",
+    ).orderBy("doc_id")

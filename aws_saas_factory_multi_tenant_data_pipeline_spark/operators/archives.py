@@ -38,6 +38,9 @@ def sniff_archive_format(payload: bytes) -> str | None:
         return "tzst"  # Zstandard frame (r14: from-spec RFC 8878
         # operators/zstd.py) — .tar.zst, the dominant modern corpus
         # archive shape; inner payload routes to tar after decode
+    if payload[:6] == b"\xfd7zXZ\x00":
+        return "txz"  # XZ stream (r14: from-spec operators/xz.py) —
+        # .tar.xz; inner payload routes to tar after decode
     if len(payload) >= 262 and payload[257:262] == b"ustar":
         return "tar"
     if (
@@ -115,6 +118,14 @@ def iter_archive_members(payload: bytes):
                     raise ValueError(
                         "Zstandard frame does not wrap a tar archive"
                     )
+            elif fmt == "txz":
+                from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.xz import (
+                    xz_decompress,
+                )
+
+                payload = xz_decompress(payload)
+                if sniff_archive_format(payload) != "tar":
+                    raise ValueError("XZ stream does not wrap a tar archive")
             mode = "r:gz" if fmt == "tgz" else "r:"
             with tarfile.open(fileobj=io.BytesIO(payload), mode=mode) as tf:
                 for info in tf:

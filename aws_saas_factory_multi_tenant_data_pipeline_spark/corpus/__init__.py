@@ -577,8 +577,10 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "multimodal_heic_decode",
     "video_hevc_main10",
     "video_av1_probe",
-    # r14 wave: the xz twin of the graded text_zstd_decode slot
+    # r14 wave: the xz twin of the graded text_zstd_decode slot + the
+    # XMP/IPTC hygiene rotation
     "text_xz_decode",
+    "multimodal_xmp_family",
 )
 
 

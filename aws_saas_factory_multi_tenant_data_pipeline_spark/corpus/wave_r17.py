@@ -178,3 +178,141 @@ def text_xz_decode(spark, sf_dir):
         "doc_id long, route string, preset int, n_bytes long,"
         " roundtrip_ok boolean",
     ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_xmp_family",
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN doc_id % 4 = 0 THEN 'jpeg'
+                    WHEN doc_id % 4 = 1 THEN 'png'
+                    WHEN doc_id % 4 = 2 THEN 'webp' ELSE 'heic' END
+                 AS carrier,
+               'Tool' || CAST(doc_id % 5 AS VARCHAR) AS creator_tool,
+               CAST(doc_id % 2 = 1 AS BOOLEAN) AS has_gps,
+               CAST(doc_id % 4 = 0 AS BOOLEAN) AS has_iptc,
+               FALSE AS xmp_after_strip,
+               TRUE AS pixels_intact
+        FROM documents WHERE doc_id < 72
+        ORDER BY doc_id
+    """,
+    tags=("B10", "multimodal", "image", "privacy"),
+    doc="XMP + IPTC extraction and PII strip across ALL FOUR crawl "
+    "image carriers in one graded rotation (the [r14] hygiene wave — "
+    "EXIF was never the only GPS/owner carrier: XMP RDF packets ride "
+    "in JPEG APP1, PNG iTXt (XML:com.adobe.xmp), WebP XMP chunks, and "
+    "HEIC mime items, and IPTC-IIM bylines ride in JPEG APP13; the "
+    "HEIC carrier is pinned against libheif's metadata API in "
+    "tests/test_xmp.py): per doc an XMP packet (creator tool rotates, "
+    "odd docs carry exif:GPSLatitude) is inserted by doc_id%4, JPEG "
+    "docs also get an IPTC byline, the packet fields are extracted, "
+    "the carrier strip runs, and the hash grades extraction, "
+    "post-strip absence, and pixel byte-identity "
+    "(operators/xmp.py, operators/heif.py, operators/exif.py).",
+)
+def multimodal_xmp_family(spark, sf_dir):
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 72).select(
+        "doc_id"
+    )
+
+    def op(batches):
+        import numpy as np
+
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.heif import (
+            build_heif,
+            decode_heif,
+        )
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.hevc_enc import (
+            encode_hevc_intra,
+        )
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+            decode_png,
+            encode_png,
+        )
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.webp import (
+            decode_webp,
+            encode_webp_lossless,
+        )
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.xmp import (
+            build_iptc_app13,
+            build_xmp,
+            extract_xmp_any,
+            insert_jpeg_iptc,
+            insert_jpeg_xmp,
+            insert_png_xmp,
+            insert_webp_xmp,
+            parse_iptc,
+            parse_xmp,
+            strip_xmp_any,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rng = np.random.RandomState(did)
+                px = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+                pkt = build_xmp(
+                    f"Tool{did % 5}", "2024-01-02T03:04:05",
+                    f"Person{did % 9}",
+                    gps=("52,30.5N", "13,24.1E") if did % 2 == 1 else None,
+                )
+                mode = did % 4
+                has_iptc = False
+                if mode == 0:
+                    img = insert_jpeg_xmp(encode_jpeg(px), pkt)
+                    img = insert_jpeg_iptc(
+                        img, build_iptc_app13({"byline": f"B{did}"})
+                    )
+                    has_iptc = parse_iptc(img)["has_iptc"]
+                    dec = lambda p: decode_jpeg(p)[0]
+                    carrier = "jpeg"
+                elif mode == 1:
+                    img = insert_png_xmp(encode_png(px), pkt)
+                    dec = lambda p: decode_png(p)[0]
+                    carrier = "png"
+                elif mode == 2:
+                    img = insert_webp_xmp(encode_webp_lossless(px), pkt)
+                    dec = lambda p: decode_webp(p)[0]
+                    carrier = "webp"
+                else:
+                    y = rng.randint(16, 235, (32, 32)).astype(np.uint8)
+                    u = np.full((16, 16), 110, np.uint8)
+                    v = np.full((16, 16), 140, np.uint8)
+                    img = build_heif(
+                        [encode_hevc_intra([(y, u, v)], qp=22)], xmp=pkt
+                    )
+                    dec = lambda p: decode_heif(p)[0]
+                    carrier = "heic"
+                info = parse_xmp(extract_xmp_any(img))
+                p1 = dec(img)
+                stripped = strip_xmp_any(img)
+                p2 = dec(stripped)
+                rows.append({
+                    "doc_id": did,
+                    "carrier": carrier,
+                    "creator_tool": info["creator_tool"],
+                    "has_gps": bool(info["has_gps"]),
+                    "has_iptc": has_iptc,
+                    "xmp_after_strip": extract_xmp_any(stripped)
+                    is not None,
+                    "pixels_intact": bool(np.array_equal(p1, p2)),
+                })
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "carrier", "creator_tool", "has_gps",
+                         "has_iptc", "xmp_after_strip", "pixels_intact"],
+            )
+
+    return d.mapInPandas(
+        op,
+        "doc_id long, carrier string, creator_tool string, has_gps"
+        " boolean, has_iptc boolean, xmp_after_strip boolean,"
+        " pixels_intact boolean",
+    ).orderBy("doc_id")

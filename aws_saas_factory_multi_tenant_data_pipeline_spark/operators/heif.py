@@ -517,6 +517,7 @@ def build_heif(
     rotation: int = 0,
     exif: bytes | None = None,
     thumbnail: bytes | None = None,
+    xmp: bytes | None = None,
 ) -> bytes:
     """Write a HEIC container around coded Annex-B HEVC intra streams
     (one per tile). ``grid=(rows, cols, out_w, out_h)`` makes the
@@ -589,6 +590,10 @@ def build_heif(
     if thumb is not None:
         thumb_id = next_id
         next_id += 1
+    xmp_id = None
+    if xmp is not None:
+        xmp_id = next_id
+        next_id += 1
 
     # properties: per-tile hvcC + ispe pairs; grid ispe; optional irot
     props: list[bytes] = []
@@ -637,11 +642,19 @@ def build_heif(
         items.append((exif_id, b"Exif"))
     if thumb is not None:
         items.append((thumb_id, b"hvc1"))
+    if xmp is not None:
+        items.append((xmp_id, b"mime"))
 
     hdlr = _fbox(b"hdlr", struct.pack(">I", 0) + b"pict" + bytes(12) + b"\x00")
     pitm = _fbox(b"pitm", struct.pack(">H", primary))
     infes = b"".join(
-        _fbox(b"infe", struct.pack(">HH", iid, 0) + typ + b"\x00", ver=2)
+        _fbox(
+            b"infe",
+            struct.pack(">HH", iid, 0) + typ + b"\x00"
+            # mime items carry a content_type cstring after item_name
+            + (b"application/rdf+xml\x00" if typ == b"mime" else b""),
+            ver=2,
+        )
         for iid, typ in items
     )
     iinf = _fbox(b"iinf", struct.pack(">H", len(items)) + infes)
@@ -667,6 +680,10 @@ def build_heif(
         iref_boxes += _box(
             b"thmb", struct.pack(">HHH", thumb_id, 1, primary)
         )
+    if xmp_id is not None:
+        iref_boxes += _box(
+            b"cdsc", struct.pack(">HHH", xmp_id, 1, primary)
+        )
     iref = _fbox(b"iref", iref_boxes) if iref_boxes else b""
     idat_box = _box(b"idat", idat) if idat else b""
 
@@ -678,6 +695,8 @@ def build_heif(
         extra_items.append((exif_id, exif_payload))
     if thumb_id is not None:
         extra_items.append((thumb_id, thumb["sample"]))
+    if xmp_id is not None:
+        extra_items.append((xmp_id, xmp))
 
     def iloc_box(tile_offsets):
         body = bytes([0x44, 0x00])  # offset_size=4,length_size=4,base=0,idx=0
@@ -784,6 +803,55 @@ def strip_heif_exif(payload: bytes) -> bytes:
                          + struct.pack("<I", 0))
                 out[off:off + len(blank)] = blank
             first = False
+        stripped = True
+    if not stripped:
+        return payload
+    return bytes(out)
+
+
+def extract_heif_xmp(payload: bytes) -> bytes | None:
+    """Return the XMP packet carried by a ``mime`` item (content type
+    application/rdf+xml, cdsc-referenced to the primary item — ISO
+    23008-12 §A.3), or None when the container has no XMP. Detection
+    is by item type + packet sniff so writers that omit the cdsc
+    reference still surface their metadata (crawl-hygiene bias)."""
+    meta, _brand = _find_meta(payload)
+    pid = meta["primary"]
+    for item_id, item in meta["items"].items():
+        if item["type"] != b"mime":
+            continue
+        refs = meta["refs"].get(b"cdsc", {}).get(item_id, [])
+        if refs and pid not in refs:
+            continue
+        body = _item_data(payload, meta, item_id)
+        head = bytes(body[:4096])
+        if b"<x:xmpmeta" in head or b"adobe:ns:meta/" in head:
+            return bytes(body)
+    return None
+
+
+def strip_heif_xmp(payload: bytes) -> bytes:
+    """Privacy strip for HEIC XMP (the strip_heif_exif twin): every
+    XMP mime item's extents are overwritten IN PLACE with spaces (the
+    packet padding character) — no container offset moves, coded
+    pixels byte-identical, the GPS/owner XML destroyed."""
+    meta, _brand = _find_meta(payload)
+    out = bytearray(payload)
+    stripped = False
+    for item_id, item in meta["items"].items():
+        if item["type"] != b"mime":
+            continue
+        body = _item_data(payload, meta, item_id)
+        head = bytes(body[:4096])
+        if b"<x:xmpmeta" not in head and b"adobe:ns:meta/" not in head:
+            continue
+        loc = meta["iloc"].get(item_id)
+        if loc is None or loc["method"] != 0:
+            raise ValueError("HEIF XMP strip supports file-offset items only")
+        for off, ln in loc["extents"]:
+            if off + ln > len(out):
+                raise ValueError("HEIF XMP extent outside payload")
+            out[off:off + ln] = b" " * ln
         stripped = True
     if not stripped:
         return payload

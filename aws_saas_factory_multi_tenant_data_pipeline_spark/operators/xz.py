@@ -342,9 +342,13 @@ def lzma2_decompress(data: bytes, max_output: int = 1 << 31) -> bytes:
     out = bytearray()
     off = 0
     st: _LzmaState | None = None
+    # props persist across state resets AND uncompressed chunks (a
+    # mode-1 "reset state, reuse props" chunk is legal right after an
+    # uncompressed chunk — liblzma emits exactly that around
+    # incompressible sections, caught by the real-parquet pin)
+    cur_props: tuple[int, int, int] | None = None
     dict_start = 0
     need_dict_reset = True
-    need_props = True
     while True:
         if off >= len(data):
             raise ValueError("torn LZMA2: no end-of-stream control")
@@ -380,9 +384,8 @@ def lzma2_decompress(data: bytes, max_output: int = 1 << 31) -> bytes:
         if mode >= 2:
             if off >= len(data):
                 raise ValueError("torn LZMA2 props byte")
-            lc, lp, pb = _decode_props(data[off])
+            cur_props = _decode_props(data[off])
             off += 1
-            need_props = False
         if off + packed > len(data):
             raise ValueError("torn LZMA2 chunk body")
         if mode == 3:
@@ -394,12 +397,9 @@ def lzma2_decompress(data: bytes, max_output: int = 1 << 31) -> bytes:
             if st is None:
                 raise ValueError("LZMA2 continuation chunk with no state")
         else:
-            if need_props:
+            if cur_props is None:
                 raise ValueError("LZMA2 state reset before any props")
-            old = st
-            st = _LzmaState(lc if mode >= 2 else old.lc,
-                            lp if mode >= 2 else old.lp,
-                            pb if mode >= 2 else old.pb)
+            st = _LzmaState(*cur_props)
         if len(out) - dict_start + unpacked > max_output:
             raise ValueError("LZMA2 output exceeds the configured cap")
         rc = _RangeDec(data, off, off + packed)

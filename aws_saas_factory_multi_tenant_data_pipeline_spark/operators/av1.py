@@ -9,6 +9,19 @@ remains a named ValueError boundary — the codec-registry 'avif' key is
 the documented swap seam (operators/multimodal.py), and this probe is
 the metadata path a 100 TB crawl actually scans.
 
+Why the from-spec transform decode stays a gap (r14 adjudication):
+every AV1 symbol read needs the spec's default-CDF initialization
+data — thousands of u16 probability entries across dozens of syntax
+elements — and that blob has NO honest source on this host: no AV1
+spec document, no libaom/dav1d/gav1/rav1e/svt-av1 source or headers,
+and all five binaries are stripped (no symtab to locate + extraction-
+pin the tables, the brotli_data.py pattern). Transcribing them from
+memory would violate the never-wrong-bytes contract (the documented
+LZW-timing lesson). tests/test_realworld_r14.py carries a TRIPWIRE
+that fails loudly if a usable source ever appears, and pins the swap
+seam end-to-end with libheif pixels (register_image_decoder('avif')
+→ decode → aHash).
+
 Tear contract: ValueError — and only ValueError — on torn input.
 Scale shape: Arrow ``mapInPandas``, one payload per call,
 partition-local, no pixel work.

@@ -146,3 +146,31 @@ def test_real_wikipedia_style_xz_shard():
     s1 = lzma.compress(art, preset=9 | lzma.PRESET_EXTREME)
     s2 = lzma.compress(art[::-1], preset=9 | lzma.PRESET_EXTREME)
     assert xz_decompress(s1 + s2) == art + art[::-1]
+
+
+def test_jbig2_oracle_gap_tripwire():
+    """[r14, r13 verdict #6 adjudicated] PDF JBIG2Decode stays a NAMED
+    gap: no JBIG2-capable third-party artifact or oracle exists on
+    this host — libjbig.so.0 is JBIG1 (T.82, a different arithmetic
+    coder), there is no jbig2dec/openjpeg/mupdf/poppler/qpdf, and a
+    self-written encoder+decoder pair would be a self-consistent
+    roundtrip the LZW-timing lesson forbids treating as verification.
+    This tripwire scans for JBIG2-capable libraries and bundled PDF
+    corpora carrying JBIG2 streams: if either appears, it FAILS loudly
+    so the T.88 generic-region + MQ-coder decode gets written against
+    a real pin instead of the gap silently persisting."""
+    hits = []
+    for pat in ("/usr/lib/*/libjbig2*", "/usr/lib/*/libopenjp*",
+                "/usr/lib/*/libmupdf*", "/usr/lib/*/libpoppler*",
+                "/usr/bin/jbig2dec", "/usr/bin/mutool", "/usr/bin/qpdf"):
+        hits += glob.glob(pat)
+    for root in glob.glob("/root/.pyenv/versions/*/lib/python*/test/*"):
+        if root.endswith(".pdf"):
+            with open(root, "rb") as f:
+                if b"JBIG2Decode" in f.read():
+                    hits.append(root)
+    assert not hits, (
+        f"JBIG2 oracles appeared on this host: {hits} — write the "
+        "ITU-T T.88 generic-region decode pinned against them and "
+        "delete this tripwire"
+    )

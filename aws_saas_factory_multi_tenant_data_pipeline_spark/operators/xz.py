@@ -23,9 +23,12 @@ specification (the reference algorithm published with the LZMA SDK):
 - a store-mode .xz encoder (LZMA2 uncompressed chunks + CRC32 check)
   the reference library accepts.
 
-BCJ machine-code filters (x86/ARM/...) and the delta filter are NAMED
-out-of-scope boundaries (ValueError) — text/corpus .xz never uses
-them by default.
+Pre-filters (r14 second wave): the DELTA filter (any distance 1..256)
+and the x86 BCJ filter (CALL/JMP rel32 conversion, the published
+xz-utils algorithm) decode — pinned against real liblzma
+FILTER_DELTA/FILTER_X86 streams over real ELF binaries. The other BCJ
+architectures (ARM/ARM64/PPC/SPARC/IA64/ARMTHUMB/RISCV) remain NAMED
+out-of-scope boundaries (ValueError).
 
 Both directions are pinned against the system liblzma (via the
 stdlib ``lzma`` module, which binds it) in tests/test_xz.py: real
@@ -415,11 +418,92 @@ def lzma2_decompress(data: bytes, max_output: int = 1 << 31) -> bytes:
     return bytes(out)
 
 
+# --- non-LZMA2 filters (r14 second wave) -----------------------------------------
+
+
+def delta_decode(data: bytes, dist: int) -> bytes:
+    """Reverse the xz delta filter: out[i] = in[i] + out[i-dist]
+    (byte-wise mod 256; dist 1..256)."""
+    if not 1 <= dist <= 256:
+        raise ValueError(f"xz delta distance {dist} out of range")
+    out = bytearray(data)
+    for i in range(dist, len(out)):
+        out[i] = (out[i] + out[i - dist]) & 0xFF
+    return bytes(out)
+
+
+def _x86_msbyte(b: int) -> bool:
+    return b == 0 or b == 0xFF
+
+
+_X86_ALLOWED = (True, True, True, False, True, False, False, False)
+_X86_BITNUM = (0, 1, 2, 2, 3, 3, 3, 3)
+
+
+def bcj_x86(data: bytes, is_encoder: bool, start_offset: int = 0) -> bytes:
+    """The xz x86 BCJ filter (CALL/JMP rel32 ↔ absolute conversion,
+    the published xz-utils algorithm): decode direction reverses what
+    the encoder did to E8/E9 targets whose MSB is 00/FF. Pinned
+    byte-identical against real liblzma FILTER_X86 streams over real
+    ELF binaries in tests/test_xz.py."""
+    buf = bytearray(data)
+    size = len(buf)
+    if size < 5:
+        return bytes(buf)
+    prev_mask = 0
+    prev_pos = -1 - 5  # "never seen": first offset is always > 5
+    pos = 0
+    limit = size - 5
+    while pos <= limit:
+        if buf[pos] not in (0xE8, 0xE9):
+            pos += 1
+            continue
+        offset = (start_offset + pos) - prev_pos
+        prev_pos = start_offset + pos
+        if offset > 5:
+            prev_mask = 0
+        else:
+            for _ in range(offset):
+                prev_mask &= 0x77
+                prev_mask = (prev_mask << 1) & 0xFF
+        b = buf[pos + 4]
+        if (
+            _x86_msbyte(b)
+            and _X86_ALLOWED[(prev_mask >> 1) & 7]
+            and (prev_mask >> 1) < 0x10
+        ):
+            src = int.from_bytes(buf[pos + 1 : pos + 5], "little")
+            while True:
+                if is_encoder:
+                    dest = (src + (start_offset + pos + 5)) & 0xFFFFFFFF
+                else:
+                    dest = (src - (start_offset + pos + 5)) & 0xFFFFFFFF
+                if prev_mask == 0:
+                    break
+                i = _X86_BITNUM[prev_mask >> 1]
+                b = (dest >> (24 - i * 8)) & 0xFF
+                if not _x86_msbyte(b):
+                    break
+                src = dest ^ ((1 << (32 - i * 8)) - 1)
+            buf[pos + 4] = (~(((dest >> 24) & 1) - 1)) & 0xFF
+            buf[pos + 3] = (dest >> 16) & 0xFF
+            buf[pos + 2] = (dest >> 8) & 0xFF
+            buf[pos + 1] = dest & 0xFF
+            pos += 5
+        else:
+            prev_mask = (prev_mask | 1) & 0xFF
+            if _x86_msbyte(b):
+                prev_mask |= 0x10
+            pos += 1
+    return bytes(buf)
+
+
 # --- .xz container --------------------------------------------------------------
 
 _CHECK_SIZES = {0: 0, 1: 4, 4: 8, 10: 32}
 _FILTER_LZMA2 = 0x21
 _FILTER_DELTA = 0x03
+_FILTER_X86 = 0x04
 _BCJ_IDS = {0x04, 0x05, 0x06, 0x07, 0x08, 0x09, 0x0A, 0x0B}
 
 
@@ -504,15 +588,19 @@ def _xz_decompress(payload: bytes, max_output: int) -> bytes:
                 filters.append((fid, props))
             if any(hdr[p : header_size - 4].strip(b"\x00")):
                 raise ValueError("xz block header padding is not zero")
-            if len(filters) != 1 or filters[0][0] != _FILTER_LZMA2:
-                ids = [f[0] for f in filters]
-                if any(f in _BCJ_IDS for f in ids) or _FILTER_DELTA in ids:
+            ids = [f[0] for f in filters]
+            if not filters or filters[-1][0] != _FILTER_LZMA2:
+                raise ValueError(f"xz filter chain {ids} out of range")
+            for fid, _p in filters[:-1]:
+                if fid == _FILTER_X86 or fid == _FILTER_DELTA:
+                    continue
+                if fid in _BCJ_IDS:
                     raise ValueError(
                         f"xz BCJ/delta filter chain {ids} outside the "
-                        "declared scope"
+                        "declared scope (only delta and x86 decode)"
                     )
                 raise ValueError(f"xz filter chain {ids} out of range")
-            props = filters[0][1]
+            props = filters[-1][1]
             if len(props) != 1:
                 raise ValueError("xz LZMA2 filter needs 1 property byte")
             _dict_size_from_prop(props[0])  # validates
@@ -530,6 +618,19 @@ def _xz_decompress(payload: bytes, max_output: int) -> bytes:
                 block_out, consumed = _lzma2_measure(
                     payload, body_start, max_output - len(out)
                 )
+            # pre-filters reverse in decode order (last listed = closest
+            # to raw data = LZMA2; the others undo right-to-left)
+            for fid, fprops in reversed(filters[:-1]):
+                if fid == _FILTER_DELTA:
+                    if len(fprops) != 1:
+                        raise ValueError("xz delta filter needs 1 property")
+                    block_out = delta_decode(block_out, fprops[0] + 1)
+                else:  # _FILTER_X86
+                    if fprops and len(fprops) != 4:
+                        raise ValueError("xz x86 filter props out of range")
+                    start = int.from_bytes(fprops, "little") if fprops else 0
+                    block_out = bcj_x86(block_out, is_encoder=False,
+                                        start_offset=start)
             if unc_size is not None and len(block_out) != unc_size:
                 raise ValueError("xz block decoded size disagrees with header")
             out += block_out

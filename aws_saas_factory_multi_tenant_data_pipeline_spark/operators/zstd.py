@@ -15,11 +15,15 @@ format from the PUBLIC RFC 8878 / zstd format specification:
   table modes for literal-length, offset, and match-length codes,
   interleaved backward bitstream, repeat-offset ring (§3.1.1.3.2),
 - skippable frames (§3.1.2) and multi-frame concatenation,
-- the xxHash64 content checksum (public xxHash spec; low 32 bits).
-
-Dictionaries (non-zero ``Dictionary_ID``) are a NAMED out-of-scope
-boundary: a dictionary frame raises ValueError instead of producing
-wrong bytes.
+- the xxHash64 content checksum (public xxHash spec; low 32 bits),
+- dictionaries (§5, r14 second wave): structured ZDICT dictionaries
+  (magic 0xEC30A437 — entropy-table seeds for treeless/repeat first
+  blocks, repeat-offset init, content window prefix) AND raw content
+  prefixes, both pinned against real ZDICT_trainFromBuffer /
+  ZSTD_compress_usingDict output. A dictionary frame decoded WITHOUT
+  its dictionary raises a named ValueError instead of producing wrong
+  bytes (shared-dictionary compression is how small-doc corpora ship
+  efficiently).
 
 Both directions are pinned against the system libzstd via ctypes
 (tools/zstd_rig.py, tests/test_zstd.py): real ZSTD_compress2 output
@@ -659,11 +663,60 @@ def _decode_block(b: bytes, out: bytearray, frame_start: int, prev_huf,
     return prev_huf
 
 
+# --- dictionaries (§5) ----------------------------------------------------------
+
+_DICT_MAGIC = 0xEC30A437
+
+
+def parse_zstd_dictionary(dictionary: bytes) -> dict:
+    """Parse an RFC 8878 §5 dictionary (magic 0xEC30A437, dictionary
+    ID, entropy tables — Huffman literals + FSE Offsets/MatchLengths/
+    LiteralsLengths — three repeat offsets, content) or treat any
+    other payload as a raw-content prefix dictionary."""
+    if len(dictionary) >= 8 and struct.unpack_from(
+        "<I", dictionary, 0
+    )[0] == _DICT_MAGIC:
+        dict_id = struct.unpack_from("<I", dictionary, 4)[0]
+        p = 8
+        huf, q = _huf_read_table(dictionary[p:])
+        p += q
+        tables: dict[str, _FseTable] = {}
+        for kind in ("of", "ml", "ll"):
+            freqs, al, q = _fse_distribution(dictionary[p:], _MAX_AL[kind])
+            if len(freqs) - 1 > _MAX_SYM[kind]:
+                raise ValueError(
+                    f"zstd dictionary {kind} table symbol out of range"
+                )
+            tables[kind] = _fse_build(freqs, al)
+            p += q
+        if p + 12 > len(dictionary):
+            raise ValueError("torn zstd dictionary repeat offsets")
+        reps = list(struct.unpack_from("<III", dictionary, p))
+        p += 12
+        content = dictionary[p:]
+        if any(r == 0 or r > len(content) + 1 for r in reps):
+            raise ValueError("zstd dictionary repeat offset out of range")
+        return {
+            "dict_id": dict_id,
+            "content": content,
+            "huf": huf,
+            "tables": tables,
+            "reps": reps,
+        }
+    return {
+        "dict_id": 0,
+        "content": dictionary,
+        "huf": None,
+        "tables": {},
+        "reps": [1, 4, 8],
+    }
+
+
 # --- frames (§3.1.1) ----------------------------------------------------------
 
 
 def _decode_frame(data: bytes, off: int, out: bytearray,
-                  max_output: int) -> int:
+                  max_output: int, zdict: dict | None = None) -> int:
     if off >= len(data):
         raise ValueError("torn zstd frame header")
     fhd = data[off]
@@ -689,10 +742,16 @@ def _decode_frame(data: bytes, off: int, out: bytearray,
         did = int.from_bytes(data[off : off + did_size], "little")
         off += did_size
         if did != 0:
-            raise ValueError(
-                f"zstd dictionary frames (Dictionary_ID={did}) are outside "
-                "the declared scope"
-            )
+            if zdict is None:
+                raise ValueError(
+                    f"zstd frame needs dictionary {did} and none was "
+                    "supplied"
+                )
+            if zdict["dict_id"] not in (0, did):
+                raise ValueError(
+                    f"zstd frame needs dictionary {did}, supplied "
+                    f"dictionary is {zdict['dict_id']}"
+                )
     fcs_size = (1 if single else 0, 2, 4, 8)[fcs_flag]
     fcs = None
     if fcs_size:
@@ -704,10 +763,17 @@ def _decode_frame(data: bytes, off: int, out: bytearray,
             fcs += 256
     if single:
         window_size = fcs
-    frame_start = len(out)
-    prev_huf = None
-    repeat_tables: dict[str, _FseTable] = {}
-    rep_offsets = [1, 4, 8]
+    # the frame decodes into a local buffer seeded with the dictionary
+    # content so match offsets reach the prefix naturally (§5: the
+    # content acts as the initial window); entropy state seeds from the
+    # dictionary's tables (treeless/repeat modes in the FIRST block).
+    use_dict = zdict is not None
+    prefix_len = len(zdict["content"]) if use_dict else 0
+    local = bytearray(zdict["content"]) if use_dict else out
+    frame_start = prefix_len if use_dict else len(out)
+    prev_huf = zdict["huf"] if use_dict else None
+    repeat_tables = dict(zdict["tables"]) if use_dict else {}
+    rep_offsets = list(zdict["reps"]) if use_dict else [1, 4, 8]
     while True:
         if off + 3 > len(data):
             raise ValueError("torn zstd block header")
@@ -719,60 +785,59 @@ def _decode_frame(data: bytes, off: int, out: bytearray,
         if btype == 0:
             if off + bsize > len(data):
                 raise ValueError("torn zstd raw block")
-            out += data[off : off + bsize]
+            local += data[off : off + bsize]
             off += bsize
         elif btype == 1:
             if off >= len(data):
                 raise ValueError("torn zstd RLE block")
             if bsize > _BLOCK_MAX:
                 raise ValueError("zstd RLE block exceeds the block cap")
-            out += data[off : off + 1] * bsize
+            local += data[off : off + 1] * bsize
             off += 1
         elif btype == 2:
             if off + bsize > len(data):
                 raise ValueError("torn zstd compressed block")
-            before = len(out)
+            before = len(local)
             prev_huf = _decode_block(
-                data[off : off + bsize], out, frame_start, prev_huf,
+                data[off : off + bsize], local,
+                0 if use_dict else frame_start, prev_huf,
                 repeat_tables, rep_offsets,
             )
-            if len(out) - before > _BLOCK_MAX:
+            if len(local) - before > _BLOCK_MAX:
                 raise ValueError("zstd block decodes past the block cap")
             off += bsize
         else:
             raise ValueError("zstd reserved block type")
-        if len(out) - frame_start > max_output:
+        if len(local) - frame_start > max_output:
             raise ValueError("zstd output exceeds the configured cap")
         if last:
             break
-    if fcs is not None and len(out) - frame_start != fcs:
+    if fcs is not None and len(local) - frame_start != fcs:
         raise ValueError(
-            f"zstd frame decoded {len(out) - frame_start} bytes, header "
+            f"zstd frame decoded {len(local) - frame_start} bytes, header "
             f"promised {fcs}"
         )
-    if (
-        window_size is not None
-        and fcs is None
-        and len(out) - frame_start > window_size + _BLOCK_MAX
-    ):
-        # decoded far past the declared window without a content size —
-        # tolerated by libzstd, kept as a sanity ceiling only via
-        # max_output above; no action here.
-        pass
     if checksum_flag:
         if off + 4 > len(data):
             raise ValueError("torn zstd content checksum")
         (stored,) = struct.unpack_from("<I", data, off)
         off += 4
-        if xxhash64(bytes(out[frame_start:])) & 0xFFFFFFFF != stored:
+        if xxhash64(bytes(local[frame_start:])) & 0xFFFFFFFF != stored:
             raise ValueError("zstd content checksum mismatch")
+    if use_dict:
+        out += local[prefix_len:]
     return off
 
 
-def zstd_decompress(payload: bytes, max_output: int = 1 << 31) -> bytes:
+def zstd_decompress(payload: bytes, max_output: int = 1 << 31,
+                    dictionary: bytes | None = None) -> bytes:
     """Decode a complete Zstandard payload: one or more concatenated
-    frames, skippable frames passed over (§3.1.2). ValueError — and
-    only ValueError — on torn/corrupt/out-of-scope input."""
+    frames, skippable frames passed over (§3.1.2). ``dictionary``
+    accepts both RFC 8878 §5 structured dictionaries (ZDICT output)
+    and raw content prefixes. ValueError — and only ValueError — on
+    torn/corrupt/out-of-scope input."""
+    zdict = parse_zstd_dictionary(dictionary) if dictionary is not None \
+        else None
     out = bytearray()
     off = 0
     if not payload:
@@ -791,7 +856,7 @@ def zstd_decompress(payload: bytes, max_output: int = 1 << 31) -> bytes:
             continue
         if magic != _MAGIC:
             raise ValueError(f"bad zstd magic 0x{magic:08X}")
-        off = _decode_frame(payload, off + 4, out, max_output)
+        off = _decode_frame(payload, off + 4, out, max_output, zdict)
     return bytes(out)
 
 

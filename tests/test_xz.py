@@ -95,19 +95,56 @@ def test_multistream_concatenation_with_padding():
     assert xz_decompress(c2) == a + b == lzma.decompress(c2)
 
 
-def test_bcj_and_delta_are_named_boundaries():
-    d = bytes(range(256)) * 100
-    x86 = lzma.compress(d, filters=[
-        {"id": lzma.FILTER_X86}, {"id": lzma.FILTER_LZMA2, "preset": 6},
+def test_delta_filter_chains_decode():
+    """[r14 second wave] the delta pre-filter decodes at every
+    distance 1..256 (real liblzma FILTER_DELTA streams)."""
+    d = bytes((i * 3 + (i >> 3)) & 0xFF for i in range(100000))
+    for dist in (1, 2, 4, 8, 16, 255, 256):
+        c = lzma.compress(d, filters=[
+            {"id": lzma.FILTER_DELTA, "dist": dist},
+            {"id": lzma.FILTER_LZMA2, "preset": 6},
+        ])
+        assert xz_decompress(c) == d, dist
+
+
+def test_x86_bcj_filter_on_real_elf_binaries():
+    """[r14 second wave] the x86 BCJ pre-filter (CALL/JMP rel32
+    conversion) decodes REAL liblzma FILTER_X86 streams of REAL ELF
+    shared objects byte-identical — the densest possible E8/E9 corpus,
+    millions of bytes each."""
+    import glob as _g
+
+    paths = sorted(_g.glob("/usr/lib/x86_64-linux-gnu/libzstd.so.*.*"))
+    paths += sorted(_g.glob("/usr/lib/x86_64-linux-gnu/liblzma.so.*.*"))
+    if not paths:
+        pytest.skip("no ELF corpus on this host")
+    for path in paths[:2]:
+        blob = open(path, "rb").read()
+        for preset in (1, 6):
+            c = lzma.compress(blob, filters=[
+                {"id": lzma.FILTER_X86},
+                {"id": lzma.FILTER_LZMA2, "preset": preset},
+            ])
+            assert xz_decompress(c) == blob, (path, preset)
+    # delta+x86 stacked chain reverses in the right order
+    blob = open(paths[0], "rb").read()[:200000]
+    c = lzma.compress(blob, filters=[
+        {"id": lzma.FILTER_DELTA, "dist": 1},
+        {"id": lzma.FILTER_X86},
+        {"id": lzma.FILTER_LZMA2, "preset": 4},
     ])
-    with pytest.raises(ValueError, match="BCJ/delta"):
-        xz_decompress(x86)
-    delta = lzma.compress(d, filters=[
-        {"id": lzma.FILTER_DELTA, "dist": 4},
+    assert xz_decompress(c) == blob
+
+
+def test_other_bcj_archs_stay_named_boundaries():
+    d = bytes(range(256)) * 100
+    arm = lzma.compress(d, filters=[
+        {"id": lzma.FILTER_ARM64} if hasattr(lzma, "FILTER_ARM64")
+        else {"id": lzma.FILTER_ARM},
         {"id": lzma.FILTER_LZMA2, "preset": 6},
     ])
     with pytest.raises(ValueError, match="BCJ/delta"):
-        xz_decompress(delta)
+        xz_decompress(arm)
 
 
 def test_check_detects_corruption():

@@ -227,3 +227,45 @@ def test_jsonl_zst_shard_roundtrip():
     shard = ref_compress(b"\n".join(lines) + b"\n", level=9, checksum=True)
     decoded = zstd_decompress(shard)
     assert decoded.split(b"\n")[:-1] == lines
+
+
+def test_dictionary_frames_decode_byte_identical():
+    """[r14 second wave] RFC 8878 §5 dictionaries: real ZDICT-trained
+    structured dictionaries AND raw content prefixes, frames from the
+    real ZSTD_compress_usingDict, decoded byte-identical; a dictionary
+    frame without its dictionary (or with the wrong one) raises the
+    named ValueError."""
+    _rig()
+    from zstd_rig import ref_compress_dict, train_dict
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.zstd import (
+        parse_zstd_dictionary,
+    )
+
+    samples = [
+        (
+            '{"id": %d, "name": "user%d", "city": "Berlin", '
+            '"tags": ["a","b"]}' % (i, i)
+        ).encode()
+        for i in range(300)
+    ]
+    d = train_dict(samples)
+    info = parse_zstd_dictionary(d)
+    assert info["dict_id"] != 0 and len(info["content"]) > 0
+    assert sorted(info["tables"]) == ["ll", "ml", "of"]
+    for level in (1, 3, 9, 19):
+        for s in samples[:40]:
+            c = ref_compress_dict(s, d, level=level)
+            assert zstd_decompress(c, dictionary=d) == s
+    # raw content prefix dictionary (no magic, Dictionary_ID stays 0)
+    raw = b"".join(samples[:20])
+    c = ref_compress_dict(samples[3], raw, level=9)
+    assert zstd_decompress(c, dictionary=raw) == samples[3]
+    # the named boundaries
+    c = ref_compress_dict(samples[5], d, level=3)
+    with pytest.raises(ValueError, match="needs dictionary"):
+        zstd_decompress(c)
+    d2 = train_dict([s[::-1] for s in samples])
+    if parse_zstd_dictionary(d2)["dict_id"] != info["dict_id"]:
+        with pytest.raises(ValueError, match="dictionary"):
+            zstd_decompress(c, dictionary=d2)

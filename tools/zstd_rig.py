@@ -106,3 +106,49 @@ def ref_decompress(data: bytes, cap: int | None = None) -> bytes:
             f"ZSTD_decompress: {lib.ZSTD_getErrorName(n).decode()}"
         )
     return dst.raw[:n]
+
+
+def train_dict(samples: list[bytes], dict_size: int = 4096) -> bytes:
+    """ZDICT_trainFromBuffer over concatenated samples."""
+    lib = zstd_lib()
+    lib.ZDICT_trainFromBuffer.restype = ctypes.c_size_t
+    lib.ZDICT_trainFromBuffer.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_size_t), ctypes.c_uint,
+    ]
+    lib.ZDICT_isError.restype = ctypes.c_uint
+    lib.ZDICT_isError.argtypes = [ctypes.c_size_t]
+    blob = b"".join(samples)
+    sizes = (ctypes.c_size_t * len(samples))(*[len(s) for s in samples])
+    dst = ctypes.create_string_buffer(dict_size)
+    n = lib.ZDICT_trainFromBuffer(dst, dict_size, blob, sizes, len(samples))
+    if lib.ZDICT_isError(n):
+        raise RuntimeError(f"ZDICT_trainFromBuffer failed: code {n}")
+    return dst.raw[:n]
+
+
+def ref_compress_dict(data: bytes, dictionary: bytes, level: int = 3) -> bytes:
+    """ZSTD_compress_usingDict (writes the dictionary ID into the
+    frame header for structured dictionaries)."""
+    lib = zstd_lib()
+    lib.ZSTD_compress_usingDict.restype = ctypes.c_size_t
+    lib.ZSTD_compress_usingDict.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+    ]
+    cctx = lib.ZSTD_createCCtx()
+    try:
+        cap = lib.ZSTD_compressBound(len(data))
+        dst = ctypes.create_string_buffer(cap)
+        n = lib.ZSTD_compress_usingDict(
+            cctx, dst, cap, data, len(data), dictionary, len(dictionary),
+            level,
+        )
+        if lib.ZSTD_isError(n):
+            raise RuntimeError(
+                f"compress_usingDict: {lib.ZSTD_getErrorName(n).decode()}"
+            )
+        return dst.raw[:n]
+    finally:
+        lib.ZSTD_freeCCtx(cctx)

@@ -581,6 +581,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     # XMP/IPTC hygiene rotation
     "text_xz_decode",
     "multimodal_xmp_family",
+    "ingest_jsonl_shards",
 )
 
 

@@ -316,3 +316,108 @@ def multimodal_xmp_family(spark, sf_dir):
         " boolean, has_iptc boolean, xmp_after_strip boolean,"
         " pixels_intact boolean",
     ).orderBy("doc_id")
+
+
+@register(
+    "ingest_jsonl_shards",
+    oracle="""
+        SELECT doc_id,
+               CASE CAST(doc_id // 10 AS INT) % 5
+                 WHEN 0 THEN 'zstd' WHEN 1 THEN 'xz' WHEN 2 THEN 'gzip'
+                 WHEN 3 THEN 'bz2' ELSE 'lz4' END AS codec,
+               CAST(doc_id // 10 AS INT) AS shard_id,
+               CAST(strlen(text) AS BIGINT) AS n_chars,
+               TRUE AS text_ok
+        FROM documents WHERE doc_id < 120
+        ORDER BY doc_id
+    """,
+    tags=("B10", "text", "crawl", "archives", "sources"),
+    doc="Compressed .jsonl shard ingest END-TO-END — THE production "
+    "shape modern LLM corpora ship in (.jsonl.zst / .jsonl.xz / "
+    ".jsonl.gz / .jsonl.bz2 / .jsonl.lz4; The Pile, RedPajama, "
+    "FineWeb): docs pack 10-per-shard into JSONL, each shard "
+    "compresses with the codec its shard_id selects (the [r14] "
+    "from-spec zstd + xz decoders, the r13 LZ4, stdlib gzip/bz2), "
+    "operators/archives.explode_jsonl_shards sniffs the codec by "
+    "magic and explodes lines back (bounded pandas chunks, torn-shard "
+    "quarantine rows), and the recovered doc_id/text roundtrip rides "
+    "in the hash (operators/archives.py, operators/zstd.py, "
+    "operators/xz.py).",
+)
+def ingest_jsonl_shards(spark, sf_dir):
+    import pandas as pd
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.archives import (
+        explode_jsonl_shards,
+    )
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 120)
+        .select("doc_id", "text",
+                (F.col("doc_id") / 10).cast("int").alias("shard_id"))
+    )
+
+    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import json
+        import lzma
+
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.lz4 import (
+            lz4_compress,
+        )
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.zstd import (
+            zstd_compress_fixture,
+        )
+
+        sid = int(key[0])
+        pdf = pdf.sort_values("doc_id")
+        blob = b"".join(
+            json.dumps({"doc_id": int(r.doc_id), "text": str(r.text)},
+                       ensure_ascii=False).encode("utf-8") + b"\n"
+            for r in pdf.itertuples()
+        )
+        codec = ["zstd", "xz", "gzip", "bz2", "lz4"][sid % 5]
+        if codec == "zstd":
+            payload = zstd_compress_fixture(blob, "lz")
+        elif codec == "xz":
+            payload = lzma.compress(blob, preset=6)
+        elif codec == "gzip":
+            import gzip
+
+            payload = gzip.compress(blob, mtime=0)
+        elif codec == "bz2":
+            import bz2
+
+            payload = bz2.compress(blob)
+        else:
+            payload = lz4_compress(blob)
+        return pd.DataFrame([{"shard_id": sid, "payload": payload}])
+
+    shards = d.groupBy("shard_id").applyInPandas(
+        pack, "shard_id long, payload binary"
+    )
+    lines = explode_jsonl_shards(shards).where(
+        F.col("parse_error").isNull()
+    )
+    parsed = lines.select(
+        F.get_json_object("line", "$.doc_id").cast("long").alias("doc_id"),
+        "codec",
+        F.col("shard_id").cast("int").alias("shard_id"),
+        F.length(F.get_json_object("line", "$.text")).cast("long").alias(
+            "n_chars"
+        ),
+        F.get_json_object("line", "$.text").alias("rec_text"),
+    )
+    orig = t(spark, sf_dir, "documents").where(F.col("doc_id") < 120).select(
+        "doc_id", F.col("text").alias("orig_text"),
+        F.length("text").cast("long").alias("orig_chars"),
+    )
+    return (
+        parsed.join(orig, "doc_id")
+        .select(
+            "doc_id", "codec", "shard_id",
+            F.col("orig_chars").alias("n_chars"),
+            (F.col("rec_text") == F.col("orig_text")).alias("text_ok"),
+        )
+        .orderBy("doc_id")
+    )

@@ -321,3 +321,67 @@ def test_archive_bomb_member_quarantines():
             list(_arch.iter_archive_members(zpayload))
     finally:
         _arch.MAX_MEMBER_BYTES = old
+
+
+def test_explode_jsonl_shards_codecs_and_quarantine(spark):
+    """[r14] compressed-shard ingest: codec sniffing across
+    zstd/xz/gzip/bz2/lz4/plain, the brotli explicit-codec override
+    (no magic to sniff), torn-shard quarantine rows, trailing-newline
+    handling, mojibake tolerance."""
+    import bz2 as _bz2
+    import gzip as _gzip
+    import lzma as _lzma
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.archives import (
+        explode_jsonl_shards,
+        sniff_shard_codec,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.brotli import (
+        brotli_compress_fixture,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.lz4 import (
+        lz4_compress,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.zstd import (
+        zstd_compress_fixture,
+    )
+
+    blob = b'{"id": 1}\n{"id": 2}\n{"id": 3}\n'
+    shards = [
+        (0, zstd_compress_fixture(blob, "lz")),
+        (1, _lzma.compress(blob, preset=6)),
+        (2, _gzip.compress(blob, mtime=0)),
+        (3, _bz2.compress(blob)),
+        (4, lz4_compress(blob)),
+        (5, blob),                                   # plain
+        (6, zstd_compress_fixture(blob, "store")[:9]),  # torn
+        (7, b"\xff\xfe not json \xff\n"),            # mojibake plain line
+    ]
+    want = {0: "zstd", 1: "xz", 2: "gzip", 3: "bz2", 4: "lz4", 5: "plain"}
+    for sid, payload in shards[:6]:
+        assert sniff_shard_codec(payload) == want[sid], sid
+    df = spark.createDataFrame(
+        [(sid, bytearray(p)) for sid, p in shards],
+        "shard_id long, payload binary",
+    )
+    rows = explode_jsonl_shards(df).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard_id"], []).append(r.asDict())
+    for sid in range(6):
+        got = sorted(by_shard[sid], key=lambda r: r["line_no"])
+        assert [g["line"] for g in got] == [
+            '{"id": 1}', '{"id": 2}', '{"id": 3}'
+        ], sid
+        assert all(g["codec"] == want[sid] for g in got)
+    assert by_shard[6][0]["parse_error"] is not None
+    assert by_shard[7][0]["line"].endswith(" not json �")
+    # brotli needs the explicit override (no magic)
+    br = spark.createDataFrame(
+        [(9, bytearray(brotli_compress_fixture(blob, "literals")))],
+        "shard_id long, payload binary",
+    )
+    got = explode_jsonl_shards(br, codec="br").collect()
+    assert [g["line"] for g in sorted(got, key=lambda r: r["line_no"])] == [
+        '{"id": 1}', '{"id": 2}', '{"id": 3}'
+    ]

@@ -70,6 +70,10 @@ HEADLINE = [
     "video_hevc_main10",          # B10 [r13] Main10 encode -> decode -> aHash
     "text_brotli_decode",         # B10 [r13] HTTP br/gzip -> decode chain
     "similarity_bitext_candidates",  # B10 [r13] candidate-fed margin mining
+    # round-14 flagships: the zstd ingest chain (graded slot) and the
+    # 5-codec compressed-shard exploder
+    "text_zstd_decode",           # B10 [r14] HTTP zstd + tar.zst roundtrips
+    "ingest_jsonl_shards",        # B10 [r14] .jsonl.{zst,xz,gz,bz2,lz4} explode
 ]
 
 

@@ -357,6 +357,11 @@ def main() -> None:
         "calibration_gate_attempts": gate_attempts,
         "gate_steal_pct": steal_pcts,
         "host_quiet": host_quiet,
+        # the gate samples the run's START; this derives the same 1.2x
+        # judgment from the in-run calibration passes that bracket the
+        # headline measurements themselves (r14: a run that starts
+        # contended but settles — 0.147 -> 0.103 — records false/true)
+        "in_run_quiet": min(calib) <= best_known * 1.2,
         # fresh-session min-of-3 for the five slowest headliners (the
         # in-sequence numbers in "queries" carry accumulated JVM state;
         # these are the steady-state engine speeds — compare LIKE WITH

@@ -269,3 +269,39 @@ def test_dictionary_frames_decode_byte_identical():
     if parse_zstd_dictionary(d2)["dict_id"] != info["dict_id"]:
         with pytest.raises(ValueError, match="dictionary"):
             zstd_decompress(c, dictionary=d2)
+
+
+def test_negative_levels_and_long_distance_matching():
+    """[r14] the fast-mode levels (-7..-1, no entropy tables / RLE
+    shapes) and long-distance-matching frames (ZSTD_c_ldm + window log
+    25) decode byte-identical — the remaining encoder surfaces the
+    level battery missed."""
+    import ctypes
+    import os
+
+    from zstd_rig import zstd_lib
+
+    lib = zstd_lib()
+    if lib is None:
+        pytest.skip("no system libzstd (visible host gap)")
+
+    def comp(data, level, ldm=0, wlog=0):
+        cctx = lib.ZSTD_createCCtx()
+        try:
+            for param, val in ((100, level), (160, ldm), (101, wlog)):
+                rc = lib.ZSTD_CCtx_setParameter(cctx, param, val)
+                assert not lib.ZSTD_isError(rc)
+            cap = lib.ZSTD_compressBound(len(data))
+            dst = ctypes.create_string_buffer(cap)
+            n = lib.ZSTD_compress2(cctx, dst, cap, data, len(data))
+            assert not lib.ZSTD_isError(n)
+            return dst.raw[:n]
+        finally:
+            lib.ZSTD_freeCCtx(cctx)
+
+    path = "/root/testdata/sf0.01/documents.parquet"
+    data = open(path, "rb").read() if os.path.exists(path) else _LOREM * 5000
+    for lvl in (-7, -3, -1):
+        assert zstd_decompress(comp(data, lvl)) == data, lvl
+    big = data * 8
+    assert zstd_decompress(comp(big, 12, ldm=1, wlog=25)) == big

@@ -203,6 +203,35 @@ def http_response_body(block: bytes) -> tuple[int | None, bytes]:
         return None, block
 
 
+def dechunk_http_body(body: bytes) -> bytes:
+    """Reverse ``Transfer-Encoding: chunked`` framing (RFC 9112 §7.1):
+    hex chunk-size lines (extensions tolerated), CRLF-delimited chunk
+    data, the 0-size terminator (trailer fields ignored). Raw WARCs
+    from non-normalizing crawlers store bodies exactly like this —
+    skipping this step corrupts every coded body behind it. Torn
+    framing raises ValueError (the quarantine path). Pinned against
+    CPython http.client's chunked parser in tests/test_warc_chunked.py."""
+    out = bytearray()
+    p = 0
+    try:
+        while True:
+            nl = body.index(b"\r\n", p)
+            size = int(body[p:nl].split(b";", 1)[0].strip(), 16)
+            p = nl + 2
+            if size == 0:
+                return bytes(out)  # trailers (if any) are ignored
+            if p + size + 2 > len(body):
+                raise ValueError("torn chunked body")
+            out += body[p : p + size]
+            if body[p + size : p + size + 2] != b"\r\n":
+                raise ValueError("chunked framing missing CRLF")
+            p += size + 2
+    except ValueError:
+        raise
+    except Exception as exc:  # index past end and friends
+        raise ValueError(f"torn chunked body: {exc}") from exc
+
+
 def decode_http_body(block: bytes) -> tuple[int | None, bytes, str]:
     """(status, DECODED body, content_encoding) from an HTTP response
     block — the r13 crawl-pipeline completion: ``Content-Encoding:
@@ -210,7 +239,10 @@ def decode_http_body(block: bytes) -> tuple[int | None, bytes, str]:
     ``br`` (the from-spec RFC 7932 decoder, operators/brotli.py —
     the second web encoding after gzip) / ``zstd`` (the from-spec
     RFC 8878 decoder, operators/zstd.py, r14) are decoded;
-    ``identity`` and absent pass through. An unknown coding or a torn
+    ``identity`` and absent pass through. ``Transfer-Encoding:
+    chunked`` framing (r14 — what raw WARC response records actually
+    carry) is reversed FIRST, then the content coding applies; other
+    transfer codings are a named boundary. An unknown coding or a torn
     coded body raises ValueError (the quarantine path), never returns
     wrong bytes."""
     if not block.startswith(b"HTTP/"):
@@ -223,9 +255,18 @@ def decode_http_body(block: bytes) -> tuple[int | None, bytes, str]:
         return None, block, "identity"
     body = block[sep + 4:]
     enc = "identity"
+    te = ""
     for line in head.split(b"\r\n")[1:]:
         if line.lower().startswith(b"content-encoding:"):
             enc = line.split(b":", 1)[1].strip().decode("latin1").lower()
+        elif line.lower().startswith(b"transfer-encoding:"):
+            te = line.split(b":", 1)[1].strip().decode("latin1").lower()
+    if te:
+        if te != "chunked":
+            raise ValueError(
+                f"HTTP transfer-encoding {te!r} outside the declared scope"
+            )
+        body = dechunk_http_body(body)
     if enc in ("identity", ""):
         return status, body, "identity"
     if enc == "gzip":

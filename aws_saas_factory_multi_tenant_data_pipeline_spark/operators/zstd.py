@@ -122,32 +122,55 @@ class _BackBits:
     bit is a padding sentinel; values are read from just below it,
     moving toward the first byte. Reads past the start zero-fill and
     leave ``pos`` negative — FSE weight decoding's documented
-    termination condition."""
+    termination condition.
 
-    __slots__ = ("v", "pos")
+    Performance shape (r14 second pass): a SLIDING byte window, not
+    one whole-stream Python int — big-int shifts cost O(stream size)
+    per read, which made literal-heavy blocks quadratic (measured
+    0.5 MB/s on low-level web text; ~40x after this fix)."""
+
+    __slots__ = ("b", "i", "window", "nbits")
 
     def __init__(self, b: bytes):
         if not b or b[-1] == 0:
             raise ValueError("torn zstd backward bitstream")
-        self.v = int.from_bytes(b, "little")
-        self.pos = self.v.bit_length() - 1  # drop the sentinel bit
+        self.b = b
+        self.i = len(b) - 1
+        w = b[self.i]
+        self.nbits = w.bit_length() - 1  # drop the sentinel bit
+        self.window = w & ((1 << self.nbits) - 1)
+
+    @property
+    def pos(self) -> int:
+        return self.nbits + 8 * self.i
 
     def read(self, n: int) -> int:
         if n == 0:
             return 0
-        self.pos -= n
-        if self.pos >= 0:
-            return (self.v >> self.pos) & ((1 << n) - 1)
-        if self.pos <= -n:
-            return 0
-        return (self.v << -self.pos) & ((1 << n) - 1)
-
-    def peek(self, n: int) -> int:
-        if self.pos >= n:
-            return (self.v >> (self.pos - n)) & ((1 << n) - 1)
-        if self.pos <= 0:
-            return 0
-        return (self.v << (n - self.pos)) & ((1 << n) - 1)
+        nbits = self.nbits
+        if nbits < n:
+            b = self.b
+            i = self.i
+            window = self.window
+            while nbits < n and i > 0:
+                i -= 1
+                window = (window << 8) | b[i]
+                nbits += 8
+            self.i = i
+            self.window = window
+            self.nbits = nbits
+            if nbits < n:
+                # past the stream start: zero-fill the missing low bits
+                v = (window << (n - nbits)) & ((1 << n) - 1) if nbits > 0 \
+                    else 0
+                self.nbits = nbits - n  # negative, by contract
+                self.window = 0
+                return v
+        nbits -= n
+        v = self.window >> nbits
+        self.nbits = nbits
+        self.window &= (1 << nbits) - 1
+        return v
 
 
 class _FwdBits:
@@ -379,25 +402,41 @@ def _huf_read_table(sub: bytes):
 
 
 def _huf_decode(stream: bytes, huf: _HufTable, count: int) -> bytearray:
+    """Per-symbol Huffman decode over the backward stream — the
+    literal-heavy hot loop (r14 second pass: sliding byte window in
+    locals; peek max_bits, consume the hit's length)."""
     bits = _BackBits(stream)
     mb = huf.max_bits
-    sym = huf.sym
-    nb = huf.nb
-    v = bits.v
-    pos = bits.pos
+    symt = huf.sym
+    nbt = huf.nb
+    b = bits.b
+    i = bits.i
+    window = bits.window
+    nbits = bits.nbits
+    mask = (1 << mb) - 1
     out = bytearray(count)
-    for i in range(count):
-        if pos >= mb:
-            idx = (v >> (pos - mb)) & ((1 << mb) - 1)
-        elif pos > 0:
-            idx = (v << (mb - pos)) & ((1 << mb) - 1)
-        else:
-            raise ValueError("zstd Huffman stream ran out of bits")
-        out[i] = sym[idx]
-        pos -= nb[idx]
-        if pos < 0:
-            raise ValueError("zstd Huffman stream overdrawn")
-    if pos != 0:
+    for k in range(count):
+        if nbits < mb:
+            while nbits < mb and i > 0:
+                i -= 1
+                window = (window << 8) | b[i]
+                nbits += 8
+            if nbits < mb:
+                if nbits <= 0:
+                    raise ValueError("zstd Huffman stream ran out of bits")
+                idx = (window << (mb - nbits)) & mask
+                take = nbt[idx]
+                if take > nbits:
+                    raise ValueError("zstd Huffman stream overdrawn")
+                out[k] = symt[idx]
+                nbits -= take
+                window &= (1 << nbits) - 1
+                continue
+        idx = window >> (nbits - mb)
+        out[k] = symt[idx]
+        nbits -= nbt[idx]
+        window &= (1 << nbits) - 1
+    if nbits != 0 or i != 0:
         raise ValueError("zstd Huffman stream not fully consumed")
     return out
 

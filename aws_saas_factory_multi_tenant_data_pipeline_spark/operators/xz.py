@@ -226,9 +226,10 @@ def _lzma_run(
     when the end marker terminated the stream.
 
     Performance shape (r14): the range-decoder state lives in LOCALS
-    and every adaptive-bit decode is hand-inlined — ~2-3x over the
-    method-call form on text corpora; correctness re-validated by the
-    full liblzma battery (tests/test_xz.py). The 32-bit invariants
+    and every adaptive-bit decode is hand-inlined — measured 1.3x over
+    the method-call form on text corpora (5.8 -> 7.6 MB/s/core; the
+    adaptive bit-by-bit algorithm is inherently branchy); correctness
+    re-validated by the full liblzma battery (tests/test_xz.py). The 32-bit invariants
     make masking unnecessary: code < range <= 2^32 always, and
     renormalization only shifts when range < 2^24."""
     lc, lp, pb = st.lc, st.lp, st.pb

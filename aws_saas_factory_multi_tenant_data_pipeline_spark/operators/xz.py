@@ -248,8 +248,11 @@ def _lzma_run(
     slots = st.slot
     spec_pos = st.spec_pos
     align_p = st.align
+    # No per-renorm chunk-boundary check in the inlined loop: a torn
+    # LZMA2 chunk does bounded garbage work until lzma2_decompress's
+    # post-chunk `rc.pos != off + packed` check (or IndexError at the
+    # buffer end, converted below) raises the contract ValueError.
     buf = rc.buf
-    end_ = rc.end
     rng = rc.range
     code = rc.code
     bpos = rc.pos

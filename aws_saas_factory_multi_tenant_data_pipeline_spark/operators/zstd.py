@@ -822,6 +822,8 @@ def _decode_frame(data: bytes, off: int, out: bytearray,
         btype = (bh >> 1) & 3
         bsize = bh >> 3
         if btype == 0:
+            if bsize > _BLOCK_MAX:
+                raise ValueError("zstd raw block exceeds the block cap")
             if off + bsize > len(data):
                 raise ValueError("torn zstd raw block")
             local += data[off : off + bsize]
@@ -917,16 +919,22 @@ def probe_zstd(payload: bytes) -> dict:
         if magic != _MAGIC:
             break
         p = off + 4
+        if p >= len(payload):
+            raise ValueError("torn zstd frame header")
         fhd = payload[p]
         p += 1
         single = (fhd >> 5) & 1
         window_size = None
         if not single:
+            if p >= len(payload):
+                raise ValueError("torn zstd frame header")
             wd = payload[p]
             p += 1
             wbase = 1 << (10 + (wd >> 3))
             window_size = wbase + (wbase // 8) * (wd & 7)
         did_size = (0, 1, 2, 4)[fhd & 3]
+        if p + did_size > len(payload):
+            raise ValueError("torn zstd frame header")
         did = int.from_bytes(payload[p : p + did_size], "little") if (
             did_size
         ) else 0
@@ -934,6 +942,8 @@ def probe_zstd(payload: bytes) -> dict:
         fcs_size = (1 if single else 0, 2, 4, 8)[fhd >> 6]
         fcs = None
         if fcs_size:
+            if p + fcs_size > len(payload):
+                raise ValueError("torn zstd frame header")
             fcs = int.from_bytes(payload[p : p + fcs_size], "little")
             if fcs_size == 2:
                 fcs += 256

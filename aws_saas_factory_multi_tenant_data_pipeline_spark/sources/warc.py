@@ -217,6 +217,8 @@ def dechunk_http_body(body: bytes) -> bytes:
         while True:
             nl = body.index(b"\r\n", p)
             size = int(body[p:nl].split(b";", 1)[0].strip(), 16)
+            if size < 0:  # int(b'-2', 16) parses; http.client rejects it
+                raise ValueError("negative chunk size")
             p = nl + 2
             if size == 0:
                 return bytes(out)  # trailers (if any) are ignored

@@ -25,8 +25,8 @@ from pyspark.sql import types as T
 
 
 def sniff_archive_format(payload: bytes) -> str | None:
-    """'zip', 'tar', 'tgz', 'tlz4', 'tzst' by magic; None when
-    unrecognized."""
+    """'zip', 'tar', 'tgz', 'tlz4', 'tzst', 'txz', '7z' by magic;
+    None when unrecognized."""
     if payload[:4] in (b"PK\x03\x04", b"PK\x05\x06"):
         return "zip"
     if payload[:2] == b"\x1f\x8b":
@@ -41,6 +41,9 @@ def sniff_archive_format(payload: bytes) -> str | None:
     if payload[:6] == b"\xfd7zXZ\x00":
         return "txz"  # XZ stream (r14: from-spec operators/xz.py) —
         # .tar.xz; inner payload routes to tar after decode
+    if payload[:6] == b"7z\xbc\xaf\x27\x1c":
+        return "7z"  # 7z container (r15: operators/sevenzip.py —
+        # LZMA/LZMA2/copy folders, delta/BCJ chains, encoded headers)
     if len(payload) >= 262 and payload[257:262] == b"ustar":
         return "tar"
     if (
@@ -70,16 +73,31 @@ def sniff_archive_format(payload: bytes) -> str | None:
 MAX_MEMBER_BYTES = 1 << 30
 
 
-def iter_archive_members(payload: bytes):
-    """Yield (member_name, member_bytes) for a zip/tar/tar.gz payload.
-    ValueError — and only ValueError — on torn or unrecognized input,
-    including any member whose declared size exceeds MAX_MEMBER_BYTES.
-    Directory entries are skipped; member order is the archive's."""
+def iter_archive_members(payload: bytes, codecs=None):
+    """Yield (member_name, member_bytes) for a zip/tar/tar.gz/7z (or
+    lz4/zstd/xz-compressed tar) payload. ValueError — and only
+    ValueError — on torn or unrecognized input, including any member
+    whose declared size exceeds MAX_MEMBER_BYTES. Directory entries
+    are skipped; member order is the archive's. ``codecs`` is a
+    plan-time snapshot of the stream-codec registry (operators/
+    codecs.py); None uses the live table."""
     fmt = sniff_archive_format(payload)
     if fmt is None:
         raise ValueError("unrecognized archive payload")
     try:
-        if fmt == "zip":
+        if fmt == "7z":
+            from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.sevenzip import (
+                parse_7z,
+            )
+
+            for name, data in parse_7z(payload):
+                if len(data) > MAX_MEMBER_BYTES:
+                    raise ValueError(
+                        f"member {name!r} declares {len(data)} bytes "
+                        f"(> MAX_MEMBER_BYTES)"
+                    )
+                yield name, data
+        elif fmt == "zip":
             import zipfile
 
             with zipfile.ZipFile(io.BytesIO(payload)) as zf:
@@ -98,34 +116,20 @@ def iter_archive_members(payload: bytes):
         else:
             import tarfile
 
-            if fmt == "tlz4":
-                from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.lz4 import (
-                    lz4_decompress,
+            if fmt in ("tlz4", "tzst", "txz"):
+                # registry dispatch (operators/codecs.py, r15): the
+                # compressed-tar decode honors the same swap seam as
+                # shards and HTTP bodies
+                from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.codecs import (
+                    decode_stream,
                 )
 
-                payload = lz4_decompress(payload)
+                codec = {"tlz4": "lz4", "tzst": "zstd", "txz": "xz"}[fmt]
+                payload = decode_stream(payload, codec, codecs)
                 if sniff_archive_format(payload) != "tar":
                     raise ValueError(
-                        "LZ4 frame does not wrap a tar archive"
+                        f"{codec} stream does not wrap a tar archive"
                     )
-            elif fmt == "tzst":
-                from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.zstd import (
-                    zstd_decompress,
-                )
-
-                payload = zstd_decompress(payload)
-                if sniff_archive_format(payload) != "tar":
-                    raise ValueError(
-                        "Zstandard frame does not wrap a tar archive"
-                    )
-            elif fmt == "txz":
-                from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.xz import (
-                    xz_decompress,
-                )
-
-                payload = xz_decompress(payload)
-                if sniff_archive_format(payload) != "tar":
-                    raise ValueError("XZ stream does not wrap a tar archive")
             mode = "r:gz" if fmt == "tgz" else "r:"
             with tarfile.open(fileobj=io.BytesIO(payload), mode=mode) as tf:
                 for info in tf:
@@ -171,6 +175,11 @@ def explode_archives(
     parse_error row for an archive_id as 'discard that archive's
     members' — which :func:`members_to_media` does via an anti-join.
     NULL/torn payloads quarantine, never fail the task."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.codecs import (
+        CODEC_DECODERS,
+    )
+
+    codecs = dict(CODEC_DECODERS)  # plan-time snapshot (registry seam)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in ARCHIVE_MEMBER_SCHEMA.fields]
@@ -180,7 +189,7 @@ def explode_archives(
                 aid = int(aid)
                 try:
                     for idx, (name, data) in enumerate(
-                        iter_archive_members(bytes(payload))
+                        iter_archive_members(bytes(payload), codecs)
                     ):
                         rows.append(
                             {
@@ -235,49 +244,16 @@ def sniff_shard_codec(payload: bytes) -> str:
     return "plain"
 
 
-def _decode_shard(payload: bytes, codec: str) -> bytes:
-    if codec == "plain":
-        return payload
-    if codec == "zstd":
-        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.zstd import (
-            zstd_decompress,
-        )
+def _decode_shard(payload: bytes, codec: str, decoders=None) -> bytes:
+    """One shard decode through the injectable codec registry
+    (operators/codecs.py, r15): ``decoders`` is a plan-time snapshot —
+    a native libzstd/liblzma binding at 100 TB is one
+    register_codec_decoder call, exactly like the image registry."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.codecs import (
+        decode_stream,
+    )
 
-        return zstd_decompress(payload)
-    if codec == "xz":
-        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.xz import (
-            xz_decompress,
-        )
-
-        return xz_decompress(payload)
-    if codec == "gzip":
-        import gzip
-        import zlib
-
-        try:
-            return gzip.decompress(payload)
-        except (zlib.error, EOFError, OSError) as exc:
-            raise ValueError(f"torn gzip shard: {exc}") from exc
-    if codec == "bz2":
-        import bz2
-
-        try:
-            return bz2.decompress(payload)
-        except (OSError, EOFError) as exc:
-            raise ValueError(f"torn bzip2 shard: {exc}") from exc
-    if codec == "lz4":
-        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.lz4 import (
-            lz4_decompress,
-        )
-
-        return lz4_decompress(payload)
-    if codec == "br":
-        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.brotli import (
-            brotli_decompress,
-        )
-
-        return brotli_decompress(payload)
-    raise ValueError(f"shard codec {codec!r} out of range")
+    return decode_stream(payload, codec, decoders)
 
 
 JSONL_LINE_SCHEMA = T.StructType(
@@ -309,6 +285,11 @@ def explode_jsonl_shards(
     parse_error shard_ids). UTF-8 is decoded with replacement so a
     single mojibake line can't tear a shard; a trailing newline does
     not create an empty last line."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.codecs import (
+        CODEC_DECODERS,
+    )
+
+    codec_snap = dict(CODEC_DECODERS)  # plan-time snapshot (registry seam)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in JSONL_LINE_SCHEMA.fields]
@@ -319,7 +300,7 @@ def explode_jsonl_shards(
                 try:
                     payload = bytes(payload)
                     cdc = codec or sniff_shard_codec(payload)
-                    text = _decode_shard(payload, cdc)
+                    text = _decode_shard(payload, cdc, codec_snap)
                     lines = text.split(b"\n")
                     if lines and lines[-1] == b"":
                         lines.pop()

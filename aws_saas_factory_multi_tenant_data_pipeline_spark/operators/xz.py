@@ -1135,6 +1135,30 @@ def lzma_alone_decompress(payload: bytes, max_output: int = 1 << 31) -> bytes:
     return bytes(out)
 
 
+def lzma_raw_decompress(payload: bytes, props: bytes, unpack_size: int,
+                        max_output: int = 1 << 31) -> bytes:
+    """Decode a headerless LZMA1 stream against 7z-style coder
+    properties (5 bytes: lc/lp/pb byte + LE32 dictionary size) to a
+    KNOWN unpack size — the .7z folder coder shape (operators/
+    sevenzip.py); an end marker is permitted but not required."""
+    if len(props) < 1:
+        raise ValueError("LZMA coder properties missing")
+    lc, lp, pb = _decode_props(props[0])
+    if unpack_size > max_output:
+        raise ValueError("LZMA output exceeds the configured cap")
+    if unpack_size == 0:
+        return b""
+    if len(payload) < 5:
+        raise ValueError("torn LZMA raw stream")
+    st = _LzmaState(lc, lp, pb)
+    rc = _RangeDec(payload, 0, len(payload))
+    out = bytearray()
+    _lzma_run(st, rc, out, 0, unpack_size, allow_marker=True)
+    if len(out) != unpack_size:
+        raise ValueError("LZMA raw stream decoded size disagrees")
+    return bytes(out)
+
+
 # --- store-mode encoder ----------------------------------------------------------
 
 

@@ -234,7 +234,8 @@ def dechunk_http_body(body: bytes) -> bytes:
         raise ValueError(f"torn chunked body: {exc}") from exc
 
 
-def decode_http_body(block: bytes) -> tuple[int | None, bytes, str]:
+def decode_http_body(block: bytes,
+                     codecs=None) -> tuple[int | None, bytes, str]:
     """(status, DECODED body, content_encoding) from an HTTP response
     block — the r13 crawl-pipeline completion: ``Content-Encoding:
     gzip`` / ``deflate`` (both zlib wrapper and raw-deflate fallback) /
@@ -246,7 +247,9 @@ def decode_http_body(block: bytes) -> tuple[int | None, bytes, str]:
     carry) is reversed FIRST, then the content coding applies; other
     transfer codings are a named boundary. An unknown coding or a torn
     coded body raises ValueError (the quarantine path), never returns
-    wrong bytes."""
+    wrong bytes. Content codings dispatch through the injectable
+    stream-codec registry (operators/codecs.py, r15) — ``codecs`` is a
+    plan-time snapshot, None uses the live table."""
     if not block.startswith(b"HTTP/"):
         return None, block, "identity"
     try:
@@ -271,38 +274,16 @@ def decode_http_body(block: bytes) -> tuple[int | None, bytes, str]:
         body = dechunk_http_body(body)
     if enc in ("identity", ""):
         return status, body, "identity"
-    if enc == "gzip":
-        import zlib
-
-        try:
-            return status, zlib.decompress(body, 16 + zlib.MAX_WBITS), enc
-        except zlib.error as exc:
-            # normalize to the repo-wide quarantine exception (r14 ADVICE)
-            raise ValueError(f"torn gzip body: {exc}") from exc
-    if enc == "deflate":
-        import zlib
-
-        try:
-            return status, zlib.decompress(body), enc
-        except zlib.error:
-            # some servers send raw deflate under the deflate token
-            try:
-                return status, zlib.decompress(body, -zlib.MAX_WBITS), enc
-            except zlib.error as exc:
-                raise ValueError(f"torn deflate body: {exc}") from exc
-    if enc == "br":
-        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.brotli import (
-            brotli_decompress,
+    if enc in ("gzip", "deflate", "br", "zstd"):
+        # the four registered web content codings (zstd per RFC 8878
+        # §7.2), each through the injectable registry; the defaults are
+        # the from-spec brotli/zstd decoders and the dual-wrapper
+        # deflate fallback, all ValueError-normalized (r14 ADVICE)
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.codecs import (
+            decode_stream,
         )
 
-        return status, brotli_decompress(body), enc
-    if enc == "zstd":
-        # RFC 8878 §7.2 registers "zstd" as an HTTP content coding
-        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.zstd import (
-            zstd_decompress,
-        )
-
-        return status, zstd_decompress(body), enc
+        return status, decode_stream(body, enc, codecs), enc
     raise ValueError(f"HTTP content-encoding {enc!r} outside the declared scope")
 
 

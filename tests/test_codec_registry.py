@@ -260,3 +260,113 @@ def test_heif_avif_named_quarantines_and_swap_seam():
         reset_decoders()
     with pytest.raises(ValueError, match="AV1"):
         decode_image(avif)
+
+
+# --- stream-codec registry (r15): shards / HTTP bodies / compressed tars ---------
+
+
+def test_stream_codec_registry_unknown_rejected():
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.codecs import (
+        register_codec_decoder,
+        reset_codec_decoders,
+    )
+
+    with pytest.raises(ValueError, match="unknown stream codec"):
+        register_codec_decoder("snappy", lambda p: p)
+    reset_codec_decoders()
+
+
+def test_stream_codec_passthrough_and_distorting_stand_in_local():
+    """A semantically-equal stand-in keeps results byte-identical; a
+    distorting stand-in is observable (proves the path is LIVE); reset
+    restores the from-spec decoder."""
+    import gzip
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.codecs import (
+        register_codec_decoder,
+        reset_codec_decoders,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.sources.warc import (
+        decode_http_body,
+    )
+
+    body = b"registry seam proof " * 20
+    blk = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+        + gzip.compress(body, mtime=0)
+    )
+    try:
+        _, out, _ = decode_http_body(blk)
+        assert out == body
+        register_codec_decoder("gzip", lambda p: gzip.decompress(p))
+        _, out, _ = decode_http_body(blk)
+        assert out == body  # pass-through stand-in: byte-identical
+        register_codec_decoder("gzip", lambda p: b"DISTORTED")
+        _, out, _ = decode_http_body(blk)
+        assert out == b"DISTORTED"  # the dispatch is live
+    finally:
+        reset_codec_decoders()
+    _, out, _ = decode_http_body(blk)
+    assert out == body
+
+
+def test_stream_codec_swap_reaches_spark_and_snapshot_pins_plans(spark):
+    """Through Spark: a distorting stand-in registered BEFORE plan
+    build reaches the workers via the closure snapshot; a plan built
+    BEFORE registration keeps the decoder set it closed over (the
+    multimodal plan-snapshot convention)."""
+    import gzip
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.archives import (
+        explode_jsonl_shards,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.codecs import (
+        register_codec_decoder,
+        reset_codec_decoders,
+    )
+
+    payload = gzip.compress(b'{"k": 1}\n{"k": 2}\n', mtime=0)
+    shards = spark.createDataFrame(
+        [(1, bytearray(payload))], "shard_id long, payload binary"
+    )
+    # plan built with the default decoder — snapshot taken NOW
+    before = explode_jsonl_shards(shards)
+    try:
+        register_codec_decoder(
+            "gzip", lambda p: b'{"k": "swapped"}\n'
+        )
+        after = explode_jsonl_shards(shards)  # snapshot sees the stand-in
+        rows_before = before.orderBy("line_no").collect()
+        rows_after = after.orderBy("line_no").collect()
+        assert [r.line for r in rows_before] == ['{"k": 1}', '{"k": 2}']
+        assert [r.line for r in rows_after] == ['{"k": "swapped"}']
+    finally:
+        reset_codec_decoders()
+
+
+def test_stream_codec_registry_covers_compressed_tar_route():
+    """iter_archive_members honors an injected snapshot for .tar.zst
+    (and the default registry decodes it from spec)."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.archives import (
+        build_tar,
+        iter_archive_members,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.codecs import (
+        CODEC_DECODERS,
+    )
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.zstd import (
+        zstd_compress_fixture,
+    )
+
+    tar = build_tar([("doc.txt", b"seam"), ("m.bin", b"\x01\x02")])
+    shard = zstd_compress_fixture(tar, "lz")
+    assert dict(iter_archive_members(shard)) == {
+        "doc.txt": b"seam", "m.bin": b"\x01\x02"
+    }
+    # injected snapshot: a stand-in that returns a DIFFERENT tar
+    other = build_tar([("swapped.txt", b"x")])
+    snap = dict(CODEC_DECODERS)
+    snap["zstd"] = lambda p: other
+    assert dict(iter_archive_members(shard, snap)) == {
+        "swapped.txt": b"x"
+    }

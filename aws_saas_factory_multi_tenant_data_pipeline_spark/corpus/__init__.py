@@ -582,6 +582,11 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "text_xz_decode",
     "multimodal_xmp_family",
     "ingest_jsonl_shards",
+    # r15 wave: office extraction + 7z + fonts (standalone forms; the
+    # graded verdicts ride text_office_extract's own slot and the
+    # text_codec_pack / r15_pack merges — see window_r18.py)
+    "archive_7z_extract",
+    "crawl_font_census",
 )
 
 
@@ -628,6 +633,7 @@ def load_all() -> dict[str, QuerySpec]:
         wave_r14,
         wave_r15,
         wave_r17,
+        wave_r18,
         window_r11,
         window_r5,  # packs read other modules' oracles — import last
         window_r6,

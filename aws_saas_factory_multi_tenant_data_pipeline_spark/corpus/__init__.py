@@ -141,8 +141,12 @@ GRADED_WINDOW: tuple[str, ...] = (
     # its driver verdict); the freed slot gives the four r11
     # tests-only verification-channel rows (extended TIFF surface,
     # ADPCM WAV, Ogg probe, HEVC probe) a hard driver verdict via
-    # r12_pack
-    "media_family_pack",
+    # r12_pack.
+    # media_family_pack + media_family_pack2 → MERGED in r15 into
+    # media_family_all (disjoint kinds, pure UNION both sides — all
+    # twenty r7-r9 media/similarity §2 rows keep driver verdicts in
+    # one slot); the freed slot carries text_office_extract below
+    "media_family_all",
     "r6_pack",
     # B6 sort/limit/set-ops (distinct_dropdup → tail in r5: its DISTINCT
     # semantics are also exercised by setop_family's UNION-distinct branch;
@@ -156,13 +160,12 @@ GRADED_WINDOW: tuple[str, ...] = (
     # chain) a hard driver verdict via media_pack4
     "setop_sort_pack",
     # media_pack3 + media_pack4 → MERGED in r14 into media_family_pack2
-    # (both already emit the unified (kind, k, n, val) schema with
-    # disjoint kinds — every output row of both rides in the pack hash
-    # verbatim, so none of the thirteen r8/r9 media/similarity §2 rows
-    # loses its driver verdict); the freed slot gives the r14 zstd
-    # ingest row (RFC 8878 decode through BOTH production seams) a hard
-    # driver verdict via text_zstd_decode below
-    "media_family_pack2",
+    # (disjoint kinds, verbatim; merged again into media_family_all in
+    # r15 — see above); this slot now carries the r15 office-document
+    # flagship: docx/xlsx/pptx/odt text extraction with the
+    # sharedStrings-indirection / slide-order / xml:space / text:s
+    # fixture traps live, the real-LibreOffice ODT pinned in tests
+    "text_office_extract",
     "r5_pack2",
     # B7 scalar functions (math/array/map/json/null + url/timezone packed).
     # fn_string + fn_datetime → MERGED in r9 into fn_string_datetime_pack
@@ -173,9 +176,12 @@ GRADED_WINDOW: tuple[str, ...] = (
     # envelope hash incl. the FLAC-transcode branch, audio resample
     # integer+fractional) a hard driver verdict via media_pack3
     "fn_string_datetime_pack",
-    # the slot media_pack3 held carries the r14 zstd row (see the
-    # media_family_pack2 merge note above)
-    "text_zstd_decode",
+    # the slot media_pack3 held carried the r14 zstd row; WIDENED in
+    # r15 into text_codec_pack — the five byte-stream-codec ingest
+    # rows (zstd verdict preserved verbatim; xz / jsonl shards / lz4
+    # promoted from the r14 tail debt; the r15 7z walk) in one slot
+    # via the r12_pack (kind, k, n, val) reduction
+    "text_codec_pack",
     # fn_scalar_pack + fn_web_time_pack → MERGED in r11 second wave
     # into fn_family_pack2 (every output column of both components
     # rides in the pack hash verbatim, doubles via the val channel —
@@ -193,8 +199,10 @@ GRADED_WINDOW: tuple[str, ...] = (
     # §2 rows (EXIF+GPS strip, ID3v2 strip, zip/tar ingestion, WebDataset
     # shard writer) a hard driver verdict via media_pack (merged into
     # media_family_pack in r12 — see the B10 media block above); the
-    # freed slot carries the r12 pack
-    "r12_pack",
+    # freed slot carried r12_pack, MERGED in r15 with r13_pack into
+    # media_codec_pack (disjoint kinds, pure UNION — all eight
+    # r12/r13 codec rows keep driver verdicts in one slot)
+    "media_codec_pack",
     # stream_sliding_session + stream_late_drop → MERGED in r10 into
     # stream_window_pack (every output row of both components rides in
     # the pack hash verbatim — neither B8 family loses its driver
@@ -239,10 +247,12 @@ GRADED_WINDOW: tuple[str, ...] = (
     # dedup_minhash_portable + dedup_pack → MERGED in r13 into
     # dedup_family_pack (disjoint kinds, every output row of both
     # verbatim — no dedup family loses its driver verdict); the freed
-    # slot carries r13_pack: HEIC decode (the closed quarantine) +
-    # HEVC Main10 + the AV1/AVIF probe, all three rows verbatim
+    # slot carried r13_pack (merged into media_codec_pack in r15 —
+    # see above) and now carries multimodal_xmp_family: the r14
+    # XMP/IPTC hygiene rotation across all four image carriers,
+    # promoted from the tail (r14 verdict watch item #2)
     "dedup_family_pack",
-    "r13_pack",
+    "multimodal_xmp_family",
     # similarity_topk_cosine → tail head in r6: its brute-force cosine
     # top-k shape is also driver-graded inside r5_pack's hard-negative
     # branch (the same windowed top-k over cosine scores plus a label
@@ -279,6 +289,16 @@ GRADED_WINDOW: tuple[str, ...] = (
 # single-family originals first, then the rest of TPC-H / subqueries /
 # B10, then everything else in module order.
 _TAIL_PRIORITY: tuple[str, ...] = (
+    # merged in r15 into media_family_all / media_codec_pack /
+    # text_codec_pack (every row still driver-graded verbatim inside
+    # the packs; these standalone forms stay oracle-green at the tail
+    # head — the slots went to text_office_extract and
+    # multimodal_xmp_family):
+    "media_family_pack",
+    "media_family_pack2",
+    "r12_pack",
+    "r13_pack",
+    "text_zstd_decode",
     # merged in r12 into media_family_pack (both components verbatim;
     # the freed slot went to r12_pack):
     "media_pack",
@@ -577,14 +597,11 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "multimodal_heic_decode",
     "video_hevc_main10",
     "video_av1_probe",
-    # r14 wave: the xz twin of the graded text_zstd_decode slot + the
-    # XMP/IPTC hygiene rotation
+    # r14/r15 waves: standalone forms of rows graded verbatim inside
+    # text_codec_pack (window_r18.py) + the font census (real-DejaVu
+    # pinned; the probe family's graded channel is its tests)
     "text_xz_decode",
-    "multimodal_xmp_family",
     "ingest_jsonl_shards",
-    # r15 wave: office extraction + 7z + fonts (standalone forms; the
-    # graded verdicts ride text_office_extract's own slot and the
-    # text_codec_pack / r15_pack merges — see window_r18.py)
     "archive_7z_extract",
     "crawl_font_census",
 )
@@ -647,6 +664,7 @@ def load_all() -> dict[str, QuerySpec]:
         window_r15,
         window_r16,
         window_r17,
+        window_r18,
     )
 
     head = [n for n in GRADED_WINDOW + _TAIL_PRIORITY if n in REGISTRY]

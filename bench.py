@@ -74,6 +74,9 @@ HEADLINE = [
     # 5-codec compressed-shard exploder
     "text_zstd_decode",           # B10 [r14] HTTP zstd + tar.zst roundtrips
     "ingest_jsonl_shards",        # B10 [r14] .jsonl.{zst,xz,gz,bz2,lz4} explode
+    # round-15 flagships: the office-document slice and the 7z walk
+    "text_office_extract",        # B10 [r15] docx/xlsx/pptx/odt -> text
+    "archive_7z_extract",         # B10 [r15] 5-coder .7z member census
 ]
 
 

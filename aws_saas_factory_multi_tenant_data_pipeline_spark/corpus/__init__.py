@@ -604,6 +604,8 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "ingest_jsonl_shards",
     "archive_7z_extract",
     "crawl_font_census",
+    # r15 second wave: structured-dump + mail ingest (engine/stdlib pins)
+    "ingest_sqlite_dump",
 )
 
 
@@ -651,6 +653,7 @@ def load_all() -> dict[str, QuerySpec]:
         wave_r15,
         wave_r17,
         wave_r18,
+        wave_r19,
         window_r11,
         window_r5,  # packs read other modules' oracles — import last
         window_r6,

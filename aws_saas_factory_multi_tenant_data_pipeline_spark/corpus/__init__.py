@@ -606,6 +606,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "crawl_font_census",
     # r15 second wave: structured-dump + mail ingest (engine/stdlib pins)
     "ingest_sqlite_dump",
+    "ingest_mbox_mail",
 )
 
 

@@ -115,3 +115,132 @@ def ingest_sqlite_dump(spark, sf_dir):
         "doc_id long, page_size int, n_tables int, n_rows int,"
         " n_chars long, read_ok boolean",
     ).orderBy("doc_id")
+
+
+@register(
+    "ingest_mbox_mail",
+    oracle="""
+        SELECT doc_id,
+               CAST(3 AS INT) AS n_messages,
+               CAST(5 AS INT) AS n_parts,
+               CAST(strlen(text) AS BIGINT) AS n_chars,
+               TRUE AS parity_ok,
+               TRUE AS subject_ok
+        FROM documents WHERE doc_id < 120
+        ORDER BY doc_id
+    """,
+    tags=("B10", "ingest", "documents", "mail"),
+    doc="Mail-corpus ingestion END-TO-END (the [r15] RFC 5322/2045/"
+    "2046/2047 + mbox walk, operators/mail.py — QP/base64 transfer "
+    "decoding with binascii.a2b_qp-exact lenient semantics, "
+    "encoded-word subjects with the adjacency rule, multipart/"
+    "alternative recursion, attachment disposition): per doc CPython's "
+    "own email generator builds a 3-message mbox in the executor "
+    "(plain QP body carrying the doc text, a multipart/alternative "
+    "pair, an attachment message; mboxrd stuffing applied so doc "
+    "lines starting 'From ' can't tear the split), our parser walks "
+    "it, and parity_ok lands in the hash only when every leaf part "
+    "(content type, decoded payload, filename) and every decoded "
+    "subject equals CPython's email.parser over the same bytes "
+    "(operators/mail.py).",
+)
+def ingest_mbox_mail(spark, sf_dir):
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 120).select(
+        "doc_id", "text"
+    )
+
+    def op(batches):
+        import re as _re
+        from email import policy
+        from email.message import EmailMessage
+        from email.parser import BytesParser
+
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.mail import (
+            parse_message,
+            split_mbox,
+        )
+
+        def _stuff(raw: bytes) -> bytes:
+            return _re.sub(rb"(?m)^(>*From )", rb">\1", raw)
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                text = str(text)
+                words = text.split(" ")
+                half = max(1, len(words) // 2)
+                subjects = [
+                    f"Ärende {did} — €uro",
+                    f"Re: pärt twö {did}",
+                    f"attachment {did}",
+                ]
+                m0 = EmailMessage()
+                m0["Subject"] = subjects[0]
+                m0.set_content(" ".join(words[:half]),
+                               cte="quoted-printable")
+                m1 = EmailMessage()
+                m1["Subject"] = subjects[1]
+                m1.set_content(" ".join(words[half:]))
+                m1.add_alternative(
+                    "<p>" + " ".join(words[half:][:5]) + "</p>",
+                    subtype="html")
+                m2 = EmailMessage()
+                m2["Subject"] = subjects[2]
+                m2.set_content("see attachment")
+                m2.add_attachment(
+                    did.to_bytes(8, "big") * 4,
+                    maintype="application", subtype="octet-stream",
+                    filename=f"doc{did}.bin")
+                mbox = b"".join(
+                    b"From corpus@example Thu Jan  1 00:00:00 1970\n"
+                    + _stuff(m.as_bytes(policy=policy.SMTP)) + b"\n"
+                    for m in (m0, m1, m2)
+                )
+                msgs = split_mbox(mbox, unstuff=True)
+                parity = len(msgs) == 3
+                n_parts = 0
+                for raw, want_subj in zip(msgs, subjects):
+                    ours = parse_message(raw)
+                    std = BytesParser(
+                        policy=policy.default).parsebytes(raw)
+                    leaves = [p for p in std.walk()
+                              if not p.is_multipart()]
+                    n_parts += len(ours["parts"])
+                    if len(ours["parts"]) != len(leaves):
+                        parity = False
+                        continue
+                    for op_, sp in zip(ours["parts"], leaves):
+                        content = sp.get_content()
+                        same = (
+                            op_["content_type"]
+                            == sp.get_content_type()
+                            and op_["filename"] == sp.get_filename()
+                            and (op_["text"] == content
+                                 if isinstance(content, str)
+                                 else op_["payload"] == content)
+                        )
+                        parity = parity and same
+                    parity = parity and ours["subject"] == want_subj \
+                        and ours["subject"] == std["subject"]
+                rows.append({
+                    "doc_id": did,
+                    "n_messages": len(msgs),
+                    "n_parts": n_parts,
+                    "n_chars": len(text),
+                    "parity_ok": parity,
+                    "subject_ok": parity,
+                })
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_messages", "n_parts", "n_chars",
+                         "parity_ok", "subject_ok"],
+            )
+
+    return d.mapInPandas(
+        op,
+        "doc_id long, n_messages int, n_parts int, n_chars long,"
+        " parity_ok boolean, subject_ok boolean",
+    ).orderBy("doc_id")

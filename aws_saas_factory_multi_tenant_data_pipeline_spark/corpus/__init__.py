@@ -607,6 +607,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     # r15 second wave: structured-dump + mail ingest (engine/stdlib pins)
     "ingest_sqlite_dump",
     "ingest_mbox_mail",
+    "text_rtf_extract",
 )
 
 

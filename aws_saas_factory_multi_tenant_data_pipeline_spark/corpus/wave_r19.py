@@ -244,3 +244,75 @@ def ingest_mbox_mail(spark, sf_dir):
         "doc_id long, n_messages int, n_parts int, n_chars long,"
         " parity_ok boolean, subject_ok boolean",
     ).orderBy("doc_id")
+
+
+@register(
+    "text_rtf_extract",
+    oracle="""
+        SELECT doc_id,
+               CAST((len(string_split(text, ' ')) + 7) // 8 AS INT)
+                 AS n_pars,
+               CAST(strlen(text) AS BIGINT) AS n_chars,
+               'cp1252' AS codepage,
+               TRUE AS text_ok,
+               TRUE AS title_excluded
+        FROM documents WHERE doc_id < 120
+        ORDER BY doc_id
+    """,
+    tags=("B10", "text", "documents", "rtf"),
+    doc="RTF text extraction END-TO-END (the [r15] control-word "
+    "interpreter, operators/rtf.py — \\ucN fallback-skip protocol "
+    "live on every other non-ASCII char, codepage \\'xx escapes on "
+    "the rest, skipped destinations containing \\par, a \\bin blob "
+    "of brace/backslash bytes mid-document, the info-group title "
+    "that must NOT leak; no host RTF reader exists — the tripwire "
+    "lives in tests/test_realworld_r15.py): per doc the text packs "
+    "into 8-word paragraphs, builds the trap fixture, extracts, and "
+    "byte-exact text equality + the title exclusion land in the "
+    "hash (operators/rtf.py).",
+)
+def text_rtf_extract(spark, sf_dir):
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 120).select(
+        "doc_id", "text"
+    )
+
+    def op(batches):
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.rtf import (
+            build_rtf,
+            rtf_to_text,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                text = str(text)
+                words = text.split(" ")
+                paras = [
+                    " ".join(words[i : i + 8])
+                    for i in range(0, len(words), 8)
+                ]
+                title = f"secret-title-{did}"
+                pay = build_rtf(paras, title=title)
+                got = rtf_to_text(pay)
+                rows.append({
+                    "doc_id": did,
+                    "n_pars": got["n_pars"],
+                    "n_chars": len(text),
+                    "codepage": got["codepage"],
+                    "text_ok": got["text"] == "\n".join(paras),
+                    "title_excluded": title not in got["text"],
+                })
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_pars", "n_chars", "codepage",
+                         "text_ok", "title_excluded"],
+            )
+
+    return d.mapInPandas(
+        op,
+        "doc_id long, n_pars int, n_chars long, codepage string,"
+        " text_ok boolean, title_excluded boolean",
+    ).orderBy("doc_id")

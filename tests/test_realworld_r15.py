@@ -225,3 +225,51 @@ def test_ooxml_real_artifact_tripwire():
         f"real OOXML artifacts appeared: {found[:5]} — pin "
         "parse_docx/parse_xlsx/parse_pptx against them now"
     )
+
+
+# --- RTF artifact tripwire --------------------------------------------------------
+
+
+def test_rtf_real_artifact_tripwire():
+    """No real .rtf or RTF reader (LibreOffice/antiword/unrtf) exists
+    on this host today — the format is carried by the spec-corner
+    matrix + trap fixtures in tests/test_rtf.py. The moment a real
+    artifact or reader appears, this fails so rtf_to_text gets pinned
+    against it."""
+    found = []
+    for pat in (
+        "/root/.pyenv/versions/*/lib/python*/**/*.rtf",
+        "/root/miniconda/**/*.rtf",
+        "/usr/share/**/*.rtf",
+        "/usr/bin/unrtf",
+        "/usr/bin/antiword",
+        "/usr/bin/soffice",
+    ):
+        found += glob.glob(pat, recursive=True)
+    assert not found, (
+        f"real RTF artifacts/readers appeared: {found[:5]} — pin "
+        "rtf_to_text against them now"
+    )
+
+
+# --- SQLite: the engine itself is on-host ground truth ----------------------------
+
+
+def test_sqlite_engine_is_the_pin():
+    """The SQLite file-format reader's third-party ground truth is the
+    host engine (stdlib sqlite3 -> SQLite 3.40.x) writing every test
+    artifact via Connection.serialize — assert that channel stays
+    alive so test_sqlite_file.py keeps its real-library standing."""
+    import sqlite3
+
+    c = sqlite3.connect(":memory:")
+    c.execute("create table t(a)")
+    c.execute("insert into t values (1)")
+    c.commit()
+    data = c.serialize()
+    assert data[:16] == b"SQLite format 3\x00"
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.sqlite_file import (
+        sqlite_dump,
+    )
+
+    assert sqlite_dump(data)["t"] == [[1]]

@@ -608,6 +608,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "ingest_sqlite_dump",
     "ingest_mbox_mail",
     "text_rtf_extract",
+    "ingest_bplist_assets",
 )
 
 

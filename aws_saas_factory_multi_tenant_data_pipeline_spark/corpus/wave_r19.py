@@ -316,3 +316,89 @@ def text_rtf_extract(spark, sf_dir):
         "doc_id long, n_pars int, n_chars long, codepage string,"
         " text_ok boolean, title_excluded boolean",
     ).orderBy("doc_id")
+
+
+@register(
+    "ingest_bplist_assets",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+               CAST(strlen(text) AS BIGINT) AS n_chars,
+               CAST(doc_id % 4 = 0 AS BOOLEAN) AS has_uid,
+               TRUE AS parity_ok
+        FROM documents WHERE doc_id < 120
+        ORDER BY doc_id
+    """,
+    tags=("B10", "ingest", "documents", "bplist"),
+    doc="Binary property-list ingestion END-TO-END (the [r15] "
+    "bplist00 reader, operators/bplist.py — Apple-ecosystem dumps in "
+    "crawls; sized ints with the signed-8-byte rule, UTF-16BE "
+    "strings, extended lengths, keyed-archiver UIDs, cycle-guarded "
+    "recursion): per doc the HOST plistlib writer builds the blob in "
+    "the executor (word list + nested metadata dict + a UID on every "
+    "4th doc + the full text as a long UTF-16-worthy string), our "
+    "reader decodes the same bytes, and parity_ok lands in the hash "
+    "only when the object tree equals plistlib.loads AND the word "
+    "list round-trips (operators/bplist.py).",
+)
+def ingest_bplist_assets(spark, sf_dir):
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 120).select(
+        "doc_id", "text"
+    )
+
+    def op(batches):
+        import plistlib
+
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.bplist import (
+            parse_bplist,
+            sniff_bplist,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                text = str(text)
+                words = text.split(" ")
+                obj = {
+                    "doc_id": did,
+                    "words": words,
+                    "meta": {
+                        "chars": len(text),
+                        "flag": did % 2 == 0,
+                        "ratio": did / 7.0,
+                        "blob": did.to_bytes(8, "big"),
+                        "title": f"döc {did} — €",
+                    },
+                    "text": text,
+                }
+                if did % 4 == 0:
+                    obj["archiver_ref"] = plistlib.UID(did % 100)
+                data = plistlib.dumps(obj, fmt=plistlib.FMT_BINARY)
+                got = parse_bplist(data)
+                ok = (
+                    sniff_bplist(data)
+                    and got == plistlib.loads(data)
+                    and got["words"] == words
+                    and got["text"] == text
+                )
+                rows.append({
+                    "doc_id": did,
+                    "n_words": len(got["words"]),
+                    "n_chars": got["meta"]["chars"],
+                    "has_uid": "archiver_ref" in got,
+                    "parity_ok": ok,
+                })
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_words", "n_chars", "has_uid",
+                         "parity_ok"],
+            )
+
+    return d.mapInPandas(
+        op,
+        "doc_id long, n_words int, n_chars long, has_uid boolean,"
+        " parity_ok boolean",
+    ).orderBy("doc_id")

@@ -609,6 +609,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "ingest_mbox_mail",
     "text_rtf_extract",
     "ingest_bplist_assets",
+    "text_doc_extract",
 )
 
 

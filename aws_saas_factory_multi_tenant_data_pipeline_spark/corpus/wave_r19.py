@@ -402,3 +402,83 @@ def ingest_bplist_assets(spark, sf_dir):
         "doc_id long, n_words int, n_chars long, has_uid boolean,"
         " parity_ok boolean",
     ).orderBy("doc_id")
+
+
+@register(
+    "text_doc_extract",
+    oracle="""
+        SELECT doc_id,
+               CAST((len(string_split(text, ' ')) + 7) // 8 AS INT)
+                 AS n_paras,
+               CAST(strlen(text) AS BIGINT) AS n_chars,
+               CAST(doc_id % 2 = 0 AS BOOLEAN) AS fast_saved,
+               TRUE AS text_ok,
+               TRUE AS title_ok
+        FROM documents WHERE doc_id < 120
+        ORDER BY doc_id
+    """,
+    tags=("B10", "text", "documents", "office", "cfb"),
+    doc="Legacy .doc text extraction END-TO-END (the [r15] second-wave "
+    "CFB/OLE2 walk + [MS-DOC] piece table, operators/cfb.py — FIB "
+    "fWhichTblStm selects 1Table past a 0xEE decoy 0Table, the Clx "
+    "walk skips a Prc block, and on even docs the FAST-SAVE shape is "
+    "live: pieces alternate 8-bit cp1252/UTF-16LE and are stored in "
+    "REVERSED file order, so a read-after-header extractor returns "
+    "shuffled mojibake; title rides the [MS-OLEPS] "
+    "SummaryInformation property set; no host CFB reader — tripwire "
+    "in tests/test_realworld_r15.py): per doc the text packs into "
+    "8-word paragraphs, builds the container, extracts through the "
+    "UNIFIED office front door (sniff_office_format -> 'doc'), and "
+    "byte-exact text + title land in the hash (operators/cfb.py, "
+    "operators/ooxml.py).",
+)
+def text_doc_extract(spark, sf_dir):
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 120).select(
+        "doc_id", "text"
+    )
+
+    def op(batches):
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.cfb import (
+            build_doc,
+        )
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.ooxml import (
+            office_to_text,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                text = str(text)
+                words = text.split(" ")
+                paras = [
+                    " ".join(words[i : i + 8])
+                    for i in range(0, len(words), 8)
+                ]
+                title = f"Légacy {did} — €"
+                fast = did % 2 == 0
+                pay = build_doc(paras, title=title, fast_save=fast)
+                got = office_to_text(pay)
+                rows.append({
+                    "doc_id": did,
+                    "n_paras": len(paras),
+                    "n_chars": len(text),
+                    "fast_saved": fast,
+                    "text_ok": got["format"] == "doc"
+                    and got["text"] == "\n".join(paras)
+                    and got["n_blocks"] == len(paras),
+                    "title_ok": got["title"] == title,
+                })
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_paras", "n_chars", "fast_saved",
+                         "text_ok", "title_ok"],
+            )
+
+    return d.mapInPandas(
+        op,
+        "doc_id long, n_paras int, n_chars long, fast_saved boolean,"
+        " text_ok boolean, title_ok boolean",
+    ).orderBy("doc_id")

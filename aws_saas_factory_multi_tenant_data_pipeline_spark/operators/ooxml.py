@@ -87,9 +87,22 @@ def _members(payload: bytes) -> dict[str, bytes]:
 
 
 def sniff_office_format(payload: bytes) -> str | None:
-    """'docx' / 'xlsx' / 'pptx' / 'odt' by container content (the
-    part that names the format), None when it's a zip of something
-    else. Extension is advisory only — crawls rename freely."""
+    """'docx' / 'xlsx' / 'pptx' / 'odt' / 'doc' (legacy CFB, [r15]
+    second wave) by container content (the part that names the
+    format), None when it's a zip/CFB of something else. Extension is
+    advisory only — crawls rename freely."""
+    if payload[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
+        # CFB container: legacy .doc when a WordDocument stream exists
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.cfb import (
+            parse_cfb,
+        )
+
+        try:
+            if "WordDocument" in parse_cfb(payload)["streams"]:
+                return "doc"
+        except ValueError:
+            return None
+        return None
     if payload[:4] not in (b"PK\x03\x04", b"PK\x05\x06"):
         return None
     try:
@@ -405,6 +418,13 @@ def office_to_text(payload: bytes) -> dict:
     elif fmt == "pptx":
         d = parse_pptx(payload)
         blocks = [s["text"] for s in d["slides"]]
+    elif fmt == "doc":
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.cfb import (
+            parse_doc,
+        )
+
+        d = parse_doc(payload)
+        blocks = d["text"].split("\n") if d["text"] else []
     else:
         d = parse_odt(payload)
         blocks = d["paragraphs"]

@@ -273,3 +273,34 @@ def test_sqlite_engine_is_the_pin():
     )
 
     assert sqlite_dump(data)["t"] == [[1]]
+
+
+# --- CFB / legacy .doc artifact tripwire ------------------------------------------
+
+
+def test_cfb_real_artifact_tripwire():
+    """No real CFB artifact (.doc/.xls/.ppt/.msi/.msg) or reader
+    (olefile/libgsf) exists on this host today — the container and
+    the .doc piece-table walk are carried by spec-literal fixture
+    traps (tests/test_cfb.py). The moment a real artifact appears,
+    this fails so parse_cfb/parse_doc get pinned against it."""
+    import importlib.util
+
+    found = []
+    for pat in (
+        "/root/.pyenv/versions/*/lib/python*/**/*.doc",
+        "/root/.pyenv/versions/*/lib/python*/**/*.xls",
+        "/root/.pyenv/versions/*/lib/python*/**/*.ppt",
+        "/root/.pyenv/versions/*/lib/python*/**/*.msi",
+        "/root/.pyenv/versions/*/lib/python*/**/*.msg",
+        "/usr/share/**/*.msi",
+    ):
+        found += [f for f in glob.glob(pat, recursive=True)
+                  if open(f, "rb").read(8)
+                  == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"]
+    if importlib.util.find_spec("olefile") is not None:
+        found.append("python-olefile")
+    assert not found, (
+        f"real CFB artifacts/readers appeared: {found[:5]} — pin "
+        "parse_cfb/parse_doc against them now"
+    )

@@ -610,6 +610,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "text_rtf_extract",
     "ingest_bplist_assets",
     "text_doc_extract",
+    "text_legacy_sheets_extract",
 )
 
 

@@ -482,3 +482,94 @@ def text_doc_extract(spark, sf_dir):
         "doc_id long, n_paras int, n_chars long, fast_saved boolean,"
         " text_ok boolean, title_ok boolean",
     ).orderBy("doc_id")
+
+
+@register(
+    "text_legacy_sheets_extract",
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'xls' ELSE 'ppt' END
+                 AS format,
+               CAST((len(string_split(text, ' ')) + 7) // 8 AS INT)
+                 AS n_blocks,
+               CAST(strlen(text) AS BIGINT) AS n_chars,
+               TRUE AS text_ok,
+               TRUE AS title_ok
+        FROM documents WHERE doc_id < 120
+        ORDER BY doc_id
+    """,
+    tags=("B10", "text", "documents", "office", "cfb"),
+    doc="Legacy .xls/.ppt text extraction END-TO-END (the [r15] "
+    "second-wave BIFF8 + PPT97 walks over the CFB container, "
+    "operators/biff.py + operators/ppt97.py — the SST split by a "
+    "CONTINUE record MID-STRING with the encoding switched at the "
+    "boundary, rich-run/ExtRst trailing payloads stepped over, "
+    "LABELSST shared-slot indirection, RK integer encodings, PPT "
+    "text atoms nested 3 containers deep beside decoy CStrings; no "
+    "host reader — tripwire shared with the CFB row): per doc the "
+    "text packs into 8-word blocks, builds the carrier its doc_id%2 "
+    "selects (xls rows of one string cell + row-number cells, ppt "
+    "slides), extracts through the UNIFIED office front door, and "
+    "byte-exact text + the OLEPS title land in the hash "
+    "(operators/biff.py, operators/ppt97.py, operators/ooxml.py).",
+)
+def text_legacy_sheets_extract(spark, sf_dir):
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 120).select(
+        "doc_id", "text"
+    )
+
+    def op(batches):
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.biff import (
+            build_xls,
+        )
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.ooxml import (
+            office_to_text,
+        )
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.ppt97 import (
+            build_ppt,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                text = str(text)
+                words = text.split(" ")
+                blocks = [
+                    " ".join(words[i : i + 8])
+                    for i in range(0, len(words), 8)
+                ]
+                title = f"Légacy shéet {did}"
+                if did % 2 == 0:
+                    pay = build_xls(
+                        [("S1", [[b, ri] for ri, b in
+                                 enumerate(blocks)])],
+                        title=title)
+                    fmt = "xls"
+                else:
+                    pay = build_ppt(blocks, title=title)
+                    fmt = "ppt"
+                got = office_to_text(pay)
+                rows.append({
+                    "doc_id": did,
+                    "format": fmt,
+                    "n_blocks": len(blocks),
+                    "n_chars": len(text),
+                    "text_ok": got["format"] == fmt
+                    and got["text"] == "\n".join(blocks)
+                    and got["n_blocks"] == len(blocks),
+                    "title_ok": got["title"] == title,
+                })
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "format", "n_blocks", "n_chars",
+                         "text_ok", "title_ok"],
+            )
+
+    return d.mapInPandas(
+        op,
+        "doc_id long, format string, n_blocks int, n_chars long,"
+        " text_ok boolean, title_ok boolean",
+    ).orderBy("doc_id")

@@ -98,10 +98,15 @@ def sniff_office_format(payload: bytes) -> str | None:
         )
 
         try:
-            if "WordDocument" in parse_cfb(payload)["streams"]:
-                return "doc"
+            streams = parse_cfb(payload)["streams"]
         except ValueError:
             return None
+        if "WordDocument" in streams:
+            return "doc"
+        if "Workbook" in streams or "Book" in streams:
+            return "xls"
+        if "PowerPoint Document" in streams:
+            return "ppt"
         return None
     if payload[:4] not in (b"PK\x03\x04", b"PK\x05\x06"):
         return None
@@ -398,6 +403,17 @@ def parse_odt(payload: bytes) -> dict:
 # --- unified front door ----------------------------------------------------------
 
 
+def _cfb_title(payload: bytes) -> str | None:
+    """Title from a CFB container's SummaryInformation, when present."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.cfb import (
+        parse_cfb,
+        parse_summary_information,
+    )
+
+    si = parse_cfb(payload)["streams"].get("\x05SummaryInformation")
+    return parse_summary_information(si)["title"] if si else None
+
+
 def office_to_text(payload: bytes) -> dict:
     """Sniff + extract: {'format', 'text', 'title', 'n_blocks'} where
     blocks are paragraphs (docx/odt), string-bearing rows (xlsx), or
@@ -425,6 +441,29 @@ def office_to_text(payload: bytes) -> dict:
 
         d = parse_doc(payload)
         blocks = d["text"].split("\n") if d["text"] else []
+    elif fmt == "xls":
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.biff import (
+            parse_xls,
+        )
+
+        x = parse_xls(payload)
+        blocks = []
+        for sh in x["sheets"]:
+            rows: dict[int, list] = {}
+            for r, c, v in sh["cells"]:
+                if isinstance(v, str):
+                    rows.setdefault(r, []).append((c, v))
+            for r in sorted(rows):
+                blocks.append("\t".join(
+                    v for _, v in sorted(rows[r])))
+        d = {"title": _cfb_title(payload)}
+    elif fmt == "ppt":
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.ppt97 import (
+            parse_ppt,
+        )
+
+        blocks = parse_ppt(payload)["texts"]
+        d = {"title": _cfb_title(payload)}
     else:
         d = parse_odt(payload)
         blocks = d["paragraphs"]

@@ -611,6 +611,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "ingest_bplist_assets",
     "text_doc_extract",
     "text_legacy_sheets_extract",
+    "ingest_msg_mail",
 )
 
 

@@ -573,3 +573,100 @@ def text_legacy_sheets_extract(spark, sf_dir):
         "doc_id long, format string, n_blocks int, n_chars long,"
         " text_ok boolean, title_ok boolean",
     ).orderBy("doc_id")
+
+
+@register(
+    "ingest_msg_mail",
+    oracle="""
+        SELECT doc_id,
+               CAST(strlen(text) AS BIGINT) AS n_chars,
+               CAST(1 + doc_id % 3 AS INT) AS n_recipients,
+               CAST(doc_id % 2 AS INT) AS n_attachments,
+               CAST(doc_id % 4 = 0 AS BOOLEAN) AS has_embedded,
+               TRUE AS roundtrip_ok
+        FROM documents WHERE doc_id < 120
+        ORDER BY doc_id
+    """,
+    tags=("B10", "ingest", "documents", "mail", "cfb"),
+    doc="Outlook .msg ingestion END-TO-END (the [r15] second-wave "
+    "[MS-OXMSG] property-stream walk over the CFB container, "
+    "operators/msg.py — __substg typed streams with UTF-16/cp1252 "
+    "variants, recipient and attachment storages, and on every 4th "
+    "doc an EMBEDDED message in a type-000D storage parsed "
+    "recursively; no host .msg reader — the CFB tripwire covers it): "
+    "per doc a message carries the doc text as body, doc_id%3+1 "
+    "recipients, doc_id%2 attachments, and roundtrip_ok lands in the "
+    "hash only when subject/body/recipients/attachment bytes and the "
+    "embedded message all read back exactly (operators/msg.py, "
+    "operators/cfb.py).",
+)
+def ingest_msg_mail(spark, sf_dir):
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 120).select(
+        "doc_id", "text"
+    )
+
+    def op(batches):
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.msg import (
+            build_msg,
+            parse_msg,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                text = str(text)
+                subject = f"Nächricht {did} — €"
+                recips = [(f"Pérson {k}", f"p{k}.d{did}@example.com")
+                          for k in range(1 + did % 3)]
+                attaches = [("data.bin", did.to_bytes(8, "big") * 5)
+                            ] if did % 2 else []
+                inner = ({"subject": f"inner {did}",
+                          "body": text[:64],
+                          "recipients": [("I", "i@example.com")]}
+                         if did % 4 == 0 else None)
+                pay = build_msg(subject, text,
+                                sender=f"s{did}@example.com",
+                                recipients=recips,
+                                attachments=attaches,
+                                attached_msg=inner,
+                                eightbit_body=False)
+                r = parse_msg(pay)
+                ok = (
+                    r["subject"] == subject
+                    and r["body"] == text
+                    and [(x["name"], x["smtp"])
+                         for x in r["recipients"]] == recips
+                    and [(a["filename"], a["data"])
+                         for a in r["attachments"]]
+                    == attaches
+                    and (len(r["attached_messages"]) == 1
+                         and r["attached_messages"][0]["subject"]
+                         == f"inner {did}"
+                         and r["attached_messages"][0]["body"]
+                         == text[:64]
+                         if inner else not r["attached_messages"])
+                )
+                rows.append({
+                    "doc_id": did,
+                    "n_chars": len(text),
+                    "n_recipients": len(r["recipients"]),
+                    "n_attachments": len(r["attachments"]),
+                    "has_embedded": bool(r["attached_messages"]),
+                    "roundtrip_ok": ok,
+                })
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_chars", "n_recipients",
+                         "n_attachments", "has_embedded",
+                         "roundtrip_ok"],
+            )
+
+    return d.mapInPandas(
+        op,
+        "doc_id long, n_chars long, n_recipients int,"
+        " n_attachments int, has_embedded boolean,"
+        " roundtrip_ok boolean",
+    ).orderBy("doc_id")

@@ -612,6 +612,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "text_doc_extract",
     "text_legacy_sheets_extract",
     "ingest_msg_mail",
+    "ingest_avro_container",
 )
 
 

@@ -670,3 +670,101 @@ def ingest_msg_mail(spark, sf_dir):
         " n_attachments int, has_embedded boolean,"
         " roundtrip_ok boolean",
     ).orderBy("doc_id")
+
+
+@register(
+    "ingest_avro_container",
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'deflate' ELSE 'null' END
+                 AS codec,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_records,
+               CAST(strlen(text) AS BIGINT) AS n_chars,
+               TRUE AS roundtrip_ok,
+               TRUE AS schema_ok
+        FROM documents WHERE doc_id < 120
+        ORDER BY doc_id
+    """,
+    tags=("B10", "ingest", "documents", "avro"),
+    doc="Avro object-container ingestion END-TO-END (the [r15] "
+    "second-wave from-spec reader/writer, operators/avro_file.py — "
+    "zigzag varints, union/enum/fixed/array/map encodings, per-block "
+    "sync verification, raw-deflate codec; the CANONICAL Java Avro "
+    "implementation on Spark's classpath pins both directions in "
+    "tests/test_avro_file.py): per doc one record per word (word, "
+    "position, an every-5th-null union, an enum by position) plus a "
+    "full-text record, written with the codec its doc_id%2 selects "
+    "in 40-record blocks, decoded back, and roundtrip_ok lands in "
+    "the hash only when every record and the schema survive "
+    "byte-exact (operators/avro_file.py).",
+)
+def ingest_avro_container(spark, sf_dir):
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 120).select(
+        "doc_id", "text"
+    )
+
+    def op(batches):
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.avro_file import (
+            build_avro,
+            parse_avro,
+            sniff_avro,
+        )
+
+        schema = {
+            "type": "record", "name": "W", "namespace": "corpus",
+            "fields": [
+                {"name": "word", "type": "string"},
+                {"name": "pos", "type": "long"},
+                {"name": "maybe", "type": ["null", "long"]},
+                {"name": "kind", "type": {
+                    "type": "enum", "name": "K",
+                    "symbols": ["EVEN", "ODD", "TEXT"]}},
+            ],
+        }
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                text = str(text)
+                words = text.split(" ")
+                recs = [
+                    {"word": w, "pos": i,
+                     "maybe": None if i % 5 == 0 else i * did,
+                     "kind": "EVEN" if i % 2 == 0 else "ODD"}
+                    for i, w in enumerate(words)
+                ]
+                recs.append({"word": text, "pos": -1, "maybe": None,
+                             "kind": "TEXT"})
+                codec = "deflate" if did % 2 == 0 else "null"
+                pay = build_avro(
+                    schema, recs, codec=codec,
+                    sync=did.to_bytes(16, "big"), block_records=40)
+                got = parse_avro(pay)
+                ok = (
+                    sniff_avro(pay)
+                    and got["codec"] == codec
+                    and got["schema"] == schema
+                    and got["records"] == recs
+                    and got["records"][-1]["word"] == text
+                )
+                rows.append({
+                    "doc_id": did,
+                    "codec": codec,
+                    "n_records": len(recs) - 1,
+                    "n_chars": len(text),
+                    "roundtrip_ok": ok,
+                    "schema_ok": got["schema"]["name"] == "W",
+                })
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "codec", "n_records", "n_chars",
+                         "roundtrip_ok", "schema_ok"],
+            )
+
+    return d.mapInPandas(
+        op,
+        "doc_id long, codec string, n_records int, n_chars long,"
+        " roundtrip_ok boolean, schema_ok boolean",
+    ).orderBy("doc_id")

@@ -16,8 +16,10 @@ from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus._util import t
     "text_office_extract",
     oracle="""
         SELECT doc_id,
-               CASE doc_id % 4 WHEN 0 THEN 'docx' WHEN 1 THEN 'xlsx'
-                    WHEN 2 THEN 'pptx' ELSE 'odt' END AS format,
+               CASE doc_id % 7 WHEN 0 THEN 'docx' WHEN 1 THEN 'xlsx'
+                    WHEN 2 THEN 'pptx' WHEN 3 THEN 'odt'
+                    WHEN 4 THEN 'doc' WHEN 5 THEN 'xls'
+                    ELSE 'ppt' END AS format,
                CAST((len(string_split(text, ' ')) + 7) // 8 AS INT)
                  AS n_blocks,
                CAST(strlen(text) AS BIGINT) AS n_chars,
@@ -27,18 +29,24 @@ from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus._util import t
         ORDER BY doc_id
     """,
     tags=("B10", "text", "documents", "office"),
-    doc="Office document text extraction END-TO-END (the [r15] "
-    "docx/xlsx/pptx/odt walk, operators/ooxml.py — sharedStrings "
-    "indirection resolved through workbook rels, pptx slide order "
-    "from sldIdLst through the rels with file names stored in "
-    "REVERSED presentation order, docx xml:space runs split at raw "
-    "character positions, odt <text:s/> whitespace expansion; the "
-    "real-LibreOffice ODT pin lives in tests/test_realworld_r15.py): "
-    "per doc the text packs into 8-word paragraphs, builds the "
-    "carrier its doc_id%4 selects WITH the traps live, extracts "
-    "through office_to_text, and the hash grades block structure, "
-    "byte-exact text equality, and dc:title roundtrip "
-    "(operators/ooxml.py, operators/archives.py).",
+    doc="Office document text extraction END-TO-END, ALL SEVEN "
+    "formats through the one sniffing front door (the [r15] "
+    "docx/xlsx/pptx/odt walk, operators/ooxml.py, WIDENED late-r15 "
+    "with the legacy trio doc/xls/ppt over the [MS-CFB] walk — "
+    "sharedStrings indirection through workbook rels, pptx slide "
+    "order from sldIdLst with file names stored in REVERSED "
+    "presentation order, docx xml:space runs split at raw character "
+    "positions, odt <text:s/> whitespace expansion, .doc FAST-SAVE "
+    "piece tables with per-piece 8/16-bit switching past a decoy "
+    "0Table, .xls SST split mid-string by CONTINUE with the encoding "
+    "restated at the boundary, .ppt text atoms in nested containers; "
+    "real-LibreOffice ODT pin in tests/test_realworld_r15.py): per "
+    "doc the text packs into 8-word paragraphs, builds the carrier "
+    "its doc_id%7 selects WITH the traps live, extracts through "
+    "office_to_text, and the hash grades block structure, byte-exact "
+    "text equality, and the dc:title/OLEPS-title roundtrip "
+    "(operators/ooxml.py, operators/cfb.py, operators/biff.py, "
+    "operators/ppt97.py).",
 )
 def text_office_extract(spark, sf_dir):
     import pandas as pd
@@ -48,12 +56,21 @@ def text_office_extract(spark, sf_dir):
     )
 
     def op(batches):
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.biff import (
+            build_xls,
+        )
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.cfb import (
+            build_doc,
+        )
         from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.ooxml import (
             build_docx,
             build_odt,
             build_pptx,
             build_xlsx,
             office_to_text,
+        )
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.ppt97 import (
+            build_ppt,
         )
 
         for pdf in batches:
@@ -67,7 +84,7 @@ def text_office_extract(spark, sf_dir):
                     for i in range(0, len(words), 8)
                 ]
                 title = f"Doc {did} & <{did % 7}>"
-                mode = did % 4
+                mode = did % 7
                 if mode == 0:
                     pay = build_docx(paras, title=title)
                     fmt = "docx"
@@ -77,9 +94,20 @@ def text_office_extract(spark, sf_dir):
                 elif mode == 2:
                     pay = build_pptx(paras, title=title)
                     fmt = "pptx"
-                else:
+                elif mode == 3:
                     pay = build_odt(paras, title=title)
                     fmt = "odt"
+                elif mode == 4:
+                    pay = build_doc(paras, title=title,
+                                    fast_save=did % 2 == 0)
+                    fmt = "doc"
+                elif mode == 5:
+                    pay = build_xls([("S1", [[p] for p in paras])],
+                                    title=title)
+                    fmt = "xls"
+                else:
+                    pay = build_ppt(paras, title=title)
+                    fmt = "ppt"
                 got = office_to_text(pay)
                 rows.append({
                     "doc_id": did,

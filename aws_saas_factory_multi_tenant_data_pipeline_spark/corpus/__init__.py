@@ -613,6 +613,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "text_legacy_sheets_extract",
     "ingest_msg_mail",
     "ingest_avro_container",
+    "ingest_parquet_from_spec",
 )
 
 

@@ -768,3 +768,63 @@ def ingest_avro_container(spark, sf_dir):
         "doc_id long, codec string, n_records int, n_chars long,"
         " roundtrip_ok boolean, schema_ok boolean",
     ).orderBy("doc_id")
+
+
+@register(
+    "ingest_parquet_from_spec",
+    oracle="""
+        SELECT doc_id, lang, source,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(strlen(text) AS BIGINT) AS n_text_chars
+        FROM documents
+        ORDER BY doc_id
+    """,
+    tags=("B10", "ingest", "documents", "parquet"),
+    doc="From-spec parquet decode of the REAL test table — a standing "
+    "THREE-ENGINE agreement gate (the [r15] second-wave reader, "
+    "operators/parquet_file.py — thrift compact footer, v1/v2 data "
+    "pages, PLAIN + RLE_DICTIONARY + RLE-boolean + DELTA families, "
+    "snappy/gzip/zstd pages with snappy itself from spec and pinned "
+    "on the host library): the executor opens the driver-written "
+    "documents.parquet bytes (parquet-cpp 16.1.0, snappy + "
+    "RLE_DICTIONARY) and decodes it with OUR pure-Python reader "
+    "while the driver's DuckDB oracle reads the SAME file with its "
+    "own C++ reader — every row, string byte, and the n_chars "
+    "column land in the hash, so any disagreement between the two "
+    "independent decoders fails the gate (pyarrow is the third "
+    "engine, pinned in tests/test_parquet_file.py). This query is "
+    "the VERIFICATION channel; the distributed scan path for "
+    "parquet is Spark's native reader (operators/parquet_file.py, "
+    "operators/snappy.py).",
+)
+def ingest_parquet_from_spec(spark, sf_dir):
+    import pandas as pd
+
+    path = f"{sf_dir}/documents.parquet"
+
+    def op(batches):
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.parquet_file import (
+            read_parquet,
+        )
+
+        for _ in batches:
+            data = open(path, "rb").read()
+            r = read_parquet(data)
+            cols = r["columns"]
+            yield pd.DataFrame({
+                "doc_id": cols["doc_id"],
+                "lang": cols["lang"],
+                "source": cols["source"],
+                "n_chars": cols["n_chars"],
+                "n_text_chars": [len(t) for t in cols["text"]],
+            })
+
+    return (
+        spark.range(1)
+        .mapInPandas(
+            op,
+            "doc_id long, lang string, source string,"
+            " n_chars long, n_text_chars long",
+        )
+        .orderBy("doc_id")
+    )

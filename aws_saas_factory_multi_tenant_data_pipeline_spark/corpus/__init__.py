@@ -614,6 +614,7 @@ _TAIL_PRIORITY: tuple[str, ...] = (
     "ingest_msg_mail",
     "ingest_avro_container",
     "ingest_parquet_from_spec",
+    "ingest_parquet_vectors",
 )
 
 

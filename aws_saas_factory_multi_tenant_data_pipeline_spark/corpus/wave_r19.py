@@ -828,3 +828,72 @@ def ingest_parquet_from_spec(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "ingest_parquet_vectors",
+    oracle="""
+        SELECT vec_id,
+               CAST(label AS INT) AS label,
+               CAST(len(embedding) AS INT) AS dim,
+               TRUE AS values_ok
+        FROM embeddings
+        ORDER BY vec_id
+    """,
+    tags=("B10", "ingest", "embeddings", "parquet"),
+    doc="From-spec parquet decode of the REAL embeddings table — the "
+    "LIST-column (dremel rep/def level) half of the three-engine "
+    "gate (the [r15] reader, operators/parquet_file.py — one-level "
+    "LIST assembly: null list / empty list / null element / value "
+    "from the d_rep thresholds): the executor decodes the driver's "
+    "embeddings.parquet (list<float> through RLE_DICTIONARY + "
+    "snappy) with OUR reader, values_ok additionally checks every "
+    "float32 against pyarrow's decode of the same bytes "
+    "bit-for-bit, and vec_id/label/dim land in the driver hash "
+    "against DuckDB's own reader (operators/parquet_file.py).",
+)
+def ingest_parquet_vectors(spark, sf_dir):
+    import pandas as pd
+
+    path = f"{sf_dir}/embeddings.parquet"
+
+    def op(batches):
+        import io
+        import struct as _s
+
+        import pyarrow.parquet as pq
+
+        from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.parquet_file import (
+            read_parquet,
+        )
+
+        for _ in batches:
+            data = open(path, "rb").read()
+            r = read_parquet(data)
+            cols = r["columns"]
+            ref = pq.read_table(io.BytesIO(data))
+            ref_emb = ref.column("embedding").to_pylist()
+            oks = []
+            for ours, theirs in zip(cols["embedding"], ref_emb):
+                oks.append(
+                    ours is not None and theirs is not None
+                    and len(ours) == len(theirs)
+                    and all(_s.pack("<f", a) == _s.pack("<f", b)
+                            for a, b in zip(ours, theirs))
+                )
+            yield pd.DataFrame({
+                "vec_id": cols["vec_id"],
+                "label": cols["label"],
+                "dim": [len(e) if e is not None else -1
+                        for e in cols["embedding"]],
+                "values_ok": oks,
+            })
+
+    return (
+        spark.range(1)
+        .mapInPandas(
+            op,
+            "vec_id long, label int, dim int, values_ok boolean",
+        )
+        .orderBy("vec_id")
+    )

@@ -266,22 +266,30 @@ def _plain_values(data: bytes, pos: int, count: int, ptype: str,
     raise ValueError("parquet: unsupported physical type %s" % ptype)
 
 
-def _read_column(data: bytes, col_meta: dict, schema_el: dict,
-                 max_def: int) -> list:
+def _read_column(data: bytes, col_meta: dict, type_length: int,
+                 max_def: int, max_rep: int):
+    """Read every page of a column chunk.
+
+    max_rep == 0: returns the assembled flat value list (Nones
+    injected from def levels). max_rep == 1: returns
+    (values, defs, reps) raw — record assembly happens in the
+    caller, because records may span page boundaries in v1 files."""
     ptype = _PHYS.get(col_meta[1])
     if ptype is None or ptype == "INT96":
         raise ValueError("parquet: unsupported type id %r"
                          % col_meta.get(1))
     codec = col_meta[4]
     num_values = col_meta[5]
-    type_length = schema_el.get(2, 0)
     start = col_meta.get(11, col_meta[9])
     if 11 in col_meta:
         start = min(col_meta[11], col_meta[9])
     pos = start
     dictionary: list | None = None
     out: list = []
-    while len(out) < num_values:
+    all_defs: list[int] = []
+    all_reps: list[int] = []
+    entries = 0
+    while entries < num_values:
         th = _Thrift(data, pos)
         ph = th.struct()
         page_type = ph[1]
@@ -303,6 +311,13 @@ def _read_column(data: bytes, col_meta: dict, schema_el: dict,
             enc = dph[2]
             raw = _decompress(body, codec, uncomp)
             p = 0
+            reps = None
+            if max_rep > 0:
+                ln = struct.unpack_from("<I", raw, p)[0]
+                p += 4
+                bw = max(1, max_rep.bit_length())
+                reps = _rle_bitpacked_hybrid(raw, p, p + ln, bw, n)
+                p += ln
             defs = None
             if max_def > 0:
                 ln = struct.unpack_from("<I", raw, p)[0]
@@ -310,9 +325,10 @@ def _read_column(data: bytes, col_meta: dict, schema_el: dict,
                 bw = max(1, (max_def).bit_length())
                 defs = _rle_bitpacked_hybrid(raw, p, p + ln, bw, n)
                 p += ln
-            out.extend(_decode_values(raw, p, n, enc, ptype,
-                                      type_length, dictionary,
-                                      defs, max_def))
+            vals = _decode_values(raw, p, n, enc, ptype,
+                                  type_length, dictionary,
+                                  defs, max_def,
+                                  flat=max_rep == 0)
         elif page_type == 3:  # data page v2
             dph = ph[8]
             n = dph[1]
@@ -325,6 +341,13 @@ def _read_column(data: bytes, col_meta: dict, schema_el: dict,
             if is_comp:
                 vals_raw = _decompress(
                     vals_raw, codec, uncomp - rl_len - dl_len)
+            reps = None
+            if max_rep > 0 and rl_len:
+                bw = max(1, max_rep.bit_length())
+                reps = _rle_bitpacked_hybrid(levels, 0, rl_len,
+                                             bw, n)
+            elif max_rep > 0:
+                reps = [0] * n
             defs = None
             if max_def > 0 and dl_len:
                 bw = max(1, (max_def).bit_length())
@@ -332,17 +355,26 @@ def _read_column(data: bytes, col_meta: dict, schema_el: dict,
                     levels, rl_len, rl_len + dl_len, bw, n)
             elif max_def > 0:
                 defs = [max_def] * n
-            out.extend(_decode_values(vals_raw, 0, n, enc, ptype,
-                                      type_length, dictionary,
-                                      defs, max_def))
+            vals = _decode_values(vals_raw, 0, n, enc, ptype,
+                                  type_length, dictionary,
+                                  defs, max_def,
+                                  flat=max_rep == 0)
         else:
             raise ValueError("parquet: unknown page type %d"
                              % page_type)
-    return out[:num_values]
+        out.extend(vals)
+        entries += n
+        if max_rep > 0:
+            all_defs.extend(defs if defs is not None else
+                            [max_def] * n)
+            all_reps.extend(reps)
+    if max_rep == 0:
+        return out[:num_values]
+    return out, all_defs[:num_values], all_reps[:num_values]
 
 
 def _decode_values(raw, p, n, enc, ptype, type_length, dictionary,
-                   defs, max_def) -> list:
+                   defs, max_def, flat=True) -> list:
     n_present = n if defs is None else sum(
         1 for d in defs if d == max_def)
     if enc == 0:  # PLAIN
@@ -375,7 +407,7 @@ def _decode_values(raw, p, n, enc, ptype, type_length, dictionary,
                                  prefixed=enc == 7)
     else:
         raise ValueError("parquet: unsupported encoding %d" % enc)
-    if defs is None:
+    if defs is None or not flat:
         return vals
     out = []
     it = iter(vals)
@@ -459,39 +491,55 @@ def read_parquet(data: bytes, columns: list[str] | None = None) -> dict:
         schema_els = fmd[2]
         num_rows = fmd[3]
         row_groups = fmd[4]
-        root = schema_els[0]
-        if root.get(5, 0) != len(schema_els) - 1:
-            raise ValueError(
-                "parquet: nested schemas are a named boundary")
-        cols: dict[str, dict] = {}
+        leaves = _schema_leaves(schema_els)
+        by_path = {lf["path"]: lf for lf in leaves}
+        tops = {}
         order: list[str] = []
-        for el in schema_els[1:]:
-            name = el[4].decode("utf-8")
-            cols[name] = el
-            order.append(name)
+        for lf in leaves:
+            if lf["top"] in tops:
+                raise ValueError(
+                    "parquet: struct columns are a named boundary")
+            tops[lf["top"]] = lf
+            order.append(lf["top"])
         want = order if columns is None else [c for c in order
                                              if c in set(columns)]
         out: dict[str, list] = {c: [] for c in want}
         for rg in row_groups:
             for chunk in rg[1]:
                 cm = chunk[3]
-                name = b".".join(cm[3]).decode("utf-8")
-                if name not in out:
+                path = b".".join(cm[3]).decode("utf-8")
+                lf = by_path.get(path)
+                if lf is None or lf["top"] not in out:
                     continue
-                el = cols[name]
-                # repetition_type: 1 = optional → max_def 1
-                max_def = 1 if el.get(3, 0) == 1 else 0
-                out[name].extend(_read_column(data, cm, el, max_def))
+                el = lf["el"]
+                got = _read_column(data, cm, el.get(2, 0),
+                                   lf["max_def"], lf["max_rep"])
+                if lf["max_rep"] == 0:
+                    out[lf["top"]].extend(got)
+                else:
+                    vals, defs, reps = got
+                    out[lf["top"]].extend(_assemble_lists(
+                        vals, defs, reps, lf))
         schema = []
         for c in want:
-            el = cols[c]
+            lf = tops[c]
+            el = lf["el"]
             conv = el.get(6)
             ptype = _PHYS.get(el[1], "?")
             if ptype == "BYTE_ARRAY" and conv == 0:  # UTF8
-                out[c] = [v.decode("utf-8") if isinstance(v, bytes)
-                          else v for v in out[c]]
+                if lf["max_rep"] == 0:
+                    out[c] = [v.decode("utf-8")
+                              if isinstance(v, bytes) else v
+                              for v in out[c]]
+                else:
+                    out[c] = [
+                        None if rec is None else
+                        [v.decode("utf-8") if isinstance(v, bytes)
+                         else v for v in rec]
+                        for rec in out[c]]
             schema.append({"name": c, "physical": ptype,
                            "converted": conv,
+                           "repeated": lf["max_rep"] > 0,
                            "optional": el.get(3, 0) == 1})
         for c in want:
             if len(out[c]) != num_rows:
@@ -502,3 +550,84 @@ def read_parquet(data: bytes, columns: list[str] | None = None) -> dict:
     except (IndexError, struct.error, KeyError, TypeError,
             UnicodeDecodeError) as e:
         raise ValueError("parquet: torn file (%s)" % e) from e
+
+
+def _schema_leaves(schema_els: list[dict]) -> list[dict]:
+    """Walk the flattened pre-order schema into leaf descriptors:
+    dotted path, max def/rep levels, the def level contributed AT the
+    repeated node (for list assembly), and the owning top field."""
+    i = [1]
+    leaves: list[dict] = []
+
+    def walk(parent_path, max_def, max_rep, d_rep):
+        if i[0] >= len(schema_els):
+            raise ValueError("parquet: schema tree truncated")
+        el = schema_els[i[0]]
+        i[0] += 1
+        rep = el.get(3, 0)  # 0 required / 1 optional / 2 repeated
+        d = max_def + (1 if rep in (1, 2) else 0)
+        r = max_rep + (1 if rep == 2 else 0)
+        if rep == 2:
+            if d_rep is not None:
+                raise ValueError(
+                    "parquet: multi-level repetition is a named"
+                    " boundary")
+            d_rep = d
+        path = parent_path + [el[4].decode("utf-8")]
+        nch = el.get(5, 0)
+        if nch:
+            for _ in range(nch):
+                walk(path, d, r, d_rep)
+        else:
+            if r > 1:
+                raise ValueError(
+                    "parquet: nested lists are a named boundary")
+            leaves.append({
+                "path": ".".join(path), "top": path[0], "el": el,
+                "max_def": d, "max_rep": r, "d_rep": d_rep,
+            })
+
+    root = schema_els[0]
+    n_top = root.get(5, 0)
+    for _ in range(n_top):
+        walk([], 0, 0, None)
+    if i[0] != len(schema_els):
+        raise ValueError("parquet: schema tree size mismatch")
+    return leaves
+
+
+def _assemble_lists(vals: list, defs: list[int], reps: list[int],
+                    lf: dict) -> list:
+    """Dremel record assembly for the one-level LIST shape.
+
+    def < d_rep-1 → null list; def == d_rep-1 → empty list;
+    def >= d_rep → an element slot (null element unless def hits
+    max_def); rep 0 starts a record, rep 1 appends."""
+    d_rep = lf["d_rep"]
+    d_elem = lf["max_def"]
+    out: list = []
+    cur: list | None = None
+    it = iter(vals)
+    for r, d in zip(reps, defs):
+        if r == 0:
+            if d < d_rep - 1:
+                out.append(None)
+                cur = None
+                continue
+            if d == d_rep - 1:
+                out.append([])
+                cur = None
+                continue
+            cur = []
+            out.append(cur)
+        elif cur is None:
+            raise ValueError("parquet: rep level without open record")
+        if d >= d_elem:
+            try:
+                cur.append(next(it))
+            except StopIteration as e:
+                raise ValueError("parquet: list values ran dry") \
+                    from e
+        elif d >= d_rep:
+            cur.append(None)
+    return out

@@ -185,3 +185,85 @@ def test_delta_encodings_forced(senc):
     got = read_parquet(buf.getvalue())
     assert got["columns"]["i"] == t.column("i").to_pylist()
     assert got["columns"]["s"] == t.column("s").to_pylist()
+
+
+def test_list_columns_nested_matrix():
+    t = pa.table({
+        "li": pa.array([[1, 2, 3], [], None, [4], [None, 5], None,
+                        [6, None, 7]],
+                       pa.list_(pa.int64())),
+        "ls": pa.array([["a", "bé"], None, [], ["c", None], ["d"],
+                        [None], ["e", "f", "g"]],
+                       pa.list_(pa.string())),
+        "flat": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+    })
+    for kw in (
+        dict(compression="snappy"),
+        dict(compression="zstd", use_dictionary=False),
+        dict(compression="gzip", version="2.6",
+             data_page_version="2.0"),
+        dict(compression="none", row_group_size=3),
+    ):
+        got = read_parquet(_write(t, **kw))
+        for name in t.column_names:
+            assert got["columns"][name] == \
+                t.column(name).to_pylist(), (name, kw)
+
+
+def test_every_driver_table_row_for_row():
+    # the whole sf0.01 lake: all 11 driver-written tables decode
+    # identically to pyarrow — lineitem is ~60k rows with dates
+    import glob
+    import struct as _s
+
+    paths = sorted(glob.glob("/root/testdata/sf0.01/*.parquet"))
+    assert len(paths) >= 10
+    checked = 0
+    for path in paths:
+        data = open(path, "rb").read()
+        try:
+            got = read_parquet(data)
+        except ValueError as e:
+            # named boundaries (INT96 timestamps etc.) must raise
+            # visibly, never corrupt
+            assert "boundary" in str(e) or "unsupported" in str(e), \
+                (path, e)
+            continue
+        t = pq.read_table(io.BytesIO(data))
+        assert got["num_rows"] == t.num_rows, path
+        for name in t.column_names:
+            ours = got["columns"][name]
+            field = t.schema.field(name)
+            theirs = t.column(name).to_pylist()
+            if pa.types.is_date32(field.type):
+                # our reader surfaces raw INT32 days-since-epoch
+                import datetime
+                epoch = datetime.date(1970, 1, 1)
+                theirs = [None if v is None else (v - epoch).days
+                          for v in theirs]
+            elif pa.types.is_timestamp(field.type):
+                # raw INT64 epoch-micros (annotation in the schema)
+                import datetime
+                epoch = datetime.datetime(1970, 1, 1)
+                theirs = [None if v is None else
+                          int((v - epoch).total_seconds() * 10**6
+                              + 0.5) if not isinstance(v, int)
+                          else v for v in theirs]
+            if pa.types.is_float32(field.type):
+                same = all(
+                    (a is None and b is None)
+                    or _s.pack("<f", a) == _s.pack("<f", b)
+                    for a, b in zip(ours, theirs))
+            elif (pa.types.is_list(field.type)
+                  and pa.types.is_float32(field.type.value_type)):
+                same = all(
+                    (a is None and b is None)
+                    or (a is not None and len(a) == len(b) and all(
+                        _s.pack("<f", x) == _s.pack("<f", y)
+                        for x, y in zip(a, b)))
+                    for a, b in zip(ours, theirs))
+            else:
+                same = ours == theirs
+            assert same, (path, name)
+        checked += 1
+    assert checked >= 10

@@ -83,21 +83,7 @@ def pagerank(
     # job, and an InMemoryRelation replaces that reuse with a cache
     # materialization pass plus per-scan deserialization. The
     # degree-annotated e_deg persist below is the one that matters.
-    nodes = (
-        edges.select(F.col(src).alias("node"))
-        .unionByName(edges.select(F.col(dst).alias("node")))
-        .distinct()
-    )
-    n_nodes = nodes.agg(F.count(F.lit(1)).alias("__n"))
     outdeg = edges.groupBy(F.col(src).alias("node")).agg(F.count(F.lit(1)).alias("__deg"))
-    ranks = (
-        nodes.crossJoin(F.broadcast(n_nodes))
-        .select("node", "__n", F.expr(f"CAST({UNITS} AS BIGINT) div __n").alias("ru"))
-        # materialize r0: its lineage re-derives the caller's whole edge
-        # plan (union + two distincts); without the cut, iteration 1 pays
-        # all of it again
-        .localCheckpoint(eager=True)
-    )
     e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
     # Materialize the degree-annotated edge list ONCE: without this, every
     # iteration re-executes the caller's edge-derivation lineage (often a
@@ -107,79 +93,121 @@ def pagerank(
     # + node join, the shape the module docstring promises.
     e_deg = (
         e.join(
-            outdeg.select(F.col("node").alias("__on"), "__deg"),
+            # shuffle_hash: forces a SHUFFLED join (never broadcast), so
+            # the join's output partitioning is hashpartitioning(__src) —
+            # the exact layout every iteration's join needs. r15: this
+            # replaces an explicit .repartition("__src") AFTER the join,
+            # which paid a second full exchange of the edge list for a
+            # partitioning the shuffled join already provides (guide
+            # §2.4: two operations keyed the same way share one
+            # exchange). PERSIST (not localCheckpoint): InMemoryTableScan
+            # preserves the cached plan's hashpartitioning(__src), so
+            # each iteration's shuffle-hash join reuses the cached layout
+            # and exchanges only the (node-sized) rank frame — a
+            # localCheckpoint here loses outputPartitioning (Scan
+            # ExistingRDD reports Unknown) and silently re-shuffles the
+            # edge list every round; pinned by
+            # tests/test_plans.py::test_pagerank_iteration_never_moves_edges.
+            # MEMORY_AND_DISK is the GraphX-style iterative trade: the
+            # edge list spills rather than recomputes.
+            outdeg.select(F.col("node").alias("__on"), "__deg").hint("shuffle_hash"),
             F.col("__src") == F.col("__on"),
         )
         .select("__src", "__dst", "__deg")
-        # pre-partition on the per-iteration join key, then PERSIST (not
-        # localCheckpoint): InMemoryTableScan preserves the cached plan's
-        # hashpartitioning(__src), so each iteration's shuffle-hash join
-        # reuses the cached layout and exchanges only the (node-sized)
-        # rank frame — a localCheckpoint here loses outputPartitioning
-        # (Scan ExistingRDD reports Unknown) and silently re-shuffles the
-        # edge list every round; pinned by
-        # tests/test_plans.py::test_pagerank_iteration_never_moves_edges.
-        # MEMORY_AND_DISK is the GraphX-style iterative trade: the edge
-        # list spills rather than recomputes.
-        .repartition(F.col("__src"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     e_deg.count()  # materialize once, before the loop
-    teleport = F.expr(f"CAST({(100 - damping_pct) * UNITS} AS BIGINT) div (100 * __n)")
-    rounds = 0
-    converged = False
-    last_delta: int | None = None
-    for _ in range(iters):
-        # shuffle-hash on the rank side: the checkpointed edge list keeps
-        # its hash partitioning, so only the node-sized rank frame moves,
-        # and no per-iteration driver broadcast build happens — also the
-        # only shape that works when the node set outgrows a broadcast
-        # (measured: 25% faster than the BHJ loop even at sf0.1)
-        contribs = e_deg.join(
-            ranks.select("node", "ru").hint("shuffle_hash"),
-            F.col("__src") == F.col("node"),
-        ).select(F.col("__dst").alias("node"), F.expr("ru div __deg").alias("__c"))
-        sums = contribs.groupBy("node").agg(F.sum("__c").alias("__s"))
-        if plan_probe is not None:  # test hook: capture the iteration body
-            plan_probe.append(sums._jdf.queryExecution().executedPlan().toString())
-        prev_cols = (
-            [F.col("ru").alias("__prev_ru")] if tol_units is not None else []
-        )
+    # r15: the node frame and r0 derive from the PERSISTED e_deg, not from
+    # the caller's edge lineage — e_deg holds exactly the input edge rows
+    # (outdeg is computed from edges, so the inner join drops nothing),
+    # and reading the cache replaces a second scan + distinct of the
+    # upstream plan (guide §2.4: remove shuffles/passes outright).
+    nodes = (
+        e_deg.select(F.col("__src").alias("node"))
+        .unionByName(e_deg.select(F.col("__dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("__n"))
+    # r15: the fixed-point region (r0 + the loop) runs with AQE OFF. Every
+    # round's shapes are fully known ahead of time — the edge side is a
+    # persisted frame with pinned partitioning and the rank frame is
+    # node-sized — so AQE's per-shuffle driver re-planning only adds
+    # latency to an iterative job (measured at sf0.1: loop 2.5 s -> 1.5 s,
+    # r0 0.9 s -> 0.4 s; the guide's §1.2 "distributed algorithm first"
+    # applies — no data moves differently, only scheduling). The session
+    # value is restored in `finally`; the final round is checkpointed
+    # EAGERLY so the whole loop executes inside this conf window.
+    sess = edges.sparkSession
+    aqe_before = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
         ranks = (
-            ranks.select("node", "__n", *prev_cols)
-            .join(sums, "node", "left")
-            .select(
-                "node",
-                "__n",
-                *(["__prev_ru"] if tol_units is not None else []),
-                (
-                    teleport
-                    + F.expr(f"({damping_pct} * coalesce(__s, CAST(0 AS BIGINT))) div 100")
-                ).alias("ru"),
-            )
-            # lazy checkpoint: lineage still truncates at first
-            # materialization (round k+1 reads round k's persisted
-            # blocks, never its plan), but the whole loop now runs as
-            # ONE job at action time instead of one eager job per round
-            # — measured 4.8 s -> 3.7 s at sf0.1 (per-job scheduling
-            # overhead, not data, dominated). The tol_units path
-            # materializes each round anyway via the delta agg.
-            .localCheckpoint(eager=False)
+            nodes.crossJoin(F.broadcast(n_nodes))
+            .select("node", "__n", F.expr(f"CAST({UNITS} AS BIGINT) div __n").alias("ru"))
+            # materialize r0: its lineage re-derives the cached edge frame
+            # scan; without the cut, iteration 1 pays it again
+            .localCheckpoint(eager=True)
         )
-        rounds += 1
-        if tol_units is not None:
-            # exact BIGINT max |Δ| over the round just materialized —
-            # one node-sized agg job against the fresh checkpoint, no
-            # extra join. Stop when the fixed-point loop is within
-            # tolerance: the returned frame is bit-identical to a
-            # fixed iters=rounds run (replayable by
-            # pagerank_oracle_sql(..., iters=rounds)).
-            last_delta = ranks.agg(
-                F.max(F.abs(F.col("ru") - F.col("__prev_ru"))).alias("d")
-            ).collect()[0]["d"]
-            if last_delta is not None and last_delta <= tol_units:
-                converged = True
-                break
+        teleport = F.expr(f"CAST({(100 - damping_pct) * UNITS} AS BIGINT) div (100 * __n)")
+        rounds = 0
+        converged = False
+        last_delta: int | None = None
+        for _it in range(iters):
+            # shuffle-hash on the rank side: the checkpointed edge list keeps
+            # its hash partitioning, so only the node-sized rank frame moves,
+            # and no per-iteration driver broadcast build happens — also the
+            # only shape that works when the node set outgrows a broadcast
+            # (measured: 25% faster than the BHJ loop even at sf0.1)
+            contribs = e_deg.join(
+                ranks.select("node", "ru").hint("shuffle_hash"),
+                F.col("__src") == F.col("node"),
+            ).select(F.col("__dst").alias("node"), F.expr("ru div __deg").alias("__c"))
+            sums = contribs.groupBy("node").agg(F.sum("__c").alias("__s"))
+            if plan_probe is not None:  # test hook: capture the iteration body
+                plan_probe.append(sums._jdf.queryExecution().executedPlan().toString())
+            prev_cols = (
+                [F.col("ru").alias("__prev_ru")] if tol_units is not None else []
+            )
+            ranks = (
+                ranks.select("node", "__n", *prev_cols)
+                .join(sums, "node", "left")
+                .select(
+                    "node",
+                    "__n",
+                    *(["__prev_ru"] if tol_units is not None else []),
+                    (
+                        teleport
+                        + F.expr(f"({damping_pct} * coalesce(__s, CAST(0 AS BIGINT))) div 100")
+                    ).alias("ru"),
+                )
+                # lazy checkpoints for rounds 1..k-1: lineage still truncates
+                # at first materialization (round k+1 reads round k's
+                # persisted blocks, never its plan), but the whole loop runs
+                # as ONE fused job — measured 4.8 s -> 3.7 s at sf0.1
+                # (per-job scheduling overhead, not data, dominated). r15:
+                # the LAST round checkpoints EAGERLY so that single fused job
+                # executes here, inside the AQE-off conf window, instead of
+                # at the caller's action after the conf is restored. The
+                # tol_units path materializes each round anyway via the
+                # delta agg.
+                .localCheckpoint(eager=(_it == iters - 1 and tol_units is None))
+            )
+            rounds += 1
+            if tol_units is not None:
+                # exact BIGINT max |Δ| over the round just materialized —
+                # one node-sized agg job against the fresh checkpoint, no
+                # extra join. Stop when the fixed-point loop is within
+                # tolerance: the returned frame is bit-identical to a
+                # fixed iters=rounds run (replayable by
+                # pagerank_oracle_sql(..., iters=rounds)).
+                last_delta = ranks.agg(
+                    F.max(F.abs(F.col("ru") - F.col("__prev_ru"))).alias("d")
+                ).collect()[0]["d"]
+                if last_delta is not None and last_delta <= tol_units:
+                    converged = True
+                    break
+    finally:
+        sess.conf.set("spark.sql.adaptive.enabled", aqe_before)
     if info is not None:
         info["rounds"] = rounds
         info["converged"] = converged

@@ -77,12 +77,22 @@ def pq_train(
     """Train per-subspace codebooks → (subspace, code, centroid) where
     centroid is an array<bigint> of micro-units.
 
-    Each subspace runs ``iterations`` Lloyd rounds from md5-ordered
-    seeds. The quantized input is persisted for the duration of
-    training (every Lloyd round of every subspace reads it — without
-    the persist that is 2m+ redundant source scans + re-quantizations)
-    and unpersisted before returning; the per-round centroid frames are
-    eagerly checkpointed, so nothing returned still depends on it."""
+    ALL m subspaces train in ONE plan (r15): the k seed vectors are the
+    same ids for every subspace (md5(id) order does not depend on the
+    subspace), so one TakeOrdered pass seeds all m·k centroids; each
+    Lloyd round then assigns all m codes per input row in a single
+    broadcast scan (the pq_encode shape) and runs one combined
+    (subspace, code, dim) update aggregation. The previous per-subspace
+    Python loop paid m eager checkpoint jobs and 2m scans of the
+    quantized cache for identical arithmetic — measured at sf0.1 this
+    halves the end-to-end similarity_pq_adc time. Per-subspace argmin,
+    tie-to-lowest-code, and floor(sum/count) updates are unchanged
+    bit-for-bit (exact integer math throughout).
+
+    The quantized input is persisted for the duration of training
+    (every Lloyd round reads it) and unpersisted before returning; the
+    per-round centroid frames are eagerly checkpointed, so nothing
+    returned still depends on it."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     from pyspark import StorageLevel
@@ -91,29 +101,54 @@ def pq_train(
     q = df.select(
         F.col(id_col).alias("__id"), quantize_micro(F.col(vec_col)).alias("__q")
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    books: list[DataFrame] = []
-    for j in range(m):
-        sub = q.select("__id", _subvec(F.col("__q"), j, dsub).alias("__v"))
-        seeds = (
-            sub.select(F.md5(F.col("__id").cast("string")).alias("__r"), "__id", "__v")
-            .orderBy("__r", "__id")
-            .limit(k)
-        )
-        w = Window.orderBy("__r", "__id")
-        cents = seeds.select(
-            (F.row_number().over(w) - 1).alias("code"), F.col("__v").alias("centroid")
-        )
+    seeds = (
+        q.select(F.md5(F.col("__id").cast("string")).alias("__r"), "__id", "__q")
+        .orderBy("__r", "__id")
+        .limit(k)
+    )
+    w = Window.orderBy("__r", "__id")
+    # code numbering FIRST (its own projection — a window next to a
+    # generator would number the exploded rows), THEN the m-way slice
+    seeded = seeds.select((F.row_number().over(w) - 1).alias("code"), "__q")
+    cents = seeded.select(
+        "code",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("subspace"),
+                        _subvec(F.col("__q"), j, dsub).alias("centroid"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("__s"),
+    ).select(
+        F.col("__s.subspace").alias("subspace"), "code", F.col("__s.centroid").alias("centroid")
+    )
+    # Lloyd rounds run with AQE off (restored in finally): the round
+    # shapes are known — broadcast assign over the persisted cache, a
+    # bounded (m·k·dsub)-row aggregation — and each round materializes
+    # eagerly INSIDE this window, so AQE's per-shuffle driver
+    # re-planning would only add latency (same finding as
+    # graph.pagerank's fixed-point loop).
+    sess = df.sparkSession
+    aqe_before = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
         for _ in range(iterations):
-            assigned = _assign_codes(sub, cents)
+            assigned = _assign_codes_all(q, cents, m, dsub)
             cents = (
-                assigned.select("code", F.posexplode("__v").alias("dim", "val"))
-                .groupBy("code", "dim")
+                assigned.select(
+                    "subspace", "code", F.posexplode("__v").alias("dim", "val")
+                )
+                .groupBy("subspace", "code", "dim")
                 .agg(
                     F.floor(
                         F.sum("val").cast("double") / F.count(F.lit(1))
                     ).cast("long").alias("val")
                 )
-                .groupBy("code")
+                .groupBy("subspace", "code")
                 .agg(
                     F.transform(
                         F.array_sort(F.collect_list(F.struct("dim", "val"))),
@@ -121,35 +156,50 @@ def pq_train(
                     ).alias("centroid")
                 )
             ).localCheckpoint(eager=True)
-        books.append(cents.select(F.lit(j).alias("subspace"), "code", "centroid"))
-    # every returned frame is (derived from) an eagerly-checkpointed
+    finally:
+        sess.conf.set("spark.sql.adaptive.enabled", aqe_before)
+    # the returned frame is (derived from) an eagerly-checkpointed
     # centroid set, so releasing the training cache is safe; with
     # iterations=0 the lazy seed frame simply recomputes if read later
     q.unpersist()
-    out = books[0]
-    for b in books[1:]:
-        out = out.unionByName(b)
-    return out
+    return cents
 
 
-def _assign_codes(sub: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-codeword assignment for one subspace: argmin exact
-    integer L2, ties to the lowest code. Zero-shuffle broadcast shape
-    (the assign_clusters convention)."""
+def _assign_codes_all(q: DataFrame, cents: DataFrame, m: int, dsub: int) -> DataFrame:
+    """Nearest-codeword assignment for ALL m subspaces in one scan:
+    the m·k centroids collapse into one broadcast row; per input row,
+    each subspace's argmin (exact integer L2, ties to the lowest code)
+    is an array_min over that subspace's filtered slice, exploded into
+    (subspace, code, __v) rows. Zero-shuffle broadcast shape (the
+    assign_clusters convention)."""
     packed = cents.agg(
-        F.array_sort(F.collect_list(F.struct("code", "centroid"))).alias("__cb")
+        F.array_sort(
+            F.collect_list(F.struct("subspace", "code", "centroid"))
+        ).alias("__cb")
     )
-    scored = F.transform(
-        F.col("__cb"),
-        lambda c: F.struct(
-            _l2sq(F.col("__v"), c["centroid"]).alias("dist"), c["code"].alias("code")
-        ),
-    )
-    best = F.array_min(scored)
+
+    def best(j: int) -> Column:
+        scored = F.transform(
+            F.filter(F.col("__cb"), lambda c: c["subspace"] == F.lit(j)),
+            lambda c: F.struct(
+                _l2sq(_subvec(F.col("__q"), j, dsub), c["centroid"]).alias("dist"),
+                c["code"].alias("code"),
+            ),
+        )
+        return F.struct(
+            F.lit(j).alias("subspace"),
+            F.array_min(scored)["code"].alias("code"),
+            _subvec(F.col("__q"), j, dsub).alias("__v"),
+        )
+
     return (
-        sub.crossJoin(F.broadcast(packed))
-        .withColumn("code", best["code"])
-        .select("__id", "__v", "code")
+        q.crossJoin(F.broadcast(packed))
+        .select(F.explode(F.array(*[best(j) for j in range(m)])).alias("__a"))
+        .select(
+            F.col("__a.subspace").alias("subspace"),
+            F.col("__a.code").alias("code"),
+            F.col("__a.__v").alias("__v"),
+        )
     )
 
 

@@ -585,6 +585,21 @@ def bitext_mine(
             dot(F.col("__sv"), F.col("__tv")) / (F.col("__sn") * F.col("__tn")), 6
         ).alias("cosine"),
     )
+    # r15: materialize the scored pair matrix ONCE. It feeds three
+    # subtrees (the rs window, the rt window, and the final margin
+    # projection), and Catalyst does not share the cross-join between
+    # them — the before-plan showed 3 BroadcastNestedLoopJoins, i.e.
+    # every |src|·|tgt| cosine fold evaluated three times. One eager
+    # pass + cached reads cuts the dominant compute 3×. This is the
+    # EXACT quadratic-by-contract oracle form (the scale paths are
+    # bitext_mine_candidates/_ann/_lsh), so persisting |s|·|t| rows of
+    # (id, id, cosine) is within this form's declared envelope; the
+    # handle is exposed as ``result.pair_cache`` for long-lived callers
+    # (the minhash shingle_cache convention).
+    from pyspark import StorageLevel
+
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    pairs.count()
     dec = F.col("cosine").cast("decimal(18,6)")
     wsrc = Window.partitionBy("src_id").orderBy(
         F.col("cosine").desc(), F.col("tgt_id")
@@ -645,6 +660,7 @@ def bitext_mine(
         )
     )
     if not mutual:
+        forward.pair_cache = pairs
         return forward
     # mutual best: keep a pair only when the target also elects the
     # source as ITS best (forward ∩ backward — the highest-precision
@@ -657,7 +673,9 @@ def bitext_mine(
         .where(F.col("__r") == 1)
         .select("src_id", "tgt_id")
     )
-    return forward.join(backward, ["src_id", "tgt_id"], "left_semi")
+    result = forward.join(backward, ["src_id", "tgt_id"], "left_semi")
+    result.pair_cache = pairs
+    return result
 
 
 def bitext_mine_candidates(

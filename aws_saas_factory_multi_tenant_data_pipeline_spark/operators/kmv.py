@@ -76,7 +76,10 @@ def merge_bottomk(sketches: list[DataFrame], k: int) -> DataFrame:
 
 
 def kmv_estimates(
-    sketch: DataFrame, probs=(0.25, 0.5, 0.75, 0.9), k: int | None = None
+    sketch: DataFrame,
+    probs=(0.25, 0.5, 0.75, 0.9),
+    k: int | None = None,
+    pre_materialized: bool = False,
 ) -> DataFrame:
     """(stat, est) rows from a k-row sketch: type-1 quantile estimates of
     the value distribution, the KMV row-count estimate (n−1)/u_n with
@@ -88,10 +91,16 @@ def kmv_estimates(
     Pass ``k`` (the sketch capacity) to get the standard small-sketch
     behavior: when the sketch holds fewer than k rows it IS the whole
     population, so n_est is the exact count n — (n−1)/u_n would be
-    biased (~n−1 in expectation) there."""
+    biased (~n−1 in expectation) there.
+
+    ``pre_materialized`` (r15): callers that already hold the sketch as
+    a materialized (checkpointed/persisted) frame skip the internal
+    checkpoint — re-checkpointing an already-materialized frame copies
+    blocks and pays one extra driver job for nothing."""
     # one scan total: materialize the k-row sketch executor-side, then the
     # count and every estimate read k rows instead of re-running TakeOrdered
-    sketch = sketch.localCheckpoint(eager=True)
+    if not pre_materialized:
+        sketch = sketch.localCheckpoint(eager=True)
     n = sketch.count()
     if n == 0:
         raise ValueError("empty sketch")
@@ -107,12 +116,30 @@ def kmv_estimates(
         "__r",
         F.row_number().over(Window.orderBy("value", "__r")).alias("__vr"),
     )
+    # r15: ALL quantile rows come from ONE pass over the ranked frame —
+    # the previous per-probs subframes each re-ran the two k-row window
+    # sorts, so the assembled plan carried 2·|probs| redundant window
+    # stages whose per-stage scheduling latency dominated the (k-row)
+    # work. The literal (stat, target-rank) map is exploded per matching
+    # row, so several probs hitting the SAME rank (tiny sketches) still
+    # emit one row each, exactly as the per-probs subframes did.
+    targets = [(f"q{int(q * 100)}", max(1, math.ceil(q * n))) for q in probs]
+    tmap = F.array(
+        *[
+            F.struct(F.lit(s).alias("stat"), F.lit(c).alias("vr"))
+            for s, c in targets
+        ]
+    )
     parts = [
-        by_value.where(F.col("__vr") == max(1, math.ceil(q * n))).select(
-            F.lit(f"q{int(q * 100)}").alias("stat"),
+        by_value.where(F.col("__vr").isin([c for _, c in targets]))
+        .select(
+            F.explode(F.filter(tmap, lambda t: t["vr"] == F.col("__vr"))).alias("__t"),
+            "value",
+        )
+        .select(
+            F.col("__t.stat").alias("stat"),
             F.round("value", 6).alias("est"),
         )
-        for q in probs
     ]
     # KMV row-count estimate from the largest retained hash; a sketch
     # that never filled (n < k) holds the entire population → exact n

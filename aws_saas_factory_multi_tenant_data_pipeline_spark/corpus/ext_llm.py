@@ -322,19 +322,33 @@ def text_tfidf_top_terms(spark, sf_dir):
     from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import tokens
 
     d = t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    # df via a whole-partition window count over tf, not a second explode
-    # pass: tf already holds one row per distinct (doc_id, term), so
-    # COUNT(*) OVER (PARTITION BY term) == COUNT(DISTINCT doc_id) per term.
-    # One scan of the raw text instead of two (exchange reuse does not fire
-    # here — column pruning makes the two agg subtrees differ), and no
-    # tf⋈df join: the window reuses the same by-term shuffle the join
-    # would have needed anyway.
+    # r15: split the corpus-global statistics from the scored slice.
+    # df/n_docs must see EVERY document, but tf and both output windows
+    # only matter for the doc_id < 50 slice the query returns — so the
+    # slice filter is pushed into its own scan (PushedFilters carries
+    # doc_id < 50) and only ~50 docs' terms reach the tf aggregation and
+    # the rank window, instead of the whole corpus flowing through a
+    # by-term window + a by-doc window. The df side stays an aggregation
+    # over all docs (one distinct-terms explode, map-side combined); the
+    # pruned tf side is broadcast — bounded by the query's doc slice, so
+    # the vocabulary-sized df frame streams and is never broadcast or
+    # window-sorted. df per term is COUNT of distinct docs containing it,
+    # identical to the old whole-partition window count over tf.
+    toks_all = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("term")
+    )
+    dfreq = toks_all.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = d.select(F.countDistinct("doc_id").alias("n_docs"))
-    w_term = W.partitionBy("term")
+    pr = d.where(F.col("doc_id") < 50).select(
+        "doc_id", tokens(F.col("text")).alias("__toks")
+    )
+    tf = (
+        pr.select("doc_id", F.explode("__toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
     scored = (
-        tf.withColumn("df", F.count("*").over(w_term))
+        dfreq.join(F.broadcast(tf), "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
@@ -347,8 +361,9 @@ def text_tfidf_top_terms(spark, sf_dir):
     w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
-        .where((F.col("rk") <= 3) & (F.col("doc_id") < 50))
+        .where(F.col("rk") <= 3)
         .orderBy("doc_id", "rk")
+        .select("doc_id", "term", "tfidf", "rk")
     )
 
 

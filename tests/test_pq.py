@@ -133,6 +133,31 @@ def test_train_rejects_indivisible_dim(emb):
         pq_train(emb, m=5, k=4, iterations=1, dim=_DIM)
 
 
+def test_adc_hot_path_has_no_lambda(trained, emb):
+    """r15 optimization pin: the per-(corpus row × query) ADC sum must
+    be the UNROLLED flat expression — m dense-array reads + adds — not
+    an interpreted aggregate/zip_with lambda (measured 2.5× the whole
+    search phase at sf1). The lambda forms are fine on the tiny
+    per-query table-build side; the pin scopes to the projection that
+    defines adc_dist."""
+    import re
+
+    cb, enc = trained
+    qs = emb.where("vec_id % 37 = 1").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    df = pq_topk_adc(enc, qs, cb, topk=5, m=_M, dim=_DIM)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    proj = next(
+        ln for ln in plan.splitlines() if re.search(r"AS adc_dist#\d+", ln)
+    )
+    assert "lambdafunction" not in proj, proj
+    assert proj.count("element_at") >= 2 * _M, proj  # m codes + m table reads
+    # the top-k window still prunes before the exchange
+    assert "WindowGroupLimit" in plan
+
+
 # ---- MaxSim late-interaction reranker (operators/similarity.py) -----------
 
 

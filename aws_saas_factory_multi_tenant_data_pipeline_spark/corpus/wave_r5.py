@@ -430,9 +430,11 @@ def _pagerank_oracle() -> str:
     oracle=_pagerank_oracle(),
     tags=("B10", "graph"),
     doc="PageRank (4 power iterations, d=0.85) over the symmetrized "
-    "part-supplier bipartite graph from lineitem. Each iteration: one "
-    "dst-keyed shuffle with map-side-combined integer contribution sums "
-    "+ a node join, lineage truncated per round; FIXED-POINT BIGINT "
+    "part-supplier bipartite graph from lineitem. Each iteration: the "
+    "node-sized rank frame broadcasts into the dst-partitioned edge "
+    "cache and integer contribution sums aggregate in place (zero "
+    "edge-sized exchange per round), lineage truncated per round; "
+    "FIXED-POINT BIGINT "
     "arithmetic makes the whole loop replay bit-for-bit — the oracle is the "
     "GENERATED unrolled-CTE twin from the same parameters.",
 )

@@ -5,11 +5,20 @@ Connected components (duplicate-cluster resolution) lives in
 importance measure a data platform wants over entity graphs (supplier/
 part networks, document link graphs, user interaction graphs).
 
-Scale shape: each power iteration is ONE shuffle keyed on the edge
-destination (contributions aggregate with map-side combine) plus a keyed
-join back to the node frame; lineage is truncated per iteration with
-``localCheckpoint`` exactly like the connected-components loop, so
-iteration N never re-executes rounds 1..N-1.
+Scale shape (r16): the edge list is cached ONCE laid out by the edge
+destination; each power iteration broadcasts the node-sized rank frame
+to the edge partitions, so the per-destination contribution sums
+aggregate IN PLACE (zero edge-sized exchange per round — the r15 shape
+still exchanged edge-cardinality partial sums keyed by dst every
+round). Lineage is truncated per iteration with ``localCheckpoint``
+exactly like the connected-components loop, so iteration N never
+re-executes rounds 1..N-1. The memory trade is explicit: two node-sized
+broadcasts per round (ranks into the contribution join, sums into the
+rank update); a graph whose NODE set outgrows a broadcast (~100M+
+nodes / the 8 GB broadcast cap) needs the rank frame shuffled instead —
+re-key the contribution join with ``.hint("shuffle_hash")`` on the rank
+side over a src-partitioned cache (the pre-r16 shape, kept in git
+history) before running at that scale.
 
 Determinism contract — FIXED-POINT INTEGER arithmetic: ranks live as
 BIGINT micro-units (1 = 1e-12 of total mass), every step is integer
@@ -93,29 +102,43 @@ def pagerank(
     # + node join, the shape the module docstring promises.
     #
     # Out-degree comes from a window count partitioned by __src, not from
-    # a groupBy + self-join: the aggregate/join form paid TWO exchanges of
-    # the full edge list (one for the degree groupBy, one to lay the join
-    # out by __src) where the window needs exactly ONE — and its required
-    # child distribution is hashpartitioning(__src), the same layout every
-    # iteration's join needs, so nothing is lost (guide §2.4: two
-    # operations keyed the same way share one exchange; measured at sf0.1
-    # interleaved: 2.83 s → 2.52 s isolated min for the full query).
-    # Every edge row's __src has ≥ 1 row by definition, so the window
-    # count equals the old inner-join degree row-for-row.
+    # a groupBy + broadcast-join back onto the edges: the window keeps the
+    # caller's edge lineage to ONE execution (a degree groupBy is a second
+    # full pass over it — measured r16: the join form ties at sf0.1 but
+    # re-runs an arbitrary upstream plan twice, which is strictly worse at
+    # scale), and it keeps null-__src edge rows (a join on __src would
+    # drop or null-pad them; the oracle's outdeg GROUP BY keeps the null
+    # group). Every edge row's __src has ≥ 1 row by definition, so the
+    # window count equals a per-src degree row-for-row.
+    # r16: the cache is then laid out by __dst — the aggregation key of
+    # every iteration's contribution sums. With the rank frame BROADCAST
+    # into the contribution join (node-sized, see the loop), the
+    # per-round groupBy(__dst) aggregates in place on the cached layout:
+    # the r15 shape's per-round `Exchange hashpartitioning(node)` of
+    # edge-cardinality partial sums is GONE (guide §2.4 — the one
+    # remaining per-round exchange carried the most rows of anything in
+    # the loop; interleaved sf0.1 A/B old min 2.98 / new min 2.32, and
+    # the win grows with edges/node density). The setup pays one extra
+    # edge-sized exchange ONCE (window needs __src layout, the cache
+    # needs __dst) and saves one per ROUND.
     # PERSIST (not localCheckpoint): InMemoryTableScan preserves the
-    # cached plan's hashpartitioning(__src), so each iteration's
-    # shuffle-hash join reuses the cached layout and exchanges only the
-    # (node-sized) rank frame — a localCheckpoint here loses
-    # outputPartitioning (Scan ExistingRDD reports Unknown) and silently
-    # re-shuffles the edge list every round; pinned by
+    # cached plan's hashpartitioning(__dst), so each round's complete
+    # aggregation pipelines over the cache scan with no exchange — a
+    # localCheckpoint here loses outputPartitioning (Scan ExistingRDD
+    # reports Unknown) and silently re-shuffles the partial sums every
+    # round; pinned by
     # tests/test_plans.py::test_pagerank_iteration_never_moves_edges.
     # MEMORY_AND_DISK is the GraphX-style iterative trade: the edge list
     # spills rather than recomputes.
-    e_deg = e.select(
-        "__src",
-        "__dst",
-        F.count(F.lit(1)).over(Window.partitionBy("__src")).alias("__deg"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    e_deg = (
+        e.select(
+            "__src",
+            "__dst",
+            F.count(F.lit(1)).over(Window.partitionBy("__src")).alias("__deg"),
+        )
+        .repartition("__dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     e_deg.count()  # materialize once, before the loop
     # r15: the node frame and r0 derive from the PERSISTED e_deg, not from
     # the caller's edge lineage — e_deg holds exactly the input edge rows
@@ -153,13 +176,18 @@ def pagerank(
         converged = False
         last_delta: int | None = None
         for _it in range(iters):
-            # shuffle-hash on the rank side: the checkpointed edge list keeps
-            # its hash partitioning, so only the node-sized rank frame moves,
-            # and no per-iteration driver broadcast build happens — also the
-            # only shape that works when the node set outgrows a broadcast
-            # (measured: 25% faster than the BHJ loop even at sf0.1)
+            # BROADCAST the node-sized rank frame into the edge partitions
+            # (r16): the cached edge list is laid out by __dst, so after
+            # this exchange-free join the contribution aggregation below
+            # runs complete-in-place on the cache partitioning. The r15
+            # shuffle-hash form kept the cache by __src instead and paid an
+            # edge-cardinality exchange of partial sums keyed by __dst
+            # EVERY round — strictly more bytes per round than the
+            # node-sized broadcast build this form pays (guide §2.4/§3.1).
+            # Scale limit documented in the module docstring: a node set
+            # beyond broadcast reach needs the pre-r16 shuffle-hash loop.
             contribs = e_deg.join(
-                ranks.select("node", "ru").hint("shuffle_hash"),
+                F.broadcast(ranks.select("node", "ru")),
                 F.col("__src") == F.col("node"),
             ).select(F.col("__dst").alias("node"), F.expr("ru div __deg").alias("__c"))
             sums = contribs.groupBy("node").agg(F.sum("__c").alias("__s"))

@@ -489,12 +489,16 @@ def test_ahash_band_join_is_equi_join(spark):
 
 
 def test_pagerank_iteration_never_moves_edges(spark):
-    """The claim behind the shuffle-hash PageRank plan: across iterations
-    only the node-sized rank frame shuffles; the degree-annotated edge
-    list is read from cache ALREADY partitioned on the join key. Round-6
-    regression pin: a localCheckpoint here silently loses
-    outputPartitioning (Scan ExistingRDD → Unknown) and re-shuffles the
-    edge list every round — the probe found exactly that, hence persist.
+    """The claim behind the broadcast-rank PageRank loop (r16): each
+    round's contribution sums aggregate IN PLACE on the __dst-partitioned
+    edge cache — the captured iteration body (the sums executedPlan down
+    to the cache scan) contains NO shuffle exchange at all: the rank
+    frame arrives by broadcast and the groupBy(__dst) pipelines over the
+    InMemoryTableScan's preserved hashpartitioning. Regression pins: a
+    localCheckpoint instead of persist loses outputPartitioning (Scan
+    ExistingRDD → Unknown) and re-shuffles the partial sums every round;
+    a shuffle-hash rank join (the r15 shape) re-introduces an
+    edge-cardinality partial-sum exchange per round.
     """
     from pyspark.sql import functions as F
 
@@ -510,17 +514,19 @@ def test_pagerank_iteration_never_moves_edges(spark):
     assert len(probe) == 3
     for i, plan in enumerate(probe):
         final = plan.split("== Initial Plan ==")[0]
-        join_at = final.find("ShuffledHashJoin")
-        assert join_at >= 0, f"iter {i}: shuffle-hash join missing\n{final[:2000]}"
-        # the edge branch (the ':-' streamed side) must be an
-        # InMemoryTableScan with NO Exchange between it and the join
-        lines = final[join_at:].splitlines()
-        edge_branch = [ln for ln in lines[1:6] if ln.strip().startswith(":")]
-        branch_text = "\n".join(edge_branch)
-        assert "InMemoryTableScan" in branch_text, f"iter {i}:\n{branch_text}"
-        pre_scan = branch_text.split("InMemoryTableScan")[0]
-        assert "Exchange" not in pre_scan, (
-            f"iter {i}: edge list re-shuffled\n{branch_text}"
+        join_at = final.find("BroadcastHashJoin")
+        assert join_at >= 0, f"iter {i}: broadcast rank join missing\n{final[:2000]}"
+        # the streamed side must be the cache scan, and NOTHING between
+        # the aggregation root and the cache scan may shuffle: the body
+        # (everything before the InMemoryRelation detail dump) must be
+        # exchange-free apart from the rank broadcast itself
+        body = final.split("InMemoryRelation")[0]
+        assert "InMemoryTableScan" in body, f"iter {i}:\n{body}"
+        assert "Exchange hashpartitioning" not in body, (
+            f"iter {i}: iteration body shuffles\n{body}"
+        )
+        assert "ShuffledHashJoin" not in body and "SortMergeJoin" not in body, (
+            f"iter {i}: rank frame not broadcast\n{body}"
         )
 
 

@@ -1,4 +1,5 @@
-"""Capture .explain("formatted") for headline queries into plans/r15/.
+"""Capture .explain("formatted") for headline queries into plans/<round>/
+(round from $SPARK_GRAFT_PLANS_ROUND, default r16).
 
 Usage:
     python tools/capture_plans.py before [query ...]   # default: all HEADLINE
@@ -28,7 +29,7 @@ def main() -> int:
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                           "plans", "r15")
+                           "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r16"))
     os.makedirs(out_dir, exist_ok=True)
     if not names:
         import bench

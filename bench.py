@@ -134,6 +134,30 @@ def _bench_calibration(spark) -> float:
     return time.time() - t0
 
 
+def _bench_scaling_probe(spark) -> float:
+    """Fixed constant-work CPU-BOUND probe for the driver's core-scaling
+    comparison (r15 verdict #2): 20M rows of chained sha2-256, reduced to
+    one sum — per-row work heavy enough that wall time tracks available
+    CPU, unlike the xxhash calibration row (measured r16: 200M xxhash64
+    reads 0.23 s at BOTH local[8] and local[32] — it is memory/task-
+    overhead-bound, which is exactly why `suspect_cpus_ignored` fired on
+    ratios near 1). This row's 8-vs-32 ratio measures the HARDWARE's
+    parallel ceiling: on this host it reads ~2.1x (0.71 s @32 vs 1.47 s
+    @8) because the 32 vCPUs are 16 physical cores with SMT (20M rows
+    cost ~23 cpu-s at 32 threads vs ~12 cpu-s at 8 — the same silicon,
+    hyperthread-shared). Read per-query scaling ratios against THIS row,
+    not against the 4x thread ratio."""
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    spark.range(20_000_000).select(
+        F.sum(
+            F.xxhash64(F.sha2(F.sha2(F.col("id").cast("string"), 256), 256)) % 1_000_003
+        )
+    ).collect()
+    return time.time() - t0
+
+
 def gate_is_quiet(attempts: list[float], steals: list[float], best_known: float) -> bool:
     """Quiet-host decision for the calibration gate (pure; unit-tested).
 
@@ -298,12 +322,27 @@ def main() -> None:
     # codegen compile of the heavier plans (the 64-aggregate MinHash plan
     # compiles for ~10 s on first execution, then runs in ~3 s)
     for _pass in range(int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))):
+        # r16 (r15 verdict #3): drop every cached relation between passes.
+        # Queries that persist an intermediate within one invocation
+        # (bitext_margin's pair cache, minhash's shingle cache) leave the
+        # handle for the caller by documented convention; Spark's
+        # CacheManager plan-canonicalization then let pass 2/3 reuse pass
+        # 1's InMemoryRelation, so their recorded minimum partially
+        # measured a warm cache. Clearing here makes every pass a full
+        # recompute from parquet — the honest minimum.
+        spark.catalog.clearCache()
         for name in HEADLINE:
             fn = registry[name].spark_fn
             t0 = time.time()
             fn(spark, sf_dir).count()
             dt = time.time() - t0
             timings[name] = round(min(timings.get(name, float("inf")), dt), 3)
+    # r16 (r15 verdict #2): CPU-bound core-scaling anchor, recorded as a
+    # queries row so the driver's 8-vs-32 comparison has a row whose ratio
+    # is the HARDWARE's parallel ceiling (see _bench_scaling_probe).
+    timings["scaling_probe_cpu"] = round(
+        min(_bench_scaling_probe(spark) for _ in range(3)), 3
+    )
 
     # calibration pass 2 (same best-of-3, after the headline passes): the
     # spread between the two passes bounds how much the host degraded
@@ -332,10 +371,17 @@ def main() -> None:
         fn = registry[name].spark_fn
         best = float("inf")
         for _ in range(3):
+            # same cache hygiene as the headline passes: each isolated
+            # repetition recomputes from parquet (r15 verdict #3)
+            spark.catalog.clearCache()
             t0 = time.time()
             fn(spark, sf_dir).count()
             best = min(best, time.time() - t0)
         isolated[name] = round(best, 3)
+    # r16 (r15 verdict #6): lake_write has drifted ±50% in-sequence twice
+    # in a row (cold-JVM write-path noise); a pinned fresh-session
+    # isolated minimum adjudicates the next drift by artifact.
+    isolated_lake_write = round(min(_bench_lake_write(spark) for _ in range(3)), 3)
 
     out = {
         "metric": "headline_query_wall_seconds",
@@ -371,6 +417,10 @@ def main() -> None:
         # LIKE across rounds). Key kept from r10 ("top3") so readers
         # diffing BENCH_r10 → r11 see one series; the set is top-5 now.
         "isolated_top5": isolated,
+        # fresh-session min-of-3 for the partitioned write path (r15
+        # verdict #6): the in-sequence lake_write number rides cold-JVM
+        # disk-latency noise; this series is the one to diff across rounds
+        "isolated_lake_write": isolated_lake_write,
         "loadavg_before": loadavg_before,
         "loadavg_after": loadavg_after,
     }

@@ -9,6 +9,12 @@ red-flag operators (BroadcastNestedLoopJoin, CartesianProduct,
 row-at-a-time Python eval in a non-UDF query).
 
 Usage:  python tools/explain_audit.py [sf_dir] [query ...]
+        python tools/explain_audit.py --all [sf_dir]   # every registry query
+
+The audited query is MATERIALIZED (count()) before its plan text is
+captured: lazily-checkpointed subtrees and AQE stages resolve at run
+time, so a pre-execution capture is timing-dependent for those queries
+(r15 advice) — post-materialization the text is stable run-to-run.
 """
 
 from __future__ import annotations
@@ -30,115 +36,123 @@ RED_FLAGS = ("CartesianProduct", "BroadcastNestedLoopJoin")
 #: one row against N is a projection, not a quadratic join. It is also the
 #: definition of the brute-force similarity baseline. Everything else
 #: stays flagged — keep this list short and justified.
-EXPECTED_FLAGS: dict[str, set[str]] = {
+#: r16 (r15 advice): values are per-flag MAX OCCURRENCE COUNTS, not a
+#: blanket allow — a change that adds one more BNLJ instance to an
+#: allowlisted query (e.g. an accidental table-sized nested-loop join
+#: next to the legitimate 1-row-broadcast one) fails the audit again.
+#: Counts measured post-materialization at sf0.01.
+EXPECTED_FLAGS: dict[str, dict[str, int]] = {
     # brute-force exact top-k: the crossJoin IS the documented baseline;
     # only the 8-row query side broadcasts (SCALE.md)
-    "similarity_topk_cosine": {"BroadcastNestedLoopJoin", "CartesianProduct"},
+    "similarity_topk_cosine": {"BroadcastNestedLoopJoin": 1},
     # exact mining baseline: src×tgt crossJoin with the (label==1) side
     # broadcast is the documented oracle form; the 100 TB path feeds
     # LSH/IVF candidates through the same margin scoring
     # (operators/similarity.py bitext_mine docstring)
-    "similarity_bitext_margin": {"BroadcastNestedLoopJoin"},
+    "similarity_bitext_margin": {"BroadcastNestedLoopJoin": 6},
     # 1-row broadcast of the global (min,max) frame for scale factors
-    "lake_zorder_layout": {"BroadcastNestedLoopJoin"},
+    "lake_zorder_layout": {"BroadcastNestedLoopJoin": 1},
     # 1-row broadcast of the collapsed centroid array (zero-shuffle argmax)
-    "dedup_semantic": {"BroadcastNestedLoopJoin"},
+    # "dedup_semantic" dropped r16: post-materialization plan has no BNLJ
+    # (the 1-row crossJoin resolves into the checkpointed lineage)
     # 1-row broadcast of the node count for the teleport term
-    "graph_pagerank": {"BroadcastNestedLoopJoin"},
+    # "graph_pagerank" dropped r16: post-materialization plan has no BNLJ
+    # (the 1-row crossJoin resolves into the checkpointed lineage)
     # 1-row broadcast of the corpus doc count (idf denominator)
-    "text_tfidf_top_terms": {"BroadcastNestedLoopJoin"},
+    "text_tfidf_top_terms": {"BroadcastNestedLoopJoin": 1},
     # 1-row broadcast of the global (N, avgdl) BM25 constants
-    "text_bm25_rank": {"BroadcastNestedLoopJoin"},
+    "text_bm25_rank": {"BroadcastNestedLoopJoin": 1},
     # pack queries inherit their components' 1-row aggregate broadcasts:
     # r4_mgmt/r5: the z-order global (min,max) frame; r5_pack2: PageRank's
     # node count; r6_pack: the Bloom dense-bit row + the HLL totals row
-    "r4_mgmt_pack": {"BroadcastNestedLoopJoin"},
-    "r5_pack": {"BroadcastNestedLoopJoin"},
-    "r5_pack2": {"BroadcastNestedLoopJoin"},
-    "r6_pack": {"BroadcastNestedLoopJoin"},
+    "r4_mgmt_pack": {"BroadcastNestedLoopJoin": 1},
+    "r5_pack": {"BroadcastNestedLoopJoin": 1},
+    "r5_pack2": {"BroadcastNestedLoopJoin": 2},
+    "r6_pack": {"BroadcastNestedLoopJoin": 1},
     # 1-row broadcasts: budget_select's global (min,max) bin frame and
     # DSIR's (target_total, raw_total) frame
-    "selection_pack": {"BroadcastNestedLoopJoin"},
-    "llm_budget_select": {"BroadcastNestedLoopJoin"},
-    "llm_dsir_importance": {"BroadcastNestedLoopJoin"},
+    "selection_pack": {"BroadcastNestedLoopJoin": 1},
+    # "llm_budget_select" dropped r16: post-materialization plan has no BNLJ
+    # (the 1-row crossJoin resolves into the checkpointed lineage)
+    "llm_dsir_importance": {"BroadcastNestedLoopJoin": 1},
     # 1-row broadcast of the (rows, keys, max) totals frame
-    "ops_skew_report": {"BroadcastNestedLoopJoin"},
+    "ops_skew_report": {"BroadcastNestedLoopJoin": 1},
     # inherits ops_skew_report's totals broadcast
-    "r7_pack": {"BroadcastNestedLoopJoin"},
+    "r7_pack": {"BroadcastNestedLoopJoin": 1},
     # 1-row broadcasts of the collapsed per-query ADC lookup table and the
     # m·k codebook (operators/pq.py pq_encode/pq_topk_adc) — the
     # dedup_semantic pattern: one row against N is a projection
-    "similarity_pq_adc": {"BroadcastNestedLoopJoin"},
+    "similarity_pq_adc": {"BroadcastNestedLoopJoin": 3},
     # 1-row broadcast of the collapsed query-token-matrix frame
     # (operators/similarity.py maxsim_rerank)
-    "similarity_maxsim_rerank": {"BroadcastNestedLoopJoin"},
+    "similarity_maxsim_rerank": {"BroadcastNestedLoopJoin": 1},
     # 1-row broadcast of the tiny query-signature set; the scan side is
     # one codegen'd bit_count(xor) per row (operators/pq.py
     # binary_hamming_topk)
-    "similarity_binary_hamming": {"BroadcastNestedLoopJoin"},
+    "similarity_binary_hamming": {"BroadcastNestedLoopJoin": 1},
     # inherits the three ANN components' 1-row broadcasts above
-    "media_pack4": {"BroadcastNestedLoopJoin"},
+    "media_pack4": {"BroadcastNestedLoopJoin": 4},
     # --- r15 full-registry audit (the first sweep beyond the headliner
     # set; every entry below was triaged plan-by-plan — the BNLJ build
     # side in each is a 1-row aggregate, a collapsed 1-row lookup table,
     # or an explicitly bounded query set, never a table-sized frame) ---
     # classic TPC-H scalar subqueries: 1-row avg(c_acctbal) / total_value
-    "tpch_q22_global_sales": {"BroadcastNestedLoopJoin"},
-    "tpch_q11_important_stock": {"BroadcastNestedLoopJoin"},
+    "tpch_q22_global_sales": {"BroadcastNestedLoopJoin": 1},
+    "tpch_q11_important_stock": {"BroadcastNestedLoopJoin": 1},
     # 1-row corpus totals (n_docs for idf / bigram LM totals / CCNet
     # percentile cuts)
-    "text_index_search": {"BroadcastNestedLoopJoin"},
-    "text_ccnet_buckets": {"BroadcastNestedLoopJoin"},
-    "text_bigram_lm_score": {"BroadcastNestedLoopJoin"},
+    "text_index_search": {"BroadcastNestedLoopJoin": 1},
+    "text_ccnet_buckets": {"BroadcastNestedLoopJoin": 2},
+    "text_bigram_lm_score": {"BroadcastNestedLoopJoin": 1},
     # 1-row final-watermark frame gating closed windows
-    "stream_window_pack": {"BroadcastNestedLoopJoin"},
-    "stream_late_drop": {"BroadcastNestedLoopJoin"},
+    "stream_window_pack": {"BroadcastNestedLoopJoin": 1},
+    "stream_late_drop": {"BroadcastNestedLoopJoin": 1},
     # 1-row Benford digit total (sketch_pack2 also inherits the bigram
     # LM totals row)
-    "sketch_pack2": {"BroadcastNestedLoopJoin"},
-    "agg_benford_digits": {"BroadcastNestedLoopJoin"},
+    "sketch_pack2": {"BroadcastNestedLoopJoin": 3},
+    "agg_benford_digits": {"BroadcastNestedLoopJoin": 1},
     # 1-row collapsed centroid list (the dedup_semantic pattern) + the
     # bounded (vec_id % k) probe set
-    "similarity_ivf_portable": {"BroadcastNestedLoopJoin"},
-    "similarity_ivf_ann": {"BroadcastNestedLoopJoin"},
+    "similarity_ivf_portable": {"BroadcastNestedLoopJoin": 2},
+    "similarity_ivf_ann": {"BroadcastNestedLoopJoin": 4},
     # 1-row funnel stage counts (n_view / n_view_click)
-    "funnel_view_click_purchase": {"BroadcastNestedLoopJoin"},
-    "ops_pack": {"BroadcastNestedLoopJoin"},
+    "funnel_view_click_purchase": {"BroadcastNestedLoopJoin": 2},
+    "ops_pack": {"BroadcastNestedLoopJoin": 2},
     # inherit PQ codebook / per-query ADC table / maxsim query-matrix
     # 1-row broadcasts from their components
-    "media_family_pack2": {"BroadcastNestedLoopJoin"},
-    "media_family_all": {"BroadcastNestedLoopJoin"},
-    "lake_pack2": {"BroadcastNestedLoopJoin"},
+    "media_family_pack2": {"BroadcastNestedLoopJoin": 4},
+    "media_family_all": {"BroadcastNestedLoopJoin": 10},
+    "lake_pack2": {"BroadcastNestedLoopJoin": 1},
     # 1-row source-mix totals (__N / (__total, __k))
-    "llm_sampling_pack": {"BroadcastNestedLoopJoin"},
-    "llm_mixture_plan": {"BroadcastNestedLoopJoin"},
-    "llm_domain_mix_resample": {"BroadcastNestedLoopJoin"},
-    "llm_dataset_card": {"BroadcastNestedLoopJoin"},
+    "llm_sampling_pack": {"BroadcastNestedLoopJoin": 1},
+    "llm_mixture_plan": {"BroadcastNestedLoopJoin": 3},
+    "llm_domain_mix_resample": {"BroadcastNestedLoopJoin": 1},
+    "llm_dataset_card": {"BroadcastNestedLoopJoin": 1},
     # 1-row min(source) frame for the synthetic-diff side
-    "dataset_manifest_diff": {"BroadcastNestedLoopJoin"},
+    "dataset_manifest_diff": {"BroadcastNestedLoopJoin": 1},
     # 1-row max(o_orderdate) reference-date frame
-    "customer_rfm_segment": {"BroadcastNestedLoopJoin"},
+    "customer_rfm_segment": {"BroadcastNestedLoopJoin": 1},
     # range/theta join: BNLJ IS the strategy for a non-equi predicate;
     # the build side is the small bounds table by construction
-    "join_range_theta": {"BroadcastNestedLoopJoin"},
-    "join_family_pack": {"BroadcastNestedLoopJoin"},
+    "join_range_theta": {"BroadcastNestedLoopJoin": 1},
+    "join_family_pack": {"BroadcastNestedLoopJoin": 1},
     # the declared B3 cross-join row (5-row region side broadcast)
-    "join_cross": {"BroadcastNestedLoopJoin"},
+    "join_cross": {"BroadcastNestedLoopJoin": 1},
     # bounded anchor set (vec_id < 8) against the corpus — the hard-
     # negative mining contract
-    "embedding_hard_negatives": {"BroadcastNestedLoopJoin"},
+    "embedding_hard_negatives": {"BroadcastNestedLoopJoin": 1},
     # declared brute-force exact baseline, both sides capped at 150 rows
-    "dedup_embedding_cosine": {"BroadcastNestedLoopJoin"},
+    "dedup_embedding_cosine": {"BroadcastNestedLoopJoin": 1},
     # inherit the bitext exact-baseline BNLJ (label=0 x label=1 bounded
     # fixture sides — similarity_bitext_margin's declared oracle form);
     # whether the checkpointed subtree shows in the captured plan varies
     # with materialization timing, so list them explicitly
-    "media_family_pack": {"BroadcastNestedLoopJoin"},
-    "media_pack2": {"BroadcastNestedLoopJoin"},
+    "media_family_pack": {"BroadcastNestedLoopJoin": 6},
+    "media_pack2": {"BroadcastNestedLoopJoin": 6},
     # 1-row collapsed Bloom bit-set broadcast (collect_set -> one row)
-    "llm_bloom_decontaminate": {"BroadcastNestedLoopJoin"},
+    "llm_bloom_decontaminate": {"BroadcastNestedLoopJoin": 1},
     # 1-row corpus bigram total for the frequency threshold
-    "text_frequent_bigrams": {"BroadcastNestedLoopJoin"},
+    "text_frequent_bigrams": {"BroadcastNestedLoopJoin": 1},
 }
 
 
@@ -147,6 +161,9 @@ def audit(spark, registry, name: str, sf_dir: str) -> str:
 
     spec = registry[name]
     df = spec.spark_fn(spark, sf_dir)
+    # materialize BEFORE capturing: lazy checkpoints / AQE stages resolve,
+    # making the audited plan text stable (see module docstring)
+    df.count()
     plan = df._jdf.queryExecution().executedPlan().toString()
     counts = {
         "BHJ": plan.count("BroadcastHashJoin"),
@@ -159,8 +176,12 @@ def audit(spark, registry, name: str, sf_dir: str) -> str:
     }
     pushed = sorted(set(re.findall(r"PushedFilters: \[([^\]]*)\]", plan)))
     pushed_s = "; ".join(p[:70] for p in pushed if p) or "-"
-    allowed = EXPECTED_FLAGS.get(name, set())
-    flags = [f for f in RED_FLAGS if f in plan and f not in allowed]
+    allowed = EXPECTED_FLAGS.get(name, {})
+    flags = [
+        f"{f} x{plan.count(f)} (allowed {allowed.get(f, 0)})"
+        for f in RED_FLAGS
+        if plan.count(f) > allowed.get(f, 0)
+    ]
     if (
         "BatchEvalPython" in plan
         and "BatchEvalPython" not in allowed
@@ -183,9 +204,13 @@ def audit(spark, registry, name: str, sf_dir: str) -> str:
 
 def main() -> int:
     args = [a for a in sys.argv[1:]]
+    run_all = "--all" in args
+    args = [a for a in args if a != "--all"]
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     names = [a for a in args if not os.path.isdir(a)]
     registry = load_all()
+    if run_all:
+        names = list(registry)
     if not names:
         import importlib.util
 

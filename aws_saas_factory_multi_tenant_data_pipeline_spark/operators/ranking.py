@@ -22,6 +22,9 @@ from pyspark.sql import functions as F
 
 from aws_saas_factory_multi_tenant_data_pipeline_spark.functions import DEC
 from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.dedup import tokens
+from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.fanout import (
+    fan_out_scan,
+)
 
 
 def bm25_rank(
@@ -48,6 +51,12 @@ def bm25_rank(
     # of re-running the regex tokenizer over the full corpus (the first
     # cut re-tokenized up to 3× through the gl/dfreq/scored lineages).
     term_list = list(terms)
+    # r16 (guide §2.5 input parallelism): the regex tokenizer is this
+    # operator's dominant cost and a single-file documents scan arrives
+    # as 1-2 partitions — conditional fan-out spreads the tokenize pass
+    # across the session (sf1 A/B: 1.8 s → 1.0 s, rows identical; no-op
+    # on already-parallel inputs, see fanout.py).
+    docs = fan_out_scan(docs, id_col)
     stats = (
         docs.withColumn("__toks", tokens(F.col(text_col)))
         .select(

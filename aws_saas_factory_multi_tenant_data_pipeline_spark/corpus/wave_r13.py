@@ -448,7 +448,14 @@ def multimodal_raster_formats(spark, sf_dir):
 def multimodal_h264_cabac(spark, sf_dir):
     import pandas as pd
 
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        fan_out_media_ids,
+    )
+
     d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 48).select("doc_id")
+    # r16 payload-size seam: identity at this 48-doc fixture scale
+    # (MEDIA_FANOUT_MIN_DOCS), fans out at real doc counts
+    d = fan_out_media_ids(d, "doc_id", 48)
 
     def op(batches):
         import numpy as np

@@ -68,11 +68,15 @@ def multimodal_mjpeg_frames(spark, sf_dir):
     )
     from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
         MEDIA_SCHEMA,
+        fan_out_media_ids,
         mjpeg_frame_hashes,
         sample_video_frames,
     )
 
     d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 64).select("doc_id")
+    # r16 payload-size seam: identity at this 64-doc fixture scale
+    # (MEDIA_FANOUT_MIN_DOCS), fans out at real doc counts
+    d = fan_out_media_ids(d, "doc_id", 64)
 
     def op(batches):
         for pdf in batches:

@@ -31,6 +31,21 @@ def test_fan_out_is_a_noop_on_parallel_inputs(spark):
     assert fanned is df
 
 
+def test_media_fanout_threshold(spark):
+    """The media payload seam is identity below MEDIA_FANOUT_MIN_DOCS
+    (fixture-scale plans unchanged) and repartitions at/above it."""
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.multimodal import (
+        MEDIA_FANOUT_MIN_DOCS,
+        fan_out_media_ids,
+    )
+
+    d = spark.range(64).select(F.col("id").alias("doc_id"))
+    assert fan_out_media_ids(d, "doc_id", 64) is d
+    big = fan_out_media_ids(d, "doc_id", MEDIA_FANOUT_MIN_DOCS)
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(doc_id" in plan, plan
+
+
 def test_normalize_text_single_pass_equals_two_pass(spark):
     """The r16 fused regex must match the historical two-pass form on
     adversarial inputs: unicode whitespace, control chars, punct runs,

@@ -57,6 +57,15 @@ def cosine_topk(
     Returns (query_id, vec_id, cosine, rank). Excludes self-matches when
     ids collide. ``cosine`` rounded to 6 dp; rank ties broken by vec_id.
     """
+    from aws_saas_factory_multi_tenant_data_pipeline_spark.operators.fanout import (
+        fan_out_scan,
+    )
+
+    # r16 (guide §2.5 input parallelism): the corpus side streams through
+    # the broadcast join computing |corpus|·|queries| cosine folds — on a
+    # single-file scan that ran on 1-2 cores (sf1 A/B: 1.60 s → 1.03 s,
+    # rows identical; no-op on already-parallel inputs)
+    corpus = fan_out_scan(corpus, id_col)
     c = with_norm(corpus, vec_col).select(
         F.col(id_col), F.col(vec_col).alias("__cv"), F.col("__norm").alias("__cn")
     )

@@ -321,6 +321,16 @@ def main() -> None:
     # span every pass to poison a timing; pass 1 also absorbs the one-time
     # codegen compile of the heavier plans (the 64-aggregate MinHash plan
     # compiles for ~10 s on first execution, then runs in ~3 s)
+    # r16 (r15 verdict #2): CPU-bound core-scaling anchor, recorded as a
+    # queries row so the driver's 8-vs-32 comparison has a row whose ratio
+    # is the HARDWARE's parallel ceiling (see _bench_scaling_probe).
+    # Measured BEFORE the headline passes: after 42 queries the
+    # accumulated JVM state inflates the same constant work ~4x (0.71 s
+    # fresh vs ~3.0 s at the tail of the sequence in two separate runs),
+    # which would just add noise to the anchor.
+    timings["scaling_probe_cpu"] = round(
+        min(_bench_scaling_probe(spark) for _ in range(3)), 3
+    )
     for _pass in range(int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))):
         # r16 (r15 verdict #3): drop every cached relation between passes.
         # Queries that persist an intermediate within one invocation
@@ -337,12 +347,6 @@ def main() -> None:
             fn(spark, sf_dir).count()
             dt = time.time() - t0
             timings[name] = round(min(timings.get(name, float("inf")), dt), 3)
-    # r16 (r15 verdict #2): CPU-bound core-scaling anchor, recorded as a
-    # queries row so the driver's 8-vs-32 comparison has a row whose ratio
-    # is the HARDWARE's parallel ceiling (see _bench_scaling_probe).
-    timings["scaling_probe_cpu"] = round(
-        min(_bench_scaling_probe(spark) for _ in range(3)), 3
-    )
 
     # calibration pass 2 (same best-of-3, after the headline passes): the
     # spread between the two passes bounds how much the host degraded
